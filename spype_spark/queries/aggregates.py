@@ -1,0 +1,247 @@
+"""Aggregations (SURVEY.md §2.B "Aggregations").
+
+Every groupBy here is a hash aggregate with automatic partial (map-side)
+combine — at 100 TB the shuffle carries only one row per (partition ×
+group), not the raw data. Grouping keys in this corpus (returnflag ×
+linestatus = 6 groups, custkey ≈ |customers|) are either tiny (no skew
+possible) or uniform (TPC-H keys are uniform by construction); skewed
+real-world keys would be handled by AQE skew-split which the session
+enables.
+
+Float discipline (see `_util`): money sums go through exact DECIMAL
+accumulation (`dsum`/`davg`) so results are independent of partitioning
+and identical across engines; integer-valued doubles (l_quantity) sum
+exactly in binary at any order and need nothing; only stddev/var/corr
+round, coarsely relative to their numeric noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spype_spark.queries._util import davg, dsum, ts_lit
+from spype_spark.registry import query
+from spype_spark.tables import load_table
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(l_extendedprice) AS avg_price,
+           MIN(l_discount) AS min_disc,
+           MAX(l_tax) AS max_tax,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped global aggregate: count/sum/avg/min/max/count-distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_tax").alias("max_tax"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "q_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the flagship query (`entry()`).
+
+    6 output groups regardless of scale: the shuffle after partial
+    aggregation moves ~6 rows per input partition, so this is scan-bound
+    at 100 TB. The shipdate filter is pushed to Parquet.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= ts_lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            davg("l_discount", 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count-distinct (Spark plans an Expand + two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .filter(F.col("n") >= 15)
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (NULL marks subtotal rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations via CUBE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (via Spark SQL — one Expand node)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("spype_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM spype_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_pop(l_extendedprice, l_discount), 4) AS cov_price_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance.
+
+    These have no exact accumulation path; rounding scales are coarse
+    relative to the ~1e-10 relative noise of the merge order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_extendedprice", "l_discount"), 4).alias(
+            "cov_price_disc"
+        ),
+    )
+
+
+@query("q_agg_approx_distinct", oracle=None)  # sketch differs from DuckDB's
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct count (HyperLogLog++) next to the exact count.
+
+    rows-only check: HLL sketches are engine-specific. At 100 TB this is
+    *the* way to count distincts — fixed-size sketch per partition, no
+    expand/shuffle of the key space; rsd=0.01 keeps error ≈1%.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supp"),
+        F.countDistinct("l_suppkey").alias("exact_supp"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_part"),
+        F.countDistinct("l_partkey").alias("exact_part"),
+    )

@@ -1,0 +1,329 @@
+"""Joins (SURVEY.md §2.B "Joins").
+
+Join-strategy policy for 100 TB (documented per query below):
+- dimension tables (region/nation/supplier/part here) are explicitly
+  `broadcast()` — no shuffle of the fact side, ever;
+- fact⋈fact equi-joins (orders⋈lineitem) shuffle on the join key; both
+  sides partition-prune and push filters before the shuffle; at cluster
+  scale these would be bucketed on the key to skip the shuffle entirely;
+- the non-equi band join is rewritten as an *equi* join on a derived
+  bucket key (the classic range-join optimization) instead of the
+  O(n²) BroadcastNestedLoop Spark would otherwise plan;
+- the as-of join is a union + partitioned sort (one shuffle), not a
+  per-row lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spype_spark.queries._util import dstr, dsum
+from spype_spark.registry import query
+from spype_spark.tables import load_table
+
+
+@query(
+    "q_join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders⋈customer on custkey.
+
+    customer is ~1/10 the size of orders: below the broadcast threshold
+    at test scale (Spark picks BroadcastHashJoin itself); at 100 TB with
+    a huge customer table this becomes a shuffle hash/sort-merge join on
+    the uniformly-distributed key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: customers kept even without orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS k, COUNT(*) AS n95 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT o_custkey AS k, COUNT(*) AS n00 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        AND o_orderdate < TIMESTAMP '2001-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.k, b.k) AS custkey, a.n95, b.n00
+    FROM a FULL JOIN b ON a.k = b.k
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregated year-slices (gaps on both sides)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_counts(y: int, alias: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
+            )
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(F.count("*").alias(alias))
+        )
+
+    a = year_counts(1995, "n95")
+    b = year_counts(2000, "n00").withColumnRenamed("k", "k2")
+    return a.join(b, a.k == b.k2, "full").select(
+        F.coalesce("k", "k2").alias("custkey"), "n95", "n00"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having a >300k order.
+
+    Semi joins never duplicate the left side and the right side reduces
+    to its distinct keys — far cheaper than join+distinct at scale.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no order over 200k.
+
+    (Filtered on the build side so the result is non-empty in this
+    corpus — every customer has *some* order.)
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small cartesian product (5×25) — only ever sane on tiny inputs."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dimension): revenue by brand.
+
+    `broadcast(part)` forces BroadcastHashJoin: the 600 M-row (at SF100k)
+    lineitem side streams through map-side, with zero shuffle before the
+    6-group aggregate. part stays broadcastable to ~SF1000; beyond that,
+    fall back to a bucketed shuffle join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_3way",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation: customer⋈orders⋈lineitem⋈nation (bench flagship).
+
+    Join order: lineitem⋈orders first (largest reduction via the fact
+    keys, shuffle on orderkey), then the result ⋈ customer (shuffle on
+    custkey), then ⋈ broadcast(nation) — the 25-row dimension never
+    forces a shuffle. At 100 TB, bucketing orders+lineitem on orderkey
+    removes the first shuffle entirely; AQE handles any custkey skew.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           ABS(a.p_retailprice - b.p_retailprice) AS price_gap
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND ABS(a.p_retailprice - b.p_retailprice) <= 1.0
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) self-join: part pairs within ±1.0 of retail price.
+
+    Implemented as an *equi* join on integer price buckets: side A
+    probes buckets {⌊p⌋-1, ⌊p⌋, ⌊p⌋+1} (an explode of 3 rows), side B
+    is keyed by ⌊p⌋, and the exact band predicate filters after the hash
+    match. This turns what Spark would plan as an O(n²)
+    BroadcastNestedLoopJoin into a shuffle hash join whose cost is
+    n × (bucket density) — the standard range-join optimization that
+    survives 100 TB, with the bucket width tuned to the band.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bucket = F.floor("p_retailprice")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_retailprice").alias("price_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bucket"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_retailprice").alias("price_b"),
+        bucket.alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("price_a") - F.col("price_b")) <= 1.0)
+        )
+        .select(
+            "key_a",
+            "key_b",
+            F.abs(F.col("price_a") - F.col("price_b")).alias("price_gap"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_d
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the most recent order at-or-before it.
+
+    Spark has no native ASOF JOIN; this uses the union-tag + windowed
+    last(ignorenulls) rewrite: append order rows (carrying their date)
+    and event rows (carrying null) into one stream, sort within each
+    user by (time, tag) with orders first on ties (>= semantics), and
+    propagate the last seen order date forward. Cost: ONE shuffle on
+    user_id + a partition-local sort — the same asymptotics kdb/Flink
+    use for temporal joins, vs. the naive per-event subquery. Ties on
+    o_orderdate yield the same date either way → deterministic output.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("odate"),
+        F.lit(1).alias("tag"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("odate"),
+        F.lit(0).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ev.unionByName(od).withColumn(
+        "last_odate", F.last("odate", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            dstr("last_odate").alias("last_order_d"),
+        )
+    )

@@ -1,0 +1,161 @@
+"""Local differential checker — replica of the driver's t2 gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over
+the same Parquet tables, then compares row count, column names, and an
+order-insensitive value hash. Stricter than the driver on value
+canonicalization (exact repr of doubles), so passing here is the best
+available predictor of passing the driver's CORRECTNESS check.
+
+Usage:
+    python tools/check.py                 # all queries at sf0.01
+    python tools/check.py q_join_3way ... # subset
+    python tools/check.py --sf /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import decimal
+import hashlib
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from spype_spark.queries import REGISTRY
+from spype_spark.session import get_spark
+from spype_spark.tables import TABLES
+
+
+def canon_value(v) -> str:
+    """Canonical string for one cell value (strict: exact float repr)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_value(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def hash_rows(cols: list[str], rows: list[tuple]) -> str:
+    """Order-insensitive hash: sort columns by name, canonicalize rows,
+    sort row strings, sha256."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(canon_value(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="*", help="query keys (default: all)")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--show-diff", action="store_true",
+                    help="print sample mismatching rows")
+    args = ap.parse_args()
+
+    keys = args.keys or sorted(REGISTRY)
+    unknown = [k for k in keys if k not in REGISTRY]
+    if unknown:
+        print(f"unknown keys: {unknown}")
+        return 2
+
+    spark = get_spark("spype-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+    for name in keys:
+        q = REGISTRY[name]
+        t0 = time.time()
+        try:
+            df = q.fn(spark, args.sf)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+        except Exception:
+            print(f"FAIL  {name}: SPARK ERROR")
+            traceback.print_exc()
+            n_fail += 1
+            failures.append(name)
+            continue
+        if q.oracle is None:
+            print(f"rows  {name}: {len(s_rows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.sql(q.oracle)
+            d_cols = res.columns
+            d_rows = res.fetchall()
+        except Exception:
+            print(f"FAIL  {name}: DUCKDB ERROR")
+            traceback.print_exc()
+            n_fail += 1
+            failures.append(name)
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rows {len(s_rows)} != {len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols {sorted(s_cols)} != {sorted(d_cols)}")
+        if not problems:
+            hs, hd = hash_rows(s_cols, s_rows), hash_rows(d_cols, d_rows)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                if args.show_diff:
+                    order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                    order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                    set_s = {
+                        "\x1f".join(canon_value(r[i]) for i in order_s)
+                        for r in s_rows
+                    }
+                    set_d = {
+                        "\x1f".join(canon_value(r[i]) for i in order_d)
+                        for r in d_rows
+                    }
+                    print(f"  cols: {sorted(s_cols)}")
+                    for x in list(set_s - set_d)[:5]:
+                        print(f"  spark-only: {x!r}")
+                    for x in list(set_d - set_s)[:5]:
+                        print(f"  duck-only : {x!r}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            n_fail += 1
+            failures.append(name)
+        else:
+            print(f"ok    {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+
+    print(
+        f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAILED"
+        + (f": {failures}" if failures else "")
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
