@@ -1,0 +1,429 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.B, mandated by BASELINE.json).
+
+Deduplication, similarity search, and text analysis over the
+``documents`` / ``embeddings`` tables — the operator family a large
+training-data pipeline runs at 100 TB. Design rules applied throughout:
+
+- everything is DataFrame algebra (explode / groupBy / join / window) —
+  no Python in the row path, no driver-side loops over collect();
+- all hashing is seeded & deterministic (`xxhash64` with literal band
+  ids, md5 for content fingerprints) — never `rand()`;
+- candidate generation is always *blocked* (LSH bands, hash buckets) so
+  the pairwise stage is |bucket|²-bounded rather than n² — the only
+  intentionally-quadratic op is the exact cosine top-k baseline, kept as
+  the correctness oracle for the approximate variants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spype_spark.registry import query
+from spype_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one deterministic survivor (min doc_id) per text.
+
+    groupBy(text) rather than dropDuplicates — the latter keeps an
+    *arbitrary* row (SURVEY.md §7.4 G3). At 100 TB one groups by
+    md5/xxhash of the text instead of the full string to shrink shuffle
+    width; the md5 output column here doubles as that fingerprint.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select(F.md5(F.col("text").cast("binary")).alias("text_md5"),
+                "keep_id", "n_copies")
+    )
+
+
+def _word_shingles(k: int = 3):
+    """Array<string> of k-word shingles of `text` (assumes ≥k words)."""
+    words = F.split(F.col("text"), " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(words) - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(k)]
+        ),
+    )
+
+
+@query("q_dedup_minhash", oracle=None)  # hash family is engine-specific
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs over 3-word shingles.
+
+    Pipeline: shingle → 16 seeded minhashes per doc (one pass:
+    min(xxhash64(band_id, shingle)) per seed) → 8 LSH bands of r=2 →
+    groupBy band bucket → intra-bucket pairs. Cost at scale is
+    O(n·shingles) for signatures plus Σ|bucket|² for pairing — the
+    band/row tradeoff (b=8, r=2) targets Jaccard ≳ 0.5. Deterministic:
+    fixed integer band ids as hash seeds, no rand().
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(_word_shingles()).alias("shingle"))
+        .distinct()
+    )
+    n_hashes = 16
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))
+                    for b in range(n_hashes // 2)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             s1.word || ' ' || s2.word || ' ' || s3.word AS shingle
+      FROM (
+        SELECT doc_id,
+               string_split(text, ' ') AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+      ) t,
+      LATERAL (SELECT w[i] AS word) s1,
+      LATERAL (SELECT w[i+1] AS word) s2,
+      LATERAL (SELECT w[i+2] AS word) s3
+      WHERE i + 2 <= len(w)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for doc pairs sharing a shingle.
+
+    The shingle equi-join *is* the blocking step: only pairs with ≥1
+    common 3-gram are ever scored, so cost is Σ|shingle-posting-list|²
+    — the same inverted-index bound search engines use — instead of n².
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from exact distinct-shingle
+    counts (integer arithmetic → identical doubles in both engines).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_word_shingles()).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _emb_double(col: str = "embedding"):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    """Sequential dot product of two array<double> columns (order-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@query(
+    "q_sim_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+             list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])) AS dot
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src_id, nbr_id, dot,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY dot DESC, nbr_id) AS rn
+      FROM pairs
+    )
+    SELECT src_id, nbr_id, round(dot, 6) AS cosine, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors (unit-norm ⇒ cosine ≡ dot product).
+
+    The brute-force baseline: block-nested self-join with a JVM-side
+    zip_with/aggregate dot product (no Python, no UDF). Deliberately
+    quadratic — it is the ground truth the LSH/IVF variants are graded
+    against; at 100 TB one runs q_sim_lsh_ann / q_sim_ivf_ann instead.
+    Floats are cast to double *before* multiplying on both engines, and
+    both sum sequentially in array order → bit-identical dots.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double().alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("src_id"), F.col("emb").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("nbr_id"), F.col("emb").alias("emb_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id", _dot(F.col("emb_a"), F.col("emb_b")).alias("dot"))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("dot"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("src_id", "nbr_id", F.round("dot", 6).alias("cosine"), "rank")
+    )
+
+
+def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (md5-derived, no rand())."""
+    planes = []
+    for j in range(n_planes):
+        v = []
+        for i in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"spype-lsh:{j}:{i}".encode()).digest()[:8], "big"
+            )
+            v.append((h % 2001) / 1000.0 - 1.0)
+        planes.append(v)
+    return planes
+
+
+@query("q_sim_lsh_ann", oracle=None)  # approximate: bucket recall < 1
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbors via random-hyperplane (SimHash) LSH.
+
+    8 fixed md5-derived hyperplanes → 8 sign bits → one bucket id per
+    vector; candidate pairs only form inside a bucket (expected n/256
+    of the quadratic work), then exact dot product re-ranks and keeps
+    top-3 per source. This is the 100 TB path: signatures are one
+    linear pass, and the pair stage is bounded by bucket size (salt or
+    add bands if a bucket ever grows hot).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _emb_double().alias("emb")
+    )
+    planes = _hyperplanes()
+    bucket = sum(
+        (
+            (_dot(F.col("emb"), F.array(*[F.lit(c) for c in plane])) >= 0)
+            .cast("int") * (1 << j)
+            for j, plane in enumerate(planes)
+        ),
+        start=F.lit(0),
+    )
+    eb = e.withColumn("bucket", bucket)
+    a = eb.select(
+        F.col("vec_id").alias("src_id"), F.col("emb").alias("emb_a"), "bucket"
+    )
+    b = eb.select(
+        F.col("vec_id").alias("nbr_id"), F.col("emb").alias("emb_b"), "bucket"
+    )
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id", _dot(F.col("emb_a"), F.col("emb_b")).alias("dot"))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("dot"), F.asc("nbr_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("src_id", "nbr_id", F.round("dot", 6).alias("cosine"), "rank")
+        .orderBy("src_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT word, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    )
+    GROUP BY word
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + corpus term/document frequencies."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    return tok.groupBy("word").agg(
+        F.count("*").alias("freq"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf_raw
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, word, tfidf_raw,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_raw DESC, word) AS rn
+      FROM scored
+    )
+    SELECT doc_id, word AS top_word, round(tfidf_raw, 6) AS tfidf
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf (tf × ln(N/df)) with the top-scoring term per document.
+
+    Three aggregates over one tokenization + a broadcast of the tiny
+    (word, df) side; ranking flips between engines are impossible —
+    equal (tf, df) pairs give *exactly* equal doubles (tie → word
+    order), unequal pairs differ by far more than the 1-ulp ln() noise.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias(
+                "tfidf_raw"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_word"),
+                F.round("tfidf_raw", 6).alias("tfidf"))
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+             / COUNT(*) AS avg_words
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (doc count, avg chars, avg words)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_chars"),
+        (F.sum(n_words).cast("double") / F.count("*")).alias("avg_words"),
+    )
+
+
+@query(
+    "q_text_langfilter",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE lang = 'en' AND contains(text, 'join')
+    """,
+)
+def q_text_langfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language + keyword predicate over text-with-metadata columns."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        (F.col("lang") == "en") & F.col("text").contains("join")
+    ).select("doc_id", "lang", "source", "n_chars")
