@@ -1,0 +1,209 @@
+"""Streaming-semantics queries, batch analogs (SURVEY.md §2.B "Streaming").
+
+Each query here defines the *semantics* (tumbling/sliding/session
+windows, dedup, running state) on the finite events table as a normal
+batch plan, oracle-checked against DuckDB. The true Structured Streaming
+variants (readStream + Trigger.AvailableNow + watermarks) live in
+:mod:`spype_spark.streaming` and are asserted equal to these analogs in
+tests — on a finite input the watermark has passed everything, so the
+answers must coincide.
+
+Time discipline: events.ts is nanosecond-precision in Parquet. Spark
+loads it µs-truncated (tables.load_table); the oracle SQL casts DuckDB's
+TIMESTAMP_NS to TIMESTAMP (µs, same truncation) and all gap/duration
+arithmetic is integer microseconds on both sides — no float time math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spype_spark.queries._util import TS_FMT_SPARK, tstr
+from spype_spark.registry import query
+from spype_spark.tables import load_table
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per 1-hour tumbling window × event type.
+
+    Uses the real `window()` grouping (the same expression a streaming
+    job uses) and flattens window.start to a formatted string. In
+    streaming mode this runs with a watermark and emits finalized
+    windows incrementally; state per key is one partial aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("win.start"), TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events),
+    w AS (
+      SELECT make_timestamp(
+               (epoch_us(t) // 900000000) * 900000000
+                 - CAST(k.k AS BIGINT) * 900000000
+             ) AS win_start,
+             event_type
+      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts per 1-hour window sliding every 15 minutes.
+
+    Spark's window(ts, '1 hour', '15 minutes') assigns each event to 4
+    overlapping windows; the oracle reproduces the same grid with
+    integer epoch-µs arithmetic (window start = 15-min-floor(ts) − k·15
+    min, k ∈ 0..3).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN us - lag(us) OVER w IS NULL THEN 1
+                  WHEN us - lag(us) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_idx AS INT) AS session_idx,
+           COUNT(*) AS n_events,
+           strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+           (MAX(us) - MIN(us)) // 1000000 AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap.
+
+    Batch rewrite of session_window: lag → gap flag → running sum
+    assigns session ids (one shuffle on user_id, partition-local sort).
+    All gap/duration math is integer microseconds. The streaming
+    variant uses session_window(ts, '30 minutes') with a watermark —
+    merging windows with bounded state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = ev.select("user_id", "event_id", F.col("ts"), us.alias("us"))
+    flagged = e.withColumn(
+        "is_new",
+        F.when(F.col("us") - F.lag("us").over(w) > 1_800_000_000, 1)
+        .when(F.lag("us").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = flagged.withColumn("session_idx", F.sum("is_new").over(wrun))
+    return sess.groupBy("user_id", F.col("session_idx").cast("int").alias("session_idx")).agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+        F.expr("(max(us) - min(us)) div 1000000").alias("duration_s"),
+    )
+
+
+@query("q_stream_dedup_watermark", oracle=None)  # late-data policy is engine-specific
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-id dedup (batch analog of watermarked dropDuplicates).
+
+    Streaming runs withWatermark('ts','1 hour').dropDuplicates(
+    ['event_id']) — state is bounded by the watermark horizon. The
+    deterministic batch summary (unique events / users / span) is what
+    the rows-only check records; the streaming-equals-batch assertion
+    lives in tests/test_streaming.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    deduped = ev.dropDuplicates(["event_id"])
+    return deduped.agg(
+        F.count("*").alias("n_unique_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.date_format(F.min("ts"), TS_FMT_SPARK).alias("first_ts"),
+        F.date_format(F.max("ts"), TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+@query(
+    "q_stream_stateful_running",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                          ROWS UNBOUNDED PRECEDING) AS running_n
+    FROM events
+    """,
+)
+def q_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user event count at each event (stateful semantics).
+
+    Batch analog of an update-mode streaming aggregation (the streaming
+    variant keeps one counter per user via applyInPandasWithState; see
+    spype_spark.streaming). Window cumsum with unique (ts, event_id)
+    ordering — deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count("*").over(w).alias("running_n")
+    )
