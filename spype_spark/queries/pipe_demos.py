@@ -1,0 +1,175 @@
+"""Pipeline-algebra demos (SURVEY.md §2.B "Pipeline-algebra demos").
+
+Layer-A constructs (Task/Pype/fan/merge/iff/contracts) exercised
+end-to-end on real tables, each provably equal to one declarative SQL
+query — demonstrating that the algebra is *pure composition*: Catalyst
+sees one fused plan per terminal, with pushdown and pruning working
+across task boundaries exactly as if the user had written the single
+query by hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spype_spark.pipeline import Pype, expect, expect_schema, task
+from spype_spark.registry import query
+from spype_spark.tables import load_table
+
+
+@query(
+    "q_pipe_chain",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_pipe_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: three chained Tasks (filter → derive → aggregate) ≡ one query.
+
+    The composed lineage fuses into a single scan+filter+project+agg
+    plan — the shipdate predicate still reaches the Parquet reader
+    through two task boundaries.
+    """
+
+    @task(requires=["l_shipdate"], produces={"l_returnflag": None,
+                                             "l_extendedprice": None,
+                                             "l_discount": None})
+    def recent(df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+        ).select("l_returnflag", "l_extendedprice", "l_discount")
+
+    @task(requires=["l_extendedprice", "l_discount"])
+    def derive(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "revenue_raw", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        )
+
+    @task(requires=["revenue_raw", "l_returnflag"])
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("revenue_raw").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+
+    pipeline = recent | derive | summarize
+    return pipeline.apply(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "q_pipe_fan_merge",
+    oracle="""
+    WITH qty AS (
+      SELECT l_returnflag, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    cnt AS (
+      SELECT l_returnflag, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT qty.l_returnflag, qty.total_qty, cnt.n_lines
+    FROM qty JOIN cnt ON qty.l_returnflag = cnt.l_returnflag
+    """,
+)
+def q_pipe_fan_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5: fan one source into two branch aggregates, merge on key.
+
+    Fan-out duplicates *lineage*, not data (each branch is its own
+    plan over the shared scan); the keyed-join merge is the default
+    fan-in semantics documented in SURVEY §7.3.
+    """
+
+    @task
+    def qty_by_flag(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("total_qty"))
+
+    @task
+    def count_by_flag(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("l_returnflag").alias("flag2")).agg(
+            F.count("*").alias("n_lines")
+        )
+
+    @task(n_inputs=2)
+    def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a.l_returnflag == b.flag2).select(
+            "l_returnflag", "total_qty", "n_lines"
+        )
+
+    @task
+    def source(df: DataFrame) -> DataFrame:
+        return df
+
+    pipeline = source | (qty_by_flag, count_by_flag) | merge
+    return pipeline.apply(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "q_pipe_iff",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice * 0.1 AS fee
+    FROM orders
+    WHERE o_totalprice > 200000
+    """,
+)
+def q_pipe_iff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: conditional gate — the task runs only on rows passing `iff`.
+
+    spype gates whole objects per edge; the DataFrame analog gates
+    rows, and the predicate merges into the scan filter in the fused
+    plan.
+    """
+
+    @task
+    def add_fee(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey", "o_totalprice",
+            (F.col("o_totalprice") * 0.1).alias("fee"),
+        )
+
+    gated = add_fee.iff(F.col("o_totalprice") > 200000)
+    pipeline = Pype.from_node(gated)
+    return pipeline.apply(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "q_pipe_validate",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_totalprice > 0 AND o_orderstatus IN ('F', 'O', 'P')
+    """,
+)
+def q_pipe_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+A14: schema + value contracts; valid rows out, violations counted.
+
+    expect_schema fails fast (driver-side, no job) if the input shape
+    drifts; expect() splits valid rows and embeds an observe() metric
+    counting violations into the same single pass — no second scan.
+    """
+
+    @task(requires={"o_orderkey": "bigint", "o_totalprice": "double"})
+    def validate(df: DataFrame) -> DataFrame:
+        expect_schema(
+            df, {"o_orderkey": "bigint", "o_totalprice": "double",
+                 "o_orderstatus": None}
+        )
+        valid = expect(
+            df,
+            (F.col("o_totalprice") > 0)
+            & F.col("o_orderstatus").isin("F", "O", "P"),
+            name="orders_contract",
+        )
+        return valid.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+    pipeline = Pype.from_node(validate)
+    return pipeline.apply(load_table(spark, sf_dir, "orders"))
