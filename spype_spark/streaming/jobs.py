@@ -1,0 +1,146 @@
+"""Streaming job implementations.
+
+The events table is read as a *stream of files* (maxFilesPerTrigger
+is irrelevant under AvailableNow, but the source is the real
+FileStreamSource — the same source a production job tails a directory
+with). events.ts is TIMESTAMP(NANOS) in Parquet: the stream reader gets
+the same nanosAsLong treatment as the batch loader, converted with
+integer division (no double-precision loss).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spype_spark.queries._util import TS_FMT_SPARK
+from spype_spark.session import ensure_session_confs
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events Parquet with the ns→µs conversion."""
+    ensure_session_confs(spark)
+    # FileStreamSource tails a *directory*; glob-filter to the events file.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # NB: watermarks require TIMESTAMP (with-local-tz), not TIMESTAMP_NTZ —
+    # session tz is pinned to UTC so rendered strings match the batch side.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_available_now(sdf: DataFrame, output_mode: str, name: str) -> DataFrame:
+    """Drain a finite stream to an in-memory sink, return its result."""
+    spark = sdf.sparkSession
+    with tempfile.TemporaryDirectory(
+        prefix="spype_ckpt_", dir=os.environ.get("SPYPE_SCRATCH", "/root/repo/.scratch")
+    ) as ckpt:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).localCheckpoint(eager=True)
+
+
+def run_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_stream_tumbling: 1 h windows × event type.
+
+    Watermark bounds state: windows older than (max event time − 1 h)
+    finalize and can be evicted. Append mode emits only finalized
+    windows — under AvailableNow the final watermark passes everything.
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("win.start"), TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_available_now(agg, "append", "spype_stream_tumbling")
+
+
+def run_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True session windows: session_window(ts, '30 minutes') per user.
+
+    Spark merges overlapping session fragments as state; the watermark
+    closes sessions 30 min behind the max event time. Returns one row
+    per (user, session): count + start string (matching the batch
+    analog's sessionization semantics).
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_available_now(agg, "append", "spype_stream_session")
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked exactly-once dedup on event_id (state ≤ 1 h horizon)."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return _run_available_now(deduped, "append", "spype_stream_dedup")
+
+
+def run_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: running per-user counts via
+    applyInPandasWithState (GroupState, update mode).
+
+    One state entry (a single counter) per user; each micro-batch emits
+    the user's updated running total. This is the template for any
+    custom accumulator Spark's built-in aggregates can't express.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+        n += batch
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "running_n": [n]})
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, running_n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_available_now(out, "update", "spype_stream_stateful")

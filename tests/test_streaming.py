@@ -1,0 +1,103 @@
+"""Streaming-equals-batch assertions (SURVEY.md §5.2 item on M4).
+
+On a finite input drained with Trigger.AvailableNow, the final
+watermark passes all data, so every streaming job must produce exactly
+its batch analog's answer.
+"""
+
+import os
+
+import pytest
+
+from spype_spark.queries.streaming_batch import (
+    q_stream_stateful_running,
+    q_stream_tumbling,
+)
+from spype_spark.streaming import (
+    run_stream_dedup,
+    run_stream_session_window,
+    run_stream_stateful_running,
+    run_stream_tumbling,
+)
+
+pytestmark = pytest.mark.streaming
+
+
+@pytest.fixture(autouse=True)
+def scratch():
+    os.makedirs("/root/repo/.scratch", exist_ok=True)
+
+
+def rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_tumbling_stream_equals_batch_up_to_watermark(spark, sf_dir):
+    """Append mode emits exactly the windows finalized by the last
+    watermark (max event time − 1 h delay); trailing windows are
+    correctly *withheld* — the batch answer restricted to finalized
+    windows must match the stream bit-for-bit."""
+    import datetime as dt
+
+    stream = run_stream_tumbling(spark, sf_dir)
+    batch = q_stream_tumbling(spark, sf_dir)
+    max_ts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("timestamp_micros(max(ts) div 1000) AS m")
+        .collect()[0]["m"]
+    )
+    wm = max_ts - dt.timedelta(hours=1)
+    cols = ["win_start", "event_type", "n", "sum_value"]
+    finalized = {
+        t
+        for t in rows_set(batch, cols)
+        if dt.datetime.strptime(t[0], "%Y-%m-%d %H:%M:%S") + dt.timedelta(hours=1)
+        <= wm
+    }
+    got = rows_set(stream, cols)
+    assert got == finalized
+    # sanity: something was withheld AND something was emitted
+    assert len(got) < len(rows_set(batch, cols)) and got
+
+
+def test_session_windows_match_batch_analog(spark, sf_dir):
+    """Every finalized streamed session must coincide exactly (same
+    user, same start, same event count) with a session found by the
+    batch lag/gap/cumsum analog; trailing sessions may be withheld by
+    the watermark."""
+    from spype_spark.queries.streaming_batch import q_stream_session
+
+    stream = run_stream_session_window(spark, sf_dir)
+    batch = q_stream_session(spark, sf_dir)
+    got = {(r.user_id, r.session_start): r.n_events for r in stream.collect()}
+    expected = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
+    assert got, "no sessions finalized"
+    for key, n in got.items():
+        assert expected.get(key) == n, f"session {key} mismatch: {n} vs {expected.get(key)}"
+    total_stream = sum(got.values())
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total_stream <= n_events
+
+
+def test_dedup_stream_equals_batch(spark, sf_dir):
+    stream = run_stream_dedup(spark, sf_dir)
+    n_batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .dropDuplicates(["event_id"])
+        .count()
+    )
+    assert stream.count() == n_batch
+
+
+def test_stateful_running_final_counts_equal_batch(spark, sf_dir):
+    stream = run_stream_stateful_running(spark, sf_dir)
+    # update-mode emits one row per user per micro-batch; the LAST emit
+    # per user is the final running count == batch per-user total.
+    final = {}
+    for r in stream.collect():
+        final[r.user_id] = max(r.running_n, final.get(r.user_id, 0))
+    batch = q_stream_stateful_running(spark, sf_dir)
+    batch_final = {}
+    for r in batch.collect():
+        batch_final[r.user_id] = max(r.running_n, batch_final.get(r.user_id, 0))
+    assert final == batch_final
