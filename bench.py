@@ -1,0 +1,81 @@
+"""Benchmark harness — BASELINE.md query set (SURVEY.md §7.1 M6).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one warm-up run +
+one timed run each (same method as BASELINE.md), and prints ONE JSON
+line:
+
+    {"metric": "...", "value": <total>, "unit": "sec",
+     "queries": {...}, "sf": 0.1}
+
+Usage: python bench.py  [--runs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spype_spark.queries import REGISTRY  # noqa: E402
+from spype_spark.session import get_spark  # noqa: E402
+
+#: BASELINE.md rows → registry keys. q_events_hourly_agg is the tumbling
+#: hourly aggregate (same shape as the baseline's user×type×hour query).
+BENCH_QUERIES = {
+    "q_pricing_summary": "q_pricing_summary",
+    "q_join_3way": "q_join_3way",
+    "q_window_topk": "q_window_topk",
+    "q_events_hourly_agg": "q_stream_tumbling",
+    # engine-differentiating extras, benched for regression visibility:
+    "q_dedup_minhash": "q_dedup_minhash",
+    "q_sim_cosine_topk": "q_sim_cosine_topk",
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=1, help="timed runs (best kept)")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    spark = get_spark("spype-bench")
+    times: dict[str, float] = {}
+    for label, key in BENCH_QUERIES.items():
+        fn = REGISTRY[key].fn
+        fn(spark, sf_dir).collect()  # warm: JIT/codegen + file listing
+        best = None
+        for _ in range(max(1, args.runs)):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[label] = round(best, 4)
+        print(f"# {label}: {best*1000:.0f} ms", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_latency_warm_total",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

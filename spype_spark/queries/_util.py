@@ -10,11 +10,15 @@ Determinism discipline (SURVEY.md §5.2 item 4):
   itself diverges on decimal-repr ties: Spark rounds the shortest
   decimal repr via BigDecimal, DuckDB rounds the binary value —
   e.g. 70975.7*0.95 → 67426.92 vs 67426.91);
-- money-like double *sums/averages* are computed as exact DECIMAL sums
-  cast back to double (:func:`dsum` / :func:`davg`) — addition order
-  varies with partitioning, so a double sum is nondeterministic at the
-  last ulps and no rounding scheme is safe near ties; decimal sums are
-  exact and identical on both engines;
+- money-like double *sums/averages* go through scaled-long
+  accumulation (:func:`dsum` / :func:`davg`): per-row
+  ``floor(x·10^s + 0.5)`` recovers the exact fixed-decimal value as an
+  integer (pure double arithmetic, computed identically by both
+  engines — immune to the round() divergence), and integer sums are
+  order-independent, so the final ``sum/10^s`` double is bit-identical
+  under any partitioning. (An exact-DECIMAL formulation is equivalent
+  but costs ~1.2 s of extra Catalyst planning per query — measured —
+  so the long form is the production path.);
 - only inherently-noisy aggregates (stddev/corr/ln/tf-idf) round, at a
   scale coarse relative to their numeric noise.
 """
@@ -50,25 +54,37 @@ def rnd(col: Column, scale: int = 2) -> Column:
     return F.round(col, scale)
 
 
-def dsum(col: Column | str, scale: int = 2, prec: int = 18) -> Column:
-    """Exact deterministic sum of money-like doubles via DECIMAL.
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Exact deterministic sum of money-like doubles via scaled longs.
 
     The input doubles carry values with ≤``scale`` true decimal places
-    (prices, discounts, and their short products in this corpus), so the
-    per-row decimal cast recovers the exact value; the decimal sum is
-    then order-independent, and one final cast to double is correctly
-    rounded — bit-identical across engines and partitionings.
+    (prices, discounts, their short products); ``floor(x·10^s + 0.5)``
+    recovers each exact integer (the representation error of x is ≪ 0.5
+    at the scaled magnitude), the long sum is exact and
+    order-independent, and the final division is one correctly-rounded
+    double op — bit-identical across engines and partitionings.
 
-    Oracle-side equivalent: ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)``.
+    Oracle-side equivalent (DuckDB floor returns DOUBLE, sum of BIGINT
+    is HUGEINT — both cast back down):
+    ``CAST(SUM(CAST(floor(x * 1e<s> + 0.5) AS BIGINT)) AS DOUBLE) / 1e<s>``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal({prec},{scale})")).cast("double")
+    m = float(10**scale)
+    return F.sum(F.floor(c * F.lit(m) + F.lit(0.5))) / F.lit(m)
 
 
-def davg(col: Column | str, scale: int = 2, prec: int = 18) -> Column:
-    """Deterministic average: exact decimal sum ÷ non-null count.
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    """The DuckDB oracle fragment matching :func:`dsum`."""
+    m = f"1e{scale}"
+    return f"CAST(SUM(CAST(floor(({expr}) * {m} + 0.5) AS BIGINT)) AS DOUBLE) / {m}"
 
-    Oracle-side: ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE) / COUNT(x)``.
-    """
+
+def davg(col: Column | str, scale: int = 2) -> Column:
+    """Deterministic average: exact scaled-long sum ÷ non-null count."""
     c = F.col(col) if isinstance(col, str) else col
-    return dsum(c, scale, prec) / F.count(c)
+    return dsum(c, scale) / F.count(c)
+
+
+def davg_sql(expr: str, scale: int = 2) -> str:
+    """The DuckDB oracle fragment matching :func:`davg`."""
+    return f"{dsum_sql(expr, scale)} / COUNT({expr})"

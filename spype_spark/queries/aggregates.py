@@ -8,7 +8,7 @@ possible) or uniform (TPC-H keys are uniform by construction); skewed
 real-world keys would be handled by AQE skew-split which the session
 enables.
 
-Float discipline (see `_util`): money sums go through exact DECIMAL
+Float discipline (see `_util`): money sums use scaled-long exact
 accumulation (`dsum`/`davg`) so results are independent of partitioning
 and identical across engines; integer-valued doubles (l_quantity) sum
 exactly in binary at any order and need nothing; only stddev/var/corr
@@ -20,18 +20,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spype_spark.queries._util import davg, dsum, ts_lit
+from spype_spark.queries._util import davg, davg_sql, dsum, dsum_sql, ts_lit
 from spype_spark.registry import query
 from spype_spark.tables import load_table
 
 
 @query(
     "q_agg_global",
-    oracle="""
+    oracle=f"""
     SELECT COUNT(*) AS n,
            SUM(l_quantity) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(l_extendedprice) AS avg_price,
+           {davg_sql('l_extendedprice')} AS avg_price,
            MIN(l_discount) AS min_disc,
            MAX(l_tax) AS max_tax,
            COUNT(DISTINCT l_orderkey) AS n_orders
@@ -51,19 +50,21 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+
 @query(
     "q_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           {dsum_sql('l_extendedprice', 2)} AS sum_base_price,
+           {dsum_sql(_DISC_PRICE, 4)} AS sum_disc_price,
+           {dsum_sql(_CHARGE, 6)} AS sum_charge,
            SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(l_extendedprice) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(l_discount) AS avg_disc,
+           {davg_sql('l_extendedprice', 2)} AS avg_price,
+           {davg_sql('l_discount', 2)} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -75,7 +76,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     6 output groups regardless of scale: the shuffle after partial
     aggregation moves ~6 rows per input partition, so this is scan-bound
-    at 100 TB. The shipdate filter is pushed to Parquet.
+    at 100 TB. The shipdate filter is pushed to Parquet. All money sums
+    are scaled-long exact (deterministic under any partitioning) and
+    stay inside whole-stage codegen.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -119,9 +122,9 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_having",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           {dsum_sql('o_totalprice')} AS total
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 15
@@ -178,10 +181,10 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_grouping_sets",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           {dsum_sql('l_extendedprice')} AS sum_price
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -194,7 +197,7 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+               SUM(floor(l_extendedprice * 1e2 + 0.5)) / 1e2 AS sum_price
         FROM spype_gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """

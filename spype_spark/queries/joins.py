@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spype_spark.queries._util import dstr, dsum
+from spype_spark.queries._util import dstr, dsum, dsum_sql
 from spype_spark.registry import query
 from spype_spark.tables import load_table
 
@@ -158,10 +158,10 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_join_broadcast",
-    oracle="""
+    oracle=f"""
     SELECT p_brand,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -189,10 +189,10 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_join_3way",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey

@@ -23,8 +23,8 @@ from spype_spark.tables import load_table
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-                AS DOUBLE) AS revenue
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     GROUP BY l_returnflag
@@ -56,9 +56,10 @@ def q_pipe_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     def summarize(df: DataFrame) -> DataFrame:
         return df.groupBy("l_returnflag").agg(
             F.count("*").alias("n"),
-            F.sum(F.col("revenue_raw").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("revenue"),
+            (
+                F.sum(F.floor(F.col("revenue_raw") * F.lit(1e4) + F.lit(0.5)))
+                / F.lit(1e4)
+            ).alias("revenue"),
         )
 
     pipeline = recent | derive | summarize

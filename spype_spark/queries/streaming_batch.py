@@ -31,7 +31,8 @@ from spype_spark.tables import load_table
                     '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e6 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -49,9 +50,10 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-                "sum_value"
-            ),
+            (
+                F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)))
+                / F.lit(1e6)
+            ).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("win.start"), TS_FMT_SPARK).alias("win_start"),

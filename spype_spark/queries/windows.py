@@ -122,11 +122,12 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_frame_rows",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5)
+                         AS BIGINT))
                 OVER (PARTITION BY l_suppkey
                       ORDER BY l_shipdate, l_orderkey, l_linenumber
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS moving_rev
+                AS DOUBLE) / 1e4 AS moving_rev
     FROM lineitem
     """,
 )
@@ -134,9 +135,9 @@ def q_window_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving 7-row revenue sum per supplier (ROWS frame).
 
     Frame membership is made deterministic by the unique
-    (shipdate, orderkey, linenumber) ordering; the sum itself uses the
-    exact-decimal pattern so sliding-frame accumulation order (segment
-    trees in DuckDB vs running frames in Spark) cannot perturb values.
+    (shipdate, orderkey, linenumber) ordering; the sum uses scaled-long
+    exact accumulation so sliding-frame strategy (segment trees in
+    DuckDB vs running frames in Spark) cannot perturb values.
     """
     li = load_table(spark, sf_dir, "lineitem")
     w = (
@@ -144,14 +145,15 @@ def q_window_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(-6, Window.currentRow)
     )
-    rev_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
+    rev_scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e4)
+        + F.lit(0.5)
     )
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(rev_dec).over(w).cast("double").alias("moving_rev"),
+        (F.sum(rev_scaled).over(w) / F.lit(1e4)).alias("moving_rev"),
     )
 
 
@@ -160,10 +162,10 @@ def q_window_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_d,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(SUM(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate
                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS run_total
+                AS DOUBLE) / 1e2 AS run_total
     FROM orders
     """,
 )
@@ -179,10 +181,10 @@ def q_window_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         dstr("o_orderdate").alias("order_d"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
-        .alias("run_total"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5))).over(w)
+            / F.lit(1e2)
+        ).alias("run_total"),
     )
 
 

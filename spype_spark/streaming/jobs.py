@@ -71,9 +71,10 @@ def run_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-                "sum_value"
-            ),
+            (
+                F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)))
+                / F.lit(1e6)
+            ).alias("sum_value"),
         )
         .select(
             F.date_format(F.col("win.start"), TS_FMT_SPARK).alias("win_start"),
