@@ -14,11 +14,14 @@ from spype_spark.queries import project_filter  # noqa: F401
 from spype_spark.queries import joins  # noqa: F401
 from spype_spark.queries import aggregates  # noqa: F401
 
-for _mod in ("windows", "sorts_setops", "scalars", "llm", "streaming_batch",
-             "udx", "pipe_demos"):
-    try:  # modules land incrementally during the build
-        __import__(f"spype_spark.queries.{_mod}")
-    except ImportError:
-        pass
+from spype_spark.queries import windows  # noqa: F401
+from spype_spark.queries import sorts_setops  # noqa: F401
+from spype_spark.queries import scalars  # noqa: F401
+from spype_spark.queries import llm  # noqa: F401
+from spype_spark.queries import llm_extra  # noqa: F401
+from spype_spark.queries import streaming_batch  # noqa: F401
+from spype_spark.queries import udx  # noqa: F401
+from spype_spark.queries import pipe_demos  # noqa: F401
+from spype_spark.queries import multimodal  # noqa: F401
 
 __all__ = ["REGISTRY"]

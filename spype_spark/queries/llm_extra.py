@@ -1,0 +1,349 @@
+"""Extended training-data-pipeline operators (BASELINE.json north star:
+"dedup, similarity search, multimodal columns, text analysis" beyond
+the reference's own surface).
+
+Additions over :mod:`spype_spark.queries.llm`: heuristic language ID,
+quality scoring, token counting (whitespace + regex "BPE-ish"),
+polynomial document fingerprinting (rolling hash, oracle-matched in
+pure SQL on both engines), SimHash near-dup candidates, embedding-
+cosine near-dup pairs, and IVF-style ANN — each registered as a
+driver-visible contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spype_spark.registry import query
+from spype_spark.tables import load_table
+
+#: Marker vocabulary for the language-ID heuristic (the corpus is
+#: synthetic query/data words — see FIXTURES.md; the heuristic's shape
+#: is what matters: marker-hit ratio per document).
+_EN_MARKERS = ("join", "filter", "select", "table", "query", "index")
+_MARKERS_SQL = "['join', 'filter', 'select', 'table', 'query', 'index']"
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(list_filter(ws, x -> list_contains({_MARKERS_SQL}, x)))
+                AS DOUBLE) / len(ws) AS marker_ratio,
+           CASE WHEN CAST(len(list_filter(ws,
+                      x -> list_contains({_MARKERS_SQL}, x))) AS DOUBLE)
+                     / len(ws) >= 0.10
+                THEN 'en' ELSE 'other' END AS lang_pred
+    FROM t
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-style language ID heuristic: marker-word hit ratio.
+
+    The real-world version swaps the marker list for per-language
+    stopword profiles and argmaxes the ratios; the pipeline shape
+    (tokenize → vectorized membership count → threshold) is identical
+    and stays entirely in JVM expressions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    hits = F.size(F.filter(ws, lambda w: w.isin(*_EN_MARKERS)))
+    ratio = hits.cast("double") / F.size(ws)
+    return d.select(
+        "doc_id",
+        "lang",
+        ratio.alias("marker_ratio"),
+        F.when(ratio >= 0.10, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+           round(LEAST(n_words / 50.0, 1.0) * 0.5
+                 + LEAST((CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words)
+                         / 8.0, 1.0) * 0.5, 6) AS quality_score
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality score from length/word-shape statistics.
+
+    Classic pre-training filter features (word count, mean word
+    length) combined into a bounded [0,1] score; all arithmetic is
+    identical double ops on both engines. Punctuation/stopword ratios
+    are degenerate in this all-lowercase corpus and omitted.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    awl = (F.col("n_chars") - (n_words - 1)).cast("double") / n_words
+    score = F.round(
+        F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.5
+        + F.least(awl / F.lit(8.0), F.lit(1.0)) * 0.5,
+        6,
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        awl.alias("avg_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+@query(
+    "q_text_tokencount",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS INT) AS re_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+             AS uniq_tokens,
+           CAST(length(text) AS INT) AS n_chars_calc
+    FROM documents
+    """,
+)
+def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace, BPE-ish regex classes, distinct.
+
+    The regex tokenizer ([a-z]+ | digits | single other-char) is the
+    cheap proxy for a BPE pre-tokenizer's word-split pass; counting is
+    a JVM regexp scan, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]")).alias(
+            "re_tokens"
+        ),
+        F.size(F.array_distinct(ws)).alias("uniq_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+#: Polynomial rolling-hash parameters (small enough that every
+#: intermediate fits INT32 on the DuckDB side: acc < M, acc*131+h < 2^31).
+_FP_MOD = 1000003
+_FP_WORD_BASE = 31
+_FP_DOC_BASE = 131
+
+
+@query(
+    "q_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(ws, w ->
+               list_reduce(
+                 list_prepend(0, list_transform(range(1, length(w) + 1),
+                                                i -> ascii(w[i]))),
+                 (a, c) -> (a * {_FP_WORD_BASE} + c) % {_FP_MOD}
+               )) AS whs
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(list_reduce(list_prepend(0, whs),
+                (a, x) -> (a * {_FP_DOC_BASE} + x) % {_FP_MOD}) AS BIGINT)
+             AS fingerprint
+    FROM h
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint, oracle-matched exactly.
+
+    hash(word) = fold(chars, (a,c) → (a·31 + c) mod 1000003), then
+    fingerprint(doc) = fold(word hashes, (a,h) → (a·131 + h) mod M) —
+    pure integer arithmetic with identical fold order on both engines,
+    so the oracle matches bit-for-bit (unlike engine-native hash
+    functions, which never agree across engines). The real pipeline
+    use is content-defined chunk IDs / shard-stable doc keys.
+    """
+    # Built as a SQL lambda expression: the nested fold (chars within
+    # words within the document) reads far clearer than chained
+    # F.transform/F.aggregate python lambdas.
+    d = load_table(spark, sf_dir, "documents")
+    d2 = d.select(
+        "doc_id",
+        F.expr(
+            f"""
+            CAST(aggregate(
+              transform(split(text, ' '), w ->
+                aggregate(
+                  transform(sequence(1, length(w)), i -> ascii(substring(w, i, 1))),
+                  0L, (a, c) -> (a * {_FP_WORD_BASE} + c) % {_FP_MOD})),
+              0L, (a, x) -> (a * {_FP_DOC_BASE} + x) % {_FP_MOD}) AS BIGINT)
+            """
+        ).alias("fingerprint"),
+    )
+    return d2
+
+
+@query("q_dedup_simhash", oracle=None)  # engine-specific 64-bit hash family
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 32-bit signatures from xxhash64.
+
+    Per document: for each bit j, sum +1/−1 over token hashes' j-th
+    bit; the sign vector is the signature. Candidates are pairs whose
+    signature matches exactly on either 16-bit band (hamming-LSH
+    banding; 16-bit bands keep expected collisions ≈ n²·2⁻¹⁶ per band
+    — selective enough to bound the pair stage at scale). One explode
+    + one groupBy + one self-join — every stage shuffle-bounded, no n²
+    scan.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(32)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    n_bits = 32
+    bits = [
+        F.when(
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias(f"b{j}")
+        for j in range(n_bits)
+    ]
+    sig = tok.groupBy("doc_id").agg(*bits)
+    lo = sum((F.col(f"b{j}") * (1 << j) for j in range(16)), start=F.lit(0))
+    hi = sum(
+        (F.col(f"b{j}") * (1 << (j - 16)) for j in range(16, n_bits)),
+        start=F.lit(0),
+    )
+    sig = sig.select("doc_id", lo.alias("band_lo"), hi.alias("band_hi"))
+    pairs = None
+    for band in ("band_lo", "band_hi"):
+        a = sig.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("b"))
+        b = sig.select(F.col("doc_id").alias("doc_b"), F.col(band).alias("b"))
+        p = a.join(b, "b").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct().orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q_dedup_embed_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings)
+    SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> a.emb[i] * b.emb[i])), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]))
+          >= 0.35
+    """,
+)
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.35).
+
+    Same broadcast + block-GEMM kernel as q_sim_cosine_topk, with a
+    threshold emit instead of top-k — the semantic-dedup primitive
+    (near-identical passages with different surface text). Threshold
+    sits at the ~99.9th percentile of this corpus's pair distribution
+    so the candidate set stays sparse, as it must at scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def near(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            src_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            src = np.array(list(pdf["embedding"]), dtype=np.float64)
+            dots = src @ b_mat.T
+            for row_i, sid in enumerate(src_ids):
+                d = dots[row_i]
+                sel = np.flatnonzero((d >= 0.35) & (b_ids > sid))
+                if len(sel):
+                    yield pd.DataFrame(
+                        {
+                            "src_id": sid,
+                            "nbr_id": b_ids[sel],
+                            "cosine": np.round(d[sel], 6),
+                        }
+                    )
+
+    return e.repartition(64).mapInPandas(
+        near, "src_id long, nbr_id long, cosine double"
+    )
+
+
+@query("q_sim_ivf_ann", oracle=None)  # approximate: probed-cell recall < 1
+def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantize to 16 cells, probe the 2 nearest.
+
+    Deterministic centroids (the 16 lowest vec_ids — a fixed seed-set;
+    production would k-means them, identical plumbing). Each vector is
+    assigned to its argmax-dot cell once; a query probes its 2 closest
+    cells and ranks exactly within ~n/8 candidates — the inverted-file
+    structure that makes brute force unnecessary at 10⁹ vectors. All
+    math is one broadcast + mapInPandas GEMM per partition.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    centroids = mat[:16]  # deterministic seed-set, normalized input
+    assign = np.argmax(mat @ centroids.T, axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, centroids, assign))
+    k, nprobe = 3, 2
+
+    def search(batches):
+        b_ids, b_mat, cents, asg = bc.value
+        for pdf in batches:
+            src_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            src = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cell_scores = src @ cents.T
+            for row_i, sid in enumerate(src_ids):
+                probe = np.argsort(-cell_scores[row_i])[:nprobe]
+                cand = np.flatnonzero(np.isin(asg, probe) & (b_ids != sid))
+                if not len(cand):
+                    continue
+                d = b_mat[cand] @ src[row_i]
+                sel = cand[np.lexsort((b_ids[cand], -d))][:k]
+                dsel = b_mat[sel] @ src[row_i]
+                yield pd.DataFrame(
+                    {
+                        "src_id": sid,
+                        "nbr_id": b_ids[sel],
+                        "cosine": np.round(dsel, 6),
+                        "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                    }
+                )
+
+    return e.repartition(64).mapInPandas(
+        search, "src_id long, nbr_id long, cosine double, rank int"
+    )
