@@ -1,0 +1,92 @@
+"""Physical-plan assertions — the scale claims in SCALE.md, executable.
+
+These parse `.explain`/executedPlan output to pin the plan shapes the
+engine relies on at 100 TB: pushdown reaching Parquet, column pruning,
+broadcast joins on dimensions, the range join compiling to a hash join
+(not nested-loop), and global top-k as TakeOrderedAndProject.
+"""
+
+import pytest
+
+from spype_spark.queries import REGISTRY
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf001():
+    return "/root/testdata/sf0.001"
+
+
+def test_scan_project_prunes_columns(spark, sf001):
+    df = REGISTRY["q_scan_project"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    # pruned: none of the other 7 columns reach the reader
+    for col in ("l_returnflag", "l_shipdate", "l_tax", "l_discount"):
+        assert col not in read_schema
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf001):
+    df = REGISTRY["q_scan_filter_pushdown"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "IsNotNull" in pushed
+
+
+def test_broadcast_join_on_dimension(spark, sf001):
+    df = REGISTRY["q_join_broadcast"].fn(spark, sf001)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_3way_join_broadcasts_nation(spark, sf001):
+    plan = plan_of(REGISTRY["q_join_3way"].fn(spark, sf001))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf001):
+    """The banded rewrite must plan as an equi (hash/sort-merge) join;
+    a BroadcastNestedLoopJoin would mean the O(n²) path came back."""
+    plan = plan_of(REGISTRY["q_join_theta_range"].fn(spark, sf001))
+    assert "NestedLoop" not in plan
+    assert ("ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_global_topk_is_take_ordered(spark, sf001):
+    plan = plan_of(REGISTRY["q_topk_global"].fn(spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pipeline_chain_fuses_filter_into_scan(spark, sf001):
+    """Three chained Tasks must still push the shipdate predicate into
+    the Parquet scan — composition cannot break pushdown."""
+    plan = plan_of(REGISTRY["q_pipe_chain"].fn(spark, sf001))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+
+
+def test_no_python_udf_in_relational_plans(spark, sf001):
+    """Builtins-first policy: no Python eval nodes in any relational/
+    scalar contract (UDx and GEMM contracts are the sanctioned
+    exceptions)."""
+    allowed_python = {
+        "q_udf_python", "q_udf_pandas", "q_udaf_grouped", "q_udtf_explode",
+        "q_sim_cosine_topk", "q_sim_ivf_ann", "q_dedup_embed_cosine",
+        "q_multimodal_decode",
+    }
+    for key in ("q_pricing_summary", "q_join_3way", "q_window_topk",
+                "q_text_tfidf", "q_dedup_minhash", "q_stream_session"):
+        assert key not in allowed_python
+        plan = optimized_of(REGISTRY[key].fn(spark, sf001))
+        assert "PythonUDF" not in plan, f"{key} has Python in the plan"
