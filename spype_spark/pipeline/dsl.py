@@ -334,8 +334,10 @@ class Pype:
             lines.append(f"  {self.nodes[nid].name}#{nid}{gate} -> {dsts}")
         text = "\n".join(lines)
         if df is not None:
-            text += "\n" + df._sc._jvm.PythonSQLUtils.explainString(  # pragma: no cover
-                df._jdf.queryExecution(), "formatted"
+            text += "\n" + df._jdf.queryExecution().explainString(
+                df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
             )
         return text
 

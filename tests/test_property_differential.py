@@ -1,0 +1,109 @@
+"""Property-based differential testing (SURVEY.md §5.2 item 5).
+
+Hypothesis generates random filter/aggregate shapes over orders; each
+is executed by Spark (Column algebra) and DuckDB (equivalent SQL) on
+the same Parquet file and must agree exactly. This fuzzes the
+*translation layer* between the two engines' semantics — comparison
+operators, boolean algebra, BETWEEN boundaries, IN lists — beyond the
+fixed oracle corpus.
+"""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+STATUSES = ["F", "O", "P"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECI", "5-LOW"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+predicate = st.one_of(
+    st.tuples(st.just("status_in"), st.sets(st.sampled_from(STATUSES), min_size=1)),
+    st.tuples(
+        st.just("price_between"),
+        st.tuples(
+            st.floats(0, 500000, allow_nan=False), st.floats(0, 500000, allow_nan=False)
+        ),
+    ),
+    st.tuples(st.just("prio_prefix"), st.sampled_from("12345")),
+    st.tuples(st.just("key_mod"), st.integers(2, 13)),
+)
+
+
+def build(p):
+    """(Spark Column, SQL string) for one generated predicate."""
+    kind, arg = p
+    if kind == "status_in":
+        vals = sorted(arg)
+        quoted = ", ".join(f"'{v}'" for v in vals)
+        return F.col("o_orderstatus").isin(vals), f"o_orderstatus IN ({quoted})"
+    if kind == "price_between":
+        lo, hi = sorted(arg)
+        return (
+            F.col("o_totalprice").between(lo, hi),
+            f"o_totalprice BETWEEN {lo!r} AND {hi!r}",
+        )
+    if kind == "prio_prefix":
+        return (
+            F.col("o_orderpriority").startswith(arg),
+            f"o_orderpriority LIKE '{arg}%'",
+        )
+    if kind == "key_mod":
+        return (F.col("o_orderkey") % arg == 0), f"o_orderkey % {arg} = 0"
+    raise AssertionError(kind)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ps=st.lists(predicate, min_size=1, max_size=3), conj=st.booleans())
+def test_random_filters_agree(orders, duck, ps, conj):
+    cols, sqls = zip(*(build(p) for p in ps))
+    cond = cols[0]
+    for c in cols[1:]:
+        cond = (cond & c) if conj else (cond | c)
+    joiner = " AND " if conj else " OR "
+    sql = joiner.join(f"({s})" for s in sqls)
+    n_spark = orders.filter(cond).count()
+    n_duck = duck.sql(f"SELECT COUNT(*) FROM orders WHERE {sql}").fetchone()[0]
+    assert n_spark == n_duck, f"predicate {sql!r}: spark={n_spark} duck={n_duck}"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    key=st.sampled_from(["o_orderstatus", "o_orderpriority", "o_custkey"]),
+    p=predicate,
+)
+def test_random_grouped_counts_agree(orders, duck, key, p):
+    cond, sql = build(p)
+    got = {
+        tuple(r)
+        for r in orders.filter(cond).groupBy(key).count().collect()
+    }
+    want = set(
+        duck.sql(
+            f"SELECT {key}, COUNT(*) FROM orders WHERE {sql} GROUP BY {key}"
+        ).fetchall()
+    )
+    assert got == want
