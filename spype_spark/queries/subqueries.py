@@ -1,0 +1,149 @@
+"""Subqueries and null-handling (SURVEY.md §2.B extension rows).
+
+Exercises Spark SQL's subquery planner: scalar subqueries (compiled to
+a broadcast of the 1-row aggregate), IN-subqueries (→ left-semi join),
+and correlated aggregates (→ rewritten as a keyed join). All inner
+aggregates use the scaled-long exact-average pattern so the comparison
+boundary is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spype_spark.registry import query
+from spype_spark.tables import load_table
+
+#: deterministic avg(o_totalprice): exact scaled-long sum / count
+_AVG = "(SUM(floor(o_totalprice * 1e2 + 0.5)) / 1e2) / COUNT(*)"
+
+
+@query(
+    "q_subquery_scalar",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT {_AVG} FROM orders)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above 1.8× the global mean.
+
+    Spark plans the inner aggregate once and broadcasts the scalar —
+    no per-row recomputation; the exact-average formulation keeps the
+    predicate boundary bit-identical to the oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("spype_sq_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM spype_sq_orders
+        WHERE o_totalprice > 1.8 * (SELECT {_AVG} FROM spype_sq_orders)
+        """
+    )
+
+
+@query(
+    "q_subquery_in",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (planned as left-semi join on the distinct inner keys)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("spype_sq_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("spype_sq_ord")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM spype_sq_cust
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM spype_sq_ord
+          WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        )
+        """
+    )
+
+
+@query(
+    "q_subquery_correlated",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT {_AVG.replace('o_totalprice', 'i.o_totalprice')}
+      FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery: orders 1.5× above their customer's
+    own mean (decorrelated by Spark into a join with a grouped agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("spype_sq_orders_c")
+    return spark.sql(
+        f"""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM spype_sq_orders_c o
+        WHERE o.o_totalprice > 1.5 * (
+          SELECT {_AVG.replace('o_totalprice', 'i.o_totalprice')}
+          FROM spype_sq_orders_c i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
+    "q_null_handling",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           o.o_orderkey IS NULL AS no_2001_order,
+           COALESCE(o.o_totalprice, -1.0) AS price_filled,
+           CASE WHEN o.o_totalprice IS NULL THEN 'missing'
+                ELSE 'present' END AS presence
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders
+               WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics end-to-end: outer-join nulls, IS NULL, COALESCE,
+    CASE-on-null — the corpus itself is null-free, so the nulls are
+    *produced* relationally and then handled."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz")
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        F.col("o_orderkey").isNull().alias("no_2001_order"),
+        F.coalesce("o_totalprice", F.lit(-1.0)).alias("price_filled"),
+        F.when(F.col("o_totalprice").isNull(), "missing")
+        .otherwise("present")
+        .alias("presence"),
+    )
+
+
+@query("q_sample_seeded", oracle=None)  # sampling algorithm is engine-specific
+def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample summary (fraction 0.1, seed 42).
+
+    rows-only: per-partition XORShift streams never match another
+    engine. At 100 TB this is the standard cheap-profiling primitive —
+    scan-local, no shuffle; the summary row records count + key sum so
+    regressions in the sampler's determinism are visible per round.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.sample(fraction=0.1, seed=42)
+    return s.agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("l_orderkey").alias("key_sum"),
+    )

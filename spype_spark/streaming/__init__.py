@@ -16,12 +16,14 @@ exactly-once sinks; AvailableNow is also the production backfill mode.
 from spype_spark.streaming.jobs import (
     run_stream_dedup,
     run_stream_session_window,
+    run_stream_sliding,
     run_stream_stateful_running,
     run_stream_tumbling,
 )
 
 __all__ = [
     "run_stream_tumbling",
+    "run_stream_sliding",
     "run_stream_session_window",
     "run_stream_dedup",
     "run_stream_stateful_running",

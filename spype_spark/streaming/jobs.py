@@ -86,6 +86,27 @@ def run_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(agg, "append", "spype_stream_tumbling")
 
 
+def run_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_stream_sliding: 1 h windows sliding 15 min.
+
+    Each event lands in 4 overlapping windows; state is one partial
+    aggregate per (window × type), evicted as the watermark passes.
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), TS_FMT_SPARK).alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return _run_available_now(agg, "append", "spype_stream_sliding")
+
+
 def run_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True session windows: session_window(ts, '30 minutes') per user.
 

@@ -16,6 +16,7 @@ from spype_spark.queries.streaming_batch import (
 from spype_spark.streaming import (
     run_stream_dedup,
     run_stream_session_window,
+    run_stream_sliding,
     run_stream_stateful_running,
     run_stream_tumbling,
 )
@@ -58,6 +59,29 @@ def test_tumbling_stream_equals_batch_up_to_watermark(spark, sf_dir):
     assert got == finalized
     # sanity: something was withheld AND something was emitted
     assert len(got) < len(rows_set(batch, cols)) and got
+
+
+def test_sliding_stream_equals_batch_up_to_watermark(spark, sf_dir):
+    import datetime as dt
+
+    from spype_spark.queries.streaming_batch import q_stream_sliding
+
+    stream = run_stream_sliding(spark, sf_dir)
+    batch = q_stream_sliding(spark, sf_dir)
+    max_ts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("timestamp_micros(max(ts) div 1000) AS m")
+        .collect()[0]["m"]
+    )
+    wm = max_ts - dt.timedelta(hours=1)
+    cols = ["win_start", "event_type", "n"]
+    finalized = {
+        t
+        for t in rows_set(batch, cols)
+        if dt.datetime.strptime(t[0], "%Y-%m-%d %H:%M:%S") + dt.timedelta(hours=1)
+        <= wm
+    }
+    assert rows_set(stream, cols) == finalized
 
 
 def test_session_windows_match_batch_analog(spark, sf_dir):
