@@ -71,6 +71,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("keys", nargs="*", help="query keys (default: all)")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="override shuffle partitions (determinism-under-repartitioning check)",
+    )
     ap.add_argument("--show-diff", action="store_true",
                     help="print sample mismatching rows")
     args = ap.parse_args()
@@ -82,6 +88,8 @@ def main() -> int:
         return 2
 
     spark = get_spark("spype-check")
+    if args.shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
