@@ -30,7 +30,7 @@ BENCH_QUERIES = {
     "q_pricing_summary": "q_pricing_summary",
     "q_join_3way": "q_join_3way",
     "q_window_topk": "q_window_topk",
-    "q_events_hourly_agg": "q_stream_tumbling",
+    "q_events_hourly_agg": "q_events_hourly_agg",
     # engine-differentiating extras, benched for regression visibility:
     "q_dedup_minhash": "q_dedup_minhash",
     "q_sim_cosine_topk": "q_sim_cosine_topk",

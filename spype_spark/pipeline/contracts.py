@@ -89,21 +89,35 @@ def expect_schema(df: DataFrame, required: Contract | list[str]) -> DataFrame:
 
 
 def expect(
-    df: DataFrame, cond: Column, name: str = "expect", quarantine: bool = False
+    df: DataFrame,
+    cond: Column,
+    name: str = "expect",
+    quarantine: bool = False,
+    observation: "object | None" = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Runtime value validation (A8): split rows into valid / violating.
 
     Returns the valid rows with an ``observe`` metric counting
-    violations (readable after any action via the observation API —
-    Spark's analog of spype's per-datum validation hooks, at zero extra
-    passes). With ``quarantine=True`` also returns the violating rows
-    as a second DataFrame (dead-letter branch, A7 failure routing).
+    violations (Spark's analog of spype's per-datum validation hooks,
+    at zero extra passes). Pass a ``pyspark.sql.Observation`` as
+    ``observation`` to read the counters after the first action::
+
+        obs = Observation("orders_contract")
+        valid = expect(df, cond, observation=obs)
+        valid.write.parquet(...)          # any action
+        obs.get["violations"], obs.get["rows"]
+
+    With ``quarantine=True`` also returns the violating rows as a
+    second DataFrame (dead-letter branch, A7 failure routing).
     """
-    observed = df.observe(
-        name,
+    metrics = (
         F.sum(F.when(~cond, 1).otherwise(0)).alias("violations"),
         F.count(F.lit(1)).alias("rows"),
     )
+    if observation is not None:
+        observed = df.observe(observation, *metrics)
+    else:
+        observed = df.observe(name, *metrics)
     valid = observed.filter(cond)
     if quarantine:
         return valid, df.filter(~cond)

@@ -162,6 +162,57 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_events_hourly_agg",
+    oracle="""
+    SELECT user_id, event_type,
+           strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e6 AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, user_id, event_type, hour_start
+    LIMIT 100
+    """,
+)
+def q_events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE.md's hourly-activity query: user × type × hour, top 100.
+
+    Hash aggregate on a three-part key then TakeOrderedAndProject for
+    the global top-100 (per-partition heaps, no full sort). Unique
+    tiebreak (user, type, hour) makes the selected set deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)))
+                / F.lit(1e6)
+            ).alias("sum_value"),
+        )
+        # format AFTER the aggregate: one string per group, not per row
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("hour_ts", TS_FMT_SPARK).alias("hour_start"),
+            "n",
+            "sum_value",
+        )
+        .orderBy(
+            F.desc("n"), F.asc("user_id"), F.asc("event_type"), F.asc("hour_start")
+        )
+        .limit(100)
+    )
+
+
 @query("q_stream_dedup_watermark", oracle=None)  # late-data policy is engine-specific
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-id dedup (batch analog of watermarked dropDuplicates).

@@ -205,6 +205,16 @@ def test_expect_splits_and_counts(df):
     assert valid.count() == 2 and bad.count() == 1
 
 
+def test_expect_observation_metrics_readable(df):
+    from pyspark.sql import Observation
+
+    obs = Observation("contract")
+    valid = expect(df, F.col("v") > 15, observation=obs)
+    assert valid.count() == 2
+    got = obs.get
+    assert got["violations"] == 1 and got["rows"] == 3
+
+
 # -- A12/A13 -----------------------------------------------------------------
 
 
