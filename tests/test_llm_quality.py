@@ -1,0 +1,81 @@
+"""Quality properties of the approximate LLM-data operators.
+
+Everything here is deterministic (fixed-seed hashing, fixed corpus),
+so recall floors are exact regression guards, not flaky statistics:
+if a refactor silently changes banding or bucketing, recall shifts
+and these fail.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spype_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark):
+    df = REGISTRY["q_sim_cosine_topk"].fn(spark, SF)
+    return {(r.src_id, r.nbr_id) for r in df.collect() if r.rank <= 3}
+
+
+def test_minhash_finds_high_jaccard_pairs(spark):
+    """Every pair with 3-gram Jaccard ≥ 0.5 must surface as a MinHash
+    candidate (b=8, r=2 ⇒ P(candidate) ≈ 97% at s=0.5; with these
+    fixed seeds and corpus the set relationship is exact)."""
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_dedup_ngram_jaccard"].fn(spark, SF).collect()
+        if r.jaccard >= 0.5
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_dedup_minhash"].fn(spark, SF).collect()
+    }
+    missed = jac - cand
+    assert not missed, f"minhash missed high-jaccard pairs: {sorted(missed)[:5]}"
+
+
+def test_lsh_ann_recall_floor(spark, exact_topk):
+    """Banded hyperplane-LSH top-3 must recover a fixed fraction of the
+    exact top-3 (measured 2026-08-13: 0.349 with 8 bands × 6 planes on
+    this near-uniform corpus, up from 0.019 with a single 8-plane band;
+    the floor guards against silent banding regressions)."""
+    got = {
+        (r.src_id, r.nbr_id)
+        for r in REGISTRY["q_sim_lsh_ann"].fn(spark, SF).collect()
+    }
+    recall = len(got & exact_topk) / len(exact_topk)
+    assert recall >= 0.30, f"LSH recall collapsed: {recall:.3f}"
+
+
+def test_ivf_ann_recall_floor(spark, exact_topk):
+    got = {
+        (r.src_id, r.nbr_id)
+        for r in REGISTRY["q_sim_ivf_ann"].fn(spark, SF).collect()
+    }
+    # measured 0.518 at nprobe=4 (2026-08-13)
+    recall = len(got & exact_topk) / len(exact_topk)
+    assert recall >= 0.45, f"IVF recall collapsed: {recall:.3f}"
+
+
+def test_ivf_never_beats_exact(spark, exact_topk):
+    """Approximate rank-1 cosine can never exceed the exact rank-1."""
+    exact1 = {
+        r.src_id: r.cosine
+        for r in REGISTRY["q_sim_cosine_topk"].fn(spark, SF).collect()
+        if r.rank == 1
+    }
+    for r in REGISTRY["q_sim_ivf_ann"].fn(spark, SF).collect():
+        if r.rank == 1:
+            assert r.cosine <= exact1[r.src_id] + 1e-9
+
+
+def test_exact_dedup_is_lossless(spark):
+    """Exact dedup must preserve every distinct text exactly once."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n_distinct = d.select("text").distinct().count()
+    out = REGISTRY["q_dedup_exact"].fn(spark, SF)
+    assert out.count() == n_distinct
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == d.count()
