@@ -1,0 +1,92 @@
+"""Skew-handling utilities (SCALE.md "Skew" — the explicit patterns).
+
+AQE's skew-join split handles most cases automatically (enabled in the
+session factory); these helpers are the *explicit* forms for the cases
+AQE can't see: aggregations over pathologically hot keys and joins
+against a skewed probe side when the build side is small but not
+broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with salting for hot grouping keys.
+
+    Phase 1 groups by (keys + salt) so a hot key's rows spread over
+    ``n_salts`` reducers; phase 2 merges the partials per key. Only
+    decomposable aggregates are supported — pass the *partial*
+    expression per output column; the merge re-applies a compatible
+    combiner (sum→sum, count→sum, min→min, max→max) inferred from the
+    partial's name.
+
+    Example::
+
+        salted_agg(df, ["k"], {"total": F.sum("v"), "n": F.count("*")})
+
+    Correctness: for decomposable aggregates the result is identical to
+    the direct groupBy (asserted in tests/test_skew.py); the win is
+    that no single reducer sees more than ~1/n_salts of a hot key.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()),
+                  F.lit(n_salts)).alias("__salt")
+    partial = df.groupBy(*keys, salt).agg(
+        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+    )
+
+    def combiner(name: str, expr: Column) -> Column:
+        # F.count partials merge by sum; min/max are idempotent; sum by sum.
+        s = str(expr._jc)
+        if s.startswith(("avg(", "mean(")) or "DISTINCT" in s:
+            raise ValueError(
+                f"aggregate {name!r} ({s}) is not salt-decomposable — "
+                "compute avg as sum/count and distincts via a pre-distinct"
+            )
+        col = F.col(f"__p_{name}")
+        if s.startswith("min("):
+            return F.min(col).alias(name)
+        if s.startswith("max("):
+            return F.max(col).alias(name)
+        return F.sum(col).alias(name)
+
+    return partial.groupBy(*keys).agg(
+        *[combiner(name, expr) for name, expr in aggs.items()]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skewed equi-join: salt the fact side, replicate the dim side.
+
+    The fact rows get a random-ish (hash-derived, deterministic) salt
+    in [0, n_salts); the dim side is exploded n_salts× so every
+    (key, salt) bucket finds its match. Turns one hot reducer into
+    ``n_salts`` evenly loaded ones at the cost of replicating the
+    smaller side — the standard remedy when the dim is too big to
+    broadcast and one probe key dominates.
+    """
+    f = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
+    )
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = f.join(
+        d,
+        (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]),
+    )
+    return out.drop("__salt")

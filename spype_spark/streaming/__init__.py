@@ -18,6 +18,8 @@ from spype_spark.streaming.jobs import (
     run_stream_session_window,
     run_stream_sliding,
     run_stream_stateful_running,
+    run_stream_static_join,
+    run_stream_stream_join,
     run_stream_tumbling,
 )
 
@@ -27,4 +29,6 @@ __all__ = [
     "run_stream_session_window",
     "run_stream_dedup",
     "run_stream_stateful_running",
+    "run_stream_static_join",
+    "run_stream_stream_join",
 ]

@@ -137,6 +137,64 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(deduped, "append", "spype_stream_dedup")
 
 
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events stream ⋈ customer dimension.
+
+    The static side is re-read per micro-batch (picking up dim updates
+    for free) and broadcast — the streaming twin of the dimension-
+    broadcast rule. No state, no watermark needed for inner equi-join
+    against a static side.
+    """
+    from spype_spark.tables import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id").select(
+        "event_id", "user_id", "event_type", "c_mktsegment"
+    )
+    return _run_available_now(joined, "append", "spype_stream_static_join")
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join: each purchase ⋈ same user's clicks ≤ 1 h prior.
+
+    Both sides watermarked; the time-bound predicate lets Spark evict
+    click state older than the purchase watermark − 1 h. Inner join ⇒
+    the drained result equals the batch theta-join exactly (watermarks
+    only bound state, they never drop inner-join matches under
+    AvailableNow).
+    """
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_id", "c_id", "p_user")
+    return _run_available_now(joined, "append", "spype_stream_stream_join")
+
+
 def run_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: running per-user counts via
     applyInPandasWithState (GroupState, update mode).

@@ -18,6 +18,8 @@ from spype_spark.streaming import (
     run_stream_session_window,
     run_stream_sliding,
     run_stream_stateful_running,
+    run_stream_static_join,
+    run_stream_stream_join,
     run_stream_tumbling,
 )
 
@@ -111,6 +113,45 @@ def test_dedup_stream_equals_batch(spark, sf_dir):
         .count()
     )
     assert stream.count() == n_batch
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    from spype_spark.tables import load_table
+
+    stream = run_stream_static_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    batch = ev.join(cust, ev.user_id == cust.c_custkey).select(
+        "event_id", "user_id", "event_type", "c_mktsegment"
+    )
+    cols = ["event_id", "user_id", "event_type", "c_mktsegment"]
+    assert rows_set(stream, cols) == rows_set(batch, cols)
+
+
+def test_stream_stream_join_equals_batch_theta_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spype_spark.tables import load_table
+
+    stream = run_stream_stream_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_id", "c_id", "p_user")
+    cols = ["p_id", "c_id", "p_user"]
+    assert rows_set(stream, cols) == rows_set(batch, cols)
+    assert stream.count() > 0
 
 
 def test_stateful_running_final_counts_equal_batch(spark, sf_dir):
