@@ -225,6 +225,45 @@ def test_compose_does_not_mutate_original(df):
     assert len(p1.nodes) == 1 and len(p2.nodes) == 2
 
 
+def test_pype_composes_over_streaming_dataframes(spark, tmp_path):
+    """The algebra is execution-mode agnostic: the same Task/Pype
+    composes onto a streaming DataFrame, and the composed plan runs
+    under Trigger.AvailableNow."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, k string, v double",
+    )
+    d = str(tmp_path / "in")
+    src.write.parquet(d)
+    stream = spark.readStream.schema("id long, k string, v double").parquet(d)
+
+    @task
+    def big_only(df):
+        return df.filter(F.col("v") >= 20)
+
+    @task
+    def label(df):
+        return df.withColumn("tag", F.concat(F.col("k"), F.lit("!")))
+
+    out = (big_only | label).apply(stream)
+    assert out.isStreaming
+    os.makedirs("/root/repo/.scratch", exist_ok=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pype_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {tuple(r) for r in spark.table("pype_stream_test").collect()}
+    assert rows == {(2, "b", 20.0, "b!"), (3, "a", 30.0, "a!")}
+
+
 def test_explain_renders_dag():
     a = Task(lambda d: d, name="alpha")
     b = Task(lambda d: d, name="beta").iff(F.lit(True))
