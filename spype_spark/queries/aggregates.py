@@ -233,6 +233,53 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (arg-max aggregates): which order, not just how much.
+
+    Ties on o_totalprice would be engine-arbitrary, but prices are
+    continuous doubles — no duplicate (custkey, price) pairs exist in
+    the corpus (asserted by the oracle match itself).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS order_keys,
+           CAST(len(list(o_orderkey)) AS INT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list with explicit array_sort (collection order is
+    partition-dependent in any engine — sorting is what makes a
+    collected array comparable/deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.size(F.collect_list("o_orderkey")).alias("n_orders"),
+    )
+
+
 @query("q_agg_approx_distinct", oracle=None)  # sketch differs from DuckDB's
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct count (HyperLogLog++) next to the exact count.
