@@ -19,9 +19,30 @@ merely *tested* on local[32]; see docstrings and SCALE.md for the
 per-operator scale rationale.
 """
 
+from spype_spark.pipeline import (  # spype-style top-level surface
+    IncompatibleTasksError,
+    Pype,
+    Task,
+    expect,
+    expect_schema,
+    task,
+)
 from spype_spark.registry import REGISTRY, query
 from spype_spark.session import get_spark
 from spype_spark.tables import load_table, load_tables
 
-__all__ = ["REGISTRY", "query", "get_spark", "load_table", "load_tables"]
+__all__ = [
+    "REGISTRY",
+    "query",
+    "get_spark",
+    "load_table",
+    "load_tables",
+    # pipeline algebra (the reference's import surface: task/Task/Pype)
+    "task",
+    "Task",
+    "Pype",
+    "expect",
+    "expect_schema",
+    "IncompatibleTasksError",
+]
 __version__ = "0.1.0"

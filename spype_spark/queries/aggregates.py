@@ -280,6 +280,33 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(median(l_quantity), 4) AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p95) and median per group.
+
+    Both engines use the same sorted-interpolation definition; the
+    interpolation arithmetic can differ in the last ulp → round(4). At
+    100 TB one switches to approx_percentile (t-digest-style sketch,
+    no full sort) — the exact form here is the small-data oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )
+
+
 @query("q_agg_approx_distinct", oracle=None)  # sketch differs from DuckDB's
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct count (HyperLogLog++) next to the exact count.
