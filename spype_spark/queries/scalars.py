@@ -196,6 +196,59 @@ def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bitwise_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS band,
+           l_orderkey | 7 AS bor,
+           xor(l_orderkey, l_linenumber) AS bxor,
+           l_orderkey << 2 AS shl,
+           l_orderkey >> 3 AS shr
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression family (AND/OR/XOR/shifts) — integer-exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("band"),
+        F.col("l_orderkey").bitwiseOR(F.lit(7)).alias("bor"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("long")).alias(
+            "bxor"
+        ),
+        F.shiftleft(F.col("l_orderkey"), 2).alias("shl"),
+        F.shiftright(F.col("l_orderkey"), 3).alias("shr"),
+    )
+
+
+@query(
+    "q_hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           CAST(length(md5(text)) AS INT) AS md5_len
+    FROM documents
+    """,
+)
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content hashes (md5/sha256) — the content-
+    addressing primitives for dedup keys and shard-stable ids; hex
+    output matches across engines byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.md5(payload).alias("h_md5"),
+        F.sha2(payload, 256).alias("h_sha256"),
+        F.length(F.md5(payload)).alias("md5_len"),
+    )
+
+
+@query(
     "q_array_funcs",
     oracle="""
     SELECT vec_id,
