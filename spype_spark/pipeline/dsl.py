@@ -207,6 +207,7 @@ class Pype:
         self.edges: dict[int, list[tuple[int, int]]] = {}
         self.tails: list[int] = []
         self._next = 0
+        self._hooks: dict[str, list[Callable]] = {}
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -229,6 +230,7 @@ class Pype:
         p.edges = {k: list(v) for k, v in self.edges.items()}
         p.tails = list(self.tails)
         p._next = self._next
+        p._hooks = {k: list(v) for k, v in self._hooks.items()}
         return p
 
     def __or__(self, other) -> "Pype":
@@ -320,6 +322,65 @@ class Pype:
 
     def __call__(self, *sources: DataFrame, **kw):
         return self.apply(*sources, **kw)
+
+    # -- pype-level lifecycle (A7 at action time) ---------------------------
+    def on_success(self, cb) -> "Pype":
+        self._hooks.setdefault("on_success", []).append(cb)
+        return self
+
+    def on_failure(self, cb) -> "Pype":
+        self._hooks.setdefault("on_failure", []).append(cb)
+        return self
+
+    def on_finish(self, cb) -> "Pype":
+        self._hooks.setdefault("on_finish", []).append(cb)
+        return self
+
+    def run(
+        self,
+        *sources: DataFrame,
+        action="collect",
+        ctx: RunContext | None = None,
+    ):
+        """Compose AND execute: trigger the given action on each terminal.
+
+        ``action`` is ``"collect"``/``"count"`` or a callable
+        ``(DataFrame) -> Any`` (e.g. a writer). Task callbacks fire at
+        compose time (plan-build); the pype-level on_success /
+        on_failure / on_finish hooks registered on this Pype fire
+        around the *action* — the Spark analog of spype's run-time
+        hooks, now at the point where jobs actually execute. A failure
+        hook receives the exception as ``e``; exceptions propagate
+        after hooks run.
+        """
+        ctx = ctx or RunContext()
+        composed = self.apply(*sources, ctx=ctx)
+        outs = composed if isinstance(composed, dict) else {"__terminal": composed}
+        act = (
+            action
+            if callable(action)
+            else {"collect": lambda d: d.collect(), "count": lambda d: d.count()}[
+                action
+            ]
+        )
+        fixtures = {"ctx": ctx, "pype": self}
+        results = {}
+        try:
+            for name, df in outs.items():
+                results[name] = act(df)
+        except Exception as e:
+            fixtures["e"] = e
+            for cb in self._hooks.get("on_failure", []):
+                cb(**_inject(cb, fixtures))
+            for cb in self._hooks.get("on_finish", []):
+                cb(**_inject(cb, fixtures))
+            raise
+        fixtures["results"] = results
+        for cb in self._hooks.get("on_success", []):
+            cb(**_inject(cb, fixtures))
+        for cb in self._hooks.get("on_finish", []):
+            cb(**_inject(cb, fixtures))
+        return results["__terminal"] if "__terminal" in results else results
 
     # -- introspection (A13) -----------------------------------------------
     def explain(self, df: DataFrame | None = None) -> str:

@@ -225,6 +225,44 @@ def test_compose_does_not_mutate_original(df):
     assert len(p1.nodes) == 1 and len(p2.nodes) == 2
 
 
+def test_pype_run_fires_action_time_hooks(df):
+    seen = []
+    p = (
+        Pype.from_node(Task(lambda d: d.select("id"), name="proj"))
+        .on_success(lambda results: seen.append(("ok", len(results["__terminal"]))))
+        .on_finish(lambda: seen.append(("fin", None)))
+    )
+    rows = p.run(df)
+    assert len(rows) == 3
+    assert seen == [("ok", 3), ("fin", None)]
+
+
+def test_pype_run_failure_hook_receives_exception(df):
+    caught = []
+
+    def explode_on_action(d):
+        # valid plan, fails at execution: ANSI cast of bad literal per row
+        from pyspark.sql import functions as F
+
+        return d.withColumn("boom", F.lit("xx").cast("int") + F.col("id"))
+
+    p = (
+        Pype.from_node(Task(explode_on_action, name="boom"))
+        .on_failure(lambda e: caught.append(type(e).__name__))
+    )
+    with pytest.raises(Exception):
+        p.run(df)
+    assert caught and caught[0]
+
+
+def test_pype_run_with_writer_action(df, tmp_path):
+    out_dir = str(tmp_path / "out")
+    p = Pype.from_node(Task(lambda d: d.select("id", "v"), name="proj"))
+    p.run(df, action=lambda d: d.write.mode("overwrite").parquet(out_dir))
+    back = df.sparkSession.read.parquet(out_dir)
+    assert back.count() == 3
+
+
 def test_pype_composes_over_streaming_dataframes(spark, tmp_path):
     """The algebra is execution-mode agnostic: the same Task/Pype
     composes onto a streaming DataFrame, and the composed plan runs
