@@ -402,5 +402,21 @@ class Pype:
             )
         return text
 
+    def to_dot(self) -> str:
+        """Graphviz DOT rendering of the DAG (spype's Pype.plot analog,
+        emitted as text so no graphviz dependency is required)."""
+        lines = ["digraph pype {", "  rankdir=LR;"]
+        for nid, t in sorted(self.nodes.items()):
+            shape = "diamond" if t.gate is not None else "box"
+            lines.append(f'  n{nid} [label="{t.name}" shape={shape}];')
+        for src, dsts in self.edges.items():
+            for dst, port in dsts:
+                label = f' [label="port {port}"]' if len(
+                    [1 for _, ds in self.edges.items() for d, _ in ds if d == dst]
+                ) > 1 else ""
+                lines.append(f"  n{src} -> n{dst}{label};")
+        lines.append("}")
+        return "\n".join(lines)
+
     def __repr__(self) -> str:
         return f"Pype({len(self.nodes)} tasks, tails={self.tails})"

@@ -26,5 +26,6 @@ from spype_spark.queries import multimodal  # noqa: F401
 from spype_spark.queries import sources_sinks  # noqa: F401
 from spype_spark.queries import pivots  # noqa: F401
 from spype_spark.queries import subqueries  # noqa: F401
+from spype_spark.queries import rollup_materialized  # noqa: F401
 
 __all__ = ["REGISTRY"]

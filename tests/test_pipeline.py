@@ -307,3 +307,12 @@ def test_explain_renders_dag():
     b = Task(lambda d: d, name="beta").iff(F.lit(True))
     text = (a | b).explain()
     assert "alpha#0" in text and "beta#1 [gated]" in text
+
+
+def test_to_dot_renders_graphviz():
+    a = Task(lambda d: d, name="alpha")
+    b = Task(lambda d: d, name="beta").iff(F.lit(True))
+    dot = (a | b).to_dot()
+    assert dot.startswith("digraph pype {")
+    assert 'label="alpha"' in dot and "shape=diamond" in dot
+    assert "n0 -> n1" in dot

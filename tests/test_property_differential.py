@@ -87,6 +87,48 @@ def test_random_filters_agree(orders, duck, ps, conj):
 
 
 @settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    preceding=st.integers(0, 20),
+    part_key=st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+)
+def test_random_window_frames_agree(orders, duck, preceding, part_key):
+    """Random ROWS-frame sums (scaled-long exact) must match DuckDB for
+    any frame size and partitioning key."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_key)
+        .orderBy("o_orderkey")
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    got = {
+        (r.o_orderkey, r.s)
+        for r in orders.select(
+            "o_orderkey",
+            (F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).over(w) / 100)
+            .alias("s"),
+        ).collect()
+    }
+    want = set(
+        duck.sql(
+            f"""
+            SELECT o_orderkey,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY {part_key} ORDER BY o_orderkey
+                              ROWS BETWEEN {preceding} PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) / 100
+            FROM orders
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(
     max_examples=15,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
