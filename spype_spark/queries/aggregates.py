@@ -307,6 +307,31 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT c_name, ',' ORDER BY c_name) AS names,
+           COUNT(*) AS n
+    FROM customer
+    WHERE c_custkey < 100
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (listagg/string_agg) with explicit ordering.
+
+    Spark's listagg has no ORDER BY form, so the deterministic
+    equivalent sorts a collected set and joins it — same result, and
+    the only portable way to make concatenation order stable.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_set("c_name")), ",").alias("names"),
+        F.count("*").alias("n"),
+    )
+
+
 @query("q_agg_approx_distinct", oracle=None)  # sketch differs from DuckDB's
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct count (HyperLogLog++) next to the exact count.
