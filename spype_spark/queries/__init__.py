@@ -27,5 +27,6 @@ from spype_spark.queries import sources_sinks  # noqa: F401
 from spype_spark.queries import pivots  # noqa: F401
 from spype_spark.queries import subqueries  # noqa: F401
 from spype_spark.queries import rollup_materialized  # noqa: F401
+from spype_spark.queries import skew_demo  # noqa: F401
 
 __all__ = ["REGISTRY"]
