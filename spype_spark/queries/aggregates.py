@@ -332,6 +332,24 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_agg_approx_percentile", oracle=None)  # sketch differs from DuckDB's
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles next to the exact values.
+
+    rows-only: Spark's KLL-style approx_percentile and DuckDB's
+    approx_quantile use different sketches. At 100 TB this replaces
+    q_agg_percentile's full sort — fixed-size sketch per partition,
+    merge at the driver; accuracy=10000 keeps error ≈ 0.01 %.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_exact"),
+    )
+
+
 @query("q_agg_approx_distinct", oracle=None)  # sketch differs from DuckDB's
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct count (HyperLogLog++) next to the exact count.

@@ -213,6 +213,62 @@ def q_events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ts_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events WHERE event_type = 'purchase'
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    ),
+    actual AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT strftime(g.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(a.n, 0) AS n
+    FROM grid g LEFT JOIN actual a ON g.hour_ts = a.hour_ts
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly grid with zero-filled
+    holes (resample semantics).
+
+    The grid is generated relationally (sequence + explode over the
+    min/max bounds — one row in, |hours| rows out, no driver loop) and
+    left-joined with the actual hourly counts. At scale the grid side
+    is trivially small and broadcast; the pattern generalizes to any
+    resample interval.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    actual = ev.groupBy(hour.alias("hour_ts")).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    return (
+        grid.join(actual, "hour_ts", "left")
+        .select(
+            F.date_format("hour_ts", TS_FMT_SPARK).alias("hour_start"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
 @query("q_stream_dedup_watermark", oracle=None)  # late-data policy is engine-specific
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-id dedup (batch analog of watermarked dropDuplicates).
