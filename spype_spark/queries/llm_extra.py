@@ -296,6 +296,116 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_pipeline",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             s1.word || ' ' || s2.word || ' ' || s3.word AS shingle
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+      ) t,
+      LATERAL (SELECT w[i] AS word) s1,
+      LATERAL (SELECT w[i+1] AS word) s2,
+      LATERAL (SELECT w[i+2] AS word) s3
+      WHERE i + 2 <= len(w)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dropped AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: MinHash candidates → exact Jaccard
+    verify (≥ 0.5) → drop the higher doc_id of each verified pair.
+
+    The production composition: the LSH stage bounds the pair set, the
+    exact verify kills false positives, the survivor rule is
+    deterministic. The oracle recomputes the same keep-list from exact
+    Jaccard alone — valid because the banding (b=8, r=2) recovers every
+    Jaccard ≥ 0.5 pair on this corpus (asserted independently in
+    tests/test_llm_quality.py); if banding ever under-recalled, this
+    contract's hash check would catch it.
+    """
+    from spype_spark.queries.llm import q_dedup_minhash, q_dedup_ngram_jaccard
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = q_dedup_minhash(spark, sf_dir)
+    verified = q_dedup_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    )
+    # candidates ∩ verified — semi-join keeps only LSH-surfaced pairs
+    confirmed = verified.join(cand, ["doc_a", "doc_b"], "left_semi")
+    dropped = confirmed.select(F.col("doc_b").alias("doc_id")).distinct()
+    return d.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "q_udf_cogroup",
+    oracle="""
+    WITH oc AS (
+      SELECT o_orderkey AS k, COUNT(*) AS n_orders FROM orders
+      WHERE o_orderkey < 3000 GROUP BY 1
+    ),
+    lc AS (
+      SELECT l_orderkey AS k, COUNT(*) AS n_lines FROM lineitem
+      WHERE l_orderkey < 3000 GROUP BY 1
+    )
+    SELECT COALESCE(oc.k, lc.k) AS orderkey,
+           COALESCE(oc.n_orders, 0) AS n_orders,
+           COALESCE(lc.n_lines, 0) AS n_lines
+    FROM oc FULL JOIN lc ON oc.k = lc.k
+    """,
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: orders & lineitem batches for the same
+    key processed together (per-key reconciliation).
+
+    The cogroup API is the Arrow path for logic that needs *both*
+    sides' raw rows at once (beyond what a join expresses); here the
+    reconciliation itself is join-expressible, which is what the
+    oracle exploits.
+    """
+    import pandas as pd
+
+    # bounded key range: per-group Python overhead dominates cogroup, so
+    # the contract covers the API shape on ~3k groups, not all keys
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey").filter(
+        F.col("o_orderkey") < 3000
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").filter(
+        F.col("l_orderkey") < 3000
+    )
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"orderkey": [key[0]], "n_orders": [len(odf)], "n_lines": [len(ldf)]}
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(reconcile, "orderkey long, n_orders long, n_lines long")
+    )
+
+
 @query("q_sim_ivf_ann", oracle=None)  # approximate: probed-cell recall < 1
 def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantize to 16 cells, probe the 4 nearest.
