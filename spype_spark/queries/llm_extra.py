@@ -406,6 +406,40 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH p AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM p a JOIN p b
+      ON left(a.p_name, 1) = left(b.p_name, 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: distinct part names within edit distance 4.
+
+    The blocking key (shared first character) bounds the pair stage —
+    the standard entity-resolution shape: cheap equi-join block, then
+    the expensive distance only inside blocks. Both engines implement
+    classic Levenshtein → identical integer distances.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = p.select(F.col("p_name").alias("name_a"),
+                 F.substring("p_name", 1, 1).alias("blk"))
+    b = p.select(F.col("p_name").alias("name_b"),
+                 F.substring("p_name", 1, 1).alias("blk"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 4)
+        .select("name_a", "name_b", "dist")
+    )
+
+
 @query("q_sim_ivf_ann", oracle=None)  # approximate: probed-cell recall < 1
 def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantize to 16 cells, probe the 4 nearest.

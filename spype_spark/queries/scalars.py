@@ -196,6 +196,36 @@ def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_str_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           reverse(p_name) AS rev,
+           repeat(p_brand, 2) AS rep,
+           CAST(strpos(p_name, ' ') AS INT) AS space_pos,
+           translate(p_type, 'AEO', 'aeo') AS xlat,
+           left(p_name, 4) AS l4,
+           right(p_name, 3) AS r3,
+           CAST(unicode(p_type) AS INT) AS first_cp
+    FROM part
+    """,
+)
+def q_str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: reverse/repeat/position/translate/left/
+    right/codepoint."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_name").alias("rev"),
+        F.repeat("p_brand", 2).alias("rep"),
+        F.instr(F.col("p_name"), " ").alias("space_pos"),
+        F.translate("p_type", "AEO", "aeo").alias("xlat"),
+        F.left(F.col("p_name"), F.lit(4)).alias("l4"),
+        F.right(F.col("p_name"), F.lit(3)).alias("r3"),
+        F.ascii("p_type").alias("first_cp"),
+    )
+
+
+@query(
     "q_bitwise_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,

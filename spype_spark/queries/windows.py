@@ -189,6 +189,34 @@ def q_window_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           first_value(o_orderkey) OVER w AS first_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a full-partition frame (deterministic unique
+    ordering)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+    )
+
+
+@query(
     "q_window_ntile",
     oracle="""
     SELECT c_custkey, c_acctbal,
