@@ -319,6 +319,40 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_array_setops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ')[1:12] AS wa,
+             string_split(text, ' ')[8:20] AS wb
+      FROM documents
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(list_intersect(wa, wb))) AS inter,
+           list_sort(list_distinct(list_concat(wa, wb))) AS uni,
+           list_sort(list_distinct(list_filter(wa,
+               x -> NOT list_contains(wb, x)))) AS diff,
+           list_has_any(wa, wb) AS overlaps
+    FROM t
+    """,
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (intersect/union/except/overlap) on token
+    slices — all outputs canonicalized by sort+distinct since set-op
+    result ORDER is engine-defined in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    wa, wb = F.slice(ws, 1, 12), F.slice(ws, 8, 13)
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.array_intersect(wa, wb))).alias("inter"),
+        F.array_sort(F.array_union(wa, wb)).alias("uni"),
+        F.array_sort(F.array_distinct(F.array_except(wa, wb))).alias("diff"),
+        F.arrays_overlap(wa, wb).alias("overlaps"),
+    )
+
+
+@query(
     "q_explode_posexplode",
     oracle="""
     SELECT vec_id,
