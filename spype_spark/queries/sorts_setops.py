@@ -122,6 +122,36 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_set_union_byname",
+    oracle="""
+    SELECT o_custkey, o_totalprice AS amount, 'order' AS src
+    FROM orders WHERE o_totalprice > 400000
+    UNION ALL BY NAME
+    SELECT c_acctbal AS amount, c_custkey AS o_custkey, 'customer' AS src
+    FROM customer WHERE c_acctbal > 9900
+    """,
+)
+def q_set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union by column NAME across differently-ordered projections —
+    positional union would silently mix amount/custkey here."""
+    from spype_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    ).select(
+        "o_custkey", F.col("o_totalprice").alias("amount"), F.lit("order").alias("src")
+    )
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9900
+    ).select(
+        F.col("c_acctbal").alias("amount"),
+        F.col("c_custkey").alias("o_custkey"),
+        F.lit("customer").alias("src"),
+    )
+    return o.unionByName(c)
+
+
+@query(
     "q_set_except",
     oracle=_SETOP_CTE + "SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b",
 )
