@@ -12,7 +12,7 @@ driver-visible contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spype_spark.registry import query
@@ -403,6 +403,61 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_orderkey")
         .cogroup(li.groupBy("l_orderkey"))
         .applyInPandas(reconcile, "orderkey long, n_orders long, n_lines long")
+    )
+
+
+@query(
+    "q_text_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+    ),
+    ranked AS (
+      SELECT lang, source, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, source) AS rn
+      FROM counts
+    )
+    SELECT lang, source AS top_source, n FROM ranked WHERE rn = 1
+    """,
+)
+def q_text_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent source per language).
+
+    Built-in mode() picks arbitrarily among ties in every engine, so
+    the engine's canonical form is count + windowed top-1 with an
+    explicit tiebreak — same cost (one agg + one tiny window), defined
+    answer.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("source"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("top_source"), "n")
+    )
+
+
+@query(
+    "q_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '[a-z]*join[a-z]*') AS join_words,
+           CAST(len(regexp_extract_all(text, '[a-z]*join[a-z]*')) AS INT) AS n_hits
+    FROM documents
+    WHERE contains(text, 'join')
+    """,
+)
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All regexp matches per row as an array (pattern-mining primitive)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").contains("join")
+    )
+    # idx=0 → full matches (Spark defaults to capture group 1)
+    hits = F.regexp_extract_all(F.col("text"), F.lit("[a-z]*join[a-z]*"), 0)
+    return d.select(
+        "doc_id", hits.alias("join_words"), F.size(hits).alias("n_hits")
     )
 
 

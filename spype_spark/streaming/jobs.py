@@ -195,6 +195,40 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(joined, "append", "spype_stream_stream_join")
 
 
+def run_stream_foreach_batch_sink(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Exactly-once batch sink via foreachBatch: idempotent per-epoch
+    Parquet partitions.
+
+    Each micro-batch writes to ``epoch=<id>`` with overwrite — a retry
+    of the same epoch replaces, never duplicates, which is the
+    idempotence contract foreachBatch requires for exactly-once. (A
+    real deployment swaps the directory write for a transactional
+    MERGE; the epoch-keyed idempotence is the part that matters.)
+    Returns the re-read sink contents.
+    """
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    with tempfile.TemporaryDirectory(
+        prefix="spype_ckpt_", dir=os.environ.get("SPYPE_SCRATCH", "/root/repo/.scratch")
+    ) as ckpt:
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def run_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: running per-user counts via
     applyInPandasWithState (GroupState, update mode).

@@ -154,6 +154,20 @@ def test_stream_stream_join_equals_batch_theta_join(spark, sf_dir):
     assert stream.count() > 0
 
 
+def test_foreach_batch_sink_exactly_once(spark, sf_dir, tmp_path):
+    from spype_spark.streaming.jobs import run_stream_foreach_batch_sink
+
+    out = str(tmp_path / "sink")
+    sink1 = run_stream_foreach_batch_sink(spark, sf_dir, out)
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sink1.count() == n_src
+    # re-run the whole job into the same dir: epoch-keyed overwrite must
+    # leave the sink duplicate-free (idempotence under replay)
+    sink2 = run_stream_foreach_batch_sink(spark, sf_dir, out)
+    assert sink2.count() == n_src
+    assert sink2.select("event_id").distinct().count() == n_src
+
+
 def test_stateful_running_final_counts_equal_batch(spark, sf_dir):
     stream = run_stream_stateful_running(spark, sf_dir)
     # update-mode emits one row per user per micro-batch; the LAST emit
