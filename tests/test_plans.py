@@ -76,6 +76,18 @@ def test_pipeline_chain_fuses_filter_into_scan(spark, sf001):
     assert "l_shipdate" in pushed
 
 
+def test_aqe_is_active_and_coalesces(spark, sf001):
+    """AQE must be on (skew handling + runtime coalescing are part of
+    the scale story) and visibly re-plan: an executed aggregate's final
+    plan is adaptive and its shuffle read is coalesced at this scale."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = REGISTRY["q_pricing_summary"].fn(spark, sf001)
+    df.collect()  # finalize adaptive plan
+    plan = plan_of(df)
+    assert "AdaptiveSparkPlan isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
 def test_no_python_udf_in_relational_plans(spark, sf001):
     """Builtins-first policy: no Python eval nodes in any relational/
     scalar contract (UDx and GEMM contracts are the sanctioned
