@@ -495,6 +495,66 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_sim_cosine_tiled", oracle=None)  # exact; equals q_sim_cosine_topk (tested)
+def q_sim_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-free exact cosine top-5: tiled block matrix product.
+
+    The scale path past broadcastable neighbor sets: vectors are hashed
+    into B row-blocks; the B×B block-pair grid is formed as a DataFrame
+    join (each pair row carries two packed tiles), each tile pair runs
+    one numpy GEMM inside mapInPandas, and per-source candidates
+    (top-5 per tile, ≤ B×5 per source) merge to the global top-5 with
+    one small window. Nothing is ever collected to the driver; memory
+    per task is two tiles, so n can grow arbitrarily with fixed B×B
+    parallelism — the standard distributed-GEMM decomposition.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = 8
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blocked = e.withColumn("bid", F.pmod(F.col("vec_id"), F.lit(B)))
+    tiles = blocked.groupBy("bid").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
+        ).alias("tile")
+    )
+    a = tiles.select(F.col("bid").alias("bid_a"), F.col("tile").alias("tile_a"))
+    b = tiles.select(F.col("bid").alias("bid_b"), F.col("tile").alias("tile_b"))
+    grid = a.crossJoin(b).repartition(B * B)
+
+    k = 5
+
+    def gemm(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ia = np.array([t["vec_id"] for t in row["tile_a"]], dtype=np.int64)
+                ma = np.array([t["embedding"] for t in row["tile_a"]], dtype=np.float64)
+                ib = np.array([t["vec_id"] for t in row["tile_b"]], dtype=np.int64)
+                mb = np.array([t["embedding"] for t in row["tile_b"]], dtype=np.float64)
+                dots = ma @ mb.T
+                for r_i, sid in enumerate(ia):
+                    d = dots[r_i]
+                    cand = np.flatnonzero(ib != sid)
+                    sel = cand[np.lexsort((ib[cand], -d[cand]))][:k]
+                    if len(sel):
+                        yield pd.DataFrame(
+                            {
+                                "src_id": sid,
+                                "nbr_id": ib[sel],
+                                "dot": d[sel],
+                            }
+                        )
+
+    cand = grid.mapInPandas(gemm, "src_id long, nbr_id long, dot double")
+    w = Window.partitionBy("src_id").orderBy(F.desc("dot"), F.asc("nbr_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "nbr_id", F.round("dot", 6).alias("cosine"), "rank")
+    )
+
+
 @query("q_sim_ivf_ann", oracle=None)  # approximate: probed-cell recall < 1
 def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantize to 16 cells, probe the 4 nearest.

@@ -229,6 +229,56 @@ def run_stream_foreach_batch_sink(
     return spark.read.parquet(out_dir)
 
 
+def run_stream_rollup_maintenance(
+    spark: SparkSession, sf_dir: str, rollup_dir: str
+) -> DataFrame:
+    """Incrementally maintain the hourly rollup from the event stream.
+
+    Continuous-aggregate maintenance with plain Parquet: each epoch
+    writes its *additive partials* (count + scaled value sum per
+    hour×type) to an epoch-keyed partition — idempotent under replay —
+    and readers re-aggregate the partial log (the compaction step a
+    table format would do in place). Because partials are additive
+    integers, the re-aggregated rollup equals the batch rollup exactly
+    (tests/test_streaming.py).
+    """
+    ev = _events_stream(spark, sf_dir)
+
+    def write_partials(batch_df: DataFrame, epoch_id: int) -> None:
+        # aggregate INSIDE the epoch: per-batch additive partials.
+        # (Pre-aggregating on the stream in update mode would emit
+        # *cumulative* per-key state each epoch — re-aggregating that
+        # log double-counts keys that span batches.)
+        partial = batch_df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))).alias(
+                "value_scaled"
+            ),
+        )
+        partial.write.mode("overwrite").parquet(f"{rollup_dir}/epoch={epoch_id}")
+
+    with tempfile.TemporaryDirectory(
+        prefix="spype_ckpt_", dir=os.environ.get("SPYPE_SCRATCH", "/root/repo/.scratch")
+    ) as ckpt:
+        q = (
+            ev.writeStream.foreachBatch(write_partials)
+            .option("checkpointLocation", ckpt)
+            .option("maxFilesPerTrigger", "1")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # compaction view: merge the partial log into the rollup
+    log = spark.read.parquet(rollup_dir)
+    return log.groupBy("hour_ts", "event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("value_scaled").alias("value_scaled"),
+    )
+
+
 def run_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: running per-user counts via
     applyInPandasWithState (GroupState, update mode).

@@ -72,6 +72,20 @@ def test_ivf_never_beats_exact(spark, exact_topk):
             assert r.cosine <= exact1[r.src_id] + 1e-9
 
 
+def test_tiled_gemm_equals_broadcast_gemm(spark):
+    """The broadcast-free tiled decomposition must be exactly the
+    brute-force answer — same pairs, same rounded cosines, same ranks."""
+    tiled = {
+        (r.src_id, r.nbr_id, r.cosine, r.rank)
+        for r in REGISTRY["q_sim_cosine_tiled"].fn(spark, SF).collect()
+    }
+    exact = {
+        (r.src_id, r.nbr_id, r.cosine, r.rank)
+        for r in REGISTRY["q_sim_cosine_topk"].fn(spark, SF).collect()
+    }
+    assert tiled == exact
+
+
 def test_exact_dedup_is_lossless(spark):
     """Exact dedup must preserve every distinct text exactly once."""
     d = spark.read.parquet(f"{SF}/documents.parquet")

@@ -168,6 +168,18 @@ def test_foreach_batch_sink_exactly_once(spark, sf_dir, tmp_path):
     assert sink2.select("event_id").distinct().count() == n_src
 
 
+def test_incremental_rollup_equals_batch_rollup(spark, sf_dir, tmp_path):
+    from spype_spark.queries.rollup_materialized import hourly_rollup
+    from spype_spark.streaming.jobs import run_stream_rollup_maintenance
+
+    incr = run_stream_rollup_maintenance(spark, sf_dir, str(tmp_path / "rollup"))
+    batch = hourly_rollup(spark, sf_dir)
+    key = lambda r: (r.hour_ts, r.event_type)  # noqa: E731
+    got = {key(r): (r.n, r.value_scaled) for r in incr.collect()}
+    want = {key(r): (r.n, r.value_scaled) for r in batch.collect()}
+    assert got == want
+
+
 def test_stateful_running_final_counts_equal_batch(spark, sf_dir):
     stream = run_stream_stateful_running(spark, sf_dir)
     # update-mode emits one row per user per micro-batch; the LAST emit
