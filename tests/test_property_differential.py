@@ -128,6 +128,59 @@ def test_random_window_frames_agree(orders, duck, preceding, part_key):
     assert got == want
 
 
+@pytest.fixture(scope="module")
+def customer(spark):
+    return spark.read.parquet(f"{SF}/customer.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck_cust(duck):
+    duck.sql(
+        f"CREATE VIEW IF NOT EXISTS customer AS "
+        f"SELECT * FROM read_parquet('{SF}/customer.parquet')"
+    )
+    return duck
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    p=predicate,
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+)
+def test_random_join_shapes_agree(orders, customer, duck_cust, p, how):
+    """Random order-side predicates × join types: grouped customer
+    counts must match DuckDB's equivalent join formulation."""
+    cond, sql = build(p)
+    o = orders.filter(cond)
+    sub = f"(SELECT * FROM orders WHERE {sql})"
+    if how in ("inner", "left"):
+        j = customer.join(o, customer.c_custkey == o.o_custkey, how)
+        dj = {"inner": "JOIN", "left": "LEFT JOIN"}[how]
+        q = (
+            f"SELECT c_mktsegment, COUNT(*) FROM customer "
+            f"{dj} {sub} o ON c_custkey = o.o_custkey GROUP BY 1"
+        )
+    elif how == "left_semi":
+        j = customer.join(o, customer.c_custkey == o.o_custkey, "left_semi")
+        q = (
+            f"SELECT c_mktsegment, COUNT(*) FROM customer WHERE EXISTS "
+            f"(SELECT 1 FROM {sub} o WHERE o.o_custkey = c_custkey) GROUP BY 1"
+        )
+    else:
+        j = customer.join(o, customer.c_custkey == o.o_custkey, "left_anti")
+        q = (
+            f"SELECT c_mktsegment, COUNT(*) FROM customer WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {sub} o WHERE o.o_custkey = c_custkey) GROUP BY 1"
+        )
+    got = {(r[0], r[1]) for r in j.groupBy("c_mktsegment").count().collect()}
+    want = set(duck_cust.sql(q).fetchall())
+    assert got == want
+
+
 @settings(
     max_examples=15,
     deadline=None,
