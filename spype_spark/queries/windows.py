@@ -125,7 +125,8 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5)
                          AS BIGINT))
                 OVER (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                               l_extendedprice, l_discount
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
                 AS DOUBLE) / 1e4 AS moving_rev
     FROM lineitem
@@ -134,15 +135,24 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving 7-row revenue sum per supplier (ROWS frame).
 
-    Frame membership is made deterministic by the unique
-    (shipdate, orderkey, linenumber) ordering; the sum uses scaled-long
-    exact accumulation so sliding-frame strategy (segment trees in
-    DuckDB vs running frames in Spark) cannot perturb values.
+    Frame determinism: (l_orderkey, l_linenumber) is NOT unique in this
+    corpus at sf0.1 (118k colliding pairs — discovered when DuckDB's
+    parallel window produced sort-stability-dependent answers under
+    load), so the ordering also includes the summed inputs
+    (extendedprice, discount): any rows still tied are then
+    contribution-identical AND output-identical, making the output
+    multiset invariant to tie order in both engines. The sum itself
+    uses scaled-long exact accumulation so sliding-frame strategy
+    (segment trees in DuckDB vs running frames in Spark) cannot
+    perturb values.
     """
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber",
+            "l_extendedprice", "l_discount",
+        )
         .rowsBetween(-6, Window.currentRow)
     )
     rev_scaled = F.floor(
