@@ -110,15 +110,20 @@ def expect(
     With ``quarantine=True`` also returns the violating rows as a
     second DataFrame (dead-letter branch, A7 failure routing).
     """
+    # NULL predicate = violation: a bare filter(cond) would drop
+    # NULL-evaluating rows from the valid set while filter(~cond) ALSO
+    # drops them from quarantine and when(~cond) counts them as 0 — a
+    # validation primitive silently discarding rows. Normalize first.
+    cond_n = F.coalesce(cond, F.lit(False))
     metrics = (
-        F.sum(F.when(~cond, 1).otherwise(0)).alias("violations"),
+        F.sum(F.when(~cond_n, 1).otherwise(0)).alias("violations"),
         F.count(F.lit(1)).alias("rows"),
     )
     if observation is not None:
         observed = df.observe(observation, *metrics)
     else:
         observed = df.observe(name, *metrics)
-    valid = observed.filter(cond)
+    valid = observed.filter(cond_n)
     if quarantine:
-        return valid, df.filter(~cond)
+        return valid, df.filter(~cond_n)
     return valid

@@ -263,7 +263,7 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS order_keys,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
            CAST(len(list(o_orderkey)) AS INT) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -275,7 +275,15 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected array comparable/deterministic)."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        # collected+sorted array joined to CSV: driver pandas canon can't
+        # hash ndarray cells (VERDICT r1 §wrong-3)
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("order_keys"),
         F.size(F.collect_list("o_orderkey")).alias("n_orders"),
     )
 

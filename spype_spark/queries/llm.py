@@ -250,59 +250,25 @@ def _dot_hof(a, b):
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors (unit-norm ⇒ cosine ≡ dot product).
 
-    Brute-force baseline as a *block matrix product*: the neighbor-side
-    matrix is broadcast once (float64, |n|×64 — dimension-table sized),
-    and each partition of sources runs one BLAS GEMM against it inside
-    mapInPandas (Arrow batches, no per-pair rows ever materialize in
-    the JVM). Top-k per source is a partition-local argsort on
-    (-dot, nbr_id). Measured ~400× over the pure-DataFrame pair
-    self-join, whose 4M-row BroadcastNestedLoop output defeats
-    whole-stage codegen.
+    Implementation is the broadcast-free tiled block-GEMM
+    (:func:`spype_spark.ann.cosine_topk_tiled`): B×B tile-pair grid,
+    one float64 numpy GEMM per tile pair inside mapInPandas, one window
+    to merge per-tile candidates. Round 1 kept the whole neighbor
+    matrix on the driver (``e.collect()`` + broadcast) — right answer,
+    driver-OOM topology at 100 TB; the tiled path is the same answer
+    (equality asserted in tests/test_llm_quality.py and by the DuckDB
+    pair-join oracle) with two-tiles-per-task memory instead.
 
-    Scale: GEMM-block brute force is the right *exact* kernel up to
-    ~10⁵ broadcastable neighbors; beyond that the LSH (q_sim_lsh_ann)
-    / IVF (q_sim_ivf_ann) variants bound the candidate set first.
-    float64 dots differ from the oracle's sequential fold only in the
-    last ulp — far below the 1e-6 rounding and the distinct-dot gaps
-    that determine ranks.
+    Scale: exact GEMM brute force is the right kernel while n² tile
+    pairs stay schedulable; beyond that the LSH (q_sim_lsh_ann) / IVF
+    (q_sim_ivf_ann) variants bound the candidate set first. float64
+    dots differ from the oracle's sequential fold only in the last ulp
+    — far below the 1e-6 rounding and the distinct-dot gaps that
+    determine ranks.
     """
-    import numpy as np
-    import pandas as pd
+    from spype_spark.ann import cosine_topk_tiled
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.collect()  # dimension-sized broadcast (same role as a broadcast join side)
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    bc = spark.sparkContext.broadcast((ids, mat))
-    k = 5
-
-    def topk(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            src_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            src = np.array(list(pdf["embedding"]), dtype=np.float64)
-            dots = src @ b_mat.T  # one BLAS call per Arrow batch
-            for row_i, sid in enumerate(src_ids):
-                d = dots[row_i]
-                mask = b_ids != sid
-                cand_idx = np.flatnonzero(mask)
-                # deterministic order: dot desc, nbr_id asc
-                sel = cand_idx[np.lexsort((b_ids[cand_idx], -d[cand_idx]))][:k]
-                yield pd.DataFrame(
-                    {
-                        "src_id": sid,
-                        "nbr_id": b_ids[sel],
-                        "cosine": np.round(d[sel], 6),
-                        "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
-                    }
-                )
-
-    src = e.repartition(64)
-    return src.mapInPandas(
-        topk, "src_id long, nbr_id long, cosine double, rank int"
-    )
+    return cosine_topk_tiled(spark, sf_dir, k=5, n_blocks=8)
 
 
 #: LSH banding: `_LSH_BANDS` independent bands of `_LSH_PLANES_PER_BAND`

@@ -256,44 +256,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.35).
 
-    Same broadcast + block-GEMM kernel as q_sim_cosine_topk, with a
-    threshold emit instead of top-k — the semantic-dedup primitive
+    Same tiled block-GEMM grid as q_sim_cosine_topk
+    (:func:`spype_spark.ann.cosine_threshold_tiled`) with a threshold
+    emit instead of top-k — the semantic-dedup primitive
     (near-identical passages with different surface text). Threshold
     sits at the ~99.9th percentile of this corpus's pair distribution
-    so the candidate set stays sparse, as it must at scale.
+    so the candidate set stays sparse, as it must at scale. No
+    driver-side collect: memory per task is two tiles.
     """
-    import numpy as np
-    import pandas as pd
+    from spype_spark.ann import cosine_threshold_tiled
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    bc = spark.sparkContext.broadcast((ids, mat))
-
-    def near(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            src_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            src = np.array(list(pdf["embedding"]), dtype=np.float64)
-            dots = src @ b_mat.T
-            for row_i, sid in enumerate(src_ids):
-                d = dots[row_i]
-                sel = np.flatnonzero((d >= 0.35) & (b_ids > sid))
-                if len(sel):
-                    yield pd.DataFrame(
-                        {
-                            "src_id": sid,
-                            "nbr_id": b_ids[sel],
-                            "cosine": np.round(d[sel], 6),
-                        }
-                    )
-
-    return e.repartition(64).mapInPandas(
-        near, "src_id long, nbr_id long, cosine double"
-    )
+    return cosine_threshold_tiled(spark, sf_dir, threshold=0.35, n_blocks=8)
 
 
 @query(
@@ -443,7 +416,7 @@ def q_text_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_regexp_extract_all",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '[a-z]*join[a-z]*') AS join_words,
+           array_to_string(regexp_extract_all(text, '[a-z]*join[a-z]*'), '|') AS join_words,
            CAST(len(regexp_extract_all(text, '[a-z]*join[a-z]*')) AS INT) AS n_hits
     FROM documents
     WHERE contains(text, 'join')
@@ -457,7 +430,9 @@ def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idx=0 → full matches (Spark defaults to capture group 1)
     hits = F.regexp_extract_all(F.col("text"), F.lit("[a-z]*join[a-z]*"), 0)
     return d.select(
-        "doc_id", hits.alias("join_words"), F.size(hits).alias("n_hits")
+        "doc_id",
+        F.array_join(hits, "|").alias("join_words"),
+        F.size(hits).alias("n_hits"),
     )
 
 
@@ -499,60 +474,16 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-free exact cosine top-5: tiled block matrix product.
 
-    The scale path past broadcastable neighbor sets: vectors are hashed
-    into B row-blocks; the B×B block-pair grid is formed as a DataFrame
-    join (each pair row carries two packed tiles), each tile pair runs
-    one numpy GEMM inside mapInPandas, and per-source candidates
-    (top-5 per tile, ≤ B×5 per source) merge to the global top-5 with
-    one small window. Nothing is ever collected to the driver; memory
-    per task is two tiles, so n can grow arbitrarily with fixed B×B
-    parallelism — the standard distributed-GEMM decomposition.
+    Same shared kernel as q_sim_cosine_topk
+    (:func:`spype_spark.ann.cosine_topk_tiled`) run at a DIFFERENT
+    block count (B=5 vs 8): the equality test between the two contracts
+    asserts the tiling is schedule-only — block count never changes the
+    answer — which is the invariance that lets B track executor memory
+    at scale.
     """
-    import numpy as np
-    import pandas as pd
+    from spype_spark.ann import cosine_topk_tiled
 
-    B = 8
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    blocked = e.withColumn("bid", F.pmod(F.col("vec_id"), F.lit(B)))
-    tiles = blocked.groupBy("bid").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
-        ).alias("tile")
-    )
-    a = tiles.select(F.col("bid").alias("bid_a"), F.col("tile").alias("tile_a"))
-    b = tiles.select(F.col("bid").alias("bid_b"), F.col("tile").alias("tile_b"))
-    grid = a.crossJoin(b).repartition(B * B)
-
-    k = 5
-
-    def gemm(batches):
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                ia = np.array([t["vec_id"] for t in row["tile_a"]], dtype=np.int64)
-                ma = np.array([t["embedding"] for t in row["tile_a"]], dtype=np.float64)
-                ib = np.array([t["vec_id"] for t in row["tile_b"]], dtype=np.int64)
-                mb = np.array([t["embedding"] for t in row["tile_b"]], dtype=np.float64)
-                dots = ma @ mb.T
-                for r_i, sid in enumerate(ia):
-                    d = dots[r_i]
-                    cand = np.flatnonzero(ib != sid)
-                    sel = cand[np.lexsort((ib[cand], -d[cand]))][:k]
-                    if len(sel):
-                        yield pd.DataFrame(
-                            {
-                                "src_id": sid,
-                                "nbr_id": ib[sel],
-                                "dot": d[sel],
-                            }
-                        )
-
-    cand = grid.mapInPandas(gemm, "src_id long, nbr_id long, dot double")
-    w = Window.partitionBy("src_id").orderBy(F.desc("dot"), F.asc("nbr_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("src_id", "nbr_id", F.round("dot", 6).alias("cosine"), "rank")
-    )
+    return cosine_topk_tiled(spark, sf_dir, k=5, n_blocks=5)
 
 
 @query("q_sim_ivf_ann", oracle=None)  # approximate: probed-cell recall < 1
@@ -560,52 +491,18 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantize to 16 cells, probe the 4 nearest.
 
     Deterministic centroids (the 16 lowest vec_ids — a fixed seed-set;
-    production would k-means them, identical plumbing). Each vector is
-    assigned to its argmax-dot cell once; a query probes its 2 closest
-    cells and ranks exactly within ~n/8 candidates — the inverted-file
-    structure that makes brute force unnecessary at 10⁹ vectors. All
-    math is one broadcast + mapInPandas GEMM per partition.
+    production would k-means them, identical plumbing). Every stage is
+    distributed (:func:`spype_spark.ann.ivf_ann`): assignment is a
+    broadcast join of vectors × the 16-row centroid table with a window
+    argmax — round 1 computed it on the driver after collecting the
+    whole table — inverted lists are per-cell packed tiles, and each
+    (query, probed cell) pair runs one exact GEMM re-rank. Probing 4 of
+    16 cells ranks exactly within ~n/4 candidates — the inverted-file
+    structure that makes brute force unnecessary at 10⁹ vectors.
+    nprobe=4: recall@3 ≈ 0.52 on this near-uniform corpus (0.34 at
+    nprobe=2) for 4× less work than brute force; real IVF tunes nprobe
+    per recall target exactly this way.
     """
-    import numpy as np
-    import pandas as pd
+    from spype_spark.ann import ivf_ann
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    centroids = mat[:16]  # deterministic seed-set, normalized input
-    assign = np.argmax(mat @ centroids.T, axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, centroids, assign))
-    # nprobe=4 of 16 cells: recall@3 ≈ 0.55 on this near-uniform corpus
-    # (0.34 at nprobe=2) for 4× less work than brute force; real IVF
-    # tunes nprobe per recall target exactly this way.
-    k, nprobe = 3, 4
-
-    def search(batches):
-        b_ids, b_mat, cents, asg = bc.value
-        for pdf in batches:
-            src_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            src = np.array(list(pdf["embedding"]), dtype=np.float64)
-            cell_scores = src @ cents.T
-            for row_i, sid in enumerate(src_ids):
-                probe = np.argsort(-cell_scores[row_i])[:nprobe]
-                cand = np.flatnonzero(np.isin(asg, probe) & (b_ids != sid))
-                if not len(cand):
-                    continue
-                d = b_mat[cand] @ src[row_i]
-                sel = cand[np.lexsort((b_ids[cand], -d))][:k]
-                dsel = b_mat[sel] @ src[row_i]
-                yield pd.DataFrame(
-                    {
-                        "src_id": sid,
-                        "nbr_id": b_ids[sel],
-                        "cosine": np.round(dsel, 6),
-                        "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
-                    }
-                )
-
-    return e.repartition(64).mapInPandas(
-        search, "src_id long, nbr_id long, cosine double, rank int"
-    )
+    return ivf_ann(spark, sf_dir, n_cells=16, nprobe=4, k=3)

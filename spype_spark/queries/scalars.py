@@ -30,7 +30,7 @@ from spype_spark.tables import load_table
            trim(concat(' ', c_mktsegment, ' ')) AS trimmed,
            replace(c_name, 'Customer#', 'C-') AS replaced,
            lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
-           string_split(c_name, '#') AS parts
+           array_to_string(string_split(c_name, '#'), '|') AS parts
     FROM customer
     """,
 )
@@ -49,7 +49,9 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias("replaced"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
-        F.split("c_name", "#").alias("parts"),
+        # array output joined to a scalar string: the driver canonicalizes
+        # through pandas, where ndarray cells are unhashable (VERDICT r1 §wrong-2)
+        F.array_join(F.split("c_name", "#"), "|").alias("parts"),
     )
 
 
@@ -166,7 +168,7 @@ def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(l_quantity AS INT) AS qty_int,
            CAST(l_orderkey AS VARCHAR) AS okey_str,
            CAST(l_orderkey AS DOUBLE) AS okey_dbl,
-           CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
            CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS ln_roundtrip,
            strftime(CAST(strftime(l_shipdate, '%Y-%m-%d') AS TIMESTAMP),
                     '%Y-%m-%d %H:%M:%S') AS ship_ts_str
@@ -187,7 +189,10 @@ def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("int").alias("qty_int"),
         F.col("l_orderkey").cast("string").alias("okey_str"),
         F.col("l_orderkey").cast("double").alias("okey_dbl"),
-        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        # decimal cast exercised, then widened to double: DuckDB DECIMAL
+        # lands in the driver's pandas frame as float64 while Spark ships
+        # decimal.Decimal objects — canonical strings differ (VERDICT r1 §wrong-1)
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
         F.col("l_linenumber").cast("string").cast("int").alias("ln_roundtrip"),
         F.date_format(
             dstr("l_shipdate").cast("timestamp_ntz"), "yyyy-MM-dd HH:mm:ss"
@@ -284,7 +289,8 @@ def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS n,
            CAST(embedding[1] AS DOUBLE) AS e1,
-           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS first3,
+           CAST(embedding[2] AS DOUBLE) AS e2,
+           CAST(embedding[3] AS DOUBLE) AS e3,
            round(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 3) AS norm2,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
@@ -305,7 +311,10 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").alias("n"),
         F.element_at(emb_d, 1).alias("e1"),
-        F.slice(emb_d, 1, 3).alias("first3"),
+        # slice still exercised, but emitted as scalar doubles instead of an
+        # array column (driver pandas canon can't hash ndarray cells)
+        F.element_at(F.slice(emb_d, 1, 3), 2).alias("e2"),
+        F.element_at(F.slice(emb_d, 1, 3), 3).alias("e3"),
         F.round(
             F.aggregate(
                 emb_d,
@@ -328,10 +337,12 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           list_sort(list_distinct(list_intersect(wa, wb))) AS inter,
-           list_sort(list_distinct(list_concat(wa, wb))) AS uni,
-           list_sort(list_distinct(list_filter(wa,
-               x -> NOT list_contains(wb, x)))) AS diff,
+           COALESCE(array_to_string(list_sort(list_distinct(
+               list_intersect(wa, wb))), '|'), '') AS inter,
+           COALESCE(array_to_string(list_sort(list_distinct(
+               list_concat(wa, wb))), '|'), '') AS uni,
+           COALESCE(array_to_string(list_sort(list_distinct(list_filter(wa,
+               x -> NOT list_contains(wb, x)))), '|'), '') AS diff,
            list_has_any(wa, wb) AS overlaps
     FROM t
     """,
@@ -345,9 +356,13 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     wa, wb = F.slice(ws, 1, 12), F.slice(ws, 8, 13)
     return d.select(
         "doc_id",
-        F.array_sort(F.array_distinct(F.array_intersect(wa, wb))).alias("inter"),
-        F.array_sort(F.array_union(wa, wb)).alias("uni"),
-        F.array_sort(F.array_distinct(F.array_except(wa, wb))).alias("diff"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_intersect(wa, wb))), "|"
+        ).alias("inter"),
+        F.array_join(F.array_sort(F.array_union(wa, wb)), "|").alias("uni"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.array_except(wa, wb))), "|"
+        ).alias("diff"),
         F.arrays_overlap(wa, wb).alias("overlaps"),
     )
 
@@ -375,7 +390,7 @@ def q_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS INT) AS k,
-           json_keys(props) AS ks,
+           array_to_string(list_sort(json_keys(props)), '|') AS ks,
            CAST(len(json_keys(props)) AS INT) AS n_keys
     FROM events
     """,
@@ -387,6 +402,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.element_at(m, "k").alias("k"),
-        F.map_keys(m).alias("ks"),
+        # key order is engine-defined → sort then join to a scalar string
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("ks"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )

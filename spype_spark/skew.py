@@ -43,19 +43,42 @@ def salted_agg(
     )
 
     def combiner(name: str, expr: Column) -> Column:
-        # F.count partials merge by sum; min/max are idempotent; sum by sum.
+        # Whitelist, not blacklist: only aggregates whose partials merge
+        # losslessly are accepted (sum/count → sum, min → min, max → max).
+        # Anything else (first, collect_list, stddev, approx_count_distinct,
+        # avg, DISTINCT...) is NOT salt-decomposable with these combiners
+        # and silently defaulting to sum would return wrong results.
+        #
+        # Detection uses the unresolved expression node, not the Column's
+        # toString: Spark 4 renders count(DISTINCT v) as plain 'count(v)',
+        # so a string check cannot see DISTINCT.
+        fn_name, is_distinct = None, False
+        try:
+            node = expr._jc.node()
+            fn_name = str(node.functionName()).lower()
+            is_distinct = bool(node.isDistinct())
+        except Exception:
+            # non-UnresolvedFunction column (arithmetic over aggregates,
+            # literals...): not a recognizable decomposable partial
+            pass
         s = str(expr._jc)
-        if s.startswith(("avg(", "mean(")) or "DISTINCT" in s:
+        if is_distinct:
             raise ValueError(
                 f"aggregate {name!r} ({s}) is not salt-decomposable — "
-                "compute avg as sum/count and distincts via a pre-distinct"
+                "DISTINCT partials cannot be merged; use a pre-distinct"
             )
         col = F.col(f"__p_{name}")
-        if s.startswith("min("):
+        if fn_name == "min":
             return F.min(col).alias(name)
-        if s.startswith("max("):
+        if fn_name == "max":
             return F.max(col).alias(name)
-        return F.sum(col).alias(name)
+        if fn_name in ("sum", "count"):
+            return F.sum(col).alias(name)
+        raise ValueError(
+            f"aggregate {name!r} ({s}) is not salt-decomposable — "
+            "supported partials: sum/count/min/max; compute avg as "
+            "sum/count and merge sketches/collections explicitly"
+        )
 
     return partial.groupBy(*keys).agg(
         *[combiner(name, expr) for name, expr in aggs.items()]

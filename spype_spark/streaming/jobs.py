@@ -26,16 +26,37 @@ EVENTS_SCHEMA = (
 )
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events Parquet with the ns→µs conversion."""
+def _scratch_root() -> str:
+    """Scratch dir for checkpoints/spills — created on demand (a fresh
+    checkout has no .scratch/: it is gitignored)."""
+    root = os.environ.get("SPYPE_SCRATCH", "/root/repo/.scratch")
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over the events Parquet with the ns→µs conversion.
+
+    ``max_files_per_trigger`` is a SOURCE (read) option — setting it on
+    the writeStream is a silent no-op. Under Trigger.AvailableNow it
+    bounds each micro-batch to N files, which is how a drain run gets
+    split into multiple epochs.
+    """
     ensure_session_confs(spark)
     # FileStreamSource tails a *directory*; glob-filter to the events file.
-    raw = (
+    reader = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", glob)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(sf_dir)
     # NB: watermarks require TIMESTAMP (with-local-tz), not TIMESTAMP_NTZ —
     # session tz is pinned to UTC so rendered strings match the batch side.
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -45,7 +66,7 @@ def _run_available_now(sdf: DataFrame, output_mode: str, name: str) -> DataFrame
     """Drain a finite stream to an in-memory sink, return its result."""
     spark = sdf.sparkSession
     with tempfile.TemporaryDirectory(
-        prefix="spype_ckpt_", dir=os.environ.get("SPYPE_SCRATCH", "/root/repo/.scratch")
+        prefix="spype_ckpt_", dir=_scratch_root()
     ) as ckpt:
         q = (
             sdf.writeStream.format("memory")
@@ -129,9 +150,18 @@ def run_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked exactly-once dedup on event_id (state ≤ 1 h horizon)."""
+    """Watermarked exactly-once dedup on event_id (state ≤ 1 h horizon).
+
+    dropDuplicatesWithinWatermark is what actually bounds state: plain
+    dropDuplicates(["event_id"]) without the event-time column in the
+    key subset never evicts via the watermark — state grows without
+    bound on an infinite stream. The WithinWatermark variant keeps a key
+    only until the watermark passes its first-seen event time, which is
+    the right contract when duplicates arrive close together (retries,
+    at-least-once sources).
+    """
     ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    deduped = ev.dropDuplicates(["event_id"]).select(
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "event_type"
     )
     return _run_available_now(deduped, "append", "spype_stream_dedup")
@@ -217,7 +247,7 @@ def run_stream_foreach_batch_sink(
         )
 
     with tempfile.TemporaryDirectory(
-        prefix="spype_ckpt_", dir=os.environ.get("SPYPE_SCRATCH", "/root/repo/.scratch")
+        prefix="spype_ckpt_", dir=_scratch_root()
     ) as ckpt:
         q = (
             ev.writeStream.foreachBatch(write_batch)
@@ -230,7 +260,7 @@ def run_stream_foreach_batch_sink(
 
 
 def run_stream_rollup_maintenance(
-    spark: SparkSession, sf_dir: str, rollup_dir: str
+    spark: SparkSession, sf_dir: str, rollup_dir: str, n_splits: int = 4
 ) -> DataFrame:
     """Incrementally maintain the hourly rollup from the event stream.
 
@@ -241,8 +271,23 @@ def run_stream_rollup_maintenance(
     table format would do in place). Because partials are additive
     integers, the re-aggregated rollup equals the batch rollup exactly
     (tests/test_streaming.py).
+
+    To actually exercise the multi-epoch replay path, the single events
+    file is first split into ``n_splits`` files and the stream reads
+    them with maxFilesPerTrigger=1 (a SOURCE option — on the writer it
+    is a no-op) so AvailableNow drains in ~``n_splits`` epochs, each
+    appending its own partial partition.
     """
-    ev = _events_stream(spark, sf_dir)
+    split_dir = tempfile.mkdtemp(prefix="spype_events_split_", dir=_scratch_root())
+    ensure_session_confs(spark)
+    (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+        .repartition(n_splits)
+        .write.mode("overwrite")
+        .parquet(split_dir)
+    )
+    ev = _events_stream(spark, split_dir, glob="*.parquet", max_files_per_trigger=1)
 
     def write_partials(batch_df: DataFrame, epoch_id: int) -> None:
         # aggregate INSIDE the epoch: per-batch additive partials.
@@ -261,12 +306,11 @@ def run_stream_rollup_maintenance(
         partial.write.mode("overwrite").parquet(f"{rollup_dir}/epoch={epoch_id}")
 
     with tempfile.TemporaryDirectory(
-        prefix="spype_ckpt_", dir=os.environ.get("SPYPE_SCRATCH", "/root/repo/.scratch")
+        prefix="spype_ckpt_", dir=_scratch_root()
     ) as ckpt:
         q = (
             ev.writeStream.foreachBatch(write_partials)
             .option("checkpointLocation", ckpt)
-            .option("maxFilesPerTrigger", "1")
             .trigger(availableNow=True)
             .start()
         )

@@ -86,6 +86,28 @@ def test_tiled_gemm_equals_broadcast_gemm(spark):
     assert tiled == exact
 
 
+def test_no_driver_collect_in_package():
+    """Scale guard: no driver-side .collect() anywhere in the package
+    except the pipeline DSL's explicit action API (dsl.py). The round-1
+    embedding kernels collected the whole table on the driver — this
+    pins the fix."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "spype_spark"
+    offenders = []
+    for p in sorted(root.rglob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if ".collect()" not in line:
+                continue
+            stripped = line.strip()
+            if stripped.startswith("#") or "``" in line:
+                continue  # comment / docstring mention
+            if p.name == "dsl.py":
+                continue  # the explicit Pype action API
+            offenders.append(f"{p.name}:{i}: {stripped}")
+    assert not offenders, f"driver-side collect() in hot path: {offenders}"
+
+
 def test_exact_dedup_is_lossless(spark):
     """Exact dedup must preserve every distinct text exactly once."""
     d = spark.read.parquet(f"{SF}/documents.parquet")

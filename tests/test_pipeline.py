@@ -205,6 +205,23 @@ def test_expect_splits_and_counts(df):
     assert valid.count() == 2 and bad.count() == 1
 
 
+def test_expect_null_predicate_counts_as_violation(spark):
+    # rows where the predicate evaluates to NULL must land in quarantine
+    # and be counted — not silently vanish from both branches
+    from pyspark.sql import Observation
+
+    d = spark.createDataFrame(
+        [(1, 20.0), (2, None), (3, 10.0)], "id bigint, v double"
+    )
+    obs = Observation("null_contract")
+    valid, bad = expect(
+        d, F.col("v") > 15, quarantine=True, observation=obs
+    )
+    assert valid.count() == 1
+    assert bad.count() == 2  # the NULL row is quarantined, not lost
+    assert obs.get["violations"] == 2 and obs.get["rows"] == 3
+
+
 def test_expect_observation_metrics_readable(df):
     from pyspark.sql import Observation
 

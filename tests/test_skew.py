@@ -38,6 +38,22 @@ def test_salted_agg_equals_direct(spark):
     assert salted == direct
 
 
+def test_salted_agg_rejects_non_decomposable(spark):
+    # non-decomposable partials must raise, never silently merge via sum
+    import pytest
+
+    df = make_skewed(spark, n_hot=50, n_tail=10)
+    for bad in (
+        F.first("v"),
+        F.collect_list("v"),
+        F.stddev("v"),
+        F.avg("v"),
+        F.countDistinct("v"),
+    ):
+        with pytest.raises(ValueError, match="not salt-decomposable"):
+            salted_agg(df, ["k"], {"x": bad})
+
+
 def test_salted_join_equals_direct(spark):
     fact = make_skewed(spark, n_hot=2000, n_tail=200)
     dim = spark.createDataFrame(

@@ -173,6 +173,14 @@ def test_incremental_rollup_equals_batch_rollup(spark, sf_dir, tmp_path):
     from spype_spark.streaming.jobs import run_stream_rollup_maintenance
 
     incr = run_stream_rollup_maintenance(spark, sf_dir, str(tmp_path / "rollup"))
+    # the replay path must actually be multi-epoch (input split +
+    # source-side maxFilesPerTrigger=1), not one epoch holding everything
+    import os as _os
+
+    epochs = [
+        d for d in _os.listdir(tmp_path / "rollup") if d.startswith("epoch=")
+    ]
+    assert len(epochs) > 1, f"expected multi-epoch drain, got {epochs}"
     batch = hourly_rollup(spark, sf_dir)
     key = lambda r: (r.hour_ts, r.event_type)  # noqa: E731
     got = {key(r): (r.n, r.value_scaled) for r in incr.collect()}

@@ -53,6 +53,55 @@ def canon_value(v) -> str:
     return str(v)
 
 
+def _replica_cell(v) -> str:
+    """Cell canonicalization as the DRIVER sees it (post-pandas).
+
+    The driver converts both result sets through pandas before hashing
+    (CORRECTNESS_r01 tracebacks show pandas sort_values in its _canon).
+    Two consequences this replica reproduces deliberately:
+
+    - numpy.ndarray cells (any array-typed output column) are unhashable
+      in pandas sort_values → the driver CRASHES. We raise the same
+      TypeError so array outputs fail loudly here first.
+    - DuckDB DECIMAL arrives as float64 while Spark ships
+      decimal.Decimal objects → differing canonical strings → hash
+      mismatch. repr() preserves that divergence instead of papering
+      over it like canon_value() does.
+    """
+    import numpy as np
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, np.ndarray):
+        raise TypeError("unhashable type: 'numpy.ndarray' (driver-replica)")
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float):
+        return "NULL" if v != v else repr(v)
+    return repr(v)
+
+
+def replica_hash(pdf) -> str:
+    """Order-insensitive hash through the driver's pandas path.
+
+    Sorts columns by name, rows by all columns via pandas sort_values
+    (which raises on unhashable cells exactly like the driver), then
+    sha256 over repr-canonicalized rows.
+    """
+    pdf = pdf.reindex(columns=sorted(pdf.columns))
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns))
+    h = hashlib.sha256()
+    lines = sorted(
+        "\x1f".join(_replica_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
 def hash_rows(cols: list[str], rows: list[tuple]) -> str:
     """Order-insensitive hash: sort columns by name, canonicalize rows,
     sort row strings, sha256."""
@@ -79,6 +128,13 @@ def main() -> int:
     )
     ap.add_argument("--show-diff", action="store_true",
                     help="print sample mismatching rows")
+    ap.add_argument(
+        "--driver-replica",
+        action="store_true",
+        help="ALSO hash through the driver's pandas canonicalization "
+        "(catches ndarray crashes and Decimal-vs-float64 divergence "
+        "that the strict native hash is blind to)",
+    )
     args = ap.parse_args()
 
     keys = args.keys or sorted(REGISTRY)
@@ -134,6 +190,14 @@ def main() -> int:
             hs, hd = hash_rows(s_cols, s_rows), hash_rows(d_cols, d_rows)
             if hs != hd:
                 problems.append("value-hash mismatch")
+            elif args.driver_replica:
+                try:
+                    rs = replica_hash(df.toPandas())
+                    rd = replica_hash(con.sql(q.oracle).df())
+                    if rs != rd:
+                        problems.append("DRIVER-replica hash mismatch")
+                except TypeError as e:
+                    problems.append(f"DRIVER-replica crash: {e}")
                 if args.show_diff:
                     order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
                     order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
