@@ -67,6 +67,37 @@ def _word_shingles(k: int = 3):
     )
 
 
+#: Oversized-bucket guard for every LSH-style band self-join: a single
+#: bucket of m members contributes m² candidate pairs, so one degenerate
+#: key (empty shingle, boilerplate page, adversarial spam cluster) turns
+#: a linear pair stage quadratic. Buckets above the cap are dropped —
+#: m > cap members sharing one band bucket means near-identical content
+#: that exact dedup (q_dedup_exact) already collapses, and real
+#: dedup systems cap exactly this way rather than score m² spam pairs.
+#: The cap is far above any bucket this corpus produces (max ≈ 5), so
+#: normal output is unchanged (tests/test_llm_quality.py pins both).
+LSH_BUCKET_CAP = 256
+
+
+def filter_oversized_buckets(
+    df: DataFrame, keys: list[str], cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Drop all rows of band buckets with more than ``cap`` members.
+
+    The heavy-hitter list (buckets over cap) is tiny by construction —
+    aggregate it (partial map-side combine, narrow shuffle of bucket
+    keys only) and broadcast anti-join, rather than window-counting
+    over the full bands table (which would add a wide shuffle).
+    """
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("__bucket_n"))
+        .filter(F.col("__bucket_n") > cap)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
 @query("q_dedup_minhash", oracle=None)  # hash family is engine-specific
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs over 3-word shingles.
@@ -102,6 +133,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_hash"),
     )
+    bands = filter_oversized_buckets(bands, ["band_idx", "band_hash"])
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
@@ -331,6 +363,10 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             start=F.lit(0),
         )
         band_buckets.append(bucket)
+    # NB: no filter_oversized_buckets here — hyperplane buckets live in a
+    # FIXED 2^6 code space per band, so |bucket| grows ∝ n by design (at
+    # larger n one adds planes to keep buckets bounded, not a cap, which
+    # would eventually drop every bucket).
     eb = e.select(
         "vec_id",
         "emb",

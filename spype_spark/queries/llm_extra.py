@@ -228,10 +228,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         start=F.lit(0),
     )
     sig = sig.select("doc_id", lo.alias("band_lo"), hi.alias("band_hi"))
+    from spype_spark.queries.llm import filter_oversized_buckets
+
     pairs = None
     for band in ("band_lo", "band_hi"):
-        a = sig.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("b"))
-        b = sig.select(F.col("doc_id").alias("doc_b"), F.col(band).alias("b"))
+        bb = filter_oversized_buckets(
+            sig.select("doc_id", F.col(band).alias("b")), ["b"]
+        )
+        a = bb.select(F.col("doc_id").alias("doc_a"), "b")
+        b = bb.select(F.col("doc_id").alias("doc_b"), "b")
         p = a.join(b, "b").filter(F.col("doc_a") < F.col("doc_b")).select(
             "doc_a", "doc_b"
         )

