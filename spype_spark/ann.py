@@ -87,24 +87,32 @@ def cosine_topk_tiled(
 
     def gemm(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                ia = np.array([t["vec_id"] for t in row["tile_a"]], dtype=np.int64)
+            for row in pdf.itertuples(index=False):
+                ia = np.array([t["vec_id"] for t in row.tile_a], dtype=np.int64)
                 ma = np.array(
-                    [t["embedding"] for t in row["tile_a"]], dtype=np.float64
+                    [t["embedding"] for t in row.tile_a], dtype=np.float64
                 )
-                ib = np.array([t["vec_id"] for t in row["tile_b"]], dtype=np.int64)
+                ib = np.array([t["vec_id"] for t in row.tile_b], dtype=np.int64)
                 mb = np.array(
-                    [t["embedding"] for t in row["tile_b"]], dtype=np.float64
+                    [t["embedding"] for t in row.tile_b], dtype=np.float64
                 )
                 dots = ma @ mb.T
-                for r_i, sid in enumerate(ia):
-                    d = dots[r_i]
-                    cand = np.flatnonzero(ib != sid)
-                    sel = cand[np.lexsort((ib[cand], -d[cand]))][:k]
-                    if len(sel):
-                        yield pd.DataFrame(
-                            {"src_id": sid, "nbr_id": ib[sel], "dot": d[sel]}
-                        )
+                # fully vectorized per tile pair (ONE emitted frame, not
+                # one per source row): row-wise order by (dot desc,
+                # nbr_id asc), keep first k non-self columns
+                order = np.lexsort(
+                    (np.broadcast_to(ib, dots.shape), -dots), axis=-1
+                )[:, : k + 1]
+                nbr = ib[order]
+                valid = nbr != ia[:, None]
+                keep = valid & (np.cumsum(valid, axis=1) <= k)
+                yield pd.DataFrame(
+                    {
+                        "src_id": np.repeat(ia, keep.sum(axis=1)),
+                        "nbr_id": nbr[keep],
+                        "dot": np.take_along_axis(dots, order, axis=1)[keep],
+                    }
+                )
 
     cand = grid.mapInPandas(gemm, "src_id long, nbr_id long, dot double")
     w = Window.partitionBy("src_id").orderBy(F.desc("dot"), F.asc("nbr_id"))
@@ -132,27 +140,28 @@ def cosine_threshold_tiled(
 
     def gemm(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                ia = np.array([t["vec_id"] for t in row["tile_a"]], dtype=np.int64)
+            for row in pdf.itertuples(index=False):
+                ia = np.array([t["vec_id"] for t in row.tile_a], dtype=np.int64)
                 ma = np.array(
-                    [t["embedding"] for t in row["tile_a"]], dtype=np.float64
+                    [t["embedding"] for t in row.tile_a], dtype=np.float64
                 )
-                ib = np.array([t["vec_id"] for t in row["tile_b"]], dtype=np.int64)
+                ib = np.array([t["vec_id"] for t in row.tile_b], dtype=np.int64)
                 mb = np.array(
-                    [t["embedding"] for t in row["tile_b"]], dtype=np.float64
+                    [t["embedding"] for t in row.tile_b], dtype=np.float64
                 )
                 dots = ma @ mb.T
-                for r_i, sid in enumerate(ia):
-                    d = dots[r_i]
-                    sel = np.flatnonzero((d >= threshold) & (ib > sid))
-                    if len(sel):
-                        yield pd.DataFrame(
-                            {
-                                "src_id": sid,
-                                "nbr_id": ib[sel],
-                                "cosine": np.round(d[sel], 6),
-                            }
-                        )
+                mask = (dots >= threshold) & (
+                    np.broadcast_to(ib, dots.shape) > ia[:, None]
+                )
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    yield pd.DataFrame(
+                        {
+                            "src_id": ia[ii],
+                            "nbr_id": ib[jj],
+                            "cosine": np.round(dots[ii, jj], 6),
+                        }
+                    )
 
     return grid.mapInPandas(gemm, "src_id long, nbr_id long, cosine double")
 
@@ -228,31 +237,50 @@ def ivf_ann(
         ).alias("tile")
     )
 
-    probes = ranked.filter(F.col("crank") <= nprobe).select(
-        F.col("vec_id").alias("src_id"),
-        F.col("embedding").alias("src_emb"),
-        "cell_id",
+    # pack the probing queries per cell too: one (query-tile × cell-tile)
+    # GEMM unit per cell, instead of re-shipping the cell tile once per
+    # probe row (which would blow the search stage up to |probes|·|cell|)
+    qtiles = (
+        ranked.filter(F.col("crank") <= nprobe)
+        .groupBy("cell_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("src_id"),
+                        F.col("embedding").alias("src_emb"),
+                    )
+                )
+            ).alias("qtile")
+        )
     )
-    search_units = probes.join(inv, "cell_id").repartition(
-        n_cells * 4, "cell_id", "src_id"
-    )
+    search_units = qtiles.join(inv, "cell_id").repartition(n_cells, "cell_id")
 
     def search(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                sid = row["src_id"]
-                src = np.array(row["src_emb"], dtype=np.float64)
-                ib = np.array([t["vec_id"] for t in row["tile"]], dtype=np.int64)
-                mb = np.array(
-                    [t["embedding"] for t in row["tile"]], dtype=np.float64
+            for row in pdf.itertuples(index=False):
+                ia = np.array([t["src_id"] for t in row.qtile], dtype=np.int64)
+                ma = np.array(
+                    [t["src_emb"] for t in row.qtile], dtype=np.float64
                 )
-                d = mb @ src
-                cand = np.flatnonzero(ib != sid)
-                sel = cand[np.lexsort((ib[cand], -d[cand]))][:k]
-                if len(sel):
-                    yield pd.DataFrame(
-                        {"src_id": sid, "nbr_id": ib[sel], "dot": d[sel]}
-                    )
+                ib = np.array([t["vec_id"] for t in row.tile], dtype=np.int64)
+                mb = np.array(
+                    [t["embedding"] for t in row.tile], dtype=np.float64
+                )
+                dots = ma @ mb.T
+                order = np.lexsort(
+                    (np.broadcast_to(ib, dots.shape), -dots), axis=-1
+                )[:, : k + 1]
+                nbr = ib[order]
+                valid = nbr != ia[:, None]
+                keep = valid & (np.cumsum(valid, axis=1) <= k)
+                yield pd.DataFrame(
+                    {
+                        "src_id": np.repeat(ia, keep.sum(axis=1)),
+                        "nbr_id": nbr[keep],
+                        "dot": np.take_along_axis(dots, order, axis=1)[keep],
+                    }
+                )
 
     cand = search_units.mapInPandas(
         search, "src_id long, nbr_id long, dot double"
