@@ -19,6 +19,7 @@ merely *tested* on local[32]; see docstrings and SCALE.md for the
 per-operator scale rationale.
 """
 
+from spype_spark import functions  # composable library surface  # noqa: F401
 from spype_spark.pipeline import (  # spype-style top-level surface
     IncompatibleTasksError,
     Pype,
@@ -33,6 +34,7 @@ from spype_spark.tables import load_table, load_tables
 
 __all__ = [
     "REGISTRY",
+    "functions",
     "query",
     "get_spark",
     "load_table",

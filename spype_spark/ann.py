@@ -30,17 +30,18 @@ and this corpus's score gaps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from spype_spark.tables import load_table
 
 #: embeddings.embedding is fixed 64-dim (FIXTURES.md).
 EMB_DIM = 64
 
 
-def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def _normalize(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """Project any (id, embedding) DataFrame onto the kernel schema."""
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
 
 
 def _tiles(e: DataFrame, n_blocks: int, key: str = "bid") -> DataFrame:
@@ -70,7 +71,11 @@ def _block_grid(e: DataFrame, n_blocks: int) -> DataFrame:
 
 
 def cosine_topk_tiled(
-    spark: SparkSession, sf_dir: str, k: int = 5, n_blocks: int = 8
+    df: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors (unit-norm ⇒ cosine ≡ dot product)
     via the broadcast-free tiled block matrix product.
@@ -83,7 +88,7 @@ def cosine_topk_tiled(
     import numpy as np
     import pandas as pd
 
-    grid = _block_grid(_embeddings(spark, sf_dir), n_blocks)
+    grid = _block_grid(_normalize(df, id_col, emb_col), n_blocks)
 
     def gemm(batches):
         for pdf in batches:
@@ -124,7 +129,11 @@ def cosine_topk_tiled(
 
 
 def cosine_threshold_tiled(
-    spark: SparkSession, sf_dir: str, threshold: float, n_blocks: int = 8
+    df: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (src_id < nbr_id), tiled.
 
@@ -136,7 +145,7 @@ def cosine_threshold_tiled(
     import numpy as np
     import pandas as pd
 
-    grid = _block_grid(_embeddings(spark, sf_dir), n_blocks)
+    grid = _block_grid(_normalize(df, id_col, emb_col), n_blocks)
 
     def gemm(batches):
         for pdf in batches:
@@ -174,11 +183,12 @@ def _dot_hof(a, b):
 
 
 def ivf_ann(
-    spark: SparkSession,
-    sf_dir: str,
+    df: DataFrame,
     n_cells: int = 16,
     nprobe: int = 4,
     k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
 ) -> DataFrame:
     """IVF ANN with every stage distributed.
 
@@ -198,7 +208,7 @@ def ivf_ann(
     import numpy as np
     import pandas as pd
 
-    e = _embeddings(spark, sf_dir)
+    e = _normalize(df, id_col, emb_col)
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
     cents = (

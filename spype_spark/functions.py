@@ -1,0 +1,329 @@
+"""Composable public API — the engine as a *library*, not a contract
+harness (ROADMAP item 5 / round-1 verdict task 9).
+
+Every function here is DataFrame-in → DataFrame-out (or a Column
+builder), parameterized by column names, with no dependency on the test
+corpus: the query contracts in :mod:`spype_spark.queries` are now thin
+bindings of these calls to the driver's tables, and a user can compose
+novel pipelines from this surface alone (see the module example below
+and tests/test_functions.py).
+
+Example — near-dedup a corpus, then top-k semantic neighbors of the
+survivors::
+
+    from spype_spark import functions as S
+
+    docs   = spark.read.parquet(".../documents")      # (doc_id, text, ...)
+    embs   = spark.read.parquet(".../embeddings")     # (vec_id, embedding)
+
+    survivors = S.near_dedup(docs, min_jaccard=0.5)   # drop near-dup texts
+    nbrs = S.cosine_topk(
+        embs.join(survivors.select("doc_id"),
+                  embs.vec_id == survivors.doc_id, "left_semi"),
+        k=5,
+    )
+
+Scale notes live with each kernel: the dedup family is bucket-bounded
+(never all-pairs), the embedding kernels are tiled block-GEMMs with no
+driver-side collect, and the as-of/band joins are single-shuffle
+rewrites of what Spark would otherwise plan as per-row lookups or
+nested loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# embedding kernels (tiled block-GEMM / distributed IVF) — re-exported
+# under library names
+from spype_spark.ann import cosine_threshold_tiled as cosine_near_pairs
+from spype_spark.ann import cosine_topk_tiled as cosine_topk
+from spype_spark.ann import ivf_ann as ivf_topk
+
+# skew-handling patterns
+from spype_spark.skew import salted_agg, salted_join
+
+__all__ = [
+    "word_shingles",
+    "filter_oversized_buckets",
+    "exact_dedup",
+    "minhash_candidates",
+    "ngram_jaccard_pairs",
+    "near_dedup",
+    "cosine_topk",
+    "cosine_near_pairs",
+    "ivf_topk",
+    "asof_join",
+    "band_join",
+    "salted_agg",
+    "salted_join",
+]
+
+
+# ---------------------------------------------------------------------------
+# Text shingling / dedup
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col: str = "text", k: int = 3) -> Column:
+    """``array<string>`` of k-word shingles of ``text_col``.
+
+    Pure expression (sequence + transform + element_at) — evaluated
+    JVM-side, usable inside any select. Documents shorter than k words
+    yield an empty array.
+    """
+    words = F.split(F.col(text_col), " ")
+    # guard short docs explicitly: Spark's sequence(1, n) DESCENDS when
+    # n < 1 instead of yielding an empty array
+    idx = F.when(
+        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(k)]
+        ),
+    )
+
+
+#: Oversized-bucket guard cap — see :func:`filter_oversized_buckets`.
+LSH_BUCKET_CAP = 256
+
+
+def filter_oversized_buckets(
+    df: DataFrame, keys: list[str], cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Drop all rows of band buckets with more than ``cap`` members.
+
+    A single degenerate bucket of m members contributes m² candidate
+    pairs, turning a linear LSH pair stage quadratic under boilerplate/
+    spam clusters. The heavy-hitter list (buckets over cap) is tiny by
+    construction — aggregate it (map-side combine, narrow shuffle of
+    bucket keys only) and broadcast anti-join, rather than window-
+    counting over the full table (a wide shuffle).
+    """
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("__bucket_n"))
+        .filter(F.col("__bucket_n") > cap)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one deterministic survivor (min id) per text value.
+
+    groupBy rather than dropDuplicates — the latter keeps an
+    *arbitrary* row. Returns the surviving rows of ``df`` with all
+    their columns. At 100 TB group on a hash of the text to shrink
+    shuffle width (the semantics are identical for non-colliding
+    hashes).
+    """
+    keep = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    # semi-join puts join keys first; restore the caller's column order
+    return df.join(keep, [text_col, id_col], "left_semi").select(*df.columns)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs (doc_a < doc_b).
+
+    shingle → ``n_hashes`` seeded minhashes per doc (one pass:
+    min(xxhash64(seed, shingle))) → n_hashes/2 LSH bands of r=2 →
+    band-bucket self-join, bucket-capped. Cost at scale is
+    O(n·shingles) for signatures plus Σ|bucket|² for pairing, with the
+    guard bounding the worst bucket. Deterministic: fixed integer seeds,
+    no rand().
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                    for b in range(n_hashes // 2)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    bands = filter_oversized_buckets(
+        bands, ["band_idx", "band_hash"], cap=bucket_cap
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard for doc pairs sharing ≥1 shingle.
+
+    The shingle equi-join *is* the blocking step: cost is
+    Σ|posting-list|² (the inverted-index bound) instead of n².
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash candidates → exact
+    Jaccard verify (≥ ``min_jaccard``) → drop the higher id of each
+    verified pair. Returns the surviving rows of ``df``.
+
+    The production composition: LSH bounds the pair set, the exact
+    verify kills false positives, the survivor rule is deterministic.
+    """
+    cand = minhash_candidates(df, id_col, text_col)
+    verified = ngram_jaccard_pairs(
+        df, id_col, text_col, min_jaccard=min_jaccard
+    )
+    confirmed = verified.join(cand, ["doc_a", "doc_b"], "left_semi")
+    dropped = confirmed.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Temporal / range joins
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the most recent right
+    row with ``right_ts <= left_ts`` within the same key group.
+
+    Spark has no native ASOF JOIN; this is the union-tag + windowed
+    last(ignorenulls) rewrite: ONE shuffle on the key + a
+    partition-local sort — the same asymptotics kdb/Flink use for
+    temporal joins, vs. a per-row subquery. Right rows sort before left
+    rows on timestamp ties (inclusive <= semantics).
+
+    Key columns must carry the same names on both sides (alias before
+    calling); ``right_cols`` are appended to the left schema (null when
+    no right row precedes).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__tag", F.lit(1)
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_cols:
+        merged = merged.withColumn(
+            c, F.last(f"__r_{c}", ignorenulls=True).over(w)
+        )
+    return merged.filter(F.col("__tag") == 1).drop(
+        "__ts", "__tag", *[f"__r_{c}" for c in right_cols]
+    )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    band: float,
+) -> DataFrame:
+    """Band (range) join: all (left, right) pairs with
+    ``|left_val - right_val| <= band``, as an *equi* join on value
+    buckets.
+
+    Left probes buckets {⌊v/band⌋-1, ⌊v/band⌋, ⌊v/band⌋+1} (an explode
+    of 3 rows), right is keyed by ⌊v/band⌋, and the exact predicate
+    filters after the hash match — turning Spark's O(n²)
+    BroadcastNestedLoopJoin plan into a shuffle hash join costing
+    n × bucket density. Output: all left columns + all right columns.
+    """
+    scale = F.lit(float(band))
+    lb = F.floor(F.col(left_val) / scale)
+    rb = F.floor(F.col(right_val) / scale)
+    a = left.withColumn(
+        "__bucket", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    b = right.withColumn("__bucket", rb)
+    return (
+        a.join(b, "__bucket")
+        .filter(F.abs(F.col(left_val) - F.col(right_val)) <= band)
+        .drop("__bucket")
+    )

@@ -28,6 +28,7 @@ from spype_spark.queries import pivots  # noqa: F401
 from spype_spark.queries import subqueries  # noqa: F401
 from spype_spark.queries import rollup_materialized  # noqa: F401
 from spype_spark.queries import skew_demo  # noqa: F401
+from spype_spark.queries import lakehouse_ops  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.

@@ -249,24 +249,20 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     n × (bucket density) — the standard range-join optimization that
     survives 100 TB, with the bucket width tuned to the band.
     """
+    from spype_spark.functions import band_join
+
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
-    bucket = F.floor("p_retailprice")
     a = p.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_retailprice").alias("price_a"),
-        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bucket"),
     )
     b = p.select(
         F.col("p_partkey").alias("key_b"),
         F.col("p_retailprice").alias("price_b"),
-        bucket.alias("bucket"),
     )
     return (
-        a.join(b, "bucket")
-        .filter(
-            (F.col("key_a") < F.col("key_b"))
-            & (F.abs(F.col("price_a") - F.col("price_b")) <= 1.0)
-        )
+        band_join(a, b, "price_a", "price_b", band=1.0)
+        .filter(F.col("key_a") < F.col("key_b"))
         .select(
             "key_a",
             "key_b",
@@ -297,33 +293,20 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     use for temporal joins, vs. the naive per-event subquery. Ties on
     o_orderdate yield the same date either way → deterministic output.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("user_id"),
-        F.col("ts"),
-        F.col("event_id"),
-        F.lit(None).cast("timestamp_ntz").alias("odate"),
-        F.lit(1).alias("tag"),
-    )
+    from spype_spark.functions import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     od = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("ts"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("o_orderdate").alias("odate"),
-        F.lit(0).alias("tag"),
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = asof_join(
+        ev,
+        od,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderdate"],
     )
-    merged = ev.unionByName(od).withColumn(
-        "last_odate", F.last("odate", ignorenulls=True).over(w)
-    )
-    return (
-        merged.filter(F.col("tag") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            dstr("last_odate").alias("last_order_d"),
-        )
+    return out.select(
+        "event_id", "user_id", dstr("o_orderdate").alias("last_order_d")
     )

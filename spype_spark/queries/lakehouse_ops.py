@@ -1,0 +1,191 @@
+"""Lakehouse table-format contracts (SURVEY.md §2.B "lakehouse ops").
+
+MERGE/upsert, DELETE, time travel, and compaction over the versioned-
+Parquet format in :mod:`spype_spark.lakehouse`. Each contract builds a
+scratch table from the ``orders`` corpus table, applies the operation,
+and returns the resulting snapshot — whose content is pure SQL over
+``orders``, so every contract (except the metadata history) carries a
+DuckDB oracle: the driver independently verifies that versioned
+snapshot semantics produce exactly the relational answer.
+
+The results are localCheckpoint-materialized before the scratch table
+is deleted (same pattern as sources_sinks).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spype_spark import lakehouse as lake
+from spype_spark.queries.sources_sinks import _scratch
+from spype_spark.registry import query
+from spype_spark.tables import load_table
+
+_BASE_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target table: orders under key 8000."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 8000)
+        .select(*_BASE_COLS)
+    )
+
+
+def _updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update set: keys [4000, 12000) — half matched (updates), half
+    new (inserts); price bumped, status rewritten."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") >= 4000) & (F.col("o_orderkey") < 12000))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+    )
+
+
+_MERGE_ORACLE_CTE = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey < 8000
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 12000
+    )
+"""
+
+
+@query(
+    "q_lake_merge_upsert",
+    oracle=_MERGE_ORACLE_CTE
+    + """
+    SELECT * FROM upd
+    UNION ALL
+    SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE: update-wins upsert into a versioned Parquet table.
+
+    The oracle recomputes the merged state relationally (updates ∪
+    anti-joined base) — verifying that snapshot v1 holds exactly the
+    MERGE answer: matched rows updated, new keys inserted, untouched
+    rows carried over.
+    """
+    tmp = _scratch("spype_lake_merge_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir), path)
+        lake.merge_upsert(
+            spark, path, _updates(spark, sf_dir), keys=["o_orderkey"]
+        )
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_time_travel",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey < 8000
+    """,
+)
+def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: after a MERGE, version 0 still reads as the exact
+    pre-merge table (immutable snapshots). The oracle is the original
+    base query — if MERGE mutated v0 in place, this hash breaks."""
+    tmp = _scratch("spype_lake_tt_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir), path)
+        lake.merge_upsert(
+            spark, path, _updates(spark, sf_dir), keys=["o_orderkey"]
+        )
+        return lake.read_table(spark, path, version=0).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delete",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey < 8000 AND NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+    """,
+)
+def q_lake_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned DELETE: rows matching the predicate disappear from the
+    new snapshot (NULL-evaluating rows are kept, SQL DELETE
+    semantics)."""
+    tmp = _scratch("spype_lake_del_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir), path)
+        lake.delete_where(
+            spark,
+            path,
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 100000),
+        )
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_compact",
+    oracle=_MERGE_ORACLE_CTE
+    + """
+    SELECT * FROM upd
+    UNION ALL
+    SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_lake_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: rewrite the merged snapshot (written
+    deliberately fragmented, 16 files) into one file. The oracle is the
+    SAME merged-state SQL — compaction must be content-invisible; the
+    file-count drop itself is asserted in tests/test_lakehouse.py."""
+    tmp = _scratch("spype_lake_cmp_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir).repartition(16), path)
+        lake.merge_upsert(
+            spark,
+            path,
+            _updates(spark, sf_dir).repartition(16),
+            keys=["o_orderkey"],
+        )
+        lake.compact(spark, path, target_files=1)
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("q_lake_history", oracle=None)  # table metadata, not corpus SQL
+def q_lake_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version history metadata: create → merge → delete → compact
+    leaves exactly versions 0..3, with compaction shrinking the file
+    count to 1."""
+    tmp = _scratch("spype_lake_hist_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir).repartition(8), path)
+        lake.merge_upsert(
+            spark, path, _updates(spark, sf_dir), keys=["o_orderkey"]
+        )
+        lake.delete_where(spark, path, F.col("o_orderstatus") == "F")
+        lake.compact(spark, path, target_files=1)
+        return lake.history(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -56,46 +56,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shingling lives in the composable library surface; re-bound here for
+# the contract modules (empty-array-safe for sub-k-word docs)
 def _word_shingles(k: int = 3):
-    """Array<string> of k-word shingles of `text` (assumes ≥k words)."""
-    words = F.split(F.col("text"), " ")
-    return F.transform(
-        F.sequence(F.lit(1), F.size(words) - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(k)]
-        ),
-    )
+    from spype_spark.functions import word_shingles
+
+    return word_shingles("text", k)
 
 
-#: Oversized-bucket guard for every LSH-style band self-join: a single
-#: bucket of m members contributes m² candidate pairs, so one degenerate
-#: key (empty shingle, boilerplate page, adversarial spam cluster) turns
-#: a linear pair stage quadratic. Buckets above the cap are dropped —
-#: m > cap members sharing one band bucket means near-identical content
-#: that exact dedup (q_dedup_exact) already collapses, and real
-#: dedup systems cap exactly this way rather than score m² spam pairs.
-#: The cap is far above any bucket this corpus produces (max ≈ 5), so
-#: normal output is unchanged (tests/test_llm_quality.py pins both).
-LSH_BUCKET_CAP = 256
-
-
-def filter_oversized_buckets(
-    df: DataFrame, keys: list[str], cap: int = LSH_BUCKET_CAP
-) -> DataFrame:
-    """Drop all rows of band buckets with more than ``cap`` members.
-
-    The heavy-hitter list (buckets over cap) is tiny by construction —
-    aggregate it (partial map-side combine, narrow shuffle of bucket
-    keys only) and broadcast anti-join, rather than window-counting
-    over the full bands table (which would add a wide shuffle).
-    """
-    hot = (
-        df.groupBy(*keys)
-        .agg(F.count("*").alias("__bucket_n"))
-        .filter(F.col("__bucket_n") > cap)
-        .select(*keys)
-    )
-    return df.join(F.broadcast(hot), keys, "left_anti")
+# The oversized-bucket guard is part of the library surface
+# (spype_spark.functions); re-exported here for the contract modules.
+from spype_spark.functions import (  # noqa: E402
+    LSH_BUCKET_CAP,  # noqa: F401
+    filter_oversized_buckets,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+)
 
 
 @query("q_dedup_minhash", oracle=None)  # hash family is engine-specific
@@ -111,42 +87,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # single-file input → repartition so the shingle explode parallelizes
     d = load_table(spark, sf_dir, "documents").repartition(32)
-    sh = (
-        d.select("doc_id", F.explode(_word_shingles()).alias("shingle"))
-        .distinct()
-    )
-    n_hashes = 16
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))
-                    for b in range(n_hashes // 2)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
-    bands = filter_oversized_buckets(bands, ["band_idx", "band_hash"])
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
-    )
-    return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    return minhash_candidates(d, n_hashes=16)
 
 
 @query(
@@ -191,28 +132,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (integer arithmetic → identical doubles in both engines).
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_word_shingles()).alias("shingle")).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return ngram_jaccard_pairs(d, min_jaccard=0.2)
 
 
 # ---------------------------------------------------------------------------
@@ -300,7 +220,8 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from spype_spark.ann import cosine_topk_tiled
 
-    return cosine_topk_tiled(spark, sf_dir, k=5, n_blocks=8)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cosine_topk_tiled(e, k=5, n_blocks=8)
 
 
 #: LSH banding: `_LSH_BANDS` independent bands of `_LSH_PLANES_PER_BAND`

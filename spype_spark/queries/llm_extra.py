@@ -271,7 +271,8 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from spype_spark.ann import cosine_threshold_tiled
 
-    return cosine_threshold_tiled(spark, sf_dir, threshold=0.35, n_blocks=8)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cosine_threshold_tiled(e, threshold=0.35, n_blocks=8)
 
 
 @query(
@@ -320,19 +321,10 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_quality.py); if banding ever under-recalled, this
     contract's hash check would catch it.
     """
-    from spype_spark.queries.llm import q_dedup_minhash, q_dedup_ngram_jaccard
+    from spype_spark.functions import near_dedup
 
     d = load_table(spark, sf_dir, "documents")
-    cand = q_dedup_minhash(spark, sf_dir)
-    verified = q_dedup_ngram_jaccard(spark, sf_dir).filter(
-        F.col("jaccard") >= 0.5
-    )
-    # candidates ∩ verified — semi-join keeps only LSH-surfaced pairs
-    confirmed = verified.join(cand, ["doc_a", "doc_b"], "left_semi")
-    dropped = confirmed.select(F.col("doc_b").alias("doc_id")).distinct()
-    return d.join(dropped, "doc_id", "left_anti").select(
-        "doc_id", "lang", "source"
-    )
+    return near_dedup(d, min_jaccard=0.5).select("doc_id", "lang", "source")
 
 
 @query(
@@ -488,7 +480,8 @@ def q_sim_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from spype_spark.ann import cosine_topk_tiled
 
-    return cosine_topk_tiled(spark, sf_dir, k=5, n_blocks=5)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cosine_topk_tiled(e, k=5, n_blocks=5)
 
 
 @query("q_sim_ivf_ann", oracle=None)  # approximate: probed-cell recall < 1
@@ -510,4 +503,5 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from spype_spark.ann import ivf_ann
 
-    return ivf_ann(spark, sf_dir, n_cells=16, nprobe=4, k=3)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_ann(e, n_cells=16, nprobe=4, k=3)

@@ -1,0 +1,101 @@
+"""Versioned-Parquet lakehouse semantics: snapshot immutability, MERGE
+correctness, commit visibility, compaction invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spype_spark import lakehouse as lake
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    path = str(tmp_path / "tbl")
+    lake.write_table(df, path)
+    return path
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_create_then_read(spark, tbl):
+    assert lake.versions(tbl) == [0]
+    assert rows(lake.read_table(spark, tbl)) == {
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)
+    }
+
+
+def test_create_twice_fails(spark, tbl):
+    with pytest.raises(FileExistsError):
+        lake.write_table(lake.read_table(spark, tbl), tbl)
+
+
+def test_merge_update_and_insert(spark, tbl):
+    upd = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    v = lake.merge_upsert(spark, tbl, upd, keys=["k"])
+    assert v == 1
+    assert rows(lake.read_table(spark, tbl)) == {
+        (1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (4, "d", 40.0)
+    }
+
+
+def test_time_travel_is_immutable(spark, tbl):
+    upd = spark.createDataFrame([(1, "X", 0.0)], "k long, s string, v double")
+    lake.merge_upsert(spark, tbl, upd, keys=["k"])
+    lake.delete_where(spark, tbl, F.col("k") == 2)
+    # v0 unchanged through both operations
+    assert rows(lake.read_table(spark, tbl, version=0)) == {
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)
+    }
+    assert rows(lake.read_table(spark, tbl)) == {(1, "X", 0.0), (3, "c", 30.0)}
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    )
+    path = str(tmp_path / "t2")
+    lake.write_table(df, path)
+    lake.delete_where(spark, path, F.col("v") > 15)
+    # row 2 (NULL predicate) must survive a DELETE WHERE v > 15
+    assert rows(lake.read_table(spark, path)) == {(1, 10.0), (2, None)}
+
+
+def test_compact_shrinks_files_preserves_content(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(12)
+    path = str(tmp_path / "t3")
+    lake.write_table(df, path)
+    assert len(lake.data_files(path, 0)) == 12
+    v = lake.compact(spark, path, target_files=1)
+    assert len(lake.data_files(path, v)) == 1
+    assert rows(lake.read_table(spark, path)) == rows(
+        lake.read_table(spark, path, version=0)
+    )
+
+
+def test_uncommitted_snapshot_invisible(spark, tbl, tmp_path):
+    # simulate a failed write: version dir without _SUCCESS
+    import os
+
+    os.makedirs(f"{tbl}/v=1")
+    assert lake.versions(tbl) == [0]
+    assert lake.latest_version(tbl) == 0
+    with pytest.raises(FileNotFoundError):
+        lake.read_table(spark, tbl, version=1)
+
+
+def test_history_counts_files(spark, tbl):
+    upd = spark.createDataFrame([(9, "z", 1.0)], "k long, s string, v double")
+    lake.merge_upsert(spark, tbl, upd, keys=["k"])
+    lake.compact(spark, tbl, target_files=1)
+    h = {r.version: r.n_files for r in lake.history(spark, tbl).collect()}
+    assert set(h) == {0, 1, 2}
+    assert h[2] == 1
