@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from spype_spark.ann import cosine_threshold_tiled as cosine_near_pairs
 from spype_spark.ann import cosine_topk_tiled as cosine_topk
 from spype_spark.ann import ivf_ann as ivf_topk
+from spype_spark.ann import pq_encode
 
 # skew-handling patterns
 from spype_spark.skew import salted_agg, salted_join
@@ -54,6 +55,7 @@ __all__ = [
     "cosine_topk",
     "cosine_near_pairs",
     "ivf_topk",
+    "pq_encode",
     "asof_join",
     "band_join",
     "salted_agg",

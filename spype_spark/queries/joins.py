@@ -310,3 +310,75 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", dstr("o_orderdate").alias("last_order_d")
     )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o_orderkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100 AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join: ZERO shuffles for join AND aggregate.
+
+    Both sides are written `bucketBy(8, <join key>)` + sortBy into
+    catalog tables; Spark's bucketed-scan rule then plans the equi-join
+    with NO Exchange on either side (bucket i joins bucket i), and the
+    follow-up groupBy on the same key reuses that partitioning — the
+    executed plan contains no Exchange at all (asserted in
+    tests/test_plans.py). This is THE 100 TB pattern for repeated fact-
+    fact joins: pay one bucketed write, then every subsequent
+    join/aggregate on the bucket key is shuffle-free. Revenue uses the
+    scaled-long sum so the result is order-independent (exact double).
+    """
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS spype_bkt")
+    # managed-table locations outlive the in-memory catalog: a previous
+    # process's table dir would fail this session's CREATE, so drop both
+    # the (possibly unregistered) catalog entry and the location
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS spype_bkt.{t}")
+        shutil.rmtree(f"{wh}/spype_bkt.db/{t}", ignore_errors=True)
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("spype_bkt.orders_b")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("spype_bkt.lineitem_b")
+    )
+    # hint("merge"): at test scale Spark would broadcast the small side
+    # (adding a BroadcastExchange); the contract pins the fact-fact plan
+    # where neither side broadcasts — bucketed sort-merge, no Exchange
+    ob = spark.table("spype_bkt.orders_b").hint("merge")
+    lb = spark.table("spype_bkt.lineitem_b").hint("merge")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 100
+            ).alias("revenue"),
+        )
+    )

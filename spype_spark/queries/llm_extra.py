@@ -505,3 +505,22 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return ivf_ann(e, n_cells=16, nprobe=4, k=3)
+
+
+@query("q_pq_encode", oracle=None)  # argmin quantization — not 1-query SQL
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64-dim float vectors → 8×4-bit codes (64×
+    compression) + reconstruction error, pure DataFrame algebra
+    (:func:`spype_spark.ann.pq_encode`).
+
+    Deterministic seed-set codebooks (16 lowest vec_ids per subspace,
+    same convention as IVF); encoding is explode → broadcast-join the
+    128-row codebook → window argmin. The codes table is what a 100 TB
+    IVF-PQ index scans instead of raw vectors. Quality (err2 strictly
+    below the single-code baseline, determinism under repartitioning)
+    is pinned in tests/test_llm_quality.py.
+    """
+    from spype_spark.ann import pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return pq_encode(e, n_subspaces=8, n_codes=16)

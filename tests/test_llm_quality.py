@@ -170,3 +170,41 @@ def test_exact_dedup_is_lossless(spark):
     out = REGISTRY["q_dedup_exact"].fn(spark, SF)
     assert out.count() == n_distinct
     assert out.agg(F.sum("n_copies")).collect()[0][0] == d.count()
+
+def test_pq_encode_quality_and_determinism(spark):
+    """PQ codes: (a) in range, 8 per vector; (b) reconstruction error
+    strictly no worse than always-code-0 (argmin property); (c) stable
+    under repartitioning (window argmin has a deterministic tiebreak)."""
+    from spype_spark.ann import pq_encode
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = pq_encode(e, n_subspaces=8, n_codes=16).collect()
+    assert len(out) == e.count()
+    for r in out[:50]:
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
+        assert r.err2 >= 0.0
+    # (b) argmin beats the fixed-code-0 baseline in aggregate
+    import numpy as np
+
+    rows = {r.vec_id: r for r in e.collect()}
+    cents = np.array(
+        [rows[v].embedding for v in sorted(rows)[:16]], dtype=np.float64
+    )
+    total_err = sum(r.err2 for r in out)
+    base_err = 0.0
+    for v, r in rows.items():
+        x = np.array(r.embedding, dtype=np.float64)
+        base_err += sum(
+            float(np.sum((x[s * 8:(s + 1) * 8] - cents[0, s * 8:(s + 1) * 8]) ** 2))
+            for s in range(8)
+        )
+    assert total_err < base_err
+    # (c) determinism under different partitioning
+    out2 = {
+        r.vec_id: (r.codes, r.err2)
+        for r in pq_encode(e.repartition(17), n_subspaces=8, n_codes=16).collect()
+    }
+    assert {r.vec_id: (r.codes, r.err2) for r in out} == out2

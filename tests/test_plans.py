@@ -102,3 +102,14 @@ def test_no_python_udf_in_relational_plans(spark, sf001):
         assert key not in allowed_python
         plan = optimized_of(REGISTRY[key].fn(spark, sf001))
         assert "PythonUDF" not in plan, f"{key} has Python in the plan"
+
+
+def test_bucketed_join_has_zero_exchanges(spark, sf001):
+    """The co-located join contract's whole point: bucketed scan join +
+    same-key aggregate with NO Exchange anywhere in the executed plan
+    (the 100 TB repeated fact-fact join pattern)."""
+    df = REGISTRY["q_join_bucketed"].fn(spark, sf001)
+    df.collect()  # finalize adaptive plan
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
