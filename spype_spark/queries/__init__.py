@@ -53,6 +53,13 @@ _DRIVER_PRIORITY = [
     "q_array_setops",
     "q_map_funcs",
     "q_regexp_extract_all",
+    # 1b — round-2 additions with oracles (zero driver history, so they
+    # outrank round-1 keys the judge already re-verified locally)
+    "q_lake_merge_upsert",
+    "q_lake_time_travel",
+    "q_lake_delete",
+    "q_lake_compact",
+    "q_join_bucketed",
     # 2 — oracle-bearing, never driver-verified
     "q_str_funcs2",
     "q_bitwise_funcs",
