@@ -146,13 +146,15 @@ def minhash_candidates(
     O(n·shingles) for signatures plus Σ|bucket|² for pairing, with the
     guard bounding the worst bucket. Deterministic: fixed integer seeds,
     no rand().
+
+    No shingle distinct: min() is duplicate-insensitive, so signatures
+    over the shingle MULTISET equal signatures over the set — and with
+    the partial (map-side) min aggregation, the raw shingle strings
+    never shuffle at all; the only exchange is n rows × 16 longs.
     """
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
-        )
-        .distinct()
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
     )
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -176,12 +178,14 @@ def minhash_candidates(
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    # no orderBy: the candidate set is order-insensitive (and the final
+    # sort of a pair list is pure cost at scale — consumers that need
+    # order sort their own, usually much smaller, result)
     return (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
