@@ -52,6 +52,7 @@ __all__ = [
     "minhash_candidates",
     "ngram_jaccard_pairs",
     "near_dedup",
+    "connected_components",
     "cosine_topk",
     "cosine_near_pairs",
     "ivf_topk",
@@ -251,6 +252,56 @@ def near_dedup(
     confirmed = verified.join(cand, ["doc_a", "doc_b"], "left_semi")
     dropped = confirmed.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation — the iterative-
+    algorithm pattern (GraphX/GraphFrames-style) as a driver-coordinated
+    loop of distributed joins.
+
+    Each round every node takes the min component id among itself and
+    its neighbors; convergence in O(graph diameter) rounds. The loop
+    body is pure DataFrame algebra; lineage is truncated per round with
+    localCheckpoint so plans stay flat, and the convergence test is a
+    distributed count (no data ever lands on the driver). Returns
+    (node, component = min node id reachable).
+
+    The canonical dedup use: edges = verified near-dup pairs; components
+    = duplicate clusters; keep min(node) per component.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iters):
+        prop = und.join(labels, und.a == labels.node).select(
+            F.col("b").alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.select("node", "comp")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "comp_new")
+            .join(labels, "node")
+            .filter(F.col("comp_new") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 # ---------------------------------------------------------------------------

@@ -524,3 +524,72 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return pq_encode(e, n_subspaces=8, n_codes=16)
+
+
+@query(
+    "q_dedup_components",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id,
+             s1.word || ' ' || s2.word || ' ' || s3.word AS shingle
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+      ) t,
+      LATERAL (SELECT w[i] AS word) s1,
+      LATERAL (SELECT w[i+1] AS word) s2,
+      LATERAL (SELECT w[i+2] AS word) s3
+      WHERE i + 2 <= len(w)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS component FROM reach GROUP BY node
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster identification: connected components over the
+    verified near-dup pair graph (jaccard ≥ 0.5), every document
+    labeled with min doc_id of its cluster (singletons label
+    themselves).
+
+    Spark side is iterative min-label propagation
+    (:func:`spype_spark.functions.connected_components` — distributed
+    joins per round, O(diameter) rounds); the oracle recomputes the
+    same fixpoint with a recursive CTE. This is the step between
+    pair-finding and survivor-selection in a real dedup pipeline:
+    transitive near-dups (A~B, B~C) collapse into ONE cluster even
+    though (A, C) was never scored.
+    """
+    from spype_spark.functions import connected_components, ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, min_jaccard=0.5).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return d.select("doc_id").join(
+        comp, d.doc_id == comp.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("component"),
+    )

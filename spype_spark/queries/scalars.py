@@ -406,3 +406,31 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), "|").alias("ks"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+@query(
+    "q_json_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_var,
+           CAST(json_extract(props, '$.k') AS INT) * 2 AS k_doubled,
+           json_extract(props, '$.missing') IS NULL AS miss_null
+    FROM events
+    """,
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once, then
+    typed path extraction with variant_get — the open-schema ingestion
+    pattern (parse at the edge, bind types per access) vs the closed
+    from_json schema of q_map_funcs. Missing paths yield NULL, not
+    errors.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k_var"),
+        (k * 2).alias("k_doubled"),
+        F.variant_get(v, "$.missing", "int").isNull().alias("miss_null"),
+    )

@@ -138,3 +138,18 @@ def test_facade_only_novel_pipeline(spark, docs):
     ids = {r.src_id for r in rows}
     assert ids == {1, 4, 5}
     assert all(r.nbr_id in {1, 4, 5} and r.nbr_id != r.src_id for r in rows)
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C must collapse into one component even though (A,C) was
+    never an edge; isolated pairs and chains keep separate labels."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "src long, dst long",
+    )
+    got = {r.node: r.comp for r in S.connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
