@@ -60,6 +60,8 @@ _DRIVER_PRIORITY = [
     "q_lake_delete",
     "q_lake_compact",
     "q_join_bucketed",
+    "q_dedup_components",
+    "q_json_variant",
     # 2 — oracle-bearing, never driver-verified
     "q_str_funcs2",
     "q_bitwise_funcs",

@@ -336,20 +336,26 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     join/aggregate on the bucket key is shuffle-free. Revenue uses the
     scaled-long sum so the result is order-independent (exact double).
     """
+    import os
     import shutil
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
-    spark.sql("CREATE DATABASE IF NOT EXISTS spype_bkt")
+    # explicit LOCATION: the default warehouse dir derives from the
+    # session's cwd, which may not be writable where the driver runs
+    db_loc = "/root/repo/.scratch/spype_bkt.db"
+    os.makedirs("/root/repo/.scratch", exist_ok=True)
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS spype_bkt LOCATION '{db_loc}'"
+    )
     # managed-table locations outlive the in-memory catalog: a previous
     # process's table dir would fail this session's CREATE, so drop both
     # the (possibly unregistered) catalog entry and the location
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in ("orders_b", "lineitem_b"):
         spark.sql(f"DROP TABLE IF EXISTS spype_bkt.{t}")
-        shutil.rmtree(f"{wh}/spype_bkt.db/{t}", ignore_errors=True)
+        shutil.rmtree(f"{db_loc}/{t}", ignore_errors=True)
     (
         o.write.mode("overwrite")
         .bucketBy(8, "o_orderkey")
