@@ -202,3 +202,65 @@ def test_random_grouped_counts_agree(orders, duck, key, p):
         ).fetchall()
     )
     assert got == want
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(mode=st.sampled_from(["rollup", "cube"]), p=predicate)
+def test_random_rollup_cube_agree(orders, duck, mode, p):
+    """Random predicates × ROLLUP/CUBE over two keys: the full grouping-
+    lattice counts (including NULL subtotal rows) must match DuckDB."""
+    cond, sql = build(p)
+    base = orders.filter(cond)
+    keys = ("o_orderstatus", "o_orderpriority")
+    g = base.rollup(*keys) if mode == "rollup" else base.cube(*keys)
+    got = {tuple(r) for r in g.count().collect()}
+    kw = "ROLLUP" if mode == "rollup" else "CUBE"
+    want = set(
+        duck.sql(
+            f"SELECT o_orderstatus, o_orderpriority, COUNT(*) FROM orders "
+            f"WHERE {sql} GROUP BY {kw} (o_orderstatus, o_orderpriority)"
+        ).fetchall()
+    )
+    if not got:
+        # Found by this fuzz (2026-08-13): on an EMPTY input relation,
+        # standard SQL (DuckDB) still emits the ()-grouping-set grand-
+        # total row (NULL, NULL, 0) while Spark's rollup/cube emits no
+        # rows at all. Real divergence, pinned here; the oracle corpus
+        # avoids empty inputs.
+        assert want <= {(None, None, 0)}
+        return
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p1=predicate, p2=predicate, op=st.sampled_from(["union", "intersect", "except"]))
+def test_random_setops_agree(orders, duck, p1, p2, op):
+    """Random predicate pairs × set operations on the key column: the
+    distinct result set must match DuckDB's bag-to-set semantics."""
+    c1, s1 = build(p1)
+    c2, s2 = build(p2)
+    a = orders.filter(c1).select("o_orderkey")
+    b = orders.filter(c2).select("o_orderkey")
+    if op == "union":
+        j = a.union(b).distinct()
+    elif op == "intersect":
+        j = a.intersect(b)
+    else:
+        j = a.exceptAll(b).distinct()
+    got = {r[0] for r in j.collect()}
+    kw = {"union": "UNION", "intersect": "INTERSECT", "except": "EXCEPT"}[op]
+    want = {
+        r[0]
+        for r in duck.sql(
+            f"SELECT o_orderkey FROM orders WHERE {s1} {kw} "
+            f"SELECT o_orderkey FROM orders WHERE {s2}"
+        ).fetchall()
+    }
+    assert got == want, f"{kw}: {s1!r} vs {s2!r}"
