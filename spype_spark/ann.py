@@ -110,13 +110,12 @@ def _block_grid(e: DataFrame, n_blocks: int) -> DataFrame:
     return a.crossJoin(b).repartition(n_blocks * n_blocks)
 
 
-def _unpack(ids, emb, dim: int):
-    """Tile row → (int64 id vector, float64 n×dim matrix), numpy fast path."""
-    import numpy as np
-
-    ia = np.asarray(ids, dtype=np.int64)
-    ma = np.asarray(emb, dtype=np.float64).reshape(len(ia), dim)
-    return ia, ma
+# NB: the unpack helper is deliberately NESTED inside each kernel
+# function rather than module-level: mapInPandas closures referencing a
+# spype_spark module global are pickled BY REFERENCE, and executor
+# Python workers cannot import spype_spark when the caller put it on
+# sys.path at runtime (exactly how the external harness runs). A nested
+# def is pickled by value and ships with the closure.
 
 
 def cosine_topk_tiled(
@@ -140,6 +139,12 @@ def cosine_topk_tiled(
     grid = _block_grid(_normalize(df, id_col, emb_col), n_blocks)
 
     def gemm(batches):
+        def _unpack(ids, emb, dim):
+            # (nested, not module-level: see comment above — pickled by
+            # value so executors never need to import spype_spark)
+            ia = np.asarray(ids, dtype=np.int64)
+            return ia, np.asarray(emb, dtype=np.float64).reshape(len(ia), dim)
+
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 dim = len(row.emb_a) // len(row.ids_a)
@@ -192,6 +197,12 @@ def cosine_threshold_tiled(
     grid = _block_grid(_normalize(df, id_col, emb_col), n_blocks)
 
     def gemm(batches):
+        def _unpack(ids, emb, dim):
+            # (nested, not module-level: see comment above — pickled by
+            # value so executors never need to import spype_spark)
+            ia = np.asarray(ids, dtype=np.int64)
+            return ia, np.asarray(emb, dtype=np.float64).reshape(len(ia), dim)
+
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 dim = len(row.emb_a) // len(row.ids_a)
@@ -397,6 +408,12 @@ def ivf_ann(
     search_units = qtiles.join(inv, "cell_id").repartition(n_cells, "cell_id")
 
     def search(batches):
+        def _unpack(ids, emb, dim):
+            # (nested, not module-level: see comment above — pickled by
+            # value so executors never need to import spype_spark)
+            ia = np.asarray(ids, dtype=np.int64)
+            return ia, np.asarray(emb, dtype=np.float64).reshape(len(ia), dim)
+
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 dim = len(row.emb_a) // len(row.ids_a)

@@ -41,13 +41,17 @@ _RUNTIME_CONFS = {
 
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an externally-owned session."""
+    import warnings
+
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            # Conf may be static on some builds; reads will fail loudly
-            # later if it truly did not take.
-            pass
+        except Exception as e:
+            # Conf may be static on some builds; surface it (reads will
+            # additionally fail loudly later if it truly did not take).
+            warnings.warn(
+                f"could not set {k}={v} on live session: {e}", RuntimeWarning
+            )
     return spark
 
 
