@@ -352,3 +352,69 @@ def run_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_available_now(out, "update", "spype_stream_stateful")
+
+
+def run_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user counts on the transformWithStateInPandas API
+    (Spark 4's successor to applyInPandasWithState): typed state
+    handles (ValueState) + a StatefulProcessor lifecycle instead of a
+    bare (key, batches, GroupState) function.
+
+    Semantics are identical to :func:`run_stream_stateful_running`
+    (asserted in tests); the newer API is what multi-state operators
+    (several named states, timers, TTL) should target going forward.
+
+    ENVIRONMENT GATE: transformWithState's Python↔JVM state protocol is
+    protobuf-based; this container has no ``google.protobuf``, so the
+    TWS driver worker crashes at import. The operator raises a clear
+    error here and the equality test skips — the applyInPandasWithState
+    twin (:func:`run_stream_stateful_running`) is the executable path.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf for its "
+            "state-server protocol, which this environment lacks; use "
+            "run_stream_stateful_running (applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "running_n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    ev = _events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        RunningCount(),
+        outputStructType="user_id long, running_n long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    # transformWithState requires the RocksDB state store provider
+    # (the default HDFS-backed provider does not implement the new
+    # multi-column-family state API); scope the conf to this query.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return _run_available_now(out, "update", "spype_stream_tws")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)

@@ -200,3 +200,24 @@ def test_stateful_running_final_counts_equal_batch(spark, sf_dir):
     for r in batch.collect():
         batch_final[r.user_id] = max(r.running_n, batch_final.get(r.user_id, 0))
     assert final == batch_final
+
+
+def test_stateful_tws_equals_applyinpandas_variant(spark, sf_dir):
+    """The transformWithStateInPandas twin must produce the same final
+    per-user running counts as the applyInPandasWithState operator.
+    Skips where google.protobuf (the TWS state protocol's dependency)
+    is absent — the operator itself raises a documented error there."""
+    pytest.importorskip("google.protobuf")
+    from spype_spark.streaming.jobs import run_stream_stateful_tws
+
+    tws = run_stream_stateful_tws(spark, sf_dir)
+    final_tws = {}
+    for r in tws.collect():
+        final_tws[r.user_id] = max(r.running_n, final_tws.get(r.user_id, 0))
+    legacy = run_stream_stateful_running(spark, sf_dir)
+    final_legacy = {}
+    for r in legacy.collect():
+        final_legacy[r.user_id] = max(
+            r.running_n, final_legacy.get(r.user_id, 0)
+        )
+    assert final_tws == final_legacy and len(final_tws) > 0
