@@ -15,6 +15,8 @@ exactly-once sinks; AvailableNow is also the production backfill mode.
 
 from spype_spark.streaming.jobs import (
     run_stream_dedup,
+    run_stream_stream_left_join,
+    run_stream_stateful_tws,
     run_stream_session_window,
     run_stream_sliding,
     run_stream_stateful_running,
@@ -31,4 +33,6 @@ __all__ = [
     "run_stream_stateful_running",
     "run_stream_static_join",
     "run_stream_stream_join",
+    "run_stream_stream_left_join",
+    "run_stream_stateful_tws",
 ]

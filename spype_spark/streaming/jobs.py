@@ -418,3 +418,47 @@ def run_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
+
+
+def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, with its clicks
+    ≤ 1 h prior — purchases with NO qualifying click emit once with a
+    NULL click id.
+
+    The outer-specific semantics: a null-padded row may only emit when
+    the click-side watermark proves no matching click can still arrive
+    (wm_click > p_ts); until then the purchase is withheld as state.
+    Under AvailableNow the final click watermark lands at
+    max(click ts) − 1 h, so unmatched purchases older than that emit
+    their null row and strictly-later ones are (correctly) never
+    emitted — the equality test asserts exactly that boundary against
+    the batch left join.
+    """
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("p_id", "c_id", "p_user", "p_ts")
+    return _run_available_now(joined, "append", "spype_stream_left_join")

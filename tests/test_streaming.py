@@ -221,3 +221,50 @@ def test_stateful_tws_equals_applyinpandas_variant(spark, sf_dir):
             r.running_n, final_legacy.get(r.user_id, 0)
         )
     assert final_tws == final_legacy and len(final_tws) > 0
+
+
+def test_stream_stream_left_join_outer_semantics(spark, sf_dir):
+    """Matched rows equal the batch theta-join; null-padded rows appear
+    exactly for unmatched purchases old enough that the final click
+    watermark proves no match can arrive."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from spype_spark.streaming.jobs import run_stream_stream_left_join
+    from spype_spark.tables import load_table
+
+    stream = run_stream_stream_left_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("p_id", "c_id", "p_user", "p_ts")
+
+    got_matched = {(r.p_id, r.c_id) for r in stream.collect() if r.c_id is not None}
+    want_matched = {(r.p_id, r.c_id) for r in batch.collect() if r.c_id is not None}
+    assert got_matched == want_matched  # inner part is exact
+
+    wm_click = c.agg(F.max("c_ts")).collect()[0][0] - dt.timedelta(hours=1)
+    got_null = {r.p_id for r in stream.collect() if r.c_id is None}
+    want_null_old = {
+        r.p_id
+        for r in batch.collect()
+        if r.c_id is None and r.p_ts < wm_click
+    }
+    all_null = {r.p_id for r in batch.collect() if r.c_id is None}
+    # every provably-unmatched old purchase emitted; nothing beyond the
+    # batch-unmatched set ever emits a null row
+    assert want_null_old <= got_null <= all_null
+    assert got_null and len(got_null) < len(all_null) or want_null_old == all_null
