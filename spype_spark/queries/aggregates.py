@@ -373,3 +373,63 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_part"),
         F.countDistinct("l_partkey").alias("exact_part"),
     )
+
+
+@query(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns over a CUBE: distinguishes a real
+    NULL key value from a subtotal row's placeholder NULL — the only
+    reliable way to consume grouping-lattice output downstream."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_profile_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderstatus) AS d_status,
+           COUNT(DISTINCT o_orderpriority) AS d_prio,
+           COUNT(DISTINCT o_custkey) AS d_cust,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_status,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+    FROM orders
+    """,
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling summary (the data-quality first look): row
+    count, per-column distinct counts, null counts, min/max ranges —
+    one pass, partial-aggregated, the profile a pipeline computes
+    before trusting a new 100 TB drop (at that scale distincts become
+    approx_count_distinct; exact here to stay oracle-comparable)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.countDistinct("o_orderpriority").alias("d_prio"),
+        F.countDistinct("o_custkey").alias("d_cust"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).alias(
+            "null_status"
+        ),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )
