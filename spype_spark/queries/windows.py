@@ -253,3 +253,27 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "q_window_percentiles",
+    oracle="""
+    SELECT c_custkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position analytics: percent_rank and cume_dist per
+    segment (unique (acctbal, custkey) ordering → deterministic; both
+    engines share the (rank-1)/(n-1) and rank/n definitions, rounded
+    for the last-ulp division difference)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
