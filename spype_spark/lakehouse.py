@@ -84,7 +84,11 @@ def read_table(
 
 
 def merge_upsert(
-    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE: update-wins on key match, insert otherwise. Returns the
     new version number.
@@ -94,11 +98,29 @@ def merge_upsert(
     replaced by their update row, unmatched updates are inserts,
     untouched target rows carry over — exactly Delta's
     ``whenMatchedUpdateAll + whenNotMatchedInsertAll``.
+
+    ``evolve_schema=True`` is Delta's mergeSchema: columns present only
+    in ``updates`` are ADDED to the table (carried-over target rows get
+    NULL), columns only in the target persist (update rows get NULL).
+    Off by default: silent widening is how typo'd column names corrupt
+    a table.
     """
     tgt = read_table(spark, path)
-    merged = updates.select(*tgt.columns).unionByName(
-        tgt.join(updates, keys, "left_anti")
-    )
+    if evolve_schema:
+        merged = updates.unionByName(
+            tgt.join(updates.select(*keys), keys, "left_anti"),
+            allowMissingColumns=True,
+        )
+    else:
+        extra = set(updates.columns) - set(tgt.columns)
+        if extra:
+            raise ValueError(
+                f"updates carry columns not in the table schema {sorted(extra)}; "
+                "pass evolve_schema=True to add them"
+            )
+        merged = updates.select(*tgt.columns).unionByName(
+            tgt.join(updates, keys, "left_anti")
+        )
     return _write_next(merged, path)
 
 

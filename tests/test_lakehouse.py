@@ -99,3 +99,23 @@ def test_history_counts_files(spark, tbl):
     h = {r.version: r.n_files for r in lake.history(spark, tbl).collect()}
     assert set(h) == {0, 1, 2}
     assert h[2] == 1
+
+
+def test_merge_schema_evolution(spark, tbl):
+    upd = spark.createDataFrame(
+        [(2, "B", 99.0, "eu"), (4, "d", 40.0, "us")],
+        "k long, s string, v double, region string",
+    )
+    # off by default: unknown columns must raise, not silently drop/add
+    with pytest.raises(ValueError, match="evolve_schema"):
+        lake.merge_upsert(spark, tbl, upd, keys=["k"])
+    v = lake.merge_upsert(spark, tbl, upd, keys=["k"], evolve_schema=True)
+    got = rows(lake.read_table(spark, tbl, version=v).select("k", "s", "v", "region"))
+    assert got == {
+        (1, "a", 10.0, None),   # carried-over rows get NULL in the new col
+        (2, "B", 99.0, "eu"),
+        (3, "c", 30.0, None),
+        (4, "d", 40.0, "us"),
+    }
+    # v0 untouched: time travel still shows the pre-evolution schema
+    assert "region" not in lake.read_table(spark, tbl, version=0).columns
