@@ -593,3 +593,61 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("comp"), F.col("doc_id")).alias("component"),
     )
+
+
+@query(
+    "q_dataset_split",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(ws, w ->
+               list_reduce(
+                 list_prepend(0, list_transform(range(1, length(w) + 1),
+                                                i -> ascii(w[i]))),
+                 (a, c) -> (a * {_FP_WORD_BASE} + c) % {_FP_MOD}
+               )) AS whs
+      FROM t
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(list_reduce(list_prepend(0, whs),
+                  (a, x) -> (a * {_FP_DOC_BASE} + x) % {_FP_MOD}) AS BIGINT)
+               AS fingerprint
+      FROM h
+    )
+    SELECT doc_id,
+           CASE WHEN fingerprint % 10 < 8 THEN 'train'
+                WHEN fingerprint % 10 = 8 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM fp
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/valid/test split (80/10/10
+    target): the split key is the document's rolling-hash fingerprint,
+    so assignment is stable under re-sharding, re-ordering, and re-runs
+    — and identical for byte-identical content (exact dups land in the
+    same split, preventing train/test leakage through duplicates).
+    Engine-portable by construction: the fingerprint is pure integer
+    folding, oracle-matched bit-for-bit (unlike rand(seed) splits,
+    which no two engines reproduce)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.expr(
+        f"""
+        CAST(aggregate(
+          transform(split(text, ' '), w ->
+            aggregate(
+              transform(sequence(1, length(w)), i -> ascii(substring(w, i, 1))),
+              0L, (a, c) -> (a * {_FP_WORD_BASE} + c) % {_FP_MOD})),
+          0L, (a, x) -> (a * {_FP_DOC_BASE} + x) % {_FP_MOD}) AS BIGINT)
+        """
+    )
+    bucket = fp % 10
+    return d.select(
+        "doc_id",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
