@@ -316,3 +316,93 @@ def q_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.count("*").over(w).alias("running_n")
     )
+
+
+@query(
+    "q_ts_interpolate",
+    oracle="""
+    WITH src AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' AND value >= 90
+      GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(hour_ts) AS lo, MAX(hour_ts) AS hi FROM src),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    ),
+    j AS (SELECT g.hour_ts, s.n FROM grid g LEFT JOIN src s USING (hour_ts)),
+    w AS (
+      SELECT hour_ts, n,
+        last_value(n IGNORE NULLS) OVER
+          (ORDER BY hour_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN n IS NOT NULL THEN hour_ts END IGNORE NULLS) OVER
+          (ORDER BY hour_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(n IGNORE NULLS) OVER
+          (ORDER BY hour_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN n IS NOT NULL THEN hour_ts END IGNORE NULLS) OVER
+          (ORDER BY hour_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j
+    )
+    SELECT strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CASE WHEN n IS NOT NULL THEN 0 ELSE 1 END AS filled,
+           round(CASE
+             WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+             WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+             WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+             ELSE pv + (nv - pv)
+                  * (CAST(epoch(hour_ts) AS DOUBLE) - CAST(epoch(pt) AS DOUBLE))
+                  / (CAST(epoch(nt) AS DOUBLE) - CAST(epoch(pt) AS DOUBLE))
+           END, 6) AS n_interp
+    FROM w
+    """,
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation: missing grid hours get the
+    straight line between their last and next observed values (edges
+    forward/back-fill) — the resample-and-interpolate primitive.
+
+    Two global-ordered window passes (running last/first with
+    ignorenulls) — the same single-shuffle shape as the as-of join. The
+    demo series is one global series, so the window is unpartitioned;
+    a real deployment interpolates per series key (partitionBy(series))
+    and the plan shards accordingly. Arithmetic is identical IEEE
+    double ops on both engines, rounded at 1e-6.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 90)
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    src = ev.groupBy(hour.alias("hour_ts")).agg(F.count("*").alias("n"))
+    bounds = src.agg(F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_ts"
+        )
+    )
+    j = grid.join(src, "hour_ts", "left")
+    w_prev = Window.orderBy("hour_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.orderBy("hour_ts").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_ts = F.when(F.col("n").isNotNull(), F.col("hour_ts"))
+    pv = F.last("n", ignorenulls=True).over(w_prev).cast("double")
+    pt = F.last(obs_ts, ignorenulls=True).over(w_prev)
+    nv = F.first("n", ignorenulls=True).over(w_next).cast("double")
+    nt = F.first(obs_ts, ignorenulls=True).over(w_next)
+    sec = lambda c: c.cast("long").cast("double")  # noqa: E731
+    frac = (sec(F.col("hour_ts")) - sec(pt)) / (sec(nt) - sec(pt))
+    interp = (
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    return j.select(
+        F.date_format("hour_ts", TS_FMT_SPARK).alias("hour_start"),
+        F.when(F.col("n").isNotNull(), 0).otherwise(1).alias("filled"),
+        F.round(interp, 6).alias("n_interp"),
+    )
