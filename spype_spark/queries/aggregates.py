@@ -433,3 +433,34 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 13
+                ELSE CAST(floor(o_totalprice / 50000) AS INT) + 1
+           END AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (standard-SQL bucketing:
+    12 buckets over [0, 600000), underflow 0 / overflow 13) — the
+    distribution-profiling op; one hash aggregate, partial-combined.
+    (DuckDB 1.0 has no width_bucket — its oracle spells out the same
+    floor((x-min)/width)+1 arithmetic.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.width_bucket(
+            F.col("o_totalprice"), F.lit(0), F.lit(600000), F.lit(12)
+        ).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
