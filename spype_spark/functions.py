@@ -53,6 +53,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "near_dedup",
     "connected_components",
+    "text_fingerprint",
+    "dataset_split",
     "cosine_topk",
     "cosine_near_pairs",
     "ivf_topk",
@@ -252,6 +254,53 @@ def near_dedup(
     confirmed = verified.join(cand, ["doc_a", "doc_b"], "left_semi")
     dropped = confirmed.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
+
+
+#: Rolling-hash parameters (INT32-safe intermediates; shared with the
+#: oracle-matched fingerprint contract).
+FP_MOD = 1000003
+FP_WORD_BASE = 31
+FP_DOC_BASE = 131
+
+
+def text_fingerprint(text_col: str = "text") -> Column:
+    """Rolling polynomial fingerprint of a text column (engine-portable:
+    pure integer folding, identical on any SQL engine — unlike native
+    hash functions). The content-addressed key for shard-stable doc
+    ids, chunk ids, and deterministic splits."""
+    return F.expr(
+        f"""
+        CAST(aggregate(
+          transform(split({text_col}, ' '), w ->
+            aggregate(
+              transform(sequence(1, length(w)), i -> ascii(substring(w, i, 1))),
+              0L, (a, c) -> (a * {FP_WORD_BASE} + c) % {FP_MOD})),
+          0L, (a, x) -> (a * {FP_DOC_BASE} + x) % {FP_MOD}) AS BIGINT)
+        """
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    text_col: str = "text",
+    weights: tuple[int, int, int] = (8, 1, 1),
+) -> DataFrame:
+    """Append a deterministic content-addressed train/valid/test
+    ``split`` column (weights out of their sum, default 80/10/10).
+
+    Keyed on :func:`text_fingerprint`, so assignment is stable under
+    re-sharding/re-runs and byte-identical duplicates land in the same
+    split — no train/test leakage through dups (a rand(seed) split
+    guarantees neither).
+    """
+    total = sum(weights)
+    bucket = text_fingerprint(text_col) % total
+    return df.withColumn(
+        "split",
+        F.when(bucket < weights[0], "train")
+        .when(bucket < weights[0] + weights[1], "valid")
+        .otherwise("test"),
+    )
 
 
 def connected_components(

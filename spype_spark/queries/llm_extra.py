@@ -136,9 +136,13 @@ def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Polynomial rolling-hash parameters (small enough that every
 #: intermediate fits INT32 on the DuckDB side: acc < M, acc*131+h < 2^31).
-_FP_MOD = 1000003
-_FP_WORD_BASE = 31
-_FP_DOC_BASE = 131
+#: Single-sourced from the library surface so the oracles can never
+#: drift from the facade's text_fingerprint.
+from spype_spark.functions import (  # noqa: E402
+    FP_DOC_BASE as _FP_DOC_BASE,
+    FP_MOD as _FP_MOD,
+    FP_WORD_BASE as _FP_WORD_BASE,
+)
 
 
 @query(
@@ -632,22 +636,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-portable by construction: the fingerprint is pure integer
     folding, oracle-matched bit-for-bit (unlike rand(seed) splits,
     which no two engines reproduce)."""
+    from spype_spark.functions import dataset_split
+
     d = load_table(spark, sf_dir, "documents")
-    fp = F.expr(
-        f"""
-        CAST(aggregate(
-          transform(split(text, ' '), w ->
-            aggregate(
-              transform(sequence(1, length(w)), i -> ascii(substring(w, i, 1))),
-              0L, (a, c) -> (a * {_FP_WORD_BASE} + c) % {_FP_MOD})),
-          0L, (a, x) -> (a * {_FP_DOC_BASE} + x) % {_FP_MOD}) AS BIGINT)
-        """
-    )
-    bucket = fp % 10
-    return d.select(
-        "doc_id",
-        F.when(bucket < 8, "train")
-        .when(bucket == 8, "valid")
-        .otherwise("test")
-        .alias("split"),
-    )
+    return dataset_split(d, weights=(8, 1, 1)).select("doc_id", "split")

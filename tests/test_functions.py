@@ -153,3 +153,15 @@ def test_connected_components_transitive(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+
+
+def test_dataset_split_deterministic_and_dup_safe(spark, docs):
+    out1 = {(r.doc_id, r.split) for r in S.dataset_split(docs).collect()}
+    out2 = {
+        (r.doc_id, r.split)
+        for r in S.dataset_split(docs.repartition(7)).collect()
+    }
+    assert out1 == out2  # stable under re-partitioning
+    by_id = dict(out1)
+    assert by_id[1] == by_id[3]  # byte-identical dup -> same split
+    assert set(by_id.values()) <= {"train", "valid", "test"}
