@@ -62,6 +62,8 @@ _DRIVER_PRIORITY = [
     "q_join_bucketed",
     "q_dedup_components",
     "q_json_variant",
+    "q_dataset_split",
+    "q_ts_interpolate",
     # 2 — oracle-bearing, never driver-verified
     "q_str_funcs2",
     "q_bitwise_funcs",

@@ -640,3 +640,74 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dataset_split(d, weights=(8, 1, 1)).select("doc_id", "split")
+
+
+@query(
+    "q_dedup_cluster_keep",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id,
+             s1.word || ' ' || s2.word || ' ' || s3.word AS shingle
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+      ) t,
+      LATERAL (SELECT w[i] AS word) s1,
+      LATERAL (SELECT w[i+1] AS word) s2,
+      LATERAL (SELECT w[i+2] AS word) s3
+      WHERE i + 2 <= len(w)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(root) AS component
+             FROM reach GROUP BY node)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.component = d.doc_id
+    """,
+)
+def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster survivorship: transitively-closed near-dup removal.
+
+    Pairwise dropping (q_dedup_pipeline: drop doc_b of each verified
+    pair) can KEEP two docs that are both near-dups of a third but not
+    of each other; cluster survivorship cannot — connected components
+    over the verified pair graph, keep exactly min(doc_id) per cluster.
+    This is the correct end-state of a production dedup pass; the
+    oracle recomputes the same fixpoint with a recursive CTE.
+    """
+    from spype_spark.functions import connected_components, ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, min_jaccard=0.5).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    # survivors: min-id per component labels itself; docs not in any
+    # pair are their own cluster and always survive
+    dropped = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
