@@ -264,3 +264,47 @@ def test_random_setops_agree(orders, duck, p1, p2, op):
         ).fetchall()
     }
     assert got == want, f"{kw}: {s1!r} vs {s2!r}"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(["min", "max", "count", "sum_scaled", "countd"]),
+    key=st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+    p=predicate,
+)
+def test_random_agg_functions_agree(orders, duck, fn, key, p):
+    """Random (aggregate × group key × predicate) triples vs DuckDB —
+    min/max/count/exact-scaled-sum/count-distinct per group."""
+    cond, sql = build(p)
+    base = orders.filter(cond)
+    if fn == "min":
+        got_df = base.groupBy(key).agg(F.min("o_totalprice").alias("v"))
+        expr = "MIN(o_totalprice)"
+    elif fn == "max":
+        got_df = base.groupBy(key).agg(F.max("o_totalprice").alias("v"))
+        expr = "MAX(o_totalprice)"
+    elif fn == "count":
+        got_df = base.groupBy(key).agg(F.count("*").alias("v"))
+        expr = "COUNT(*)"
+    elif fn == "countd":
+        got_df = base.groupBy(key).agg(F.countDistinct("o_custkey").alias("v"))
+        expr = "COUNT(DISTINCT o_custkey)"
+    else:  # exact order-independent double sum (scaled-long discipline)
+        got_df = base.groupBy(key).agg(
+            (F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)) / 100).alias("v")
+        )
+        expr = (
+            "CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS DOUBLE) / 100"
+        )
+    got = {tuple(r) for r in got_df.collect()}
+    want = set(
+        duck.sql(
+            f"SELECT {key}, {expr} FROM orders WHERE {sql} GROUP BY {key}"
+        ).fetchall()
+    )
+    assert got == want, f"{fn} by {key} where {sql!r}"
