@@ -120,3 +120,118 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         decode, "doc_id long, n_frames long, brightness double, first_frame_sum long"
     )
+
+
+#: Frame geometry for the byte-signal fakes: a "frame" is 64 bytes,
+#: sampled every 256 bytes (stride 4 frames) — the shape of 1-in-N
+#: video frame sampling.
+_FRAME_LEN = 64
+_FRAME_STRIDE = 256
+
+
+@query(
+    "q_multimodal_framesample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(floor((length(text) - 1) / {_FRAME_STRIDE})
+                                  AS BIGINT) + 1)) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substring(text, CAST(frame_idx * {_FRAME_STRIDE} + 1 AS INT),
+                                 {_FRAME_LEN})) AS INT) AS frame_bytes,
+           CAST(list_sum(list_transform(
+                  range(1, length(substring(text,
+                        CAST(frame_idx * {_FRAME_STRIDE} + 1 AS INT),
+                        {_FRAME_LEN})) + 1),
+                  i -> ascii(substring(text,
+                        CAST(frame_idx * {_FRAME_STRIDE} AS INT) + i, 1))))
+                AS BIGINT) AS frame_sum
+    FROM f
+    """,
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-in-N frame sampling: one media item explodes into its sampled
+    frames (every 256th byte offset, 64-byte frames), each with its
+    byte count and checksum.
+
+    The explode-shaped media op (item → frame rows) — and unlike a real
+    codec it is fully expression-based (sequence/explode/substring/
+    aggregate, zero Python), so the per-frame checksums are
+    oracle-exact on the ASCII corpus where code point == byte. A real
+    video codec swaps the substring for a frame decode at the SAME
+    (doc, frame_idx) grain; partitioning and row shape are unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = (F.floor((F.length("text") - 1) / _FRAME_STRIDE) + 1).cast("int")
+    frames = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    )
+    frame = F.expr(
+        f"substring(text, frame_idx * {_FRAME_STRIDE} + 1, {_FRAME_LEN})"
+    )
+    frame_sum = F.expr(
+        f"""
+        CAST(aggregate(
+          transform(sequence(1, length(substring(text,
+                    frame_idx * {_FRAME_STRIDE} + 1, {_FRAME_LEN}))),
+            i -> ascii(substring(text, frame_idx * {_FRAME_STRIDE} + i, 1))),
+          0L, (a, c) -> a + c) AS BIGINT)
+        """
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length(frame).alias("frame_bytes"),
+        frame_sum.alias("frame_sum"),
+    )
+
+
+@query("q_multimodal_resize", oracle=None)  # kernel output is codec-defined
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Resize" kernel: block-average the byte signal down to a fixed
+    16-bin thumbnail vector per item, via the Arrow mapInPandas path a
+    real image resize runs on (bytes → numpy → kernel → fixed-width
+    feature row). Deterministic fake (position-binned byte means,
+    rounded 1e-4, emitted as a joined string — driver-canonicalizer
+    safe); swapping in a real resampler touches only the numpy body.
+    Verified against an independent local recompute in
+    tests/test_multimodal.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").repartition(32)
+    m = with_payload(d)
+    n_bins = 16
+
+    def resize(batches):
+        for pdf in batches:
+            thumbs = []
+            for b in pdf["payload"]:
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                bins = np.floor(np.arange(len(a)) * n_bins / len(a)).astype(
+                    np.int64
+                )
+                sums = np.bincount(bins, weights=a, minlength=n_bins)
+                counts = np.bincount(bins, minlength=n_bins)
+                means = np.round(
+                    np.divide(
+                        sums,
+                        counts,
+                        out=np.zeros(n_bins),
+                        where=counts > 0,
+                    ),
+                    4,
+                )
+                thumbs.append(",".join(f"{x:.4f}" for x in means))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "thumb16": thumbs}
+            )
+
+    return m.select("doc_id", "payload").mapInPandas(
+        resize, "doc_id long, thumb16 string"
+    )

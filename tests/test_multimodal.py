@@ -44,3 +44,43 @@ def test_payload_md5_matches_sql_oracle_row(spark, sf_dir):
     )
     j = m.join(direct, "doc_id")
     assert j.filter(F.col("content_md5") != F.col("h")).count() == 0
+
+def test_resize_matches_local_recompute(spark, sf_dir):
+    """The Arrow resize kernel must equal an independent local numpy
+    recompute of the same block-average (sampled docs)."""
+    import numpy as np
+
+    from spype_spark.queries.multimodal import q_multimodal_resize
+
+    out = {r.doc_id: r.thumb16 for r in q_multimodal_resize(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(25).collect()
+    for r in docs:
+        a = np.frombuffer(r.text.encode(), dtype=np.uint8).astype(np.float64)
+        bins = np.floor(np.arange(len(a)) * 16 / len(a)).astype(np.int64)
+        sums = np.bincount(bins, weights=a, minlength=16)
+        counts = np.bincount(bins, minlength=16)
+        means = np.round(sums / counts, 4)
+        want = ",".join(f"{x:.4f}" for x in means)
+        assert out[r.doc_id] == want
+
+
+def test_framesample_covers_all_bytes_seen(spark, sf_dir):
+    """Frame grid sanity: frame 0 exists for every doc; frame count
+    matches ceil(len/stride); last frame may be short but never empty."""
+    from pyspark.sql import functions as F
+
+    from spype_spark.queries.multimodal import q_multimodal_framesample
+
+    fs = q_multimodal_framesample(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    agg = fs.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"), F.min("frame_bytes").alias("min_fb")
+    )
+    j = agg.join(docs, "doc_id")
+    bad = j.filter(
+        (F.col("n_frames") != F.floor((F.col("n") - 1) / 256) + 1)
+        | (F.col("min_fb") <= 0)
+    ).count()
+    assert bad == 0
