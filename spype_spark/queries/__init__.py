@@ -64,6 +64,7 @@ _DRIVER_PRIORITY = [
     "q_json_variant",
     "q_dataset_split",
     "q_ts_interpolate",
+    "q_dedup_cluster_keep",
     # 2 — oracle-bearing, never driver-verified
     "q_str_funcs2",
     "q_bitwise_funcs",
