@@ -116,3 +116,67 @@ def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("q_sink_orc_roundtrip", oracle=None)  # touches local disk
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read → aggregate equality summary (the other
+    columnar interchange format; type fidelity incl. timestamps)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    tmp = _scratch("spype_orc_")
+    try:
+        path = f"{tmp}/orders_orc"
+        o.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        return back.agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            (F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)) / 100).alias(
+                "total_sum"
+            ),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_d"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("q_source_binaryfile", oracle=None)  # touches local disk
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-media ingestion via the binaryFile source: loose files on
+    disk become (path, length, content: binary) rows — the entry point
+    a real image/audio corpus takes before the multimodal ops. Writes
+    a deterministic set of payload files, reads them back with
+    format('binaryFile'), and verifies content integrity by hash."""
+    import os as _os
+
+    tmp = _scratch("spype_binf_")
+    try:
+        media_dir = f"{tmp}/media"
+        _os.makedirs(media_dir, exist_ok=True)
+        # deterministic fake media files (text bytes as payload)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 20)
+            .select("doc_id", "text")
+            .toPandas()
+        )
+        for _, r in rows.iterrows():
+            with open(f"{media_dir}/doc_{int(r.doc_id):05d}.bin", "wb") as f:
+                f.write(r.text.encode())
+        back = spark.read.format("binaryFile").load(media_dir)
+        return (
+            back.select(
+                F.regexp_extract(
+                    F.col("path"), r"doc_(\d+)\.bin$", 1
+                ).cast("long").alias("doc_id"),
+                F.col("length"),
+                F.md5("content").alias("content_md5"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
