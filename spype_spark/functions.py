@@ -383,11 +383,15 @@ def asof_join(
     l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn(
         "__tag", F.lit(1)
     )
+    # Pack right_cols into ONE struct so last(ignorenulls) picks every
+    # output column from the same matched right row. Per-column
+    # back-fill would stitch values from different rows whenever the
+    # most recent match holds a NULL in one column.
     r_tagged = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r_struct"),
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
@@ -395,12 +399,13 @@ def asof_join(
         .orderBy("__ts", "__tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    merged = merged.withColumn(
+        "__r_match", F.last("__r_struct", ignorenulls=True).over(w)
+    )
     for c in right_cols:
-        merged = merged.withColumn(
-            c, F.last(f"__r_{c}", ignorenulls=True).over(w)
-        )
+        merged = merged.withColumn(c, F.col("__r_match")[c])
     return merged.filter(F.col("__tag") == 1).drop(
-        "__ts", "__tag", *[f"__r_{c}" for c in right_cols]
+        "__ts", "__tag", "__r_struct", "__r_match"
     )
 
 

@@ -165,10 +165,16 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     n_frames = (F.floor((F.length("text") - 1) / _FRAME_STRIDE) + 1).cast("int")
+    # Guard the empty-text case: sequence(0, -1) DESCENDS in Spark and
+    # would emit two spurious frames where the oracle's range(0, 0) is
+    # empty — same descending-sequence pitfall word_shingles guards.
+    idx_seq = F.when(
+        n_frames >= 1, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
     frames = d.select(
         "doc_id",
         "text",
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        F.explode(idx_seq).alias("frame_idx"),
     )
     frame = F.expr(
         f"substring(text, frame_idx * {_FRAME_STRIDE} + 1, {_FRAME_LEN})"

@@ -53,15 +53,40 @@ def salted_agg(
         # toString: Spark 4 renders count(DISTINCT v) as plain 'count(v)',
         # so a string check cannot see DISTINCT.
         fn_name, is_distinct = None, False
+        reflected = False
         try:
             node = expr._jc.node()
             fn_name = str(node.functionName()).lower()
             is_distinct = bool(node.isDistinct())
+            reflected = True
         except Exception:
             # non-UnresolvedFunction column (arithmetic over aggregates,
-            # literals...): not a recognizable decomposable partial
+            # literals...) OR a build without the private _jc/node()
+            # API (Spark Connect, future drift). Fall through to the
+            # string-prefix check below so plain sum/count/min/max stay
+            # usable when reflection itself is unavailable.
             pass
-        s = str(expr._jc)
+        if reflected:
+            s = str(expr._jc)
+        else:
+            # str(Column) renders as "Column<'sum(v)'>"; unwrap it.
+            s = str(expr)
+            if s.startswith("Column<'") and s.endswith("'>"):
+                s = s[len("Column<'") : -2]
+        if not reflected and fn_name is None:
+            # Portability fallback: match the rendered prefix. Spark 4
+            # renders count(DISTINCT v) as plain 'count(v)', so this
+            # path cannot see DISTINCT — reflection (above) is the
+            # primary detector; this only runs when it's unavailable.
+            for prefix, fallback in (
+                ("sum(", "sum"),
+                ("count(", "count"),
+                ("min(", "min"),
+                ("max(", "max"),
+            ):
+                if s.lower().startswith(prefix):
+                    fn_name = fallback
+                    break
         if is_distinct:
             raise ValueError(
                 f"aggregate {name!r} ({s}) is not salt-decomposable — "

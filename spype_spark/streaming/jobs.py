@@ -11,6 +11,7 @@ integer division (no double-precision loss).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 import pandas as pd
@@ -280,14 +281,6 @@ def run_stream_rollup_maintenance(
     """
     split_dir = tempfile.mkdtemp(prefix="spype_events_split_", dir=_scratch_root())
     ensure_session_confs(spark)
-    (
-        spark.read.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
-        .repartition(n_splits)
-        .write.mode("overwrite")
-        .parquet(split_dir)
-    )
-    ev = _events_stream(spark, split_dir, glob="*.parquet", max_files_per_trigger=1)
 
     def write_partials(batch_df: DataFrame, epoch_id: int) -> None:
         # aggregate INSIDE the epoch: per-batch additive partials.
@@ -305,16 +298,32 @@ def run_stream_rollup_maintenance(
         )
         partial.write.mode("overwrite").parquet(f"{rollup_dir}/epoch={epoch_id}")
 
-    with tempfile.TemporaryDirectory(
-        prefix="spype_ckpt_", dir=_scratch_root()
-    ) as ckpt:
-        q = (
-            ev.writeStream.foreachBatch(write_partials)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    # split_dir is only read during the drain; clean it up afterwards
+    # (the returned DataFrame reads rollup_dir only) so repeated
+    # invocations don't leak an events-table copy into scratch.
+    try:
+        (
+            spark.read.schema(EVENTS_SCHEMA)
+            .parquet(f"{sf_dir}/events.parquet")
+            .repartition(n_splits)
+            .write.mode("overwrite")
+            .parquet(split_dir)
         )
-        q.awaitTermination()
+        ev = _events_stream(
+            spark, split_dir, glob="*.parquet", max_files_per_trigger=1
+        )
+        with tempfile.TemporaryDirectory(
+            prefix="spype_ckpt_", dir=_scratch_root()
+        ) as ckpt:
+            q = (
+                ev.writeStream.foreachBatch(write_partials)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(split_dir, ignore_errors=True)
     # compaction view: merge the partial log into the rollup
     log = spark.read.parquet(rollup_dir)
     return log.groupBy("hour_ts", "event_type").agg(

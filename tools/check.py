@@ -188,7 +188,8 @@ def main() -> int:
             problems.append(f"cols {sorted(s_cols)} != {sorted(d_cols)}")
         if not problems:
             hs, hd = hash_rows(s_cols, s_rows), hash_rows(d_cols, d_rows)
-            if hs != hd:
+            hash_mismatch = hs != hd
+            if hash_mismatch:
                 problems.append("value-hash mismatch")
             elif args.driver_replica:
                 try:
@@ -196,24 +197,25 @@ def main() -> int:
                     rd = replica_hash(con.sql(q.oracle).df())
                     if rs != rd:
                         problems.append("DRIVER-replica hash mismatch")
+                        hash_mismatch = True
                 except TypeError as e:
                     problems.append(f"DRIVER-replica crash: {e}")
-                if args.show_diff:
-                    order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-                    order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-                    set_s = {
-                        "\x1f".join(canon_value(r[i]) for i in order_s)
-                        for r in s_rows
-                    }
-                    set_d = {
-                        "\x1f".join(canon_value(r[i]) for i in order_d)
-                        for r in d_rows
-                    }
-                    print(f"  cols: {sorted(s_cols)}")
-                    for x in list(set_s - set_d)[:5]:
-                        print(f"  spark-only: {x!r}")
-                    for x in list(set_d - set_s)[:5]:
-                        print(f"  duck-only : {x!r}")
+            if hash_mismatch and args.show_diff:
+                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                set_s = {
+                    "\x1f".join(canon_value(r[i]) for i in order_s)
+                    for r in s_rows
+                }
+                set_d = {
+                    "\x1f".join(canon_value(r[i]) for i in order_d)
+                    for r in d_rows
+                }
+                print(f"  cols: {sorted(s_cols)}")
+                for x in list(set_s - set_d)[:5]:
+                    print(f"  spark-only: {x!r}")
+                for x in list(set_d - set_s)[:5]:
+                    print(f"  duck-only : {x!r}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
