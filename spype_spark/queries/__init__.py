@@ -45,62 +45,9 @@ from spype_spark.queries import lakehouse_ops  # noqa: F401
 #      as evidence), with the round-1 rows-only keys last.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # 1 — fixed red rows + latent array-output fixes
-    "q_cast_types",
-    "q_str_funcs",
-    "q_agg_collect",
-    "q_array_funcs",
-    "q_array_setops",
-    "q_map_funcs",
-    "q_regexp_extract_all",
-    # 1b — round-2 additions with oracles (zero driver history, so they
-    # outrank round-1 keys the judge already re-verified locally)
-    "q_lake_merge_upsert",
-    "q_lake_time_travel",
-    "q_lake_delete",
-    "q_lake_compact",
-    "q_join_bucketed",
-    "q_dedup_components",
-    "q_json_variant",
-    "q_dataset_split",
-    "q_ts_interpolate",
-    "q_dedup_cluster_keep",
-    # 2 — oracle-bearing, never driver-verified
-    "q_str_funcs2",
-    "q_bitwise_funcs",
-    "q_hash_funcs",
-    "q_explode_posexplode",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_sim_cosine_topk",
-    "q_text_tokens",
-    "q_text_tfidf",
-    "q_text_stats",
-    "q_text_langfilter",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokencount",
-    "q_fingerprint",
-    "q_dedup_embed_cosine",
-    "q_dedup_pipeline",
-    "q_udf_cogroup",
-    "q_text_mode",
-    "q_fuzzy_match",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_events_hourly_agg",
-    "q_ts_gapfill",
-    "q_stream_stateful_running",
-    "q_udf_python",
-    "q_udf_pandas",
-    "q_udaf_grouped",
-    "q_udtf_explode",
-    "q_pipe_chain",
-    "q_pipe_fan_merge",
-    "q_pipe_iff",
-    "q_pipe_validate",
-    "q_multimodal_meta",
+    # ---- round-3 window (first 50 keys = the driver's evidence budget).
+    # Group 1 — SQL-oracle contracts never scheduled into any window
+    # (r1+r2 verified 94/108; these 14 close the gap):
     "q_pivot",
     "q_unpivot",
     "q_subquery_scalar",
@@ -108,19 +55,57 @@ _DRIVER_PRIORITY = [
     "q_subquery_correlated",
     "q_null_handling",
     "q_skew_salted_agg",
-    # 3 — rows-only, never driver-verified
-    "q_dedup_minhash",
-    "q_sim_lsh_ann",
-    "q_dedup_simhash",
-    "q_sim_cosine_tiled",
-    "q_sim_ivf_ann",
-    "q_stream_dedup_watermark",
-    "q_multimodal_decode",
+    "q_agg_grouping_id",
+    "q_profile_stats",
+    "q_agg_histogram",
+    "q_window_percentiles",
+    "q_multimodal_framesample",
+    "q_multimodal_meta",
+    "q_pipe_validate",
+    # Group 2 — round-3 conversions: formerly rows-only, now carrying
+    # SQL invariant oracles; zero hash history, so they need slots:
     "q_sink_csv_roundtrip",
     "q_sink_json_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_sink_parquet_roundtrip",
     "q_sink_partitioned_write",
+    "q_source_binaryfile",
     "q_sample_seeded",
     "q_rollup_materialized",
+    "q_stream_dedup_watermark",
+    "q_agg_approx_percentile",
+    "q_agg_approx_distinct",
+    "q_sim_cosine_tiled",
+    "q_lake_history",
+    # Group 3 — implementation changed in round 3 (asof struct-pack),
+    # so its r1 green row is stale:
+    "q_join_asof",
+    # Group 4 — r1-green keys whose shared infrastructure (facade,
+    # tables.py) was refactored in round 2 AFTER their green rows were
+    # recorded; re-verify joins, aggregates, windows:
+    "q_join_inner_equi",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_broadcast",
+    "q_join_3way",
+    "q_join_theta_range",
+    "q_agg_global",
+    "q_pricing_summary",
+    "q_agg_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_stats",
+    "q_agg_minmax_by",
+    "q_agg_percentile",
+    "q_agg_listagg",
+    "q_window_rank",
+    "q_window_topk",
+    # ---- end of the 50-slot window ----
 ]
 
 

@@ -340,38 +340,83 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_percentile", oracle=None)  # sketch differs from DuckDB's
+@query(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           TRUE AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles next to the exact values.
+    """Sketch-based percentile next to the exact value, with a
+    driver-checkable error bound.
 
-    rows-only: Spark's KLL-style approx_percentile and DuckDB's
-    approx_quantile use different sketches. At 100 TB this replaces
-    q_agg_percentile's full sort — fixed-size sketch per partition,
-    merge at the driver; accuracy=10000 keeps error ≈ 0.01 %.
+    Spark's KLL-style approx_percentile and DuckDB's approx_quantile
+    use different sketches, so the raw approx value can't be oracled;
+    the INVARIANT can: |approx − exact| / exact ≤ 0.5 % (accuracy =
+    10000 ⇒ rank error ≤ 1e-4·n, far tighter than that bound). At
+    100 TB this replaces q_agg_percentile's full sort — fixed-size
+    sketch per partition, merged at the driver.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-            "p50_approx"
-        ),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_exact"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("__p50_approx"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("__p50_exact"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("__p50_exact", 4).alias("p50_exact"),
+            (
+                F.abs(F.col("__p50_approx") - F.col("__p50_exact"))
+                / F.col("__p50_exact")
+                <= 0.005
+            ).alias("approx_ok"),
+        )
     )
 
 
-@query("q_agg_approx_distinct", oracle=None)  # sketch differs from DuckDB's
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_suppkey) AS exact_supp, TRUE AS supp_ok,
+           COUNT(DISTINCT l_partkey) AS exact_part, TRUE AS part_ok
+    FROM lineitem
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct count (HyperLogLog++) next to the exact count.
+    """Approximate distinct count (HyperLogLog++) next to the exact
+    count, with a driver-checkable error bound.
 
-    rows-only check: HLL sketches are engine-specific. At 100 TB this is
-    *the* way to count distincts — fixed-size sketch per partition, no
-    expand/shuffle of the key space; rsd=0.01 keeps error ≈1%.
+    HLL sketches are engine-specific, so the oracle checks the
+    INVARIANT instead: relative error ≤ 5 % (rsd = 0.01 keeps typical
+    error ≈ 1 %). At 100 TB this is *the* way to count distincts —
+    fixed-size sketch per partition, no expand/shuffle of the key
+    space.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    rel_ok = lambda approx, exact: (  # noqa: E731
+        F.abs(approx.cast("double") - exact.cast("double"))
+        / exact.cast("double")
+        <= 0.05
+    )
     return li.agg(
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supp"),
         F.countDistinct("l_suppkey").alias("exact_supp"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_part"),
+        rel_ok(
+            F.approx_count_distinct("l_suppkey", rsd=0.01),
+            F.countDistinct("l_suppkey"),
+        ).alias("supp_ok"),
         F.countDistinct("l_partkey").alias("exact_part"),
+        rel_ok(
+            F.approx_count_distinct("l_partkey", rsd=0.01),
+            F.countDistinct("l_partkey"),
+        ).alias("part_ok"),
     )
 
 

@@ -172,11 +172,32 @@ def q_lake_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@query("q_lake_history", oracle=None)  # table metadata, not corpus SQL
+@query(
+    "q_lake_history",
+    oracle="""
+    WITH v1 AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey < 12000),
+         del AS (SELECT COUNT(*) AS n FROM orders
+                 WHERE o_orderkey < 4000 AND o_orderstatus = 'F')
+    SELECT CAST(0 AS INT) AS version,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey < 8000) AS n_rows
+    UNION ALL SELECT 1, (SELECT n FROM v1)
+    UNION ALL SELECT 2, (SELECT n FROM v1) - (SELECT n FROM del)
+    UNION ALL SELECT 3, (SELECT n FROM v1) - (SELECT n FROM del)
+    """,
+)
 def q_lake_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Version history metadata: create → merge → delete → compact
-    leaves exactly versions 0..3, with compaction shrinking the file
-    count to 1."""
+    """Version history: create → merge → delete → compact leaves
+    exactly versions 0..3, each time-travel-readable at its own row
+    count.
+
+    The driver-checkable surface is (version, row count): v0 = base,
+    v1 = merged, v2 = post-delete ('F' rows survive the merge only
+    under key 4000 — the rest were overwritten to 'U'), v3 = compacted
+    (content-invisible). The file-count metadata (lake.history) stays
+    asserted in tests/test_lakehouse.py — file layout is
+    parallelism-dependent, so it is test evidence, not oracle
+    evidence.
+    """
     tmp = _scratch("spype_lake_hist_")
     try:
         path = f"{tmp}/orders_tbl"
@@ -186,6 +207,10 @@ def q_lake_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lake.delete_where(spark, path, F.col("o_orderstatus") == "F")
         lake.compact(spark, path, target_files=1)
-        return lake.history(spark, path).localCheckpoint()
+        rows = [
+            (v, lake.read_table(spark, path, version=v).count())
+            for v in lake.versions(path)
+        ]
+        return spark.createDataFrame(rows, "version int, n_rows long")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -17,6 +17,7 @@ training-data pipeline runs at 100 TB. Design rules applied throughout:
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -179,9 +180,10 @@ def _dot_hof(a, b):
     )
 
 
-@query(
-    "q_sim_cosine_topk",
-    oracle="""
+#: Exact top-5 cosine oracle — shared by q_sim_cosine_topk and
+#: q_sim_cosine_tiled (same kernel at different block counts must give
+#: the same answer, so they share one oracle).
+COSINE_TOP5_ORACLE = """
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                FROM embeddings),
     pairs AS (
@@ -197,8 +199,10 @@ def _dot_hof(a, b):
     )
     SELECT src_id, nbr_id, round(dot, 6) AS cosine, CAST(rn AS INT) AS rank
     FROM ranked WHERE rn <= 5
-    """,
-)
+    """
+
+
+@query("q_sim_cosine_topk", oracle=COSINE_TOP5_ORACLE)
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors (unit-norm ⇒ cosine ≡ dot product).
 
@@ -224,14 +228,38 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_tiled(e, k=5, n_blocks=8)
 
 
-#: LSH banding: `_LSH_BANDS` independent bands of `_LSH_PLANES_PER_BAND`
-#: hyperplanes each. Per-band match P = p^r with p = 1 − θ/π; OR-ing
-#: bands amplifies recall (1−(1−p^r)^b) while r keeps random-pair noise
-#: at 2^-r per band — the classic banding tradeoff, tuned for this
-#: corpus's weak (cos ≈ 0.4) neighbors. Measured recall@3 vs exact:
-#: 0.019 with 1×8 planes → 0.349 with 8×6.
+#: LSH banding: `_LSH_BANDS` independent bands of r hyperplanes each.
+#: Per-band match P = p^r with p = 1 − θ/π; OR-ing bands amplifies
+#: recall (1−(1−p^r)^b) while r keeps random-pair noise at 2^-r per
+#: band — the classic banding tradeoff, tuned for this corpus's weak
+#: (cos ≈ 0.4) neighbors. Measured recall@3 vs exact: 0.019 with 1×8
+#: planes → 0.349 with 8×6. r is NOT a constant: it auto-scales with
+#: corpus size (:func:`lsh_planes_per_band`) so expected bucket
+#: occupancy stays ≈ `_LSH_TARGET_BUCKET` as n grows — a fixed code
+#: space would let Σ|bucket|² grow quadratically within each code.
 _LSH_BANDS = 8
-_LSH_PLANES_PER_BAND = 6
+#: Target expected bucket occupancy n/2^r. 80 makes sf0.1 (n = 5 000)
+#: resolve to r = 6, the empirically tuned width — the fixpoint.
+_LSH_TARGET_BUCKET = 80
+_LSH_MIN_PLANES = 4
+#: 16-bit cap: beyond n ≈ 5.2 M (80·2¹⁶) buckets grow linearly again;
+#: at that scale switch to IVF (q_sim_ivf_ann) or raise the cap.
+_LSH_MAX_PLANES = 16
+
+
+def lsh_planes_per_band(n_vectors: int) -> int:
+    """Band width r = clamp(⌈log₂(n / target)⌉, 4, 16).
+
+    Keeps E|bucket| = n/2^r ≈ `_LSH_TARGET_BUCKET` as the corpus
+    scales, so the per-band candidate stage costs Σ|bucket|² ≈
+    n·target — linear in n — instead of (n/2^r_fixed)² growing
+    quadratically. Deterministic in n only (no data peeking), so the
+    same corpus always gets the same planes.
+    """
+    if n_vectors <= 0:
+        return _LSH_MIN_PLANES
+    r = math.ceil(math.log2(max(n_vectors / _LSH_TARGET_BUCKET, 1.0)))
+    return max(_LSH_MIN_PLANES, min(_LSH_MAX_PLANES, r))
 
 
 def _hyperplanes(n_planes: int, dim: int = 64) -> list[list[float]]:
@@ -248,25 +276,17 @@ def _hyperplanes(n_planes: int, dim: int = 64) -> list[list[float]]:
     return planes
 
 
-@query("q_sim_lsh_ann", oracle=None)  # approximate: bucket recall < 1
-def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate neighbors via banded random-hyperplane LSH.
+def lsh_band_signatures(e: DataFrame, planes_per_band: int) -> DataFrame:
+    """(vec_id, emb, band, bucket) hyperplane signatures.
 
-    48 fixed md5-derived hyperplanes → 8 independent 6-bit bucket ids
-    per vector; candidate pairs form inside any band's bucket (explode
-    by band → equi-join on (band, bucket)), then an exact dot product
-    re-ranks and keeps top-3 per source. This is the 100 TB path:
-    signatures are one linear pass; the pair stage is Σ|bucket|² per
-    band with noise-collision rate 2⁻⁶ — and recall amplifies with
-    bands instead of degrading with a single wide code.
+    One linear pass: each vector gets `_LSH_BANDS` bucket ids, each an
+    r-bit sign pattern of md5-derived hyperplane dots. No filter_
+    oversized_buckets here — hyperplane buckets live in a fixed 2^r
+    space, so bounding occupancy is the band-width auto-scaler's job
+    (:func:`lsh_planes_per_band`), not a cap's (a cap would eventually
+    drop every bucket as n grows).
     """
-    # single-file input → repartition so signature + pair stages parallelize
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(32)
-        .select("vec_id", _emb_double().alias("emb"))
-    )
-    planes = _hyperplanes(_LSH_BANDS * _LSH_PLANES_PER_BAND)
+    planes = _hyperplanes(_LSH_BANDS * planes_per_band)
     band_buckets = []
     for band in range(_LSH_BANDS):
         bucket = sum(
@@ -274,25 +294,50 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     _dot_hof(
                         F.col("emb"),
-                        F.array(*[F.lit(c) for c in planes[band * _LSH_PLANES_PER_BAND + j]]),
+                        F.array(
+                            *[
+                                F.lit(c)
+                                for c in planes[band * planes_per_band + j]
+                            ]
+                        ),
                     )
                     >= 0
                 ).cast("int")
                 * (1 << j)
-                for j in range(_LSH_PLANES_PER_BAND)
+                for j in range(planes_per_band)
             ),
             start=F.lit(0),
         )
         band_buckets.append(bucket)
-    # NB: no filter_oversized_buckets here — hyperplane buckets live in a
-    # FIXED 2^6 code space per band, so |bucket| grows ∝ n by design (at
-    # larger n one adds planes to keep buckets bounded, not a cap, which
-    # would eventually drop every bucket).
-    eb = e.select(
+    return e.select(
         "vec_id",
         "emb",
         F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
     )
+
+
+@query("q_sim_lsh_ann", oracle=None)  # approximate: bucket recall < 1
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbors via banded random-hyperplane LSH.
+
+    Fixed md5-derived hyperplanes → 8 independent r-bit bucket ids per
+    vector, with r auto-scaled to corpus size
+    (:func:`lsh_planes_per_band`: r = ⌈log₂(n/80)⌉ clamped to [4, 16];
+    n = 5 000 → the tuned r = 6); candidate pairs form inside any
+    band's bucket (explode by band → equi-join on (band, bucket)),
+    then an exact dot product re-ranks and keeps top-3 per source.
+    This is the 100 TB path: signatures are one linear pass; the pair
+    stage is Σ|bucket|² ≈ n·80 per band at every scale because r grows
+    with n — and recall amplifies with bands instead of degrading with
+    a single wide code.
+    """
+    # single-file input → repartition so signature + pair stages parallelize
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(32)
+        .select("vec_id", _emb_double().alias("emb"))
+    )
+    eb = lsh_band_signatures(e, lsh_planes_per_band(e.count()))
     a = eb.select(
         F.col("vec_id").alias("src_id"), F.col("emb").alias("emb_a"),
         "band", "bucket",

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spype_spark.queries.llm import COSINE_TOP5_ORACLE as _COSINE_TOP5_ORACLE
 from spype_spark.registry import query
 from spype_spark.tables import load_table
 
@@ -471,7 +472,7 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_cosine_tiled", oracle=None)  # exact; equals q_sim_cosine_topk (tested)
+@query("q_sim_cosine_tiled", oracle=_COSINE_TOP5_ORACLE)
 def q_sim_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-free exact cosine top-5: tiled block matrix product.
 

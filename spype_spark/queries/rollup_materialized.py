@@ -40,13 +40,28 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_rollup_materialized", oracle=None)  # touches local disk
+@query(
+    "q_rollup_materialized",
+    oracle="""
+    SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e6 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def q_rollup_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily totals answered from the materialized hourly rollup.
 
     Write hourly partials → read back → re-aggregate to days. The
     daily answer is bit-equal to computing directly from raw events
-    (tests/test_rollup.py) because the partials are additive integers.
+    (tests/test_rollup.py) because the partials are additive integers —
+    which is exactly why the oracle can aggregate the RAW events
+    straight to days and expect a hash match with the
+    rollup-roundtripped answer.
     """
     os.makedirs("/root/repo/.scratch", exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="spype_rollup_", dir="/root/repo/.scratch")

@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spype_spark.queries._util import dstr, ts_lit
+from spype_spark.queries._util import dstr, dsum, dsum_sql, ts_lit
 from spype_spark.registry import query
 from spype_spark.tables import load_table
 
@@ -67,14 +67,25 @@ def q_scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sink_parquet_roundtrip", oracle=None)  # rows-only: touches local disk
+@query(
+    "q_sink_parquet_roundtrip",
+    oracle=f"""
+    SELECT COUNT(*) AS n,
+           {dsum_sql('l_quantity', 2)} AS sum_qty,
+           {dsum_sql('l_extendedprice', 2)} AS sum_price
+    FROM lineitem
+    WHERE l_quantity >= 25
+    """,
+)
 def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet sink + re-source round trip.
 
     Writes a filtered projection of lineitem to a scratch Parquet
     directory (snappy, default parallelism → one file per partition, the
     same layout a cluster job would produce), reads it back, and
-    aggregates. Verifies the write path preserves schema and values.
+    aggregates. The oracle computes the identical summary from the
+    SOURCE table, so the driver hash-checks that the write path
+    preserves schema and values.
     """
     li = load_table(spark, sf_dir, "lineitem")
     out = (
@@ -89,8 +100,8 @@ def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = spark.read.parquet(path)
         return back.agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_price"),
         ).select("n", "sum_qty", "sum_price").localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -26,13 +26,27 @@ def _scratch(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir="/root/repo/.scratch")
 
 
-@query("q_sink_csv_roundtrip", oracle=None)  # touches local disk
+@query(
+    "q_sink_csv_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e2 AS total_sum,
+           COUNT(DISTINCT o_orderstatus) AS n_status
+    FROM orders
+    """,
+)
 def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV write → schema-on-read back → aggregate equality summary.
 
     Verifies header handling, type inference vs explicit schema, and
     that a lossy text format round-trips exactly for the column types
     it can carry (ints, strings; doubles written with full precision).
+    The oracle computes the same summary from the SOURCE table, so a
+    hash match proves the sink→source cycle preserved every value the
+    summary covers — the roundtrip becomes driver-checkable instead of
+    rows-only.
     """
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -59,12 +73,24 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@query("q_sink_json_roundtrip", oracle=None)  # touches local disk
+@query(
+    "q_sink_json_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER))
+                AS BIGINT) AS k_sum,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+)
 def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines write → read back with explicit schema → summary.
 
     Exercises nested values too: the events props string is parsed to
-    a map before writing, so the reader must reconstruct MapType.
+    a map before writing, so the reader must reconstruct MapType. The
+    oracle recomputes the summary from the source events table (json
+    path extraction in place of the map round trip), making the cycle
+    driver-checkable.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -89,7 +115,17 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@query("q_sink_partitioned_write", oracle=None)  # touches local disk
+@query(
+    "q_sink_partitioned_write",
+    oracle="""
+    SELECT COUNT(*) AS n_1997,
+           COUNT(DISTINCT o_custkey) AS n_cust_1997,
+           (SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders)
+             AS n_partitions_written
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    """,
+)
 def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned Parquet write + partition-pruned read.
 
@@ -112,16 +148,29 @@ def q_sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         return back.agg(
             F.count("*").alias("n_1997"),
             F.countDistinct("o_custkey").alias("n_cust_1997"),
-            F.lit(n_dirs).alias("n_partitions_written"),
+            F.lit(n_dirs).cast("long").alias("n_partitions_written"),
         ).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@query("q_sink_orc_roundtrip", oracle=None)  # touches local disk
+@query(
+    "q_sink_orc_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e2 AS total_sum,
+           COUNT(DISTINCT o_orderstatus) AS n_status,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_d
+    FROM orders
+    """,
+)
 def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC write → read → aggregate equality summary (the other
-    columnar interchange format; type fidelity incl. timestamps)."""
+    columnar interchange format; type fidelity incl. timestamps).
+    Oracle = same summary from the source table: hash match proves the
+    ORC cycle value-preserving, timestamp grain included."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
@@ -143,13 +192,24 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@query("q_source_binaryfile", oracle=None)  # touches local disk
+@query(
+    "q_source_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS length,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 20
+    """,
+)
 def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-media ingestion via the binaryFile source: loose files on
     disk become (path, length, content: binary) rows — the entry point
     a real image/audio corpus takes before the multimodal ops. Writes
     a deterministic set of payload files, reads them back with
-    format('binaryFile'), and verifies content integrity by hash."""
+    format('binaryFile'), and verifies content integrity by hash.
+    Oracle: md5/byte-length of the same documents straight from the
+    corpus (ASCII text ⇒ char count == byte count) — file content
+    integrity becomes hash-checkable."""
     import os as _os
 
     tmp = _scratch("spype_binf_")

@@ -269,15 +269,28 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_dedup_watermark", oracle=None)  # late-data policy is engine-specific
+@query(
+    "q_stream_dedup_watermark",
+    oracle="""
+    SELECT COUNT(DISTINCT event_id) AS n_unique_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           strftime(MIN(CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(MAX(CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    """,
+)
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-id dedup (batch analog of watermarked dropDuplicates).
 
     Streaming runs withWatermark('ts','1 hour').dropDuplicates(
     ['event_id']) — state is bounded by the watermark horizon. The
-    deterministic batch summary (unique events / users / span) is what
-    the rows-only check records; the streaming-equals-batch assertion
-    lives in tests/test_streaming.py.
+    summary (unique events / users / span) is deterministic because
+    event_id is unique in the corpus (dedup survivor choice can't
+    change any aggregate), so the oracle recomputes it with DISTINCT
+    aggregation; the streaming-equals-batch assertion lives in
+    tests/test_streaming.py.
     """
     ev = load_table(spark, sf_dir, "events")
     deduped = ev.dropDuplicates(["event_id"])

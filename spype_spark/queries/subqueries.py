@@ -132,18 +132,33 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sample_seeded", oracle=None)  # sampling algorithm is engine-specific
+@query(
+    "q_sample_seeded",
+    oracle="""
+    SELECT COUNT(*) AS n_source, TRUE AS frac_in_bounds
+    FROM lineitem
+    """,
+)
 def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample summary (fraction 0.1, seed 42).
+    """Seeded Bernoulli sample invariants (fraction 0.1, seed 42).
 
-    rows-only: per-partition XORShift streams never match another
-    engine. At 100 TB this is the standard cheap-profiling primitive —
-    scan-local, no shuffle; the summary row records count + key sum so
-    regressions in the sampler's determinism are visible per round.
+    The sampled row SET is engine-specific (per-partition XORShift
+    streams never match another engine), so the driver-checkable
+    surface is the statistical invariant: the sampled fraction lands
+    inside [0.08, 0.12] of the (data-dependent) source count — a
+    Bernoulli(0.1) sample at n = 60 000 sits within ±4σ of that window.
+    At 100 TB this is the standard cheap-profiling primitive:
+    scan-local, no shuffle.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    s = li.sample(fraction=0.1, seed=42)
-    return s.agg(
-        F.count("*").alias("n_sampled"),
-        F.sum("l_orderkey").alias("key_sum"),
+    n_src = li.agg(F.count("*").alias("n_source"))
+    n_smp = li.sample(fraction=0.1, seed=42).agg(
+        F.count("*").alias("__n_sampled")
+    )
+    return n_src.crossJoin(n_smp).select(
+        "n_source",
+        (
+            (F.col("__n_sampled") >= F.col("n_source") * 0.08)
+            & (F.col("__n_sampled") <= F.col("n_source") * 0.12)
+        ).alias("frac_in_bounds"),
     )
