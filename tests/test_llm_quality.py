@@ -41,7 +41,9 @@ def test_lsh_ann_recall_floor(spark, exact_topk):
     """Banded hyperplane-LSH top-3 must recover a fixed fraction of the
     exact top-3 (measured 2026-08-13: 0.349 with 8 bands × 6 planes on
     this near-uniform corpus, up from 0.019 with a single 8-plane band;
-    the floor guards against silent banding regressions)."""
+    the auto-scaler picks r = 4 at this n = 500, which widens buckets
+    and can only raise recall; the floor guards against silent banding
+    regressions)."""
     got = {
         (r.src_id, r.nbr_id)
         for r in REGISTRY["q_sim_lsh_ann"].fn(spark, SF).collect()
@@ -208,3 +210,46 @@ def test_pq_encode_quality_and_determinism(spark):
         for r in pq_encode(e.repartition(17), n_subspaces=8, n_codes=16).collect()
     }
     assert {r.vec_id: (r.codes, r.err2) for r in out} == out2
+
+
+def test_lsh_band_width_scaling_law():
+    """The auto-scaler keeps expected bucket occupancy bounded: for any
+    corpus size until the 16-bit cap, n / 2^r ≤ 2 × target (the factor
+    2 absorbs the ceil), with the tuned sf0.1 width as fixpoint."""
+    from spype_spark.queries.llm import (
+        _LSH_MAX_PLANES,
+        _LSH_TARGET_BUCKET,
+        lsh_planes_per_band,
+    )
+
+    assert lsh_planes_per_band(5_000) == 6  # sf0.1 fixpoint
+    for n in (1, 500, 5_000, 50_000, 500_000, 5_000_000):
+        r = lsh_planes_per_band(n)
+        assert 4 <= r <= _LSH_MAX_PLANES
+        assert n / 2**r <= 2 * _LSH_TARGET_BUCKET, (n, r)
+    # beyond the cap the scaler saturates (documented IVF handoff)
+    assert lsh_planes_per_band(10**9) == _LSH_MAX_PLANES
+
+
+def test_lsh_bucket_p99_bounded_at_10x(spark):
+    """Empirical 10× check (sf0.1, n = 5 000): the p99 band bucket
+    stays within 4× the target occupancy, so the per-band candidate
+    stage costs ≈ n·target pairs, not (n/2^r_fixed)² — the property
+    that makes the LSH path survive another 10×."""
+    from spype_spark.queries.llm import (
+        _LSH_TARGET_BUCKET,
+        _emb_double,
+        lsh_band_signatures,
+        lsh_planes_per_band,
+    )
+    from spype_spark.tables import load_table
+
+    e = (
+        load_table(spark, "/root/testdata/sf0.1", "embeddings")
+        .repartition(32)
+        .select("vec_id", _emb_double().alias("emb"))
+    )
+    r = lsh_planes_per_band(e.count())
+    sizes = lsh_band_signatures(e, r).groupBy("band", "bucket").count()
+    p99 = sizes.agg(F.percentile("count", F.lit(0.99)).alias("p")).collect()[0].p
+    assert p99 <= 4 * _LSH_TARGET_BUCKET, f"p99 bucket {p99}"
