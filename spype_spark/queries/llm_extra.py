@@ -512,6 +512,25 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann(e, n_cells=16, nprobe=4, k=3)
 
 
+@query("q_sim_ivfpq_ann", oracle=None)  # approximate: PQ-ADC recall < 1
+def q_sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: probe scans 8×4-bit PQ codes (64× smaller than the
+    raw vectors) via an ADC lookup table, then exact-re-ranks only the
+    ADC top-24 per (query, probed cell) against the raw table.
+
+    The full 100 TB ANN stack (:func:`spype_spark.ann.ivf_pq_ann`):
+    same distributed IVF skeleton as q_sim_ivf_ann, but the in-cell
+    scan touches the compressed codes table — the memory-bound stage
+    shrinks 64× and the exact dots run only on the tiny refine set.
+    Recall floor vs exact top-3 pinned in
+    tests/test_llm_quality.py::test_ivfpq_recall_floor.
+    """
+    from spype_spark.ann import ivf_pq_ann
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_pq_ann(e, n_cells=16, nprobe=4, k=3)
+
+
 @query("q_pq_encode", oracle=None)  # argmin quantization — not 1-query SQL
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: 64-dim float vectors → 8×4-bit codes (64×
