@@ -8,14 +8,19 @@ Layout: every table version is a complete immutable snapshot directory::
     <table>/v=0/part-*.parquet   (+ _SUCCESS)
     <table>/v=1/part-*.parquet   (+ _SUCCESS)
 
-A version becomes visible only when its ``_SUCCESS`` marker exists
-(Spark writes it last), so readers never observe a half-written
-snapshot — the same commit-by-marker idea a real table format
-implements with a transaction log. Writers race at the granularity of
-"next version number"; production formats resolve that with an atomic
-log append (Delta) or catalog swap (Iceberg) — the *reader-facing*
-semantics (versioned snapshots, time travel, content-equal compaction)
-are identical, which is what the contracts verify.
+Commit protocol (round 3): a writer never writes into ``v=N``
+directly. It writes the full snapshot to a hidden ``.tmp-<uuid>``
+directory (Spark's ``_SUCCESS`` lands there), then publishes with ONE
+``os.rename(tmp, v=N)`` — atomic on POSIX, and it FAILS if ``v=N``
+already exists, so two racing writers can never interleave files in
+one snapshot directory. Concurrency is optimistic, like Delta's
+log-append / Iceberg's catalog swap: each mutation captures the
+table's latest version as its base and commits only to ``base+1``; if
+a concurrent writer got there first the rename raises
+:class:`ConcurrentWriteError` and the LOSER's temp dir is removed —
+the caller re-reads and retries the whole mutation. Readers still
+require the ``_SUCCESS`` marker (belt on top of the atomic-rename
+suspenders), so a half-written snapshot is unobservable twice over.
 
 Snapshot-level copy-on-write: MERGE/DELETE rewrite the full table into
 the next version. Real formats rewrite only affected files and track
@@ -29,11 +34,19 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _VERSION_RE = re.compile(r"^v=(\d+)$")
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent writer committed the version this mutation was
+    based on. The table is uncorrupted; re-read and retry the whole
+    mutation (optimistic concurrency, as in Delta/Iceberg commits)."""
 
 
 def versions(path: str) -> list[int]:
@@ -59,18 +72,43 @@ def _snapshot_dir(path: str, version: int) -> str:
     return f"{path}/v={version}"
 
 
+def _commit_snapshot(df: DataFrame, path: str, version: int) -> int:
+    """Write ``df`` as snapshot ``version`` via temp-dir + atomic rename.
+
+    The Spark job writes to ``.tmp-<uuid>`` (invisible to
+    :func:`versions`); the single ``os.rename`` publishes it. Rename to
+    an existing ``v=N`` fails at the filesystem level, so exactly one
+    of any number of racing writers wins version N — the losers' temp
+    dirs are cleaned up and they get :class:`ConcurrentWriteError`
+    without having touched the table.
+    """
+    tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
+    df.write.mode("errorifexists").parquet(tmp)
+    final = _snapshot_dir(path, version)
+    try:
+        os.rename(tmp, final)
+    except OSError as exc:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"version {version} of {path} was committed concurrently "
+            f"(base version is stale); re-read and retry"
+        ) from exc
+    return version
+
+
 def write_table(df: DataFrame, path: str) -> int:
     """Create a table at ``path`` as version 0 (errors if it exists)."""
     if versions(path):
         raise FileExistsError(f"table already exists at {path}")
-    df.write.mode("errorifexists").parquet(_snapshot_dir(path, 0))
-    return 0
+    os.makedirs(path, exist_ok=True)
+    return _commit_snapshot(df, path, 0)
 
 
-def _write_next(df: DataFrame, path: str) -> int:
-    v = latest_version(path) + 1
-    df.write.mode("errorifexists").parquet(_snapshot_dir(path, v))
-    return v
+def _write_next(df: DataFrame, path: str, base: int | None = None) -> int:
+    """Commit ``df`` as ``base+1`` (optimistic: raises
+    :class:`ConcurrentWriteError` if someone else already did)."""
+    v = (latest_version(path) if base is None else base) + 1
+    return _commit_snapshot(df, path, v)
 
 
 def read_table(
@@ -105,7 +143,8 @@ def merge_upsert(
     Off by default: silent widening is how typo'd column names corrupt
     a table.
     """
-    tgt = read_table(spark, path)
+    base = latest_version(path)
+    tgt = read_table(spark, path, version=base)
     if evolve_schema:
         merged = updates.unionByName(
             tgt.join(updates.select(*keys), keys, "left_anti"),
@@ -121,24 +160,26 @@ def merge_upsert(
         merged = updates.select(*tgt.columns).unionByName(
             tgt.join(updates, keys, "left_anti")
         )
-    return _write_next(merged, path)
+    return _write_next(merged, path, base=base)
 
 
 def delete_where(spark: SparkSession, path: str, cond) -> int:
     """DELETE rows matching ``cond``; NULL-evaluating rows are KEPT
     (they do not match the delete predicate — SQL DELETE semantics).
     Returns the new version number."""
-    tgt = read_table(spark, path)
+    base = latest_version(path)
+    tgt = read_table(spark, path, version=base)
     keep = ~F.coalesce(cond, F.lit(False))
-    return _write_next(tgt.filter(keep), path)
+    return _write_next(tgt.filter(keep), path, base=base)
 
 
 def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     """Rewrite the latest snapshot into ``target_files`` files (small-file
     compaction). Content-identical by construction; returns the new
     version."""
-    tgt = read_table(spark, path)
-    return _write_next(tgt.repartition(target_files), path)
+    base = latest_version(path)
+    tgt = read_table(spark, path, version=base)
+    return _write_next(tgt.repartition(target_files), path, base=base)
 
 
 def data_files(path: str, version: int) -> list[str]:

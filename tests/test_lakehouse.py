@@ -119,3 +119,63 @@ def test_merge_schema_evolution(spark, tbl):
     }
     # v0 untouched: time travel still shows the pre-evolution schema
     assert "region" not in lake.read_table(spark, tbl, version=0).columns
+
+
+def test_concurrent_commit_exactly_one_wins(spark, tbl):
+    """The atomic-rename commit layer: two snapshots prepared against
+    the same base — exactly one rename wins v=1; the loser raises
+    ConcurrentWriteError, leaves no temp debris, and never touches the
+    winning snapshot."""
+    import os
+
+    df = lake.read_table(spark, tbl)
+    assert lake._commit_snapshot(df, tbl, 1) == 1
+    before = sorted(os.listdir(f"{tbl}/v=1"))
+    with pytest.raises(lake.ConcurrentWriteError):
+        lake._commit_snapshot(df.filter(F.col("k") == 1), tbl, 1)
+    assert lake.versions(tbl) == [0, 1]
+    assert sorted(os.listdir(f"{tbl}/v=1")) == before  # winner untouched
+    assert not [d for d in os.listdir(tbl) if d.startswith(".tmp-")]
+
+
+def test_two_writer_merge_race_serializes_or_fails_clean(spark, tbl):
+    """Two threads MERGE concurrently. Legal outcomes: both serialize
+    (saw different bases) or the loser fails with ConcurrentWriteError;
+    every committed version stays a complete readable snapshot either
+    way — never a corrupt mix of the two writers' files."""
+    import threading
+
+    upd_a = spark.createDataFrame([(2, "A", 1.0)], "k long, s string, v double")
+    upd_b = spark.createDataFrame([(3, "B", 2.0)], "k long, s string, v double")
+    results = {}
+    barrier = threading.Barrier(2)
+
+    def run(name, upd):
+        try:
+            barrier.wait()
+            results[name] = ("ok", lake.merge_upsert(spark, tbl, upd, keys=["k"]))
+        except lake.ConcurrentWriteError:
+            results[name] = ("conflict", None)
+
+    ts = [
+        threading.Thread(target=run, args=("a", upd_a)),
+        threading.Thread(target=run, args=("b", upd_b)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+
+    ok = [r for r in results.values() if r[0] == "ok"]
+    assert 1 <= len(ok) <= 2, results
+    # committed versions are dense 0..latest and every one is readable
+    vs = lake.versions(tbl)
+    assert vs == list(range(len(ok) + 1)), (vs, results)
+    for v in vs:
+        snap = lake.read_table(spark, tbl, version=v)
+        assert snap.count() == 3  # merges here only update, never insert
+        assert {r.k for r in snap.collect()} == {1, 2, 3}
+    # no temp debris regardless of outcome
+    import os
+
+    assert not [d for d in os.listdir(tbl) if d.startswith(".tmp-")]
