@@ -326,55 +326,28 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located (bucketed) join: ZERO shuffles for join AND aggregate.
 
-    Both sides are written `bucketBy(8, <join key>)` + sortBy into
-    catalog tables; Spark's bucketed-scan rule then plans the equi-join
-    with NO Exchange on either side (bucket i joins bucket i), and the
-    follow-up groupBy on the same key reuses that partitioning — the
-    executed plan contains no Exchange at all (asserted in
-    tests/test_plans.py). This is THE 100 TB pattern for repeated fact-
-    fact joins: pay one bucketed write, then every subsequent
-    join/aggregate on the bucket key is shuffle-free. Revenue uses the
-    scaled-long sum so the result is order-independent (exact double).
+    Library-op pair from :mod:`spype_spark.bucketing`:
+    :func:`bucketize` pays the one-time clustered write (8 buckets +
+    in-bucket sort per side), :func:`bucketed_join` then plans the
+    equi-join with NO Exchange on either side (bucket i joins bucket
+    i), and the follow-up groupBy on the same key reuses that
+    partitioning — the executed plan contains no Exchange at all
+    (asserted in tests/test_plans.py). This is THE 100 TB pattern for
+    repeated fact-fact joins: the contract runs both calls end-to-end,
+    but a real pipeline bucketizes once at ingest and joins forever.
+    Revenue uses the scaled-long sum so the result is
+    order-independent (exact double).
     """
-    import os
-    import shutil
+    from spype_spark.bucketing import bucketed_join, bucketize
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
-    # explicit LOCATION: the default warehouse dir derives from the
-    # session's cwd, which may not be writable where the driver runs
-    db_loc = "/root/repo/.scratch/spype_bkt.db"
-    os.makedirs("/root/repo/.scratch", exist_ok=True)
-    spark.sql(
-        f"CREATE DATABASE IF NOT EXISTS spype_bkt LOCATION '{db_loc}'"
-    )
-    # managed-table locations outlive the in-memory catalog: a previous
-    # process's table dir would fail this session's CREATE, so drop both
-    # the (possibly unregistered) catalog entry and the location
-    for t in ("orders_b", "lineitem_b"):
-        spark.sql(f"DROP TABLE IF EXISTS spype_bkt.{t}")
-        shutil.rmtree(f"{db_loc}/{t}", ignore_errors=True)
-    (
-        o.write.mode("overwrite")
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .saveAsTable("spype_bkt.orders_b")
-    )
-    (
-        li.write.mode("overwrite")
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .saveAsTable("spype_bkt.lineitem_b")
-    )
-    # hint("merge"): at test scale Spark would broadcast the small side
-    # (adding a BroadcastExchange); the contract pins the fact-fact plan
-    # where neither side broadcasts — bucketed sort-merge, no Exchange
-    ob = spark.table("spype_bkt.orders_b").hint("merge")
-    lb = spark.table("spype_bkt.lineitem_b").hint("merge")
+    ot = bucketize(o, "o_orderkey", "orders_b", n_buckets=8)
+    lt = bucketize(li, "l_orderkey", "lineitem_b", n_buckets=8)
     return (
-        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        bucketed_join(spark, ot, lt, "o_orderkey", "l_orderkey")
         .groupBy("o_orderkey")
         .agg(
             F.count("*").alias("n_lines"),
