@@ -39,7 +39,7 @@ BENCH_QUERIES = {
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--runs", type=int, default=2, help="timed runs (best kept)")
+    ap.add_argument("--runs", type=int, default=3, help="timed runs (best kept)")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
