@@ -99,12 +99,15 @@ _DRIVER_PRIORITY = [
     "q_agg_rollup",
     "q_agg_cube",
     "q_agg_grouping_sets",
-    "q_agg_stats",
-    "q_agg_minmax_by",
     "q_agg_percentile",
-    "q_agg_listagg",
-    "q_window_rank",
-    "q_window_topk",
+    # Group 5 — r2-green keys whose implementation changed in round 3
+    # (atomic lakehouse commit protocol; bucketize/bucketed_join
+    # library split), so their r2 rows are stale:
+    "q_lake_merge_upsert",
+    "q_lake_time_travel",
+    "q_lake_delete",
+    "q_lake_compact",
+    "q_join_bucketed",
     # ---- end of the 50-slot window ----
 ]
 
