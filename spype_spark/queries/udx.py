@@ -37,9 +37,15 @@ from spype_spark.tables import load_table
 def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (tier label) — surface proof only.
 
-    Identical logic exists as pure Column algebra in q_cond_funcs; this
+    DO NOT copy this pattern for real pipelines: the same logic is one
+    CASE expression (exactly this contract's own oracle SQL, or
+    ``F.when``-chains as in q_cond_funcs) that stays inside whole-stage
+    codegen at zero Python cost; when Python is genuinely required,
+    reach for the Arrow-batched form (q_udf_pandas) first. This
     variant pays one Python round-trip per batch of rows and exists so
-    the engine's UDF registration path is exercised and measured.
+    the engine's UDF registration path is exercised and measured —
+    policy is builtins-first, and tests/test_plans.py asserts no
+    PythonUDF leaks into the relational contracts' plans.
     """
 
     @F.udf(returnType=StringType())

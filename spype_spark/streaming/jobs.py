@@ -332,6 +332,81 @@ def run_stream_rollup_maintenance(
     )
 
 
+def run_stream_live_ingest(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> tuple[DataFrame, int]:
+    """Continuous-ingestion behavior: a ``processingTime``-trigger
+    micro-batch loop over a landing directory that receives files
+    WHILE the query runs — the always-on production topology, vs the
+    ``AvailableNow`` drains every other streaming twin uses.
+
+    The events table is pre-split into ``n_files``; an empty landing
+    dir starts the query (50 ms trigger cadence, maxFilesPerTrigger=1),
+    then files land one at a time with ``processAllAvailable()`` as the
+    deterministic barrier after each arrival (no sleeps, no flakes).
+    State (the running per-hour×type aggregate, complete output mode)
+    carries across micro-batches; the final table must equal the batch
+    aggregate bit-for-bit, proving incremental arrival order doesn't
+    leak into results.
+
+    Returns (final aggregate DataFrame, number of non-empty
+    micro-batches) — callers assert the batch count ≥ ``n_files`` to
+    prove the data really arrived incrementally.
+    """
+    ensure_session_confs(spark)
+    staging = tempfile.mkdtemp(prefix="spype_live_stage_", dir=_scratch_root())
+    landing = tempfile.mkdtemp(prefix="spype_live_land_", dir=_scratch_root())
+    name = "spype_stream_live_ingest"
+    try:
+        (
+            spark.read.schema(EVENTS_SCHEMA)
+            .parquet(f"{sf_dir}/events.parquet")
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        parts = sorted(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        ev = _events_stream(
+            spark, landing, glob="*.parquet", max_files_per_trigger=1
+        )
+        agg = ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))).alias(
+                "value_scaled"
+            ),
+        )
+        with tempfile.TemporaryDirectory(
+            prefix="spype_ckpt_", dir=_scratch_root()
+        ) as ckpt:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="50 milliseconds")
+                .start()
+            )
+            try:
+                for f in parts:
+                    os.rename(f"{staging}/{f}", f"{landing}/{f}")
+                    q.processAllAvailable()
+                n_batches = sum(
+                    1
+                    for p in q.recentProgress
+                    if p and p["numInputRows"] > 0
+                )
+            finally:
+                q.stop()
+        return spark.table(name).localCheckpoint(eager=True), n_batches
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(landing, ignore_errors=True)
+
+
 def run_stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: running per-user counts via
     applyInPandasWithState (GroupState, update mode).

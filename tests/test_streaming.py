@@ -268,3 +268,37 @@ def test_stream_stream_left_join_outer_semantics(spark, sf_dir):
     # batch-unmatched set ever emits a null row
     assert want_null_old <= got_null <= all_null
     assert got_null and len(got_null) < len(all_null) or want_null_old == all_null
+
+
+def test_live_ingest_processing_time_trigger_equals_batch(spark, sf_dir):
+    """The always-on topology: a processingTime-trigger query over a
+    landing dir that receives the events table file-by-file WHILE
+    running. Final complete-mode aggregate must equal the batch
+    aggregate bit-for-bit, and the progress log must show the data
+    actually arrived across multiple micro-batches (not one drain)."""
+    from pyspark.sql import functions as F
+
+    from spype_spark.streaming.jobs import run_stream_live_ingest
+    from spype_spark.tables import load_table
+
+    stream_df, n_batches = run_stream_live_ingest(spark, sf_dir, n_files=4)
+    got = {
+        (r.hour_ts, r.event_type): (r.n, r.value_scaled)
+        for r in stream_df.collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.hour_ts, r.event_type): (r.n, r.value_scaled)
+        for r in ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))).alias(
+                "value_scaled"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
+    assert n_batches >= 4, f"expected >=4 incremental micro-batches, saw {n_batches}"
