@@ -663,3 +663,82 @@ def ivf_pq_ann(
         .filter(F.col("rank") <= k)
         .select("src_id", "nbr_id", F.round("dot", 6).alias("cosine"), "rank")
     )
+
+
+def nn_descent_refine(
+    df: DataFrame,
+    seed: DataFrame,
+    k: int = 3,
+    n_rounds: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Graph-refined ANN: NN-descent rounds over a seed k-NN graph.
+
+    The NN-descent principle ("a neighbor of a neighbor is probably a
+    neighbor", Dong et al., WWW 2011) as pure DataFrame algebra — the
+    HNSW-adjacent graph method that fits Spark's batch model (HNSW's
+    sequential insert loop does not shard; NN-descent's bulk local
+    join does). Each round:
+
+    1. symmetrize the current graph (forward ∪ reverse edges),
+    2. expand one hop (equi-join graph-to-graph: candidates =
+       neighbors-of-neighbors — the "local join"),
+    3. exact-score the candidate union (hash joins against the raw
+       vector table, JVM-side fold dots) and keep the window top-k.
+
+    Per-round cost is n·(k + k²·deg-dedup) candidate rows — linear in
+    n at fixed k, shuffle-bounded, no driver state; ``localCheckpoint``
+    truncates lineage between rounds (the iterative-algorithm pattern
+    the dedup connected-components operator also uses). Seed with any
+    cheap linear-pass ANN (LSH banding, IVF probe); measured on the
+    test corpus: one round lifts the IVF(nprobe=4) seed 0.518 → 0.723
+    recall@3, and LSH/IVF seeds both converge to ≈ 0.726 by round 2 —
+    the corpus's graph-reachable ceiling
+    (tests/test_llm_quality.py::test_nndescent_refines_ivf_seed).
+    """
+    e = _normalize(df, id_col, emb_col)
+    src_e = e.select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("emb_src")
+    )
+    nbr_e = e.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("emb_nbr")
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("dot"), F.asc("nbr_id"))
+
+    graph = seed.select("src_id", "nbr_id")
+    scored = None
+    for _ in range(n_rounds):
+        fwd = graph
+        rev = graph.select(
+            F.col("nbr_id").alias("src_id"), F.col("src_id").alias("nbr_id")
+        )
+        undirected = fwd.unionByName(rev).distinct()
+        a = undirected.select(
+            F.col("src_id"), F.col("nbr_id").alias("mid")
+        )
+        b = undirected.select(
+            F.col("src_id").alias("mid"), F.col("nbr_id")
+        )
+        hop2 = a.join(b, "mid").select("src_id", "nbr_id")
+        cand = (
+            undirected.unionByName(hop2)
+            .filter(F.col("src_id") != F.col("nbr_id"))
+            .distinct()
+        )
+        scored = (
+            cand.join(src_e, "src_id")
+            .join(nbr_e, "nbr_id")
+            .select(
+                "src_id",
+                "nbr_id",
+                _dot_hof(F.col("emb_src"), F.col("emb_nbr")).alias("dot"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .localCheckpoint(eager=True)
+        )
+        graph = scored.select("src_id", "nbr_id")
+    return scored.select(
+        "src_id", "nbr_id", F.round("dot", 6).alias("cosine"), "rank"
+    )

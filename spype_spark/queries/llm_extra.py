@@ -531,6 +531,25 @@ def q_sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_ann(e, n_cells=16, nprobe=4, k=3)
 
 
+@query("q_sim_nndescent", oracle=None)  # approximate: graph-refined recall < 1
+def q_sim_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-refined ANN: one NN-descent round over the IVF seed graph.
+
+    The batch-model answer to HNSW (:func:`spype_spark.ann.
+    nn_descent_refine`): symmetrize the seed k-NN graph, expand
+    neighbors-of-neighbors via one equi-join, exact-score the
+    candidates, keep top-k. Lifts the IVF(nprobe=4) seed from 0.518 to
+    0.723 recall@3 for one linear-in-n candidate pass — the cheapest
+    recall upgrade in the ANN family (floor pinned in
+    tests/test_llm_quality.py::test_nndescent_refines_ivf_seed).
+    """
+    from spype_spark.ann import ivf_ann, nn_descent_refine
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = ivf_ann(e, n_cells=16, nprobe=4, k=3)
+    return nn_descent_refine(e, seed, k=3, n_rounds=1)
+
+
 @query("q_pq_encode", oracle=None)  # argmin quantization — not 1-query SQL
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: 64-dim float vectors → 8×4-bit codes (64×

@@ -39,17 +39,17 @@ def test_minhash_finds_high_jaccard_pairs(spark):
 
 def test_lsh_ann_recall_floor(spark, exact_topk):
     """Banded hyperplane-LSH top-3 must recover a fixed fraction of the
-    exact top-3 (measured 2026-08-13: 0.349 with 8 bands × 6 planes on
-    this near-uniform corpus, up from 0.019 with a single 8-plane band;
-    the auto-scaler picks r = 4 at this n = 500, which widens buckets
-    and can only raise recall; the floor guards against silent banding
-    regressions)."""
+    exact top-3 (history on this near-uniform corpus: 0.019 with a
+    single 8-plane band → 0.349 with 8 bands × 6 planes → 0.688 with
+    the round-3 auto-scaler picking r = 4 at n = 500, whose wider
+    buckets admit more candidates at this toy scale; the floor guards
+    against silent banding regressions)."""
     got = {
         (r.src_id, r.nbr_id)
         for r in REGISTRY["q_sim_lsh_ann"].fn(spark, SF).collect()
     }
     recall = len(got & exact_topk) / len(exact_topk)
-    assert recall >= 0.30, f"LSH recall collapsed: {recall:.3f}"
+    assert recall >= 0.60, f"LSH recall collapsed: {recall:.3f}"
 
 
 def test_ivf_ann_recall_floor(spark, exact_topk):
@@ -277,5 +277,30 @@ def test_ivfpq_never_beats_exact(spark, exact_topk):
         if r.rank == 1
     }
     for r in REGISTRY["q_sim_ivfpq_ann"].fn(spark, SF).collect():
+        if r.rank == 1:
+            assert r.cosine <= exact1[r.src_id] + 1e-9
+
+
+def test_nndescent_refines_ivf_seed(spark, exact_topk):
+    """One NN-descent round over the IVF seed graph must lift recall
+    well above the seed (measured 0.518 → 0.723; floor 0.65 leaves
+    noise margin) — the neighbor-of-a-neighbor expansion is doing real
+    work, not just re-ranking the seed edges."""
+    got = {
+        (r.src_id, r.nbr_id)
+        for r in REGISTRY["q_sim_nndescent"].fn(spark, SF).collect()
+    }
+    recall = len(got & exact_topk) / len(exact_topk)
+    assert recall >= 0.65, f"NN-descent refinement collapsed: {recall:.3f}"
+
+
+def test_nndescent_never_beats_exact(spark, exact_topk):
+    """Refined cosines are true dots; rank-1 bounded by exact rank-1."""
+    exact1 = {
+        r.src_id: r.cosine
+        for r in REGISTRY["q_sim_cosine_topk"].fn(spark, SF).collect()
+        if r.rank == 1
+    }
+    for r in REGISTRY["q_sim_nndescent"].fn(spark, SF).collect():
         if r.rank == 1:
             assert r.cosine <= exact1[r.src_id] + 1e-9
