@@ -40,7 +40,12 @@ from pyspark.sql import functions as F
 from spype_spark.ann import cosine_threshold_tiled as cosine_near_pairs
 from spype_spark.ann import cosine_topk_tiled as cosine_topk
 from spype_spark.ann import ivf_ann as ivf_topk
-from spype_spark.ann import pq_encode
+from spype_spark.ann import ivf_pq_ann as ivf_pq_topk
+from spype_spark.ann import nn_descent_refine
+from spype_spark.ann import pq_codes, pq_encode
+
+# bucketed-table ops (pay-once clustered write / zero-Exchange joins)
+from spype_spark.bucketing import bucketed_join, bucketize
 
 # skew-handling patterns
 from spype_spark.skew import salted_agg, salted_join
@@ -58,7 +63,12 @@ __all__ = [
     "cosine_topk",
     "cosine_near_pairs",
     "ivf_topk",
+    "ivf_pq_topk",
+    "nn_descent_refine",
+    "pq_codes",
     "pq_encode",
+    "bucketize",
+    "bucketed_join",
     "asof_join",
     "band_join",
     "salted_agg",
