@@ -308,3 +308,53 @@ def test_random_agg_functions_agree(orders, duck, fn, key, p):
         ).fetchall()
     )
     assert got == want, f"{fn} by {key} where {sql!r}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    m=st.integers(2, 9),
+    thr=st.floats(50_000, 400_000, allow_nan=False),
+)
+def test_random_asof_joins_agree(spark, orders, duck, m, thr):
+    """Random key-modulus groupings × right-side thresholds: the
+    facade's union-tag asof_join must match DuckDB's native ASOF LEFT
+    JOIN (greatest right ts ≤ left ts within the key, inclusive ties,
+    NULL where no right row precedes). Right side is deduped to one
+    row per (key, ts) so both engines' tie policy is moot — the
+    round-3 struct-packed rewrite keeps all right columns from the
+    single matched row, which this differential exercises across group
+    shapes the fixed oracle corpus doesn't."""
+    from spype_spark.functions import asof_join
+
+    left = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % m).alias("k"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    right = (
+        orders.filter(F.col("o_totalprice") <= thr)
+        .groupBy(
+            (F.col("o_custkey") % m).alias("k"),
+            F.col("o_orderdate").alias("rts"),
+        )
+        .agg(F.max("o_totalprice").alias("rv"))
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", right_cols=["rv"]
+    )
+    got = {(r.o_orderkey, r.rv) for r in out.collect()}
+    q = f"""
+    WITH l AS (SELECT o_orderkey, o_custkey % {m} AS k, o_orderdate AS ts
+               FROM orders),
+         r0 AS (SELECT o_custkey % {m} AS k, o_orderdate AS ts,
+                       max(o_totalprice) AS rv
+                FROM orders WHERE o_totalprice <= {thr!r} GROUP BY 1, 2)
+    SELECT l.o_orderkey, r0.rv
+    FROM l ASOF LEFT JOIN r0 ON l.k = r0.k AND l.ts >= r0.ts
+    """
+    want = set(duck.sql(q).fetchall())
+    assert got == want
