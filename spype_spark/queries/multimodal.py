@@ -84,7 +84,24 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_decode", oracle=None)  # decode output is codec-defined
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) // 64 + 1 AS BIGINT) AS n_frames,
+           CASE WHEN strlen(text) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(
+                         range(1, strlen(text) + 1),
+                         i -> ascii(substring(text, i, 1)))) AS DOUBLE)
+                     / strlen(text)
+           END AS brightness,
+           CAST(COALESCE(list_sum(list_transform(
+                    range(1, least(strlen(text), 64) + 1),
+                    i -> ascii(substring(text, i, 1)))), 0) AS BIGINT)
+             AS first_frame_sum
+    FROM documents
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract via mapInPandas (deterministic fake codec).
 
@@ -92,9 +109,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload, mime); the "decoder" emits per-item features — here mean
     byte value ("brightness"), a frame count derived from length
     ("frame sampling" at one frame per 64 bytes), and the first-frame
-    checksum. Swapping in a real codec touches only `fake_decode`'s
-    body (or registers into REAL_DECODERS); schema, partitioning and
-    the Arrow path are unchanged.
+    checksum. Swapping in a real codec touches only `decode`'s body
+    (or registers into REAL_DECODERS); schema, partitioning and the
+    Arrow path are unchanged. Because the fake is byte-exact and the
+    corpus is ASCII (code point == byte), DuckDB can recompute every
+    feature — brightness is an exact integer sum divided once, so the
+    doubles match bit-for-bit — making the whole Arrow decode path
+    driver-hash-checkable.
     """
     import numpy as np
     import pandas as pd
@@ -109,7 +130,11 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id": pdf["doc_id"],
                 "n_frames": payloads.map(lambda b: len(b) // 64 + 1),
                 "brightness": payloads.map(
-                    lambda b: float(np.frombuffer(b, dtype=np.uint8).mean())
+                    lambda b: float(
+                        np.frombuffer(b, dtype=np.uint8).mean()
+                    )
+                    if len(b)
+                    else 0.0
                 ),
                 "first_frame_sum": payloads.map(
                     lambda b: int(np.frombuffer(b[:64], dtype=np.uint8).sum())
