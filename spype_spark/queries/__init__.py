@@ -18,6 +18,7 @@ from spype_spark.queries import windows  # noqa: F401
 from spype_spark.queries import sorts_setops  # noqa: F401
 from spype_spark.queries import scalars  # noqa: F401
 from spype_spark.queries import llm  # noqa: F401
+from spype_spark.queries import llm_curation  # noqa: F401
 from spype_spark.queries import llm_extra  # noqa: F401
 from spype_spark.queries import streaming_batch  # noqa: F401
 from spype_spark.queries import udx  # noqa: F401
