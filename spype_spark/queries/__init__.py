@@ -97,10 +97,13 @@ _DRIVER_PRIORITY = [
     "q_pricing_summary",
     "q_agg_distinct",
     "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_percentile",
+    # Group 4b — round-3 NEW oracle-bearing contracts (zero driver
+    # history outranks stale-green refresh; rollup/cube/grouping_sets/
+    # percentile wait for round 4 — their r1 rows stand):
+    "q_multimodal_decode",
+    "q_dataset_cap_per_source",
+    "q_dataset_pack",
+    "q_text_decontaminate",
     # Group 5 — r2-green keys whose implementation changed in round 3
     # (atomic lakehouse commit protocol; bucketize/bucketed_join
     # library split), so their r2 rows are stale:
