@@ -127,6 +127,7 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     evolve_schema: bool = False,
+    match_condition=None,
 ) -> int:
     """MERGE: update-wins on key match, insert otherwise. Returns the
     new version number.
@@ -137,14 +138,26 @@ def merge_upsert(
     untouched target rows carry over — exactly Delta's
     ``whenMatchedUpdateAll + whenNotMatchedInsertAll``.
 
+    ``match_condition`` is Delta's ``whenMatchedUpdate(condition=…)``
+    (SQL ``MERGE … WHEN MATCHED AND <cond> THEN UPDATE``): a function
+    ``(upd_struct, tgt_struct) -> Column`` deciding, per matched key,
+    whether the update replaces the target row (else the target row
+    survives). The CDC staple — e.g. out-of-order event streams merge
+    with "newer timestamp wins" so replayed or shuffled batches
+    converge to the same table. Implemented as one full-outer struct
+    join; NULL/absent condition falls back to unconditional
+    update-wins.
+
     ``evolve_schema=True`` is Delta's mergeSchema: columns present only
     in ``updates`` are ADDED to the table (carried-over target rows get
     NULL), columns only in the target persist (update rows get NULL).
     Off by default: silent widening is how typo'd column names corrupt
-    a table.
+    a table. (Mutually exclusive with ``match_condition``.)
     """
     base = latest_version(path)
     tgt = read_table(spark, path, version=base)
+    if evolve_schema and match_condition is not None:
+        raise ValueError("match_condition with evolve_schema is unsupported")
     if evolve_schema:
         merged = updates.unionByName(
             tgt.join(updates.select(*keys), keys, "left_anti"),
@@ -157,9 +170,32 @@ def merge_upsert(
                 f"updates carry columns not in the table schema {sorted(extra)}; "
                 "pass evolve_schema=True to add them"
             )
-        merged = updates.select(*tgt.columns).unionByName(
-            tgt.join(updates, keys, "left_anti")
-        )
+        if match_condition is None:
+            merged = updates.select(*tgt.columns).unionByName(
+                tgt.join(updates, keys, "left_anti")
+            )
+        else:
+            cols = tgt.columns
+            u = updates.select(
+                *keys,
+                F.struct(*[F.col(c) for c in cols]).alias("__u"),
+            )
+            t = tgt.select(
+                *keys,
+                F.struct(*[F.col(c) for c in cols]).alias("__t"),
+            )
+            both = t.join(u, keys, "full_outer")
+            winner = (
+                F.when(F.col("__t").isNull(), F.col("__u"))  # insert
+                .when(F.col("__u").isNull(), F.col("__t"))  # carry-over
+                .when(
+                    match_condition(F.col("__u"), F.col("__t")), F.col("__u")
+                )
+                .otherwise(F.col("__t"))
+            )
+            merged = both.select(winner.alias("__w")).select(
+                *[F.col("__w")[c].alias(c) for c in cols]
+            )
     return _write_next(merged, path, base=base)
 
 

@@ -96,10 +96,10 @@ _DRIVER_PRIORITY = [
     "q_agg_global",
     "q_pricing_summary",
     "q_agg_distinct",
-    "q_agg_having",
     # Group 4b — round-3 NEW oracle-bearing contracts (zero driver
     # history outranks stale-green refresh; rollup/cube/grouping_sets/
     # percentile wait for round 4 — their r1 rows stand):
+    "q_stream_lake_upsert",
     "q_multimodal_decode",
     "q_dataset_cap_per_source",
     "q_dataset_pack",

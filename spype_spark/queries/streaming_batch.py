@@ -270,6 +270,40 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_lake_upsert",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+                        event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def q_stream_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC stream → lakehouse conditional MERGE, true streaming drain.
+
+    The only contract that runs a REAL Structured Streaming query:
+    events split into random-order files, drained one file per
+    micro-batch, each batch conditionally merge_upsert'ed into a
+    versioned-Parquet table with "newer (ts, event_id) wins"
+    (:func:`spype_spark.streaming.jobs.run_stream_lake_upsert`). The
+    condition makes the upsert a max-semilattice, so ANY arrival order
+    converges to the oracle's answer — the global latest event per
+    user. Deterministic under AvailableNow; exercises MERGE
+    WHEN MATCHED AND <cond>, the atomic commit protocol, and
+    foreachBatch in one driver-hash-checked path.
+    """
+    from spype_spark.streaming.jobs import run_stream_lake_upsert
+
+    return run_stream_lake_upsert(spark, sf_dir)
+
+
+@query(
     "q_stream_dedup_watermark",
     oracle="""
     SELECT COUNT(DISTINCT event_id) AS n_unique_events,

@@ -15,7 +15,7 @@ import shutil
 import tempfile
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spype_spark.queries._util import TS_FMT_SPARK
@@ -330,6 +330,90 @@ def run_stream_rollup_maintenance(
         F.sum("n").alias("n"),
         F.sum("value_scaled").alias("value_scaled"),
     )
+
+
+def run_stream_lake_upsert(
+    spark: SparkSession, sf_dir: str, n_splits: int = 4
+) -> DataFrame:
+    """CDC stream → lakehouse: conditionally MERGE each micro-batch
+    into a versioned table ("newer event wins"), arbitrary arrival
+    order.
+
+    The events table is split into ``n_splits`` RANDOM files (not time
+    order — deliberately adversarial) and drained one file per
+    micro-batch; each batch reduces to its latest event per user and
+    ``merge_upsert``s with ``match_condition`` = (newer ts, then
+    higher event_id, wins). Because the condition makes the upsert a
+    join-semilattice (max by (ts, event_id)), ANY batch order — replay,
+    shuffle, duplication — converges to the same table: the global
+    latest event per user, which is exactly the SQL oracle of
+    q_stream_lake_upsert. This is the out-of-order-CDC correctness
+    argument a 100 TB ingest pipeline rests on.
+    """
+    from spype_spark import lakehouse as lake
+
+    ensure_session_confs(spark)
+    split_dir = tempfile.mkdtemp(prefix="spype_cdc_split_", dir=_scratch_root())
+    tbl_dir = tempfile.mkdtemp(prefix="spype_cdc_tbl_", dir=_scratch_root())
+    tbl = f"{tbl_dir}/user_latest"
+    try:
+        (
+            spark.read.schema(EVENTS_SCHEMA)
+            .parquet(f"{sf_dir}/events.parquet")
+            .repartition(n_splits)  # random order: adversarial CDC arrival
+            .write.mode("overwrite")
+            .parquet(split_dir)
+        )
+        ev = _events_stream(
+            spark, split_dir, glob="*.parquet", max_files_per_trigger=1
+        )
+
+        def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            us = F.unix_micros(F.col("ts").cast("timestamp"))
+            w = Window.partitionBy("user_id").orderBy(
+                F.desc("us"), F.desc("event_id")
+            )
+            latest = (
+                batch_df.select(
+                    "user_id", "event_id", us.alias("us")
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            if not lake.versions(tbl):
+                lake.write_table(latest, tbl)
+            else:
+                lake.merge_upsert(
+                    batch_df.sparkSession,
+                    tbl,
+                    latest,
+                    keys=["user_id"],
+                    match_condition=lambda u, t: (u["us"] > t["us"])
+                    | ((u["us"] == t["us"]) & (u["event_id"] > t["event_id"])),
+                )
+
+        with tempfile.TemporaryDirectory(
+            prefix="spype_ckpt_", dir=_scratch_root()
+        ) as ckpt:
+            q = (
+                ev.writeStream.foreachBatch(upsert_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        final = lake.read_table(spark, tbl).select(
+            "user_id",
+            "event_id",
+            F.date_format(
+                F.timestamp_micros(F.col("us")), TS_FMT_SPARK
+            ).alias("last_ts"),
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(split_dir, ignore_errors=True)
+        shutil.rmtree(tbl_dir, ignore_errors=True)
 
 
 def run_stream_live_ingest(

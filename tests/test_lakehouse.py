@@ -179,3 +179,60 @@ def test_two_writer_merge_race_serializes_or_fails_clean(spark, tbl):
     import os
 
     assert not [d for d in os.listdir(tbl) if d.startswith(".tmp-")]
+
+
+def test_conditional_merge_newer_wins(spark, tmp_path):
+    """MERGE WHEN MATCHED AND <cond>: stale updates lose, fresh ones
+    win, inserts always land — and replaying batches in the opposite
+    order converges to the same table (the CDC semilattice property
+    q_stream_lake_upsert rests on)."""
+    path = str(tmp_path / "cdc")
+    t0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "k long, ver long, v string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 5, "stale"), (2, 30, "fresh"), (3, 1, "insert")],
+        "k long, ver long, v string",
+    )
+    newer = lambda u, t: u["ver"] > t["ver"]  # noqa: E731
+    lake.write_table(t0, path)
+    lake.merge_upsert(spark, path, b1, keys=["k"], match_condition=newer)
+    got = rows(lake.read_table(spark, path))
+    assert got == {(1, 10, "a"), (2, 30, "fresh"), (3, 1, "insert")}
+
+    # replay: applying t0's rows as a LATER batch must change nothing
+    lake.merge_upsert(spark, path, t0, keys=["k"], match_condition=newer)
+    assert rows(lake.read_table(spark, path)) == got
+
+
+def test_stream_lake_upsert_equals_batch_latest(spark, sf_dir):
+    """The CDC streaming drain (random batch order, conditional merge)
+    must equal the batch latest-event-per-user answer exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spype_spark.streaming.jobs import run_stream_lake_upsert
+    from spype_spark.tables import load_table
+
+    got = {
+        (r.user_id, r.event_id, r.last_ts)
+        for r in run_stream_lake_upsert(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    want = {
+        (r.user_id, r.event_id, r.last_ts)
+        for r in ev.select("user_id", "event_id", us.alias("us"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format(
+                F.timestamp_micros(F.col("us")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("last_ts"),
+        )
+        .collect()
+    }
+    assert got == want
