@@ -162,3 +162,121 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("__n_sampled") <= F.col("n_source") * 0.12)
         ).alias("frac_in_bounds"),
     )
+
+
+@query(
+    "q_subquery_lateral",
+    oracle="""
+    SELECT c_custkey, t.max_price, t.n_orders
+    FROM customer, LATERAL (
+      SELECT max(o_totalprice) AS max_price, COUNT(*) AS n_orders
+      FROM orders WHERE o_custkey = c_custkey) t
+    WHERE t.n_orders > 0
+    """,
+)
+def q_subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery: per-customer order stats.
+
+    The table-valued correlation form (SQL:1999 LATERAL, Spark 3.2+ /
+    DuckDB native): the subquery runs "per outer row" semantically,
+    and both planners decorrelate it into a keyed aggregate + join —
+    the plan one would hand-write, derived from the declarative form.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("spype_lat_customer")
+    o.createOrReplaceTempView("spype_lat_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, t.max_price, t.n_orders
+        FROM spype_lat_customer, LATERAL (
+          SELECT max(o_totalprice) AS max_price, COUNT(*) AS n_orders
+          FROM spype_lat_orders WHERE o_custkey = c_custkey) t
+        WHERE t.n_orders > 0
+        """
+    )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < date_trunc('month', (SELECT MAX(o_orderdate) FROM orders))
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           (SELECT COUNT(*) FROM orders o
+            WHERE date_trunc('month', o.o_orderdate) = m) AS n_orders
+    FROM months
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate the month spine
+    from min to max order date, then count orders per month — months
+    with zero orders appear with n_orders = 0.
+
+    The canonical recursion use (dimension-spine generation) on the
+    one engine feature Spark only gained in 4.x; the correlated scalar
+    count decorrelates to an outer-joined aggregate in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("spype_rc_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT date_trunc('month', (SELECT MIN(o_orderdate)
+                                      FROM spype_rc_orders))
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < date_trunc('month', (SELECT MAX(o_orderdate)
+                                         FROM spype_rc_orders))
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               (SELECT COUNT(*) FROM spype_rc_orders o
+                WHERE date_trunc('month', o.o_orderdate) = m) AS n_orders
+        FROM months
+        """
+    )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH l AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS k
+               FROM orders),
+         r AS (SELECT DISTINCT NULLIF(o_orderstatus, 'O') AS k,
+                      COALESCE(NULLIF(o_orderstatus, 'O'), 'NULLKEY')
+                        AS label
+               FROM orders)
+    SELECT label, COUNT(*) AS n
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY label
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing.
+
+    The join-family row a plain equi-join can't express: keys are
+    derived with NULLIF so one group is genuinely NULL, and the
+    null-safe comparison keeps those rows joined (a standard-join
+    formulation would silently drop the whole NULL partition). Spark
+    plans <=> as a hash join on a null-safe key, not a BNLJ.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    left = o.select("o_orderkey", key.alias("k"))
+    right = (
+        o.select(
+            key.alias("k"),
+            F.coalesce(key, F.lit("NULLKEY")).alias("label"),
+        )
+        .distinct()
+    )
+    return (
+        left.join(right, left["k"].eqNullSafe(right["k"]))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
