@@ -304,3 +304,30 @@ def test_nndescent_never_beats_exact(spark, exact_topk):
     for r in REGISTRY["q_sim_nndescent"].fn(spark, SF).collect():
         if r.rank == 1:
             assert r.cosine <= exact1[r.src_id] + 1e-9
+
+
+def test_ivfpq_and_nndescent_partitioning_invariant(spark):
+    """The new ANN kernels must give identical results regardless of
+    input partitioning (sort_array'd tiles, deterministic tie-breaks,
+    seed-set codebooks — same invariance contract as the tiled GEMM)."""
+    from spype_spark.ann import ivf_pq_ann, ivf_ann, nn_descent_refine
+
+    e1 = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    e2 = e1.repartition(7, "vec_id")
+
+    def runs(fn):
+        return [
+            {(r.src_id, r.nbr_id, r.cosine, r.rank) for r in fn(e).collect()}
+            for e in (e1, e2)
+        ]
+
+    a, b = runs(lambda e: ivf_pq_ann(e, n_cells=16, nprobe=4, k=3))
+    assert a == b
+    a, b = runs(
+        lambda e: nn_descent_refine(
+            e, ivf_ann(e, n_cells=16, nprobe=4, k=3), k=3, n_rounds=1
+        )
+    )
+    assert a == b
