@@ -218,6 +218,47 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     return _write_next(tgt.repartition(target_files), path, base=base)
 
 
+def table_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change-data-feed between two committed versions: one row per
+    changed key with ``op`` ∈ {insert, update, delete}.
+
+    Delta's ``table_changes`` equivalent, derived from the snapshot
+    pair instead of a change log: full-outer join the two snapshots on
+    the keys and classify — key only in ``v_to`` → insert, only in
+    ``v_from`` → delete, in both with any non-key column differing →
+    update (unchanged rows emit nothing). Struct equality does the
+    whole-row compare in one codegen'd expression. At 100 TB the same
+    call runs over partition-filtered reads of the two snapshots.
+    """
+    a = read_table(spark, path, version=v_from)
+    b = read_table(spark, path, version=v_to)
+    cols = a.columns
+    if set(cols) != set(b.columns):
+        raise ValueError(
+            f"schema changed between v{v_from} and v{v_to}; diff needs the "
+            "common-column projection chosen explicitly"
+        )
+    fa = a.select(*keys, F.struct(*[F.col(c) for c in cols]).alias("__a"))
+    fb = b.select(*keys, F.struct(*[F.col(c) for c in cols]).alias("__b"))
+    both = fa.join(fb, keys, "full_outer")
+    op = (
+        F.when(F.col("__a").isNull(), F.lit("insert"))
+        .when(F.col("__b").isNull(), F.lit("delete"))
+        .when(F.col("__a") != F.col("__b"), F.lit("update"))
+    )
+    return (
+        both.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*keys, "op")
+    )
+
+
 def data_files(path: str, version: int) -> list[str]:
     """Parquet data files of one committed snapshot."""
     d = _snapshot_dir(path, version)

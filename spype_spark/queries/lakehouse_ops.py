@@ -214,3 +214,43 @@ def q_lake_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "version int, n_rows long")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_diff",
+    oracle="""
+    SELECT o_orderkey, 'insert' AS op
+    FROM orders WHERE o_orderkey >= 8000 AND o_orderkey < 12000
+    UNION ALL
+    SELECT o_orderkey, 'update'
+    FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 8000
+    UNION ALL
+    SELECT o_orderkey, 'delete'
+    FROM orders WHERE o_orderkey < 4000 AND o_orderstatus = 'F'
+    """,
+)
+def q_lake_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between versions: diff v0 (base) against v2
+    (post-merge, post-delete) of the standard scenario.
+
+    :func:`spype_spark.lakehouse.table_diff` classifies every changed
+    key: merge inserts keys [8000, 12000), rewrites [4000, 8000) (price
+    bump + status 'U' — an update even where values collide, because
+    the struct compare sees the status change), and the delete removes
+    the pre-4000 'F' rows. The oracle derives the same change set from
+    the orders table alone — CDC output is pure relational algebra
+    over the two snapshots.
+    """
+    tmp = _scratch("spype_lake_diff_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir).repartition(8), path)
+        lake.merge_upsert(
+            spark, path, _updates(spark, sf_dir), keys=["o_orderkey"]
+        )
+        lake.delete_where(spark, path, F.col("o_orderstatus") == "F")
+        return lake.table_diff(
+            spark, path, 0, 2, keys=["o_orderkey"]
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
