@@ -254,3 +254,47 @@ def q_lake_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           CAST('P' AS VARCHAR) AS o_priority_class
+    FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 12000
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           CAST(NULL AS VARCHAR) AS o_priority_class
+    FROM orders WHERE o_orderkey < 4000
+    """,
+)
+def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with schema evolution (Delta mergeSchema): the update set
+    carries a NEW column; matched+inserted rows get its values, while
+    carried-over base rows read it as NULL in the evolved snapshot.
+
+    Note the update rows keep their ORIGINAL price/status here (no
+    bump) so the contract isolates the evolution semantics: the only
+    difference vs the base is the added column and the replaced key
+    range.
+    """
+    tmp = _scratch("spype_lake_evo_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir), path)
+        upd = (
+            load_table(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderkey") >= 4000) & (F.col("o_orderkey") < 12000)
+            )
+            .select(
+                *_BASE_COLS,
+                F.lit("P").alias("o_priority_class"),
+            )
+        )
+        lake.merge_upsert(
+            spark, path, upd, keys=["o_orderkey"], evolve_schema=True
+        )
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

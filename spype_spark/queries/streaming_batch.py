@@ -453,3 +453,37 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n").isNotNull(), 0).otherwise(1).alias("filled"),
         F.round(interp, 6).alias("n_interp"),
     )
+
+
+@query(
+    "q_stream_true_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e6 AS sum_value
+    FROM events
+    WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+          <= (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+              FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming tumbling windows, driver-checkable.
+
+    Runs the real readStream → withWatermark('ts','1 hour') → window
+    aggregate → append-mode memory sink drain
+    (:func:`spype_spark.streaming.jobs.run_stream_tumbling`). Append
+    mode's output is deterministic and SQL-expressible: exactly the
+    windows FINALIZED by the terminal watermark (window end ≤ max
+    event time − 1 h) — trailing windows are withheld, and the oracle
+    applies the same cutoff relationally. Complements
+    q_stream_tumbling (the batch analog over ALL windows): together
+    they pin both the aggregate values and the late-data eviction
+    boundary.
+    """
+    from spype_spark.streaming.jobs import run_stream_tumbling
+
+    return run_stream_tumbling(spark, sf_dir)
