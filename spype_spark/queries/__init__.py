@@ -87,15 +87,19 @@ _DRIVER_PRIORITY = [
     "q_join_inner_equi",
     "q_join_left",
     "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_broadcast",
     "q_join_3way",
     "q_join_theta_range",
     "q_agg_global",
     "q_pricing_summary",
-    "q_agg_distinct",
+    # Group 4c — late-round-3 contracts with zero driver history (a new
+    # key verified adds cumulative evidence; a stale-green refresh
+    # doesn't — semi/anti/cross/broadcast joins and agg_distinct keep
+    # their r1 rows and wait for round 4):
+    "q_stream_true_tumbling",
+    "q_lake_diff",
+    "q_lake_schema_evolution",
+    "q_subquery_lateral",
+    "q_recursive_cte",
     # Group 4b — round-3 NEW oracle-bearing contracts (zero driver
     # history outranks stale-green refresh; rollup/cube/grouping_sets/
     # percentile wait for round 4 — their r1 rows stand):
