@@ -174,3 +174,115 @@ def q_pipe_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pipeline = Pype.from_node(validate)
     return pipeline.apply(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "q_pipe_curation",
+    oracle="""
+    WITH capped AS (
+      SELECT doc_id, text, source FROM (
+        SELECT doc_id, text, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(text), doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 5
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             s1.word || ' ' || s2.word || ' ' || s3.word AS shingle
+      FROM (
+        SELECT doc_id,
+               string_split(text, ' ') AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+      ) t,
+      LATERAL (SELECT w[i] AS word) s1,
+      LATERAL (SELECT w[i+1] AS word) s2,
+      LATERAL (SELECT w[i+2] AS word) s3
+      WHERE i + 2 <= len(w)
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+    contaminated AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (shingle)),
+    clean AS (
+      SELECT c.doc_id, c.text, c.source FROM capped c
+      WHERE c.doc_id >= 20
+        AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    h AS (
+      SELECT doc_id, source,
+             list_transform(string_split(text, ' '), w ->
+               list_reduce(
+                 list_prepend(0, list_transform(range(1, length(w) + 1),
+                                                i -> ascii(w[i]))),
+                 (a, c) -> (a * 31 + c) % 1000003
+               )) AS whs
+      FROM clean
+    ),
+    fp AS (
+      SELECT doc_id, source,
+             CAST(list_reduce(list_prepend(0, whs),
+                  (a, x) -> (a * 131 + x) % 1000003) AS BIGINT) AS fingerprint
+      FROM h
+    )
+    SELECT doc_id, source,
+           CASE WHEN fingerprint % 10 < 8 THEN 'train'
+                WHEN fingerprint % 10 = 8 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM fp
+    """,
+)
+def q_pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data pipeline as a Layer-A Pype:
+    fan the corpus into (per-source cap, eval-shingle extraction),
+    merge by decontaminating the capped branch against the eval
+    branch, then assign content-addressed splits.
+
+    Every stage is a library op (window cap, word_shingles,
+    dataset_split) wired through the spype algebra — fan-out shares
+    one scan's lineage, the n_inputs=2 merge is the keyed anti-join,
+    and the whole DAG fuses into one Catalyst plan whose answer the
+    oracle recomputes as a single SQL query. This is the contract that
+    proves Layer A and the curation family compose.
+    """
+    from pyspark.sql import Window
+
+    from spype_spark.functions import dataset_split, word_shingles
+
+    @task
+    def cap(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("source").orderBy(
+            F.md5(F.col("text").cast("binary")), F.asc("doc_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .drop("rn")
+        )
+
+    @task
+    def eval_shingles(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("doc_id") < 20)
+            .select(F.explode(word_shingles("text", 3)).alias("shingle"))
+            .distinct()
+        )
+
+    @task(n_inputs=2)
+    def decontaminate_and_split(capped: DataFrame, ev: DataFrame) -> DataFrame:
+        sh = capped.select(
+            "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+        )
+        contaminated = (
+            sh.join(F.broadcast(ev), "shingle").select("doc_id").distinct()
+        )
+        clean = capped.filter(F.col("doc_id") >= 20).join(
+            contaminated, "doc_id", "left_anti"
+        )
+        return dataset_split(clean).select("doc_id", "source", "split")
+
+    @task
+    def source(df: DataFrame) -> DataFrame:
+        return df
+
+    pipeline = source | (cap, eval_shingles) | decontaminate_and_split
+    return pipeline.apply(load_table(spark, sf_dir, "documents"))
