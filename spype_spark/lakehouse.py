@@ -146,7 +146,9 @@ def merge_upsert(
     with "newer timestamp wins" so replayed or shuffled batches
     converge to the same table. Implemented as one full-outer struct
     join; NULL/absent condition falls back to unconditional
-    update-wins.
+    update-wins. ``updates`` must be key-unique (pre-reduce upstream,
+    as the CDC job does per batch) — duplicate update keys fan out,
+    the same situation SQL MERGE defines as a multiple-match error.
 
     ``evolve_schema=True`` is Delta's mergeSchema: columns present only
     in ``updates`` are ADDED to the table (carried-over target rows get
