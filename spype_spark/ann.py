@@ -697,6 +697,8 @@ def nn_descent_refine(
     the corpus's graph-reachable ceiling
     (tests/test_llm_quality.py::test_nndescent_refines_ivf_seed).
     """
+    if n_rounds < 1:
+        raise ValueError("nn_descent_refine needs n_rounds >= 1")
     e = _normalize(df, id_col, emb_col)
     src_e = e.select(
         F.col("vec_id").alias("src_id"), F.col("embedding").alias("emb_src")
