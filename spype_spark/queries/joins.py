@@ -361,3 +361,52 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey,
+             date_trunc('month', MIN(o_orderdate)) AS lo,
+             date_trunc('month', MAX(o_orderdate)) AS hi
+      FROM orders GROUP BY o_custkey
+    ),
+    expanded AS (
+      SELECT o_custkey,
+             unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m
+      FROM iv
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           COUNT(DISTINCT o_custkey) AS n_active
+    FROM expanded
+    GROUP BY 1
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via bounded expansion: per-customer
+    activity intervals [first order month, last order month] × the
+    month dimension → customers active per month.
+
+    The scale-safe formulation of interval × interval overlap: instead
+    of the O(n·m) range predicate (which Spark plans as a
+    BroadcastNestedLoopJoin), the BOUNDED side expands to its covered
+    months (sequence + explode — at most interval-length rows each)
+    and the overlap becomes a hash-aggregate on the month key. The
+    same expand-the-bounded-side trick behind band_join, applied to
+    two-sided intervals.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    expanded = iv.select(
+        "o_custkey",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("m"),
+    )
+    return expanded.groupBy(
+        F.date_format("m", "yyyy-MM").alias("month")
+    ).agg(F.countDistinct("o_custkey").alias("n_active"))

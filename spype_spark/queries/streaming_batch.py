@@ -487,3 +487,80 @@ def q_stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spype_spark.streaming.jobs import run_stream_tumbling
 
     return run_stream_tumbling(spark, sf_dir)
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                      CAST(ts AS TIMESTAMP) AS t
+               FROM events),
+    v AS (SELECT user_id, MIN(us) AS v_us FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(us) AS c_us FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND us > v_us GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(us) AS p_us FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND us > c_us GROUP BY e.user_id)
+    SELECT v.user_id,
+           CAST(1 + CAST(c.user_id IS NOT NULL AS INT)
+                  + CAST(p.user_id IS NOT NULL AS INT) AS INT)
+             AS step_reached,
+           strftime(make_timestamp(v_us), '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(make_timestamp(c_us), '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(make_timestamp(p_us), '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: view → click → purchase, strictly ordered per
+    user, earliest qualifying chain.
+
+    The product-analytics staple. Each stage is a conditional min over
+    the PREVIOUS stage's anchor (first view, first click after that
+    view, first purchase after that click) — three grouped aggregates
+    chained by equi-joins on user_id, one shuffle key throughout, no
+    window over the full event stream. step_reached ∈ {1,2,3} counts
+    how deep the user got; µs-integer comparisons keep the strict
+    ordering deterministic in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select("user_id", "event_type", us.alias("us"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    fmt = lambda col: F.date_format(  # noqa: E731
+        F.timestamp_micros(F.col(col)), TS_FMT_SPARK
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("c_us").isNotNull().cast("int")
+                + F.col("p_us").isNotNull().cast("int")
+            ).alias("step_reached"),
+            fmt("v_us").alias("view_ts"),
+            fmt("c_us").alias("click_ts"),
+            fmt("p_us").alias("purchase_ts"),
+        )
+    )
