@@ -280,3 +280,70 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q_quality_audit",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+        AS null_custkeys,
+      (SELECT COUNT(*) FROM orders o ANTI JOIN customer c
+         ON o.o_custkey = c.c_custkey) AS orphan_orders,
+      (SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o
+         ON l.l_orderkey = o.o_orderkey) AS orphan_lineitems,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+        AS nonpositive_qty,
+      (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0)
+        AS negative_price,
+      (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        AS dup_orderkeys
+    """,
+)
+def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: one row of violation counters — null keys,
+    referential orphans (anti-joins against the parent tables),
+    domain-range violations, and primary-key duplicates.
+
+    The expectations-suite pattern as a single fused plan: each check
+    is an aggregate or anti-join the optimizer runs over one pass of
+    each table; a pipeline gates promotion on "all counters zero". On
+    this corpus all six ARE zero — the audit proving it is the
+    contract, and any future corpus regression flips the hash.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    # every counter is a lazy 1-row aggregate; the cross joins of
+    # single rows fuse the audit into ONE submitted plan — no
+    # driver-side counting between checks
+    nulls = o.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias(
+            "null_custkeys"
+        )
+    )
+    orph_o = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.count("*").alias("orphan_orders")
+    )
+    orph_li = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+        F.count("*").alias("orphan_lineitems")
+    )
+    domains = li.agg(
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias(
+            "nonpositive_qty"
+        )
+    )
+    keys = o.agg(
+        F.sum((F.col("o_totalprice") < 0).cast("long")).alias(
+            "negative_price"
+        ),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias(
+            "dup_orderkeys"
+        ),
+    )
+    return (
+        nulls.crossJoin(orph_o)
+        .crossJoin(orph_li)
+        .crossJoin(domains)
+        .crossJoin(keys)
+    )
