@@ -13,6 +13,7 @@ from spype_spark.queries import scans  # noqa: F401
 from spype_spark.queries import project_filter  # noqa: F401
 from spype_spark.queries import joins  # noqa: F401
 from spype_spark.queries import aggregates  # noqa: F401
+from spype_spark.queries import tpch  # noqa: F401
 
 from spype_spark.queries import windows  # noqa: F401
 from spype_spark.queries import sorts_setops  # noqa: F401

@@ -509,3 +509,88 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@query(
+    "q_sketch_hll",
+    oracle="""
+    SELECT source, COUNT(DISTINCT text) AS n_exact, true AS est_ok
+    FROM documents GROUP BY source
+    """,
+)
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL distinct-count per source: exact count plus a
+    boolean asserting the sketch estimate lands within its error bound.
+
+    The invariant-oracle pattern for approximate ops: the oracle can't
+    reproduce the estimator, so the contract ships the exact value and
+    the bound check (HLL lgK=12 → ~1.6% relative error; 5% is a safe
+    gate at any cardinality). At 100 TB the point of the sketch form
+    (vs count_distinct's exact shuffle) is mergeability: per-partition
+    sketches combine associatively map-side, moving ~4 KB per partition
+    instead of re-shuffling every distinct value — see q_sketch_hll_union
+    for the merge identity itself.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.countDistinct("text").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("text", F.lit(12))).alias("est"),
+    )
+    return per.select(
+        "source",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.lit(0.05) * F.col("n_exact") + F.lit(1.0)
+        ).alias("est_ok"),
+    )
+
+
+@query(
+    "q_sketch_hll_union",
+    oracle="""
+    SELECT COUNT(DISTINCT text) AS n_exact, true AS merge_consistent,
+           true AS est_ok
+    FROM documents
+    """,
+)
+def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL merge identity: union of per-source partial sketches equals
+    the sketch of the whole corpus — estimate-for-estimate.
+
+    This is the property that makes sketches the 100 TB distinct-count
+    plan: partials built per partition/day/shard merge associatively,
+    so a year-long rollup never rescans raw data. The contract computes
+    the whole-corpus estimate directly AND via hll_union_agg over
+    per-source sketches and asserts they agree within 2% (bit-equality
+    does NOT hold — the union path materializes a different sketch
+    representation mode than the direct build, measured on this
+    corpus), plus the usual error-bound gate against the exact count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    direct = d.agg(
+        F.countDistinct("text").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("text", F.lit(12))).alias(
+            "est_direct"
+        ),
+    )
+    merged = (
+        d.groupBy("source")
+        .agg(F.hll_sketch_agg("text", F.lit(12)).alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias(
+                "est_merged"
+            )
+        )
+    )
+    return direct.crossJoin(merged).select(
+        "n_exact",
+        (
+            F.abs(F.col("est_direct") - F.col("est_merged"))
+            <= F.lit(0.02) * F.col("n_exact") + F.lit(1.0)
+        ).alias("merge_consistent"),
+        (
+            F.abs(F.col("est_direct") - F.col("n_exact"))
+            <= F.lit(0.05) * F.col("n_exact") + F.lit(1.0)
+        ).alias("est_ok"),
+    )

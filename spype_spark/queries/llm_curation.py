@@ -157,3 +157,285 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: repetition signals, PII redaction, run collapse,
+# weighted source mixing.
+# ---------------------------------------------------------------------------
+
+#: Gopher-style repetition thresholds (tuned so the corpus yields a mix
+#: of flagged/unflagged docs — see q_text_repetition).
+_TOP_WORD_MAX = 0.12
+_DUP_2GRAM_MAX = 0.55
+
+#: PII regexes — RE2-compatible (no lookaround/backrefs) so Spark's
+#: Java regex and DuckDB's RE2 agree byte-for-byte.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-\d{3}-\d{4}\b"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+               AS tg
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_words,
+           list_max(list_transform(list_distinct(ws),
+                    w -> len(list_filter(ws, x -> x = w)))) / n
+             AS top_word_frac,
+           (len(tg) - len(list_distinct(tg))) / len(tg) AS dup_2gram_frac,
+           (list_max(list_transform(list_distinct(ws),
+                     w -> len(list_filter(ws, x -> x = w)))) / n
+              > {_TOP_WORD_MAX}
+            OR (len(tg) - len(list_distinct(tg))) / len(tg)
+              > {_DUP_2GRAM_MAX}) AS repetitive
+    FROM g
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: most-frequent-word share and
+    duplicate-2-gram share per document, plus the reject flag.
+
+    The quality-filter step that catches degenerate/boilerplate text
+    ("batch batch batch…"). Everything is per-row JVM higher-order-
+    function work over the split array — zero shuffles, zero Python;
+    at 100 TB this runs at scan speed inside whole-stage codegen. The
+    mode-of-array is O(distinct·n) per row via transform+filter, which
+    beats an explode+groupBy (two shuffles) for docs bounded at a few
+    kilotokens; both fracs are single int/int divisions so the flag
+    thresholds are engine-deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "ws", F.split(F.col("text"), " ")
+    )
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w))))"
+    )
+    tg = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    )
+    d = d.withColumn("tg", tg)
+    n = F.size("ws")
+    n2 = F.size("tg")
+    top_frac = top_cnt / n
+    dup_frac = (n2 - F.size(F.array_distinct(F.col("tg")))) / n2
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_2gram_frac"),
+        ((top_frac > _TOP_WORD_MAX) | (dup_frac > _DUP_2GRAM_MAX)).alias(
+            "repetitive"
+        ),
+    )
+
+
+@query(
+    "q_text_pii_redact",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com call 555-123-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(payload, '{_EMAIL_RE}'))
+              + len(regexp_extract_all(payload, '{_PHONE_RE}'))
+              + len(regexp_extract_all(payload, '{_IP_RE}')) AS INT) AS n_pii,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(payload, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IP_RE}', '<IP>', 'g') AS redacted
+    FROM p
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: find-and-mask emails, phone numbers, and IPv4
+    addresses, with a per-doc match count.
+
+    The corpus is synthetic (no real PII), so each doc gets a
+    deterministic contact trailer derived from its id — the redactor
+    then has real work whose output both engines must reproduce
+    byte-for-byte. Patterns are RE2-safe (no lookaround) so Java and
+    RE2 semantics coincide. Pure JVM regexp work at scan speed; the
+    count uses ``regexp_count`` (no extract-then-size array
+    materialization).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    d = d.withColumn("payload", payload)
+    n_pii = (
+        F.regexp_count("payload", F.lit(_EMAIL_RE))
+        + F.regexp_count("payload", F.lit(_PHONE_RE))
+        + F.regexp_count("payload", F.lit(_IP_RE))
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("payload", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id", n_pii.cast("int").alias("n_pii"), redacted.alias("redacted")
+    )
+
+
+@query(
+    "q_text_collapse_runs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), k AS (
+      SELECT doc_id, ws,
+             list_filter(range(1, len(ws) + 1),
+               i -> CASE WHEN i = 1 THEN true ELSE ws[i] <> ws[i-1] END)
+               AS keep_idx
+      FROM t
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(keep_idx, i -> ws[i]), ' ')
+             AS clean_text,
+           CAST(len(ws) - len(keep_idx) AS INT) AS n_removed
+    FROM k
+    """,
+)
+def q_text_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate-token collapse ("batch batch batch" →
+    "batch"), with the per-doc removal count.
+
+    The cheap repetition *repair* (vs q_text_repetition's reject
+    flag): crawled text is full of stutter artifacts. Keep-indices are
+    a lazy-CASE filter over positions — CASE (not OR) because neither
+    engine guarantees boolean short-circuit and position 0 is
+    out-of-bounds on the Spark side. Zero shuffles, all inside
+    whole-stage codegen.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "ws", F.split(F.col("text"), " ")
+    )
+    keep_idx = F.expr(
+        "filter(sequence(1, size(ws)), i -> CASE WHEN i = 1 THEN true"
+        " ELSE element_at(ws, i) != element_at(ws, i - 1) END)"
+    )
+    d = d.withColumn("keep_idx", keep_idx)
+    clean = F.array_join(
+        F.expr("transform(keep_idx, i -> element_at(ws, i))"), " "
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (F.size("ws") - F.size("keep_idx")).alias("n_removed"),
+    )
+
+
+#: Deterministic per-source mixture weight: 1 + (source index % 4)·2
+#: ∈ {1,3,5,7} — an arbitrary-but-fixed non-uniform target so the mix
+#: actually reweights (the corpus itself is uniform per source).
+_MIX_W_SQL = "1 + (CAST(substr(source, 4) AS INT) % 4) * 2"
+_MIX_RESOLUTION = 10000
+
+_FP_SQL = """
+    CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+           w -> list_reduce(
+                  list_prepend(0, list_transform(range(1, length(w) + 1),
+                                                 i -> ascii(w[i]))),
+                  (a, c) -> (a * 31 + c) % 1000003))),
+         (a, x) -> (a * 131 + x) % 1000003) AS BIGINT)
+"""
+
+
+@query(
+    "q_dataset_mix_weighted",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, {_FP_SQL} AS fp FROM documents
+    ), stats AS (
+      SELECT source, COUNT(*) AS n_s, {_MIX_W_SQL} AS w
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_s) AS n_total, SUM(w) AS sum_w FROM stats
+    ), thr AS (
+      SELECT source,
+             CAST(floor(least(1.0, (w * n_total) / (sum_w * n_s))
+                        * {_MIX_RESOLUTION}) AS BIGINT) AS thr
+      FROM stats, tot
+    )
+    SELECT f.doc_id, f.source
+    FROM fp f JOIN thr t ON t.source = f.source
+    WHERE f.fp % {_MIX_RESOLUTION} < t.thr
+    """,
+)
+def q_dataset_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: subsample each source to a target
+    mixture share via content-addressed hash thresholding.
+
+    The domain-reweighting step of a pretraining data recipe (e.g.
+    DoReMi-style weights): per-source keep-rate = min(1,
+    target_share / observed_share), membership decided by
+    ``fingerprint % R < rate·R``. Content-addressing makes the kept
+    set stable under re-sharding and re-crawls (same property as
+    q_dataset_split); upweighted sources saturate at keep-all —
+    oversampling is an epoch/repetition concern, not a filter's. The
+    per-source stats are a dimension-sized aggregate (broadcast both
+    ways); the fact table is touched once, filtered at scan speed.
+    """
+    from spype_spark.functions import text_fingerprint
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", text_fingerprint("text")
+    )
+    stats = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_s"))
+        .withColumn("w", F.expr(_MIX_W_SQL))
+    )
+    tot = stats.agg(
+        F.sum("n_s").alias("n_total"), F.sum("w").alias("sum_w")
+    )
+    thr = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "thr",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("w") * F.col("n_total"))
+                    / (F.col("sum_w") * F.col("n_s")),
+                )
+                * _MIX_RESOLUTION
+            ).cast("long"),
+        )
+        .select("source", "thr")
+    )
+    return (
+        d.join(F.broadcast(thr), "source")
+        .filter(F.col("fp") % _MIX_RESOLUTION < F.col("thr"))
+        .select("doc_id", "source")
+    )

@@ -73,3 +73,111 @@ def test_decontaminate_flags_exact_eval_copies(spark):
     }
     assert dup_ids <= flagged
     assert all(i >= _EVAL_MAX_ID for i in flagged)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 late additions: repetition, PII, run-collapse, weighted mix.
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_runs_is_idempotent_and_shortens(spark, sf_dir):
+    from spype_spark.queries import REGISTRY
+
+    out = REGISTRY["q_text_collapse_runs"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert all(r["n_removed"] >= 0 for r in rows)
+    # idempotence: collapsing a collapsed text removes nothing
+    clean = out.select(
+        out.doc_id, out.clean_text.alias("text")
+    )
+    import pyspark.sql.functions as F
+
+    ws = F.split(F.col("text"), " ")
+    keep = F.expr(
+        "filter(sequence(1, size(ws)), i -> CASE WHEN i = 1 THEN true"
+        " ELSE element_at(ws, i) != element_at(ws, i - 1) END)"
+    )
+    again = (
+        clean.withColumn("ws", ws)
+        .withColumn("keep", keep)
+        .filter(F.size("ws") != F.size("keep"))
+        .count()
+    )
+    assert again == 0
+
+
+def test_pii_redact_leaves_no_matches(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from spype_spark.queries import REGISTRY
+    from spype_spark.queries.llm_curation import _EMAIL_RE, _IP_RE, _PHONE_RE
+
+    out = REGISTRY["q_text_pii_redact"].fn(spark, sf_dir)
+    residue = out.filter(
+        (F.regexp_count("redacted", F.lit(_EMAIL_RE)) > 0)
+        | (F.regexp_count("redacted", F.lit(_PHONE_RE)) > 0)
+        | (F.regexp_count("redacted", F.lit(_IP_RE)) > 0)
+    ).count()
+    assert residue == 0
+    assert out.filter(F.col("n_pii") < 3).count() == 0  # trailer plants 3
+
+
+def test_mix_weighted_respects_target_shares(spark, sf_dir):
+    """Kept count per source ≈ thr/R · n_s (content hash is uniform
+    enough at corpus size for a loose band), and saturated sources
+    (w=7) keep everything."""
+    import pyspark.sql.functions as F
+
+    from spype_spark.queries import REGISTRY
+
+    kept = (
+        REGISTRY["q_dataset_mix_weighted"].fn(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+        .collect()
+    )
+    orig = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept_map = {r["source"]: r["n_kept"] for r in kept}
+    for src, n in orig.items():
+        idx = int(src[3:])
+        w = 1 + (idx % 4) * 2
+        if w == 7:  # saturated: keep-rate capped at 1
+            assert kept_map.get(src, 0) == n
+        else:
+            assert kept_map.get(src, 0) <= n
+
+
+def test_repetition_flags_degenerate_text(spark):
+    """A synthetic stutter doc must be flagged; a all-distinct doc must
+    not."""
+    import pyspark.sql.functions as F
+
+    from spype_spark.queries.llm_curation import (
+        _DUP_2GRAM_MAX,
+        _TOP_WORD_MAX,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam ham"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("ws", F.split("text", " "))
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w))))"
+    )
+    out = df.select(
+        "doc_id",
+        ((top_cnt / F.size("ws")) > _TOP_WORD_MAX).alias("flag"),
+    ).collect()
+    flags = {r["doc_id"]: r["flag"] for r in out}
+    assert flags[1] is True
+    assert flags[2] is False
+    assert 0 < _DUP_2GRAM_MAX < 1
