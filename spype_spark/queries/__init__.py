@@ -82,16 +82,17 @@ _DRIVER_PRIORITY = [
     # Group 3 — implementation changed in round 3 (asof struct-pack),
     # so its r1 green row is stale:
     "q_join_asof",
-    # Group 4 — r1-green keys whose shared infrastructure (facade,
-    # tables.py) was refactored in round 2 AFTER their green rows were
-    # recorded; re-verify joins, aggregates, windows:
-    "q_join_inner_equi",
-    "q_join_left",
-    "q_join_full",
-    "q_join_3way",
-    "q_join_theta_range",
-    "q_agg_global",
-    "q_pricing_summary",
+    # Group 4 — late-round-3 contracts with zero driver history (a new
+    # key verified adds cumulative evidence; a stale-green refresh of
+    # the r1 join/agg keys doesn't — they keep their r1 rows and their
+    # implementations are pinned by pytest/replica evidence since):
+    "q_tpch_q5",
+    "q_tpch_q13",
+    "q_tpch_q17",
+    "q_text_repetition",
+    "q_text_pii_redact",
+    "q_dataset_mix_weighted",
+    "q_sketch_hll",
     # Group 4c — late-round-3 contracts with zero driver history (a new
     # key verified adds cumulative evidence; a stale-green refresh
     # doesn't — semi/anti/cross/broadcast joins and agg_distinct keep
