@@ -564,3 +564,100 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt("p_us").alias("purchase_ts"),
         )
     )
+
+
+@query(
+    "q_rolling_dau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+      FROM events
+    ), days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(w.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT u.user_id) AS dau7
+    FROM days w
+    JOIN ud u ON u.d >= w.d - INTERVAL 6 DAY AND u.d <= w.d
+    GROUP BY 1
+    """,
+)
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per observed day.
+
+    COUNT(DISTINCT) over a sliding range frame isn't a window Spark
+    (or any engine) can evaluate directly, and the naive day×day range
+    join is quadratic in days. The scale plan: collapse events to
+    distinct (user, day) pairs FIRST (the only full-data shuffle),
+    then each pair contributes to exactly 7 window-days via a
+    sequence-explode — bounded 7× expansion of the collapsed set,
+    equi-join back to observed days, one distinct-agg per day. The
+    oracle states the same semantics as the (fine-at-oracle-scale)
+    range join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    days = ud.select(F.col("d").alias("wd")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(d, d + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+        ).alias("wd"),
+    )
+    return (
+        contrib.join(days, "wd")
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("dau7"))
+        .select(F.date_format("wd", "yyyy-MM-dd").alias("day"), "dau7")
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH cw AS (
+      SELECT user_id,
+             MIN(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort_w
+      FROM events GROUP BY 1
+    ), aw AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS activity_w
+      FROM events
+    )
+    SELECT strftime(c.cohort_w, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cohort_w, a.activity_w) / 7 AS INT)
+             AS week_n,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM aw a JOIN cw c ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each subsequent activity week.
+
+    The product-analytics staple. Two aggregates over the user
+    partitioning (first-week per user; distinct user×week) share one
+    shuffle key, then a user-keyed equi-join — at 100 TB both sides
+    are user-grain (millions of rows, not events), so the join is
+    cheap and skew-free. week_n arithmetic is exact (day diffs are
+    multiples of 7 by construction of the common week-trunc).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cw = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_w")
+    )
+    aw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_w")
+    ).distinct()
+    return (
+        aw.join(cw, "user_id")
+        .groupBy(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("activity_w"), F.col("cohort_w")) / 7)
+            .cast("int")
+            .alias("week_n"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
