@@ -34,6 +34,10 @@ BENCH_QUERIES = {
     # engine-differentiating extras, benched for regression visibility:
     "q_dedup_minhash": "q_dedup_minhash",
     "q_sim_cosine_topk": "q_sim_cosine_topk",
+    # classic-suite rows (added round 3 — totals are NOT comparable to
+    # BENCH_r01/r02; compare per-query against BASELINE.md floors):
+    "q_tpch_q5": "q_tpch_q5",
+    "q_tpch_q18": "q_tpch_q18",
 }
 
 

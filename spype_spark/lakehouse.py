@@ -211,13 +211,33 @@ def delete_where(spark: SparkSession, path: str, cond) -> int:
     return _write_next(tgt.filter(keep), path, base=base)
 
 
-def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    zorder_code=None,
+) -> int:
     """Rewrite the latest snapshot into ``target_files`` files (small-file
     compaction). Content-identical by construction; returns the new
-    version."""
+    version.
+
+    ``zorder_code`` (a Column, e.g. :func:`spype_spark.layout.morton2`
+    over the query dimensions) switches the rewrite from hash
+    repartitioning to Z-order range-clustering — Delta's ``OPTIMIZE
+    ZORDER BY``: same one-shuffle cost, but the produced files carry
+    tight min/max stats on every clustered dimension, so subsequent
+    scans prune files on any of them (see tests/test_layout.py for the
+    measured skipping win).
+    """
+    from spype_spark.layout import zorder_repartition
+
     base = latest_version(path)
     tgt = read_table(spark, path, version=base)
-    return _write_next(tgt.repartition(target_files), path, base=base)
+    if zorder_code is not None:
+        out = zorder_repartition(tgt, zorder_code, target_files)
+    else:
+        out = tgt.repartition(target_files)
+    return _write_next(out, path, base=base)
 
 
 def table_diff(

@@ -17,6 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spype_spark.layout import morton2, morton2_sql
 from spype_spark.registry import query
 from spype_spark.tables import load_table
 
@@ -240,3 +241,43 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_layout_zorder",
+    oracle=f"""
+    SELECT o_orderkey,
+           {morton2_sql('o_custkey % 65536',
+                        "date_diff('day', TIMESTAMP '1995-01-01', "
+                        "o_orderdate) % 65536")}
+             AS zcode
+    FROM orders
+    """,
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout codes over (customer, order-day) — the
+    clustering key behind multi-dimensional file skipping
+    (`spype_spark.layout`; wired into `lakehouse.compact(zorder_code=…)`
+    as the OPTIMIZE ZORDER analog).
+
+    The contract pins the bit-interleave itself: 16 bits of each
+    dimension, id mapped by modulo, date by epoch-day offset — pure
+    shiftleft/shiftright/mask folding, bit-identical in both engines.
+    The layout *effect* (files pruned on either dimension) is asserted
+    by tests/test_layout.py, which measures per-file min/max spans
+    after a z-order vs linear rewrite.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("za", F.col("o_custkey") % 65536)
+        .withColumn(
+            "zb",
+            (
+                F.datediff(
+                    F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+                )
+                % 65536
+            ).cast("bigint"),
+        )
+        .select("o_orderkey", morton2("za", "zb").alias("zcode"))
+    )
