@@ -3,9 +3,12 @@
 The events table is read as a *stream of files* (maxFilesPerTrigger
 is irrelevant under AvailableNow, but the source is the real
 FileStreamSource — the same source a production job tails a directory
-with). events.ts is TIMESTAMP(NANOS) in Parquet: the stream reader gets
-the same nanosAsLong treatment as the batch loader, converted with
-integer division (no double-precision loss).
+with). FileStreamSource requires an explicit schema, so the stream
+schema is *sniffed* from the actual Parquet footer (a driver-side
+metadata read) rather than hardcoded — the corpus has shipped
+``events.ts`` both as TIMESTAMP(NANOS) (→ bigint under nanosAsLong)
+and as native timestamp[us]; ``normalize_events_ts`` (shared with the
+batch loader) branches on the loaded dtype so both encodings work.
 """
 
 from __future__ import annotations
@@ -20,11 +23,14 @@ from pyspark.sql import functions as F
 
 from spype_spark.queries._util import TS_FMT_SPARK
 from spype_spark.session import ensure_session_confs
+from spype_spark.tables import normalize_events_ts
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+
+def _events_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read an events Parquet file/dir with the session confs the
+    corpus may require (nanosAsLong for the legacy NANOS encoding)."""
+    ensure_session_confs(spark)
+    return spark.read.parquet(path)
 
 
 def _scratch_root() -> str:
@@ -40,18 +46,30 @@ def _events_stream(
     sf_dir: str,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    schema=None,
 ) -> DataFrame:
-    """readStream over the events Parquet with the ns→µs conversion.
+    """readStream over the events Parquet, ts normalized to TIMESTAMP.
 
     ``max_files_per_trigger`` is a SOURCE (read) option — setting it on
     the writeStream is a silent no-op. Under Trigger.AvailableNow it
     bounds each micro-batch to N files, which is how a drain run gets
     split into multiple epochs.
+
+    ``schema`` defaults to a footer-sniff of the matching files under
+    ``sf_dir`` — pass it explicitly when the directory starts empty
+    (live-ingest landing dirs). Sniffing instead of hardcoding keeps the
+    stream reader correct across corpus encodings; a hardcoded ``ts
+    long`` schema against µs data silently yields NULL timestamps (the
+    worst failure mode: wrong, not loud).
     """
     ensure_session_confs(spark)
+    if schema is None:
+        schema = (
+            spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+        )
     # FileStreamSource tails a *directory*; glob-filter to the events file.
     reader = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", glob)
     )
@@ -60,7 +78,7 @@ def _events_stream(
     raw = reader.load(sf_dir)
     # NB: watermarks require TIMESTAMP (with-local-tz), not TIMESTAMP_NTZ —
     # session tz is pinned to UTC so rendered strings match the batch side.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw, target="timestamp")
 
 
 def _run_available_now(sdf: DataFrame, output_mode: str, name: str) -> DataFrame:
@@ -303,8 +321,7 @@ def run_stream_rollup_maintenance(
     # invocations don't leak an events-table copy into scratch.
     try:
         (
-            spark.read.schema(EVENTS_SCHEMA)
-            .parquet(f"{sf_dir}/events.parquet")
+            _events_batch(spark, f"{sf_dir}/events.parquet")
             .repartition(n_splits)
             .write.mode("overwrite")
             .parquet(split_dir)
@@ -358,8 +375,7 @@ def run_stream_lake_upsert(
     tbl = f"{tbl_dir}/user_latest"
     try:
         (
-            spark.read.schema(EVENTS_SCHEMA)
-            .parquet(f"{sf_dir}/events.parquet")
+            _events_batch(spark, f"{sf_dir}/events.parquet")
             .repartition(n_splits)  # random order: adversarial CDC arrival
             .write.mode("overwrite")
             .parquet(split_dir)
@@ -443,8 +459,7 @@ def run_stream_live_ingest(
     name = "spype_stream_live_ingest"
     try:
         (
-            spark.read.schema(EVENTS_SCHEMA)
-            .parquet(f"{sf_dir}/events.parquet")
+            _events_batch(spark, f"{sf_dir}/events.parquet")
             .repartition(n_files)
             .write.mode("overwrite")
             .parquet(staging)
@@ -452,8 +467,13 @@ def run_stream_live_ingest(
         parts = sorted(
             f for f in os.listdir(staging) if f.endswith(".parquet")
         )
+        # landing starts EMPTY — sniff the schema from staging instead.
         ev = _events_stream(
-            spark, landing, glob="*.parquet", max_files_per_trigger=1
+            spark,
+            landing,
+            glob="*.parquet",
+            max_files_per_trigger=1,
+            schema=spark.read.parquet(staging).schema,
         )
         agg = ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"

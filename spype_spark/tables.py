@@ -10,8 +10,9 @@ partition pruning automatically. Column pruning + predicate pushdown are
 preserved because loaders return raw scans (no caching, no forced
 materialization) — every query composes filters/projections directly
 onto the scan node so Catalyst can push them into the Parquet reader.
-The one transformation applied at load (events ns→µs timestamp) is a
-cheap per-row projection that stays inside whole-stage codegen.
+The one transformation applied at load (events ts normalization) is a
+cheap per-row projection that stays inside whole-stage codegen — and a
+no-op when the corpus already stores native µs timestamps.
 """
 
 from __future__ import annotations
@@ -40,23 +41,45 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation", "supplier", "part")
 
 
+def normalize_events_ts(df: DataFrame, target: str = "timestamp_ntz") -> DataFrame:
+    """Normalize ``events.ts`` to ``target`` regardless of corpus encoding.
+
+    The test corpus has shipped ``ts`` two ways across regenerations:
+
+    * TIMESTAMP(NANOS) — Spark 4.x cannot map it natively (SURVEY.md
+      §7.4 G1); with the nanosAsLong conf it arrives as **bigint**
+      nanoseconds. Converted with *integer* division (``div``) to avoid
+      double-precision loss on 1.7e18-scale values.
+    * timestamp[us] (the current corpus) — arrives natively as
+      ``timestamp_ntz`` (or ``timestamp`` if the writer marked UTC).
+
+    Branching on the *loaded* dtype makes both the batch loader and the
+    stream reader robust to either encoding, and keeps them on one code
+    path so they cannot diverge. ``target`` is ``timestamp_ntz`` for
+    batch (matches DuckDB's naive timestamps) and ``timestamp`` for
+    streaming (watermarks require TIMESTAMP; session tz is pinned UTC so
+    rendered strings agree with the batch side).
+    """
+    t = df.schema["ts"].dataType.simpleString()
+    if t == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000")).cast(target)
+    elif t != target:
+        ts = F.col("ts").cast(target)
+    else:
+        return df
+    return df.withColumn("ts", ts)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table as a DataFrame.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS) which Spark 4.x cannot
-    map natively (SURVEY.md §7.4 G1): with the nanosAsLong conf the
-    column arrives as bigint nanoseconds and is converted here with
-    *integer* division (``div``) to avoid double-precision loss on
-    1.7e18-scale values, then cast to timestamp_ntz to match how Spark
-    reads the other (µs/ms) tables and how DuckDB sees naive timestamps.
+    ``events.ts`` is normalized to ``timestamp_ntz`` whatever the
+    on-disk encoding (see :func:`normalize_events_ts`).
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        df = normalize_events_ts(df)
     return df
 
 

@@ -42,11 +42,13 @@ def test_tumbling_stream_equals_batch_up_to_watermark(spark, sf_dir):
     windows must match the stream bit-for-bit."""
     import datetime as dt
 
+    from spype_spark.tables import load_table
+
     stream = run_stream_tumbling(spark, sf_dir)
     batch = q_stream_tumbling(spark, sf_dir)
     max_ts = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .selectExpr("timestamp_micros(max(ts) div 1000) AS m")
+        load_table(spark, sf_dir, "events")
+        .selectExpr("max(ts) AS m")
         .collect()[0]["m"]
     )
     wm = max_ts - dt.timedelta(hours=1)
@@ -68,11 +70,13 @@ def test_sliding_stream_equals_batch_up_to_watermark(spark, sf_dir):
 
     from spype_spark.queries.streaming_batch import q_stream_sliding
 
+    from spype_spark.tables import load_table
+
     stream = run_stream_sliding(spark, sf_dir)
     batch = q_stream_sliding(spark, sf_dir)
     max_ts = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .selectExpr("timestamp_micros(max(ts) div 1000) AS m")
+        load_table(spark, sf_dir, "events")
+        .selectExpr("max(ts) AS m")
         .collect()[0]["m"]
     )
     wm = max_ts - dt.timedelta(hours=1)

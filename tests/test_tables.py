@@ -1,4 +1,9 @@
-"""Source-loading correctness, esp. the nanosecond-timestamp gotcha."""
+"""Source-loading correctness, esp. the events-timestamp encoding.
+
+The corpus has shipped ``events.ts`` as TIMESTAMP(NANOS) (rounds 1-3)
+and as native timestamp[us] (round 4+); the loader must read BOTH by
+branching on the loaded dtype (normalize_events_ts).
+"""
 
 import duckdb
 from pyspark.sql import functions as F
@@ -7,9 +12,10 @@ from spype_spark.tables import BROADCAST_DIMS, TABLES, load_table, load_tables
 
 
 def test_events_ts_matches_duckdb_to_the_microsecond(spark, sf_dir):
-    """ts div 1000 (integer division) must equal DuckDB's native ns→µs
-    truncation exactly — a double-precision division here silently
-    corrupts ~±1 µs on 1.7e18-ns values."""
+    """Whatever the on-disk encoding, the loaded ts must equal DuckDB's
+    CAST(ts AS TIMESTAMP) exactly — under the legacy NANOS encoding a
+    double-precision ns→µs division silently corrupts ~±1 µs on
+    1.7e18-ns values, so the conversion must be integer division."""
     got = {
         r.event_id: r.ts
         for r in load_table(spark, sf_dir, "events")
@@ -38,11 +44,43 @@ def test_all_tables_load_with_expected_rows(spark, sf_dir):
 
 def test_events_loads_on_unconfigured_session(spark, sf_dir):
     """The nanos conf must apply at runtime — the driver's session is
-    built without it."""
+    built without it. (A no-op on the current µs corpus; kept so a
+    future corpus regen back to NANOS can't regress silently.)"""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     df = load_table(spark, sf_dir, "events")  # re-sets the conf itself
     assert df.schema["ts"].dataType.simpleString().startswith("timestamp")
     assert df.count() == 1000
+
+
+def test_events_ts_normalized_to_timestamp_ntz(spark, sf_dir):
+    """Loader contract: whatever the Parquet encoding (NANOS-as-long or
+    native µs), events.ts arrives as timestamp_ntz with non-null values
+    — the regenerated-corpus regression (r4) was NULL/err timestamps."""
+    df = load_table(spark, sf_dir, "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+    assert df.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_events_stream_reader_matches_batch_loader(spark, sf_dir):
+    """The stream-side schema sniff + shared normalizer must agree with
+    the batch loader row-for-row (the r4 bug was a hardcoded `ts long`
+    stream schema silently nulling µs timestamps)."""
+    from spype_spark.streaming.jobs import _events_stream, _run_available_now
+
+    sdf = _events_stream(spark, sf_dir).select("event_id", "ts")
+    got = {
+        r.event_id: r.ts.replace(tzinfo=None)
+        for r in _run_available_now(
+            sdf, "append", "spype_test_stream_schema"
+        ).collect()
+    }
+    want = {
+        r.event_id: r.ts
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .collect()
+    }
+    assert got == want
 
 
 def test_broadcast_dims_are_small(spark, sf_dir):
