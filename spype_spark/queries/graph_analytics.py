@@ -72,8 +72,12 @@ def _pagerank_oracle() -> str:
         JOIN deg g ON g.src = e.src
         GROUP BY e.dst) inc ON inc.dst = n.v)
     """
+    # DuckDB's SUM(BIGINT) widens to HUGEINT, which pandas renders as
+    # float64 — same values as Spark's int64 but a different repr, so the
+    # driver's hash would mismatch. Cast the final rank back to BIGINT.
     sql += f"""
-    SELECT v AS n_nationkey, r AS rank_scaled FROM pr{_PR_ROUNDS}
+    SELECT v AS n_nationkey, CAST(r AS BIGINT) AS rank_scaled
+    FROM pr{_PR_ROUNDS}
     """
     return sql
 
