@@ -186,6 +186,14 @@ def minhash_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
+    # Materialize the band table once: three consumers (the hot-bucket
+    # aggregate and both sides of the self-join) would otherwise each
+    # re-run the shingle explode + 16-way min aggregation (measured 2-3×
+    # the whole query at sf0.1). The band table is n_docs × n_bands rows
+    # of three longs — per-doc-signature-sized, far smaller than the
+    # shingle stage it replaces, so it is the natural cut point at scale
+    # too (persist() on a cluster; localCheckpoint in local mode).
+    bands = bands.localCheckpoint(eager=False)
     bands = filter_oversized_buckets(
         bands, ["band_idx", "band_hash"], cap=bucket_cap
     )
