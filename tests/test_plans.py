@@ -113,3 +113,22 @@ def test_bucketed_join_has_zero_exchanges(spark, sf001):
     plan = plan_of(df)
     assert "Exchange" not in plan, plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
+def test_events_ts_filter_pushes_into_scan(spark, sf001):
+    """A ts range predicate on the loaded events table must reach the
+    Parquet reader. On the native-µs corpus normalize_events_ts is a
+    no-op projection (or pure cast), so nothing blocks pushdown — the
+    old unconditional ns→µs arithmetic DID block it, turning every
+    time-range query into a full scan at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from spype_spark.tables import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("ts") >= "2024-01-02"
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "ts" in pushed and "GreaterThanOrEqual" in pushed, pushed
