@@ -28,6 +28,15 @@ def duck():
 
 
 @pytest.fixture(scope="module")
+def duck_events():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
 def orders(spark):
     return spark.read.parquet(f"{SF}/orders.parquet")
 
@@ -358,3 +367,46 @@ def test_random_asof_joins_agree(spark, orders, duck, m, thr):
     """
     want = set(duck.sql(q).fetchall())
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    minutes=st.sampled_from([5, 15, 30, 60, 120, 480, 1440]),
+    etype=st.sampled_from(["view", "click", "purchase", None]),
+)
+def test_random_time_buckets_agree(spark, duck_events, minutes, etype):
+    """Random tumbling-bucket widths × event-type predicates over the
+    events table: Spark's window() bucketing must agree with DuckDB's
+    time_bucket() on the loaded (encoding-normalized) ts column — the
+    dimension of the translation layer the round-4 corpus regeneration
+    broke (silently NULLed timestamps would yield empty buckets here,
+    loudly)."""
+    from spype_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    if etype is not None:
+        ev = ev.filter(F.col("event_type") == etype)
+    got = {
+        (r.b.isoformat(sep=" "), r.n)
+        for r in ev.groupBy(
+            F.window("ts", f"{minutes} minutes").start.alias("b")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    where = f"WHERE event_type = '{etype}'" if etype is not None else ""
+    want = {
+        (str(b), n)
+        for b, n in duck_events.sql(
+            f"""
+            SELECT time_bucket(INTERVAL {minutes} MINUTE, ts) AS b,
+                   COUNT(*) AS n
+            FROM events {where} GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want, f"{minutes}min buckets, type={etype}"
