@@ -38,6 +38,11 @@ BENCH_QUERIES = {
     # BENCH_r01/r02; compare per-query against BASELINE.md floors):
     "q_tpch_q5": "q_tpch_q5",
     "q_tpch_q18": "q_tpch_q18",
+    # events-analytics rows (added round 5, post-corpus-regen: these
+    # exercise the dtype-normalized ts path end-to-end — totals are NOT
+    # comparable to BENCH_r03/r04; compare per-query):
+    "q_rolling_dau": "q_rolling_dau",
+    "q_stream_session": "q_stream_session",
 }
 
 
