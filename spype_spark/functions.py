@@ -341,8 +341,15 @@ def connected_components(
     The canonical dedup use: edges = verified near-dup pairs; components
     = duplicate clusters; keep min(node) per component.
     """
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Materialize the undirected edge list ONCE: it is re-joined every
+    # iteration, and `edges` often arrives with an expensive lineage
+    # (minhash candidate generation + jaccard verification in the dedup
+    # pipeline) that would otherwise re-run per round — measured 10×
+    # the whole computation at sf0.1 (25 rounds × full re-derivation).
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
     )
     nodes = und.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(
