@@ -708,7 +708,12 @@ def nn_descent_refine(
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("dot"), F.asc("nbr_id"))
 
-    graph = seed.select("src_id", "nbr_id")
+    # Materialize the seed graph once: round 1 consumes it via three
+    # branches (fwd, rev, the cand union), and the seed usually carries
+    # a whole ANN run's lineage (IVF probe / LSH banding) that would
+    # re-execute per branch. Rounds 2+ are covered by the per-round
+    # checkpoint below.
+    graph = seed.select("src_id", "nbr_id").localCheckpoint(eager=True)
     scored = None
     for _ in range(n_rounds):
         fwd = graph
