@@ -144,8 +144,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_graph_triangles",
     oracle=f"""
-    WITH dedges AS ({_EDGES_SQL}),
-    und AS (
+    WITH dedges AS MATERIALIZED ({_EDGES_SQL}),
+    und AS MATERIALIZED (
+      -- MATERIALIZED: DuckDB inlines CTEs by default, so the three
+      -- self-join references would each re-run the 4-way fact join
+      -- (measured 30 s vs 0.1 s at sf0.1)
       SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
       FROM dedges WHERE src <> dst
       GROUP BY 1, 2
