@@ -94,7 +94,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_ngram_jaccard",
     oracle="""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              s1.word || ' ' || s2.word || ' ' || s3.word AS shingle
       FROM (

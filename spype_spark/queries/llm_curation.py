@@ -108,7 +108,7 @@ def q_dataset_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_text_decontaminate",
     oracle=f"""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              s1.word || ' ' || s2.word || ' ' || s3.word AS shingle
       FROM (

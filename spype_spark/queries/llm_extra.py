@@ -283,7 +283,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_pipeline",
     oracle="""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              s1.word || ' ' || s2.word || ' ' || s3.word AS shingle
       FROM (
@@ -572,7 +572,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_components",
     oracle="""
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              s1.word || ' ' || s2.word || ' ' || s3.word AS shingle
       FROM (
@@ -684,7 +684,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_cluster_keep",
     oracle="""
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              s1.word || ' ' || s2.word || ' ' || s3.word AS shingle
       FROM (

@@ -187,7 +187,7 @@ def q_pipe_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents) t
       WHERE rn <= 5
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              s1.word || ' ' || s2.word || ' ' || s3.word AS shingle
       FROM (
