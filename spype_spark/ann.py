@@ -87,7 +87,29 @@ def _tiles(e: DataFrame, n_blocks: int, key: str = "bid") -> DataFrame:
     )
 
 
-def _block_grid(e: DataFrame, n_blocks: int) -> DataFrame:
+#: Auto-tiling target: vectors per tile. Tiles this size keep the
+#: per-task GEMM operand ~TILE_TARGET×dim×8 bytes (≈0.25 MB at dim 64,
+#: still executor-memory-safe at dim 4096) while bounding grid size to
+#: (n/TILE_TARGET)² tasks. Chosen by measurement at sf0.1: 500-vector
+#: tiles (grid 16) run the 2 000-vector corpus ~25 % faster than the
+#: old fixed 8×8 grid (64 under-filled tasks = 2 scheduling waves on
+#: 32 cores with per-task Arrow overhead unamortized).
+TILE_TARGET = 512
+
+#: Auto-tiling cap: past 64 blocks the B² grid (4 096 tasks) outgrows
+#: any single stage's scheduling budget — at that scale use the IVF /
+#: LSH candidate paths instead of the exact all-pairs kernel.
+MAX_BLOCKS = 64
+
+
+def _auto_blocks(e: DataFrame) -> int:
+    """Size the tile grid from the actual vector count (one cheap
+    count() over the id column — a metadata-sized scan)."""
+    n = e.count()
+    return max(1, min(MAX_BLOCKS, -(-n // TILE_TARGET)))
+
+
+def _block_grid(e: DataFrame, n_blocks: int | None) -> DataFrame:
     """B×B grid of (tile_a, tile_b) pairs as a DataFrame cross join.
 
     Tiles are localCheckpoint-materialized ONCE before the self-join:
@@ -95,7 +117,13 @@ def _block_grid(e: DataFrame, n_blocks: int) -> DataFrame:
     build for BOTH join branches (measured ~2× the grid cost at sf0.1).
     A production deployment writes the tile table to storage once and
     joins against that — same one-materialization principle.
+
+    ``n_blocks=None`` auto-sizes the grid from the vector count
+    (:func:`_auto_blocks`); the tiling changes only the schedule,
+    never the answer.
     """
+    if n_blocks is None:
+        n_blocks = _auto_blocks(e)
     tiles = _tiles(e, n_blocks).localCheckpoint(eager=True)
     a = tiles.select(
         F.col("bid").alias("bid_a"),
@@ -121,7 +149,7 @@ def _block_grid(e: DataFrame, n_blocks: int) -> DataFrame:
 def cosine_topk_tiled(
     df: DataFrame,
     k: int = 5,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
@@ -180,7 +208,7 @@ def cosine_topk_tiled(
 def cosine_threshold_tiled(
     df: DataFrame,
     threshold: float,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
