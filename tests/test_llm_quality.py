@@ -331,3 +331,35 @@ def test_ivfpq_and_nndescent_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_auto_blocks_tracks_vector_count(spark):
+    """The auto-sized tile grid must scale with n (target ~TILE_TARGET
+    vectors/tile), clamp to >=1 for tiny inputs, and cap at MAX_BLOCKS
+    so the B^2 grid stays schedulable — and an explicit n_blocks must
+    yield the identical answer (tiling is schedule, not semantics)."""
+    from pyspark.sql import functions as F
+
+    from spype_spark.ann import (
+        MAX_BLOCKS,
+        TILE_TARGET,
+        _auto_blocks,
+        cosine_topk_tiled,
+    )
+    from spype_spark.tables import load_table
+
+    for n, want in [(1, 1), (TILE_TARGET, 1), (TILE_TARGET + 1, 2),
+                    (TILE_TARGET * MAX_BLOCKS * 3, MAX_BLOCKS)]:
+        e = spark.range(n).select(F.col("id").alias("vec_id"))
+        assert _auto_blocks(e) == want, (n, want)
+
+    emb = load_table(spark, SF, "embeddings")
+    auto = {
+        (r.src_id, r.nbr_id, r.cosine, r.rank)
+        for r in cosine_topk_tiled(emb, k=3).collect()
+    }
+    explicit = {
+        (r.src_id, r.nbr_id, r.cosine, r.rank)
+        for r in cosine_topk_tiled(emb, k=3, n_blocks=7).collect()
+    }
+    assert auto == explicit
