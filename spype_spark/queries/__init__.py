@@ -48,72 +48,97 @@ from spype_spark.queries import lakehouse_ops  # noqa: F401
 #      as evidence), with the round-1 rows-only keys last.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # ---- round-5 window (first 50 keys = the driver's evidence budget).
-    # The round-4 corpus regeneration (events.ts ns-long → timestamp[us])
-    # broke every events reader; the loader is now dtype-branching
-    # (tables.py normalize_events_ts). Priority per VERDICT.md r4:
-    # Group 1 — the 6 contracts red in CORRECTNESS_r04 (4 ERR + 2 FAIL),
-    # fixed this round, must re-verify first:
-    "q_sink_json_roundtrip",
-    "q_rollup_materialized",
-    "q_stream_dedup_watermark",
-    "q_join_asof",
-    "q_stream_true_tumbling",
-    "q_stream_lake_upsert",
-    # Group 2 — the 13 stale-green events readers: their r1/r2 rows
-    # predate the corpus change and prove nothing; re-verify on the
-    # regenerated corpus:
-    "q_source_json_props",
-    "q_map_funcs",
-    "q_json_variant",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_events_hourly_agg",
-    "q_ts_gapfill",
-    "q_ts_interpolate",
-    "q_stream_stateful_running",
-    "q_events_funnel",
-    "q_rolling_dau",
-    "q_cohort_retention",
-    # Group 3 — zero-driver-history SQL-oracle contracts (never
-    # scheduled into any window r1-r4): the TPC-H-adapted suite, graph
-    # analytics, and late-round-3 additions:
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q10",
-    "q_tpch_q14",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_quality_audit",
-    "q_join_interval_overlap",
-    "q_join_null_safe",
-    "q_layout_zorder",
-    "q_pipe_curation",
-    "q_sketch_hll_union",
-    "q_text_collapse_runs",
-    # Group 4 — zero-driver-history rows-only kernels (ANN/multimodal):
-    "q_dedup_minhash",
+    # ---- round-6 window (first 50 keys = the driver's evidence budget).
+    # Per VERDICT.md r5 task 1: rotate onto the 74 contracts whose latest
+    # driver rows predate the round-4 corpus regeneration (stale = 
+    # set(REGISTRY) - keys(CORRECTNESS_r04 + r05)).
+    # Group A - rows-only kernels converted to SQL-invariant oracles this
+    # round (VERDICT task 5): must re-verify under the new oracle:
     "q_sim_lsh_ann",
-    "q_dedup_simhash",
     "q_sim_ivf_ann",
-    "q_sim_ivfpq_ann",
     "q_sim_nndescent",
     "q_pq_encode",
-    "q_multimodal_resize",
-    # Group 5 — spare slots: bench-headline queries whose green rows are
-    # oldest (r1), re-confirmed so the perf story rests on fresh hashes:
-    "q_pricing_summary",
-    "q_join_3way",
-    "q_window_topk",
-    "q_sim_cosine_topk",
+    # Group B - q_udf_cogroup reworked this round (VERDICT task 6); its
+    # last driver row (r2) is pre-regen AND pre-rework:
+    "q_udf_cogroup",
+    # Group C - first 45 of the remaining 73 stale keys, registry order
+    # (scans/filters/joins/aggs/windows/sorts/setops/scalars families):
+    "q_scan_project",
+    "q_scan_filter_pushdown",
+    "q_project_exprs",
+    "q_filter_compound",
+    "q_filter_like_regex",
+    "q_join_inner_equi",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_broadcast",
+    "q_join_theta_range",
+    "q_agg_global",
+    "q_agg_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_stats",
+    "q_agg_minmax_by",
+    "q_agg_collect",
+    "q_agg_percentile",
+    "q_agg_listagg",
+    "q_window_rank",
+    "q_window_analytic",
+    "q_window_frame_rows",
+    "q_window_frame_range",
+    "q_window_nth",
+    "q_window_ntile",
+    "q_sort_multi",
+    "q_topk_global",
+    "q_set_union_all",
+    "q_set_union_distinct",
+    "q_set_intersect",
+    "q_set_union_byname",
+    "q_set_except",
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cond_funcs",
+    "q_cast_types",
+    "q_str_funcs2",
+    "q_bitwise_funcs",
+    "q_hash_funcs",
     # ---- end of the 50-slot window ----
+    # Round-7 queue: the remaining 28 stale keys, so every contract has
+    # post-regen driver evidence by end of round 7:
+    "q_array_funcs",
+    "q_array_setops",
+    "q_explode_posexplode",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_text_tokens",
+    "q_text_tfidf",
+    "q_text_stats",
+    "q_text_langfilter",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokencount",
+    "q_fingerprint",
+    "q_dedup_embed_cosine",
+    "q_dedup_pipeline",
+    "q_text_mode",
+    "q_regexp_extract_all",
+    "q_fuzzy_match",
+    "q_dedup_components",
+    "q_dataset_split",
+    "q_dedup_cluster_keep",
+    "q_udf_python",
+    "q_udf_pandas",
+    "q_udaf_grouped",
+    "q_udtf_explode",
+    "q_pipe_chain",
+    "q_pipe_fan_merge",
+    "q_pipe_iff",
 ]
 
 
