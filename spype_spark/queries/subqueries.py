@@ -235,6 +235,14 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         "date_format(date_trunc('month', MAX(o_orderdate)),"
         " 'yyyy-MM-dd HH:mm:ss') AS hi",
     ).first()
+    if lo is None:
+        # Empty orders: MIN/MAX aggregate to NULL and the literals
+        # below would render as TIMESTAMP 'None' (opaque parse error).
+        # Return the empty result with the output schema, matching the
+        # scalar-subquery form's behavior on an empty spine.
+        return spark.createDataFrame(
+            [], "month string, n_orders bigint not null"
+        )
     return spark.sql(
         f"""
         WITH RECURSIVE months(m) AS (

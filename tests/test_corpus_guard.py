@@ -54,6 +54,35 @@ def test_pinned_column_encodings(sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_int64_means_nanoseconds(sf_dir):
+    """normalize_events_ts treats an int64 ``ts`` as NANOSECOND epochs.
+
+    The type pin above accepts int64 without distinguishing ns from µs
+    epoch longs; a regeneration to int64-microseconds would pass it and
+    silently shift every timestamp 1000× — exactly the drift this file
+    exists to catch. Pin the unit by value range: the corpus spans
+    2024-2025, so ns epochs are ~1.7e18 while µs epochs are ~1.7e15.
+    """
+    typ = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    if typ != "int64":
+        return  # native timestamp[us/ns] — unit carried by the type
+    lo, hi = duckdb.connect().execute(
+        "SELECT min(ts), max(ts) "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    assert lo > 10**17, (
+        f"{sf_dir}: events.ts is int64 with min={lo} — too small for "
+        "nanosecond epochs; normalize_events_ts would divide by 1000 "
+        "and shift every timestamp. Add a unit branch to tables.py "
+        "before trusting any events contract."
+    )
+    assert hi < 10**19, (
+        f"{sf_dir}: events.ts int64 max={hi} exceeds plausible "
+        "nanosecond epochs — audit the encoding"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_embedding_dim_is_exactly_emb_dim(sf_dir):
     """ann.py's unrolled dot product emits EMB_DIM element_at terms.
 

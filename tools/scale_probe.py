@@ -9,6 +9,11 @@ A ratio near N on the data-bound queries (scan+agg) and the observed
 sub-N ratio on overhead-bound ones is the local[32] evidence behind
 SCALE.md's "overhead amortizes, data path scales linearly" claim.
 
+Key offsets are computed per *key domain*, not per table: FK columns
+(o_custkey, l_partkey, events.user_id, …) must shift by the same span
+as the PK they reference, or cross-table joins only match replica-0
+rows and the xN timings understate join work.
+
 Usage:  python tools/scale_probe.py [N]          (default N=10)
 """
 
@@ -30,21 +35,28 @@ from spype_spark.tables import TABLES
 BASE = "/root/testdata/sf0.1"
 SCRATCH = "/tmp/spype_scale_probe"
 
-#: per-table key columns offset per replica (keeps FK joins valid:
-#: every replica is a self-consistent shard of the composite corpus)
-KEY_COLS = {
-    "customer": ["c_custkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    # region/nation are dimension-stable: replicating them would break
-    # FK semantics (nationkey is NOT offset in customer/supplier)
-    "region": [],
-    "nation": [],
+#: table -> {column: key_domain}. Every column in a domain is offset by
+#: the SAME span (the domain-wide max), so FK joins stay valid across
+#: replicas: orders.o_custkey shifts exactly like customer.c_custkey,
+#: lineitem.l_partkey like part.p_partkey, events.user_id like
+#: c_custkey (q_join_asof joins e.user_id = o.o_custkey).
+#: region/nation are dimension-stable: replicating them would break FK
+#: semantics (nationkey is NOT offset in customer/supplier).
+KEY_DOMAINS = {
+    "customer": {"c_custkey": "custkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "events": {"event_id": "event_id", "user_id": "custkey"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+    "region": {},
+    "nation": {},
 }
 
 QUERIES = [
@@ -58,33 +70,50 @@ QUERIES = [
 ]
 
 
-def build(spark, n: int) -> None:
-    os.makedirs(SCRATCH, exist_ok=True)
-    for t in TABLES:
-        out = f"{SCRATCH}/{t}.parquet"
-        if os.path.exists(out):
+def domain_spans(spark) -> dict[str, int]:
+    """One span per key domain: next power of ten above the widest key
+    of ANY column in the domain, across ALL tables that carry it."""
+    dom_max: dict[str, int] = {}
+    for t, cols in KEY_DOMAINS.items():
+        if not cols:
             continue
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
-        keys = KEY_COLS[t]
-        if not keys:
+        row = df.agg(*[F.max(c) for c in cols]).collect()[0]
+        for (c, dom), v in zip(cols.items(), row):
+            dom_max[dom] = max(dom_max.get(dom, 0), int(v))
+    return {d: 10 ** len(str(m)) for d, m in dom_max.items()}
+
+
+def build(spark, n: int) -> None:
+    # Stamp N into the scratch dir: a crashed run or a run with a
+    # different N must not silently reuse stale replicas.
+    marker = f"{SCRATCH}/.replicas_n"
+    if os.path.exists(marker) and open(marker).read().strip() == str(n):
+        return
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+    spans = domain_spans(spark)
+    print(f"domain spans: {spans}", flush=True)
+    for t in TABLES:
+        out = f"{SCRATCH}/{t}.parquet"
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        cols = KEY_DOMAINS[t]
+        if not cols:
             df.write.mode("overwrite").parquet(out)
             continue
-        # key span per replica: next power of ten above the widest key
-        span = max(
-            10 ** len(str(int(v)))
-            for v in df.agg(*[F.max(k) for k in keys]).collect()[0]
-        )
         parts = []
         for i in range(n):
             rep = df
-            for k in keys:
-                rep = rep.withColumn(k, F.col(k) + F.lit(i * span))
+            for c, dom in cols.items():
+                rep = rep.withColumn(c, F.col(c) + F.lit(i * spans[dom]))
             parts.append(rep)
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
         u.repartition(32).write.mode("overwrite").parquet(out)
         print(f"built {t} x{n}", flush=True)
+    with open(marker, "w") as f:
+        f.write(str(n))
 
 
 def timed(fn, *args):
@@ -114,6 +143,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    rc = main()
-    shutil.rmtree(SCRATCH, ignore_errors=True)
-    sys.exit(rc)
+    sys.exit(main())
