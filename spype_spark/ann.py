@@ -393,7 +393,20 @@ def pq_encode(
             ),
             ",",
         ).alias("codes"),
-        F.round(F.sum("dist2"), 6).alias("err2"),
+        # err2 summed in sub_id order (sorted fold, not F.sum): FP
+        # addition isn't associative, and a shuffle-order sum would
+        # differ from the DuckDB oracle's sub_id-ordered list_sum in
+        # the last ulp — enough to flip round(·, 6) on a boundary.
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub_id"), F.col("dist2")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x.dist2,
+            ),
+            6,
+        ).alias("err2"),
     )
 
 
@@ -776,4 +789,47 @@ def nn_descent_refine(
         graph = scored.select("src_id", "nbr_id")
     return scored.select(
         "src_id", "nbr_id", F.round("dot", 6).alias("cosine"), "rank"
+    )
+
+
+def recall_audit(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
+    """Single-row quality audit of an approximate k-NN result against
+    the exact one — the SQL-invariant contract form for ANN kernels.
+
+    The engine-specific part (which neighbors an LSH/IVF/NN-descent
+    kernel surfaces) is not oracle-reproducible, but its QUALITY is:
+    the exact top-k is plain SQL (pair join + window), and recall@k
+    against it is a semi-join + ratio. The audit row therefore carries
+
+    - deterministic exact-side stats a DuckDB oracle recomputes
+      verbatim: ``n_src``, ``n_exact_pairs``, and ``sum_cos_micro``
+      (Σ round(cosine·1e6) as an exact BIGINT — order-independent,
+      unlike a float sum), and
+    - ``recall_ok`` = recall@k ≥ ``floor``: the oracle asserts
+      ``true``, so any kernel regression that drops recall below the
+      measured floor flips the value hash red at the driver.
+
+    Both inputs are (src_id, nbr_id, cosine, rank) shaped; ``floor``
+    must be set from measured recall with margin (kernels here are
+    fully deterministic, so this is a regression guard, not a flaky
+    statistic).
+    """
+    hits = exact.join(
+        approx.select("src_id", "nbr_id"), ["src_id", "nbr_id"], "left_semi"
+    )
+    stats = exact.agg(
+        F.countDistinct("src_id").alias("n_src"),
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.sum(
+            F.floor(F.col("cosine") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("sum_cos_micro"),
+    )
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return stats.crossJoin(n_hits).select(
+        "n_src",
+        "n_exact_pairs",
+        "sum_cos_micro",
+        (F.col("n_hits") >= F.col("n_exact_pairs") * F.lit(floor)).alias(
+            "recall_ok"
+        ),
     )

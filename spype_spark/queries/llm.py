@@ -316,27 +316,52 @@ def lsh_band_signatures(e: DataFrame, planes_per_band: int) -> DataFrame:
     )
 
 
-@query("q_sim_lsh_ann", oracle=None)  # approximate: bucket recall < 1
-def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate neighbors via banded random-hyperplane LSH.
+#: Shared audit oracle for the approximate-ANN contracts (LSH / IVF /
+#: IVF-PQ / NN-descent): the engine-specific neighbor choice is not
+#: SQL-reproducible, but the exact-top-3 reference stats are, and
+#: ``recall_ok`` is asserted ``true`` — the Spark side computes real
+#: recall@3 vs the exact kernel (:func:`spype_spark.ann.recall_audit`),
+#: so a kernel regression below the measured floor hash-mismatches.
+ANN_AUDIT_ORACLE = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+             list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])) AS dot
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src_id, nbr_id, dot,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY dot DESC, nbr_id) AS rn
+      FROM pairs
+    ),
+    top3 AS (SELECT src_id, nbr_id, round(dot, 6) AS cosine
+             FROM ranked WHERE rn <= 3)
+    SELECT COUNT(DISTINCT src_id) AS n_src,
+           COUNT(*) AS n_exact_pairs,
+           CAST(SUM(CAST(floor(cosine * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cos_micro,
+           true AS recall_ok
+    FROM top3
+    """
+
+
+def lsh_ann_topk(e: DataFrame, k: int = 3) -> DataFrame:
+    """Banded hyperplane-LSH approximate top-k (src_id, nbr_id, cosine,
+    rank) — the kernel behind the q_sim_lsh_ann audit contract.
 
     Fixed md5-derived hyperplanes → 8 independent r-bit bucket ids per
     vector, with r auto-scaled to corpus size
     (:func:`lsh_planes_per_band`: r = ⌈log₂(n/80)⌉ clamped to [4, 16];
     n = 5 000 → the tuned r = 6); candidate pairs form inside any
     band's bucket (explode by band → equi-join on (band, bucket)),
-    then an exact dot product re-ranks and keeps top-3 per source.
+    then an exact dot product re-ranks and keeps top-k per source.
     This is the 100 TB path: signatures are one linear pass; the pair
     stage is Σ|bucket|² ≈ n·80 per band at every scale because r grows
     with n — and recall amplifies with bands instead of degrading with
     a single wide code.
     """
-    # single-file input → repartition so signature + pair stages parallelize
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(32)
-        .select("vec_id", _emb_double().alias("emb"))
-    )
     eb = lsh_band_signatures(e, lsh_planes_per_band(e.count()))
     a = eb.select(
         F.col("vec_id").alias("src_id"), F.col("emb").alias("emb_a"),
@@ -357,10 +382,47 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("src_id").orderBy(F.desc("dot"), F.asc("nbr_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= k)
         .select("src_id", "nbr_id", F.round("dot", 6).alias("cosine"), "rank")
         .orderBy("src_id", "rank")
     )
+
+
+#: Measured recall@3 floors for the deterministic ANN kernels, by SF
+#: (2026-08-13, current corpus): LSH 0.688/0.580/0.349 at n = 50-ish /
+#: 500 / 5 000 (band width auto-scales, recall shifts with it). Floors
+#: sit below the weakest measured SF with margin — these kernels are
+#: fully deterministic, so a dip below floor means a real regression.
+_LSH_RECALL_FLOOR = 0.25
+
+
+@query("q_sim_lsh_ann", oracle=ANN_AUDIT_ORACLE)
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH ANN, contract-shaped as a quality audit.
+
+    The kernel (:func:`lsh_ann_topk`) is engine-specific (md5-derived
+    hyperplane buckets), so its neighbor list has no SQL oracle; what
+    IS oracle-checkable is its quality against the exact kernel. The
+    contract row carries the exact-top-3 reference stats (recomputed
+    verbatim by the DuckDB oracle) plus ``recall_ok`` — recall@3 of
+    the LSH result vs the exact top-3, computed distributed
+    (:func:`spype_spark.ann.recall_audit`), asserted ≥ the measured
+    floor. Driver-level red on kernel regression, green otherwise.
+    """
+    from spype_spark.ann import cosine_topk_tiled, recall_audit
+
+    # single-file input → repartition so signature + pair stages parallelize
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(32)
+        .select("vec_id", _emb_double().alias("emb"))
+    )
+    approx = lsh_ann_topk(e, k=3)
+    exact = cosine_topk_tiled(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        k=3,
+    )
+    return recall_audit(exact, approx, _LSH_RECALL_FLOOR)
 
 
 # ---------------------------------------------------------------------------

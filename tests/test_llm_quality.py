@@ -20,6 +20,35 @@ def exact_topk(spark):
     return {(r.src_id, r.nbr_id) for r in df.collect() if r.rank <= 3}
 
 
+def _emb(spark):
+    from spype_spark.tables import load_table
+
+    return load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+
+
+def _ivf(spark):
+    """IVF kernel neighbor list (the audit contracts wrap this; tests
+    pin its recall directly)."""
+    from spype_spark.ann import ivf_ann
+
+    return ivf_ann(_emb(spark), n_cells=16, nprobe=4, k=3)
+
+
+def _ivfpq(spark):
+    from spype_spark.ann import ivf_pq_ann
+
+    return ivf_pq_ann(_emb(spark), n_cells=16, nprobe=4, k=3)
+
+
+def _nnd(spark):
+    from spype_spark.ann import ivf_ann, nn_descent_refine
+
+    e = _emb(spark)
+    return nn_descent_refine(
+        e, ivf_ann(e, n_cells=16, nprobe=4, k=3), k=3, n_rounds=1
+    )
+
+
 def test_minhash_finds_high_jaccard_pairs(spark):
     """Every pair with 3-gram Jaccard ≥ 0.5 must surface as a MinHash
     candidate (b=8, r=2 ⇒ P(candidate) ≈ 97% at s=0.5; with these
@@ -44,19 +73,21 @@ def test_lsh_ann_recall_floor(spark, exact_topk):
     the round-3 auto-scaler picking r = 4 at n = 500, whose wider
     buckets admit more candidates at this toy scale; the floor guards
     against silent banding regressions)."""
-    got = {
-        (r.src_id, r.nbr_id)
-        for r in REGISTRY["q_sim_lsh_ann"].fn(spark, SF).collect()
-    }
+    from spype_spark.queries.llm import _emb_double, lsh_ann_topk
+    from spype_spark.tables import load_table
+
+    e = (
+        load_table(spark, SF, "embeddings")
+        .repartition(32)
+        .select("vec_id", _emb_double().alias("emb"))
+    )
+    got = {(r.src_id, r.nbr_id) for r in lsh_ann_topk(e, k=3).collect()}
     recall = len(got & exact_topk) / len(exact_topk)
     assert recall >= 0.60, f"LSH recall collapsed: {recall:.3f}"
 
 
 def test_ivf_ann_recall_floor(spark, exact_topk):
-    got = {
-        (r.src_id, r.nbr_id)
-        for r in REGISTRY["q_sim_ivf_ann"].fn(spark, SF).collect()
-    }
+    got = {(r.src_id, r.nbr_id) for r in _ivf(spark).collect()}
     # measured 0.518 at nprobe=4 (2026-08-13)
     recall = len(got & exact_topk) / len(exact_topk)
     assert recall >= 0.45, f"IVF recall collapsed: {recall:.3f}"
@@ -69,7 +100,7 @@ def test_ivf_never_beats_exact(spark, exact_topk):
         for r in REGISTRY["q_sim_cosine_topk"].fn(spark, SF).collect()
         if r.rank == 1
     }
-    for r in REGISTRY["q_sim_ivf_ann"].fn(spark, SF).collect():
+    for r in _ivf(spark).collect():
         if r.rank == 1:
             assert r.cosine <= exact1[r.src_id] + 1e-9
 
@@ -260,10 +291,7 @@ def test_ivfpq_recall_floor(spark, exact_topk):
     the same recall floor as plain IVF at equal nprobe — the refine
     depth (8k per query·cell; measured 0.507 vs IVF's 0.518) is what
     buys back the ADC approximation loss."""
-    got = {
-        (r.src_id, r.nbr_id)
-        for r in REGISTRY["q_sim_ivfpq_ann"].fn(spark, SF).collect()
-    }
+    got = {(r.src_id, r.nbr_id) for r in _ivfpq(spark).collect()}
     recall = len(got & exact_topk) / len(exact_topk)
     assert recall >= 0.45, f"IVF-PQ recall collapsed: {recall:.3f}"
 
@@ -276,7 +304,7 @@ def test_ivfpq_never_beats_exact(spark, exact_topk):
         for r in REGISTRY["q_sim_cosine_topk"].fn(spark, SF).collect()
         if r.rank == 1
     }
-    for r in REGISTRY["q_sim_ivfpq_ann"].fn(spark, SF).collect():
+    for r in _ivfpq(spark).collect():
         if r.rank == 1:
             assert r.cosine <= exact1[r.src_id] + 1e-9
 
@@ -286,10 +314,7 @@ def test_nndescent_refines_ivf_seed(spark, exact_topk):
     well above the seed (measured 0.518 → 0.723; floor 0.65 leaves
     noise margin) — the neighbor-of-a-neighbor expansion is doing real
     work, not just re-ranking the seed edges."""
-    got = {
-        (r.src_id, r.nbr_id)
-        for r in REGISTRY["q_sim_nndescent"].fn(spark, SF).collect()
-    }
+    got = {(r.src_id, r.nbr_id) for r in _nnd(spark).collect()}
     recall = len(got & exact_topk) / len(exact_topk)
     assert recall >= 0.65, f"NN-descent refinement collapsed: {recall:.3f}"
 
@@ -301,7 +326,7 @@ def test_nndescent_never_beats_exact(spark, exact_topk):
         for r in REGISTRY["q_sim_cosine_topk"].fn(spark, SF).collect()
         if r.rank == 1
     }
-    for r in REGISTRY["q_sim_nndescent"].fn(spark, SF).collect():
+    for r in _nnd(spark).collect():
         if r.rank == 1:
             assert r.cosine <= exact1[r.src_id] + 1e-9
 

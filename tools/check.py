@@ -167,10 +167,12 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             continue
+        t_spark = time.time() - t0
         if q.oracle is None:
-            print(f"rows  {name}: {len(s_rows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            print(f"rows  {name}: {len(s_rows)} rows (rows-only, {t_spark:.1f}s)")
             n_rows_only += 1
             continue
+        t1 = time.time()
         try:
             res = con.sql(q.oracle)
             d_cols = res.columns
@@ -221,7 +223,12 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
         else:
-            print(f"ok    {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            t_duck = time.time() - t1
+            print(
+                f"ok    {name}: {len(s_rows)} rows "
+                f"({time.time()-t0:.1f}s = spark {t_spark:.1f}s"
+                f" + duck {t_duck:.1f}s)"
+            )
             n_pass += 1
 
     print(
