@@ -338,11 +338,11 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH oc AS (
       SELECT o_orderkey AS k, COUNT(*) AS n_orders FROM orders
-      WHERE o_orderkey < 3000 GROUP BY 1
+      GROUP BY 1
     ),
     lc AS (
       SELECT l_orderkey AS k, COUNT(*) AS n_lines FROM lineitem
-      WHERE l_orderkey < 3000 GROUP BY 1
+      GROUP BY 1
     )
     SELECT COALESCE(oc.k, lc.k) AS orderkey,
            COALESCE(oc.n_orders, 0) AS n_orders,
@@ -351,33 +351,44 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cogrouped applyInPandas: orders & lineitem batches for the same
-    key processed together (per-key reconciliation).
+    """Cogrouped applyInPandas: orders & lineitem rows for the same key
+    range processed together (per-key reconciliation), Arrow-batched.
 
-    The cogroup API is the Arrow path for logic that needs *both*
-    sides' raw rows at once (beyond what a join expresses); here the
-    reconciliation itself is join-expressible, which is what the
-    oracle exploits.
+    Cogroup grouping is by a COARSE bucket (hash(key) % 32), not by the
+    reconciliation key: one pandas call per bucket receives thousands
+    of rows from both sides, and the per-orderkey reconcile runs
+    vectorized inside (value_counts + index-aligned frame). Grouping
+    by the raw key — one single-row pandas frame per order — spends
+    ~all its time on per-group Python/Arrow overhead; bucketed cogroup
+    is the shape that survives 100 TB (buckets track partition counts,
+    per-call work stays vectorized). The reconciliation itself is
+    join-expressible, which is what the full-outer-join oracle
+    exploits.
     """
     import pandas as pd
 
-    # bounded key range: per-group Python overhead dominates cogroup, so
-    # the contract covers the API shape on ~3k groups, not all keys
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey").filter(
-        F.col("o_orderkey") < 3000
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.pmod(F.xxhash64("o_orderkey"), F.lit(32)).alias("bucket")
     )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").filter(
-        F.col("l_orderkey") < 3000
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.pmod(F.xxhash64("l_orderkey"), F.lit(32)).alias("bucket")
     )
 
-    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"orderkey": [key[0]], "n_orders": [len(odf)], "n_lines": [len(ldf)]}
-        )
+    def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        # index-aligned union of both sides' per-key counts — the
+        # whole bucket reconciles in two vectorized passes
+        counts = pd.DataFrame(
+            {
+                "n_orders": odf["o_orderkey"].value_counts(),
+                "n_lines": ldf["l_orderkey"].value_counts(),
+            }
+        ).fillna(0).astype("int64")
+        counts.index.name = "orderkey"
+        return counts.reset_index()
 
     return (
-        o.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        o.groupBy("bucket")
+        .cogroup(li.groupBy("bucket"))
         .applyInPandas(reconcile, "orderkey long, n_orders long, n_lines long")
     )
 
