@@ -490,6 +490,57 @@ def q_stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_session_true",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN us - lag(us) OVER w IS NULL THEN 1
+                  WHEN us - lag(us) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_idx
+    HAVING MAX(us) + 1800000000 <= (SELECT MAX(us) FROM e) - 3600000000
+    """,
+)
+def q_stream_session_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming session windows, driver-checkable.
+
+    Runs the real readStream → withWatermark('ts', '1 hour') →
+    session_window(ts, '30 minutes') aggregate → append-mode drain
+    (:func:`spype_spark.streaming.jobs.run_stream_session_window`).
+    Append mode emits exactly the sessions FINALIZED by the terminal
+    watermark — session end (last event + 30 min gap) at or before
+    max event time − 1 h — and the oracle applies the same cutoff to
+    the batch lag/gap/cumsum sessionization. Complements
+    q_stream_session (the batch analog over ALL sessions): together
+    they pin both the session boundaries and the watermark-eviction
+    rule, closing the last batch-vs-streaming asymmetry in the
+    streaming family (the tumbling pair q_stream_tumbling /
+    q_stream_true_tumbling already has both halves).
+    """
+    from spype_spark.streaming.jobs import run_stream_session_window
+
+    return run_stream_session_window(spark, sf_dir)
+
+
+@query(
     "q_events_funnel",
     oracle="""
     WITH e AS (SELECT user_id, event_type,

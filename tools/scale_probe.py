@@ -70,6 +70,67 @@ QUERIES = [
 ]
 
 
+def _emb(spark, d):
+    return spark.read.parquet(f"{d}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _probe_lsh(spark, d):
+    """LSH kernel (not the audit contract — that includes the exact
+    quadratic reference on purpose). Crossing n=2k→20k moves the band
+    auto-scaler r=5→8, the behavior under test."""
+    from pyspark.sql import functions as F
+
+    from spype_spark.queries.llm import _emb_double, lsh_ann_topk
+
+    e = (
+        spark.read.parquet(f"{d}/embeddings.parquet")
+        .repartition(32)
+        .select("vec_id", _emb_double().alias("emb"))
+    )
+    return lsh_ann_topk(e, k=3)
+
+
+def _probe_cosine_tiled(spark, d):
+    """Auto-sized exact tiled GEMM: grid 4→40 blocks across 2k→20k."""
+    from spype_spark.ann import cosine_topk_tiled
+
+    return cosine_topk_tiled(_emb(spark, d), k=3)
+
+
+def _probe_ivf(spark, d):
+    from spype_spark.ann import ivf_ann
+
+    return ivf_ann(_emb(spark, d), n_cells=16, nprobe=4, k=3)
+
+
+def _probe_nndescent(spark, d):
+    from spype_spark.ann import ivf_ann, nn_descent_refine
+
+    e = _emb(spark, d)
+    return nn_descent_refine(
+        e, ivf_ann(e, n_cells=16, nprobe=4, k=3), k=3, n_rounds=1
+    )
+
+
+def _probe_components(spark, d):
+    from spype_spark.queries import REGISTRY
+
+    return REGISTRY["q_dedup_components"].fn(spark, d)
+
+
+#: ANN/dedup kernel probes (VERDICT r5 task 4): callables of (spark,
+#: dir), timed like the registry queries.
+KERNEL_PROBES = {
+    "lsh_ann_topk[kernel]": _probe_lsh,
+    "cosine_topk_tiled[auto]": _probe_cosine_tiled,
+    "ivf_ann[kernel]": _probe_ivf,
+    "nn_descent[1round]": _probe_nndescent,
+    "dedup_components": _probe_components,
+}
+
+
 def domain_spans(spark) -> dict[str, int]:
     """One span per key domain: next power of ten above the widest key
     of ANY column in the domain, across ALL tables that carry it."""
@@ -127,16 +188,22 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark()
     build(spark, n)
-    print(f"{'query':28s} {'sf0.1':>8s} {'x' + str(n):>8s}  ratio")
-    for key in QUERIES:
-        fn = REGISTRY[key].fn
+    import math
+
+    print(f"{'query':28s} {'sf0.1':>8s} {'x' + str(n):>8s}  ratio  exp")
+    probes = [(k, REGISTRY[k].fn) for k in QUERIES] + list(
+        KERNEL_PROBES.items()
+    )
+    for key, fn in probes:
         timed(fn, spark, BASE)  # warm (plan + codegen cache)
         t_small = min(timed(fn, spark, BASE) for _ in range(2))
         timed(fn, spark, SCRATCH)
         t_big = min(timed(fn, spark, SCRATCH) for _ in range(2))
+        # scaling exponent: t ~ n^exp  =>  exp = log(ratio)/log(N)
+        exp = math.log(t_big / t_small) / math.log(n)
         print(
             f"{key:28s} {t_small*1000:7.0f}ms {t_big*1000:7.0f}ms "
-            f"{t_big / t_small:6.2f}x",
+            f"{t_big / t_small:6.2f}x {exp:5.2f}",
             flush=True,
         )
     return 0
