@@ -107,10 +107,14 @@ _DRIVER_PRIORITY = [
     "q_cast_types",
     "q_str_funcs2",
     "q_bitwise_funcs",
-    "q_hash_funcs",
+    # New-in-round-6 key (true-streaming session windows): zero driver
+    # history, so it takes the window's last slot; q_hash_funcs moves to
+    # the head of the round-7 queue.
+    "q_stream_session_true",
     # ---- end of the 50-slot window ----
-    # Round-7 queue: the remaining 28 stale keys, so every contract has
-    # post-regen driver evidence by end of round 7:
+    # Round-7 queue: q_hash_funcs plus the remaining 28 stale keys, so
+    # every contract has post-regen driver evidence by end of round 7:
+    "q_hash_funcs",
     "q_array_funcs",
     "q_array_setops",
     "q_explode_posexplode",

@@ -104,6 +104,77 @@ def test_embedding_dim_is_exactly_emb_dim(sf_dir):
     )
 
 
+#: Full corpus snapshot (generated from the live corpus,
+#: 2026-08-13 round 6): sf -> table -> (row_count, {col: type}).
+#: A driver regeneration that changes ANY of these fails the
+#: drift test below by name, instead of NULLing columns quietly.
+CORPUS_SNAPSHOT = {
+    "sf0.001": {
+        "customer": (150, {"c_custkey": "int64", "c_name": "string", "c_nationkey": "int32", "c_acctbal": "double", "c_mktsegment": "string"}),
+        "documents": (500, {"doc_id": "int64", "text": "string", "lang": "string", "source": "string", "n_chars": "int64"}),
+        "embeddings": (500, {"vec_id": "int64", "embedding": "list<element: float>", "label": "int32"}),
+        "events": (1000, {"event_id": "int64", "ts": "timestamp[us]", "user_id": "int64", "event_type": "string", "value": "double", "props": "string"}),
+        "lineitem": (6000, {"l_orderkey": "int64", "l_partkey": "int64", "l_suppkey": "int64", "l_linenumber": "int32", "l_quantity": "double", "l_extendedprice": "double", "l_discount": "double", "l_tax": "double", "l_returnflag": "string", "l_linestatus": "string", "l_shipdate": "timestamp[us]"}),
+        "nation": (25, {"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32"}),
+        "orders": (1500, {"o_orderkey": "int64", "o_custkey": "int64", "o_orderstatus": "string", "o_totalprice": "double", "o_orderdate": "timestamp[us]", "o_orderpriority": "string"}),
+        "part": (200, {"p_partkey": "int64", "p_name": "string", "p_brand": "string", "p_type": "string", "p_size": "int32", "p_retailprice": "double"}),
+        "region": (5, {"r_regionkey": "int32", "r_name": "string"}),
+        "supplier": (10, {"s_suppkey": "int64", "s_name": "string", "s_nationkey": "int32", "s_acctbal": "double"}),
+    },
+    "sf0.01": {
+        "customer": (1500, {"c_custkey": "int64", "c_name": "string", "c_nationkey": "int32", "c_acctbal": "double", "c_mktsegment": "string"}),
+        "documents": (500, {"doc_id": "int64", "text": "string", "lang": "string", "source": "string", "n_chars": "int64"}),
+        "embeddings": (500, {"vec_id": "int64", "embedding": "list<element: float>", "label": "int32"}),
+        "events": (10000, {"event_id": "int64", "ts": "timestamp[us]", "user_id": "int64", "event_type": "string", "value": "double", "props": "string"}),
+        "lineitem": (60000, {"l_orderkey": "int64", "l_partkey": "int64", "l_suppkey": "int64", "l_linenumber": "int32", "l_quantity": "double", "l_extendedprice": "double", "l_discount": "double", "l_tax": "double", "l_returnflag": "string", "l_linestatus": "string", "l_shipdate": "timestamp[us]"}),
+        "nation": (25, {"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32"}),
+        "orders": (15000, {"o_orderkey": "int64", "o_custkey": "int64", "o_orderstatus": "string", "o_totalprice": "double", "o_orderdate": "timestamp[us]", "o_orderpriority": "string"}),
+        "part": (2000, {"p_partkey": "int64", "p_name": "string", "p_brand": "string", "p_type": "string", "p_size": "int32", "p_retailprice": "double"}),
+        "region": (5, {"r_regionkey": "int32", "r_name": "string"}),
+        "supplier": (100, {"s_suppkey": "int64", "s_name": "string", "s_nationkey": "int32", "s_acctbal": "double"}),
+    },
+    "sf0.1": {
+        "customer": (15000, {"c_custkey": "int64", "c_name": "string", "c_nationkey": "int32", "c_acctbal": "double", "c_mktsegment": "string"}),
+        "documents": (5000, {"doc_id": "int64", "text": "string", "lang": "string", "source": "string", "n_chars": "int64"}),
+        "embeddings": (2000, {"vec_id": "int64", "embedding": "list<element: float>", "label": "int32"}),
+        "events": (100000, {"event_id": "int64", "ts": "timestamp[us]", "user_id": "int64", "event_type": "string", "value": "double", "props": "string"}),
+        "lineitem": (600000, {"l_orderkey": "int64", "l_partkey": "int64", "l_suppkey": "int64", "l_linenumber": "int32", "l_quantity": "double", "l_extendedprice": "double", "l_discount": "double", "l_tax": "double", "l_returnflag": "string", "l_linestatus": "string", "l_shipdate": "timestamp[us]"}),
+        "nation": (25, {"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32"}),
+        "orders": (150000, {"o_orderkey": "int64", "o_custkey": "int64", "o_orderstatus": "string", "o_totalprice": "double", "o_orderdate": "timestamp[us]", "o_orderpriority": "string"}),
+        "part": (20000, {"p_partkey": "int64", "p_name": "string", "p_brand": "string", "p_type": "string", "p_size": "int32", "p_retailprice": "double"}),
+        "region": (5, {"r_regionkey": "int32", "r_name": "string"}),
+        "supplier": (1000, {"s_suppkey": "int64", "s_name": "string", "s_nationkey": "int32", "s_acctbal": "double"}),
+    },
+}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_corpus_snapshot_unchanged(sf_dir):
+    """FULL drift tripwire: any row-count, column, or dtype change in
+    ANY of the 10 tables at ANY SF fails here, naming the drift.
+
+    On a legitimate regeneration: audit every reader of the changed
+    columns (grep the failing table name through spype_spark/), THEN
+    regenerate this snapshot (the generator one-liner lives in the
+    round-6 PROGRESS notes) and re-run the full differential check —
+    green rows recorded before the regen prove nothing after it.
+    """
+    sf = sf_dir.rstrip("/").split("/")[-1]
+    expected = CORPUS_SNAPSHOT.get(sf)
+    if expected is None:
+        pytest.fail(f"new SF dir {sf} — extend CORPUS_SNAPSHOT")
+    for table, (n_rows, cols) in expected.items():
+        md = pq.read_metadata(f"{sf_dir}/{table}.parquet")
+        schema = pq.read_schema(f"{sf_dir}/{table}.parquet")
+        assert md.num_rows == n_rows, (
+            f"{sf}/{table}: {md.num_rows} rows != pinned {n_rows}"
+        )
+        actual = {n: str(schema.field(n).type) for n in schema.names}
+        assert actual == cols, (
+            f"{sf}/{table} schema drifted: {actual} != pinned {cols}"
+        )
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_all_corpus_tables_present(sf_dir):
     from spype_spark.tables import TABLES
