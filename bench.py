@@ -24,15 +24,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from spype_spark.queries import REGISTRY  # noqa: E402
 from spype_spark.session import get_spark  # noqa: E402
 
-#: BASELINE.md rows → registry keys. q_events_hourly_agg is the tumbling
-#: hourly aggregate (same shape as the baseline's user×type×hour query).
+def _minhash_kernel(spark, sf_dir):
+    """The MinHash candidate kernel — q_dedup_minhash's CONTRACT is now
+    a containment audit (kernel + exact-Jaccard reference + anti-join),
+    so benching the registry key would time the audit, not the kernel,
+    and break comparability with the BASELINE.md row. This binds the
+    bench label to the same computation every prior round timed."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from spype_spark.functions import minhash_candidates
+    from spype_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").repartition(32)
+    return minhash_candidates(d, n_hashes=16)
+
+
+#: BASELINE.md rows → registry keys (strings) or direct callables of
+#: (spark, sf_dir). q_events_hourly_agg is the tumbling hourly
+#: aggregate (same shape as the baseline's user×type×hour query).
 BENCH_QUERIES = {
     "q_pricing_summary": "q_pricing_summary",
     "q_join_3way": "q_join_3way",
     "q_window_topk": "q_window_topk",
     "q_events_hourly_agg": "q_events_hourly_agg",
     # engine-differentiating extras, benched for regression visibility:
-    "q_dedup_minhash": "q_dedup_minhash",
+    "q_dedup_minhash": _minhash_kernel,
     "q_sim_cosine_topk": "q_sim_cosine_topk",
     # classic-suite rows (added round 3 — totals are NOT comparable to
     # BENCH_r01/r02; compare per-query against BASELINE.md floors):
@@ -61,7 +77,7 @@ def main() -> int:
     spark = get_spark("spype-bench")
     times: dict[str, float] = {}
     for label, key in BENCH_QUERIES.items():
-        fn = REGISTRY[key].fn
+        fn = REGISTRY[key].fn if isinstance(key, str) else key
         fn(spark, sf_dir).collect()  # warm: JIT/codegen + file listing
         best = None
         for _ in range(max(1, args.runs)):

@@ -75,20 +75,86 @@ from spype_spark.functions import (  # noqa: E402
 )
 
 
-@query("q_dedup_minhash", oracle=None)  # hash family is engine-specific
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate candidate pairs over 3-word shingles.
+#: MinHash audit oracle: the candidate-pair set is hash-family-specific,
+#: but its CONTAINMENT guarantee is not — every pair with exact 3-gram
+#: Jaccard ≥ 0.5 must surface as a candidate (b=8, r=2 banding targets
+#: s ≳ 0.5; on this corpus the high pairs sit at s ≥ 0.8, where the
+#: deterministic seeds recover every one — measured exact at all SFs).
+#: The oracle recomputes the exact high-pair inventory (count + an
+#: order-independent integer checksum) and asserts the containment bit.
+MINHASH_AUDIT_ORACLE = """
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             s1.word || ' ' || s2.word || ' ' || s3.word AS shingle
+      FROM (
+        SELECT doc_id,
+               string_split(text, ' ') AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+      ) t,
+      LATERAL (SELECT w[i] AS word) s1,
+      LATERAL (SELECT w[i+1] AS word) s2,
+      LATERAL (SELECT w[i+2] AS word) s3
+      WHERE i + 2 <= len(w)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    high AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    )
+    SELECT COUNT(*) AS n_high_pairs,
+           COALESCE(CAST(SUM(doc_a * 100003 + doc_b) AS BIGINT), 0)
+             AS high_checksum,
+           true AS all_high_found
+    FROM high
+    """
 
-    Pipeline: shingle → 16 seeded minhashes per doc (one pass:
-    min(xxhash64(band_id, shingle)) per seed) → 8 LSH bands of r=2 →
-    groupBy band bucket → intra-bucket pairs. Cost at scale is
-    O(n·shingles) for signatures plus Σ|bucket|² for pairing — the
-    band/row tradeoff (b=8, r=2) targets Jaccard ≳ 0.5. Deterministic:
-    fixed integer band ids as hash seeds, no rand().
+
+@query("q_dedup_minhash", oracle=MINHASH_AUDIT_ORACLE)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates, contract-shaped as the
+    containment audit.
+
+    Kernel (:func:`spype_spark.functions.minhash_candidates`): shingle
+    → 16 seeded minhashes per doc (one pass: min(xxhash64(band_id,
+    shingle)) per seed) → 8 LSH bands of r=2 → groupBy band bucket →
+    intra-bucket pairs. Cost at scale is O(n·shingles) for signatures
+    plus Σ|bucket|² for pairing — the band/row tradeoff (b=8, r=2)
+    targets Jaccard ≳ 0.5. Deterministic: fixed integer band ids as
+    hash seeds, no rand().
+
+    Contract row: exact-Jaccard-≥0.5 pair inventory (count + integer
+    checksum, recomputed verbatim by the DuckDB oracle) plus
+    ``all_high_found`` — the banding guarantee that every high-Jaccard
+    pair is a candidate, verified by an anti-join. A seed/banding
+    regression makes the bit false and the hash red. (The bench times
+    the kernel itself, not this audit — bench.py binds the callable.)
     """
     # single-file input → repartition so the shingle explode parallelizes
     d = load_table(spark, sf_dir, "documents").repartition(32)
-    return minhash_candidates(d, n_hashes=16)
+    cand = minhash_candidates(d, n_hashes=16).select("doc_a", "doc_b")
+    high = ngram_jaccard_pairs(d, min_jaccard=0.5).select("doc_a", "doc_b")
+    missing = high.join(cand, ["doc_a", "doc_b"], "left_anti")
+    stats = high.agg(
+        F.count(F.lit(1)).alias("n_high_pairs"),
+        F.coalesce(
+            F.sum(F.col("doc_a") * F.lit(100003) + F.col("doc_b")), F.lit(0)
+        ).alias("high_checksum"),
+    )
+    n_miss = missing.agg(F.count(F.lit(1)).alias("n_missing"))
+    return stats.crossJoin(n_miss).select(
+        "n_high_pairs",
+        "high_checksum",
+        (F.col("n_missing") == 0).alias("all_high_found"),
+    )
 
 
 @query(

@@ -198,18 +198,86 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d2
 
 
-@query("q_dedup_simhash", oracle=None)  # engine-specific 64-bit hash family
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 32-bit signatures from xxhash64.
+#: SimHash audit oracle: the signature family is engine-specific
+#: (xxhash64 token hashes), but two properties are not — identical
+#: texts get identical signatures (every exact-duplicate pair MUST
+#: collide in every band), and 16-bit banding must stay selective
+#: (candidates bounded well below the n² pair space). The oracle
+#: recomputes the exact-duplicate inventory and asserts both bits.
+SIMHASH_AUDIT_ORACLE = """
+    WITH dup AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b
+        ON a.text = b.text AND a.doc_id < b.doc_id
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           COUNT(*) AS n_dup_pairs,
+           COALESCE(CAST(SUM(doc_a * 100003 + doc_b) AS BIGINT), 0)
+             AS dup_checksum,
+           true AS all_dups_collide,
+           true AS selectivity_ok
+    FROM dup
+    """
 
-    Per document: for each bit j, sum +1/−1 over token hashes' j-th
-    bit; the sign vector is the signature. Candidates are pairs whose
-    signature matches exactly on either 16-bit band (hamming-LSH
+
+@query("q_dedup_simhash", oracle=SIMHASH_AUDIT_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates, contract-shaped as the collision
+    audit.
+
+    Kernel: per document, for each bit j, sum +1/−1 over token hashes'
+    j-th bit; the sign vector is the signature. Candidates are pairs
+    whose signature matches exactly on either 16-bit band (hamming-LSH
     banding; 16-bit bands keep expected collisions ≈ n²·2⁻¹⁶ per band
     — selective enough to bound the pair stage at scale). One explode
     + one groupBy + one self-join — every stage shuffle-bounded, no n²
     scan.
+
+    Contract row: exact-duplicate pair inventory (oracle-recomputed
+    count + integer checksum) plus ``all_dups_collide`` (identical
+    text ⇒ identical signature ⇒ candidate — verified by anti-join)
+    and ``selectivity_ok`` (candidate pairs ≤ 100·n_docs; a signature
+    collapse that herds everything into few buckets flips it).
     """
+    cand = _simhash_candidates(spark, sf_dir)
+    doc = load_table(spark, sf_dir, "documents")
+    a = doc.select(F.col("doc_id").alias("doc_a"), "text")
+    b = doc.select(F.col("doc_id").alias("doc_b"), "text")
+    dup = (
+        a.join(b, "text")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    missing = dup.join(cand, ["doc_a", "doc_b"], "left_anti")
+    dup_stats = dup.agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.coalesce(
+            F.sum(F.col("doc_a") * F.lit(100003) + F.col("doc_b")), F.lit(0)
+        ).alias("dup_checksum"),
+    )
+    n_docs = doc.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_miss = missing.agg(F.count(F.lit(1)).alias("n_missing"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        n_docs.crossJoin(dup_stats)
+        .crossJoin(n_miss)
+        .crossJoin(n_cand)
+        .select(
+            "n_docs",
+            "n_dup_pairs",
+            "dup_checksum",
+            (F.col("n_missing") == 0).alias("all_dups_collide"),
+            (F.col("n_cand") <= F.col("n_docs") * F.lit(100)).alias(
+                "selectivity_ok"
+            ),
+        )
+    )
+
+
+def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash candidate-pair kernel behind the audit contract
+    (also what the quality tests and any caller wanting the pairs
+    consume)."""
     d = load_table(spark, sf_dir, "documents").repartition(32)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")

@@ -221,16 +221,52 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_resize", oracle=None)  # kernel output is codec-defined
+#: Resize oracle: the payload is the document's UTF-8 bytes (ASCII
+#: corpus ⇒ code point == byte), so the 16-bin block-average thumbnail
+#: is fully reproducible in SQL. Bin index floor((i−1)·16/len) and
+#: micro-mean floor(sum·10000.0/count + 0.5) use the IDENTICAL
+#: double-arithmetic order as the numpy kernel, so the integer strings
+#: match bit-for-bit; empty bins (len < 16) emit 0 on both sides.
+_RESIZE_ORACLE = """
+    WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+    pos AS (
+      SELECT doc_id, len, text, unnest(range(1, len + 1)) AS i FROM t
+    ),
+    binned AS (
+      SELECT doc_id,
+             CAST(floor((i - 1) * 16.0 / len) AS BIGINT) AS bin,
+             SUM(ascii(substr(text, i, 1))) AS s,
+             COUNT(*) AS c
+      FROM pos GROUP BY doc_id, bin
+    ),
+    grid AS (
+      SELECT t.doc_id, b.bin
+      FROM t CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+    ),
+    micro AS (
+      SELECT grid.doc_id, grid.bin,
+             COALESCE(CAST(floor(s * 10000.0 / c + 0.5) AS BIGINT), 0) AS m
+      FROM grid LEFT JOIN binned
+        ON binned.doc_id = grid.doc_id AND binned.bin = grid.bin
+    )
+    SELECT doc_id,
+           string_agg(CAST(m AS VARCHAR), ',' ORDER BY bin) AS thumb16
+    FROM micro GROUP BY doc_id
+    """
+
+
+@query("q_multimodal_resize", oracle=_RESIZE_ORACLE)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """"Resize" kernel: block-average the byte signal down to a fixed
     16-bin thumbnail vector per item, via the Arrow mapInPandas path a
     real image resize runs on (bytes → numpy → kernel → fixed-width
-    feature row). Deterministic fake (position-binned byte means,
-    rounded 1e-4, emitted as a joined string — driver-canonicalizer
-    safe); swapping in a real resampler touches only the numpy body.
-    Verified against an independent local recompute in
-    tests/test_multimodal.py.
+    feature row). Deterministic fake (position-binned byte means as
+    scaled-integer micro-values floor(mean·1e4 + 0.5), emitted as a
+    joined string — integer strings are canonicalizer-safe AND
+    bit-reproducible by the SQL oracle, unlike printf'd floats whose
+    half-even rounding is library-specific); swapping in a real
+    resampler touches only the numpy body. Also verified against an
+    independent local recompute in tests/test_multimodal.py.
     """
     import numpy as np
     import pandas as pd
@@ -249,16 +285,19 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 sums = np.bincount(bins, weights=a, minlength=n_bins)
                 counts = np.bincount(bins, minlength=n_bins)
-                means = np.round(
+                # micro-means via s*10000.0/c (NOT (s/c)*10000): the
+                # oracle divides in this order, and FP division is the
+                # contract's bit boundary
+                micro = np.floor(
                     np.divide(
-                        sums,
+                        sums * 10000.0,
                         counts,
                         out=np.zeros(n_bins),
                         where=counts > 0,
-                    ),
-                    4,
-                )
-                thumbs.append(",".join(f"{x:.4f}" for x in means))
+                    )
+                    + 0.5
+                ).astype(np.int64)
+                thumbs.append(",".join(str(x) for x in micro))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "thumb16": thumbs}
             )

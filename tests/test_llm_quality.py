@@ -53,17 +53,23 @@ def test_minhash_finds_high_jaccard_pairs(spark):
     """Every pair with 3-gram Jaccard ≥ 0.5 must surface as a MinHash
     candidate (b=8, r=2 ⇒ P(candidate) ≈ 97% at s=0.5; with these
     fixed seeds and corpus the set relationship is exact)."""
+    from spype_spark.functions import minhash_candidates
+    from spype_spark.tables import load_table
+
     jac = {
         (r.doc_a, r.doc_b)
         for r in REGISTRY["q_dedup_ngram_jaccard"].fn(spark, SF).collect()
         if r.jaccard >= 0.5
     }
+    d = load_table(spark, SF, "documents").repartition(32)
     cand = {
-        (r.doc_a, r.doc_b)
-        for r in REGISTRY["q_dedup_minhash"].fn(spark, SF).collect()
+        (r.doc_a, r.doc_b) for r in minhash_candidates(d, n_hashes=16).collect()
     }
     missed = jac - cand
     assert not missed, f"minhash missed high-jaccard pairs: {sorted(missed)[:5]}"
+    # and the audit contract itself must report containment intact
+    audit = REGISTRY["q_dedup_minhash"].fn(spark, SF).collect()[0]
+    assert audit.all_high_found and audit.n_high_pairs == len(jac)
 
 
 def test_lsh_ann_recall_floor(spark, exact_topk):

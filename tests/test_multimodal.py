@@ -59,8 +59,11 @@ def test_resize_matches_local_recompute(spark, sf_dir):
         bins = np.floor(np.arange(len(a)) * 16 / len(a)).astype(np.int64)
         sums = np.bincount(bins, weights=a, minlength=16)
         counts = np.bincount(bins, minlength=16)
-        means = np.round(sums / counts, 4)
-        want = ",".join(f"{x:.4f}" for x in means)
+        micro = np.floor(
+            np.divide(sums * 10000.0, counts,
+                      out=np.zeros(16), where=counts > 0) + 0.5
+        ).astype(np.int64)
+        want = ",".join(str(x) for x in micro)
         assert out[r.doc_id] == want
 
 

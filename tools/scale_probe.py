@@ -64,7 +64,6 @@ QUERIES = [
     "q_join_3way",
     "q_window_topk",
     "q_events_hourly_agg",
-    "q_dedup_minhash",
     "q_tpch_q5",
     "q_tpch_q18",
 ]
@@ -120,9 +119,19 @@ def _probe_components(spark, d):
     return REGISTRY["q_dedup_components"].fn(spark, d)
 
 
+def _probe_minhash(spark, d):
+    """MinHash candidate kernel (the q_dedup_minhash contract is now a
+    containment audit; probe the kernel itself)."""
+    from spype_spark.functions import minhash_candidates
+
+    doc = spark.read.parquet(f"{d}/documents.parquet").repartition(32)
+    return minhash_candidates(doc, n_hashes=16)
+
+
 #: ANN/dedup kernel probes (VERDICT r5 task 4): callables of (spark,
 #: dir), timed like the registry queries.
 KERNEL_PROBES = {
+    "minhash_candidates": _probe_minhash,
     "lsh_ann_topk[kernel]": _probe_lsh,
     "cosine_topk_tiled[auto]": _probe_cosine_tiled,
     "ivf_ann[kernel]": _probe_ivf,
