@@ -131,7 +131,8 @@ def test_minhash_hot_bucket_capped(spark, tmp_path):
     guard drops buckets over LSH_BUCKET_CAP, so the pair count stays
     bounded by the normal corpus; exact dedup remains the path that
     collapses such clusters."""
-    from spype_spark.queries.llm import LSH_BUCKET_CAP, q_dedup_minhash
+    from spype_spark.functions import minhash_candidates
+    from spype_spark.queries.llm import LSH_BUCKET_CAP
 
     n_spam = LSH_BUCKET_CAP + 44  # one bucket over cap
     spam = [
@@ -152,7 +153,8 @@ def test_minhash_hot_bucket_capped(spark, tmp_path):
         spam + normal, "doc_id long, text string, lang string, source string, n_chars long"
     )
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
-    pairs = q_dedup_minhash(spark, str(tmp_path))
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet")).repartition(32)
+    pairs = minhash_candidates(docs, n_hashes=16)
     n_pairs = pairs.count()
     # without the guard this would be ≥ n_spam*(n_spam-1)/2 ≈ 45k pairs
     assert n_pairs < n_spam, f"hot bucket not capped: {n_pairs} pairs"
@@ -167,10 +169,12 @@ def test_minhash_guard_noop_on_normal_corpus(spark):
     """The cap must be invisible on the real corpus: bucket sizes here
     are far below LSH_BUCKET_CAP, so the guarded pair set equals the
     unguarded one (pinned by the recall test above plus this count)."""
-    from spype_spark.queries.llm import q_dedup_minhash
+    from spype_spark.functions import minhash_candidates
+    from spype_spark.tables import load_table
 
-    # guarded run (the registered implementation)
-    n_guarded = REGISTRY["q_dedup_minhash"].fn(spark, SF).count()
+    # guarded run (the kernel the audit contract wraps)
+    d = load_table(spark, SF, "documents").repartition(32)
+    n_guarded = minhash_candidates(d, n_hashes=16).count()
     assert n_guarded > 0
     # the recall test asserts every jaccard≥0.5 pair still surfaces;
     # here just pin the corpus-wide candidate count so a silently
