@@ -104,16 +104,22 @@ _DRIVER_PRIORITY = [
     "q_date_funcs",
     "q_math_funcs",
     "q_cond_funcs",
+    # Round-6 conversions of the last rows-only keys (minhash/simhash
+    # audits, full resize oracle): their r5 driver rows predate the
+    # oracle, so they re-enter the window; q_str_funcs2/q_bitwise_funcs/
+    # q_hash_funcs move to the round-7 queue.
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_multimodal_resize",
+    # New-in-round-6 key (true-streaming session windows): zero driver
+    # history, so it takes the window's last slot.
+    "q_stream_session_true",
+    # ---- end of the 50-slot window ----
+    # Round-7 queue: the displaced scalar keys plus the remaining stale
+    # keys, so every contract has post-regen driver evidence by round 7:
     "q_cast_types",
     "q_str_funcs2",
     "q_bitwise_funcs",
-    # New-in-round-6 key (true-streaming session windows): zero driver
-    # history, so it takes the window's last slot; q_hash_funcs moves to
-    # the head of the round-7 queue.
-    "q_stream_session_true",
-    # ---- end of the 50-slot window ----
-    # Round-7 queue: q_hash_funcs plus the remaining 28 stale keys, so
-    # every contract has post-regen driver evidence by end of round 7:
     "q_hash_funcs",
     "q_array_funcs",
     "q_array_setops",
