@@ -116,6 +116,118 @@ def hash_rows(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def _arrow_col_canon(col):
+    """(family, value ndarray, null-mask ndarray) for one Arrow column,
+    or (None, None, None) when the type needs the per-cell legacy path.
+
+    Exactness notes: integers stay int64 end-to-end (no float64 detour
+    that would silently round > 2^53 — hash checksums and xxhash64
+    outputs live there); floats canonicalize to their BIT PATTERN
+    (int64 view) — stricter than repr. Nulls are carried as a separate
+    mask field (value slot zeroed), so NULL orders distinctly from
+    every real value including NaN.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.types as pt
+
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = a.type
+    mask = a.is_null().to_numpy(zero_copy_only=False)
+    if pt.is_integer(t):
+        v = a.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+        return "int", v, mask
+    if pt.is_floating(t):
+        v = (
+            a.cast(pa.float64())
+            .fill_null(0.0)
+            .to_numpy(zero_copy_only=False)
+            .copy()
+        )
+        nan = np.isnan(v)
+        bits = v.view("int64").copy()
+        bits[nan] = -1  # all-NaN-payloads collapse, like repr() does
+        return "float", bits, mask
+    if pt.is_boolean(t):
+        v = a.fill_null(False).to_numpy(zero_copy_only=False).astype("i1")
+        return "bool", v, mask
+    if pt.is_string(t) or pt.is_large_string(t):
+        v = a.to_numpy(zero_copy_only=False)
+        out = np.where(mask, "", v).astype("U")
+        return "str", out, mask
+    if pt.is_timestamp(t):
+        # tz-aware vs naive is a FAMILY difference (legacy path decides)
+        fam = f"ts[{t.tz or ''}]"
+        v = (
+            a.cast(pa.timestamp("us", tz=t.tz))
+            .fill_null(0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return fam, v, mask
+    if pt.is_date(t):
+        v = a.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+        return "date", v, mask
+    return None, None, None
+
+
+def hash_tables_fast(tab_s, tab_d):
+    """Vectorized order-insensitive hash of BOTH Arrow tables, or
+    (None, None) when any column needs the legacy path or the two
+    sides' canonical families disagree (a conversion artifact, e.g.
+    nullable-int vs float — the legacy Python-value path adjudicates
+    those, exactly as before).
+
+    Rows become records of a packed structured array ((null, value)
+    field pair per column, columns in name order); np.sort orders the
+    multiset canonically and sha256 runs over the raw sorted bytes.
+    Both sides go through the IDENTICAL canonicalization, so the
+    comparison is exact — a different (bit-level, stricter for floats)
+    canonical form than hash_rows, applied symmetrically.
+    """
+    import numpy as np
+
+    cols = sorted(tab_s.column_names)
+    if sorted(tab_d.column_names) != cols:
+        return None, None
+    hashes = []
+    fams = []
+    for tab in (tab_s, tab_d):
+        vals = []
+        masks = []
+        fam_row = []
+        for c in cols:
+            fam, arr, mask = _arrow_col_canon(tab.column(c))
+            if fam is None:
+                return None, None
+            fam_row.append(fam)
+            vals.append(arr)
+            masks.append(mask)
+        fams.append(fam_row)
+        n = tab.num_rows
+        fields = []
+        for i, v in enumerate(vals):
+            fields.append((f"n{i}", "i1"))
+            fields.append((f"v{i}", v.dtype.str))
+        rec = np.empty(n, dtype=fields)
+        keys = []
+        for i, (v, m) in enumerate(zip(vals, masks)):
+            rec[f"n{i}"] = m.astype("i1")
+            rec[f"v{i}"] = v
+            keys.append(m)
+            keys.append(v)
+        # lexsort (type-specialized radix/merge per key) + permutation:
+        # ~5x faster than np.sort on the void records, same total order
+        srt = rec[np.lexsort(tuple(reversed(keys)))] if keys else rec
+        h = hashlib.sha256()
+        h.update(str(srt.dtype).encode())
+        h.update(srt.tobytes())
+        hashes.append(h.hexdigest())
+    if fams[0] != fams[1]:
+        return None, None
+    return hashes[0], hashes[1]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("keys", nargs="*", help="query keys (default: all)")
@@ -160,7 +272,10 @@ def main() -> int:
         try:
             df = q.fn(spark, args.sf)
             s_cols = df.columns
-            s_rows = [tuple(r) for r in df.collect()]
+            # Arrow export feeds the vectorized hash; falls back to
+            # collect() below only when a column type needs it.
+            s_tab = df.toArrow()
+            n_s = s_tab.num_rows
         except Exception:
             print(f"FAIL  {name}: SPARK ERROR")
             traceback.print_exc()
@@ -169,14 +284,14 @@ def main() -> int:
             continue
         t_spark = time.time() - t0
         if q.oracle is None:
-            print(f"rows  {name}: {len(s_rows)} rows (rows-only, {t_spark:.1f}s)")
+            print(f"rows  {name}: {n_s} rows (rows-only, {t_spark:.1f}s)")
             n_rows_only += 1
             continue
         t1 = time.time()
         try:
-            res = con.sql(q.oracle)
-            d_cols = res.columns
-            d_rows = res.fetchall()
+            d_tab = con.sql(q.oracle).arrow()
+            d_cols = d_tab.column_names
+            n_d = d_tab.num_rows
         except Exception:
             print(f"FAIL  {name}: DUCKDB ERROR")
             traceback.print_exc()
@@ -184,12 +299,21 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rows {len(s_rows)} != {len(d_rows)}")
+        if n_s != n_d:
+            problems.append(f"rows {n_s} != {n_d}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols {sorted(s_cols)} != {sorted(d_cols)}")
+        s_rows = None
         if not problems:
-            hs, hd = hash_rows(s_cols, s_rows), hash_rows(d_cols, d_rows)
+            hs, hd = hash_tables_fast(s_tab, d_tab)
+            if hs is None:
+                # legacy per-cell path (array/map/decimal outputs, or a
+                # cross-engine dtype-family artifact): exact Python
+                # values from collect()/fetchall(), as before
+                s_rows = [tuple(r) for r in df.collect()]
+                d_rows = con.sql(q.oracle).fetchall()
+                hs = hash_rows(s_cols, s_rows)
+                hd = hash_rows(d_cols, d_rows)
             hash_mismatch = hs != hd
             if hash_mismatch:
                 problems.append("value-hash mismatch")
@@ -203,6 +327,9 @@ def main() -> int:
                 except TypeError as e:
                     problems.append(f"DRIVER-replica crash: {e}")
             if hash_mismatch and args.show_diff:
+                if s_rows is None:  # fast path hashed; fetch rows now
+                    s_rows = [tuple(r) for r in df.collect()]
+                    d_rows = con.sql(q.oracle).fetchall()
                 order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
                 order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
                 set_s = {
@@ -225,7 +352,7 @@ def main() -> int:
         else:
             t_duck = time.time() - t1
             print(
-                f"ok    {name}: {len(s_rows)} rows "
+                f"ok    {name}: {n_s} rows "
                 f"({time.time()-t0:.1f}s = spark {t_spark:.1f}s"
                 f" + duck {t_duck:.1f}s)"
             )
