@@ -62,6 +62,17 @@ def test_range_join_is_hash_not_nested_loop(spark, sf001):
             or "BroadcastHashJoin" in plan)
 
 
+def test_no_bnlj_in_data_proportional_joins(spark, sf001):
+    """No data-proportional join contract may plan a nested-loop join
+    (the constant-size cross joins in the audit metrics and the GEMM
+    tile grid are the only sanctioned BNLJ sites — see PLANS.md note).
+    """
+    for key in ("q_join_inner_equi", "q_join_3way", "q_join_asof",
+                "q_tpch_q5", "q_tpch_q18", "q_join_interval_overlap"):
+        plan = plan_of(REGISTRY[key].fn(spark, sf001))
+        assert "NestedLoop" not in plan, f"{key} plans a nested loop"
+
+
 def test_global_topk_is_take_ordered(spark, sf001):
     plan = plan_of(REGISTRY["q_topk_global"].fn(spark, sf001))
     assert "TakeOrderedAndProject" in plan
