@@ -119,6 +119,11 @@ def _auto_blocks(e: DataFrame) -> int:
 #: written to storage once and every query joins against it.
 _TILE_MEMO: dict[tuple[int, str, int], DataFrame] = {}
 
+#: Auto-grid memo: (session id, caller key) → resolved n_blocks, so
+#: repeated auto-sized kernel calls over the same corpus skip the
+#: count() job too (it precedes the tile memo lookup otherwise).
+_NBLOCKS_MEMO: dict[tuple[int, str], int] = {}
+
 
 def _block_grid(
     e: DataFrame, n_blocks: int | None, memo_key: str | None = None
@@ -140,7 +145,14 @@ def _block_grid(
     never the answer.
     """
     if n_blocks is None:
-        n_blocks = _auto_blocks(e)
+        if memo_key is not None:
+            nb_key = (id(e.sparkSession), memo_key)
+            n_blocks = _NBLOCKS_MEMO.get(nb_key)
+            if n_blocks is None:
+                n_blocks = _auto_blocks(e)
+                _NBLOCKS_MEMO[nb_key] = n_blocks
+        else:
+            n_blocks = _auto_blocks(e)
     tiles = None
     full_key = None
     if memo_key is not None:

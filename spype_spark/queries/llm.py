@@ -490,6 +490,7 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk_tiled(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
         k=3,
+        memo_key=sf_dir,
     )
     return recall_audit(exact, approx, _LSH_RECALL_FLOOR)
 

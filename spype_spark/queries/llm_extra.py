@@ -605,7 +605,8 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return recall_audit(
-        cosine_topk_tiled(e, k=3), ivf_ann(e, n_cells=16, nprobe=4, k=3),
+        cosine_topk_tiled(e, k=3, memo_key=sf_dir),
+        ivf_ann(e, n_cells=16, nprobe=4, k=3),
         _IVF_RECALL_FLOOR,
     )
 
@@ -628,7 +629,8 @@ def q_sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return recall_audit(
-        cosine_topk_tiled(e, k=3), ivf_pq_ann(e, n_cells=16, nprobe=4, k=3),
+        cosine_topk_tiled(e, k=3, memo_key=sf_dir),
+        ivf_pq_ann(e, n_cells=16, nprobe=4, k=3),
         _IVFPQ_RECALL_FLOOR,
     )
 
@@ -656,7 +658,7 @@ def q_sim_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seed = ivf_ann(e, n_cells=16, nprobe=4, k=3)
     return recall_audit(
-        cosine_topk_tiled(e, k=3),
+        cosine_topk_tiled(e, k=3, memo_key=sf_dir),
         nn_descent_refine(e, seed, k=3, n_rounds=1),
         _NNDESCENT_RECALL_FLOOR,
     )

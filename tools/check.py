@@ -264,6 +264,15 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
+    # Oracle-result cache for SQL shared verbatim by several keys (the
+    # ANN audit contracts share one exact-top-3 oracle): run it once.
+    from collections import Counter
+
+    oracle_uses = Counter(
+        REGISTRY[k].oracle for k in keys if REGISTRY[k].oracle is not None
+    )
+    oracle_cache: dict[str, object] = {}
+
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
     for name in keys:
@@ -289,7 +298,11 @@ def main() -> int:
             continue
         t1 = time.time()
         try:
-            d_tab = con.sql(q.oracle).arrow()
+            d_tab = oracle_cache.get(q.oracle)
+            if d_tab is None:
+                d_tab = con.sql(q.oracle).arrow()
+                if oracle_uses[q.oracle] > 1:
+                    oracle_cache[q.oracle] = d_tab
             d_cols = d_tab.column_names
             n_d = d_tab.num_rows
         except Exception:
