@@ -398,3 +398,26 @@ def test_auto_blocks_tracks_vector_count(spark):
         for r in cosine_topk_tiled(emb, k=3, n_blocks=7).collect()
     }
     assert auto == explicit
+
+
+def test_recall_audit_primitive(spark):
+    """Unit-level pin of the audit-row primitive every ANN contract now
+    rides on: exact-side stats, the order-independent micro sum, and
+    the floor semantics of recall_ok (hits >= pairs * floor)."""
+    from spype_spark.ann import recall_audit
+
+    exact = spark.createDataFrame(
+        [(1, 2, 0.9, 1), (1, 3, 0.5, 2), (2, 1, -0.25, 1), (2, 3, -0.5, 2)],
+        "src_id long, nbr_id long, cosine double, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 2, 0.9, 1), (2, 1, -0.25, 1), (9, 9, 0.0, 1)],
+        "src_id long, nbr_id long, cosine double, rank int",
+    )
+    row = recall_audit(exact, approx, floor=0.5).collect()[0]
+    assert row.n_src == 2 and row.n_exact_pairs == 4
+    # floor(c*1e6 + 0.5): 900000 + 500000 + (-250000) + (-500000)
+    assert row.sum_cos_micro == 650000
+    assert row.recall_ok  # 2 hits of 4 pairs == exactly the 0.5 floor
+    row2 = recall_audit(exact, approx, floor=0.51).collect()[0]
+    assert not row2.recall_ok  # just above the achieved recall -> red
