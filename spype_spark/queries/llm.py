@@ -457,42 +457,94 @@ def lsh_ann_topk(e: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-#: Measured recall@3 floors for the deterministic ANN kernels, by SF
-#: (2026-08-13, current corpus): LSH 0.688/0.580/0.349 at n = 50-ish /
-#: 500 / 5 000 (band width auto-scales, recall shifts with it). Floors
-#: sit below the weakest measured SF with margin — these kernels are
-#: fully deterministic, so a dip below floor means a real regression.
-_LSH_RECALL_FLOOR = 0.25
-
-
-@query("q_sim_lsh_ann", oracle=ANN_AUDIT_ORACLE)
-def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded hyperplane-LSH ANN, contract-shaped as a quality audit.
-
-    The kernel (:func:`lsh_ann_topk`) is engine-specific (md5-derived
-    hyperplane buckets), so its neighbor list has no SQL oracle; what
-    IS oracle-checkable is its quality against the exact kernel. The
-    contract row carries the exact-top-3 reference stats (recomputed
-    verbatim by the DuckDB oracle) plus ``recall_ok`` — recall@3 of
-    the LSH result vs the exact top-3, computed distributed
-    (:func:`spype_spark.ann.recall_audit`), asserted ≥ the measured
-    floor. Driver-level red on kernel regression, green otherwise.
+#: FULL row-level LSH oracle: every stage of the kernel is
+#: deterministic arithmetic DuckDB can replay — md5-derived hyperplane
+#: coefficients (same hex-parse % 2001 construction as
+#: :func:`_hyperplanes`), the band-width autoscaler
+#: (:func:`lsh_planes_per_band` mirrored as GREATEST/LEAST/ceil/log2),
+#: index-ordered dot folds (list_sum = Spark's aggregate fold order),
+#: sign-bit bucket codes, the (band, bucket) candidate self-join, and
+#: the (dot DESC, nbr) re-rank. The neighbor list itself hash-matches
+#: across engines — the same verification grade as the exact-cosine
+#: and PQ contracts. Quality floors stay pinned in
+#: tests/test_llm_quality.py::test_lsh_ann_recall_floor.
+LSH_FULL_ORACLE = """
+    WITH params AS (
+      SELECT GREATEST(4, LEAST(16,
+               CAST(ceil(log2(GREATEST(COUNT(*) / 80.0, 1.0))) AS INT)))
+             AS ppb
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT j, i,
+             (list_reduce(list_prepend(CAST(0 AS UBIGINT),
+          list_transform(range(1, 17), p ->
+            CAST(CASE WHEN ascii(substr(md5('spype-lsh:' || j || ':' || i), p, 1)) >= 97
+                      THEN ascii(substr(md5('spype-lsh:' || j || ':' || i), p, 1)) - 87
+                      ELSE ascii(substr(md5('spype-lsh:' || j || ':' || i), p, 1)) - 48
+                 END AS UBIGINT))),
+          (a, d) -> a * 16 + d) % 2001) / 1000.0 - 1.0 AS c
+      FROM range(0, 128) t1(j), range(0, 64) t2(i), params
+      WHERE j < 8 * params.ppb
+    ),
+    pl AS (SELECT j, list(c ORDER BY i) AS cs FROM planes GROUP BY j),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+    dots AS (
+      SELECT e.vec_id, pl.j,
+             list_sum(list_transform(range(1, 65),
+                                     i -> e.emb[i] * pl.cs[i])) AS dot
+      FROM e, pl
+    ),
+    sig AS (
+      SELECT vec_id, j // params.ppb AS band,
+             CAST(SUM(CASE WHEN dot >= 0
+                           THEN 1 << (j % params.ppb) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM dots, params GROUP BY vec_id, j // params.ppb
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+      FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT c.src_id, c.nbr_id,
+             list_sum(list_transform(range(1, 65),
+                                     i -> ea.emb[i] * eb.emb[i])) AS dot
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.src_id
+      JOIN e eb ON eb.vec_id = c.nbr_id
+    ),
+    ranked AS (
+      SELECT src_id, nbr_id, dot,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY dot DESC, nbr_id) AS rn
+      FROM scored
+    )
+    SELECT src_id, nbr_id, round(dot, 6) AS cosine, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 3
     """
-    from spype_spark.ann import cosine_topk_tiled, recall_audit
 
+
+@query("q_sim_lsh_ann", oracle=LSH_FULL_ORACLE)
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH ANN with a FULL row-level DuckDB oracle.
+
+    Returns the kernel's neighbor list itself (:func:`lsh_ann_topk`) —
+    the oracle replays the entire pipeline (md5 hyperplanes, auto-scaled
+    band width, sign-bit buckets, candidate join, exact re-rank) in SQL
+    and the row sets hash-match across engines. Verified set-equal at
+    sf0.001/0.01/0.1 (1 500 / 1 500 / 6 000 rows) before adoption.
+    """
     # single-file input → repartition so signature + pair stages parallelize
     e = (
         load_table(spark, sf_dir, "embeddings")
         .repartition(32)
         .select("vec_id", _emb_double().alias("emb"))
     )
-    approx = lsh_ann_topk(e, k=3)
-    exact = cosine_topk_tiled(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
-        k=3,
-        memo_key=sf_dir,
-    )
-    return recall_audit(exact, approx, _LSH_RECALL_FLOOR)
+    return lsh_ann_topk(e, k=3)
 
 
 # ---------------------------------------------------------------------------
