@@ -571,22 +571,126 @@ def q_sim_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Measured recall@3 (2026-08-13, current corpus): IVF(nprobe=4) 0.518
 #: at sf0.01; NN-descent(1 round over the IVF seed) 0.723; IVF-PQ with
-#: ADC-top-24 refine tracks plain IVF. Floors sit ~25-30 % under the
-#: weakest measured SF — deterministic kernels, so below-floor = real
-#: regression, not noise.
-_IVF_RECALL_FLOOR = 0.35
-_NNDESCENT_RECALL_FLOOR = 0.50
+#: ADC-top-24 refine tracks plain IVF. The IVF-PQ audit floor sits
+#: ~25-30 % under the weakest measured SF — a deterministic kernel, so
+#: below-floor = real regression, not noise.
 _IVFPQ_RECALL_FLOOR = 0.35
 
+#: Shared CTE block replaying the FULL IVF pipeline in SQL — the
+#: seed-set centroids (16 lowest vec_ids) make every stage closed-form:
+#: assignment = argmax centroid dot (crank = 1), probing = top-4 cells,
+#: in-cell exact scoring with per-cell top-3, global merge. Dots are
+#: index-ordered list_sum folds (bit-parity with the JVM fold and the
+#: numpy GEMM at dim 64 — empirically exact across SFs, same as the
+#: cosine contract). Used by both the IVF and NN-descent full oracles.
+_IVF_SQL_CTES = """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+             emb AS cent
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    cs AS (
+      SELECT e.vec_id, c.cell_id,
+             list_sum(list_transform(range(1, 65),
+                                     i -> e.emb[i] * c.cent[i])) AS cscore
+      FROM e, cents c
+    ),
+    cr AS (SELECT vec_id, cell_id,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cscore DESC, cell_id) AS crank
+           FROM cs),
+    assigned AS (SELECT vec_id, cell_id FROM cr WHERE crank = 1),
+    probes AS (SELECT vec_id, cell_id FROM cr WHERE crank <= 4),
+    prs AS (
+      SELECT q.vec_id AS src_id, t.vec_id AS nbr_id, q.cell_id AS cell_id
+      FROM probes q JOIN assigned t USING (cell_id)
+      WHERE t.vec_id <> q.vec_id
+    ),
+    pscored AS (
+      SELECT p.src_id, p.nbr_id, p.cell_id,
+             list_sum(list_transform(range(1, 65),
+                                     i -> ea.emb[i] * eb.emb[i])) AS dot
+      FROM prs p
+      JOIN e ea ON ea.vec_id = p.src_id
+      JOIN e eb ON eb.vec_id = p.nbr_id
+    ),
+    cell_top AS (
+      SELECT *, row_number() OVER (PARTITION BY src_id, cell_id
+                                   ORDER BY dot DESC, nbr_id) AS cr2
+      FROM pscored
+    )"""
 
-@query("q_sim_ivf_ann", oracle=_ANN_AUDIT_ORACLE)
+_IVF_FULL_ORACLE = (
+    "\n    WITH "
+    + _IVF_SQL_CTES
+    + """,
+    merged AS (
+      SELECT src_id, nbr_id, dot,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY dot DESC, nbr_id) AS rn
+      FROM cell_top WHERE cr2 <= 3
+    )
+    SELECT src_id, nbr_id, round(dot, 6) AS cosine, CAST(rn AS INT) AS rank
+    FROM merged WHERE rn <= 3
+    """
+)
+
+#: One NN-descent round over the IVF seed, replayed in SQL: symmetrize
+#: the seed graph, hop-2 expansion, exact re-score, global top-3.
+_NNDESCENT_FULL_ORACLE = (
+    "\n    WITH "
+    + _IVF_SQL_CTES
+    + """,
+    seed AS (
+      SELECT src_id, nbr_id
+      FROM (SELECT src_id, nbr_id, dot,
+                   row_number() OVER (PARTITION BY src_id
+                                      ORDER BY dot DESC, nbr_id) AS rn
+            FROM cell_top WHERE cr2 <= 3)
+      WHERE rn <= 3
+    ),
+    undirected AS (
+      SELECT DISTINCT * FROM (
+        SELECT src_id, nbr_id FROM seed
+        UNION ALL SELECT nbr_id AS src_id, src_id AS nbr_id FROM seed)
+    ),
+    hop2 AS (SELECT a.src_id, b.nbr_id
+             FROM undirected a JOIN undirected b ON a.nbr_id = b.src_id),
+    cand AS (
+      SELECT DISTINCT src_id, nbr_id FROM (
+        SELECT * FROM undirected UNION ALL SELECT * FROM hop2)
+      WHERE src_id <> nbr_id
+    ),
+    scored AS (
+      SELECT c.src_id, c.nbr_id,
+             list_sum(list_transform(range(1, 65),
+                                     i -> ea.emb[i] * eb.emb[i])) AS dot
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.src_id
+      JOIN e eb ON eb.vec_id = c.nbr_id
+    ),
+    ranked AS (
+      SELECT src_id, nbr_id, dot,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY dot DESC, nbr_id) AS rn
+      FROM scored
+    )
+    SELECT src_id, nbr_id, round(dot, 6) AS cosine, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 3
+    """
+)
+
+
+@query("q_sim_ivf_ann", oracle=_IVF_FULL_ORACLE)
 def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantize to 16 cells, probe the 4 nearest.
 
-    Contract-shaped as a quality audit (:func:`spype_spark.ann.
-    recall_audit`): the probed-cell neighbor choice is engine-specific,
-    so the contract row carries the oracle-reproducible exact-top-3
-    stats plus ``recall_ok`` (recall@3 vs exact ≥ measured floor).
+    Carries a FULL row-level oracle: seed-set centroids are
+    non-iterative, so DuckDB replays assignment, probing, in-cell
+    scoring, and the global merge exactly — the neighbor list itself
+    hash-matches across engines (set-equal verified at all SFs before
+    adoption). Recall floors stay pinned in tests/test_llm_quality.py.
 
     Deterministic centroids (the 16 lowest vec_ids — a fixed seed-set;
     production would k-means them, identical plumbing). Every stage is
@@ -601,14 +705,10 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=2) for 4× less work than brute force; real IVF tunes nprobe
     per recall target exactly this way.
     """
-    from spype_spark.ann import cosine_topk_tiled, ivf_ann, recall_audit
+    from spype_spark.ann import ivf_ann
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return recall_audit(
-        cosine_topk_tiled(e, k=3, memo_key=sf_dir),
-        ivf_ann(e, n_cells=16, nprobe=4, k=3),
-        _IVF_RECALL_FLOOR,
-    )
+    return ivf_ann(e, n_cells=16, nprobe=4, k=3)
 
 
 @query("q_sim_ivfpq_ann", oracle=_ANN_AUDIT_ORACLE)
@@ -635,10 +735,12 @@ def q_sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_nndescent", oracle=_ANN_AUDIT_ORACLE)
+@query("q_sim_nndescent", oracle=_NNDESCENT_FULL_ORACLE)
 def q_sim_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-refined ANN: one NN-descent round over the IVF seed graph.
-    Contract-shaped as a quality audit (see q_sim_ivf_ann).
+    FULL row-level oracle: the seed replays via the shared IVF CTEs and
+    the round (symmetrize → hop-2 → re-score → top-3) is plain SQL;
+    set-equal verified at all SFs before adoption.
 
     The batch-model answer to HNSW (:func:`spype_spark.ann.
     nn_descent_refine`): symmetrize the seed k-NN graph, expand
@@ -648,20 +750,11 @@ def q_sim_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall upgrade in the ANN family (floor pinned in
     tests/test_llm_quality.py::test_nndescent_refines_ivf_seed).
     """
-    from spype_spark.ann import (
-        cosine_topk_tiled,
-        ivf_ann,
-        nn_descent_refine,
-        recall_audit,
-    )
+    from spype_spark.ann import ivf_ann, nn_descent_refine
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seed = ivf_ann(e, n_cells=16, nprobe=4, k=3)
-    return recall_audit(
-        cosine_topk_tiled(e, k=3, memo_key=sf_dir),
-        nn_descent_refine(e, seed, k=3, n_rounds=1),
-        _NNDESCENT_RECALL_FLOOR,
-    )
+    return nn_descent_refine(e, seed, k=3, n_rounds=1)
 
 
 #: Full-fidelity PQ oracle: seed-set codebooks make the encoding
