@@ -385,37 +385,6 @@ def lsh_band_signatures(e: DataFrame, planes_per_band: int) -> DataFrame:
     )
 
 
-#: Shared audit oracle for the approximate-ANN contracts (LSH / IVF /
-#: IVF-PQ / NN-descent): the engine-specific neighbor choice is not
-#: SQL-reproducible, but the exact-top-3 reference stats are, and
-#: ``recall_ok`` is asserted ``true`` — the Spark side computes real
-#: recall@3 vs the exact kernel (:func:`spype_spark.ann.recall_audit`),
-#: so a kernel regression below the measured floor hash-mismatches.
-ANN_AUDIT_ORACLE = """
-    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-               FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
-             list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])) AS dot
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
-    ),
-    ranked AS (
-      SELECT src_id, nbr_id, dot,
-             row_number() OVER (PARTITION BY src_id
-                                ORDER BY dot DESC, nbr_id) AS rn
-      FROM pairs
-    ),
-    top3 AS (SELECT src_id, nbr_id, round(dot, 6) AS cosine
-             FROM ranked WHERE rn <= 3)
-    SELECT COUNT(DISTINCT src_id) AS n_src,
-           COUNT(*) AS n_exact_pairs,
-           CAST(SUM(CAST(floor(cosine * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
-             AS sum_cos_micro,
-           true AS recall_ok
-    FROM top3
-    """
-
-
 def lsh_ann_topk(e: DataFrame, k: int = 3) -> DataFrame:
     """Banded hyperplane-LSH approximate top-k (src_id, nbr_id, cosine,
     rank) — the kernel behind the q_sim_lsh_ann audit contract.

@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from spype_spark.queries.llm import ANN_AUDIT_ORACLE as _ANN_AUDIT_ORACLE
 from spype_spark.queries.llm import COSINE_TOP5_ORACLE as _COSINE_TOP5_ORACLE
 from spype_spark.registry import query
 from spype_spark.tables import load_table
@@ -569,13 +568,6 @@ def q_sim_cosine_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_tiled(e, k=5, n_blocks=5)
 
 
-#: Measured recall@3 (2026-08-13, current corpus): IVF(nprobe=4) 0.518
-#: at sf0.01; NN-descent(1 round over the IVF seed) 0.723; IVF-PQ with
-#: ADC-top-24 refine tracks plain IVF. The IVF-PQ audit floor sits
-#: ~25-30 % under the weakest measured SF — a deterministic kernel, so
-#: below-floor = real regression, not noise.
-_IVFPQ_RECALL_FLOOR = 0.35
-
 #: Shared CTE block replaying the FULL IVF pipeline in SQL — the
 #: seed-set centroids (16 lowest vec_ids) make every stage closed-form:
 #: assignment = argmax centroid dot (crank = 1), probing = top-4 cells,
@@ -711,12 +703,96 @@ def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann(e, n_cells=16, nprobe=4, k=3)
 
 
-@query("q_sim_ivfpq_ann", oracle=_ANN_AUDIT_ORACLE)
+#: FULL row-level IVF-PQ oracle: seed-set centroids AND seed-set PQ
+#: codebooks make the entire ADC pipeline closed-form — the oracle
+#: replays assignment/probing (shared IVF CTEs), PQ code assignment
+#: (the q_pq_encode argmin construction), the per-query ADC lookup
+#: table, the sub_id-ordered ADC sums (FP order matches the kernel's
+#: s-loop), the top-24 per (query, cell) shortlist, and the exact
+#: re-rank. Set-equal verified at all SFs before adoption.
+_IVFPQ_FULL_ORACLE = (
+    "\n    WITH "
+    + _IVF_SQL_CTES
+    + ""","""
+    + """subs AS (SELECT unnest(range(0, 8)) AS sub_id),
+    cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id,
+             emb
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    cbs AS (SELECT code_id, sub_id,
+                   list_slice(emb, sub_id * 8 + 1, sub_id * 8 + 8) AS sub_cent
+            FROM cb, subs),
+    ev AS (SELECT vec_id, sub_id,
+                  list_slice(emb, sub_id * 8 + 1, sub_id * 8 + 8) AS sub_emb
+           FROM e, subs),
+    code_scored AS (
+      SELECT vec_id, ev.sub_id AS sub_id, code_id,
+             list_sum(list_transform(range(1, 9),
+               i -> (sub_emb[i] - sub_cent[i]) * (sub_emb[i] - sub_cent[i])))
+               AS dist2
+      FROM ev JOIN cbs USING (sub_id)
+    ),
+    chosen AS (
+      SELECT vec_id, sub_id, code_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                                     ORDER BY dist2, code_id) AS rn
+        FROM code_scored) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT ev.vec_id AS src_id, cbs.sub_id AS sub_id,
+             cbs.code_id AS code_id,
+             list_sum(list_transform(range(1, 9),
+                                     i -> ev.sub_emb[i] * cbs.sub_cent[i]))
+               AS v
+      FROM ev JOIN cbs USING (sub_id)
+    ),
+    ppairs AS (
+      SELECT q.vec_id AS src_id, t.vec_id AS nbr_id, q.cell_id AS cell_id
+      FROM probes q JOIN assigned t USING (cell_id)
+      WHERE t.vec_id <> q.vec_id
+    ),
+    adc AS (
+      SELECT p.src_id, p.nbr_id, p.cell_id,
+             list_sum(list(l.v ORDER BY l.sub_id)) AS score
+      FROM ppairs p
+      JOIN chosen ch ON ch.vec_id = p.nbr_id
+      JOIN lut l ON l.src_id = p.src_id AND l.sub_id = ch.sub_id
+                AND l.code_id = ch.code_id
+      GROUP BY p.src_id, p.nbr_id, p.cell_id
+    ),
+    shortlist AS (
+      SELECT src_id, nbr_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_id, cell_id
+                                     ORDER BY score DESC, nbr_id) AS rn
+        FROM adc) WHERE rn <= 24
+    ),
+    exact AS (
+      SELECT DISTINCT s.src_id, s.nbr_id,
+             list_sum(list_transform(range(1, 65),
+                                     i -> ea.emb[i] * eb.emb[i])) AS dot
+      FROM shortlist s
+      JOIN e ea ON ea.vec_id = s.src_id
+      JOIN e eb ON eb.vec_id = s.nbr_id
+    ),
+    ranked AS (
+      SELECT src_id, nbr_id, dot,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY dot DESC, nbr_id) AS rn
+      FROM exact
+    )
+    SELECT src_id, nbr_id, round(dot, 6) AS cosine, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 3
+    """
+)
+
+
+@query("q_sim_ivfpq_ann", oracle=_IVFPQ_FULL_ORACLE)
 def q_sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN: probe scans 8×4-bit PQ codes (64× smaller than the
     raw vectors) via an ADC lookup table, then exact-re-ranks only the
     ADC top-24 per (query, probed cell) against the raw table.
-    Contract-shaped as a quality audit (see q_sim_ivf_ann).
+    FULL row-level oracle (see _IVFPQ_FULL_ORACLE above).
 
     The full 100 TB ANN stack (:func:`spype_spark.ann.ivf_pq_ann`):
     same distributed IVF skeleton as q_sim_ivf_ann, but the in-cell
@@ -725,14 +801,10 @@ def q_sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall floor vs exact top-3 pinned in
     tests/test_llm_quality.py::test_ivfpq_recall_floor.
     """
-    from spype_spark.ann import cosine_topk_tiled, ivf_pq_ann, recall_audit
+    from spype_spark.ann import ivf_pq_ann
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return recall_audit(
-        cosine_topk_tiled(e, k=3, memo_key=sf_dir),
-        ivf_pq_ann(e, n_cells=16, nprobe=4, k=3),
-        _IVFPQ_RECALL_FLOOR,
-    )
+    return ivf_pq_ann(e, n_cells=16, nprobe=4, k=3)
 
 
 @query("q_sim_nndescent", oracle=_NNDESCENT_FULL_ORACLE)
