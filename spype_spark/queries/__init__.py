@@ -22,6 +22,7 @@ from spype_spark.queries import scalars  # noqa: F401
 from spype_spark.queries import llm  # noqa: F401
 from spype_spark.queries import llm_curation  # noqa: F401
 from spype_spark.queries import llm_extra  # noqa: F401
+from spype_spark.queries import clustering  # noqa: F401
 from spype_spark.queries import streaming_batch  # noqa: F401
 from spype_spark.queries import udx  # noqa: F401
 from spype_spark.queries import pipe_demos  # noqa: F401
@@ -98,12 +99,18 @@ _DRIVER_PRIORITY = [
     "q_set_union_all",
     "q_set_union_distinct",
     "q_set_intersect",
-    "q_set_union_byname",
-    "q_set_except",
-    "q_str_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_cond_funcs",
+    # New-in-round-6 contracts (zero driver history — the same priority
+    # rule that put the r5 second-wave keys first): the full-oracle
+    # k-means, the curation/sampling/quality additions, the salted-join
+    # twin, and TPC-H Q15. They displace six r1-evidenced scalar/setop
+    # keys (q_set_union_byname/except, str/date/math/cond funcs) to the
+    # round-7 queue.
+    "q_cluster_kmeans",
+    "q_text_paragraph_dedup",
+    "q_text_unigram_logprob",
+    "q_sample_stratified",
+    "q_join_skew_salted",
+    "q_tpch_q15",
     # Round-6 conversions of the last rows-only keys (minhash/simhash
     # audits, full resize oracle): their r5 driver rows predate the
     # oracle, so they re-enter the window; q_str_funcs2/q_bitwise_funcs/
@@ -117,6 +124,12 @@ _DRIVER_PRIORITY = [
     # ---- end of the 50-slot window ----
     # Round-7 queue: the displaced scalar keys plus the remaining stale
     # keys, so every contract has post-regen driver evidence by round 7:
+    "q_set_union_byname",
+    "q_set_except",
+    "q_str_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cond_funcs",
     "q_cast_types",
     "q_str_funcs2",
     "q_bitwise_funcs",

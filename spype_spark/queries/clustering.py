@@ -1,0 +1,192 @@
+"""Embedding clustering contract: distributed spherical k-means.
+
+The document-clustering step of a training-data pipeline (topic
+balancing, domain discovery, cluster-based curriculum/mixing — the
+step between "embedded corpus" and "data mixture"). IVF (ann.py) uses
+a seed-set coarse quantizer and notes "production would k-means them,
+identical plumbing"; this contract IS that plumbing, run for a full
+Lloyd round: seed-set init → assign → centroid update → re-assign.
+
+Every stage is deterministic closed-form arithmetic, so the ENTIRE
+iteration replays in the DuckDB oracle (same discipline as the
+IVF/PQ/NN-descent full oracles):
+
+- assignment dots are index-ordered folds (Spark ``aggregate`` fold ≡
+  DuckDB ``list_sum`` — the bit-parity the ANN family established);
+- the centroid update is the k-means step that normally breaks
+  cross-engine determinism (an unordered float mean over arbitrary
+  member sets); here each member coordinate is quantized once to a
+  1e-7-grid integer and the mean is an exact integer sum ÷ count —
+  order-free under any partitioning, bit-identical across engines
+  (the same scaled-long discipline as ``_util.dsum``);
+- the re-assignment score is cosine against the updated centroid
+  (dot ÷ index-ordered norm fold; sqrt and division are single
+  correctly-rounded IEEE ops).
+
+Scale (100 TB): assignment is a broadcast join against the k-row
+centroid table + one per-vector window argmax (linear, the IVF
+assignment stage); the update is posexplode to (cell, dim) grain with
+map-side partial sums — the shuffle moves O(k·d·partitions) partial
+rows, never the vectors. More Lloyd rounds = repeating two linear
+stages; k scales to thousands before the broadcast table matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spype_spark.ann import _dot_hof, _normalize
+from spype_spark.registry import query
+from spype_spark.tables import load_table
+
+#: Cluster count (seed-set init: the k lowest vec_ids).
+_K = 8
+#: Coordinate quantization grid for the centroid update (1e-7: unit-norm
+#: coordinates carry ~7 significant decimals in float32).
+_QSCALE = "1e7"
+
+_KMEANS_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+             emb AS cent
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_K})
+    ),
+    s1 AS (
+      SELECT e.vec_id, c.cell_id,
+             list_sum(list_transform(range(1, 65),
+                                     i -> e.emb[i] * c.cent[i])) AS score
+      FROM e, c0 c
+    ),
+    a1 AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cell_id) AS rnk
+        FROM s1) t
+      WHERE rnk = 1
+    ),
+    mem AS (SELECT a1.cell_id, e.emb FROM a1 JOIN e USING (vec_id)),
+    dimsum AS (
+      SELECT cell_id, CAST(r.dim AS INT) AS dim,
+             CAST(SUM(CAST(floor(emb[CAST(r.dim AS INT)] * {_QSCALE} + 0.5)
+                           AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / {_QSCALE} AS mean
+      FROM mem, range(1, 65) r(dim)
+      GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT cell_id, list(mean ORDER BY dim) AS cent
+      FROM dimsum GROUP BY cell_id
+    ),
+    n1 AS (
+      SELECT cell_id, cent,
+             sqrt(list_sum(list_transform(range(1, 65),
+                                          i -> cent[i] * cent[i]))) AS nrm
+      FROM c1
+    ),
+    s2 AS (
+      SELECT e.vec_id, c.cell_id,
+             list_sum(list_transform(range(1, 65),
+                                     i -> e.emb[i] * c.cent[i])) / c.nrm
+               AS score
+      FROM e, n1 c
+    )
+    SELECT vec_id, CAST(cell_id AS INT) AS cluster,
+           round(score, 6) AS cohesion
+    FROM (
+      SELECT vec_id, cell_id, score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cell_id) AS rnk
+      FROM s2) t
+    WHERE rnk = 1
+    """
+
+
+@query("q_cluster_kmeans", oracle=_KMEANS_ORACLE)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over the embeddings (k=8, one full Lloyd
+    round), every vector labeled with its final cluster and cosine
+    cohesion to the updated centroid.
+
+    Full row-level oracle: seed-set init plus the quantized-integer
+    centroid mean make both assignment rounds closed-form, so DuckDB
+    replays init → assign → update → re-assign exactly and the final
+    (vec_id, cluster, cohesion) rows hash-match at every SF. See the
+    module docstring for the determinism and 100 TB scale argument.
+    """
+    e = _normalize(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+    # init: the k lowest vec_ids (same seed-set convention as ivf_ann).
+    w0 = Window.orderBy("vec_id")
+    c0 = (
+        e.orderBy("vec_id")
+        .limit(_K)
+        .select(
+            (F.row_number().over(w0) - 1).cast("int").alias("cell_id"),
+            F.col("embedding").alias("cent"),
+        )
+    )
+
+    # round 1: argmax dot against the unit-norm seed centroids.
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell_id"))
+    s1 = e.crossJoin(F.broadcast(c0)).select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        _dot_hof(F.col("embedding"), F.col("cent")).alias("score"),
+    )
+    a1 = (
+        s1.withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cell_id", "embedding")
+    )
+
+    # centroid update: exact integer mean per (cell, dim) on the 1e-7
+    # grid — order-free, so any shuffle layout gives the same centroid.
+    qscale = float(_QSCALE.replace("e", "E"))
+    dims = a1.select(
+        "cell_id", F.posexplode("embedding").alias("dim0", "val")
+    ).select(
+        "cell_id",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.floor(F.col("val") * F.lit(qscale) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    dimsum = dims.groupBy("cell_id", "dim").agg(
+        (F.sum("q").cast("double") / F.count("*") / F.lit(qscale)).alias("mean")
+    )
+    c1 = dimsum.groupBy("cell_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+            lambda t: t.mean,
+        ).alias("cent")
+    )
+    n1 = c1.select(
+        "cell_id",
+        "cent",
+        F.sqrt(_dot_hof(F.col("cent"), F.col("cent"))).alias("nrm"),
+    )
+
+    # round 2: cosine against the updated (non-unit) centroids.
+    s2 = e.crossJoin(F.broadcast(n1)).select(
+        "vec_id",
+        "cell_id",
+        (_dot_hof(F.col("embedding"), F.col("cent")) / F.col("nrm")).alias(
+            "score"
+        ),
+    )
+    return (
+        s2.withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            F.col("cell_id").cast("int").alias("cluster"),
+            F.round("score", 6).alias("cohesion"),
+        )
+    )

@@ -439,3 +439,200 @@ def q_dataset_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fp") % _MIX_RESOLUTION < F.col("thr"))
         .select("doc_id", "source")
     )
+
+
+#: Stratified-sample keep fraction: 1/5 of each stratum (q_sample_stratified).
+_STRAT_DENOM = 5
+#: Passage grain for cross-document passage dedup (q_text_paragraph_dedup).
+_CHUNK_WORDS = 8
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(text), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents) t
+    WHERE rn <= ceil(n / {_STRAT_DENOM}.0)
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: precisely ⌈n/5⌉ documents per
+    language stratum, chosen by content-hash order.
+
+    `df.sample`/`sampleBy` draw a *rate*, so the per-stratum count
+    varies run to run; balanced-subset curation (eval sets, per-lang
+    budget caps) needs the exact count. One window pair over the lang
+    partitioning computes the stratum size and the content-addressed
+    rank in the same shuffle — no per-stratum driver loop, no second
+    pass. md5 order makes the sample re-shard-stable, the same
+    property as q_dataset_cap_per_source (that contract caps at a
+    constant; this one takes an exact fraction of each stratum).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang")
+    wo = w.orderBy(F.md5(F.col("text").cast("binary")), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count("*").over(w))
+        .filter(F.col("rn") <= F.ceil(F.col("n") / float(_STRAT_DENOM)))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "q_text_paragraph_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / {_CHUNK_WORDS}.0)
+                                  AS BIGINT))) AS chunk_idx
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             md5(array_to_string(
+               list_slice(toks, chunk_idx * {_CHUNK_WORDS} + 1,
+                          chunk_idx * {_CHUNK_WORDS} + {_CHUNK_WORDS}),
+               ' ')) AS chunk_h
+      FROM idx
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx,
+             row_number() OVER (PARTITION BY chunk_h
+                                ORDER BY doc_id, chunk_idx) AS occ
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS keep_frac
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def q_text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage dedup: explode documents into 8-word
+    passages, mark every repeated passage occurrence (first occurrence
+    by (doc_id, position) is canonical), report per-doc dup share.
+
+    The CCNet/RefinedWeb passage-dedup shape — the corpus-wide "remove
+    duplicated boilerplate lines" step that exact-doc dedup misses —
+    at 100 TB: explode to passage grain (linear, no state), shuffle
+    ONCE on the passage hash (md5, not the raw string: fixed 32-byte
+    shuffle keys instead of arbitrary-length text), pick the canonical
+    occurrence with a window, aggregate back to doc grain on the
+    embedded doc_id. Never materializes a pair table — dup detection
+    is the window rank, so a passage repeated k times costs k rows,
+    not k².
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / float(_CHUNK_WORDS))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "chunk_idx"
+        ),
+        "toks",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    F.col("chunk_idx") * _CHUNK_WORDS + 1,
+                    _CHUNK_WORDS,
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("chunk_h"),
+    )
+    w = Window.partitionBy("chunk_h").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("occ", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dup"),
+        (
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("keep_frac"),
+    )
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    tf  AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    cnt AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    q AS (
+      SELECT word,
+             CAST(floor(ln(CAST(tot.n AS DOUBLE) / cnt.c) * 1e6 + 0.5)
+                  AS BIGINT) AS q_surprisal
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
+           CAST(CAST(SUM(tf.tf * q.q_surprisal) AS BIGINT) AS DOUBLE)
+             / SUM(tf.tf) / 1e6 AS avg_surprisal
+    FROM tf JOIN q USING (word)
+    GROUP BY tf.doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: per-document mean token surprisal
+    (−ln p(w), p from corpus unigram frequencies) — the cheap
+    perplexity proxy used to rank web text before an expensive model
+    scores it (the CCNet idea, with the corpus itself as the LM).
+
+    Determinism discipline: a plain double SUM of per-token logs is
+    partition-order-dependent, so each *distinct word's* surprisal is
+    quantized once to integer micro-nats (`floor(ln(N/c)·1e6 + 0.5)` —
+    one libm call per vocab entry, far from rounding boundaries), and
+    the per-doc total is an exact integer dot of (tf × micro-nats) —
+    order-free under any shuffle, bit-identical across engines. Scale:
+    the vocab table is dimension-sized and broadcasts; doc grain needs
+    one groupBy — the same two-shuffle budget as tf-idf.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    cnt = tok.groupBy("word").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").alias("n"))
+    q = cnt.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.floor(
+            F.log(F.col("n").cast("double") / F.col("c")) * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q_surprisal"),
+    )
+    return (
+        tf.join(F.broadcast(q), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            (
+                F.sum(F.col("tf") * F.col("q_surprisal")).cast("double")
+                / F.sum("tf")
+                / F.lit(1e6)
+            ).alias("avg_surprisal"),
+        )
+    )

@@ -57,3 +57,59 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "seg", "n", (F.col("total_scaled") / F.lit(1e2)).alias("total")
     )
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT p.p_brand AS p_brand,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
+    FROM (SELECT l_extendedprice, l_discount,
+                 CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_partkey END
+                   AS probe_key
+          FROM lineitem) l
+    JOIN part p ON p.p_partkey = l.probe_key
+    GROUP BY 1
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join over a 70 %-hot probe key: the fact side's key
+    is remapped so most rows probe one part row, then the join runs
+    salted (fact rows take a hash salt in [0,16); the dim side is
+    exploded 16×) and aggregates per brand.
+
+    The join-shaped twin of q_skew_salted_agg: when the build side is
+    too large to broadcast and one probe key dominates, a plain hash
+    join melts the reducer owning the hot key; salting splits that key
+    across 16 reducers at the cost of replicating the (much smaller)
+    build side. The dim side carries a shuffle_hash hint because at
+    corpus scale Catalyst would broadcast the 2 000-row part table and
+    erase the pattern under test — at 100 TB the dim is a billion-row
+    table and the shuffle shape is forced. Result-identical to the
+    plain join (this oracle): salting changes the distribution, never
+    the answer, and the revenue is a scaled-long sum, immune to the
+    reducer-count change the salt introduces.
+    """
+    from spype_spark.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        "l_discount",
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_partkey"))
+        .alias("probe_key"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand").hint(
+        "shuffle_hash"
+    )
+    joined = salted_join(li, p, "probe_key", "p_partkey", n_salts=16)
+    scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e4)
+        + F.lit(0.5)
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        (F.sum(scaled) / F.lit(1e4)).alias("revenue"),
+    )

@@ -7,7 +7,8 @@ here keeps the *shape* of its classic counterpart — the join topology,
 the correlation pattern, the aggregate structure — and re-parameterizes
 predicates to columns that exist. Q1 lives in ``aggregates.py``
 (``q_pricing_summary``); queries needing ``partsupp`` (Q2/Q9/Q11/Q16/
-Q20) have no faithful adaptation and are omitted rather than faked.
+Q20) or commit/receipt dates (Q12/Q21) have no faithful adaptation and
+are omitted rather than faked.
 
 Scale notes (100 TB):
 - Dimension joins (nation/region) are explicit ``broadcast()``; the
@@ -664,4 +665,56 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             dsum("c_acctbal", 2).alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (aggregate view + max-equality selection).
+# ---------------------------------------------------------------------------
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {dsum_sql(_REV, 4)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue
+    over one quarter of shipments.
+
+    Shape preserved: the classic REVENUE view is the grouped quarter
+    aggregate; the max-selection is an uncorrelated scalar subquery
+    (1-row aggregate, broadcast) compared against the view, then a
+    broadcast join to the supplier dimension for the name. The shipdate
+    predicate is on the scan (PushedFilters); the only shuffle is the
+    groupBy(l_suppkey). Equality against MAX on a plain double sum
+    would be partition-order-dependent — the scaled-long revenue makes
+    the `=` boundary exact, so the winning set can't flap between
+    engines or partitionings.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit("1997-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1997-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev_col(), 4).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
     )
