@@ -526,11 +526,12 @@ def q_text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The CCNet/RefinedWeb passage-dedup shape — the corpus-wide "remove
     duplicated boilerplate lines" step that exact-doc dedup misses —
-    at 100 TB: explode to passage grain (linear, no state), shuffle
-    ONCE on the passage hash (md5, not the raw string: fixed 32-byte
-    shuffle keys instead of arbitrary-length text), pick the canonical
-    occurrence with a window, aggregate back to doc grain on the
-    embedded doc_id. Never materializes a pair table — dup detection
+    at 100 TB: explode to passage grain (linear, no state), shuffle on
+    the passage hash (md5, not the raw string: fixed 32-byte shuffle
+    keys instead of arbitrary-length text), pick the canonical
+    occurrence with a window, then one doc-grain re-aggregate (two
+    shuffles total, both map-side-combined, neither carrying the
+    text). Never materializes a pair table — dup detection
     is the window rank, so a passage repeated k times costs k rows,
     not k².
     """
