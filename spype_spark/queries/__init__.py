@@ -94,11 +94,9 @@ _DRIVER_PRIORITY = [
     "q_window_frame_range",
     "q_window_nth",
     "q_window_ntile",
-    "q_sort_multi",
-    "q_topk_global",
     "q_set_union_all",
-    "q_set_union_distinct",
-    "q_set_intersect",
+    "q_stream_enrich_static",
+    "q_stream_stream_join",
     # New-in-round-6 contracts (zero driver history — the same priority
     # rule that put the r5 second-wave keys first): the full-oracle
     # k-means, the curation/sampling/quality additions, the salted-join
@@ -106,6 +104,8 @@ _DRIVER_PRIORITY = [
     # keys (q_set_union_byname/except, str/date/math/cond funcs) to the
     # round-7 queue.
     "q_cluster_kmeans",
+    "q_dedup_semdedup",
+    "q_events_anomaly",
     "q_text_paragraph_dedup",
     "q_text_unigram_logprob",
     "q_sample_stratified",
@@ -124,6 +124,10 @@ _DRIVER_PRIORITY = [
     # ---- end of the 50-slot window ----
     # Round-7 queue: the displaced scalar keys plus the remaining stale
     # keys, so every contract has post-regen driver evidence by round 7:
+    "q_sort_multi",
+    "q_topk_global",
+    "q_set_union_distinct",
+    "q_set_intersect",
     "q_set_union_byname",
     "q_set_except",
     "q_str_funcs",

@@ -46,8 +46,11 @@ _K = 8
 #: coordinates carry ~7 significant decimals in float32).
 _QSCALE = "1e7"
 
-_KMEANS_ORACLE = f"""
-    WITH e AS (
+#: Shared CTE block replaying the full Lloyd round in SQL (init →
+#: assign → quantized-integer centroid update → re-score); ends at
+#: ``s2`` (vec × cell cosine vs the updated centroids) with ``e``
+#: still in scope. Used by both the k-means and SemDeDup full oracles.
+_KMEANS_CTES = f"""e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
     ),
@@ -95,29 +98,30 @@ _KMEANS_ORACLE = f"""
                                      i -> e.emb[i] * c.cent[i])) / c.nrm
                AS score
       FROM e, n1 c
-    )
+    ),
+    a2 AS (
+      SELECT vec_id, cell_id, score FROM (
+        SELECT vec_id, cell_id, score,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cell_id) AS rnk
+        FROM s2) t
+      WHERE rnk = 1
+    )"""
+
+_KMEANS_ORACLE = f"""
+    WITH {_KMEANS_CTES}
     SELECT vec_id, CAST(cell_id AS INT) AS cluster,
            round(score, 6) AS cohesion
-    FROM (
-      SELECT vec_id, cell_id, score,
-             row_number() OVER (PARTITION BY vec_id
-                                ORDER BY score DESC, cell_id) AS rnk
-      FROM s2) t
-    WHERE rnk = 1
+    FROM a2
     """
 
 
-@query("q_cluster_kmeans", oracle=_KMEANS_ORACLE)
-def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spherical k-means over the embeddings (k=8, one full Lloyd
-    round), every vector labeled with its final cluster and cosine
-    cohesion to the updated centroid.
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the full Lloyd round and return every vector's final
+    assignment: (vec_id, cell_id, score, embedding).
 
-    Full row-level oracle: seed-set init plus the quantized-integer
-    centroid mean make both assignment rounds closed-form, so DuckDB
-    replays init → assign → update → re-assign exactly and the final
-    (vec_id, cluster, cohesion) rows hash-match at every SF. See the
-    module docstring for the determinism and 100 TB scale argument.
+    The Spark mirror of :data:`_KMEANS_CTES` — shared by the k-means
+    and SemDeDup contracts.
     """
     e = _normalize(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
 
@@ -176,6 +180,7 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 2: cosine against the updated (non-unit) centroids.
     s2 = e.crossJoin(F.broadcast(n1)).select(
         "vec_id",
+        "embedding",
         "cell_id",
         (_dot_hof(F.col("embedding"), F.col("cent")) / F.col("nrm")).alias(
             "score"
@@ -184,9 +189,86 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s2.withColumn("rnk", F.row_number().over(wv))
         .filter(F.col("rnk") == 1)
-        .select(
-            "vec_id",
-            F.col("cell_id").cast("int").alias("cluster"),
-            F.round("score", 6).alias("cohesion"),
-        )
+        .select("vec_id", "cell_id", "score", "embedding")
+    )
+
+
+@query("q_cluster_kmeans", oracle=_KMEANS_ORACLE)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over the embeddings (k=8, one full Lloyd
+    round), every vector labeled with its final cluster and cosine
+    cohesion to the updated centroid.
+
+    Full row-level oracle: seed-set init plus the quantized-integer
+    centroid mean make both assignment rounds closed-form, so DuckDB
+    replays init → assign → update → re-assign exactly and the final
+    (vec_id, cluster, cohesion) rows hash-match at every SF. See the
+    module docstring for the determinism and 100 TB scale argument.
+    """
+    return kmeans_assign(spark, sf_dir).select(
+        "vec_id",
+        F.col("cell_id").cast("int").alias("cluster"),
+        F.round("score", 6).alias("cohesion"),
+    )
+
+
+#: SemDeDup drop threshold: same cosine bar as q_dedup_embed_cosine.
+_SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_ORACLE = f"""
+    WITH {_KMEANS_CTES},
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM a2 a JOIN a2 b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE list_sum(list_transform(range(1, 65),
+                                    i -> ea.emb[i] * eb.emb[i]))
+            >= {_SEMDEDUP_TAU}
+    )
+    SELECT a2.vec_id, CAST(a2.cell_id AS INT) AS cluster
+    FROM a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """
+
+
+@query("q_dedup_semdedup", oracle=_SEMDEDUP_ORACLE)
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
+    embedding space, then dropping near-duplicates *within* each
+    cluster — a vector is dropped iff a lower-id cluster-mate sits at
+    cosine ≥ 0.35. Output: the surviving (vec_id, cluster) rows.
+
+    The production embedding-dedup recipe for web-scale corpora: exact
+    all-pairs cosine is n², so the k-means cells act as blocking keys
+    and the quadratic stage runs only inside a cell — Σ|cell|² work,
+    with k grown ∝ n at scale to hold cells at a constant target size
+    (the same bound the LSH band autoscaler and IVF cells enforce).
+    The pair stage is a self-equi-join on cell_id (hash join, never a
+    cartesian), the keep rule is min-id domination (deterministic, no
+    iteration), and survivors come from one anti-join. Shares the full
+    Lloyd-round oracle with q_cluster_kmeans, so the whole pipeline —
+    clustering included — replays row-exactly in DuckDB.
+    """
+    a2 = kmeans_assign(spark, sf_dir).localCheckpoint(eager=False)
+    a = a2.select(
+        F.col("vec_id").alias("u"),
+        F.col("cell_id").alias("cell_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = a2.select(
+        F.col("vec_id").alias("v"),
+        F.col("cell_id").alias("cell_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    dropped = (
+        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("u") < F.col("v")))
+        .filter(_dot_hof(F.col("emb_a"), F.col("emb_b")) >= _SEMDEDUP_TAU)
+        .select(F.col("v").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a2.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", F.col("cell_id").cast("int").alias("cluster"))
     )

@@ -712,3 +712,141 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "q_events_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             COUNT(*) AS c
+      FROM events
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT user_id, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+      FROM hourly GROUP BY 1
+    ),
+    scored AS (
+      SELECT h.user_id, h.h, h.c,
+             (h.c - CAST(s.s1 AS DOUBLE) / s.n)
+               / sqrt((CAST(s.s2 AS DOUBLE)
+                       - (CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)) / s.n)
+                      / (s.n - 1)) AS z
+      FROM hourly h JOIN stats s USING (user_id)
+      WHERE s.n >= 3
+        AND (CAST(s.s2 AS DOUBLE)
+             - (CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)) / s.n) > 0
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           c AS n_events, round(z, 6) AS z
+    FROM scored
+    WHERE abs(round(z, 6)) >= 2.0
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly activity anomalies: hours whose event count
+    sits ≥ 2 sample standard deviations from that user's own hourly
+    mean — the rate-spike/drop detector of an observability pipeline.
+
+    Determinism discipline: never call the engines' stddev (each uses
+    its own single-pass update order — last-ulp divergence). The
+    moments (n, Σc, Σc²) are exact integer sums, order-free under any
+    partitioning, and mean/variance/z are then the SAME fixed sequence
+    of double ops on both engines, so the |z| ≥ 2 membership boundary
+    cannot flap. Scale: two grouped aggregates sharing the user_id
+    key (hour grain, then user moments — both map-side combined) and
+    one equi-join of the hourly frame against the user-grain moment
+    table; no window over the raw stream, nothing quadratic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy("user_id", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = hourly.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    var_num = F.col("s2").cast("double") - (
+        F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / F.col("n")
+    z = (F.col("c") - F.col("s1").cast("double") / F.col("n")) / F.sqrt(
+        var_num / (F.col("n") - 1)
+    )
+    return (
+        hourly.join(stats, "user_id")
+        .filter((F.col("n") >= 3) & (var_num > 0))
+        .select(
+            "user_id",
+            F.date_format("h", TS_FMT_SPARK).alias("hour"),
+            F.col("c").alias("n_events"),
+            F.round(z, 6).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= 2.0)
+    )
+
+
+@query(
+    "q_stream_enrich_static",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def q_stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming stream-static enrichment: the events readStream
+    inner-joined per micro-batch against the broadcast customer
+    dimension, drained under Trigger.AvailableNow.
+
+    Stream-static inner joins are stateless — every micro-batch joins
+    independently, the static side is re-read (picking up dimension
+    updates between batches for free) — so the drained result equals
+    the batch join row-for-row: the oracle IS the plain SQL join. At
+    scale this is the streaming twin of the dimension-broadcast rule;
+    no watermark, no state store, nothing to size.
+    """
+    from spype_spark.streaming.jobs import run_stream_static_join
+
+    return run_stream_static_join(spark, sf_dir)
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id AS p_user,
+             CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS c_id, user_id AS c_user,
+             CAST(ts AS TIMESTAMP) AS c_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.p_id, c.c_id, p.p_user
+    FROM p JOIN c
+      ON p.p_user = c.c_user
+     AND c.c_ts <= p.p_ts
+     AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream join: each purchase matched to the same
+    user's clicks up to one hour before it, both sides watermarked,
+    drained under Trigger.AvailableNow.
+
+    The canonical attribution join. The time-bound predicate is what
+    makes it feasible: it lets Spark evict click state older than
+    (purchase watermark − 1 h), so state is bounded by one hour of
+    traffic instead of the whole stream. Inner join ⇒ watermarks only
+    bound state, they never drop matches under AvailableNow, so the
+    drained output equals this batch theta-join exactly — which the
+    oracle states relationally (the banded-join rewrite of the same
+    predicate is q_join_theta_range's shape).
+    """
+    from spype_spark.streaming.jobs import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)
