@@ -125,6 +125,41 @@ _TILE_MEMO: dict[tuple[int, str, int], DataFrame] = {}
 _NBLOCKS_MEMO: dict[tuple[int, str], int] = {}
 
 
+def _resolve_blocks(
+    e: DataFrame, n_blocks: int | None, memo_key: str | None
+) -> int:
+    """Resolve an explicit/auto block count, memoizing the count() job
+    per (session, corpus key)."""
+    if n_blocks is not None:
+        return n_blocks
+    if memo_key is not None:
+        nb_key = (id(e.sparkSession), memo_key)
+        n_blocks = _NBLOCKS_MEMO.get(nb_key)
+        if n_blocks is None:
+            n_blocks = _auto_blocks(e)
+            _NBLOCKS_MEMO[nb_key] = n_blocks
+        return n_blocks
+    return _auto_blocks(e)
+
+
+def _memo_tiles(
+    e: DataFrame, n_blocks: int, memo_key: str | None
+) -> DataFrame:
+    """The localCheckpoint'd tile table, memoized per (session, corpus
+    key, n_blocks) — one materialization per session for a read-only
+    corpus (see _TILE_MEMO)."""
+    tiles = None
+    full_key = None
+    if memo_key is not None:
+        full_key = (id(e.sparkSession), memo_key, n_blocks)
+        tiles = _TILE_MEMO.get(full_key)
+    if tiles is None:
+        tiles = _tiles(e, n_blocks).localCheckpoint(eager=True)
+        if full_key is not None:
+            _TILE_MEMO[full_key] = tiles
+    return tiles
+
+
 def _block_grid(
     e: DataFrame, n_blocks: int | None, memo_key: str | None = None
 ) -> DataFrame:
@@ -144,24 +179,8 @@ def _block_grid(
     (:func:`_auto_blocks`); the tiling changes only the schedule,
     never the answer.
     """
-    if n_blocks is None:
-        if memo_key is not None:
-            nb_key = (id(e.sparkSession), memo_key)
-            n_blocks = _NBLOCKS_MEMO.get(nb_key)
-            if n_blocks is None:
-                n_blocks = _auto_blocks(e)
-                _NBLOCKS_MEMO[nb_key] = n_blocks
-        else:
-            n_blocks = _auto_blocks(e)
-    tiles = None
-    full_key = None
-    if memo_key is not None:
-        full_key = (id(e.sparkSession), memo_key, n_blocks)
-        tiles = _TILE_MEMO.get(full_key)
-    if tiles is None:
-        tiles = _tiles(e, n_blocks).localCheckpoint(eager=True)
-        if full_key is not None:
-            _TILE_MEMO[full_key] = tiles
+    n_blocks = _resolve_blocks(e, n_blocks, memo_key)
+    tiles = _memo_tiles(e, n_blocks, memo_key)
     a = tiles.select(
         F.col("bid").alias("bid_a"),
         F.col("ids").alias("ids_a"),
@@ -872,3 +891,132 @@ def recall_audit(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame
             "recall_ok"
         ),
     )
+
+
+def centroid_assign(
+    e: DataFrame,
+    cents: DataFrame,
+    norms: DataFrame | None = None,
+    n_blocks: int | None = None,
+    memo_key: str | None = None,
+) -> DataFrame:
+    """Per-vector argmax score against a packed centroid table, as one
+    tiled GEMM pass: (vec_id, cell_id, score).
+
+    The k-means / coarse-quantizer assignment stage at production
+    scale. The HOF-fold variant (``_dot_hof`` per (vector, centroid)
+    row) evaluates interpreted per element — n·k·d lambda calls — and
+    melts once k grows past a handful; this kernel packs the vectors
+    into :func:`_tiles` and ships the (k × d) centroid matrix to every
+    tile as ONE broadcast row, so the scoring is a (tile × k) float64
+    GEMM and the argmax never leaves numpy. No shuffle for the argmax
+    (each vector's k scores live in one task), no driver collect.
+
+    Bit-parity with the SQL oracle fold: np.dot at these shapes matches
+    the sequential ``list_sum`` fold — the same empirical parity every
+    exact-cosine/IVF contract is verified on at every SF. Ties pick the
+    lowest cell_id (centroids are packed cell_id-sorted and np.argmax
+    returns the first maximum — the oracle's ``score DESC, cell_id``
+    rank order).
+
+    ``cents``: (cell_id, cent) with cent ``array<double>``.
+    ``norms``: optional (cell_id, nrm); when given, score = dot / nrm
+    (one division per score, AFTER the fold — the oracle's op order).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if norms is not None:
+        cents = cents.join(norms.select("cell_id", "nrm"), "cell_id")
+    else:
+        cents = cents.withColumn("nrm", F.lit(None).cast("double"))
+    packed_c = cents.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cell_id"), F.col("cent"), F.col("nrm")))
+        ).alias("c")
+    ).select(
+        F.transform(F.col("c"), lambda t: t.cell_id).alias("cids"),
+        F.flatten(F.transform(F.col("c"), lambda t: t.cent)).alias("cemb"),
+        F.transform(F.col("c"), lambda t: t.nrm).alias("cnrm"),
+    )
+    n_blocks = _resolve_blocks(e, n_blocks, memo_key)
+    units = _memo_tiles(e, n_blocks, memo_key).crossJoin(F.broadcast(packed_c))
+
+    def assign(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids = np.asarray(row["ids"], dtype=np.int64)
+                k = len(row["cids"])
+                dim = len(row["cemb"]) // k
+                x = np.asarray(row["emb"], dtype=np.float64).reshape(len(ids), dim)
+                c = np.asarray(row["cemb"], dtype=np.float64).reshape(k, dim)
+                dots = x @ c.T
+                # null norms arrive as NaN through Arrow, not None
+                cnrm = np.asarray(
+                    [np.nan if v is None else v for v in row["cnrm"]],
+                    dtype=np.float64,
+                )
+                if not np.isnan(cnrm[0]):
+                    dots = dots / cnrm[None, :]
+                j = np.argmax(dots, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "cell_id": np.asarray(row["cids"], dtype=np.int32)[j],
+                        "score": dots[np.arange(len(ids)), j],
+                    }
+                )
+
+    return units.mapInPandas(assign, "vec_id long, cell_id int, score double")
+
+
+def cell_pairs_threshold(assigned: DataFrame, tau: float) -> DataFrame:
+    """Same-cell ordered pairs (u < v) with dot ≥ ``tau`` — the
+    SemDeDup pair stage as one self-GEMM per cell.
+
+    ``assigned``: (vec_id, cell_id, embedding). Each cell packs into a
+    parallel-array tile (the IVF inverted-list layout) and scores
+    itself with one float64 GEMM; only the above-threshold upper
+    triangle is emitted, so output is the match set, never the n²
+    score matrix. Work is Σ|cell|² — the quadratic is confined to a
+    cell, and the caller holds |cell| constant at scale by growing k
+    with n (sub-tiling a hot cell with :func:`_tiles` keyed on
+    (cell_id, bid) is the remedy if the assignment itself skews).
+    """
+    import numpy as np
+    import pandas as pd
+
+    packed = (
+        assigned.groupBy("cell_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
+            ).alias("t")
+        )
+        .select(
+            "cell_id",
+            F.transform(F.col("t"), lambda t: t.vec_id).alias("ids"),
+            F.flatten(F.transform(F.col("t"), lambda t: t.embedding)).alias(
+                "emb"
+            ),
+        )
+    )
+
+    def pairs(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids = np.asarray(row["ids"], dtype=np.int64)
+                n = len(ids)
+                if n < 2:
+                    continue
+                x = np.asarray(row["emb"], dtype=np.float64).reshape(n, -1)
+                g = x @ x.T
+                iu, ju = np.triu_indices(n, k=1)
+                hit = g[iu, ju] >= tau
+                if not hit.any():
+                    continue
+                yield pd.DataFrame(
+                    {"u": ids[iu[hit]], "v": ids[ju[hit]]}
+                )
+
+    return packed.mapInPandas(pairs, "u long, v long")

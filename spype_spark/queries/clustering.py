@@ -116,20 +116,30 @@ _KMEANS_ORACLE = f"""
     """
 
 
-def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_assign(spark: SparkSession, sf_dir: str, k: int = _K) -> DataFrame:
     """Run the full Lloyd round and return every vector's final
     assignment: (vec_id, cell_id, score, embedding).
 
     The Spark mirror of :data:`_KMEANS_CTES` — shared by the k-means
-    and SemDeDup contracts.
+    and SemDeDup contracts. Both assignment rounds run as tiled GEMM
+    passes (:func:`spype_spark.ann.centroid_assign`): n·k·d multiplies
+    inside numpy instead of n·k interpreted HOF folds, no per-vector
+    window shuffle (the argmax happens inside the tile task). Bit-
+    parity with the oracle's ``list_sum`` fold is the same empirical
+    invariant every exact-cosine/IVF contract is verified on — the
+    differential check re-proves it for this kernel at every SF.
+    ``k`` parameterizes the scale knob (contracts pin k=8; the scale
+    probe grows k with n to hold cell sizes constant).
     """
+    from spype_spark.ann import centroid_assign
+
     e = _normalize(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
 
     # init: the k lowest vec_ids (same seed-set convention as ivf_ann).
     w0 = Window.orderBy("vec_id")
     c0 = (
         e.orderBy("vec_id")
-        .limit(_K)
+        .limit(k)
         .select(
             (F.row_number().over(w0) - 1).cast("int").alias("cell_id"),
             F.col("embedding").alias("cent"),
@@ -137,17 +147,11 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # round 1: argmax dot against the unit-norm seed centroids.
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell_id"))
-    s1 = e.crossJoin(F.broadcast(c0)).select(
-        "vec_id",
-        "embedding",
-        "cell_id",
-        _dot_hof(F.col("embedding"), F.col("cent")).alias("score"),
-    )
+    memo = f"{sf_dir}/embeddings:kmeans"
     a1 = (
-        s1.withColumn("rnk", F.row_number().over(wv))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "cell_id", "embedding")
+        centroid_assign(e, c0, memo_key=memo)
+        .select("vec_id", "cell_id")
+        .join(e, "vec_id")
     )
 
     # centroid update: exact integer mean per (cell, dim) on the 1e-7
@@ -171,6 +175,8 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: t.mean,
         ).alias("cent")
     )
+    # the k-row norm column stays on the JVM fold (_dot_hof): it is the
+    # oracle's exact expression and costs k rows, not n.
     n1 = c1.select(
         "cell_id",
         "cent",
@@ -178,19 +184,13 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # round 2: cosine against the updated (non-unit) centroids.
-    s2 = e.crossJoin(F.broadcast(n1)).select(
-        "vec_id",
-        "embedding",
-        "cell_id",
-        (_dot_hof(F.col("embedding"), F.col("cent")) / F.col("nrm")).alias(
-            "score"
-        ),
+    a2 = centroid_assign(
+        e,
+        n1.select("cell_id", "cent"),
+        norms=n1.select("cell_id", "nrm"),
+        memo_key=memo,
     )
-    return (
-        s2.withColumn("rnk", F.row_number().over(wv))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "cell_id", "score", "embedding")
-    )
+    return a2.join(e, "vec_id").select("vec_id", "cell_id", "score", "embedding")
 
 
 @query("q_cluster_kmeans", oracle=_KMEANS_ORACLE)
@@ -251,20 +251,14 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd-round oracle with q_cluster_kmeans, so the whole pipeline —
     clustering included — replays row-exactly in DuckDB.
     """
+    from spype_spark.ann import cell_pairs_threshold
+
     a2 = kmeans_assign(spark, sf_dir).localCheckpoint(eager=False)
-    a = a2.select(
-        F.col("vec_id").alias("u"),
-        F.col("cell_id").alias("cell_a"),
-        F.col("embedding").alias("emb_a"),
-    )
-    b = a2.select(
-        F.col("vec_id").alias("v"),
-        F.col("cell_id").alias("cell_b"),
-        F.col("embedding").alias("emb_b"),
-    )
+    # pair stage: one self-GEMM per cell (Σ|cell|² numpy work, never a
+    # per-pair HOF fold); only above-threshold (u < v) pairs come back.
     dropped = (
-        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("u") < F.col("v")))
-        .filter(_dot_hof(F.col("emb_a"), F.col("emb_b")) >= _SEMDEDUP_TAU)
+        cell_pairs_threshold(a2.select("vec_id", "cell_id", "embedding"),
+                             _SEMDEDUP_TAU)
         .select(F.col("v").alias("vec_id"))
         .distinct()
     )

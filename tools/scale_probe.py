@@ -66,6 +66,13 @@ QUERIES = [
     "q_events_hourly_agg",
     "q_tpch_q5",
     "q_tpch_q18",
+    # round-6 additions (fixed-parameter contracts; the k-scaled
+    # clustering variants are kernel probes below)
+    "q_text_paragraph_dedup",
+    "q_text_unigram_logprob",
+    "q_events_anomaly",
+    "q_join_skew_salted",
+    "q_tpch_q15",
 ]
 
 
@@ -128,9 +135,47 @@ def _probe_minhash(spark, d):
     return minhash_candidates(doc, n_hashes=16)
 
 
+def _kmeans_k(spark, d) -> int:
+    """The clustering scale knob: k grows with n to hold cell sizes at
+    ~250 vectors (k=8 at sf0.1's 2k vectors, 80 at the 10× replica),
+    which keeps the SemDeDup pair stage Σ|cell|² linear in n."""
+    n = spark.read.parquet(f"{d}/embeddings.parquet").count()
+    return max(8, n // 250)
+
+
+def _probe_kmeans(spark, d):
+    """Full Lloyd round with scale-proportional k (GEMM assignment)."""
+    from spype_spark.queries.clustering import kmeans_assign
+
+    return kmeans_assign(spark, d, k=_kmeans_k(spark, d)).select(
+        "vec_id", "cell_id", "score"
+    )
+
+
+def _probe_semdedup(spark, d):
+    """SemDeDup with scale-proportional k: cluster + per-cell pair GEMM
+    + survivor anti-join."""
+    from spype_spark.ann import cell_pairs_threshold
+    from spype_spark.queries.clustering import _SEMDEDUP_TAU, kmeans_assign
+
+    a2 = kmeans_assign(spark, d, k=_kmeans_k(spark, d)).localCheckpoint(
+        eager=False
+    )
+    dropped = (
+        cell_pairs_threshold(
+            a2.select("vec_id", "cell_id", "embedding"), _SEMDEDUP_TAU
+        )
+        .select(F.col("v").alias("vec_id"))
+        .distinct()
+    )
+    return a2.join(dropped, "vec_id", "left_anti").select("vec_id", "cell_id")
+
+
 #: ANN/dedup kernel probes (VERDICT r5 task 4): callables of (spark,
 #: dir), timed like the registry queries.
 KERNEL_PROBES = {
+    "kmeans[k~n/250]": _probe_kmeans,
+    "semdedup[k~n/250]": _probe_semdedup,
     "minhash_candidates": _probe_minhash,
     "lsh_ann_topk[kernel]": _probe_lsh,
     "cosine_topk_tiled[auto]": _probe_cosine_tiled,
