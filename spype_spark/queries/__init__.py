@@ -14,6 +14,7 @@ from spype_spark.queries import project_filter  # noqa: F401
 from spype_spark.queries import joins  # noqa: F401
 from spype_spark.queries import aggregates  # noqa: F401
 from spype_spark.queries import tpch  # noqa: F401
+from spype_spark.queries import tpch_deep  # noqa: F401
 from spype_spark.queries import graph_analytics  # noqa: F401
 
 from spype_spark.queries import windows  # noqa: F401

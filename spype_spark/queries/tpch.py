@@ -6,9 +6,10 @@ commit/receipt dates, no comment/phone/container columns. Each query
 here keeps the *shape* of its classic counterpart — the join topology,
 the correlation pattern, the aggregate structure — and re-parameterizes
 predicates to columns that exist. Q1 lives in ``aggregates.py``
-(``q_pricing_summary``); queries needing ``partsupp`` (Q2/Q9/Q11/Q16/
-Q20) or commit/receipt dates (Q12/Q21) have no faithful adaptation and
-are omitted rather than faked.
+(``q_pricing_summary``); the queries needing ``partsupp`` (Q2/Q9/Q11/
+Q16/Q20) or commit/receipt dates (Q12/Q21) live in ``tpch_deep.py``,
+which re-derives the missing relations from observed lineitem pairs
+(see its module docstring for the adaptation discipline).
 
 Scale notes (100 TB):
 - Dimension joins (nation/region) are explicit ``broadcast()``; the
