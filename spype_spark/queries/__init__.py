@@ -123,8 +123,17 @@ _DRIVER_PRIORITY = [
     # history, so it takes the window's last slot.
     "q_stream_session_true",
     # ---- end of the 50-slot window ----
-    # Round-7 queue: the displaced scalar keys plus the remaining stale
-    # keys, so every contract has post-regen driver evidence by round 7:
+    # Round-7 queue. Zero-driver-history keys lead (the partsupp/
+    # commit-date TPC-H family, added late in round 6), then the
+    # displaced scalar keys plus the remaining stale keys, so every
+    # contract has post-regen driver evidence by round 7:
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q21",
     "q_sort_multi",
     "q_topk_global",
     "q_set_union_distinct",
