@@ -54,6 +54,10 @@ BENCH_QUERIES = {
     # BENCH_r01/r02; compare per-query against BASELINE.md floors):
     "q_tpch_q5": "q_tpch_q5",
     "q_tpch_q18": "q_tpch_q18",
+    # deep classic-suite row (added round 6 with tpch_deep.py: the
+    # 5-way broadcast-chain profit rollup — totals are NOT comparable
+    # to BENCH_r05; compare per-query):
+    "q_tpch_q9": "q_tpch_q9",
     # events-analytics rows (added round 5, post-corpus-regen: these
     # exercise the dtype-normalized ts path end-to-end — totals are NOT
     # comparable to BENCH_r03/r04; compare per-query):

@@ -73,6 +73,13 @@ QUERIES = [
     "q_events_anomaly",
     "q_join_skew_salted",
     "q_tpch_q15",
+    # the partsupp/commit-date family: Q2 stresses the (part,supp)
+    # offer aggregate, Q9 the 5-way broadcast chain, Q11 the grouped
+    # view + scalar gate, Q21 the groupBy(orderkey) EXISTS rewrite.
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q21",
 ]
 
 
