@@ -25,6 +25,7 @@ from spype_spark.queries import llm_curation  # noqa: F401
 from spype_spark.queries import llm_extra  # noqa: F401
 from spype_spark.queries import clustering  # noqa: F401
 from spype_spark.queries import streaming_batch  # noqa: F401
+from spype_spark.queries import events_modeling  # noqa: F401
 from spype_spark.queries import udx  # noqa: F401
 from spype_spark.queries import pipe_demos  # noqa: F401
 from spype_spark.queries import multimodal  # noqa: F401
@@ -134,6 +135,8 @@ _DRIVER_PRIORITY = [
     "q_tpch_q16",
     "q_tpch_q20",
     "q_tpch_q21",
+    "q_regress_grouped",
+    "q_scd2_history",
     "q_sort_multi",
     "q_topk_global",
     "q_set_union_distinct",
