@@ -137,6 +137,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q21",
     "q_regress_grouped",
     "q_scd2_history",
+    "q_path_ngrams",
     "q_sort_multi",
     "q_topk_global",
     "q_set_union_distinct",

@@ -198,3 +198,85 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+@query(
+    "q_path_ngrams",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN us - lag(us) OVER w IS NULL THEN 1
+                  WHEN us - lag(us) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ),
+    grams AS (
+      SELECT event_type || '>' || lead(event_type, 1) OVER w2
+                        || '>' || lead(event_type, 2) OVER w2 AS gram
+      FROM sessions
+      WINDOW w2 AS (PARTITION BY user_id, session_idx ORDER BY us, event_id)
+    )
+    SELECT gram, COUNT(*) AS n
+    FROM grams WHERE gram IS NOT NULL
+    GROUP BY gram
+    ORDER BY n DESC, gram
+    LIMIT 20
+    """,
+)
+def q_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-path mining: the 20 most frequent event-type trigrams
+    inside 30-minute-gap sessions (the "what do users do next"
+    sequence-analytics staple).
+
+    Shape: the standard lag→flag→running-sum sessionization (the
+    q_stream_session idiom, one user-hash shuffle with a partition-
+    local sort), then two lead() calls over the SAME (user, session)
+    sort — Spark plans one window stage, no extra exchange — and a
+    trigram count with map-side partials. The top-20 is
+    TakeOrderedAndProject over the aggregated gram table (never a
+    global sort); (n, gram) is a total order, so the LIMIT boundary
+    is deterministic. Self-joins for n-gramming are deliberately
+    avoided: lead(k) keeps the pass linear and shuffle-free beyond
+    the session window itself — at 100 TB the only data movement is
+    the one user-hash partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select("user_id", "event_id", "event_type", us.alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "is_new",
+        F.when(F.col("us") - F.lag("us").over(w) > 1_800_000_000, 1)
+        .when(F.lag("us").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = flagged.withColumn("session_idx", F.sum("is_new").over(wrun))
+    w2 = Window.partitionBy("user_id", "session_idx").orderBy("us", "event_id")
+    grams = sess.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w2),
+            F.lead("event_type", 2).over(w2),
+        ).alias("gram"),
+        F.lead("event_type", 2).over(w2).alias("_tail"),
+    ).filter(F.col("_tail").isNotNull())
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(20)
+    )

@@ -57,3 +57,20 @@ def test_scd2_intervals_tile_each_user(spark):
             assert a["valid_to"] == b["valid_from"], uid
             assert a["event_type"] != b["event_type"], uid
         assert hist[-1]["valid_to"] is None
+
+
+def test_path_ngrams_single_window_stage(spark):
+    """The lead(k) n-gramming must reuse the sessionization sort — one
+    user-hash exchange feeds both window passes, and the top-20 is a
+    TakeOrderedAndProject, not a global sort."""
+    from tests.test_plans import plan_of
+
+    df = REGISTRY["q_path_ngrams"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert rows
+    assert all(r["gram"].count(">") == 2 for r in rows)
+    # descending-count order with the (n, gram) total-order tiebreak
+    pairs = [(-r["n"], r["gram"]) for r in rows]
+    assert pairs == sorted(pairs)
