@@ -26,6 +26,7 @@ from spype_spark.queries import llm_extra  # noqa: F401
 from spype_spark.queries import clustering  # noqa: F401
 from spype_spark.queries import streaming_batch  # noqa: F401
 from spype_spark.queries import events_modeling  # noqa: F401
+from spype_spark.queries import market_basket  # noqa: F401
 from spype_spark.queries import udx  # noqa: F401
 from spype_spark.queries import pipe_demos  # noqa: F401
 from spype_spark.queries import multimodal  # noqa: F401
@@ -138,6 +139,7 @@ _DRIVER_PRIORITY = [
     "q_regress_grouped",
     "q_scd2_history",
     "q_path_ngrams",
+    "q_basket_pairs",
     "q_sort_multi",
     "q_topk_global",
     "q_set_union_distinct",
