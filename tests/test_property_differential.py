@@ -410,3 +410,67 @@ def test_random_time_buckets_agree(spark, duck_events, minutes, etype):
         ).fetchall()
     }
     assert got == want, f"{minutes}min buckets, type={etype}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    gap_min=st.sampled_from([1, 5, 10, 30, 90, 360, 1440]),
+    etype=st.sampled_from(["view", "click", None]),
+)
+def test_random_session_gaps_agree(spark, duck_events, gap_min, etype):
+    """Random inactivity-gap widths × event-type predicates: the
+    lag → flag → running-sum sessionization idiom (the engine behind
+    q_stream_session, q_rolling_dau's spine, and q_path_ngrams) must
+    produce identical per-user session counts to DuckDB's
+    gaps-and-islands for ANY gap parameter — the boundary arithmetic
+    (strict `>` on integer microseconds) is the part a fixed oracle
+    can't sweep."""
+    from pyspark.sql import Window
+
+    from spype_spark.tables import load_table
+
+    gap_us = gap_min * 60_000_000
+    ev = load_table(spark, SF, "events")
+    if etype is not None:
+        ev = ev.filter(F.col("event_type") == etype)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = ev.select("user_id", "event_id", us.alias("us"))
+    flagged = e.withColumn(
+        "is_new",
+        F.when(F.col("us") - F.lag("us").over(w) > gap_us, 1)
+        .when(F.lag("us").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    got = {
+        (r.user_id, r.n)
+        for r in flagged.groupBy("user_id")
+        .agg(F.sum("is_new").alias("n"))
+        .collect()
+    }
+    where = f"WHERE event_type = '{etype}'" if etype is not None else ""
+    want = {
+        (u, n)
+        for u, n in duck_events.sql(
+            f"""
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+              FROM events {where}
+            ),
+            flagged AS (
+              SELECT user_id,
+                     CASE WHEN us - lag(us) OVER w IS NULL THEN 1
+                          WHEN us - lag(us) OVER w > {gap_us} THEN 1
+                          ELSE 0 END AS is_new
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+            )
+            SELECT user_id, SUM(is_new) AS n FROM flagged GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want, f"gap={gap_min}min type={etype}"
