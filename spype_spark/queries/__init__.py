@@ -140,6 +140,7 @@ _DRIVER_PRIORITY = [
     "q_scd2_history",
     "q_path_ngrams",
     "q_basket_pairs",
+    "q_stream_stream_left_join",
     "q_sort_multi",
     "q_topk_global",
     "q_set_union_distinct",

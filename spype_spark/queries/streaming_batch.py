@@ -850,3 +850,84 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spype_spark.streaming.jobs import run_stream_stream_join
 
     return run_stream_stream_join(spark, sf_dir)
+
+
+@query(
+    "q_stream_stream_left_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id AS p_user,
+             CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS c_id, user_id AS c_user,
+             CAST(ts AS TIMESTAMP) AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.p_id, c.c_id, p.p_user, p.p_ts
+      FROM p LEFT JOIN c
+        ON p.p_user = c.c_user
+       AND c.c_ts <= p.p_ts
+       AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+    ),
+    wm AS (
+      SELECT LEAST((SELECT date_trunc('milliseconds', MAX(c_ts)) FROM c),
+                   (SELECT date_trunc('milliseconds', MAX(p_ts)) FROM p))
+             - INTERVAL 1 HOUR AS cut
+    )
+    SELECT p_id, c_id, p_user
+    FROM j, wm
+    WHERE c_id IS NOT NULL OR p_ts < cut
+    """,
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream LEFT OUTER join: every purchase with its
+    clicks ≤ 1 h prior; purchases with no qualifying click emit one
+    null-padded row — but only once the click-side watermark PROVES no
+    match can still arrive.
+
+    The outer-specific subtlety a batch engine never faces: a null row
+    is a *negative* claim, so it may only emit after the watermark
+    passes the purchase's match window. Micro-batch timing makes the
+    set of emitted null rows for purchases NEAR the final watermark an
+    implementation detail (Spark may or may not have finalized them in
+    the last AvailableNow batch) — so the contract intersects the
+    drained stream with the deterministic provable region: matched
+    rows, plus null rows with p_ts < the final GLOBAL watermark
+    (min of the two sides' max event time, millisecond-truncated —
+    Spark tracks event-time watermarks at ms precision and evicts
+    outer-join state on the min across all input streams — minus the
+    1 h delay). Inside that region the streaming result is exactly the
+    batch left join with the same cutoff — which is the oracle. The
+    watermark cutoff is computed batch-side and broadcast (1 row); the
+    filter is the only post-drain work.
+    """
+    from spype_spark.streaming.jobs import run_stream_stream_left_join
+
+    stream = run_stream_stream_left_join(spark, sf_dir)
+    wm = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .agg(
+            (
+                F.least(
+                    F.date_trunc(
+                        "millisecond",
+                        F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                    ),
+                    F.date_trunc(
+                        "millisecond",
+                        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                    ),
+                )
+                - F.expr("INTERVAL 1 HOUR")
+            ).alias("cut")
+        )
+    )
+    return (
+        stream.join(F.broadcast(wm))
+        .filter(F.col("c_id").isNotNull() | (F.col("p_ts") < F.col("cut")))
+        .select("p_id", "c_id", "p_user")
+    )
