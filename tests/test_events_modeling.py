@@ -74,3 +74,13 @@ def test_path_ngrams_single_window_stage(spark):
     # descending-count order with the (n, gram) total-order tiebreak
     pairs = [(-r["n"], r["gram"]) for r in rows]
     assert pairs == sorted(pairs)
+
+
+def test_regress_plan_is_pure_aggregation(spark):
+    """The OLS fit must stay two hash aggregates — no window, no
+    Python UDF, no sort before the (tiny) output."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(REGISTRY["q_regress_grouped"].fn(spark, SF))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

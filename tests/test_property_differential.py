@@ -474,3 +474,68 @@ def test_random_session_gaps_agree(spark, duck_events, gap_min, etype):
         ).fetchall()
     }
     assert got == want, f"gap={gap_min}min type={etype}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    mod=st.integers(2, 7),
+    etypes=st.sets(
+        st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+        min_size=2,
+    ),
+)
+def test_random_run_collapse_agrees(spark, duck_events, mod, etypes):
+    """Random event-type subsets × user-id modulus filters over the
+    gaps-and-islands run collapse (the SCD2 idiom): the
+    difference-of-row_numbers run id must yield identical per-user run
+    counts in both engines for ANY input subset — re-filtering shifts
+    every row_number, so this sweeps the idiom's alignment far beyond
+    the fixed q_scd2_history oracle."""
+    from pyspark.sql import Window
+
+    from spype_spark.tables import load_table
+
+    vals = sorted(etypes)
+    ev = load_table(spark, SF, "events").filter(
+        F.col("event_type").isin(vals) & (F.col("user_id") % mod == 0)
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    runs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+                "run"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type", "run").alias("n_runs"))
+    )
+    got = {(r.user_id, r.n_runs) for r in runs.collect()}
+    quoted = ", ".join(f"'{v}'" for v in vals)
+    want = {
+        (u, n)
+        for u, n in duck_events.sql(
+            f"""
+            WITH e AS (
+              SELECT user_id, event_type, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS ra,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rt
+              FROM events
+              WHERE event_type IN ({quoted}) AND user_id % {mod} = 0
+            )
+            SELECT user_id, COUNT(DISTINCT (event_type, ra - rt)) AS n_runs
+            FROM e GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want, f"mod={mod} types={vals}"
