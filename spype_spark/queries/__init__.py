@@ -141,6 +141,7 @@ _DRIVER_PRIORITY = [
     "q_path_ngrams",
     "q_basket_pairs",
     "q_stream_stream_left_join",
+    "q_join_asof_nearest",
     "q_sort_multi",
     "q_topk_global",
     "q_set_union_distinct",

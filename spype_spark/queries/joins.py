@@ -432,3 +432,88 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expanded.groupBy(
         F.date_format("m", "yyyy-MM").alias("month")
     ).agg(F.countDistinct("o_custkey").alias("n_active"))
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id AS v_id, user_id, CAST(ts AS TIMESTAMP) AS v_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    cand AS (
+      SELECT p.p_id, p.user_id, v.v_id,
+             abs(epoch_us(p.p_ts) - epoch_us(v.v_ts)) AS adt
+      FROM p JOIN v
+        ON v.user_id = p.user_id
+       AND v.v_ts >= p.p_ts - INTERVAL 2 HOUR
+       AND v.v_ts <= p.p_ts + INTERVAL 2 HOUR
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY p_id
+                  ORDER BY adt, v_id) AS rnk
+      FROM cand
+    )
+    SELECT p_id, user_id, v_id AS nearest_view, adt // 1000 AS gap_ms
+    FROM best WHERE rnk = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-asof join: each purchase matched to the same user's
+    CLOSEST view in time, either direction, within a ±2 h tolerance —
+    the bidirectional generalization of q_join_asof (backward-only),
+    the sensor-fusion / interaction-attribution alignment primitive.
+
+    The tolerance is what makes it scale: the user equi-join's fan-out
+    is bounded by views-per-user-per-4-hours, never the full history.
+    Candidate distance is exact integer microseconds, and the winner
+    per purchase is ONE min-of-struct aggregate — (adt, v_id) compares
+    lexicographically, ties breaking deterministically toward the
+    lower view id — which partial-aggregates map-side (each shuffle
+    partition ships one candidate struct per purchase), where the
+    textbook row_number() window would ship every candidate to the
+    shuffle. The oracle states the same semantics in the window form;
+    the differential check proves the aggregate rewrite equals it
+    row-for-row.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    tol = F.expr("INTERVAL 2 HOURS")
+    cand = p.join(
+        v,
+        (p.user_id == v.v_user)
+        & (v.v_ts >= p.p_ts - tol)
+        & (v.v_ts <= p.p_ts + tol),
+    ).select(
+        "p_id",
+        "user_id",
+        "v_id",
+        F.abs(F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts"))).alias(
+            "adt"
+        ),
+    )
+    best = cand.groupBy("p_id", "user_id").agg(
+        F.min(F.struct("adt", "v_id")).alias("w")
+    )
+    return best.select(
+        "p_id",
+        "user_id",
+        F.col("w.v_id").alias("nearest_view"),
+        (F.col("w.adt") / F.lit(1000)).cast("long").alias("gap_ms"),
+    )

@@ -145,3 +145,17 @@ def test_q20_q21_outputs_stay_in_their_nation(spark, sf001):
     assert q20 and all(nat[r["s_name"]] == "NATION_8" for r in q20)
     assert q21 and all(nat[r["s_name"]] == "NATION_12" for r in q21)
     assert all(r["numwait"] > 0 for r in q21)
+
+
+def test_asof_nearest_aggregate_not_window(spark, sf001):
+    """The nearest-asof winner selection must be the min-of-struct
+    aggregate (map-side combinable), not a row_number window, and each
+    purchase appears at most once."""
+    df = REGISTRY["q_join_asof_nearest"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    rows = df.collect()
+    assert rows
+    ids = [r["p_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert all(0 <= r["gap_ms"] <= 2 * 3600 * 1000 for r in rows)
