@@ -539,3 +539,41 @@ def test_random_run_collapse_agrees(spark, duck_events, mod, etypes):
         ).fetchall()
     }
     assert got == want, f"mod={mod} types={vals}"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    k=st.integers(1, 40),
+    key=st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+    p=predicate,
+)
+def test_random_topk_boundaries_agree(orders, duck, k, key, p):
+    """Random LIMIT sizes × predicates over a grouped count with a
+    total-order tiebreak: the TakeOrderedAndProject boundary must cut
+    at the identical row in both engines for any k — the discipline
+    every top-k contract relies on (ties broken by the full key, never
+    left to partition order)."""
+    cond, sql = build(p)
+    got = [
+        tuple(r)
+        for r in orders.filter(cond)
+        .groupBy(key, "o_custkey")
+        .count()
+        .orderBy(F.desc("count"), key, "o_custkey")
+        .limit(k)
+        .collect()
+    ]
+    want = duck.sql(
+        f"""
+        SELECT {key}, o_custkey, COUNT(*) AS count
+        FROM orders WHERE {sql}
+        GROUP BY 1, 2
+        ORDER BY count DESC, {key}, o_custkey
+        LIMIT {k}
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want], f"k={k} key={key} pred={sql!r}"
