@@ -165,7 +165,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape preserved exactly: the classic 6-way join minus partsupp —
     lineitem ⋈ part (name-filtered, broadcast) ⋈ supplier (broadcast)
-    ⋈ nation (broadcast) ⋈ orders (the one real shuffle, on orderkey),
+    ⋈ nation (broadcast) ⋈ orders (the one data-proportional join: an
+    orderkey shuffle at production scale, though below the broadcast
+    threshold AQE turns even it into a broadcast at test SFs),
     grouped to (nation, year). The profit expression is pinned to one
     association order so both engines produce bit-identical per-row
     doubles; the sum is scaled-long (grid 1e-4), so group totals are
