@@ -52,83 +52,15 @@ from spype_spark.queries import lakehouse_ops  # noqa: F401
 #      as evidence), with the round-1 rows-only keys last.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # ---- round-6 window (first 50 keys = the driver's evidence budget).
-    # Per VERDICT.md r5 task 1: rotate onto the 74 contracts whose latest
-    # driver rows predate the round-4 corpus regeneration (stale = 
-    # set(REGISTRY) - keys(CORRECTNESS_r04 + r05)).
-    # Group A - rows-only kernels converted to SQL-invariant oracles this
-    # round (VERDICT task 5): must re-verify under the new oracle:
-    "q_sim_lsh_ann",
-    "q_sim_ivf_ann",
-    "q_sim_nndescent",
-    "q_pq_encode",
-    # Group B - q_udf_cogroup reworked this round (VERDICT task 6); its
-    # last driver row (r2) is pre-regen AND pre-rework:
-    "q_udf_cogroup",
-    # Group C - first 45 of the remaining 73 stale keys, registry order
-    # (scans/filters/joins/aggs/windows/sorts/setops/scalars families):
-    "q_scan_project",
-    "q_scan_filter_pushdown",
-    "q_project_exprs",
-    "q_filter_compound",
-    "q_filter_like_regex",
-    "q_join_inner_equi",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_broadcast",
-    "q_join_theta_range",
-    "q_agg_global",
-    "q_agg_distinct",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_stats",
-    "q_agg_minmax_by",
-    "q_agg_collect",
-    "q_agg_percentile",
-    "q_agg_listagg",
-    "q_window_rank",
-    "q_window_analytic",
-    "q_window_frame_rows",
-    "q_window_frame_range",
-    "q_window_nth",
-    "q_window_ntile",
-    "q_set_union_all",
-    "q_stream_enrich_static",
-    "q_stream_stream_join",
-    # New-in-round-6 contracts (zero driver history — the same priority
-    # rule that put the r5 second-wave keys first): the full-oracle
-    # k-means, the curation/sampling/quality additions, the salted-join
-    # twin, and TPC-H Q15. They displace six r1-evidenced scalar/setop
-    # keys (q_set_union_byname/except, str/date/math/cond funcs) to the
-    # round-7 queue.
-    "q_cluster_kmeans",
-    "q_dedup_semdedup",
-    "q_events_anomaly",
-    "q_text_paragraph_dedup",
-    "q_text_unigram_logprob",
-    "q_sample_stratified",
-    "q_join_skew_salted",
-    "q_tpch_q15",
-    # Round-6 conversions of the last rows-only keys (minhash/simhash
-    # audits, full resize oracle): their r5 driver rows predate the
-    # oracle, so they re-enter the window; q_str_funcs2/q_bitwise_funcs/
-    # q_hash_funcs move to the round-7 queue.
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_multimodal_resize",
-    # New-in-round-6 key (true-streaming session windows): zero driver
-    # history, so it takes the window's last slot.
-    "q_stream_session_true",
-    # ---- end of the 50-slot window ----
-    # Round-7 queue. Zero-driver-history keys lead (the partsupp/
-    # commit-date TPC-H family, added late in round 6), then the
-    # displaced scalar keys plus the remaining stale keys, so every
-    # contract has post-regen driver evidence by round 7:
+    # ---- round-7 window (first 50 keys = the driver's evidence budget).
+    # Per VERDICT.md r6 tasks 1-2: (a) the 14 contracts with ZERO driver
+    # history (the deep TPC-H family added late in round 6, the event-
+    # modeling/basket additions, the stream-stream left join, nearest-asof,
+    # and q_sim_ivfpq_ann whose only prior row was an r5 no_oracle), then
+    # (b) 36 of the 42 keys whose last driver rows predate the round-4
+    # corpus regeneration (r1/r2 evidence). All 50 are green in the
+    # builder's CHECKLOG_r06*.txt at sf0.01/sf0.1/shuffle=7.
+    # Group A - zero driver history (14):
     "q_tpch_q2",
     "q_tpch_q9",
     "q_tpch_q11",
@@ -142,6 +74,9 @@ _DRIVER_PRIORITY = [
     "q_basket_pairs",
     "q_stream_stream_left_join",
     "q_join_asof_nearest",
+    "q_sim_ivfpq_ann",
+    # Group B - pre-regen keys, last driver rows r1/r2 (36 of 42; the 6
+    # displaced below are the pytest-redundant UDF/pipe demo surfaces):
     "q_sort_multi",
     "q_topk_global",
     "q_set_union_distinct",
@@ -177,9 +112,15 @@ _DRIVER_PRIORITY = [
     "q_dedup_components",
     "q_dataset_split",
     "q_dedup_cluster_keep",
+    "q_udaf_grouped",
+    # ---- end of the 50-slot window ----
+    # Round-8 queue: the 6 pre-regen keys displaced from this window
+    # (each also exercised directly by tests/test_udx.py and
+    # tests/test_pipeline.py, so driver evidence is the only gap).
+    # After these, every key has a post-regen driver row; the remainder
+    # (r4-r6 green keys) follows in registration order.
     "q_udf_python",
     "q_udf_pandas",
-    "q_udaf_grouped",
     "q_udtf_explode",
     "q_pipe_chain",
     "q_pipe_fan_merge",

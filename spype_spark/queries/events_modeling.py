@@ -131,16 +131,17 @@ def q_regress_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     runs AS (
       SELECT user_id, event_type,
-             MIN(ts) AS valid_from
+             MIN(ts) AS valid_from,
+             MIN(rn_all) AS seq
       FROM ordered
       GROUP BY user_id, event_type, rn_all - rn_type
     ),
     versioned AS (
       SELECT user_id, event_type, valid_from,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY valid_from, event_type) AS version,
+                                ORDER BY seq) AS version,
              lead(valid_from) OVER (PARTITION BY user_id
-                                    ORDER BY valid_from, event_type) AS valid_to
+                                    ORDER BY seq) AS valid_to
       FROM runs
     )
     SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
@@ -162,7 +163,16 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plans a single user-hash shuffle and reuses the sort. Run
     starts are MIN(ts) per island — order-free — and the (ts,
     event_id) tiebreak makes every window total-ordered, so output is
-    partitioning-invariant. valid_from/valid_to render as strings
+    partitioning-invariant. Versions are ordered by the run's SEQUENCE
+    position (MIN(rn_all) per island — runs are contiguous rn_all
+    intervals, so this is strictly increasing in true run order), NOT
+    by (valid_from, event_type): with interleaved same-timestamp
+    events (A,B,A all at ts T) two same-type runs share valid_from and
+    a timestamp sort would order them nondeterministically AND break
+    the alternation invariant. Under seq order consecutive versions
+    alternate type by construction (runs are maximal same-type
+    intervals); same-ts ties merely yield zero-length [T, T)
+    versions, which still tile. valid_from/valid_to render as strings
     (second grain is enough: run boundaries are distinct event rows).
     """
     ev = load_table(spark, sf_dir, "events").select(
@@ -174,12 +184,14 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "ts",
+        F.row_number().over(w_all).alias("rn_all"),
         (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("run"),
     )
     runs = ordered.groupBy("user_id", "event_type", "run").agg(
-        F.min("ts").alias("valid_from")
+        F.min("ts").alias("valid_from"),
+        F.min("rn_all").alias("seq"),
     )
-    w_ver = Window.partitionBy("user_id").orderBy("valid_from", "event_type")
+    w_ver = Window.partitionBy("user_id").orderBy("seq")
     return (
         runs.select(
             "user_id",
@@ -268,15 +280,19 @@ def q_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = flagged.withColumn("session_idx", F.sum("is_new").over(wrun))
     w2 = Window.partitionBy("user_id", "session_idx").orderBy("us", "event_id")
+    # F.concat (not concat_ws): concat_ws SKIPS nulls, silently emitting a
+    # malformed 1-separator gram if any event_type in the window is null,
+    # while the oracle's || propagates NULL into the IS NOT NULL filter.
+    # concat matches the oracle: a null anywhere nulls the whole gram.
     grams = sess.select(
-        F.concat_ws(
-            ">",
+        F.concat(
             F.col("event_type"),
+            F.lit(">"),
             F.lead("event_type", 1).over(w2),
+            F.lit(">"),
             F.lead("event_type", 2).over(w2),
-        ).alias("gram"),
-        F.lead("event_type", 2).over(w2).alias("_tail"),
-    ).filter(F.col("_tail").isNotNull())
+        ).alias("gram")
+    ).filter(F.col("gram").isNotNull())
     return (
         grams.groupBy("gram")
         .agg(F.count("*").alias("n"))

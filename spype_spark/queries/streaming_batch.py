@@ -903,10 +903,18 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch left join with the same cutoff — which is the oracle. The
     watermark cutoff is computed batch-side and broadcast (1 row); the
     filter is the only post-drain work.
+
+    Flush guarantee: null rows below the cut only exist in the sink if
+    the terminal no-data micro-batch ran (it is what advances the
+    watermark and flushes finalized outer state under AvailableNow).
+    The drain helper asserts ``noDataMicroBatches.enabled`` up front,
+    and this contract re-checks that the watermark the sink actually
+    observed reached the batch-side cut — turning an un-flushed drain
+    into a loud error instead of a nondeterministic hash mismatch.
     """
     from spype_spark.streaming.jobs import run_stream_stream_left_join
 
-    stream = run_stream_stream_left_join(spark, sf_dir)
+    stream, observed_wm = run_stream_stream_left_join(spark, sf_dir)
     wm = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "purchase"))
@@ -926,8 +934,22 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cut")
         )
     )
-    return (
-        stream.join(F.broadcast(wm))
-        .filter(F.col("c_id").isNotNull() | (F.col("p_ts") < F.col("cut")))
-        .select("p_id", "c_id", "p_user")
-    )
+    cut_row = wm.first()["cut"]
+    if cut_row is not None and (observed_wm is None or observed_wm < cut_row):
+        # observed_wm is the post-delay global watermark (min of both
+        # sides' max event time − 1 h, ms-truncated) — the same quantity
+        # cut recomputes batch-side, so they compare directly; a strictly
+        # smaller observed watermark means the final flush never ran.
+        raise RuntimeError(
+            "stream-stream left join drained without its final watermark "
+            f"reaching the provable-region cut ({observed_wm=!r} vs "
+            f"cut={cut_row!r}): null rows below the cut may be missing. "
+            "The terminal no-data micro-batch did not flush outer state."
+        )
+    # cut is already driver-side for the guard above; inline it as a
+    # literal rather than re-scanning events through a broadcast join.
+    cut_lit = F.lit(cut_row).cast("timestamp")
+    keep = F.col("c_id").isNotNull()
+    if cut_row is not None:
+        keep = keep | (F.col("p_ts") < cut_lit)
+    return stream.filter(keep).select("p_id", "c_id", "p_user")

@@ -70,13 +70,14 @@ def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH offers AS (
       SELECT l_partkey, l_suppkey,
-             MIN(l_extendedprice / l_quantity) AS unit_cost
+             MIN(CAST(floor((l_extendedprice / l_quantity) * 1e6 + 0.5)
+                      AS BIGINT)) AS unit_cost_l
       FROM lineitem GROUP BY 1, 2
     ),
     eligible AS (
       SELECT p.p_partkey AS p_partkey, p.p_name AS p_name,
              s.s_name AS s_name, s.s_acctbal AS s_acctbal,
-             n.n_name AS n_name, o.unit_cost AS unit_cost
+             n.n_name AS n_name, o.unit_cost_l AS unit_cost_l
       FROM offers o
       JOIN part p     ON p.p_partkey = o.l_partkey
       JOIN supplier s ON s.s_suppkey = o.l_suppkey
@@ -84,10 +85,11 @@ def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region r   ON r.r_regionkey = n.n_regionkey
       WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
     )
-    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
-    FROM (SELECT *, MIN(unit_cost) OVER (PARTITION BY p_partkey) AS best
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(unit_cost_l AS DOUBLE) / 1e6 AS unit_cost
+    FROM (SELECT *, MIN(unit_cost_l) OVER (PARTITION BY p_partkey) AS best_l
           FROM eligible) t
-    WHERE unit_cost = best
+    WHERE unit_cost_l = best_l
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100
     """,
@@ -103,13 +105,22 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery is the per-part window minimum over the *aggregated*
     offer table (|parts| × |suppliers| grain — lineitem is touched
     once, by the groupBy that builds the offers). part/supplier/
-    nation/region are all broadcast. The float equality against the
-    window minimum is safe cross-engine: both sides fold the identical
-    per-row division through MIN over the identical set, yielding the
-    same IEEE double.
+    nation/region are all broadcast. The boundary selection runs on
+    scaled-long INTEGERS (floor(price/qty · 1e6 + 0.5), the module's
+    standard discipline): MIN over int64 and an exact int64 equality
+    against the per-part window minimum, so the survivor set cannot
+    drift if the offer expression is ever re-associated or fed decimal
+    inputs — no raw-double equality anywhere. ``unit_cost`` is
+    rendered back to double (÷1e6) only in the output projection,
+    identically in both engines.
     """
     offers = _li(spark, sf_dir).groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        F.min(
+            F.floor(
+                (F.col("l_extendedprice") / F.col("l_quantity")) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("unit_cost_l")
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     s = load_table(spark, sf_dir, "supplier")
@@ -120,13 +131,22 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "unit_cost")
+        .select(
+            "p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "unit_cost_l"
+        )
     )
-    best = F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+    best_l = F.min("unit_cost_l").over(Window.partitionBy("p_partkey"))
     return (
-        eligible.withColumn("best", best)
-        .filter(F.col("unit_cost") == F.col("best"))
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        eligible.withColumn("best_l", best_l)
+        .filter(F.col("unit_cost_l") == F.col("best_l"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("unit_cost_l").cast("double") / F.lit(1e6)).alias("unit_cost"),
+        )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
@@ -211,8 +231,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_partkey, CAST(value_l AS DOUBLE) / 1e4 AS part_value
     FROM pv
-    WHERE value_l * (SELECT CAST(COUNT(*) AS BIGINT) FROM pv)
-          > 2 * (SELECT CAST(SUM(value_l) AS BIGINT) FROM pv)
+    WHERE value_l > (2 * (SELECT CAST(SUM(value_l) AS BIGINT) FROM pv))
+                    // (SELECT CAST(COUNT(*) AS BIGINT) FROM pv)
     ORDER BY part_value DESC, p_partkey
     """,
 )
@@ -226,12 +246,17 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape preserved: grouped view + uncorrelated scalar-subquery
     threshold (one 1-row aggregate, broadcast). The boundary is
-    compared on scaled-long *integers* (``value_l · nparts >
-    2 · total_l``) — exact arithmetic, no re-divided doubles, so the
-    boundary part set is identical across engines and partitionings.
-    Overflow headroom: row revenue ≤ ~1e5 → 1e9 scaled; int64 clears
-    corpora ~1e5× this one even after the nparts multiply — at true
-    100 TB the grid drops to 1e2 with the same exactness argument.
+    compared on scaled-long *integers* via exact floor division —
+    ``value_l > (2·total_l) div nparts`` — which for positive integers
+    is equivalent to the rational ``value_l·nparts > 2·total_l`` (if
+    q = (2T) div n and r the remainder: v·n > 2T ⟺ v > q+r/n ⟺ v ≥ q+1
+    ⟺ v > q, using r < n), so the boundary part set is identical
+    across engines and partitionings. Unlike the multiply form, the
+    only product left is ``2·total_l``: DuckDB promotes SUM to
+    HUGEINT (exact), and the Spark side carries a runtime
+    ``assert_true(total_l ≤ 2^62)`` so int64 overflow is a loud error,
+    not a silent non-ANSI wraparound — at true 100 TB the 1e4 scale
+    grid drops to 1e2 and the same headroom argument holds.
     """
     li = _li(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
@@ -250,9 +275,22 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_l").cast("bigint").alias("total_l"),
         F.count("*").cast("bigint").alias("nparts"),
     )
+    overflow_guard = F.assert_true(
+        F.col("total_l") <= F.lit(2**62),
+        F.lit("q11 scaled-long overflow: 2*total_l exceeds int64 headroom"),
+    )
     return (
         pv.join(F.broadcast(total))
-        .filter(F.col("value_l") * F.col("nparts") > 2 * F.col("total_l"))
+        # assert_true yields NULL on success (isNull keeps it in the plan
+        # rather than letting column pruning drop the check), raises on
+        # overflow — the guard the docstring's headroom argument demands.
+        .filter(
+            overflow_guard.isNull()
+            & (
+                F.col("value_l")
+                > F.expr("(2 * total_l) div nparts").cast("bigint")
+            )
+        )
         .select(
             "p_partkey",
             (F.col("value_l").cast("double") / F.lit(1e4)).alias("part_value"),

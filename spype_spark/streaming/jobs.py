@@ -83,7 +83,35 @@ def _events_stream(
 
 def _run_available_now(sdf: DataFrame, output_mode: str, name: str) -> DataFrame:
     """Drain a finite stream to an in-memory sink, return its result."""
+    df, _ = _run_available_now_with_watermark(sdf, output_mode, name)
+    return df
+
+
+def _run_available_now_with_watermark(
+    sdf: DataFrame, output_mode: str, name: str
+):
+    """Drain a finite stream and ALSO return the final event-time
+    watermark the query observed (a tz-naive UTC ``datetime``, or None
+    for stateless queries that track no watermark).
+
+    Outer joins / append-mode aggregations emit their *final* rows in
+    the batch AFTER the watermark advances past them; under
+    Trigger.AvailableNow that flush is carried by the terminal no-data
+    micro-batch, gated by ``spark.sql.streaming.noDataMicroBatches``
+    (default true). A caller that filters results against a
+    recomputed watermark cut silently loses rows if that flush never
+    ran, so this helper (a) asserts the conf up front and (b) hands
+    back the watermark the sink really reached, letting callers verify
+    coverage loudly instead of hash-diverging.
+    """
     spark = sdf.sparkSession
+    no_data = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    if str(no_data).lower() != "true":
+        raise RuntimeError(
+            "spark.sql.streaming.noDataMicroBatches.enabled must be true: "
+            "the terminal no-data micro-batch is what flushes final "
+            "outer-join / append-mode rows under Trigger.AvailableNow"
+        )
     with tempfile.TemporaryDirectory(
         prefix="spype_ckpt_", dir=_scratch_root()
     ) as ckpt:
@@ -96,7 +124,23 @@ def _run_available_now(sdf: DataFrame, output_mode: str, name: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
-        return spark.table(name).localCheckpoint(eager=True)
+        wm = None
+        prog = q.lastProgress
+        if prog:
+            wm_str = (prog.get("eventTime") or {}).get("watermark")
+            # The epoch sentinel means "no watermark ever advanced".
+            if wm_str and not wm_str.startswith("1970-01-01T00:00:00"):
+                wm = _parse_progress_ts(wm_str)
+        return spark.table(name).localCheckpoint(eager=True), wm
+
+
+def _parse_progress_ts(s: str):
+    """Parse a StreamingQueryProgress ISO-8601 UTC timestamp
+    (``2024-03-01T12:00:00.000Z``) to a tz-naive UTC datetime."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    return dt.astimezone(timezone.utc).replace(tzinfo=None)
 
 
 def run_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,19 +652,22 @@ def run_stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(provider_key, prev)
 
 
-def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_stream_stream_left_join(spark: SparkSession, sf_dir: str):
     """Stream-stream LEFT OUTER join: every purchase, with its clicks
     ≤ 1 h prior — purchases with NO qualifying click emit once with a
-    NULL click id.
+    NULL click id. Returns ``(result_df, final_watermark)`` where the
+    watermark is the one the sink actually observed (see
+    ``_run_available_now_with_watermark``), so callers can verify that
+    every null row below their provable-region cut was really flushed.
 
     The outer-specific semantics: a null-padded row may only emit when
     the click-side watermark proves no matching click can still arrive
     (wm_click > p_ts); until then the purchase is withheld as state.
-    Under AvailableNow the final click watermark lands at
-    max(click ts) − 1 h, so unmatched purchases older than that emit
-    their null row and strictly-later ones are (correctly) never
-    emitted — the equality test asserts exactly that boundary against
-    the batch left join.
+    Under AvailableNow the final global watermark lands at
+    min(max click ts, max purchase ts) − 1 h, so unmatched purchases
+    older than that emit their null row and strictly-later ones are
+    (correctly) never emitted — the equality test asserts exactly that
+    boundary against the batch left join.
     """
     purchases = (
         _events_stream(spark, sf_dir)
@@ -649,4 +696,6 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
         "left_outer",
     ).select("p_id", "c_id", "p_user", "p_ts")
-    return _run_available_now(joined, "append", "spype_stream_left_join")
+    return _run_available_now_with_watermark(
+        joined, "append", "spype_stream_left_join"
+    )

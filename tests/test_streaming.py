@@ -238,7 +238,8 @@ def test_stream_stream_left_join_outer_semantics(spark, sf_dir):
     from spype_spark.streaming.jobs import run_stream_stream_left_join
     from spype_spark.tables import load_table
 
-    stream = run_stream_stream_left_join(spark, sf_dir)
+    stream, observed_wm = run_stream_stream_left_join(spark, sf_dir)
+    assert observed_wm is not None  # the drain must have advanced a watermark
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
