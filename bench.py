@@ -69,6 +69,14 @@ BENCH_QUERIES = {
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3, help="timed runs (best kept)")
+    ap.add_argument(
+        "--sessions",
+        type=int,
+        default=2,
+        help="independent SparkSessions; per-query floor is the min "
+        "across all sessions (BASELINE.md's own protocol — single-"
+        "session snapshots have shown ±30%%+ one-off artifacts)",
+    )
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -78,19 +86,26 @@ def main() -> int:
     except ValueError:
         sf = None
 
-    spark = get_spark("spype-bench")
     times: dict[str, float] = {}
-    for label, key in BENCH_QUERIES.items():
-        fn = REGISTRY[key].fn if isinstance(key, str) else key
-        fn(spark, sf_dir).collect()  # warm: JIT/codegen + file listing
-        best = None
-        for _ in range(max(1, args.runs)):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[label] = round(best, 4)
-        print(f"# {label}: {best*1000:.0f} ms", file=sys.stderr)
+    for sess_idx in range(max(1, args.sessions)):
+        spark = get_spark("spype-bench")
+        for label, key in BENCH_QUERIES.items():
+            fn = REGISTRY[key].fn if isinstance(key, str) else key
+            fn(spark, sf_dir).collect()  # warm: JIT/codegen + file listing
+            best = times.get(label)
+            for _ in range(max(1, args.runs)):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[label] = best
+            print(
+                f"# s{sess_idx} {label}: floor {best*1000:.0f} ms",
+                file=sys.stderr,
+            )
+        if sess_idx + 1 < max(1, args.sessions):
+            spark.stop()  # next loop builds a fresh session/context
+    times = {k: round(v, 4) for k, v in times.items()}
 
     print(
         json.dumps(
