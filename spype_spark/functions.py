@@ -367,56 +367,128 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Connected components by min-label propagation — the iterative-
-    algorithm pattern (GraphX/GraphFrames-style) as a driver-coordinated
-    loop of distributed joins.
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the iterative-algorithm pattern as a
+    driver-coordinated loop of distributed joins.
 
-    Each round every node takes the min component id among itself and
-    its neighbors; convergence in O(graph diameter) rounds. The loop
-    body is pure DataFrame algebra; lineage is truncated per round with
-    localCheckpoint so plans stay flat, and the convergence test is a
-    distributed count (no data ever lands on the driver). Returns
-    (node, component = min node id reachable).
+    Each cycle rewrites the EDGE SET, not a label table:
+
+    * large-star: every node connects its strictly-larger neighbors to
+      ``m = min(N(u) ∪ {u})`` — one groupBy + one join;
+    * small-star: every node connects its smaller neighbors (and
+      itself) to the minimum of its smaller neighborhood — same shape
+      on the (larger → smaller) orientation.
+
+    Both steps preserve connectivity exactly, and the alternation
+    converges to a union of STARS rooted at each component's minimum
+    id in O(log² n) cycles (practice: ~log n). That bound is the 100 TB
+    property: plain min-label propagation needs O(diameter) full-edge
+    shuffles, so a transitive near-dup CHAIN of length L — template
+    drift, shingled crawl snapshots — costs L rounds; star contraction
+    converges on a shuffled 512-node path in 8 cycles
+    (tests/test_functions.py asserts the log bound). Round cost is the
+    same order as a propagation round (the edge set never grows beyond
+    2|E| directed rows and SHRINKS as stars form).
+
+    The loop body is pure DataFrame algebra; lineage is truncated per
+    cycle with localCheckpoint so plans stay flat, and the convergence
+    test is a distributed 1-row aggregate (edge count + an order-
+    independent hash sum — no data ever lands on the driver). Returns
+    (node, component = min node id reachable). Pass ``stats`` (a dict)
+    to receive ``{"rounds": k}`` for scale accounting.
 
     The canonical dedup use: edges = verified near-dup pairs; components
     = duplicate clusters; keep min(node) per component.
     """
-    # Materialize the undirected edge list ONCE: it is re-joined every
-    # iteration, and `edges` often arrives with an expensive lineage
-    # (minhash candidate generation + jaccard verification in the dedup
-    # pipeline) that would otherwise re-run per round — measured 10×
-    # the whole computation at sf0.1 (25 rounds × full re-derivation).
-    und = (
+    # Materialize the initial edge list ONCE: `edges` often arrives
+    # with an expensive lineage (minhash candidate generation + jaccard
+    # verification in the dedup pipeline) that would otherwise re-run
+    # per cycle — measured 10× the whole computation at sf0.1.
+    e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col(src) != F.col(dst))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = und.select(F.col("a").alias("node")).distinct()
-    labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(
-        eager=True
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+
+    def _signature(df: DataFrame) -> tuple:
+        """Order-independent edge-set fingerprint: (count, hash sum).
+        Exact count + a 64-bit sum — collision odds are negligible and
+        a false "converged" would still be caught by the oracle gate."""
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal sum: int64 hash sums overflow under ANSI mode
+            F.sum(F.xxhash64(F.col("a"), F.col("b")).cast("decimal(20,0)"))
+            .alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        nbrs = cur.select("a", "b").union(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m = nbrs.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        return (
+            nbrs.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        d = cur.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        m = d.groupBy("a").agg(F.min("b").alias("m"))
+        to_min = (
+            d.join(m, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        self_edge = m.select("a", F.col("m").alias("b"))
+        return (
+            to_min.union(self_edge)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    rounds = 0
+    sig = _signature(e)
     for _ in range(max_iters):
-        prop = und.join(labels, und.a == labels.node).select(
-            F.col("b").alias("node"), F.col("comp")
-        )
-        new_labels = (
-            labels.select("node", "comp")
-            .union(prop)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.withColumnRenamed("comp", "comp_new")
-            .join(labels, "node")
-            .filter(F.col("comp_new") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        rounds += 1
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _signature(e)
+        if new_sig == sig:
             break
-    return labels
+        sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # At convergence the edge set is a union of stars (child, root)
+    # with root = component min; orient and read labels off directly.
+    # Nodes absent from the final edge set (every non-root collapsed
+    # onto its star) cannot occur — small-star always re-emits
+    # (node, min) for every node with a smaller neighbor — but roots
+    # themselves never appear as the larger endpoint, hence the left
+    # join + coalesce for them.
+    stars = e.select(
+        F.greatest("a", "b").alias("node"), F.least("a", "b").alias("root")
+    ).groupBy("node").agg(F.min("root").alias("root"))
+    return nodes.join(stars, "node", "left").select(
+        "node", F.coalesce(F.col("root"), F.col("node")).alias("comp")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -946,10 +946,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled with min doc_id of its cluster (singletons label
     themselves).
 
-    Spark side is iterative min-label propagation
+    Spark side is alternating large-star/small-star contraction
     (:func:`spype_spark.functions.connected_components` — distributed
-    joins per round, O(diameter) rounds); the oracle recomputes the
-    same fixpoint with a recursive CTE. This is the step between
+    joins per cycle, O(log² n) cycles regardless of graph diameter);
+    the oracle recomputes the same fixpoint with a recursive CTE. This is the step between
     pair-finding and survivor-selection in a real dedup pipeline:
     transitive near-dups (A~B, B~C) collapse into ONE cluster even
     though (A, C) was never scored.

@@ -155,6 +155,31 @@ def test_connected_components_transitive(spark):
     }
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A path graph is the worst case for plain min-label propagation
+    (rounds = diameter); pointer doubling must converge a 512-node
+    chain in O(log d) rounds, with ids shuffled so label order gives
+    no free shortcuts. This is the 100 TB guarantee for transitive
+    near-dup chains (SCALE.md dedup_components)."""
+    import math
+    import random
+
+    n = 512
+    ids = list(range(n))
+    random.Random(7).shuffle(ids)
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "src long, dst long"
+    ).coalesce(4)
+    stats: dict = {}
+    labels = S.connected_components(edges, max_iters=30, stats=stats)
+    got = {r.node: r.comp for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}  # one component, min id 0
+    # log2(511) ≈ 9; doubling needs ~log2(d) propagation+shortcut
+    # rounds plus the no-change detection round. Plain propagation
+    # would need 511 — anything near 30 means doubling regressed.
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(n)) + 2, stats
+
+
 def test_dataset_split_deterministic_and_dup_safe(spark, docs):
     out1 = {(r.doc_id, r.split) for r in S.dataset_split(docs).collect()}
     out2 = {
