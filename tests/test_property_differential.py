@@ -577,3 +577,183 @@ def test_random_topk_boundaries_agree(orders, duck, k, key, p):
         """
     ).fetchall()
     assert got == [tuple(r) for r in want], f"k={k} key={key} pred={sql!r}"
+
+
+# ---------------------------------------------------------------------------
+# Subquery / LATERAL / recursive-CTE family (VERDICT r6 task 8): fuzz the
+# decorrelation paths — Spark rewrites correlated predicates into joins,
+# and the rewrite (not the predicate) is what these cases stress.
+# ---------------------------------------------------------------------------
+
+#: deterministic avg(o_totalprice): exact scaled-long sum / count — the
+#: same discipline as spype_spark/queries/subqueries.py, so the only
+#: doubles are one division and one multiply, identical IEEE ops in
+#: both engines.
+_AVG_EXACT = "(SUM(floor({col} * 1e2 + 0.5)) / 1e2) / COUNT(*)"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    factor=st.sampled_from([1.25, 1.5, 1.75, 2.0]),  # exact binary fractions
+    cmp=st.sampled_from([">", "<"]),
+    p=predicate,
+)
+def test_random_correlated_threshold_agree(spark, orders, duck, factor, cmp, p):
+    """Correlated scalar-aggregate subquery under a random outer
+    predicate: Spark must decorrelate `price <cmp> f * (SELECT avg ...
+    WHERE i.cust = o.cust)` into a keyed-aggregate join that selects
+    the IDENTICAL row set DuckDB's correlated evaluation does — for
+    either comparison direction and any interleaved outer filter."""
+    cond, psql = build(p)
+    avg = _AVG_EXACT.format(col="i.o_totalprice")
+    orders.createOrReplaceTempView("fuzz_corr_orders")
+    got = {
+        r.o_orderkey
+        for r in spark.sql(
+            f"""
+            SELECT o.o_orderkey FROM fuzz_corr_orders o
+            WHERE o.o_totalprice {cmp} {factor} * (
+              SELECT {avg} FROM fuzz_corr_orders i
+              WHERE i.o_custkey = o.o_custkey)
+              AND {psql}
+            """
+        ).collect()
+    }
+    want = {
+        r[0]
+        for r in duck.sql(
+            f"""
+            SELECT o.o_orderkey FROM orders o
+            WHERE o.o_totalprice {cmp} {factor} * (
+              SELECT {avg} FROM orders i
+              WHERE i.o_custkey = o.o_custkey)
+              AND {psql}
+            """
+        ).fetchall()
+    }
+    assert got == want, f"factor={factor} cmp={cmp} pred={psql!r}"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    neg=st.booleans(),
+    mod=st.integers(2, 11),
+    p=predicate,
+)
+def test_random_in_subquery_agree(spark, orders, duck, neg, mod, p):
+    """[NOT] IN (correlated-free subquery) → left-semi/anti join
+    rewrite: the membership set is derived from a random key-mod
+    filter, the outer side from a random predicate; both engines must
+    agree for IN and NOT IN alike (no nulls in custkey, so NOT IN's
+    three-valued trap stays out of scope by construction)."""
+    cond, psql = build(p)
+    word = "NOT IN" if neg else "IN"
+    orders.createOrReplaceTempView("fuzz_in_orders")
+    q = f"""
+        SELECT o_orderkey FROM {{t}} o
+        WHERE o_custkey {word} (
+          SELECT o_custkey FROM {{t}} WHERE o_orderkey % {mod} = 0)
+          AND {psql}
+        """
+    got = {r.o_orderkey for r in spark.sql(q.format(t="fuzz_in_orders")).collect()}
+    want = {r[0] for r in duck.sql(q.format(t="orders")).fetchall()}
+    assert got == want, f"neg={neg} mod={mod} pred={psql!r}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(k=st.integers(1, 4), p=predicate)
+def test_random_lateral_topk_agree(spark, orders, duck, k, p):
+    """LATERAL top-k per customer vs the window-rank formulation: the
+    Spark side deliberately uses row_number() over (price DESC,
+    orderkey) — a DIFFERENT plan shape than DuckDB's LATERAL ...
+    LIMIT k — so agreement checks the semantics, not a shared
+    rewrite. (o_totalprice, o_orderkey) is a total order, so the k
+    boundary is deterministic."""
+    from pyspark.sql import Window
+
+    cond, psql = build(p)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    got = {
+        (r.o_custkey, r.o_orderkey)
+        for r in orders.filter(cond)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("o_custkey", "o_orderkey")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.sql(
+            f"""
+            SELECT c.o_custkey, t.o_orderkey
+            FROM (SELECT DISTINCT o_custkey FROM orders WHERE {psql}) c,
+            LATERAL (
+              SELECT o_orderkey FROM orders
+              WHERE o_custkey = c.o_custkey AND {psql}
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT {k}) t
+            """
+        ).fetchall()
+    }
+    assert got == want, f"k={k} pred={psql!r}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    step=st.integers(1, 13),
+    # span/step ≤ 90 recursion levels: Spark caps recursive CTEs at
+    # 100 levels by default (RECURSION_LEVEL_LIMIT_EXCEEDED) — the
+    # fuzz probes the boundary arithmetic, not the level limit.
+    span=st.integers(10, 90),
+    mod=st.integers(2, 7),
+)
+def test_random_recursive_spine_agree(spark, duck, step, span, mod):
+    """Recursive-CTE integer spine with a random step and bound, plus a
+    correlated per-spine-point count: Spark 4's WITH RECURSIVE must
+    produce the identical spine and the identical decorrelated counts
+    DuckDB does, for any (step, bound) — including the final partial
+    step (the boundary the WHERE guard cuts)."""
+    q = """
+        WITH RECURSIVE spine(n) AS (
+          SELECT 0
+          UNION ALL
+          SELECT n + {step} FROM spine WHERE n + {step} <= {span}
+        )
+        SELECT n,
+               (SELECT COUNT(*) FROM {t} o
+                WHERE o.o_orderkey % {mod} = n % {mod}) AS n_orders
+        FROM spine
+        """
+    spark.read.parquet(f"{SF}/orders.parquet").createOrReplaceTempView(
+        "fuzz_rc_orders"
+    )
+    got = {
+        (r.n, r.n_orders)
+        for r in spark.sql(
+            q.format(step=step, span=span, mod=mod, t="fuzz_rc_orders")
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.sql(
+            q.format(step=step, span=span, mod=mod, t="orders")
+        ).fetchall()
+    }
+    assert got == want, f"step={step} span={span} mod={mod}"
