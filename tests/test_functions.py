@@ -159,8 +159,8 @@ def test_connected_components_chain_converges_logarithmically(spark):
     """A path graph is the worst case for plain min-label propagation
     (rounds = diameter); pointer doubling must converge a 512-node
     chain in O(log d) rounds, with ids shuffled so label order gives
-    no free shortcuts. This is the 100 TB guarantee for transitive
-    near-dup chains (SCALE.md dedup_components)."""
+    no free shortcuts from label order. This is the 100 TB guarantee
+    for transitive near-dup chains (SCALE.md dedup_components)."""
     import math
     import random
 
@@ -174,9 +174,9 @@ def test_connected_components_chain_converges_logarithmically(spark):
     labels = S.connected_components(edges, max_iters=30, stats=stats)
     got = {r.node: r.comp for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}  # one component, min id 0
-    # log2(511) ≈ 9; doubling needs ~log2(d) propagation+shortcut
-    # rounds plus the no-change detection round. Plain propagation
-    # would need 511 — anything near 30 means doubling regressed.
+    # log2(511) ≈ 9; star contraction measures 8 cycles here. Plain
+    # propagation would need 511 — anything near 30 means the
+    # contraction regressed to hop-at-a-time behavior.
     assert stats["rounds"] <= 2 * math.ceil(math.log2(n)) + 2, stats
 
 

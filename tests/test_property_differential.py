@@ -757,3 +757,162 @@ def test_random_recursive_spine_agree(spark, duck, step, span, mod):
         ).fetchall()
     }
     assert got == want, f"step={step} span={span} mod={mod}"
+
+
+# ---------------------------------------------------------------------------
+# Pivot / grouping-sets / null-safe-join family: fuzz the reshaping
+# operators whose null semantics are the classic cross-engine traps
+# (pivot cells with no input, grouping-set placeholder nulls, <=>).
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.sets(st.sampled_from(STATUSES), min_size=1, max_size=3),
+    p=predicate,
+)
+def test_random_pivot_agree(orders, duck, vals, p):
+    """Pivot with a random explicit value list × a random input filter:
+    cells whose (group, value) combination has NO surviving input rows
+    must be NULL in both engines (Spark pivot vs SQL conditional
+    aggregation), and values absent from the list must be dropped, not
+    folded in. Counts — exact integers — keep floats out."""
+    cond, psql = build(p)
+    cols = sorted(vals)
+    got = {
+        tuple(r)
+        for r in orders.filter(cond)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", cols)
+        .count()
+        .collect()
+    }
+    cells = ", ".join(
+        f"COUNT(CASE WHEN o_orderstatus = '{v}' THEN 1 END) AS c_{v}"
+        for v in cols
+    )
+    # COUNT returns 0 for empty cells; Spark's pivot-count yields NULL.
+    # Normalize via NULLIF — the is-empty boundary is exactly what the
+    # case fuzzes.
+    nulled = ", ".join(f"NULLIF(c_{v}, 0) AS c_{v}" for v in cols)
+    want = {
+        tuple(r)
+        for r in duck.sql(
+            f"""
+            SELECT o_orderpriority, {nulled} FROM (
+              SELECT o_orderpriority, {cells}
+              FROM orders WHERE {psql} GROUP BY 1)
+            """
+        ).fetchall()
+    }
+    assert got == want, f"vals={cols} pred={psql!r}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sets_pick=st.sets(
+        st.sampled_from(["status", "prio", "both", "none"]),
+        min_size=1,
+        max_size=3,
+    ),
+    p=predicate,
+)
+def test_random_grouping_sets_agree(spark, orders, duck, sets_pick, p):
+    """Random GROUPING SETS combinations (incl. the grand-total () set):
+    placeholder NULLs plus GROUPING flags must agree — the
+    placeholder-vs-data-null distinction is exactly what GROUPING
+    exists to disambiguate, so compare it, not just the nulled key
+    columns. Found-and-scoped divergence: over an EMPTY input, DuckDB
+    (per the standard, like Postgres) still emits the () grand-total
+    row, Spark emits no rows at all — so the fuzz pins agreement on
+    non-empty inputs and pins Spark's empty-input behavior explicitly
+    in test_grouping_sets_empty_input_divergence below."""
+    from hypothesis import assume
+
+    cond, psql = build(p)
+    assume(duck.sql(f"SELECT COUNT(*) FROM orders WHERE {psql}").fetchone()[0] > 0)
+    mapping = {
+        "status": "(o_orderstatus)",
+        "prio": "(o_orderpriority)",
+        "both": "(o_orderstatus, o_orderpriority)",
+        "none": "()",
+    }
+    gsets = ", ".join(mapping[s] for s in sorted(sets_pick))
+    orders.createOrReplaceTempView("fuzz_gs_orders")
+    # Spark rejects GROUPING(col) / bare col for columns absent from
+    # every grouping set — project only the columns actually grouped.
+    sel = []
+    if sets_pick & {"status", "both"}:
+        sel += ["o_orderstatus", "GROUPING(o_orderstatus) AS g_s"]
+    if sets_pick & {"prio", "both"}:
+        sel += ["o_orderpriority", "GROUPING(o_orderpriority) AS g_p"]
+    sel_sql = ", ".join(sel + ["COUNT(*) AS n"])
+    q = f"""
+        SELECT {sel_sql}
+        FROM {{t}} WHERE {psql}
+        GROUP BY GROUPING SETS ({gsets})
+        """
+    got = {tuple(r) for r in spark.sql(q.format(t="fuzz_gs_orders")).collect()}
+    want = {tuple(r) for r in duck.sql(q.format(t="orders")).fetchall()}
+    assert got == want, f"sets={gsets} pred={psql!r}"
+
+
+def test_grouping_sets_empty_input_divergence(spark, orders, duck):
+    """Pin the cross-engine divergence the fuzz above scopes out: for
+    GROUP BY GROUPING SETS ((), (k)) over an EMPTY input, DuckDB emits
+    the grand-total () row (COUNT = 0, the SQL-standard / Postgres
+    behavior), Spark emits NOTHING. Any oracle over a grouping-sets
+    query with a possibly-empty input must therefore exclude the ()
+    set or guard non-emptiness — this test exists so the divergence is
+    a documented fact, not a future debugging session."""
+    orders.createOrReplaceTempView("fuzz_gs_orders")
+    q = """
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM {t} WHERE o_orderkey < 0
+        GROUP BY GROUPING SETS ((), (o_orderstatus))
+        """
+    assert spark.sql(q.format(t="fuzz_gs_orders")).collect() == []
+    assert duck.sql(q.format(t="orders")).fetchall() == [(None, 0)]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    null_mod=st.integers(2, 7),
+    p=predicate,
+)
+def test_random_null_safe_join_agree(spark, orders, duck, null_mod, p):
+    """Null-safe self-join on a key column randomly nulled out by a
+    modulo rule: <=> must match NULL with NULL (the cross product of
+    the null stratum) while a plain = must drop them — both checked,
+    so a regression to either semantic is caught. Counts only: the
+    null-cross-product blowup stays bounded by the modulo."""
+    cond, psql = build(p)
+    orders.createOrReplaceTempView("fuzz_ns_orders")
+    base = f"""
+        SELECT CASE WHEN o_orderkey % {null_mod} = 0 THEN NULL
+                    ELSE o_custkey % 50 END AS k
+        FROM {{t}} WHERE {psql}
+        """
+    for op, name in [("<=>", "nullsafe"), ("=", "plain")]:
+        dop = "IS NOT DISTINCT FROM" if op == "<=>" else "="
+        got = spark.sql(
+            f"SELECT COUNT(*) FROM ({base.format(t='fuzz_ns_orders')}) a "
+            f"JOIN ({base.format(t='fuzz_ns_orders')}) b ON a.k {op} b.k"
+        ).first()[0]
+        want = duck.sql(
+            f"SELECT COUNT(*) FROM ({base.format(t='orders')}) a "
+            f"JOIN ({base.format(t='orders')}) b ON a.k {dop} b.k"
+        ).fetchone()[0]
+        assert got == want, f"{name} mod={null_mod} pred={psql!r}"
