@@ -508,9 +508,16 @@ def _ivf_ranked(e: DataFrame, n_cells: int) -> DataFrame:
     return scores.withColumn("crank", F.row_number().over(w_cell))
 
 
+#: auto-scaled IVF target cell size: fixes Σ|probed cells| per query at
+#: ~nprobe·IVF_CELL_TARGET vectors, so probe-stage work is Θ(n) at any
+#: corpus size (the same occupancy-pinning rule as the LSH band
+#: auto-scaler and the k∝n clustering pair).
+IVF_CELL_TARGET = 2_500
+
+
 def ivf_ann(
     df: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     nprobe: int = 4,
     k: int = 3,
     id_col: str = "vec_id",
@@ -530,11 +537,23 @@ def ivf_ann(
        table; exact GEMM re-rank inside the probed cells only —
        Σ|probed cells| work instead of n² — then a window merges
        per-cell top-k to the global top-k.
+
+    ``n_cells=None`` auto-sizes the cell count to pin occupancy at
+    ~:data:`IVF_CELL_TARGET` vectors per cell (``max(16, n // 2500)``)
+    — the production scale path. A FIXED cell count over growing n is
+    super-linear by construction (per-query candidate set = nprobe ·
+    n/n_cells grows with n; measured exponent 1.14 at the 50× probe),
+    while the pinned-occupancy form keeps probe work Θ(n) — the exact
+    analog of growing k-means k with n. Contracts that need a
+    replayable DuckDB oracle pass an explicit count (the oracle must
+    enumerate the same cells); kernels on a scale path pass None.
     """
     import numpy as np
     import pandas as pd
 
     e = _normalize(df, id_col, emb_col)  # embedding: array<double> (native cast)
+    if n_cells is None:
+        n_cells = max(16, e.count() // IVF_CELL_TARGET)
     ranked = _ivf_ranked(e, n_cells)
 
     def _pack(src: DataFrame, prefix: str) -> DataFrame:

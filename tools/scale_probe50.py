@@ -87,9 +87,20 @@ def _probe_lsh(spark, d):
 
 
 def _probe_ivf(spark, d):
+    """FIXED 16 cells — the contract's oracle-replayable parameters.
+    Super-linear over growing n by construction (per-query candidates
+    = nprobe·n/16); kept as the counter-example row."""
     from spype_spark.ann import ivf_ann
 
     return ivf_ann(_emb(spark, d), n_cells=16, nprobe=4, k=3)
+
+
+def _probe_ivf_auto(spark, d):
+    """Auto-sized cells (occupancy pinned at ~2 500/cell) — the scale
+    path; compare against the fixed-cell row above."""
+    from spype_spark.ann import ivf_ann
+
+    return ivf_ann(_emb(spark, d), n_cells=None, nprobe=4, k=3)
 
 
 def _kmeans_k(spark, d) -> int:
@@ -122,10 +133,25 @@ def _probe_semdedup(spark, d):
     return a2.join(dropped, "vec_id", "left_anti").select("vec_id", "cell_id")
 
 
+def _probe_minhash_exact_first(spark, d):
+    """The production pipeline ORDER: exact dedup (hash groupBy —
+    cheap, clone-mass removal) BEFORE near-dup candidates. On a
+    clone-heavy corpus (every replica is byte-identical), hash blocking
+    alone is output-bound — no banding can split identical texts, and
+    their C(c,2) intra-clone pairs are true positives that must be
+    emitted. Deduping first removes that irreducible mass."""
+    from spype_spark.functions import exact_dedup, minhash_candidates
+
+    doc = spark.read.parquet(f"{d}/documents.parquet").repartition(32)
+    return minhash_candidates(exact_dedup(doc), n_hashes=16)
+
+
 KERNELS = {
     "minhash_candidates": _probe_minhash,
+    "minhash[exact-first]": _probe_minhash_exact_first,
     "lsh_ann_topk[kernel]": _probe_lsh,
     "ivf_ann[kernel]": _probe_ivf,
+    "ivf_ann[cells~n/2500]": _probe_ivf_auto,
     "kmeans[k~n/250]": _probe_kmeans,
     "semdedup[k~n/250]": _probe_semdedup,
 }
@@ -138,13 +164,32 @@ def timed(fn, *args):
 
 
 def main() -> int:
+    import argparse
     import math
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n", nargs="?", type=int, default=50)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated kernel-name substrings to run (skip rest)",
+    )
+    ap.add_argument(
+        "--skip-components",
+        action="store_true",
+        help="skip the components decomposition (the raw clone-heavy "
+        "x50 pair stage needs ~4x the local heap; the exact-first "
+        "variant below runs regardless)",
+    )
+    args = ap.parse_args()
+    n = args.n
+    wanted = args.only.split(",") if args.only else None
     spark = get_spark("scale-probe50")
     build(spark, n)
     print(f"{'kernel':26s} {'sf0.1':>9s} {'x' + str(n):>9s}  ratio   exp")
     for key, fn in KERNELS.items():
+        if wanted and not any(w in key for w in wanted):
+            continue
         timed(fn, spark, BASE)  # warm
         t_small = min(timed(fn, spark, BASE) for _ in range(2))
         t_big = timed(fn, spark, SCRATCH)
@@ -156,13 +201,27 @@ def main() -> int:
             flush=True,
         )
 
-    # dedup_components decomposed: pair stage vs star-contraction loop.
-    from spype_spark.functions import connected_components, ngram_jaccard_pairs
+    if wanted and not any(w in "components" for w in wanted):
+        return 0
+
+    # dedup_components decomposed: pair stage vs star-contraction loop —
+    # in production order (exact dedup first; see _probe_minhash_exact_first
+    # for why clone mass must come out before shingle blocking).
+    from spype_spark.functions import (
+        connected_components,
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
     from spype_spark.tables import load_table
 
-    for d, label in [(BASE, "sf0.1"), (SCRATCH, f"x{n}")]:
+    configs = [(BASE, "sf0.1", False), (SCRATCH, f"x{n}", True)]
+    if not args.skip_components:
+        configs.insert(1, (SCRATCH, f"x{n}-raw", False))
+    for d, label, exact_first in configs:
         doc = load_table(spark, d, "documents")
         t0 = time.time()
+        if exact_first:
+            doc = exact_dedup(doc)
         pairs = (
             ngram_jaccard_pairs(doc, min_jaccard=0.5)
             .select("doc_a", "doc_b")
@@ -173,7 +232,8 @@ def main() -> int:
         connected_components(pairs, src="doc_a", dst="doc_b", stats=st).collect()
         t2 = time.time()
         print(
-            f"components[{label}]: pairs {t1-t0:6.1f}s  cc {t2-t1:5.1f}s  "
+            f"components[{label}{'/exact-first' if exact_first else ''}]: "
+            f"pairs {t1-t0:6.1f}s  cc {t2-t1:5.1f}s  "
             f"rounds={st['rounds']}  n_pairs={pairs.count()}",
             flush=True,
         )
