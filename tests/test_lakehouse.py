@@ -236,3 +236,84 @@ def test_stream_lake_upsert_equals_batch_latest(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Model-based fuzz (round 7): random MERGE/conditional-MERGE/DELETE
+# sequences vs a pure-Python reference model, with every intermediate
+# version replayed through time travel. The lakehouse is a state
+# machine; example-based tests cover each transition once — this
+# covers random interleavings (the place upsert-vs-delete ordering
+# bugs or stale-base commits would surface).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_KEYS = st.integers(0, 9)
+_op = st.one_of(
+    st.tuples(
+        st.just("upsert"),
+        st.dictionaries(_KEYS, st.tuples(st.integers(0, 99), st.integers(0, 9)),
+                        min_size=1, max_size=5),
+    ),
+    st.tuples(
+        st.just("upsert_ts"),  # conditional: newer-or-equal ts wins
+        st.dictionaries(_KEYS, st.tuples(st.integers(0, 99), st.integers(0, 9)),
+                        min_size=1, max_size=5),
+    ),
+    st.tuples(st.just("delete_mod"), st.tuples(st.integers(2, 4), st.integers(0, 3))),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_lakehouse_random_op_sequences_match_model(spark, tmp_path_factory, ops):
+    import shutil as _sh
+    import tempfile as _tf
+
+    path = _tf.mkdtemp(prefix="lake_fuzz_", dir="/tmp")
+    _sh.rmtree(path)  # write_table wants to create v=0 itself
+    try:
+        model: dict[int, tuple[int, int]] = {0: (1, 5)}
+        df0 = spark.createDataFrame([(0, 1, 5)], "k long, v long, ts long")
+        lake.write_table(df0, path)
+        snapshots = [dict(model)]
+        for kind, arg in ops:
+            if kind == "upsert":
+                upd = spark.createDataFrame(
+                    [(k, v, ts) for k, (v, ts) in sorted(arg.items())],
+                    "k long, v long, ts long",
+                )
+                lake.merge_upsert(spark, path, upd, keys=["k"])
+                model.update(arg)
+            elif kind == "upsert_ts":
+                upd = spark.createDataFrame(
+                    [(k, v, ts) for k, (v, ts) in sorted(arg.items())],
+                    "k long, v long, ts long",
+                )
+                lake.merge_upsert(
+                    spark, path, upd, keys=["k"],
+                    match_condition=lambda u, t: u["ts"] >= t["ts"],
+                )
+                for k, (v, ts) in arg.items():
+                    if k not in model or ts >= model[k][1]:
+                        model[k] = (v, ts)
+            else:
+                m, r = arg
+                lake.delete_where(spark, path, F.col("v") % m == r)
+                model = {k: vt for k, vt in model.items() if vt[0] % m != r}
+            snapshots.append(dict(model))
+        # final state AND every intermediate version via time travel
+        for ver, snap in enumerate(snapshots):
+            got = {
+                r.k: (r.v, r.ts)
+                for r in lake.read_table(spark, path, version=ver).collect()
+            }
+            assert got == snap, f"version {ver}: ops={ops}"
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
