@@ -307,3 +307,92 @@ def test_live_ingest_processing_time_trigger_equals_batch(spark, sf_dir):
     }
     assert got == want
     assert n_batches >= 4, f"expected >=4 incremental micro-batches, saw {n_batches}"
+
+
+def test_watermark_bounds_state_store_under_churn(spark, sf_dir):
+    """Sustained-churn state profile (ROADMAP item): feed the events
+    table in TIME-ORDERED files, one per micro-batch, into a
+    watermarked tumbling aggregation and read the state-store metrics
+    off the progress log. The watermark must EVICT finalized windows as
+    later files arrive — peak state rows well under the total window
+    count — and the appended output must still cover every window the
+    final watermark passed. Without eviction (no watermark, or files
+    arriving in shuffled order so the watermark jumps to max
+    immediately) state would hold every window ever seen; this pins
+    the bounded-state property a year-long 100 TB stream depends on."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spype_spark.streaming.jobs import _scratch_root
+    from spype_spark.tables import load_table
+
+    n_files = 6
+    staging = tempfile.mkdtemp(prefix="spype_churn_", dir=_scratch_root())
+    # watermarks require TIMESTAMP (with-local-tz), not TIMESTAMP_NTZ
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    # range-partition by ts: file i holds strictly earlier events than
+    # file i+1, so each arrival advances the watermark past the
+    # previous file's windows
+    ev.repartitionByRange(n_files, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(staging)
+    # FileStreamSource orders arrivals by MODIFICATION TIME, and the 6
+    # part files are written by parallel tasks whose finish order is
+    # arbitrary — pin ascending mtimes along the range-partition index
+    # (part-00000 = earliest time range) or the watermark can jump past
+    # unseen early files and silently drop them as late data.
+    import time as _time
+
+    t0 = _time.time() - 600
+    for i, fname in enumerate(
+        sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    ):
+        os.utime(os.path.join(staging, fname), (t0 + i, t0 + i))
+    n_windows_total = ev.select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).distinct().count()
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    with tempfile.TemporaryDirectory(
+        prefix="spype_ckpt_", dir=_scratch_root()
+    ) as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("spype_churn_state")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.recentProgress
+        out_rows = spark.table("spype_churn_state").count()
+
+    state_per_batch = [
+        op["numRowsTotal"]
+        for p in progress
+        for op in (p.get("stateOperators") or [])
+    ]
+    assert state_per_batch, "no state-operator metrics in progress log"
+    peak = max(state_per_batch)
+    # ≥1 data micro-batch per file → the stream really arrived in epochs
+    data_batches = sum(1 for p in progress if p["numInputRows"] > 0)
+    assert data_batches >= n_files
+    # eviction: peak live state is a fraction of all windows ever seen.
+    # (Bound is loose — state ≈ one file's span + the 1 h delay — but
+    # fails decisively if eviction regresses to hold-everything.)
+    assert peak < 0.5 * n_windows_total, (peak, n_windows_total)
+    # append-mode completeness: every window the final watermark passed
+    # was emitted exactly once
+    assert out_rows > 0.8 * n_windows_total, (out_rows, n_windows_total)
