@@ -809,11 +809,18 @@ def nn_descent_refine(
     n at fixed k, shuffle-bounded, no driver state; ``localCheckpoint``
     truncates lineage between rounds (the iterative-algorithm pattern
     the dedup connected-components operator also uses). Seed with any
-    cheap linear-pass ANN (LSH banding, IVF probe); measured on the
-    test corpus: one round lifts the IVF(nprobe=4) seed 0.518 → 0.723
-    recall@3, and LSH/IVF seeds both converge to ≈ 0.726 by round 2 —
-    the corpus's graph-reachable ceiling
-    (tests/test_llm_quality.py::test_nndescent_refines_ivf_seed).
+    cheap linear-pass ANN (LSH banding, IVF probe) — but the seed must
+    carry CROSS-CELL edges: hop-2 expansion can only reach what the
+    seed graph connects, so an nprobe=1 seed (cell-disconnected) stays
+    flat at its reachability ceiling no matter how many rounds run
+    (measured; use multi-probe or mix random edges in). Measured on
+    the near-uniform test corpus: one round lifts the IVF(nprobe=4)
+    seed 0.518 → 0.723 recall@3, LSH/IVF seeds both converge to
+    ≈ 0.726 by round 2 — the corpus's graph-reachable ceiling. On
+    synthetic CLUSTERED embeddings (the real-embedding geometry):
+    nprobe=2 seed 0.93 → 0.98 (round 1) → 0.99 (round 2)
+    (tests/test_llm_quality.py::test_nndescent_refines_ivf_seed and
+    ::test_nndescent_on_clustered_embeddings).
     """
     if n_rounds < 1:
         raise ValueError("nn_descent_refine needs n_rounds >= 1")
