@@ -22,12 +22,18 @@ the caller re-reads and retries the whole mutation. Readers still
 require the ``_SUCCESS`` marker (belt on top of the atomic-rename
 suspenders), so a half-written snapshot is unobservable twice over.
 
-Snapshot-level copy-on-write: MERGE/DELETE rewrite the full table into
-the next version. Real formats rewrite only affected files and track
-the rest in manifests; at 100 TB one partitions the table and rewrites
-only touched partitions (``merge_upsert`` takes the update set as a
-DataFrame, so the partition-pruned variant is the same call over a
-partition-filtered read). Content semantics are unchanged.
+Copy-on-write granularity (round 7): an unpartitioned table rewrites
+the full snapshot per mutation; a table created with
+``write_table(..., partition_by=col)`` gets PARTITION-LEVEL
+copy-on-write — MERGE/DELETE rewrite only the ``col=value`` partitions
+their keys/predicate touch and hardlink every untouched partition
+directory into the new snapshot (zero data copied; both snapshots
+share the same immutable files, exactly how real formats share
+unchanged data files through manifests). The touched-partition plan
+falls back to a full rewrite whenever a partition value wouldn't
+round-trip through its directory name (null, path-special characters)
+— correctness over cleverness. At 100 TB this is the difference
+between a mutation costing O(table) and O(touched partitions).
 """
 
 from __future__ import annotations
@@ -72,7 +78,43 @@ def _snapshot_dir(path: str, version: int) -> str:
     return f"{path}/v={version}"
 
 
-def _commit_snapshot(df: DataFrame, path: str, version: int) -> int:
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "_table.json")
+
+
+def table_meta(path: str) -> dict:
+    """Table-level metadata (currently: ``partition_by``). Written once
+    at :func:`write_table`; static for the table's lifetime."""
+    p = _meta_path(path)
+    if not os.path.exists(p):
+        return {}
+    import json
+
+    with open(p) as f:
+        return json.load(f)
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Recursively hardlink ``src`` into ``dst`` — the copy-on-write
+    carry-over for untouched partition directories: zero data copied,
+    both snapshots share the same immutable parquet files (same
+    filesystem by construction — both live under the table root)."""
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        if os.path.isdir(s):
+            _link_tree(s, d)
+        else:
+            os.link(s, d)
+
+
+def _commit_snapshot(
+    df: DataFrame,
+    path: str,
+    version: int,
+    partition_by: str | None = None,
+    carry_dirs: list[str] | None = None,
+) -> int:
     """Write ``df`` as snapshot ``version`` via temp-dir + atomic rename.
 
     The Spark job writes to ``.tmp-<uuid>`` (invisible to
@@ -81,9 +123,20 @@ def _commit_snapshot(df: DataFrame, path: str, version: int) -> int:
     of any number of racing writers wins version N — the losers' temp
     dirs are cleaned up and they get :class:`ConcurrentWriteError`
     without having touched the table.
+
+    ``carry_dirs`` (absolute paths of partition dirs in the BASE
+    snapshot) are hardlinked into the new snapshot after the write —
+    partition-level copy-on-write: only touched partitions pay a
+    rewrite, untouched ones are shared by reference, and the
+    atomic-rename publish still covers the whole snapshot.
     """
     tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
-    df.write.mode("errorifexists").parquet(tmp)
+    writer = df.write.mode("errorifexists")
+    if partition_by is not None:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    for src in carry_dirs or []:
+        _link_tree(src, os.path.join(tmp, os.path.basename(src)))
     final = _snapshot_dir(path, version)
     try:
         os.rename(tmp, final)
@@ -96,19 +149,82 @@ def _commit_snapshot(df: DataFrame, path: str, version: int) -> int:
     return version
 
 
-def write_table(df: DataFrame, path: str) -> int:
-    """Create a table at ``path`` as version 0 (errors if it exists)."""
+def write_table(
+    df: DataFrame, path: str, partition_by: str | None = None
+) -> int:
+    """Create a table at ``path`` as version 0 (errors if it exists).
+
+    ``partition_by`` lays every snapshot out as Hive-style
+    ``col=value`` partition directories and enables PARTITION-LEVEL
+    copy-on-write for all subsequent mutations: MERGE/DELETE rewrite
+    only the partitions their keys/predicate touch and hardlink the
+    rest (see :func:`merge_upsert`). Partition values should be simple
+    scalars (string without path-special characters, int) — the
+    touched-partition matcher compares their canonical string forms
+    against directory names; a null partition value falls back to a
+    full-snapshot rewrite rather than guessing Hive's default-partition
+    encoding.
+    """
     if versions(path):
         raise FileExistsError(f"table already exists at {path}")
     os.makedirs(path, exist_ok=True)
-    return _commit_snapshot(df, path, 0)
+    if partition_by is not None:
+        import json
+
+        with open(_meta_path(path), "w") as f:
+            json.dump({"partition_by": partition_by}, f)
+    return _commit_snapshot(df, path, 0, partition_by=partition_by)
 
 
-def _write_next(df: DataFrame, path: str, base: int | None = None) -> int:
+def _write_next(
+    df: DataFrame,
+    path: str,
+    base: int | None = None,
+    partition_by: str | None = None,
+    carry_dirs: list[str] | None = None,
+) -> int:
     """Commit ``df`` as ``base+1`` (optimistic: raises
     :class:`ConcurrentWriteError` if someone else already did)."""
     v = (latest_version(path) if base is None else base) + 1
-    return _commit_snapshot(df, path, v)
+    return _commit_snapshot(
+        df, path, v, partition_by=partition_by, carry_dirs=carry_dirs
+    )
+
+
+_SAFE_PART_VAL = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _cow_plan(
+    path: str, base: int, pcol: str, touched_vals: set
+) -> tuple[list[str], object] | None:
+    """Partition-level copy-on-write plan: (carry_dirs, touched_filter)
+    for a mutation that touches only ``touched_vals`` partitions —
+    or None when the plan can't be built safely (a value whose
+    canonical string form wouldn't round-trip through a Hive
+    ``col=value`` directory name, e.g. null or path-special
+    characters), in which case the caller falls back to the
+    full-snapshot rewrite. Correctness over cleverness: a mismatched
+    name would silently CARRY a partition that should have been
+    rewritten."""
+    vals = []
+    for v in touched_vals:
+        s = str(v)
+        if v is None or not _SAFE_PART_VAL.match(s):
+            return None
+        vals.append(s)
+    snap = _snapshot_dir(path, base)
+    prefix = f"{pcol}="
+    existing = {n for n in os.listdir(snap) if n.startswith(prefix)}
+    touched_names = {f"{pcol}={s}" for s in vals}
+    carry = sorted(
+        os.path.join(snap, n) for n in existing - touched_names
+    )
+    # touched filter compares on canonical strings — the same form the
+    # directory names carry, so typed partition columns (int) match
+    touched_filter = (
+        F.col(pcol).cast("string").isin(vals) if vals else F.lit(False)
+    )
+    return carry, touched_filter
 
 
 def read_table(
@@ -160,6 +276,32 @@ def merge_upsert(
     tgt = read_table(spark, path, version=base)
     if evolve_schema and match_condition is not None:
         raise ValueError("match_condition with evolve_schema is unsupported")
+    # Partition-level copy-on-write (tables created with partition_by):
+    # touched partitions = where updates LAND (their own partition
+    # values) ∪ where matched target keys LIVE (an update may move a
+    # row across partitions — the old partition must be rewritten too).
+    # Only those partitions join the merge; the rest hardlink over.
+    # evolve_schema forces the full rewrite: carried-over files would
+    # lack the new columns and plain parquet reads don't schema-merge.
+    pcol = table_meta(path).get("partition_by")
+    cow = None
+    if pcol is not None and not evolve_schema:
+        if pcol not in updates.columns:
+            raise ValueError(
+                f"updates must carry partition column {pcol!r}"
+            )
+        touched = {
+            r[0] for r in updates.select(pcol).distinct().collect()
+        } | {
+            r[0]
+            for r in tgt.join(updates.select(*keys), keys, "left_semi")
+            .select(pcol)
+            .distinct()
+            .collect()
+        }
+        cow = _cow_plan(path, base, pcol, touched)
+        if cow is not None:
+            tgt = tgt.filter(cow[1])
     if evolve_schema:
         merged = updates.unionByName(
             tgt.join(updates.select(*keys), keys, "left_anti"),
@@ -198,17 +340,45 @@ def merge_upsert(
             merged = both.select(winner.alias("__w")).select(
                 *[F.col("__w")[c].alias(c) for c in cols]
             )
-    return _write_next(merged, path, base=base)
+    if cow is not None:
+        return _write_next(
+            merged, path, base=base, partition_by=pcol, carry_dirs=cow[0]
+        )
+    # full rewrite (unpartitioned table, unsafe partition values, or
+    # evolve_schema) — a partitioned table KEEPS its layout either way:
+    # a flat snapshot would break every later copy-on-write plan
+    return _write_next(merged, path, base=base, partition_by=pcol)
 
 
 def delete_where(spark: SparkSession, path: str, cond) -> int:
     """DELETE rows matching ``cond``; NULL-evaluating rows are KEPT
     (they do not match the delete predicate — SQL DELETE semantics).
-    Returns the new version number."""
+    Returns the new version number.
+
+    On a partitioned table only partitions that actually contain
+    matching rows are rewritten (the rest hardlink over) — and when
+    ``cond`` references the partition column, Catalyst partition-prunes
+    the touched-value scan itself, so a partition-aligned delete never
+    reads the untouched data at all."""
     base = latest_version(path)
     tgt = read_table(spark, path, version=base)
-    keep = ~F.coalesce(cond, F.lit(False))
-    return _write_next(tgt.filter(keep), path, base=base)
+    hit = F.coalesce(cond, F.lit(False))
+    keep = ~hit
+    pcol = table_meta(path).get("partition_by")
+    if pcol is not None:
+        touched = {
+            r[0] for r in tgt.filter(hit).select(pcol).distinct().collect()
+        }
+        cow = _cow_plan(path, base, pcol, touched)
+        if cow is not None:
+            return _write_next(
+                tgt.filter(cow[1]).filter(keep),
+                path,
+                base=base,
+                partition_by=pcol,
+                carry_dirs=cow[0],
+            )
+    return _write_next(tgt.filter(keep), path, base=base, partition_by=pcol)
 
 
 def compact(
@@ -237,7 +407,11 @@ def compact(
         out = zorder_repartition(tgt, zorder_code, target_files)
     else:
         out = tgt.repartition(target_files)
-    return _write_next(out, path, base=base)
+    # a partitioned table keeps its layout (target_files becomes
+    # files-per-partition rather than a global count)
+    return _write_next(
+        out, path, base=base, partition_by=table_meta(path).get("partition_by")
+    )
 
 
 def table_diff(
@@ -282,11 +456,16 @@ def table_diff(
 
 
 def data_files(path: str, version: int) -> list[str]:
-    """Parquet data files of one committed snapshot."""
+    """Parquet data files of one committed snapshot (snapshot-relative
+    paths; recursive, so partitioned snapshots list the files inside
+    their ``col=value`` directories)."""
     d = _snapshot_dir(path, version)
-    return sorted(
-        f for f in os.listdir(d) if f.endswith(".parquet")
-    )
+    out = []
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(root, f), d))
+    return sorted(out)
 
 
 def history(spark: SparkSession, path: str) -> DataFrame:

@@ -317,3 +317,141 @@ def test_lakehouse_random_op_sequences_match_model(spark, tmp_path_factory, ops)
             assert got == snap, f"version {ver}: ops={ops}"
     finally:
         _sh.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Partition-level copy-on-write (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _mk_part_table(spark, tmp_path, name="pt"):
+    path = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(k, k * 10, k % 3) for k in range(9)], "k long, v long, p long"
+    )
+    lake.write_table(df, path, partition_by="p")
+    return path
+
+
+def _inodes(path, version, part):
+    import os
+
+    d = os.path.join(path, f"v={version}", f"p={part}")
+    return {
+        f: os.stat(os.path.join(d, f)).st_ino
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """A merge whose updates land in (and match keys only in) p=1 must
+    hardlink p=0 and p=2 unchanged — same inodes as the base snapshot —
+    while p=1 is fresh files. Content equals the full-rewrite answer."""
+    path = _mk_part_table(spark, tmp_path)
+    upd = spark.createDataFrame([(1, 111, 1), (10, 100, 1)], "k long, v long, p long")
+    lake.merge_upsert(spark, path, upd, keys=["k"])
+    got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    want = {(k, k * 10, k % 3) for k in range(9) if k != 1} | {
+        (1, 111, 1),
+        (10, 100, 1),
+    }
+    assert got == want
+    for part in (0, 2):  # untouched: shared files by reference
+        assert _inodes(path, 1, part) == _inodes(path, 0, part), part
+    # touched partition: rewritten, no inode shared with the base
+    assert not (
+        set(_inodes(path, 1, 1).values()) & set(_inodes(path, 0, 1).values())
+    )
+
+
+def test_partitioned_merge_cross_partition_key_move(spark, tmp_path):
+    """An update that MOVES a key to another partition must rewrite
+    BOTH the old and new partitions (no stale duplicate left behind)."""
+    path = _mk_part_table(spark, tmp_path)
+    upd = spark.createDataFrame([(0, 999, 2)], "k long, v long, p long")
+    lake.merge_upsert(spark, path, upd, keys=["k"])
+    got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    want = {(k, k * 10, k % 3) for k in range(1, 9)} | {(0, 999, 2)}
+    assert got == want  # exactly one row for k=0, in its new partition
+    # p=1 untouched; p=0 (old home) and p=2 (new home) both rewritten
+    assert _inodes(path, 1, 1) == _inodes(path, 0, 1)
+
+
+def test_partitioned_delete_drops_partition_and_links_rest(spark, tmp_path):
+    import os
+
+    path = _mk_part_table(spark, tmp_path)
+    lake.delete_where(spark, path, F.col("p") == 2)
+    got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    assert got == {(k, k * 10, k % 3) for k in range(9) if k % 3 != 2}
+    assert not os.path.isdir(os.path.join(path, "v=1", "p=2"))
+    for part in (0, 1):
+        assert _inodes(path, 1, part) == _inodes(path, 0, part)
+    # time travel still sees the deleted partition in v=0
+    assert lake.read_table(spark, path, version=0).count() == 9
+
+
+def test_partitioned_compact_and_history(spark, tmp_path):
+    path = _mk_part_table(spark, tmp_path)
+    lake.compact(spark, path, target_files=1)
+    got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    assert got == {(k, k * 10, k % 3) for k in range(9)}
+    files = lake.data_files(path, 1)
+    assert files and all(f.startswith("p=") for f in files)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=4))
+def test_partitioned_lakehouse_sequences_match_model(spark, tmp_path_factory, ops):
+    """The model-based fuzz re-run against a PARTITIONED table
+    (p = k % 3, partition-level copy-on-write active): every operation
+    sequence and every time-travel snapshot must match the same
+    pure-Python model the unpartitioned table matches — COW is a
+    storage optimization, never a semantics change."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    path = _tf.mkdtemp(prefix="lake_pfuzz_", dir="/tmp")
+    _sh.rmtree(path)
+    try:
+        model: dict[int, tuple[int, int]] = {0: (1, 5)}
+        df0 = spark.createDataFrame(
+            [(0, 1, 5, 0)], "k long, v long, ts long, p long"
+        )
+        lake.write_table(df0, path, partition_by="p")
+        snapshots = [dict(model)]
+        for kind, arg in ops:
+            if kind in ("upsert", "upsert_ts"):
+                upd = spark.createDataFrame(
+                    [(k, v, ts, k % 3) for k, (v, ts) in sorted(arg.items())],
+                    "k long, v long, ts long, p long",
+                )
+                if kind == "upsert":
+                    lake.merge_upsert(spark, path, upd, keys=["k"])
+                    model.update(arg)
+                else:
+                    lake.merge_upsert(
+                        spark, path, upd, keys=["k"],
+                        match_condition=lambda u, t: u["ts"] >= t["ts"],
+                    )
+                    for k, (v, ts) in arg.items():
+                        if k not in model or ts >= model[k][1]:
+                            model[k] = (v, ts)
+            else:
+                m, r = arg
+                lake.delete_where(spark, path, F.col("v") % m == r)
+                model = {k: vt for k, vt in model.items() if vt[0] % m != r}
+            snapshots.append(dict(model))
+        for ver, snap in enumerate(snapshots):
+            got = {
+                r.k: (r.v, r.ts)
+                for r in lake.read_table(spark, path, version=ver).collect()
+            }
+            assert got == snap, f"version {ver}: ops={ops}"
+    finally:
+        _sh.rmtree(path, ignore_errors=True)
