@@ -116,15 +116,17 @@ _DRIVER_PRIORITY = [
     # ---- end of the 50-slot window ----
     # Round-8 queue: the 6 pre-regen keys displaced from this window
     # (each also exercised directly by tests/test_udx.py and
-    # tests/test_pipeline.py, so driver evidence is the only gap).
-    # After these, every key has a post-regen driver row; the remainder
-    # (r4-r6 green keys) follows in registration order.
+    # tests/test_pipeline.py, so driver evidence is the only gap),
+    # then the new-in-round-7 partitioned-COW contract (zero driver
+    # history). After these, every key has a post-regen driver row;
+    # the remainder (r4-r6 green keys) follows in registration order.
     "q_udf_python",
     "q_udf_pandas",
     "q_udtf_explode",
     "q_pipe_chain",
     "q_pipe_fan_merge",
     "q_pipe_iff",
+    "q_lake_partitioned_cow",
 ]
 
 

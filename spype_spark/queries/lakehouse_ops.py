@@ -298,3 +298,70 @@ def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_partitioned_cow",
+    oracle=_MERGE_ORACLE_CTE
+    + """
+    , merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM merged WHERE o_orderstatus <> 'P'
+    """,
+)
+def q_lake_partitioned_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level copy-on-write: the MERGE → DELETE sequence over
+    a table PARTITIONED by o_orderstatus, with the copy-on-write
+    property itself asserted in-contract.
+
+    v0 = base partitioned by status; v1 = MERGE (updates land in the
+    'U' partition, matched keys live in O/F/P — those partitions
+    rewrite); v2 = DELETE WHERE status = 'P' (drops the P partition
+    wholesale — the plan partition-prunes because the predicate IS the
+    partition column). The final content is pure SQL over orders (the
+    oracle), but the contract additionally raises unless v2 HARDLINKS
+    the untouched O/F/U partitions from v1 — same inode, zero bytes
+    copied — so a silent regression to full-snapshot rewrites fails
+    the driver gate, not just a unit test. At 100 TB this is the
+    difference between a delete costing O(table) and O(deleted
+    partitions)."""
+    import os
+
+    tmp = _scratch("spype_lake_cow_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(
+            _base(spark, sf_dir), path, partition_by="o_orderstatus"
+        )
+        lake.merge_upsert(
+            spark, path, _updates(spark, sf_dir), keys=["o_orderkey"]
+        )
+        lake.delete_where(spark, path, F.col("o_orderstatus") == "P")
+
+        def inodes(version: int, part: str) -> dict[str, int]:
+            d = os.path.join(path, f"v={version}", f"o_orderstatus={part}")
+            return {
+                f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            }
+
+        for part in ("O", "F", "U"):
+            if inodes(2, part) != inodes(1, part):
+                raise AssertionError(
+                    f"partition {part} was rewritten by an unrelated "
+                    "DELETE — copy-on-write regressed to full rewrite"
+                )
+        if os.path.isdir(os.path.join(path, "v=2", "o_orderstatus=P")):
+            raise AssertionError("deleted partition survived in v2")
+        return (
+            lake.read_table(spark, path)
+            .select(*_BASE_COLS)
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
