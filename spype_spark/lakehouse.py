@@ -83,15 +83,20 @@ def _meta_path(path: str) -> str:
 
 
 def table_meta(path: str) -> dict:
-    """Table-level metadata (currently: ``partition_by``). Written once
-    at :func:`write_table`; static for the table's lifetime."""
+    """Table-level metadata (currently: ``partition_by``, normalized to
+    a list of column names). Written once at :func:`write_table`;
+    static for the table's lifetime."""
     p = _meta_path(path)
     if not os.path.exists(p):
         return {}
     import json
 
     with open(p) as f:
-        return json.load(f)
+        meta = json.load(f)
+    pb = meta.get("partition_by")
+    if isinstance(pb, str):
+        meta["partition_by"] = [pb]
+    return meta
 
 
 def _link_tree(src: str, dst: str) -> None:
@@ -108,12 +113,22 @@ def _link_tree(src: str, dst: str) -> None:
             os.link(s, d)
 
 
+def _norm_pcols(partition_by) -> list[str] | None:
+    """Accept a column name or a list of names; None stays None."""
+    if partition_by is None:
+        return None
+    if isinstance(partition_by, str):
+        return [partition_by]
+    return list(partition_by)
+
+
 def _commit_snapshot(
     df: DataFrame,
     path: str,
     version: int,
-    partition_by: str | None = None,
-    carry_dirs: list[str] | None = None,
+    partition_by=None,
+    carry_from: str | None = None,
+    carry_rels: list[str] | None = None,
 ) -> int:
     """Write ``df`` as snapshot ``version`` via temp-dir + atomic rename.
 
@@ -124,19 +139,32 @@ def _commit_snapshot(
     dirs are cleaned up and they get :class:`ConcurrentWriteError`
     without having touched the table.
 
-    ``carry_dirs`` (absolute paths of partition dirs in the BASE
-    snapshot) are hardlinked into the new snapshot after the write —
+    ``carry_rels`` (snapshot-relative partition-directory paths, e.g.
+    ``["p=1", "d=2024/h=03"]``) are hardlinked from ``carry_from`` (the
+    BASE snapshot dir) into the new snapshot after the write —
     partition-level copy-on-write: only touched partitions pay a
     rewrite, untouched ones are shared by reference, and the
     atomic-rename publish still covers the whole snapshot.
     """
+    pcols = _norm_pcols(partition_by)
     tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
-    writer = df.write.mode("errorifexists")
-    if partition_by is not None:
-        writer = writer.partitionBy(partition_by)
-    writer.parquet(tmp)
-    for src in carry_dirs or []:
-        _link_tree(src, os.path.join(tmp, os.path.basename(src)))
+    # An EMPTY partitioned write produces no partition dirs and no
+    # parquet footers — an unreadable snapshot. Two empty-rewrite cases:
+    # with carried partitions, the carries ARE the snapshot (write only
+    # the _SUCCESS marker — a flat 0-row file would collide with
+    # partition discovery); with none, write the empty frame FLAT so
+    # the single 0-row footer preserves the schema.
+    empty = pcols is not None and df.isEmpty()
+    if empty and carry_rels:
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    else:
+        writer = df.write.mode("errorifexists")
+        if pcols and not empty:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(tmp)
+    for rel in carry_rels or []:
+        _link_tree(os.path.join(carry_from, rel), os.path.join(tmp, rel))
     final = _snapshot_dir(path, version)
     try:
         os.rename(tmp, final)
@@ -149,81 +177,114 @@ def _commit_snapshot(
     return version
 
 
-def write_table(
-    df: DataFrame, path: str, partition_by: str | None = None
-) -> int:
+def write_table(df: DataFrame, path: str, partition_by=None) -> int:
     """Create a table at ``path`` as version 0 (errors if it exists).
 
-    ``partition_by`` lays every snapshot out as Hive-style
-    ``col=value`` partition directories and enables PARTITION-LEVEL
-    copy-on-write for all subsequent mutations: MERGE/DELETE rewrite
-    only the partitions their keys/predicate touch and hardlink the
-    rest (see :func:`merge_upsert`). Partition values should be simple
-    scalars (string without path-special characters, int) — the
+    ``partition_by`` (a column name or a LIST of names — e.g.
+    ``["ship_date", "shard"]``, the date+shard layout SCALE.md assumes
+    at 100 TB) lays every snapshot out as nested Hive-style
+    ``col=value`` directories and enables PARTITION-LEVEL copy-on-write
+    for all subsequent mutations: MERGE/DELETE rewrite only the leaf
+    partitions their keys/predicate touch and hardlink the rest (see
+    :func:`merge_upsert`). Partition values should be simple scalars
+    (string without path-special characters, int) — the
     touched-partition matcher compares their canonical string forms
     against directory names; a null partition value falls back to a
     full-snapshot rewrite rather than guessing Hive's default-partition
     encoding.
     """
+    pcols = _norm_pcols(partition_by)
     if versions(path):
         raise FileExistsError(f"table already exists at {path}")
     os.makedirs(path, exist_ok=True)
-    if partition_by is not None:
+    if pcols:
         import json
 
         with open(_meta_path(path), "w") as f:
-            json.dump({"partition_by": partition_by}, f)
-    return _commit_snapshot(df, path, 0, partition_by=partition_by)
+            json.dump({"partition_by": pcols}, f)
+    return _commit_snapshot(df, path, 0, partition_by=pcols)
 
 
 def _write_next(
     df: DataFrame,
     path: str,
     base: int | None = None,
-    partition_by: str | None = None,
-    carry_dirs: list[str] | None = None,
+    partition_by=None,
+    carry_from: str | None = None,
+    carry_rels: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as ``base+1`` (optimistic: raises
     :class:`ConcurrentWriteError` if someone else already did)."""
     v = (latest_version(path) if base is None else base) + 1
     return _commit_snapshot(
-        df, path, v, partition_by=partition_by, carry_dirs=carry_dirs
+        df,
+        path,
+        v,
+        partition_by=partition_by,
+        carry_from=carry_from,
+        carry_rels=carry_rels,
     )
 
 
 _SAFE_PART_VAL = re.compile(r"^[A-Za-z0-9._-]+$")
 
 
+def _leaf_partition_rels(snap: str, pcols: list[str]) -> set[str]:
+    """Relative paths of the LEAF partition directories of a snapshot
+    (depth = len(pcols), each level a ``col=value`` dir)."""
+    rels = {""}
+    for c in pcols:
+        nxt = set()
+        for r in rels:
+            d = os.path.join(snap, r) if r else snap
+            for n in os.listdir(d):
+                if n.startswith(f"{c}=") and os.path.isdir(
+                    os.path.join(d, n)
+                ):
+                    nxt.add(os.path.join(r, n) if r else n)
+        rels = nxt
+    return rels
+
+
 def _cow_plan(
-    path: str, base: int, pcol: str, touched_vals: set
+    path: str, base: int, pcols: list[str], touched_vals: set
 ) -> tuple[list[str], object] | None:
-    """Partition-level copy-on-write plan: (carry_dirs, touched_filter)
-    for a mutation that touches only ``touched_vals`` partitions —
-    or None when the plan can't be built safely (a value whose
-    canonical string form wouldn't round-trip through a Hive
-    ``col=value`` directory name, e.g. null or path-special
+    """Partition-level copy-on-write plan:
+    (carry_rels, touched_filter) for a mutation that touches only the
+    ``touched_vals`` leaf partitions (each a TUPLE of values, one per
+    partition column) — or None when the plan can't be built safely (a
+    value whose canonical string form wouldn't round-trip through its
+    Hive ``col=value`` directory name, e.g. null or path-special
     characters), in which case the caller falls back to the
     full-snapshot rewrite. Correctness over cleverness: a mismatched
     name would silently CARRY a partition that should have been
     rewritten."""
-    vals = []
-    for v in touched_vals:
-        s = str(v)
-        if v is None or not _SAFE_PART_VAL.match(s):
-            return None
-        vals.append(s)
+    tuples = []
+    for vt in touched_vals:
+        parts = []
+        for v in vt:
+            sv = str(v)
+            if v is None or not _SAFE_PART_VAL.match(sv):
+                return None
+            parts.append(sv)
+        tuples.append(parts)
     snap = _snapshot_dir(path, base)
-    prefix = f"{pcol}="
-    existing = {n for n in os.listdir(snap) if n.startswith(prefix)}
-    touched_names = {f"{pcol}={s}" for s in vals}
-    carry = sorted(
-        os.path.join(snap, n) for n in existing - touched_names
-    )
+    existing = _leaf_partition_rels(snap, pcols)
+    touched_rels = {
+        os.path.join(*[f"{c}={sv}" for c, sv in zip(pcols, parts)])
+        for parts in tuples
+    }
+    carry = sorted(existing - touched_rels)
     # touched filter compares on canonical strings — the same form the
-    # directory names carry, so typed partition columns (int) match
-    touched_filter = (
-        F.col(pcol).cast("string").isin(vals) if vals else F.lit(False)
-    )
+    # directory names carry, so typed partition columns (int) match.
+    # NUL-joined so multi-column tuples can't alias each other.
+    if tuples:
+        key = F.concat_ws(
+            "\x00", *[F.col(c).cast("string") for c in pcols]
+        )
+        touched_filter = key.isin(["\x00".join(p) for p in tuples])
+    else:
+        touched_filter = F.lit(False)
     return carry, touched_filter
 
 
@@ -283,23 +344,24 @@ def merge_upsert(
     # Only those partitions join the merge; the rest hardlink over.
     # evolve_schema forces the full rewrite: carried-over files would
     # lack the new columns and plain parquet reads don't schema-merge.
-    pcol = table_meta(path).get("partition_by")
+    pcols = table_meta(path).get("partition_by")
     cow = None
-    if pcol is not None and not evolve_schema:
-        if pcol not in updates.columns:
+    if pcols is not None and not evolve_schema:
+        missing = [c for c in pcols if c not in updates.columns]
+        if missing:
             raise ValueError(
-                f"updates must carry partition column {pcol!r}"
+                f"updates must carry partition column(s) {missing}"
             )
         touched = {
-            r[0] for r in updates.select(pcol).distinct().collect()
+            tuple(r) for r in updates.select(*pcols).distinct().collect()
         } | {
-            r[0]
+            tuple(r)
             for r in tgt.join(updates.select(*keys), keys, "left_semi")
-            .select(pcol)
+            .select(*pcols)
             .distinct()
             .collect()
         }
-        cow = _cow_plan(path, base, pcol, touched)
+        cow = _cow_plan(path, base, pcols, touched)
         if cow is not None:
             tgt = tgt.filter(cow[1])
     if evolve_schema:
@@ -342,12 +404,17 @@ def merge_upsert(
             )
     if cow is not None:
         return _write_next(
-            merged, path, base=base, partition_by=pcol, carry_dirs=cow[0]
+            merged,
+            path,
+            base=base,
+            partition_by=pcols,
+            carry_from=_snapshot_dir(path, base),
+            carry_rels=cow[0],
         )
     # full rewrite (unpartitioned table, unsafe partition values, or
     # evolve_schema) — a partitioned table KEEPS its layout either way:
     # a flat snapshot would break every later copy-on-write plan
-    return _write_next(merged, path, base=base, partition_by=pcol)
+    return _write_next(merged, path, base=base, partition_by=pcols)
 
 
 def delete_where(spark: SparkSession, path: str, cond) -> int:
@@ -364,21 +431,23 @@ def delete_where(spark: SparkSession, path: str, cond) -> int:
     tgt = read_table(spark, path, version=base)
     hit = F.coalesce(cond, F.lit(False))
     keep = ~hit
-    pcol = table_meta(path).get("partition_by")
-    if pcol is not None:
+    pcols = table_meta(path).get("partition_by")
+    if pcols is not None:
         touched = {
-            r[0] for r in tgt.filter(hit).select(pcol).distinct().collect()
+            tuple(r)
+            for r in tgt.filter(hit).select(*pcols).distinct().collect()
         }
-        cow = _cow_plan(path, base, pcol, touched)
+        cow = _cow_plan(path, base, pcols, touched)
         if cow is not None:
             return _write_next(
                 tgt.filter(cow[1]).filter(keep),
                 path,
                 base=base,
-                partition_by=pcol,
-                carry_dirs=cow[0],
+                partition_by=pcols,
+                carry_from=_snapshot_dir(path, base),
+                carry_rels=cow[0],
             )
-    return _write_next(tgt.filter(keep), path, base=base, partition_by=pcol)
+    return _write_next(tgt.filter(keep), path, base=base, partition_by=pcols)
 
 
 def compact(

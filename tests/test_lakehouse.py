@@ -455,3 +455,46 @@ def test_partitioned_lakehouse_sequences_match_model(spark, tmp_path_factory, op
             assert got == snap, f"version {ver}: ops={ops}"
     finally:
         _sh.rmtree(path, ignore_errors=True)
+
+
+def test_multicolumn_partitioned_cow(spark, tmp_path):
+    """Two-level (d, s) partitioning — the date+shard layout SCALE.md
+    assumes at 100 TB: a merge touching only (d=1, s=0) must hardlink
+    every OTHER leaf partition (including d=1's other shard) and
+    rewrite exactly the touched leaf."""
+    import os
+
+    path = str(tmp_path / "mt")
+    df = spark.createDataFrame(
+        [(k, k * 10, k % 2, k % 3) for k in range(12)],
+        "k long, v long, d long, s long",
+    )
+    lake.write_table(df, path, partition_by=["d", "s"])
+    # k=3 → (d=1, s=0); update stays in its own leaf
+    upd = spark.createDataFrame([(3, 999, 1, 0)], "k long, v long, d long, s long")
+    lake.merge_upsert(spark, path, upd, keys=["k"])
+    got = {(r.k, r.v, r.d, r.s) for r in lake.read_table(spark, path).collect()}
+    want = {(k, k * 10, k % 2, k % 3) for k in range(12) if k != 3} | {
+        (3, 999, 1, 0)
+    }
+    assert got == want
+
+    def leaf_inodes(ver, d, sh):
+        p = os.path.join(path, f"v={ver}", f"d={d}", f"s={sh}")
+        return {
+            f: os.stat(os.path.join(p, f)).st_ino
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        }
+
+    for d, sh in [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2)]:
+        assert leaf_inodes(1, d, sh) == leaf_inodes(0, d, sh), (d, sh)
+    assert not (
+        set(leaf_inodes(1, 1, 0).values()) & set(leaf_inodes(0, 1, 0).values())
+    )
+    # delete an entire date: both its shards go, the other date links
+    lake.delete_where(spark, path, F.col("d") == 0)
+    assert not os.path.isdir(os.path.join(path, "v=2", "d=0"))
+    assert lake.read_table(spark, path).filter("d = 0").count() == 0
+    for d, sh in [(1, 1), (1, 2)]:
+        assert leaf_inodes(2, d, sh) == leaf_inodes(1, d, sh), (d, sh)
