@@ -24,16 +24,23 @@ suspenders), so a half-written snapshot is unobservable twice over.
 
 Copy-on-write granularity (round 7): an unpartitioned table rewrites
 the full snapshot per mutation; a table created with
-``write_table(..., partition_by=col)`` gets PARTITION-LEVEL
-copy-on-write — MERGE/DELETE rewrite only the ``col=value`` partitions
-their keys/predicate touch and hardlink every untouched partition
-directory into the new snapshot (zero data copied; both snapshots
-share the same immutable files, exactly how real formats share
-unchanged data files through manifests). The touched-partition plan
-falls back to a full rewrite whenever a partition value wouldn't
-round-trip through its directory name (null, path-special characters)
-— correctness over cleverness. At 100 TB this is the difference
-between a mutation costing O(table) and O(touched partitions).
+``write_table(..., partition_by=col_or_list)`` gets PARTITION-LEVEL
+copy-on-write — MERGE/DELETE rewrite only the ``col=value`` leaf
+partitions their keys/predicate touch and hardlink every untouched
+partition directory into the new snapshot (zero data copied; both
+snapshots share the same immutable files, exactly how real formats
+share unchanged data files through manifests). Inside the touched
+partitions, single-key MERGE goes one level finer — FILE-level
+manifest pruning: parquet FOOTER min/max statistics on the merge key
+(the same stats a manifest would carry) prove which data files cannot
+contain a matched row; those hardlink over individually and only the
+possibly-matching files are read back as the rewrite input, so an
+insert-heavy CDC merge writes the new rows and links nearly everything
+else. Every pruning layer falls back to the next-coarser rewrite
+whenever it can't prove safety (null/path-special partition values,
+missing or non-numeric footer stats) — correctness over cleverness.
+At 100 TB this is the difference between a mutation costing O(table)
+and O(touched files).
 """
 
 from __future__ import annotations
@@ -101,9 +108,14 @@ def table_meta(path: str) -> dict:
 
 def _link_tree(src: str, dst: str) -> None:
     """Recursively hardlink ``src`` into ``dst`` — the copy-on-write
-    carry-over for untouched partition directories: zero data copied,
-    both snapshots share the same immutable parquet files (same
-    filesystem by construction — both live under the table root)."""
+    carry-over for untouched partition directories (or, at file
+    granularity, a single untouched data file): zero data copied, both
+    snapshots share the same immutable parquet files (same filesystem
+    by construction — both live under the table root)."""
+    if os.path.isfile(src):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.link(src, dst)
+        return
     os.makedirs(dst, exist_ok=True)
     for name in os.listdir(src):
         s, d = os.path.join(src, name), os.path.join(dst, name)
@@ -246,6 +258,75 @@ def _leaf_partition_rels(snap: str, pcols: list[str]) -> set[str]:
     return rels
 
 
+def _file_key_interval(fpath: str, key: str):
+    """(min, max) of ``key`` across a parquet file's row groups, read
+    from the FOOTER statistics only (a metadata-sized driver read, the
+    same stats a manifest would carry) — or None when any row group
+    lacks min/max, in which case the caller must treat the file as
+    possibly-matching and rewrite it."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == key:
+            idx = i
+            break
+    if idx is None:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
+def _file_cow_split(
+    snap: str, touched_rels: list[str], key: str, umin, umax
+) -> tuple[list[str], list[str]] | None:
+    """FILE-level manifest pruning inside the touched partitions:
+    split their data files into (linkable_rels, rewrite_paths) using
+    footer min/max stats on the merge key — a file whose key interval
+    cannot intersect [umin, umax] provably contains no matched row and
+    is carried by hardlink; everything else is read back as the
+    rewrite input. Returns None when stats are unusable (caller falls
+    back to rewriting the whole touched partitions). Interval pruning
+    is conservative by construction: it only ever EXCLUDES files whose
+    ranges cannot match."""
+    if umin is None or umax is None:
+        return None
+    link_rels: list[str] = []
+    rewrite: list[str] = []
+    for rel in touched_rels:
+        d = os.path.join(snap, rel) if rel else snap
+        if not os.path.isdir(d):
+            continue  # insert-only partition: nothing to carry/rewrite
+        for name in os.listdir(d):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(d, name)
+            try:
+                iv = _file_key_interval(fpath, key)
+            except Exception:
+                return None
+            frel = os.path.join(rel, name) if rel else name
+            # numeric stats only: parquet writers may truncate string
+            # min/max (or omit them); int/float footer stats are exact.
+            # bool excluded — it is an int subclass but not a key type.
+            numeric = iv is not None and all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in iv
+            )
+            if numeric and (iv[1] < umin or iv[0] > umax):
+                link_rels.append(frel)
+            else:
+                rewrite.append(fpath)
+    return link_rels, rewrite
+
+
 def _cow_plan(
     path: str, base: int, pcols: list[str], touched_vals: set
 ) -> tuple[list[str], object] | None:
@@ -362,8 +443,40 @@ def merge_upsert(
             .collect()
         }
         cow = _cow_plan(path, base, pcols, touched)
+        file_links: list[str] = []
         if cow is not None:
-            tgt = tgt.filter(cow[1])
+            # FILE-level manifest pruning inside the touched partitions
+            # (single-key merges): footer min/max stats prove which
+            # data files cannot contain a matched key — those hardlink
+            # over like untouched partitions, and the rewrite input
+            # shrinks to exactly the possibly-matching files (read with
+            # basePath so partition columns reconstruct). Insert-heavy
+            # CDC merges thus rewrite almost nothing: new rows write,
+            # everything else links.
+            snap = _snapshot_dir(path, base)
+            touched_rels = sorted(
+                _leaf_partition_rels(snap, pcols) - set(cow[0])
+            )
+            fsplit = None
+            if len(keys) == 1:
+                row = updates.agg(
+                    F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+                ).first()
+                fsplit = _file_cow_split(
+                    snap, touched_rels, keys[0], row["lo"], row["hi"]
+                )
+            if fsplit is not None:
+                file_links, rewrite_paths = fsplit
+                if rewrite_paths:
+                    tgt = (
+                        spark.read.option("basePath", snap)
+                        .parquet(*rewrite_paths)
+                        .select(*tgt.columns)
+                    )
+                else:
+                    tgt = spark.createDataFrame([], tgt.schema)
+            else:
+                tgt = tgt.filter(cow[1])
     if evolve_schema:
         merged = updates.unionByName(
             tgt.join(updates.select(*keys), keys, "left_anti"),
@@ -409,7 +522,7 @@ def merge_upsert(
             base=base,
             partition_by=pcols,
             carry_from=_snapshot_dir(path, base),
-            carry_rels=cow[0],
+            carry_rels=cow[0] + file_links,
         )
     # full rewrite (unpartitioned table, unsafe partition values, or
     # evolve_schema) — a partitioned table KEEPS its layout either way:

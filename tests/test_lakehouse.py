@@ -489,12 +489,59 @@ def test_multicolumn_partitioned_cow(spark, tmp_path):
 
     for d, sh in [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2)]:
         assert leaf_inodes(1, d, sh) == leaf_inodes(0, d, sh), (d, sh)
-    assert not (
-        set(leaf_inodes(1, 1, 0).values()) & set(leaf_inodes(0, 1, 0).values())
-    )
+    # the touched leaf is rewritten at FILE granularity: at least one
+    # fresh file (the rewrite output) exists; base files whose key
+    # stats can't contain k=3 may legitimately carry over by hardlink
+    v1, v0 = leaf_inodes(1, 1, 0), leaf_inodes(0, 1, 0)
+    assert set(v1.values()) - set(v0.values()), "no rewritten file in touched leaf"
     # delete an entire date: both its shards go, the other date links
     lake.delete_where(spark, path, F.col("d") == 0)
     assert not os.path.isdir(os.path.join(path, "v=2", "d=0"))
     assert lake.read_table(spark, path).filter("d = 0").count() == 0
     for d, sh in [(1, 1), (1, 2)]:
         assert leaf_inodes(2, d, sh) == leaf_inodes(1, d, sh), (d, sh)
+
+
+def test_file_level_manifest_pruning(spark, tmp_path):
+    """File-granularity copy-on-write inside a touched partition: the
+    base is written as 4 range-clustered files per partition (disjoint
+    key intervals in the parquet footers); a merge keyed in one narrow
+    range must hardlink every file whose interval can't contain the
+    keys and rewrite only the possibly-matching one. Content equals
+    the full-rewrite answer."""
+    import os
+
+    path = str(tmp_path / "flt")
+    df = spark.createDataFrame(
+        [(k, k * 10, 0) for k in range(400)], "k long, v long, p long"
+    )
+    lake.write_table(
+        df.repartitionByRange(4, "k"), path, partition_by="p"
+    )
+    base_dir = os.path.join(path, "v=0", "p=0")
+    base_files = sorted(f for f in os.listdir(base_dir) if f.endswith(".parquet"))
+    assert len(base_files) == 4  # one file per key range
+
+    upd = spark.createDataFrame(
+        [(5, 999, 0), (7, 777, 0)], "k long, v long, p long"
+    )
+    lake.merge_upsert(spark, path, upd, keys=["k"])
+    got = {(r.k, r.v) for r in lake.read_table(spark, path).collect()}
+    want = {(k, k * 10) for k in range(400) if k not in (5, 7)} | {
+        (5, 999),
+        (7, 777),
+    }
+    assert got == want
+
+    def inode(ver, f):
+        return os.stat(os.path.join(path, f"v={ver}", "p=0", f)).st_ino
+
+    v1_dir = os.path.join(path, "v=1", "p=0")
+    v1_files = sorted(f for f in os.listdir(v1_dir) if f.endswith(".parquet"))
+    base_inodes = {inode(0, f) for f in base_files}
+    linked = [f for f in v1_files if inode(1, f) in base_inodes]
+    fresh = [f for f in v1_files if inode(1, f) not in base_inodes]
+    # keys 5 and 7 live in ONE of the four range files → exactly 3 of
+    # the base files carry over by hardlink, plus fresh rewrite output
+    assert len(linked) == 3, (linked, fresh)
+    assert fresh
