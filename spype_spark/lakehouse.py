@@ -433,10 +433,13 @@ def merge_upsert(
             raise ValueError(
                 f"updates must carry partition column(s) {missing}"
             )
+        # metadata-sized collect: distinct partition values of the
+        # update set — bounded by the partition dimension, not the data
         touched = {
             tuple(r) for r in updates.select(*pcols).distinct().collect()
         } | {
             tuple(r)
+            # metadata-sized collect: partitions holding matched keys
             for r in tgt.join(updates.select(*keys), keys, "left_semi")
             .select(*pcols)
             .distinct()
@@ -548,6 +551,7 @@ def delete_where(spark: SparkSession, path: str, cond) -> int:
     if pcols is not None:
         touched = {
             tuple(r)
+            # metadata-sized collect: partitions containing deleted rows
             for r in tgt.filter(hit).select(*pcols).distinct().collect()
         }
         cow = _cow_plan(path, base, pcols, touched)

@@ -186,15 +186,20 @@ def test_minhash_guard_noop_on_normal_corpus(spark):
 
 def test_no_driver_collect_in_package():
     """Scale guard: no driver-side .collect() anywhere in the package
-    except the pipeline DSL's explicit action API (dsl.py). The round-1
+    except (a) the pipeline DSL's explicit action API (dsl.py) and
+    (b) lines carrying the explicit ``metadata-sized collect`` marker —
+    collects whose result is bounded by a DIMENSION (distinct partition
+    values of a mutation's update set), not by the data. The round-1
     embedding kernels collected the whole table on the driver — this
-    pins the fix."""
+    pins the fix, and the marker keeps every exemption a reviewed,
+    greppable decision rather than a silent hole."""
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parent.parent / "spype_spark"
     offenders = []
     for p in sorted(root.rglob("*.py")):
-        for i, line in enumerate(p.read_text().splitlines(), 1):
+        lines = p.read_text().splitlines()
+        for i, line in enumerate(lines, 1):
             if ".collect()" not in line:
                 continue
             stripped = line.strip()
@@ -202,6 +207,9 @@ def test_no_driver_collect_in_package():
                 continue  # comment / docstring mention
             if p.name == "dsl.py":
                 continue  # the explicit Pype action API
+            window = "\n".join(lines[max(0, i - 5) : i])
+            if "metadata-sized collect" in window:
+                continue  # reviewed dimension-bounded collect
             offenders.append(f"{p.name}:{i}: {stripped}")
     assert not offenders, f"driver-side collect() in hot path: {offenders}"
 
