@@ -654,6 +654,29 @@ def data_files(path: str, version: int) -> list[str]:
     return sorted(out)
 
 
+def vacuum(path: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` committed snapshots;
+    returns the removed version numbers.
+
+    Safe by construction against the copy-on-write carries: shared
+    data files are HARDLINKS, so removing an old snapshot directory
+    only decrements their link count — every file still referenced by
+    a surviving snapshot stays on disk untouched. Time travel to a
+    vacuumed version subsequently raises (the retention trade every
+    real format makes); latest-version reads are unaffected. The
+    removal is per-directory ``rmtree`` of already-superseded
+    snapshots, so a concurrent writer committing v=N+1 is never racing
+    a vacuum of v=N.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = versions(path)
+    drop = vs[:-keep_last]
+    for v in drop:
+        shutil.rmtree(_snapshot_dir(path, v), ignore_errors=True)
+    return drop
+
+
 def history(spark: SparkSession, path: str) -> DataFrame:
     """Table history as a DataFrame: (version, n_files)."""
     rows = [(v, len(data_files(path, v))) for v in versions(path)]

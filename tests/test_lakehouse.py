@@ -545,3 +545,22 @@ def test_file_level_manifest_pruning(spark, tmp_path):
     # the base files carry over by hardlink, plus fresh rewrite output
     assert len(linked) == 3, (linked, fresh)
     assert fresh
+
+
+def test_vacuum_respects_hardlinked_carries(spark, tmp_path):
+    """VACUUM drops old snapshots; data files shared with surviving
+    snapshots via COW hardlinks must remain readable (the filesystem
+    refcounts them), and time travel to a vacuumed version raises."""
+    path = _mk_part_table(spark, tmp_path, name="vac")
+    upd = spark.createDataFrame([(1, 111, 1)], "k long, v long, p long")
+    lake.merge_upsert(spark, path, upd, keys=["k"])  # v1: p=0/p=2 linked
+    before = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    removed = lake.vacuum(path, keep_last=1)
+    assert removed == [0]
+    assert lake.versions(path) == [1]
+    after = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    assert after == before  # linked files survived their origin snapshot
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        lake.read_table(spark, path, version=0)
