@@ -127,6 +127,7 @@ _DRIVER_PRIORITY = [
     "q_pipe_fan_merge",
     "q_pipe_iff",
     "q_lake_partitioned_cow",
+    "q_lake_vacuum",
 ]
 
 

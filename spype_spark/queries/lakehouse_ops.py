@@ -365,3 +365,51 @@ def q_lake_partitioned_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_vacuum",
+    oracle=_MERGE_ORACLE_CTE
+    + """
+    SELECT * FROM upd
+    UNION ALL
+    SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention: MERGE onto a PARTITIONED table (so v1 shares
+    hardlinked partition files with v0), then VACUUM down to the latest
+    snapshot — the surviving version must still read the complete MERGE
+    answer even though the snapshot its carried files were born in is
+    gone (hardlink refcounts keep shared data alive). Asserted
+    in-contract: exactly v0 is removed, v1 is the only version left,
+    and time travel to v0 raises — then the oracle hash-checks the
+    surviving content relationally."""
+    tmp = _scratch("spype_lake_vac_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(
+            _base(spark, sf_dir), path, partition_by="o_orderstatus"
+        )
+        lake.merge_upsert(
+            spark, path, _updates(spark, sf_dir), keys=["o_orderkey"]
+        )
+        removed = lake.vacuum(path, keep_last=1)
+        if removed != [0] or lake.versions(path) != [1]:
+            raise AssertionError(
+                f"vacuum retention wrong: removed={removed}, "
+                f"left={lake.versions(path)}"
+            )
+        try:
+            lake.read_table(spark, path, version=0)
+        except FileNotFoundError:
+            pass
+        else:
+            raise AssertionError("vacuumed v0 still readable")
+        return (
+            lake.read_table(spark, path)
+            .select(*_BASE_COLS)
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
