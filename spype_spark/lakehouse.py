@@ -567,6 +567,52 @@ def delete_where(spark: SparkSession, path: str, cond) -> int:
     return _write_next(tgt.filter(keep), path, base=base, partition_by=pcols)
 
 
+def delete_range(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> int:
+    """DELETE WHERE ``col BETWEEN lo AND hi`` with FILE-level manifest
+    pruning: parquet footer min/max stats on ``col`` prove which data
+    files contain no row in the deleted interval — those hardlink over
+    untouched (across ALL partitions), and only the intersecting files
+    are read back and rewritten with the keep filter. The explicit
+    interval form exists because a general ``delete_where`` predicate
+    can't be evaluated against footer stats; range deletes (retention
+    windows, backfill corrections) are the shape that can. Falls back
+    to :func:`delete_where` whenever stats are unusable. Result is
+    row-identical to ``delete_where(col BETWEEN lo AND hi)``
+    (NULL ``col`` rows are kept, SQL DELETE semantics — a NULL never
+    matches BETWEEN)."""
+    base = latest_version(path)
+    tgt = read_table(spark, path, version=base)
+    between = F.col(col).between(F.lit(lo), F.lit(hi))
+    pcols = table_meta(path).get("partition_by")
+    snap = _snapshot_dir(path, base)
+    leaves = sorted(_leaf_partition_rels(snap, pcols)) if pcols else [""]
+    split = _file_cow_split(snap, leaves, col, lo, hi)
+    if split is None:
+        return delete_where(spark, path, between)
+    link_rels, rewrite_paths = split
+    keep = ~F.coalesce(between, F.lit(False))
+    if rewrite_paths:
+        cols = tgt.columns
+        rewrite = (
+            spark.read.option("basePath", snap)
+            .parquet(*rewrite_paths)
+            .select(*cols)
+            .filter(keep)
+        )
+    else:
+        rewrite = spark.createDataFrame([], tgt.schema)
+    return _write_next(
+        rewrite,
+        path,
+        base=base,
+        partition_by=pcols,
+        carry_from=snap,
+        carry_rels=link_rels,
+    )
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -564,3 +564,47 @@ def test_vacuum_respects_hardlinked_carries(spark, tmp_path):
 
     with _pt.raises(FileNotFoundError):
         lake.read_table(spark, path, version=0)
+
+
+def test_delete_range_prunes_files_and_matches_delete_where(spark, tmp_path):
+    """delete_range must (a) equal delete_where(col BETWEEN lo AND hi)
+    row-for-row, and (b) hardlink every data file whose footer interval
+    misses the deleted range — on partitioned AND unpartitioned tables."""
+    import os
+
+    # partitioned: 4 range-clustered files inside p=0
+    path = str(tmp_path / "dr")
+    df = spark.createDataFrame(
+        [(k, k * 10, 0) for k in range(400)], "k long, v long, p long"
+    )
+    lake.write_table(df.repartitionByRange(4, "k"), path, partition_by="p")
+    twin = str(tmp_path / "dr_twin")
+    lake.write_table(df.repartitionByRange(4, "k"), twin, partition_by="p")
+
+    lake.delete_range(spark, path, "k", 10, 20)
+    lake.delete_where(spark, twin, F.col("k").between(10, 20))
+    got = {(r.k, r.v) for r in lake.read_table(spark, path).collect()}
+    want = {(r.k, r.v) for r in lake.read_table(spark, twin).collect()}
+    assert got == want == {(k, k * 10) for k in range(400) if not 10 <= k <= 20}
+
+    def inodes(tbl, ver):
+        d = os.path.join(tbl, f"v={ver}", "p=0")
+        return {os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    shared = inodes(path, 1) & inodes(path, 0)
+    assert len(shared) == 3, "3 of 4 range files must carry by hardlink"
+
+    # unpartitioned: same pruning across the snapshot root
+    flat = str(tmp_path / "dr_flat")
+    lake.write_table(df.select("k", "v").repartitionByRange(4, "k"), flat)
+    lake.delete_range(spark, flat, "k", 390, 600)
+    got_flat = {(r.k, r.v) for r in lake.read_table(spark, flat).collect()}
+    assert got_flat == {(k, k * 10) for k in range(390)}
+
+    def flat_inodes(ver):
+        d = os.path.join(flat, f"v={ver}")
+        return {os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    assert len(flat_inodes(1) & flat_inodes(0)) == 3
