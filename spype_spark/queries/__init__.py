@@ -128,6 +128,7 @@ _DRIVER_PRIORITY = [
     "q_pipe_iff",
     "q_lake_partitioned_cow",
     "q_lake_vacuum",
+    "q_lake_delete_range",
 ]
 
 

@@ -413,3 +413,66 @@ def q_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delete_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey < 8000
+      AND o_orderkey NOT BETWEEN 2000 AND 2999
+    """,
+)
+def q_lake_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned range DELETE: the base table is written as
+    range-clustered files (disjoint o_orderkey intervals in the parquet
+    footers); ``delete_range`` must remove exactly the keyed interval —
+    the relational oracle — while hardlinking every file whose footer
+    interval misses [2000, 2999] (asserted in-contract by inode
+    comparison, so a regression to whole-partition rewrites fails the
+    driver gate). This is the retention-window delete a 100 TB
+    time-partitioned table runs daily."""
+    import os
+
+    tmp = _scratch("spype_lake_dr_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(
+            _base(spark, sf_dir).repartitionByRange(8, "o_orderkey"),
+            path,
+            partition_by="o_orderstatus",
+        )
+        lake.delete_range(spark, path, "o_orderkey", 2000, 2999)
+
+        shared = 0
+        total = 0
+        for part in os.listdir(os.path.join(path, "v=0")):
+            if not part.startswith("o_orderstatus="):
+                continue
+            d0 = os.path.join(path, "v=0", part)
+            d1 = os.path.join(path, "v=1", part)
+            i0 = {
+                os.stat(os.path.join(d0, f)).st_ino
+                for f in os.listdir(d0)
+                if f.endswith(".parquet")
+            }
+            i1 = {
+                os.stat(os.path.join(d1, f)).st_ino
+                for f in os.listdir(d1)
+                if f.endswith(".parquet")
+            } if os.path.isdir(d1) else set()
+            shared += len(i0 & i1)
+            total += len(i0)
+        if not 0 < shared < total:
+            raise AssertionError(
+                f"range delete must hardlink the non-intersecting files "
+                f"and rewrite the rest: shared={shared}, total={total}"
+            )
+        return (
+            lake.read_table(spark, path)
+            .select(*_BASE_COLS)
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
