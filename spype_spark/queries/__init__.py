@@ -117,9 +117,11 @@ _DRIVER_PRIORITY = [
     # Round-8 queue: the 6 pre-regen keys displaced from this window
     # (each also exercised directly by tests/test_udx.py and
     # tests/test_pipeline.py, so driver evidence is the only gap),
-    # then the new-in-round-7 partitioned-COW contract (zero driver
-    # history). After these, every key has a post-regen driver row;
-    # the remainder (r4-r6 green keys) follows in registration order.
+    # then the three new-in-round-7 lakehouse-COW contracts (zero
+    # driver history; each carries an in-contract structural assert on
+    # top of its SQL oracle). After these, every key has a post-regen
+    # driver row; the remainder (r4-r6 green keys) follows in
+    # registration order.
     "q_udf_python",
     "q_udf_pandas",
     "q_udtf_explode",
