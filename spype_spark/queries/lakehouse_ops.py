@@ -343,14 +343,26 @@ def q_lake_partitioned_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         lake.delete_where(spark, path, F.col("o_orderstatus") == "P")
 
         def inodes(version: int, part: str) -> dict[str, int]:
-            d = os.path.join(path, f"v={version}", f"o_orderstatus={part}")
+            d = os.path.join(path, f"v={version}", part)
             return {
                 f: os.stat(os.path.join(d, f)).st_ino
                 for f in os.listdir(d)
                 if f.endswith(".parquet")
             }
 
-        for part in ("O", "F", "U"):
+        # discover the partitions v1 actually has (at tiny SFs the
+        # update set can be empty, so 'U' may not exist): every one
+        # except the deleted 'P' must carry to v2 by hardlink
+        v1_parts = [
+            n
+            for n in os.listdir(os.path.join(path, "v=1"))
+            if n.startswith("o_orderstatus=")
+        ]
+        if not v1_parts:
+            raise AssertionError("v1 has no partitions — setup broken")
+        for part in v1_parts:
+            if part == "o_orderstatus=P":
+                continue
             if inodes(2, part) != inodes(1, part):
                 raise AssertionError(
                     f"partition {part} was rewritten by an unrelated "
@@ -464,10 +476,21 @@ def q_lake_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             } if os.path.isdir(d1) else set()
             shared += len(i0 & i1)
             total += len(i0)
-        if not 0 < shared < total:
+        n_deleted = (
+            lake.read_table(spark, path, version=0).count()
+            - lake.read_table(spark, path, version=1).count()
+        )
+        if n_deleted > 0:
+            # real deletion: some files must rewrite, the rest must link
+            ok = 0 < shared < total
+        else:
+            # the interval holds no rows at this SF: EVERY file must
+            # prove non-intersection from its stats and carry by link
+            ok = shared == total
+        if not ok:
             raise AssertionError(
-                f"range delete must hardlink the non-intersecting files "
-                f"and rewrite the rest: shared={shared}, total={total}"
+                f"range-delete COW shape wrong: shared={shared}, "
+                f"total={total}, n_deleted={n_deleted}"
             )
         return (
             lake.read_table(spark, path)
