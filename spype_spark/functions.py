@@ -407,15 +407,19 @@ def connected_components(
     # with an expensive lineage (minhash candidate generation + jaccard
     # verification in the dedup pipeline) that would otherwise re-run
     # per cycle — measured 10× the whole computation at sf0.1.
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col(src) != F.col(dst))
+        raw.filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Node set from the UNFILTERED edges: a node appearing only in
+    # self-loop edges still gets its singleton component row (the
+    # self-loop filter above is a contraction optimization, not a
+    # membership decision).
     nodes = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

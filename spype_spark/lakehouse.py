@@ -45,6 +45,7 @@ and O(touched files).
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -96,8 +97,6 @@ def table_meta(path: str) -> dict:
     p = _meta_path(path)
     if not os.path.exists(p):
         return {}
-    import json
-
     with open(p) as f:
         meta = json.load(f)
     pb = meta.get("partition_by")
@@ -175,8 +174,30 @@ def _commit_snapshot(
         if pcols and not empty:
             writer = writer.partitionBy(*pcols)
         writer.parquet(tmp)
-    for rel in carry_rels or []:
-        _link_tree(os.path.join(carry_from, rel), os.path.join(tmp, rel))
+    # Per-snapshot schema (Delta keeps it in the commit log): readers
+    # pass it to spark.read.schema(...) so partition values round-trip
+    # with their DECLARED types — without it, partition-discovery type
+    # inference retypes a string partition value '001' to int 1, which
+    # breaks the copy-on-write touched-partition matcher (stale
+    # partitions get carried AND rewritten under a new dir name) and
+    # silently retypes columns for every reader. Written into the temp
+    # dir, so the atomic rename publishes data + schema together.
+    with open(os.path.join(tmp, "_schema.json"), "w") as f:
+        f.write(df.schema.json())
+    try:
+        for rel in carry_rels or []:
+            _link_tree(os.path.join(carry_from, rel), os.path.join(tmp, rel))
+    except FileNotFoundError as exc:
+        # The base snapshot vanished mid-carry: a vacuum dropped it
+        # after this mutation captured it as its base (the writer lost
+        # the optimistic race AND its base got retention-collected).
+        # The table is uncorrupted — clean up and surface it as the
+        # same stale-base signal a lost rename produces.
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"base snapshot of {path} was vacuumed while this mutation "
+            f"was committing (stale base); re-read and retry"
+        ) from exc
     final = _snapshot_dir(path, version)
     try:
         os.rename(tmp, final)
@@ -210,8 +231,6 @@ def write_table(df: DataFrame, path: str, partition_by=None) -> int:
         raise FileExistsError(f"table already exists at {path}")
     os.makedirs(path, exist_ok=True)
     if pcols:
-        import json
-
         with open(_meta_path(path), "w") as f:
             json.dump({"partition_by": pcols}, f)
     return _commit_snapshot(df, path, 0, partition_by=pcols)
@@ -320,7 +339,15 @@ def _file_cow_split(
                 isinstance(v, (int, float)) and not isinstance(v, bool)
                 for v in iv
             )
-            if numeric and (iv[1] < umin or iv[0] > umax):
+            try:
+                disjoint = numeric and (iv[1] < umin or iv[0] > umax)
+            except TypeError:
+                # umin/umax not comparable to the numeric footer stats
+                # (e.g. string bounds on an int column — between() would
+                # cast, the footer compare can't): stats unusable, the
+                # caller falls back to the coarser rewrite.
+                return None
+            if disjoint:
                 link_rels.append(frel)
             else:
                 rewrite.append(fpath)
@@ -355,6 +382,35 @@ def _cow_plan(
         os.path.join(*[f"{c}={sv}" for c, sv in zip(pcols, parts)])
         for parts in tuples
     }
+    # Defense-in-depth against value/directory-name ambiguity: a
+    # touched tuple whose rel is NOT an existing leaf is normally a
+    # fresh-partition insert (fine), but if it compares EQUAL to an
+    # existing leaf after value normalization ('1' vs '001', '1' vs
+    # '1.0', 'True' vs 'true') while spelling differently, the string
+    # match can no longer prove which directory holds the rows — carry
+    # nothing, rewrite the full snapshot. With per-snapshot schemas the
+    # table's own values round-trip exactly; this catches differently
+    # typed values arriving in a caller's updates frame.
+    def _norm_val(s: str):
+        ls = s.lower()
+        if ls in ("true", "false"):
+            return ("b", ls)
+        try:
+            return ("n", float(s))
+        except ValueError:
+            return ("s", s)
+
+    existing_norm = {
+        tuple(_norm_val(seg.split("=", 1)[1]) for seg in r.split(os.sep)): r
+        for r in existing
+    }
+    for parts in tuples:
+        rel = os.path.join(*[f"{c}={sv}" for c, sv in zip(pcols, parts)])
+        if rel in existing:
+            continue
+        clash = existing_norm.get(tuple(_norm_val(sv) for sv in parts))
+        if clash is not None:
+            return None
     carry = sorted(existing - touched_rels)
     # touched filter compares on canonical strings — the same form the
     # directory names carry, so typed partition columns (int) match.
@@ -372,11 +428,27 @@ def _cow_plan(
 def read_table(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
-    """Read a snapshot; ``version=None`` → latest, else time travel."""
+    """Read a snapshot; ``version=None`` → latest, else time travel.
+
+    When the snapshot carries a ``_schema.json`` (every snapshot
+    committed since the schema-persistence fix does), the read uses it
+    as the explicit source schema: partition-discovery type inference
+    is bypassed, so partition values keep their declared types (string
+    '001' stays '001' instead of becoming int 1, booleans stay
+    boolean). Pre-fix snapshots without the file fall back to the old
+    inferring read."""
     v = latest_version(path) if version is None else version
     if v not in versions(path):
         raise FileNotFoundError(f"version {v} not committed under {path}")
-    return spark.read.parquet(_snapshot_dir(path, v))
+    snap = _snapshot_dir(path, v)
+    sp = os.path.join(snap, "_schema.json")
+    if os.path.exists(sp):
+        from pyspark.sql.types import StructType
+
+        with open(sp) as f:
+            schema = StructType.fromJson(json.load(f))
+        return spark.read.schema(schema).parquet(snap)
+    return spark.read.parquet(snap)
 
 
 def merge_upsert(
@@ -711,8 +783,12 @@ def vacuum(path: str, keep_last: int = 1) -> list[int]:
     vacuumed version subsequently raises (the retention trade every
     real format makes); latest-version reads are unaffected. The
     removal is per-directory ``rmtree`` of already-superseded
-    snapshots, so a concurrent writer committing v=N+1 is never racing
-    a vacuum of v=N.
+    snapshots. A writer whose BASE snapshot gets vacuumed mid-commit
+    (it lost the optimistic race and then retention collected its
+    base) surfaces as :class:`ConcurrentWriteError` from the commit's
+    carry path — stale base, retry — not as corruption; aggressive
+    ``keep_last=1`` retention under concurrent writers simply forces
+    those retries, the same trade Delta's ``VACUUM RETAIN 0`` makes.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")

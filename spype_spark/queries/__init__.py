@@ -52,76 +52,18 @@ from spype_spark.queries import lakehouse_ops  # noqa: F401
 #      as evidence), with the round-1 rows-only keys last.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # ---- round-7 window (first 50 keys = the driver's evidence budget).
-    # Per VERDICT.md r6 tasks 1-2: (a) the 14 contracts with ZERO driver
-    # history (the deep TPC-H family added late in round 6, the event-
-    # modeling/basket additions, the stream-stream left join, nearest-asof,
-    # and q_sim_ivfpq_ann whose only prior row was an r5 no_oracle), then
-    # (b) 36 of the 42 keys whose last driver rows predate the round-4
-    # corpus regeneration (r1/r2 evidence). All 50 are green in the
-    # builder's CHECKLOG_r06*.txt at sf0.01/sf0.1/shuffle=7.
-    # Group A - zero driver history (14):
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_regress_grouped",
-    "q_scd2_history",
-    "q_path_ngrams",
-    "q_basket_pairs",
-    "q_stream_stream_left_join",
-    "q_join_asof_nearest",
-    "q_sim_ivfpq_ann",
-    # Group B - pre-regen keys, last driver rows r1/r2 (36 of 42; the 6
-    # displaced below are the pytest-redundant UDF/pipe demo surfaces):
-    "q_sort_multi",
-    "q_topk_global",
-    "q_set_union_distinct",
-    "q_set_intersect",
-    "q_set_union_byname",
-    "q_set_except",
-    "q_str_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_cond_funcs",
-    "q_cast_types",
-    "q_str_funcs2",
-    "q_bitwise_funcs",
-    "q_hash_funcs",
-    "q_array_funcs",
-    "q_array_setops",
-    "q_explode_posexplode",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_text_tokens",
-    "q_text_tfidf",
-    "q_text_stats",
-    "q_text_langfilter",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokencount",
-    "q_fingerprint",
-    "q_dedup_embed_cosine",
-    "q_dedup_pipeline",
-    "q_text_mode",
-    "q_regexp_extract_all",
-    "q_fuzzy_match",
-    "q_dedup_components",
-    "q_dataset_split",
-    "q_dedup_cluster_keep",
-    "q_udaf_grouped",
-    # ---- end of the 50-slot window ----
-    # Round-8 queue: the 6 pre-regen keys displaced from this window
-    # (each also exercised directly by tests/test_udx.py and
-    # tests/test_pipeline.py, so driver evidence is the only gap),
-    # then the three new-in-round-7 lakehouse-COW contracts (zero
-    # driver history; each carries an in-contract structural assert on
-    # top of its SQL oracle). After these, every key has a post-regen
-    # driver row; the remainder (r4-r6 green keys) follows in
-    # registration order.
+    # ---- round-8 window (first 50 keys = the driver's evidence budget).
+    # Per VERDICT.md r7 task 1: (a) the 9 stale-evidence keys — the 6
+    # UDF/pipe keys displaced from the round-7 window (last driver rows
+    # r2, pre-corpus-regen) and the 3 round-7 lakehouse-COW contracts
+    # with zero driver history; then (b) the other 7 lakehouse keys
+    # (last driver rows r4 — and the whole lakehouse commit layer is
+    # reworked this round for the manifest/object-store path, so fresh
+    # driver rows matter most); then (c) 34 of the remaining 37 keys
+    # whose last driver rows are r4. Spilled to the post-window queue:
+    # q_tpch_q5 (independently exercised by the driver's per-round
+    # bench run), q_pivot, q_unpivot (trivial plans, pytest-pinned).
+    # Group A - stale evidence (9):
     "q_udf_python",
     "q_udf_pandas",
     "q_udtf_explode",
@@ -131,6 +73,57 @@ _DRIVER_PRIORITY = [
     "q_lake_partitioned_cow",
     "q_lake_vacuum",
     "q_lake_delete_range",
+    # Group B - lakehouse keys last driver-green r4, commit layer
+    # reworked this round (7):
+    "q_lake_merge_upsert",
+    "q_lake_time_travel",
+    "q_lake_delete",
+    "q_lake_compact",
+    "q_lake_schema_evolution",
+    "q_lake_diff",
+    "q_lake_history",
+    # Group C - remaining r4-evidence keys (34 of 37):
+    "q_sink_parquet_roundtrip",
+    "q_multimodal_framesample",
+    "q_sink_csv_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_source_binaryfile",
+    "q_sink_partitioned_write",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_subquery_correlated",
+    "q_null_handling",
+    "q_subquery_lateral",
+    "q_recursive_cte",
+    "q_sample_seeded",
+    "q_join_bucketed",
+    "q_agg_histogram",
+    "q_agg_grouping_id",
+    "q_profile_stats",
+    "q_agg_approx_distinct",
+    "q_sketch_hll",
+    "q_tpch_q13",
+    "q_tpch_q17",
+    "q_window_percentiles",
+    "q_dataset_cap_per_source",
+    "q_dataset_pack",
+    "q_text_decontaminate",
+    "q_text_repetition",
+    "q_text_pii_redact",
+    "q_dataset_mix_weighted",
+    "q_sim_cosine_tiled",
+    "q_multimodal_meta",
+    "q_multimodal_decode",
+    "q_skew_salted_agg",
+    "q_agg_approx_percentile",
+    "q_pipe_validate",
+    # ---- end of the 50-slot window ----
+    # Round-9 queue: the 3 r4 keys spilled above, then the r5-evidence
+    # keys in registration order (the registry fallback below handles
+    # everything not named here).
+    "q_tpch_q5",
+    "q_pivot",
+    "q_unpivot",
 ]
 
 

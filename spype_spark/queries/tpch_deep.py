@@ -276,7 +276,9 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("nparts"),
     )
     overflow_guard = F.assert_true(
-        F.col("total_l") <= F.lit(2**62),
+        # strict <: at total_l == 2**62 exactly, 2*total_l == 2**63
+        # already exceeds int64 max (2**63 - 1)
+        F.col("total_l") < F.lit(2**62),
         F.lit("q11 scaled-long overflow: 2*total_l exceeds int64 headroom"),
     )
     return (

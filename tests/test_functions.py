@@ -155,6 +155,18 @@ def test_connected_components_transitive(spark):
     }
 
 
+def test_connected_components_self_loop_only_node(spark):
+    """Regression (round-8 ADVICE, low): a node appearing ONLY in
+    self-loop edges must still get a singleton component row — the
+    self-loop filter is a contraction optimization, not a membership
+    decision."""
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7), (9, 9)], "src long, dst long"
+    )
+    got = {r.node: r.comp for r in S.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 7: 7, 9: 9}
+
+
 def test_connected_components_chain_converges_logarithmically(spark):
     """A path graph is the worst case for plain min-label propagation
     (rounds = diameter); pointer doubling must converge a 512-node

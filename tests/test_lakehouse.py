@@ -608,3 +608,63 @@ def test_delete_range_prunes_files_and_matches_delete_where(spark, tmp_path):
                 for f in os.listdir(d) if f.endswith(".parquet")}
 
     assert len(flat_inodes(1) & flat_inodes(0)) == 3
+
+
+def test_string_partition_values_round_trip_typed(spark, tmp_path):
+    """Regression (round-8 ADVICE, high): a STRING partition column with
+    numeric-looking values ('001', '002') must round-trip typed — the
+    per-snapshot _schema.json bypasses partition-discovery inference, so
+    '001' stays the string '001' instead of becoming int 1, and the COW
+    touched-partition matcher rewrites the real p=001 directory instead
+    of carrying it stale and inventing a p=1 twin."""
+    import os
+
+    path = str(tmp_path / "strp")
+    df = spark.createDataFrame(
+        [(1, "001"), (2, "001"), (3, "002")], "k long, p string"
+    )
+    lake.write_table(df, path, partition_by="p")
+    rt = lake.read_table(spark, path)
+    assert dict(rt.dtypes)["p"] == "string"
+    assert rows(rt.select("k", "p")) == {(1, "001"), (2, "001"), (3, "002")}
+
+    lake.delete_where(spark, path, F.col("k") == 1)
+    got = rows(lake.read_table(spark, path).select("k", "p"))
+    assert got == {(2, "001"), (3, "002")}, (
+        "deleted row resurrected or survivor duplicated — the pre-fix "
+        "repro returned [(1,'1'),(2,'1'),(2,'1'),(3,'2')]"
+    )
+    v1_dirs = {
+        d for d in os.listdir(os.path.join(path, "v=1"))
+        if d.startswith("p=")
+    }
+    assert v1_dirs == {"p=001", "p=002"}, f"phantom partition dir: {v1_dirs}"
+
+
+def test_boolean_partition_values_round_trip_typed(spark, tmp_path):
+    """Boolean partition columns read back boolean (not string) thanks
+    to the persisted snapshot schema; mutations stay correct (_cow_plan
+    bails to full rewrite on the 'True' vs 'true' spelling gap — the
+    normalization clash check — rather than mismatching)."""
+    path = str(tmp_path / "boolp")
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (3, True)], "k long, flag boolean"
+    )
+    lake.write_table(df, path, partition_by="flag")
+    rt = lake.read_table(spark, path)
+    assert dict(rt.dtypes)["flag"] == "boolean"
+    lake.delete_where(spark, path, F.col("k") == 1)
+    assert rows(lake.read_table(spark, path)) == {(2, False), (3, True)}
+
+
+def test_delete_range_uncomparable_bounds_fall_back(spark, tmp_path):
+    """Regression (round-8 ADVICE, low): delete_range with bounds whose
+    Python type is not comparable to the numeric footer stats (string
+    bounds on an int column) must fall back to delete_where semantics,
+    not raise TypeError from the footer-interval compare."""
+    path = str(tmp_path / "drs")
+    df = spark.createDataFrame([(k, k * 10) for k in range(40)], "k long, v long")
+    lake.write_table(df.repartitionByRange(4, "k"), path)
+    lake.delete_range(spark, path, "k", "10", "20")  # string bounds
+    got = {r.k for r in lake.read_table(spark, path).collect()}
+    assert got == {k for k in range(40) if not 10 <= k <= 20}
