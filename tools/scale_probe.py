@@ -142,19 +142,11 @@ def _probe_minhash(spark, d):
     return minhash_candidates(doc, n_hashes=16)
 
 
-def _kmeans_k(spark, d) -> int:
-    """The clustering scale knob: k grows with n to hold cell sizes at
-    ~250 vectors (k=8 at sf0.1's 2k vectors, 80 at the 10× replica),
-    which keeps the SemDeDup pair stage Σ|cell|² linear in n."""
-    n = spark.read.parquet(f"{d}/embeddings.parquet").count()
-    return max(8, n // 250)
-
-
 def _probe_kmeans(spark, d):
     """Full Lloyd round with scale-proportional k (GEMM assignment)."""
     from spype_spark.queries.clustering import kmeans_assign
 
-    return kmeans_assign(spark, d, k=_kmeans_k(spark, d)).select(
+    return kmeans_assign(spark, d).select(
         "vec_id", "cell_id", "score"
     )
 
@@ -165,7 +157,7 @@ def _probe_semdedup(spark, d):
     from spype_spark.ann import cell_pairs_threshold
     from spype_spark.queries.clustering import _SEMDEDUP_TAU, kmeans_assign
 
-    a2 = kmeans_assign(spark, d, k=_kmeans_k(spark, d)).localCheckpoint(
+    a2 = kmeans_assign(spark, d).localCheckpoint(
         eager=False
     )
     dropped = (

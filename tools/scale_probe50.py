@@ -103,15 +103,10 @@ def _probe_ivf_auto(spark, d):
     return ivf_ann(_emb(spark, d), n_cells=None, nprobe=4, k=3)
 
 
-def _kmeans_k(spark, d) -> int:
-    n = spark.read.parquet(f"{d}/embeddings.parquet").count()
-    return max(8, n // 250)
-
-
 def _probe_kmeans(spark, d):
     from spype_spark.queries.clustering import kmeans_assign
 
-    return kmeans_assign(spark, d, k=_kmeans_k(spark, d)).select(
+    return kmeans_assign(spark, d).select(
         "vec_id", "cell_id", "score"
     )
 
@@ -120,7 +115,7 @@ def _probe_semdedup(spark, d):
     from spype_spark.ann import cell_pairs_threshold
     from spype_spark.queries.clustering import _SEMDEDUP_TAU, kmeans_assign
 
-    a2 = kmeans_assign(spark, d, k=_kmeans_k(spark, d)).localCheckpoint(
+    a2 = kmeans_assign(spark, d).localCheckpoint(
         eager=False
     )
     dropped = (
