@@ -3,12 +3,43 @@
 Delta/Iceberg jars (absent from this container; ROADMAP "No lakehouse
 table format").
 
-Layout: every table version is a complete immutable snapshot directory::
+Two commit protocols share one public API; a table's protocol is chosen
+at :func:`write_table` and detected from the layout afterwards:
+
+**manifest (default — object-store-portable).** Every version is a
+single JSON manifest listing its data files BY REFERENCE::
+
+    <table>/_manifests/v=N.json        the commit point (put-if-absent)
+    <table>/data/<commit-uuid>/*.parquet   immutable data files
+
+A mutation writes only its NEW files (under a fresh commit uuid — an
+unreferenced write is invisible, so the data write needs no atomicity
+at all), then publishes by creating ``v=N.json`` with a put-if-absent
+primitive. Locally that primitive is ``os.link(tmp, final)`` of a fully
+fsync'd temp file (atomic, fails on EEXIST); on S3/GCS it is the same
+single-object conditional PUT (``If-None-Match: *`` /
+``x-goog-if-generation-match: 0``) — no directory rename, no hardlink
+of data files, nothing POSIX-only on the data path. Copy-on-write
+carry-over is a manifest ENTRY copy: untouched files appear in the new
+manifest under their existing paths, byte-for-byte shared by reference
+exactly as Delta's log and Iceberg's manifests share unchanged files.
+Each entry carries its partition tuple and per-column min/max footer
+stats, so mutation planning (partition-level AND file-level pruning) is
+pure manifest metadata — zero object reads at plan time, the property
+that makes a 100 TB MERGE plan in milliseconds. Partition columns stay
+IN the data files (Iceberg's model: identity-partition columns are
+ordinary columns; the Hive-style dirs under each commit uuid are write
+plumbing only), so a snapshot read is ``spark.read.schema(s).parquet(
+*files)`` with no partition-discovery dependence. The per-version
+schema rides in the manifest.
+
+**posix (opt-in fast path: ``protocol="posix"``).** Every version is a
+complete immutable snapshot directory::
 
     <table>/v=0/part-*.parquet   (+ _SUCCESS)
     <table>/v=1/part-*.parquet   (+ _SUCCESS)
 
-Commit protocol (round 3): a writer never writes into ``v=N``
+Posix commit protocol (round 3): a writer never writes into ``v=N``
 directly. It writes the full snapshot to a hidden ``.tmp-<uuid>``
 directory (Spark's ``_SUCCESS`` lands there), then publishes with ONE
 ``os.rename(tmp, v=N)`` — atomic on POSIX, and it FAILS if ``v=N``
@@ -64,9 +95,14 @@ class ConcurrentWriteError(RuntimeError):
 
 
 def versions(path: str) -> list[int]:
-    """All committed (SUCCESS-marked) snapshot versions, ascending."""
+    """All committed versions, ascending. Manifest tables: one per
+    published ``_manifests/v=N.json`` (complete by construction —
+    put-if-absent of a fully written file). Posix tables: one per
+    SUCCESS-marked snapshot directory."""
     if not os.path.isdir(path):
         return []
+    if _is_manifest_table(path):
+        return _m_versions(path)
     out = []
     for d in os.listdir(path):
         m = _VERSION_RE.match(d)
@@ -210,29 +246,42 @@ def _commit_snapshot(
     return version
 
 
-def write_table(df: DataFrame, path: str, partition_by=None) -> int:
+def write_table(
+    df: DataFrame, path: str, partition_by=None, protocol: str = "manifest"
+) -> int:
     """Create a table at ``path`` as version 0 (errors if it exists).
+
+    ``protocol`` picks the commit protocol for the table's lifetime:
+    ``"manifest"`` (default — object-store-portable: put-if-absent
+    manifest commits, carry-over by file reference) or ``"posix"``
+    (atomic-directory-rename snapshots with hardlink carry-over — the
+    single-filesystem fast path). Detection afterwards is by layout.
 
     ``partition_by`` (a column name or a LIST of names — e.g.
     ``["ship_date", "shard"]``, the date+shard layout SCALE.md assumes
-    at 100 TB) lays every snapshot out as nested Hive-style
-    ``col=value`` directories and enables PARTITION-LEVEL copy-on-write
-    for all subsequent mutations: MERGE/DELETE rewrite only the leaf
-    partitions their keys/predicate touch and hardlink the rest (see
-    :func:`merge_upsert`). Partition values should be simple scalars
-    (string without path-special characters, int) — the
-    touched-partition matcher compares their canonical string forms
-    against directory names; a null partition value falls back to a
+    at 100 TB) enables PARTITION-LEVEL copy-on-write for all subsequent
+    mutations: MERGE/DELETE rewrite only the leaf partitions their
+    keys/predicate touch and carry the rest (manifest: by entry
+    reference; posix: by hardlink — see :func:`merge_upsert`).
+    Partition values should be simple scalars (string without
+    path-special characters, int) — the touched-partition matcher
+    compares their canonical string forms against the recorded
+    partition tuples; a null partition value falls back to a
     full-snapshot rewrite rather than guessing Hive's default-partition
     encoding.
     """
+    if protocol not in ("manifest", "posix"):
+        raise ValueError(f"unknown protocol {protocol!r}")
     pcols = _norm_pcols(partition_by)
     if versions(path):
         raise FileExistsError(f"table already exists at {path}")
     os.makedirs(path, exist_ok=True)
-    if pcols:
+    meta = {"partition_by": pcols, "protocol": protocol}
+    if pcols or protocol == "manifest":
         with open(_meta_path(path), "w") as f:
-            json.dump({"partition_by": pcols}, f)
+            json.dump(meta, f)
+    if protocol == "manifest":
+        return _m_commit(df, path, 0, pcols, [], base=None)
     return _commit_snapshot(df, path, 0, partition_by=pcols)
 
 
@@ -258,6 +307,20 @@ def _write_next(
 
 
 _SAFE_PART_VAL = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _norm_part_val(s: str):
+    """Type-insensitive normalization of a partition value string, used
+    to DETECT ambiguity ('1' vs '001', '1' vs '1.0', 'True' vs 'true'):
+    two spellings that normalize equal but differ textually force the
+    planner to a full rewrite rather than guessing."""
+    ls = s.lower()
+    if ls in ("true", "false"):
+        return ("b", ls)
+    try:
+        return ("n", float(s))
+    except ValueError:
+        return ("s", s)
 
 
 def _leaf_partition_rels(snap: str, pcols: list[str]) -> set[str]:
@@ -391,24 +454,17 @@ def _cow_plan(
     # nothing, rewrite the full snapshot. With per-snapshot schemas the
     # table's own values round-trip exactly; this catches differently
     # typed values arriving in a caller's updates frame.
-    def _norm_val(s: str):
-        ls = s.lower()
-        if ls in ("true", "false"):
-            return ("b", ls)
-        try:
-            return ("n", float(s))
-        except ValueError:
-            return ("s", s)
-
     existing_norm = {
-        tuple(_norm_val(seg.split("=", 1)[1]) for seg in r.split(os.sep)): r
+        tuple(
+            _norm_part_val(seg.split("=", 1)[1]) for seg in r.split(os.sep)
+        ): r
         for r in existing
     }
     for parts in tuples:
         rel = os.path.join(*[f"{c}={sv}" for c, sv in zip(pcols, parts)])
         if rel in existing:
             continue
-        clash = existing_norm.get(tuple(_norm_val(sv) for sv in parts))
+        clash = existing_norm.get(tuple(_norm_part_val(sv) for sv in parts))
         if clash is not None:
             return None
     carry = sorted(existing - touched_rels)
@@ -425,6 +481,435 @@ def _cow_plan(
     return carry, touched_filter
 
 
+# ---------------------------------------------------------------------------
+# Manifest protocol (default): object-store-portable commits.
+# ---------------------------------------------------------------------------
+
+_MANIFEST_RE = re.compile(r"^v=(\d+)\.json$")
+#: Shadow-column prefix for the partitioned write: partition columns
+#: are DUPLICATED under this prefix and the writer partitions by the
+#: shadows, so the real columns stay in the file content (Iceberg's
+#: identity-partition model) while the shadow dirs give the per-file
+#: partition tuple the manifest records.
+_SHADOW = "__pv_"
+
+
+def _is_manifest_table(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "_manifests"))
+
+
+def _m_path(path: str, version: int) -> str:
+    return os.path.join(path, "_manifests", f"v={version}.json")
+
+
+def _m_versions(path: str) -> list[int]:
+    mdir = os.path.join(path, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for n in os.listdir(mdir):
+        m = _MANIFEST_RE.match(n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _m_load(path: str, version: int) -> dict:
+    p = _m_path(path, version)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"version {version} not committed under {path}")
+    with open(p) as f:
+        return json.load(f)
+
+
+def _m_publish(path: str, version: int, manifest: dict) -> None:
+    """Put-if-absent publish of a complete manifest: write + fsync a
+    temp file, then ``os.link`` it to ``v=N.json`` — atomic, and EEXIST
+    means a concurrent writer won this version. On an object store this
+    whole function is one conditional PUT of the manifest object; there
+    is deliberately NO directory rename anywhere in the protocol, so a
+    non-atomic rename primitive cannot half-publish a version — the
+    manifest either exists (complete by construction) or doesn't."""
+    mdir = os.path.join(path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _m_path(path, version))
+    except FileExistsError as exc:
+        os.unlink(tmp)
+        raise ConcurrentWriteError(
+            f"version {version} of {path} was committed concurrently "
+            f"(base version is stale); re-read and retry"
+        ) from exc
+    os.unlink(tmp)
+
+
+def _m_file_stats(fpath: str) -> dict:
+    """Manifest entry metadata for one data file: row count + per-column
+    [min, max] from the parquet footer — numeric top-level columns only
+    (int/float, finite; parquet string stats may be truncated, bools
+    are not key material). A driver-side metadata read at commit time;
+    at cluster scale the same numbers come back with the executor write
+    results (as Iceberg's writers report them), identical content."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    stats: dict[str, list] = {}
+    for i in range(md.num_columns):
+        name = md.schema.column(i).name
+        if "." in name:
+            continue  # nested leaf — not a top-level prune key
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if not all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in (mn, mx)
+            ) or not all(math.isfinite(float(v)) for v in (mn, mx)):
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            stats[name] = [lo, hi]
+    return {"rows": md.num_rows, "stats": stats}
+
+
+def _m_write_files(
+    df: DataFrame, path: str, pcols: list[str] | None
+) -> tuple[str, list[dict]]:
+    """Write ``df``'s rows as new immutable data files under a fresh
+    commit-uuid directory and return (datadir, manifest entries).
+    Unreferenced until a manifest names them, so this write needs no
+    atomicity; a failed commit leaves only an orphan dir for vacuum."""
+    uid = uuid.uuid4().hex
+    datadir = os.path.join(path, "data", uid)
+    w = df
+    if pcols:
+        for c in pcols:
+            w = w.withColumn(_SHADOW + c, F.col(c))
+        w.write.partitionBy(*[_SHADOW + c for c in pcols]).parquet(datadir)
+    else:
+        w.write.parquet(datadir)
+    entries = []
+    for root, _dirs, files in os.walk(datadir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            part = {}
+            if pcols:
+                for seg in os.path.relpath(root, datadir).split(os.sep):
+                    if seg.startswith(_SHADOW) and "=" in seg:
+                        k, v = seg.split("=", 1)
+                        part[k[len(_SHADOW):]] = v
+            entries.append(
+                {
+                    "path": os.path.relpath(fp, path).replace(os.sep, "/"),
+                    "partition": part,
+                    **_m_file_stats(fp),
+                }
+            )
+    entries.sort(key=lambda e: e["path"])
+    return datadir, entries
+
+
+def _m_commit(
+    df: DataFrame | None,
+    path: str,
+    version: int,
+    pcols: list[str] | None,
+    carry_entries: list[dict],
+    base: int | None,
+    schema_json: dict | None = None,
+) -> int:
+    """Commit one manifest version: write ``df``'s rows as new files
+    (``df=None`` → carry-only commit), assemble carried + new entries,
+    publish put-if-absent. On a lost race or a vacuumed base the new
+    data dir is removed and :class:`ConcurrentWriteError` raised — the
+    table is untouched either way."""
+    datadir, entries = (None, [])
+    if df is not None:
+        datadir, entries = _m_write_files(df, path, pcols)
+        schema_json = json.loads(df.schema.json())
+    manifest = {
+        "version": version,
+        "base": base,
+        "schema": schema_json,
+        "partition_by": pcols,
+        "files": carry_entries + entries,
+    }
+    # Stale-base guard: if retention collected our base manifest while
+    # we were writing, the carried entries may reference files the GC
+    # is about to (or did) delete — surface the standard stale-base
+    # signal instead of publishing dangling references. The residual
+    # window between this check and the GC's reference listing is the
+    # retention-grace-period trade every real format documents
+    # (Delta's VACUUM RETAIN 0 breaks in-flight writers identically).
+    if base is not None and not os.path.exists(_m_path(path, base)):
+        if datadir:
+            shutil.rmtree(datadir, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"base version {base} of {path} was vacuumed while this "
+            f"mutation was committing (stale base); re-read and retry"
+        )
+    try:
+        _m_publish(path, version, manifest)
+    except ConcurrentWriteError:
+        if datadir:
+            shutil.rmtree(datadir, ignore_errors=True)
+        raise
+    return version
+
+
+def _m_read(spark: SparkSession, path: str, version: int) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    m = _m_load(path, version)
+    schema = StructType.fromJson(m["schema"])
+    files = [os.path.join(path, e["path"]) for e in m["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    # Explicit leaf-file reads: no partition discovery (partition
+    # columns are IN the files), explicit schema (absent columns —
+    # pre-evolution carried files — read as NULL, which is exactly
+    # Delta/Iceberg schema-on-read evolution).
+    return spark.read.schema(schema).parquet(*files)
+
+
+def _m_entry_key(entry: dict, pcols: list[str]) -> tuple:
+    return tuple(entry["partition"].get(c) for c in pcols)
+
+
+def _m_touched_strs(touched_vals: set) -> set[tuple] | None:
+    """Canonical string tuples for the touched partition values — or
+    None when any value can't round-trip through a ``col=value``
+    directory segment (null / path-special), forcing the full rewrite.
+    Same discipline as the posix :func:`_cow_plan`."""
+    out = set()
+    for vt in touched_vals:
+        parts = []
+        for v in vt:
+            sv = str(v)
+            if v is None or not _SAFE_PART_VAL.match(sv):
+                return None
+            parts.append(sv)
+        out.add(tuple(parts))
+    return out
+
+
+def _m_read_entries(
+    spark: SparkSession, path: str, entries: list[dict], schema_json: dict
+) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(schema_json)
+    if not entries:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(path, e["path"]) for e in entries]
+    )
+
+
+def _m_stats_split(
+    entries: list[dict], key: str, umin, umax
+) -> tuple[list[dict], list[dict]] | None:
+    """FILE-level pruning from MANIFEST stats alone (zero object reads):
+    split entries into (carry, rewrite) — an entry whose recorded
+    [min, max] on ``key`` cannot intersect [umin, umax] provably holds
+    no affected row. None when the bounds are unusable (missing, or not
+    comparable to the numeric stats); entries without stats on ``key``
+    conservatively rewrite."""
+    if umin is None or umax is None:
+        return None
+    carry: list[dict] = []
+    rewrite: list[dict] = []
+    try:
+        for e in entries:
+            st = e.get("stats", {}).get(key)
+            if st is not None and (st[1] < umin or st[0] > umax):
+                carry.append(e)
+            else:
+                rewrite.append(e)
+    except TypeError:
+        return None
+    return carry, rewrite
+
+
+def _m_cow_entries(
+    m: dict, pcols: list[str], touched_vals: set
+) -> tuple[list[dict], list[dict]] | None:
+    """Partition-level COW plan from the manifest: split the base
+    entries into (carry, touched) by partition tuple — or None when a
+    touched value can't round-trip / normalizes ambiguously against a
+    differently spelled recorded tuple (full rewrite; same discipline
+    as the posix :func:`_cow_plan`)."""
+    tstrs = _m_touched_strs(touched_vals)
+    if tstrs is None:
+        return None
+    entry_keys = {_m_entry_key(e, pcols) for e in m["files"]}
+    norm = {
+        tuple(_norm_part_val(s) for s in k): k for k in entry_keys
+    }
+    for t in tstrs:
+        if t in entry_keys:
+            continue
+        if norm.get(tuple(_norm_part_val(s) for s in t)) is not None:
+            return None  # '1' vs '001'-style spelling clash
+    carry = [e for e in m["files"] if _m_entry_key(e, pcols) not in tstrs]
+    touched = [e for e in m["files"] if _m_entry_key(e, pcols) in tstrs]
+    return carry, touched
+
+
+def _m_merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    evolve_schema: bool,
+    match_condition,
+) -> int:
+    """Manifest-protocol MERGE: the COW plan is computed from manifest
+    metadata only — partition tuples select the touched entries,
+    manifest min/max stats on a single merge key shrink them further to
+    the possibly-matching files — and carry-over is an entry copy into
+    the new manifest (no link, no data read, no rename)."""
+    base = latest_version(path)
+    m = _m_load(path, base)
+    pcols = m.get("partition_by")
+    tgt = _m_read(spark, path, base)
+    carry: list[dict] | None = None
+    if pcols and not evolve_schema:
+        missing = [c for c in pcols if c not in updates.columns]
+        if missing:
+            raise ValueError(
+                f"updates must carry partition column(s) {missing}"
+            )
+        # metadata-sized collect: distinct partition values of the
+        # update set ∪ partitions holding matched keys (an update may
+        # move a row across partitions — both sides rewrite)
+        touched = {
+            tuple(r) for r in updates.select(*pcols).distinct().collect()
+        } | {
+            tuple(r)
+            # metadata-sized collect: partitions holding matched keys
+            for r in tgt.join(updates.select(*keys), keys, "left_semi")
+            .select(*pcols)
+            .distinct()
+            .collect()
+        }
+        plan = _m_cow_entries(m, pcols, touched)
+        if plan is not None:
+            carry, touched_entries = plan
+            rewrite_entries = touched_entries
+            if len(keys) == 1:
+                row = updates.agg(
+                    F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+                ).first()
+                split = _m_stats_split(
+                    touched_entries, keys[0], row["lo"], row["hi"]
+                )
+                if split is not None:
+                    links, rewrite_entries = split
+                    carry = carry + links
+            tgt = _m_read_entries(spark, path, rewrite_entries, m["schema"])
+    merged = _merged_frame(tgt, updates, keys, evolve_schema, match_condition)
+    return _m_commit(
+        merged, path, base + 1, pcols, carry or [], base=base
+    )
+
+
+def _m_delete_where(spark: SparkSession, path: str, cond) -> int:
+    base = latest_version(path)
+    m = _m_load(path, base)
+    pcols = m.get("partition_by")
+    tgt = _m_read(spark, path, base)
+    hit = F.coalesce(cond, F.lit(False))
+    keep = ~hit
+    if pcols:
+        touched = {
+            tuple(r)
+            # metadata-sized collect: partitions containing deleted rows
+            for r in tgt.filter(hit).select(*pcols).distinct().collect()
+        }
+        plan = _m_cow_entries(m, pcols, touched)
+        if plan is not None:
+            carry, touched_entries = plan
+            rew = _m_read_entries(
+                spark, path, touched_entries, m["schema"]
+            ).filter(keep)
+            return _m_commit(rew, path, base + 1, pcols, carry, base=base)
+    return _m_commit(tgt.filter(keep), path, base + 1, pcols, [], base=base)
+
+
+def _m_delete_range(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> int:
+    base = latest_version(path)
+    m = _m_load(path, base)
+    pcols = m.get("partition_by")
+    between = F.col(col).between(F.lit(lo), F.lit(hi))
+    split = _m_stats_split(m["files"], col, lo, hi)
+    if split is None:
+        return _m_delete_where(spark, path, between)
+    carry, rewrite_entries = split
+    keep = ~F.coalesce(between, F.lit(False))
+    rew = _m_read_entries(spark, path, rewrite_entries, m["schema"]).filter(
+        keep
+    )
+    return _m_commit(rew, path, base + 1, pcols, carry, base=base)
+
+
+def _m_vacuum(path: str, keep_last: int) -> list[int]:
+    """Manifest-protocol retention: unlink the dropped version
+    manifests, then garbage-collect data files no SURVIVING manifest
+    references — reference counting by PATH (the object-store notion),
+    not by inode. The reference listing re-reads the manifest directory
+    after the drops, so a version committed concurrently with the
+    vacuum keeps its files."""
+    vs = _m_versions(path)
+    drop = vs[:-keep_last]
+    for v in drop:
+        try:
+            os.unlink(_m_path(path, v))
+        except FileNotFoundError:
+            pass
+    referenced: set[str] = set()
+    for v in _m_versions(path):
+        try:
+            referenced |= {e["path"] for e in _m_load(path, v)["files"]}
+        except FileNotFoundError:
+            continue
+    datadir = os.path.join(path, "data")
+    if os.path.isdir(datadir):
+        for root, _dirs, files in os.walk(datadir, topdown=False):
+            for fn in files:
+                fp = os.path.join(root, fn)
+                rel = os.path.relpath(fp, path).replace(os.sep, "/")
+                if fn.endswith(".parquet") and rel not in referenced:
+                    os.unlink(fp)
+            remaining = os.listdir(root)
+            # a commit dir whose every data file was collected keeps
+            # only write-plumbing markers (_SUCCESS) — drop it whole
+            if all(not n.endswith(".parquet") for n in remaining) and not any(
+                os.path.isdir(os.path.join(root, n)) for n in remaining
+            ):
+                if root != datadir:
+                    shutil.rmtree(root, ignore_errors=True)
+    return drop
+
+
 def read_table(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -438,6 +923,8 @@ def read_table(
     boolean). Pre-fix snapshots without the file fall back to the old
     inferring read."""
     v = latest_version(path) if version is None else version
+    if _is_manifest_table(path):
+        return _m_read(spark, path, v)
     if v not in versions(path):
         raise FileNotFoundError(f"version {v} not committed under {path}")
     snap = _snapshot_dir(path, v)
@@ -449,6 +936,52 @@ def read_table(
             schema = StructType.fromJson(json.load(f))
         return spark.read.schema(schema).parquet(snap)
     return spark.read.parquet(snap)
+
+
+def _merged_frame(
+    tgt: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    evolve_schema: bool,
+    match_condition,
+) -> DataFrame:
+    """The protocol-independent relational core of MERGE: given the
+    (possibly COW-pruned) target rows and the update set, produce the
+    merged rows. See :func:`merge_upsert` for the semantics."""
+    if evolve_schema:
+        return updates.unionByName(
+            tgt.join(updates.select(*keys), keys, "left_anti"),
+            allowMissingColumns=True,
+        )
+    extra = set(updates.columns) - set(tgt.columns)
+    if extra:
+        raise ValueError(
+            f"updates carry columns not in the table schema {sorted(extra)}; "
+            "pass evolve_schema=True to add them"
+        )
+    if match_condition is None:
+        return updates.select(*tgt.columns).unionByName(
+            tgt.join(updates, keys, "left_anti")
+        )
+    cols = tgt.columns
+    u = updates.select(
+        *keys,
+        F.struct(*[F.col(c) for c in cols]).alias("__u"),
+    )
+    t = tgt.select(
+        *keys,
+        F.struct(*[F.col(c) for c in cols]).alias("__t"),
+    )
+    both = t.join(u, keys, "full_outer")
+    winner = (
+        F.when(F.col("__t").isNull(), F.col("__u"))  # insert
+        .when(F.col("__u").isNull(), F.col("__t"))  # carry-over
+        .when(match_condition(F.col("__u"), F.col("__t")), F.col("__u"))
+        .otherwise(F.col("__t"))
+    )
+    return both.select(winner.alias("__w")).select(
+        *[F.col("__w")[c].alias(c) for c in cols]
+    )
 
 
 def merge_upsert(
@@ -486,10 +1019,14 @@ def merge_upsert(
     Off by default: silent widening is how typo'd column names corrupt
     a table. (Mutually exclusive with ``match_condition``.)
     """
-    base = latest_version(path)
-    tgt = read_table(spark, path, version=base)
     if evolve_schema and match_condition is not None:
         raise ValueError("match_condition with evolve_schema is unsupported")
+    if _is_manifest_table(path):
+        return _m_merge_upsert(
+            spark, path, updates, keys, evolve_schema, match_condition
+        )
+    base = latest_version(path)
+    tgt = read_table(spark, path, version=base)
     # Partition-level copy-on-write (tables created with partition_by):
     # touched partitions = where updates LAND (their own partition
     # values) ∪ where matched target keys LIVE (an update may move a
@@ -552,44 +1089,7 @@ def merge_upsert(
                     tgt = spark.createDataFrame([], tgt.schema)
             else:
                 tgt = tgt.filter(cow[1])
-    if evolve_schema:
-        merged = updates.unionByName(
-            tgt.join(updates.select(*keys), keys, "left_anti"),
-            allowMissingColumns=True,
-        )
-    else:
-        extra = set(updates.columns) - set(tgt.columns)
-        if extra:
-            raise ValueError(
-                f"updates carry columns not in the table schema {sorted(extra)}; "
-                "pass evolve_schema=True to add them"
-            )
-        if match_condition is None:
-            merged = updates.select(*tgt.columns).unionByName(
-                tgt.join(updates, keys, "left_anti")
-            )
-        else:
-            cols = tgt.columns
-            u = updates.select(
-                *keys,
-                F.struct(*[F.col(c) for c in cols]).alias("__u"),
-            )
-            t = tgt.select(
-                *keys,
-                F.struct(*[F.col(c) for c in cols]).alias("__t"),
-            )
-            both = t.join(u, keys, "full_outer")
-            winner = (
-                F.when(F.col("__t").isNull(), F.col("__u"))  # insert
-                .when(F.col("__u").isNull(), F.col("__t"))  # carry-over
-                .when(
-                    match_condition(F.col("__u"), F.col("__t")), F.col("__u")
-                )
-                .otherwise(F.col("__t"))
-            )
-            merged = both.select(winner.alias("__w")).select(
-                *[F.col("__w")[c].alias(c) for c in cols]
-            )
+    merged = _merged_frame(tgt, updates, keys, evolve_schema, match_condition)
     if cow is not None:
         return _write_next(
             merged,
@@ -615,6 +1115,8 @@ def delete_where(spark: SparkSession, path: str, cond) -> int:
     ``cond`` references the partition column, Catalyst partition-prunes
     the touched-value scan itself, so a partition-aligned delete never
     reads the untouched data at all."""
+    if _is_manifest_table(path):
+        return _m_delete_where(spark, path, cond)
     base = latest_version(path)
     tgt = read_table(spark, path, version=base)
     hit = F.coalesce(cond, F.lit(False))
@@ -653,7 +1155,10 @@ def delete_range(
     to :func:`delete_where` whenever stats are unusable. Result is
     row-identical to ``delete_where(col BETWEEN lo AND hi)``
     (NULL ``col`` rows are kept, SQL DELETE semantics — a NULL never
-    matches BETWEEN)."""
+    matches BETWEEN). On a manifest table the pruning reads NO parquet
+    footers at all — the intervals come from the manifest entries."""
+    if _is_manifest_table(path):
+        return _m_delete_range(spark, path, col, lo, hi)
     base = latest_version(path)
     tgt = read_table(spark, path, version=base)
     between = F.col(col).between(F.lit(lo), F.lit(hi))
@@ -713,6 +1218,11 @@ def compact(
         out = tgt.repartition(target_files)
     # a partitioned table keeps its layout (target_files becomes
     # files-per-partition rather than a global count)
+    if _is_manifest_table(path):
+        m = _m_load(path, base)
+        return _m_commit(
+            out, path, base + 1, m.get("partition_by"), [], base=base
+        )
     return _write_next(
         out, path, base=base, partition_by=table_meta(path).get("partition_by")
     )
@@ -760,9 +1270,13 @@ def table_diff(
 
 
 def data_files(path: str, version: int) -> list[str]:
-    """Parquet data files of one committed snapshot (snapshot-relative
-    paths; recursive, so partitioned snapshots list the files inside
-    their ``col=value`` directories)."""
+    """Parquet data files of one committed version. Manifest tables:
+    table-relative paths straight from the manifest (the file list IS
+    the version). Posix tables: snapshot-relative paths; recursive, so
+    partitioned snapshots list the files inside their ``col=value``
+    directories."""
+    if _is_manifest_table(path):
+        return sorted(e["path"] for e in _m_load(path, version)["files"])
     d = _snapshot_dir(path, version)
     out = []
     for root, _dirs, files in os.walk(d):
@@ -773,13 +1287,17 @@ def data_files(path: str, version: int) -> list[str]:
 
 
 def vacuum(path: str, keep_last: int = 1) -> list[int]:
-    """Drop all but the newest ``keep_last`` committed snapshots;
+    """Drop all but the newest ``keep_last`` committed versions;
     returns the removed version numbers.
 
-    Safe by construction against the copy-on-write carries: shared
-    data files are HARDLINKS, so removing an old snapshot directory
-    only decrements their link count — every file still referenced by
-    a surviving snapshot stays on disk untouched. Time travel to a
+    Safe against the copy-on-write carries in both protocols. Manifest
+    tables: the dropped manifests are unlinked, then data files no
+    surviving manifest references are garbage-collected — reference
+    counting by PATH, which is what an object store can express (see
+    :func:`_m_vacuum`). Posix tables: shared data files are HARDLINKS,
+    so removing an old snapshot directory only decrements their link
+    count — every file still referenced by a surviving snapshot stays
+    on disk untouched. Time travel to a
     vacuumed version subsequently raises (the retention trade every
     real format makes); latest-version reads are unaffected. The
     removal is per-directory ``rmtree`` of already-superseded
@@ -792,6 +1310,8 @@ def vacuum(path: str, keep_last: int = 1) -> list[int]:
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if _is_manifest_table(path):
+        return _m_vacuum(path, keep_last)
     vs = versions(path)
     drop = vs[:-keep_last]
     for v in drop:

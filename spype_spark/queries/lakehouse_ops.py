@@ -321,16 +321,15 @@ def q_lake_partitioned_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = base partitioned by status; v1 = MERGE (updates land in the
     'U' partition, matched keys live in O/F/P — those partitions
     rewrite); v2 = DELETE WHERE status = 'P' (drops the P partition
-    wholesale — the plan partition-prunes because the predicate IS the
-    partition column). The final content is pure SQL over orders (the
-    oracle), but the contract additionally raises unless v2 HARDLINKS
-    the untouched O/F/U partitions from v1 — same inode, zero bytes
-    copied — so a silent regression to full-snapshot rewrites fails
+    wholesale). The final content is pure SQL over orders (the oracle),
+    but the contract additionally raises unless v2's MANIFEST carries
+    the untouched O/F/U partitions from v1 BY REFERENCE — the identical
+    file entries, zero bytes copied or even linked (the object-store
+    COW: Delta/Iceberg share unchanged files through their logs the
+    same way) — so a silent regression to full-snapshot rewrites fails
     the driver gate, not just a unit test. At 100 TB this is the
     difference between a delete costing O(table) and O(deleted
     partitions)."""
-    import os
-
     tmp = _scratch("spype_lake_cow_")
     try:
         path = f"{tmp}/orders_tbl"
@@ -342,33 +341,28 @@ def q_lake_partitioned_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lake.delete_where(spark, path, F.col("o_orderstatus") == "P")
 
-        def inodes(version: int, part: str) -> dict[str, int]:
-            d = os.path.join(path, f"v={version}", part)
-            return {
-                f: os.stat(os.path.join(d, f)).st_ino
-                for f in os.listdir(d)
-                if f.endswith(".parquet")
-            }
+        def entries(version: int) -> dict[str, set[str]]:
+            """partition value -> the set of data-file paths (table-
+            relative — path identity IS file identity here)."""
+            by_part: dict[str, set[str]] = {}
+            for e in lake._m_load(path, version)["files"]:
+                by_part.setdefault(
+                    e["partition"].get("o_orderstatus"), set()
+                ).add(e["path"])
+            return by_part
 
-        # discover the partitions v1 actually has (at tiny SFs the
-        # update set can be empty, so 'U' may not exist): every one
-        # except the deleted 'P' must carry to v2 by hardlink
-        v1_parts = [
-            n
-            for n in os.listdir(os.path.join(path, "v=1"))
-            if n.startswith("o_orderstatus=")
-        ]
-        if not v1_parts:
+        e1, e2 = entries(1), entries(2)
+        if not e1:
             raise AssertionError("v1 has no partitions — setup broken")
-        for part in v1_parts:
-            if part == "o_orderstatus=P":
+        for part, files in e1.items():
+            if part == "P":
                 continue
-            if inodes(2, part) != inodes(1, part):
+            if e2.get(part) != files:
                 raise AssertionError(
                     f"partition {part} was rewritten by an unrelated "
                     "DELETE — copy-on-write regressed to full rewrite"
                 )
-        if os.path.isdir(os.path.join(path, "v=2", "o_orderstatus=P")):
+        if "P" in e2:
             raise AssertionError("deleted partition survived in v2")
         return (
             lake.read_table(spark, path)
@@ -390,13 +384,14 @@ def q_lake_partitioned_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot retention: MERGE onto a PARTITIONED table (so v1 shares
-    hardlinked partition files with v0), then VACUUM down to the latest
-    snapshot — the surviving version must still read the complete MERGE
-    answer even though the snapshot its carried files were born in is
-    gone (hardlink refcounts keep shared data alive). Asserted
-    in-contract: exactly v0 is removed, v1 is the only version left,
-    and time travel to v0 raises — then the oracle hash-checks the
-    surviving content relationally."""
+    carried-by-reference partition files with v0), then VACUUM down to
+    the latest snapshot — the surviving version must still read the
+    complete MERGE answer even though the COMMIT its carried files were
+    born in was dropped (the manifest GC reference-counts by path and
+    keeps every file a surviving manifest names). Asserted in-contract:
+    exactly v0 is removed, v1 is the only version left, and time travel
+    to v0 raises — then the oracle hash-checks the surviving content
+    relationally."""
     tmp = _scratch("spype_lake_vac_")
     try:
         path = f"{tmp}/orders_tbl"
@@ -438,15 +433,15 @@ def q_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lake_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-pruned range DELETE: the base table is written as
-    range-clustered files (disjoint o_orderkey intervals in the parquet
-    footers); ``delete_range`` must remove exactly the keyed interval —
-    the relational oracle — while hardlinking every file whose footer
-    interval misses [2000, 2999] (asserted in-contract by inode
-    comparison, so a regression to whole-partition rewrites fails the
-    driver gate). This is the retention-window delete a 100 TB
-    time-partitioned table runs daily."""
-    import os
-
+    range-clustered files (disjoint o_orderkey intervals recorded as
+    manifest [min, max] stats); ``delete_range`` must remove exactly
+    the keyed interval — the relational oracle — while carrying every
+    file whose recorded interval misses [2000, 2999] BY REFERENCE into
+    the new manifest, with ZERO parquet footer reads at plan time
+    (asserted in-contract by manifest-entry path identity, so a
+    regression to whole-partition rewrites fails the driver gate).
+    This is the retention-window delete a 100 TB time-partitioned
+    table runs daily."""
     tmp = _scratch("spype_lake_dr_")
     try:
         path = f"{tmp}/orders_tbl"
@@ -457,25 +452,10 @@ def q_lake_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lake.delete_range(spark, path, "o_orderkey", 2000, 2999)
 
-        shared = 0
-        total = 0
-        for part in os.listdir(os.path.join(path, "v=0")):
-            if not part.startswith("o_orderstatus="):
-                continue
-            d0 = os.path.join(path, "v=0", part)
-            d1 = os.path.join(path, "v=1", part)
-            i0 = {
-                os.stat(os.path.join(d0, f)).st_ino
-                for f in os.listdir(d0)
-                if f.endswith(".parquet")
-            }
-            i1 = {
-                os.stat(os.path.join(d1, f)).st_ino
-                for f in os.listdir(d1)
-                if f.endswith(".parquet")
-            } if os.path.isdir(d1) else set()
-            shared += len(i0 & i1)
-            total += len(i0)
+        f0 = set(lake.data_files(path, 0))
+        f1 = set(lake.data_files(path, 1))
+        shared = len(f0 & f1)
+        total = len(f0)
         n_deleted = (
             lake.read_table(spark, path, version=0).count()
             - lake.read_table(spark, path, version=1).count()

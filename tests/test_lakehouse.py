@@ -129,6 +129,8 @@ def test_concurrent_commit_exactly_one_wins(spark, tbl):
     import os
 
     df = lake.read_table(spark, tbl)
+    tbl = str(tbl) + "_posix"
+    lake.write_table(df, tbl, protocol="posix")
     assert lake._commit_snapshot(df, tbl, 1) == 1
     before = sorted(os.listdir(f"{tbl}/v=1"))
     with pytest.raises(lake.ConcurrentWriteError):
@@ -324,12 +326,12 @@ def test_lakehouse_random_op_sequences_match_model(spark, tmp_path_factory, ops)
 # ---------------------------------------------------------------------------
 
 
-def _mk_part_table(spark, tmp_path, name="pt"):
+def _mk_part_table(spark, tmp_path, name="pt", protocol="manifest"):
     path = str(tmp_path / name)
     df = spark.createDataFrame(
         [(k, k * 10, k % 3) for k in range(9)], "k long, v long, p long"
     )
-    lake.write_table(df, path, partition_by="p")
+    lake.write_table(df, path, partition_by="p", protocol=protocol)
     return path
 
 
@@ -348,7 +350,7 @@ def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
     """A merge whose updates land in (and match keys only in) p=1 must
     hardlink p=0 and p=2 unchanged — same inodes as the base snapshot —
     while p=1 is fresh files. Content equals the full-rewrite answer."""
-    path = _mk_part_table(spark, tmp_path)
+    path = _mk_part_table(spark, tmp_path, protocol="posix")
     upd = spark.createDataFrame([(1, 111, 1), (10, 100, 1)], "k long, v long, p long")
     lake.merge_upsert(spark, path, upd, keys=["k"])
     got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
@@ -368,7 +370,7 @@ def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
 def test_partitioned_merge_cross_partition_key_move(spark, tmp_path):
     """An update that MOVES a key to another partition must rewrite
     BOTH the old and new partitions (no stale duplicate left behind)."""
-    path = _mk_part_table(spark, tmp_path)
+    path = _mk_part_table(spark, tmp_path, protocol="posix")
     upd = spark.createDataFrame([(0, 999, 2)], "k long, v long, p long")
     lake.merge_upsert(spark, path, upd, keys=["k"])
     got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
@@ -381,7 +383,7 @@ def test_partitioned_merge_cross_partition_key_move(spark, tmp_path):
 def test_partitioned_delete_drops_partition_and_links_rest(spark, tmp_path):
     import os
 
-    path = _mk_part_table(spark, tmp_path)
+    path = _mk_part_table(spark, tmp_path, protocol="posix")
     lake.delete_where(spark, path, F.col("p") == 2)
     got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
     assert got == {(k, k * 10, k % 3) for k in range(9) if k % 3 != 2}
@@ -393,7 +395,7 @@ def test_partitioned_delete_drops_partition_and_links_rest(spark, tmp_path):
 
 
 def test_partitioned_compact_and_history(spark, tmp_path):
-    path = _mk_part_table(spark, tmp_path)
+    path = _mk_part_table(spark, tmp_path, protocol="posix")
     lake.compact(spark, path, target_files=1)
     got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
     assert got == {(k, k * 10, k % 3) for k in range(9)}
@@ -469,7 +471,7 @@ def test_multicolumn_partitioned_cow(spark, tmp_path):
         [(k, k * 10, k % 2, k % 3) for k in range(12)],
         "k long, v long, d long, s long",
     )
-    lake.write_table(df, path, partition_by=["d", "s"])
+    lake.write_table(df, path, partition_by=["d", "s"], protocol="posix")
     # k=3 → (d=1, s=0); update stays in its own leaf
     upd = spark.createDataFrame([(3, 999, 1, 0)], "k long, v long, d long, s long")
     lake.merge_upsert(spark, path, upd, keys=["k"])
@@ -516,7 +518,8 @@ def test_file_level_manifest_pruning(spark, tmp_path):
         [(k, k * 10, 0) for k in range(400)], "k long, v long, p long"
     )
     lake.write_table(
-        df.repartitionByRange(4, "k"), path, partition_by="p"
+        df.repartitionByRange(4, "k"), path, partition_by="p",
+        protocol="posix",
     )
     base_dir = os.path.join(path, "v=0", "p=0")
     base_files = sorted(f for f in os.listdir(base_dir) if f.endswith(".parquet"))
@@ -577,9 +580,11 @@ def test_delete_range_prunes_files_and_matches_delete_where(spark, tmp_path):
     df = spark.createDataFrame(
         [(k, k * 10, 0) for k in range(400)], "k long, v long, p long"
     )
-    lake.write_table(df.repartitionByRange(4, "k"), path, partition_by="p")
+    lake.write_table(df.repartitionByRange(4, "k"), path, partition_by="p",
+                     protocol="posix")
     twin = str(tmp_path / "dr_twin")
-    lake.write_table(df.repartitionByRange(4, "k"), twin, partition_by="p")
+    lake.write_table(df.repartitionByRange(4, "k"), twin, partition_by="p",
+                     protocol="posix")
 
     lake.delete_range(spark, path, "k", 10, 20)
     lake.delete_where(spark, twin, F.col("k").between(10, 20))
@@ -597,7 +602,8 @@ def test_delete_range_prunes_files_and_matches_delete_where(spark, tmp_path):
 
     # unpartitioned: same pruning across the snapshot root
     flat = str(tmp_path / "dr_flat")
-    lake.write_table(df.select("k", "v").repartitionByRange(4, "k"), flat)
+    lake.write_table(df.select("k", "v").repartitionByRange(4, "k"), flat,
+                     protocol="posix")
     lake.delete_range(spark, flat, "k", 390, 600)
     got_flat = {(r.k, r.v) for r in lake.read_table(spark, flat).collect()}
     assert got_flat == {(k, k * 10) for k in range(390)}
@@ -623,7 +629,7 @@ def test_string_partition_values_round_trip_typed(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "001"), (2, "001"), (3, "002")], "k long, p string"
     )
-    lake.write_table(df, path, partition_by="p")
+    lake.write_table(df, path, partition_by="p", protocol="posix")
     rt = lake.read_table(spark, path)
     assert dict(rt.dtypes)["p"] == "string"
     assert rows(rt.select("k", "p")) == {(1, "001"), (2, "001"), (3, "002")}
@@ -668,3 +674,299 @@ def test_delete_range_uncomparable_bounds_fall_back(spark, tmp_path):
     lake.delete_range(spark, path, "k", "10", "20")  # string bounds
     got = {r.k for r in lake.read_table(spark, path).collect()}
     assert got == {k for k in range(40) if not 10 <= k <= 20}
+
+
+# ---------------------------------------------------------------------------
+# Manifest protocol (default): object-store-portable structure
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_cow_carries_by_reference(spark, tmp_path):
+    """Partition-level copy-on-write on a manifest table: untouched
+    partitions' entries appear in the new manifest under their EXACT
+    existing paths (shared by reference — the object-store carry), the
+    touched partition's files are fresh, and no directory rename or
+    hardlink is involved anywhere."""
+    path = _mk_part_table(spark, tmp_path)  # manifest is the default
+    upd = spark.createDataFrame(
+        [(1, 111, 1), (10, 100, 1)], "k long, v long, p long"
+    )
+    lake.merge_upsert(spark, path, upd, keys=["k"])
+    f0, f1 = set(lake.data_files(path, 0)), set(lake.data_files(path, 1))
+    got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    want = {(k, k * 10, k % 3) for k in range(9) if k != 1} | {
+        (1, 111, 1),
+        (10, 100, 1),
+    }
+    assert got == want
+    carried = f0 & f1
+    assert carried, "no entries carried by reference"
+    # every carried entry is an untouched partition (p=0 / p=2) or a
+    # stats-pruned file; every p=1 data file in v1 is new
+    m1 = lake._m_load(path, 1)
+    by_path = {e["path"]: e for e in m1["files"]}
+    for pth in f1 - f0:
+        assert pth not in f0  # fresh files only in the new commit dir
+    # v=N snapshot dirs must NOT exist (nothing posix about the layout)
+    import os
+
+    assert not os.path.isdir(os.path.join(path, "v=0"))
+    assert not os.path.isdir(os.path.join(path, "v=1"))
+
+
+def test_manifest_publish_put_if_absent_race(spark, tmp_path):
+    """Two manifests prepared against the same base: exactly one
+    publish wins the version, the loser raises ConcurrentWriteError,
+    leaves no temp debris in _manifests/, and the winner's manifest is
+    untouched."""
+    import os
+
+    path = str(tmp_path / "race")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    lake.write_table(df, path)
+    m = lake._m_load(path, 0)
+    win = dict(m, version=1)
+    lake._m_publish(path, 1, win)
+    before = open(lake._m_path(path, 1)).read()
+    with pytest.raises(lake.ConcurrentWriteError):
+        lake._m_publish(path, 1, dict(m, version=1, files=[]))
+    assert open(lake._m_path(path, 1)).read() == before
+    assert [n for n in os.listdir(os.path.join(path, "_manifests"))
+            if n.startswith(".tmp-")] == []
+    assert lake.versions(path) == [0, 1]
+
+
+def test_manifest_interrupted_commit_never_half_publishes(spark, tmp_path):
+    """A commit that dies AFTER writing its data files but BEFORE the
+    manifest publish leaves the table bit-for-bit unchanged: versions()
+    and reads see only the old state (the orphan data dir is invisible
+    — nothing references it), and the next vacuum collects the orphans.
+    This is the property that replaces 'atomic directory rename': the
+    data write needs NO atomicity at all."""
+    import os
+
+    path = str(tmp_path / "intr")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    lake.write_table(df, path)
+    upd = spark.createDataFrame([(2, "B")], "k long, s string")
+
+    real_publish = lake._m_publish
+    calls = {"n": 0}
+
+    def dying_publish(p, v, man):
+        calls["n"] += 1
+        raise RuntimeError("process died before the conditional PUT")
+
+    lake._m_publish = dying_publish
+    try:
+        with pytest.raises(RuntimeError):
+            lake.merge_upsert(spark, path, upd, keys=["k"])
+    finally:
+        lake._m_publish = real_publish
+    assert calls["n"] == 1
+    assert lake.versions(path) == [0]
+    assert {tuple(r) for r in lake.read_table(spark, path).collect()} == {
+        (1, "a"), (2, "b")
+    }
+    # the orphan commit dir exists but is unreferenced; vacuum GCs it
+    orphans = [
+        d for d in os.listdir(os.path.join(path, "data"))
+    ]
+    assert len(orphans) == 2  # v0's commit + the orphan
+    lake.vacuum(path, keep_last=1)
+    assert len(os.listdir(os.path.join(path, "data"))) == 1
+    # and the retry path works: the same merge now commits cleanly
+    lake.merge_upsert(spark, path, upd, keys=["k"])
+    assert {tuple(r) for r in lake.read_table(spark, path).collect()} == {
+        (1, "a"), (2, "B")
+    }
+
+
+def test_manifest_vacuum_gc_by_path_reference(spark, tmp_path):
+    """Manifest vacuum: dropped versions' manifests are unlinked and
+    data files referenced by NO surviving manifest are deleted — but a
+    file carried by reference into a surviving version stays, even
+    though its commit directory belongs to a vacuumed version."""
+    import os
+
+    path = _mk_part_table(spark, tmp_path, name="mvac")
+    upd = spark.createDataFrame([(1, 111, 1)], "k long, v long, p long")
+    lake.merge_upsert(spark, path, upd, keys=["k"])  # v1 carries p=0,p=2
+    f1 = set(lake.data_files(path, 1))
+    before = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    removed = lake.vacuum(path, keep_last=1)
+    assert removed == [0]
+    assert lake.versions(path) == [1]
+    # every surviving reference still resolves; orphaned v0-only files gone
+    for rel in f1:
+        assert os.path.exists(os.path.join(path, rel)), rel
+    after = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    assert after == before
+    with pytest.raises(FileNotFoundError):
+        lake.read_table(spark, path, version=0)
+    # all remaining data files are referenced (no garbage survived)
+    on_disk = set()
+    for root, _dirs, files in os.walk(os.path.join(path, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.add(
+                    os.path.relpath(os.path.join(root, f), path)
+                )
+    assert on_disk == f1
+
+
+def test_manifest_delete_range_prunes_from_manifest_stats(spark, tmp_path):
+    """delete_range on a manifest table: the carry/rewrite split comes
+    from the manifest's recorded [min,max] — files whose interval
+    misses the range carry by reference; result equals delete_where."""
+    path = str(tmp_path / "mdr")
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(400)], "k long, v long"
+    )
+    lake.write_table(df.repartitionByRange(4, "k"), path)
+    assert len(lake.data_files(path, 0)) == 4
+    lake.delete_range(spark, path, "k", 10, 20)
+    f0, f1 = set(lake.data_files(path, 0)), set(lake.data_files(path, 1))
+    assert len(f0 & f1) == 3, "3 of 4 range files must carry by reference"
+    got = {r.k for r in lake.read_table(spark, path).collect()}
+    assert got == {k for k in range(400) if not 10 <= k <= 20}
+    # uncomparable bounds fall back to delete_where semantics
+    lake.delete_range(spark, path, "k", "30", "40")
+    got2 = {r.k for r in lake.read_table(spark, path).collect()}
+    assert got2 == {k for k in range(400)
+                    if not 10 <= k <= 20 and not 30 <= k <= 40}
+
+
+def test_manifest_stale_base_vacuumed_mid_commit(spark, tmp_path):
+    """A writer whose base version is vacuumed between its read and its
+    publish gets ConcurrentWriteError (stale base, retry) — never a
+    published manifest with dangling file references."""
+    path = _mk_part_table(spark, tmp_path, name="mstale")
+    upd = spark.createDataFrame([(1, 111, 1)], "k long, v long, p long")
+    real_write = lake._m_write_files
+
+    def racing_write(df, p, pcols):
+        # One-shot interception: while this writer is producing its new
+        # data files, a concurrent writer commits v1 and retention
+        # collects v0 — this writer's base.
+        lake._m_write_files = real_write
+        out = real_write(df, p, pcols)
+        lake.merge_upsert(
+            spark, path,
+            spark.createDataFrame([(2, 222, 2)], "k long, v long, p long"),
+            keys=["k"],
+        )
+        lake.vacuum(path, keep_last=1)
+        return out
+
+    lake._m_write_files = racing_write
+    try:
+        with pytest.raises(lake.ConcurrentWriteError):
+            lake.merge_upsert(spark, path, upd, keys=["k"])
+    finally:
+        lake._m_write_files = real_write
+    # the table is intact at the concurrent writer's committed state,
+    # and the loser's orphan data dir was cleaned up by its failed
+    # commit (only the surviving version's commit dirs remain)
+    got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    assert (2, 222, 2) in got and (1, 111, 1) not in got
+
+
+def test_manifest_two_process_merge_race(tmp_path):
+    """TWO real writer processes (separate SparkSessions, separate
+    JVMs) MERGE into the same manifest table concurrently, synchronized
+    by a file barrier so BOTH compute their commit against base v0:
+    exactly one wins v1; the loser gets ConcurrentWriteError, retries
+    the whole mutation, and lands v2. The final table holds both
+    merges' rows — optimistic concurrency serializes, never corrupts."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    table = str(tmp_path / "race_tbl")
+    barrier = str(tmp_path / "barrier")
+    os.makedirs(barrier)
+
+    setup = textwrap.dedent(f"""
+        import sys; sys.path.insert(0, {repr(os.getcwd())})
+        from pyspark.sql import SparkSession
+        from spype_spark import lakehouse as lake
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+        lake.write_table(df, {repr(table)})
+        print("SETUP_OK")
+    """)
+    r = subprocess.run(
+        [sys.executable, "-c", setup], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert "SETUP_OK" in r.stdout, r.stderr[-2000:]
+
+    writer = textwrap.dedent(f"""
+        import os, sys, time
+        sys.path.insert(0, {repr(os.getcwd())})
+        wid = sys.argv[1]
+        from pyspark.sql import SparkSession
+        from spype_spark import lakehouse as lake
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        upd = spark.createDataFrame(
+            [(100 if wid == "A" else 200, wid)], "k long, s string")
+        real = lake._m_publish
+        def barrier_publish(p, v, man):
+            # both writers must have PREPARED their v1 commit before
+            # either publishes — the textbook optimistic-concurrency race
+            open(os.path.join({repr(barrier)}, "ready_" + wid), "w").close()
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if all(os.path.exists(os.path.join({repr(barrier)}, "ready_" + w))
+                       for w in ("A", "B")):
+                    break
+                time.sleep(0.05)
+            else:
+                raise RuntimeError("barrier timeout")
+            return real(p, v, man)
+        lake._m_publish = barrier_publish
+        try:
+            v = lake.merge_upsert(spark, {repr(table)}, upd, keys=["k"])
+            print("WON", v)
+        except lake.ConcurrentWriteError:
+            lake._m_publish = real
+            v = lake.merge_upsert(spark, {repr(table)}, upd, keys=["k"])
+            print("RETRIED", v)
+    """)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", writer, w],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for w in ("A", "B")
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+    verdicts = [
+        line.split() for o in outs for line in o.splitlines()
+        if line.startswith(("WON", "RETRIED"))
+    ]
+    assert sorted(v[0] for v in verdicts) == ["RETRIED", "WON"], outs
+    assert {v[1] for v in verdicts} == {"1", "2"}, outs
+
+    import duckdb
+
+    files = [
+        os.path.join(table, rel) for rel in lake.data_files(table, 2)
+    ]
+    got = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"SELECT k, s FROM read_parquet({files!r})"
+        ).fetchall()
+    }
+    assert got == {(1, "a"), (2, "b"), (100, "A"), (200, "B")}
