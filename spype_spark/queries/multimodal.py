@@ -3,12 +3,15 @@
 Pattern: media is an opaque ``binary`` payload column next to a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched ``mapInPandas`` stages so the bytes never leave the
-executor and Python sees whole batches, not rows. The container ships
-no image/audio codecs, so the codec call itself is stubbed
-(:data:`REAL_DECODERS` raises NotImplementedError; a deterministic
-byte-level fake stands in) — the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and oracle-/test-
-covered.
+executor and Python sees whole batches, not rows. Two REAL
+dependency-free codecs ship in-repo (uncompressed 24-bpp BMP and PCM
+WAV — :mod:`spype_spark.codecs`) and are registered in
+:data:`REAL_DECODERS`; the decode contract runs payloads through the
+actual BMP parser. Formats that need a codec library this container
+lacks (JPEG/PNG/MP4…) hit the explicit NotImplementedError seam, with
+a deterministic byte-level fake carrying the remaining feature
+columns — the Spark-side plumbing (schema, partitioning, UDF
+signature, batch shape) is identical either way.
 
 Scale notes: payloads ride the same partitions as their metadata (no
 separate fetch); a 100 TB media table partitions by content shard and
@@ -24,18 +27,27 @@ from pyspark.sql import functions as F
 from spype_spark.registry import query
 from spype_spark.tables import load_table
 
-#: Marker for where a real codec would plug in. Keyed by mime type.
-REAL_DECODERS: dict[str, object] = {}
+from spype_spark.codecs import decode_bmp, decode_wav
+
+#: Real decoders, keyed by mime type. BMP (uncompressed 24-bpp) and
+#: WAV (integer PCM) ship in-repo as dependency-free parsers
+#: (:mod:`spype_spark.codecs`); anything else (JPEG/PNG/MP4…) needs a
+#: codec library this container lacks and hits the seam below.
+REAL_DECODERS: dict[str, object] = {
+    "image/bmp": decode_bmp,
+    "audio/wav": decode_wav,
+}
 
 
 def _decode_real(mime: str, payload: bytes):
-    """The codec seam: raises until a real decoder library is present."""
+    """The codec seam: dispatches to a registered real decoder, raises
+    for formats no available library covers."""
     if mime not in REAL_DECODERS:
         raise NotImplementedError(
             f"no codec for {mime!r} in this environment — install one and "
             "register it in spype_spark.queries.multimodal.REAL_DECODERS"
         )
-    return REAL_DECODERS[mime](payload)  # pragma: no cover
+    return REAL_DECODERS[mime](payload)
 
 
 def with_payload(d: DataFrame) -> DataFrame:
@@ -87,45 +99,85 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_decode",
     oracle="""
+    WITH t AS (
+      SELECT doc_id, text, strlen(text) AS len,
+             COALESCE(list_sum(list_transform(
+                 range(1, strlen(text) + 1),
+                 i -> ascii(substring(text, i, 1)))), 0) AS byte_sum,
+             GREATEST(1, CAST(ceil(strlen(text) / 48.0) AS BIGINT)) AS h
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(strlen(text) // 64 + 1 AS BIGINT) AS n_frames,
-           CASE WHEN strlen(text) = 0 THEN 0.0
-                ELSE CAST(list_sum(list_transform(
-                         range(1, strlen(text) + 1),
-                         i -> ascii(substring(text, i, 1)))) AS DOUBLE)
-                     / strlen(text)
+           CAST(len // 64 + 1 AS BIGINT) AS n_frames,
+           CASE WHEN len = 0 THEN 0.0
+                ELSE CAST(byte_sum AS DOUBLE) / len
            END AS brightness,
            CAST(COALESCE(list_sum(list_transform(
-                    range(1, least(strlen(text), 64) + 1),
+                    range(1, least(len, 64) + 1),
                     i -> ascii(substring(text, i, 1)))), 0) AS BIGINT)
-             AS first_frame_sum
-    FROM documents
+             AS first_frame_sum,
+           h AS bmp_h,
+           CAST(floor(byte_sum * 10000.0 / (h * 48) + 0.5) AS BIGINT)
+             AS px_micro_mean
+    FROM t
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract via mapInPandas (deterministic fake codec).
+    """Decode + feature-extract via mapInPandas — fake AND real codec
+    branches in one Arrow pass.
 
-    Batch shape is the real thing: each Arrow batch carries (doc_id,
-    payload, mime); the "decoder" emits per-item features — here mean
-    byte value ("brightness"), a frame count derived from length
-    ("frame sampling" at one frame per 64 bytes), and the first-frame
-    checksum. Swapping in a real codec touches only `decode`'s body
-    (or registers into REAL_DECODERS); schema, partitioning and the
-    Arrow path are unchanged. Because the fake is byte-exact and the
-    corpus is ASCII (code point == byte), DuckDB can recompute every
-    feature — brightness is an exact integer sum divided once, so the
-    doubles match bit-for-bit — making the whole Arrow decode path
-    driver-hash-checkable.
+    Each Arrow batch carries (doc_id, payload); two feature families
+    come back: (a) the byte-level fake ("brightness" = mean byte, a
+    64-byte frame count, the first-frame checksum) and (b) a REAL
+    decode — the payload bytes are wrapped into a genuine uncompressed
+    24-bpp BMP (16 px wide, zero-filled to the last row) and decoded
+    back through :data:`REAL_DECODERS`'s actual BMP parser
+    (:func:`spype_spark.codecs.decode_bmp`: header validation, padded
+    bottom-up row walk), emitting the decoded height and the scaled-
+    integer pixel mean floor(sum·1e4/(h·48) + 0.5). The contract raises
+    if the decoder disagrees with the encoder's geometry, so a codec
+    regression fails the driver gate. The corpus is ASCII (code point
+    == byte) and zero-fill is additive identity, so DuckDB recomputes
+    every feature — including the real-decode ones — exactly; both
+    divisions happen once, in the same operand order, keeping the
+    doubles bit-identical.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
+    from spype_spark.codecs import encode_bmp
+
     d = load_table(spark, sf_dir, "documents").repartition(32)
     m = with_payload(d)
+    # Resolve the registered decoder ON THE DRIVER and capture it as a
+    # closure local: spype_spark.codecs is registered for by-value
+    # pickling, so the codec code ships with the closure — executors
+    # never import spype_spark (the foreign-cwd harness rule,
+    # ann.py:198). Referencing the module-global _decode_real from
+    # inside the closure would pickle THIS module by reference instead.
+    dec_bmp = REAL_DECODERS["image/bmp"]
 
     def decode(batches):
         for pdf in batches:
             payloads = pdf["payload"]
+            bmp_h, px_micro = [], []
+            for b in payloads:
+                b = bytes(b)
+                h = max(1, -(-len(b) // 48))
+                px = b + b"\x00" * (h * 48 - len(b))
+                img = dec_bmp(encode_bmp(px, 16, h))
+                if img["width"] != 16 or img["height"] != h:
+                    raise AssertionError(
+                        f"BMP round-trip geometry broke: {img['width']}"
+                        f"x{img['height']} != 16x{h}"
+                    )
+                s = sum(img["pixels"])
+                bmp_h.append(h)
+                px_micro.append(
+                    int(math.floor(s * 10000.0 / (h * 48) + 0.5))
+                )
             out = {
                 "doc_id": pdf["doc_id"],
                 "n_frames": payloads.map(lambda b: len(b) // 64 + 1),
@@ -139,11 +191,15 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "first_frame_sum": payloads.map(
                     lambda b: int(np.frombuffer(b[:64], dtype=np.uint8).sum())
                 ),
+                "bmp_h": bmp_h,
+                "px_micro_mean": px_micro,
             }
             yield pd.DataFrame(out)
 
     return m.select("doc_id", "payload").mapInPandas(
-        decode, "doc_id long, n_frames long, brightness double, first_frame_sum long"
+        decode,
+        "doc_id long, n_frames long, brightness double, "
+        "first_frame_sum long, bmp_h long, px_micro_mean long",
     )
 
 

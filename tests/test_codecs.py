@@ -1,0 +1,129 @@
+"""Byte-exact tests for the real dependency-free codecs
+(spype_spark.codecs): hand-assembled fixtures decoded field-for-field,
+encode→decode round-trips, malformed-input rejection, and the
+REAL_DECODERS registration the multimodal contracts rely on."""
+
+import struct
+
+import pytest
+
+from spype_spark.codecs import decode_bmp, decode_wav, encode_bmp, encode_wav
+
+
+def _hand_built_bmp_2x2() -> tuple[bytes, bytes]:
+    """A 2x2 24-bpp BMP assembled byte-by-byte from the spec (not via
+    encode_bmp, so the decoder is tested against the FORMAT, not the
+    sibling encoder). Pixels top-down BGR: (1,2,3) (4,5,6) / (7,8,9)
+    (10,11,12); stored bottom-up, 6-byte rows padded to 8."""
+    row_bottom = bytes([7, 8, 9, 10, 11, 12]) + b"\x00\x00"
+    row_top = bytes([1, 2, 3, 4, 5, 6]) + b"\x00\x00"
+    body = row_bottom + row_top  # bottom-up storage
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    expect_top_down = bytes(range(1, 13))
+    return header + info + body, expect_top_down
+
+
+def test_decode_bmp_hand_built_fixture():
+    payload, expect = _hand_built_bmp_2x2()
+    img = decode_bmp(payload)
+    assert (img["width"], img["height"]) == (2, 2)
+    assert img["pixels"] == expect  # padding stripped, rows reordered
+
+
+def test_decode_bmp_top_down_negative_height():
+    """Negative biHeight = rows already top-down; decoder must NOT
+    flip them."""
+    payload, expect = _hand_built_bmp_2x2()
+    # rewrite height to -2 and swap the stored rows to top-down order
+    info = bytearray(payload[14:54])
+    struct.pack_into("<i", info, 8, -2)
+    body = payload[54:62], payload[62:70]
+    rebuilt = payload[:14] + bytes(info) + body[1] + body[0]
+    img = decode_bmp(rebuilt)
+    assert img["pixels"] == expect
+
+
+def test_bmp_round_trip_exact():
+    px = bytes((i * 37 + 11) % 256 for i in range(5 * 3 * 3))  # 5x3
+    img = decode_bmp(encode_bmp(px, 5, 3))
+    assert (img["width"], img["height"]) == (5, 3)
+    assert img["pixels"] == px
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b"XX" + b[2:],                      # bad magic
+        lambda b: b[:30],                             # truncated header
+        lambda b: b[:-4],                             # truncated pixels
+        lambda b: b[:28] + b"\x08\x00" + b[30:],      # 8-bpp
+        lambda b: b[:30] + b"\x01\x00\x00\x00" + b[34:],  # RLE compression
+    ],
+)
+def test_decode_bmp_rejects_malformed(mutate):
+    payload, _ = _hand_built_bmp_2x2()
+    with pytest.raises(ValueError):
+        decode_bmp(mutate(payload))
+
+
+def _hand_built_wav() -> tuple[bytes, list[int]]:
+    """16-bit mono PCM, 4 frames, with a LIST chunk between fmt and
+    data (real encoders emit ancillary chunks; the parser must walk,
+    not assume adjacency)."""
+    samples = [0, 1000, -1000, 32767]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    listc = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd+pad
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + listc
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks, (
+        samples
+    )
+
+
+def test_decode_wav_hand_built_fixture():
+    payload, samples = _hand_built_wav()
+    w = decode_wav(payload)
+    assert w["sample_rate"] == 8000
+    assert w["n_channels"] == 1
+    assert w["bits"] == 16
+    assert w["n_frames"] == 4
+    assert w["samples"] == samples
+
+
+def test_wav_round_trip_stereo_channel0():
+    frames = [(i * 513 - 4000, -i * 257) for i in range(10)]
+    raw = b"".join(struct.pack("<hh", a, b) for a, b in frames)
+    w = decode_wav(encode_wav(raw, sample_rate=44100, n_channels=2))
+    assert w["n_frames"] == 10 and w["n_channels"] == 2
+    assert w["samples"] == [a for a, _ in frames]
+
+
+def test_decode_wav_rejects_malformed():
+    payload, _ = _hand_built_wav()
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + payload[4:])
+    with pytest.raises(ValueError):
+        decode_wav(payload[:40])  # fmt present, data truncated away
+    # float PCM (format 3) is out of profile
+    bad = bytearray(payload)
+    bad[20] = 3
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_real_decoders_registered():
+    from spype_spark.queries.multimodal import REAL_DECODERS, _decode_real
+
+    assert REAL_DECODERS["image/bmp"] is decode_bmp
+    assert REAL_DECODERS["audio/wav"] is decode_wav
+    payload, expect = _hand_built_bmp_2x2()
+    assert _decode_real("image/bmp", payload)["pixels"] == expect
+    with pytest.raises(NotImplementedError):
+        _decode_real("image/jpeg", b"\xff\xd8\xff")
