@@ -1,10 +1,22 @@
 """Skew-handling utilities (SCALE.md "Skew" — the explicit patterns).
 
 AQE's skew-join split handles most cases automatically (enabled in the
-session factory); these helpers are the *explicit* forms for the cases
-AQE can't see: aggregations over pathologically hot keys and joins
-against a skewed probe side when the build side is small but not
-broadcastable.
+session factory; tests/test_skew.py asserts the split fires on the
+constructed 70 %-hot join); these helpers are the *explicit* forms for
+the cases AQE can't or won't cover. The decision rule:
+
+- **Let AQE handle it** when the hot key feeds a JOIN whose output has
+  no downstream distribution requirement: the runtime split is free,
+  needs no code, and adapts to skew you didn't predict.
+- **Salt explicitly** when (a) the hot key feeds an AGGREGATION —
+  AQE's skew rule only rewrites joins, a hot groupBy reducer is
+  invisible to it; (b) the join's output flows into another shuffle on
+  the same key (sort, groupBy, window) — OptimizeSkewedJoin skips the
+  split rather than break the required distribution (forcing it via
+  ``forceOptimizeSkewedJoin`` re-shuffles, usually a wash); or (c) the
+  execution must be deterministic partition-for-partition (regression
+  tests, bit-exactness audits) — AQE's split boundaries depend on
+  observed sizes, salting is the same plan every run.
 """
 
 from __future__ import annotations
