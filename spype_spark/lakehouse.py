@@ -938,6 +938,68 @@ def read_table(
     return spark.read.parquet(snap)
 
 
+def scan_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partitions: dict | None = None,
+    ranges: dict | None = None,
+) -> DataFrame:
+    """Manifest-pruned snapshot scan — the READER-side counterpart of
+    the mutation planner's metadata pruning, and the way a 100 TB scan
+    should start: the file list is cut down from manifest metadata
+    alone (zero object listings, zero footer reads), then Spark reads
+    only the surviving files with the matching row filter applied on
+    top (pruning is file-granular; the residual filter keeps row-level
+    semantics exact, so the result ALWAYS equals
+    ``read_table(...).filter(...)``).
+
+    ``partitions``: ``{col: value_or_list}`` — keep only files whose
+    recorded partition tuple matches (canonical-string compare, the
+    same discipline as the COW planner; unsafe values disable pruning
+    for that column rather than guess). ``ranges``: ``{col: (lo, hi)}``
+    — keep only files whose manifest [min, max] can intersect
+    [lo, hi]; files without stats on the column are conservatively
+    kept. Posix-protocol tables fall back to a plain filtered read
+    (Catalyst still partition-prunes Hive dirs there)."""
+    v = latest_version(path) if version is None else version
+
+    def _residual(df: DataFrame) -> DataFrame:
+        for c, vals in (partitions or {}).items():
+            vlist = vals if isinstance(vals, (list, tuple, set)) else [vals]
+            df = df.filter(F.col(c).isin(list(vlist)))
+        for c, (lo, hi) in (ranges or {}).items():
+            df = df.filter(F.col(c).between(F.lit(lo), F.lit(hi)))
+        return df
+
+    if not _is_manifest_table(path):
+        return _residual(read_table(spark, path, version=v))
+    m = _m_load(path, v)
+    entries = m["files"]
+    for c, vals in (partitions or {}).items():
+        vlist = vals if isinstance(vals, (list, tuple, set)) else [vals]
+        svals = set()
+        usable = True
+        for val in vlist:
+            sv = str(val)
+            if val is None or not _SAFE_PART_VAL.match(sv):
+                usable = False  # can't canonicalize — keep all files
+                break
+            svals.add(sv)
+        if usable:
+            entries = [
+                e
+                for e in entries
+                if e["partition"].get(c) is None  # not a partition col
+                or e["partition"][c] in svals
+            ]
+    for c, (lo, hi) in (ranges or {}).items():
+        split = _m_stats_split(entries, c, lo, hi)
+        if split is not None:
+            _skippable, entries = split
+    return _residual(_m_read_entries(spark, path, entries, m["schema"]))
+
+
 def _merged_frame(
     tgt: DataFrame,
     updates: DataFrame,

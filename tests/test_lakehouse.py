@@ -970,3 +970,57 @@ def test_manifest_two_process_merge_race(tmp_path):
         ).fetchall()
     }
     assert got == {(1, "a"), (2, "b"), (100, "A"), (200, "B")}
+
+
+def test_manifest_scan_table_prunes_files_and_matches_filter(spark, tmp_path):
+    """Reader-side manifest pruning: scan_table with partition and
+    range filters must (a) read strictly fewer files — asserted via
+    DataFrame.inputFiles() — with the cut decided from manifest
+    metadata alone, and (b) return exactly read_table().filter(...)."""
+    path = str(tmp_path / "scan")
+    df = spark.createDataFrame(
+        [(k, k * 10, k % 3) for k in range(300)], "k long, v long, p long"
+    )
+    lake.write_table(
+        df.repartitionByRange(4, "k"), path, partition_by="p"
+    )
+    all_files = set(lake.read_table(spark, path).inputFiles())
+
+    # partition pruning: only p=1 files survive
+    part = lake.scan_table(spark, path, partitions={"p": 1})
+    assert set(part.inputFiles()) < all_files
+    want = {(r.k, r.v) for r in lake.read_table(spark, path)
+            .filter("p = 1").select("k", "v").collect()}
+    assert {(r.k, r.v) for r in part.select("k", "v").collect()} == want
+
+    # range pruning: k in [50, 80] hits a subset of the range files
+    rng = lake.scan_table(spark, path, ranges={"k": (50, 80)})
+    assert set(rng.inputFiles()) < all_files
+    got = {r.k for r in rng.collect()}
+    assert got == set(range(50, 81))
+
+    # combined, plus row-exactness against the naive filtered read
+    both = lake.scan_table(
+        spark, path, partitions={"p": [0, 2]}, ranges={"k": (100, 140)}
+    )
+    naive = lake.read_table(spark, path).filter(
+        (F.col("p").isin(0, 2)) & F.col("k").between(100, 140)
+    )
+    assert {tuple(r) for r in both.collect()} == {
+        tuple(r) for r in naive.collect()
+    }
+    assert len(set(both.inputFiles())) < len(all_files)
+
+    # posix tables: same semantics through the fallback path
+    pos = str(tmp_path / "scan_posix")
+    lake.write_table(
+        df.repartitionByRange(4, "k"), pos, partition_by="p",
+        protocol="posix",
+    )
+    got_pos = {
+        tuple(r)
+        for r in lake.scan_table(
+            spark, pos, partitions={"p": [0, 2]}, ranges={"k": (100, 140)}
+        ).collect()
+    }
+    assert got_pos == {tuple(r) for r in naive.collect()}
