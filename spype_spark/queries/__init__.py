@@ -116,11 +116,15 @@ _DRIVER_PRIORITY = [
     "q_multimodal_decode",
     "q_skew_salted_agg",
     "q_agg_approx_percentile",
-    "q_pipe_validate",
+    # q_lake_scan_pruned: new in round 8 (zero driver history) — takes
+    # the window slot q_pipe_validate held; pipe_validate spills to the
+    # round-9 queue with the other displaced keys.
+    "q_lake_scan_pruned",
     # ---- end of the 50-slot window ----
-    # Round-9 queue: the 3 r4 keys spilled above, then the r5-evidence
-    # keys in registration order (the registry fallback below handles
+    # Round-9 queue: the displaced r4 keys, then the r5-evidence keys
+    # in registration order (the registry fallback below handles
     # everything not named here).
+    "q_pipe_validate",
     "q_tpch_q5",
     "q_pivot",
     "q_unpivot",

@@ -479,3 +479,62 @@ def q_lake_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_scan_pruned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey < 8000
+      AND o_orderstatus IN ('O', 'F')
+      AND o_orderkey BETWEEN 2000 AND 4999
+    """,
+)
+def q_lake_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pruned reader scan: a status-partitioned, range-
+    clustered table queried through :func:`spype_spark.lakehouse.
+    scan_table` with a partition filter (status ∈ {O, F}) and a key
+    range ([2000, 4999]) — the file list is cut from manifest metadata
+    alone (partition tuples + recorded min/max, zero object listings or
+    footer reads at plan time), then the residual row filter keeps the
+    semantics exact. The oracle is the plain relational answer; the
+    contract additionally raises unless the scan's ``inputFiles()`` is
+    a strict subset of the full snapshot's — so a regression to
+    read-everything scans fails the driver gate. This is how every
+    query against a 100 TB manifest table should open: prune by
+    metadata, read the survivors, push the residual."""
+    tmp = _scratch("spype_lake_scan_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(
+            _base(spark, sf_dir).repartitionByRange(8, "o_orderkey"),
+            path,
+            partition_by="o_orderstatus",
+        )
+        full = lake.read_table(spark, path)
+        pruned = lake.scan_table(
+            spark,
+            path,
+            partitions={"o_orderstatus": ["O", "F"]},
+            ranges={"o_orderkey": (2000, 4999)},
+        )
+        n_full = len(set(full.inputFiles()))
+        n_pruned = len(set(pruned.inputFiles()))
+        out = pruned.select(*_BASE_COLS).localCheckpoint()
+        if out.count() > 0:
+            # real selection: some files must survive, some must prune
+            ok = 0 < n_pruned < n_full
+        else:
+            # the key range holds no rows at this SF (sf0.001 orderkeys
+            # stop at 1499): pruning to ZERO files is the correct
+            # maximal outcome, not a regression
+            ok = n_pruned < n_full
+        if not ok:
+            raise AssertionError(
+                f"manifest scan pruning regressed: reads {n_pruned} of "
+                f"{n_full} files"
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -274,7 +274,10 @@ _op = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_op, min_size=1, max_size=4))
-def test_lakehouse_random_op_sequences_match_model(spark, tmp_path_factory, ops):
+@pytest.mark.parametrize("protocol", ["manifest", "posix"])
+def test_lakehouse_random_op_sequences_match_model(
+    spark, tmp_path_factory, protocol, ops
+):
     import shutil as _sh
     import tempfile as _tf
 
@@ -283,7 +286,7 @@ def test_lakehouse_random_op_sequences_match_model(spark, tmp_path_factory, ops)
     try:
         model: dict[int, tuple[int, int]] = {0: (1, 5)}
         df0 = spark.createDataFrame([(0, 1, 5)], "k long, v long, ts long")
-        lake.write_table(df0, path)
+        lake.write_table(df0, path, protocol=protocol)
         snapshots = [dict(model)]
         for kind, arg in ops:
             if kind == "upsert":
@@ -409,11 +412,15 @@ def test_partitioned_compact_and_history(spark, tmp_path):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_op, min_size=1, max_size=4))
-def test_partitioned_lakehouse_sequences_match_model(spark, tmp_path_factory, ops):
+@pytest.mark.parametrize("protocol", ["manifest", "posix"])
+def test_partitioned_lakehouse_sequences_match_model(
+    spark, tmp_path_factory, protocol, ops
+):
     """The model-based fuzz re-run against a PARTITIONED table
-    (p = k % 3, partition-level copy-on-write active): every operation
-    sequence and every time-travel snapshot must match the same
-    pure-Python model the unpartitioned table matches — COW is a
+    (p = k % 3, partition-level copy-on-write active), under BOTH
+    commit protocols: every operation sequence and every time-travel
+    snapshot must match the same pure-Python model the unpartitioned
+    table matches — COW (by manifest reference or by hardlink) is a
     storage optimization, never a semantics change."""
     import shutil as _sh
     import tempfile as _tf
@@ -425,7 +432,7 @@ def test_partitioned_lakehouse_sequences_match_model(spark, tmp_path_factory, op
         df0 = spark.createDataFrame(
             [(0, 1, 5, 0)], "k long, v long, ts long, p long"
         )
-        lake.write_table(df0, path, partition_by="p")
+        lake.write_table(df0, path, partition_by="p", protocol=protocol)
         snapshots = [dict(model)]
         for kind, arg in ops:
             if kind in ("upsert", "upsert_ts"):
