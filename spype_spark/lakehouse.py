@@ -597,6 +597,12 @@ def _m_write_files(
     datadir = os.path.join(path, "data", uid)
     w = df
     if pcols:
+        clash = [c for c in df.columns if c.startswith(_SHADOW)]
+        if clash:
+            raise ValueError(
+                f"column names {clash} collide with the reserved "
+                f"{_SHADOW!r} partition-shadow prefix"
+            )
         for c in pcols:
             w = w.withColumn(_SHADOW + c, F.col(c))
         w.write.partitionBy(*[_SHADOW + c for c in pcols]).parquet(datadir)
