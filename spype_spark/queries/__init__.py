@@ -121,9 +121,12 @@ _DRIVER_PRIORITY = [
     # round-9 queue with the other displaced keys.
     "q_lake_scan_pruned",
     # ---- end of the 50-slot window ----
-    # Round-9 queue: the displaced r4 keys, then the r5-evidence keys
-    # in registration order (the registry fallback below handles
-    # everything not named here).
+    # Round-9 queue: first the zero-driver-history round-8 addition
+    # (q_multimodal_audio, added after the window filled), then the
+    # displaced r4 keys, then the r5-evidence keys in registration
+    # order (the registry fallback below handles everything not named
+    # here).
+    "q_multimodal_audio",
     "q_pipe_validate",
     "q_tpch_q5",
     "q_pivot",

@@ -361,3 +361,93 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         resize, "doc_id long, thumb16 string"
     )
+
+
+@query(
+    "q_multimodal_audio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, strlen(text) AS len,
+             CAST((strlen(text) + strlen(text) % 2) / 2 AS BIGINT) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n,
+             COALESCE(list_sum(list_transform(
+                 range(0, CAST(n AS BIGINT)),
+                 i -> ascii(substring(text, CAST(2*i + 1 AS INT), 1))
+                      + 256 * CASE WHEN 2*i + 2 <= len
+                              THEN ascii(substring(text, CAST(2*i + 2 AS INT), 1))
+                              ELSE 0 END)), 0) AS ssum
+      FROM t
+    )
+    SELECT doc_id,
+           n AS n_frames,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(ssum * 10000.0 / n + 0.5) AS BIGINT)
+           END AS sample_micro_mean
+    FROM s
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode via the REAL WAV parser: each payload's bytes are
+    wrapped into a genuine RIFF/WAVE 16-bit PCM file (zero-padded to an
+    even byte count) and decoded back through
+    :func:`spype_spark.codecs.decode_wav` — full chunk walk, fmt
+    validation, little-endian frame extraction — inside one Arrow
+    ``mapInPandas`` pass. Features: frame count, the sample rate READ
+    BACK from the decoded header (a regression here means the parser
+    mis-read fmt), and the scaled-integer sample mean
+    floor(sum·1e4/n + 0.5).
+
+    The corpus is ASCII, so every 16-bit sample is
+    byte[2i] + 256·byte[2i+1] with both bytes < 128 — positive,
+    exactly integer — and DuckDB replays the decode arithmetically:
+    the whole codec path is driver-hash-checked. Raises in-contract if
+    the decoded frame count or rate disagrees with the encode
+    parameters.
+    """
+    import math
+
+    import pandas as pd
+
+    from spype_spark.codecs import encode_wav
+
+    d = load_table(spark, sf_dir, "documents").repartition(32)
+    m = with_payload(d)
+    # driver-resolved, closure-captured: codecs ships by value
+    dec_wav = REAL_DECODERS["audio/wav"]
+
+    def decode(batches):
+        for pdf in batches:
+            n_frames, rates, micro = [], [], []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                raw = b + (b"\x00" if len(b) % 2 else b"")
+                w = dec_wav(encode_wav(raw, sample_rate=8000))
+                if w["n_frames"] != len(raw) // 2 or w["bits"] != 16:
+                    raise AssertionError(
+                        f"WAV round-trip geometry broke: {w['n_frames']} "
+                        f"frames of {w['bits']} bits for {len(raw)} bytes"
+                    )
+                s = sum(w["samples"])
+                n = w["n_frames"]
+                n_frames.append(n)
+                rates.append(w["sample_rate"])
+                micro.append(
+                    int(math.floor(s * 10000.0 / n + 0.5)) if n else 0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": n_frames,
+                    "sample_rate": rates,
+                    "sample_micro_mean": micro,
+                }
+            )
+
+    return m.select("doc_id", "payload").mapInPandas(
+        decode,
+        "doc_id long, n_frames long, sample_rate long, sample_micro_mean long",
+    )
