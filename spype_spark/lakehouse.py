@@ -340,6 +340,28 @@ def _leaf_partition_rels(snap: str, pcols: list[str]) -> set[str]:
     return rels
 
 
+def _usable_stat_pair(lo, hi) -> bool:
+    """True when a footer (min, max) pair is sound prune material:
+    finite numerics (exact in parquet footers), or a str pair. String
+    stats are safe even when the writer truncated them — the parquet
+    spec requires truncated min to stay a valid LOWER bound (prefix
+    truncation only decreases) and truncated max a valid UPPER bound
+    (truncate-then-increment), so the recorded interval always contains
+    the true one, and pruning needs containment, not exactness. Python
+    str comparison (code points) matches Spark's UTF8 binary string
+    ordering, so driver-side interval tests agree with ``between()``.
+    bool is excluded — an int subclass but not key material; bytes are
+    excluded (binary columns are payloads, not keys)."""
+    import math
+
+    if all(isinstance(v, str) for v in (lo, hi)):
+        return True
+    return all(
+        isinstance(v, (int, float)) and not isinstance(v, bool)
+        for v in (lo, hi)
+    ) and all(math.isfinite(float(v)) for v in (lo, hi))
+
+
 def _file_key_interval(fpath: str, key: str):
     """(min, max) of ``key`` across a parquet file's row groups, read
     from the FOOTER statistics only (a metadata-sized driver read, the
@@ -395,18 +417,12 @@ def _file_cow_split(
             except Exception:
                 return None
             frel = os.path.join(rel, name) if rel else name
-            # numeric stats only: parquet writers may truncate string
-            # min/max (or omit them); int/float footer stats are exact.
-            # bool excluded — it is an int subclass but not a key type.
-            numeric = iv is not None and all(
-                isinstance(v, (int, float)) and not isinstance(v, bool)
-                for v in iv
-            )
+            usable = iv is not None and _usable_stat_pair(*iv)
             try:
-                disjoint = numeric and (iv[1] < umin or iv[0] > umax)
+                disjoint = usable and (iv[1] < umin or iv[0] > umax)
             except TypeError:
-                # umin/umax not comparable to the numeric footer stats
-                # (e.g. string bounds on an int column — between() would
+                # umin/umax not comparable to the footer stats (e.g.
+                # string bounds on an int column — between() would
                 # cast, the footer compare can't): stats unusable, the
                 # caller falls back to the coarser rewrite.
                 return None
@@ -550,13 +566,12 @@ def _m_publish(path: str, version: int, manifest: dict) -> None:
 
 def _m_file_stats(fpath: str) -> dict:
     """Manifest entry metadata for one data file: row count + per-column
-    [min, max] from the parquet footer — numeric top-level columns only
-    (int/float, finite; parquet string stats may be truncated, bools
-    are not key material). A driver-side metadata read at commit time;
-    at cluster scale the same numbers come back with the executor write
-    results (as Iceberg's writers report them), identical content."""
-    import math
-
+    [min, max] from the parquet footer — finite numerics and strings
+    (see :func:`_usable_stat_pair` for why possibly-truncated string
+    stats are still sound bounds; bools/bytes are not key material).
+    A driver-side metadata read at commit time; at cluster scale the
+    same numbers come back with the executor write results (as
+    Iceberg's writers report them), identical content."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(fpath).metadata
@@ -573,10 +588,9 @@ def _m_file_stats(fpath: str) -> dict:
                 ok = False
                 break
             mn, mx = st.min, st.max
-            if not all(
-                isinstance(v, (int, float)) and not isinstance(v, bool)
-                for v in (mn, mx)
-            ) or not all(math.isfinite(float(v)) for v in (mn, mx)):
+            if not _usable_stat_pair(mn, mx) or (
+                lo is not None and type(mn) is not type(lo)
+            ):
                 ok = False
                 break
             lo = mn if lo is None else min(lo, mn)

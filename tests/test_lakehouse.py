@@ -1031,3 +1031,46 @@ def test_manifest_scan_table_prunes_files_and_matches_filter(spark, tmp_path):
         ).collect()
     }
     assert got_pos == {tuple(r) for r in naive.collect()}
+
+
+def test_string_key_file_pruning_both_protocols(spark, tmp_path):
+    """String min/max footer/manifest stats are sound prune material
+    (possibly-truncated parquet string stats are still valid BOUNDS —
+    min truncates down, max truncates up per the spec), so range
+    deletes and reader scans on a STRING key must skip files whose
+    recorded interval misses the bounds, on both protocols."""
+    import os
+
+    rows = [(f"doc{k:04d}", k) for k in range(400)]
+
+    # manifest protocol: delete_range carries non-matching files by
+    # reference, scan_table cuts the file list from the manifest alone
+    path = str(tmp_path / "strprune")
+    df = spark.createDataFrame(rows, "id string, v long")
+    lake.write_table(df.repartitionByRange(4, "id"), path)
+    assert len(lake.data_files(path, 0)) == 4
+    rng = lake.scan_table(spark, path, ranges={"id": ("doc0050", "doc0080")})
+    assert len(set(rng.inputFiles())) < 4, "string range must prune files"
+    assert {r.id for r in rng.collect()} == {
+        f"doc{k:04d}" for k in range(50, 81)
+    }
+    lake.delete_range(spark, path, "id", "doc0010", "doc0020")
+    f0, f1 = set(lake.data_files(path, 0)), set(lake.data_files(path, 1))
+    assert len(f0 & f1) == 3, "3 of 4 string-range files must carry"
+    got = {r.id for r in lake.read_table(spark, path).collect()}
+    assert got == {f"doc{k:04d}" for k in range(400) if not 10 <= k <= 20}
+
+    # posix protocol: the same split comes from parquet footer stats,
+    # carried files are hardlinks of the base version's inodes
+    pos = str(tmp_path / "strprune_posix")
+    lake.write_table(df.repartitionByRange(4, "id"), pos, protocol="posix")
+    lake.delete_range(spark, pos, "id", "doc0390", "doc9999")
+
+    def inodes(ver):
+        d = os.path.join(pos, f"v={ver}")
+        return {os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    assert len(inodes(1) & inodes(0)) == 3
+    got_pos = {r.id for r in lake.read_table(spark, pos).collect()}
+    assert got_pos == {f"doc{k:04d}" for k in range(390)}
