@@ -1,0 +1,449 @@
+"""Multi-table ACID transactions over manifest lakehouse tables.
+
+SURVEY.md §2.B lakehouse ops — the capability a single-table commit
+protocol cannot give: mutate SEVERAL tables and have readers see all
+of it or none of it. The design is the catalog-commit-log model every
+production format converges on (Iceberg's atomic catalog swap, Delta's
+unified commit coordinator), re-expressed over this repo's manifest
+protocol with exactly ONE storage primitive: put-if-absent.
+
+Layout::
+
+    <root>/
+      _log/t=N.json        transaction records (put-if-absent)
+      tables/<name>/       ordinary manifest-protocol tables
+
+A transaction record maps every table name to the EXACT manifest
+version a reader of that transaction sees::
+
+    {"txn": N, "base": N-1, "tables": {"orders": 3, "daily": 7},
+     "changed": ["orders", "daily"]}
+
+The protocol:
+
+1. A :class:`Transaction` snapshots the latest record at open; every
+   read and every mutation plan resolves table versions through that
+   snapshot (snapshot isolation — a txn never sees a concurrent
+   writer's half-finished state, because state only changes when a
+   record lands).
+2. Mutations execute eagerly: data files are written under the table's
+   ``data/`` dir and a table manifest is published at the next FREE
+   version slot (put-if-absent, scanning upward past slots orphaned by
+   crashed transactions). Staged manifests are INVISIBLE — no
+   committed record references them — so staging needs no atomicity
+   and a crash at any point leaves the catalog state untouched.
+3. Commit publishes one record at ``t=latest+1`` put-if-absent: the
+   single atomic step, covering every staged table at once. Before
+   publishing, intervening records are conflict-checked — if any
+   ``changed`` a table this txn also changed, the txn aborts with
+   :class:`~spype_spark.lakehouse.ConcurrentWriteError` (its plans
+   were computed against a superseded version); disjoint writers
+   re-point and retry the CAS, so they serialize without conflict.
+4. Abort (exception inside the ``with``, or a lost conflict) unlinks
+   the staged manifests; orphaned data files are swept by
+   :meth:`Catalog.vacuum`, which is also what reclaims them after a
+   crash that never reached abort.
+
+At 100 TB the records and manifests stay metadata-sized (names +
+versions; file lists live in the per-table manifests), commits cost
+O(changed files) metadata writes regardless of table size, and nothing
+here lists directories on the read path — a reader resolves one record
+then one manifest per table. Direct single-table mutation of a
+catalog-managed table (``lakehouse.merge_upsert`` on its path) is not
+corruption — records pin exact versions — but its effect is invisible
+until a transaction commits over it; mutate through transactions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spype_spark import lakehouse as lake
+from spype_spark.lakehouse import ConcurrentWriteError
+
+_LOG_RE = re.compile(r"^t=(\d+)\.json$")
+
+
+class Catalog:
+    """A directory of manifest tables with a shared transaction log."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(self._log_dir, exist_ok=True)
+        os.makedirs(os.path.join(root, "tables"), exist_ok=True)
+
+    # -- log plumbing ---------------------------------------------------
+    @property
+    def _log_dir(self) -> str:
+        return os.path.join(self.root, "_log")
+
+    def _log_path(self, txn: int) -> str:
+        return os.path.join(self._log_dir, f"t={txn}.json")
+
+    def txns(self) -> list[int]:
+        out = []
+        for n in os.listdir(self._log_dir):
+            m = _LOG_RE.match(n)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _record(self, txn: int) -> dict:
+        with open(self._log_path(txn)) as f:
+            return json.load(f)
+
+    def latest_txn(self) -> int | None:
+        ts = self.txns()
+        return ts[-1] if ts else None
+
+    def _publish_record(self, txn: int, record: dict) -> None:
+        """Put-if-absent record publish — the same one-primitive commit
+        as :func:`~spype_spark.lakehouse._m_publish` (≙ a conditional
+        PUT on an object store; no rename anywhere)."""
+        tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._log_path(txn))
+        except FileExistsError as exc:
+            os.unlink(tmp)
+            raise ConcurrentWriteError(
+                f"transaction {txn} of {self.root} was committed "
+                f"concurrently; re-check and retry"
+            ) from exc
+        os.unlink(tmp)
+
+    # -- state ----------------------------------------------------------
+    def state(self, txn: int | None = None) -> dict[str, int]:
+        """``{table name: manifest version}`` as of a transaction
+        (default: latest). Empty catalog → ``{}``."""
+        t = self.latest_txn() if txn is None else txn
+        if t is None:
+            return {}
+        return dict(self._record(t)["tables"])
+
+    def table_path(self, name: str) -> str:
+        if not re.match(r"^[A-Za-z0-9_.-]+$", name):
+            raise ValueError(f"unsafe table name {name!r}")
+        return os.path.join(self.root, "tables", name)
+
+    def read(
+        self, spark: SparkSession, name: str, txn: int | None = None
+    ) -> DataFrame:
+        """Snapshot read through the log — with ``txn``, a CONSISTENT
+        CROSS-TABLE time travel (all tables as of that transaction)."""
+        st = self.state(txn)
+        if name not in st:
+            raise FileNotFoundError(f"no table {name!r} in catalog state")
+        return lake._m_read(spark, self.table_path(name), st[name])
+
+    def scan(
+        self,
+        spark: SparkSession,
+        name: str,
+        txn: int | None = None,
+        partitions: dict | None = None,
+        ranges: dict | None = None,
+    ) -> DataFrame:
+        """Manifest-pruned read (see :func:`lakehouse.scan_table`)
+        resolved through the log."""
+        st = self.state(txn)
+        if name not in st:
+            raise FileNotFoundError(f"no table {name!r} in catalog state")
+        return lake.scan_table(
+            spark,
+            self.table_path(name),
+            version=st[name],
+            partitions=partitions,
+            ranges=ranges,
+        )
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """One row per committed transaction: txn id, changed tables,
+        full table→version map (as JSON)."""
+        rows = []
+        for t in self.txns():
+            r = self._record(t)
+            rows.append(
+                (t, sorted(r["changed"]), json.dumps(r["tables"], sort_keys=True))
+            )
+        return spark.createDataFrame(
+            rows, "txn long, changed array<string>, tables string"
+        )
+
+    # -- transactions ---------------------------------------------------
+    def transaction(self, spark: SparkSession) -> "Transaction":
+        return Transaction(self, spark)
+
+    def run(self, spark: SparkSession, fn, retries: int = 3):
+        """Optimistic-retry harness: run ``fn(txn)`` in a fresh
+        transaction, retrying on commit conflict up to ``retries``
+        times (the standard client loop every OCC format documents)."""
+        last: ConcurrentWriteError | None = None
+        for _ in range(retries + 1):
+            try:
+                with self.transaction(spark) as txn:
+                    fn(txn)
+                return
+            except ConcurrentWriteError as exc:
+                last = exc
+        raise last
+
+    # -- retention ------------------------------------------------------
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the last ``keep_last`` transaction records, then
+        reclaim everything they alone referenced: per-table manifest
+        versions no surviving record names (INCLUDING orphans staged by
+        crashed or aborted transactions) and, through the tables' own
+        path-refcount GC, the data files those manifests pinned. Same
+        retention-grace caveat as table vacuum: a transaction racing the
+        vacuum with a just-dropped base record fails cleanly with
+        ConcurrentWriteError and retries."""
+        ts = self.txns()
+        drop = ts[:-keep_last]
+        for t in drop:
+            try:
+                os.unlink(self._log_path(t))
+            except FileNotFoundError:
+                pass
+        referenced: dict[str, set[int]] = {}
+        for t in self.txns():
+            try:
+                rec = self._record(t)
+            except FileNotFoundError:
+                continue
+            for name, v in rec["tables"].items():
+                referenced.setdefault(name, set()).add(v)
+        tdir = os.path.join(self.root, "tables")
+        for name in os.listdir(tdir):
+            path = os.path.join(tdir, name)
+            if not lake._is_manifest_table(path):
+                continue
+            keep = referenced.get(name, set())
+            for v in lake._m_versions(path):
+                if v not in keep:
+                    try:
+                        os.unlink(lake._m_path(path, v))
+                    except FileNotFoundError:
+                        pass
+            lake._m_gc_files(path)
+        return drop
+
+
+class Transaction:
+    """Stage mutations on several tables; commit them atomically.
+
+    Use as a context manager — normal exit commits, an exception
+    aborts::
+
+        with cat.transaction(spark) as txn:
+            txn.merge_upsert("orders", updates, keys=["o_orderkey"])
+            txn.delete_where("audit", F.col("stale"))
+    """
+
+    def __init__(self, cat: Catalog, spark: SparkSession):
+        self.cat = cat
+        self.spark = spark
+        self._base_txn = cat.latest_txn()
+        self._base_state = cat.state(self._base_txn)
+        self._staged: dict[str, int] = {}  # final staged version per table
+        self._all_staged: list[tuple[str, int]] = []  # incl. intermediates
+        self._closed = False
+
+    # -- resolution -----------------------------------------------------
+    def _resolve(self, name: str) -> int:
+        if name in self._staged:
+            return self._staged[name]
+        if name not in self._base_state:
+            raise FileNotFoundError(f"no table {name!r} in catalog state")
+        return self._base_state[name]
+
+    def read(self, name: str) -> DataFrame:
+        """Read-your-writes snapshot read inside the transaction."""
+        return lake._m_read(
+            self.spark, self.cat.table_path(name), self._resolve(name)
+        )
+
+    # -- staging --------------------------------------------------------
+    def _stage(
+        self,
+        df: DataFrame | None,
+        path: str,
+        pcols: list[str] | None,
+        carry: list[dict],
+        base: int | None,
+    ) -> int:
+        """Publish a staged manifest at the next free version slot.
+        A slot collision (concurrent stager, or a slot orphaned by a
+        crashed txn) just moves up — visibility and conflicts are the
+        COMMIT's problem, not the slot number's."""
+        datadir, entries = (None, [])
+        schema_json = None
+        if df is not None:
+            datadir, entries = lake._m_write_files(df, path, pcols)
+            schema_json = json.loads(df.schema.json())
+        else:
+            schema_json = lake._m_load(path, base)["schema"]
+        manifest_files = carry + entries
+        while True:
+            vs = lake._m_versions(path)
+            v = (vs[-1] + 1) if vs else 0
+            if base is not None and not os.path.exists(
+                lake._m_path(path, base)
+            ):
+                if datadir:
+                    shutil.rmtree(datadir, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"base version {base} of {path} was vacuumed while "
+                    f"this transaction was staging; retry"
+                )
+            try:
+                lake._m_publish(
+                    path,
+                    v,
+                    {
+                        "version": v,
+                        "base": base,
+                        "schema": schema_json,
+                        "partition_by": pcols,
+                        "files": manifest_files,
+                    },
+                )
+            except ConcurrentWriteError:
+                continue  # slot taken — scan upward
+            self._all_staged.append(
+                (os.path.basename(path), v)
+            )
+            return v
+
+    def _check_open(self):
+        if self._closed:
+            raise RuntimeError("transaction already committed or aborted")
+
+    def write(self, df: DataFrame, name: str, partition_by=None) -> int:
+        """CREATE (or, within the catalog, REPLACE) ``name`` with
+        ``df``'s rows — a full new manifest, no carry."""
+        self._check_open()
+        path = self.cat.table_path(name)
+        pcols = lake._norm_pcols(partition_by)
+        if not os.path.isdir(path):
+            os.makedirs(path, exist_ok=True)
+            with open(lake._meta_path(path), "w") as f:
+                json.dump({"partition_by": pcols, "protocol": "manifest"}, f)
+        base = self._staged.get(name, self._base_state.get(name))
+        v = self._stage(df, path, pcols, [], base)
+        self._staged[name] = v
+        return v
+
+    def merge_upsert(
+        self,
+        name: str,
+        updates: DataFrame,
+        keys: list[str],
+        evolve_schema: bool = False,
+        match_condition=None,
+    ) -> int:
+        self._check_open()
+        path = self.cat.table_path(name)
+        base = self._resolve(name)
+        merged, carry, pcols = lake._m_merge_plan(
+            self.spark, path, base, updates, keys, evolve_schema,
+            match_condition,
+        )
+        v = self._stage(merged, path, pcols, carry, base)
+        self._staged[name] = v
+        return v
+
+    def delete_where(self, name: str, cond) -> int:
+        self._check_open()
+        path = self.cat.table_path(name)
+        base = self._resolve(name)
+        rew, carry, pcols = lake._m_delete_plan(self.spark, path, base, cond)
+        v = self._stage(rew, path, pcols, carry, base)
+        self._staged[name] = v
+        return v
+
+    def delete_range(self, name: str, col: str, lo, hi) -> int:
+        self._check_open()
+        path = self.cat.table_path(name)
+        base = self._resolve(name)
+        rew, carry, pcols = lake._m_range_plan(
+            self.spark, path, base, col, lo, hi
+        )
+        v = self._stage(rew, path, pcols, carry, base)
+        self._staged[name] = v
+        return v
+
+    # -- commit / abort -------------------------------------------------
+    def commit(self) -> int | None:
+        """Publish ONE log record covering every staged table — the
+        atomic step. Returns the new txn id (None for an empty txn)."""
+        self._check_open()
+        self._closed = True
+        if not self._staged:
+            return None
+        while True:
+            cur = self.cat.latest_txn()
+            lo = -1 if self._base_txn is None else self._base_txn
+            for t in range(lo + 1, (cur if cur is not None else -1) + 1):
+                rec = self.cat._record(t)
+                clash = set(rec["changed"]) & set(self._staged)
+                if clash:
+                    self._unstage()
+                    raise ConcurrentWriteError(
+                        f"transaction conflict on table(s) {sorted(clash)}: "
+                        f"txn {t} changed them after this transaction's "
+                        f"snapshot; retry"
+                    )
+            new_txn = (cur if cur is not None else -1) + 1
+            tables = self.cat.state(cur)
+            tables.update(self._staged)
+            try:
+                self.cat._publish_record(
+                    new_txn,
+                    {
+                        "txn": new_txn,
+                        "base": cur,
+                        "tables": tables,
+                        "changed": sorted(self._staged),
+                    },
+                )
+                return new_txn
+            except ConcurrentWriteError:
+                continue  # re-point against the newer record set
+
+    def abort(self) -> None:
+        self._check_open()
+        self._closed = True
+        self._unstage()
+
+    def _unstage(self) -> None:
+        """Unlink staged manifests (they were never referenced by a
+        record, so this is invisible); orphaned data files are left for
+        :meth:`Catalog.vacuum` — the same sweep that handles a crash
+        which never reached this cleanup."""
+        for name, v in self._all_staged:
+            try:
+                os.unlink(lake._m_path(self.cat.table_path(name), v))
+            except FileNotFoundError:
+                pass
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is not None:
+            if not self._closed:
+                self.abort()
+            return False
+        if not self._closed:
+            self.commit()
+        return False

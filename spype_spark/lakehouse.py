@@ -806,6 +806,27 @@ def _m_merge_upsert(
     the possibly-matching files — and carry-over is an entry copy into
     the new manifest (no link, no data read, no rename)."""
     base = latest_version(path)
+    merged, carry, pcols = _m_merge_plan(
+        spark, path, base, updates, keys, evolve_schema, match_condition
+    )
+    return _m_commit(merged, path, base + 1, pcols, carry, base=base)
+
+
+def _m_merge_plan(
+    spark: SparkSession,
+    path: str,
+    base: int,
+    updates: DataFrame,
+    keys: list[str],
+    evolve_schema: bool = False,
+    match_condition=None,
+) -> tuple[DataFrame, list[dict], list[str] | None]:
+    """Plan a manifest MERGE against an EXPLICIT base version — the
+    shared engine behind :func:`_m_merge_upsert` (base = table latest)
+    and :class:`spype_spark.catalog.Transaction` (base = the version
+    the catalog's snapshot resolves, which may be older than the
+    table directory's newest slot). Returns
+    ``(merged_df, carry_entries, pcols)`` for the caller to commit."""
     m = _m_load(path, base)
     pcols = m.get("partition_by")
     tgt = _m_read(spark, path, base)
@@ -845,13 +866,20 @@ def _m_merge_upsert(
                     carry = carry + links
             tgt = _m_read_entries(spark, path, rewrite_entries, m["schema"])
     merged = _merged_frame(tgt, updates, keys, evolve_schema, match_condition)
-    return _m_commit(
-        merged, path, base + 1, pcols, carry or [], base=base
-    )
+    return merged, carry or [], pcols
 
 
 def _m_delete_where(spark: SparkSession, path: str, cond) -> int:
     base = latest_version(path)
+    rew, carry, pcols = _m_delete_plan(spark, path, base, cond)
+    return _m_commit(rew, path, base + 1, pcols, carry, base=base)
+
+
+def _m_delete_plan(
+    spark: SparkSession, path: str, base: int, cond
+) -> tuple[DataFrame, list[dict], list[str] | None]:
+    """Plan a manifest DELETE WHERE against an explicit base version
+    (see :func:`_m_merge_plan` for why the split exists)."""
     m = _m_load(path, base)
     pcols = m.get("partition_by")
     tgt = _m_read(spark, path, base)
@@ -869,26 +897,36 @@ def _m_delete_where(spark: SparkSession, path: str, cond) -> int:
             rew = _m_read_entries(
                 spark, path, touched_entries, m["schema"]
             ).filter(keep)
-            return _m_commit(rew, path, base + 1, pcols, carry, base=base)
-    return _m_commit(tgt.filter(keep), path, base + 1, pcols, [], base=base)
+            return rew, carry, pcols
+    return tgt.filter(keep), [], pcols
 
 
 def _m_delete_range(
     spark: SparkSession, path: str, col: str, lo, hi
 ) -> int:
     base = latest_version(path)
+    rew, carry, pcols = _m_range_plan(spark, path, base, col, lo, hi)
+    return _m_commit(rew, path, base + 1, pcols, carry, base=base)
+
+
+def _m_range_plan(
+    spark: SparkSession, path: str, base: int, col: str, lo, hi
+) -> tuple[DataFrame, list[dict], list[str] | None]:
+    """Plan a manifest range DELETE against an explicit base version
+    (see :func:`_m_merge_plan` for why the split exists). Falls back
+    to the general predicate plan when stats are unusable."""
     m = _m_load(path, base)
     pcols = m.get("partition_by")
     between = F.col(col).between(F.lit(lo), F.lit(hi))
     split = _m_stats_split(m["files"], col, lo, hi)
     if split is None:
-        return _m_delete_where(spark, path, between)
+        return _m_delete_plan(spark, path, base, between)
     carry, rewrite_entries = split
     keep = ~F.coalesce(between, F.lit(False))
     rew = _m_read_entries(spark, path, rewrite_entries, m["schema"]).filter(
         keep
     )
-    return _m_commit(rew, path, base + 1, pcols, carry, base=base)
+    return rew, carry, pcols
 
 
 def _m_vacuum(path: str, keep_last: int) -> list[int]:
@@ -905,6 +943,14 @@ def _m_vacuum(path: str, keep_last: int) -> list[int]:
             os.unlink(_m_path(path, v))
         except FileNotFoundError:
             pass
+    _m_gc_files(path)
+    return drop
+
+
+def _m_gc_files(path: str) -> None:
+    """Garbage-collect data files referenced by NO surviving manifest
+    of a manifest table (path-refcount GC, shared by table vacuum and
+    :meth:`spype_spark.catalog.Catalog.vacuum`)."""
     referenced: set[str] = set()
     for v in _m_versions(path):
         try:
@@ -927,7 +973,6 @@ def _m_vacuum(path: str, keep_last: int) -> list[int]:
             ):
                 if root != datadir:
                     shutil.rmtree(root, ignore_errors=True)
-    return drop
 
 
 def read_table(

@@ -127,6 +127,7 @@ _DRIVER_PRIORITY = [
     # order (the registry fallback below handles everything not named
     # here).
     "q_multimodal_audio",
+    "q_lake_txn",
     "q_pipe_validate",
     "q_tpch_q5",
     "q_pivot",

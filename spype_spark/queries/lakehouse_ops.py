@@ -538,3 +538,68 @@ def q_lake_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_txn",
+    oracle=_MERGE_ORACLE_CTE
+    + """
+    , merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+    ),
+    cust AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE NOT (c_acctbal < 1000.0)
+    )
+    SELECT m.o_orderkey, m.o_totalprice, m.o_orderstatus, c.c_mktsegment
+    FROM merged m JOIN cust c ON m.o_custkey = c.c_custkey
+    """,
+)
+def q_lake_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic MULTI-TABLE transaction through the catalog commit log
+    (spype_spark/catalog.py): one transaction MERGEs into an orders
+    table AND DELETEs from a customer table; a single put-if-absent
+    log record makes both visible at once. The oracle replays both
+    mutations relationally and joins the final states — correct output
+    requires BOTH tables to land exactly once, and the in-contract
+    assertion pins that one transaction record covers both (the
+    atomicity witness, beside the row-level check).
+    """
+    from spype_spark.catalog import Catalog
+
+    tmp = _scratch("spype_lake_txn_")
+    try:
+        cat = Catalog(f"{tmp}/cat")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        with cat.transaction(spark) as txn:
+            txn.write(_base(spark, sf_dir), "orders_t")
+            txn.write(cust, "cust_t")
+        with cat.transaction(spark) as txn:
+            txn.merge_upsert(
+                "orders_t", _updates(spark, sf_dir), keys=["o_orderkey"]
+            )
+            txn.delete_where("cust_t", F.col("c_acctbal") < 1000.0)
+        hist = cat.history(spark).collect()
+        if [
+            (r.txn, sorted(r.changed)) for r in sorted(hist, key=lambda r: r.txn)
+        ] != [(0, ["cust_t", "orders_t"]), (1, ["cust_t", "orders_t"])]:
+            raise AssertionError(
+                f"expected 2 two-table transaction records, got {hist}"
+            )
+        out = (
+            cat.read(spark, "orders_t")
+            .join(
+                cat.read(spark, "cust_t"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select(
+                "o_orderkey", "o_totalprice", "o_orderstatus", "c_mktsegment"
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

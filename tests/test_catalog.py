@@ -1,0 +1,188 @@
+"""Multi-table transaction catalog: atomicity, isolation, conflicts,
+retention (spype_spark/catalog.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spype_spark import lakehouse as lake
+from spype_spark.catalog import Catalog
+from spype_spark.lakehouse import ConcurrentWriteError
+
+
+def _df(spark, rows, schema="k long, v long"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _mk(spark, tmp_path, name="cat"):
+    cat = Catalog(str(tmp_path / name))
+    with cat.transaction(spark) as txn:
+        txn.write(_df(spark, [(1, 10), (2, 20)]), "a")
+        txn.write(_df(spark, [(1, 100), (3, 300)]), "b")
+    return cat
+
+
+def test_txn_atomic_multi_table_commit_and_time_travel(spark, tmp_path):
+    """One record covers both tables; txn-level time travel is a
+    CONSISTENT cross-table snapshot."""
+    cat = _mk(spark, tmp_path)
+    assert cat.latest_txn() == 0
+    with cat.transaction(spark) as txn:
+        txn.merge_upsert("a", _df(spark, [(2, 21), (4, 40)]), keys=["k"])
+        txn.delete_where("b", F.col("k") == 3)
+    assert cat.latest_txn() == 1
+    got_a = {(r.k, r.v) for r in cat.read(spark, "a").collect()}
+    got_b = {(r.k, r.v) for r in cat.read(spark, "b").collect()}
+    assert got_a == {(1, 10), (2, 21), (4, 40)}
+    assert got_b == {(1, 100)}
+    # both tables as of txn 0 — the pre-mutation pair
+    old_a = {(r.k, r.v) for r in cat.read(spark, "a", txn=0).collect()}
+    old_b = {(r.k, r.v) for r in cat.read(spark, "b", txn=0).collect()}
+    assert old_a == {(1, 10), (2, 20)} and old_b == {(1, 100), (3, 300)}
+    hist = {(r.txn, tuple(r.changed)) for r in cat.history(spark).collect()}
+    assert hist == {(0, ("a", "b")), (1, ("a", "b"))}
+
+
+def test_txn_abort_leaves_no_trace(spark, tmp_path):
+    """An exception aborts: no record, no staged manifests, both tables
+    read back unchanged — all-or-nothing across tables."""
+    cat = _mk(spark, tmp_path)
+    pa = cat.table_path("a")
+    before = set(lake._m_versions(pa))
+    with pytest.raises(RuntimeError, match="boom"):
+        with cat.transaction(spark) as txn:
+            txn.merge_upsert("a", _df(spark, [(9, 90)]), keys=["k"])
+            raise RuntimeError("boom")
+    assert cat.latest_txn() == 0
+    assert set(lake._m_versions(pa)) == before, "staged manifest unlinked"
+    assert {(r.k, r.v) for r in cat.read(spark, "a").collect()} == {
+        (1, 10), (2, 20)
+    }
+
+
+def test_txn_conflict_on_overlap_disjoint_ok(spark, tmp_path):
+    """Two open transactions: the one whose staged tables overlap a
+    meanwhile-committed txn aborts with ConcurrentWriteError; a
+    disjoint writer re-points and commits."""
+    cat = _mk(spark, tmp_path)
+    t1 = cat.transaction(spark)
+    t1.merge_upsert("a", _df(spark, [(5, 50)]), keys=["k"])
+    # a second txn commits to "a" while t1 is open → overlap
+    with cat.transaction(spark) as t2:
+        t2.merge_upsert("a", _df(spark, [(6, 60)]), keys=["k"])
+    with pytest.raises(ConcurrentWriteError, match="conflict"):
+        t1.commit()
+    # t3 only touches "b": the concurrent "a" commit is no conflict
+    t3 = cat.transaction(spark)
+    t3.merge_upsert("b", _df(spark, [(7, 700)]), keys=["k"])
+    with cat.transaction(spark) as t4:
+        t4.merge_upsert("a", _df(spark, [(8, 80)]), keys=["k"])
+    t3.commit()
+    got_a = {(r.k, r.v) for r in cat.read(spark, "a").collect()}
+    got_b = {(r.k, r.v) for r in cat.read(spark, "b").collect()}
+    assert (6, 60) in got_a and (8, 80) in got_a and (5, 50) not in got_a
+    assert (7, 700) in got_b
+
+
+def test_txn_read_your_writes_snapshot_isolation(spark, tmp_path):
+    """Inside a txn, reads see the txn's own staged state; outside
+    readers see nothing until commit."""
+    cat = _mk(spark, tmp_path)
+    with cat.transaction(spark) as txn:
+        txn.merge_upsert("a", _df(spark, [(2, 99)]), keys=["k"])
+        inside = {(r.k, r.v) for r in txn.read("a").collect()}
+        outside = {(r.k, r.v) for r in cat.read(spark, "a").collect()}
+        assert (2, 99) in inside
+        assert outside == {(1, 10), (2, 20)}
+    assert (2, 99) in {(r.k, r.v) for r in cat.read(spark, "a").collect()}
+
+
+def test_txn_crashed_stage_swept_by_vacuum(spark, tmp_path):
+    """A transaction that staged and then died (no commit, no abort)
+    leaves an orphan manifest + data files; Catalog.vacuum reclaims
+    both, and committed state is untouched."""
+    cat = _mk(spark, tmp_path)
+    pa = cat.table_path("a")
+    t = cat.transaction(spark)
+    t.merge_upsert("a", _df(spark, [(5, 55)]), keys=["k"])
+    del t  # crash: never commits, never aborts
+    orphan = set(lake._m_versions(pa)) - {cat.state()["a"]}
+    assert orphan, "staged slot exists before the sweep"
+    files_before = sum(len(fs) for _, _, fs in os.walk(os.path.join(pa, "data")))
+    cat.vacuum(keep_last=10)
+    assert set(lake._m_versions(pa)) == {cat.state()["a"]}
+    files_after = sum(len(fs) for _, _, fs in os.walk(os.path.join(pa, "data")))
+    assert files_after < files_before, "orphan data files collected"
+    assert {(r.k, r.v) for r in cat.read(spark, "a").collect()} == {
+        (1, 10), (2, 20)
+    }
+
+
+def test_txn_slot_scan_past_orphans_and_run_retry(spark, tmp_path):
+    """Staging scans past version slots orphaned by dead transactions;
+    Catalog.run retries a conflicted transaction to success."""
+    cat = _mk(spark, tmp_path)
+    dead = cat.transaction(spark)
+    dead.merge_upsert("a", _df(spark, [(5, 5)]), keys=["k"])
+    del dead  # orphan occupies the next slot of "a"
+
+    calls = {"n": 0}
+
+    def work(txn):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # a competitor lands a commit on "a" mid-transaction
+            with cat.transaction(spark) as t2:
+                t2.merge_upsert("a", _df(spark, [(6, 66)]), keys=["k"])
+        txn.merge_upsert("a", _df(spark, [(7, 77)]), keys=["k"])
+
+    cat.run(spark, work)
+    assert calls["n"] == 2, "first attempt conflicted, second committed"
+    got = {(r.k, r.v) for r in cat.read(spark, "a").collect()}
+    assert (6, 66) in got and (7, 77) in got
+
+
+def test_txn_write_replace_and_delete_range_prune(spark, tmp_path):
+    """REPLACE inside a txn plus a range delete whose plan carries
+    non-matching files by manifest-stats reference."""
+    cat = Catalog(str(tmp_path / "cat2"))
+    big = spark.createDataFrame(
+        [(k, k * 10) for k in range(400)], "k long, v long"
+    )
+    with cat.transaction(spark) as txn:
+        txn.write(big.repartitionByRange(4, "k"), "t")
+    with cat.transaction(spark) as txn:
+        txn.delete_range("t", "k", 10, 20)
+    p = cat.table_path("t")
+    v0, v1 = cat.state(0)["t"], cat.state(1)["t"]
+    f0 = {e["path"] for e in lake._m_load(p, v0)["files"]}
+    f1 = {e["path"] for e in lake._m_load(p, v1)["files"]}
+    assert len(f0 & f1) == 3, "3 of 4 files carried by reference"
+    got = {r.k for r in cat.read(spark, "t").collect()}
+    assert got == {k for k in range(400) if not 10 <= k <= 20}
+    # REPLACE: same name, fresh content
+    with cat.transaction(spark) as txn:
+        txn.write(_df(spark, [(0, 0)]), "t")
+    assert {(r.k, r.v) for r in cat.read(spark, "t").collect()} == {(0, 0)}
+    # old snapshots still consistent
+    assert len({r.k for r in cat.read(spark, "t", txn=1).collect()}) == 389
+
+
+def test_catalog_vacuum_drops_history_keeps_head(spark, tmp_path):
+    """After vacuum(keep_last=1) only the head record's versions (and
+    files) survive; head reads are intact, history reads are gone."""
+    cat = _mk(spark, tmp_path)
+    with cat.transaction(spark) as txn:
+        txn.merge_upsert("a", _df(spark, [(2, 21)]), keys=["k"])
+        txn.merge_upsert("b", _df(spark, [(3, 301)]), keys=["k"])
+    dropped = cat.vacuum(keep_last=1)
+    assert dropped == [0]
+    assert cat.txns() == [1]
+    for name in ("a", "b"):
+        p = cat.table_path(name)
+        assert lake._m_versions(p) == [cat.state()[name]]
+    got_a = {(r.k, r.v) for r in cat.read(spark, "a").collect()}
+    assert got_a == {(1, 10), (2, 21)}
+    with pytest.raises(Exception):
+        cat.read(spark, "a", txn=0).collect()
