@@ -186,3 +186,108 @@ def test_catalog_vacuum_drops_history_keeps_head(spark, tmp_path):
     assert got_a == {(1, 10), (2, 21)}
     with pytest.raises(Exception):
         cat.read(spark, "a", txn=0).collect()
+
+
+# ---------------------------------------------------------------------------
+# Model-based fuzz: random multi-table transactions (some aborted) vs a
+# pure-Python model, with every committed txn replayed as a consistent
+# cross-table snapshot at the end. Atomicity bugs (one table's change
+# landing without the other's), staging leaks after abort, and
+# read-your-writes planning errors inside multi-op txns all surface
+# here.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TBL = st.sampled_from(["a", "b"])
+_step = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        _TBL,
+        st.dictionaries(
+            st.integers(0, 9), st.integers(0, 99), min_size=1, max_size=4
+        ),
+    ),
+    st.tuples(
+        st.just("delete_mod"),
+        _TBL,
+        st.tuples(st.integers(2, 4), st.integers(0, 3)),
+    ),
+    st.tuples(
+        st.just("replace"),
+        _TBL,
+        st.dictionaries(
+            st.integers(0, 9), st.integers(0, 99), min_size=1, max_size=3
+        ),
+    ),
+)
+_txn = st.tuples(
+    st.lists(_step, min_size=1, max_size=3), st.booleans()  # (steps, abort?)
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(txns=st.lists(_txn, min_size=1, max_size=4))
+def test_catalog_random_txn_sequences_match_model(spark, txns):
+    import shutil as _sh
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="cat_fuzz_", dir="/tmp")
+    try:
+        cat = Catalog(root)
+        model = {"a": {0: 1}, "b": {0: 2}}
+        with cat.transaction(spark) as t0:
+            t0.write(_df(spark, [(0, 1)]), "a")
+            t0.write(_df(spark, [(0, 2)]), "b")
+        committed = [
+            {n: dict(m) for n, m in model.items()}
+        ]  # state per committed txn id
+
+        def apply(txn, steps, m):
+            for kind, name, arg in steps:
+                if kind == "merge":
+                    txn.merge_upsert(
+                        name,
+                        _df(spark, sorted(arg.items())),
+                        keys=["k"],
+                    )
+                    m[name].update(arg)
+                elif kind == "delete_mod":
+                    d, r = arg
+                    txn.delete_where(name, F.col("v") % d == r)
+                    m[name] = {k: v for k, v in m[name].items() if v % d != r}
+                else:
+                    txn.write(_df(spark, sorted(arg.items())), name)
+                    m[name] = dict(arg)
+
+        for steps, abort in txns:
+            trial = {n: dict(m) for n, m in model.items()}
+            if abort:
+                with pytest.raises(RuntimeError, match="fuzz-abort"):
+                    with cat.transaction(spark) as txn:
+                        apply(txn, steps, trial)
+                        raise RuntimeError("fuzz-abort")
+                # model unchanged; live state must match it
+            else:
+                with cat.transaction(spark) as txn:
+                    apply(txn, steps, trial)
+                model = trial
+                committed.append({n: dict(m) for n, m in model.items()})
+            for name in ("a", "b"):
+                got = {r.k: r.v for r in cat.read(spark, name).collect()}
+                assert got == model[name], f"live {name}: txns={txns}"
+        # every committed txn id is a CONSISTENT cross-table snapshot
+        for tid, snap in enumerate(committed):
+            for name in ("a", "b"):
+                got = {
+                    r.k: r.v
+                    for r in cat.read(spark, name, txn=tid).collect()
+                }
+                assert got == snap[name], f"txn {tid} {name}: txns={txns}"
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
