@@ -291,3 +291,129 @@ def test_catalog_random_txn_sequences_match_model(spark, txns):
                 assert got == snap[name], f"txn {tid} {name}: txns={txns}"
     finally:
         _sh.rmtree(root, ignore_errors=True)
+
+
+def test_catalog_two_process_txn_race(tmp_path):
+    """TWO real writer processes (separate SparkSessions, separate
+    JVMs) each run a MULTI-TABLE transaction against the same catalog,
+    file-barrier-synchronized so both prepare their commit record
+    against the same base txn: exactly one record lands; the loser gets
+    ConcurrentWriteError from the conflict check, retries the whole
+    transaction, and lands the next txn. Both transactions' effects
+    appear in the final state, each atomically."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    root = str(tmp_path / "race_cat")
+    barrier = str(tmp_path / "barrier")
+    os.makedirs(barrier)
+
+    setup = textwrap.dedent(f"""
+        import sys; sys.path.insert(0, {repr(os.getcwd())})
+        from pyspark.sql import SparkSession
+        from spype_spark.catalog import Catalog
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        cat = Catalog({repr(root)})
+        with cat.transaction(spark) as txn:
+            txn.write(spark.createDataFrame([(1, "base")], "k long, s string"), "a")
+            txn.write(spark.createDataFrame([(1, "base")], "k long, s string"), "b")
+        print("SETUP_OK")
+    """)
+    r = subprocess.run(
+        [sys.executable, "-c", setup], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert "SETUP_OK" in r.stdout, r.stderr[-2000:]
+
+    writer = textwrap.dedent(f"""
+        import os, sys, time
+        sys.path.insert(0, {repr(os.getcwd())})
+        wid = sys.argv[1]
+        from pyspark.sql import SparkSession
+        from spype_spark.catalog import Catalog
+        from spype_spark.lakehouse import ConcurrentWriteError
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        cat = Catalog({repr(root)})
+        real = cat._publish_record
+        def barrier_publish(txn_id, record):
+            # both writers must have STAGED both tables and entered
+            # commit before either's record lands
+            open(os.path.join({repr(barrier)}, "ready_" + wid), "w").close()
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if all(os.path.exists(os.path.join({repr(barrier)}, "ready_" + w))
+                       for w in ("A", "B")):
+                    break
+                time.sleep(0.05)
+            else:
+                raise RuntimeError("barrier timeout")
+            cat._publish_record = real  # one-shot: retries skip the barrier
+            return real(txn_id, record)
+        cat._publish_record = barrier_publish
+        def work(txn):
+            k = 100 if wid == "A" else 200
+            txn.merge_upsert(
+                "a", spark.createDataFrame([(k, wid)], "k long, s string"),
+                keys=["k"])
+            txn.merge_upsert(
+                "b", spark.createDataFrame([(k, wid)], "k long, s string"),
+                keys=["k"])
+        try:
+            with cat.transaction(spark) as t:
+                work(t)
+            print("WON", cat.latest_txn())
+        except ConcurrentWriteError:
+            with cat.transaction(spark) as t:
+                work(t)
+            print("RETRIED", cat.latest_txn())
+    """)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", writer, w],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for w in ("A", "B")
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+    verdicts = [
+        line.split() for o in outs for line in o.splitlines()
+        if line.startswith(("WON", "RETRIED"))
+    ]
+    assert sorted(v[0] for v in verdicts) == ["RETRIED", "WON"], outs
+    assert {v[1] for v in verdicts} == {"1", "2"}, outs
+
+    # final state, read sparklessly: the head record pins both tables;
+    # each holds base + both writers' rows (atomic per transaction)
+    import duckdb
+
+    with open(os.path.join(root, "_log", "t=2.json")) as f:
+        head = json.load(f)
+    assert sorted(head["changed"]) in (["a", "b"],)
+    for name in ("a", "b"):
+        mpath = os.path.join(
+            root, "tables", name, "_manifests",
+            f"v={head['tables'][name]}.json",
+        )
+        with open(mpath) as f:
+            man = json.load(f)
+        files = [
+            os.path.join(root, "tables", name, e["path"])
+            for e in man["files"]
+        ]
+        got = {
+            tuple(r)
+            for r in duckdb.sql(
+                f"SELECT k, s FROM read_parquet({files!r})"
+            ).fetchall()
+        }
+        assert got == {(1, "base"), (100, "A"), (200, "B")}, (name, got)
