@@ -130,16 +130,79 @@ class Catalog:
             return {}
         return dict(self._record(t)["tables"])
 
+    def apps(self, txn: int | None = None) -> dict[str, int]:
+        """``{app_id: last applied version}`` as of a transaction — the
+        writer-idempotence ledger (Delta's txnAppId/txnVersion model),
+        carried forward cumulatively by every record."""
+        t = self.latest_txn() if txn is None else txn
+        if t is None:
+            return {}
+        return dict(self._record(t).get("apps", {}))
+
+    def applied_version(self, app_id: str) -> int | None:
+        """Last committed version for an idempotent writer, or None.
+        An exactly-once sink checks this before re-doing work; the
+        commit-time check is the correctness gate either way."""
+        return self.apps().get(app_id)
+
+    # -- tags -----------------------------------------------------------
+    def tag(self, name: str, txn: int | None = None) -> int:
+        """Pin an IMMUTABLE name to a transaction id (default: latest)
+        — put-if-absent, so a tag can never be moved or re-pointed.
+        Tagged transactions survive :meth:`vacuum`."""
+        if not re.match(r"^[A-Za-z0-9_.-]+$", name):
+            raise ValueError(f"unsafe tag name {name!r}")
+        t = self.latest_txn() if txn is None else txn
+        if t is None or not os.path.exists(self._log_path(t)):
+            raise FileNotFoundError(f"no committed transaction {t}")
+        tdir = os.path.join(self.root, "_tags")
+        os.makedirs(tdir, exist_ok=True)
+        tmp = os.path.join(tdir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "txn": t}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, os.path.join(tdir, f"{name}.json"))
+        except FileExistsError as exc:
+            os.unlink(tmp)
+            raise ConcurrentWriteError(
+                f"tag {name!r} already exists (tags are immutable)"
+            ) from exc
+        os.unlink(tmp)
+        return t
+
+    def tags(self) -> dict[str, int]:
+        tdir = os.path.join(self.root, "_tags")
+        if not os.path.isdir(tdir):
+            return {}
+        out = {}
+        for n in os.listdir(tdir):
+            if n.endswith(".json") and not n.startswith("."):
+                with open(os.path.join(tdir, n)) as f:
+                    rec = json.load(f)
+                out[rec["name"]] = rec["txn"]
+        return out
+
     def table_path(self, name: str) -> str:
         if not re.match(r"^[A-Za-z0-9_.-]+$", name):
             raise ValueError(f"unsafe table name {name!r}")
         return os.path.join(self.root, "tables", name)
 
     def read(
-        self, spark: SparkSession, name: str, txn: int | None = None
+        self,
+        spark: SparkSession,
+        name: str,
+        txn: int | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
-        """Snapshot read through the log — with ``txn``, a CONSISTENT
-        CROSS-TABLE time travel (all tables as of that transaction)."""
+        """Snapshot read through the log — with ``txn`` (or a ``tag``
+        pinned to one), a CONSISTENT CROSS-TABLE time travel (all
+        tables as of that transaction)."""
+        if tag is not None:
+            if txn is not None:
+                raise ValueError("pass txn or tag, not both")
+            txn = self.tags()[tag]
         st = self.state(txn)
         if name not in st:
             raise FileNotFoundError(f"no table {name!r} in catalog state")
@@ -180,8 +243,22 @@ class Catalog:
         )
 
     # -- transactions ---------------------------------------------------
-    def transaction(self, spark: SparkSession) -> "Transaction":
-        return Transaction(self, spark)
+    def transaction(
+        self,
+        spark: SparkSession,
+        app_id: str | None = None,
+        app_version: int | None = None,
+    ) -> "Transaction":
+        """Open a transaction. ``app_id``/``app_version`` make it an
+        IDEMPOTENT writer commit: if a record already carries
+        ``apps[app_id] >= app_version``, the commit quietly unstages
+        and returns None instead of applying twice — the exactly-once
+        contract a restarted streaming sink relies on (checked inside
+        the same CAS loop as conflicts, so a racing duplicate of the
+        same batch can never double-apply)."""
+        if (app_id is None) != (app_version is None):
+            raise ValueError("app_id and app_version go together")
+        return Transaction(self, spark, app_id, app_version)
 
     def run(self, spark: SparkSession, fn, retries: int = 3):
         """Optimistic-retry harness: run ``fn(txn)`` in a fresh
@@ -206,9 +283,11 @@ class Catalog:
         path-refcount GC, the data files those manifests pinned. Same
         retention-grace caveat as table vacuum: a transaction racing the
         vacuum with a just-dropped base record fails cleanly with
-        ConcurrentWriteError and retries."""
+        ConcurrentWriteError and retries. Tagged transactions are
+        always kept."""
         ts = self.txns()
-        drop = ts[:-keep_last]
+        pinned = set(ts[-keep_last:]) | set(self.tags().values())
+        drop = [t for t in ts if t not in pinned]
         for t in drop:
             try:
                 os.unlink(self._log_path(t))
@@ -249,9 +328,17 @@ class Transaction:
             txn.delete_where("audit", F.col("stale"))
     """
 
-    def __init__(self, cat: Catalog, spark: SparkSession):
+    def __init__(
+        self,
+        cat: Catalog,
+        spark: SparkSession,
+        app_id: str | None = None,
+        app_version: int | None = None,
+    ):
         self.cat = cat
         self.spark = spark
+        self._app_id = app_id
+        self._app_version = app_version
         self._base_txn = cat.latest_txn()
         self._base_state = cat.state(self._base_txn)
         self._staged: dict[str, int] = {}  # final staged version per table
@@ -392,6 +479,19 @@ class Transaction:
             return None
         while True:
             cur = self.cat.latest_txn()
+            apps = self.cat.apps(cur)
+            if (
+                self._app_id is not None
+                and apps.get(self._app_id, -1) >= self._app_version
+            ):
+                # idempotent writer: this unit of work already landed
+                # (a restarted sink replaying a committed batch) —
+                # quietly discard rather than double-apply. Checked
+                # before the conflict test: a replayed batch's tables
+                # were OBVIOUSLY changed since its snapshot, and that
+                # is precisely not an error here.
+                self._unstage()
+                return None
             lo = -1 if self._base_txn is None else self._base_txn
             for t in range(lo + 1, (cur if cur is not None else -1) + 1):
                 rec = self.cat._record(t)
@@ -406,6 +506,8 @@ class Transaction:
             new_txn = (cur if cur is not None else -1) + 1
             tables = self.cat.state(cur)
             tables.update(self._staged)
+            if self._app_id is not None:
+                apps[self._app_id] = self._app_version
             try:
                 self.cat._publish_record(
                     new_txn,
@@ -414,6 +516,7 @@ class Transaction:
                         "base": cur,
                         "tables": tables,
                         "changed": sorted(self._staged),
+                        "apps": apps,
                     },
                 )
                 return new_txn

@@ -128,6 +128,7 @@ _DRIVER_PRIORITY = [
     # here).
     "q_multimodal_audio",
     "q_lake_txn",
+    "q_stream_txn_sink",
     "q_pipe_validate",
     "q_tpch_q5",
     "q_pivot",

@@ -304,6 +304,33 @@ def q_stream_lake_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_txn_sink",
+    oracle="""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           COUNT(*) AS n_events,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+    """,
+)
+def q_stream_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once MULTI-TABLE streaming sink: each micro-batch lands
+    in a latest-per-user table AND an additive hourly-counts table in
+    ONE catalog transaction keyed (app_id, batch id); the whole stream
+    is then REPLAYED against a fresh checkpoint and every batch must
+    no-op through the idempotent-writer ledger (asserted in-job). The
+    additive table is deliberately non-idempotent — a single
+    double-applied batch breaks the count oracle, so the driver's
+    hash check IS the exactly-once verdict.
+    See :func:`spype_spark.streaming.jobs.run_stream_txn_sink`.
+    """
+    from spype_spark.streaming.jobs import run_stream_txn_sink
+
+    return run_stream_txn_sink(spark, sf_dir)
+
+
+@query(
     "q_stream_dedup_watermark",
     oracle="""
     SELECT COUNT(DISTINCT event_id) AS n_unique_events,

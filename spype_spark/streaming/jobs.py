@@ -699,3 +699,133 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str):
     return _run_available_now_with_watermark(
         joined, "append", "spype_stream_left_join"
     )
+
+
+def run_stream_txn_sink(
+    spark: SparkSession, sf_dir: str, n_splits: int = 4
+) -> DataFrame:
+    """EXACTLY-ONCE fan-out of one stream into TWO lakehouse tables
+    via catalog transactions (spype_spark/catalog.py).
+
+    Each micro-batch lands atomically in a per-user latest-event table
+    (idempotent max-semilattice MERGE) *and* an hourly-counts table
+    (ADDITIVE merge — NOT naturally idempotent) inside ONE transaction
+    carrying ``(app_id, app_version=batch id)``. The additive table is
+    the point: replaying a committed batch would double its counts, so
+    correctness rests entirely on the catalog's idempotent-writer
+    ledger — a replayed version quietly no-ops in the same CAS loop
+    that detects conflicts. After the drain, the WHOLE stream is
+    re-run against a FRESH checkpoint (batch ids restart at 0): every
+    batch must skip, the head txn id must not move, and the counts
+    must equal the batch oracle — the end-to-end exactly-once witness.
+    Atomicity across the two tables is structural: one log record per
+    batch covers both, so no crash point can publish one without the
+    other (the two-table race + interrupted-commit tests pin the
+    record protocol itself).
+    """
+    from spype_spark.catalog import Catalog
+
+    ensure_session_confs(spark)
+    split_dir = tempfile.mkdtemp(prefix="spype_txn_split_", dir=_scratch_root())
+    cat_dir = tempfile.mkdtemp(prefix="spype_txn_cat_", dir=_scratch_root())
+    app = "events_txn_sink"
+    try:
+        (
+            _events_batch(spark, f"{sf_dir}/events.parquet")
+            .repartition(n_splits)
+            .write.mode("overwrite")
+            .parquet(split_dir)
+        )
+        cat = Catalog(f"{cat_dir}/cat")
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            last = cat.applied_version(app)
+            if last is not None and last >= epoch_id:
+                return  # replay fast-path; commit-time check still gates
+            sess = batch_df.sparkSession
+            us = F.unix_micros(F.col("ts").cast("timestamp"))
+            w = Window.partitionBy("user_id").orderBy(
+                F.desc("us"), F.desc("event_id")
+            )
+            latest = (
+                batch_df.select("user_id", "event_id", us.alias("us"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            counts = (
+                batch_df.select(
+                    F.date_trunc("hour", F.col("ts").cast("timestamp")).alias(
+                        "hour_ts"
+                    )
+                )
+                .groupBy("hour_ts")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+            )
+            with cat.transaction(
+                sess, app_id=app, app_version=epoch_id
+            ) as txn:
+                if "user_latest" not in cat.state():
+                    txn.write(latest, "user_latest")
+                    txn.write(counts, "hourly_counts")
+                else:
+                    txn.merge_upsert(
+                        "user_latest",
+                        latest,
+                        keys=["user_id"],
+                        match_condition=lambda u, t: (u["us"] > t["us"])
+                        | (
+                            (u["us"] == t["us"])
+                            & (u["event_id"] > t["event_id"])
+                        ),
+                    )
+                    cur = txn.read("hourly_counts")
+                    add = (
+                        counts.alias("b")
+                        .join(cur.alias("c"), "hour_ts", "left")
+                        .select(
+                            "hour_ts",
+                            (
+                                F.col("b.n_events")
+                                + F.coalesce(F.col("c.n_events"), F.lit(0))
+                            ).alias("n_events"),
+                        )
+                    )
+                    txn.merge_upsert("hourly_counts", add, keys=["hour_ts"])
+
+        def drain() -> None:
+            ev = _events_stream(
+                spark, split_dir, glob="*.parquet", max_files_per_trigger=1
+            )
+            with tempfile.TemporaryDirectory(
+                prefix="spype_ckpt_", dir=_scratch_root()
+            ) as ckpt:
+                q = (
+                    ev.writeStream.foreachBatch(sink_batch)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+        drain()
+        head = cat.latest_txn()
+        drain()  # full replay, fresh checkpoint: every batch must skip
+        if cat.latest_txn() != head:
+            raise AssertionError(
+                f"replay advanced the log ({head} -> {cat.latest_txn()}): "
+                f"exactly-once ledger failed"
+            )
+        n_users = cat.read(spark, "user_latest").count()
+        out = (
+            cat.read(spark, "hourly_counts")
+            .select(
+                F.date_format("hour_ts", TS_FMT_SPARK).alias("hour_ts"),
+                "n_events",
+                F.lit(n_users).cast("long").alias("n_users"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(split_dir, ignore_errors=True)
+        shutil.rmtree(cat_dir, ignore_errors=True)

@@ -417,3 +417,52 @@ def test_catalog_two_process_txn_race(tmp_path):
             ).fetchall()
         }
         assert got == {(1, "base"), (100, "A"), (200, "B")}, (name, got)
+
+
+def test_txn_app_version_exactly_once(spark, tmp_path):
+    """Idempotent writer commits (app_id/app_version): a replayed unit
+    of work quietly no-ops — no record, no state change, staged
+    manifests unlinked — while the next version applies normally. The
+    exactly-once contract a restarted streaming sink rests on."""
+    cat = _mk(spark, tmp_path)
+    with cat.transaction(spark, app_id="sink", app_version=0) as t:
+        t.merge_upsert("a", _df(spark, [(5, 50)]), keys=["k"])
+    assert cat.applied_version("sink") == 0
+    head = cat.latest_txn()
+    pa = cat.table_path("a")
+    vs_before = set(lake._m_versions(pa))
+    # replay of version 0 (even with different content) must not apply
+    t = cat.transaction(spark, app_id="sink", app_version=0)
+    t.merge_upsert("a", _df(spark, [(6, 666)]), keys=["k"])
+    assert t.commit() is None
+    assert cat.latest_txn() == head
+    assert set(lake._m_versions(pa)) == vs_before, "replay staged nothing"
+    got = {(r.k, r.v) for r in cat.read(spark, "a").collect()}
+    assert (5, 50) in got and (6, 666) not in got
+    # next version applies; unrelated app ids are independent
+    with cat.transaction(spark, app_id="sink", app_version=1) as t:
+        t.merge_upsert("a", _df(spark, [(7, 70)]), keys=["k"])
+    with cat.transaction(spark, app_id="other", app_version=0) as t:
+        t.merge_upsert("b", _df(spark, [(8, 800)]), keys=["k"])
+    assert cat.apps() == {"sink": 1, "other": 0}
+    assert (7, 70) in {(r.k, r.v) for r in cat.read(spark, "a").collect()}
+
+
+def test_catalog_tags_immutable_pin_survive_vacuum(spark, tmp_path):
+    """Tags pin a txn id immutably (second tag of the same name
+    fails); vacuum keeps tagged records and their table versions."""
+    cat = _mk(spark, tmp_path)
+    cat.tag("v0")  # pins txn 0
+    with cat.transaction(spark) as t:
+        t.merge_upsert("a", _df(spark, [(5, 50)]), keys=["k"])
+    with cat.transaction(spark) as t:
+        t.merge_upsert("a", _df(spark, [(6, 60)]), keys=["k"])
+    with pytest.raises(ConcurrentWriteError, match="immutable"):
+        cat.tag("v0", txn=2)
+    dropped = cat.vacuum(keep_last=1)
+    assert dropped == [1], "txn 0 is tag-pinned, txn 2 is head"
+    assert cat.txns() == [0, 2]
+    tagged = {(r.k, r.v) for r in cat.read(spark, "a", tag="v0").collect()}
+    assert tagged == {(1, 10), (2, 20)}
+    head = {(r.k, r.v) for r in cat.read(spark, "a").collect()}
+    assert (5, 50) in head and (6, 60) in head
