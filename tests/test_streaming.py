@@ -423,3 +423,89 @@ def test_watermark_bounds_state_store_under_churn(spark, sf_dir):
     # append-mode completeness: every window the final watermark passed
     # was emitted exactly once
     assert out_rows > 0.8 * n_windows_total, (out_rows, n_windows_total)
+
+
+def test_txn_sink_crash_after_commit_before_checkpoint(spark, sf_dir, tmp_path):
+    """The classic exactly-once failure window: the sink CRASHES after
+    its catalog transaction committed but before Spark checkpointed
+    the batch. On restart from the same checkpoint Spark re-runs that
+    batch; the (app_id, batch id) ledger must absorb the replay — the
+    additive counts table would double otherwise. Final state must
+    equal the batch oracle with exactly one log record per batch."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spype_spark.catalog import Catalog
+    from spype_spark.streaming.jobs import _events_batch, _events_stream
+
+    split_dir = str(tmp_path / "split")
+    ckpt = str(tmp_path / "ckpt")
+    cat = Catalog(str(tmp_path / "cat"))
+    app = "crash_sink"
+    (
+        _events_batch(spark, f"{sf_dir}/events.parquet")
+        .repartition(4)
+        .write.parquet(split_dir)
+    )
+
+    def mk_sink(crash_after):
+        def sink(bdf, epoch):
+            sess = bdf.sparkSession
+            counts = (
+                bdf.select((F.col("user_id") % 4).alias("g"))
+                .groupBy("g")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            with cat.transaction(sess, app_id=app, app_version=epoch) as txn:
+                if "hourly" not in cat.state():
+                    txn.write(counts, "hourly")
+                else:
+                    cur = txn.read("hourly")
+                    add = (
+                        counts.alias("b")
+                        .join(cur.alias("c"), "g", "left")
+                        .select(
+                            "g",
+                            (
+                                F.col("b.n") + F.coalesce(F.col("c.n"), F.lit(0))
+                            ).alias("n"),
+                        )
+                    )
+                    txn.merge_upsert("hourly", add, keys=["g"])
+            if crash_after is not None and epoch == crash_after:
+                raise RuntimeError("injected crash post-commit pre-checkpoint")
+        return sink
+
+    def drain(crash_after):
+        ev = _events_stream(
+            spark, split_dir, glob="*.parquet", max_files_per_trigger=1
+        )
+        q = (
+            ev.writeStream.foreachBatch(mk_sink(crash_after))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        drain(crash_after=1)
+    assert cat.applied_version(app) == 1, "batch 1's txn DID commit"
+    drain(crash_after=None)  # restart: batch 1 replays and must no-op
+
+    want = {
+        (r.g, r.n)
+        for r in _events_batch(spark, split_dir)
+        .select((F.col("user_id") % 4).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r.g, r.n) for r in cat.read(spark, "hourly").collect()}
+    assert got == want, "counts doubled or lost across the crash window"
+    assert cat.latest_txn() == 3, "one record per batch, none for the replay"
+    assert cat.applied_version(app) == 3
+    shutil.rmtree(split_dir, ignore_errors=True)
