@@ -458,6 +458,29 @@ class Transaction:
         self._staged[name] = v
         return v
 
+    def compact(
+        self, name: str, target_files: int = 1, zorder_code=None
+    ) -> int:
+        """Small-file compaction (optionally Z-order clustered —
+        see :func:`spype_spark.lakehouse.compact`) THROUGH the
+        transaction: the rewritten snapshot becomes catalog-visible in
+        the txn's record, unlike a direct ``lake.compact`` on the table
+        path, which records never reference and vacuum would reclaim."""
+        self._check_open()
+        from spype_spark.layout import zorder_repartition
+
+        path = self.cat.table_path(name)
+        base = self._resolve(name)
+        m = lake._m_load(path, base)
+        tgt = lake._m_read(self.spark, path, base)
+        if zorder_code is not None:
+            out = zorder_repartition(tgt, zorder_code, target_files)
+        else:
+            out = tgt.repartition(target_files)
+        v = self._stage(out, path, m.get("partition_by"), [], base)
+        self._staged[name] = v
+        return v
+
     def delete_range(self, name: str, col: str, lo, hi) -> int:
         self._check_open()
         path = self.cat.table_path(name)

@@ -466,3 +466,25 @@ def test_catalog_tags_immutable_pin_survive_vacuum(spark, tmp_path):
     assert tagged == {(1, 10), (2, 20)}
     head = {(r.k, r.v) for r in cat.read(spark, "a").collect()}
     assert (5, 50) in head and (6, 60) in head
+
+
+def test_txn_compact_through_catalog(spark, tmp_path):
+    """Compaction staged inside a transaction: fewer files, identical
+    content, catalog-visible — and the pre-compaction snapshot stays
+    readable through its txn id."""
+    cat = Catalog(str(tmp_path / "cc"))
+    big = spark.createDataFrame(
+        [(k, k * 10) for k in range(400)], "k long, v long"
+    )
+    with cat.transaction(spark) as t:
+        t.write(big.repartition(8), "t")
+    p = cat.table_path("t")
+    n0 = len(lake._m_load(p, cat.state()["t"])["files"])
+    assert n0 == 8
+    with cat.transaction(spark) as t:
+        t.compact("t", target_files=2)
+    n1 = len(lake._m_load(p, cat.state()["t"])["files"])
+    assert n1 == 2
+    got = {(r.k, r.v) for r in cat.read(spark, "t").collect()}
+    assert got == {(k, k * 10) for k in range(400)}
+    assert len(lake._m_load(p, cat.state(0)["t"])["files"]) == 8
