@@ -396,13 +396,9 @@ class Transaction:
                 lake._m_publish(
                     path,
                     v,
-                    {
-                        "version": v,
-                        "base": base,
-                        "schema": schema_json,
-                        "partition_by": pcols,
-                        "files": manifest_files,
-                    },
+                    lake._m_manifest(
+                        path, v, base, schema_json, pcols, manifest_files
+                    ),
                 )
             except ConcurrentWriteError:
                 continue  # slot taken — scan upward

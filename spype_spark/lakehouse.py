@@ -76,6 +76,7 @@ and O(touched files).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -538,6 +539,100 @@ def _m_load(path: str, version: int) -> dict:
         return json.load(f)
 
 
+_PART_INLINE_MAX = 64
+
+
+def _m_part_key(entry: dict) -> str:
+    """Grouping key for manifest parts: the entry's data-commit uuid
+    directory + its partition tuple. Both components are IMMUTABLE for
+    the life of the entry (files never move; partition values are in
+    the path), so a group's membership only changes when a mutation
+    actually rewrites one of its files — which is exactly when its
+    part must be rewritten anyway."""
+    seg = entry["path"].split("/")
+    uid = seg[1] if len(seg) > 1 and seg[0] == "data" else seg[0]
+    part = ",".join(f"{k}={v}" for k, v in sorted(entry["partition"].items()))
+    return f"{uid}|{part}"
+
+
+def _m_write_parts(path: str, entries: list[dict]) -> list[str]:
+    """Write manifest PART files — content-addressed slabs of entries,
+    grouped by :func:`_m_part_key` — and return their filenames.
+
+    This is the Iceberg manifest-list idea expressed with the same
+    single primitive as everything else: a part's name is the sha1 of
+    its canonical JSON, published write-if-absent, so a commit whose
+    carry-over leaves a group untouched reproduces the IDENTICAL part
+    file name and writes NOTHING for it (EEXIST = free dedup). Commit
+    metadata cost is therefore O(changed groups + 1 manifest), not
+    O(total files) — at 10⁶ files across 10³ partitions a MERGE
+    touching one partition writes one slab and one pointer list, while
+    an inline file list would rewrite hundreds of MB of JSON per
+    commit."""
+    mdir = os.path.join(path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    groups: dict[str, list[dict]] = {}
+    for e in entries:
+        groups.setdefault(_m_part_key(e), []).append(e)
+    names = []
+    for _key, group in sorted(groups.items()):
+        group = sorted(group, key=lambda e: e["path"])
+        payload = json.dumps(group, sort_keys=True)
+        name = f"part-{hashlib.sha1(payload.encode()).hexdigest()}.json"
+        final = os.path.join(mdir, name)
+        if not os.path.exists(final):
+            tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                pass  # concurrent writer produced the same content
+            os.unlink(tmp)
+        names.append(name)
+    return names
+
+
+def _m_entries(path: str, m: dict) -> list[dict]:
+    """Resolve a manifest's file entries — inline ``files`` for small
+    tables, concatenated part slabs otherwise."""
+    if "files" in m:
+        return m["files"]
+    out: list[dict] = []
+    for name in m["parts"]:
+        with open(os.path.join(path, "_manifests", name)) as f:
+            out.extend(json.load(f))
+    return out
+
+
+def _m_manifest(
+    path: str,
+    version: int,
+    base: int | None,
+    schema_json: dict | None,
+    pcols: list[str] | None,
+    entries: list[dict],
+) -> dict:
+    """Assemble a manifest payload: entries inline while the table is
+    small (≤ ``_PART_INLINE_MAX`` files — keeps tiny tables one
+    object), content-addressed part slabs beyond. Part files are
+    unreferenced until the manifest naming them lands, so writing them
+    here needs no atomicity (the standard invisibility argument)."""
+    man = {
+        "version": version,
+        "base": base,
+        "schema": schema_json,
+        "partition_by": pcols,
+    }
+    if len(entries) <= _PART_INLINE_MAX:
+        man["files"] = entries
+    else:
+        man["parts"] = _m_write_parts(path, entries)
+    return man
+
+
 def _m_publish(path: str, version: int, manifest: dict) -> None:
     """Put-if-absent publish of a complete manifest: write + fsync a
     temp file, then ``os.link`` it to ``v=N.json`` — atomic, and EEXIST
@@ -663,13 +758,9 @@ def _m_commit(
     if df is not None:
         datadir, entries = _m_write_files(df, path, pcols)
         schema_json = json.loads(df.schema.json())
-    manifest = {
-        "version": version,
-        "base": base,
-        "schema": schema_json,
-        "partition_by": pcols,
-        "files": carry_entries + entries,
-    }
+    manifest = _m_manifest(
+        path, version, base, schema_json, pcols, carry_entries + entries
+    )
     # Stale-base guard: if retention collected our base manifest while
     # we were writing, the carried entries may reference files the GC
     # is about to (or did) delete — surface the standard stale-base
@@ -698,7 +789,7 @@ def _m_read(spark: SparkSession, path: str, version: int) -> DataFrame:
 
     m = _m_load(path, version)
     schema = StructType.fromJson(m["schema"])
-    files = [os.path.join(path, e["path"]) for e in m["files"]]
+    files = [os.path.join(path, e["path"]) for e in _m_entries(path, m)]
     if not files:
         return spark.createDataFrame([], schema)
     # Explicit leaf-file reads: no partition discovery (partition
@@ -768,7 +859,7 @@ def _m_stats_split(
 
 
 def _m_cow_entries(
-    m: dict, pcols: list[str], touched_vals: set
+    entries: list[dict], pcols: list[str], touched_vals: set
 ) -> tuple[list[dict], list[dict]] | None:
     """Partition-level COW plan from the manifest: split the base
     entries into (carry, touched) by partition tuple — or None when a
@@ -778,7 +869,7 @@ def _m_cow_entries(
     tstrs = _m_touched_strs(touched_vals)
     if tstrs is None:
         return None
-    entry_keys = {_m_entry_key(e, pcols) for e in m["files"]}
+    entry_keys = {_m_entry_key(e, pcols) for e in entries}
     norm = {
         tuple(_norm_part_val(s) for s in k): k for k in entry_keys
     }
@@ -787,8 +878,8 @@ def _m_cow_entries(
             continue
         if norm.get(tuple(_norm_part_val(s) for s in t)) is not None:
             return None  # '1' vs '001'-style spelling clash
-    carry = [e for e in m["files"] if _m_entry_key(e, pcols) not in tstrs]
-    touched = [e for e in m["files"] if _m_entry_key(e, pcols) in tstrs]
+    carry = [e for e in entries if _m_entry_key(e, pcols) not in tstrs]
+    touched = [e for e in entries if _m_entry_key(e, pcols) in tstrs]
     return carry, touched
 
 
@@ -850,7 +941,7 @@ def _m_merge_plan(
             .distinct()
             .collect()
         }
-        plan = _m_cow_entries(m, pcols, touched)
+        plan = _m_cow_entries(_m_entries(path, m), pcols, touched)
         if plan is not None:
             carry, touched_entries = plan
             rewrite_entries = touched_entries
@@ -891,7 +982,7 @@ def _m_delete_plan(
             # metadata-sized collect: partitions containing deleted rows
             for r in tgt.filter(hit).select(*pcols).distinct().collect()
         }
-        plan = _m_cow_entries(m, pcols, touched)
+        plan = _m_cow_entries(_m_entries(path, m), pcols, touched)
         if plan is not None:
             carry, touched_entries = plan
             rew = _m_read_entries(
@@ -918,7 +1009,7 @@ def _m_range_plan(
     m = _m_load(path, base)
     pcols = m.get("partition_by")
     between = F.col(col).between(F.lit(lo), F.lit(hi))
-    split = _m_stats_split(m["files"], col, lo, hi)
+    split = _m_stats_split(_m_entries(path, m), col, lo, hi)
     if split is None:
         return _m_delete_plan(spark, path, base, between)
     carry, rewrite_entries = split
@@ -948,15 +1039,26 @@ def _m_vacuum(path: str, keep_last: int) -> list[int]:
 
 
 def _m_gc_files(path: str) -> None:
-    """Garbage-collect data files referenced by NO surviving manifest
-    of a manifest table (path-refcount GC, shared by table vacuum and
-    :meth:`spype_spark.catalog.Catalog.vacuum`)."""
+    """Garbage-collect data files AND manifest part slabs referenced by
+    NO surviving manifest of a manifest table (path-refcount GC, shared
+    by table vacuum and :meth:`spype_spark.catalog.Catalog.vacuum`)."""
     referenced: set[str] = set()
+    ref_parts: set[str] = set()
     for v in _m_versions(path):
         try:
-            referenced |= {e["path"] for e in _m_load(path, v)["files"]}
+            m = _m_load(path, v)
+            referenced |= {e["path"] for e in _m_entries(path, m)}
+            ref_parts |= set(m.get("parts", []))
         except FileNotFoundError:
             continue
+    mdir = os.path.join(path, "_manifests")
+    if os.path.isdir(mdir):
+        for n in os.listdir(mdir):
+            if n.startswith("part-") and n not in ref_parts:
+                try:
+                    os.unlink(os.path.join(mdir, n))
+                except FileNotFoundError:
+                    pass
     datadir = os.path.join(path, "data")
     if os.path.isdir(datadir):
         for root, _dirs, files in os.walk(datadir, topdown=False):
@@ -1040,7 +1142,7 @@ def scan_table(
     if not _is_manifest_table(path):
         return _residual(read_table(spark, path, version=v))
     m = _m_load(path, v)
-    entries = m["files"]
+    entries = _m_entries(path, m)
     for c, vals in (partitions or {}).items():
         vlist = vals if isinstance(vals, (list, tuple, set)) else [vals]
         svals = set()
@@ -1403,7 +1505,10 @@ def data_files(path: str, version: int) -> list[str]:
     partitioned snapshots list the files inside their ``col=value``
     directories."""
     if _is_manifest_table(path):
-        return sorted(e["path"] for e in _m_load(path, version)["files"])
+        return sorted(
+            e["path"]
+            for e in _m_entries(path, _m_load(path, version))
+        )
     d = _snapshot_dir(path, version)
     out = []
     for root, _dirs, files in os.walk(d):

@@ -1074,3 +1074,84 @@ def test_string_key_file_pruning_both_protocols(spark, tmp_path):
     assert len(inodes(1) & inodes(0)) == 3
     got_pos = {r.id for r in lake.read_table(spark, pos).collect()}
     assert got_pos == {f"doc{k:04d}" for k in range(390)}
+
+
+def test_manifest_parts_content_addressed_carry(spark, tmp_path, monkeypatch):
+    """Beyond the inline threshold, manifests point at content-addressed
+    PART slabs grouped by (commit uuid, partition). A mutation touching
+    one partition reuses the untouched groups' slabs BY NAME (identical
+    content → identical sha → zero metadata rewritten for them) — the
+    property that keeps commit metadata cost O(changed groups) at 10⁶
+    files. Reads, time travel, pruning, and vacuum all resolve through
+    the slabs."""
+    import os
+
+    monkeypatch.setattr(lake, "_PART_INLINE_MAX", 4)
+    path = str(tmp_path / "parts")
+    df = spark.createDataFrame(
+        [(k, k * 10, k % 4) for k in range(400)], "k long, v long, p long"
+    )
+    lake.write_table(df.repartition(3, "k"), path, partition_by="p")
+    m0 = lake._m_load(path, 0)
+    assert "files" not in m0 and len(m0["parts"]) == 4, "4 partition groups"
+    # read resolves through slabs
+    got0 = {(r.k, r.v) for r in lake.read_table(spark, path).collect()}
+    assert got0 == {(k, k * 10) for k in range(400)}
+
+    # touch ONE partition: p=1 keys only
+    upd = spark.createDataFrame(
+        [(1, 111, 1), (5, 555, 1)], "k long, v long, p long"
+    )
+    lake.merge_upsert(spark, path, upd, keys=["k"])
+    m1 = lake._m_load(path, 1)
+    shared = set(m0["parts"]) & set(m1["parts"])
+    assert len(shared) == 3, "3 untouched groups carried by slab NAME"
+    got1 = {(r.k, r.v) for r in lake.read_table(spark, path).collect()}
+    want = {(k, 111 if k == 1 else 555 if k == 5 else k * 10)
+            for k in range(400)}
+    assert got1 == want
+    # time travel still resolves v0's slabs
+    assert {(r.k, r.v) for r in
+            lake.read_table(spark, path, version=0).collect()} == got0
+
+    # reader pruning works from slab-resolved entries
+    pr = lake.scan_table(spark, path, partitions={"p": 2})
+    assert {r.k for r in pr.collect()} == {k for k in range(400) if k % 4 == 2}
+    assert len(set(pr.inputFiles())) < len(
+        set(lake.read_table(spark, path).inputFiles())
+    )
+
+    # vacuum: v0-only slabs and files are collected, shared slabs kept
+    mdir = os.path.join(path, "_manifests")
+    lake.vacuum(path, keep_last=1)
+    left = {n for n in os.listdir(mdir) if n.startswith("part-")}
+    assert left == set(m1["parts"]), "only the head's slabs survive"
+    assert {(r.k, r.v) for r in
+            lake.read_table(spark, path).collect()} == want
+
+
+def test_manifest_parts_in_catalog_txn(spark, tmp_path, monkeypatch):
+    """Catalog transactions assemble the same part-slab manifests; the
+    idempotent replay and conflict paths are layout-independent."""
+    from spype_spark.catalog import Catalog
+
+    monkeypatch.setattr(lake, "_PART_INLINE_MAX", 4)
+    cat = Catalog(str(tmp_path / "pc"))
+    df = spark.createDataFrame(
+        [(k, k * 10, k % 3) for k in range(300)], "k long, v long, p long"
+    )
+    with cat.transaction(spark) as t:
+        t.write(df.repartition(2, "k"), "t", partition_by="p")
+    p = cat.table_path("t")
+    m0 = lake._m_load(p, cat.state()["t"])
+    assert "parts" in m0
+    with cat.transaction(spark) as t:
+        t.merge_upsert(
+            "t",
+            spark.createDataFrame([(0, 999, 0)], "k long, v long, p long"),
+            keys=["k"],
+        )
+    m1 = lake._m_load(p, cat.state()["t"])
+    assert set(m0["parts"]) & set(m1["parts"]), "untouched slabs shared"
+    got = {(r.k, r.v) for r in cat.read(spark, "t").collect()}
+    assert (0, 999) in got and len(got) == 300
