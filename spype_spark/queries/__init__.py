@@ -129,6 +129,7 @@ _DRIVER_PRIORITY = [
     "q_multimodal_audio",
     "q_lake_txn",
     "q_stream_txn_sink",
+    "q_lake_parts_cow",
     "q_pipe_validate",
     "q_tpch_q5",
     "q_pivot",

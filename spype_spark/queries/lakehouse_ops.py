@@ -603,3 +603,47 @@ def q_lake_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_parts_cow",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey < 8000 AND o_orderstatus <> 'F'
+    """,
+)
+def q_lake_parts_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest PART-SLAB copy-on-write at driver-gate scale: the table
+    is written with enough files (~40 per status partition) to keep
+    even the post-delete manifest above the inline threshold, so its manifest is a pointer list over
+    content-addressed slabs grouped by (commit uuid, partition). A
+    DELETE of one partition must carry the untouched partitions' slabs
+    BY NAME — zero metadata rewritten for them — which the contract
+    asserts structurally before returning the surviving rows for the
+    oracle's row-level check.
+    """
+    tmp = _scratch("spype_lake_parts_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(
+            _base(spark, sf_dir).repartition(40),
+            path,
+            partition_by="o_orderstatus",
+        )
+        m0 = lake._m_load(path, 0)
+        if "parts" not in m0:
+            raise AssertionError(
+                f"expected part-slab manifest above the inline threshold, "
+                f"got inline ({len(m0.get('files', []))} files)"
+            )
+        lake.delete_where(spark, path, F.col("o_orderstatus") == "F")
+        m1 = lake._m_load(path, 1)
+        shared = set(m0["parts"]) & set(m1.get("parts", []))
+        if not shared:
+            raise AssertionError(
+                "untouched partitions' slabs must carry by content-address"
+            )
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
