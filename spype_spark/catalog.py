@@ -367,6 +367,7 @@ class Transaction:
         pcols: list[str] | None,
         carry: list[dict],
         base: int | None,
+        deletes: list[dict] | None = None,
     ) -> int:
         """Publish a staged manifest at the next free version slot.
         A slot collision (concurrent stager, or a slot orphaned by a
@@ -379,10 +380,15 @@ class Transaction:
             schema_json = json.loads(df.schema.json())
         else:
             schema_json = lake._m_load(path, base)["schema"]
-        manifest_files = carry + entries
         while True:
             vs = lake._m_versions(path)
             v = (vs[-1] + 1) if vs else 0
+            # new entries carry this slot as their seq (carried entries
+            # keep theirs) — the ordering equality-deletes apply by;
+            # re-stamped each attempt so a slot bump stays consistent
+            for e in entries:
+                e["seq"] = v
+            manifest_files = carry + entries
             if base is not None and not os.path.exists(
                 lake._m_path(path, base)
             ):
@@ -397,7 +403,13 @@ class Transaction:
                     path,
                     v,
                     lake._m_manifest(
-                        path, v, base, schema_json, pcols, manifest_files
+                        path,
+                        v,
+                        base,
+                        schema_json,
+                        pcols,
+                        manifest_files,
+                        deletes=deletes,
                     ),
                 )
             except ConcurrentWriteError:
@@ -437,11 +449,11 @@ class Transaction:
         self._check_open()
         path = self.cat.table_path(name)
         base = self._resolve(name)
-        merged, carry, pcols = lake._m_merge_plan(
+        merged, carry, pcols, dels = lake._m_merge_plan(
             self.spark, path, base, updates, keys, evolve_schema,
             match_condition,
         )
-        v = self._stage(merged, path, pcols, carry, base)
+        v = self._stage(merged, path, pcols, carry, base, deletes=dels)
         self._staged[name] = v
         return v
 
@@ -449,8 +461,55 @@ class Transaction:
         self._check_open()
         path = self.cat.table_path(name)
         base = self._resolve(name)
-        rew, carry, pcols = lake._m_delete_plan(self.spark, path, base, cond)
-        v = self._stage(rew, path, pcols, carry, base)
+        rew, carry, pcols, dels = lake._m_delete_plan(
+            self.spark, path, base, cond
+        )
+        v = self._stage(rew, path, pcols, carry, base, deletes=dels)
+        self._staged[name] = v
+        return v
+
+    def delete_keys(self, name: str, keys_df: DataFrame) -> int:
+        """Merge-on-read equality DELETE through the transaction (see
+        :func:`spype_spark.lakehouse.delete_keys`): records a key file
+        + manifest delete entry, carries every data entry untouched."""
+        self._check_open()
+        import uuid as _uuid
+
+        path = self.cat.table_path(name)
+        base = self._resolve(name)
+        m = lake._m_load(path, base)
+        key_cols = list(keys_df.columns)
+        uid = _uuid.uuid4().hex
+        ddir = os.path.join(path, "data", uid)
+        keys_df.dropDuplicates().coalesce(1).write.parquet(ddir)
+        new_dels = []
+        for root, _dirs, files in os.walk(ddir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    fp = os.path.join(root, fn)
+                    new_dels.append(
+                        {
+                            "path": os.path.relpath(fp, path).replace(
+                                os.sep, "/"
+                            ),
+                            "keys": key_cols,
+                            "rows": lake._m_file_stats(fp)["rows"],
+                        }
+                    )
+        new_dels.sort(key=lambda d: d["path"])
+        carry = lake._m_entries(path, m)
+        # seq = base+1 is valid WHATEVER slot staging lands on: it
+        # exceeds every carried entry's seq (all ≤ base, so the delete
+        # applies to them) and no future commit can stamp entries at or
+        # below it (future slots are > this staged slot ≥ base+1, so
+        # re-inserted keys stay untouched) — the only two ordering
+        # facts the sequence rule needs.
+        deletes = m.get("deletes", []) + [
+            {**d, "seq": base + 1} for d in new_dels
+        ]
+        v = self._stage(
+            None, path, m.get("partition_by"), carry, base, deletes=deletes
+        )
         self._staged[name] = v
         return v
 
@@ -481,10 +540,10 @@ class Transaction:
         self._check_open()
         path = self.cat.table_path(name)
         base = self._resolve(name)
-        rew, carry, pcols = lake._m_range_plan(
+        rew, carry, pcols, dels = lake._m_range_plan(
             self.spark, path, base, col, lo, hi
         )
-        v = self._stage(rew, path, pcols, carry, base)
+        v = self._stage(rew, path, pcols, carry, base, deletes=dels)
         self._staged[name] = v
         return v
 

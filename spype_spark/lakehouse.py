@@ -614,18 +614,24 @@ def _m_manifest(
     schema_json: dict | None,
     pcols: list[str] | None,
     entries: list[dict],
+    deletes: list[dict] | None = None,
 ) -> dict:
     """Assemble a manifest payload: entries inline while the table is
     small (≤ ``_PART_INLINE_MAX`` files — keeps tiny tables one
     object), content-addressed part slabs beyond. Part files are
     unreferenced until the manifest naming them lands, so writing them
-    here needs no atomicity (the standard invisibility argument)."""
+    here needs no atomicity (the standard invisibility argument).
+    ``deletes`` (cumulative equality-delete files, see
+    :func:`delete_keys`) ride inline — they are few by construction
+    (compaction clears them)."""
     man = {
         "version": version,
         "base": base,
         "schema": schema_json,
         "partition_by": pcols,
     }
+    if deletes:
+        man["deletes"] = deletes
     if len(entries) <= _PART_INLINE_MAX:
         man["files"] = entries
     else:
@@ -748,18 +754,31 @@ def _m_commit(
     carry_entries: list[dict],
     base: int | None,
     schema_json: dict | None = None,
+    deletes: list[dict] | None = None,
 ) -> int:
     """Commit one manifest version: write ``df``'s rows as new files
     (``df=None`` → carry-only commit), assemble carried + new entries,
-    publish put-if-absent. On a lost race or a vacuumed base the new
-    data dir is removed and :class:`ConcurrentWriteError` raised — the
-    table is untouched either way."""
+    publish put-if-absent. New entries are stamped with ``seq`` = this
+    version (the ordering equality-deletes apply by); carried entries
+    keep theirs. ``deletes`` is the FULL cumulative equality-delete
+    list to record (omit/empty → none). On a lost race or a vacuumed
+    base the new data dir is removed and
+    :class:`ConcurrentWriteError` raised — the table is untouched
+    either way."""
     datadir, entries = (None, [])
     if df is not None:
         datadir, entries = _m_write_files(df, path, pcols)
+        for e in entries:
+            e["seq"] = version
         schema_json = json.loads(df.schema.json())
     manifest = _m_manifest(
-        path, version, base, schema_json, pcols, carry_entries + entries
+        path,
+        version,
+        base,
+        schema_json,
+        pcols,
+        carry_entries + entries,
+        deletes=deletes,
     )
     # Stale-base guard: if retention collected our base manifest while
     # we were writing, the carried entries may reference files the GC
@@ -785,18 +804,58 @@ def _m_commit(
 
 
 def _m_read(spark: SparkSession, path: str, version: int) -> DataFrame:
+    m = _m_load(path, version)
+    return _m_apply_deletes(spark, path, _m_entries(path, m), m)
+
+
+def _m_apply_deletes(
+    spark: SparkSession, path: str, entries: list[dict], m: dict
+) -> DataFrame:
+    """DataFrame over ``entries`` with the manifest's equality-delete
+    files applied by the SEQUENCE rule: a delete (seq = the version
+    that recorded it) filters only data entries with a SMALLER seq.
+    That is what lets a MERGE re-insert a previously deleted key
+    without the old tombstone swallowing the new row — rewritten and
+    inserted files get the new commit's seq, so no earlier delete can
+    touch them (Iceberg's sequence-number semantics).
+
+    Execution shape: entries group by their seq (≤ one group per
+    commit since the last compaction); each group anti-joins the
+    BROADCAST key files whose seq exceeds it. No shuffle — the scan
+    plan stays a union of filtered file reads.
+
+    Explicit leaf-file reads throughout: no partition discovery
+    (partition columns are IN the files), explicit schema (absent
+    columns — pre-evolution carried files — read as NULL, which is
+    exactly Delta/Iceberg schema-on-read evolution)."""
     from pyspark.sql.types import StructType
 
-    m = _m_load(path, version)
     schema = StructType.fromJson(m["schema"])
-    files = [os.path.join(path, e["path"]) for e in _m_entries(path, m)]
-    if not files:
+    if not entries:
         return spark.createDataFrame([], schema)
-    # Explicit leaf-file reads: no partition discovery (partition
-    # columns are IN the files), explicit schema (absent columns —
-    # pre-evolution carried files — read as NULL, which is exactly
-    # Delta/Iceberg schema-on-read evolution).
-    return spark.read.schema(schema).parquet(*files)
+    dels = m.get("deletes", [])
+
+    def _read(paths):
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(path, p) for p in paths]
+        )
+
+    if not dels:
+        return _read([e["path"] for e in entries])
+    groups: dict[int, list[str]] = {}
+    for e in entries:
+        groups.setdefault(e.get("seq", 0), []).append(e["path"])
+    out = None
+    for s in sorted(groups):
+        df = _read(groups[s])
+        for d in dels:
+            if d["seq"] > s:
+                kdf = spark.read.parquet(
+                    os.path.join(path, d["path"])
+                ).select(*d["keys"])
+                df = df.join(F.broadcast(kdf), d["keys"], "left_anti")
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def _m_entry_key(entry: dict, pcols: list[str]) -> tuple:
@@ -897,10 +956,12 @@ def _m_merge_upsert(
     the possibly-matching files — and carry-over is an entry copy into
     the new manifest (no link, no data read, no rename)."""
     base = latest_version(path)
-    merged, carry, pcols = _m_merge_plan(
+    merged, carry, pcols, dels = _m_merge_plan(
         spark, path, base, updates, keys, evolve_schema, match_condition
     )
-    return _m_commit(merged, path, base + 1, pcols, carry, base=base)
+    return _m_commit(
+        merged, path, base + 1, pcols, carry, base=base, deletes=dels
+    )
 
 
 def _m_merge_plan(
@@ -955,15 +1016,17 @@ def _m_merge_plan(
                 if split is not None:
                     links, rewrite_entries = split
                     carry = carry + links
-            tgt = _m_read_entries(spark, path, rewrite_entries, m["schema"])
+            tgt = _m_apply_deletes(spark, path, rewrite_entries, m)
     merged = _merged_frame(tgt, updates, keys, evolve_schema, match_condition)
-    return merged, carry or [], pcols
+    return merged, carry or [], pcols, m.get("deletes", [])
 
 
 def _m_delete_where(spark: SparkSession, path: str, cond) -> int:
     base = latest_version(path)
-    rew, carry, pcols = _m_delete_plan(spark, path, base, cond)
-    return _m_commit(rew, path, base + 1, pcols, carry, base=base)
+    rew, carry, pcols, dels = _m_delete_plan(spark, path, base, cond)
+    return _m_commit(
+        rew, path, base + 1, pcols, carry, base=base, deletes=dels
+    )
 
 
 def _m_delete_plan(
@@ -985,19 +1048,21 @@ def _m_delete_plan(
         plan = _m_cow_entries(_m_entries(path, m), pcols, touched)
         if plan is not None:
             carry, touched_entries = plan
-            rew = _m_read_entries(
-                spark, path, touched_entries, m["schema"]
+            rew = _m_apply_deletes(
+                spark, path, touched_entries, m
             ).filter(keep)
-            return rew, carry, pcols
-    return tgt.filter(keep), [], pcols
+            return rew, carry, pcols, m.get("deletes", [])
+    return tgt.filter(keep), [], pcols, m.get("deletes", [])
 
 
 def _m_delete_range(
     spark: SparkSession, path: str, col: str, lo, hi
 ) -> int:
     base = latest_version(path)
-    rew, carry, pcols = _m_range_plan(spark, path, base, col, lo, hi)
-    return _m_commit(rew, path, base + 1, pcols, carry, base=base)
+    rew, carry, pcols, dels = _m_range_plan(spark, path, base, col, lo, hi)
+    return _m_commit(
+        rew, path, base + 1, pcols, carry, base=base, deletes=dels
+    )
 
 
 def _m_range_plan(
@@ -1014,10 +1079,10 @@ def _m_range_plan(
         return _m_delete_plan(spark, path, base, between)
     carry, rewrite_entries = split
     keep = ~F.coalesce(between, F.lit(False))
-    rew = _m_read_entries(spark, path, rewrite_entries, m["schema"]).filter(
+    rew = _m_apply_deletes(spark, path, rewrite_entries, m).filter(
         keep
     )
-    return rew, carry, pcols
+    return rew, carry, pcols, m.get("deletes", [])
 
 
 def _m_vacuum(path: str, keep_last: int) -> list[int]:
@@ -1048,6 +1113,7 @@ def _m_gc_files(path: str) -> None:
         try:
             m = _m_load(path, v)
             referenced |= {e["path"] for e in _m_entries(path, m)}
+            referenced |= {d["path"] for d in m.get("deletes", [])}
             ref_parts |= set(m.get("parts", []))
         except FileNotFoundError:
             continue
@@ -1164,7 +1230,7 @@ def scan_table(
         split = _m_stats_split(entries, c, lo, hi)
         if split is not None:
             _skippable, entries = split
-    return _residual(_m_read_entries(spark, path, entries, m["schema"]))
+    return _residual(_m_apply_deletes(spark, path, entries, m))
 
 
 def _merged_frame(
@@ -1368,6 +1434,73 @@ def delete_where(spark: SparkSession, path: str, cond) -> int:
                 carry_rels=cow[0],
             )
     return _write_next(tgt.filter(keep), path, base=base, partition_by=pcols)
+
+
+def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame) -> int:
+    """MERGE-ON-READ equality DELETE: remove every row whose key tuple
+    appears in ``keys_df`` (its column set IS the key) by recording a
+    small delete file — Delta's deletion vectors / Iceberg's equality
+    deletes re-expressed in this manifest protocol.
+
+    No data file is read or rewritten: the commit writes ONE parquet
+    of distinct key tuples, carries every data entry untouched, and
+    appends a delete record ``{path, keys, seq}`` to the manifest.
+    Mutation cost is O(deleted keys) — at 100 TB a GDPR-style
+    scattered-key purge costs kilobytes where copy-on-write
+    :func:`delete_where` would rewrite every file that holds one
+    matched row. Readers apply deletes by SEQUENCE: a delete filters
+    only data files from OLDER commits, so a later MERGE re-inserting
+    a deleted key is not swallowed by the old tombstone. Read overhead
+    is one broadcast anti-join per pending delete file;
+    :func:`compact` materializes and clears them (the read/write
+    trade every merge-on-read format documents). NULL-keyed rows are
+    never matched (SQL anti-join semantics). Posix tables fall back
+    to the copy-on-write anti-join rewrite (same result, no sidecar).
+    """
+    key_cols = list(keys_df.columns)
+    kd = keys_df.dropDuplicates()
+    if not _is_manifest_table(path):
+        base = latest_version(path)
+        tgt = read_table(spark, path, version=base)
+        rew = tgt.join(F.broadcast(kd), key_cols, "left_anti")
+        return _write_next(
+            rew,
+            path,
+            base=base,
+            partition_by=table_meta(path).get("partition_by"),
+        )
+    base = latest_version(path)
+    m = _m_load(path, base)
+    uid = uuid.uuid4().hex
+    ddir = os.path.join(path, "data", uid)
+    kd.coalesce(1).write.parquet(ddir)
+    new_dels = []
+    for root, _dirs, files in os.walk(ddir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            new_dels.append(
+                {
+                    "path": os.path.relpath(fp, path).replace(os.sep, "/"),
+                    "keys": key_cols,
+                    "rows": _m_file_stats(fp)["rows"],
+                    "seq": base + 1,
+                }
+            )
+    deletes = m.get("deletes", []) + sorted(
+        new_dels, key=lambda d: d["path"]
+    )
+    return _m_commit(
+        None,
+        path,
+        base + 1,
+        m.get("partition_by"),
+        _m_entries(path, m),
+        base=base,
+        schema_json=m["schema"],
+        deletes=deletes,
+    )
 
 
 def delete_range(

@@ -130,6 +130,7 @@ _DRIVER_PRIORITY = [
     "q_lake_txn",
     "q_stream_txn_sink",
     "q_lake_parts_cow",
+    "q_lake_delete_mor",
     "q_pipe_validate",
     "q_tpch_q5",
     "q_pivot",

@@ -647,3 +647,55 @@ def q_lake_parts_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delete_mor",
+    oracle=_MERGE_ORACLE_CTE
+    + """
+    , dels AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey < 8000 AND o_orderkey % 7 = 0
+    ),
+    after_del AS (
+      SELECT b.* FROM base b ANTI JOIN dels d ON b.o_orderkey = d.o_orderkey
+    )
+    SELECT * FROM upd
+    UNION ALL
+    SELECT a.* FROM after_del a ANTI JOIN upd u ON a.o_orderkey = u.o_orderkey
+    """,
+)
+def q_lake_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ equality DELETE (`delete_keys`): a scattered-key
+    purge (every 7th orderkey — the shape where copy-on-write would
+    rewrite EVERY file) records one small key file and rewrites no
+    data file (asserted in-contract: the data file set is unchanged).
+    A MERGE then re-inserts keys overlapping the purge; the sequence
+    rule must let the new rows through while older files stay
+    filtered. The oracle replays delete-then-merge relationally —
+    row-level proof of both the tombstone and its non-resurrection
+    semantics.
+    """
+    tmp = _scratch("spype_lake_mor_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(
+            _base(spark, sf_dir).repartitionByRange(4, "o_orderkey"), path
+        )
+        keys = (
+            load_table(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderkey") < 8000)
+                & (F.col("o_orderkey") % 7 == 0)
+            )
+            .select("o_orderkey")
+        )
+        lake.delete_keys(spark, path, keys)
+        if lake.data_files(path, 1) != lake.data_files(path, 0):
+            raise AssertionError("MOR delete must rewrite no data file")
+        lake.merge_upsert(
+            spark, path, _updates(spark, sf_dir), keys=["o_orderkey"]
+        )
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -265,6 +265,10 @@ _op = st.one_of(
                         min_size=1, max_size=5),
     ),
     st.tuples(st.just("delete_mod"), st.tuples(st.integers(2, 4), st.integers(0, 3))),
+    st.tuples(
+        st.just("delete_keys"),
+        st.sets(_KEYS, min_size=1, max_size=4),
+    ),
 )
 
 
@@ -308,10 +312,16 @@ def test_lakehouse_random_op_sequences_match_model(
                 for k, (v, ts) in arg.items():
                     if k not in model or ts >= model[k][1]:
                         model[k] = (v, ts)
-            else:
+            elif kind == "delete_mod":
                 m, r = arg
                 lake.delete_where(spark, path, F.col("v") % m == r)
                 model = {k: vt for k, vt in model.items() if vt[0] % m != r}
+            else:  # delete_keys: merge-on-read tombstones (both protos)
+                kd = spark.createDataFrame(
+                    [(k,) for k in sorted(arg)], "k long"
+                )
+                lake.delete_keys(spark, path, kd)
+                model = {k: vt for k, vt in model.items() if k not in arg}
             snapshots.append(dict(model))
         # final state AND every intermediate version via time travel
         for ver, snap in enumerate(snapshots):
@@ -451,10 +461,16 @@ def test_partitioned_lakehouse_sequences_match_model(
                     for k, (v, ts) in arg.items():
                         if k not in model or ts >= model[k][1]:
                             model[k] = (v, ts)
-            else:
+            elif kind == "delete_mod":
                 m, r = arg
                 lake.delete_where(spark, path, F.col("v") % m == r)
                 model = {k: vt for k, vt in model.items() if vt[0] % m != r}
+            else:  # delete_keys: MOR tombstones over a partitioned table
+                kd = spark.createDataFrame(
+                    [(k,) for k in sorted(arg)], "k long"
+                )
+                lake.delete_keys(spark, path, kd)
+                model = {k: vt for k, vt in model.items() if k not in arg}
             snapshots.append(dict(model))
         for ver, snap in enumerate(snapshots):
             got = {
@@ -1155,3 +1171,114 @@ def test_manifest_parts_in_catalog_txn(spark, tmp_path, monkeypatch):
     assert set(m0["parts"]) & set(m1["parts"]), "untouched slabs shared"
     got = {(r.k, r.v) for r in cat.read(spark, "t").collect()}
     assert (0, 999) in got and len(got) == 300
+
+
+def test_delete_keys_merge_on_read_sequence_semantics(spark, tmp_path):
+    """Equality-delete files: DELETE rewrites NO data file; the reader
+    applies tombstones by sequence, so a later MERGE re-inserting a
+    deleted key is not swallowed; a later delete re-kills it; compact
+    materializes and clears; vacuum GCs the spent key files."""
+    path = str(tmp_path / "mor")
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(400)], "k long, v long"
+    )
+    lake.write_table(df.repartitionByRange(4, "k"), path)
+    f0 = lake.data_files(path, 0)
+
+    kd = spark.createDataFrame([(k,) for k in range(10, 21)], "k long")
+    lake.delete_keys(spark, path, kd)
+    assert lake.data_files(path, 1) == f0, "MOR delete rewrites nothing"
+    m1 = lake._m_load(path, 1)
+    assert len(m1["deletes"]) == 1 and m1["deletes"][0]["keys"] == ["k"]
+    got = {r.k for r in lake.read_table(spark, path).collect()}
+    assert got == {k for k in range(400) if not 10 <= k <= 20}
+    # time travel: v0 still has everything
+    assert len({r.k for r in lake.read_table(spark, path, version=0)
+                .collect()}) == 400
+
+    # re-insert a deleted key: the new row's seq exceeds the delete's
+    lake.merge_upsert(
+        spark, path, spark.createDataFrame([(15, 999)], "k long, v long"),
+        keys=["k"],
+    )
+    got2 = {(r.k, r.v) for r in lake.read_table(spark, path).collect()}
+    assert (15, 999) in got2, "old tombstone must not swallow the re-insert"
+    assert (10, 100) not in got2, "other deleted keys stay deleted"
+
+    # a second delete layers on top and kills the re-inserted row
+    lake.delete_keys(
+        spark, path, spark.createDataFrame([(15,)], "k long")
+    )
+    got3 = {r.k for r in lake.read_table(spark, path).collect()}
+    assert 15 not in got3
+
+    # pruned reader scan applies pending deletes too
+    rng = lake.scan_table(spark, path, ranges={"k": (0, 50)})
+    assert {r.k for r in rng.collect()} == {
+        k for k in range(51) if not 10 <= k <= 20
+    }
+
+    # compaction materializes: deletes cleared, content identical
+    lake.compact(spark, path, target_files=2)
+    mc = lake._m_load(path, lake.latest_version(path))
+    assert "deletes" not in mc
+    got4 = {r.k for r in lake.read_table(spark, path).collect()}
+    assert got4 == got3
+    # vacuum: the spent key files are no longer referenced
+    import os as _os
+
+    lake.vacuum(path, keep_last=1)
+    remaining = []
+    for root, _d, files in _os.walk(_os.path.join(path, "data")):
+        remaining += [f for f in files if f.endswith(".parquet")]
+    assert len(remaining) == 2, "only the compacted data files survive"
+    assert {r.k for r in lake.read_table(spark, path).collect()} == got4
+
+
+def test_delete_keys_posix_fallback_and_multi_key(spark, tmp_path):
+    """Posix tables fall back to the anti-join rewrite (same rows);
+    multi-column key tuples match as tuples, not independently."""
+    pos = str(tmp_path / "mor_posix")
+    df = spark.createDataFrame(
+        [(k, k % 3, k * 10) for k in range(100)], "a long, b long, v long"
+    )
+    lake.write_table(df, pos, protocol="posix")
+    kd = spark.createDataFrame([(1, 1), (2, 2)], "a long, b long")
+    lake.delete_keys(spark, pos, kd)
+    got = {(r.a, r.b) for r in lake.read_table(spark, pos).collect()}
+    assert (1, 1) not in got and (2, 2) not in got
+    assert (1, 0) not in df.columns  # noqa: just clarity
+    assert (4, 1) in got and (5, 2) in got, "tuple match, not per-column"
+
+    # manifest table, same multi-key semantics via the MOR path
+    man = str(tmp_path / "mor_multi")
+    lake.write_table(df, man)
+    lake.delete_keys(spark, man, kd)
+    got_m = {(r.a, r.b) for r in lake.read_table(spark, man).collect()}
+    assert got_m == got
+
+
+def test_txn_delete_keys_through_catalog(spark, tmp_path):
+    """MOR delete staged in a transaction; a later txn's merge
+    re-insert survives (staged entries are seq-stamped)."""
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "morcat"))
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(50)], "k long, v long"
+    )
+    with cat.transaction(spark) as t:
+        t.write(df, "t")
+    with cat.transaction(spark) as t:
+        t.delete_keys("t", spark.createDataFrame([(7,), (8,)], "k long"))
+    got = {r.k for r in cat.read(spark, "t").collect()}
+    assert got == set(range(50)) - {7, 8}
+    with cat.transaction(spark) as t:
+        t.merge_upsert(
+            "t", spark.createDataFrame([(7, 700)], "k long, v long"),
+            keys=["k"],
+        )
+    got2 = {(r.k, r.v) for r in cat.read(spark, "t").collect()}
+    assert (7, 700) in got2 and all(k != 8 for k, _ in got2)
+    # cross-table time travel still exact at the delete txn
+    assert {r.k for r in cat.read(spark, "t", txn=1).collect()} == got
