@@ -468,6 +468,19 @@ class Transaction:
         self._staged[name] = v
         return v
 
+    def update_where(self, name: str, cond, assignments: dict) -> int:
+        """SQL UPDATE through the transaction (see
+        :func:`spype_spark.lakehouse.update_where`)."""
+        self._check_open()
+        path = self.cat.table_path(name)
+        base = self._resolve(name)
+        rew, carry, pcols, dels = lake._m_update_plan(
+            self.spark, path, base, cond, assignments
+        )
+        v = self._stage(rew, path, pcols, carry, base, deletes=dels)
+        self._staged[name] = v
+        return v
+
     def delete_keys(self, name: str, keys_df: DataFrame) -> int:
         """Merge-on-read equality DELETE through the transaction (see
         :func:`spype_spark.lakehouse.delete_keys`): records a key file

@@ -1436,6 +1436,104 @@ def delete_where(spark: SparkSession, path: str, cond) -> int:
     return _write_next(tgt.filter(keep), path, base=base, partition_by=pcols)
 
 
+def _updated_frame(df: DataFrame, cond, assignments: dict) -> DataFrame:
+    """Rows matching ``cond`` get ``assignments`` applied; the rest
+    pass through. All right-hand sides see the PRE-update values
+    (simultaneous assignment, SQL UPDATE semantics — a single select,
+    not chained withColumn). NULL-evaluating predicates don't match."""
+    from pyspark.sql import Column
+
+    unknown = [c for c in assignments if c not in df.columns]
+    if unknown:
+        raise ValueError(f"UPDATE of unknown column(s) {unknown}")
+    hit = F.coalesce(cond, F.lit(False))
+    repl = {
+        c: F.when(hit, e if isinstance(e, Column) else F.lit(e)).otherwise(
+            F.col(c)
+        )
+        for c, e in assignments.items()
+    }
+    return df.select(
+        *[repl[c].alias(c) if c in repl else F.col(c) for c in df.columns]
+    )
+
+
+def update_where(
+    spark: SparkSession, path: str, cond, assignments: dict
+) -> int:
+    """SQL ``UPDATE … SET … WHERE`` via copy-on-write: rows matching
+    ``cond`` get ``assignments`` (column → Column expression or
+    literal; right-hand sides see pre-update values) and everything
+    else carries over — on a partitioned table only partitions holding
+    matched rows rewrite (manifest: by entry reference; posix: by
+    hardlink), the same COW planning as :func:`delete_where`. An
+    assignment MAY write a partition column; the updated rows simply
+    land in their new partition's files while the sources rewrite.
+    Returns the new version."""
+    if _is_manifest_table(path):
+        base = latest_version(path)
+        rew, carry, pcols, dels = _m_update_plan(
+            spark, path, base, cond, assignments
+        )
+        return _m_commit(
+            rew, path, base + 1, pcols, carry, base=base, deletes=dels
+        )
+    base = latest_version(path)
+    tgt = read_table(spark, path, version=base)
+    hit = F.coalesce(cond, F.lit(False))
+    pcols = table_meta(path).get("partition_by")
+    if pcols is not None:
+        touched = {
+            tuple(r)
+            # metadata-sized collect: partitions containing matched rows
+            for r in tgt.filter(hit).select(*pcols).distinct().collect()
+        }
+        cow = _cow_plan(path, base, pcols, touched)
+        if cow is not None:
+            return _write_next(
+                _updated_frame(tgt.filter(cow[1]), cond, assignments),
+                path,
+                base=base,
+                partition_by=pcols,
+                carry_from=_snapshot_dir(path, base),
+                carry_rels=cow[0],
+            )
+    return _write_next(
+        _updated_frame(tgt, cond, assignments),
+        path,
+        base=base,
+        partition_by=pcols,
+    )
+
+
+def _m_update_plan(
+    spark: SparkSession, path: str, base: int, cond, assignments: dict
+) -> tuple[DataFrame, list[dict], list[str] | None, list[dict]]:
+    """Plan a manifest UPDATE against an explicit base version (see
+    :func:`_m_merge_plan` for why plans take a base)."""
+    m = _m_load(path, base)
+    pcols = m.get("partition_by")
+    tgt = _m_read(spark, path, base)
+    hit = F.coalesce(cond, F.lit(False))
+    dels = m.get("deletes", [])
+    if pcols:
+        touched = {
+            tuple(r)
+            # metadata-sized collect: partitions containing matched rows
+            for r in tgt.filter(hit).select(*pcols).distinct().collect()
+        }
+        plan = _m_cow_entries(_m_entries(path, m), pcols, touched)
+        if plan is not None:
+            carry, touched_entries = plan
+            rew = _updated_frame(
+                _m_apply_deletes(spark, path, touched_entries, m),
+                cond,
+                assignments,
+            )
+            return rew, carry, pcols, dels
+    return _updated_frame(tgt, cond, assignments), [], pcols, dels
+
+
 def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame) -> int:
     """MERGE-ON-READ equality DELETE: remove every row whose key tuple
     appears in ``keys_df`` (its column set IS the key) by recording a

@@ -131,6 +131,7 @@ _DRIVER_PRIORITY = [
     "q_stream_txn_sink",
     "q_lake_parts_cow",
     "q_lake_delete_mor",
+    "q_lake_update",
     "q_pipe_validate",
     "q_tpch_q5",
     "q_pivot",

@@ -699,3 +699,41 @@ def q_lake_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_update",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderstatus = 'F' AND o_totalprice < 100000
+                THEN o_totalprice * 1.5 ELSE o_totalprice END
+             AS o_totalprice,
+           CASE WHEN o_orderstatus = 'F' AND o_totalprice < 100000
+                THEN 'R' ELSE o_orderstatus END AS o_orderstatus
+    FROM orders WHERE o_orderkey < 8000
+    """,
+)
+def q_lake_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``UPDATE … SET … WHERE`` over the versioned table: matched
+    rows get simultaneous assignments (every right-hand side reads the
+    PRE-update value — note the oracle's price CASE keys on the OLD
+    status), unmatched rows carry over by copy-on-write. The oracle
+    replays the UPDATE as projection CASEs.
+    """
+    tmp = _scratch("spype_lake_upd_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir), path)
+        lake.update_where(
+            spark,
+            path,
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_totalprice") < 100000),
+            {
+                "o_totalprice": F.col("o_totalprice") * 1.5,
+                "o_orderstatus": F.lit("R"),
+            },
+        )
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

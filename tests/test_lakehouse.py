@@ -1282,3 +1282,61 @@ def test_txn_delete_keys_through_catalog(spark, tmp_path):
     assert (7, 700) in got2 and all(k != 8 for k, _ in got2)
     # cross-table time travel still exact at the delete txn
     assert {r.k for r in cat.read(spark, "t", txn=1).collect()} == got
+
+
+def test_update_where_both_protocols_and_txn(spark, tmp_path):
+    """UPDATE … SET … WHERE: simultaneous assignment (RHS sees
+    pre-update values — the classic swap test), NULL predicates don't
+    match, partition-COW carries untouched partitions, partition-column
+    updates move rows, and the catalog txn path matches."""
+    from spype_spark.catalog import Catalog
+
+    for proto in ("manifest", "posix"):
+        path = str(tmp_path / f"upd_{proto}")
+        df = spark.createDataFrame(
+            [(1, 10, 20, 0), (2, 30, 40, 1), (3, None, 60, 0)],
+            "k long, a long, b long, p long",
+        )
+        lake.write_table(df, path, partition_by="p", protocol=proto)
+        # swap a and b where a > 5: RHS must read PRE-update values
+        lake.update_where(
+            spark, path, F.col("a") > 5,
+            {"a": F.col("b"), "b": F.col("a")},
+        )
+        got = {(r.k, r.a, r.b) for r in lake.read_table(spark, path).collect()}
+        assert got == {(1, 20, 10), (2, 40, 30), (3, None, 60)}, proto
+        # NULL predicate row (k=3, a NULL) untouched; time travel intact
+        assert {(r.k, r.a) for r in
+                lake.read_table(spark, path, version=0).collect()} == {
+            (1, 10), (2, 30), (3, None)
+        }
+
+    # manifest: only the touched partition's entries rewrite
+    path = str(tmp_path / "upd_cow")
+    big = spark.createDataFrame(
+        [(k, k, k % 3) for k in range(90)], "k long, v long, p long"
+    )
+    lake.write_table(big, path, partition_by="p")
+    lake.update_where(
+        spark, path, (F.col("p") == 1) & (F.col("k") < 10), {"v": F.lit(-1)}
+    )
+    f0 = {e["path"] for e in lake._m_entries(path, lake._m_load(path, 0))}
+    f1 = {e["path"] for e in lake._m_entries(path, lake._m_load(path, 1))}
+    assert f0 & f1, "untouched partitions carried by reference"
+    got = {(r.k, r.v) for r in lake.read_table(spark, path).collect()}
+    assert got == {(k, -1 if (k % 3 == 1 and k < 10) else k)
+                   for k in range(90)}
+
+    # partition-column update moves rows across partitions
+    lake.update_where(spark, path, F.col("k") == 4, {"p": F.lit(2)})
+    moved = [r for r in lake.read_table(spark, path).collect() if r.k == 4]
+    assert len(moved) == 1 and moved[0].p == 2
+
+    # catalog transaction path
+    cat = Catalog(str(tmp_path / "updcat"))
+    with cat.transaction(spark) as t:
+        t.write(big, "t", partition_by="p")
+    with cat.transaction(spark) as t:
+        t.update_where("t", F.col("k") >= 85, {"v": F.col("v") * 100})
+    got_c = {(r.k, r.v) for r in cat.read(spark, "t").collect()}
+    assert got_c == {(k, k * 100 if k >= 85 else k) for k in range(90)}
