@@ -59,10 +59,12 @@ _DRIVER_PRIORITY = [
     # with zero driver history; then (b) the other 7 lakehouse keys
     # (last driver rows r4 — and the whole lakehouse commit layer is
     # reworked this round for the manifest/object-store path, so fresh
-    # driver rows matter most); then (c) 34 of the remaining 37 keys
-    # whose last driver rows are r4. Spilled to the post-window queue:
-    # q_tpch_q5 (independently exercised by the driver's per-round
-    # bench run), q_pivot, q_unpivot (trivial plans, pytest-pinned).
+    # driver rows matter most); then (b') the six second-session
+    # zero-history keys; then (c) 28 of the remaining r4-evidence
+    # keys. Spilled to the post-window queue: six r4 keys with
+    # pytest-pinned trivial plans, plus q_tpch_q5 (independently
+    # exercised by the driver's per-round bench run), q_pivot,
+    # q_unpivot.
     # Group A - stale evidence (9):
     "q_udf_python",
     "q_udf_pandas",
@@ -82,12 +84,19 @@ _DRIVER_PRIORITY = [
     "q_lake_schema_evolution",
     "q_lake_diff",
     "q_lake_history",
-    # Group C - remaining r4-evidence keys (34 of 37):
+    # Group B' - the round-8 second-session additions with ZERO driver
+    # history (multi-table txns, exactly-once sink, slab manifests,
+    # MOR deletes, UPDATE, the WAV codec) — never-checked keys outrank
+    # r4-stale ones; six Group-C keys spill to the round-9 queue:
+    "q_lake_txn",
+    "q_stream_txn_sink",
+    "q_lake_parts_cow",
+    "q_lake_delete_mor",
+    "q_lake_update",
+    "q_multimodal_audio",
+    # Group C - remaining r4-evidence keys (28 of 37):
     "q_sink_parquet_roundtrip",
     "q_multimodal_framesample",
-    "q_sink_csv_roundtrip",
-    "q_sink_orc_roundtrip",
-    "q_source_binaryfile",
     "q_sink_partitioned_write",
     "q_subquery_scalar",
     "q_subquery_in",
@@ -95,9 +104,7 @@ _DRIVER_PRIORITY = [
     "q_null_handling",
     "q_subquery_lateral",
     "q_recursive_cte",
-    "q_sample_seeded",
     "q_join_bucketed",
-    "q_agg_histogram",
     "q_agg_grouping_id",
     "q_profile_stats",
     "q_agg_approx_distinct",
@@ -112,7 +119,6 @@ _DRIVER_PRIORITY = [
     "q_text_pii_redact",
     "q_dataset_mix_weighted",
     "q_sim_cosine_tiled",
-    "q_multimodal_meta",
     "q_multimodal_decode",
     "q_skew_salted_agg",
     "q_agg_approx_percentile",
@@ -121,17 +127,17 @@ _DRIVER_PRIORITY = [
     # round-9 queue with the other displaced keys.
     "q_lake_scan_pruned",
     # ---- end of the 50-slot window ----
-    # Round-9 queue: first the zero-driver-history round-8 addition
-    # (q_multimodal_audio, added after the window filled), then the
-    # displaced r4 keys, then the r5-evidence keys in registration
-    # order (the registry fallback below handles everything not named
-    # here).
-    "q_multimodal_audio",
-    "q_lake_txn",
-    "q_stream_txn_sink",
-    "q_lake_parts_cow",
-    "q_lake_delete_mor",
-    "q_lake_update",
+    # Round-9 queue: first the six r4-evidence keys displaced by the
+    # zero-history Group B' block (roundtrip sinks and trivial plans,
+    # all pytest-pinned), then the earlier displacements, then the
+    # r5-evidence keys in registration order (the registry fallback
+    # below handles everything not named here).
+    "q_sink_csv_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_source_binaryfile",
+    "q_sample_seeded",
+    "q_agg_histogram",
+    "q_multimodal_meta",
     "q_pipe_validate",
     "q_tpch_q5",
     "q_pivot",
