@@ -1786,3 +1786,39 @@ def history(spark: SparkSession, path: str) -> DataFrame:
     """Table history as a DataFrame: (version, n_files)."""
     rows = [(v, len(data_files(path, v))) for v in versions(path)]
     return spark.createDataFrame(rows, "version int, n_files int")
+
+
+def changes(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    v_from: int | None = None,
+    v_to: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED over a version range: one row per key change
+    per version step — Delta's ``table_changes(from, to)`` derived
+    from the snapshot chain. For each step v→v+1 in (``v_from``,
+    ``v_to``] the step's :func:`table_diff` rows are emitted with a
+    ``version`` column (the version that introduced the change), so a
+    downstream consumer can replay the table's evolution or resume
+    incrementally from its last-seen version — the batch-incremental
+    consumption pattern a streaming reader of the table checkpoints
+    by. Defaults: the full committed range. Steps whose schema changed
+    are diffed on the common projection of ``keys`` plus shared
+    columns only when schemas match; a schema-evolution step raises
+    (choose the projection explicitly via :func:`table_diff`)."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    lo = vs[0] if v_from is None else v_from
+    hi = vs[-1] if v_to is None else v_to
+    span = [v for v in vs if lo <= v <= hi]
+    if len(span) < 2:
+        raise ValueError(f"need at least two versions in [{lo}, {hi}]")
+    out = None
+    for a, b in zip(span, span[1:]):
+        step = table_diff(spark, path, a, b, keys).withColumn(
+            "version", F.lit(b).cast("long")
+        )
+        out = step if out is None else out.unionByName(step)
+    return out

@@ -132,6 +132,7 @@ _DRIVER_PRIORITY = [
     # all pytest-pinned), then the earlier displacements, then the
     # r5-evidence keys in registration order (the registry fallback
     # below handles everything not named here).
+    "q_lake_cdf",
     "q_sink_csv_roundtrip",
     "q_sink_orc_roundtrip",
     "q_source_binaryfile",

@@ -583,6 +583,7 @@ def q_lake_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "orders_t", _updates(spark, sf_dir), keys=["o_orderkey"]
             )
             txn.delete_where("cust_t", F.col("c_acctbal") < 1000.0)
+        # metadata-sized collect: one row per committed txn record
         hist = cat.history(spark).collect()
         if [
             (r.txn, sorted(r.changed)) for r in sorted(hist, key=lambda r: r.txn)
@@ -735,5 +736,50 @@ def q_lake_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         )
         return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_cdf",
+    oracle=_MERGE_ORACLE_CTE
+    + """
+    , merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+    ),
+    step1 AS (
+      SELECT u.o_orderkey,
+             CASE WHEN b.o_orderkey IS NULL THEN 'insert' ELSE 'update' END
+               AS op,
+             1 AS version
+      FROM upd u LEFT JOIN base b ON u.o_orderkey = b.o_orderkey
+    ),
+    step2 AS (
+      SELECT o_orderkey, 'delete' AS op, 2 AS version
+      FROM merged WHERE o_orderstatus = 'F'
+    )
+    SELECT * FROM step1 UNION ALL SELECT * FROM step2
+    """,
+)
+def q_lake_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED across a version chain: MERGE then DELETE,
+    then ``changes(v0..v2)`` emits one (key, op, version) row per
+    change per step — inserts/updates at v1, deletes at v2. The
+    oracle recomputes both steps' change sets relationally (an update
+    row's values differ by construction: price +1000, status 'U'), so
+    the hash pins the derived feed exactly.
+    """
+    tmp = _scratch("spype_lake_cdf_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir), path)
+        lake.merge_upsert(
+            spark, path, _updates(spark, sf_dir), keys=["o_orderkey"]
+        )
+        lake.delete_where(spark, path, F.col("o_orderstatus") == "F")
+        feed = lake.changes(spark, path, keys=["o_orderkey"])
+        return feed.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1340,3 +1340,26 @@ def test_update_where_both_protocols_and_txn(spark, tmp_path):
         t.update_where("t", F.col("k") >= 85, {"v": F.col("v") * 100})
     got_c = {(r.k, r.v) for r in cat.read(spark, "t").collect()}
     assert got_c == {(k, k * 100 if k >= 85 else k) for k in range(90)}
+
+
+def test_changes_cdf_over_version_chain(spark, tmp_path):
+    """changes(): per-step diff rows with the introducing version;
+    resuming from a later v_from yields exactly the tail."""
+    path = str(tmp_path / "cdf")
+    lake.write_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"), path
+    )
+    lake.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, s string"),
+        keys=["k"],
+    )
+    lake.delete_where(spark, path, F.col("k") == 1)
+    got = {(r.k, r.op, r.version)
+           for r in lake.changes(spark, path, keys=["k"]).collect()}
+    assert got == {(2, "update", 1), (3, "insert", 1), (1, "delete", 2)}
+    tail = {(r.k, r.op, r.version)
+            for r in lake.changes(spark, path, ["k"], v_from=1).collect()}
+    assert tail == {(1, "delete", 2)}
+    with pytest.raises(ValueError, match="two versions"):
+        lake.changes(spark, path, ["k"], v_from=2)
