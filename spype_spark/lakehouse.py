@@ -550,7 +550,14 @@ def _m_part_key(entry: dict) -> str:
     actually rewrites one of its files — which is exactly when its
     part must be rewritten anyway."""
     seg = entry["path"].split("/")
-    uid = seg[1] if len(seg) > 1 and seg[0] == "data" else seg[0]
+    # the commit-uuid dir follows the LAST "data" path segment; handles
+    # both root-relative ("data/<uid>/...") and absolute entry paths
+    # (branch manifests reference parent data by absolute path)
+    uid = seg[0]
+    for i in range(len(seg) - 2, -1, -1):
+        if seg[i] == "data":
+            uid = seg[i + 1]
+            break
     part = ",".join(f"{k}={v}" for k, v in sorted(entry["partition"].items()))
     return f"{uid}|{part}"
 
@@ -1103,18 +1110,64 @@ def _m_vacuum(path: str, keep_last: int) -> list[int]:
     return drop
 
 
+def _is_branch_root(path: str) -> bool:
+    return os.path.basename(
+        os.path.dirname(os.path.abspath(path))
+    ) == "_branches"
+
+
+def _branch_dirs(path: str) -> list[str]:
+    """Every directory under ``<path>/_branches`` that looks like a
+    branch root (has manifests OR a ref record) — deliberately wider
+    than :func:`list_branches` so GC still sees half-dropped or
+    half-created branches."""
+    bdir = os.path.join(path, "_branches")
+    if not os.path.isdir(bdir):
+        return []
+    out = []
+    for n in sorted(os.listdir(bdir)):
+        b = os.path.join(bdir, n)
+        if os.path.isdir(b):
+            out.append(b)
+    return out
+
+
+def _gc_ref_roots(path: str) -> list[str]:
+    """Every manifest root whose live manifests can reference data
+    files reachable from ``path``'s GC walk: the owning table, all its
+    branches, and — when ``path`` IS a branch — the parent table and
+    sibling branches (a PUBLISHED branch's files are referenced from
+    the parent's manifests, so a branch-local vacuum must not collect
+    them)."""
+    root = os.path.abspath(path)
+    if _is_branch_root(root):
+        root = os.path.dirname(os.path.dirname(root))
+    return [root] + _branch_dirs(root)
+
+
 def _m_gc_files(path: str) -> None:
     """Garbage-collect data files AND manifest part slabs referenced by
     NO surviving manifest of a manifest table (path-refcount GC, shared
-    by table vacuum and :meth:`spype_spark.catalog.Catalog.vacuum`)."""
+    by table vacuum and :meth:`spype_spark.catalog.Catalog.vacuum`).
+    Reference counting is by ABSOLUTE path across the whole branch
+    family (table + branches): a file survives while any live manifest
+    anywhere in the family names it — which is what keeps parent data
+    alive under forked branches and branch data alive after a publish."""
     referenced: set[str] = set()
+    for r in _gc_ref_roots(path):
+        for v in _m_versions(r):
+            try:
+                m = _m_load(r, v)
+            except FileNotFoundError:
+                continue
+            for e in _m_entries(r, m):
+                referenced.add(os.path.abspath(os.path.join(r, e["path"])))
+            for d in m.get("deletes", []):
+                referenced.add(os.path.abspath(os.path.join(r, d["path"])))
     ref_parts: set[str] = set()
     for v in _m_versions(path):
         try:
-            m = _m_load(path, v)
-            referenced |= {e["path"] for e in _m_entries(path, m)}
-            referenced |= {d["path"] for d in m.get("deletes", [])}
-            ref_parts |= set(m.get("parts", []))
+            ref_parts |= set(_m_load(path, v).get("parts", []))
         except FileNotFoundError:
             continue
     mdir = os.path.join(path, "_manifests")
@@ -1125,13 +1178,17 @@ def _m_gc_files(path: str) -> None:
                     os.unlink(os.path.join(mdir, n))
                 except FileNotFoundError:
                     pass
-    datadir = os.path.join(path, "data")
-    if os.path.isdir(datadir):
+    walk_roots = [os.path.abspath(path)]
+    if not _is_branch_root(path):
+        walk_roots += [os.path.abspath(b) for b in _branch_dirs(path)]
+    for wroot in walk_roots:
+        datadir = os.path.join(wroot, "data")
+        if not os.path.isdir(datadir):
+            continue
         for root, _dirs, files in os.walk(datadir, topdown=False):
             for fn in files:
-                fp = os.path.join(root, fn)
-                rel = os.path.relpath(fp, path).replace(os.sep, "/")
-                if fn.endswith(".parquet") and rel not in referenced:
+                fp = os.path.abspath(os.path.join(root, fn))
+                if fn.endswith(".parquet") and fp not in referenced:
                     os.unlink(fp)
             remaining = os.listdir(root)
             # a commit dir whose every data file was collected keeps
@@ -1822,3 +1879,197 @@ def changes(
         )
         out = step if out is None else out.unionByName(step)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Branch refs + write-audit-publish (manifest protocol only)
+#
+# A branch is a FULL manifest-table root under <table>/_branches/<name>/
+# whose fork manifest references the parent's data files by ABSOLUTE
+# path — Iceberg's model exactly: manifests carry full file URIs, which
+# is what lets several metadata roots share one set of immutable data
+# files with zero copies. Because a branch root IS a manifest table,
+# every verb in this module (read_table, scan_table, merge_upsert,
+# delete_where, update_where, delete_keys, delete_range, compact,
+# table_diff, changes, history, vacuum) works on it unchanged; branch
+# mutations write their new data under the branch's own data/ dir and
+# publish put-if-absent in the branch's own manifest chain, completely
+# invisible to readers of the parent (the standard
+# unreferenced-is-invisible argument).
+#
+# The write-audit-publish flow this enables — the way risky mutations
+# should land at 100 TB:
+#     b = create_branch(path, "etl-42")         # metadata-only fork
+#     merge_upsert(spark, b, updates, keys)     # write (invisible)
+#     read_table(spark, b) ... audit queries    # audit
+#     publish_branch(path, "etl-42")            # one conditional PUT
+# Publish is a SQUASH fast-forward: one new parent version whose
+# manifest is the branch head's entry list re-pathed into the parent's
+# namespace — no data is read, copied, or moved, and the single
+# put-if-absent makes the publish atomic: a concurrent parent commit
+# wins the slot and the publish fails whole with ConcurrentWriteError
+# (non-fast-forward; re-branch from the new head and replay).
+#
+# GC stays safe across the family because reference counting is by
+# absolute path over table + all branches (see _m_gc_files): parent
+# data stays pinned while any branch references it, branch data stays
+# pinned after publish while any parent manifest references it.
+# Trade-off (same as Iceberg's absolute URIs): a table with live
+# branches, or one that has absorbed a publish, is not relocatable by
+# directory move.
+
+
+def branch_path(path: str, name: str) -> str:
+    """Filesystem root of branch ``name`` — a full manifest-table path
+    accepted by every verb in this module."""
+    return os.path.join(path, "_branches", name)
+
+
+def list_branches(path: str) -> list[str]:
+    """Names of the table's branches, sorted."""
+    bdir = os.path.join(path, "_branches")
+    if not os.path.isdir(bdir):
+        return []
+    return sorted(
+        n
+        for n in os.listdir(bdir)
+        if os.path.exists(os.path.join(bdir, n, "_branch.json"))
+    )
+
+
+def _branch_fork(path: str, name: str) -> int:
+    bp = os.path.join(branch_path(path, name), "_branch.json")
+    if not os.path.exists(bp):
+        raise FileNotFoundError(f"no branch {name!r} under {path}")
+    with open(bp) as f:
+        return json.load(f)["fork"]
+
+
+def _m_repath(p: str, src_root: str, dst_root: str) -> str:
+    """Re-express a manifest entry path rooted at ``src_root`` for a
+    manifest rooted at ``dst_root``: relative when the file lies under
+    ``dst_root`` (keeps parent manifests tidy and GC-walkable),
+    absolute otherwise (the cross-root share)."""
+    ap = p if os.path.isabs(p) else os.path.abspath(os.path.join(src_root, p))
+    rp = os.path.relpath(ap, os.path.abspath(dst_root))
+    return ap if rp.startswith("..") else rp.replace(os.sep, "/")
+
+
+def _m_repath_manifest(m: dict, src_root: str, dst_root: str) -> tuple[
+    list[dict], list[dict]
+]:
+    """(entries, deletes) of manifest ``m`` with every file path
+    re-expressed for ``dst_root`` (stats/partition/seq preserved)."""
+    entries = [
+        {**e, "path": _m_repath(e["path"], src_root, dst_root)}
+        for e in _m_entries(src_root, m)
+    ]
+    dels = [
+        {**d, "path": _m_repath(d["path"], src_root, dst_root)}
+        for d in m.get("deletes", [])
+    ]
+    return entries, dels
+
+
+def create_branch(
+    path: str, name: str, at_version: int | None = None
+) -> str:
+    """Fork a branch from the table's ``at_version`` (default: head)
+    and return the branch root path. Metadata-only: the branch's v=0
+    manifest lists the fork snapshot's files by reference (absolute
+    paths into the parent); no data is copied. Manifest protocol only;
+    branching a branch is rejected (fork from the table instead)."""
+    if not _is_manifest_table(path):
+        raise ValueError(
+            f"{path} is not a manifest-protocol table (branches need "
+            "manifest commits; posix tables have no ref store)"
+        )
+    if _is_branch_root(path):
+        raise ValueError(
+            f"{path} is itself a branch; fork a new branch from the table"
+        )
+    if not _SAFE_PART_VAL.match(name):
+        raise ValueError(f"branch name {name!r} has path-special characters")
+    fork = latest_version(path) if at_version is None else at_version
+    m = _m_load(path, fork)  # raises if the version isn't committed
+    broot = branch_path(path, name)
+    if os.path.exists(os.path.join(broot, "_branch.json")):
+        raise ValueError(f"branch {name!r} already exists under {path}")
+    entries, dels = _m_repath_manifest(m, path, broot)
+    manifest = _m_manifest(
+        broot,
+        0,
+        None,
+        m["schema"],
+        m.get("partition_by"),
+        entries,
+        deletes=dels or None,
+    )
+    manifest["fork"] = fork
+    _m_publish(broot, 0, manifest)
+    # the ref record lands AFTER the manifest: a crash in between
+    # leaves an unlisted branch dir (invisible — list_branches requires
+    # _branch.json, and its manifest only references parent files, so
+    # nothing dangles); drop_branch(name) clears the remnant.
+    meta = os.path.join(broot, "_branch.json")
+    with open(meta, "w") as f:
+        json.dump({"name": name, "fork": fork}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    return broot
+
+
+def publish_branch(path: str, name: str) -> int:
+    """Fast-forward the table to the branch head — the PUBLISH step of
+    write-audit-publish. SQUASH semantics: one new table version whose
+    manifest is the branch head's file list re-pathed into the table's
+    namespace; zero data reads or copies, one put-if-absent commit.
+    Requires the table head to still be the branch's fork version
+    (fast-forward only); otherwise raises
+    :class:`ConcurrentWriteError` — re-branch from the new head,
+    replay the mutations, audit again. Returns the new table version.
+    The branch remains after publish (drop it explicitly); its data
+    files are now pinned by the table manifest, so
+    :func:`drop_branch`'s GC will keep them."""
+    fork = _branch_fork(path, name)
+    broot = branch_path(path, name)
+    head = latest_version(path)
+    if head != fork:
+        raise ConcurrentWriteError(
+            f"branch {name!r} forked at version {fork} but {path} is at "
+            f"{head} (non-fast-forward); re-branch from the head and replay"
+        )
+    bm = _m_load(broot, latest_version(broot))
+    entries, dels = _m_repath_manifest(bm, broot, path)
+    manifest = _m_manifest(
+        path,
+        fork + 1,
+        fork,
+        bm["schema"],
+        bm.get("partition_by"),
+        entries,
+        deletes=dels or None,
+    )
+    _m_publish(path, fork + 1, manifest)
+    return fork + 1
+
+
+def drop_branch(path: str, name: str) -> None:
+    """Delete a branch's metadata and garbage-collect its data files —
+    EXCEPT any the table (or another branch) still references, e.g.
+    after a publish (absolute-path refcounting, see
+    :func:`_m_gc_files`)."""
+    broot = branch_path(path, name)
+    if not os.path.isdir(broot):
+        return
+    shutil.rmtree(os.path.join(broot, "_manifests"), ignore_errors=True)
+    try:
+        os.unlink(os.path.join(broot, "_branch.json"))
+    except FileNotFoundError:
+        pass
+    # refs gone → the family GC (run from the PARENT so every branch
+    # data dir is walked) collects whatever only this branch pinned
+    _m_gc_files(path)
+    for root, _dirs, _files in os.walk(broot, topdown=False):
+        if not os.listdir(root):
+            os.rmdir(root)

@@ -133,6 +133,7 @@ _DRIVER_PRIORITY = [
     # r5-evidence keys in registration order (the registry fallback
     # below handles everything not named here).
     "q_lake_cdf",
+    "q_lake_branch_wap",
     "q_sink_csv_roundtrip",
     "q_sink_orc_roundtrip",
     "q_source_binaryfile",

@@ -783,3 +783,54 @@ def q_lake_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return feed.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_branch_wap",
+    oracle=_MERGE_ORACLE_CTE
+    + """
+    , merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT * FROM merged WHERE o_orderstatus <> 'F'
+    """,
+)
+def q_lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish through a branch ref: fork a branch
+    (metadata-only, parent files shared by absolute-path reference —
+    Iceberg's manifest model), MERGE + DELETE on the branch while the
+    parent provably still reads as the untouched base (asserted
+    in-contract: WAP's whole point is that unaudited data is
+    invisible), then publish — ONE put-if-absent metadata commit
+    fast-forwards the parent to the audited state, zero data copied.
+    The oracle replays merge-then-delete relationally against the
+    published parent. At 100 TB this is how a risky backfill lands:
+    full-scale writes and audit queries against the branch, an O(1)
+    conditional PUT to go live, ConcurrentWriteError (not silent
+    clobber) if the table moved meanwhile."""
+    tmp = _scratch("spype_lake_wap_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir), path)
+        b = lake.create_branch(path, "audit")
+        lake.merge_upsert(
+            spark, b, _updates(spark, sf_dir), keys=["o_orderkey"]
+        )
+        lake.delete_where(spark, b, F.col("o_orderstatus") == "F")
+        # audit gate: parent head is still the base table, bit-for-bit
+        # file identity (same manifest entry list as v0 had)
+        if lake.latest_version(path) != 0:
+            raise AssertionError("branch mutation leaked into the parent")
+        pre = lake.read_table(spark, path)
+        base_cnt = _base(spark, sf_dir).count()
+        if pre.count() != base_cnt:
+            raise AssertionError("parent changed before publish")
+        v = lake.publish_branch(path, "audit")
+        if v != 1:
+            raise AssertionError(f"publish landed at v{v}, expected 1")
+        lake.drop_branch(path, "audit")  # published data must survive
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1363,3 +1363,137 @@ def test_changes_cdf_over_version_chain(spark, tmp_path):
     assert tail == {(1, "delete", 2)}
     with pytest.raises(ValueError, match="two versions"):
         lake.changes(spark, path, ["k"], v_from=2)
+
+
+# ---------------------------------------------------------------------------
+# Branch refs + write-audit-publish
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v string, p long")
+
+
+def test_branch_wap_isolation_and_publish(spark, tmp_path):
+    """The full write-audit-publish loop: branch mutations are
+    invisible to the parent until publish; publish is one metadata
+    commit that fast-forwards the parent to the audited state."""
+    path = str(tmp_path / "t")
+    base = [(k, f"v{k}", k % 3) for k in range(30)]
+    lake.write_table(_kv(spark, base), path, partition_by="p")
+    b = lake.create_branch(path, "etl")
+    assert lake.list_branches(path) == ["etl"]
+    # metadata-only fork: no parquet written under the branch
+    assert not any(
+        fn.endswith(".parquet")
+        for _r, _d, fns in __import__("os").walk(b)
+        for fn in fns
+    )
+    # branch v0 == fork state
+    assert lake.read_table(spark, b).count() == 30
+    lake.merge_upsert(
+        spark, b, _kv(spark, [(1, "NEW", 1), (99, "ins", 0)]), keys=["k"]
+    )
+    lake.delete_where(spark, b, F.col("k") == 5)
+    # audit on the branch; parent untouched
+    got_b = {(r.k, r.v) for r in lake.read_table(spark, b).collect()}
+    assert (1, "NEW") in got_b and (99, "ins") in got_b
+    assert not any(k == 5 for k, _v in got_b)
+    assert {(r.k, r.v) for r in lake.read_table(spark, path).collect()} == {
+        (k, f"v{k}") for k in range(30)
+    }
+    v = lake.publish_branch(path, "etl")
+    assert v == 1 and lake.versions(path) == [0, 1]
+    assert {
+        (r.k, r.v) for r in lake.read_table(spark, path).collect()
+    } == got_b
+    # time travel across the publish still works
+    assert lake.read_table(spark, path, version=0).count() == 30
+
+
+def test_branch_non_fast_forward_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lake.write_table(_kv(spark, [(1, "a", 0)]), path)
+    lake.create_branch(path, "b1")
+    lake.merge_upsert(
+        spark, lake.branch_path(path, "b1"), _kv(spark, [(2, "b", 0)]),
+        keys=["k"],
+    )
+    # parent advances after the fork -> publish must refuse
+    lake.merge_upsert(spark, path, _kv(spark, [(3, "c", 0)]), keys=["k"])
+    with pytest.raises(lake.ConcurrentWriteError, match="non-fast-forward"):
+        lake.publish_branch(path, "b1")
+    # two branches racing for the same slot: first publish wins whole
+    lake.create_branch(path, "b2")
+    lake.create_branch(path, "b3")
+    for n in ("b2", "b3"):
+        lake.merge_upsert(
+            spark, lake.branch_path(path, n), _kv(spark, [(10, n, 0)]),
+            keys=["k"],
+        )
+    assert lake.publish_branch(path, "b2") == 2
+    with pytest.raises(lake.ConcurrentWriteError):
+        lake.publish_branch(path, "b3")
+
+
+def test_branch_gc_published_data_survives_drop(spark, tmp_path):
+    """After publish, the branch's data files are referenced by the
+    parent manifest; drop_branch and even a parent vacuum must keep
+    them (absolute-path refcounting across the branch family)."""
+    path = str(tmp_path / "t")
+    lake.write_table(_kv(spark, [(k, "x", 0) for k in range(10)]), path)
+    b = lake.create_branch(path, "wap")
+    lake.merge_upsert(spark, b, _kv(spark, [(100, "new", 0)]), keys=["k"])
+    lake.publish_branch(path, "wap")
+    lake.drop_branch(path, "wap")
+    assert lake.list_branches(path) == []
+    got = {r.k for r in lake.read_table(spark, path).collect()}
+    assert got == set(range(10)) | {100}
+    lake.vacuum(path, keep_last=1)
+    assert {r.k for r in lake.read_table(spark, path).collect()} == got
+
+
+def test_branch_drop_unpublished_collects_data(spark, tmp_path):
+    """Dropping an unpublished branch GCs its data files but never the
+    parent's (which the fork references by absolute path)."""
+    import os
+    path = str(tmp_path / "t")
+    lake.write_table(_kv(spark, [(1, "a", 0)]), path)
+    b = lake.create_branch(path, "scrap")
+    lake.merge_upsert(spark, b, _kv(spark, [(2, "b", 0)]), keys=["k"])
+    assert any(
+        fn.endswith(".parquet")
+        for _r, _d, fns in os.walk(os.path.join(b, "data"))
+        for fn in fns
+    )
+    lake.drop_branch(path, "scrap")
+    assert not os.path.isdir(b)
+    assert {r.k for r in lake.read_table(spark, path).collect()} == {1}
+
+
+def test_branch_vacuum_on_branch_keeps_parent_files(spark, tmp_path):
+    """vacuum() run ON the branch root collects only branch-local
+    garbage; the parent's files (and published data) stay."""
+    path = str(tmp_path / "t")
+    lake.write_table(_kv(spark, [(1, "a", 0)]), path)
+    b = lake.create_branch(path, "w")
+    lake.merge_upsert(spark, b, _kv(spark, [(2, "b", 0)]), keys=["k"])
+    lake.merge_upsert(spark, b, _kv(spark, [(3, "c", 0)]), keys=["k"])
+    lake.vacuum(b, keep_last=1)
+    assert {r.k for r in lake.read_table(spark, b).collect()} == {1, 2, 3}
+    assert {r.k for r in lake.read_table(spark, path).collect()} == {1}
+
+
+def test_branch_creation_errors(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lake.write_table(_kv(spark, [(1, "a", 0)]), path)
+    lake.create_branch(path, "dup")
+    with pytest.raises(ValueError, match="already exists"):
+        lake.create_branch(path, "dup")
+    with pytest.raises(ValueError, match="path-special"):
+        lake.create_branch(path, "bad/name")
+    with pytest.raises(ValueError, match="itself a branch"):
+        lake.create_branch(lake.branch_path(path, "dup"), "nested")
+    posix = str(tmp_path / "px")
+    lake.write_table(_kv(spark, [(1, "a", 0)]), posix, protocol="posix")
+    with pytest.raises(ValueError, match="manifest-protocol"):
+        lake.create_branch(posix, "b")
