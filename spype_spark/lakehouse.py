@@ -684,28 +684,43 @@ def _m_file_stats(fpath: str) -> dict:
 
     md = pq.ParquetFile(fpath).metadata
     stats: dict[str, list] = {}
+    nulls: dict[str, int] = {}
     for i in range(md.num_columns):
         name = md.schema.column(i).name
         if "." in name:
             continue  # nested leaf — not a top-level prune key
         lo = hi = None
         ok = True
+        nc = 0
+        nc_ok = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(i).statistics
-            if st is None or not st.has_min_max:
-                ok = False
+            if st is None:
+                ok = nc_ok = False
                 break
+            if st.has_null_count:
+                nc += st.null_count
+            else:
+                nc_ok = False
+            if not st.has_min_max:
+                ok = False
+                continue
             mn, mx = st.min, st.max
             if not _usable_stat_pair(mn, mx) or (
                 lo is not None and type(mn) is not type(lo)
             ):
                 ok = False
-                break
+                continue
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
         if ok and lo is not None:
             stats[name] = [lo, hi]
-    return {"rows": md.num_rows, "stats": stats}
+        if nc_ok:
+            # exact per-file null count (footers record it even for
+            # all-null columns, where min/max is absent) — the material
+            # for IS [NOT] NULL file pruning in scan_table
+            nulls[name] = nc
+    return {"rows": md.num_rows, "stats": stats, "nulls": nulls}
 
 
 def _m_write_files(
@@ -1234,6 +1249,7 @@ def scan_table(
     version: int | None = None,
     partitions: dict | None = None,
     ranges: dict | None = None,
+    nulls: dict | None = None,
 ) -> DataFrame:
     """Manifest-pruned snapshot scan — the READER-side counterpart of
     the mutation planner's metadata pruning, and the way a 100 TB scan
@@ -1250,8 +1266,13 @@ def scan_table(
     for that column rather than guess). ``ranges``: ``{col: (lo, hi)}``
     — keep only files whose manifest [min, max] can intersect
     [lo, hi]; files without stats on the column are conservatively
-    kept. Posix-protocol tables fall back to a plain filtered read
-    (Catalyst still partition-prunes Hive dirs there)."""
+    kept. ``nulls``: ``{col: True_or_False}`` — ``True`` means the
+    predicate ``col IS NULL`` (keep only files whose recorded null
+    count is nonzero), ``False`` means ``col IS NOT NULL`` (keep only
+    files with a null count below their row count); files without a
+    recorded null count are conservatively kept. Posix-protocol tables
+    fall back to a plain filtered read (Catalyst still
+    partition-prunes Hive dirs there)."""
     v = latest_version(path) if version is None else version
 
     def _residual(df: DataFrame) -> DataFrame:
@@ -1260,6 +1281,10 @@ def scan_table(
             df = df.filter(F.col(c).isin(list(vlist)))
         for c, (lo, hi) in (ranges or {}).items():
             df = df.filter(F.col(c).between(F.lit(lo), F.lit(hi)))
+        for c, want_null in (nulls or {}).items():
+            df = df.filter(
+                F.col(c).isNull() if want_null else F.col(c).isNotNull()
+            )
         return df
 
     if not _is_manifest_table(path):
@@ -1287,6 +1312,18 @@ def scan_table(
         split = _m_stats_split(entries, c, lo, hi)
         if split is not None:
             _skippable, entries = split
+    for c, want_null in (nulls or {}).items():
+        kept = []
+        for e in entries:
+            nc = e.get("nulls", {}).get(c)
+            if nc is None:  # pre-null-stats manifest — keep
+                kept.append(e)
+            elif want_null:
+                if nc > 0:
+                    kept.append(e)
+            elif nc < e["rows"]:
+                kept.append(e)
+        entries = kept
     return _residual(_m_apply_deletes(spark, path, entries, m))
 
 

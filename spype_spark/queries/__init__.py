@@ -134,6 +134,7 @@ _DRIVER_PRIORITY = [
     # below handles everything not named here).
     "q_lake_cdf",
     "q_lake_branch_wap",
+    "q_lake_scan_nulls",
     "q_sink_csv_roundtrip",
     "q_sink_orc_roundtrip",
     "q_source_binaryfile",

@@ -834,3 +834,51 @@ def q_lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_scan_nulls",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey < 8000 AND o_orderstatus = 'F'
+    """,
+)
+def q_lake_scan_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL file pruning from manifest null-count stats: the table
+    carries a column (``o_ship``) that is NULL exactly on status-F
+    rows; partitioning by status makes the null distribution
+    file-correlated, so ``scan_table(nulls={"o_ship": True})`` keeps
+    only the F-partition files from the recorded per-file null counts
+    — zero object reads at plan time — and the residual ``IS NULL``
+    filter keeps row semantics exact. The inverse direction
+    (``False`` → IS NOT NULL) is asserted in-contract to prune too,
+    and to partition the row count with the NULL side. The oracle is
+    the plain relational answer. Null counts are the one footer stat
+    that exists even for all-NULL files (where min/max cannot), which
+    is why real formats carry them: IS NULL predicates are common in
+    quality-screen scans over sparse columns at 100 TB."""
+    tmp = _scratch("spype_lake_nulls_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        src = _base(spark, sf_dir).withColumn(
+            "o_ship",
+            F.when(F.col("o_orderstatus") != "F", F.col("o_orderstatus")),
+        )
+        lake.write_table(src, path, partition_by="o_orderstatus")
+        full = lake.read_table(spark, path)
+        n_full = len(set(full.inputFiles()))
+        isnull = lake.scan_table(spark, path, nulls={"o_ship": True})
+        notnull = lake.scan_table(spark, path, nulls={"o_ship": False})
+        n_isnull = len(set(isnull.inputFiles()))
+        n_notnull = len(set(notnull.inputFiles()))
+        if not (0 < n_isnull < n_full and 0 < n_notnull < n_full):
+            raise AssertionError(
+                f"null-stat pruning regressed: {n_isnull} / {n_notnull} "
+                f"of {n_full} files"
+            )
+        if isnull.count() + notnull.count() != full.count():
+            raise AssertionError("IS NULL / IS NOT NULL scans don't partition")
+        return isnull.select(*_BASE_COLS).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1497,3 +1497,32 @@ def test_branch_creation_errors(spark, tmp_path):
     lake.write_table(_kv(spark, [(1, "a", 0)]), posix, protocol="posix")
     with pytest.raises(ValueError, match="manifest-protocol"):
         lake.create_branch(posix, "b")
+
+
+def test_scan_table_null_pruning(spark, tmp_path):
+    """nulls={col: bool} prunes at file level from recorded null
+    counts and stays exact via the residual filter."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("v"),
+        (F.col("id") % 2).alias("p"),
+    )
+    lake.write_table(df, path, partition_by="p")
+    full = lake.read_table(spark, path)
+    n_full = len(set(full.inputFiles()))
+    isnull = lake.scan_table(spark, path, nulls={"v": True})
+    notnull = lake.scan_table(spark, path, nulls={"v": False})
+    assert 0 < len(set(isnull.inputFiles())) < n_full
+    assert 0 < len(set(notnull.inputFiles())) < n_full
+    assert {r.k for r in isnull.collect()} == set(range(1, 100, 2))
+    assert {r.k for r in notnull.collect()} == set(range(0, 100, 2))
+    # a column with no nulls anywhere: IS NULL prunes to zero files
+    empty = lake.scan_table(spark, path, nulls={"k": True})
+    assert empty.count() == 0
+    # composes with partition + range pruning
+    mix = lake.scan_table(
+        spark, path, partitions={"p": 0}, ranges={"k": (10, 40)},
+        nulls={"v": False},
+    )
+    assert {r.k for r in mix.collect()} == set(range(10, 41, 2))
