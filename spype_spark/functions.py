@@ -580,3 +580,74 @@ def band_join(
         .filter(F.abs(F.col(left_val) - F.col(right_val)) <= band)
         .drop("__bucket")
     )
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 5
+) -> list[int]:
+    """Build a Bloom filter over ``df[col]`` in pure DataFrame algebra
+    and return it as ``m_bits/64`` packed words — the explicit form of
+    the runtime row-filter Spark's InjectRuntimeFilter builds
+    internally (``bloom_filter_agg`` isn't a registered SQL routine),
+    for staged pipelines where the dimension side is computed in an
+    earlier job and the fact scan runs later.
+
+    Distributed build: k bit positions per key (``xxhash64(col, seed)``
+    mod m), positions packed into words with a ``bit_or`` aggregation —
+    partial aggregation combines map-side, so what crosses the wire is
+    at most m/64 words per partition, exactly the mergeability argument
+    of every sketch. The finished filter is metadata-sized (m=2²⁰ →
+    128 KB) and comes back to the driver to be shipped as a literal —
+    the same dimension-bounded pattern as broadcast centroids.
+
+    Sizing: fp ≈ (1 - e^(-k·n/m))^k; the 2²⁰ default holds fp < 1.1 %
+    out to n = 10⁵ keys at k = 5. Scale m with the dim cardinality, not
+    the fact size — the fact side only ever pays k probes per row.
+    """
+    n_words = m_bits // 64
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos.groupBy((F.col("pos") / 64).cast("long").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, cast(pos % 64 as int))")
+            ).alias("bits")
+        )
+        # metadata-sized collect: ≤ m/64 words (the filter itself),
+        # bounded by the chosen m, never by the data
+        .collect()
+    )
+    out = [0] * n_words
+    for r in words:
+        out[r.w] = r.bits
+    return out
+
+
+def bloom_might_contain(
+    words: list[int], col: str, m_bits: int = 1 << 20, k: int = 5
+) -> Column:
+    """Probe column for a :func:`bloom_build` filter: true iff ALL k
+    hashed bit positions of ``col`` are set. No false negatives by
+    construction (same hash family and m as the build); false positives
+    at the sized rate. Pure JVM expression — k ``element_at`` lookups
+    into the literal word array per row, no Python in the row path."""
+    arr = F.lit(words)
+    probes = []
+    for i in range(k):
+        p_sql = f"pmod(xxhash64({col}, {i}), {m_bits})"
+        word = F.element_at(arr, F.expr(f"cast({p_sql} / 64 as int) + 1"))
+        mask = F.expr(f"shiftleft(1L, cast({p_sql} % 64 as int))")
+        probes.append(word.bitwiseAND(mask) != F.lit(0).cast("long"))
+    out = probes[0]
+    for pr in probes[1:]:
+        out = out & pr
+    return out

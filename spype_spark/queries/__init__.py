@@ -135,6 +135,7 @@ _DRIVER_PRIORITY = [
     "q_lake_cdf",
     "q_lake_branch_wap",
     "q_lake_scan_nulls",
+    "q_join_bloom",
     "q_sink_csv_roundtrip",
     "q_sink_orc_roundtrip",
     "q_source_binaryfile",

@@ -517,3 +517,76 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.v_id").alias("nearest_view"),
         (F.col("w.adt") / F.lit(1000)).cast("long").alias("gap_ms"),
     )
+
+
+@query(
+    "q_join_bloom",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0
+    )
+    SELECT
+      COUNT(*) AS n_orders,
+      (SELECT COUNT(*) FROM orders o
+        WHERE EXISTS (SELECT 1 FROM dim d
+                      WHERE d.c_custkey = o.o_custkey)) AS n_exact,
+      0 AS false_negatives,
+      true AS fp_ok
+    FROM orders
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning — the runtime row-level filter
+    that cuts a 100 TB fact shuffle before it happens: build one
+    128 KB bloom over the selective dimension's keys (distributed
+    ``bit_or`` word packing — :func:`spype_spark.functions.
+    bloom_build`; Spark's internal ``bloom_filter_agg`` isn't a
+    registered routine), ship it to every fact task as a literal, and
+    pre-filter fact rows with k JVM hash probes BEFORE the join
+    shuffle. Spark's InjectRuntimeFilter does this automatically
+    inside a single query; the explicit form is for staged pipelines
+    where the dim side is computed in an earlier job. Candidate counts
+    depend on the filter's false positives, so the contract hashes
+    only the engine-independent invariants: exact match count, ZERO
+    false negatives (a bloom's hard guarantee — a miss would be data
+    loss), and the false-positive count under the sizing bound
+    (m=2²⁰, k=5 → fp < 1.1% out to 10⁵ keys; 2% is the gate).
+    """
+    from spype_spark.functions import bloom_build, bloom_might_contain
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .select("c_custkey")
+    )
+    words = bloom_build(dim, "c_custkey")
+    flagged = orders.join(
+        F.broadcast(dim.withColumn("__hit", F.lit(1))),
+        orders.o_custkey == dim.c_custkey,
+        "left",
+    ).select(
+        bloom_might_contain(words, "o_custkey").alias("in_bloom"),
+        F.coalesce(F.col("__hit"), F.lit(0)).alias("in_exact"),
+    )
+    agg = flagged.agg(
+        F.count("*").alias("n_orders"),
+        F.sum("in_exact").cast("long").alias("n_exact"),
+        F.sum(
+            (F.col("in_exact") == 1).cast("long")
+            * (~F.col("in_bloom")).cast("long")
+        ).cast("long").alias("false_negatives"),
+        F.sum(
+            (F.col("in_exact") == 0).cast("long")
+            * F.col("in_bloom").cast("long")
+        ).cast("long").alias("n_fp"),
+    )
+    return agg.select(
+        "n_orders",
+        "n_exact",
+        "false_negatives",
+        (
+            F.col("n_fp")
+            <= F.lit(0.02) * (F.col("n_orders") - F.col("n_exact")) + F.lit(1)
+        ).alias("fp_ok"),
+    )

@@ -202,3 +202,23 @@ def test_dataset_split_deterministic_and_dup_safe(spark, docs):
     by_id = dict(out1)
     assert by_id[1] == by_id[3]  # byte-identical dup -> same split
     assert set(by_id.values()) <= {"train", "valid", "test"}
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    """bloom_build/bloom_might_contain: every member key probes true
+    (the hard guarantee); non-member false positives stay under the
+    sized rate with margin."""
+    from spype_spark.functions import bloom_build, bloom_might_contain
+
+    members = spark.range(0, 5000).select(F.col("id").alias("k"))
+    words = bloom_build(members, "k", m_bits=1 << 18, k=5)
+    assert len(words) == (1 << 18) // 64
+    probe = spark.range(0, 20000).select(F.col("id").alias("k"))
+    got = probe.select(
+        "k", bloom_might_contain(words, "k", m_bits=1 << 18, k=5).alias("hit")
+    )
+    misses = got.filter((F.col("k") < 5000) & ~F.col("hit")).count()
+    assert misses == 0, f"{misses} false negatives"
+    fp = got.filter((F.col("k") >= 5000) & F.col("hit")).count()
+    # theory: (1 - e^(-5*5000/262144))^5 ≈ 4e-6; gate at 1%
+    assert fp <= 150, f"false-positive rate too high: {fp}/15000"
