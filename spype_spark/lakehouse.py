@@ -939,6 +939,122 @@ def _m_stats_split(
     return carry, rewrite
 
 
+# --- predicate algebra over manifest stats ---------------------------------
+#
+# A tiny explicit predicate spec — nested tuples — that BOTH sides can
+# consume: `_pred_column` compiles it to a Catalyst Column (the exact
+# row-level residual), `_pred_maybe` evaluates it three-valued against
+# one manifest entry's metadata (partition tuple, [min,max] stats, null
+# counts) to decide "may this file contain a matching row?". That is
+# the general form of every pruning rule above (partition = eq leaf,
+# range = between leaf, nulls = isnull leaf) plus the two combinators
+# real predicates need: AND prunes when ANY conjunct proves empty, OR
+# prunes only when ALL disjuncts do. Leaves without usable metadata
+# evaluate "maybe" — correctness over cleverness, as everywhere else.
+#
+# Spec grammar:
+#   ("and", p, ...) | ("or", p, ...)
+#   ("eq", col, v) | ("in", col, [v, ...])
+#   ("lt"|"le"|"gt"|"ge", col, v) | ("between", col, lo, hi)
+#   ("isnull", col) | ("notnull", col)
+
+
+def _pred_column(pred) -> "F.Column":
+    """Compile a predicate spec to the equivalent Catalyst Column —
+    the row-exact residual applied after file pruning."""
+    op = pred[0]
+    if op in ("and", "or"):
+        cols = [_pred_column(p) for p in pred[1:]]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out & c) if op == "and" else (out | c)
+        return out
+    col = F.col(pred[1])
+    if op == "eq":
+        return col == F.lit(pred[2])
+    if op == "in":
+        return col.isin(list(pred[2]))
+    if op == "lt":
+        return col < F.lit(pred[2])
+    if op == "le":
+        return col <= F.lit(pred[2])
+    if op == "gt":
+        return col > F.lit(pred[2])
+    if op == "ge":
+        return col >= F.lit(pred[2])
+    if op == "between":
+        return col.between(F.lit(pred[2]), F.lit(pred[3]))
+    if op == "isnull":
+        return col.isNull()
+    if op == "notnull":
+        return col.isNotNull()
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
+def _pred_maybe(entry: dict, pred, pcols: list[str] | None) -> bool:
+    """Three-valued predicate evaluation against ONE manifest entry's
+    metadata: False = the file provably holds no matching row (prune
+    it), True = it may (keep it). Sound by construction: every leaf
+    returns True unless the recorded metadata REFUTES it."""
+    op = pred[0]
+    if op == "and":
+        return all(_pred_maybe(entry, p, pcols) for p in pred[1:])
+    if op == "or":
+        return any(_pred_maybe(entry, p, pcols) for p in pred[1:])
+    col = pred[1]
+    nulls = entry.get("nulls", {})
+    rows = entry.get("rows")
+    if op == "isnull":
+        nc = nulls.get(col)
+        return True if nc is None else nc > 0
+    if op == "notnull":
+        nc = nulls.get(col)
+        return True if nc is None or rows is None else nc < rows
+    # comparison leaves can never match a NULL, so a file that is
+    # all-NULL on the column is prunable even without min/max stats
+    if nulls.get(col) is not None and rows is not None \
+            and nulls[col] == rows:
+        return False
+    if op in ("eq", "in") and pcols and col in pcols:
+        rec = entry["partition"].get(col)
+        if rec is not None:
+            vals = pred[2] if op == "in" else [pred[2]]
+            svals = set()
+            for v in vals:
+                sv = str(v)
+                if v is None or not _SAFE_PART_VAL.match(sv):
+                    return True  # can't canonicalize — keep
+                svals.add(sv)
+            if rec in svals:
+                return True
+            # '1' vs '001'-style spelling ambiguity → keep (same
+            # discipline as the COW planners)
+            recn = _norm_part_val(rec)
+            return any(_norm_part_val(s) == recn for s in svals)
+    st = entry.get("stats", {}).get(col)
+    if st is None:
+        return True
+    lo, hi = st
+    try:
+        if op == "eq":
+            return lo <= pred[2] <= hi
+        if op == "in":
+            return any(lo <= v <= hi for v in pred[2])
+        if op == "lt":
+            return lo < pred[2]
+        if op == "le":
+            return lo <= pred[2]
+        if op == "gt":
+            return hi > pred[2]
+        if op == "ge":
+            return hi >= pred[2]
+        if op == "between":
+            return not (hi < pred[2] or lo > pred[3])
+    except TypeError:
+        return True  # incomparable literal vs recorded stats — keep
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
 def _m_cow_entries(
     entries: list[dict], pcols: list[str], touched_vals: set
 ) -> tuple[list[dict], list[dict]] | None:
@@ -1250,6 +1366,7 @@ def scan_table(
     partitions: dict | None = None,
     ranges: dict | None = None,
     nulls: dict | None = None,
+    where=None,
 ) -> DataFrame:
     """Manifest-pruned snapshot scan — the READER-side counterpart of
     the mutation planner's metadata pruning, and the way a 100 TB scan
@@ -1270,8 +1387,14 @@ def scan_table(
     predicate ``col IS NULL`` (keep only files whose recorded null
     count is nonzero), ``False`` means ``col IS NOT NULL`` (keep only
     files with a null count below their row count); files without a
-    recorded null count are conservatively kept. Posix-protocol tables
-    fall back to a plain filtered read (Catalyst still
+    recorded null count are conservatively kept. ``where``: a
+    PREDICATE SPEC (see the predicate-algebra grammar above
+    :func:`_pred_column`) — arbitrary AND/OR nests of comparisons,
+    IN, BETWEEN and IS [NOT] NULL leaves, pruned three-valued against
+    each file's metadata (AND prunes when any conjunct refutes, OR
+    only when all disjuncts do) with the compiled Column as the exact
+    residual. All four knobs compose as a conjunction. Posix-protocol
+    tables fall back to a plain filtered read (Catalyst still
     partition-prunes Hive dirs there)."""
     v = latest_version(path) if version is None else version
 
@@ -1285,6 +1408,8 @@ def scan_table(
             df = df.filter(
                 F.col(c).isNull() if want_null else F.col(c).isNotNull()
             )
+        if where is not None:
+            df = df.filter(_pred_column(where))
         return df
 
     if not _is_manifest_table(path):
@@ -1324,6 +1449,9 @@ def scan_table(
             elif nc < e["rows"]:
                 kept.append(e)
         entries = kept
+    if where is not None:
+        pcols = m.get("partition_by")
+        entries = [e for e in entries if _pred_maybe(e, where, pcols)]
     return _residual(_m_apply_deletes(spark, path, entries, m))
 
 
@@ -1528,6 +1656,39 @@ def delete_where(spark: SparkSession, path: str, cond) -> int:
                 carry_rels=cow[0],
             )
     return _write_next(tgt.filter(keep), path, base=base, partition_by=pcols)
+
+
+def delete_predicate(spark: SparkSession, path: str, pred) -> int:
+    """DELETE rows matching a PREDICATE SPEC (the algebra documented at
+    :func:`_pred_column`) with GENERAL file pruning: files whose
+    manifest metadata three-valued-refutes the predicate — through any
+    AND/OR nest of comparisons, IN, BETWEEN and IS [NOT] NULL leaves —
+    carry into the new version BY REFERENCE; only possibly-matching
+    files are read back, row-filtered by the compiled residual, and
+    rewritten. This is the provable general form of
+    :func:`delete_range` (whose interval shape is the single-leaf
+    case): a retention sweep like ``(ts < cutoff) OR (status = 'tmp'
+    AND ts BETWEEN a AND b)`` touches exactly the files its disjuncts
+    can reach, O(matching files) not O(table), which is the whole game
+    at 100 TB. Sound fallback everywhere: leaves without usable stats
+    keep their files; posix tables fall back to the partition-COW
+    :func:`delete_where` on the compiled Column. NULL-evaluating rows
+    are KEPT (SQL DELETE semantics). Returns the new version."""
+    cond = _pred_column(pred)
+    if not _is_manifest_table(path):
+        return delete_where(spark, path, cond)
+    base = latest_version(path)
+    m = _m_load(path, base)
+    pcols = m.get("partition_by")
+    entries = _m_entries(path, m)
+    carry = [e for e in entries if not _pred_maybe(e, pred, pcols)]
+    rewrite = [e for e in entries if _pred_maybe(e, pred, pcols)]
+    keep = ~F.coalesce(cond, F.lit(False))
+    rew = _m_apply_deletes(spark, path, rewrite, m).filter(keep)
+    return _m_commit(
+        rew, path, base + 1, pcols, carry, base=base,
+        deletes=m.get("deletes", []),
+    )
 
 
 def _updated_frame(df: DataFrame, cond, assignments: dict) -> DataFrame:

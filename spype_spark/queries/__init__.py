@@ -136,6 +136,8 @@ _DRIVER_PRIORITY = [
     "q_lake_branch_wap",
     "q_lake_scan_nulls",
     "q_join_bloom",
+    "q_lake_scan_predicate",
+    "q_lake_delete_predicate",
     "q_sink_csv_roundtrip",
     "q_sink_orc_roundtrip",
     "q_source_binaryfile",

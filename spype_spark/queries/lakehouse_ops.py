@@ -882,3 +882,99 @@ def q_lake_scan_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         return isnull.select(*_BASE_COLS).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_PRED = (
+    "or",
+    ("and", ("eq", "o_orderstatus", "O"),
+     ("between", "o_orderkey", 1000, 2999)),
+    ("and", ("eq", "o_orderstatus", "F"), ("ge", "o_orderkey", 6000)),
+)
+
+_PRED_SQL = """((o_orderstatus = 'O' AND o_orderkey BETWEEN 1000 AND 2999)
+             OR (o_orderstatus = 'F' AND o_orderkey >= 6000))"""
+
+
+@query(
+    "q_lake_scan_predicate",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey < 8000 AND {_PRED_SQL}
+    """,
+)
+def q_lake_scan_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY-predicate manifest pruning: an OR of AND-nests
+    (status/key disjuncts) evaluated three-valued per file — AND
+    prunes when any conjunct refutes from partition tuples or min/max
+    stats, OR only when every disjunct does — then the compiled
+    residual keeps row semantics exact. This is the general form the
+    single-shape knobs (partitions=, ranges=, nulls=) special-case;
+    the strict-subset inputFiles assertion pins that disjunctive
+    predicates still prune (the case naive per-column pruning cannot
+    express, because neither column's global range excludes
+    anything)."""
+    tmp = _scratch("spype_lake_predscan_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(
+            _base(spark, sf_dir).repartitionByRange(8, "o_orderkey"),
+            path,
+            partition_by="o_orderstatus",
+        )
+        full = lake.read_table(spark, path)
+        pruned = lake.scan_table(spark, path, where=_PRED)
+        n_full = len(set(full.inputFiles()))
+        n_pruned = len(set(pruned.inputFiles()))
+        out = pruned.select(*_BASE_COLS).localCheckpoint()
+        ok = (0 < n_pruned < n_full) if out.count() > 0 else n_pruned < n_full
+        if not ok:
+            raise AssertionError(
+                f"predicate pruning regressed: reads {n_pruned} of "
+                f"{n_full} files"
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delete_predicate",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey < 8000 AND NOT {_PRED_SQL}
+    """,
+)
+def q_lake_delete_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE with GENERAL predicate file pruning: the OR-of-ANDs
+    retention shape (`delete_predicate`) rewrites only files the
+    predicate possibly reaches; provably-missed files carry into the
+    new version BY REFERENCE — asserted in-contract as a nonempty
+    intersection of the two versions' manifest file lists, with the
+    carry strictly smaller than the base (something was really
+    touched). O(matching files), not O(table): the difference between
+    an overnight retention sweep and a full rewrite at 100 TB. The
+    oracle is the surviving relational state."""
+    tmp = _scratch("spype_lake_preddel_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(
+            _base(spark, sf_dir).repartitionByRange(8, "o_orderkey"),
+            path,
+            partition_by="o_orderstatus",
+        )
+        v = lake.delete_predicate(spark, path, _PRED)
+        if v != 1:
+            raise AssertionError(f"unexpected version {v}")
+        before = set(lake.data_files(path, 0))
+        after = set(lake.data_files(path, 1))
+        carried = before & after
+        if not carried or not (before - after):
+            raise AssertionError(
+                f"predicate DELETE pruning regressed: carried "
+                f"{len(carried)} of {len(before)} files"
+            )
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

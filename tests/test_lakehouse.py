@@ -1526,3 +1526,106 @@ def test_scan_table_null_pruning(spark, tmp_path):
         nulls={"v": False},
     )
     assert {r.k for r in mix.collect()} == set(range(10, 41, 2))
+
+
+def test_pred_maybe_three_valued():
+    """The manifest predicate evaluator: refute only when metadata
+    proves emptiness; AND refutes on any conjunct, OR needs all."""
+    from spype_spark.lakehouse import _pred_maybe
+
+    e = {
+        "partition": {"p": "7"},
+        "rows": 100,
+        "stats": {"k": [10, 20], "s": ["aa", "mm"]},
+        "nulls": {"k": 0, "v": 100, "s": 5},
+    }
+    assert _pred_maybe(e, ("between", "k", 15, 30), ["p"])
+    assert not _pred_maybe(e, ("between", "k", 21, 30), ["p"])
+    assert not _pred_maybe(e, ("eq", "k", 9), ["p"])
+    assert _pred_maybe(e, ("in", "k", [5, 12]), ["p"])
+    assert not _pred_maybe(e, ("in", "k", [5, 40]), ["p"])
+    assert not _pred_maybe(e, ("lt", "k", 10), ["p"])
+    assert _pred_maybe(e, ("le", "k", 10), ["p"])
+    assert not _pred_maybe(e, ("gt", "k", 20), ["p"])
+    assert _pred_maybe(e, ("ge", "k", 20), ["p"])
+    # partition equality decides without stats
+    assert _pred_maybe(e, ("eq", "p", 7), ["p"])
+    assert not _pred_maybe(e, ("eq", "p", 8), ["p"])
+    # all-NULL column refutes any comparison; null leaves use counts
+    assert not _pred_maybe(e, ("eq", "v", 1), ["p"])
+    assert not _pred_maybe(e, ("isnull", "k"), ["p"])
+    assert _pred_maybe(e, ("isnull", "s"), ["p"])
+    assert _pred_maybe(e, ("notnull", "v"), ["p"]) is False
+    # combinators
+    assert not _pred_maybe(
+        e, ("and", ("between", "k", 15, 30), ("eq", "p", 8)), ["p"]
+    )
+    assert _pred_maybe(
+        e, ("or", ("eq", "p", 8), ("between", "k", 15, 30)), ["p"]
+    )
+    assert not _pred_maybe(
+        e, ("or", ("eq", "p", 8), ("gt", "k", 25)), ["p"]
+    )
+    # missing stats keep the file; incomparable literal keeps the file
+    assert _pred_maybe(e, ("eq", "zzz", 1), ["p"])
+    assert _pred_maybe(e, ("gt", "k", "str"), ["p"])
+    # string stats prune too
+    assert not _pred_maybe(e, ("ge", "s", "zz"), ["p"])
+
+
+def test_scan_table_where_predicate(spark, tmp_path):
+    """where= prunes files through AND/OR nests and equals the plain
+    filtered read exactly."""
+    path = str(tmp_path / "t")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("p"),
+        F.when(F.col("id") % 2 == 0, F.col("id") * 10).alias("v"),
+    )
+    lake.write_table(
+        df.repartitionByRange(8, "k"), path, partition_by="p"
+    )
+    pred = ("or",
+            ("and", ("eq", "p", 1), ("between", "k", 0, 99)),
+            ("and", ("eq", "p", 2), ("ge", "k", 300)))
+    got = lake.scan_table(spark, path, where=pred)
+    full = lake.read_table(spark, path)
+    from spype_spark.lakehouse import _pred_column
+    want = {r.k for r in full.filter(_pred_column(pred)).collect()}
+    assert {r.k for r in got.collect()} == want and len(want) > 0
+    assert 0 < len(set(got.inputFiles())) < len(set(full.inputFiles()))
+
+
+def test_delete_predicate_carries_refuted_files(spark, tmp_path):
+    """delete_predicate: files the predicate provably misses carry BY
+    REFERENCE (identical manifest paths), the rest rewrite."""
+    path = str(tmp_path / "t")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("p"),
+        F.when(F.col("id") % 2 == 0, F.col("id") * 10).alias("v"),
+    )
+    lake.write_table(
+        df.repartitionByRange(8, "k"), path, partition_by="p"
+    )
+    # partial-file predicate: the touched files keep some rows, so the
+    # rewrite must produce NEW files while refuted files carry
+    pred = ("or",
+            ("and", ("eq", "p", 1), ("lt", "k", 40)),
+            ("and", ("eq", "p", 2), ("between", "k", 300, 320)))
+    v = lake.delete_predicate(spark, path, pred)
+    assert v == 1
+    before = set(lake.data_files(path, 0))
+    after = set(lake.data_files(path, 1))
+    carried = before & after
+    assert carried, "no files carried by reference"
+    assert after - before, "nothing rewritten"
+    kept = {r.k for r in lake.read_table(spark, path).collect()}
+    gone = {k for k in range(400)
+            if (k % 4 == 1 and k < 40) or (k % 4 == 2 and 300 <= k <= 320)}
+    assert kept == set(range(400)) - gone
+    # posix fallback gives the same rows
+    px = str(tmp_path / "px")
+    lake.write_table(df, px, partition_by="p", protocol="posix")
+    lake.delete_predicate(spark, px, pred)
+    assert {r.k for r in lake.read_table(spark, px).collect()} == kept
