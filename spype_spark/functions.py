@@ -651,3 +651,66 @@ def bloom_might_contain(
     for pr in probes[1:]:
         out = out & pr
     return out
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 8192, depth: int = 4
+) -> list[list[int]]:
+    """Build a count-min sketch over ``df[col]`` in pure DataFrame
+    algebra: ``depth`` hash rows × ``width`` counters, returned as
+    Python lists (metadata-sized: the default is 32k counters ≈
+    256 KB). Each row r counts items into bucket
+    ``xxhash64(col, r) mod width``; the build is one explode + one
+    ``groupBy(row, bucket).count()`` whose partial aggregation
+    combines map-side — the same mergeability argument as every other
+    sketch here (HLL, bloom): what crosses the wire is bounded by the
+    sketch size per partition, never by the data.
+
+    Estimation error: est(x) ∈ [true(x), true(x) + εN] with
+    ε ≈ e/width per row and the MIN over ``depth`` independent rows
+    driving the overshoot toward the floor — the classic Cormode-
+    Muthukrishnan bound. Size width by the tolerable absolute error
+    εN, not by the number of distinct items (that's the point: 10⁹
+    distinct keys still fit in 256 KB)."""
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            F.xxhash64(F.col(col), F.lit(r)), F.lit(width)
+                        ).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    cells = (
+        pos.groupBy(F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n"))
+        # metadata-sized collect: ≤ depth×width counters (the sketch
+        # itself), bounded by the chosen dimensions, never by the data
+        .collect()
+    )
+    out = [[0] * width for _ in range(depth)]
+    for c in cells:
+        out[c.r][c.b] = c.n
+    return out
+
+
+def cms_estimate(
+    sketch: list[list[int]], col: str, width: int = 8192
+) -> Column:
+    """Point-frequency estimate column for a :func:`cms_build` sketch:
+    the MIN over hash rows of the addressed counters. Never
+    underestimates (every row counted every occurrence of the item —
+    the hard guarantee heavy-hitter screens rely on); overestimates
+    only by collision mass. Pure JVM expression — one ``element_at``
+    per row into the literal counter arrays."""
+    ests = []
+    for r, row in enumerate(sketch):
+        p = F.pmod(F.xxhash64(F.col(col), F.lit(r)), F.lit(width))
+        ests.append(F.element_at(F.lit(row), p.cast("int") + F.lit(1)))
+    return F.least(*ests)

@@ -612,3 +612,48 @@ def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("n_exact") + F.lit(1.0)
         ).alias("est_ok"),
     )
+
+
+@query(
+    "q_sketch_cms",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_exact, true AS ge_ok, true AS avg_ok
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over every order key:
+    exact per-key count plus the sketch's two DETERMINISTIC
+    invariants — per key, the estimate is never below the true count
+    (each hash row counted every occurrence; the property
+    heavy-hitter screens rely on); corpus-wide, the AVERAGE overshoot
+    stays under 2·N/width + 1 (each row's expected collision mass is
+    < N/width by Markov; the min over rows and the average over ~10³
+    keys leave 2× as a deterministic margin — the classic PER-KEY
+    e·N/w bound is only probabilistic at e⁻ᵈ per key, so it cannot
+    gate every key of a fixed corpus). Same invariant-oracle pattern
+    as q_sketch_hll. At 100 TB the sketch's point is bounded state:
+    256 KB answers "how often does key x occur" for ANY x over 10⁹
+    distinct keys, built with one map-side-combinable aggregation —
+    where an exact answer would shuffle every distinct key."""
+    from spype_spark.functions import cms_build, cms_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    W, D = 8192, 4
+    sketch = cms_build(orders, "o_custkey", width=W, depth=D)
+    n_total = sum(sketch[0])
+    bound = 2.0 * n_total / W + 1.0
+    exact = orders.groupBy("o_custkey").agg(F.count("*").alias("n_exact"))
+    est = cms_estimate(sketch, "o_custkey", width=W)
+    per_key = exact.select(
+        "o_custkey",
+        "n_exact",
+        (est >= F.col("n_exact")).alias("ge_ok"),
+        (est - F.col("n_exact")).alias("__over"),
+    )
+    gate = per_key.agg(
+        (F.avg("__over") <= F.lit(bound)).alias("avg_ok")
+    )
+    return per_key.join(F.broadcast(gate)).select(  # 1x1 audit metric
+        "o_custkey", "n_exact", "ge_ok", "avg_ok"
+    )

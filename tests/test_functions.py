@@ -222,3 +222,26 @@ def test_bloom_no_false_negatives_and_fp_bounded(spark):
     fp = got.filter((F.col("k") >= 5000) & F.col("hit")).count()
     # theory: (1 - e^(-5*5000/262144))^5 ≈ 4e-6; gate at 1%
     assert fp <= 150, f"false-positive rate too high: {fp}/15000"
+
+
+def test_cms_never_underestimates_and_bounded(spark):
+    """cms_build/cms_estimate: estimates ≥ true counts always, and the
+    total overestimate mass stays within the collision bound."""
+    from spype_spark.functions import cms_build, cms_estimate
+
+    # skewed counts: key k appears k+1 times, keys 0..199
+    items = spark.range(200).select(
+        F.explode(F.sequence(F.lit(0), F.col("id"))).alias("seq"),
+        F.col("id").alias("k"),
+    ).select("k")
+    sketch = cms_build(items, "k", width=1024, depth=4)
+    n_total = sum(sketch[0])
+    assert n_total == items.count()
+    got = (
+        items.groupBy("k").agg(F.count("*").alias("n"))
+        .select("k", "n", cms_estimate(sketch, "k", width=1024).alias("est"))
+        .collect()
+    )
+    assert all(r.est >= r.n for r in got), "underestimate: impossible"
+    bound = 2 * 4 * n_total // 1024 + 1
+    assert all(r.est <= r.n + bound for r in got)
