@@ -73,6 +73,10 @@ __all__ = [
     "band_join",
     "salted_agg",
     "salted_join",
+    "bloom_build",
+    "bloom_might_contain",
+    "cms_build",
+    "cms_estimate",
 ]
 
 

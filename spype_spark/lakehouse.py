@@ -1367,6 +1367,7 @@ def scan_table(
     ranges: dict | None = None,
     nulls: dict | None = None,
     where=None,
+    since: int | None = None,
 ) -> DataFrame:
     """Manifest-pruned snapshot scan — the READER-side counterpart of
     the mutation planner's metadata pruning, and the way a 100 TB scan
@@ -1393,10 +1394,24 @@ def scan_table(
     IN, BETWEEN and IS [NOT] NULL leaves, pruned three-valued against
     each file's metadata (AND prunes when any conjunct refutes, OR
     only when all disjuncts do) with the compiled Column as the exact
-    residual. All four knobs compose as a conjunction. Posix-protocol
-    tables fall back to a plain filtered read (Catalyst still
-    partition-prunes Hive dirs there)."""
+    residual. ``since``: INCREMENTAL scan — keep only files whose
+    commit sequence exceeds that version, i.e. files added after a
+    consumer's checkpoint: for an append-only table this reads exactly
+    the new rows at O(new files) cost (Iceberg's incremental append
+    scan; the manifest-metadata dual of :func:`changes`, which handles
+    updates/deletes too by diffing snapshots). A REWRITTEN file's rows
+    all carry the rewriting commit's seq, so a consumer of a table
+    that also merges/deletes should use :func:`changes` instead —
+    ``since`` is the appends fast path. All knobs compose as a
+    conjunction. Posix-protocol tables fall back to a plain filtered
+    read (Catalyst still partition-prunes Hive dirs there; ``since``
+    requires manifest seq metadata and raises there)."""
     v = latest_version(path) if version is None else version
+    if since is not None and not _is_manifest_table(path):
+        raise ValueError(
+            "since= needs manifest commit-sequence metadata; posix "
+            "tables don't record it (use changes() instead)"
+        )
 
     def _residual(df: DataFrame) -> DataFrame:
         for c, vals in (partitions or {}).items():
@@ -1452,6 +1467,8 @@ def scan_table(
     if where is not None:
         pcols = m.get("partition_by")
         entries = [e for e in entries if _pred_maybe(e, where, pcols)]
+    if since is not None:
+        entries = [e for e in entries if e.get("seq", 0) > since]
     return _residual(_m_apply_deletes(spark, path, entries, m))
 
 
@@ -1656,6 +1673,51 @@ def delete_where(spark: SparkSession, path: str, cond) -> int:
                 carry_rels=cow[0],
             )
     return _write_next(tgt.filter(keep), path, base=base, partition_by=pcols)
+
+
+def append_table(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Blind APPEND: commit ``df``'s rows as new files with EVERY base
+    entry carried by reference — zero reads of existing data, zero
+    rewrites, one manifest publish. The high-frequency ingest verb:
+    where MERGE must read the touched partitions to reconcile keys, an
+    append's cost is O(new rows) regardless of table size, which is
+    what a 100 TB table's minute-cadence landing job needs. No key
+    reconciliation is performed (duplicates land as duplicates — use
+    :func:`merge_upsert` when upsert semantics are wanted). The
+    appended entries get this commit's ``seq``, so
+    ``scan_table(since=...)`` reads exactly the files added after a
+    checkpoint version. Schema must match the table's (same columns;
+    use MERGE with ``evolve_schema`` to widen). Posix tables fall back
+    to a full snapshot rewrite (their snapshot layout has no
+    entry-union commit) — the manifest protocol is the right tool for
+    ingest cadence."""
+    base = latest_version(path)
+    if _is_manifest_table(path):
+        m = _m_load(path, base)
+        pcols = m.get("partition_by")
+        cols = [f["name"] for f in m["schema"]["fields"]]
+        if set(df.columns) != set(cols):
+            raise ValueError(
+                f"append schema {sorted(df.columns)} != table schema "
+                f"{sorted(cols)}; use merge_upsert(evolve_schema=True)"
+            )
+        return _m_commit(
+            df.select(*cols),
+            path,
+            base + 1,
+            pcols,
+            _m_entries(path, m),
+            base=base,
+            deletes=m.get("deletes", []),
+        )
+    tgt = read_table(spark, path, version=base)
+    pcols = table_meta(path).get("partition_by")
+    return _write_next(
+        tgt.unionByName(df.select(*tgt.columns)),
+        path,
+        base=base,
+        partition_by=pcols,
+    )
 
 
 def delete_predicate(spark: SparkSession, path: str, pred) -> int:

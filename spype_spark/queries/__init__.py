@@ -139,6 +139,7 @@ _DRIVER_PRIORITY = [
     "q_lake_scan_predicate",
     "q_lake_delete_predicate",
     "q_sketch_cms",
+    "q_lake_append_scan",
     "q_sink_csv_roundtrip",
     "q_sink_orc_roundtrip",
     "q_source_binaryfile",

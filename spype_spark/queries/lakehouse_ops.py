@@ -978,3 +978,54 @@ def q_lake_delete_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_append_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey >= 8000 AND o_orderkey < 12000
+    """,
+)
+def q_lake_append_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blind APPEND + incremental consumption: two `append_table`
+    commits land new order slices with ZERO reads or rewrites of
+    existing data (every base manifest entry carried by reference —
+    asserted as a file-list superset), then
+    `scan_table(since=base_version)` reads EXACTLY the appended files
+    from commit-sequence metadata, never touching a base file
+    (asserted disjoint). This is the minute-cadence ingest pair at
+    100 TB: append cost is O(new rows) regardless of table size, and
+    a downstream consumer checkpointing by version pays O(new files)
+    per poll instead of re-scanning the table. The oracle is the
+    appended slice relationally. (Tables that also merge/delete should
+    consume via `changes()` — `since` is the appends fast path.)
+    """
+    tmp = _scratch("spype_lake_append_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir), path)
+        src = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        a1 = src.filter(
+            (F.col("o_orderkey") >= 8000) & (F.col("o_orderkey") < 10000)
+        )
+        a2 = src.filter(
+            (F.col("o_orderkey") >= 10000) & (F.col("o_orderkey") < 12000)
+        )
+        lake.append_table(spark, path, a1)
+        lake.append_table(spark, path, a2)
+        f0 = set(lake.data_files(path, 0))
+        f2 = set(lake.data_files(path, 2))
+        if not f0 <= f2:
+            raise AssertionError("append rewrote base files")
+        inc = lake.scan_table(spark, path, since=0)
+        base_files = {p for p in inc.inputFiles() if any(
+            p.endswith(b) for b in f0
+        )}
+        if base_files:
+            raise AssertionError(
+                f"incremental scan read {len(base_files)} base files"
+            )
+        return inc.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1629,3 +1629,39 @@ def test_delete_predicate_carries_refuted_files(spark, tmp_path):
     lake.write_table(df, px, partition_by="p", protocol="posix")
     lake.delete_predicate(spark, px, pred)
     assert {r.k for r in lake.read_table(spark, px).collect()} == kept
+
+
+def test_append_table_zero_rewrite_and_incremental_scan(spark, tmp_path):
+    """append_table carries every base entry by reference and writes
+    only the new rows; scan_table(since=) reads exactly the files
+    added after the checkpoint version."""
+    path = str(tmp_path / "t")
+    lake.write_table(_kv(spark, [(k, "base", k % 2) for k in range(20)]),
+                     path, partition_by="p")
+    v1 = lake.append_table(spark, path, _kv(spark, [(100, "a1", 0)]))
+    v2 = lake.append_table(spark, path, _kv(spark, [(200, "a2", 1)]))
+    assert (v1, v2) == (1, 2)
+    f0, f2 = set(lake.data_files(path, 0)), set(lake.data_files(path, 2))
+    assert f0 <= f2, "append rewrote base files"
+    assert {r.k for r in lake.read_table(spark, path).collect()} == (
+        set(range(20)) | {100, 200}
+    )
+    inc = lake.scan_table(spark, path, since=0)
+    assert {r.k for r in inc.collect()} == {100, 200}
+    assert not (set(inc.inputFiles())
+                & {f"file:{tmp_path}/t/{p}" for p in f0})
+    assert {r.k for r in lake.scan_table(spark, path, since=v1).collect()} \
+        == {200}
+    # since composes with predicate pruning
+    assert {r.k for r in lake.scan_table(
+        spark, path, since=0, where=("eq", "p", 0)).collect()} == {100}
+    with pytest.raises(ValueError, match="append schema"):
+        lake.append_table(
+            spark, path, spark.createDataFrame([(1,)], "k long"))
+    # posix: full-rewrite fallback keeps rows; since= raises
+    px = str(tmp_path / "px")
+    lake.write_table(_kv(spark, [(1, "a", 0)]), px, protocol="posix")
+    lake.append_table(spark, px, _kv(spark, [(2, "b", 0)]))
+    assert {r.k for r in lake.read_table(spark, px).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="manifest commit-sequence"):
+        lake.scan_table(spark, px, since=0)
