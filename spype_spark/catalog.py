@@ -63,6 +63,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spype_spark import lakehouse as lake
 from spype_spark.lakehouse import ConcurrentWriteError
@@ -557,6 +558,53 @@ class Transaction:
             self.spark, path, base, col, lo, hi
         )
         v = self._stage(rew, path, pcols, carry, base, deletes=dels)
+        self._staged[name] = v
+        return v
+
+    def delete_predicate(self, name: str, pred) -> int:
+        """DELETE by predicate spec with general file pruning (see
+        :func:`spype_spark.lakehouse.delete_predicate`), staged."""
+        self._check_open()
+        path = self.cat.table_path(name)
+        base = self._resolve(name)
+        m = lake._m_load(path, base)
+        pcols = m.get("partition_by")
+        entries = lake._m_entries(path, m)
+        carry = [
+            e for e in entries if not lake._pred_maybe(e, pred, pcols)
+        ]
+        rewrite = [e for e in entries if lake._pred_maybe(e, pred, pcols)]
+        keep = ~F.coalesce(lake._pred_column(pred), F.lit(False))
+        rew = lake._m_apply_deletes(
+            self.spark, path, rewrite, m
+        ).filter(keep)
+        v = self._stage(
+            rew, path, pcols, carry, base, deletes=m.get("deletes", [])
+        )
+        self._staged[name] = v
+        return v
+
+    def append(self, df: DataFrame, name: str) -> int:
+        """Blind APPEND (zero reads/rewrites of existing data — see
+        :func:`spype_spark.lakehouse.append_table`), staged."""
+        self._check_open()
+        path = self.cat.table_path(name)
+        base = self._resolve(name)
+        m = lake._m_load(path, base)
+        cols = [f["name"] for f in m["schema"]["fields"]]
+        if set(df.columns) != set(cols):
+            raise ValueError(
+                f"append schema {sorted(df.columns)} != table schema "
+                f"{sorted(cols)}"
+            )
+        v = self._stage(
+            df.select(*cols),
+            path,
+            m.get("partition_by"),
+            lake._m_entries(path, m),
+            base,
+            deletes=m.get("deletes", []),
+        )
         self._staged[name] = v
         return v
 

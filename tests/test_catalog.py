@@ -488,3 +488,32 @@ def test_txn_compact_through_catalog(spark, tmp_path):
     got = {(r.k, r.v) for r in cat.read(spark, "t").collect()}
     assert got == {(k, k * 10) for k in range(400)}
     assert len(lake._m_load(p, cat.state(0)["t"])["files"]) == 8
+
+
+def test_txn_append_and_delete_predicate(spark, tmp_path):
+    """append + predicate DELETE staged atomically in one txn: both
+    visible together after commit, neither before; append carries
+    every base entry by reference."""
+    cat = Catalog(str(tmp_path / "ap"))
+    base = spark.createDataFrame(
+        [(k, k % 3, k * 10) for k in range(60)], "k long, p long, v long"
+    )
+    with cat.transaction(spark) as t:
+        t.write(base, "t", partition_by="p")
+    p = cat.table_path("t")
+    v0 = cat.state()["t"]
+    f0 = set(lake.data_files(p, v0))
+    with cat.transaction(spark) as t:
+        t.append(
+            spark.createDataFrame([(100, 0, 1000)], "k long, p long, v long"),
+            "t",
+        )
+        t.delete_predicate(
+            "t", ("and", ("eq", "p", 1), ("lt", "k", 30))
+        )
+    got = {r.k for r in cat.read(spark, "t").collect()}
+    gone = {k for k in range(60) if k % 3 == 1 and k < 30}
+    assert got == (set(range(60)) - gone) | {100}
+    # the append step carried every base file by reference
+    v_app = cat.state()["t"] - 1
+    assert f0 <= set(lake.data_files(p, v_app))
