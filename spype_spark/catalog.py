@@ -570,10 +570,9 @@ class Transaction:
         m = lake._m_load(path, base)
         pcols = m.get("partition_by")
         entries = lake._m_entries(path, m)
-        carry = [
-            e for e in entries if not lake._pred_maybe(e, pred, pcols)
-        ]
-        rewrite = [e for e in entries if lake._pred_maybe(e, pred, pcols)]
+        maybe = lake._pred_compile(pred, pcols)
+        carry = [e for e in entries if not maybe(e)]
+        rewrite = [e for e in entries if maybe(e)]
         keep = ~F.coalesce(lake._pred_column(pred), F.lit(False))
         rew = lake._m_apply_deletes(
             self.spark, path, rewrite, m

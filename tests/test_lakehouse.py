@@ -1665,3 +1665,62 @@ def test_append_table_zero_rewrite_and_incremental_scan(spark, tmp_path):
     assert {r.k for r in lake.read_table(spark, px).collect()} == {1, 2}
     with pytest.raises(ValueError, match="manifest commit-sequence"):
         lake.scan_table(spark, px, since=0)
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.data())
+def test_pred_compile_matches_reference(data):
+    """The compiled predicate evaluator is bit-identical to the
+    reference recursion over random entries and random predicate
+    trees (including unusable partition values and missing stats)."""
+    from spype_spark.lakehouse import (
+        _pred_compile, _pred_maybe_uncompiled,
+    )
+
+    cols = ["p", "k", "s"]
+    vals = st.one_of(
+        st.integers(-5, 15),
+        st.sampled_from(["1", "001", "a/b", "x", ""]),
+        st.none(),
+    )
+
+    def leaf():
+        return st.one_of(
+            st.tuples(st.sampled_from(["eq", "lt", "le", "gt", "ge"]),
+                      st.sampled_from(cols), vals),
+            st.tuples(st.just("in"), st.sampled_from(cols),
+                      st.lists(vals, min_size=1, max_size=3)),
+            st.tuples(st.just("between"), st.sampled_from(cols),
+                      vals, vals),
+            st.tuples(st.sampled_from(["isnull", "notnull"]),
+                      st.sampled_from(cols)),
+        )
+
+    pred = data.draw(st.recursive(
+        leaf(),
+        lambda c: st.tuples(st.sampled_from(["and", "or"]), c, c),
+        max_leaves=6,
+    ))
+    entry = {
+        "partition": data.draw(st.one_of(
+            st.just({}),
+            st.fixed_dictionaries({"p": st.sampled_from(
+                ["1", "001", "7", "x"])}),
+        )),
+        "rows": data.draw(st.one_of(st.none(), st.integers(0, 100))),
+        "stats": data.draw(st.one_of(
+            st.just({}),
+            st.fixed_dictionaries({"k": st.tuples(
+                st.integers(-5, 10), st.integers(-5, 10)
+            ).map(lambda t: [min(t), max(t)])}),
+        )),
+        "nulls": data.draw(st.one_of(
+            st.just({}),
+            st.fixed_dictionaries({"k": st.integers(0, 100),
+                                   "s": st.integers(0, 100)}),
+        )),
+    }
+    for pcols in (None, ["p"]):
+        assert _pred_compile(pred, pcols)(entry) == \
+            _pred_maybe_uncompiled(entry, pred, pcols)
