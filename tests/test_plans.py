@@ -143,3 +143,12 @@ def test_events_ts_filter_pushes_into_scan(spark, sf001):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "ts" in pushed and "GreaterThanOrEqual" in pushed, pushed
+
+
+def test_bloom_and_cms_probes_stay_jvm_side(spark, sf001):
+    """The sketch probe paths (bloom might_contain, CMS estimate) must
+    be pure JVM expressions — literal-array lookups, no Python eval
+    nodes in the fact-side plan."""
+    for key in ("q_join_bloom", "q_sketch_cms"):
+        plan = optimized_of(REGISTRY[key].fn(spark, sf001))
+        assert "PythonUDF" not in plan, f"{key} has Python in the plan"
