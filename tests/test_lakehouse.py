@@ -1724,3 +1724,115 @@ def test_pred_compile_matches_reference(data):
     for pcols in (None, ["p"]):
         assert _pred_compile(pred, pcols)(entry) == \
             _pred_maybe_uncompiled(entry, pred, pcols)
+
+
+def test_branch_two_process_publish_race(tmp_path):
+    """TWO real processes fork their own branches at v0, mutate, and
+    PUBLISH simultaneously (file barrier inside the parent's publish):
+    exactly one fast-forward wins v1; the loser gets
+    ConcurrentWriteError from the put-if-absent, re-branches from the
+    new head, replays, and lands v2 — the WAP conflict story
+    end-to-end across JVMs."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    table = str(tmp_path / "wap_tbl")
+    barrier = str(tmp_path / "barrier")
+    os.makedirs(barrier)
+
+    setup = textwrap.dedent(f"""
+        import sys; sys.path.insert(0, {repr(os.getcwd())})
+        from pyspark.sql import SparkSession
+        from spype_spark import lakehouse as lake
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+        lake.write_table(df, {repr(table)})
+        print("SETUP_OK")
+    """)
+    r = subprocess.run(
+        [sys.executable, "-c", setup], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert "SETUP_OK" in r.stdout, r.stderr[-2000:]
+
+    writer = textwrap.dedent(f"""
+        import os, sys, time
+        sys.path.insert(0, {repr(os.getcwd())})
+        wid = sys.argv[1]
+        from pyspark.sql import SparkSession
+        from spype_spark import lakehouse as lake
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        table = {repr(table)}
+        def work(name):
+            b = lake.create_branch(table, name)
+            lake.merge_upsert(
+                spark, b,
+                spark.createDataFrame(
+                    [(100 if wid == "A" else 200, wid)], "k long, s string"),
+                keys=["k"])
+            return b
+        work("br_" + wid)
+        real = lake._m_publish
+        def barrier_publish(p, v, man):
+            if os.path.abspath(p) == os.path.abspath(table):
+                # parent publish: hold until BOTH writers are here
+                open(os.path.join({repr(barrier)}, "ready_" + wid),
+                     "w").close()
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    if all(os.path.exists(
+                            os.path.join({repr(barrier)}, "ready_" + w))
+                           for w in ("A", "B")):
+                        break
+                    time.sleep(0.05)
+                else:
+                    raise RuntimeError("barrier timeout")
+            return real(p, v, man)
+        lake._m_publish = barrier_publish
+        try:
+            v = lake.publish_branch(table, "br_" + wid)
+            print("WON", v)
+        except lake.ConcurrentWriteError:
+            lake._m_publish = real
+            work("br_retry_" + wid)
+            v = lake.publish_branch(table, "br_retry_" + wid)
+            print("RETRIED", v)
+    """)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", writer, w],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for w in ("A", "B")
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+    verdicts = [
+        line.split() for o in outs for line in o.splitlines()
+        if line.startswith(("WON", "RETRIED"))
+    ]
+    assert sorted(v[0] for v in verdicts) == ["RETRIED", "WON"], outs
+    assert {v[1] for v in verdicts} == {"1", "2"}, outs
+
+    import duckdb
+
+    files = [
+        os.path.join(table, rel) if not os.path.isabs(rel) else rel
+        for rel in lake.data_files(table, 2)
+    ]
+    got = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"SELECT k, s FROM read_parquet({files!r})"
+        ).fetchall()
+    }
+    assert got == {(1, "a"), (2, "b"), (100, "A"), (200, "B")}
