@@ -140,6 +140,7 @@ _DRIVER_PRIORITY = [
     "q_lake_delete_predicate",
     "q_sketch_cms",
     "q_lake_append_scan",
+    "q_sketch_hll_intersect",
     "q_sink_csv_roundtrip",
     "q_sink_orc_roundtrip",
     "q_source_binaryfile",

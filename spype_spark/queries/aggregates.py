@@ -657,3 +657,89 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key.join(F.broadcast(gate)).select(  # 1x1 audit metric
         "o_custkey", "n_exact", "ge_ok", "avg_ok"
     )
+
+
+@query(
+    "q_sketch_hll_intersect",
+    oracle="""
+    SELECT
+      (SELECT COUNT(DISTINCT o_custkey) FROM orders
+        WHERE o_totalprice > 50000.0) AS n_a,
+      (SELECT COUNT(DISTINCT o_custkey) FROM orders
+        WHERE o_orderstatus = 'O') AS n_b,
+      (SELECT COUNT(DISTINCT o_custkey) FROM orders o1
+        WHERE o_totalprice > 50000.0
+          AND EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = o1.o_custkey
+                        AND o2.o_orderstatus = 'O')) AS n_intersect,
+      true AS int_ok
+    """,
+)
+def q_sketch_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-composed INTERSECTION estimate — audience overlap, the
+    classic ask HLL unions alone can't answer: |A∩B| estimated by
+    inclusion-exclusion over three sketches (est_A + est_B − est_A∪B,
+    the union via `hll_union_agg` of the two partials — no rescan of
+    either side). The contract ships the exact cohort sizes and the
+    exact overlap plus a boolean pinning the estimate within an
+    ADDITIVE bound scaled by the set sizes (5% of n_a+n_b): unlike the
+    union, intersection error is additive across the three estimates,
+    so its RELATIVE error blows up for small overlaps — the honest
+    contract for this composition, and why engines (and this one)
+    gate it by absolute mass, not ratio. A = customers with an order
+    over 50 000, B = customers with an open order (large overlap by
+    construction, the regime where inclusion-exclusion is sound)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 50000.0)
+    b = orders.filter(F.col("o_orderstatus") == "O")
+    sk_a = a.agg(
+        F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"),
+        F.countDistinct("o_custkey").alias("n_a"),
+    )
+    sk_b = b.agg(
+        F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"),
+        F.countDistinct("o_custkey").alias("n_b"),
+    )
+    exact_int = (
+        a.select("o_custkey")
+        .distinct()
+        .join(b.select("o_custkey").distinct(), "o_custkey", "left_semi")
+        .agg(F.count("*").alias("n_intersect"))
+    )
+    ests = (
+        sk_a.select(F.col("sk"), F.col("n_a"))
+        .unionByName(
+            sk_b.select(F.col("sk"), F.col("n_b").alias("n_a")),
+            allowMissingColumns=False,
+        )
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sk", F.lit(False))
+            ).alias("est_union")
+        )
+    )
+    one = (
+        sk_a.select(
+            "n_a",
+            F.hll_sketch_estimate("sk").alias("est_a"),
+        )
+        .crossJoin(
+            sk_b.select(
+                "n_b", F.hll_sketch_estimate("sk").alias("est_b")
+            )
+        )
+        .crossJoin(ests)  # 1x1 sketch-estimate packs
+        .crossJoin(exact_int)
+    )
+    return one.select(
+        "n_a",
+        "n_b",
+        "n_intersect",
+        (
+            F.abs(
+                F.col("est_a") + F.col("est_b") - F.col("est_union")
+                - F.col("n_intersect")
+            )
+            <= F.lit(0.05) * (F.col("n_a") + F.col("n_b")) + F.lit(2.0)
+        ).alias("int_ok"),
+    )
