@@ -52,86 +52,16 @@ from spype_spark.queries import lakehouse_ops  # noqa: F401
 #      as evidence), with the round-1 rows-only keys last.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # ---- round-8 window (first 50 keys = the driver's evidence budget).
-    # Per VERDICT.md r7 task 1: (a) the 9 stale-evidence keys — the 6
-    # UDF/pipe keys displaced from the round-7 window (last driver rows
-    # r2, pre-corpus-regen) and the 3 round-7 lakehouse-COW contracts
-    # with zero driver history; then (b) the other 7 lakehouse keys
-    # (last driver rows r4 — and the whole lakehouse commit layer is
-    # reworked this round for the manifest/object-store path, so fresh
-    # driver rows matter most); then (b') the six second-session
-    # zero-history keys; then (c) 28 of the remaining r4-evidence
-    # keys. Spilled to the post-window queue: six r4 keys with
-    # pytest-pinned trivial plans, plus q_tpch_q5 (independently
-    # exercised by the driver's per-round bench run), q_pivot,
-    # q_unpivot.
-    # Group A - stale evidence (9):
-    "q_udf_python",
-    "q_udf_pandas",
-    "q_udtf_explode",
-    "q_pipe_chain",
-    "q_pipe_fan_merge",
-    "q_pipe_iff",
-    "q_lake_partitioned_cow",
-    "q_lake_vacuum",
-    "q_lake_delete_range",
-    # Group B - lakehouse keys last driver-green r4, commit layer
-    # reworked this round (7):
-    "q_lake_merge_upsert",
-    "q_lake_time_travel",
-    "q_lake_delete",
-    "q_lake_compact",
-    "q_lake_schema_evolution",
-    "q_lake_diff",
-    "q_lake_history",
-    # Group B' - the round-8 second-session additions with ZERO driver
-    # history (multi-table txns, exactly-once sink, slab manifests,
-    # MOR deletes, UPDATE, the WAV codec) — never-checked keys outrank
-    # r4-stale ones; six Group-C keys spill to the round-9 queue:
-    "q_lake_txn",
-    "q_stream_txn_sink",
-    "q_lake_parts_cow",
-    "q_lake_delete_mor",
-    "q_lake_update",
-    "q_multimodal_audio",
-    # Group C - remaining r4-evidence keys (28 of 37):
-    "q_sink_parquet_roundtrip",
-    "q_multimodal_framesample",
-    "q_sink_partitioned_write",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_subquery_correlated",
-    "q_null_handling",
-    "q_subquery_lateral",
-    "q_recursive_cte",
-    "q_join_bucketed",
-    "q_agg_grouping_id",
-    "q_profile_stats",
-    "q_agg_approx_distinct",
-    "q_sketch_hll",
-    "q_tpch_q13",
-    "q_tpch_q17",
-    "q_window_percentiles",
-    "q_dataset_cap_per_source",
-    "q_dataset_pack",
-    "q_text_decontaminate",
-    "q_text_repetition",
-    "q_text_pii_redact",
-    "q_dataset_mix_weighted",
-    "q_sim_cosine_tiled",
-    "q_multimodal_decode",
-    "q_skew_salted_agg",
-    "q_agg_approx_percentile",
-    # q_lake_scan_pruned: new in round 8 (zero driver history) — takes
-    # the window slot q_pipe_validate held; pipe_validate spills to the
-    # round-9 queue with the other displaced keys.
-    "q_lake_scan_pruned",
-    # ---- end of the 50-slot window ----
-    # Round-9 queue: first the six r4-evidence keys displaced by the
-    # zero-history Group B' block (roundtrip sinks and trivial plans,
-    # all pytest-pinned), then the earlier displacements, then the
-    # r5-evidence keys in registration order (the registry fallback
-    # below handles everything not named here).
+    # ---- round-9 window (first 50 keys = the driver's evidence budget).
+    # Per VERDICT.md r8 task 1: (a) the 9 round-8 session-3 keys with
+    # ZERO driver history — the only gap between judge-verified and
+    # driver-verified 100%; then (a') any round-9 additions (also zero
+    # history — inserted here as they land); then (b) the 10 keys whose
+    # last driver row is r4 (displaced from earlier windows); then
+    # (c) the oldest r5-evidence keys until the 50 slots fill. Spilled
+    # to the queue: the remaining r5 keys (streaming/graph family,
+    # pytest-pinned), then r6/r7/r8-evidence keys via registry order.
+    # Group A - zero driver history (9):
     "q_lake_cdf",
     "q_lake_branch_wap",
     "q_lake_scan_nulls",
@@ -141,6 +71,7 @@ _DRIVER_PRIORITY = [
     "q_sketch_cms",
     "q_lake_append_scan",
     "q_sketch_hll_intersect",
+    # Group B - last driver-green r4 (10):
     "q_sink_csv_roundtrip",
     "q_sink_orc_roundtrip",
     "q_source_binaryfile",
@@ -151,6 +82,52 @@ _DRIVER_PRIORITY = [
     "q_tpch_q5",
     "q_pivot",
     "q_unpivot",
+    # Group C - last driver-green r5 (31 of 42; the rest queue below):
+    "q_sink_json_roundtrip",
+    "q_source_json_props",
+    "q_layout_zorder",
+    "q_join_null_safe",
+    "q_quality_audit",
+    "q_join_3way",
+    "q_join_interval_overlap",
+    "q_join_asof",
+    "q_pricing_summary",
+    "q_sketch_hll_union",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_window_topk",
+    "q_map_funcs",
+    "q_sim_cosine_topk",
+    "q_json_variant",
+    "q_stream_tumbling",
+    "q_events_hourly_agg",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_lake_upsert",
+    "q_events_funnel",
+    "q_rolling_dau",
+    # ---- end of the 50-slot window ----
+    # Round-10 queue: the r5-evidence keys not fitted above, then the
+    # registry fallback (r6/r7/r8-evidence keys in registration order).
+    "q_cohort_retention",
+    "q_stream_true_tumbling",
+    "q_stream_dedup_watermark",
+    "q_stream_stateful_running",
+    "q_rollup_materialized",
+    "q_ts_gapfill",
+    "q_ts_interpolate",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_text_collapse_runs",
+    "q_pipe_curation",
 ]
 
 
