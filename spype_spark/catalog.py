@@ -60,6 +60,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -276,7 +277,9 @@ class Catalog:
         raise last
 
     # -- retention ------------------------------------------------------
-    def vacuum(self, keep_last: int = 1) -> list[int]:
+    def vacuum(
+        self, keep_last: int = 1, grace_seconds: float = None
+    ) -> list[int]:
         """Drop all but the last ``keep_last`` transaction records, then
         reclaim everything they alone referenced: per-table manifest
         versions no surviving record names (INCLUDING orphans staged by
@@ -285,7 +288,21 @@ class Catalog:
         retention-grace caveat as table vacuum: a transaction racing the
         vacuum with a just-dropped base record fails cleanly with
         ConcurrentWriteError and retries. Tagged transactions are
-        always kept."""
+        always kept.
+
+        ``grace_seconds`` (default
+        :data:`spype_spark.lakehouse.DEFAULT_GC_GRACE_SECONDS`)
+        protects LIVE in-flight transactions: a staged manifest sits at
+        a slot ABOVE every record-referenced version and is unreferenced
+        by construction until its commit publishes — reclaiming it
+        would leave the commit pinning a deleted manifest. Above-head
+        manifests younger than the window therefore survive the sweep
+        (crashed-txn orphans older than it are still reclaimed); the
+        data-file GC applies the same window. ``grace_seconds=0``
+        restores immediate reclamation for single-writer callers."""
+        if grace_seconds is None:
+            grace_seconds = lake.DEFAULT_GC_GRACE_SECONDS
+        young_floor = time.time() - grace_seconds
         ts = self.txns()
         pinned = set(ts[-keep_last:]) | set(self.tags().values())
         drop = [t for t in ts if t not in pinned]
@@ -308,13 +325,24 @@ class Catalog:
             if not lake._is_manifest_table(path):
                 continue
             keep = referenced.get(name, set())
+            head = max(keep, default=-1)
             for v in lake._m_versions(path):
-                if v not in keep:
+                if v in keep:
+                    continue
+                mp = lake._m_path(path, v)
+                if v > head:
+                    # possibly a LIVE transaction's staged slot — only
+                    # reclaim once it has outlived the grace window
                     try:
-                        os.unlink(lake._m_path(path, v))
-                    except FileNotFoundError:
-                        pass
-            lake._m_gc_files(path)
+                        if os.path.getmtime(mp) > young_floor:
+                            continue
+                    except OSError:
+                        continue
+                try:
+                    os.unlink(mp)
+                except FileNotFoundError:
+                    pass
+            lake._m_gc_files(path, grace_seconds=grace_seconds)
         return drop
 
 
@@ -632,7 +660,20 @@ class Transaction:
                 return None
             lo = -1 if self._base_txn is None else self._base_txn
             for t in range(lo + 1, (cur if cur is not None else -1) + 1):
-                rec = self.cat._record(t)
+                try:
+                    rec = self.cat._record(t)
+                except FileNotFoundError:
+                    # a vacuum dropped a record between this txn's
+                    # snapshot and its commit — the conflict scan can
+                    # no longer prove isolation; fail cleanly per the
+                    # documented contract, not with a raw IO error
+                    self._unstage()
+                    raise ConcurrentWriteError(
+                        f"transaction record {t} was vacuumed while "
+                        f"this transaction was open; its conflict "
+                        f"window cannot be checked — retry from a "
+                        f"fresh snapshot"
+                    )
                 clash = set(rec["changed"]) & set(self._staged)
                 if clash:
                     self._unstage()

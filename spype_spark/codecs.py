@@ -88,6 +88,11 @@ def decode_bmp(payload: bytes) -> dict:
     ) = struct.unpack_from(_BMP_INFO_FMT, payload, _BMP_HEADER_SIZE)
     if info_size < _BMP_INFO_SIZE or planes != 1:
         raise ValueError("unsupported BMP info header")
+    # The pixel-data offset must lie past the headers and inside the
+    # file — a malformed offset (e.g. 0) would otherwise silently
+    # decode header bytes as pixel rows instead of raising.
+    if offset < _BMP_HEADER_SIZE + info_size or offset > len(payload):
+        raise ValueError(f"bad pixel-data offset {offset}")
     if bpp != 24 or compression != 0:
         raise ValueError(
             f"only uncompressed 24-bpp BI_RGB supported (bpp={bpp}, "
@@ -126,12 +131,16 @@ def encode_wav(
         sample_rate * block, block, bits,
     )
     data = samples
+    # RIFF chunks are word-aligned: an odd-sized data chunk (possible
+    # with 8-bit mono PCM) carries a pad byte that is excluded from the
+    # chunk size but included in the RIFF size.
+    pad = b"\x00" if len(data) % 2 else b""
     return (
         b"RIFF"
-        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data) + len(pad))
         + b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
+        + b"data" + struct.pack("<I", len(data)) + data + pad
     )
 
 

@@ -642,15 +642,35 @@ def bloom_might_contain(
     """Probe column for a :func:`bloom_build` filter: true iff ALL k
     hashed bit positions of ``col`` are set. No false negatives by
     construction (same hash family and m as the build); false positives
-    at the sized rate. Pure JVM expression — k ``element_at`` lookups
-    into the literal word array per row, no Python in the row path."""
-    arr = F.lit(words)
+    at the sized rate. Pure JVM expression, no Python in the row path.
+
+    Plan-size note: the filter ships as ONE binary literal (the packed
+    bit array), not a words-long ``CreateArray`` — a 2²⁰-bit filter as
+    a 16 384-element literal array used to cost ~13 s of plan/codegen
+    constant per query (CHECKLOG_r08); a single 128 KB byte-blob
+    literal is a reference object in the generated code, compiled in
+    milliseconds. Each probe reads its BYTE out of the blob
+    (``substr`` → ``hex`` → ``conv``, all whole-stage-codegen'd) and
+    masks the addressed bit."""
+    import struct as _struct
+
+    # words are the build's 64-bit bit_or accumulators; little-endian
+    # packing makes global bit p live at byte p//8, bit p%8
+    blob = F.lit(b"".join(_struct.pack("<q", w) for w in words))
     probes = []
     for i in range(k):
         p_sql = f"pmod(xxhash64({col}, {i}), {m_bits})"
-        word = F.element_at(arr, F.expr(f"cast({p_sql} / 64 as int) + 1"))
-        mask = F.expr(f"shiftleft(1L, cast({p_sql} % 64 as int))")
-        probes.append(word.bitwiseAND(mask) != F.lit(0).cast("long"))
+        byte = F.conv(
+            F.hex(
+                F.substr(
+                    blob, F.expr(f"cast({p_sql} / 8 as int) + 1"), F.lit(1)
+                )
+            ),
+            16,
+            10,
+        ).cast("int")
+        mask = F.expr(f"shiftleft(1, cast({p_sql} % 8 as int))")
+        probes.append(byte.bitwiseAND(mask) != F.lit(0))
     out = probes[0]
     for pr in probes[1:]:
         out = out & pr
@@ -711,10 +731,26 @@ def cms_estimate(
     the MIN over hash rows of the addressed counters. Never
     underestimates (every row counted every occurrence of the item —
     the hard guarantee heavy-hitter screens rely on); overestimates
-    only by collision mass. Pure JVM expression — one ``element_at``
-    per row into the literal counter arrays."""
+    only by collision mass. Pure JVM expression, no Python in the row
+    path.
+
+    Plan-size note: each hash row ships as ONE binary literal of
+    big-endian 8-byte counters, not a width-long ``CreateArray`` — the
+    4×8192-int literal arrays used to cost ~17 s of plan/codegen
+    constant per query (CHECKLOG_r08). The addressed counter is read
+    back with ``substr`` → ``hex`` → ``conv`` (counter values are row
+    counts < 2⁶³, so the unsigned decode casts to long losslessly),
+    all inside whole-stage codegen."""
+    import struct as _struct
+
     ests = []
     for r, row in enumerate(sketch):
+        blob = F.lit(b"".join(_struct.pack(">q", c) for c in row))
         p = F.pmod(F.xxhash64(F.col(col), F.lit(r)), F.lit(width))
-        ests.append(F.element_at(F.lit(row), p.cast("int") + F.lit(1)))
+        off = (p.cast("int") * F.lit(8)) + F.lit(1)
+        ests.append(
+            F.conv(F.hex(F.substr(blob, off, F.lit(8))), 16, 10).cast(
+                "long"
+            )
+        )
     return F.least(*ests)

@@ -81,12 +81,20 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _VERSION_RE = re.compile(r"^v=(\d+)$")
+
+# Retention grace window for the path-refcount GC (see _m_gc_files):
+# an unreferenced file younger than this many seconds is presumed to
+# belong to an in-flight commit and survives the sweep. Ten minutes
+# bounds any realistic commit's write duration in this repo's usage;
+# real deployments tune it the way Delta tunes its retention period.
+DEFAULT_GC_GRACE_SECONDS = 600.0
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -822,6 +830,33 @@ def _m_commit(
         if datadir:
             shutil.rmtree(datadir, ignore_errors=True)
         raise
+    # Post-publish existence check: a grace-less GC (vacuum with
+    # grace_seconds=0) racing this commit may have collected the new
+    # files between their write and the publish. Detect it, withdraw
+    # the manifest we just won (nothing can have based on it except in
+    # the microsecond listing window — the documented residual of
+    # RETAIN-0 retention), and surface the standard retry signal
+    # instead of leaving a head that references deleted files. The
+    # default-grace path never gets here: young files survive the
+    # sweep.
+    gone = [
+        e["path"]
+        for e in entries
+        if not os.path.exists(os.path.join(path, e["path"]))
+    ]
+    if gone:
+        try:
+            os.unlink(_m_path(path, version))
+        except FileNotFoundError:
+            pass
+        if datadir:
+            shutil.rmtree(datadir, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"a concurrent grace-less vacuum collected {len(gone)} "
+            f"just-written data file(s) of {path} before version "
+            f"{version} published (first: {gone[0]}); retry the "
+            f"mutation"
+        )
     return version
 
 
@@ -1323,7 +1358,9 @@ def _m_range_plan(
     return rew, carry, pcols, m.get("deletes", [])
 
 
-def _m_vacuum(path: str, keep_last: int) -> list[int]:
+def _m_vacuum(
+    path: str, keep_last: int, grace_seconds: float = None
+) -> list[int]:
     """Manifest-protocol retention: unlink the dropped version
     manifests, then garbage-collect data files no SURVIVING manifest
     references — reference counting by PATH (the object-store notion),
@@ -1337,7 +1374,7 @@ def _m_vacuum(path: str, keep_last: int) -> list[int]:
             os.unlink(_m_path(path, v))
         except FileNotFoundError:
             pass
-    _m_gc_files(path)
+    _m_gc_files(path, grace_seconds=grace_seconds)
     return drop
 
 
@@ -1376,14 +1413,29 @@ def _gc_ref_roots(path: str) -> list[str]:
     return [root] + _branch_dirs(root)
 
 
-def _m_gc_files(path: str) -> None:
+def _m_gc_files(path: str, grace_seconds: float = None) -> None:
     """Garbage-collect data files AND manifest part slabs referenced by
     NO surviving manifest of a manifest table (path-refcount GC, shared
     by table vacuum and :meth:`spype_spark.catalog.Catalog.vacuum`).
     Reference counting is by ABSOLUTE path across the whole branch
     family (table + branches): a file survives while any live manifest
     anywhere in the family names it — which is what keeps parent data
-    alive under forked branches and branch data alive after a publish."""
+    alive under forked branches and branch data alive after a publish.
+
+    ``grace_seconds`` (default :data:`DEFAULT_GC_GRACE_SECONDS`) is the
+    retention grace window the Delta/Iceberg model requires: a file
+    younger than the window is SKIPPED even when unreferenced, because
+    "unreferenced" cannot be distinguished from "written by an
+    in-flight commit whose manifest is not yet published" — collecting
+    it would let that commit publish a manifest naming deleted files, a
+    silently corrupted head. ``grace_seconds=0`` restores immediate
+    reclamation (Delta's ``VACUUM RETAIN 0``): single-writer callers
+    may use it safely; under concurrent writers it reintroduces the
+    documented race, narrowed (not closed) by the commit-side
+    post-publish existence check in :func:`_m_commit`."""
+    if grace_seconds is None:
+        grace_seconds = DEFAULT_GC_GRACE_SECONDS
+    young_floor = time.time() - grace_seconds
     referenced: set[str] = set()
     for r in _gc_ref_roots(path):
         for v in _m_versions(r):
@@ -1401,12 +1453,23 @@ def _m_gc_files(path: str) -> None:
             ref_parts |= set(_m_load(path, v).get("parts", []))
         except FileNotFoundError:
             continue
+    def _old_enough(fp: str) -> bool:
+        try:
+            return os.path.getmtime(fp) <= young_floor
+        except OSError:
+            return False  # vanished under us — nothing to collect
+
     mdir = os.path.join(path, "_manifests")
     if os.path.isdir(mdir):
         for n in os.listdir(mdir):
-            if n.startswith("part-") and n not in ref_parts:
+            slab = os.path.join(mdir, n)
+            if (
+                n.startswith("part-")
+                and n not in ref_parts
+                and _old_enough(slab)
+            ):
                 try:
-                    os.unlink(os.path.join(mdir, n))
+                    os.unlink(slab)
                 except FileNotFoundError:
                     pass
     walk_roots = [os.path.abspath(path)]
@@ -1419,7 +1482,11 @@ def _m_gc_files(path: str) -> None:
         for root, _dirs, files in os.walk(datadir, topdown=False):
             for fn in files:
                 fp = os.path.abspath(os.path.join(root, fn))
-                if fn.endswith(".parquet") and fp not in referenced:
+                if (
+                    fn.endswith(".parquet")
+                    and fp not in referenced
+                    and _old_enough(fp)
+                ):
                     os.unlink(fp)
             remaining = os.listdir(root)
             # a commit dir whose every data file was collected keeps
@@ -1542,11 +1609,19 @@ def scan_table(
                 break
             svals.add(sv)
         if usable:
+            # Same ambiguity fallback as the eq/in leaf in
+            # _pred_compile: a recorded '001' must survive a request
+            # for 1, because the residual isin([1]) matches it after
+            # Spark's implicit cast — exact-string-only pruning here
+            # would break the scan_table ≡ read_table().filter()
+            # guarantee.
+            norms = {_norm_part_val(s) for s in svals}
             entries = [
                 e
                 for e in entries
                 if e["partition"].get(c) is None  # not a partition col
                 or e["partition"][c] in svals
+                or _norm_part_val(e["partition"][c]) in norms
             ]
     for c, (lo, hi) in (ranges or {}).items():
         split = _m_stats_split(entries, c, lo, hi)
@@ -2167,9 +2242,16 @@ def data_files(path: str, version: int) -> list[str]:
     return sorted(out)
 
 
-def vacuum(path: str, keep_last: int = 1) -> list[int]:
+def vacuum(
+    path: str, keep_last: int = 1, grace_seconds: float = None
+) -> list[int]:
     """Drop all but the newest ``keep_last`` committed versions;
-    returns the removed version numbers.
+    returns the removed version numbers. ``grace_seconds`` (default
+    :data:`DEFAULT_GC_GRACE_SECONDS`) is the manifest-protocol GC
+    retention grace window — unreferenced data files younger than it
+    survive the sweep so an in-flight commit's unpublished files are
+    never collected (see :func:`_m_gc_files`); pass ``0`` for
+    immediate reclamation when no concurrent writer can exist.
 
     Safe against the copy-on-write carries in both protocols. Manifest
     tables: the dropped manifests are unlinked, then data files no
@@ -2192,7 +2274,7 @@ def vacuum(path: str, keep_last: int = 1) -> list[int]:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     if _is_manifest_table(path):
-        return _m_vacuum(path, keep_last)
+        return _m_vacuum(path, keep_last, grace_seconds=grace_seconds)
     vs = versions(path)
     drop = vs[:-keep_last]
     for v in drop:
@@ -2415,11 +2497,17 @@ def publish_branch(path: str, name: str) -> int:
     return fork + 1
 
 
-def drop_branch(path: str, name: str) -> None:
+def drop_branch(
+    path: str, name: str, grace_seconds: float = None
+) -> None:
     """Delete a branch's metadata and garbage-collect its data files —
     EXCEPT any the table (or another branch) still references, e.g.
     after a publish (absolute-path refcounting, see
-    :func:`_m_gc_files`)."""
+    :func:`_m_gc_files`). The eager GC honors the same retention grace
+    window as vacuum — the family walk covers the PARENT's data dirs
+    too, so an ungraced sweep could collect a concurrent parent
+    commit's unpublished files; pass ``grace_seconds=0`` only when no
+    other writer can be in flight anywhere in the branch family."""
     broot = branch_path(path, name)
     if not os.path.isdir(broot):
         return
@@ -2430,7 +2518,7 @@ def drop_branch(path: str, name: str) -> None:
         pass
     # refs gone → the family GC (run from the PARENT so every branch
     # data dir is walked) collects whatever only this branch pinned
-    _m_gc_files(path)
+    _m_gc_files(path, grace_seconds=grace_seconds)
     for root, _dirs, _files in os.walk(broot, topdown=False):
         if not os.listdir(root):
             os.rmdir(root)

@@ -110,7 +110,7 @@ def test_txn_crashed_stage_swept_by_vacuum(spark, tmp_path):
     orphan = set(lake._m_versions(pa)) - {cat.state()["a"]}
     assert orphan, "staged slot exists before the sweep"
     files_before = sum(len(fs) for _, _, fs in os.walk(os.path.join(pa, "data")))
-    cat.vacuum(keep_last=10)
+    cat.vacuum(keep_last=10, grace_seconds=0)
     assert set(lake._m_versions(pa)) == {cat.state()["a"]}
     files_after = sum(len(fs) for _, _, fs in os.walk(os.path.join(pa, "data")))
     assert files_after < files_before, "orphan data files collected"
@@ -517,3 +517,49 @@ def test_txn_append_and_delete_predicate(spark, tmp_path):
     # the append step carried every base file by reference
     v_app = cat.state()["t"] - 1
     assert f0 <= set(lake.data_files(p, v_app))
+
+
+def test_catalog_vacuum_grace_spares_live_staged_slot(spark, tmp_path):
+    """A LIVE transaction's staged manifest sits above every record-
+    referenced version and is unreferenced until commit; a default-
+    grace vacuum must leave it (and its data files) so the commit can
+    land. grace_seconds=0 (the crashed-orphan sweep) still reclaims
+    once no commit is coming."""
+    cat = _mk(spark, tmp_path)
+    pa = cat.table_path("a")
+    live = cat.transaction(spark)
+    live.merge_upsert("a", _df(spark, [(7, 70)]), keys=["k"])
+    staged = set(lake._m_versions(pa)) - {cat.state()["a"]}
+    assert staged, "slot staged"
+    cat.vacuum(keep_last=10)  # default grace — must not touch the slot
+    assert staged <= set(lake._m_versions(pa)), "live staged slot kept"
+    t = live.commit()
+    assert t is not None
+    assert {(r.k, r.v) for r in cat.read(spark, "a").collect()} == {
+        (1, 10), (2, 20), (7, 70)
+    }
+
+
+def test_txn_commit_vacuumed_conflict_window_raises_cwe(spark, tmp_path):
+    """If retention drops a record inside an open transaction's
+    conflict window, the commit cannot prove isolation — it must
+    unstage and raise ConcurrentWriteError, not a raw IO error."""
+    cat = _mk(spark, tmp_path)
+    pb = cat.table_path("b")
+    stale = cat.transaction(spark)  # base = txn 0
+    stale.merge_upsert("b", _df(spark, [(9, 900)]), keys=["k"])
+    # two commits on table "a" advance the log, then retention drops
+    # the first of them — a hole inside stale's (0, head] scan range
+    with cat.transaction(spark) as t1:
+        t1.merge_upsert("a", _df(spark, [(5, 50)]), keys=["k"])
+    with cat.transaction(spark) as t2:
+        t2.merge_upsert("a", _df(spark, [(6, 60)]), keys=["k"])
+    staged = set(lake._m_versions(pb)) - {cat.state()["b"]}
+    assert staged, "slot staged before retention"
+    cat.vacuum(keep_last=1, grace_seconds=0)
+    with pytest.raises(ConcurrentWriteError, match="vacuumed"):
+        stale.commit()
+    assert not staged & set(lake._m_versions(pb)), "staged slot gone"
+    assert {(r.k, r.v) for r in cat.read(spark, "b").collect()} == {
+        (1, 100), (3, 300)
+    }

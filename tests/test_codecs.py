@@ -61,6 +61,12 @@ def test_bmp_round_trip_exact():
         lambda b: b[:-4],                             # truncated pixels
         lambda b: b[:28] + b"\x08\x00" + b[30:],      # 8-bpp
         lambda b: b[:30] + b"\x01\x00\x00\x00" + b[34:],  # RLE compression
+        # pixel offset 0 would alias header bytes as pixel rows
+        lambda b: b[:10] + b"\x00\x00\x00\x00" + b[14:],
+        # offset inside the info header (same aliasing, subtler)
+        lambda b: b[:10] + struct.pack("<I", 20) + b[14:],
+        # offset past EOF
+        lambda b: b[:10] + struct.pack("<I", len(b) + 1) + b[14:],
     ],
 )
 def test_decode_bmp_rejects_malformed(mutate):
@@ -103,6 +109,24 @@ def test_wav_round_trip_stereo_channel0():
     w = decode_wav(encode_wav(raw, sample_rate=44100, n_channels=2))
     assert w["n_frames"] == 10 and w["n_channels"] == 2
     assert w["samples"] == [a for a, _ in frames]
+
+
+def test_encode_wav_odd_data_chunk_is_riff_canonical():
+    """8-bit mono with an odd frame count: the data chunk is odd-sized,
+    so a canonical encoder appends a pad byte (excluded from the chunk
+    size, included in the RIFF size). A strict parser checks both."""
+    raw = bytes([128, 200, 55])  # 3 frames of 8-bit mono = odd chunk
+    payload = encode_wav(raw, sample_rate=8000, n_channels=1, bits=8)
+    # total file length is even: 12-byte RIFF/WAVE preamble + chunks
+    assert len(payload) % 2 == 0
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    assert riff_size == len(payload) - 8  # pad byte counted in RIFF size
+    data_at = payload.index(b"data")
+    (data_size,) = struct.unpack_from("<I", payload, data_at + 4)
+    assert data_size == 3  # pad byte NOT counted in the chunk size
+    assert payload[-1] == 0  # the pad byte itself
+    w = decode_wav(payload)
+    assert w["samples"] == [128, 200, 55]
 
 
 def test_decode_wav_rejects_malformed():

@@ -796,7 +796,7 @@ def test_manifest_interrupted_commit_never_half_publishes(spark, tmp_path):
         d for d in os.listdir(os.path.join(path, "data"))
     ]
     assert len(orphans) == 2  # v0's commit + the orphan
-    lake.vacuum(path, keep_last=1)
+    lake.vacuum(path, keep_last=1, grace_seconds=0)
     assert len(os.listdir(os.path.join(path, "data"))) == 1
     # and the retry path works: the same merge now commits cleanly
     lake.merge_upsert(spark, path, upd, keys=["k"])
@@ -817,7 +817,7 @@ def test_manifest_vacuum_gc_by_path_reference(spark, tmp_path):
     lake.merge_upsert(spark, path, upd, keys=["k"])  # v1 carries p=0,p=2
     f1 = set(lake.data_files(path, 1))
     before = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
-    removed = lake.vacuum(path, keep_last=1)
+    removed = lake.vacuum(path, keep_last=1, grace_seconds=0)
     assert removed == [0]
     assert lake.versions(path) == [1]
     # every surviving reference still resolves; orphaned v0-only files gone
@@ -1139,7 +1139,7 @@ def test_manifest_parts_content_addressed_carry(spark, tmp_path, monkeypatch):
 
     # vacuum: v0-only slabs and files are collected, shared slabs kept
     mdir = os.path.join(path, "_manifests")
-    lake.vacuum(path, keep_last=1)
+    lake.vacuum(path, keep_last=1, grace_seconds=0)
     left = {n for n in os.listdir(mdir) if n.startswith("part-")}
     assert left == set(m1["parts"]), "only the head's slabs survive"
     assert {(r.k, r.v) for r in
@@ -1227,7 +1227,7 @@ def test_delete_keys_merge_on_read_sequence_semantics(spark, tmp_path):
     # vacuum: the spent key files are no longer referenced
     import os as _os
 
-    lake.vacuum(path, keep_last=1)
+    lake.vacuum(path, keep_last=1, grace_seconds=0)
     remaining = []
     for root, _d, files in _os.walk(_os.path.join(path, "data")):
         remaining += [f for f in files if f.endswith(".parquet")]
@@ -1465,7 +1465,7 @@ def test_branch_drop_unpublished_collects_data(spark, tmp_path):
         for _r, _d, fns in os.walk(os.path.join(b, "data"))
         for fn in fns
     )
-    lake.drop_branch(path, "scrap")
+    lake.drop_branch(path, "scrap", grace_seconds=0)
     assert not os.path.isdir(b)
     assert {r.k for r in lake.read_table(spark, path).collect()} == {1}
 
@@ -1836,3 +1836,98 @@ def test_branch_two_process_publish_race(tmp_path):
         ).fetchall()
     }
     assert got == {(1, "a"), (2, "b"), (100, "A"), (200, "B")}
+
+
+# ---------------------------------------------------------------------------
+# GC retention grace window (the Delta/Iceberg model): unreferenced-but-
+# YOUNG files are presumed to belong to an in-flight commit and survive
+# the sweep; only grace_seconds=0 restores immediate reclamation.
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_grace_window_spares_young_unreferenced_files(
+    spark, tmp_path
+):
+    """Default-grace vacuum must NOT collect a young unreferenced data
+    file (it is indistinguishable from an in-flight commit's output);
+    an explicit grace_seconds=0 sweep then collects it."""
+    import os
+    path = str(tmp_path / "t")
+    lake.write_table(_kv(spark, [(1, "a", 0)]), path)
+    lake.merge_upsert(spark, path, _kv(spark, [(2, "b", 0)]), keys=["k"])
+    # plant an unreferenced file where an in-flight commit would write
+    stray = os.path.join(path, "data", "inflight", "part-zz.parquet")
+    os.makedirs(os.path.dirname(stray), exist_ok=True)
+    with open(stray, "wb") as f:
+        f.write(b"not yet published")
+    lake.vacuum(path, keep_last=1)  # default grace
+    assert os.path.exists(stray), "young unreferenced file must survive"
+    lake.vacuum(path, keep_last=1, grace_seconds=0)
+    assert not os.path.exists(stray), "grace=0 sweep reclaims it"
+    assert {r.k for r in lake.read_table(spark, path).collect()} == {1, 2}
+
+
+def test_commit_detects_graceless_vacuum_collecting_its_files(
+    spark, tmp_path, monkeypatch
+):
+    """The RETAIN-0 residual: if a grace-less GC collects a commit's
+    just-written files before its manifest publishes, the commit must
+    withdraw the manifest and raise ConcurrentWriteError — never leave
+    a head referencing deleted files."""
+    import os
+    path = str(tmp_path / "t")
+    lake.write_table(_kv(spark, [(1, "a", 0)]), path)
+
+    real_publish = lake._m_publish
+
+    def publish_then_sweep(p, v, manifest):
+        real_publish(p, v, manifest)
+        # simulate the racing grace-less GC landing right after the
+        # publish won but before the writer's existence check: delete
+        # the NEW files this manifest introduced
+        for e in manifest["files"]:
+            if e.get("seq") == v:
+                try:
+                    os.unlink(os.path.join(p, e["path"]))
+                except FileNotFoundError:
+                    pass
+
+    monkeypatch.setattr(lake, "_m_publish", publish_then_sweep)
+    with pytest.raises(lake.ConcurrentWriteError, match="vacuum"):
+        lake.merge_upsert(
+            spark, path, _kv(spark, [(2, "b", 0)]), keys=["k"]
+        )
+    monkeypatch.setattr(lake, "_m_publish", real_publish)
+    # the head was withdrawn: table is at v0, intact, and writable
+    assert lake.versions(path) == [0]
+    assert {r.k for r in lake.read_table(spark, path).collect()} == {1}
+    lake.merge_upsert(spark, path, _kv(spark, [(2, "b", 0)]), keys=["k"])
+    assert {r.k for r in lake.read_table(spark, path).collect()} == {1, 2}
+
+
+def test_scan_table_partitions_ambiguous_string_value(spark, tmp_path):
+    """partitions= pruning must honor the same _norm_part_val ambiguity
+    fallback as the predicate algebra: a STRING partition recorded as
+    '001' matches a request for integer 1 (the residual isin([1])
+    matches it after Spark's implicit cast), so pruning it would break
+    scan_table ≡ read_table().filter()."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "001"), (2, "001"), (3, "2")], "k long, p string"
+    )
+    lake.write_table(df, path, partition_by="p")
+    got = lake.scan_table(spark, path, partitions={"p": 1})
+    want = {
+        r.k
+        for r in lake.read_table(spark, path)
+        .filter(F.col("p").isin([1]))
+        .collect()
+    }
+    assert {r.k for r in got.collect()} == want
+    assert want == {1, 2}, "residual cast matches '001'"
+    # exact-string requests still prune: only the '2' file survives p='2'
+    got2 = lake.scan_table(spark, path, partitions={"p": "2"})
+    assert {r.k for r in got2.collect()} == {3}
+    assert len(set(got2.inputFiles())) < len(
+        set(lake.read_table(spark, path).inputFiles())
+    )
