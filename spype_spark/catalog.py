@@ -34,11 +34,19 @@ The protocol:
    and a crash at any point leaves the catalog state untouched.
 3. Commit publishes one record at ``t=latest+1`` put-if-absent: the
    single atomic step, covering every staged table at once. Before
-   publishing, intervening records are conflict-checked — if any
-   ``changed`` a table this txn also changed, the txn aborts with
-   :class:`~spype_spark.lakehouse.ConcurrentWriteError` (its plans
-   were computed against a superseded version); disjoint writers
-   re-point and retry the CAS, so they serialize without conflict.
+   publishing, intervening records are conflict-checked at PARTITION
+   granularity (the Delta/Iceberg model): every record carries each
+   changed table's conflict footprint (``ops`` — a mode plus the
+   partition keys it added/removed files in), and an intervening
+   change of the same table only aborts this txn when the footprints
+   can intersect — wildcard rewrites, overlapping partition sets, or
+   anything unprovably disjoint. PROVABLY-disjoint writers to one
+   table instead REBASE: the later committer re-stages its net change
+   onto the new head manifest (head entries outside its footprint +
+   its own entries inside it — a commit-time manifest merge) and
+   re-points the CAS, so partition-disjoint MERGEs into one hot fact
+   table commute without retries. Real conflicts still raise
+   :class:`~spype_spark.lakehouse.ConcurrentWriteError`.
 4. Abort (exception inside the ``with``, or a lost conflict) unlinks
    the staged manifests; orphaned data files are swept by
    :meth:`Catalog.vacuum`, which is also what reclaims them after a
@@ -346,6 +354,40 @@ class Catalog:
         return drop
 
 
+def _part_key(p: dict | None) -> str:
+    """Canonical JSON serialization of one file entry's partition tuple
+    — the unit of the commit-time conflict footprint. Unpartitioned
+    tables serialize to ``'[]'`` for every file, which degrades the
+    partition-level conflict test to the old table-level one there
+    (correct: without partitions, nothing proves two rewrites
+    disjoint)."""
+    return json.dumps(sorted((p or {}).items()))
+
+
+def _ops_compatible(mine: dict, theirs: dict) -> bool:
+    """Can this transaction's staged mutation of a table commute with
+    an intervening commit's mutation of the SAME table? The
+    Delta/Iceberg serializability test at partition granularity:
+
+    - a ``*`` (wildcard) footprint on either side — full rewrites,
+      schema changes, new equality-delete files — conflicts with
+      everything (today's table-level rule);
+    - two pure ADDs always commute (appends read nothing);
+    - otherwise both sides carry partition footprints and commute
+      exactly when the footprints are DISJOINT — an add into a
+      partition someone rewrote (or vice versa) conflicts, because the
+      rewrite's snapshot semantics can't order the unseen files.
+    """
+    m, t = mine.get("mode", "*"), theirs.get("mode", "*")
+    if m == "*" or t == "*":
+        return False
+    if m == "add" and t == "add":
+        return True
+    return not (
+        set(mine.get("touched", ())) & set(theirs.get("touched", ()))
+    )
+
+
 class Transaction:
     """Stage mutations on several tables; commit them atomically.
 
@@ -372,6 +414,10 @@ class Transaction:
         self._base_state = cat.state(self._base_txn)
         self._staged: dict[str, int] = {}  # final staged version per table
         self._all_staged: list[tuple[str, int]] = []  # incl. intermediates
+        # per-table conflict footprint: {"mode": "*"|"add"|"replace",
+        # "touched": sorted partition keys, "new_entries": [...]}
+        self._staged_meta: dict[str, dict] = {}
+        self._scan_floor: int | None = None  # conflicts resolved up to
         self._closed = False
 
     # -- resolution -----------------------------------------------------
@@ -397,11 +443,19 @@ class Transaction:
         carry: list[dict],
         base: int | None,
         deletes: list[dict] | None = None,
+        mode: str = "*",
     ) -> int:
         """Publish a staged manifest at the next free version slot.
         A slot collision (concurrent stager, or a slot orphaned by a
         crashed txn) just moves up — visibility and conflicts are the
-        COMMIT's problem, not the slot number's."""
+        COMMIT's problem, not the slot number's.
+
+        ``mode`` is the verb's declared conflict footprint class
+        ("replace" for COW rewrites, "add" for blind appends, "*" for
+        full rewrites); it is ESCALATED back to "*" whenever the staged
+        manifest can't be proven partition-local — no base, a schema
+        change, or a changed equality-delete list — so partition-level
+        conflict detection only ever claims disjointness it can prove."""
         datadir, entries = (None, [])
         schema_json = None
         if df is not None:
@@ -443,10 +497,131 @@ class Transaction:
                 )
             except ConcurrentWriteError:
                 continue  # slot taken — scan upward
-            self._all_staged.append(
-                (os.path.basename(path), v)
+            name = os.path.basename(path)
+            self._all_staged.append((name, v))
+            self._staged_meta[name] = self._footprint(
+                path, base, carry, entries, deletes, schema_json, mode
             )
             return v
+
+    def _footprint(
+        self,
+        path: str,
+        base: int | None,
+        carry: list[dict],
+        entries: list[dict],
+        deletes: list[dict] | None,
+        schema_json: dict | None,
+        mode: str,
+    ) -> dict:
+        """Compute one staged mutation's conflict footprint (see
+        :func:`_ops_compatible`): the partition keys it removed files
+        from or added files to, or ``*`` when partition-locality can't
+        be proven."""
+        name = os.path.basename(path)
+        if base is None or name in self._staged_meta:
+            # no base to prove locality against, or a CHAINED staging
+            # (second verb on the same table this txn — its base is the
+            # first staged slot, so a single-step rebase can't replay
+            # the pair): conservative wildcard
+            return {"mode": "*", "touched": [], "new_entries": entries}
+        base_m = lake._m_load(path, base)
+        if (deletes or []) != base_m.get("deletes", []) or (
+            schema_json != base_m["schema"]
+        ):
+            return {"mode": "*", "touched": [], "new_entries": entries}
+        base_entries = lake._m_entries(path, base_m)
+        carried = {e["path"] for e in carry}
+        removed = [e for e in base_entries if e["path"] not in carried]
+        if mode == "add":
+            if removed:  # an "add" must not drop base files
+                return {
+                    "mode": "*", "touched": [], "new_entries": entries
+                }
+            touched = {_part_key(e.get("partition")) for e in entries}
+        elif mode == "replace":
+            touched = {_part_key(e.get("partition")) for e in removed} | {
+                _part_key(e.get("partition")) for e in entries
+            }
+        else:
+            return {"mode": "*", "touched": [], "new_entries": entries}
+        return {
+            "mode": mode,
+            "touched": sorted(touched),
+            "new_entries": entries,
+        }
+
+    def _rebase_table(self, name: str, head_v: int) -> None:
+        """Re-stage ``name``'s mutation on top of manifest ``head_v``
+        after PROVABLY-DISJOINT intervening commits: take the head's
+        entries for every partition outside our footprint (they carry
+        the other writers' changes) and our staged entries inside it
+        (our rewrites plus the refuted files we carried), publish the
+        merged manifest at the next free slot, retire the superseded
+        staged slot. For a pure ADD, the merge is head entries + our
+        new files. Defensive revalidation of the schema / delete-list
+        invariants the compatibility test relied on aborts with
+        :class:`ConcurrentWriteError` rather than guessing."""
+        path = self.cat.table_path(name)
+        meta = self._staged_meta[name]
+        my_v = self._staged[name]
+        my_m = lake._m_load(path, my_v)
+        head_m = lake._m_load(path, head_v)
+        if (
+            head_m.get("partition_by") != my_m.get("partition_by")
+            or head_m["schema"] != my_m["schema"]
+            or head_m.get("deletes", []) != my_m.get("deletes", [])
+        ):
+            self._unstage()
+            raise ConcurrentWriteError(
+                f"cannot rebase staged mutation of {name!r} onto head "
+                f"v{head_v}: schema/partitioning/delete-list diverged; "
+                f"retry from a fresh snapshot"
+            )
+        head_entries = lake._m_entries(path, head_m)
+        if meta["mode"] == "add":
+            new_paths = {e["path"] for e in meta["new_entries"]}
+            entries = [
+                e for e in head_entries if e["path"] not in new_paths
+            ] + meta["new_entries"]
+        else:
+            touched = set(meta["touched"])
+            mine = lake._m_entries(path, my_m)
+            entries = [
+                e
+                for e in head_entries
+                if _part_key(e.get("partition")) not in touched
+            ] + [
+                e
+                for e in mine
+                if _part_key(e.get("partition")) in touched
+            ]
+        while True:
+            vs = lake._m_versions(path)
+            v = (vs[-1] + 1) if vs else 0
+            try:
+                lake._m_publish(
+                    path,
+                    v,
+                    lake._m_manifest(
+                        path,
+                        v,
+                        head_v,
+                        my_m["schema"],
+                        my_m.get("partition_by"),
+                        entries,
+                        deletes=my_m.get("deletes", []) or None,
+                    ),
+                )
+            except ConcurrentWriteError:
+                continue  # slot taken — scan upward
+            break
+        try:
+            os.unlink(lake._m_path(path, my_v))  # superseded, ours
+        except FileNotFoundError:
+            pass
+        self._all_staged.append((name, v))
+        self._staged[name] = v
 
     def _check_open(self):
         if self._closed:
@@ -482,7 +657,10 @@ class Transaction:
             self.spark, path, base, updates, keys, evolve_schema,
             match_condition,
         )
-        v = self._stage(merged, path, pcols, carry, base, deletes=dels)
+        v = self._stage(
+            merged, path, pcols, carry, base, deletes=dels,
+            mode="replace",
+        )
         self._staged[name] = v
         return v
 
@@ -493,7 +671,9 @@ class Transaction:
         rew, carry, pcols, dels = lake._m_delete_plan(
             self.spark, path, base, cond
         )
-        v = self._stage(rew, path, pcols, carry, base, deletes=dels)
+        v = self._stage(
+            rew, path, pcols, carry, base, deletes=dels, mode="replace",
+        )
         self._staged[name] = v
         return v
 
@@ -506,7 +686,9 @@ class Transaction:
         rew, carry, pcols, dels = lake._m_update_plan(
             self.spark, path, base, cond, assignments
         )
-        v = self._stage(rew, path, pcols, carry, base, deletes=dels)
+        v = self._stage(
+            rew, path, pcols, carry, base, deletes=dels, mode="replace",
+        )
         self._staged[name] = v
         return v
 
@@ -585,7 +767,9 @@ class Transaction:
         rew, carry, pcols, dels = lake._m_range_plan(
             self.spark, path, base, col, lo, hi
         )
-        v = self._stage(rew, path, pcols, carry, base, deletes=dels)
+        v = self._stage(
+            rew, path, pcols, carry, base, deletes=dels, mode="replace",
+        )
         self._staged[name] = v
         return v
 
@@ -606,7 +790,8 @@ class Transaction:
             self.spark, path, rewrite, m
         ).filter(keep)
         v = self._stage(
-            rew, path, pcols, carry, base, deletes=m.get("deletes", [])
+            rew, path, pcols, carry, base, deletes=m.get("deletes", []),
+            mode="replace",
         )
         self._staged[name] = v
         return v
@@ -631,6 +816,7 @@ class Transaction:
             lake._m_entries(path, m),
             base,
             deletes=m.get("deletes", []),
+            mode="add",
         )
         self._staged[name] = v
         return v
@@ -659,6 +845,9 @@ class Transaction:
                 self._unstage()
                 return None
             lo = -1 if self._base_txn is None else self._base_txn
+            if self._scan_floor is not None:
+                lo = max(lo, self._scan_floor)
+            rebase: set[str] = set()
             for t in range(lo + 1, (cur if cur is not None else -1) + 1):
                 try:
                     rec = self.cat._record(t)
@@ -674,14 +863,29 @@ class Transaction:
                         f"window cannot be checked — retry from a "
                         f"fresh snapshot"
                     )
-                clash = set(rec["changed"]) & set(self._staged)
-                if clash:
-                    self._unstage()
-                    raise ConcurrentWriteError(
-                        f"transaction conflict on table(s) {sorted(clash)}: "
-                        f"txn {t} changed them after this transaction's "
-                        f"snapshot; retry"
-                    )
+                ops = rec.get("ops", {})
+                for name in set(rec["changed"]) & set(self._staged):
+                    mine = self._staged_meta.get(name, {"mode": "*"})
+                    theirs = ops.get(name, {"mode": "*"})
+                    if not _ops_compatible(mine, theirs):
+                        self._unstage()
+                        raise ConcurrentWriteError(
+                            f"transaction conflict on table(s) "
+                            f"[{name!r}]: txn {t} changed them after "
+                            f"this transaction's snapshot (overlapping "
+                            f"or unprovably-disjoint footprints); retry"
+                        )
+                    rebase.add(name)
+            if rebase:
+                # every intervening change is PROVABLY disjoint from
+                # ours — re-stage each clashed table's net change onto
+                # the current head (Iceberg-style commit-time manifest
+                # merge) instead of aborting, then re-scan from here
+                state = self.cat.state(cur)
+                for name in sorted(rebase):
+                    self._rebase_table(name, state[name])
+                self._scan_floor = cur
+                continue
             new_txn = (cur if cur is not None else -1) + 1
             tables = self.cat.state(cur)
             tables.update(self._staged)
@@ -695,6 +899,14 @@ class Transaction:
                         "base": cur,
                         "tables": tables,
                         "changed": sorted(self._staged),
+                        "ops": {
+                            n: {
+                                "mode": m["mode"],
+                                "touched": list(m.get("touched", [])),
+                            }
+                            for n, m in self._staged_meta.items()
+                            if n in self._staged
+                        },
                         "apps": apps,
                     },
                 )

@@ -563,3 +563,288 @@ def test_txn_commit_vacuumed_conflict_window_raises_cwe(spark, tmp_path):
     assert {(r.k, r.v) for r in cat.read(spark, "b").collect()} == {
         (1, 100), (3, 300)
     }
+
+
+# ---------------------------------------------------------------------------
+# Partition-level conflict detection + commit-time rebase (round 9):
+# provably-disjoint writers to ONE table commute instead of serializing
+# through ConcurrentWriteError retries.
+# ---------------------------------------------------------------------------
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long, p string")
+
+
+def _mk_part(spark, tmp_path, name="pcat"):
+    cat = Catalog(str(tmp_path / name))
+    with cat.transaction(spark) as txn:
+        txn.write(
+            _pdf(spark, [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")]),
+            "t",
+            partition_by="p",
+        )
+    return cat
+
+
+def test_txn_disjoint_partition_merges_both_commit(spark, tmp_path):
+    """Two open transactions MERGE into DISJOINT partitions of one
+    table: the second detects the intervening commit, proves
+    disjointness from the recorded footprints, rebases its manifest
+    onto the new head, and commits WITHOUT ConcurrentWriteError — both
+    effects land."""
+    cat = _mk_part(spark, tmp_path)
+    ta = cat.transaction(spark)
+    tb = cat.transaction(spark)  # same base snapshot as ta
+    ta.merge_upsert("t", _pdf(spark, [(1, 11, "a")]), keys=["k"])
+    tb.merge_upsert("t", _pdf(spark, [(2, 22, "b")]), keys=["k"])
+    assert ta.commit() == 1
+    assert tb.commit() == 2, "disjoint-partition merge must not abort"
+    got = {(r.k, r.v, r.p) for r in cat.read(spark, "t").collect()}
+    assert got == {(1, 11, "a"), (2, 22, "b"), (3, 30, "c")}
+    # and the intermediate txn is still a consistent snapshot
+    mid = {(r.k, r.v, r.p) for r in cat.read(spark, "t", txn=1).collect()}
+    assert mid == {(1, 11, "a"), (2, 20, "b"), (3, 30, "c")}
+
+
+def test_txn_overlapping_partition_merges_still_abort(spark, tmp_path):
+    """Same-partition writers still conflict: the footprints
+    intersect, so the old table-level behavior is preserved."""
+    cat = _mk_part(spark, tmp_path)
+    ta = cat.transaction(spark)
+    tb = cat.transaction(spark)
+    ta.merge_upsert("t", _pdf(spark, [(1, 11, "a")]), keys=["k"])
+    tb.merge_upsert("t", _pdf(spark, [(9, 99, "a")]), keys=["k"])
+    ta.commit()
+    with pytest.raises(ConcurrentWriteError, match="conflict"):
+        tb.commit()
+    got = {(r.k, r.v, r.p) for r in cat.read(spark, "t").collect()}
+    assert got == {(1, 11, "a"), (2, 20, "b"), (3, 30, "c")}
+
+
+def test_txn_concurrent_appends_both_commit(spark, tmp_path):
+    """Two blind appends commute even into the SAME partition (appends
+    read nothing): the second rebases to head entries + its new files."""
+    cat = _mk_part(spark, tmp_path)
+    ta = cat.transaction(spark)
+    tb = cat.transaction(spark)
+    ta.append(_pdf(spark, [(4, 40, "a")]), "t")
+    tb.append(_pdf(spark, [(5, 50, "a")]), "t")
+    assert ta.commit() == 1
+    assert tb.commit() == 2, "concurrent appends must both land"
+    got = {(r.k, r.v, r.p) for r in cat.read(spark, "t").collect()}
+    assert got == {
+        (1, 10, "a"), (2, 20, "b"), (3, 30, "c"),
+        (4, 40, "a"), (5, 50, "a"),
+    }
+
+
+def test_txn_append_into_rewritten_partition_aborts(spark, tmp_path):
+    """An append into a partition a concurrent txn REWROTE conflicts
+    (the rewrite's snapshot semantics can't order the unseen files)."""
+    cat = _mk_part(spark, tmp_path)
+    ta = cat.transaction(spark)
+    tb = cat.transaction(spark)
+    ta.merge_upsert("t", _pdf(spark, [(1, 11, "a")]), keys=["k"])
+    tb.append(_pdf(spark, [(6, 60, "a")]), "t")
+    ta.commit()
+    with pytest.raises(ConcurrentWriteError, match="conflict"):
+        tb.commit()
+
+
+def test_txn_unpartitioned_table_still_table_level(spark, tmp_path):
+    """Without partition columns nothing proves disjointness — two
+    merges of different keys still serialize through a conflict."""
+    cat = _mk(spark, tmp_path)
+    ta = cat.transaction(spark)
+    tb = cat.transaction(spark)
+    ta.merge_upsert("a", _df(spark, [(100, 1)]), keys=["k"])
+    tb.merge_upsert("a", _df(spark, [(200, 2)]), keys=["k"])
+    ta.commit()
+    with pytest.raises(ConcurrentWriteError, match="conflict"):
+        tb.commit()
+
+
+def test_txn_disjoint_rebase_multi_step(spark, tmp_path):
+    """The rebase loop handles SEVERAL intervening disjoint commits
+    landing while this txn was open."""
+    cat = _mk_part(spark, tmp_path)
+    tb = cat.transaction(spark)
+    tb.merge_upsert("t", _pdf(spark, [(3, 33, "c")]), keys=["k"])
+    for i, part in enumerate(("a", "b")):
+        with cat.transaction(spark) as tx:
+            tx.merge_upsert(
+                "t", _pdf(spark, [(10 + i, 100 + i, part)]), keys=["k"]
+            )
+    assert tb.commit() == 3
+    got = {(r.k, r.v, r.p) for r in cat.read(spark, "t").collect()}
+    assert got == {
+        (1, 10, "a"), (2, 20, "b"), (3, 33, "c"),
+        (10, 100, "a"), (11, 101, "b"),
+    }
+
+
+def test_catalog_two_process_disjoint_partition_merge(tmp_path):
+    """TWO real writer processes MERGE into DISJOINT partitions of ONE
+    table, barrier-synchronized so both commits race from the same base
+    txn: BOTH commit without a ConcurrentWriteError retry (the loser of
+    the record CAS rebases its manifest and re-points), and the final
+    state carries both changes."""
+    import subprocess
+    import sys
+    import textwrap
+
+    root = str(tmp_path / "djcat")
+    barrier = str(tmp_path / "djbarrier")
+    os.makedirs(barrier)
+
+    setup = textwrap.dedent(f"""
+        import sys; sys.path.insert(0, {repr(os.getcwd())})
+        from pyspark.sql import SparkSession
+        from spype_spark.catalog import Catalog
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        cat = Catalog({repr(root)})
+        with cat.transaction(spark) as txn:
+            txn.write(spark.createDataFrame(
+                [(1, 10, "a"), (2, 20, "b")], "k long, v long, p string"),
+                "t", partition_by="p")
+        print("SETUP_OK")
+    """)
+    r = subprocess.run(
+        [sys.executable, "-c", setup], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert "SETUP_OK" in r.stdout, r.stderr[-2000:]
+
+    writer = textwrap.dedent(f"""
+        import os, sys, time
+        sys.path.insert(0, {repr(os.getcwd())})
+        wid = sys.argv[1]
+        from pyspark.sql import SparkSession
+        from spype_spark.catalog import Catalog
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        cat = Catalog({repr(root)})
+        real = cat._publish_record
+        def barrier_publish(txn_id, record):
+            open(os.path.join({repr(barrier)}, "ready_" + wid), "w").close()
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if all(os.path.exists(os.path.join({repr(barrier)}, "ready_" + w))
+                       for w in ("A", "B")):
+                    break
+                time.sleep(0.05)
+            else:
+                raise RuntimeError("barrier timeout")
+            cat._publish_record = real  # one-shot
+            return real(txn_id, record)
+        cat._publish_record = barrier_publish
+        part = "a" if wid == "A" else "b"
+        k = 1 if wid == "A" else 2
+        with cat.transaction(spark) as t:
+            t.merge_upsert(
+                "t",
+                spark.createDataFrame(
+                    [(k, k * 111, part)], "k long, v long, p string"),
+                keys=["k"])
+        print("COMMITTED", cat.latest_txn())
+    """)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", writer, w],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for w in ("A", "B")
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+    assert all("COMMITTED" in o for o in outs), outs
+
+    import json as _json
+    with open(os.path.join(root, "_log", "t=2.json")) as f:
+        rec = _json.load(f)
+    assert rec["txn"] == 2, "both writers landed records 1 and 2"
+    import duckdb
+    from spype_spark import lakehouse as _lake
+    tpath = os.path.join(root, "tables", "t")
+    files = [
+        os.path.join(tpath, rel) if not os.path.isabs(rel) else rel
+        for rel in _lake.data_files(tpath, rec["tables"]["t"])
+    ]
+    got = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"SELECT k, v, p FROM read_parquet({files!r}, "
+            f"union_by_name=true)"
+        ).fetchall()
+    }
+    assert got == {(1, 111, "a"), (2, 222, "b")}
+
+
+# partition-footprint fuzz: two interleaved txns on one PARTITIONED
+# table; the model predicts commit-vs-conflict purely from the
+# partition sets, and the final state from commit order.
+_PARTS = ("a", "b", "c")
+_pset = st.sets(st.sampled_from(_PARTS), min_size=1, max_size=3)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(s1=_pset, s2=_pset)
+def test_catalog_partition_footprint_fuzz(spark, s1, s2):
+    """Interleaved merges into partition sets s1/s2 of one table: the
+    second txn commits iff the sets are disjoint (rebase), else
+    conflicts — and the surviving state matches the model either way.
+    Keys are partition-local, so each merge's footprint is exactly its
+    partition set."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="cat_pfuzz_", dir="/tmp")
+    try:
+        cat = Catalog(root)
+        koff = {p: 10 * i for i, p in enumerate(_PARTS)}
+        base = [(koff[p], 0, p) for p in _PARTS]
+        with cat.transaction(spark) as t0:
+            t0.write(
+                spark.createDataFrame(base, "k long, v long, p string"),
+                "t",
+                partition_by="p",
+            )
+        rows1 = [(koff[p] + 1, 111, p) for p in sorted(s1)]
+        rows2 = [(koff[p] + 2, 222, p) for p in sorted(s2)]
+        ta = cat.transaction(spark)
+        tb = cat.transaction(spark)
+        ta.merge_upsert(
+            "t",
+            spark.createDataFrame(rows1, "k long, v long, p string"),
+            keys=["k"],
+        )
+        tb.merge_upsert(
+            "t",
+            spark.createDataFrame(rows2, "k long, v long, p string"),
+            keys=["k"],
+        )
+        ta.commit()
+        model = {(k, 0, p) for k, _, p in base} | set(
+            (k, v, p) for k, v, p in rows1
+        )
+        if s1 & s2:
+            with pytest.raises(ConcurrentWriteError):
+                tb.commit()
+        else:
+            tb.commit()
+            model |= set((k, v, p) for k, v, p in rows2)
+        got = {(r.k, r.v, r.p) for r in cat.read(spark, "t").collect()}
+        assert got == model
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
