@@ -39,6 +39,37 @@ def _minhash_kernel(spark, sf_dir):
     return minhash_candidates(d, n_hashes=16)
 
 
+def _lake_merge_kernel(spark, sf_dir):
+    """Manifest-commit-layer MERGE at full table size: write orders as
+    a manifest table, merge a ~1/3 update set, read the result back.
+    Times the WHOLE mutation path — file writes, manifest assembly,
+    put-if-absent publish, merged read — which became the DEFAULT
+    protocol in round 8 with no wall-clock row; this closes that gap.
+    (The contract key q_lake_merge_upsert is key-range-limited for its
+    oracle, so it shrinks relative to the table at higher SF; this
+    kernel scales WITH the table.)"""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spype_spark import lakehouse as lake
+    from spype_spark.queries.sources_sinks import _scratch
+    from spype_spark.tables import load_table
+
+    tmp = _scratch("bench_lake_merge_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        lake.write_table(orders, path)
+        upd = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        lake.merge_upsert(spark, path, upd, keys=["o_orderkey"])
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 #: BASELINE.md rows → registry keys (strings) or direct callables of
 #: (spark, sf_dir). q_events_hourly_agg is the tumbling hourly
 #: aggregate (same shape as the baseline's user×type×hour query).
@@ -63,6 +94,12 @@ BENCH_QUERIES = {
     # comparable to BENCH_r03/r04; compare per-query):
     "q_rolling_dau": "q_rolling_dau",
     "q_stream_session": "q_stream_session",
+    # round-9 rows (totals NOT comparable to BENCH_r08; compare
+    # per-query): the manifest MERGE mutation path (default commit
+    # layer since round 8, previously untracked) and the bloom
+    # build+probe semi-join (binary-literal probe plan):
+    "q_lake_merge": _lake_merge_kernel,
+    "q_join_bloom": "q_join_bloom",
 }
 
 

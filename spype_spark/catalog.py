@@ -354,14 +354,9 @@ class Catalog:
         return drop
 
 
-def _part_key(p: dict | None) -> str:
-    """Canonical JSON serialization of one file entry's partition tuple
-    — the unit of the commit-time conflict footprint. Unpartitioned
-    tables serialize to ``'[]'`` for every file, which degrades the
-    partition-level conflict test to the old table-level one there
-    (correct: without partitions, nothing proves two rewrites
-    disjoint)."""
-    return json.dumps(sorted((p or {}).items()))
+# the partition-footprint unit is shared with the branch publish's
+# rebase path — one canonicalization, one conflict algebra
+_part_key = lake._part_key
 
 
 def _ops_compatible(mine: dict, theirs: dict) -> bool:
@@ -779,6 +774,7 @@ class Transaction:
         self._check_open()
         path = self.cat.table_path(name)
         base = self._resolve(name)
+        pred = lake._pred_resolve(pred)
         m = lake._m_load(path, base)
         pcols = m.get("partition_by")
         entries = lake._m_entries(path, m)

@@ -318,6 +318,16 @@ def _write_next(
 _SAFE_PART_VAL = re.compile(r"^[A-Za-z0-9._-]+$")
 
 
+def _part_key(p: dict | None) -> str:
+    """Canonical JSON serialization of one file entry's partition tuple
+    — the unit of partition-granular conflict footprints (shared with
+    :mod:`spype_spark.catalog`). Unpartitioned tables serialize to
+    ``'[]'`` for every file, which degrades partition-level conflict
+    tests to table-level ones there (correct: without partitions,
+    nothing proves two rewrites disjoint)."""
+    return json.dumps(sorted((p or {}).items()))
+
+
 def _norm_part_val(s: str):
     """Type-insensitive normalization of a partition value string, used
     to DETECT ambiguity ('1' vs '001', '1' vs '1.0', 'True' vs 'true'):
@@ -992,6 +1002,52 @@ def _m_stats_split(
 #   ("eq", col, v) | ("in", col, [v, ...])
 #   ("lt"|"le"|"gt"|"ge", col, v) | ("between", col, lo, hi)
 #   ("isnull", col) | ("notnull", col)
+#   ("in_subquery", col, dim_df)   -- runtime leaf, see _pred_resolve
+
+
+# Dynamic-pruning key sets above this cardinality stop being
+# "metadata-sized"; past it the caller should express the semi-join
+# relationally instead of through file pruning (the same cliff where
+# Spark's own DPP falls back to a plain join).
+IN_SUBQUERY_MAX_KEYS = 100_000
+
+
+def _pred_resolve(pred):
+    """Resolve RUNTIME leaves of a predicate spec before compilation:
+    each ``("in_subquery", col, dim_df)`` evaluates its dimension-side
+    DataFrame once — a metadata-sized collect of its distinct keys —
+    and rewrites to a plain ``("in", col, keys)`` leaf, which the
+    existing three-valued file refutation and the exact Column residual
+    then consume unchanged. This is dynamic partition pruning at the
+    manifest layer (Spark's DPP model): the dim query runs first, its
+    key set prunes the fact scan's FILE LIST, and the residual keeps
+    row-level semantics exact. NULL keys are dropped from the list —
+    ``col IN (subquery)`` can only ever MATCH on non-null equality, so
+    under a filter the rewrite is semantics-preserving. A key set
+    beyond :data:`IN_SUBQUERY_MAX_KEYS` raises: at that size the
+    pruning stopped being metadata-bounded and a relational semi-join
+    is the right plan."""
+    op = pred[0]
+    if op in ("and", "or"):
+        return (op, *[_pred_resolve(p) for p in pred[1:]])
+    if op == "in_subquery":
+        col, dim = pred[1], pred[2]
+        if len(dim.columns) != 1:
+            raise ValueError(
+                f"in_subquery dimension frame must have exactly one "
+                f"column, got {dim.columns}"
+            )
+        # metadata-sized collect: the dim side's distinct key set,
+        # bounded by IN_SUBQUERY_MAX_KEYS, never by the fact table
+        rows = dim.distinct().limit(IN_SUBQUERY_MAX_KEYS + 1).collect()
+        if len(rows) > IN_SUBQUERY_MAX_KEYS:
+            raise ValueError(
+                f"in_subquery key set exceeds {IN_SUBQUERY_MAX_KEYS} "
+                f"distinct values; use a relational semi-join instead"
+            )
+        vals = sorted(r[0] for r in rows if r[0] is not None)
+        return ("in", col, vals)
+    return pred
 
 
 def _pred_column(pred) -> "F.Column":
@@ -1561,7 +1617,10 @@ def scan_table(
     IN, BETWEEN and IS [NOT] NULL leaves, pruned three-valued against
     each file's metadata (AND prunes when any conjunct refutes, OR
     only when all disjuncts do) with the compiled Column as the exact
-    residual. ``since``: INCREMENTAL scan — keep only files whose
+    residual. An ``("in_subquery", col, dim_df)`` leaf runs the
+    dimension query FIRST and prunes the fact file list by its
+    distinct key set — manifest-layer dynamic partition pruning (see
+    :func:`_pred_resolve`). ``since``: INCREMENTAL scan — keep only files whose
     commit sequence exceeds that version, i.e. files added after a
     consumer's checkpoint: for an append-only table this reads exactly
     the new rows at O(new files) cost (Iceberg's incremental append
@@ -1579,6 +1638,8 @@ def scan_table(
             "since= needs manifest commit-sequence metadata; posix "
             "tables don't record it (use changes() instead)"
         )
+    if where is not None:
+        where = _pred_resolve(where)  # runtime (subquery) leaves → IN
 
     def _residual(df: DataFrame) -> DataFrame:
         for c, vals in (partitions or {}).items():
@@ -1647,6 +1708,101 @@ def scan_table(
     return _residual(_m_apply_deletes(spark, path, entries, m))
 
 
+# Type transitions schema evolution may take, old → new: the safe
+# widenings whose Parquet up-cast is exact (Delta 3.x's type-widening
+# set minus the lossy long→double). Carried pre-widen data files are
+# then readable through the WIDENED snapshot schema — Spark 4's
+# vectorized Parquet reader up-casts INT32→long, FLOAT→double, etc. at
+# scan time (verified in tests/test_lakehouse.py) — so a widen is a
+# pure metadata commit: zero files rewritten.
+_WIDEN_OK = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("tinyint", "double"),
+    ("smallint", "int"), ("smallint", "bigint"), ("smallint", "double"),
+    ("int", "bigint"), ("int", "double"),
+    ("float", "double"),
+}
+
+
+def _check_widen(old_schema, new_schema) -> None:
+    """Reject schema evolution whose common-column type transitions are
+    not SAFE WIDENINGS (see :data:`_WIDEN_OK`): a narrowing or lossy
+    transition would make carried old files unreadable (Parquet's
+    up-cast only goes wider) or silently lose precision."""
+    old_t = {f.name: f.dataType.simpleString() for f in old_schema.fields}
+    for f in new_schema.fields:
+        o = old_t.get(f.name)
+        n = f.dataType.simpleString()
+        if o is None or o == n or (o, n) in _WIDEN_OK:
+            continue
+        raise ValueError(
+            f"illegal type change for column {f.name!r}: {o} -> {n}; "
+            f"schema evolution only widens (int->long, float->double, "
+            f"...) — narrowing or lossy transitions would break reads "
+            f"of carried data files"
+        )
+
+
+def widen_types(spark: SparkSession, path: str, types: dict) -> int:
+    """ALTER TABLE ... TYPE as a PURE METADATA commit (Delta 3.x type
+    widening): publish a new manifest whose schema carries the widened
+    column types and whose file list is the base's entries BY
+    REFERENCE — zero data files read or rewritten. Readers of the new
+    snapshot get the widened types because Spark's Parquet scan
+    up-casts the carried files' narrower physical types at read time;
+    time travel to pre-widen versions still uses their own recorded
+    schema. Only the exact transitions in :data:`_WIDEN_OK` are legal
+    (``{"col": "bigint", ...}``; aliases ``long``/``short`` accepted);
+    anything else — unknown column, narrowing, lossy — raises
+    ``ValueError``. Manifest protocol only. Returns the new version."""
+    if not _is_manifest_table(path):
+        raise ValueError(
+            f"{path} is not a manifest-protocol table (type widening "
+            "needs schema-carrying manifests)"
+        )
+    # StructType JSON names vs DDL/simpleString names for the atomic
+    # types widening can involve
+    json_to_simple = {
+        "integer": "int", "long": "bigint", "short": "smallint",
+        "byte": "tinyint", "float": "float", "double": "double",
+    }
+    simple_to_json = {v: k for k, v in json_to_simple.items()}
+    alias = {"long": "bigint", "short": "smallint", "byte": "tinyint",
+             "integer": "int"}
+    base = latest_version(path)
+    m = _m_load(path, base)
+    fields = {f["name"]: f for f in m["schema"]["fields"]}
+    unknown = [c for c in types if c not in fields]
+    if unknown:
+        raise ValueError(f"widen of unknown column(s) {sorted(unknown)}")
+    new_fields = []
+    for f in m["schema"]["fields"]:
+        if f["name"] in types:
+            old_s = json_to_simple.get(f["type"], f["type"])
+            new_s = alias.get(types[f["name"]], types[f["name"]])
+            if old_s != new_s and (old_s, new_s) not in _WIDEN_OK:
+                raise ValueError(
+                    f"illegal type change for column {f['name']!r}: "
+                    f"{old_s} -> {new_s}; only safe widenings allowed"
+                )
+            if new_s not in simple_to_json:
+                raise ValueError(f"unsupported widen target {new_s!r}")
+            new_fields.append({**f, "type": simple_to_json[new_s]})
+        else:
+            new_fields.append(f)
+    schema_json = {**m["schema"], "fields": new_fields}
+    return _m_commit(
+        None,
+        path,
+        base + 1,
+        m.get("partition_by"),
+        _m_entries(path, m),
+        base=base,
+        schema_json=schema_json,
+        deletes=m.get("deletes", []),
+    )
+
+
 def _merged_frame(
     tgt: DataFrame,
     updates: DataFrame,
@@ -1658,10 +1814,14 @@ def _merged_frame(
     (possibly COW-pruned) target rows and the update set, produce the
     merged rows. See :func:`merge_upsert` for the semantics."""
     if evolve_schema:
-        return updates.unionByName(
+        out = updates.unionByName(
             tgt.join(updates.select(*keys), keys, "left_anti"),
             allowMissingColumns=True,
         )
+        # union coercion picked each column's common type; gate it to
+        # the safe widenings before it becomes the snapshot schema
+        _check_widen(tgt.schema, out.schema)
+        return out
     extra = set(updates.columns) - set(tgt.columns)
     if extra:
         raise ValueError(
@@ -1669,9 +1829,11 @@ def _merged_frame(
             "pass evolve_schema=True to add them"
         )
     if match_condition is None:
-        return updates.select(*tgt.columns).unionByName(
+        out = updates.select(*tgt.columns).unionByName(
             tgt.join(updates, keys, "left_anti")
         )
+        _check_widen(tgt.schema, out.schema)  # same gate: no lossy coercion
+        return out
     cols = tgt.columns
     u = updates.select(
         *keys,
@@ -1688,9 +1850,11 @@ def _merged_frame(
         .when(match_condition(F.col("__u"), F.col("__t")), F.col("__u"))
         .otherwise(F.col("__t"))
     )
-    return both.select(winner.alias("__w")).select(
+    out = both.select(winner.alias("__w")).select(
         *[F.col("__w")[c].alias(c) for c in cols]
     )
+    _check_widen(tgt.schema, out.schema)
+    return out
 
 
 def merge_upsert(
@@ -1911,6 +2075,7 @@ def delete_predicate(spark: SparkSession, path: str, pred) -> int:
     keep their files; posix tables fall back to the partition-COW
     :func:`delete_where` on the compiled Column. NULL-evaluating rows
     are KEPT (SQL DELETE semantics). Returns the new version."""
+    pred = _pred_resolve(pred)
     cond = _pred_column(pred)
     if not _is_manifest_table(path):
         return delete_where(spark, path, cond)
@@ -2324,6 +2489,107 @@ def changes(
     return out
 
 
+class ChangesStream:
+    """Incremental (streaming) consumption of the change data feed —
+    the Delta streaming-source model over :func:`changes`: each
+    :meth:`drain` emits exactly the feed for the versions committed
+    since the last drain and durably checkpoints the consumed head, so
+    a restarted consumer resumes where it left off and every version
+    step is delivered exactly once across restarts.
+
+    ``from_version=None`` starts at the CURRENT head (only new changes
+    — Delta's default for a new stream); pass an explicit version to
+    replay history from there. The checkpoint is one JSON offset file
+    updated by atomic replace after each batch — the single-consumer
+    ownership model every streaming checkpoint directory assumes.
+
+    Exactly-once delivery composes the standard way: pass ``process``
+    to :meth:`drain` and the offset commits only AFTER the callback
+    returns (at-least-once for arbitrary sinks; exactly-once when the
+    callback writes through an idempotent/transactional sink such as
+    :class:`spype_spark.catalog.Catalog` app-versioned transactions —
+    the same contract as foreachBatch + txnAppId). At 100 TB each
+    drain costs O(changed keys) — snapshot diffs over manifest-pruned
+    reads — and the consumer state is one integer."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        checkpoint_dir: str,
+        from_version: int | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.checkpoint_dir = checkpoint_dir
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self._offset_path = os.path.join(checkpoint_dir, "offset.json")
+        if not os.path.exists(self._offset_path):
+            start = (
+                latest_version(path) if from_version is None else from_version
+            )
+            if start not in versions(path):
+                raise FileNotFoundError(
+                    f"starting version {start} is not committed under "
+                    f"{path}"
+                )
+            self._commit_offset(start)
+
+    def consumed_version(self) -> int:
+        with open(self._offset_path) as f:
+            return json.load(f)["version"]
+
+    def _commit_offset(self, v: int) -> None:
+        tmp = self._offset_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "table": self.path}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._offset_path)
+
+    def drain(self, process=None) -> DataFrame | None:
+        """One microbatch: the change feed for every version committed
+        since the checkpoint, or ``None`` when the consumer is caught
+        up. With ``process``, the callback runs on the feed BEFORE the
+        offset commits (retry-safe); without it, the feed is
+        materialized (``localCheckpoint``) before the offset commits,
+        so the returned frame survives later table mutations."""
+        last = self.consumed_version()
+        head = latest_version(self.path)
+        if head <= last:
+            return None
+        if last not in versions(self.path):
+            raise FileNotFoundError(
+                f"checkpointed version {last} of {self.path} was "
+                f"vacuumed; the stream cannot resume without a gap — "
+                f"restart from an explicit from_version"
+            )
+        feed = changes(
+            self.spark, self.path, self.keys, v_from=last, v_to=head
+        )
+        if process is not None:
+            process(feed)
+            self._commit_offset(head)
+            return feed
+        feed = feed.localCheckpoint()
+        self._commit_offset(head)
+        return feed
+
+
+def read_changes_stream(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    from_version: int | None = None,
+) -> ChangesStream:
+    """Open (or resume) an incremental CDF consumer — see
+    :class:`ChangesStream`."""
+    return ChangesStream(spark, path, keys, checkpoint_dir, from_version)
+
+
 # ---------------------------------------------------------------------------
 # Branch refs + write-audit-publish (manifest protocol only)
 #
@@ -2467,34 +2733,139 @@ def publish_branch(path: str, name: str) -> int:
     write-audit-publish. SQUASH semantics: one new table version whose
     manifest is the branch head's file list re-pathed into the table's
     namespace; zero data reads or copies, one put-if-absent commit.
-    Requires the table head to still be the branch's fork version
-    (fast-forward only); otherwise raises
-    :class:`ConcurrentWriteError` — re-branch from the new head,
-    replay the mutations, audit again. Returns the new table version.
-    The branch remains after publish (drop it explicitly); its data
-    files are now pinned by the table manifest, so
-    :func:`drop_branch`'s GC will keep them."""
+    Returns the new table version. The branch remains after publish
+    (drop it explicitly); its data files are now pinned by the table
+    manifest, so :func:`drop_branch`'s GC will keep them.
+
+    When the parent ADVANCED since the fork (continuous ingest under
+    WAP), the publish REBASES instead of failing: the branch's net
+    change (entries it added/removed vs its fork image) is re-applied
+    onto the new parent head under the same partition-footprint
+    conflict rules as the transaction catalog — keep the head's
+    entries outside the branch's footprint, the branch's entries
+    inside it. Still zero data reads, still one put-if-absent. The
+    rebase raises :class:`ConcurrentWriteError` when disjointness
+    cannot be proven: intersecting partition footprints, a schema or
+    partitioning change on either side, equality-delete files anywhere
+    in the triangle (delete sequence numbers don't translate across
+    namespaces), or a vacuumed fork manifest."""
     fork = _branch_fork(path, name)
     broot = branch_path(path, name)
-    head = latest_version(path)
-    if head != fork:
-        raise ConcurrentWriteError(
-            f"branch {name!r} forked at version {fork} but {path} is at "
-            f"{head} (non-fast-forward); re-branch from the head and replay"
+    while True:
+        head = latest_version(path)
+        bm = _m_load(broot, latest_version(broot))
+        if head == fork:
+            entries, dels = _m_repath_manifest(bm, broot, path)
+            manifest = _m_manifest(
+                path,
+                fork + 1,
+                fork,
+                bm["schema"],
+                bm.get("partition_by"),
+                entries,
+                deletes=dels or None,
+            )
+            try:
+                _m_publish(path, fork + 1, manifest)
+            except ConcurrentWriteError:
+                continue  # parent advanced mid-publish — rebase path
+            return fork + 1
+        v = _publish_rebase(path, name, broot, fork, head, bm)
+        if v is not None:
+            return v  # else: slot race — loop and re-plan
+
+
+def _abs_entry_map(root: str, m: dict) -> dict[str, dict]:
+    """``{absolute file path: entry}`` for a manifest — the canonical
+    form for cross-namespace (parent vs branch) entry comparison."""
+    out = {}
+    for e in _m_entries(root, m):
+        p = e["path"]
+        ap = p if os.path.isabs(p) else os.path.abspath(
+            os.path.join(root, p)
         )
-    bm = _m_load(broot, latest_version(broot))
-    entries, dels = _m_repath_manifest(bm, broot, path)
+        out[ap] = e
+    return out
+
+
+def _publish_rebase(
+    path: str, name: str, broot: str, fork: int, head: int, bm: dict
+) -> int | None:
+    """Non-fast-forward branch publish: re-apply the branch's net
+    change onto parent version ``head`` (see :func:`publish_branch`).
+    Returns the new version, ``None`` on a lost slot race (caller
+    re-plans), raises :class:`ConcurrentWriteError` on a real
+    conflict."""
+    try:
+        fork_m = _m_load(path, fork)
+    except FileNotFoundError:
+        raise ConcurrentWriteError(
+            f"branch {name!r} forked at version {fork} of {path}, which "
+            f"retention has since collected; re-branch and replay"
+        )
+    head_m = _m_load(path, head)
+    if (
+        bm["schema"] != fork_m["schema"]
+        or head_m["schema"] != fork_m["schema"]
+        or bm.get("partition_by") != fork_m.get("partition_by")
+        or head_m.get("partition_by") != fork_m.get("partition_by")
+    ):
+        raise ConcurrentWriteError(
+            f"cannot rebase-publish branch {name!r}: schema or "
+            f"partitioning diverged between fork, parent head, and "
+            f"branch head; re-branch from the head and replay"
+        )
+    if (
+        bm.get("deletes")
+        or fork_m.get("deletes")
+        or head_m.get("deletes")
+    ):
+        raise ConcurrentWriteError(
+            f"cannot rebase-publish branch {name!r}: equality-delete "
+            f"files present (delete sequence numbers don't translate "
+            f"across namespaces); compact first or re-branch and replay"
+        )
+    fork_abs = _abs_entry_map(path, fork_m)
+    head_abs = _abs_entry_map(path, head_m)
+    branch_abs = _abs_entry_map(broot, bm)
+    branch_delta = set(fork_abs) ^ set(branch_abs)
+    parent_delta = set(fork_abs) ^ set(head_abs)
+    foot = lambda delta, *maps: {  # noqa: E731 — partition footprint
+        _part_key(m[p].get("partition"))
+        for p in delta
+        for m in maps
+        if p in m
+    }
+    bfoot = foot(branch_delta, fork_abs, branch_abs)
+    pfoot = foot(parent_delta, fork_abs, head_abs)
+    if bfoot & pfoot:
+        raise ConcurrentWriteError(
+            f"branch {name!r} and {path} both changed partition(s) "
+            f"{sorted(bfoot & pfoot)} since the fork at version {fork}; "
+            f"re-branch from the head and replay"
+        )
+    entries = [
+        {**e, "path": _m_repath(ap, path, path)}
+        for ap, e in head_abs.items()
+        if _part_key(e.get("partition")) not in bfoot
+    ] + [
+        {**e, "path": _m_repath(ap, broot, path)}
+        for ap, e in branch_abs.items()
+        if _part_key(e.get("partition")) in bfoot
+    ]
     manifest = _m_manifest(
         path,
-        fork + 1,
-        fork,
+        head + 1,
+        head,
         bm["schema"],
         bm.get("partition_by"),
         entries,
-        deletes=dels or None,
     )
-    _m_publish(path, fork + 1, manifest)
-    return fork + 1
+    try:
+        _m_publish(path, head + 1, manifest)
+    except ConcurrentWriteError:
+        return None  # parent advanced again — caller re-plans
+    return head + 1
 
 
 def drop_branch(

@@ -71,6 +71,9 @@ _DRIVER_PRIORITY = [
     "q_sketch_cms",
     "q_lake_append_scan",
     "q_sketch_hll_intersect",
+    # Group A' - round-9 additions, zero history by construction:
+    "q_stream_cdf",
+    "q_lake_widen",
     # Group B - last driver-green r4 (10):
     "q_sink_csv_roundtrip",
     "q_sink_orc_roundtrip",
@@ -112,9 +115,9 @@ _DRIVER_PRIORITY = [
     "q_stream_sliding",
     "q_stream_session",
     "q_stream_lake_upsert",
+    # ---- end of the 50-slot window ----
     "q_events_funnel",
     "q_rolling_dau",
-    # ---- end of the 50-slot window ----
     # Round-10 queue: the r5-evidence keys not fitted above, then the
     # registry fallback (r6/r7/r8-evidence keys in registration order).
     "q_cohort_retention",

@@ -786,6 +786,73 @@ def q_lake_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_cdf",
+    oracle=_MERGE_ORACLE_CTE
+    + """
+    , merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+    ),
+    step1 AS (
+      SELECT u.o_orderkey,
+             CASE WHEN b.o_orderkey IS NULL THEN 'insert' ELSE 'update' END
+               AS op,
+             1 AS version
+      FROM upd u LEFT JOIN base b ON u.o_orderkey = b.o_orderkey
+    ),
+    step2 AS (
+      SELECT o_orderkey, 'delete' AS op, 2 AS version
+      FROM merged WHERE o_orderstatus = 'F'
+    )
+    SELECT * FROM step1 UNION ALL SELECT * FROM step2
+    """,
+)
+def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING consumption of the change data feed — the Delta
+    streaming-source model over the manifest CDF
+    (:class:`spype_spark.lakehouse.ChangesStream`): a consumer opened
+    at v0 drains ONE microbatch per poll, each exactly the feed for
+    the versions committed since its durable checkpoint. Contract
+    shape: drain after the MERGE (delivers v1's inserts/updates),
+    mutate again, drain after the DELETE (delivers v2's deletes) —
+    the union of the drained batches must equal the batch
+    ``changes(v0..v2)`` replay, which is what the oracle recomputes
+    relationally. Asserted in-contract: a caught-up drain returns
+    None, and a RESUMED consumer (same checkpoint dir, fresh object —
+    a restarted job) is also caught up, proving the offset survived.
+    At 100 TB each drain is O(changed keys) snapshot-diff work and
+    consumer state is one integer — no log replay, no full scans."""
+    tmp = _scratch("spype_stream_cdf_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        ckpt = f"{tmp}/ckpt"
+        lake.write_table(_base(spark, sf_dir), path)
+        stream = lake.read_changes_stream(
+            spark, path, keys=["o_orderkey"], checkpoint_dir=ckpt,
+            from_version=0,
+        )
+        lake.merge_upsert(
+            spark, path, _updates(spark, sf_dir), keys=["o_orderkey"]
+        )
+        b1 = stream.drain()
+        lake.delete_where(spark, path, F.col("o_orderstatus") == "F")
+        b2 = stream.drain()
+        if b1 is None or b2 is None:
+            raise AssertionError("expected two non-empty microbatches")
+        if stream.drain() is not None:
+            raise AssertionError("caught-up drain must return None")
+        resumed = lake.read_changes_stream(
+            spark, path, keys=["o_orderkey"], checkpoint_dir=ckpt
+        )
+        if resumed.consumed_version() != 2 or resumed.drain() is not None:
+            raise AssertionError("restart must resume from the checkpoint")
+        return b1.unionByName(b2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "q_lake_branch_wap",
     oracle=_MERGE_ORACLE_CTE
     + """
@@ -1027,5 +1094,75 @@ def q_lake_append_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"incremental scan read {len(base_files)} base files"
             )
         return inc.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_widen",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS ck,
+             CAST(o_totalprice AS REAL) AS price
+      FROM orders WHERE o_orderkey < 8000
+    ),
+    wide AS (
+      SELECT o_orderkey + 5000000000 AS o_orderkey,
+             o_custkey + 5000000000 AS ck,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 6000
+    )
+    SELECT o_orderkey, CAST(ck AS BIGINT) AS ck,
+           CAST(price AS DOUBLE) AS price
+    FROM base
+    UNION ALL
+    SELECT o_orderkey, ck, price FROM wide
+    """,
+)
+def q_lake_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING as a metadata-only commit (Delta 3.x's ALTER ...
+    TYPE): build the table with NARROW columns (int custkey, float
+    price), widen to bigint/double via :func:`lakehouse.widen_types` —
+    asserted in-contract to rewrite ZERO data files — then MERGE rows
+    whose values only the wide types can hold (keys and custkeys past
+    2³¹). The final read serves the carried narrow files THROUGH the
+    widened schema (Spark's Parquet scan up-casts int32→long,
+    float→double at read time), so the oracle's
+    ``CAST(CAST(x AS REAL) AS DOUBLE)`` round-trip pins the exact
+    float32 quantization the carried files hold, bit-for-bit across
+    engines. At 100 TB this is the point: a type migration on a
+    petabyte table is one conditional PUT, not a rewrite."""
+    tmp = _scratch("spype_lake_widen_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        narrow = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 8000)
+            .select(
+                "o_orderkey",
+                F.col("o_custkey").cast("int").alias("ck"),
+                F.col("o_totalprice").cast("float").alias("price"),
+            )
+        )
+        lake.write_table(narrow, path)
+        files_before = set(lake.data_files(path, 0))
+        lake.widen_types(spark, path, {"ck": "bigint", "price": "double"})
+        if set(lake.data_files(path, 1)) != files_before:
+            raise AssertionError("widen must rewrite zero data files")
+        wide = (
+            load_table(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderkey") >= 4000) & (F.col("o_orderkey") < 6000)
+            )
+            .select(
+                (F.col("o_orderkey") + F.lit(5000000000)).alias(
+                    "o_orderkey"
+                ),
+                (F.col("o_custkey") + F.lit(5000000000)).alias("ck"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+        lake.merge_upsert(spark, path, wide, keys=["o_orderkey"])
+        return lake.read_table(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

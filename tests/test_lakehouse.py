@@ -1418,9 +1418,10 @@ def test_branch_non_fast_forward_rejected(spark, tmp_path):
         spark, lake.branch_path(path, "b1"), _kv(spark, [(2, "b", 0)]),
         keys=["k"],
     )
-    # parent advances after the fork -> publish must refuse
+    # parent advances after the fork; the table is UNPARTITIONED, so
+    # the rebase path can't prove disjointness -> publish must refuse
     lake.merge_upsert(spark, path, _kv(spark, [(3, "c", 0)]), keys=["k"])
-    with pytest.raises(lake.ConcurrentWriteError, match="non-fast-forward"):
+    with pytest.raises(lake.ConcurrentWriteError, match="changed partition"):
         lake.publish_branch(path, "b1")
     # two branches racing for the same slot: first publish wins whole
     lake.create_branch(path, "b2")
@@ -1931,3 +1932,271 @@ def test_scan_table_partitions_ambiguous_string_value(spark, tmp_path):
     assert len(set(got2.inputFiles())) < len(
         set(lake.read_table(spark, path).inputFiles())
     )
+
+
+# ---------------------------------------------------------------------------
+# Rebase-publish (round 9): WAP under continuous ingest — a branch
+# publish against an advanced parent re-applies the branch's net change
+# onto the new head when the partition footprints are provably disjoint.
+# ---------------------------------------------------------------------------
+
+
+def test_branch_rebase_publish_under_parent_ingest(spark, tmp_path):
+    """Parent ingests into partition p=1 between fork and publish; the
+    branch rewrote p=0 only. Publish rebases: ONE new parent version
+    carrying BOTH changes, zero data copied."""
+    path = str(tmp_path / "t")
+    lake.write_table(
+        _kv(spark, [(1, "a", 0), (2, "b", 1)]), path, partition_by="p"
+    )
+    b = lake.create_branch(path, "wap")
+    lake.merge_upsert(spark, b, _kv(spark, [(1, "AUDITED", 0)]), keys=["k"])
+    # continuous ingest advances the parent in a DISJOINT partition
+    lake.merge_upsert(spark, path, _kv(spark, [(3, "ingest", 1)]), keys=["k"])
+    assert lake.latest_version(path) == 1
+    v = lake.publish_branch(path, "wap")
+    assert v == 2
+    got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    assert got == {(1, "AUDITED", 0), (2, "b", 1), (3, "ingest", 1)}
+    # the pre-publish ingest snapshot is still consistent
+    mid = {(r.k, r.v, r.p) for r in lake.read_table(spark, path, 1).collect()}
+    assert mid == {(1, "a", 0), (2, "b", 1), (3, "ingest", 1)}
+
+
+def test_branch_rebase_publish_conflicting_partition_raises(spark, tmp_path):
+    """Both sides changed partition p=0 since the fork: the rebase
+    refuses (overlapping footprints) and the parent is untouched."""
+    path = str(tmp_path / "t")
+    lake.write_table(
+        _kv(spark, [(1, "a", 0), (2, "b", 1)]), path, partition_by="p"
+    )
+    b = lake.create_branch(path, "wap")
+    lake.merge_upsert(spark, b, _kv(spark, [(1, "branch", 0)]), keys=["k"])
+    lake.merge_upsert(spark, path, _kv(spark, [(9, "parent", 0)]), keys=["k"])
+    with pytest.raises(lake.ConcurrentWriteError, match="changed partition"):
+        lake.publish_branch(path, "wap")
+    got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    assert got == {(1, "a", 0), (2, "b", 1), (9, "parent", 0)}
+
+
+def test_branch_rebase_publish_multi_step_parent_advance(spark, tmp_path):
+    """Several parent commits (all disjoint from the branch) landed
+    since the fork — the rebase applies onto the FINAL head."""
+    path = str(tmp_path / "t")
+    lake.write_table(
+        _kv(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 2)]),
+        path,
+        partition_by="p",
+    )
+    b = lake.create_branch(path, "wap")
+    lake.merge_upsert(spark, b, _kv(spark, [(1, "B", 0)]), keys=["k"])
+    lake.merge_upsert(spark, path, _kv(spark, [(4, "i1", 1)]), keys=["k"])
+    lake.merge_upsert(spark, path, _kv(spark, [(5, "i2", 2)]), keys=["k"])
+    v = lake.publish_branch(path, "wap")
+    assert v == 3
+    got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    assert got == {
+        (1, "B", 0), (2, "b", 1), (3, "c", 2), (4, "i1", 1), (5, "i2", 2)
+    }
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDF source (round 9): ChangesStream drains the feed
+# incrementally with a durable version offset.
+# ---------------------------------------------------------------------------
+
+
+def test_changes_stream_incremental_drain_and_resume(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    lake.write_table(_kv(spark, [(1, "a", 0), (2, "b", 0)]), path)
+    s = lake.read_changes_stream(
+        spark, path, keys=["k"], checkpoint_dir=ckpt, from_version=0
+    )
+    assert s.drain() is None, "caught up at open"
+    lake.merge_upsert(spark, path, _kv(spark, [(3, "c", 0)]), keys=["k"])
+    b1 = {(r.k, r.op, r.version) for r in s.drain().collect()}
+    assert b1 == {(3, "insert", 1)}
+    # two commits between drains → ONE batch carrying both steps
+    lake.merge_upsert(spark, path, _kv(spark, [(1, "A", 0)]), keys=["k"])
+    lake.delete_where(spark, path, F.col("k") == 2)
+    b2 = {(r.k, r.op, r.version) for r in s.drain().collect()}
+    assert b2 == {(1, "update", 2), (2, "delete", 3)}
+    assert s.drain() is None
+    # a restarted consumer resumes from the durable offset
+    s2 = lake.read_changes_stream(
+        spark, path, keys=["k"], checkpoint_dir=ckpt
+    )
+    assert s2.consumed_version() == 3
+    assert s2.drain() is None
+
+
+def test_changes_stream_offset_commits_after_process(spark, tmp_path):
+    """The at-least-once contract: a failing process callback leaves
+    the offset uncommitted, so the SAME batch is redelivered."""
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    lake.write_table(_kv(spark, [(1, "a", 0)]), path)
+    s = lake.read_changes_stream(
+        spark, path, keys=["k"], checkpoint_dir=ckpt, from_version=0
+    )
+    lake.merge_upsert(spark, path, _kv(spark, [(2, "b", 0)]), keys=["k"])
+    with pytest.raises(RuntimeError, match="sink down"):
+        s.drain(process=lambda df: (_ for _ in ()).throw(
+            RuntimeError("sink down")))
+    assert s.consumed_version() == 0, "offset must not commit"
+    seen = []
+    s.drain(process=lambda df: seen.append(
+        {(r.k, r.op) for r in df.collect()}))
+    assert seen == [{(2, "insert")}]
+    assert s.consumed_version() == 1
+
+
+def test_changes_stream_vacuumed_checkpoint_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    lake.write_table(_kv(spark, [(1, "a", 0)]), path)
+    s = lake.read_changes_stream(
+        spark, path, keys=["k"], checkpoint_dir=ckpt, from_version=0
+    )
+    lake.merge_upsert(spark, path, _kv(spark, [(2, "b", 0)]), keys=["k"])
+    lake.merge_upsert(spark, path, _kv(spark, [(3, "c", 0)]), keys=["k"])
+    lake.vacuum(path, keep_last=1, grace_seconds=0)  # drops v0, v1
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        s.drain()
+
+
+def test_scan_table_in_subquery_dynamic_pruning(spark, tmp_path):
+    """("in_subquery", col, dim_df): the dim query's distinct key set
+    prunes the fact FILE LIST to a strict subset, and the result equals
+    the plain filtered read — manifest-layer dynamic partition
+    pruning."""
+    path = str(tmp_path / "fact")
+    fact = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    lake.write_table(fact.repartitionByRange(8, "k"), path)
+    # dim side: a computed frame whose keys live in 2 of the 8 ranges
+    dim = spark.range(40).select((F.col("id") + 30).alias("k"))
+    got = lake.scan_table(spark, path, where=("in_subquery", "k", dim))
+    dim_keys = {r.k for r in dim.collect()}
+    want = {(r.k, r.v) for r in
+            lake.read_table(spark, path)
+            .filter(F.col("k").isin(list(dim_keys))).collect()}
+    assert {(r.k, r.v) for r in got.collect()} == want and len(want) == 40
+    full = lake.read_table(spark, path)
+    assert 0 < len(set(got.inputFiles())) < len(set(full.inputFiles())), (
+        "dim-derived key set must prune to a strict file subset"
+    )
+    # composes inside the algebra like any other leaf
+    got2 = lake.scan_table(
+        spark, path,
+        where=("and", ("in_subquery", "k", dim), ("ge", "v", 3)),
+    )
+    want2 = {t for t in want if t[1] >= 3}
+    assert {(r.k, r.v) for r in got2.collect()} == want2
+
+
+def test_in_subquery_guards(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lake.write_table(
+        spark.createDataFrame([(1, 1)], "k long, v long"), path
+    )
+    with pytest.raises(ValueError, match="exactly one column"):
+        lake.scan_table(
+            spark, path,
+            where=("in_subquery", "k",
+                   spark.createDataFrame([(1, 2)], "a long, b long")),
+        )
+    import spype_spark.lakehouse as _lake
+    old = _lake.IN_SUBQUERY_MAX_KEYS
+    _lake.IN_SUBQUERY_MAX_KEYS = 5
+    try:
+        with pytest.raises(ValueError, match="semi-join"):
+            lake.scan_table(
+                spark, path,
+                where=("in_subquery", "k",
+                       spark.range(10).select(F.col("id").alias("k"))),
+            )
+    finally:
+        _lake.IN_SUBQUERY_MAX_KEYS = old
+
+
+# ---------------------------------------------------------------------------
+# Type widening (round 9): ALTER ... TYPE as a metadata-only commit;
+# carried narrow files read through the widened schema.
+# ---------------------------------------------------------------------------
+
+
+def test_widen_types_metadata_only_and_upcast_read(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "k int, v int, x float"
+    )
+    lake.write_table(df.repartition(2), path)
+    files_before = set(lake.data_files(path, 0))
+    v = lake.widen_types(spark, path, {"v": "bigint", "x": "double"})
+    assert v == 1
+    assert set(lake.data_files(path, 1)) == files_before, (
+        "widen must rewrite ZERO data files"
+    )
+    out = lake.read_table(spark, path)
+    assert dict(out.dtypes) == {"k": "int", "v": "bigint", "x": "double"}
+    assert {(r.k, r.v, float(r.x)) for r in out.collect()} == {
+        (1, 10, 1.5), (2, 20, 2.5)
+    }
+    # pre-widen version still reads with ITS schema
+    old = lake.read_table(spark, path, version=0)
+    assert dict(old.dtypes)["v"] == "int"
+    # the widened table accepts values only the wide type can hold
+    lake.merge_upsert(
+        spark, path,
+        spark.createDataFrame(
+            [(3, 2**40, 3.5)], "k int, v long, x double"
+        ),
+        keys=["k"],
+    )
+    got = {r.v for r in lake.read_table(spark, path).collect()}
+    assert 2**40 in got and {10, 20} <= got
+
+
+def test_widen_types_rejects_narrowing_and_unknown(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lake.write_table(
+        spark.createDataFrame([(1, 2**40)], "k int, v long"), path
+    )
+    with pytest.raises(ValueError, match="illegal type change"):
+        lake.widen_types(spark, path, {"v": "int"})
+    with pytest.raises(ValueError, match="illegal type change"):
+        lake.widen_types(spark, path, {"v": "double"})  # lossy
+    with pytest.raises(ValueError, match="unknown column"):
+        lake.widen_types(spark, path, {"zz": "bigint"})
+    # merge-path gate: updates that would coerce the schema lossily
+    with pytest.raises(ValueError, match="illegal type change"):
+        lake.merge_upsert(
+            spark, path,
+            spark.createDataFrame([(1, 1.0)], "k int, v double"),
+            keys=["k"],
+        )
+
+
+def test_widen_types_partitioned_carry(spark, tmp_path):
+    """Widen on a PARTITIONED table: every partition file carries by
+    reference; a post-widen merge into one partition reads the other
+    partitions' narrow files through the wide schema."""
+    path = str(tmp_path / "t")
+    lake.write_table(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "k int, v int, p string"
+        ),
+        path,
+        partition_by="p",
+    )
+    lake.widen_types(spark, path, {"v": "long"})
+    lake.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(3, 2**41, "a")], "k int, v long, p string"),
+        keys=["k"],
+    )
+    got = {(r.k, r.v, r.p) for r in lake.read_table(spark, path).collect()}
+    assert got == {(1, 10, "a"), (2, 20, "b"), (3, 2**41, "a")}
