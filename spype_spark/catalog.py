@@ -439,6 +439,9 @@ class Transaction:
         base: int | None,
         deletes: list[dict] | None = None,
         mode: str = "*",
+        schema_json: dict | None = None,
+        retired_override: list[str] | None = None,
+        constraints_override: dict | None = None,
     ) -> int:
         """Publish a staged manifest at the next free version slot.
         A slot collision (concurrent stager, or a slot orphaned by a
@@ -452,12 +455,34 @@ class Transaction:
         change, or a changed equality-delete list — so partition-level
         conflict detection only ever claims disjointness it can prove."""
         datadir, entries = (None, [])
-        schema_json = None
+        base_schema, retired, constraints = None, [], None
+        if base is not None:
+            try:
+                bm = lake._m_load(path, base)
+            except FileNotFoundError:
+                raise ConcurrentWriteError(
+                    f"base version {base} of {path} was vacuumed while "
+                    f"this transaction was staging; retry"
+                )
+            base_schema = bm.get("schema")
+            retired = bm.get("retired", [])
+            constraints = bm.get("constraints")
+        if retired_override is not None:
+            retired = retired_override
+        if constraints_override is not None:
+            constraints = constraints_override or None
         if df is not None:
-            datadir, entries = lake._m_write_files(df, path, pcols)
-            schema_json = json.loads(df.schema.json())
-        else:
-            schema_json = lake._m_load(path, base)["schema"]
+            # same write seam as lake._m_commit: CHECK constraints
+            # enforced on the staged rows, then the base's column
+            # mapping (frozen physical names) and retired-name set
+            lake._enforce_constraints(df, constraints)
+            pdf, ppcols, schema_json, inv = lake._m_prepare_write(
+                df, pcols, base_schema, retired
+            )
+            datadir, entries = lake._m_write_files(pdf, path, ppcols)
+            lake._m_localize_entries(entries, inv)
+        elif schema_json is None:
+            schema_json = base_schema
         while True:
             vs = lake._m_versions(path)
             v = (vs[-1] + 1) if vs else 0
@@ -488,6 +513,8 @@ class Transaction:
                         pcols,
                         manifest_files,
                         deletes=deletes,
+                        retired=retired,
+                        constraints=constraints,
                     ),
                 )
             except ConcurrentWriteError:
@@ -606,6 +633,8 @@ class Transaction:
                         my_m.get("partition_by"),
                         entries,
                         deletes=my_m.get("deletes", []) or None,
+                        retired=my_m.get("retired"),
+                        constraints=my_m.get("constraints"),
                     ),
                 )
             except ConcurrentWriteError:
@@ -813,6 +842,46 @@ class Transaction:
             base,
             deletes=m.get("deletes", []),
             mode="add",
+        )
+        self._staged[name] = v
+        return v
+
+    def rename_columns(self, name: str, renames: dict) -> int:
+        """Stage a column RENAME (metadata-only; column-mapping name
+        mode — see :func:`spype_spark.lakehouse.rename_columns`).
+        The schema change escalates the conflict footprint to the
+        whole table, so any concurrent writer to ``name`` aborts one
+        side — the serializability a schema change demands."""
+        self._check_open()
+        path = self.cat.table_path(name)
+        base = self._resolve(name)
+        m = lake._m_load(path, base)
+        schema_json, pcols, entries, retired, cons = lake._rename_plan(
+            path, m, renames
+        )
+        v = self._stage(
+            None, path, pcols, entries, base,
+            schema_json=schema_json, retired_override=retired,
+            constraints_override=cons if cons is not None else {},
+        )
+        self._staged[name] = v
+        return v
+
+    def drop_columns(self, name: str, cols) -> int:
+        """Stage a column DROP (metadata-only; physical names retired —
+        see :func:`spype_spark.lakehouse.drop_columns`). Full-table
+        conflict footprint, as any schema change."""
+        self._check_open()
+        path = self.cat.table_path(name)
+        base = self._resolve(name)
+        m = lake._m_load(path, base)
+        schema_json, pcols, entries, retired, cons = lake._drop_plan(
+            path, m, cols
+        )
+        v = self._stage(
+            None, path, pcols, entries, base,
+            schema_json=schema_json, retired_override=retired,
+            constraints_override=cons if cons is not None else {},
         )
         self._staged[name] = v
         return v

@@ -103,6 +103,13 @@ class ConcurrentWriteError(RuntimeError):
     mutation (optimistic concurrency, as in Delta/Iceberg commits)."""
 
 
+class ConstraintViolation(ValueError):
+    """A mutation tried to write rows for which a table CHECK
+    constraint evaluates FALSE (SQL semantics: TRUE and UNKNOWN/NULL
+    both pass). The commit is rejected BEFORE any manifest publish;
+    the table is untouched."""
+
+
 def versions(path: str) -> list[int]:
     """All committed versions, ascending. Manifest tables: one per
     published ``_manifests/v=N.json`` (complete by construction —
@@ -632,6 +639,136 @@ def _m_entries(path: str, m: dict) -> list[dict]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Column mapping (Delta column-mapping "name mode", re-derived for this
+# manifest protocol): every schema field has a PHYSICAL name — the
+# column name actually written in parquet files — frozen at the moment
+# the field first appears. RENAME changes only the LOGICAL name in the
+# manifest schema (the physical name rides in field metadata under
+# _PHYS_KEY), and DROP retires the physical name so a later re-add of
+# the same logical name gets a FRESH physical name and cannot resurrect
+# old file data. Readers open files with the physical schema and
+# project to logical names; writers project logical→physical before
+# the parquet write. Both are identity (and skipped) for tables that
+# never renamed/dropped. All OTHER manifest metadata — entry partition
+# dicts, per-file stats/null counts, partition_by — is kept keyed by
+# CURRENT LOGICAL names (rename commits rekey it), so the pruning,
+# COW-planning, and conflict-footprint algebra above needs no mapping
+# awareness at all.
+
+_PHYS_KEY = "spype_physical"
+
+
+def _phys(f: dict) -> str:
+    """Physical (in-file) column name of one schema-JSON field."""
+    return (f.get("metadata") or {}).get(_PHYS_KEY, f["name"])
+
+
+def _col_map(schema_json: dict) -> dict[str, str]:
+    """``{logical name: physical name}`` for a manifest schema."""
+    return {f["name"]: _phys(f) for f in schema_json["fields"]}
+
+
+def _assign_physical(
+    schema_json: dict, base_schema_json: dict | None, retired: list[str]
+) -> tuple[dict, dict[str, str]]:
+    """Stamp physical names onto a WRITE's schema: fields present in
+    the base schema inherit their frozen physical name; NEW fields get
+    their own name unless it collides with a retired physical name or
+    another live field's physical name (a re-add after drop, or an add
+    shadowing a rename source), in which case they get a fresh
+    uuid-suffixed physical name. Returns (schema_json_with_mapping,
+    {logical: physical})."""
+    bmap = _col_map(base_schema_json) if base_schema_json else {}
+    used = set(bmap.values()) | set(retired)
+    fields, cmap = [], {}
+    for f in schema_json["fields"]:
+        name = f["name"]
+        meta = {
+            k: v
+            for k, v in (f.get("metadata") or {}).items()
+            if k != _PHYS_KEY
+        }
+        if name in bmap:
+            phys = bmap[name]
+        elif name in used:
+            phys = f"{name}_{uuid.uuid4().hex[:8]}"
+        else:
+            phys = name
+        used.add(phys)
+        if phys != name:
+            meta[_PHYS_KEY] = phys
+        fields.append({**f, "metadata": meta})
+        cmap[name] = phys
+    return {**schema_json, "fields": fields}, cmap
+
+
+def _m_prepare_write(
+    df: DataFrame,
+    pcols: list[str] | None,
+    base_schema_json: dict | None,
+    retired: list[str],
+) -> tuple[DataFrame, list[str] | None, dict, dict[str, str]]:
+    """WRITE-side column mapping: project ``df`` to physical column
+    names (identity → returned untouched) and return
+    ``(physical_df, physical_pcols, schema_json_with_mapping,
+    {physical: logical})`` — the inverse map rekeys the produced
+    entries' partition/stats metadata back to logical names via
+    :func:`_m_localize_entries`."""
+    schema_json, cmap = _assign_physical(
+        json.loads(df.schema.json()), base_schema_json, retired
+    )
+    inv = {p: l for l, p in cmap.items()}
+    if all(l == p for l, p in cmap.items()):
+        return df, pcols, schema_json, inv
+    pdf = df.select(*[F.col(l).alias(p) for l, p in cmap.items()])
+    ppcols = [cmap[c] for c in pcols] if pcols else pcols
+    return pdf, ppcols, schema_json, inv
+
+
+def _m_localize_entries(entries: list[dict], inv: dict[str, str]) -> None:
+    """Rekey freshly written entries' partition/stats/nulls dicts from
+    physical to logical column names, in place — the invariant that
+    keeps every metadata consumer mapping-free."""
+    if all(p == l for p, l in inv.items()):
+        return
+    for e in entries:
+        for k in ("partition", "stats", "nulls"):
+            if k in e:
+                e[k] = {inv.get(c, c): v for c, v in e[k].items()}
+
+
+def _m_open_files(
+    spark: SparkSession, root: str, rel_paths: list[str], schema_json: dict
+) -> DataFrame:
+    """READ-side column mapping: open manifest-listed leaf files with
+    the snapshot schema. Identity mapping reads with the logical
+    schema directly (the universal fast path); a renamed table reads
+    with the PHYSICAL schema and projects to logical names. Files
+    missing a physical column (pre-evolution carries, or carries
+    predating a drop+re-add whose fresh physical name they lack) read
+    it as NULL — exactly Delta/Iceberg schema-on-read."""
+    from pyspark.sql.types import StructType
+
+    cmap = _col_map(schema_json)
+    paths = [os.path.join(root, p) for p in rel_paths]
+    if all(l == p for l, p in cmap.items()):
+        return spark.read.schema(StructType.fromJson(schema_json)).parquet(
+            *paths
+        )
+    pj = {
+        **schema_json,
+        "fields": [
+            {**f, "name": _phys(f), "metadata": {}}
+            for f in schema_json["fields"]
+        ],
+    }
+    df = spark.read.schema(StructType.fromJson(pj)).parquet(*paths)
+    return df.select(
+        *[F.col(_phys(f)).alias(f["name"]) for f in schema_json["fields"]]
+    )
+
+
 def _m_manifest(
     path: str,
     version: int,
@@ -640,6 +777,8 @@ def _m_manifest(
     pcols: list[str] | None,
     entries: list[dict],
     deletes: list[dict] | None = None,
+    retired: list[str] | None = None,
+    constraints: dict | None = None,
 ) -> dict:
     """Assemble a manifest payload: entries inline while the table is
     small (≤ ``_PART_INLINE_MAX`` files — keeps tiny tables one
@@ -657,6 +796,10 @@ def _m_manifest(
     }
     if deletes:
         man["deletes"] = deletes
+    if retired:
+        man["retired"] = sorted(set(retired))
+    if constraints:
+        man["constraints"] = constraints
     if len(entries) <= _PART_INLINE_MAX:
         man["files"] = entries
     else:
@@ -795,6 +938,8 @@ def _m_commit(
     base: int | None,
     schema_json: dict | None = None,
     deletes: list[dict] | None = None,
+    retired: list[str] | None = None,
+    constraints: dict | None = None,
 ) -> int:
     """Commit one manifest version: write ``df``'s rows as new files
     (``df=None`` → carry-only commit), assemble carried + new entries,
@@ -805,12 +950,34 @@ def _m_commit(
     base the new data dir is removed and
     :class:`ConcurrentWriteError` raised — the table is untouched
     either way."""
+    base_schema = None
+    if base is not None:
+        # the base manifest carries the column mapping new files must
+        # inherit, plus the retired-physical-name set and CHECK
+        # constraints that flow forward; a vacuumed base surfaces here
+        # as the standard retry signal
+        try:
+            bm = _m_load(path, base)
+        except FileNotFoundError:
+            raise ConcurrentWriteError(
+                f"base version {base} of {path} was vacuumed while this "
+                f"mutation was committing (stale base); re-read and retry"
+            )
+        base_schema = bm.get("schema")
+        if retired is None:
+            retired = bm.get("retired", [])
+        if constraints is None:
+            constraints = bm.get("constraints")
     datadir, entries = (None, [])
     if df is not None:
-        datadir, entries = _m_write_files(df, path, pcols)
+        _enforce_constraints(df, constraints)
+        pdf, ppcols, schema_json, inv = _m_prepare_write(
+            df, pcols, base_schema, retired or []
+        )
+        datadir, entries = _m_write_files(pdf, path, ppcols)
+        _m_localize_entries(entries, inv)
         for e in entries:
             e["seq"] = version
-        schema_json = json.loads(df.schema.json())
     manifest = _m_manifest(
         path,
         version,
@@ -819,6 +986,8 @@ def _m_commit(
         pcols,
         carry_entries + entries,
         deletes=deletes,
+        retired=retired,
+        constraints=constraints,
     )
     # Stale-base guard: if retention collected our base manifest while
     # we were writing, the carried entries may reference files the GC
@@ -897,15 +1066,12 @@ def _m_apply_deletes(
     exactly Delta/Iceberg schema-on-read evolution)."""
     from pyspark.sql.types import StructType
 
-    schema = StructType.fromJson(m["schema"])
     if not entries:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
     dels = m.get("deletes", [])
 
     def _read(paths):
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(path, p) for p in paths]
-        )
+        return _m_open_files(spark, path, paths, m["schema"])
 
     if not dels:
         return _read([e["path"] for e in entries])
@@ -951,11 +1117,10 @@ def _m_read_entries(
 ) -> DataFrame:
     from pyspark.sql.types import StructType
 
-    schema = StructType.fromJson(schema_json)
     if not entries:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(path, e["path"]) for e in entries]
+        return spark.createDataFrame([], StructType.fromJson(schema_json))
+    return _m_open_files(
+        spark, path, [e["path"] for e in entries], schema_json
     )
 
 
@@ -1080,6 +1245,54 @@ def _pred_column(pred) -> "F.Column":
     if op == "notnull":
         return col.isNotNull()
     raise ValueError(f"unknown predicate op {op!r}")
+
+
+def _pred_cols(pred) -> set[str]:
+    """Column names a predicate spec references."""
+    op = pred[0]
+    if op in ("and", "or"):
+        out = set()
+        for p in pred[1:]:
+            out |= _pred_cols(p)
+        return out
+    return {pred[1]}
+
+
+def _pred_rename(pred, renames: dict):
+    """Rekey a predicate spec's column references (rename support;
+    specs stored in manifests are JSON lists, so output is lists)."""
+    op = pred[0]
+    if op in ("and", "or"):
+        return [op, *[_pred_rename(p, renames) for p in pred[1:]]]
+    return [op, renames.get(pred[1], pred[1]), *pred[2:]]
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict | None) -> None:
+    """Reject rows for which any CHECK constraint evaluates FALSE —
+    SQL CHECK semantics (TRUE and UNKNOWN both satisfy). One Spark
+    job over the rows being written, only when the table HAS
+    constraints — the same per-commit cost Delta pays for its CHECK
+    and NOT NULL invariants. Runs BEFORE any file is written."""
+    if not constraints:
+        return
+    viol = None
+    for spec in constraints.values():
+        v = ~F.coalesce(_pred_column(spec), F.lit(True))
+        viol = v if viol is None else (viol | v)
+    if df.filter(viol).limit(1).count() == 0:
+        return
+    broken = [
+        name
+        for name, spec in constraints.items()
+        if df.filter(~F.coalesce(_pred_column(spec), F.lit(True)))
+        .limit(1)
+        .count()
+        > 0
+    ]
+    raise ConstraintViolation(
+        f"rows violate CHECK constraint(s) {sorted(broken)}; "
+        f"no data was written"
+    )
 
 
 def _pred_compile(pred, pcols: list[str] | None):
@@ -1800,6 +2013,298 @@ def widen_types(spark: SparkSession, path: str, types: dict) -> int:
         base=base,
         schema_json=schema_json,
         deletes=m.get("deletes", []),
+    )
+
+
+def _no_pending_deletes(m: dict, verb: str) -> None:
+    if m.get("deletes"):
+        raise ValueError(
+            f"{verb} with pending equality-delete files is not "
+            f"supported (their key files carry column names "
+            f"physically); run compact() first to materialize them"
+        )
+
+
+def rename_columns(spark: SparkSession, path: str, renames: dict) -> int:
+    """ALTER TABLE ... RENAME COLUMN as a PURE METADATA commit (Delta
+    column-mapping name mode): the manifest schema's LOGICAL names
+    change; each renamed field keeps its frozen PHYSICAL name in field
+    metadata, so zero data files are read or rewritten and carried
+    files keep serving through the mapping. Partition columns rename
+    too — ``partition_by`` and every entry's partition/stats/nulls
+    keys are rekeyed in the same commit (metadata-only; the
+    ``col=value`` directory names in file paths are immutable physical
+    artifacts the manifest never consults). Renames are applied
+    SIMULTANEOUSLY (``{"a": "b", "b": "a"}`` swaps). Time travel to
+    pre-rename versions serves their own recorded names. Rejected:
+    unknown columns, a post-rename name collision, pending
+    equality-delete files (compact first), posix tables. Returns the
+    new version."""
+    if not _is_manifest_table(path):
+        raise ValueError(
+            f"{path} is not a manifest-protocol table (rename needs "
+            "schema-carrying manifests)"
+        )
+    base = latest_version(path)
+    m = _m_load(path, base)
+    schema_json, new_pcols, entries, retired, cons = _rename_plan(
+        path, m, renames
+    )
+    return _m_commit(
+        None,
+        path,
+        base + 1,
+        new_pcols,
+        entries,
+        base=base,
+        schema_json=schema_json,
+        retired=retired,
+        constraints=cons if cons is not None else {},
+    )
+
+
+def _rename_plan(
+    path: str, m: dict, renames: dict
+) -> tuple[dict, list[str] | None, list[dict], list[str], dict | None]:
+    """Plan a column rename against manifest ``m`` — the shared engine
+    behind :func:`rename_columns` and the catalog transaction's staged
+    rename. Returns ``(schema_json, partition_by, rekeyed_entries,
+    retired, rekeyed_constraints)``."""
+    _no_pending_deletes(m, "rename_columns")
+    names = [f["name"] for f in m["schema"]["fields"]]
+    unknown = [c for c in renames if c not in names]
+    if unknown:
+        raise ValueError(f"rename of unknown column(s) {sorted(unknown)}")
+    new_names = [renames.get(n, n) for n in names]
+    if len(set(new_names)) != len(new_names):
+        dupes = sorted({n for n in new_names if new_names.count(n) > 1})
+        raise ValueError(f"rename would collide on column(s) {dupes}")
+    new_fields = []
+    for f in m["schema"]["fields"]:
+        if f["name"] in renames:
+            meta = {
+                k: v
+                for k, v in (f.get("metadata") or {}).items()
+                if k != _PHYS_KEY
+            }
+            new = renames[f["name"]]
+            if _phys(f) != new:
+                meta[_PHYS_KEY] = _phys(f)  # physical name is frozen
+            new_fields.append({**f, "name": new, "metadata": meta})
+        else:
+            new_fields.append(f)
+    pcols = m.get("partition_by")
+    new_pcols = [renames.get(c, c) for c in pcols] if pcols else pcols
+    entries = [
+        {
+            **e,
+            **{
+                k: {renames.get(c, c): v for c, v in e[k].items()}
+                for k in ("partition", "stats", "nulls")
+                if k in e
+            },
+        }
+        for e in _m_entries(path, m)
+    ]
+    cons = m.get("constraints")
+    if cons:
+        cons = {n: _pred_rename(s, renames) for n, s in cons.items()}
+    return (
+        {**m["schema"], "fields": new_fields},
+        new_pcols,
+        entries,
+        m.get("retired", []),
+        cons,
+    )
+
+
+def drop_columns(spark: SparkSession, path: str, cols) -> int:
+    """ALTER TABLE ... DROP COLUMN as a PURE METADATA commit: the
+    fields leave the manifest schema and their PHYSICAL names join the
+    manifest's RETIRED set, so a later re-add of the same logical name
+    is assigned a fresh physical name and the old file data can never
+    resurrect (the reason Delta requires column mapping for DROP).
+    Zero data files touched — carried files still hold the bytes
+    (time travel to pre-drop versions still serves them); the current
+    snapshot simply stops projecting them. Entry stats/null counts for
+    the dropped columns are stripped in the same commit so a future
+    re-added namesake can never be pruned against stale bounds.
+    Rejected: unknown columns, partition columns, dropping every
+    column, pending equality-delete files, posix tables. Returns the
+    new version."""
+    if not _is_manifest_table(path):
+        raise ValueError(
+            f"{path} is not a manifest-protocol table (drop needs "
+            "schema-carrying manifests)"
+        )
+    base = latest_version(path)
+    m = _m_load(path, base)
+    schema_json, pcols, entries, retired, cons = _drop_plan(path, m, cols)
+    return _m_commit(
+        None,
+        path,
+        base + 1,
+        pcols,
+        entries,
+        base=base,
+        schema_json=schema_json,
+        retired=retired,
+        constraints=cons if cons is not None else {},
+    )
+
+
+def _drop_plan(
+    path: str, m: dict, cols
+) -> tuple[dict, list[str] | None, list[dict], list[str], dict | None]:
+    """Plan a column drop against manifest ``m`` — shared by
+    :func:`drop_columns` and the catalog transaction's staged drop.
+    Returns ``(schema_json, partition_by, stripped_entries, retired,
+    constraints)``. Dropping a column a CHECK constraint references is
+    rejected (drop the constraint first)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    _no_pending_deletes(m, "drop_columns")
+    for cname, spec in (m.get("constraints") or {}).items():
+        hit = _pred_cols(spec) & set(cols)
+        if hit:
+            raise ValueError(
+                f"cannot drop column(s) {sorted(hit)}: referenced by "
+                f"CHECK constraint {cname!r}; drop_constraint first"
+            )
+    fields = m["schema"]["fields"]
+    names = [f["name"] for f in fields]
+    unknown = [c for c in cols if c not in names]
+    if unknown:
+        raise ValueError(f"drop of unknown column(s) {sorted(unknown)}")
+    pcols = m.get("partition_by") or []
+    part_hit = [c for c in cols if c in pcols]
+    if part_hit:
+        raise ValueError(
+            f"cannot drop partition column(s) {sorted(part_hit)}"
+        )
+    if len(cols) >= len(fields):
+        raise ValueError("cannot drop every column of a table")
+    dropped = set(cols)
+    retired = list(m.get("retired", [])) + [
+        _phys(f) for f in fields if f["name"] in dropped
+    ]
+    entries = [
+        {
+            **e,
+            **{
+                k: {c: v for c, v in e[k].items() if c not in dropped}
+                for k in ("stats", "nulls")
+                if k in e
+            },
+        }
+        for e in _m_entries(path, m)
+    ]
+    return (
+        {
+            **m["schema"],
+            "fields": [f for f in fields if f["name"] not in dropped],
+        },
+        m.get("partition_by"),
+        entries,
+        retired,
+        m.get("constraints"),
+    )
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, pred
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK (Delta's CHECK
+    invariant model): ``pred`` is a PREDICATE SPEC in the same algebra
+    as :func:`scan_table`/:func:`delete_predicate` (AND/OR nests of
+    comparisons, IN, BETWEEN, IS [NOT] NULL — ``("notnull", col)``
+    alone gives the NOT NULL invariant). The EXISTING table must
+    already satisfy it (validated with one scan — rows where the
+    predicate is FALSE; UNKNOWN passes, SQL CHECK semantics), then
+    the spec rides in the manifest and EVERY subsequent write path —
+    merge, append, update, compact, catalog transactions — enforces
+    it on the rows being written before any file lands, failing the
+    mutation with :class:`ConstraintViolation` and touching nothing.
+    Per-commit cost is one extra job over the WRITTEN rows only (zero
+    when a table has no constraints) — the same trade Delta documents
+    for CHECK constraints. Metadata-only commit; manifest protocol
+    only. Returns the new version."""
+    if not _is_manifest_table(path):
+        raise ValueError(
+            f"{path} is not a manifest-protocol table (constraints "
+            "need schema-carrying manifests)"
+        )
+    def _no_subquery(p):
+        if p[0] in ("and", "or"):
+            for q in p[1:]:
+                _no_subquery(q)
+        elif p[0] == "in_subquery":
+            raise ValueError(
+                "in_subquery leaves are not allowed in constraints "
+                "(not serializable to the manifest)"
+            )
+    _no_subquery(pred)
+    base = latest_version(path)
+    m = _m_load(path, base)
+    cons = dict(m.get("constraints") or {})
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists")
+    missing = _pred_cols(pred) - {
+        f["name"] for f in m["schema"]["fields"]
+    }
+    if missing:
+        raise ValueError(
+            f"constraint references unknown column(s) {sorted(missing)}"
+        )
+    bad = (
+        _m_read(spark, path, base)
+        .filter(~F.coalesce(_pred_column(pred), F.lit(True)))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ConstraintViolation(
+            f"existing rows violate {name!r}; constraint not added"
+        )
+    cons[name] = json.loads(json.dumps(pred))  # tuples -> JSON lists
+    return _m_commit(
+        None,
+        path,
+        base + 1,
+        m.get("partition_by"),
+        _m_entries(path, m),
+        base=base,
+        schema_json=m["schema"],
+        deletes=m.get("deletes", []),
+        constraints=cons,
+    )
+
+
+def drop_constraint(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: metadata-only commit removing
+    the named CHECK constraint. Returns the new version."""
+    base = latest_version(path)
+    m = _m_load(path, base)
+    cons = dict(m.get("constraints") or {})
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} on {path}")
+    del cons[name]
+    return _m_commit(
+        None,
+        path,
+        base + 1,
+        m.get("partition_by"),
+        _m_entries(path, m),
+        base=base,
+        schema_json=m["schema"],
+        deletes=m.get("deletes", []),
+        constraints=cons,
+    )
+
+
+def table_constraints(path: str) -> dict:
+    """The table's CHECK constraints, ``{name: predicate spec}``."""
+    return dict(
+        _m_load(path, latest_version(path)).get("constraints") or {}
     )
 
 
@@ -2713,6 +3218,8 @@ def create_branch(
         m.get("partition_by"),
         entries,
         deletes=dels or None,
+        retired=m.get("retired"),
+        constraints=m.get("constraints"),
     )
     manifest["fork"] = fork
     _m_publish(broot, 0, manifest)
@@ -2764,6 +3271,8 @@ def publish_branch(path: str, name: str) -> int:
                 bm.get("partition_by"),
                 entries,
                 deletes=dels or None,
+                retired=bm.get("retired"),
+                constraints=bm.get("constraints"),
             )
             try:
                 _m_publish(path, fork + 1, manifest)
@@ -2860,6 +3369,8 @@ def _publish_rebase(
         bm["schema"],
         bm.get("partition_by"),
         entries,
+        retired=bm.get("retired"),
+        constraints=bm.get("constraints"),
     )
     try:
         _m_publish(path, head + 1, manifest)

@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     # Group A' - round-9 additions, zero history by construction:
     "q_stream_cdf",
     "q_lake_widen",
+    "q_lake_rename",
     # Group B - last driver-green r4 (10):
     "q_sink_csv_roundtrip",
     "q_sink_orc_roundtrip",

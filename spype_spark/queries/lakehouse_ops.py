@@ -1166,3 +1166,113 @@ def q_lake_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_rename",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey < 6000
+    ),
+    b2 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 10.0 AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey >= 6000 AND o_orderkey < 9000
+    ),
+    m1 AS (
+      SELECT * FROM b2
+      UNION ALL
+      SELECT b.* FROM base b ANTI JOIN b2 u ON b.o_orderkey = u.o_orderkey
+    ),
+    d1 AS (SELECT o_orderkey, price, status FROM m1),
+    b3 AS (
+      SELECT o_orderkey, o_totalprice + 20.0 AS price,
+             o_orderstatus AS status, o_custkey + 1000000 AS o_custkey
+      FROM orders WHERE o_orderkey < 3000
+    ),
+    m2 AS (
+      SELECT o_orderkey, price, status, o_custkey FROM b3
+      UNION ALL
+      SELECT d.o_orderkey, d.price, d.status, CAST(NULL AS BIGINT)
+      FROM d1 d ANTI JOIN b3 u ON d.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderkey, status, price, o_custkey FROM m2
+    """,
+)
+def q_lake_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN RENAME + DROP + re-add through COLUMN MAPPING (Delta
+    column-mapping name mode, re-derived for the manifest protocol;
+    :func:`lakehouse.rename_columns` / :func:`lakehouse.drop_columns`):
+
+    1. write orders(o_orderkey, o_custkey, o_totalprice, o_orderstatus)
+       partitioned by o_orderstatus;
+    2. RENAME o_totalprice→price and the PARTITION column
+       o_orderstatus→status — asserted in-contract to rewrite ZERO
+       data files (pure metadata: logical names change, the frozen
+       physical names ride in field metadata, entry partition/stats
+       keys are rekeyed in the same commit);
+    3. MERGE new keys through the renamed schema — the new files are
+       written with the frozen PHYSICAL names, so the snapshot mixes
+       pre- and post-rename files served through one mapping, and the
+       COW planner prunes partitions by the NEW logical name;
+    4. DROP o_custkey (metadata-only, physical name retired), then
+       MERGE with ``evolve_schema=True`` re-adding a NEW column of the
+       SAME NAME holding different values — the retired set forces a
+       fresh physical name, so the old column's bytes (still inside
+       the carried files) can NEVER resurrect: unmatched rows read the
+       re-added o_custkey as NULL, which is exactly what the oracle's
+       relational replay demands.
+
+    At 100 TB this is the whole point of column mapping: renaming or
+    dropping a column on a petabyte table is one conditional PUT, and
+    every subsequent read pays one projection node — no rewrite, ever.
+    Time travel to version 0 still serves the ORIGINAL names (asserted
+    in-contract)."""
+    tmp = _scratch("spype_lake_rename_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        lake.write_table(
+            orders.filter(F.col("o_orderkey") < 6000).select(*_BASE_COLS),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        files_v0 = set(lake.data_files(path, 0))
+        lake.rename_columns(
+            spark, path,
+            {"o_totalprice": "price", "o_orderstatus": "status"},
+        )
+        if set(lake.data_files(path, 1)) != files_v0:
+            raise AssertionError("rename must rewrite zero data files")
+        if "o_totalprice" not in lake.read_table(spark, path, 0).columns:
+            raise AssertionError("time travel must serve original names")
+        b2 = orders.filter(
+            (F.col("o_orderkey") >= 6000) & (F.col("o_orderkey") < 9000)
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + F.lit(10.0)).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        lake.merge_upsert(spark, path, b2, keys=["o_orderkey"])
+        files_before_drop = set(lake.data_files(path, 2))
+        lake.drop_columns(spark, path, ["o_custkey"])
+        if set(lake.data_files(path, 3)) != files_before_drop:
+            raise AssertionError("drop must rewrite zero data files")
+        b3 = orders.filter(F.col("o_orderkey") < 3000).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(20.0)).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+            (F.col("o_custkey") + F.lit(1000000)).alias("o_custkey"),
+        )
+        lake.merge_upsert(
+            spark, path, b3, keys=["o_orderkey"], evolve_schema=True
+        )
+        out = lake.read_table(spark, path).select(
+            "o_orderkey", "status", "price", "o_custkey"
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
