@@ -134,6 +134,52 @@ def latest_version(path: str) -> int:
     return vs[-1]
 
 
+def commit_timestamps(path: str) -> list[tuple[int, float]]:
+    """``(version, commit_ts)`` pairs, ascending, for every committed
+    version. The timestamp is the commit OBJECT's modification time —
+    the manifest json for manifest tables, the snapshot directory's
+    ``_SUCCESS`` marker for posix tables — which is exactly the public
+    design Delta documents for ``TIMESTAMP AS OF`` (log-file
+    modification times): the commit object is written once and never
+    rewritten, so its mtime IS the commit instant, with no extra field
+    to keep consistent. Like Delta, timestamps are clamped monotonic
+    non-decreasing across versions (a clock step backwards between two
+    commits must not make a LATER version resolve to an EARLIER
+    timestamp)."""
+    out: list[tuple[int, float]] = []
+    hi = float("-inf")
+    for v in versions(path):
+        obj = (
+            _m_path(path, v)
+            if _is_manifest_table(path)
+            else os.path.join(_snapshot_dir(path, v), "_SUCCESS")
+        )
+        try:
+            ts = os.path.getmtime(obj)
+        except OSError:
+            continue  # vacuumed between the listing and the stat
+        hi = max(hi, ts)
+        out.append((v, hi))
+    return out
+
+
+def version_at(path: str, timestamp: float) -> int:
+    """Resolve a wall-clock instant to the version current AT that
+    instant: the newest version whose (monotonic-clamped) commit time
+    is ``<= timestamp``. Raises ``ValueError`` before the first commit
+    — same contract as Delta's ``TIMESTAMP AS OF`` on a too-early
+    timestamp."""
+    best = None
+    for v, ts in commit_timestamps(path):
+        if ts <= timestamp:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version of {path} existed at timestamp {timestamp}"
+        )
+    return best
+
+
 def _snapshot_dir(path: str, version: int) -> str:
     return f"{path}/v={version}"
 
@@ -1768,9 +1814,16 @@ def _m_gc_files(path: str, grace_seconds: float = None) -> None:
 
 
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Read a snapshot; ``version=None`` → latest, else time travel.
+    ``timestamp`` is timestamp-based time travel (Delta's ``TIMESTAMP
+    AS OF``): the snapshot current at that wall-clock instant, resolved
+    via :func:`version_at` from commit-object modification times;
+    mutually exclusive with ``version``.
 
     When the snapshot carries a ``_schema.json`` (every snapshot
     committed since the schema-persistence fix does), the read uses it
@@ -1779,6 +1832,10 @@ def read_table(
     '001' stays '001' instead of becoming int 1, booleans stay
     boolean). Pre-fix snapshots without the file fall back to the old
     inferring read."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at(path, timestamp)
     v = latest_version(path) if version is None else version
     if _is_manifest_table(path):
         return _m_read(spark, path, v)
@@ -2848,6 +2905,77 @@ def compact(
         )
     return _write_next(
         out, path, base=base, partition_by=table_meta(path).get("partition_by")
+    )
+
+
+def restore_table(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE the table to an earlier committed ``version`` as a NEW
+    commit (Delta's ``RESTORE TABLE … TO VERSION AS OF``): the head
+    moves forward, history is preserved (time travel to the undone
+    versions still works until retention drops them), and the restore
+    itself is pure metadata — the new manifest lists the restored
+    version's files BY REFERENCE, rewriting nothing. At 100 TB that is
+    the whole point: undoing a bad ingest on a petabyte table is one
+    conditional PUT. Schema, partition spec, pending equality-deletes,
+    and CHECK constraints all roll back to the restored version's;
+    retired physical column names are the UNION of both versions'
+    (monotonic — a physical name once used is never reassigned, so a
+    post-restore re-add can never resurrect bytes written under either
+    history). Returns the new version number.
+
+    Restoring to a vacuumed version raises ``ValueError`` (its files
+    may be gone — the retention trade); restoring to the current head
+    is a no-op commit that still advances the version, matching Delta
+    (RESTORE always lands a commit, so the audit trail records the
+    intent). Posix-protocol tables restore by hardlink carry — same
+    zero-copy property, posix-only."""
+    head = latest_version(path)
+    if not _is_manifest_table(path):
+        if version not in versions(path):
+            raise ValueError(
+                f"version {version} of {path} was vacuumed or never "
+                "committed; cannot restore"
+            )
+        # same publish discipline as every posix commit: hardlink the
+        # restored snapshot into a temp dir (invisible to versions()),
+        # then ONE atomic rename — a crash mid-link leaves only an
+        # unlisted .tmp dir, never a torn snapshot
+        tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
+        _link_tree(_snapshot_dir(path, version), tmp)
+        try:
+            os.rename(tmp, _snapshot_dir(path, head + 1))
+        except OSError as exc:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"version {head + 1} of {path} was committed "
+                "concurrently (stale base); re-read and retry"
+            ) from exc
+        return head + 1
+    try:
+        m = _m_load(path, version)
+    except FileNotFoundError:
+        raise ValueError(
+            f"version {version} of {path} was vacuumed or never "
+            "committed; cannot restore"
+        )
+    head_m = _m_load(path, head)
+    retired = sorted(
+        set(m.get("retired", [])) | set(head_m.get("retired", []))
+    )
+    return _m_commit(
+        None,
+        path,
+        head + 1,
+        m.get("partition_by"),
+        _m_entries(path, m),
+        base=head,
+        schema_json=m.get("schema"),
+        deletes=m.get("deletes", []),
+        retired=retired,
+        # {} (not None) when the restored version had no constraints:
+        # None would INHERIT the head's set inside _m_commit, but
+        # restore semantics say the constraint set rolls back too
+        constraints=m.get("constraints") or {},
     )
 
 

@@ -1276,3 +1276,53 @@ def q_lake_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_restore",
+    oracle=_MERGE_ORACLE_CTE
+    + """
+    SELECT * FROM upd
+    UNION ALL
+    SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE … TO VERSION AS OF (Delta's restore, re-derived
+    for the manifest protocol; :func:`lakehouse.restore_table`): build
+    v0 (base orders) → v1 (MERGE) → v2 (DELETE half the keys) → RESTORE
+    to v1 as v3. The restore is asserted in-contract to be pure
+    metadata (v3 lists exactly v1's files by reference — zero files
+    written) and HISTORY-PRESERVING (the undone v2 still time-travels
+    and still shows the delete, and the head version is 3, not a
+    rewound 1). The returned head must equal the v1 relational state,
+    so the oracle is the SAME merge replay `q_lake_merge_upsert`
+    verifies — the delete and its undo cancel exactly.
+
+    At 100 TB the restore path is one conditional PUT of a manifest
+    that carries every entry by reference: undoing a bad ingest costs
+    the same whether the table is a gigabyte or a petabyte. Timestamp
+    time travel (`version_at`, commit-object mtimes, Delta's TIMESTAMP
+    AS OF design) rides the same manifest chain and is pinned by
+    tests/test_lakehouse.py."""
+    tmp = _scratch("spype_lake_restore_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir), path)                   # v0
+        lake.merge_upsert(
+            spark, path, _updates(spark, sf_dir), keys=["o_orderkey"]
+        )                                                              # v1
+        lake.delete_where(spark, path, F.col("o_orderkey") % 2 == 0)   # v2
+        n_v2 = lake.read_table(spark, path, 2).count()
+        v = lake.restore_table(spark, path, 1)                         # v3
+        if v != 3:
+            raise AssertionError("restore must advance the head, not rewind")
+        if lake.data_files(path, 3) != lake.data_files(path, 1):
+            raise AssertionError("restore must carry v1's files by reference")
+        if lake.read_table(spark, path, 2).count() != n_v2:
+            raise AssertionError("restore must preserve undone history")
+        if n_v2 >= lake.read_table(spark, path, 1).count():
+            raise AssertionError("delete accounting broke before restore")
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

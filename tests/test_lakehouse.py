@@ -2538,3 +2538,143 @@ def test_constraint_enforced_through_catalog_txn(spark, tmp_path):
                 )
     finally:
         txn.abort()
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (roll back to an earlier version as a new commit) and
+# timestamp-based time travel
+# ---------------------------------------------------------------------------
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark, tbl):
+    upd = spark.createDataFrame([(1, "X", 0.0)], "k long, s string, v double")
+    lake.merge_upsert(spark, tbl, upd, keys=["k"])          # v1
+    lake.delete_where(spark, tbl, F.col("k") == 2)          # v2
+    v = lake.restore_table(spark, tbl, 1)                   # v3
+    assert v == 3
+    # metadata-only: the restored head lists v1's files by reference
+    assert lake.data_files(tbl, 3) == lake.data_files(tbl, 1)
+    assert rows(lake.read_table(spark, tbl)) == rows(
+        lake.read_table(spark, tbl, version=1)
+    )
+    # history preserved: the undone v2 still time-travels
+    assert rows(lake.read_table(spark, tbl, version=2)) == {
+        (1, "X", 0.0), (3, "c", 30.0)
+    }
+
+
+def test_restore_posix_protocol(spark, tmp_path):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    path = str(tmp_path / "ptbl")
+    lake.write_table(df, path, protocol="posix")
+    lake.delete_where(spark, path, F.col("k") == 1)         # v1
+    v = lake.restore_table(spark, path, 0)                  # v2
+    assert v == 2
+    assert rows(lake.read_table(spark, path)) == {(1, 10.0), (2, 20.0)}
+    assert rows(lake.read_table(spark, path, version=1)) == {(2, 20.0)}
+
+
+def test_restore_vacuumed_version_raises(spark, tbl):
+    upd = spark.createDataFrame([(9, "z", 1.0)], "k long, s string, v double")
+    lake.merge_upsert(spark, tbl, upd, keys=["k"])          # v1
+    lake.vacuum(tbl, keep_last=1, grace_seconds=0)
+    with pytest.raises(ValueError, match="vacuumed or never"):
+        lake.restore_table(spark, tbl, 0)
+
+
+def test_restore_rolls_back_schema_and_constraints(spark, tbl):
+    lake.add_constraint(spark, tbl, "pos", ("ge", "v", 0))     # v1
+    wide = spark.createDataFrame(
+        [(7, "w", 70.0, "extra")], "k long, s string, v double, tag string"
+    )
+    lake.merge_upsert(spark, tbl, wide, keys=["k"], evolve_schema=True)  # v2
+    v = lake.restore_table(spark, tbl, 0)                   # v3: pre-both
+    assert "tag" not in lake.read_table(spark, tbl).columns
+    assert lake.table_constraints(tbl) == {}
+    # constraint no longer enforced after the rollback
+    bad = spark.createDataFrame([(8, "n", -5.0)], "k long, s string, v double")
+    lake.merge_upsert(spark, tbl, bad, keys=["k"])
+    assert (8, "n", -5.0) in rows(lake.read_table(spark, tbl))
+    assert v == 3
+
+
+def test_restore_retired_physicals_stay_retired(spark, tmp_path):
+    # drop a column AFTER the restore point, restore, then re-add a
+    # namesake: the physical name retired by the (undone) drop must NOT
+    # be reassigned — old bytes never resurrect through a restore
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, x double")
+    path = str(tmp_path / "rtbl")
+    lake.write_table(df, path)                              # v0
+    lake.drop_columns(spark, path, ["x"])                   # v1: x retired
+    lake.restore_table(spark, path, 0)                      # v2: x is back
+    m2 = lake._m_load(path, 2)
+    assert m2.get("retired"), "retired set must survive the restore"
+    # drop again and evolve-re-add: unmatched rows must read NULL, not
+    # the original x values
+    lake.drop_columns(spark, path, ["x"])                   # v3
+    upd = spark.createDataFrame([(1, 111.0)], "k long, x double")
+    lake.merge_upsert(spark, path, upd, keys=["k"], evolve_schema=True)
+    assert rows(lake.read_table(spark, path)) == {(1, 111.0), (2, None)}
+
+
+def test_restore_then_vacuum_keeps_restored_files(spark, tbl):
+    upd = spark.createDataFrame([(1, "X", 0.0)], "k long, s string, v double")
+    lake.merge_upsert(spark, tbl, upd, keys=["k"])          # v1
+    lake.restore_table(spark, tbl, 0)                       # v2 == v0 content
+    lake.vacuum(tbl, keep_last=1, grace_seconds=0)
+    assert rows(lake.read_table(spark, tbl)) == {
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)
+    }
+
+
+def test_timestamp_travel_resolves_versions(spark, tbl):
+    import os as _os
+
+    upd = spark.createDataFrame([(1, "X", 0.0)], "k long, s string, v double")
+    lake.merge_upsert(spark, tbl, upd, keys=["k"])          # v1
+    # pin deterministic commit times on the manifest objects
+    _os.utime(lake._m_path(tbl, 0), (1000.0, 1000.0))
+    _os.utime(lake._m_path(tbl, 1), (2000.0, 2000.0))
+    assert lake.version_at(tbl, 1500.0) == 0
+    assert lake.version_at(tbl, 2000.0) == 1
+    assert lake.version_at(tbl, 1e12) == 1
+    with pytest.raises(ValueError, match="no version"):
+        lake.version_at(tbl, 999.0)
+    assert rows(lake.read_table(spark, tbl, timestamp=1500.0)) == rows(
+        lake.read_table(spark, tbl, version=0)
+    )
+    with pytest.raises(ValueError, match="not both"):
+        lake.read_table(spark, tbl, version=0, timestamp=1500.0)
+
+
+def test_timestamp_travel_clamps_nonmonotonic_clock(spark, tbl):
+    import os as _os
+
+    upd = spark.createDataFrame([(1, "X", 0.0)], "k long, s string, v double")
+    lake.merge_upsert(spark, tbl, upd, keys=["k"])          # v1
+    # clock stepped BACKWARDS between commits: v1 older-stamped than v0
+    _os.utime(lake._m_path(tbl, 0), (2000.0, 2000.0))
+    _os.utime(lake._m_path(tbl, 1), (1000.0, 1000.0))
+    ts = dict(lake.commit_timestamps(tbl))
+    assert ts[1] >= ts[0]           # monotonic clamp
+    assert lake.version_at(tbl, 2000.0) == 1
+
+
+def test_timestamp_travel_posix(spark, tmp_path):
+    import os as _os
+
+    df = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    path = str(tmp_path / "tstbl")
+    lake.write_table(df, path, protocol="posix")
+    lake.merge_upsert(
+        spark, path, spark.createDataFrame([(2, 20.0)], "k long, v double"),
+        keys=["k"],
+    )
+    s0 = _os.path.join(lake._snapshot_dir(path, 0), "_SUCCESS")
+    s1 = _os.path.join(lake._snapshot_dir(path, 1), "_SUCCESS")
+    _os.utime(s0, (1000.0, 1000.0))
+    _os.utime(s1, (2000.0, 2000.0))
+    assert lake.version_at(path, 1999.0) == 0
+    assert rows(lake.read_table(spark, path, timestamp=2001.0)) == {
+        (1, 10.0), (2, 20.0)
+    }
