@@ -1715,17 +1715,59 @@ def _branch_dirs(path: str) -> list[str]:
     return out
 
 
+def _clone_roots(path: str) -> list[str]:
+    """Manifest roots of every REGISTERED shallow clone of ``path``
+    that still exists on disk (see :func:`clone_table`): their
+    manifests reference this table's data files by absolute path, so
+    this table's GC must refcount them. A clone directory the user
+    deleted is skipped (and its stale marker removed — markers are
+    advisory refcount hints, not state)."""
+    cdir = os.path.join(path, "_clones")
+    if not os.path.isdir(cdir):
+        return []
+    out = []
+    for n in sorted(os.listdir(cdir)):
+        mp = os.path.join(cdir, n)
+        if not n.endswith(".json"):
+            continue
+        try:
+            with open(mp) as f:
+                dst = json.load(f)["path"]
+        except (OSError, ValueError, KeyError):
+            continue
+        if _is_manifest_table(dst):
+            out.append(os.path.abspath(dst))
+        else:
+            try:
+                os.unlink(mp)  # dropped clone — retire the marker
+            except FileNotFoundError:
+                pass
+    return out
+
+
 def _gc_ref_roots(path: str) -> list[str]:
     """Every manifest root whose live manifests can reference data
     files reachable from ``path``'s GC walk: the owning table, all its
-    branches, and — when ``path`` IS a branch — the parent table and
-    sibling branches (a PUBLISHED branch's files are referenced from
-    the parent's manifests, so a branch-local vacuum must not collect
-    them)."""
+    branches, its registered shallow clones (and THEIR branches), and —
+    when ``path`` IS a branch — the parent table and sibling branches
+    (a PUBLISHED branch's files are referenced from the parent's
+    manifests, so a branch-local vacuum must not collect them)."""
     root = os.path.abspath(path)
     if _is_branch_root(root):
         root = os.path.dirname(os.path.dirname(root))
-    return [root] + _branch_dirs(root)
+    # clones are followed TRANSITIVELY (clone-of-clone repaths the
+    # grandparent's files absolutely, so a grandclone pins them without
+    # being registered in the grandparent) — BFS with a seen-set
+    out, queue, seen = [], [root], set()
+    while queue:
+        r = queue.pop()
+        if r in seen:
+            continue
+        seen.add(r)
+        out.append(r)
+        out.extend(_branch_dirs(r))
+        queue.extend(_clone_roots(r))
+    return out
 
 
 def _m_gc_files(path: str, grace_seconds: float = None) -> None:
@@ -3532,3 +3574,66 @@ def drop_branch(
     for root, _dirs, _files in os.walk(broot, topdown=False):
         if not os.listdir(root):
             os.rmdir(root)
+
+
+def clone_table(path: str, dst: str) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE … SHALLOW CLONE src``):
+    create an independent table at ``dst`` whose v=0 manifest lists the
+    source head's files BY REFERENCE (absolute paths into the source) —
+    zero data copied, metadata-only, O(manifest) regardless of table
+    size. The clone then evolves independently: mutations on either
+    side are invisible to the other (new files land under each table's
+    own root; copy-on-write never mutates a shared file in place).
+
+    The clone is REGISTERED in ``<src>/_clones/`` so the source's GC
+    refcounts the clone's manifests before collecting anything
+    (:func:`_clone_roots`): vacuuming the source keeps every shared
+    file some live clone manifest still names — the resurrection-proof
+    refcount Delta's shallow clones famously DON'T have (vacuuming a
+    Delta source breaks its shallow clones; docs say "don't"). Deleting
+    the clone directory is how you drop a clone — its stale marker is
+    retired on the source's next GC pass.
+
+    Manifest protocol only (posix tables have no by-reference store).
+    Returns the clone's version number (always 0)."""
+    if not _is_manifest_table(path):
+        raise ValueError(
+            f"{path} is not a manifest-protocol table (shallow clones "
+            "need by-reference manifests)"
+        )
+    dst = os.path.abspath(dst)
+    src = os.path.abspath(path)
+    if os.path.exists(dst) and os.listdir(dst):
+        raise FileExistsError(f"clone destination {dst} is not empty")
+    if dst == src or dst.startswith(src + os.sep) or src.startswith(
+        dst + os.sep
+    ):
+        raise ValueError("clone destination must not nest with the source")
+    head = latest_version(src)
+    m = _m_load(src, head)
+    entries, dels = _m_repath_manifest(m, src, dst)
+    manifest = _m_manifest(
+        dst,
+        0,
+        None,
+        m["schema"],
+        m.get("partition_by"),
+        entries,
+        deletes=dels or None,
+        retired=m.get("retired"),
+        constraints=m.get("constraints"),
+    )
+    manifest["cloned_from"] = {"path": src, "version": head}
+    os.makedirs(dst, exist_ok=True)
+    _m_publish(dst, 0, manifest)
+    # marker AFTER the manifest: a crash in between leaves a readable
+    # clone that a source vacuum may later break — the user re-clones;
+    # the reverse order could leave a marker pinning nothing
+    cdir = os.path.join(src, "_clones")
+    os.makedirs(cdir, exist_ok=True)
+    marker = os.path.join(cdir, f"{uuid.uuid4().hex}.json")
+    with open(marker, "w") as f:
+        json.dump({"path": dst}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    return 0

@@ -1326,3 +1326,67 @@ def q_lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_clone",
+    oracle=_MERGE_ORACLE_CTE
+    + """
+    SELECT * FROM upd
+    UNION ALL
+    SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def q_lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (Delta's CREATE TABLE … SHALLOW CLONE, plus the
+    GC refcount Delta lacks; :func:`lakehouse.clone_table`): write the
+    base orders as a source table, clone it METADATA-ONLY (asserted:
+    zero parquet files under the clone root — the clone's v0 manifest
+    names the source's files by absolute reference), then diverge BOTH
+    sides — MERGE the update set into the CLONE, DELETE rows from the
+    SOURCE — and assert neither mutation leaks to the other. Finally
+    vacuum the source with keep_last=1, grace=0: the source files only
+    the clone still references MUST survive (the `_clones` registry
+    makes the source's GC refcount live clone manifests — vacuuming a
+    Delta shallow-clone source breaks the clone; here it cannot).
+
+    Returned head = clone after the merge, so the oracle is the same
+    relational merge replay as `q_lake_merge_upsert` — the source-side
+    delete must be invisible to it. At 100 TB a shallow clone is the
+    zero-copy dev/test/experiment fork: one manifest PUT forks a
+    petabyte."""
+    tmp = _scratch("spype_lake_clone_")
+    try:
+        src = f"{tmp}/orders_src"
+        dst = f"{tmp}/orders_clone"
+        lake.write_table(_base(spark, sf_dir), src)                    # src v0
+        lake.clone_table(src, dst)                                     # dst v0
+        import os
+
+        for root, _dirs, files in os.walk(dst):
+            if any(f.endswith(".parquet") for f in files):
+                raise AssertionError("shallow clone must copy zero data")
+        lake.merge_upsert(
+            spark, dst, _updates(spark, sf_dir), keys=["o_orderkey"]
+        )                                                              # dst v1
+        n_src = lake.read_table(spark, src).count()
+        lake.delete_where(spark, src, F.col("o_orderkey") % 5 == 0)    # src v1
+        if lake.read_table(spark, src).count() >= n_src:
+            raise AssertionError("source delete must remove rows")
+        lake.vacuum(src, keep_last=1, grace_seconds=0)
+        out = lake.read_table(spark, dst)
+        # two-case assert (sf0.001 trap: the [4000,12000) update slice
+        # is EMPTY there — then no 'U' rows can exist, and the real
+        # check is that the clone still reads its pre-merge rows)
+        has_updates = not _updates(spark, sf_dir).isEmpty()
+        statuses = {
+            r["o_orderstatus"]
+            for r in out.select("o_orderstatus").distinct().collect()
+        }  # metadata-sized collect: distinct status values (≤4)
+        if has_updates and "U" not in statuses:
+            raise AssertionError("clone lost its merge after source vacuum")
+        if out.isEmpty():
+            raise AssertionError("clone unreadable after source vacuum")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -2678,3 +2678,109 @@ def test_timestamp_travel_posix(spark, tmp_path):
     assert rows(lake.read_table(spark, path, timestamp=2001.0)) == {
         (1, 10.0), (2, 20.0)
     }
+
+
+# ---------------------------------------------------------------------------
+# Shallow clone
+# ---------------------------------------------------------------------------
+
+
+def _parquet_under(root):
+    import os as _os
+    out = []
+    for r, _d, fs in _os.walk(root):
+        out += [f for f in fs if f.endswith(".parquet")]
+    return out
+
+
+def test_clone_is_metadata_only_and_reads_source_state(spark, tbl, tmp_path):
+    dst = str(tmp_path / "clone")
+    assert lake.clone_table(tbl, dst) == 0
+    assert _parquet_under(dst) == []          # zero data copied
+    assert rows(lake.read_table(spark, dst)) == rows(
+        lake.read_table(spark, tbl)
+    )
+
+
+def test_clone_diverges_independently(spark, tbl, tmp_path):
+    dst = str(tmp_path / "clone")
+    lake.clone_table(tbl, dst)
+    upd = spark.createDataFrame([(1, "C", 9.0)], "k long, s string, v double")
+    lake.merge_upsert(spark, dst, upd, keys=["k"])
+    lake.delete_where(spark, tbl, F.col("k") == 3)
+    assert rows(lake.read_table(spark, dst)) == {
+        (1, "C", 9.0), (2, "b", 20.0), (3, "c", 30.0)
+    }
+    assert rows(lake.read_table(spark, tbl)) == {
+        (1, "a", 10.0), (2, "b", 20.0)
+    }
+
+
+def test_source_vacuum_keeps_clone_referenced_files(spark, tbl, tmp_path):
+    dst = str(tmp_path / "clone")
+    lake.clone_table(tbl, dst)
+    # source rewrites everything, then vacuums aggressively: the files
+    # only the clone still references MUST survive (clone refcount)
+    lake.delete_where(spark, tbl, F.col("k") < 10)   # drops all rows
+    lake.vacuum(tbl, keep_last=1, grace_seconds=0)
+    assert rows(lake.read_table(spark, dst)) == {
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)
+    }
+
+
+def test_dropped_clone_unpins_source_files(spark, tbl, tmp_path):
+    import os as _os, shutil as _sh
+    dst = str(tmp_path / "clone")
+    lake.clone_table(tbl, dst)
+    lake.delete_where(spark, tbl, F.col("k") < 10)
+    _sh.rmtree(dst)                            # user drops the clone
+    lake.vacuum(tbl, keep_last=1, grace_seconds=0)
+    # with the clone gone nothing pins v0's files; the head (empty
+    # after the full delete) remains readable and the marker retires
+    assert lake.read_table(spark, tbl).count() == 0
+    cdir = _os.path.join(tbl, "_clones")
+    assert all(not n.endswith(".json") for n in _os.listdir(cdir))
+
+
+def test_clone_rejects_nesting_and_nonempty(spark, tbl, tmp_path):
+    with pytest.raises(ValueError, match="nest"):
+        lake.clone_table(tbl, tbl + "/sub")
+    dst = str(tmp_path / "dirty")
+    import os as _os
+    _os.makedirs(dst)
+    open(_os.path.join(dst, "x"), "w").close()
+    with pytest.raises(FileExistsError):
+        lake.clone_table(tbl, dst)
+
+
+def test_clone_of_clone(spark, tbl, tmp_path):
+    c1 = str(tmp_path / "c1")
+    c2 = str(tmp_path / "c2")
+    lake.clone_table(tbl, c1)
+    upd = spark.createDataFrame([(4, "d", 40.0)], "k long, s string, v double")
+    lake.merge_upsert(spark, c1, upd, keys=["k"])
+    lake.clone_table(c1, c2)
+    # c2 sees c1's merged state; vacuum BOTH ancestors, c2 survives
+    lake.delete_where(spark, c1, F.col("k") < 10)
+    lake.vacuum(c1, keep_last=1, grace_seconds=0)
+    lake.vacuum(tbl, keep_last=1, grace_seconds=0)
+    assert rows(lake.read_table(spark, c2)) == {
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)
+    }
+
+
+def test_grandclone_pins_grandparent_files_transitively(spark, tbl, tmp_path):
+    c1 = str(tmp_path / "g1")
+    c2 = str(tmp_path / "g2")
+    lake.clone_table(tbl, c1)
+    lake.clone_table(c1, c2)
+    # rewrite + aggressively vacuum BOTH ancestors: only c2 pins the
+    # original files now, and only transitively (c2 is registered in
+    # c1, not in tbl)
+    lake.delete_where(spark, c1, F.col("k") < 10)
+    lake.vacuum(c1, keep_last=1, grace_seconds=0)
+    lake.delete_where(spark, tbl, F.col("k") < 10)
+    lake.vacuum(tbl, keep_last=1, grace_seconds=0)
+    assert rows(lake.read_table(spark, c2)) == {
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)
+    }
