@@ -1560,6 +1560,7 @@ def _m_merge_plan(
     keys: list[str],
     evolve_schema: bool = False,
     match_condition=None,
+    clauses: dict | None = None,
 ) -> tuple[DataFrame, list[dict], list[str] | None]:
     """Plan a manifest MERGE against an EXPLICIT base version — the
     shared engine behind :func:`_m_merge_upsert` (base = table latest)
@@ -1571,7 +1572,18 @@ def _m_merge_plan(
     pcols = m.get("partition_by")
     tgt = _m_read(spark, path, base)
     carry: list[dict] | None = None
-    if pcols and not evolve_schema:
+    # a NOT MATCHED BY SOURCE clause must examine EVERY target row, so
+    # no file can be carried — skip pruning entirely (see merge());
+    # clause merges whose source lacks the partition columns (legal for
+    # delete-only merges) also fall back to the full rewrite
+    prunable = pcols and not evolve_schema
+    if clauses is not None:
+        prunable = (
+            prunable
+            and clauses["when_not_matched_by_source"] is None
+            and all(c in updates.columns for c in pcols)
+        )
+    if prunable:
         missing = [c for c in pcols if c not in updates.columns]
         if missing:
             raise ValueError(
@@ -1605,7 +1617,12 @@ def _m_merge_plan(
                     links, rewrite_entries = split
                     carry = carry + links
             tgt = _m_apply_deletes(spark, path, rewrite_entries, m)
-    merged = _merged_frame(tgt, updates, keys, evolve_schema, match_condition)
+    if clauses is not None:
+        merged = _merged_frame_full(tgt, updates, keys, **clauses)
+    else:
+        merged = _merged_frame(
+            tgt, updates, keys, evolve_schema, match_condition
+        )
     return merged, carry or [], pcols, m.get("deletes", [])
 
 
@@ -2459,6 +2476,224 @@ def _merged_frame(
     )
     _check_widen(tgt.schema, out.schema)
     return out
+
+
+def _merged_frame_full(
+    tgt: DataFrame,
+    src: DataFrame,
+    keys: list[str],
+    when_matched: str | None,
+    matched_condition,
+    when_not_matched: str | None,
+    when_not_matched_by_source,
+    by_source_condition,
+) -> DataFrame:
+    """The relational core of full-clause MERGE (Delta's complete
+    clause set). One full-outer struct join on the keys classifies
+    every row as matched / source-only / target-only, then per-class
+    CASE expressions pick the surviving row:
+
+    - matched: ``when_matched`` = ``"update"`` (source row wins where
+      ``matched_condition`` holds, else target survives), ``"delete"``
+      (row dropped where the condition holds), or ``None`` (target
+      survives untouched);
+    - source-only: ``when_not_matched="insert"`` inserts, ``None``
+      ignores;
+    - target-only (NOT MATCHED BY SOURCE): ``None`` keeps,
+      ``"delete"`` drops where ``by_source_condition`` holds, or a
+      dict of assignments updates those rows in place.
+
+    Conditions evaluate UNKNOWN→no-action (``coalesce(cond, false)``),
+    SQL MERGE semantics. NULL join keys never match, so such target
+    rows flow through the NOT MATCHED BY SOURCE clause — also SQL."""
+    cols = tgt.columns
+    extra = set(src.columns) - set(cols)
+    if extra:
+        raise ValueError(
+            f"source carries columns not in the table schema "
+            f"{sorted(extra)}; full-clause merge does not evolve schema"
+        )
+    missing = [c for c in cols if c not in src.columns]
+    if missing and (when_matched == "update" or when_not_matched == "insert"):
+        raise ValueError(
+            f"source must carry every table column for update/insert "
+            f"clauses; missing {missing}"
+        )
+    t = tgt.select(
+        *keys, F.struct(*[F.col(c) for c in cols]).alias("__t")
+    )
+    # pad source columns a keys-only delete merge doesn't carry with
+    # typed NULLs so both structs are the same full-width type
+    u = src.select(
+        *keys,
+        F.lit(1).alias("__m"),
+        F.struct(
+            *[
+                (
+                    F.col(c)
+                    if c in src.columns
+                    else F.lit(None).cast(tgt.schema[c].dataType)
+                ).alias(c)
+                for c in cols
+            ]
+        ).alias("__u"),
+    )
+    both = t.join(u, keys, "full_outer")
+    src_only = F.col("__t").isNull()
+    tgt_only = F.col("__m").isNull()
+    m_cond = (
+        F.coalesce(matched_condition(F.col("__u"), F.col("__t")), F.lit(False))
+        if matched_condition is not None
+        else F.lit(True)
+    )
+    bs_cond = (
+        F.coalesce(by_source_condition(F.col("__t")), F.lit(False))
+        if by_source_condition is not None
+        else F.lit(True)
+    )
+    keep = (
+        F.when(src_only, F.lit(when_not_matched == "insert"))
+        .when(
+            tgt_only,
+            ~bs_cond if when_not_matched_by_source == "delete" else F.lit(True),
+        )
+        .otherwise(~m_cond if when_matched == "delete" else F.lit(True))
+    )
+    if when_matched == "update":
+        matched_row = F.when(m_cond, F.col("__u")).otherwise(F.col("__t"))
+    else:
+        matched_row = F.col("__t")
+    if isinstance(when_not_matched_by_source, dict):
+        bad = set(when_not_matched_by_source) - set(cols)
+        if bad:
+            raise ValueError(f"assignments target unknown columns {sorted(bad)}")
+
+        def _assigned_col(c):
+            if c not in when_not_matched_by_source:
+                return F.col("__t")[c].alias(c)
+            a = when_not_matched_by_source[c]
+            expr = a(F.col("__t")) if callable(a) else F.lit(a)
+            return expr.cast(tgt.schema[c].dataType).alias(c)
+
+        assigned = F.struct(*[_assigned_col(c) for c in cols])
+        tgt_only_row = F.when(bs_cond, assigned).otherwise(F.col("__t"))
+    else:
+        tgt_only_row = F.col("__t")
+    row = (
+        F.when(src_only, F.col("__u"))
+        .when(tgt_only, tgt_only_row)
+        .otherwise(matched_row)
+    )
+    out = both.where(keep).select(*[row[c].alias(c) for c in cols])
+    _check_widen(tgt.schema, out.schema)
+    return out
+
+
+def _validate_merge_clauses(
+    when_matched,
+    matched_condition,
+    when_not_matched,
+    when_not_matched_by_source,
+    by_source_condition,
+) -> None:
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched must be update/delete/None, "
+                         f"got {when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched must be insert/None, "
+                         f"got {when_not_matched!r}")
+    bs = when_not_matched_by_source
+    if bs is not None and bs != "delete" and not isinstance(bs, dict):
+        raise ValueError(
+            "when_not_matched_by_source must be None, 'delete', or an "
+            "assignments dict"
+        )
+    if matched_condition is not None and when_matched is None:
+        raise ValueError("matched_condition needs a when_matched clause")
+    if by_source_condition is not None and bs is None:
+        raise ValueError(
+            "by_source_condition needs a when_not_matched_by_source clause"
+        )
+    if when_matched is None and when_not_matched is None and bs is None:
+        raise ValueError("merge with no clauses is a no-op; pass one")
+
+
+def merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str | None = "update",
+    matched_condition=None,
+    when_not_matched: str | None = "insert",
+    when_not_matched_by_source=None,
+    by_source_condition=None,
+) -> int:
+    """Full-clause MERGE (Delta's complete surface —
+    ``whenMatchedUpdateAll/Delete``, ``whenNotMatchedInsertAll``,
+    ``whenNotMatchedBySourceDelete/Update``; see
+    :func:`_merged_frame_full` for exact semantics). The default
+    clauses are exactly :func:`merge_upsert` and delegate to it (same
+    COW pruning fast path). Returns the new version number.
+
+    Clause arguments:
+
+    - ``when_matched``: ``"update"`` | ``"delete"`` | ``None``;
+      ``matched_condition(src_struct, tgt_struct) -> Column`` gates it
+      per row (UNKNOWN → target survives).
+    - ``when_not_matched``: ``"insert"`` | ``None``. A delete-only
+      merge may pass a source carrying just the key columns.
+    - ``when_not_matched_by_source``: ``None`` | ``"delete"`` | a dict
+      ``{col: value-or-callable(tgt_struct)->Column}`` updating
+      target rows no source key matches;
+      ``by_source_condition(tgt_struct) -> Column`` gates it.
+
+    Scale note: without a by-source clause, the manifest COW planner
+    prunes exactly as :func:`merge_upsert` (untouched partitions carry
+    by reference; single-key merges stats-split files). WITH a
+    by-source clause every target row must be examined by definition,
+    so every file rewrites — the same full-table cost Delta pays for
+    ``whenNotMatchedBySource``; partition-restrict the TARGET first
+    (filter into a staging table, or run per-partition merges) when
+    that matters at 100 TB."""
+    _validate_merge_clauses(
+        when_matched,
+        matched_condition,
+        when_not_matched,
+        when_not_matched_by_source,
+        by_source_condition,
+    )
+    if (
+        when_matched == "update"
+        and when_not_matched == "insert"
+        and when_not_matched_by_source is None
+    ):
+        return merge_upsert(
+            spark, path, source, keys, match_condition=matched_condition
+        )
+    clauses = {
+        "when_matched": when_matched,
+        "matched_condition": matched_condition,
+        "when_not_matched": when_not_matched,
+        "when_not_matched_by_source": when_not_matched_by_source,
+        "by_source_condition": by_source_condition,
+    }
+    base = latest_version(path)
+    if _is_manifest_table(path):
+        merged, carry, pcols, dels = _m_merge_plan(
+            spark, path, base, source, keys, clauses=clauses
+        )
+        return _m_commit(
+            merged, path, base + 1, pcols, carry, base=base, deletes=dels
+        )
+    tgt = read_table(spark, path, version=base)
+    merged = _merged_frame_full(tgt, source, keys, **clauses)
+    return _write_next(
+        merged,
+        path,
+        base=base,
+        partition_by=table_meta(path).get("partition_by"),
+    )
 
 
 def merge_upsert(

@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = [
     "q_lake_rename",
     "q_lake_restore",
     "q_lake_clone",
+    "q_lake_merge_full",
     # Group B - last driver-green r4 (10):
     "q_sink_csv_roundtrip",
     "q_sink_orc_roundtrip",

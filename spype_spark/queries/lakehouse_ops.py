@@ -1390,3 +1390,63 @@ def q_lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_merge_full",
+    oracle=_MERGE_ORACLE_CTE
+    + """
+    , m1 AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+      WHERE b.o_orderstatus <> 'F'
+    )
+    SELECT * FROM m1
+    WHERE NOT (o_orderkey < 2000 AND o_totalprice > 50000)
+    """,
+)
+def q_lake_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-clause MERGE (Delta's complete clause surface;
+    :func:`lakehouse.merge`). Two merges exercise every clause family:
+
+    1. the *sync* merge — ``WHEN MATCHED UPDATE, WHEN NOT MATCHED
+       INSERT, WHEN NOT MATCHED BY SOURCE AND tgt.status='F' DELETE``:
+       matched keys take the source row, new keys insert, and stale
+       'F' target rows no source key refreshes are purged — the
+       dimension-replication pattern;
+    2. the *retention* merge — a KEYS-ONLY source (< 2000) with ``WHEN
+       MATCHED AND tgt.price > 50000 DELETE`` and no insert clause:
+       SQL MERGE's conditional-delete form, proving the source needn't
+       carry the table schema when no clause reads it.
+
+    The oracle replays both merges relationally. Conditions evaluate
+    UNKNOWN→no-action and NULL keys never match (SQL MERGE semantics,
+    pinned in tests/test_lakehouse.py). Scale note: merge #2 (no
+    by-source clause) keeps the manifest COW pruning of merge_upsert;
+    merge #1's by-source clause must examine every target row by
+    definition — the same full-scan cost Delta documents for
+    whenNotMatchedBySource."""
+    tmp = _scratch("spype_lake_mfull_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir), path)                   # v0
+        lake.merge(
+            spark, path, _updates(spark, sf_dir), keys=["o_orderkey"],
+            when_not_matched_by_source="delete",
+            by_source_condition=lambda t: t["o_orderstatus"] == "F",
+        )                                                              # v1
+        retention_keys = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 2000)
+            .select("o_orderkey")
+        )
+        lake.merge(
+            spark, path, retention_keys, keys=["o_orderkey"],
+            when_matched="delete",
+            matched_condition=lambda u, t: t["o_totalprice"] > 50000,
+            when_not_matched=None,
+        )                                                              # v2
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -2784,3 +2784,169 @@ def test_grandclone_pins_grandparent_files_transitively(spark, tbl, tmp_path):
     assert rows(lake.read_table(spark, c2)) == {
         (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)
     }
+
+
+# ---------------------------------------------------------------------------
+# Full-clause MERGE (matched-delete, not-matched-by-source)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_by_source_delete_syncs_to_source(spark, tbl):
+    src = spark.createDataFrame(
+        [(2, "B", 99.0), (5, "e", 50.0)], "k long, s string, v double"
+    )
+    lake.merge(spark, tbl, src, ["k"], when_not_matched_by_source="delete")
+    # matched updated, new inserted, every unmatched target deleted
+    assert rows(lake.read_table(spark, tbl)) == {(2, "B", 99.0), (5, "e", 50.0)}
+
+
+def test_merge_by_source_delete_condition_gates(spark, tbl):
+    src = spark.createDataFrame(
+        [(2, "B", 99.0)], "k long, s string, v double"
+    )
+    lake.merge(
+        spark, tbl, src, ["k"],
+        when_not_matched_by_source="delete",
+        by_source_condition=lambda t: t["v"] >= 30.0,
+    )
+    # k=3 (v=30) deleted, k=1 (v=10) kept, k=2 updated
+    assert rows(lake.read_table(spark, tbl)) == {
+        (1, "a", 10.0), (2, "B", 99.0)
+    }
+
+
+def test_merge_matched_delete_keys_only_source(spark, tbl):
+    src = spark.createDataFrame([(1,), (3,), (9,)], "k long")
+    lake.merge(
+        spark, tbl, src, ["k"],
+        when_matched="delete", when_not_matched=None,
+    )
+    assert rows(lake.read_table(spark, tbl)) == {(2, "b", 20.0)}
+
+
+def test_merge_matched_delete_with_condition(spark, tbl):
+    src = spark.createDataFrame([(1,), (3,)], "k long")
+    lake.merge(
+        spark, tbl, src, ["k"],
+        when_matched="delete",
+        matched_condition=lambda u, t: t["v"] > 15.0,
+        when_not_matched=None,
+    )
+    # only k=3 (v=30) passes the condition; k=1 survives
+    assert rows(lake.read_table(spark, tbl)) == {
+        (1, "a", 10.0), (2, "b", 20.0)
+    }
+
+
+def test_merge_by_source_update_assignments(spark, tbl):
+    src = spark.createDataFrame([(1,)], "k long")
+    lake.merge(
+        spark, tbl, src, ["k"],
+        when_matched=None, when_not_matched=None,
+        when_not_matched_by_source={
+            "s": "stale", "v": lambda t: t["v"] * 2.0
+        },
+    )
+    assert rows(lake.read_table(spark, tbl)) == {
+        (1, "a", 10.0), (2, "stale", 40.0), (3, "stale", 60.0)
+    }
+
+
+def test_merge_insert_only(spark, tbl):
+    src = spark.createDataFrame(
+        [(1, "IGNORED", 0.0), (7, "g", 70.0)], "k long, s string, v double"
+    )
+    lake.merge(spark, tbl, src, ["k"], when_matched=None)
+    assert rows(lake.read_table(spark, tbl)) == {
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (7, "g", 70.0)
+    }
+
+
+def test_merge_null_target_keys_flow_to_by_source_clause(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(None, 1.0), (1, 2.0)], "k long, v double"
+    )
+    path = str(tmp_path / "nulltbl")
+    lake.write_table(df, path)
+    src = spark.createDataFrame([(1, 9.0)], "k long, v double")
+    lake.merge(
+        spark, path, src, ["k"], when_not_matched_by_source="delete"
+    )
+    # NULL key never matches → not-matched-by-source → deleted
+    assert rows(lake.read_table(spark, path)) == {(1, 9.0)}
+
+
+def test_merge_default_clauses_delegate_to_upsert(spark, tbl):
+    src = spark.createDataFrame(
+        [(2, "B", 99.0), (5, "e", 50.0)], "k long, s string, v double"
+    )
+    lake.merge(spark, tbl, src, ["k"])
+    assert rows(lake.read_table(spark, tbl)) == {
+        (1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (5, "e", 50.0)
+    }
+
+
+def test_merge_clause_validation(spark, tbl):
+    src = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="no-op"):
+        lake.merge(spark, tbl, src, ["k"], when_matched=None,
+                   when_not_matched=None)
+    with pytest.raises(ValueError, match="update/delete"):
+        lake.merge(spark, tbl, src, ["k"], when_matched="upsert")
+    with pytest.raises(ValueError, match="by_source_condition"):
+        lake.merge(spark, tbl, src, ["k"],
+                   by_source_condition=lambda t: t["v"] > 0)
+    with pytest.raises(ValueError, match="every table column"):
+        lake.merge(spark, tbl, src, ["k"], when_matched="update",
+                   when_not_matched=None,
+                   when_not_matched_by_source="delete")
+
+
+def test_merge_posix_protocol_full_clauses(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    path = str(tmp_path / "posixmerge")
+    lake.write_table(df, path, protocol="posix")
+    src = spark.createDataFrame([(2, 99.0), (4, 40.0)], "k long, v double")
+    lake.merge(spark, path, src, ["k"], when_not_matched_by_source="delete")
+    assert rows(lake.read_table(spark, path)) == {(2, 99.0), (4, 40.0)}
+    assert rows(lake.read_table(spark, path, version=0)) == {
+        (1, 10.0), (2, 20.0), (3, 30.0)
+    }
+
+
+def test_merge_partitioned_cow_carries_without_by_source(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "p1", 1.0), (2, "p1", 2.0), (3, "p2", 3.0), (4, "p3", 4.0)],
+        "k long, p string, v double",
+    )
+    path = str(tmp_path / "cowmerge")
+    lake.write_table(df, path, partition_by=["p"])
+    before = {f for f in lake.data_files(path, 0)}
+    src = spark.createDataFrame([(2, "p1", 9.0)], "k long, p string, v double")
+    # matched-delete merge restricted to p1: p2/p3 files must carry
+    lake.merge(
+        spark, path, src, ["k"],
+        when_matched="delete", when_not_matched=None,
+    )
+    after = set(lake.data_files(path, 1))
+    carried = before & after
+    assert any("p=p2" in f for f in carried)
+    assert any("p=p3" in f for f in carried)
+    assert rows(lake.read_table(spark, path)) == {
+        (1, "p1", 1.0), (3, "p2", 3.0), (4, "p3", 4.0)
+    }
+
+
+def test_merge_by_source_rewrites_all_but_is_correct(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "p1", 1.0), (3, "p2", 3.0)], "k long, p string, v double"
+    )
+    path = str(tmp_path / "bsmerge")
+    lake.write_table(df, path, partition_by=["p"])
+    src = spark.createDataFrame([(1, "p1", 9.0)], "k long, p string, v double")
+    lake.merge(
+        spark, path, src, ["k"], when_not_matched_by_source="delete"
+    )
+    assert rows(lake.read_table(spark, path)) == {(1, "p1", 9.0)}
