@@ -688,6 +688,49 @@ class Transaction:
         self._staged[name] = v
         return v
 
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str | None = "update",
+        matched_condition=None,
+        when_not_matched: str | None = "insert",
+        when_not_matched_by_source=None,
+        by_source_condition=None,
+    ) -> int:
+        """Full-clause MERGE through the transaction — same clause
+        algebra as :func:`spype_spark.lakehouse.merge` (matched
+        update/delete, insert, not-matched-by-source delete/update),
+        staged against the txn's snapshot and committed atomically with
+        the rest of the transaction."""
+        self._check_open()
+        lake._validate_merge_clauses(
+            when_matched,
+            matched_condition,
+            when_not_matched,
+            when_not_matched_by_source,
+            by_source_condition,
+        )
+        path = self.cat.table_path(name)
+        base = self._resolve(name)
+        merged, carry, pcols, dels = lake._m_merge_plan(
+            self.spark, path, base, source, keys,
+            clauses={
+                "when_matched": when_matched,
+                "matched_condition": matched_condition,
+                "when_not_matched": when_not_matched,
+                "when_not_matched_by_source": when_not_matched_by_source,
+                "by_source_condition": by_source_condition,
+            },
+        )
+        v = self._stage(
+            merged, path, pcols, carry, base, deletes=dels,
+            mode="replace",
+        )
+        self._staged[name] = v
+        return v
+
     def delete_where(self, name: str, cond) -> int:
         self._check_open()
         path = self.cat.table_path(name)

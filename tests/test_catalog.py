@@ -848,3 +848,31 @@ def test_catalog_partition_footprint_fuzz(spark, s1, s2):
         assert got == model
     finally:
         _sh.rmtree(root, ignore_errors=True)
+
+
+def test_txn_full_clause_merge(spark, tmp_path):
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "F", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    txn = cat.transaction(spark)
+    txn.write(df, "t")
+    txn.commit()
+    src = spark.createDataFrame([(1, "A", 99.0)], "k long, s string, v double")
+    txn = cat.transaction(spark)
+    txn.merge(
+        "t", src, ["k"],
+        when_not_matched_by_source="delete",
+        by_source_condition=lambda t: t["s"] == "F",
+    )
+    # staged state invisible before commit
+    assert {tuple(r) for r in cat.read(spark, "t").collect()} == {
+        (1, "a", 10.0), (2, "F", 20.0), (3, "c", 30.0)
+    }
+    txn.commit()
+    assert {tuple(r) for r in cat.read(spark, "t").collect()} == {
+        (1, "A", 99.0), (3, "c", 30.0)
+    }
