@@ -222,6 +222,253 @@ def _link_tree(src: str, dst: str) -> None:
             os.link(s, d)
 
 
+_EPOCH = "1970-01-01"
+
+
+def _norm_partition_spec(partition_by) -> tuple[list[str] | None, list[dict]]:
+    """Parse a partition spec that may mix identity column names with
+    Iceberg-style TRANSFORM tuples (hidden partitioning):
+
+    - ``("days", col)`` — days since epoch of a date/timestamp column
+    - ``("hours", col)`` — hours since epoch
+    - ``("truncate", w, col)`` — ``v - (v mod w)`` (Iceberg's numeric
+      truncate; ``mod`` is the non-negative pmod, so negatives bin
+      correctly)
+    - ``("bucket", n, col)`` — ``pmod(xxhash64(v), n)``
+
+    Returns ``(pcols, transforms)``: the physical partition column
+    list (identity names + generated hidden names, in spec order) and
+    the transform records to persist. Hidden names are
+    ``_p_<transform><param>_<source>`` — derived at commit time,
+    stripped from every public read."""
+    if partition_by is None:
+        return None, []
+    if isinstance(partition_by, (str, tuple)):
+        partition_by = [partition_by]
+    pcols: list[str] = []
+    transforms: list[dict] = []
+    for p in partition_by:
+        if isinstance(p, str):
+            pcols.append(p)
+            continue
+        if not isinstance(p, tuple) or not p:
+            raise ValueError(f"bad partition spec entry {p!r}")
+        kind = p[0]
+        if kind in ("days", "hours"):
+            if len(p) != 2:
+                raise ValueError(f"{kind} transform takes (kind, col): {p!r}")
+            src, param = p[1], None
+            name = f"_p_{kind}_{src}"
+        elif kind in ("truncate", "bucket"):
+            if len(p) != 3 or not isinstance(p[1], int) or p[1] <= 0:
+                raise ValueError(
+                    f"{kind} transform takes (kind, positive_int, col): {p!r}"
+                )
+            param, src = p[1], p[2]
+            short = "trunc" if kind == "truncate" else "bucket"
+            name = f"_p_{short}{param}_{src}"
+        else:
+            raise ValueError(f"unknown partition transform {kind!r}")
+        pcols.append(name)
+        transforms.append(
+            {"name": name, "transform": kind, "source": src, "param": param}
+        )
+    return pcols, transforms
+
+
+def _transform_expr(t: dict) -> "F.Column":
+    """The Spark Column computing transform ``t`` from its source."""
+    c = F.col(t["source"])
+    kind = t["transform"]
+    if kind == "days":
+        return F.datediff(F.to_date(c), F.to_date(F.lit(_EPOCH)))
+    if kind == "hours":
+        # unix seconds fit double exactly (< 2**53), so the division
+        # floor is exact
+        return F.floor(F.unix_timestamp(c) / F.lit(3600)).cast("long")
+    if kind == "truncate":
+        return (c - F.pmod(c, F.lit(t["param"]))).cast("long")
+    if kind == "bucket":
+        src_t = t.get("srctype")
+        if src_t:
+            c = c.cast(src_t)
+        return F.pmod(F.xxhash64(c), F.lit(t["param"])).cast("int")
+    raise ValueError(f"unknown partition transform {kind!r}")
+
+
+def _apply_transforms(
+    df: DataFrame, transforms: list[dict] | None, force: bool = False
+) -> DataFrame:
+    """Derive the hidden partition columns on a frame about to commit.
+    ``force=True`` recomputes ones already present — the commit-side
+    invariant that keeps a mutated source column (e.g. an UPDATE on a
+    timestamp) from leaving a stale hidden value behind."""
+    for t in transforms or []:
+        if t["source"] not in df.columns:
+            raise ValueError(
+                f"frame lacks partition-transform source column "
+                f"{t['source']!r}"
+            )
+        if t["name"] in df.columns:
+            if not force:
+                continue
+            df = df.drop(t["name"])
+        df = df.withColumn(t["name"], _transform_expr(t))
+    return df
+
+
+def _transform_value(t: dict, v, spark: SparkSession | None = None):
+    """Python-side evaluation of transform ``t`` on a predicate
+    literal — the scan-time dual of :func:`_transform_expr`, used to
+    prune manifest entries by hidden partition value. ``bucket`` needs
+    Spark's xxhash64, so it runs one 1-row job (metadata-sized; the
+    literal is cast to the RECORDED source type first — Spark hashes
+    by physical type, so an int literal probed against a bigint column
+    would otherwise hash differently). Returns None when the value
+    can't be transformed (caller keeps the file — conservative)."""
+    import datetime as _dt
+
+    kind = t["transform"]
+    try:
+        if kind == "days":
+            if isinstance(v, str):
+                v = _dt.date.fromisoformat(v[:10])
+            if isinstance(v, _dt.datetime):
+                v = v.date()
+            if not isinstance(v, _dt.date):
+                return None
+            return (v - _dt.date(1970, 1, 1)).days
+        if kind == "hours":
+            if isinstance(v, str):
+                v = _dt.datetime.fromisoformat(v)
+            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                v = _dt.datetime(v.year, v.month, v.day)
+            if not isinstance(v, _dt.datetime):
+                return None
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return int(v.timestamp()) // 3600
+        if kind == "truncate":
+            if not isinstance(v, int):
+                return None
+            return v - (v % t["param"])
+        if kind == "bucket":
+            if spark is None:
+                return None
+            lit = F.lit(v)
+            src_t = t.get("srctype")
+            if src_t:
+                lit = lit.cast(src_t)
+            # metadata-sized collect: one hashed literal
+            row = spark.range(1).select(
+                F.pmod(F.xxhash64(lit), F.lit(t["param"])).alias("b")
+            ).first()
+            return row["b"]
+    except (ValueError, TypeError, OverflowError):
+        return None
+    return None
+
+
+_MONOTONIC_TRANSFORMS = ("days", "hours", "truncate")
+
+
+def _transform_prune_entries(
+    spark: SparkSession,
+    entries: list[dict],
+    transforms: list[dict],
+    partitions: dict | None,
+    ranges: dict | None,
+    where,
+) -> list[dict]:
+    """Hidden-partition file pruning: translate user predicates on
+    TRANSFORM SOURCE columns into constraints on the recorded hidden
+    partition values — the reader never names (or sees) the hidden
+    column, which is the whole point of Iceberg-style hidden
+    partitioning. Equality/IN prunes under every transform; ranges
+    prune under the monotonic ones (days/hours/truncate map a value
+    range to a hidden-value range); bucket prunes only eq/IN. OR nests
+    are left alone (pruning only what provably cannot match); the
+    residual row filter keeps semantics exact either way."""
+    # gather (source_col -> [(op, payload)]) from the three knobs;
+    # only top-level AND conjuncts of `where` participate
+    by_src: dict[str, list] = {}
+
+    def _add(col, op, payload):
+        by_src.setdefault(col, []).append((op, payload))
+
+    for c, vals in (partitions or {}).items():
+        vlist = vals if isinstance(vals, (list, tuple, set)) else [vals]
+        _add(c, "in", list(vlist))
+    for c, (lo, hi) in (ranges or {}).items():
+        _add(c, "between", (lo, hi))
+
+    def _walk(p):
+        if p is None:
+            return
+        op = p[0]
+        if op == "and":
+            for q in p[1:]:
+                _walk(q)
+            return
+        if op == "or":
+            return  # conservative: no transform pruning through OR
+        if op == "eq":
+            _add(p[1], "in", [p[2]])
+        elif op == "in":
+            _add(p[1], "in", list(p[2]))
+        elif op in ("lt", "le"):
+            _add(p[1], "le", p[2])
+        elif op in ("gt", "ge"):
+            _add(p[1], "ge", p[2])
+        elif op == "between":
+            _add(p[1], "between", (p[2], p[3]))
+
+    _walk(where)
+    for t in transforms:
+        for op, payload in by_src.get(t["source"], []):
+            mono = t["transform"] in _MONOTONIC_TRANSFORMS
+            allowed: set | None = None
+            lo = hi = None
+            if op == "in":
+                tv = [_transform_value(t, v, spark) for v in payload]
+                if any(x is None for x in tv):
+                    continue
+                allowed = set(tv)
+            elif op == "between" and mono:
+                lo = _transform_value(t, payload[0], spark)
+                hi = _transform_value(t, payload[1], spark)
+                if lo is None or hi is None:
+                    continue
+            elif op == "le" and mono:
+                hi = _transform_value(t, payload, spark)
+                if hi is None:
+                    continue
+            elif op == "ge" and mono:
+                lo = _transform_value(t, payload, spark)
+                if lo is None:
+                    continue
+            else:
+                continue
+            kept = []
+            for e in entries:
+                pv = e.get("partition", {}).get(t["name"])
+                if pv is None:
+                    kept.append(e)  # no recorded value — keep
+                    continue
+                try:
+                    pvi = int(pv)
+                except ValueError:
+                    kept.append(e)
+                    continue
+                if allowed is not None:
+                    if pvi in allowed:
+                        kept.append(e)
+                elif (lo is None or pvi >= lo) and (hi is None or pvi <= hi):
+                    kept.append(e)
+            entries = kept
+    return entries
+
+
 def _norm_pcols(partition_by) -> list[str] | None:
     """Accept a column name or a list of names; None stays None."""
     if partition_by is None:
@@ -334,16 +581,35 @@ def write_table(
     """
     if protocol not in ("manifest", "posix"):
         raise ValueError(f"unknown protocol {protocol!r}")
-    pcols = _norm_pcols(partition_by)
+    pcols, transforms = _norm_partition_spec(partition_by)
+    if transforms and protocol != "manifest":
+        raise ValueError(
+            "partition transforms (hidden partitioning) need manifest "
+            "metadata; posix tables take identity columns only"
+        )
+    for t in transforms:
+        if t["source"] not in df.columns:
+            raise ValueError(
+                f"partition-transform source column {t['source']!r} "
+                "is not in the frame"
+            )
+        if t["transform"] == "bucket":
+            # record the source type: Spark hashes by physical type,
+            # so scan-time literal probes must cast to it first
+            t["srctype"] = df.schema[t["source"]].dataType.simpleString()
     if versions(path):
         raise FileExistsError(f"table already exists at {path}")
     os.makedirs(path, exist_ok=True)
     meta = {"partition_by": pcols, "protocol": protocol}
+    if transforms:
+        meta["transforms"] = transforms
     if pcols or protocol == "manifest":
         with open(_meta_path(path), "w") as f:
             json.dump(meta, f)
     if protocol == "manifest":
-        return _m_commit(df, path, 0, pcols, [], base=None)
+        return _m_commit(
+            df, path, 0, pcols, [], base=None, transforms=transforms or None
+        )
     return _commit_snapshot(df, path, 0, partition_by=pcols)
 
 
@@ -825,6 +1091,7 @@ def _m_manifest(
     deletes: list[dict] | None = None,
     retired: list[str] | None = None,
     constraints: dict | None = None,
+    transforms: list[dict] | None = None,
 ) -> dict:
     """Assemble a manifest payload: entries inline while the table is
     small (≤ ``_PART_INLINE_MAX`` files — keeps tiny tables one
@@ -846,6 +1113,8 @@ def _m_manifest(
         man["retired"] = sorted(set(retired))
     if constraints:
         man["constraints"] = constraints
+    if transforms:
+        man["transforms"] = transforms
     if len(entries) <= _PART_INLINE_MAX:
         man["files"] = entries
     else:
@@ -986,6 +1255,7 @@ def _m_commit(
     deletes: list[dict] | None = None,
     retired: list[str] | None = None,
     constraints: dict | None = None,
+    transforms: list[dict] | None = None,
 ) -> int:
     """Commit one manifest version: write ``df``'s rows as new files
     (``df=None`` → carry-only commit), assemble carried + new entries,
@@ -1014,9 +1284,17 @@ def _m_commit(
             retired = bm.get("retired", [])
         if constraints is None:
             constraints = bm.get("constraints")
+        if transforms is None:
+            transforms = bm.get("transforms")
     datadir, entries = (None, [])
     if df is not None:
         _enforce_constraints(df, constraints)
+        if transforms:
+            # (re)derive the hidden partition columns: force recompute
+            # so a mutated source value (UPDATE on a timestamp) can
+            # never leave a stale hidden value — the commit-side
+            # invariant hidden partitioning rests on
+            df = _apply_transforms(df, transforms, force=True)
         pdf, ppcols, schema_json, inv = _m_prepare_write(
             df, pcols, base_schema, retired or []
         )
@@ -1034,6 +1312,7 @@ def _m_commit(
         deletes=deletes,
         retired=retired,
         constraints=constraints,
+        transforms=transforms,
     )
     # Stale-base guard: if retention collected our base manifest while
     # we were writing, the carried entries may reference files the GC
@@ -1572,6 +1851,16 @@ def _m_merge_plan(
     pcols = m.get("partition_by")
     tgt = _m_read(spark, path, base)
     carry: list[dict] | None = None
+    tf = m.get("transforms")
+    if tf:
+        # hidden partitioning: derive the hidden columns on the update
+        # set so the touched-partition matcher (and the merged frame's
+        # schema) see them; a source lacking the transform's source
+        # column (keys-only clause merge) just skips pruning below
+        try:
+            updates = _apply_transforms(updates, tf)
+        except ValueError:
+            pass
     # a NOT MATCHED BY SOURCE clause must examine EVERY target row, so
     # no file can be carried — skip pruning entirely (see merge());
     # clause merges whose source lacks the partition columns (legal for
@@ -1897,7 +2186,11 @@ def read_table(
         version = version_at(path, timestamp)
     v = latest_version(path) if version is None else version
     if _is_manifest_table(path):
-        return _m_read(spark, path, v)
+        df = _m_read(spark, path, v)
+        tf = _m_load(path, v).get("transforms")
+        if tf:  # hidden partition columns never reach a reader
+            df = df.drop(*[t["name"] for t in tf])
+        return df
     if v not in versions(path):
         raise FileNotFoundError(f"version {v} not committed under {path}")
     snap = _snapshot_dir(path, v)
@@ -2032,9 +2325,19 @@ def scan_table(
     if where is not None:
         maybe = _pred_compile(where, m.get("partition_by"))
         entries = [e for e in entries if maybe(e)]
+    tf = m.get("transforms")
+    if tf:
+        # hidden-partition pruning: user predicates on the transform
+        # SOURCE columns cut the file list via recorded hidden values
+        entries = _transform_prune_entries(
+            spark, entries, tf, partitions, ranges, where
+        )
     if since is not None:
         entries = [e for e in entries if e.get("seq", 0) > since]
-    return _residual(_m_apply_deletes(spark, path, entries, m))
+    out = _m_apply_deletes(spark, path, entries, m)
+    if tf:
+        out = out.drop(*[t["name"] for t in tf])
+    return _residual(out)
 
 
 # Type transitions schema evolution may take, old → new: the safe
@@ -2100,6 +2403,22 @@ def widen_types(spark: SparkSession, path: str, types: dict) -> int:
              "integer": "int"}
     base = latest_version(path)
     m = _m_load(path, base)
+    # widening a BUCKET transform's source would split the table
+    # across two hash domains (xxhash64 hashes by physical type):
+    # pre-widen files' recorded buckets came from the narrow type,
+    # post-widen writes would hash the wide one, and scan-time probes
+    # could then wrongly prune files — reject instead of corrupting
+    bucket_srcs = {
+        t["source"]
+        for t in m.get("transforms") or []
+        if t["transform"] == "bucket"
+    } & set(types)
+    if bucket_srcs:
+        raise ValueError(
+            f"{sorted(bucket_srcs)} are bucket-transform sources; "
+            "widening would change their hash domain (repartition the "
+            "table instead)"
+        )
     fields = {f["name"]: f for f in m["schema"]["fields"]}
     unknown = [c for c in types if c not in fields]
     if unknown:
@@ -2163,6 +2482,18 @@ def rename_columns(spark: SparkSession, path: str, renames: dict) -> int:
         )
     base = latest_version(path)
     m = _m_load(path, base)
+    tf = m.get("transforms") or []
+    hidden = {t["name"] for t in tf} & set(renames)
+    if hidden:
+        raise ValueError(
+            f"{sorted(hidden)} are hidden partition-transform columns; "
+            "rename their SOURCE column instead (the transform follows)"
+        )
+    # a renamed transform source follows the rename — the hidden
+    # column (and its immutable directory names) keep their names
+    new_tf = [
+        {**t, "source": renames.get(t["source"], t["source"])} for t in tf
+    ]
     schema_json, new_pcols, entries, retired, cons = _rename_plan(
         path, m, renames
     )
@@ -2176,6 +2507,7 @@ def rename_columns(spark: SparkSession, path: str, renames: dict) -> int:
         schema_json=schema_json,
         retired=retired,
         constraints=cons if cons is not None else {},
+        transforms=new_tf,
     )
 
 
@@ -2255,6 +2587,16 @@ def drop_columns(spark: SparkSession, path: str, cols) -> int:
         )
     base = latest_version(path)
     m = _m_load(path, base)
+    tf = m.get("transforms") or []
+    if isinstance(cols, str):
+        cols = [cols]
+    bad = ({t["name"] for t in tf} | {t["source"] for t in tf}) & set(cols)
+    if bad:
+        raise ValueError(
+            f"{sorted(bad)} back the table's hidden partitioning "
+            "(transform source or hidden column); repartition the "
+            "table to drop them"
+        )
     schema_json, pcols, entries, retired, cons = _drop_plan(path, m, cols)
     return _m_commit(
         None,
@@ -2873,6 +3215,9 @@ def append_table(spark: SparkSession, path: str, df: DataFrame) -> int:
     if _is_manifest_table(path):
         m = _m_load(path, base)
         pcols = m.get("partition_by")
+        tf = m.get("transforms")
+        if tf:  # appenders never name hidden columns; derive them
+            df = _apply_transforms(df, tf)
         cols = [f["name"] for f in m["schema"]["fields"]]
         if set(df.columns) != set(cols):
             raise ValueError(
@@ -3249,10 +3594,11 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
         schema_json=m.get("schema"),
         deletes=m.get("deletes", []),
         retired=retired,
-        # {} (not None) when the restored version had no constraints:
-        # None would INHERIT the head's set inside _m_commit, but
-        # restore semantics say the constraint set rolls back too
+        # {} / [] (not None) when the restored version had no
+        # constraints/transforms: None would INHERIT the head's inside
+        # _m_commit, but restore semantics say these roll back too
         constraints=m.get("constraints") or {},
+        transforms=m.get("transforms") or [],
     )
 
 
@@ -3625,6 +3971,7 @@ def create_branch(
         deletes=dels or None,
         retired=m.get("retired"),
         constraints=m.get("constraints"),
+        transforms=m.get("transforms"),
     )
     manifest["fork"] = fork
     _m_publish(broot, 0, manifest)
@@ -3678,6 +4025,7 @@ def publish_branch(path: str, name: str) -> int:
                 deletes=dels or None,
                 retired=bm.get("retired"),
                 constraints=bm.get("constraints"),
+                transforms=bm.get("transforms"),
             )
             try:
                 _m_publish(path, fork + 1, manifest)
@@ -3776,6 +4124,7 @@ def _publish_rebase(
         entries,
         retired=bm.get("retired"),
         constraints=bm.get("constraints"),
+        transforms=bm.get("transforms"),
     )
     try:
         _m_publish(path, head + 1, manifest)
@@ -3857,6 +4206,7 @@ def clone_table(path: str, dst: str) -> int:
         deletes=dels or None,
         retired=m.get("retired"),
         constraints=m.get("constraints"),
+        transforms=m.get("transforms"),
     )
     manifest["cloned_from"] = {"path": src, "version": head}
     os.makedirs(dst, exist_ok=True)

@@ -1450,3 +1450,82 @@ def q_lake_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_hidden_partition",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           CAST(value * 1000000 AS BIGINT) AS value_micro
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+      AND user_id IN (1, 2, 7)
+    """,
+)
+def q_lake_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING (Iceberg's partition transforms, re-derived
+    for the manifest protocol): write events partitioned by
+    ``days(ts)`` and ``bucket(8, user_id)`` — the reader NEVER names a
+    partition column; it filters on the raw ``ts``/``user_id`` and the
+    scan translates those predicates into hidden-partition file
+    pruning (`_transform_prune_entries`): the day range keeps 3 of ~30
+    day slots, the bucket IN-probe hashes the literals (cast to the
+    RECORDED source type — Spark hashes by physical type) and keeps at
+    most 3 of 8 buckets per day. Strict-subset inputFiles and
+    scan≡filter equality are asserted in-contract; the hidden columns
+    are invisible in the output schema.
+
+    This is THE 100 TB time-series layout: a year of events is ~365×8
+    slots, a dashboard's day-and-user query opens a handful of files,
+    and nobody ever writes ``WHERE event_date = ...`` boilerplate (or
+    breaks the layout by forgetting it — Iceberg's core pitch over
+    Hive-style partitioning). Commit-side force re-derivation keeps
+    hidden values correct through UPDATE/MERGE (tests pin the moved-row
+    case)."""
+    import datetime as dt
+
+    tmp = _scratch("spype_lake_hp_")
+    try:
+        path = f"{tmp}/events_tbl"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        lake.write_table(
+            ev, path, partition_by=[("days", "ts"), ("bucket", 8, "user_id")]
+        )
+        lo = dt.datetime(2024, 1, 5)
+        hi = dt.datetime(2024, 1, 8)
+        sc = lake.scan_table(
+            spark,
+            path,
+            where=(
+                "and",
+                ("ge", "ts", lo),
+                ("lt", "ts", hi),
+                ("in", "user_id", [1, 2, 7]),
+            ),
+        )
+        n_all = len(lake.data_files(path, 0))
+        n_sc = len(sc.inputFiles())
+        if not (0 < n_sc < n_all):
+            raise AssertionError(
+                f"hidden-partition pruning failed: {n_sc} of {n_all} files"
+            )
+        ref = lake.read_table(spark, path).filter(
+            (F.col("ts") >= lo) & (F.col("ts") < hi)
+            & F.col("user_id").isin(1, 2, 7)
+        )
+        out = sc.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            F.round(F.col("value") * 1000000).cast("long").alias("value_micro"),
+        ).localCheckpoint()
+        if out.count() != ref.count():
+            raise AssertionError("scan_table != read_table().filter()")
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

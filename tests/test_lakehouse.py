@@ -2950,3 +2950,168 @@ def test_merge_by_source_rewrites_all_but_is_correct(spark, tmp_path):
         spark, path, src, ["k"], when_not_matched_by_source="delete"
     )
     assert rows(lake.read_table(spark, path)) == {(1, "p1", 9.0)}
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning (Iceberg-style partition transforms)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ttbl(spark, tmp_path):
+    import datetime as dt
+    rows_ = [
+        (i, dt.datetime(2024, 1, 1 + i % 10, 8, 0, 0), i % 7, float(i))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows_, "k long, ts timestamp, u long, v double")
+    path = str(tmp_path / "ttbl")
+    lake.write_table(
+        df, path, partition_by=[("days", "ts"), ("bucket", 4, "u")]
+    )
+    return path
+
+
+def test_transform_columns_are_hidden(spark, ttbl):
+    assert lake.read_table(spark, ttbl).columns == ["k", "ts", "u", "v"]
+    assert lake.scan_table(spark, ttbl).columns == ["k", "ts", "u", "v"]
+    # ...but recorded in every entry's partition tuple
+    m = lake._m_load(ttbl, 0)
+    e = lake._m_entries(ttbl, m)[0]
+    assert set(e["partition"]) == {"_p_days_ts", "_p_bucket4_u"}
+
+
+def test_transform_scan_prunes_days_range(spark, ttbl):
+    import datetime as dt
+    lo, hi = dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 4, 23, 59)
+    sc = lake.scan_table(spark, ttbl, where=("between", "ts", lo, hi))
+    full = lake.read_table(spark, ttbl)
+    assert sc.count() == full.filter(F.col("ts").between(lo, hi)).count() > 0
+    assert 0 < len(sc.inputFiles()) < len(full.inputFiles())
+
+
+def test_transform_scan_prunes_bucket_eq(spark, ttbl):
+    sc = lake.scan_table(spark, ttbl, where=("eq", "u", 3))
+    full = lake.read_table(spark, ttbl)
+    assert sc.count() == full.filter(F.col("u") == 3).count() > 0
+    assert 0 < len(sc.inputFiles()) < len(full.inputFiles())
+    # partitions= knob routes through the same transform pruning
+    # (bucket-only — the where= path additionally prunes on u's
+    # min/max file stats, so it may keep strictly fewer files)
+    sc2 = lake.scan_table(spark, ttbl, partitions={"u": 3})
+    assert sc2.count() == sc.count()
+    assert len(sc.inputFiles()) <= len(sc2.inputFiles()) < len(
+        full.inputFiles()
+    )
+
+
+def test_transform_scan_or_nest_is_conservative_but_exact(spark, ttbl):
+    sc = lake.scan_table(
+        spark, ttbl, where=("or", ("eq", "u", 1), ("eq", "u", 2))
+    )
+    full = lake.read_table(spark, ttbl)
+    assert sc.count() == full.filter(F.col("u").isin(1, 2)).count()
+
+
+def test_transform_merge_carries_untouched_days(spark, ttbl):
+    import datetime as dt
+    upd = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 8, 0, 0), 1 % 7, 999.0)],
+        "k long, ts timestamp, u long, v double",
+    )
+    before = set(lake.data_files(ttbl, 0))
+    lake.merge_upsert(spark, ttbl, upd, keys=["k"])
+    carried = before & set(lake.data_files(ttbl, 1))
+    assert carried, "untouched hidden partitions must carry by reference"
+    got = {
+        tuple(r)
+        for r in lake.read_table(spark, ttbl).filter(F.col("k") == 1).collect()
+    }
+    assert got == {(1, dt.datetime(2024, 1, 2, 8, 0, 0), 1, 999.0)}
+
+
+def test_transform_update_rederives_hidden_value(spark, ttbl):
+    import datetime as dt
+    moved = dt.datetime(2024, 3, 1, 12, 0, 0)
+    lake.update_where(spark, ttbl, F.col("k") == 5, {"ts": F.lit(moved)})
+    sc = lake.scan_table(
+        spark, ttbl, where=("ge", "ts", dt.datetime(2024, 2, 1))
+    )
+    assert [r["k"] for r in sc.collect()] == [5]
+    assert len(sc.inputFiles()) < len(lake.read_table(spark, ttbl).inputFiles())
+
+
+def test_transform_append_derives_hidden(spark, ttbl):
+    import datetime as dt
+    extra = spark.createDataFrame(
+        [(1000, dt.datetime(2024, 1, 1, 9, 0, 0), 2, 1.0)],
+        "k long, ts timestamp, u long, v double",
+    )
+    lake.append_table(spark, ttbl, extra)
+    assert lake.read_table(spark, ttbl).count() == 101
+
+
+def test_transform_survives_restore_clone_branch(spark, ttbl, tmp_path):
+    lake.delete_where(spark, ttbl, F.col("k") < 50)        # v1
+    lake.restore_table(spark, ttbl, 0)                     # v2
+    assert lake._m_load(ttbl, 2).get("transforms")
+    dst = str(tmp_path / "tclone")
+    lake.clone_table(ttbl, dst)
+    sc = lake.scan_table(spark, dst, where=("eq", "u", 1))
+    assert 0 < len(sc.inputFiles()) < len(lake.read_table(spark, dst).inputFiles())
+    lake.create_branch(ttbl, "dev")
+    bp = lake.branch_path(ttbl, "dev")
+    assert lake._m_load(bp, 0).get("transforms")
+
+
+def test_transform_guards(spark, ttbl, tmp_path):
+    with pytest.raises(ValueError, match="hidden partition"):
+        lake.rename_columns(spark, ttbl, {"_p_days_ts": "x"})
+    with pytest.raises(ValueError, match="hidden partitioning"):
+        lake.drop_columns(spark, ttbl, ["u"])
+    with pytest.raises(ValueError, match="hash domain"):
+        lake.widen_types(spark, ttbl, {"u": "bigint"})  # u already long: still guarded first
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="manifest"):
+        lake.write_table(
+            df, str(tmp_path / "px"), partition_by=[("bucket", 2, "k")],
+            protocol="posix",
+        )
+    with pytest.raises(ValueError, match="unknown partition transform"):
+        lake.write_table(df, str(tmp_path / "bad"),
+                         partition_by=[("years", "k")])
+
+
+def test_transform_rename_source_follows(spark, ttbl):
+    lake.rename_columns(spark, ttbl, {"u": "uid"})
+    tf = {t["source"] for t in lake._m_load(ttbl, 1)["transforms"]}
+    assert "uid" in tf and "u" not in tf
+    sc = lake.scan_table(spark, ttbl, where=("eq", "uid", 3))
+    assert 0 < len(sc.inputFiles()) < len(
+        lake.read_table(spark, ttbl).inputFiles()
+    )
+
+
+def test_transform_truncate_and_hours(spark, tmp_path):
+    import datetime as dt
+    rows_ = [
+        (i, dt.datetime(2024, 1, 1, i % 24, 30, 0), i * 7) for i in range(48)
+    ]
+    df = spark.createDataFrame(rows_, "k long, ts timestamp, m long")
+    path = str(tmp_path / "thtbl")
+    lake.write_table(
+        df, path, partition_by=[("hours", "ts"), ("truncate", 100, "m")]
+    )
+    full = lake.read_table(spark, path)
+    sc = lake.scan_table(
+        spark, path,
+        where=("and",
+               ("le", "ts", dt.datetime(2024, 1, 1, 5, 59)),
+               ("between", "m", 100, 199)),
+    )
+    ref = full.filter(
+        (F.col("ts") <= dt.datetime(2024, 1, 1, 5, 59))
+        & F.col("m").between(100, 199)
+    )
+    assert sc.count() == ref.count() > 0
+    assert 0 < len(sc.inputFiles()) < len(full.inputFiles())
