@@ -637,3 +637,62 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal"),
         )
     )
+
+
+@query(
+    "q_text_slice_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    ),
+    w AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 24)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start / 24 AS INT) AS win_id,
+           array_to_string(toks[start + 1 : start + 32], ' ') AS chunk,
+           CAST(least(32, len(toks) - start) AS INT) AS chunk_tokens
+    FROM w
+    """,
+)
+def q_text_slice_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap — the step that turns a
+    variable-length document corpus into model-sized training windows
+    (size 32 tokens, stride 24 → 8-token overlap so no span is ever
+    split without context). Pure JVM column algebra: tokenize once
+    (`split`), generate the window starts with `sequence`, `explode`,
+    then `slice` + `array_join` — no shuffle at all (the plan is a
+    single projection stage over the scan; fan-out is row-local), no
+    Python in the row path, and the ~k× row fan-out streams through
+    whole-stage codegen. At 100 TB this is a map-only job whose output
+    partitioning follows the input — exactly what you want feeding a
+    pack/shuffle stage downstream.
+
+    The oracle replays it with DuckDB's list algebra (both engines
+    treat an empty text as one empty token, so short/empty docs emit
+    exactly one window — the two-case behavior is covered at every
+    SF)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    wins = toks.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(24))
+        ).alias("start"),
+    )
+    return wins.select(
+        "doc_id",
+        (F.col("start") / 24).cast("int").alias("win_id"),
+        F.array_join(F.slice("toks", F.col("start") + 1, 32), " ").alias(
+            "chunk"
+        ),
+        F.least(F.lit(32), F.col("n") - F.col("start"))
+        .cast("int")
+        .alias("chunk_tokens"),
+    )
