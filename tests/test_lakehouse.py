@@ -269,6 +269,12 @@ _op = st.one_of(
         st.just("delete_keys"),
         st.sets(_KEYS, min_size=1, max_size=4),
     ),
+    st.tuples(st.just("restore"), st.integers(0, 3)),
+    st.tuples(
+        st.just("merge_sync"),  # full-clause: update+insert+by-source-delete
+        st.dictionaries(_KEYS, st.tuples(st.integers(0, 99), st.integers(0, 9)),
+                        min_size=1, max_size=5),
+    ),
 )
 
 
@@ -316,12 +322,31 @@ def test_lakehouse_random_op_sequences_match_model(
                 m, r = arg
                 lake.delete_where(spark, path, F.col("v") % m == r)
                 model = {k: vt for k, vt in model.items() if vt[0] % m != r}
-            else:  # delete_keys: merge-on-read tombstones (both protos)
+            elif kind == "delete_keys":  # merge-on-read tombstones
                 kd = spark.createDataFrame(
                     [(k,) for k in sorted(arg)], "k long"
                 )
                 lake.delete_keys(spark, path, kd)
                 model = {k: vt for k, vt in model.items() if k not in arg}
+            elif kind == "restore":
+                ver = min(arg, len(snapshots) - 1)
+                lake.restore_table(spark, path, ver)
+                model = dict(snapshots[ver])
+            else:  # merge_sync: full-clause sync-to-source merge
+                src = spark.createDataFrame(
+                    [(k, v, ts) for k, (v, ts) in sorted(arg.items())],
+                    "k long, v long, ts long",
+                )
+                lake.merge(
+                    spark, path, src, keys=["k"],
+                    when_not_matched_by_source="delete",
+                    by_source_condition=lambda t: t["v"] % 2 == 0,
+                )
+                model = {
+                    k: vt for k, vt in model.items()
+                    if k in arg or vt[0] % 2 != 0
+                }
+                model.update(arg)
             snapshots.append(dict(model))
         # final state AND every intermediate version via time travel
         for ver, snap in enumerate(snapshots):
