@@ -1379,10 +1379,11 @@ def q_lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is EMPTY there — then no 'U' rows can exist, and the real
         # check is that the clone still reads its pre-merge rows)
         has_updates = not _updates(spark, sf_dir).isEmpty()
+        # metadata-sized collect: distinct status values (≤4)
         statuses = {
             r["o_orderstatus"]
             for r in out.select("o_orderstatus").distinct().collect()
-        }  # metadata-sized collect: distinct status values (≤4)
+        }
         if has_updates and "U" not in statuses:
             raise AssertionError("clone lost its merge after source vacuum")
         if out.isEmpty():
