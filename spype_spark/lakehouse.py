@@ -2063,7 +2063,9 @@ def _gc_ref_roots(path: str) -> list[str]:
         root = os.path.dirname(os.path.dirname(root))
     # clones are followed TRANSITIVELY (clone-of-clone repaths the
     # grandparent's files absolutely, so a grandclone pins them without
-    # being registered in the grandparent) — BFS with a seen-set
+    # being registered in the grandparent) — BFS with a seen-set; a
+    # clone OF A BRANCH registers under <branch>/_clones, so branch
+    # dirs expand their clone registries too
     out, queue, seen = [], [root], set()
     while queue:
         r = queue.pop()
@@ -2071,8 +2073,10 @@ def _gc_ref_roots(path: str) -> list[str]:
             continue
         seen.add(r)
         out.append(r)
-        out.extend(_branch_dirs(r))
         queue.extend(_clone_roots(r))
+        for b in _branch_dirs(r):
+            out.append(b)
+            queue.extend(_clone_roots(b))
     return out
 
 

@@ -3140,3 +3140,23 @@ def test_transform_truncate_and_hours(spark, tmp_path):
     )
     assert sc.count() == ref.count() > 0
     assert 0 < len(sc.inputFiles()) < len(full.inputFiles())
+
+
+def test_clone_of_branch_pins_branch_files_through_parent_vacuum(
+    spark, tbl, tmp_path
+):
+    # branch writes its own data; a clone of the BRANCH references it;
+    # dropping the branch then vacuuming the parent must keep the files
+    # the clone still names (clone registries of branch dirs are part
+    # of the GC walk)
+    lake.create_branch(tbl, "dev")
+    bp = lake.branch_path(tbl, "dev")
+    upd = spark.createDataFrame([(9, "z", 90.0)], "k long, s string, v double")
+    lake.merge_upsert(spark, bp, upd, keys=["k"])
+    dst = str(tmp_path / "bclone")
+    lake.clone_table(bp, dst)
+    lake.drop_branch(tbl, "dev", grace_seconds=0)
+    lake.vacuum(tbl, keep_last=1, grace_seconds=0)
+    assert rows(lake.read_table(spark, dst)) == {
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (9, "z", 90.0)
+    }
