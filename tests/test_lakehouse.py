@@ -3160,3 +3160,14 @@ def test_clone_of_branch_pins_branch_files_through_parent_vacuum(
     assert rows(lake.read_table(spark, dst)) == {
         (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (9, "z", 90.0)
     }
+
+
+def test_transform_prunes_compose_with_in_subquery(spark, ttbl):
+    # dynamic file pruning: the dim side resolves to an IN list first
+    # (_pred_resolve), which the bucket transform then hashes — hidden
+    # partitioning and manifest-layer DPP compose
+    dim = spark.createDataFrame([(1,), (2,)], "u long")
+    sc = lake.scan_table(spark, ttbl, where=("in_subquery", "u", dim))
+    full = lake.read_table(spark, ttbl)
+    assert sc.count() == full.filter(F.col("u").isin(1, 2)).count() > 0
+    assert 0 < len(sc.inputFiles()) < len(full.inputFiles())
