@@ -1530,3 +1530,66 @@ def q_lake_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_zorder",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey < 8000
+      AND o_custkey BETWEEN 20 AND 80
+      AND o_orderkey BETWEEN 1000 AND 3000
+    """,
+)
+def q_lake_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER on a manifest table (Delta's OPTIMIZE ... ZORDER
+    BY, as `compact(zorder_code=...)` + manifest stats pruning): write
+    orders deliberately FRAGMENTED (16 hash-random files — every file
+    spans the whole key space, so a 2-D box predicate can prune
+    nothing), then compact with a Morton interleave of (custkey,
+    orderkey). The rewrite is the SAME one-shuffle cost as a plain
+    compaction, but each produced file now covers a tight rectangle of
+    the key plane, so the manifest min/max stats prune a 2-D box scan
+    down to the few intersecting files — asserted in-contract: the
+    post-zorder `scan_table` must read STRICTLY FEWER files than the
+    pre-zorder scan AND a strict subset of the table.
+
+    At 100 TB this is the second half of the hidden-partitioning
+    story: partitions give coarse slots, z-order gives multi-dimension
+    locality INSIDE each slot, and both feed the same metadata-only
+    file pruning (zero object reads at plan time)."""
+    from spype_spark.layout import morton2
+
+    tmp = _scratch("spype_lake_zo_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 8000)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        )
+        lake.write_table(base.repartition(16), path)
+        box = (
+            "and",
+            ("between", "o_custkey", 20, 80),
+            ("between", "o_orderkey", 1000, 3000),
+        )
+        n_before = len(lake.scan_table(spark, path, where=box).inputFiles())
+        lake.compact(
+            spark,
+            path,
+            target_files=8,
+            zorder_code=morton2("o_custkey % 65536", "o_orderkey % 65536"),
+        )
+        sc = lake.scan_table(spark, path, where=box)
+        n_after = len(sc.inputFiles())
+        n_total = len(lake.data_files(path, 1))
+        if not (0 < n_after < n_before and n_after < n_total):
+            raise AssertionError(
+                f"z-order must tighten pruning: {n_after} files after vs "
+                f"{n_before} before (of {n_total})"
+            )
+        return sc.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
