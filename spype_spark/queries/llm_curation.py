@@ -696,3 +696,61 @@ def q_text_slice_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("chunk_tokens"),
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+      WHERE len(text) > 0
+    ),
+    cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+    n  AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM cc GROUP BY 1),
+    q AS (
+      SELECT cc.doc_id, cc.k,
+             CAST(floor(ln(CAST(n.n AS DOUBLE) / cc.k) * 1e6 + 0.5)
+                  AS BIGINT) AS q_surp
+      FROM cc JOIN n USING (doc_id)
+    )
+    SELECT q.doc_id,
+           CAST(CAST(SUM(q.k * q.q_surp) AS BIGINT) AS DOUBLE)
+             / SUM(q.k) / 1e6 AS char_entropy
+    FROM q
+    GROUP BY q.doc_id
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (the Gopher/C4 heuristic family:
+    near-zero entropy = boilerplate/repeated filler, unusually high =
+    binary junk or encoding noise): per document,
+    H = Σ (k/n)·ln(n/k) over its character frequencies.
+
+    Same determinism discipline as `q_text_unigram_logprob`: each
+    (doc, char)'s surprisal ln(n/k) is quantized ONCE to integer
+    micro-nats, the per-doc combination is an exact integer dot
+    (Σ k·q) — order-free under any shuffle, bit-identical across
+    engines; the single division at the end is deterministic. Scale:
+    explode to char grain is a map-only fan-out; one groupBy to
+    (doc, char), one re-aggregate to doc grain — alphabet-bounded
+    state (≤ ~100 distinct chars per doc), never O(text²)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    ch = d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    w = Window.partitionBy("doc_id")
+    q = cc.withColumn("n", F.sum("k").over(w)).withColumn(
+        "q_surp",
+        F.floor(
+            F.log(F.col("n").cast("double") / F.col("k")) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    return q.groupBy("doc_id").agg(
+        (
+            F.sum(F.col("k") * F.col("q_surp")).cast("double")
+            / F.sum("k")
+            / F.lit(1e6)
+        ).alias("char_entropy")
+    )
