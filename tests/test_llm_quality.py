@@ -533,3 +533,27 @@ def test_semdedup_cell_p99_bounded_at_20x(spark):
     assert row.k == max(8, row.n // _CELL_TARGET)
     assert row.sum_sq / row.n <= 2 * _CELL_TARGET, row
     assert row.p99 <= 2 * _CELL_TARGET, row
+
+
+def test_char_entropy_bounds_and_extremes(spark):
+    """H ∈ [0, ln(alphabet)]: a one-char doc scores exactly 0; a
+    uniform-alphabet doc scores exactly ln(k)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "aaaaaaaa"), (1, "abcdabcdabcd"), (2, "x")],
+        "doc_id long, text string",
+    )
+    import tempfile, os, shutil
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r["doc_id"]: r["char_entropy"]
+            for r in REGISTRY["q_text_entropy"].fn(spark, tmp).collect()
+        }
+        assert out[0] == 0.0
+        assert out[2] == 0.0
+        assert abs(out[1] - math.log(4)) < 1e-5
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
