@@ -1051,7 +1051,11 @@ def _m_localize_entries(entries: list[dict], inv: dict[str, str]) -> None:
 
 
 def _m_open_files(
-    spark: SparkSession, root: str, rel_paths: list[str], schema_json: dict
+    spark: SparkSession,
+    root: str,
+    rel_paths: list[str],
+    schema_json: dict,
+    with_pos: bool = False,
 ) -> DataFrame:
     """READ-side column mapping: open manifest-listed leaf files with
     the snapshot schema. Identity mapping reads with the logical
@@ -1059,14 +1063,38 @@ def _m_open_files(
     with the PHYSICAL schema and projects to logical names. Files
     missing a physical column (pre-evolution carries, or carries
     predating a drop+re-add whose fresh physical name they lack) read
-    it as NULL — exactly Delta/Iceberg schema-on-read."""
+    it as NULL — exactly Delta/Iceberg schema-on-read.
+
+    ``with_pos=True`` appends ``__fname`` (the file's COMMIT-RELATIVE
+    path — everything after ``/data/``, i.e. ``<commit-uuid>/<partition
+    dirs>/<part file>``: unique by the commit uuid even though
+    ``partitionBy`` reuses part-file basenames across partition dirs,
+    and invariant under table moves, clones, and branches because it
+    never names the table root) and ``__pos`` (the row's index WITHIN
+    its file, Spark's ``_metadata.row_index``) — the row identity
+    positional deletion vectors anchor to."""
     from pyspark.sql.types import StructType
 
     cmap = _col_map(schema_json)
     paths = [os.path.join(root, p) for p in rel_paths]
+
+    def _pos_cols(df):
+        if not with_pos:
+            return df
+        return df.withColumns(
+            {
+                "__fname": F.regexp_extract(
+                    F.col("_metadata.file_path"), "/data/(.*)$", 1
+                ),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+
     if all(l == p for l, p in cmap.items()):
-        return spark.read.schema(StructType.fromJson(schema_json)).parquet(
-            *paths
+        return _pos_cols(
+            spark.read.schema(StructType.fromJson(schema_json)).parquet(
+                *paths
+            )
         )
     pj = {
         **schema_json,
@@ -1075,10 +1103,11 @@ def _m_open_files(
             for f in schema_json["fields"]
         ],
     }
-    df = spark.read.schema(StructType.fromJson(pj)).parquet(*paths)
-    return df.select(
-        *[F.col(_phys(f)).alias(f["name"]) for f in schema_json["fields"]]
-    )
+    df = _pos_cols(spark.read.schema(StructType.fromJson(pj)).parquet(*paths))
+    keep = [F.col(_phys(f)).alias(f["name"]) for f in schema_json["fields"]]
+    if with_pos:
+        keep += [F.col("__fname"), F.col("__pos")]
+    return df.select(*keep)
 
 
 def _m_manifest(
@@ -1092,6 +1121,7 @@ def _m_manifest(
     retired: list[str] | None = None,
     constraints: dict | None = None,
     transforms: list[dict] | None = None,
+    pos_deletes: list[dict] | None = None,
 ) -> dict:
     """Assemble a manifest payload: entries inline while the table is
     small (≤ ``_PART_INLINE_MAX`` files — keeps tiny tables one
@@ -1115,6 +1145,8 @@ def _m_manifest(
         man["constraints"] = constraints
     if transforms:
         man["transforms"] = transforms
+    if pos_deletes:
+        man["pos_deletes"] = pos_deletes
     if len(entries) <= _PART_INLINE_MAX:
         man["files"] = entries
     else:
@@ -1256,6 +1288,7 @@ def _m_commit(
     retired: list[str] | None = None,
     constraints: dict | None = None,
     transforms: list[dict] | None = None,
+    pos_deletes: list[dict] | None = None,
 ) -> int:
     """Commit one manifest version: write ``df``'s rows as new files
     (``df=None`` → carry-only commit), assemble carried + new entries,
@@ -1286,6 +1319,12 @@ def _m_commit(
             constraints = bm.get("constraints")
         if transforms is None:
             transforms = bm.get("transforms")
+        if pos_deletes is None:
+            # positional DVs ride forward by default: a rewrite commit
+            # replaces only its TOUCHED files (new seq - old DVs miss
+            # them), while carried files still need theirs; compact
+            # and restore override explicitly
+            pos_deletes = bm.get("pos_deletes")
     datadir, entries = (None, [])
     if df is not None:
         _enforce_constraints(df, constraints)
@@ -1313,6 +1352,7 @@ def _m_commit(
         retired=retired,
         constraints=constraints,
         transforms=transforms,
+        pos_deletes=pos_deletes,
     )
     # Stale-base guard: if retention collected our base manifest while
     # we were writing, the carried entries may reference files the GC
@@ -1394,18 +1434,36 @@ def _m_apply_deletes(
     if not entries:
         return spark.createDataFrame([], StructType.fromJson(m["schema"]))
     dels = m.get("deletes", [])
+    pdels = m.get("pos_deletes", [])
+    cols = [f["name"] for f in m["schema"]["fields"]]
 
-    def _read(paths):
-        return _m_open_files(spark, path, paths, m["schema"])
+    def _read(paths, with_pos=False):
+        return _m_open_files(spark, path, paths, m["schema"], with_pos)
 
-    if not dels:
+    if not dels and not pdels:
         return _read([e["path"] for e in entries])
     groups: dict[int, list[str]] = {}
     for e in entries:
         groups.setdefault(e.get("seq", 0), []).append(e["path"])
     out = None
     for s in sorted(groups):
-        df = _read(groups[s])
+        # positional DVs first: they anchor to (file basename, row
+        # index), so the filter must see the metadata columns before
+        # any other operator; same sequence rule as equality deletes
+        # (a DV only targets files from OLDER commits)
+        pd_here = [d for d in pdels if d["seq"] > s]
+        if pd_here:
+            df = _read(groups[s], with_pos=True)
+            dv = spark.read.parquet(
+                *[os.path.join(path, d["path"]) for d in pd_here]
+            ).select(
+                F.col("fname").alias("__fname"), F.col("pos").alias("__pos")
+            )
+            df = df.join(
+                F.broadcast(dv), ["__fname", "__pos"], "left_anti"
+            ).select(*cols)
+        else:
+            df = _read(groups[s])
         for d in dels:
             if d["seq"] > s:
                 kdf = spark.read.parquet(
@@ -2112,7 +2170,7 @@ def _m_gc_files(path: str, grace_seconds: float = None) -> None:
                 continue
             for e in _m_entries(r, m):
                 referenced.add(os.path.abspath(os.path.join(r, e["path"])))
-            for d in m.get("deletes", []):
+            for d in m.get("deletes", []) + m.get("pos_deletes", []):
                 referenced.add(os.path.abspath(os.path.join(r, d["path"])))
     ref_parts: set[str] = set()
     for v in _m_versions(path):
@@ -3447,6 +3505,121 @@ def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame) -> int:
     )
 
 
+def delete_where_dv(spark: SparkSession, path: str, cond) -> int:
+    """MERGE-ON-READ positional DELETE (Delta's deletion vectors,
+    re-derived for the manifest protocol): mark the rows matching
+    ``cond`` by (file basename, row index) in a small DV parquet —
+    ZERO data files rewritten, every entry carried by reference, one
+    manifest publish. Where :func:`delete_keys` needs the rows' KEYS
+    up front, this takes an arbitrary predicate: the commit reads the
+    table once to find matching positions (O(scan), but writes only
+    O(matched rows)), which at 100 TB turns a scattered predicate
+    purge from a full rewrite into a kilobyte sidecar. NULL-evaluating
+    rows are KEPT (SQL DELETE semantics — only TRUE rows are marked).
+
+    Row identity is Spark's ``_metadata.row_index`` within each
+    immutable file, keyed by the file's COMMIT-RELATIVE path (unique
+    by commit uuid — partitionBy reuses part basenames across
+    partition dirs — and invariant under table moves, clones, and
+    branches because it never names the table root). Readers apply DVs by
+    the same SEQUENCE rule as equality deletes: a DV only filters data
+    files from OLDER commits, so later rewrites/inserts are never
+    swallowed. Read overhead is one broadcast anti-join while DVs are
+    pending; :func:`compact` materializes and clears them. DVs compose
+    with equality deletes, column mapping, and hidden partitioning
+    (the DV is column-agnostic). Posix tables fall back to the
+    copy-on-write rewrite (same result, no sidecar). Returns the new
+    version."""
+    if not _is_manifest_table(path):
+        return delete_where(spark, path, cond)
+    base = latest_version(path)
+    m = _m_load(path, base)
+    entries = _m_entries(path, m)
+    cols = [f["name"] for f in m["schema"]["fields"]]
+    # positions must be found on the CURRENT snapshot (existing
+    # equality deletes / DVs applied — re-marking an already-deleted
+    # row would be harmless but wasteful)
+    live = _m_apply_deletes_pos(spark, path, entries, m)
+    matches = live.filter(cond).select(
+        F.col("__fname").alias("fname"), F.col("__pos").alias("pos")
+    )
+    uid = uuid.uuid4().hex
+    ddir = os.path.join(path, "data", uid)
+    matches.coalesce(1).write.parquet(ddir)
+    new_pds = []
+    for root, _dirs, files in os.walk(ddir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            new_pds.append(
+                {
+                    "path": os.path.relpath(fp, path).replace(os.sep, "/"),
+                    "rows": _m_file_stats(fp)["rows"],
+                    "seq": base + 1,
+                }
+            )
+    pos_deletes = m.get("pos_deletes", []) + sorted(
+        new_pds, key=lambda d: d["path"]
+    )
+    try:
+        return _m_commit(
+            None,
+            path,
+            base + 1,
+            m.get("partition_by"),
+            entries,
+            base=base,
+            schema_json=m.get("schema"),
+            deletes=m.get("deletes", []),
+            pos_deletes=pos_deletes,
+        )
+    except ConcurrentWriteError:
+        shutil.rmtree(ddir, ignore_errors=True)
+        raise
+
+
+def _m_apply_deletes_pos(
+    spark: SparkSession, path: str, entries: list[dict], m: dict
+) -> DataFrame:
+    """:func:`_m_apply_deletes` variant that KEEPS the ``__fname`` /
+    ``__pos`` row-identity columns — the input a positional-DV writer
+    needs. Same sequence rules."""
+    from pyspark.sql.types import StructType
+
+    if not entries:
+        schema = StructType.fromJson(m["schema"])
+        return (
+            spark.createDataFrame([], schema)
+            .withColumn("__fname", F.lit(None).cast("string"))
+            .withColumn("__pos", F.lit(None).cast("long"))
+        )
+    dels = m.get("deletes", [])
+    pdels = m.get("pos_deletes", [])
+    groups: dict[int, list[str]] = {}
+    for e in entries:
+        groups.setdefault(e.get("seq", 0), []).append(e["path"])
+    out = None
+    for s in sorted(groups):
+        df = _m_open_files(spark, path, groups[s], m["schema"], with_pos=True)
+        pd_here = [d for d in pdels if d["seq"] > s]
+        if pd_here:
+            dv = spark.read.parquet(
+                *[os.path.join(path, d["path"]) for d in pd_here]
+            ).select(
+                F.col("fname").alias("__fname"), F.col("pos").alias("__pos")
+            )
+            df = df.join(F.broadcast(dv), ["__fname", "__pos"], "left_anti")
+        for d in dels:
+            if d["seq"] > s:
+                kdf = spark.read.parquet(
+                    os.path.join(path, d["path"])
+                ).select(*d["keys"])
+                df = df.join(F.broadcast(kdf), d["keys"], "left_anti")
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def delete_range(
     spark: SparkSession, path: str, col: str, lo, hi
 ) -> int:
@@ -3526,8 +3699,11 @@ def compact(
     # files-per-partition rather than a global count)
     if _is_manifest_table(path):
         m = _m_load(path, base)
+        # the rewrite materializes equality deletes AND positional DVs
+        # (read_table applied them) — clear both
         return _m_commit(
-            out, path, base + 1, m.get("partition_by"), [], base=base
+            out, path, base + 1, m.get("partition_by"), [], base=base,
+            pos_deletes=[],
         )
     return _write_next(
         out, path, base=base, partition_by=table_meta(path).get("partition_by")
@@ -3603,6 +3779,7 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
         # _m_commit, but restore semantics say these roll back too
         constraints=m.get("constraints") or {},
         transforms=m.get("transforms") or [],
+        pos_deletes=m.get("pos_deletes") or [],
     )
 
 
@@ -3940,6 +4117,17 @@ def _m_repath_manifest(m: dict, src_root: str, dst_root: str) -> tuple[
     return entries, dels
 
 
+def _m_repath_pos(m: dict, src_root: str, dst_root: str) -> list[dict]:
+    """Positional-DV records of ``m`` repathed for ``dst_root``. The
+    DV file CONTENT is commit-relative-path-keyed (move/clone/branch
+    invariant),
+    so only the DV file's own path needs re-expression."""
+    return [
+        {**d, "path": _m_repath(d["path"], src_root, dst_root)}
+        for d in m.get("pos_deletes", [])
+    ]
+
+
 def create_branch(
     path: str, name: str, at_version: int | None = None
 ) -> str:
@@ -3976,6 +4164,7 @@ def create_branch(
         retired=m.get("retired"),
         constraints=m.get("constraints"),
         transforms=m.get("transforms"),
+        pos_deletes=_m_repath_pos(m, path, broot) or None,
     )
     manifest["fork"] = fork
     _m_publish(broot, 0, manifest)
@@ -4030,6 +4219,7 @@ def publish_branch(path: str, name: str) -> int:
                 retired=bm.get("retired"),
                 constraints=bm.get("constraints"),
                 transforms=bm.get("transforms"),
+                pos_deletes=_m_repath_pos(bm, broot, path) or None,
             )
             try:
                 _m_publish(path, fork + 1, manifest)
@@ -4081,13 +4271,12 @@ def _publish_rebase(
             f"partitioning diverged between fork, parent head, and "
             f"branch head; re-branch from the head and replay"
         )
-    if (
-        bm.get("deletes")
-        or fork_m.get("deletes")
-        or head_m.get("deletes")
+    if any(
+        mm.get("deletes") or mm.get("pos_deletes")
+        for mm in (bm, fork_m, head_m)
     ):
         raise ConcurrentWriteError(
-            f"cannot rebase-publish branch {name!r}: equality-delete "
+            f"cannot rebase-publish branch {name!r}: pending delete "
             f"files present (delete sequence numbers don't translate "
             f"across namespaces); compact first or re-branch and replay"
         )
@@ -4211,6 +4400,7 @@ def clone_table(path: str, dst: str) -> int:
         retired=m.get("retired"),
         constraints=m.get("constraints"),
         transforms=m.get("transforms"),
+        pos_deletes=_m_repath_pos(m, src, dst) or None,
     )
     manifest["cloned_from"] = {"path": src, "version": head}
     os.makedirs(dst, exist_ok=True)

@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     "q_text_slice_windows",
     "q_lake_zorder",
     "q_text_entropy",
+    "q_lake_delete_dv",
     # Group B - last driver-green r4 (10):
     "q_sink_csv_roundtrip",
     "q_sink_orc_roundtrip",

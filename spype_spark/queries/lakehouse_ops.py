@@ -1593,3 +1593,60 @@ def q_lake_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sc.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delete_dv",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey < 8000
+      AND NOT (o_orderstatus = 'F' AND o_totalprice < 120000)
+      AND NOT (o_orderkey % 5 = 0 AND o_custkey % 2 = 0)
+    """,
+)
+def q_lake_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL DELETION VECTORS (Delta's DVs;
+    :func:`lakehouse.delete_where_dv`): two predicate deletes marked as
+    (commit-relative file path, row index) sidecars — asserted
+    in-contract to rewrite ZERO data files across BOTH commits (the
+    v2 file list is identical to v0's) — then a compaction that
+    materializes and clears the DVs (asserted empty) without changing
+    content. The oracle is the relational double-NOT replay.
+
+    Versus the COW :func:`lakehouse.delete_where` (O(matching files)
+    rewrite) and the equality :func:`lakehouse.delete_keys` (needs the
+    key list up front), the DV path takes an ARBITRARY predicate and
+    writes only O(matched rows): at 100 TB a scattered compliance
+    purge costs kilobytes of sidecar plus one broadcast anti-join per
+    read until the next compaction — the exact trade Delta documents
+    for deletion vectors. Sequence rules keep later re-inserts
+    unswallowed; DVs compose with equality deletes, column mapping,
+    clones, branches, and hidden partitioning (all test-pinned)."""
+    tmp = _scratch("spype_lake_dv_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir).repartition(8), path)   # v0
+        f0 = lake.data_files(path, 0)
+        lake.delete_where_dv(
+            spark,
+            path,
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 120000),
+        )                                                             # v1
+        lake.delete_where_dv(
+            spark,
+            path,
+            (F.col("o_orderkey") % 5 == 0) & (F.col("o_custkey") % 2 == 0),
+        )                                                             # v2
+        if lake.data_files(path, 2) != f0 or lake.data_files(path, 1) != f0:
+            raise AssertionError("DV deletes must rewrite zero data files")
+        n_mor = lake.read_table(spark, path).count()
+        lake.compact(spark, path, target_files=2)                     # v3
+        if lake._m_load(path, 3).get("pos_deletes"):
+            raise AssertionError("compaction must clear the DVs")
+        out = lake.read_table(spark, path)
+        if out.count() != n_mor:
+            raise AssertionError("compaction changed MOR content")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -490,12 +490,31 @@ def test_partitioned_lakehouse_sequences_match_model(
                 m, r = arg
                 lake.delete_where(spark, path, F.col("v") % m == r)
                 model = {k: vt for k, vt in model.items() if vt[0] % m != r}
-            else:  # delete_keys: MOR tombstones over a partitioned table
+            elif kind == "delete_keys":  # MOR tombstones, partitioned
                 kd = spark.createDataFrame(
                     [(k,) for k in sorted(arg)], "k long"
                 )
                 lake.delete_keys(spark, path, kd)
                 model = {k: vt for k, vt in model.items() if k not in arg}
+            elif kind == "restore":
+                ver = min(arg, len(snapshots) - 1)
+                lake.restore_table(spark, path, ver)
+                model = dict(snapshots[ver])
+            else:  # merge_sync: full-clause merge over a partitioned table
+                src = spark.createDataFrame(
+                    [(k, v, ts, k % 3) for k, (v, ts) in sorted(arg.items())],
+                    "k long, v long, ts long, p long",
+                )
+                lake.merge(
+                    spark, path, src, keys=["k"],
+                    when_not_matched_by_source="delete",
+                    by_source_condition=lambda t: t["v"] % 2 == 0,
+                )
+                model = {
+                    k: vt for k, vt in model.items()
+                    if k in arg or vt[0] % 2 != 0
+                }
+                model.update(arg)
             snapshots.append(dict(model))
         for ver, snap in enumerate(snapshots):
             got = {
@@ -3171,3 +3190,98 @@ def test_transform_prunes_compose_with_in_subquery(spark, ttbl):
     full = lake.read_table(spark, ttbl)
     assert sc.count() == full.filter(F.col("u").isin(1, 2)).count() > 0
     assert 0 < len(sc.inputFiles()) < len(full.inputFiles())
+
+
+# ---------------------------------------------------------------------------
+# Positional deletion vectors (merge-on-read predicate deletes)
+# ---------------------------------------------------------------------------
+
+
+def test_dv_delete_zero_rewrites_and_null_semantics(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    path = str(tmp_path / "dvtbl")
+    lake.write_table(df.repartition(2), path)
+    f0 = lake.data_files(path, 0)
+    lake.delete_where_dv(spark, path, F.col("v") > 20.0)
+    assert lake.data_files(path, 1) == f0          # zero rewrites
+    # NULL-evaluating row (k=2) kept — SQL DELETE semantics
+    assert rows(lake.read_table(spark, path)) == {(1, 10.0), (2, None)}
+    assert lake.read_table(spark, path, 0).count() == 4   # time travel
+
+
+def test_dv_sequence_rule_reinsert_not_swallowed(spark, tbl):
+    lake.delete_where_dv(spark, tbl, F.col("k") == 2)
+    upd = spark.createDataFrame([(2, "B", 99.0)], "k long, s string, v double")
+    lake.merge_upsert(spark, tbl, upd, keys=["k"])
+    assert (2, "B", 99.0) in rows(lake.read_table(spark, tbl))
+
+
+def test_dv_composes_with_equality_deletes(spark, tbl):
+    lake.delete_keys(spark, tbl, spark.createDataFrame([(1,)], "k long"))
+    lake.delete_where_dv(spark, tbl, F.col("v") >= 30.0)
+    assert rows(lake.read_table(spark, tbl)) == {(2, "b", 20.0)}
+
+
+def test_dv_applies_through_scan_table_pruning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, v double"
+    )
+    path = str(tmp_path / "dvscan")
+    lake.write_table(df.repartition(5), path)
+    lake.delete_where_dv(spark, path, F.col("k") % 2 == 0)
+    sc = lake.scan_table(spark, path, where=("lt", "k", 10))
+    assert {r["k"] for r in sc.collect()} == {1, 3, 5, 7, 9}
+
+
+def test_dv_carries_through_clone_and_branch(spark, tbl, tmp_path):
+    lake.delete_where_dv(spark, tbl, F.col("k") == 1)
+    dst = str(tmp_path / "dvclone")
+    lake.clone_table(tbl, dst)
+    assert rows(lake.read_table(spark, dst)) == {
+        (2, "b", 20.0), (3, "c", 30.0)
+    }
+    lake.create_branch(tbl, "dev")
+    bp = lake.branch_path(tbl, "dev")
+    assert rows(lake.read_table(spark, bp)) == {
+        (2, "b", 20.0), (3, "c", 30.0)
+    }
+
+
+def test_dv_compact_clears_and_vacuum_collects(spark, tbl):
+    lake.delete_where_dv(spark, tbl, F.col("k") == 1)
+    dv_rel = lake._m_load(tbl, 1)["pos_deletes"][0]["path"]
+    import os as _os
+    assert _os.path.exists(_os.path.join(tbl, dv_rel))
+    lake.compact(spark, tbl, target_files=1)
+    assert not lake._m_load(tbl, 2).get("pos_deletes")
+    lake.vacuum(tbl, keep_last=1, grace_seconds=0)
+    assert not _os.path.exists(_os.path.join(tbl, dv_rel))  # unreferenced
+    assert rows(lake.read_table(spark, tbl)) == {
+        (2, "b", 20.0), (3, "c", 30.0)
+    }
+
+
+def test_dv_restore_rolls_back(spark, tbl):
+    lake.delete_where_dv(spark, tbl, F.col("k") == 1)     # v1
+    lake.delete_where_dv(spark, tbl, F.col("k") == 2)     # v2
+    lake.restore_table(spark, tbl, 1)                     # v3
+    assert rows(lake.read_table(spark, tbl)) == {
+        (2, "b", 20.0), (3, "c", 30.0)
+    }
+
+
+def test_dv_posix_fallback_rewrites(spark, tmp_path):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    path = str(tmp_path / "dvposix")
+    lake.write_table(df, path, protocol="posix")
+    lake.delete_where_dv(spark, path, F.col("k") == 1)
+    assert rows(lake.read_table(spark, path)) == {(2, 20.0)}
+
+
+def test_dv_with_hidden_partitioning(spark, ttbl):
+    lake.delete_where_dv(spark, ttbl, F.col("k") < 10)
+    out = lake.read_table(spark, ttbl)
+    assert out.count() == 90
+    assert out.columns == ["k", "ts", "u", "v"]
