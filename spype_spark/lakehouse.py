@@ -287,6 +287,10 @@ def _transform_expr(t: dict) -> "F.Column":
         # floor is exact
         return F.floor(F.unix_timestamp(c) / F.lit(3600)).cast("long")
     if kind == "truncate":
+        if t.get("srctype") == "string":
+            # Iceberg's string truncate: the w-char prefix — monotonic
+            # in lexicographic order, so range predicates prune
+            return F.substring(c, 1, t["param"])
         return (c - F.pmod(c, F.lit(t["param"]))).cast("long")
     if kind == "bucket":
         src_t = t.get("srctype")
@@ -349,6 +353,8 @@ def _transform_value(t: dict, v, spark: SparkSession | None = None):
                 v = v.replace(tzinfo=_dt.timezone.utc)
             return int(v.timestamp()) // 3600
         if kind == "truncate":
+            if t.get("srctype") == "string":
+                return v[: t["param"]] if isinstance(v, str) else None
             if not isinstance(v, int):
                 return None
             return v - (v % t["param"])
@@ -449,21 +455,38 @@ def _transform_prune_entries(
                     continue
             else:
                 continue
+            # string transforms (string truncate) compare recorded
+            # values lexicographically (Python str order == Spark UTF8
+            # binary order); numeric ones compare as ints. A recorded
+            # value that fails to parse — or, for strings, one outside
+            # the SAFE charset (Hive-escaped directory spelling differs
+            # from the raw value) — is conservatively kept.
+            str_mode = any(
+                isinstance(x, str)
+                for x in ((allowed or set()) | {lo, hi})
+                if x is not None
+            )
             kept = []
             for e in entries:
                 pv = e.get("partition", {}).get(t["name"])
                 if pv is None:
                     kept.append(e)  # no recorded value — keep
                     continue
-                try:
-                    pvi = int(pv)
-                except ValueError:
-                    kept.append(e)
-                    continue
-                if allowed is not None:
-                    if pvi in allowed:
+                if str_mode:
+                    if not _SAFE_PART_VAL.match(pv):
                         kept.append(e)
-                elif (lo is None or pvi >= lo) and (hi is None or pvi <= hi):
+                        continue
+                    pvc = pv
+                else:
+                    try:
+                        pvc = int(pv)
+                    except ValueError:
+                        kept.append(e)
+                        continue
+                if allowed is not None:
+                    if pvc in allowed:
+                        kept.append(e)
+                elif (lo is None or pvc >= lo) and (hi is None or pvc <= hi):
                     kept.append(e)
             entries = kept
     return entries
@@ -593,10 +616,18 @@ def write_table(
                 f"partition-transform source column {t['source']!r} "
                 "is not in the frame"
             )
-        if t["transform"] == "bucket":
-            # record the source type: Spark hashes by physical type,
-            # so scan-time literal probes must cast to it first
+        if t["transform"] in ("bucket", "truncate"):
+            # bucket: Spark hashes by physical type, so scan-time
+            # literal probes must cast to it first. truncate: the
+            # recorded type picks prefix (string) vs numeric binning.
             t["srctype"] = df.schema[t["source"]].dataType.simpleString()
+        if t["transform"] == "truncate" and t["srctype"] not in (
+            "string", "tinyint", "smallint", "int", "bigint"
+        ):
+            raise ValueError(
+                f"truncate transform needs an integer or string source; "
+                f"{t['source']!r} is {t['srctype']}"
+            )
     if versions(path):
         raise FileExistsError(f"table already exists at {path}")
     os.makedirs(path, exist_ok=True)

@@ -3285,3 +3285,43 @@ def test_dv_with_hidden_partitioning(spark, ttbl):
     out = lake.read_table(spark, ttbl)
     assert out.count() == 90
     assert out.columns == ["k", "ts", "u", "v"]
+
+
+def test_transform_truncate_string_prefix(spark, tmp_path):
+    rows_ = [(i, f"src{i % 20:02d}xyz", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows_, "k long, s string, v double")
+    path = str(tmp_path / "strtr")
+    lake.write_table(df, path, partition_by=[("truncate", 5, "s")])
+    full = lake.read_table(spark, path)
+    # eq prunes via the 5-char prefix slot
+    sc = lake.scan_table(spark, path, where=("eq", "s", "src07xyz"))
+    assert sc.count() == full.filter(F.col("s") == "src07xyz").count() > 0
+    assert 0 < len(sc.inputFiles()) < len(full.inputFiles())
+    # lexicographic range prunes too (prefix truncate is monotonic)
+    sc2 = lake.scan_table(
+        spark, path, where=("between", "s", "src03", "src05~")
+    )
+    ref2 = full.filter(F.col("s").between("src03", "src05~"))
+    assert sc2.count() == ref2.count() > 0
+    assert 0 < len(sc2.inputFiles()) < len(full.inputFiles())
+
+
+def test_transform_truncate_string_unsafe_values_conservative(spark, tmp_path):
+    # values with path-special characters: the recorded directory
+    # spelling is Hive-escaped, so pruning must keep those files and
+    # let the residual filter decide
+    df = spark.createDataFrame(
+        [(1, "a b:c", 1.0), (2, "plain", 2.0)], "k long, s string, v double"
+    )
+    path = str(tmp_path / "stresc")
+    lake.write_table(df, path, partition_by=[("truncate", 3, "s")])
+    sc = lake.scan_table(spark, path, where=("eq", "s", "a b:c"))
+    assert rows(sc) == {(1, "a b:c", 1.0)}
+
+
+def test_transform_truncate_rejects_bad_source_types(spark, tmp_path):
+    df = spark.createDataFrame([(1.5, 1)], "x double, k long")
+    with pytest.raises(ValueError, match="integer or string source"):
+        lake.write_table(
+            df, str(tmp_path / "badtr"), partition_by=[("truncate", 10, "x")]
+        )
