@@ -52,94 +52,99 @@ from spype_spark.queries import lakehouse_ops  # noqa: F401
 #      as evidence), with the round-1 rows-only keys last.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # ---- round-9 window (first 50 keys = the driver's evidence budget).
-    # Per VERDICT.md r8 task 1: (a) the 9 round-8 session-3 keys with
-    # ZERO driver history — the only gap between judge-verified and
-    # driver-verified 100%; then (a') any round-9 additions (also zero
-    # history — inserted here as they land); then (b) the 10 keys whose
-    # last driver row is r4 (displaced from earlier windows); then
-    # (c) the oldest r5-evidence keys until the 50 slots fill. Spilled
-    # to the queue: the remaining r5 keys (streaming/graph family,
-    # pytest-pinned), then r6/r7/r8-evidence keys via registry order.
-    # Group A - zero driver history (9):
-    "q_lake_cdf",
-    "q_lake_branch_wap",
-    "q_lake_scan_nulls",
-    "q_join_bloom",
-    "q_lake_scan_predicate",
-    "q_lake_delete_predicate",
-    "q_sketch_cms",
-    "q_lake_append_scan",
-    "q_sketch_hll_intersect",
-    # Group A' - round-9 additions, zero history by construction:
-    "q_stream_cdf",
-    "q_lake_widen",
-    "q_lake_rename",
-    "q_lake_restore",
-    "q_lake_clone",
-    "q_lake_merge_full",
-    "q_lake_hidden_partition",
-    "q_text_slice_windows",
-    "q_lake_zorder",
-    "q_text_entropy",
-    "q_lake_delete_dv",
-    # Group B - last driver-green r4 (10):
-    "q_sink_csv_roundtrip",
-    "q_sink_orc_roundtrip",
-    "q_source_binaryfile",
-    "q_sample_seeded",
-    "q_agg_histogram",
-    "q_multimodal_meta",
-    "q_pipe_validate",
-    "q_tpch_q5",
-    "q_pivot",
-    "q_unpivot",
-    # Group C - last driver-green r5 (31 of 42; the rest queue below):
-    "q_sink_json_roundtrip",
-    "q_source_json_props",
-    "q_layout_zorder",
-    "q_join_null_safe",
-    "q_quality_audit",
-    "q_join_3way",
-    "q_join_interval_overlap",
-    "q_join_asof",
-    "q_pricing_summary",
-    "q_sketch_hll_union",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q10",
-    "q_tpch_q14",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_window_topk",
-    "q_map_funcs",
-    "q_sim_cosine_topk",
-    "q_json_variant",
+    # ---- round-10 window (first 50 keys = the driver's evidence budget).
+    # Per VERDICT.md r9 task 1: every key now has driver-green history;
+    # the freshness gap is the 22 keys whose last driver green is r5
+    # (streaming-batch family, events analytics, graph pair, plus
+    # window_topk / cosine_topk / json_variant / map_funcs /
+    # pipe_curation / rollup_materialized / collapse_runs). Order:
+    # (a) round-10 NEW contracts (zero history — inserted as they land),
+    # (b) the 22 r5-stale keys, (c) the oldest r6-evidence keys until
+    # the 50 slots fill. Queue: remaining r6 keys, then r7/r8/r9 via
+    # registry order (all have fresher evidence).
+    # Group A - round-10 additions, zero history by construction
+    # (uncommented here as each contract lands in the registry):
+    # "q_lake_optimize_small",
+    # "q_lake_branch_multi",
+    # "q_lake_sql_facade",
+    # "q_lake_spec_evolve",
+    # "q_lake_scan_planning",
+    # Group B - last driver-green r5 (22):
     "q_stream_tumbling",
-    "q_events_hourly_agg",
     "q_stream_sliding",
     "q_stream_session",
-    "q_stream_lake_upsert",
-    # ---- end of the 50-slot window ----
-    "q_events_funnel",
-    "q_rolling_dau",
-    # Round-10 queue: the r5-evidence keys not fitted above, then the
-    # registry fallback (r6/r7/r8-evidence keys in registration order).
-    "q_cohort_retention",
     "q_stream_true_tumbling",
     "q_stream_dedup_watermark",
     "q_stream_stateful_running",
-    "q_rollup_materialized",
+    "q_stream_lake_upsert",
+    "q_events_funnel",
+    "q_events_hourly_agg",
+    "q_rolling_dau",
+    "q_cohort_retention",
     "q_ts_gapfill",
     "q_ts_interpolate",
     "q_graph_pagerank",
     "q_graph_triangles",
-    "q_text_collapse_runs",
+    "q_json_variant",
+    "q_map_funcs",
     "q_pipe_curation",
+    "q_rollup_materialized",
+    "q_sim_cosine_topk",
+    "q_text_collapse_runs",
+    "q_window_topk",
+    # Group C - last driver-green r6 (fill to 50; the rest queue below):
+    "q_scan_project",
+    "q_scan_filter_pushdown",
+    "q_multimodal_resize",
+    "q_project_exprs",
+    "q_filter_compound",
+    "q_filter_like_regex",
+    "q_join_inner_equi",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_broadcast",
+    "q_join_theta_range",
+    "q_agg_global",
+    "q_agg_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_stats",
+    "q_agg_percentile",
+    "q_agg_minmax_by",
+    # ---- end of the 50-slot window ----
+    # Round-11 queue: the r6-evidence keys not fitted above, then the
+    # registry fallback (r7/r8/r9-evidence keys in registration order).
+    "q_agg_collect",
+    "q_agg_listagg",
+    "q_window_rank",
+    "q_window_analytic",
+    "q_window_frame_rows",
+    "q_window_frame_range",
+    "q_window_ntile",
+    "q_window_nth",
+    "q_set_union_all",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_sim_lsh_ann",
+    "q_sim_ivf_ann",
+    "q_sim_nndescent",
+    "q_pq_encode",
+    "q_cluster_kmeans",
+    "q_dedup_semdedup",
+    "q_sample_stratified",
+    "q_text_paragraph_dedup",
+    "q_text_unigram_logprob",
+    "q_udf_cogroup",
+    "q_join_skew_salted",
+    "q_events_anomaly",
+    "q_stream_enrich_static",
+    "q_stream_stream_join",
+    "q_stream_session_true",
 ]
 
 
