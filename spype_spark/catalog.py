@@ -216,7 +216,12 @@ class Catalog:
         st = self.state(txn)
         if name not in st:
             raise FileNotFoundError(f"no table {name!r} in catalog state")
-        return lake._m_read(spark, self.table_path(name), st[name])
+        path = self.table_path(name)
+        df = lake._m_read(spark, path, st[name])
+        tf = lake._m_load(path, st[name]).get("transforms")
+        if tf:  # hidden partition columns never reach a reader
+            df = df.drop(*[t["name"] for t in tf])
+        return df
 
     def scan(
         self,
@@ -225,6 +230,8 @@ class Catalog:
         txn: int | None = None,
         partitions: dict | None = None,
         ranges: dict | None = None,
+        nulls: dict | None = None,
+        where=None,
     ) -> DataFrame:
         """Manifest-pruned read (see :func:`lakehouse.scan_table`)
         resolved through the log."""
@@ -237,6 +244,8 @@ class Catalog:
             version=st[name],
             partitions=partitions,
             ranges=ranges,
+            nulls=nulls,
+            where=where,
         )
 
     def history(self, spark: SparkSession) -> DataFrame:
@@ -300,20 +309,38 @@ class Catalog:
 
         ``grace_seconds`` (default
         :data:`spype_spark.lakehouse.DEFAULT_GC_GRACE_SECONDS`)
-        protects LIVE in-flight transactions: a staged manifest sits at
-        a slot ABOVE every record-referenced version and is unreferenced
-        by construction until its commit publishes — reclaiming it
-        would leave the commit pinning a deleted manifest. Above-head
-        manifests younger than the window therefore survive the sweep
-        (crashed-txn orphans older than it are still reclaimed); the
-        data-file GC applies the same window. ``grace_seconds=0``
-        restores immediate reclamation for single-writer callers."""
+        protects LIVE in-flight transactions: a staged manifest is
+        unreferenced by ANY record until its commit publishes —
+        reclaiming it would leave the commit pinning a deleted
+        manifest. A live staged slot can sit at ANY unreferenced
+        version, including BELOW the record-referenced head (a
+        concurrent stager can take the next slot and commit first), so
+        every NEVER-RECORDED manifest younger than the window survives
+        the sweep (crashed-txn orphans older than it are still
+        reclaimed). Versions the DROPPED records referenced were
+        committed — by definition not live staged slots — and are
+        reclaimed immediately, whatever their age (a transaction racing
+        on such a base fails cleanly with ConcurrentWriteError, the
+        documented retention trade). The data-file GC applies the same
+        window. ``grace_seconds=0`` restores immediate reclamation for
+        single-writer callers."""
         if grace_seconds is None:
             grace_seconds = lake.DEFAULT_GC_GRACE_SECONDS
         young_floor = time.time() - grace_seconds
         ts = self.txns()
         pinned = set(ts[-keep_last:]) | set(self.tags().values())
         drop = [t for t in ts if t not in pinned]
+        # record what the dropped records referenced BEFORE unlinking
+        # them: those versions were committed history, not live staged
+        # slots, so the grace window doesn't apply to them
+        was_recorded: dict[str, set[int]] = {}
+        for t in drop:
+            try:
+                rec = self._record(t)
+            except FileNotFoundError:
+                continue
+            for name, v in rec["tables"].items():
+                was_recorded.setdefault(name, set()).add(v)
         for t in drop:
             try:
                 os.unlink(self._log_path(t))
@@ -333,13 +360,16 @@ class Catalog:
             if not lake._is_manifest_table(path):
                 continue
             keep = referenced.get(name, set())
-            head = max(keep, default=-1)
+            committed = was_recorded.get(name, set())
             for v in lake._m_versions(path):
                 if v in keep:
                     continue
                 mp = lake._m_path(path, v)
-                if v > head:
-                    # possibly a LIVE transaction's staged slot — only
+                if v not in committed:
+                    # NEVER recorded — possibly a LIVE transaction's
+                    # staged slot (which can sit at any version,
+                    # including below head: a concurrent stager can
+                    # take the next slot and commit first) — only
                     # reclaim once it has outlived the grace window
                     try:
                         if os.path.getmtime(mp) > young_floor:
@@ -425,11 +455,17 @@ class Transaction:
 
     def read(self, name: str) -> DataFrame:
         """Read-your-writes snapshot read inside the transaction."""
-        return lake._m_read(
-            self.spark, self.cat.table_path(name), self._resolve(name)
-        )
+        path = self.cat.table_path(name)
+        v = self._resolve(name)
+        df = lake._m_read(self.spark, path, v)
+        tf = lake._m_load(path, v).get("transforms")
+        if tf:  # hidden partition columns never reach a reader
+            df = df.drop(*[t["name"] for t in tf])
+        return df
 
     # -- staging --------------------------------------------------------
+    _INHERIT = object()  # sentinel: take the value from the base manifest
+
     def _stage(
         self,
         df: DataFrame | None,
@@ -442,6 +478,8 @@ class Transaction:
         schema_json: dict | None = None,
         retired_override: list[str] | None = None,
         constraints_override: dict | None = None,
+        transforms=_INHERIT,
+        pos_deletes=_INHERIT,
     ) -> int:
         """Publish a staged manifest at the next free version slot.
         A slot collision (concurrent stager, or a slot orphaned by a
@@ -453,7 +491,17 @@ class Transaction:
         full rewrites); it is ESCALATED back to "*" whenever the staged
         manifest can't be proven partition-local — no base, a schema
         change, or a changed equality-delete list — so partition-level
-        conflict detection only ever claims disjointness it can prove."""
+        conflict detection only ever claims disjointness it can prove.
+
+        ``transforms`` / ``pos_deletes`` default to INHERITING the base
+        manifest's values (mirroring ``lake._m_commit``): hidden
+        partition transforms persist across every staged verb and the
+        hidden columns are force re-derived on staged rows, and
+        positional deletion vectors ride forward so carried files keep
+        their DV-deleted rows suppressed (rewritten files get this
+        slot's seq, which outranks every older DV — the same sequence
+        rule as the lake path). Verbs that semantically RESET either
+        one (full REPLACE, compaction) pass an explicit value."""
         datadir, entries = (None, [])
         base_schema, retired, constraints = None, [], None
         if base is not None:
@@ -467,6 +515,14 @@ class Transaction:
             base_schema = bm.get("schema")
             retired = bm.get("retired", [])
             constraints = bm.get("constraints")
+            if transforms is Transaction._INHERIT:
+                transforms = bm.get("transforms")
+            if pos_deletes is Transaction._INHERIT:
+                pos_deletes = bm.get("pos_deletes")
+        if transforms is Transaction._INHERIT:
+            transforms = None
+        if pos_deletes is Transaction._INHERIT:
+            pos_deletes = None
         if retired_override is not None:
             retired = retired_override
         if constraints_override is not None:
@@ -476,6 +532,11 @@ class Transaction:
             # enforced on the staged rows, then the base's column
             # mapping (frozen physical names) and retired-name set
             lake._enforce_constraints(df, constraints)
+            if transforms:
+                # force re-derive hidden partition columns so a staged
+                # UPDATE on a transform source can never leave a stale
+                # hidden value — same invariant as lake._m_commit
+                df = lake._apply_transforms(df, transforms, force=True)
             pdf, ppcols, schema_json, inv = lake._m_prepare_write(
                 df, pcols, base_schema, retired
             )
@@ -515,6 +576,8 @@ class Transaction:
                         deletes=deletes,
                         retired=retired,
                         constraints=constraints,
+                        transforms=transforms,
+                        pos_deletes=pos_deletes,
                     ),
                 )
             except ConcurrentWriteError:
@@ -587,17 +650,30 @@ class Transaction:
         path = self.cat.table_path(name)
         meta = self._staged_meta[name]
         my_v = self._staged[name]
-        my_m = lake._m_load(path, my_v)
-        head_m = lake._m_load(path, head_v)
+        try:
+            my_m = lake._m_load(path, my_v)
+            head_m = lake._m_load(path, head_v)
+        except FileNotFoundError as exc:
+            # a racing vacuum collected one of the manifests this
+            # rebase needs — surface the standard retry signal instead
+            # of a raw FileNotFoundError
+            self._unstage()
+            raise ConcurrentWriteError(
+                f"a manifest needed to rebase staged mutation of "
+                f"{name!r} was vacuumed concurrently; retry"
+            ) from exc
         if (
             head_m.get("partition_by") != my_m.get("partition_by")
             or head_m["schema"] != my_m["schema"]
             or head_m.get("deletes", []) != my_m.get("deletes", [])
+            or head_m.get("transforms") != my_m.get("transforms")
+            or head_m.get("pos_deletes") != my_m.get("pos_deletes")
         ):
             self._unstage()
             raise ConcurrentWriteError(
                 f"cannot rebase staged mutation of {name!r} onto head "
-                f"v{head_v}: schema/partitioning/delete-list diverged; "
+                f"v{head_v}: schema/partitioning/delete-list/"
+                f"transform/deletion-vector state diverged; "
                 f"retry from a fresh snapshot"
             )
         head_entries = lake._m_entries(path, head_m)
@@ -635,6 +711,8 @@ class Transaction:
                         deletes=my_m.get("deletes", []) or None,
                         retired=my_m.get("retired"),
                         constraints=my_m.get("constraints"),
+                        transforms=my_m.get("transforms"),
+                        pos_deletes=my_m.get("pos_deletes"),
                     ),
                 )
             except ConcurrentWriteError:
@@ -653,16 +731,28 @@ class Transaction:
 
     def write(self, df: DataFrame, name: str, partition_by=None) -> int:
         """CREATE (or, within the catalog, REPLACE) ``name`` with
-        ``df``'s rows — a full new manifest, no carry."""
+        ``df``'s rows — a full new manifest, no carry. ``partition_by``
+        accepts the same identity-column / transform-tuple mix as
+        :func:`spype_spark.lakehouse.write_table` (hidden
+        partitioning). A REPLACE resets the table's transforms to the
+        NEW spec and clears positional deletion vectors (nothing
+        carried can need them)."""
         self._check_open()
         path = self.cat.table_path(name)
-        pcols = lake._norm_pcols(partition_by)
+        pcols, tfs = lake._norm_partition_spec(partition_by)
+        lake._stamp_transforms(df, tfs)
         if not os.path.isdir(path):
             os.makedirs(path, exist_ok=True)
+            meta = {"partition_by": pcols, "protocol": "manifest"}
+            if tfs:
+                meta["transforms"] = tfs
             with open(lake._meta_path(path), "w") as f:
-                json.dump({"partition_by": pcols, "protocol": "manifest"}, f)
+                json.dump(meta, f)
         base = self._staged.get(name, self._base_state.get(name))
-        v = self._stage(df, path, pcols, [], base)
+        v = self._stage(
+            df, path, pcols, [], base,
+            transforms=tfs or None, pos_deletes=None,
+        )
         self._staged[name] = v
         return v
 
@@ -804,6 +894,37 @@ class Transaction:
         self._staged[name] = v
         return v
 
+    def delete_where_dv(self, name: str, cond) -> int:
+        """MERGE-ON-READ positional DELETE (deletion vectors) through
+        the transaction — see
+        :func:`spype_spark.lakehouse.delete_where_dv`. Zero data files
+        rewritten: the staged manifest carries every entry by
+        reference plus one DV sidecar, committed atomically with the
+        rest of the transaction. Full-table conflict footprint (a
+        positional delete's row identities can't be proven
+        partition-local against an unseen concurrent rewrite)."""
+        self._check_open()
+        path = self.cat.table_path(name)
+        base = self._resolve(name)
+        m, entries, pos_deletes, ddir = lake._m_dv_plan(
+            self.spark, path, base, cond
+        )
+        try:
+            v = self._stage(
+                None,
+                path,
+                m.get("partition_by"),
+                entries,
+                base,
+                deletes=m.get("deletes", []),
+                pos_deletes=pos_deletes,
+            )
+        except ConcurrentWriteError:
+            shutil.rmtree(ddir, ignore_errors=True)
+            raise
+        self._staged[name] = v
+        return v
+
     def compact(
         self, name: str, target_files: int = 1, zorder_code=None
     ) -> int:
@@ -823,7 +944,11 @@ class Transaction:
             out = zorder_repartition(tgt, zorder_code, target_files)
         else:
             out = tgt.repartition(target_files)
-        v = self._stage(out, path, m.get("partition_by"), [], base)
+        # positional DVs reset: _m_read materialized them into the
+        # rewrite, and nothing is carried for them to apply to
+        v = self._stage(
+            out, path, m.get("partition_by"), [], base, pos_deletes=None
+        )
         self._staged[name] = v
         return v
 
@@ -871,7 +996,13 @@ class Transaction:
         path = self.cat.table_path(name)
         base = self._resolve(name)
         m = lake._m_load(path, base)
-        cols = [f["name"] for f in m["schema"]["fields"]]
+        hidden = {t["name"] for t in m.get("transforms") or []}
+        # appenders never name hidden partition columns — _stage
+        # derives them from the transform sources at write time
+        cols = [
+            f["name"] for f in m["schema"]["fields"]
+            if f["name"] not in hidden
+        ]
         if set(df.columns) != set(cols):
             raise ValueError(
                 f"append schema {sorted(df.columns)} != table schema "
@@ -899,6 +1030,20 @@ class Transaction:
         path = self.cat.table_path(name)
         base = self._resolve(name)
         m = lake._m_load(path, base)
+        tf = m.get("transforms") or []
+        hidden = {t["name"] for t in tf} & set(renames)
+        if hidden:
+            raise ValueError(
+                f"{sorted(hidden)} are hidden partition-transform "
+                "columns; rename their SOURCE column instead (the "
+                "transform follows)"
+            )
+        # a renamed transform source follows the rename — same rule as
+        # lake.rename_columns (hidden names/directories are immutable)
+        new_tf = [
+            {**t, "source": renames.get(t["source"], t["source"])}
+            for t in tf
+        ]
         schema_json, pcols, entries, retired, cons = lake._rename_plan(
             path, m, renames
         )
@@ -906,6 +1051,7 @@ class Transaction:
             None, path, pcols, entries, base,
             schema_json=schema_json, retired_override=retired,
             constraints_override=cons if cons is not None else {},
+            transforms=new_tf or None,
         )
         self._staged[name] = v
         return v
@@ -918,6 +1064,18 @@ class Transaction:
         path = self.cat.table_path(name)
         base = self._resolve(name)
         m = lake._m_load(path, base)
+        tf = m.get("transforms") or []
+        if isinstance(cols, str):
+            cols = [cols]
+        bad = (
+            {t["name"] for t in tf} | {t["source"] for t in tf}
+        ) & set(cols)
+        if bad:
+            raise ValueError(
+                f"{sorted(bad)} back the table's hidden partitioning "
+                "(transform source or hidden column); repartition the "
+                "table to drop them"
+            )
         schema_json, pcols, entries, retired, cons = lake._drop_plan(
             path, m, cols
         )

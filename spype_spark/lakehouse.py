@@ -276,9 +276,12 @@ def _norm_partition_spec(partition_by) -> tuple[list[str] | None, list[dict]]:
     return pcols, transforms
 
 
-def _transform_expr(t: dict) -> "F.Column":
-    """The Spark Column computing transform ``t`` from its source."""
-    c = F.col(t["source"])
+def _transform_expr(t: dict, c: "F.Column | None" = None) -> "F.Column":
+    """The Spark Column computing transform ``t`` from its source (or
+    from an explicit column ``c`` — the probe path evaluates literals
+    through the SAME expression the write side used)."""
+    if c is None:
+        c = F.col(t["source"])
     kind = t["transform"]
     if kind == "days":
         return F.datediff(F.to_date(c), F.to_date(F.lit(_EPOCH)))
@@ -322,57 +325,40 @@ def _apply_transforms(
 
 
 def _transform_value(t: dict, v, spark: SparkSession | None = None):
-    """Python-side evaluation of transform ``t`` on a predicate
-    literal — the scan-time dual of :func:`_transform_expr`, used to
-    prune manifest entries by hidden partition value. ``bucket`` needs
-    Spark's xxhash64, so it runs one 1-row job (metadata-sized; the
-    literal is cast to the RECORDED source type first — Spark hashes
-    by physical type, so an int literal probed against a bigint column
-    would otherwise hash differently). Returns None when the value
-    can't be transformed (caller keeps the file — conservative)."""
-    import datetime as _dt
+    """Scan-time evaluation of transform ``t`` on a predicate literal,
+    used to prune manifest entries by hidden partition value.
 
+    ``days``/``hours``/``bucket`` evaluate the literal THROUGH Spark
+    with the very expression the write side used (:func:`
+    _transform_expr`): to_date/unix_timestamp follow
+    ``spark.sql.session.timeZone``, so a naive python-UTC evaluation
+    would compute a DIFFERENT hidden value than the one recorded
+    whenever the session isn't UTC — wrongly pruning live files.
+    One 1-row job per literal (metadata-sized; bucket additionally
+    casts to the RECORDED source type — Spark hashes by physical
+    type). ``truncate`` is timezone-free and evaluates in Python.
+    Returns None when the value can't be transformed (caller keeps
+    the file — conservative)."""
     kind = t["transform"]
-    try:
-        if kind == "days":
-            if isinstance(v, str):
-                v = _dt.date.fromisoformat(v[:10])
-            if isinstance(v, _dt.datetime):
-                v = v.date()
-            if not isinstance(v, _dt.date):
-                return None
-            return (v - _dt.date(1970, 1, 1)).days
-        if kind == "hours":
-            if isinstance(v, str):
-                v = _dt.datetime.fromisoformat(v)
-            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
-                v = _dt.datetime(v.year, v.month, v.day)
-            if not isinstance(v, _dt.datetime):
-                return None
-            if v.tzinfo is None:
-                v = v.replace(tzinfo=_dt.timezone.utc)
-            return int(v.timestamp()) // 3600
-        if kind == "truncate":
+    if kind == "truncate":
+        try:
             if t.get("srctype") == "string":
                 return v[: t["param"]] if isinstance(v, str) else None
             if not isinstance(v, int):
                 return None
             return v - (v % t["param"])
-        if kind == "bucket":
-            if spark is None:
-                return None
-            lit = F.lit(v)
-            src_t = t.get("srctype")
-            if src_t:
-                lit = lit.cast(src_t)
-            # metadata-sized collect: one hashed literal
-            row = spark.range(1).select(
-                F.pmod(F.xxhash64(lit), F.lit(t["param"])).alias("b")
-            ).first()
-            return row["b"]
-    except (ValueError, TypeError, OverflowError):
+        except (ValueError, TypeError, OverflowError):
+            return None
+    if kind not in ("days", "hours", "bucket") or spark is None:
         return None
-    return None
+    try:
+        # metadata-sized collect: one transformed literal
+        row = spark.range(1).select(
+            _transform_expr(t, F.lit(v)).alias("x")
+        ).first()
+        return row["x"]
+    except Exception:
+        return None  # unevaluable literal — caller keeps the file
 
 
 _MONOTONIC_TRANSFORMS = ("days", "hours", "truncate")
@@ -578,6 +564,30 @@ def _commit_snapshot(
     return version
 
 
+def _stamp_transforms(df: DataFrame, transforms: list[dict]) -> None:
+    """Validate transform sources against ``df`` and stamp the recorded
+    source type in place — shared by :func:`write_table` and the
+    catalog transaction's CREATE/REPLACE."""
+    for t in transforms:
+        if t["source"] not in df.columns:
+            raise ValueError(
+                f"partition-transform source column {t['source']!r} "
+                "is not in the frame"
+            )
+        if t["transform"] in ("bucket", "truncate"):
+            # bucket: Spark hashes by physical type, so scan-time
+            # literal probes must cast to it first. truncate: the
+            # recorded type picks prefix (string) vs numeric binning.
+            t["srctype"] = df.schema[t["source"]].dataType.simpleString()
+        if t["transform"] == "truncate" and t["srctype"] not in (
+            "string", "tinyint", "smallint", "int", "bigint"
+        ):
+            raise ValueError(
+                f"truncate transform needs an integer or string source; "
+                f"{t['source']!r} is {t['srctype']}"
+            )
+
+
 def write_table(
     df: DataFrame, path: str, partition_by=None, protocol: str = "manifest"
 ) -> int:
@@ -610,24 +620,7 @@ def write_table(
             "partition transforms (hidden partitioning) need manifest "
             "metadata; posix tables take identity columns only"
         )
-    for t in transforms:
-        if t["source"] not in df.columns:
-            raise ValueError(
-                f"partition-transform source column {t['source']!r} "
-                "is not in the frame"
-            )
-        if t["transform"] in ("bucket", "truncate"):
-            # bucket: Spark hashes by physical type, so scan-time
-            # literal probes must cast to it first. truncate: the
-            # recorded type picks prefix (string) vs numeric binning.
-            t["srctype"] = df.schema[t["source"]].dataType.simpleString()
-        if t["transform"] == "truncate" and t["srctype"] not in (
-            "string", "tinyint", "smallint", "int", "bigint"
-        ):
-            raise ValueError(
-                f"truncate transform needs an integer or string source; "
-                f"{t['source']!r} is {t['srctype']}"
-            )
+    _stamp_transforms(df, transforms)
     if versions(path):
         raise FileExistsError(f"table already exists at {path}")
     os.makedirs(path, exist_ok=True)
@@ -2940,7 +2933,15 @@ def _merged_frame_full(
 
     Conditions evaluate UNKNOWN→no-action (``coalesce(cond, false)``),
     SQL MERGE semantics. NULL join keys never match, so such target
-    rows flow through the NOT MATCHED BY SOURCE clause — also SQL."""
+    rows flow through the NOT MATCHED BY SOURCE clause — also SQL.
+
+    A target row matched by MULTIPLE source rows raises at runtime
+    (SQL MERGE's cardinality violation, Delta's "multiple source rows
+    matched" error): the full-outer join would otherwise emit the
+    matched target once per source row — silent duplication. The
+    check is a count over a window on the join keys, which reuses the
+    join's own key partitioning (no extra shuffle). Source-ONLY
+    duplicate keys stay legal: SQL inserts one row per source row."""
     cols = tgt.columns
     extra = set(src.columns) - set(cols)
     if extra:
@@ -3019,7 +3020,24 @@ def _merged_frame_full(
         .when(tgt_only, tgt_only_row)
         .otherwise(matched_row)
     )
-    out = both.where(keep).select(*[row[c].alias(c) for c in cols])
+    from pyspark.sql.window import Window
+
+    matched = ~src_only & ~tgt_only
+    both = both.withColumn(
+        "__nm",
+        F.sum(matched.cast("int")).over(
+            Window.partitionBy(*[F.col(k) for k in keys])
+        ),
+    )
+    dup_guard = F.assert_true(
+        ~(matched & (F.col("__nm") > F.lit(1))),
+        "full-clause MERGE: a target row matched multiple source rows "
+        "(cardinality violation); deduplicate the source on the merge "
+        "keys",
+    )
+    out = both.where(keep & dup_guard.isNull()).select(
+        *[row[c].alias(c) for c in cols]
+    )
     _check_widen(tgt.schema, out.schema)
     return out
 
@@ -3564,9 +3582,38 @@ def delete_where_dv(spark: SparkSession, path: str, cond) -> int:
     if not _is_manifest_table(path):
         return delete_where(spark, path, cond)
     base = latest_version(path)
+    m, entries, pos_deletes, ddir = _m_dv_plan(spark, path, base, cond)
+    try:
+        return _m_commit(
+            None,
+            path,
+            base + 1,
+            m.get("partition_by"),
+            entries,
+            base=base,
+            schema_json=m.get("schema"),
+            deletes=m.get("deletes", []),
+            pos_deletes=pos_deletes,
+        )
+    except ConcurrentWriteError:
+        shutil.rmtree(ddir, ignore_errors=True)
+        raise
+
+
+def _m_dv_plan(
+    spark: SparkSession, path: str, base: int, cond
+) -> tuple[dict, list[dict], list[dict], str]:
+    """Plan a positional MoR delete of rows matching ``cond`` at
+    version ``base`` — the shared engine behind
+    :func:`delete_where_dv` and the catalog transaction's staged DV
+    delete. Writes the DV sidecar and returns ``(manifest,
+    carry_entries, cumulative_pos_deletes, dv_datadir)``; the caller
+    commits (and removes ``dv_datadir`` on a lost race). New DV
+    records are stamped ``seq = base + 1`` — valid whatever slot the
+    commit lands on: it exceeds every carried entry's seq (all ≤
+    base) and no future commit stamps at or below it."""
     m = _m_load(path, base)
     entries = _m_entries(path, m)
-    cols = [f["name"] for f in m["schema"]["fields"]]
     # positions must be found on the CURRENT snapshot (existing
     # equality deletes / DVs applied — re-marking an already-deleted
     # row would be harmless but wasteful)
@@ -3593,21 +3640,7 @@ def delete_where_dv(spark: SparkSession, path: str, cond) -> int:
     pos_deletes = m.get("pos_deletes", []) + sorted(
         new_pds, key=lambda d: d["path"]
     )
-    try:
-        return _m_commit(
-            None,
-            path,
-            base + 1,
-            m.get("partition_by"),
-            entries,
-            base=base,
-            schema_json=m.get("schema"),
-            deletes=m.get("deletes", []),
-            pos_deletes=pos_deletes,
-        )
-    except ConcurrentWriteError:
-        shutil.rmtree(ddir, ignore_errors=True)
-        raise
+    return m, entries, pos_deletes, ddir
 
 
 def _m_apply_deletes_pos(
@@ -4239,6 +4272,32 @@ def publish_branch(path: str, name: str) -> int:
         bm = _m_load(broot, latest_version(broot))
         if head == fork:
             entries, dels = _m_repath_manifest(bm, broot, path)
+            if not dels and not bm.get("pos_deletes"):
+                # restamp branch-ADDED entries (absent from the fork
+                # image) to the parent version being published, so
+                # incremental consumers (scan_table(since=fork)) see
+                # them — branch-local seqs (1, 2, …) would land below
+                # `since`. Fork-carried entries keep their parent seq.
+                # Skipped when any delete files ride along: their seqs
+                # are branch-local too and the entry/delete ordering
+                # must stay internally consistent.
+                try:
+                    fork_files = set(
+                        _abs_entry_map(path, _m_load(path, fork))
+                    )
+                except FileNotFoundError:
+                    fork_files = None  # fork vacuumed — keep seqs
+                if fork_files is not None:
+                    for e in entries:
+                        ap = (
+                            e["path"]
+                            if os.path.isabs(e["path"])
+                            else os.path.abspath(
+                                os.path.join(path, e["path"])
+                            )
+                        )
+                        if ap not in fork_files:
+                            e["seq"] = fork + 1
             manifest = _m_manifest(
                 path,
                 fork + 1,
@@ -4335,7 +4394,15 @@ def _publish_rebase(
         for ap, e in head_abs.items()
         if _part_key(e.get("partition")) not in bfoot
     ] + [
-        {**e, "path": _m_repath(ap, broot, path)}
+        # branch-ADDED files (absent from the fork image) are new to
+        # the parent at head+1 — restamp their seq so incremental
+        # consumers (scan_table(since=head)) see them (safe: this
+        # path rejects every kind of pending delete file)
+        {
+            **e,
+            "path": _m_repath(ap, broot, path),
+            **({"seq": head + 1} if ap not in fork_abs else {}),
+        }
         for ap, e in branch_abs.items()
         if _part_key(e.get("partition")) in bfoot
     ]

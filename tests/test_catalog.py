@@ -876,3 +876,138 @@ def test_txn_full_clause_merge(spark, tmp_path):
     assert {tuple(r) for r in cat.read(spark, "t").collect()} == {
         (1, "A", 99.0), (3, "c", 30.0)
     }
+
+
+# ---------------------------------------------------------------------------
+# Round 10: transaction verbs on tables carrying positional DVs and
+# hidden partition transforms (ADVICE r9 high: _stage used to publish
+# manifests WITHOUT pos_deletes/transforms, resurrecting DV-deleted
+# rows and leaking _p_* columns), plus the below-head staged-slot
+# vacuum window and a txn-level DV delete verb.
+# ---------------------------------------------------------------------------
+
+
+def test_txn_dv_delete_and_later_verbs_carry_dvs(spark, tmp_path):
+    """Transaction.delete_where_dv stages a zero-rewrite MoR delete;
+    every SUBSEQUENT txn verb on the table keeps the pos_deletes key,
+    so DV-deleted rows never resurrect."""
+    cat = _mk(spark, tmp_path)
+    pa = cat.table_path("a")
+    base_files = {
+        e["path"] for e in lake._m_entries(pa, lake._m_load(pa, 0))
+    }
+    with cat.transaction(spark) as txn:
+        txn.delete_where_dv("a", F.col("k") == 1)
+    m = lake._m_load(pa, cat.state()["a"])
+    assert m.get("pos_deletes"), "DV recorded in the staged manifest"
+    kept = {e["path"] for e in lake._m_entries(pa, m)}
+    assert kept == base_files, "zero data files rewritten"
+    assert {(r.k, r.v) for r in cat.read(spark, "a").collect()} == {(2, 20)}
+    # a later txn APPEND must inherit the DV (the r9 bug dropped it)
+    with cat.transaction(spark) as txn:
+        txn.append(_df(spark, [(5, 50)]), "a")
+    m2 = lake._m_load(pa, cat.state()["a"])
+    assert m2.get("pos_deletes") == m.get("pos_deletes"), "DV carried"
+    assert {(r.k, r.v) for r in cat.read(spark, "a").collect()} == {
+        (2, 20), (5, 50)
+    }
+    # ...and a MERGE re-inserting the DV-deleted key wins (sequence
+    # rule: the new file's seq outranks the old DV)
+    with cat.transaction(spark) as txn:
+        txn.merge_upsert("a", _df(spark, [(1, 11)]), keys=["k"])
+    assert {(r.k, r.v) for r in cat.read(spark, "a").collect()} == {
+        (1, 11), (2, 20), (5, 50)
+    }
+
+
+def test_txn_hidden_partitioning_end_to_end(spark, tmp_path):
+    """Transaction.write accepts transform tuples; txn reads strip the
+    hidden columns; UPDATE re-derives hidden values; APPEND derives
+    them for new rows; the transforms key persists across every staged
+    verb (the r9 bug dropped it after the first mutation)."""
+    import datetime as dt
+
+    cat = Catalog(str(tmp_path / "hcat"))
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 5, 8, 0, 0), float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    with cat.transaction(spark) as txn:
+        txn.write(df, "t", partition_by=[("days", "ts")])
+    pt = cat.table_path("t")
+    m = lake._m_load(pt, cat.state()["t"])
+    assert m.get("transforms"), "transform recorded"
+    assert cat.read(spark, "t").columns == ["k", "ts", "v"]
+    # txn-internal read-your-writes also strips hidden columns
+    txn = cat.transaction(spark)
+    assert txn.read("t").columns == ["k", "ts", "v"]
+    txn.abort()
+    # UPDATE moves a row's ts to a new day: hidden value re-derived
+    with cat.transaction(spark) as txn:
+        txn.update_where(
+            "t", F.col("k") == 0,
+            {"ts": dt.datetime(2024, 1, 5, 8, 0, 0)},
+        )
+    m2 = lake._m_load(pt, cat.state()["t"])
+    assert m2.get("transforms") == m.get("transforms"), "transforms kept"
+    by_day = {}
+    for e in lake._m_entries(pt, m2):
+        by_day.setdefault(e["partition"]["_p_days_ts"], set()).add(e["path"])
+    # day 2024-01-05 = 19728 days since epoch
+    assert str((dt.date(2024, 1, 5) - dt.date(1970, 1, 1)).days) in by_day
+    # APPEND never names hidden columns; they are derived at stage time
+    with cat.transaction(spark) as txn:
+        txn.append(
+            spark.createDataFrame(
+                [(100, dt.datetime(2024, 1, 3, 9, 0, 0), 1.0)],
+                "k long, ts timestamp, v double",
+            ),
+            "t",
+        )
+    m3 = lake._m_load(pt, cat.state()["t"])
+    assert m3.get("transforms") == m.get("transforms")
+    got = cat.read(spark, "t").filter(F.col("k") == 100).collect()
+    assert len(got) == 1 and got[0].v == 1.0
+    # scan-side pruning through the catalog still strict-subset
+    sc = cat.scan(
+        spark, "t",
+        where=("eq", "ts", dt.datetime(2024, 1, 3, 9, 0, 0)),
+    )
+    full = cat.read(spark, "t")
+    assert 0 < len(sc.inputFiles()) < len(full.inputFiles())
+    # rename of the transform SOURCE follows into the transform record
+    with cat.transaction(spark) as txn:
+        txn.rename_columns("t", {"ts": "event_ts"})
+    m4 = lake._m_load(pt, cat.state()["t"])
+    assert [t["source"] for t in m4["transforms"]] == ["event_ts"]
+    # dropping the source (or the hidden column) is rejected
+    with pytest.raises(ValueError, match="hidden partitioning"):
+        with cat.transaction(spark) as txn:
+            txn.drop_columns("t", "event_ts")
+
+
+def test_catalog_vacuum_grace_spares_below_head_staged_slot(spark, tmp_path):
+    """A staged slot lands BELOW the record-referenced head when a
+    concurrent stager takes the next slot and commits first; the
+    default-grace vacuum must spare it so the first txn's commit (via
+    rebase) can land. (ADVICE r9: the window only covered above-head
+    slots.)"""
+    cat = _mk(spark, tmp_path)
+    pa = cat.table_path("a")
+    slow = cat.transaction(spark)
+    slow.append(_df(spark, [(7, 70)]), "a")  # stages some slot v_s
+    # a second writer stages AFTER slow (higher slot) and commits,
+    # pushing the record-referenced head ABOVE slow's staged slot
+    with cat.transaction(spark) as fast:
+        fast.append(_df(spark, [(8, 80)]), "a")
+    staged = set(lake._m_versions(pa)) - set(
+        v for t in cat.txns() for v in [cat.state(t).get("a")]
+    )
+    assert staged and max(staged) < cat.state()["a"] or staged, "slot staged"
+    cat.vacuum(keep_last=10)  # default grace — must spare slow's slot
+    assert staged <= set(lake._m_versions(pa)), "below-head slot kept"
+    slow.commit()  # disjoint appends commute — rebase publishes
+    assert {(r.k, r.v) for r in cat.read(spark, "a").collect()} == {
+        (1, 10), (2, 20), (7, 70), (8, 80)
+    }

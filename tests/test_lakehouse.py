@@ -3325,3 +3325,108 @@ def test_transform_truncate_rejects_bad_source_types(spark, tmp_path):
         lake.write_table(
             df, str(tmp_path / "badtr"), partition_by=[("truncate", 10, "x")]
         )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: full-clause MERGE cardinality guard, branch-publish seq
+# restamping for incremental consumers, and timezone-safe hidden-
+# partition probes (ADVICE r9 medium/low items).
+# ---------------------------------------------------------------------------
+
+
+def test_merge_full_duplicate_source_match_raises(spark, tmp_path):
+    """A target row matched by multiple source rows raises (SQL MERGE
+    cardinality violation / Delta's multiple-source-rows error) instead
+    of silently emitting the target once per source row; duplicate
+    SOURCE-ONLY keys stay legal (SQL inserts one row each)."""
+    path = str(tmp_path / "dup")
+    lake.write_table(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"),
+        path,
+    )
+    src = spark.createDataFrame(
+        [(1, 11.0), (1, 12.0), (3, 30.0)], "k long, v double"
+    )
+    # update-only merge exercises the full-clause kernel (the default
+    # update+insert clause pair delegates to the merge_upsert fast
+    # path, whose anti-join core cannot fan out)
+    with pytest.raises(Exception, match="multiple source rows"):
+        lake.merge(spark, path, src, ["k"], when_not_matched=None)
+    assert {(r.k, r.v) for r in lake.read_table(spark, path).collect()} == {
+        (1, 10.0), (2, 20.0)
+    }, "failed merge leaves the table untouched"
+    src2 = spark.createDataFrame([(7, 70.0), (7, 71.0)], "k long, v double")
+    lake.merge(spark, path, src2, ["k"], when_matched=None)
+    got = sorted((r.k, r.v) for r in lake.read_table(spark, path).collect())
+    assert got == [(1, 10.0), (2, 20.0), (7, 70.0), (7, 71.0)]
+
+
+def test_branch_publish_restamps_added_seq_for_incremental(spark, tmp_path):
+    """Files ADDED via a branch publish must be visible to incremental
+    consumers: scan_table(since=pre-publish head) sees them. Branch
+    commits stamp branch-local seqs (1, 2, …) which land below `since`
+    unless the publish restamps them — both the fast-forward and the
+    rebase path."""
+    path = str(tmp_path / "b")
+    lake.write_table(
+        spark.createDataFrame([(1, 10.0, "x")], "k long, v double, p string"),
+        path, partition_by="p",
+    )
+    # --- fast-forward publish ---
+    fork = lake.latest_version(path)
+    broot = lake.create_branch(path, "ff")
+    lake.append_table(
+        spark,
+        broot,
+        spark.createDataFrame([(2, 20.0, "y")], "k long, v double, p string"),
+    )
+    lake.publish_branch(path, "ff")
+    inc = lake.scan_table(spark, path, since=fork)
+    assert {(r.k, r.p) for r in inc.collect()} == {(2, "y")}
+    # --- rebase publish (parent advanced on a DISJOINT partition) ---
+    head = lake.latest_version(path)
+    lake.create_branch(path, "rb")
+    lake.append_table(
+        spark,
+        lake.branch_path(path, "rb"),
+        spark.createDataFrame([(3, 30.0, "z")], "k long, v double, p string"),
+    )
+    lake.append_table(
+        spark,
+        path,
+        spark.createDataFrame([(4, 40.0, "w")], "k long, v double, p string"),
+    )
+    head2 = lake.latest_version(path)
+    lake.publish_branch(path, "rb")
+    inc2 = lake.scan_table(spark, path, since=head2)
+    assert {(r.k, r.p) for r in inc2.collect()} == {(3, "z")}
+
+
+def test_transform_prune_correct_in_non_utc_session(spark, tmp_path):
+    """Hidden-partition probes evaluate through Spark with the same
+    expression the write side used, so pruning stays EXACT when the
+    session timezone isn't UTC (the old python-UTC probe computed a
+    different hours bucket than unix_timestamp recorded and silently
+    pruned live files)."""
+    import datetime as dt
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rows = [
+            (i, dt.datetime(2024, 1, 1, 1 + i % 8, 30), float(i))
+            for i in range(64)
+        ]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+        path = str(tmp_path / "tz")
+        lake.write_table(df, path, partition_by=[("hours", "ts")])
+        probe = dt.datetime(2024, 1, 1, 3, 30)
+        sc = lake.scan_table(spark, path, where=("eq", "ts", probe))
+        full = lake.read_table(spark, path)
+        exact = full.filter(F.col("ts") == probe).count()
+        assert exact > 0
+        assert sc.count() >= exact  # file-granular prune, residual rows ok
+        assert sc.filter(F.col("ts") == probe).count() == exact
+        assert 0 < len(sc.inputFiles()) < len(full.inputFiles())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
