@@ -1252,7 +1252,15 @@ def _m_file_stats(fpath: str) -> dict:
             # all-null columns, where min/max is absent) — the material
             # for IS [NOT] NULL file pruning in scan_table
             nulls[name] = nc
-    return {"rows": md.num_rows, "stats": stats, "nulls": nulls}
+    return {
+        "rows": md.num_rows,
+        # on-disk size, the bin-packing material for selective
+        # OPTIMIZE (entries written before this key existed fall back
+        # to a stat() at planning time)
+        "bytes": os.path.getsize(fpath),
+        "stats": stats,
+        "nulls": nulls,
+    }
 
 
 def _m_write_files(
@@ -3738,6 +3746,8 @@ def compact(
     path: str,
     target_files: int = 1,
     zorder_code=None,
+    min_file_bytes: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
     """Rewrite the latest snapshot into ``target_files`` files (small-file
     compaction). Content-identical by construction; returns the new
@@ -3750,9 +3760,26 @@ def compact(
     tight min/max stats on every clustered dimension, so subsequent
     scans prune files on any of them (see tests/test_layout.py for the
     measured skipping win).
+
+    ``min_file_bytes`` switches to SELECTIVE bin-packing (Delta/Iceberg
+    ``OPTIMIZE``): only files SMALLER than the threshold are read and
+    rewritten into ~``target_file_bytes`` outputs; every other entry
+    carries by manifest reference, untouched. O(small files), not
+    O(table) — at 100 TB, compacting a table because 2 % of its files
+    are small must not cost a full rewrite. See :func:`_compact_small`.
+    (Z-order stays a deliberate full rewrite — global clustering can't
+    carry anything — so combining the two knobs is rejected.)
     """
     from spype_spark.layout import zorder_repartition
 
+    if min_file_bytes is not None:
+        if zorder_code is not None:
+            raise ValueError(
+                "ZORDER is a global re-clustering (full rewrite by "
+                "design); min_file_bytes selective compaction cannot "
+                "combine with it"
+            )
+        return _compact_small(spark, path, min_file_bytes, target_file_bytes)
     base = latest_version(path)
     tgt = read_table(spark, path, version=base)
     if zorder_code is not None:
@@ -3771,6 +3798,76 @@ def compact(
         )
     return _write_next(
         out, path, base=base, partition_by=table_meta(path).get("partition_by")
+    )
+
+
+def _compact_small(
+    spark: SparkSession,
+    path: str,
+    min_file_bytes: int,
+    target_file_bytes: int,
+) -> int:
+    """Selective small-file compaction — the OPTIMIZE bin-packing
+    kernel. Planning is manifest arithmetic: partition the entry list
+    by recorded file size (entries written before the ``bytes`` key
+    existed fall back to one ``stat()`` each — driver-side metadata,
+    never data); files at or above the threshold CARRY by reference
+    with their manifest entries byte-identical. The small files are
+    read with the snapshot's pending equality deletes and DVs applied
+    (rewritten rows materialize them; the new files' seq outranks
+    every older delete, so nothing re-applies) and bin-packed to
+    ``ceil(small_bytes / target_file_bytes)`` outputs — partitioned
+    tables pack WITHIN partitions (hash-repartition on the partition
+    columns), so the layout is preserved and each partition's shards
+    merge. Delete files stay in the manifest: carried entries still
+    need them. Fewer than two small files is a metadata no-op that
+    returns the current version without committing.
+
+    Scale note: cost is O(bytes-under-threshold) + one manifest
+    publish. The carried set is never opened, listed, or hashed."""
+    import math
+
+    if not _is_manifest_table(path):
+        raise ValueError(
+            "selective compaction plans from manifest file sizes; "
+            "posix tables use the full compact()"
+        )
+    base = latest_version(path)
+    m = _m_load(path, base)
+    entries = _m_entries(path, m)
+
+    def _ebytes(e: dict) -> int | None:
+        if "bytes" in e:
+            return e["bytes"]
+        try:
+            return os.path.getsize(os.path.join(path, e["path"]))
+        except OSError:
+            return None  # unknown size — treat as large, carry
+
+    small = []
+    carry = []
+    small_bytes = 0
+    for e in entries:
+        b = _ebytes(e)
+        if b is not None and b < min_file_bytes:
+            small.append(e)
+            small_bytes += b
+        else:
+            carry.append(e)
+    if len(small) < 2:
+        return base  # nothing to pack — no-op, no commit
+    nfiles = max(1, math.ceil(small_bytes / target_file_bytes))
+    rew = _m_apply_deletes(spark, path, small, m)
+    pcols = m.get("partition_by")
+    out = rew.repartition(nfiles, *pcols) if pcols else rew.repartition(nfiles)
+    return _m_commit(
+        out,
+        path,
+        base + 1,
+        pcols,
+        carry,
+        base=base,
+        deletes=m.get("deletes", []),
     )
 
 

@@ -1650,3 +1650,67 @@ def q_lake_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_optimize_small",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey < 8000
+    """,
+)
+def q_lake_optimize_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECTIVE OPTIMIZE — bin-packing compaction
+    (:func:`lakehouse.compact` with ``min_file_bytes``; Delta/Iceberg
+    ``OPTIMIZE``'s actual semantics): only files under the size
+    threshold are read and rewritten; everything else carries by
+    manifest reference. Asserted in-contract: (a) the two large files'
+    manifest entries are carried BYTE-IDENTICAL (same path, same
+    stats, same seq — never reopened), (b) the small-file population
+    packs into one output, (c) content is invariant — the oracle is
+    plain SQL over the base slice.
+
+    The 100 TB point: a full-snapshot rewrite because 2 % of a
+    table's files are small costs O(table); this costs
+    O(bytes-under-threshold) + one manifest publish. Planning is pure
+    manifest arithmetic over the recorded per-entry ``bytes``."""
+    tmp = _scratch("spype_lake_opt_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        full = _base(spark, sf_dir)
+        # two deliberately LARGE files (3/4 of the rows, split in two)
+        # plus two small appended shards (1/8 each) — the shape nightly
+        # ingest leaves behind
+        lake.write_table(
+            full.filter(F.col("o_orderkey") % 8 < 6).repartition(2), path
+        )
+        for r in (6, 7):
+            lake.append_table(
+                spark, path, full.filter(F.col("o_orderkey") % 8 == r).coalesce(1)
+            )
+        m0 = lake._m_load(path, lake.latest_version(path))
+        e0 = lake._m_entries(path, m0)
+        sizes = sorted(e["bytes"] for e in e0)
+        if len(e0) != 4 or sizes[1] >= sizes[2]:
+            raise AssertionError(
+                f"fixture degenerate: expected 2 small + 2 large files, "
+                f"sizes {sizes}"
+            )
+        thresh = sizes[2]  # smaller of the two large files
+        big = {e["path"]: e for e in e0 if e["bytes"] >= thresh}
+        v = lake.compact(
+            spark, path, min_file_bytes=thresh, target_file_bytes=1 << 30
+        )
+        e1 = lake._m_entries(path, lake._m_load(path, v))
+        if len(e1) != 3:
+            raise AssertionError(
+                f"expected 2 carried + 1 packed file, got {len(e1)}"
+            )
+        carried = {e["path"]: e for e in e1 if e["path"] in big}
+        if carried != big:
+            raise AssertionError(
+                "large entries must carry byte-identical (untouched)"
+            )
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -3430,3 +3430,65 @@ def test_transform_prune_correct_in_non_utc_session(spark, tmp_path):
         assert 0 < len(sc.inputFiles()) < len(full.inputFiles())
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_compact_small_selective_bin_packing(spark, tmp_path):
+    """compact(min_file_bytes=…): large entries carry byte-identical,
+    small files pack, and PENDING DVs + equality deletes survive the
+    commit — carried files keep filtering through them, while the
+    packed file materialized its deleted rows out (new seq outranks
+    the old delete files)."""
+    path = str(tmp_path / "opt")
+    big = spark.createDataFrame(
+        [(k, float(k)) for k in range(2000)], "k long, v double"
+    )
+    lake.write_table(big.coalesce(1), path)
+    for lo in (2000, 2020):
+        lake.append_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(k, float(k)) for k in range(lo, lo + 20)],
+                "k long, v double",
+            ).coalesce(1),
+        )
+    # MoR deletes BEFORE the optimize: a DV predicate delete hitting
+    # every file and an equality delete on two keys
+    lake.delete_where_dv(spark, path, F.col("k") % 10 == 3)
+    lake.delete_keys(
+        spark, path, spark.createDataFrame([(7,), (2025,)], "k long")
+    )
+    expect = {
+        k
+        for k in list(range(2000)) + list(range(2000, 2040))
+        if k % 10 != 3 and k not in (7, 2025)
+    }
+    assert {r.k for r in lake.read_table(spark, path).collect()} == expect
+    base_v = lake.latest_version(path)
+    m0 = lake._m_load(path, base_v)
+    entries0 = lake._m_entries(path, m0)
+    sizes = sorted(e["bytes"] for e in entries0)
+    assert len(entries0) == 3 and sizes[1] < sizes[2]
+    big_entry = next(e for e in entries0 if e["bytes"] == sizes[2])
+    v = lake.compact(
+        spark, path, min_file_bytes=sizes[2], target_file_bytes=1 << 30
+    )
+    m1 = lake._m_load(path, v)
+    entries1 = lake._m_entries(path, m1)
+    assert len(entries1) == 2, "two small files packed into one"
+    carried = next(e for e in entries1 if e["path"] == big_entry["path"])
+    assert carried == big_entry, "large entry carried byte-identical"
+    assert m1.get("pos_deletes") == m0.get("pos_deletes"), (
+        "DVs must ride forward — the carried file still needs them"
+    )
+    assert m1.get("deletes") == m0.get("deletes")
+    assert {r.k for r in lake.read_table(spark, path).collect()} == expect
+    # threshold below every file = metadata no-op, no commit
+    assert lake.compact(spark, path, min_file_bytes=1) == v
+    # z-order + selective is rejected (global clustering = full rewrite)
+    from spype_spark.layout import morton2
+    with pytest.raises(ValueError, match="ZORDER"):
+        lake.compact(
+            spark, path, min_file_bytes=100,
+            zorder_code=morton2(F.col("k"), F.col("k")),
+        )
