@@ -205,15 +205,25 @@ class Catalog:
         name: str,
         txn: int | None = None,
         tag: str | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Snapshot read through the log — with ``txn`` (or a ``tag``
         pinned to one), a CONSISTENT CROSS-TABLE time travel (all
-        tables as of that transaction)."""
+        tables as of that transaction). With ``branch``, the branch's
+        staged state overlaid on its fork — the AUDIT read of
+        catalog-level write-audit-publish."""
         if tag is not None:
             if txn is not None:
                 raise ValueError("pass txn or tag, not both")
             txn = self.tags()[tag]
-        st = self.state(txn)
+        if branch is not None:
+            if txn is not None:
+                raise ValueError("pass branch or txn/tag, not both")
+            rec = self._branch_rec(branch)
+            st = self.state(rec["fork_txn"])
+            st.update(rec["tables"])
+        else:
+            st = self.state(txn)
         if name not in st:
             raise FileNotFoundError(f"no table {name!r} in catalog state")
         path = self.table_path(name)
@@ -267,6 +277,7 @@ class Catalog:
         spark: SparkSession,
         app_id: str | None = None,
         app_version: int | None = None,
+        branch: str | None = None,
     ) -> "Transaction":
         """Open a transaction. ``app_id``/``app_version`` make it an
         IDEMPOTENT writer commit: if a record already carries
@@ -274,10 +285,21 @@ class Catalog:
         and returns None instead of applying twice — the exactly-once
         contract a restarted streaming sink relies on (checked inside
         the same CAS loop as conflicts, so a racing duplicate of the
-        same batch can never double-apply)."""
+        same batch can never double-apply).
+
+        ``branch`` binds the transaction to a catalog branch (see
+        :meth:`create_branch`): verbs base on the branch's state, and
+        commit SAVES the staged versions into the branch ref instead of
+        publishing a record — nothing becomes catalog-visible until
+        :meth:`publish_branch`."""
         if (app_id is None) != (app_version is None):
             raise ValueError("app_id and app_version go together")
-        return Transaction(self, spark, app_id, app_version)
+        if branch is not None and app_id is not None:
+            raise ValueError(
+                "idempotent app commits and branch staging don't "
+                "compose (the app watermark only advances at publish)"
+            )
+        return Transaction(self, spark, app_id, app_version, branch=branch)
 
     def run(self, spark: SparkSession, fn, retries: int = 3):
         """Optimistic-retry harness: run ``fn(txn)`` in a fresh
@@ -292,6 +314,146 @@ class Catalog:
             except ConcurrentWriteError as exc:
                 last = exc
         raise last
+
+    # -- catalog-level branches (multi-table write-audit-publish) --------
+    @property
+    def _branch_dir(self) -> str:
+        return os.path.join(self.root, "_branches")
+
+    def _branch_file(self, name: str) -> str:
+        return os.path.join(self._branch_dir, f"{name}.json")
+
+    def create_branch(self, name: str, txn: int | None = None) -> dict:
+        """Catalog-level BRANCH: fork the WHOLE catalog state at one
+        transaction (default: head) under a named ref. Metadata-only —
+        one small JSON ref, zero table or data objects touched.
+
+        Where :func:`lakehouse.create_branch` forks ONE table, this is
+        the write-audit-publish unit for a PIPELINE: stage mutations to
+        several tables on the branch
+        (``cat.transaction(spark, branch=name)`` — staged manifests
+        land at the tables' free slots, invisible to every reader, and
+        the branch ref pins them across sessions), audit the branch's
+        consistent cross-table state (``cat.read(..., branch=name)``),
+        then :meth:`publish_branch` — ONE catalog record covering every
+        branch table, under the same partition-footprint conflict rules
+        (and commit-time rebase) as any transaction. The fork txn is
+        pinned against record retention while the branch lives.
+
+        One writer per branch (branch saves are last-wins); concurrent
+        PARENT writers are what the publish-time conflict scan is for."""
+        if not lake._SAFE_PART_VAL.match(name):
+            raise ValueError(
+                f"branch name {name!r} has path-special characters"
+            )
+        t = self.latest_txn() if txn is None else txn
+        if t is None:
+            raise ValueError("cannot branch an empty catalog")
+        if t not in self.txns():
+            raise FileNotFoundError(f"no transaction {t} in catalog log")
+        os.makedirs(self._branch_dir, exist_ok=True)
+        rec = {
+            "name": name,
+            "fork_txn": t,
+            "tables": {},   # table -> staged manifest version
+            "meta": {},     # table -> conflict footprint
+            "staged": [],   # every staged (table, version), incl. superseded
+        }
+        # put-if-absent, same one-primitive publish as records
+        tmp = os.path.join(self._branch_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._branch_file(name))
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ValueError(f"branch {name!r} already exists")
+        os.unlink(tmp)
+        return rec
+
+    def branches(self) -> list[str]:
+        if not os.path.isdir(self._branch_dir):
+            return []
+        return sorted(
+            n[:-5]
+            for n in os.listdir(self._branch_dir)
+            if n.endswith(".json") and not n.startswith(".")
+        )
+
+    def _branch_rec(self, name: str) -> dict:
+        try:
+            with open(self._branch_file(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise FileNotFoundError(f"no catalog branch {name!r}")
+
+    def _branch_save(self, name: str, rec: dict) -> None:
+        # single-writer-per-branch: atomic replace, last save wins
+        tmp = os.path.join(self._branch_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._branch_file(name))
+
+    def publish_branch(self, spark: SparkSession, name: str) -> int | None:
+        """PUBLISH a catalog branch: every table it staged becomes
+        visible in ONE atomic record (all-or-nothing across tables —
+        the audit pattern for a fact and its rollup landing together).
+        Conflict rules are exactly the transaction's: intervening
+        parent commits to the same tables abort with
+        :class:`ConcurrentWriteError` unless their partition footprints
+        are provably disjoint, in which case the branch's net change is
+        REBASED onto the head (parent-advance-tolerant WAP). On success
+        the branch ref is consumed (dropped); on conflict the branch —
+        including its staged manifests — is left intact for inspection
+        or retry. Returns the new txn id (None for an empty branch,
+        which is just dropped)."""
+        rec = self._branch_rec(name)
+        if not rec["tables"]:
+            self.drop_branch(name)
+            return None
+        t = Transaction(self, spark)
+        t._base_txn = rec["fork_txn"]
+        t._base_state = self.state(rec["fork_txn"])
+        t._staged = dict(rec["tables"])
+        t._staged_meta = dict(rec["meta"])
+        # a publish failure must leave the branch intact: nothing for
+        # _unstage to unlink, and rebase keeps superseded slots (they
+        # stay pinned by the branch ref until drop_branch)
+        t._all_staged = []
+        t._keep_superseded = True
+        new_txn = t.commit()
+        self.drop_branch(name)
+        return new_txn
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch ref and unlink its staged manifests — except
+        any a committed record references (a published branch's final
+        slots). Orphaned data files are left to :meth:`vacuum`'s
+        refcounting sweep, same as an aborted transaction's."""
+        rec = self._branch_rec(name)
+        referenced: dict[str, set[int]] = {}
+        for t in self.txns():
+            try:
+                r = self._record(t)
+            except FileNotFoundError:
+                continue
+            for n, v in r["tables"].items():
+                referenced.setdefault(n, set()).add(v)
+        for n, v in rec.get("staged", []):
+            if v in referenced.get(n, set()):
+                continue
+            try:
+                os.unlink(lake._m_path(self.table_path(n), v))
+            except FileNotFoundError:
+                pass
+        try:
+            os.unlink(self._branch_file(name))
+        except FileNotFoundError:
+            pass
 
     # -- retention ------------------------------------------------------
     def vacuum(
@@ -329,6 +491,19 @@ class Catalog:
         young_floor = time.time() - grace_seconds
         ts = self.txns()
         pinned = set(ts[-keep_last:]) | set(self.tags().values())
+        # live catalog branches pin their fork txn (publish's conflict
+        # floor and fallback read state) and their staged manifests
+        branch_refs: dict[str, set[int]] = {}
+        for bname in self.branches():
+            try:
+                brec = self._branch_rec(bname)
+            except FileNotFoundError:
+                continue
+            pinned.add(brec["fork_txn"])
+            for n, v in brec.get("staged", []):
+                branch_refs.setdefault(n, set()).add(v)
+            for n, v in brec["tables"].items():
+                branch_refs.setdefault(n, set()).add(v)
         drop = [t for t in ts if t not in pinned]
         # record what the dropped records referenced BEFORE unlinking
         # them: those versions were committed history, not live staged
@@ -359,8 +534,10 @@ class Catalog:
             path = os.path.join(tdir, name)
             if not lake._is_manifest_table(path):
                 continue
-            keep = referenced.get(name, set())
-            committed = was_recorded.get(name, set())
+            keep = referenced.get(name, set()) | branch_refs.get(name, set())
+            committed = was_recorded.get(name, set()) - branch_refs.get(
+                name, set()
+            )
             for v in lake._m_versions(path):
                 if v in keep:
                     continue
@@ -430,18 +607,33 @@ class Transaction:
         spark: SparkSession,
         app_id: str | None = None,
         app_version: int | None = None,
+        branch: str | None = None,
     ):
         self.cat = cat
         self.spark = spark
         self._app_id = app_id
         self._app_version = app_version
-        self._base_txn = cat.latest_txn()
-        self._base_state = cat.state(self._base_txn)
+        self._branch = branch
+        if branch is not None:
+            # branch-bound: base on the branch's fork overlaid with its
+            # already-staged tables; preloading their footprints makes
+            # any FURTHER verb on those tables a CHAINED staging (the
+            # conservative wildcard — a single-step rebase can't replay
+            # a pair of commits)
+            rec = cat._branch_rec(branch)
+            self._base_txn = rec["fork_txn"]
+            self._base_state = cat.state(rec["fork_txn"])
+            self._base_state.update(rec["tables"])
+            self._staged_meta = dict(rec["meta"])
+        else:
+            self._base_txn = cat.latest_txn()
+            self._base_state = cat.state(self._base_txn)
+            # per-table conflict footprint: {"mode": "*"|"add"|"replace",
+            # "touched": sorted partition keys, "new_entries": [...]}
+            self._staged_meta = {}
         self._staged: dict[str, int] = {}  # final staged version per table
         self._all_staged: list[tuple[str, int]] = []  # incl. intermediates
-        # per-table conflict footprint: {"mode": "*"|"add"|"replace",
-        # "touched": sorted partition keys, "new_entries": [...]}
-        self._staged_meta: dict[str, dict] = {}
+        self._keep_superseded = False  # branch publish: rebase keeps slots
         self._scan_floor: int | None = None  # conflicts resolved up to
         self._closed = False
 
@@ -604,11 +796,9 @@ class Transaction:
         from or added files to, or ``*`` when partition-locality can't
         be proven."""
         name = os.path.basename(path)
-        if base is None or name in self._staged_meta:
-            # no base to prove locality against, or a CHAINED staging
-            # (second verb on the same table this txn — its base is the
-            # first staged slot, so a single-step rebase can't replay
-            # the pair): conservative wildcard
+        prev = self._staged_meta.get(name)
+        if base is None:
+            # no base to prove locality against: conservative wildcard
             return {"mode": "*", "touched": [], "new_entries": entries}
         base_m = lake._m_load(path, base)
         if (deletes or []) != base_m.get("deletes", []) or (
@@ -618,6 +808,24 @@ class Transaction:
         base_entries = lake._m_entries(path, base_m)
         carried = {e["path"] for e in carry}
         removed = [e for e in base_entries if e["path"] not in carried]
+        if prev is not None:
+            # CHAINED staging (second verb on the same table this txn /
+            # branch — its base is the earlier staged slot, so a
+            # single-step rebase can't replay the PAIR)… except a chain
+            # of pure blind ADDs: the accumulated new-file list IS the
+            # net change, replayable in one rebase step (head entries +
+            # all our files). Anything else: conservative wildcard.
+            if prev.get("mode") == "add" and mode == "add" and not removed:
+                return {
+                    "mode": "add",
+                    "touched": sorted(
+                        set(prev.get("touched", ()))
+                        | {_part_key(e.get("partition")) for e in entries}
+                    ),
+                    "new_entries": list(prev.get("new_entries", []))
+                    + entries,
+                }
+            return {"mode": "*", "touched": [], "new_entries": entries}
         if mode == "add":
             if removed:  # an "add" must not drop base files
                 return {
@@ -718,10 +926,11 @@ class Transaction:
             except ConcurrentWriteError:
                 continue  # slot taken — scan upward
             break
-        try:
-            os.unlink(lake._m_path(path, my_v))  # superseded, ours
-        except FileNotFoundError:
-            pass
+        if not self._keep_superseded:
+            try:
+                os.unlink(lake._m_path(path, my_v))  # superseded, ours
+            except FileNotFoundError:
+                pass
         self._all_staged.append((name, v))
         self._staged[name] = v
 
@@ -1090,10 +1299,31 @@ class Transaction:
     # -- commit / abort -------------------------------------------------
     def commit(self) -> int | None:
         """Publish ONE log record covering every staged table — the
-        atomic step. Returns the new txn id (None for an empty txn)."""
+        atomic step. Returns the new txn id (None for an empty txn).
+
+        A BRANCH-bound transaction commits to the branch ref instead:
+        the staged versions and footprints are saved (pinned,
+        cross-session durable, still invisible to every catalog
+        reader) and no record is published — that is
+        :meth:`Catalog.publish_branch`'s job. Returns None."""
         self._check_open()
         self._closed = True
         if not self._staged:
+            return None
+        if self._branch is not None:
+            rec = self.cat._branch_rec(self._branch)
+            rec["tables"].update(self._staged)
+            for n, m in self._staged_meta.items():
+                if n in self._staged:
+                    rec["meta"][n] = {
+                        "mode": m["mode"],
+                        "touched": list(m.get("touched", [])),
+                        "new_entries": m.get("new_entries", []),
+                    }
+            rec["staged"] = list(rec.get("staged", [])) + [
+                [n, v] for n, v in self._all_staged
+            ]
+            self.cat._branch_save(self._branch, rec)
             return None
         while True:
             cur = self.cat.latest_txn()

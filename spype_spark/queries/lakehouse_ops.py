@@ -1714,3 +1714,91 @@ def q_lake_optimize_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_branch_multi",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderstatus, COUNT(*) AS fact_n
+      FROM orders WHERE o_orderkey < 8000 GROUP BY o_orderstatus
+    ),
+    r AS (
+      SELECT o_orderstatus, COUNT(*) AS rollup_n,
+             MAX(o_orderkey) AS rollup_maxk
+      FROM orders WHERE o_orderkey < 8000 AND o_orderkey % 8 <> 0
+      GROUP BY o_orderstatus
+    )
+    SELECT f.o_orderstatus, f.fact_n, r.rollup_n, r.rollup_maxk
+    FROM f JOIN r ON f.o_orderstatus = r.o_orderstatus
+    """,
+)
+def q_lake_branch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG-LEVEL multi-table write-audit-publish: a branch ref
+    forks the WHOLE catalog state; a fact append and the rollup DERIVED
+    FROM THE BRANCH'S AUDIT READ stage on the branch (invisible to the
+    parent — asserted); the parent advances concurrently with a
+    disjoint append; publish lands BOTH tables in ONE atomic record
+    (asserted: exactly one txn id, changed set = {fact, rollup}),
+    rebasing the branch's fact change onto the advanced head.
+
+    This is the audit pattern a pipeline needs at 100 TB: the fact and
+    its rollup must become visible TOGETHER or not at all — Iceberg
+    multi-table transactions / Nessie-style catalog branches, built on
+    the same staged-manifest + partition-footprint machinery as the
+    transaction (zero new commit primitives). The oracle replays both
+    tables relationally: the published fact is the full slice, the
+    published rollup aggregates only what the branch saw (base ∪
+    branch append — NOT the parent's concurrent append, which landed
+    after the audit)."""
+    from spype_spark.catalog import Catalog
+
+    tmp = _scratch("spype_cat_wap_")
+    try:
+        cat = Catalog(f"{tmp}/cat")
+        base = _base(spark, sf_dir)
+        with cat.transaction(spark) as txn:
+            txn.write(base.filter(F.col("o_orderkey") % 4 != 0), "fact")
+        n_parent0 = cat.read(spark, "fact").count()
+        cat.create_branch("wap")
+        with cat.transaction(spark, branch="wap") as txn:
+            txn.append(base.filter(F.col("o_orderkey") % 8 == 4), "fact")
+        # the audit step: read the BRANCH's fact, derive the rollup
+        # from it, stage the rollup on the same branch
+        audit_fact = cat.read(spark, "fact", branch="wap")
+        rollup = audit_fact.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("rollup_n"),
+            F.max("o_orderkey").alias("rollup_maxk"),
+        )
+        with cat.transaction(spark, branch="wap") as txn:
+            txn.write(rollup, "rollup")
+        if cat.read(spark, "fact").count() != n_parent0:
+            raise AssertionError("branch staging leaked into the parent")
+        if "rollup" in cat.state():
+            raise AssertionError("branch-created table visible pre-publish")
+        # concurrent parent ingest (disjoint blind append) → publish
+        # must REBASE, not abort
+        with cat.transaction(spark) as txn:
+            txn.append(base.filter(F.col("o_orderkey") % 8 == 0), "fact")
+        before = cat.latest_txn()
+        t = cat.publish_branch(spark, "wap")
+        if t != before + 1:
+            raise AssertionError("publish must be exactly ONE record")
+        changed = [
+            tuple(r.changed)
+            for r in cat.history(spark).collect()
+            if r.txn == t
+        ]
+        if changed != [("fact", "rollup")]:
+            raise AssertionError(
+                f"publish record must cover both tables, got {changed}"
+            )
+        fact_n = cat.read(spark, "fact").groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("fact_n")
+        )
+        out = fact_n.join(cat.read(spark, "rollup"), "o_orderstatus").select(
+            "o_orderstatus", "fact_n", "rollup_n", "rollup_maxk"
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1011,3 +1011,79 @@ def test_catalog_vacuum_grace_spares_below_head_staged_slot(spark, tmp_path):
     assert {(r.k, r.v) for r in cat.read(spark, "a").collect()} == {
         (1, 10), (2, 20), (7, 70), (8, 80)
     }
+
+
+# ---------------------------------------------------------------------------
+# Round 10: catalog-level multi-table branches (write-audit-publish
+# across N tables as one record).
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_branch_conflicting_footprint_aborts_intact(spark, tmp_path):
+    """A parent commit overlapping the branch's partition footprint
+    makes publish raise ConcurrentWriteError — and the branch (ref AND
+    staged manifests) survives for inspection/retry."""
+    cat = Catalog(str(tmp_path / "bcat"))
+    with cat.transaction(spark) as txn:
+        txn.write(
+            _pdf(spark, [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")]),
+            "t",
+            partition_by="p",
+        )
+    cat.create_branch("risky")
+    with cat.transaction(spark, branch="risky") as txn:
+        txn.delete_where("t", F.col("p") == "b")  # footprint {b}
+    # parent rewrites the SAME partition after the fork
+    with cat.transaction(spark) as txn:
+        txn.update_where("t", F.col("p") == "b", {"v": 21})
+    with pytest.raises(ConcurrentWriteError, match="conflict"):
+        cat.publish_branch(spark, "risky")
+    assert cat.branches() == ["risky"], "branch survives a failed publish"
+    got = {(r.k, r.v) for r in cat.read(spark, "t", branch="risky").collect()}
+    assert got == {(1, 10), (3, 30)}, "branch state intact after abort"
+    # parent's update is what won
+    assert {(r.k, r.v) for r in cat.read(spark, "t").collect()} == {
+        (1, 10), (2, 21), (3, 30)
+    }
+    cat.drop_branch("risky")
+    assert cat.branches() == []
+
+
+def test_catalog_branch_durable_across_sessions_and_vacuum(spark, tmp_path):
+    """The branch ref pins its staged manifests and fork txn: a fresh
+    Catalog object (new 'session') resumes the branch; an aggressive
+    vacuum neither reclaims the staged slots nor the fork record; a
+    SECOND branch txn on the same table chains (publish still
+    correct)."""
+    root = str(tmp_path / "dcat")
+    cat = Catalog(root)
+    with cat.transaction(spark) as txn:
+        txn.write(_df(spark, [(1, 10)]), "t")
+    cat.create_branch("wip")
+    with cat.transaction(spark, branch="wip") as txn:
+        txn.append(_df(spark, [(2, 20)]), "t")
+    # parent advances twice so fork is no longer head; vacuum hard
+    with cat.transaction(spark) as txn:
+        txn.append(_df(spark, [(9, 90)]), "t")
+    with cat.transaction(spark) as txn:
+        txn.append(_df(spark, [(10, 100)]), "t")
+    # grace 0: nothing protects the staged slots EXCEPT the branch
+    # ref's pinning (keep_last high — dropping a record inside the
+    # (fork, head] window correctly breaks publish's conflict scan,
+    # the documented retention trade)
+    cat.vacuum(keep_last=10, grace_seconds=0)
+    # fresh session: branch still reads and takes more staging
+    cat2 = Catalog(root)
+    assert cat2.branches() == ["wip"]
+    assert {r.k for r in cat2.read(spark, "t", branch="wip").collect()} == {
+        1, 2
+    }
+    with cat2.transaction(spark, branch="wip") as txn:
+        txn.append(_df(spark, [(3, 30)]), "t")
+    t = cat2.publish_branch(spark, "wip")
+    assert t is not None
+    # a CHAIN of blind adds composes into one add footprint, so the
+    # publish rebases over the parent's (also-add) commits instead of
+    # aborting — every append from both sides lands
+    got = {r.k for r in cat2.read(spark, "t").collect()}
+    assert got == {1, 2, 3, 9, 10}
