@@ -30,6 +30,7 @@ from spype_spark.pipeline import (  # spype-style top-level surface
 )
 from spype_spark.registry import REGISTRY, query
 from spype_spark.session import get_spark
+from spype_spark.sqltext import sql  # lakehouse-verb SQL statement facade
 from spype_spark.tables import load_table, load_tables
 
 __all__ = [
@@ -37,6 +38,7 @@ __all__ = [
     "functions",
     "query",
     "get_spark",
+    "sql",
     "load_table",
     "load_tables",
     # pipeline algebra (the reference's import surface: task/Task/Pype)

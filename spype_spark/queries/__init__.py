@@ -66,7 +66,7 @@ _DRIVER_PRIORITY = [
     # (uncommented here as each contract lands in the registry):
     "q_lake_optimize_small",
     "q_lake_branch_multi",
-    # "q_lake_sql_facade",
+    "q_lake_sql_facade",
     # "q_lake_spec_evolve",
     # "q_lake_scan_planning",
     # Group B - last driver-green r5 (22):

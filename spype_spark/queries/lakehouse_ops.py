@@ -1802,3 +1802,95 @@ def q_lake_branch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_sql_facade",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey < 8000
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey < 8000 AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000, o_custkey, o_totalprice, 'N'
+      FROM orders WHERE o_orderkey < 8000 AND o_orderkey % 5 = 0
+    ),
+    merged AS (
+      SELECT u.o_orderkey, u.o_custkey, u.o_totalprice, u.o_orderstatus
+      FROM upd u JOIN base b USING (o_orderkey)
+      WHERE b.o_orderstatus <> 'F'
+      UNION ALL
+      SELECT b.* FROM base b JOIN upd u USING (o_orderkey)
+      WHERE b.o_orderstatus = 'F'
+      UNION ALL
+      SELECT u.o_orderkey, u.o_custkey, u.o_totalprice, u.o_orderstatus
+      FROM upd u ANTI JOIN base b ON u.o_orderkey = b.o_orderkey
+      UNION ALL
+      SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+      WHERE b.o_orderstatus <> 'F'
+    ),
+    updated AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM merged
+    )
+    SELECT * FROM updated WHERE NOT (o_custkey % 7 = 0)
+    """,
+)
+def q_lake_sql_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TEXT FACADE (:func:`spype_spark.sql`): the lakehouse verbs
+    driven entirely through statements — a conditional full-clause
+    MERGE INTO (matched-AND update, insert, not-matched-by-source
+    conditional delete), an arithmetic UPDATE … WHERE, and a DELETE
+    FROM … WHERE — against a path-addressed manifest table. Same
+    kernels as q_lake_merge_full / q_lake_update (the facade is a
+    statement-level dispatcher; every embedded condition and
+    assignment is parsed by Spark itself via F.expr), so the oracle is
+    the same relational replay a Python-API run would verify against.
+    """
+    tmp = _scratch("spype_lake_sqlf_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        lake.write_table(_base(spark, sf_dir).repartition(4), path)
+        base = _base(spark, sf_dir)
+        upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        ).unionByName(
+            base.filter(F.col("o_orderkey") % 5 == 0).select(
+                (F.col("o_orderkey") + F.lit(100000)).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+        upd.createOrReplaceTempView("spype_sqlf_updates")
+        import spype_spark
+
+        spype_spark.sql(spark, f"""
+            MERGE INTO '{path}' AS t USING spype_sqlf_updates AS s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND t.o_orderstatus <> 'F' THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F'
+                THEN DELETE
+        """)
+        spype_spark.sql(spark, f"""
+            UPDATE '{path}' SET o_totalprice = o_totalprice * 2
+            WHERE o_orderkey % 10 = 1
+        """)
+        spype_spark.sql(spark, f"""
+            DELETE FROM '{path}' WHERE o_custkey % 7 = 0
+        """)
+        spark.catalog.dropTempView("spype_sqlf_updates")
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

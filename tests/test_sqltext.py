@@ -1,0 +1,132 @@
+"""SQL text facade (spype_spark/sqltext.py): the maintenance
+statements (MERGE INTO / UPDATE / DELETE FROM / RESTORE / OPTIMIZE /
+VACUUM) must drive the SAME kernels as the Python verbs — asserted by
+running each statement and its Python-API twin on identical inputs and
+comparing full contents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import spype_spark
+from spype_spark import lakehouse as lake
+from spype_spark import sqltext
+
+
+def _mk(spark, tmp_path, name):
+    p = str(tmp_path / name)
+    lake.write_table(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "F", 20.0), (3, "c", 30.0), (4, "F", 40.0)],
+            "k long, s string, v double",
+        ),
+        p,
+    )
+    return p
+
+
+def _rows(spark, p):
+    return sorted(tuple(r) for r in lake.read_table(spark, p).collect())
+
+
+def test_sql_merge_matches_python_kernel(spark, tmp_path):
+    """The full-clause MERGE statement ≡ lake.merge with the same
+    clauses (q_lake_merge_full's kernel driven through SQL text)."""
+    p_sql, p_py = _mk(spark, tmp_path, "s"), _mk(spark, tmp_path, "p")
+    src = spark.createDataFrame(
+        [(1, "A", 99.0), (3, "c", 5.0), (7, "n", 70.0)],
+        "k long, s string, v double",
+    )
+    src.createOrReplaceTempView("sqltext_updates")
+    spype_spark.sql(spark, f"""
+        MERGE INTO '{p_sql}' AS t USING sqltext_updates AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.v > t.v THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.s = 'F' THEN DELETE
+    """)
+    lake.merge(
+        spark, p_py, src, ["k"],
+        when_matched="update",
+        matched_condition=lambda u, t: u["v"] > t["v"],
+        when_not_matched="insert",
+        when_not_matched_by_source="delete",
+        by_source_condition=lambda t: t["s"] == "F",
+    )
+    got = _rows(spark, p_sql)
+    assert got == _rows(spark, p_py)
+    assert got == [(1, "A", 99.0), (3, "c", 30.0), (7, "n", 70.0)]
+    spark.catalog.dropTempView("sqltext_updates")
+
+
+def test_sql_update_delete_match_python_kernels(spark, tmp_path):
+    """UPDATE/DELETE statements ≡ update_where/delete_where
+    (q_lake_update's kernel driven through SQL text)."""
+    p_sql, p_py = _mk(spark, tmp_path, "s"), _mk(spark, tmp_path, "p")
+    spype_spark.sql(
+        spark, f"UPDATE '{p_sql}' SET v = v * 2, s = upper(s) WHERE s = 'F'"
+    )
+    lake.update_where(
+        spark, p_py, F.col("s") == "F",
+        {"v": F.col("v") * 2, "s": F.upper(F.col("s"))},
+    )
+    assert _rows(spark, p_sql) == _rows(spark, p_py)
+    spype_spark.sql(spark, f"DELETE FROM '{p_sql}' WHERE v >= 40.0")
+    lake.delete_where(spark, p_py, F.col("v") >= 40.0)
+    got = _rows(spark, p_sql)
+    assert got == _rows(spark, p_py)
+    assert got == [(1, "a", 10.0), (3, "c", 30.0)]
+
+
+def test_sql_restore_optimize_vacuum(spark, tmp_path):
+    p = _mk(spark, tmp_path, "t")
+    v0 = _rows(spark, p)
+    spype_spark.sql(spark, f"DELETE FROM '{p}' WHERE k > 1")
+    spype_spark.sql(spark, f"RESTORE TABLE '{p}' TO VERSION AS OF 0")
+    assert _rows(spark, p) == v0
+    lake.append_table(
+        spark, p,
+        spark.createDataFrame([(9, "z", 90.0)], "k long, s string, v double"),
+    )
+    n_before = len(lake.data_files(p, lake.latest_version(p)))
+    spype_spark.sql(spark, f"OPTIMIZE '{p}' MIN FILE BYTES 99999999")
+    assert len(lake.data_files(p, lake.latest_version(p))) < n_before
+    dropped = spype_spark.sql(spark, f"VACUUM '{p}' KEEP 1 RETAIN 0 HOURS")
+    assert dropped and lake.versions(p) == [lake.latest_version(p)]
+
+
+def test_sql_catalog_mode_runs_through_transactions(spark, tmp_path):
+    """Bare table names resolve through catalog= and mutate via a
+    single-verb TRANSACTION — the record log stays authoritative."""
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    with cat.transaction(spark) as txn:
+        txn.write(
+            spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"),
+            "t",
+        )
+    before = cat.latest_txn()
+    spype_spark.sql(spark, "UPDATE t SET v = v + 1 WHERE k = 2", catalog=cat)
+    assert cat.latest_txn() == before + 1, "one record per statement"
+    assert {(r.k, r.v) for r in cat.read(spark, "t").collect()} == {
+        (1, 10.0), (2, 21.0)
+    }
+    with pytest.raises(ValueError, match="catalog="):
+        spype_spark.sql(spark, "DELETE FROM t WHERE k = 1")
+
+
+def test_sql_rejects_garbage_clauses(spark, tmp_path):
+    p = _mk(spark, tmp_path, "t")
+    spark.createDataFrame([(1, "x", 1.0)], "k long, s string, v double") \
+        .createOrReplaceTempView("sqltext_u2")
+    with pytest.raises(ValueError, match="unparseable MERGE clause"):
+        sqltext.sql(spark, f"""
+            MERGE INTO '{p}' AS t USING sqltext_u2 AS s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET * AND FROB THE KNOB
+        """)
+    with pytest.raises(ValueError, match="conjunction"):
+        sqltext.sql(spark, f"""
+            MERGE INTO '{p}' AS t USING sqltext_u2 AS s ON t.k > s.k
+            WHEN MATCHED THEN DELETE
+        """)
+    spark.catalog.dropTempView("sqltext_u2")
