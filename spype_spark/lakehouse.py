@@ -309,8 +309,14 @@ def _apply_transforms(
     """Derive the hidden partition columns on a frame about to commit.
     ``force=True`` recomputes ones already present — the commit-side
     invariant that keeps a mutated source column (e.g. an UPDATE on a
-    timestamp) from leaving a stale hidden value behind."""
+    timestamp) from leaving a stale hidden value behind. RETIRED
+    transforms (a dropped partition spec, :func:`set_partition_spec`)
+    are never ADDED to new rows — their era is over — but a rewrite
+    frame that still carries one is recomputed like any other, so its
+    row values stay true."""
     for t in transforms or []:
+        if t.get("retired") and t["name"] not in df.columns:
+            continue
         if t["source"] not in df.columns:
             raise ValueError(
                 f"frame lacks partition-transform source column "
@@ -1886,8 +1892,16 @@ def _m_cow_entries(
     if tstrs is None:
         return None
     entry_keys = {_m_entry_key(e, pcols) for e in entries}
+    # entries that don't RECORD a partition value for some pcol (files
+    # written under an earlier partition spec) can never match a
+    # touched tuple — and carrying them is sound: had any matched row
+    # lived in such a file, the touched set would have read that
+    # file's hidden value as NULL and _m_touched_strs already forced
+    # the full rewrite
     norm = {
-        tuple(_norm_part_val(s) for s in k): k for k in entry_keys
+        tuple(_norm_part_val(s) for s in k): k
+        for k in entry_keys
+        if None not in k
     }
     for t in tstrs:
         if t in entry_keys:
@@ -2542,6 +2556,122 @@ def widen_types(spark: SparkSession, path: str, types: dict) -> int:
         base=base,
         schema_json=schema_json,
         deletes=m.get("deletes", []),
+    )
+
+
+def set_partition_spec(spark: SparkSession, path: str, partition_by) -> int:
+    """PARTITION SPEC EVOLUTION as a PURE METADATA commit (Iceberg's
+    partition evolution): the table's ACTIVE spec changes for all
+    future writes; every existing file carries by reference and keeps
+    pruning under the spec IT WAS WRITTEN WITH. Zero data read or
+    rewritten — the first time a table outgrows daily partitioning,
+    switching to hourly (or adding a bucket) must not cost a 100 TB
+    rewrite.
+
+    Mechanics: the old spec's transform records stay in the manifest
+    flagged ``retired`` — scan-time predicate translation
+    (:func:`_transform_prune_entries`) prunes each entry by whatever
+    hidden values it RECORDS, so old-era files prune under the retired
+    transforms and new-era files under the active ones; an entry never
+    names a transform it wasn't written under and is conservatively
+    kept there. New hidden columns join the schema immediately
+    (schema-on-read NULL for old files — which also poisons the COW
+    planners' touched-partition sets with NULLs, correctly forcing
+    mixed-era mutations to the full-rewrite path; the rewrite then
+    re-derives everything under the ACTIVE spec, Iceberg's own
+    migration behavior). Re-activating a retired transform (same
+    kind/param/source) simply un-retires it. Identity partition
+    columns must exist in the schema; ``truncate`` sources must be
+    integer/string (checked against the RECORDED schema type). Returns
+    the new version."""
+    if not _is_manifest_table(path):
+        raise ValueError(
+            f"{path} is not a manifest-protocol table (partition-spec "
+            "evolution needs manifest metadata)"
+        )
+    base = latest_version(path)
+    m = _m_load(path, base)
+    pcols, tfs = _norm_partition_spec(partition_by)
+    json_to_simple = {
+        "integer": "int", "long": "bigint", "short": "smallint",
+        "byte": "tinyint",
+    }
+    ftypes = {
+        f["name"]: (
+            json_to_simple.get(f["type"], f["type"])
+            if isinstance(f["type"], str)
+            else None  # complex type — not transform material
+        )
+        for f in m["schema"]["fields"]
+    }
+    old_tf = m.get("transforms") or []
+    old_hidden = {t["name"] for t in old_tf}
+    for c in pcols or []:
+        if c not in ftypes and c not in {t["name"] for t in tfs}:
+            raise ValueError(f"partition column {c!r} is not in the schema")
+    for t in tfs:
+        if t["source"] not in ftypes:
+            raise ValueError(
+                f"partition-transform source column {t['source']!r} "
+                "is not in the schema"
+            )
+        if t["transform"] in ("bucket", "truncate"):
+            t["srctype"] = ftypes[t["source"]]
+        if t["transform"] == "truncate" and t["srctype"] not in (
+            "string", "tinyint", "smallint", "int", "bigint"
+        ):
+            raise ValueError(
+                f"truncate transform needs an integer or string source; "
+                f"{t['source']!r} is {t['srctype']}"
+            )
+        if t["name"] in ftypes and t["name"] not in old_hidden:
+            raise ValueError(
+                f"hidden column name {t['name']!r} collides with an "
+                "existing schema column"
+            )
+    active = {t["name"] for t in tfs}
+    retired = [
+        {**t, "retired": True}
+        for t in old_tf
+        if t["name"] not in active
+    ]
+    new_tf = tfs + retired
+    # schema swap: retired hidden FIELDS leave the schema (pruning
+    # works from entry metadata, not the schema; the old files'
+    # physical columns simply stop being projected — schema-on-read),
+    # new hidden columns join it now (NULL for old-era files, which
+    # also poisons the COW planners' touched sets with NULLs and
+    # correctly forces mixed-era mutations to the full-rewrite path)
+    out_type = {"days": "integer", "hours": "long", "bucket": "integer"}
+    retired_names = {t["name"] for t in retired}
+    new_fields = [
+        f for f in m["schema"]["fields"] if f["name"] not in retired_names
+    ]
+    for t in tfs:
+        if t["name"] in ftypes:
+            continue
+        ftype = out_type.get(
+            t["transform"],
+            "string" if t.get("srctype") == "string" else "long",
+        )
+        new_fields.append(
+            {
+                "name": t["name"],
+                "type": ftype,
+                "nullable": True,
+                "metadata": {},
+            }
+        )
+    return _m_commit(
+        None,
+        path,
+        base + 1,
+        pcols,
+        _m_entries(path, m),
+        base=base,
+        schema_json={**m["schema"], "fields": new_fields},
+        deletes=m.get("deletes", []),
+        transforms=new_tf or [],
     )
 
 

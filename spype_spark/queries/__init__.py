@@ -67,7 +67,7 @@ _DRIVER_PRIORITY = [
     "q_lake_optimize_small",
     "q_lake_branch_multi",
     "q_lake_sql_facade",
-    # "q_lake_spec_evolve",
+    "q_lake_spec_evolve",
     # "q_lake_scan_planning",
     # Group B - last driver-green r5 (22):
     "q_stream_tumbling",

@@ -3492,3 +3492,60 @@ def test_compact_small_selective_bin_packing(spark, tmp_path):
             spark, path, min_file_bytes=100,
             zorder_code=morton2(F.col("k"), F.col("k")),
         )
+
+
+def test_partition_spec_evolution_mixed_eras(spark, tmp_path):
+    """set_partition_spec is metadata-only; each era prunes under its
+    own spec; a mutation matching rows in the OLD era falls back to a
+    full rewrite (NULL hidden values poison the touched set) and lands
+    everything under the CURRENT spec; re-activating a retired spec
+    un-retires it."""
+    path = str(tmp_path / "spec")
+    df = spark.createDataFrame(
+        [(k, k % 19, float(k)) for k in range(0, 2000, 2)],
+        "k long, u long, v double",
+    )
+    lake.write_table(df, path, partition_by=[("truncate", 500, "k")])
+    f0 = set(lake.data_files(path, 0))
+    v1 = lake.set_partition_spec(spark, path, [("bucket", 8, "u")])
+    assert set(lake.data_files(path, v1)) == f0, "spec change rewrites 0 files"
+    lake.append_table(
+        spark, path,
+        spark.createDataFrame(
+            [(k, k % 19, float(k)) for k in range(1, 2000, 2)],
+            "k long, u long, v double",
+        ),
+    )
+    assert lake.read_table(spark, path).columns == ["k", "u", "v"]
+    assert lake.read_table(spark, path).count() == 2000
+    m = lake._m_load(path, lake.latest_version(path))
+    tf = {t["name"]: t for t in m["transforms"]}
+    assert tf["_p_trunc500_k"].get("retired") is True
+    assert "retired" not in tf["_p_bucket8_u"]
+    # UPDATE matching an OLD-era row (k even) → full rewrite, all
+    # entries re-derived under the ACTIVE spec only
+    lake.update_where(spark, path, F.col("k") == 500, {"v": F.lit(-1.0)})
+    es = lake._m_entries(path, lake._m_load(path, lake.latest_version(path)))
+    assert {frozenset(e["partition"]) for e in es} == {
+        frozenset({"_p_bucket8_u"})
+    }
+    got = lake.read_table(spark, path)
+    assert got.count() == 2000
+    assert got.filter(F.col("k") == 500).first().v == -1.0
+    # re-activate the truncate spec: un-retired, new writes derive it
+    lake.set_partition_spec(spark, path, [("truncate", 500, "k")])
+    m2 = lake._m_load(path, lake.latest_version(path))
+    tf2 = {t["name"]: t for t in m2["transforms"]}
+    assert "retired" not in tf2["_p_trunc500_k"]
+    assert tf2["_p_bucket8_u"].get("retired") is True
+    lake.append_table(
+        spark, path,
+        spark.createDataFrame([(9999, 3, 9.0)], "k long, u long, v double"),
+    )
+    es3 = lake._m_entries(path, lake._m_load(path, lake.latest_version(path)))
+    added = [e for e in es3 if e["partition"].get("_p_trunc500_k") == "9500"]
+    assert added, "new era derives the re-activated transform"
+    # identity re-spec and unknown-column spec
+    lake.set_partition_spec(spark, path, "u")
+    with pytest.raises(ValueError, match="not in the schema"):
+        lake.set_partition_spec(spark, path, [("days", "nope")])
