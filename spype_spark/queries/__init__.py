@@ -68,7 +68,6 @@ _DRIVER_PRIORITY = [
     "q_lake_branch_multi",
     "q_lake_sql_facade",
     "q_lake_spec_evolve",
-    # "q_lake_scan_planning",
     # Group B - last driver-green r5 (22):
     "q_stream_tumbling",
     "q_stream_sliding",
