@@ -997,12 +997,13 @@ class Transaction:
         when_not_matched: str | None = "insert",
         when_not_matched_by_source=None,
         by_source_condition=None,
+        not_matched_condition=None,
     ) -> int:
         """Full-clause MERGE through the transaction — same clause
         algebra as :func:`spype_spark.lakehouse.merge` (matched
-        update/delete, insert, not-matched-by-source delete/update),
-        staged against the txn's snapshot and committed atomically with
-        the rest of the transaction."""
+        update/delete, conditional insert, not-matched-by-source
+        delete/update), staged against the txn's snapshot and committed
+        atomically with the rest of the transaction."""
         self._check_open()
         lake._validate_merge_clauses(
             when_matched,
@@ -1010,6 +1011,7 @@ class Transaction:
             when_not_matched,
             when_not_matched_by_source,
             by_source_condition,
+            not_matched_condition,
         )
         path = self.cat.table_path(name)
         base = self._resolve(name)
@@ -1021,6 +1023,7 @@ class Transaction:
                 "when_not_matched": when_not_matched,
                 "when_not_matched_by_source": when_not_matched_by_source,
                 "by_source_condition": by_source_condition,
+                "not_matched_condition": not_matched_condition,
             },
         )
         v = self._stage(
@@ -1135,18 +1138,48 @@ class Transaction:
         return v
 
     def compact(
-        self, name: str, target_files: int = 1, zorder_code=None
+        self,
+        name: str,
+        target_files: int = 1,
+        zorder_code=None,
+        min_file_bytes: int | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
     ) -> int:
-        """Small-file compaction (optionally Z-order clustered —
-        see :func:`spype_spark.lakehouse.compact`) THROUGH the
+        """Small-file compaction (optionally Z-order clustered, or
+        SELECTIVE via ``min_file_bytes`` bin-packing — see
+        :func:`spype_spark.lakehouse.compact`) THROUGH the
         transaction: the rewritten snapshot becomes catalog-visible in
         the txn's record, unlike a direct ``lake.compact`` on the table
-        path, which records never reference and vacuum would reclaim."""
+        path, which records never reference and vacuum would reclaim.
+        A selective no-op (fewer than two small files) stages
+        nothing."""
         self._check_open()
         from spype_spark.layout import zorder_repartition
 
         path = self.cat.table_path(name)
         base = self._resolve(name)
+        if min_file_bytes is not None:
+            if zorder_code is not None:
+                raise ValueError(
+                    "ZORDER is a global re-clustering (full rewrite "
+                    "by design); min_file_bytes selective compaction "
+                    "cannot combine with it"
+                )
+            m, carry, out = lake._compact_small_plan(
+                self.spark, path, base, min_file_bytes, target_file_bytes
+            )
+            if out is None:
+                return base  # nothing to pack — stage nothing
+            v = self._stage(
+                out,
+                path,
+                m.get("partition_by"),
+                carry,
+                base,
+                deletes=m.get("deletes", []),
+            )
+            self._staged[name] = v
+            return v
         m = lake._m_load(path, base)
         tgt = lake._m_read(self.spark, path, base)
         if zorder_code is not None:

@@ -3053,6 +3053,7 @@ def _merged_frame_full(
     when_not_matched: str | None,
     when_not_matched_by_source,
     by_source_condition,
+    not_matched_condition=None,
 ) -> DataFrame:
     """The relational core of full-clause MERGE (Delta's complete
     clause set). One full-outer struct join on the keys classifies
@@ -3063,7 +3064,9 @@ def _merged_frame_full(
       ``matched_condition`` holds, else target survives), ``"delete"``
       (row dropped where the condition holds), or ``None`` (target
       survives untouched);
-    - source-only: ``when_not_matched="insert"`` inserts, ``None``
+    - source-only: ``when_not_matched="insert"`` inserts (gated per
+      row by ``not_matched_condition(src_struct)`` when given —
+      Delta's ``whenNotMatchedInsertAll(condition=…)``), ``None``
       ignores;
     - target-only (NOT MATCHED BY SOURCE): ``None`` keeps,
       ``"delete"`` drops where ``by_source_condition`` holds, or a
@@ -3125,8 +3128,13 @@ def _merged_frame_full(
         if by_source_condition is not None
         else F.lit(True)
     )
+    nm_cond = (
+        F.coalesce(not_matched_condition(F.col("__u")), F.lit(False))
+        if not_matched_condition is not None
+        else F.lit(True)
+    )
     keep = (
-        F.when(src_only, F.lit(when_not_matched == "insert"))
+        F.when(src_only, F.lit(when_not_matched == "insert") & nm_cond)
         .when(
             tgt_only,
             ~bs_cond if when_not_matched_by_source == "delete" else F.lit(True),
@@ -3186,6 +3194,7 @@ def _validate_merge_clauses(
     when_not_matched,
     when_not_matched_by_source,
     by_source_condition,
+    not_matched_condition=None,
 ) -> None:
     if when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched must be update/delete/None, "
@@ -3205,6 +3214,10 @@ def _validate_merge_clauses(
         raise ValueError(
             "by_source_condition needs a when_not_matched_by_source clause"
         )
+    if not_matched_condition is not None and when_not_matched is None:
+        raise ValueError(
+            "not_matched_condition needs a when_not_matched clause"
+        )
     if when_matched is None and when_not_matched is None and bs is None:
         raise ValueError("merge with no clauses is a no-op; pass one")
 
@@ -3219,6 +3232,7 @@ def merge(
     when_not_matched: str | None = "insert",
     when_not_matched_by_source=None,
     by_source_condition=None,
+    not_matched_condition=None,
 ) -> int:
     """Full-clause MERGE (Delta's complete surface —
     ``whenMatchedUpdateAll/Delete``, ``whenNotMatchedInsertAll``,
@@ -3232,8 +3246,11 @@ def merge(
     - ``when_matched``: ``"update"`` | ``"delete"`` | ``None``;
       ``matched_condition(src_struct, tgt_struct) -> Column`` gates it
       per row (UNKNOWN → target survives).
-    - ``when_not_matched``: ``"insert"`` | ``None``. A delete-only
-      merge may pass a source carrying just the key columns.
+    - ``when_not_matched``: ``"insert"`` | ``None``;
+      ``not_matched_condition(src_struct) -> Column`` gates the insert
+      per row (Delta's conditional ``whenNotMatchedInsertAll``;
+      UNKNOWN → not inserted). A delete-only merge may pass a source
+      carrying just the key columns.
     - ``when_not_matched_by_source``: ``None`` | ``"delete"`` | a dict
       ``{col: value-or-callable(tgt_struct)->Column}`` updating
       target rows no source key matches;
@@ -3253,11 +3270,13 @@ def merge(
         when_not_matched,
         when_not_matched_by_source,
         by_source_condition,
+        not_matched_condition,
     )
     if (
         when_matched == "update"
         and when_not_matched == "insert"
         and when_not_matched_by_source is None
+        and not_matched_condition is None
     ):
         return merge_upsert(
             spark, path, source, keys, match_condition=matched_condition
@@ -3268,6 +3287,7 @@ def merge(
         "when_not_matched": when_not_matched,
         "when_not_matched_by_source": when_not_matched_by_source,
         "by_source_condition": by_source_condition,
+        "not_matched_condition": not_matched_condition,
     }
     base = latest_version(path)
     if _is_manifest_table(path):
@@ -3931,6 +3951,50 @@ def compact(
     )
 
 
+def _compact_small_plan(
+    spark: SparkSession,
+    path: str,
+    base: int,
+    min_file_bytes: int,
+    target_file_bytes: int,
+) -> tuple[dict, list[dict], DataFrame | None]:
+    """Selective-compaction planning against an explicit ``base`` —
+    shared by :func:`_compact_small` and the catalog transaction's
+    staged OPTIMIZE. Returns ``(manifest, carry_entries, packed_df)``;
+    ``packed_df`` is None when fewer than two files fall under the
+    threshold (the no-op case)."""
+    import math
+
+    m = _m_load(path, base)
+    entries = _m_entries(path, m)
+
+    def _ebytes(e: dict) -> int | None:
+        if "bytes" in e:
+            return e["bytes"]
+        try:
+            return os.path.getsize(os.path.join(path, e["path"]))
+        except OSError:
+            return None  # unknown size — treat as large, carry
+
+    small = []
+    carry = []
+    small_bytes = 0
+    for e in entries:
+        b = _ebytes(e)
+        if b is not None and b < min_file_bytes:
+            small.append(e)
+            small_bytes += b
+        else:
+            carry.append(e)
+    if len(small) < 2:
+        return m, entries, None
+    nfiles = max(1, math.ceil(small_bytes / target_file_bytes))
+    rew = _m_apply_deletes(spark, path, small, m)
+    pcols = m.get("partition_by")
+    out = rew.repartition(nfiles, *pcols) if pcols else rew.repartition(nfiles)
+    return m, carry, out
+
+
 def _compact_small(
     spark: SparkSession,
     path: str,
@@ -3955,46 +4019,22 @@ def _compact_small(
 
     Scale note: cost is O(bytes-under-threshold) + one manifest
     publish. The carried set is never opened, listed, or hashed."""
-    import math
-
     if not _is_manifest_table(path):
         raise ValueError(
             "selective compaction plans from manifest file sizes; "
             "posix tables use the full compact()"
         )
     base = latest_version(path)
-    m = _m_load(path, base)
-    entries = _m_entries(path, m)
-
-    def _ebytes(e: dict) -> int | None:
-        if "bytes" in e:
-            return e["bytes"]
-        try:
-            return os.path.getsize(os.path.join(path, e["path"]))
-        except OSError:
-            return None  # unknown size — treat as large, carry
-
-    small = []
-    carry = []
-    small_bytes = 0
-    for e in entries:
-        b = _ebytes(e)
-        if b is not None and b < min_file_bytes:
-            small.append(e)
-            small_bytes += b
-        else:
-            carry.append(e)
-    if len(small) < 2:
+    m, carry, out = _compact_small_plan(
+        spark, path, base, min_file_bytes, target_file_bytes
+    )
+    if out is None:
         return base  # nothing to pack — no-op, no commit
-    nfiles = max(1, math.ceil(small_bytes / target_file_bytes))
-    rew = _m_apply_deletes(spark, path, small, m)
-    pcols = m.get("partition_by")
-    out = rew.repartition(nfiles, *pcols) if pcols else rew.repartition(nfiles)
     return _m_commit(
         out,
         path,
         base + 1,
-        pcols,
+        m.get("partition_by"),
         carry,
         base=base,
         deletes=m.get("deletes", []),

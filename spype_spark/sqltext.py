@@ -170,6 +170,7 @@ def _parse_merge(spark: SparkSession, stmt: str):
         when_not_matched=None,
         when_not_matched_by_source=None,
         by_source_condition=None,
+        not_matched_condition=None,
     )
     clauses = m.group("clauses")
     covered = [False] * len(clauses)
@@ -192,12 +193,12 @@ def _parse_merge(spark: SparkSession, stmt: str):
         elif kind == "NOT MATCHED":
             if action != "INSERT *":
                 raise ValueError("WHEN NOT MATCHED takes INSERT *")
-            if cond:
-                raise ValueError(
-                    "conditional NOT MATCHED inserts are not supported "
-                    "by the merge kernel; filter the USING source"
-                )
             kw["when_not_matched"] = "insert"
+            if cond:
+                txt = _alias_rewrite(cond, talias, salias)
+                kw["not_matched_condition"] = (
+                    lambda u, _x=txt: F.expr(_x)
+                )
         else:  # NOT MATCHED BY SOURCE
             if action != "DELETE":
                 raise ValueError(
@@ -272,14 +273,7 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
         if m.group("tgt_path") is not None:
             return lake.merge(spark, ref, source, keys, **kw)
         with catalog.transaction(spark) as txn:
-            return txn.merge(
-                ref, source, keys,
-                when_matched=kw["when_matched"],
-                matched_condition=kw["matched_condition"],
-                when_not_matched=kw["when_not_matched"],
-                when_not_matched_by_source=kw["when_not_matched_by_source"],
-                by_source_condition=kw["by_source_condition"],
-            )
+            return txn.merge(ref, source, keys, **kw)
     m = _UPDATE_RE.match(stmt)
     if m:
         assigns = {}
@@ -346,10 +340,10 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
         minb = int(m.group("minb") or 128 * 1024 * 1024)
         tgtb = int(m.group("tgtb") or 1024 * 1024 * 1024)
         if m.group("tgt_path") is None:
-            raise ValueError(
-                "selective OPTIMIZE of a catalog table is not wired "
-                "through transactions yet; quote the table path"
-            )
+            with catalog.transaction(spark) as txn:
+                return txn.compact(
+                    ref, min_file_bytes=minb, target_file_bytes=tgtb
+                )
         return lake.compact(
             spark, ref, min_file_bytes=minb, target_file_bytes=tgtb
         )

@@ -130,3 +130,59 @@ def test_sql_rejects_garbage_clauses(spark, tmp_path):
             WHEN MATCHED THEN DELETE
         """)
     spark.catalog.dropTempView("sqltext_u2")
+
+
+def test_sql_conditional_not_matched_insert(spark, tmp_path):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT * gates inserts per
+    source row (Delta's conditional whenNotMatchedInsertAll) — SQL
+    statement and Python kernel agree."""
+    p_sql, p_py = _mk(spark, tmp_path, "s"), _mk(spark, tmp_path, "p")
+    src = spark.createDataFrame(
+        [(7, "hi", 70.0), (8, "lo", 1.0)], "k long, s string, v double"
+    )
+    src.createOrReplaceTempView("sqltext_u3")
+    spype_spark.sql(spark, f"""
+        MERGE INTO '{p_sql}' AS t USING sqltext_u3 AS s ON t.k = s.k
+        WHEN NOT MATCHED AND s.v > 10.0 THEN INSERT *
+    """)
+    lake.merge(
+        spark, p_py, src, ["k"],
+        when_matched=None,
+        when_not_matched="insert",
+        not_matched_condition=lambda u: u["v"] > 10.0,
+    )
+    got = _rows(spark, p_sql)
+    assert got == _rows(spark, p_py)
+    assert (7, "hi", 70.0) in got and all(r[0] != 8 for r in got)
+    spark.catalog.dropTempView("sqltext_u3")
+
+
+def test_sql_optimize_catalog_table_via_txn(spark, tmp_path):
+    """Plain OPTIMIZE of a bare-name table runs the selective
+    bin-packer through a catalog transaction (one record)."""
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "ocat"))
+    with cat.transaction(spark) as txn:
+        txn.write(
+            spark.createDataFrame(
+                [(k, float(k)) for k in range(2000)], "k long, v double"
+            ).coalesce(1),
+            "t",
+        )
+    for lo in (2000, 2020):
+        with cat.transaction(spark) as txn:
+            txn.append(
+                spark.createDataFrame(
+                    [(k, float(k)) for k in range(lo, lo + 20)],
+                    "k long, v double",
+                ).coalesce(1),
+                "t",
+            )
+    before = cat.latest_txn()
+    pt = cat.table_path("t")
+    n0 = len(lake.data_files(pt, cat.state()["t"]))
+    spype_spark.sql(spark, "OPTIMIZE t MIN FILE BYTES 20000", catalog=cat)
+    assert cat.latest_txn() == before + 1
+    assert len(lake.data_files(pt, cat.state()["t"])) < n0
+    assert cat.read(spark, "t").count() == 2040
