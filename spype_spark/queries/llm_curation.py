@@ -754,3 +754,104 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("char_entropy")
     )
+
+
+@query(
+    "q_dataset_shard_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':42') AS rnd,
+             strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 1))
+               % 8 AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rnd, doc_id)
+             AS pos
+    FROM keyed
+    """,
+)
+def q_dataset_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC GLOBAL SHUFFLE + SHARDING for training data: every
+    document gets a content-addressed pseudorandom key
+    ``md5(doc_id:seed)``; the key's first hex digit picks one of 8
+    shards and the key orders rows WITHIN the shard (``pos`` is the
+    document's position in its training shard). No RNG state anywhere:
+    the permutation is a pure function of (doc_id, seed), so re-running
+    on re-partitioned, re-compacted, or incrementally-grown input
+    reproduces the identical order — the property a resumable 100 TB
+    training-data pipeline needs from its shuffle (seed bump = fresh
+    epoch permutation).
+
+    Execution shape: one hash projection (map-only, codegen) + ONE
+    shuffle — the window's hash partitioning on the 8 shard keys; no
+    global sort, no driver involvement. At 1000 executors the shard
+    count would be O(output files) instead of 8, keeping each window
+    partition executor-sized. Cross-engine: Spark and DuckDB md5 agree
+    byte-for-byte, so the oracle replays the exact permutation."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    rnd = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    keyed = d.select(
+        "doc_id",
+        rnd.alias("rnd"),
+        (
+            F.expr("locate(substring(md5(concat(cast(doc_id as string), "
+                   "':42')), 1, 1), '0123456789abcdef')") % 8
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("rnd", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+@query(
+    "q_dataset_length_buckets",
+    oracle="""
+    WITH s AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx
+               FROM documents),
+    b AS (
+      SELECT d.doc_id, d.n_chars,
+             (d.n_chars - s.mn) * 16 // (s.mx - s.mn + 1) AS bucket
+      FROM documents d, s
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / (COUNT(*) * MAX(n_chars))
+             AS pack_eff
+    FROM b GROUP BY bucket
+    """,
+)
+def q_dataset_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING for training: assign every document to
+    one of 16 equi-width length buckets and report each bucket's
+    padding efficiency (sum(len) / (n · max(len)) — the fraction of a
+    fixed-shape batch that is real tokens rather than padding).
+    Length-grouping is the standard way to cut padding waste when
+    packing variable-length documents into fixed-shape training
+    batches; the per-bucket ``pack_eff`` is the metric a curation
+    pipeline watches to pick bucket counts.
+
+    Scale shape: deliberately NOT an ntile (a global order-statistics
+    window serializes through one partition at 100 TB). Instead: one
+    metadata-sized global min/max aggregate broadcast to a map-only
+    integer bucket assignment, then an ordinary partial-aggregated
+    groupBy on 16 keys — every stage codegen, one real shuffle.
+    Integer floor-division keeps the bucket ids bit-exact across
+    engines."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s = d.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    b = d.crossJoin(F.broadcast(s)).withColumn(
+        "bucket", F.expr("(n_chars - mn) * 16 div (mx - mn + 1)")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (
+            F.sum("n_chars").cast("double")
+            / (F.count(F.lit(1)) * F.max("n_chars"))
+        ).alias("pack_eff"),
+    )
