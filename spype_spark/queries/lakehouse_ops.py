@@ -1796,6 +1796,7 @@ def q_lake_branch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("publish must be exactly ONE record")
         changed = [
             tuple(r.changed)
+            # metadata-sized collect: one row per committed txn (3)
             for r in cat.history(spark).collect()
             if r.txn == t
         ]

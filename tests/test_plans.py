@@ -152,3 +152,24 @@ def test_bloom_and_cms_probes_stay_jvm_side(spark, sf001):
     for key in ("q_join_bloom", "q_sketch_cms"):
         plan = optimized_of(REGISTRY[key].fn(spark, sf001))
         assert "PythonUDF" not in plan, f"{key} has Python in the plan"
+
+
+def test_shard_shuffle_no_global_sort(spark, sf001):
+    """The deterministic shuffle-shard must hash-partition on the
+    shard keys (one exchange) — a RangePartitioning exchange would
+    mean a global sort snuck in (the single-partition bottleneck the
+    design avoids)."""
+    plan = plan_of(REGISTRY["q_dataset_shard_shuffle"].fn(spark, sf001))
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower(), "global sort!"
+
+
+def test_length_buckets_map_only_no_window(spark, sf001):
+    """Length bucketing must be broadcast-minmax + map-side integer
+    bucketing: no window (ntile would serialize through one
+    partition), no range partitioning; the only real shuffle is the
+    16-key aggregate's."""
+    plan = plan_of(REGISTRY["q_dataset_length_buckets"].fn(spark, sf001))
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "HashAggregate" in plan
