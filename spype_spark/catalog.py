@@ -315,6 +315,52 @@ class Catalog:
                 last = exc
         raise last
 
+    def restore(self, txn: int) -> int:
+        """RESTORE the whole catalog to transaction ``txn`` as a NEW
+        record — cross-table time travel made durable (the multi-table
+        analogue of :func:`lakehouse.restore_table`): the log head
+        moves FORWARD, every table's version in the new record is the
+        old transaction's, and history is preserved (time travel to
+        the undone records still works until retention drops them).
+        Pure metadata: one put-if-absent record, zero manifests or
+        data files touched — undoing a bad pipeline run that landed
+        across N tables is one conditional PUT. Tables created after
+        ``txn`` leave the visible state (their objects remain for
+        history). The restore record carries WILDCARD conflict
+        footprints on every table it moves, so any open transaction on
+        those tables aborts cleanly rather than committing against a
+        snapshot that was rolled away. App-idempotence watermarks are
+        NOT rolled back (a replayed batch stays applied — Delta's
+        RESTORE keeps txnAppId ledgers too). Raises FileNotFoundError
+        if record ``txn`` was vacuumed."""
+        old = self.state(txn)  # raises on a vacuumed/unknown record
+        while True:
+            cur = self.latest_txn()
+            cur_state = self.state(cur)
+            changed = sorted(
+                n
+                for n in set(old) | set(cur_state)
+                if old.get(n) != cur_state.get(n)
+            )
+            new_txn = (cur if cur is not None else -1) + 1
+            try:
+                self._publish_record(
+                    new_txn,
+                    {
+                        "txn": new_txn,
+                        "base": cur,
+                        "tables": old,
+                        "changed": changed,
+                        "ops": {
+                            n: {"mode": "*", "touched": []} for n in changed
+                        },
+                        "apps": self.apps(cur),
+                    },
+                )
+                return new_txn
+            except ConcurrentWriteError:
+                continue  # lost the slot — re-point and retry
+
     # -- catalog-level branches (multi-table write-audit-publish) --------
     @property
     def _branch_dir(self) -> str:

@@ -1060,6 +1060,21 @@ def _m_prepare_write(
     schema_json, cmap = _assign_physical(
         json.loads(df.schema.json()), base_schema_json, retired
     )
+    if base_schema_json:
+        # one batch must never NARROW the recorded schema's
+        # nullability: an append whose projection happens to be
+        # non-nullable (a literal column, a post-join key) says
+        # nothing about the carried files — and a spuriously narrowed
+        # schema breaks strict-equality consumers (branch rebase,
+        # txn rebase) for no semantic reason. Widening (nullable data
+        # into a non-null column) keeps the df's nullable=True.
+        base_null = {
+            f["name"]: f.get("nullable", True)
+            for f in base_schema_json["fields"]
+        }
+        for f in schema_json["fields"]:
+            if base_null.get(f["name"]) and not f.get("nullable", True):
+                f["nullable"] = True
     inv = {p: l for l, p in cmap.items()}
     if all(l == p for l, p in cmap.items()):
         return df, pcols, schema_json, inv

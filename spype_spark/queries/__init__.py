@@ -69,6 +69,8 @@ _DRIVER_PRIORITY = [
     "q_lake_sql_facade",
     "q_lake_spec_evolve",
     "q_dataset_shard_shuffle",
+    "q_lake_restore_txn",
+    "q_lake_cdf_branch",
     "q_dataset_length_buckets",
     # Group B - last driver-green r5 (22):
     "q_stream_tumbling",

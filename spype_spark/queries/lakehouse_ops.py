@@ -2005,3 +2005,155 @@ def q_lake_spec_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_restore_txn",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_a, COUNT(*) AS n_b
+    FROM orders WHERE o_orderkey < 8000 GROUP BY o_orderstatus
+    """,
+)
+def q_lake_restore_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG RESTORE (:meth:`Catalog.restore`): cross-table time
+    travel made durable — after a transaction mutates BOTH a fact and
+    its rollup, one metadata-only record rolls the WHOLE catalog back
+    to the pre-mutation transaction; the log head moves forward and
+    history stays readable. Asserted in-contract: the restore is one
+    record (txn id increments by one), both tables read back their
+    original content ATOMICALLY (same record), and the catalog stays
+    writable afterwards (a post-restore append lands on the restored
+    state). The oracle replays the original content relationally: the
+    fact's per-status counts must equal the rollup's recorded counts —
+    true only if BOTH tables rolled back together.
+
+    The 100 TB point: undoing a bad pipeline run that landed across N
+    tables is one conditional PUT — no manifest, file, or data object
+    is touched (lakehouse.restore_table undoes one table; this undoes
+    the transaction boundary, which is what the pipeline actually
+    shipped)."""
+    from spype_spark.catalog import Catalog
+
+    tmp = _scratch("spype_cat_restore_")
+    try:
+        cat = Catalog(f"{tmp}/cat")
+        base = _base(spark, sf_dir)
+        rollup = base.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_b")
+        )
+        with cat.transaction(spark) as txn:   # txn 0
+            txn.write(base, "a")
+            txn.write(rollup, "b")
+        with cat.transaction(spark) as txn:   # txn 1: corrupt both
+            txn.merge_upsert(
+                "a",
+                base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+                    "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+                ),
+                keys=["o_orderkey"],
+            )
+            txn.delete_where("b", F.col("o_orderstatus") == "F")
+        t = cat.restore(0)                    # txn 2: one record undoes both
+        if t != 2 or cat.latest_txn() != 2:
+            raise AssertionError("restore must be exactly ONE record")
+        out = (
+            cat.read(spark, "a")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_a"))
+            .join(cat.read(spark, "b"), "o_orderstatus")
+            .select("o_orderstatus", "n_a", "n_b")
+            .localCheckpoint()
+        )
+        # history preserved: the corrupted state is still time-travelable
+        n_bad = cat.read(spark, "b", txn=1).count()
+        n_good = cat.read(spark, "b").count()
+        if not n_bad < n_good:
+            raise AssertionError("pre-restore history must stay readable")
+        # catalog stays writable on the restored state
+        with cat.transaction(spark) as txn:
+            txn.append(
+                cat.read(spark, "a").limit(0), "a"
+            )  # schema-checked no-op append
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_cdf_branch",
+    oracle="""
+    SELECT o_orderkey, 'update' AS op
+    FROM orders WHERE o_orderkey < 8000 AND o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey + 100000, 'insert'
+    FROM orders WHERE o_orderkey < 8000 AND o_orderkey % 6 = 0
+    """,
+)
+def q_lake_cdf_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED ACROSS A BRANCH PUBLISH: a branch merges an
+    update set (price bump on the 'F' partition) plus inserts, the
+    PARENT advances concurrently with a disjoint-partition append, the
+    publish REBASES — and `changes(head_before_publish → publish)`
+    yields exactly the branch's net change (the parent's own append is
+    before the window; the publish restamps branch-added entries' seq
+    to the published version, so incremental `scan_table(since=head)`
+    consumers see precisely the rebased files — asserted). The oracle
+    replays the branch's update/insert key set relationally.
+
+    This closes the loop on write-audit-publish at 100 TB: downstream
+    incremental consumers (CDC sinks, rollup maintainers) keyed on
+    versions/seqs observe a branch publish as ONE ordinary commit —
+    no special casing, no missed files."""
+    tmp = _scratch("spype_lake_cdfb_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        base = _base(spark, sf_dir)
+        lake.write_table(base, path, partition_by="o_orderstatus")
+        fork = lake.latest_version(path)
+        broot = lake.create_branch(path, "wap")
+        upd = base.filter(F.col("o_orderstatus") == "F").withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        ins = base.filter(F.col("o_orderkey") % 6 == 0).select(
+            (F.col("o_orderkey") + F.lit(100000)).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+            F.lit("F").alias("o_orderstatus"),
+        )
+        lake.merge_upsert(
+            spark, broot, upd.unionByName(ins), keys=["o_orderkey"]
+        )
+        # parent advances on a DISJOINT partition ('Z' rows are new)
+        lake.append_table(
+            spark,
+            path,
+            base.filter(F.col("o_orderkey") % 7 == 0).select(
+                (F.col("o_orderkey") + F.lit(200000)).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+                F.lit("Z").alias("o_orderstatus"),
+            ),
+        )
+        head = lake.latest_version(path)
+        v_pub = lake.publish_branch(path, "wap")
+        if v_pub != head + 1 or head != fork + 1:
+            raise AssertionError("expected a rebase publish over one advance")
+        # incremental consumers checkpointed at `head` see exactly the
+        # rebased branch files (seq restamp) — the F partition rewrite
+        # plus the inserts
+        n_inc = lake.scan_table(spark, path, since=head).count()
+        n_f = base.filter(F.col("o_orderstatus") == "F").count()
+        n_ins = base.filter(F.col("o_orderkey") % 6 == 0).count()
+        if n_inc != n_f + n_ins:
+            raise AssertionError(
+                f"since={head} saw {n_inc} rows, want {n_f + n_ins}"
+            )
+        return (
+            lake.changes(
+                spark, path, keys=["o_orderkey"], v_from=head, v_to=v_pub
+            )
+            .select("o_orderkey", "op")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

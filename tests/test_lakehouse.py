@@ -3549,3 +3549,22 @@ def test_partition_spec_evolution_mixed_eras(spark, tmp_path):
     lake.set_partition_spec(spark, path, "u")
     with pytest.raises(ValueError, match="not in the schema"):
         lake.set_partition_spec(spark, path, [("days", "nope")])
+
+
+def test_append_never_narrows_schema_nullability(spark, tmp_path):
+    """A batch whose projection is non-nullable (literal column) must
+    not narrow the recorded schema — strict-equality consumers (branch
+    rebase, txn rebase) would spuriously diverge."""
+    path = str(tmp_path / "nn")
+    lake.write_table(
+        spark.createDataFrame([(1, "a")], "k long, s string"), path
+    )
+    before = lake._m_load(path, 0)["schema"]
+    lake.append_table(
+        spark, path,
+        spark.createDataFrame([(2,)], "k long").select(
+            "k", F.lit("Z").alias("s")  # non-nullable projection
+        ),
+    )
+    after = lake._m_load(path, lake.latest_version(path))["schema"]
+    assert after == before, "schema must be stable under literal appends"
