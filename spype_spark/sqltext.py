@@ -242,6 +242,10 @@ _RESTORE_RE = re.compile(
     r"(?:(?P<ver>\d+)|'(?P<ts>[^']+)')\s*$",
     re.IGNORECASE,
 )
+_RESTORE_CAT_RE = re.compile(
+    r"^\s*RESTORE\s+CATALOG\s+TO\s+TXN\s+AS\s+OF\s+(?P<txn>\d+)\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+" + _TREF.format("tgt")
     + r"(?:\s+ZORDER\s+BY\s*\((?P<zcols>[^)]*)\))?"
@@ -300,6 +304,11 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
             return lake.delete_where(spark, ref, cond)
         with catalog.transaction(spark) as txn:
             return txn.delete_where(ref, cond)
+    m = _RESTORE_CAT_RE.match(stmt)
+    if m:
+        if catalog is None:
+            raise ValueError("RESTORE CATALOG needs catalog=")
+        return catalog.restore(int(m.group("txn")))
     m = _RESTORE_RE.match(stmt)
     if m:
         ref = _tref(m, "tgt", catalog)

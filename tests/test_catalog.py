@@ -215,6 +215,14 @@ _step = st.one_of(
         st.tuples(st.integers(2, 4), st.integers(0, 3)),
     ),
     st.tuples(
+        # MoR positional delete: same visible semantics as delete_mod,
+        # zero rewrites — interleaving it with merges/replaces across
+        # txns fuzzes pos_deletes inheritance through staging/rebase
+        st.just("dv"),
+        _TBL,
+        st.tuples(st.integers(2, 4), st.integers(0, 3)),
+    ),
+    st.tuples(
         st.just("replace"),
         _TBL,
         st.dictionaries(
@@ -260,6 +268,10 @@ def test_catalog_random_txn_sequences_match_model(spark, txns):
                 elif kind == "delete_mod":
                     d, r = arg
                     txn.delete_where(name, F.col("v") % d == r)
+                    m[name] = {k: v for k, v in m[name].items() if v % d != r}
+                elif kind == "dv":
+                    d, r = arg
+                    txn.delete_where_dv(name, F.col("v") % d == r)
                     m[name] = {k: v for k, v in m[name].items() if v % d != r}
                 else:
                     txn.write(_df(spark, sorted(arg.items())), name)

@@ -186,3 +186,19 @@ def test_sql_optimize_catalog_table_via_txn(spark, tmp_path):
     assert cat.latest_txn() == before + 1
     assert len(lake.data_files(pt, cat.state()["t"])) < n0
     assert cat.read(spark, "t").count() == 2040
+
+
+def test_sql_restore_catalog(spark, tmp_path):
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "rcat"))
+    with cat.transaction(spark) as txn:
+        txn.write(spark.createDataFrame([(1, 10.0)], "k long, v double"), "t")
+    with cat.transaction(spark) as txn:
+        txn.delete_where("t", F.col("k") == 1)
+    assert cat.read(spark, "t").count() == 0
+    t = spype_spark.sql(spark, "RESTORE CATALOG TO TXN AS OF 0", catalog=cat)
+    assert t == 2
+    assert {(r.k, r.v) for r in cat.read(spark, "t").collect()} == {(1, 10.0)}
+    with pytest.raises(ValueError, match="catalog="):
+        spype_spark.sql(spark, "RESTORE CATALOG TO TXN AS OF 0")
