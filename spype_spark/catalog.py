@@ -1344,6 +1344,31 @@ class Transaction:
         self._staged[name] = v
         return v
 
+    def set_partition_spec(self, name: str, partition_by) -> int:
+        """Stage PARTITION SPEC EVOLUTION (metadata-only; see
+        :func:`spype_spark.lakehouse.set_partition_spec`) — the only
+        log-safe way to evolve a CATALOG table's spec (a direct
+        lake-level call would bump the table behind the record log's
+        back). Schema changes escalate the conflict footprint to the
+        whole table, as any schema change."""
+        self._check_open()
+        path = self.cat.table_path(name)
+        base = self._resolve(name)
+        m = lake._m_load(path, base)
+        pcols, new_tf, schema_json = lake._spec_plan(m, partition_by)
+        v = self._stage(
+            None,
+            path,
+            pcols,
+            lake._m_entries(path, m),
+            base,
+            deletes=m.get("deletes", []),
+            schema_json=schema_json,
+            transforms=new_tf or [],
+        )
+        self._staged[name] = v
+        return v
+
     def drop_columns(self, name: str, cols) -> int:
         """Stage a column DROP (metadata-only; physical names retired —
         see :func:`spype_spark.lakehouse.drop_columns`). Full-table

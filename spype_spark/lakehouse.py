@@ -2606,6 +2606,27 @@ def set_partition_spec(spark: SparkSession, path: str, partition_by) -> int:
         )
     base = latest_version(path)
     m = _m_load(path, base)
+    pcols, new_tf, schema_json = _spec_plan(m, partition_by)
+    return _m_commit(
+        None,
+        path,
+        base + 1,
+        pcols,
+        _m_entries(path, m),
+        base=base,
+        schema_json=schema_json,
+        deletes=m.get("deletes", []),
+        transforms=new_tf or [],
+    )
+
+
+def _spec_plan(
+    m: dict, partition_by
+) -> tuple[list[str] | None, list[dict], dict]:
+    """Plan a partition-spec change against manifest ``m`` — the
+    shared engine behind :func:`set_partition_spec` and the catalog
+    transaction's staged spec evolution. Returns ``(pcols,
+    transforms_with_retired, schema_json)``."""
     pcols, tfs = _norm_partition_spec(partition_by)
     json_to_simple = {
         "integer": "int", "long": "bigint", "short": "smallint",
@@ -2677,17 +2698,7 @@ def set_partition_spec(spark: SparkSession, path: str, partition_by) -> int:
                 "metadata": {},
             }
         )
-    return _m_commit(
-        None,
-        path,
-        base + 1,
-        pcols,
-        _m_entries(path, m),
-        base=base,
-        schema_json={**m["schema"], "fields": new_fields},
-        deletes=m.get("deletes", []),
-        transforms=new_tf or [],
-    )
+    return pcols, new_tf, {**m["schema"], "fields": new_fields}
 
 
 def _no_pending_deletes(m: dict, verb: str) -> None:

@@ -1099,3 +1099,61 @@ def test_catalog_branch_durable_across_sessions_and_vacuum(spark, tmp_path):
     # aborting — every append from both sides lands
     got = {r.k for r in cat2.read(spark, "t").collect()}
     assert got == {1, 2, 3, 9, 10}
+
+
+def test_txn_partition_spec_evolution(spark, tmp_path):
+    """Spec evolution through the transaction: metadata-only commit in
+    the record log; the old era keeps pruning under its retired
+    transform; post-evolve appends land under the new spec."""
+    import datetime as dt
+
+    cat = Catalog(str(tmp_path / "scat"))
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 5, 8, 0, 0), i % 13)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, u long")
+    with cat.transaction(spark) as txn:
+        txn.write(df, "t", partition_by=[("days", "ts")])
+    pt = cat.table_path("t")
+    f0 = set(lake.data_files(pt, cat.state()["t"]))
+    with cat.transaction(spark) as txn:
+        txn.set_partition_spec("t", [("bucket", 4, "u")])
+    v1 = cat.state()["t"]
+    assert set(lake.data_files(pt, v1)) == f0, "spec change rewrites 0 files"
+    tf = {t["name"]: t for t in lake._m_load(pt, v1)["transforms"]}
+    assert tf["_p_days_ts"].get("retired") is True
+    assert "retired" not in tf["_p_bucket4_u"]
+    with cat.transaction(spark) as txn:
+        txn.append(
+            spark.createDataFrame(
+                [(100 + i, dt.datetime(2024, 1, 9, 9, 0, 0), i % 13)
+                 for i in range(20)],
+                "k long, ts timestamp, u long",
+            ),
+            "t",
+        )
+    # old era still prunes on ts through the retired days transform
+    sc = cat.scan(
+        spark, "t",
+        where=("eq", "ts", dt.datetime(2024, 1, 2, 8, 0, 0)),
+    )
+    es = lake._m_entries(pt, lake._m_load(pt, cat.state()["t"]))
+    old = {e["path"].split("data/", 1)[1] for e in es
+           if "_p_days_ts" in e["partition"]}
+    hit_old = {
+        f.split("/data/", 1)[1] for f in sc.inputFiles()
+        if f.split("/data/", 1)[1] in old
+    }
+    assert 0 < len(hit_old) < len(old)
+    # new era prunes on u through the active bucket
+    sc2 = cat.scan(spark, "t", where=("eq", "u", 3))
+    new = {e["path"].split("data/", 1)[1] for e in es
+           if "_p_bucket4_u" in e["partition"]}
+    hit_new = {
+        f.split("/data/", 1)[1] for f in sc2.inputFiles()
+        if f.split("/data/", 1)[1] in new
+    }
+    assert len(hit_new) < len(new)
+    assert cat.read(spark, "t").count() == 80
+    assert cat.read(spark, "t").columns == ["k", "ts", "u"]
