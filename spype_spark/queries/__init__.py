@@ -52,102 +52,92 @@ from spype_spark.queries import lakehouse_ops  # noqa: F401
 #      as evidence), with the round-1 rows-only keys last.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # ---- round-10 window (first 50 keys = the driver's evidence budget).
-    # Per VERDICT.md r9 task 1: every key now has driver-green history;
-    # the freshness gap is the 22 keys whose last driver green is r5
-    # (streaming-batch family, events analytics, graph pair, plus
-    # window_topk / cosine_topk / json_variant / map_funcs /
-    # pipe_curation / rollup_materialized / collapse_runs). Order:
-    # (a) round-10 NEW contracts (zero history — inserted as they land),
-    # (b) the 22 r5-stale keys, (c) the oldest r6-evidence keys until
-    # the 50 slots fill. Queue: remaining r6 keys, then r7/r8/r9 via
-    # registry order (all have fresher evidence).
-    # Group A - round-10 additions, zero history by construction
+    # ---- round-11 window (first 50 keys = the driver's evidence budget).
+    # Per VERDICT.md r10 task 1: fill the window with (a) round-11 NEW
+    # contracts (zero history — inserted at the top as they land),
+    # (b) the 30 keys whose last driver green is r6 (four rounds old:
+    # ANN family, minhash/simhash/semdedup, kmeans, the window-function
+    # family, q_tpch_q15, events anomaly, paragraph dedup, unigram
+    # logprob, stratified sample, skew join, cogroup, agg collect/
+    # listagg/minmax_by/percentile/stats, union_all, stream-stream/
+    # enrich/session-true), (c) the 16 r8-stale q_lake_* keys whose
+    # engine (lakehouse.py +572, catalog.py +596 lines) churned under
+    # them in r10. Queue: r7-evidence keys, then registry order.
+    # Group A - round-11 additions, zero history by construction
     # (uncommented here as each contract lands in the registry):
-    "q_lake_optimize_small",
-    "q_lake_branch_multi",
-    "q_lake_sql_facade",
-    "q_lake_spec_evolve",
-    "q_dataset_shard_shuffle",
-    "q_lake_restore_txn",
-    "q_lake_cdf_branch",
-    "q_dataset_length_buckets",
-    # Group B - last driver-green r5 (22):
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_true_tumbling",
-    "q_stream_dedup_watermark",
-    "q_stream_stateful_running",
-    "q_stream_lake_upsert",
-    "q_events_funnel",
-    "q_events_hourly_agg",
-    "q_rolling_dau",
-    "q_cohort_retention",
-    "q_ts_gapfill",
-    "q_ts_interpolate",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_json_variant",
-    "q_map_funcs",
-    "q_pipe_curation",
-    "q_rollup_materialized",
-    "q_sim_cosine_topk",
-    "q_text_collapse_runs",
-    "q_window_topk",
-    # Group C - last driver-green r6 (fill to 50; the rest queue below):
-    "q_scan_project",
-    "q_scan_filter_pushdown",
-    "q_multimodal_resize",
-    "q_project_exprs",
-    "q_filter_compound",
-    "q_filter_like_regex",
-    "q_join_inner_equi",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_broadcast",
-    "q_join_theta_range",
-    "q_agg_global",
-    "q_agg_distinct",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_stats",
-    "q_agg_percentile",
-    "q_agg_minmax_by",
-    # ---- end of the 50-slot window ----
-    # Round-11 queue: the r6-evidence keys not fitted above, then the
-    # registry fallback (r7/r8/r9-evidence keys in registration order).
-    "q_agg_collect",
-    "q_agg_listagg",
+    # "q_lake_sql_read",
+    # "q_lake_catalog_cdf",
+    # "q_lake_scan_slab_pruned",
+    # "q_text_zipf",
+    # Group B - last driver-green r6 (30):
+    "q_sim_ivf_ann",
+    "q_sim_lsh_ann",
+    "q_sim_nndescent",
+    "q_pq_encode",
+    "q_cluster_kmeans",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_semdedup",
     "q_window_rank",
     "q_window_analytic",
     "q_window_frame_rows",
     "q_window_frame_range",
     "q_window_ntile",
     "q_window_nth",
-    "q_set_union_all",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_sim_lsh_ann",
-    "q_sim_ivf_ann",
-    "q_sim_nndescent",
-    "q_pq_encode",
-    "q_cluster_kmeans",
-    "q_dedup_semdedup",
-    "q_sample_stratified",
+    "q_tpch_q15",
+    "q_events_anomaly",
     "q_text_paragraph_dedup",
     "q_text_unigram_logprob",
-    "q_udf_cogroup",
+    "q_sample_stratified",
     "q_join_skew_salted",
-    "q_events_anomaly",
-    "q_stream_enrich_static",
+    "q_udf_cogroup",
+    "q_agg_collect",
+    "q_agg_listagg",
+    "q_agg_minmax_by",
+    "q_agg_percentile",
+    "q_agg_stats",
+    "q_set_union_all",
     "q_stream_stream_join",
+    "q_stream_enrich_static",
     "q_stream_session_true",
+    # Group C - last driver-green r8 lake keys over r10 engine churn (16):
+    "q_lake_merge_upsert",
+    "q_lake_time_travel",
+    "q_lake_delete",
+    "q_lake_compact",
+    "q_lake_schema_evolution",
+    "q_lake_partitioned_cow",
+    "q_lake_vacuum",
+    "q_lake_delete_range",
+    "q_lake_diff",
+    "q_lake_history",
+    "q_lake_scan_pruned",
+    "q_lake_txn",
+    "q_lake_parts_cow",
+    "q_lake_delete_mor",
+    "q_lake_update",
+    "q_stream_txn_sink",
+    # ---- end of the 50-slot window ----
+    # Round-12 queue: oldest r7-evidence keys first, then registry order.
+    "q_stream_stream_left_join",
+    "q_join_asof_nearest",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_components",
+    "q_dedup_cluster_keep",
+    "q_dedup_embed_cosine",
+    "q_dedup_pipeline",
+    "q_fingerprint",
+    "q_fuzzy_match",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokencount",
+    "q_text_mode",
+    "q_text_tfidf",
+    "q_text_tokens",
+    "q_text_stats",
+    "q_text_langfilter",
+    "q_sim_ivfpq_ann",
+    "q_sim_cosine_tiled",
 ]
 
 
