@@ -931,9 +931,91 @@ def _m_part_key(entry: dict) -> str:
     return f"{uid}|{part}"
 
 
-def _m_write_parts(path: str, entries: list[dict]) -> list[str]:
+def _m_slab_summary(group: list[dict]) -> dict:
+    """Slab-level pruning summary — a sound over-approximation of one
+    part slab's entries, computed once at write time so scan planning
+    can refute WHOLE SLABS from the manifest pointer list without
+    JSON-decoding their entries (the Iceberg manifest-list partition
+    summaries, re-derived for this protocol). Soundness contract: the
+    summary, viewed as a pseudo manifest entry, must evaluate "maybe"
+    under :func:`_pred_compile` whenever ANY member entry would — so
+    every field is either an envelope/sum over all members or omitted:
+
+    - ``partition``: only columns whose recorded value is IDENTICAL
+      across every member (always true for natural partition-grouped
+      slabs; rebucketed slabs drop mixed columns → unprunable, kept).
+    - ``stats``: per-column [min, max] envelope, only when every
+      member records comparable stats on the column.
+    - ``nulls`` / ``rows``: SUMS — sound for both null-leaf directions
+      (sum > 0 iff any member may hold a NULL; sum < total rows iff
+      any member may hold a non-NULL) and for the all-NULL refutation.
+    - ``seq``: [min, max] commit-sequence envelope for ``since=``.
+    """
+    first = group[0]
+    part = dict(first.get("partition") or {})
+    for e in group[1:]:
+        ep = e.get("partition") or {}
+        for c in list(part):
+            if ep.get(c) != part[c] or part[c] is None:
+                del part[c]
+    stats: dict[str, list] = {}
+    for c, st in (first.get("stats") or {}).items():
+        lo, hi = st
+        ok = lo is not None and hi is not None
+        for e in group[1:]:
+            est = e.get("stats", {}).get(c)
+            if est is None or est[0] is None or est[1] is None:
+                ok = False
+                break
+            try:
+                lo = min(lo, est[0])
+                hi = max(hi, est[1])
+            except TypeError:
+                ok = False
+                break
+        if ok:
+            stats[c] = [lo, hi]
+    rows = 0
+    rows_ok = True
+    for e in group:
+        r = e.get("rows")
+        if r is None:
+            rows_ok = False
+            break
+        rows += r
+    nulls: dict[str, int] = {}
+    for c in (first.get("nulls") or {}):
+        tot = 0
+        ok = True
+        for e in group:
+            nc = e.get("nulls", {}).get(c)
+            if nc is None:
+                ok = False
+                break
+            tot += nc
+        if ok:
+            nulls[c] = tot
+    seqs = [e.get("seq", 0) for e in group]
+    out: dict = {"seq": [min(seqs), max(seqs)]}
+    if part:
+        out["partition"] = part
+    if stats:
+        out["stats"] = stats
+    if nulls:
+        out["nulls"] = nulls
+    if rows_ok:
+        out["rows"] = rows
+    return out
+
+
+def _m_write_parts(
+    path: str, entries: list[dict]
+) -> tuple[list[str], dict[str, dict]]:
     """Write manifest PART files — content-addressed slabs of entries,
-    grouped by :func:`_m_part_key` — and return their filenames.
+    grouped by :func:`_m_part_key` — and return ``(filenames,
+    {filename: slab summary})`` (see :func:`_m_slab_summary`; the
+    summaries ride in the manifest pointer object so planning can
+    prune slabs before opening them).
 
     This is the Iceberg manifest-list idea expressed with the same
     single primitive as everything else: a part's name is the sha1 of
@@ -979,6 +1061,7 @@ def _m_write_parts(path: str, entries: list[dict]) -> list[str]:
                 rebucketed.setdefault(key, []).extend(es)
         groups = rebucketed
     names = []
+    summaries: dict[str, dict] = {}
     for _key, group in sorted(groups.items()):
         group = sorted(group, key=lambda e: e["path"])
         payload = json.dumps(group, sort_keys=True)
@@ -996,7 +1079,10 @@ def _m_write_parts(path: str, entries: list[dict]) -> list[str]:
                 pass  # concurrent writer produced the same content
             os.unlink(tmp)
         names.append(name)
-    return names
+        # pure function of slab content — identical for a carried slab,
+        # so content-address dedup across commits stays exact
+        summaries[name] = _m_slab_summary(group)
+    return names, summaries
 
 
 def _m_entries(path: str, m: dict) -> list[dict]:
@@ -1006,6 +1092,97 @@ def _m_entries(path: str, m: dict) -> list[dict]:
         return m["files"]
     out: list[dict] = []
     for name in m["parts"]:
+        with open(os.path.join(path, "_manifests", name)) as f:
+            out.extend(json.load(f))
+    return out
+
+
+def _slab_maybe(s: dict, partitions, ranges, nulls, maybe, since) -> bool:
+    """Three-valued slab refutation from a :func:`_m_slab_summary`:
+    False = NO entry in the slab can survive the scan's pruning knobs
+    (skip decoding it), True = some entry may. Mirrors the per-entry
+    pruning in :func:`scan_table` leaf for leaf; every summary field is
+    an envelope/sum over the slab's entries, so refuting the envelope
+    refutes every member. Missing summary fields always keep."""
+    for c, vals in (partitions or {}).items():
+        rec = (s.get("partition") or {}).get(c)
+        if rec is None:
+            continue  # mixed across the slab / not recorded — keep
+        vlist = vals if isinstance(vals, (list, tuple, set)) else [vals]
+        svals = set()
+        usable = True
+        for val in vlist:
+            sv = str(val)
+            if val is None or not _SAFE_PART_VAL.match(sv):
+                usable = False
+                break
+            svals.add(sv)
+        if not usable:
+            continue
+        if rec not in svals and _norm_part_val(rec) not in {
+            _norm_part_val(x) for x in svals
+        }:
+            return False
+    for c, (lo, hi) in (ranges or {}).items():
+        if lo is None or hi is None:
+            continue
+        st = (s.get("stats") or {}).get(c)
+        if st is None:
+            continue
+        try:
+            if st[1] < lo or st[0] > hi:
+                return False
+        except TypeError:
+            continue  # incomparable bounds — keep
+    for c, want_null in (nulls or {}).items():
+        nc = (s.get("nulls") or {}).get(c)
+        if nc is None:
+            continue
+        if want_null:
+            if nc == 0:
+                return False  # zero NULLs across the whole slab
+        elif s.get("rows") is not None and nc >= s["rows"]:
+            return False  # every row in the slab is NULL on c
+    if maybe is not None:
+        pseudo = {
+            "partition": s.get("partition") or {},
+            "stats": s.get("stats") or {},
+            "nulls": s.get("nulls") or {},
+        }
+        if s.get("rows") is not None:
+            pseudo["rows"] = s["rows"]
+        if not maybe(pseudo):
+            return False
+    if since is not None:
+        sq = s.get("seq")
+        if sq is not None and sq[1] <= since:
+            return False  # every entry's commit seq is at/below the cursor
+    return True
+
+
+def _m_scan_entries(
+    path: str, m: dict, partitions, ranges, nulls, maybe, since
+) -> list[dict]:
+    """Entry load for :func:`scan_table` with SLAB-GRANULAR pruning:
+    part slabs whose pointer summary (:func:`_m_slab_summary`) refutes
+    every scan knob are skipped without being opened or JSON-decoded,
+    so planning cost is O(surviving slabs' entries + total slab count)
+    instead of O(total entries) — the difference between ~10 s and
+    ~ms of driver time at 10⁵-10⁶ files when a scan touches one
+    partition. Strictly a superset of the per-entry pruning that
+    follows (summaries are envelopes), so results are identical to
+    decoding everything. Manifests written before summaries existed
+    (no ``part_summaries``) decode every slab, as before."""
+    if "files" in m:
+        return m["files"]
+    summaries = m.get("part_summaries") or {}
+    out: list[dict] = []
+    for name in m["parts"]:
+        s = summaries.get(name)
+        if s is not None and not _slab_maybe(
+            s, partitions, ranges, nulls, maybe, since
+        ):
+            continue
         with open(os.path.join(path, "_manifests", name)) as f:
             out.extend(json.load(f))
     return out
@@ -1225,7 +1402,9 @@ def _m_manifest(
     if len(entries) <= _PART_INLINE_MAX:
         man["files"] = entries
     else:
-        man["parts"] = _m_write_parts(path, entries)
+        names, summaries = _m_write_parts(path, entries)
+        man["parts"] = names
+        man["part_summaries"] = summaries
     return man
 
 
@@ -2433,7 +2612,15 @@ def scan_table(
     if not _is_manifest_table(path):
         return _residual(read_table(spark, path, version=v))
     m = _m_load(path, v)
-    entries = _m_entries(path, m)
+    maybe = (
+        _pred_compile(where, m.get("partition_by"))
+        if where is not None
+        else None
+    )
+    # slab-granular pruning first: refuted part slabs are never opened
+    entries = _m_scan_entries(
+        path, m, partitions, ranges, nulls, maybe, since
+    )
     for c, vals in (partitions or {}).items():
         vlist = vals if isinstance(vals, (list, tuple, set)) else [vals]
         svals = set()
@@ -2475,8 +2662,7 @@ def scan_table(
             elif nc < e["rows"]:
                 kept.append(e)
         entries = kept
-    if where is not None:
-        maybe = _pred_compile(where, m.get("partition_by"))
+    if maybe is not None:
         entries = [e for e in entries if maybe(e)]
     tf = m.get("transforms")
     if tf:

@@ -1217,6 +1217,118 @@ def test_manifest_parts_in_catalog_txn(spark, tmp_path, monkeypatch):
     assert (0, 999) in got and len(got) == 300
 
 
+def test_slab_summary_pruning_skips_decode(spark, tmp_path, monkeypatch):
+    """Part-slab pointer summaries let scan planning refute WHOLE slabs
+    without opening them: a partition-selective scan opens only the
+    matching slab (O(surviving slabs), not O(total entries)), and the
+    result is row-identical to the unpruned read + filter."""
+    import builtins
+    import os
+
+    monkeypatch.setattr(lake, "_PART_INLINE_MAX", 4)
+    path = str(tmp_path / "slabsum")
+    # p = k // 100: partition value and k-range per slab are correlated,
+    # so BOTH the partition knob and the stats envelope can refute slabs
+    df = spark.createDataFrame(
+        [(k, k * 10, k // 100) for k in range(800)], "k long, v long, p long"
+    )
+    lake.write_table(df.repartition(3, "k"), path, partition_by="p")
+    m = lake._m_load(path, 0)
+    assert len(m["parts"]) == 8
+    assert set(m["part_summaries"]) == set(m["parts"])
+    for name in m["parts"]:
+        s = m["part_summaries"][name]
+        assert "p" in s["partition"], "partition value single-valued per slab"
+        assert "k" in s["stats"] and s["stats"]["k"][0] <= s["stats"]["k"][1]
+        assert s["rows"] == 100 and s["seq"] == [0, 0]
+
+    opened = []
+    real_open = builtins.open
+
+    def counting_open(fp, *a, **kw):
+        if isinstance(fp, str) and os.path.basename(fp).startswith("part-"):
+            opened.append(os.path.basename(fp))
+        return real_open(fp, *a, **kw)
+
+    monkeypatch.setattr(lake, "open", counting_open, raising=False)
+    got = lake.scan_table(spark, path, partitions={"p": 3})
+    assert len(opened) == 1, f"expected 1 slab decoded, opened {opened}"
+    monkeypatch.delattr(lake, "open", raising=False)
+    assert {r.k for r in got.collect()} == set(range(300, 400))
+
+    # range knob prunes via the stats envelope
+    opened.clear()
+    monkeypatch.setattr(lake, "open", counting_open, raising=False)
+    got = lake.scan_table(spark, path, ranges={"k": (0, 7)})
+    n_opened = len(opened)
+    monkeypatch.delattr(lake, "open", raising=False)
+    assert n_opened == 1, "stats envelope refuted the other 7 slabs"
+    assert {r.k for r in got.collect()} == set(range(8))
+
+    # where-spec eq leaf on the partition column prunes slab-wise
+    opened.clear()
+    monkeypatch.setattr(lake, "open", counting_open, raising=False)
+    got = lake.scan_table(spark, path, where=("eq", "p", 5))
+    assert len(opened) == 1
+    monkeypatch.delattr(lake, "open", raising=False)
+    assert {r.k for r in got.collect()} == set(range(500, 600))
+
+    # since= prunes by the slab's seq envelope: append a second commit,
+    # an incremental scan from v0 must not decode v0's carried slabs
+    extra = spark.createDataFrame(
+        [(k, 0, k // 100) for k in range(800, 820)], "k long, v long, p long"
+    )
+    lake.append_table(spark, path, extra)
+    opened.clear()
+    monkeypatch.setattr(lake, "open", counting_open, raising=False)
+    got = lake.scan_table(spark, path, since=0)
+    v1_slabs = set(lake._m_load(path, 0)["parts"])
+    assert not (set(opened) & v1_slabs), "carried base slabs not decoded"
+    monkeypatch.delattr(lake, "open", raising=False)
+    assert {r.k for r in got.collect()} == set(range(800, 820))
+
+
+def test_slab_pruning_differential_soundness(spark, tmp_path, monkeypatch):
+    """Differential property: for randomized predicate specs, the
+    slab-pruned scan equals read_table().filter(residual) row-for-row —
+    slab refutation is sound (never drops a slab holding a match)."""
+    import random
+
+    monkeypatch.setattr(lake, "_PART_INLINE_MAX", 4)
+    path = str(tmp_path / "slabdiff")
+    rng = random.Random(11)
+    rows = [
+        (
+            k,
+            rng.randrange(0, 50) if rng.random() > 0.1 else None,
+            k % 5,
+        )
+        for k in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k long, v long, p long")
+    lake.write_table(df.repartition(2, "k"), path, partition_by="p")
+    full = lake.read_table(spark, path)
+    specs = [
+        ("eq", "p", 2),
+        ("between", "k", 100, 140),
+        ("and", ("eq", "p", 1), ("ge", "k", 400)),
+        ("or", ("eq", "p", 0), ("lt", "k", 10)),
+        ("isnull", "v"),
+        ("and", ("notnull", "v"), ("in", "p", [3, 4])),
+        ("and", ("eq", "p", 4), ("between", "v", 0, 5)),
+    ]
+    for spec in specs:
+        got = {
+            tuple(r)
+            for r in lake.scan_table(spark, path, where=spec).collect()
+        }
+        want = {
+            tuple(r)
+            for r in full.filter(lake._pred_column(spec)).collect()
+        }
+        assert got == want, f"slab-pruned scan diverged for {spec}"
+
+
 def test_delete_keys_merge_on_read_sequence_semantics(spark, tmp_path):
     """Equality-delete files: DELETE rewrites NO data file; the reader
     applies tombstones by sequence, so a later MERGE re-inserting a
