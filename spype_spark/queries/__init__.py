@@ -65,7 +65,7 @@ _DRIVER_PRIORITY = [
     # them in r10. Queue: r7-evidence keys, then registry order.
     # Group A - round-11 additions, zero history by construction
     # (uncommented here as each contract lands in the registry):
-    # "q_lake_sql_read",
+    "q_lake_sql_read",
     # "q_lake_catalog_cdf",
     # "q_lake_scan_slab_pruned",
     # "q_text_zipf",

@@ -2157,3 +2157,86 @@ def q_lake_cdf_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_sql_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey < 3000
+    ),
+    v2 AS (
+      SELECT * FROM base
+      UNION ALL SELECT 900001, 1, 111.5
+      UNION ALL SELECT 900002, 2, 222.25
+      UNION ALL
+      SELECT o_orderkey + 500000, o_custkey, o_totalprice
+      FROM base WHERE o_orderkey % 97 = 0
+    ),
+    head AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey < 3000 AND o_orderkey % 113 = 0
+                  THEN o_totalprice + 50.0 ELSE o_totalprice END
+               AS o_totalprice
+      FROM v2
+    )
+    SELECT h.o_orderkey, h.o_custkey, h.o_totalprice,
+           v.o_totalprice AS price_v0
+    FROM head h LEFT JOIN base v ON h.o_orderkey = v.o_orderkey
+    """,
+)
+def q_lake_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL FACADE, READ+DDL SIDE (:func:`spype_spark.sql`, round-11
+    extension): the FULL statement lifecycle through SQL text alone —
+    ``CREATE TABLE … PARTITIONED BY (bucket(4, o_custkey)) AS SELECT``
+    (hidden-partition transform parsed from SQL), ``INSERT INTO …
+    VALUES`` (positional, cast to table schema), ``INSERT INTO …
+    SELECT`` whose source is a ``VERSION AS OF 0`` time-travel read,
+    a ``MERGE INTO`` whose USING subquery time-travels, and a final
+    ``SELECT`` joining the head against ``VERSION AS OF 0``. The
+    oracle replays the whole sequence relationally: the engine's
+    versioned reads must land exactly on the algebra.
+    """
+    import spype_spark
+
+    tmp = _scratch("spype_lake_sqlr_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+            "spype_sqlr_orders"
+        )
+        spype_spark.sql(spark, f"""
+            CREATE TABLE '{path}' PARTITIONED BY (bucket(4, o_custkey)) AS
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM spype_sqlr_orders WHERE o_orderkey < 3000
+        """)
+        spype_spark.sql(spark, f"""
+            INSERT INTO '{path}' VALUES (900001, 1, 111.5),
+                                        (900002, 2, 222.25)
+        """)
+        spype_spark.sql(spark, f"""
+            INSERT INTO '{path}'
+            SELECT o_orderkey + 500000, o_custkey, o_totalprice
+            FROM '{path}' VERSION AS OF 0 WHERE o_orderkey % 97 = 0
+        """)
+        spype_spark.sql(spark, f"""
+            MERGE INTO '{path}' AS t USING (
+                SELECT o_orderkey, o_custkey,
+                       o_totalprice + 50.0 AS o_totalprice
+                FROM '{path}' VERSION AS OF 0 WHERE o_orderkey % 113 = 0
+            ) AS s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        out = spype_spark.sql(spark, f"""
+            SELECT h.o_orderkey, h.o_custkey, h.o_totalprice,
+                   v.o_totalprice AS price_v0
+            FROM '{path}' h LEFT JOIN '{path}' VERSION AS OF 0 v
+            ON h.o_orderkey = v.o_orderkey
+        """)
+        spark.catalog.dropTempView("spype_sqlr_orders")
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

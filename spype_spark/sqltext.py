@@ -153,13 +153,16 @@ def _parse_on_keys(on: str, talias: str, salias: str) -> list[str]:
     return keys
 
 
-def _parse_merge(spark: SparkSession, stmt: str):
+def _parse_merge(spark: SparkSession, stmt: str, catalog=None):
     m = _MERGE_RE.match(stmt)
     if not m:
         raise ValueError("unparseable MERGE INTO statement")
     talias, salias = m.group("talias"), m.group("salias")
     source = (
-        spark.sql(m.group("subq"))
+        # the USING subquery may itself reference lakehouse tables
+        # ('path' VERSION AS OF n / catalog names) — resolve them the
+        # same way a SELECT statement would
+        spark.sql(_resolve_reads(spark, m.group("subq"), catalog))
         if m.group("subq") is not None
         else spark.table(m.group("view"))
     )
@@ -260,6 +263,145 @@ _VACUUM_RE = re.compile(
     re.IGNORECASE,
 )
 
+# ---------------------------------------------------------------------------
+# Read side: SELECT passthrough with lakehouse table refs, INSERT INTO,
+# CREATE TABLE … [PARTITIONED BY (…)] AS SELECT.
+# ---------------------------------------------------------------------------
+
+# a lakehouse ref in FROM/JOIN position: '<path>' with optional time
+# travel. Anchoring on FROM/JOIN keeps ordinary string literals in the
+# query out of reach ('GERMANY' never follows FROM/JOIN in valid SQL).
+_READ_REF_RE = re.compile(
+    r"(?P<kw>\b(?:FROM|JOIN)\b)\s+'(?P<path>[^']+)'"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?",
+    re.IGNORECASE,
+)
+# a bare identifier in FROM/JOIN position with optional TXN AS OF —
+# resolved through catalog= when the name is in the catalog state
+# (names that aren't stay untouched for Spark's own resolver: temp
+# views, catalog.db.table refs, etc.)
+_READ_NAME_RE = re.compile(
+    r"(?P<kw>\b(?:FROM|JOIN)\b)\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\b"
+    r"(?!\s*\.|\s*\()"
+    r"(?:\s+TXN\s+AS\s+OF\s+(?P<txn>\d+))?",
+    re.IGNORECASE,
+)
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+" + _TREF.format("tgt")
+    + r"\s+(?P<body>(?:SELECT|WITH|VALUES|TABLE)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_CREATE_RE = re.compile(
+    # pspec is lazy + anchored on ") AS" so transform calls'
+    # nested parens (bucket(8, k)) stay inside the spec
+    r"^\s*CREATE\s+TABLE\s+" + _TREF.format("tgt")
+    + r"(?:\s+PARTITIONED\s+BY\s*\((?P<pspec>.*?)\))?"
+    r"\s+AS\s+(?P<body>(?:SELECT|WITH|TABLE)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_TRANSFORM_RE = re.compile(
+    r"^(?P<fn>days|hours)\s*\(\s*(?P<col>\w+)\s*\)$"
+    r"|^(?P<fn2>bucket|truncate)\s*\(\s*(?P<param>\d+)\s*,"
+    r"\s*(?P<col2>\w+)\s*\)$",
+    re.IGNORECASE,
+)
+
+
+def _parse_partition_spec(pspec: str):
+    """``PARTITIONED BY`` list → the ``write_table(partition_by=)``
+    spec: bare identifiers stay identity columns; ``days(c)`` /
+    ``hours(c)`` / ``bucket(n, c)`` / ``truncate(w, c)`` become the
+    Iceberg-style hidden-partition transform tuples
+    (:func:`lakehouse._norm_partition_spec`)."""
+    out = []
+    for item in _split_top(pspec):
+        m = _TRANSFORM_RE.match(item.strip())
+        if m is None:
+            if not re.match(r"^\w+$", item.strip()):
+                raise ValueError(f"unparseable PARTITIONED BY item {item!r}")
+            out.append(item.strip())
+        elif m.group("fn"):
+            out.append((m.group("fn").lower(), m.group("col")))
+        else:
+            out.append(
+                (
+                    m.group("fn2").lower(),
+                    int(m.group("param")),
+                    m.group("col2"),
+                )
+            )
+    return out
+
+
+_VIEW_SEQ = [0]  # process-local generated-view counter
+
+# words that may follow a table ref and are NOT a user alias — used to
+# decide whether a rewritten bare-name ref needs `AS <original name>`
+# re-attached (an explicit user alias survives the rewrite verbatim,
+# since only the ref text itself is replaced)
+_NOT_ALIAS = frozenset(
+    """AS JOIN ON WHERE GROUP ORDER LIMIT LEFT RIGHT FULL INNER CROSS
+    UNION EXCEPT INTERSECT HAVING NATURAL SEMI ANTI LATERAL WINDOW
+    QUALIFY USING VERSION TIMESTAMP TXN SELECT WHEN THEN""".split()
+)
+
+
+def _has_user_alias(m: re.Match) -> bool:
+    """Does an (unconsumed) alias token follow this table ref?"""
+    rest = m.string[m.end():]
+    am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", rest)
+    return am is not None and am.group(1).upper() not in _NOT_ALIAS
+
+
+def _resolve_reads(spark: SparkSession, stmt: str, catalog) -> str:
+    """Rewrite lakehouse table refs inside a SELECT-shaped statement to
+    generated temp views backed by the Python read surface —
+    ``'<path>' [VERSION AS OF n | TIMESTAMP AS OF 'ts']`` through
+    :func:`lakehouse.read_table` and, when ``catalog=`` is given, bare
+    catalog-state names ``name [TXN AS OF n]`` through
+    :meth:`Catalog.read` — then hand the rewritten text to Spark's own
+    parser. Views are per-statement throwaways; Spark resolves them at
+    analysis time, so they never collide across statements."""
+    import datetime as _dt
+
+    def _path_ref(m: re.Match) -> str:
+        ver = int(m.group("ver")) if m.group("ver") is not None else None
+        ts = None
+        if m.group("ts") is not None:
+            t = _dt.datetime.fromisoformat(m.group("ts"))
+            if t.tzinfo is None:
+                t = t.replace(tzinfo=_dt.timezone.utc)
+            ts = t.timestamp()
+        df = lake.read_table(spark, m.group("path"), version=ver, timestamp=ts)
+        _VIEW_SEQ[0] += 1
+        view = f"__spype_sql_{_VIEW_SEQ[0]}"
+        df.createOrReplaceTempView(view)
+        return f"{m.group('kw')} {view}"
+
+    stmt = _READ_REF_RE.sub(_path_ref, stmt)
+    if catalog is None:
+        return stmt
+    names = set(catalog.state())
+
+    def _name_ref(m: re.Match) -> str:
+        if m.group("name") not in names:
+            return m.group(0)  # not a catalog table — Spark's problem
+        txn = int(m.group("txn")) if m.group("txn") is not None else None
+        df = catalog.read(spark, m.group("name"), txn=txn)
+        _VIEW_SEQ[0] += 1
+        view = f"__spype_sql_{_VIEW_SEQ[0]}"
+        df.createOrReplaceTempView(view)
+        if _has_user_alias(m):
+            return f"{m.group('kw')} {view}"  # their alias follows
+        # keep the original name addressable (t.col refs in the query)
+        return f"{m.group('kw')} {view} AS {m.group('name')}"
+
+    return _READ_NAME_RE.sub(_name_ref, stmt)
+
 
 def sql(spark: SparkSession, stmt: str, catalog=None):
     """Execute one SQL statement. Lakehouse maintenance statements
@@ -267,12 +409,26 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
     VACUUM) dispatch onto :mod:`spype_spark.lakehouse` verbs — for a
     path-quoted table directly, for a bare name through a single-verb
     transaction on ``catalog`` (keeping the record log authoritative).
+
+    Read/DDL side: ``SELECT``/``WITH`` statements pass through Spark's
+    own parser with lakehouse table refs resolved first —
+    ``FROM '<path>' [VERSION AS OF n | TIMESTAMP AS OF 'ts']`` via
+    :func:`lakehouse.read_table` and bare catalog-state names
+    ``[TXN AS OF n]`` via :meth:`Catalog.read` (see
+    :func:`_resolve_reads`). ``INSERT INTO t <select|values>`` appends
+    through :func:`lakehouse.append_table` / ``txn.append`` (VALUES
+    rows are cast positionally to the table schema, SQL insert
+    semantics). ``CREATE TABLE t [PARTITIONED BY (days(ts),
+    bucket(8, k), …)] AS SELECT …`` creates via
+    :func:`lakehouse.write_table` / ``txn.write`` with identity
+    columns and Iceberg-style hidden-partition transforms.
+
     Everything else is ``spark.sql(stmt)`` verbatim (returns its
     DataFrame). Maintenance statements return the new table version
     (or the verb's native return)."""
     m = _MERGE_RE.match(stmt)
     if m:
-        m, source, keys, kw = _parse_merge(spark, stmt)
+        m, source, keys, kw = _parse_merge(spark, stmt, catalog)
         ref = _tref(m, "tgt", catalog)
         if m.group("tgt_path") is not None:
             return lake.merge(spark, ref, source, keys, **kw)
@@ -371,5 +527,47 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
             else None
         )
         return lake.vacuum(ref, keep_last=keep, grace_seconds=grace)
-    # not a maintenance statement — Spark's own SQL surface
+    m = _INSERT_RE.match(stmt)
+    if m:
+        df = spark.sql(_resolve_reads(spark, m.group("body"), catalog))
+        ref = _tref(m, "tgt", catalog)
+        tgt = (
+            lake.read_table(spark, ref)
+            if m.group("tgt_path") is not None
+            else catalog.read(spark, ref)
+        )
+        tf = tgt.schema.fields
+        if len(df.columns) != len(tf):
+            raise ValueError(
+                f"INSERT INTO {ref!r}: {len(df.columns)} values for "
+                f"{len(tf)} columns"
+            )
+        # positional, cast to the table schema — SQL INSERT semantics
+        # (VALUES literals arrive as col1..colN with literal types)
+        df = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, tf)
+            ]
+        )
+        if m.group("tgt_path") is not None:
+            return lake.append_table(spark, ref, df)
+        with catalog.transaction(spark) as txn:
+            return txn.append(df, ref)
+    m = _CREATE_RE.match(stmt)
+    if m:
+        df = spark.sql(_resolve_reads(spark, m.group("body"), catalog))
+        pby = (
+            _parse_partition_spec(m.group("pspec"))
+            if m.group("pspec") is not None
+            else None
+        )
+        ref = _tref(m, "tgt", catalog)
+        if m.group("tgt_path") is not None:
+            return lake.write_table(df, ref, partition_by=pby)
+        with catalog.transaction(spark) as txn:
+            return txn.write(df, ref, partition_by=pby)
+    if re.match(r"^\s*(SELECT|WITH)\b", stmt, re.IGNORECASE):
+        return spark.sql(_resolve_reads(spark, stmt, catalog))
+    # not a maintenance/read statement — Spark's own SQL surface
     return spark.sql(stmt)

@@ -202,3 +202,131 @@ def test_sql_restore_catalog(spark, tmp_path):
     assert {(r.k, r.v) for r in cat.read(spark, "t").collect()} == {(1, 10.0)}
     with pytest.raises(ValueError, match="catalog="):
         spype_spark.sql(spark, "RESTORE CATALOG TO TXN AS OF 0")
+
+
+def test_sql_select_time_travel_and_insert(spark, tmp_path):
+    """Round-11 read side: CREATE TABLE … AS SELECT, INSERT INTO
+    VALUES/SELECT, SELECT with VERSION AS OF — equivalent to the
+    Python surface on every step."""
+    p = str(tmp_path / "rt")
+    spype_spark.sql(spark, f"""
+        CREATE TABLE '{p}' AS
+        SELECT id AS k, CAST(id * 2.0 AS DOUBLE) AS v FROM range(50)
+    """)
+    assert lake.latest_version(p) == 0
+    spype_spark.sql(spark, f"INSERT INTO '{p}' VALUES (100, 1.5), (101, 2.5)")
+    assert lake.latest_version(p) == 1
+    # VALUES literals are cast positionally to the table schema
+    assert dict(lake.read_table(spark, p).dtypes) == {
+        "k": "bigint", "v": "double"
+    }
+    spype_spark.sql(
+        spark,
+        f"INSERT INTO '{p}' SELECT k + 1000, v FROM '{p}' VERSION AS OF 0 "
+        f"WHERE k < 3",
+    )
+    head = spype_spark.sql(spark, f"SELECT count(*) AS n FROM '{p}'")
+    assert head.collect()[0].n == 55
+    v0 = spype_spark.sql(
+        spark, f"SELECT count(*) AS n FROM '{p}' VERSION AS OF 0"
+    )
+    assert v0.collect()[0].n == 50
+    # join head against its own history; alias after the travel clause
+    j = spype_spark.sql(spark, f"""
+        SELECT count(*) AS n
+        FROM '{p}' h JOIN '{p}' VERSION AS OF 0 v ON h.k = v.k
+    """)
+    assert j.collect()[0].n == 50
+    # wrong arity is rejected, nothing committed
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="values for"):
+        spype_spark.sql(spark, f"INSERT INTO '{p}' VALUES (1)")
+    assert lake.latest_version(p) == 2
+
+
+def test_sql_create_partitioned_transforms(spark, tmp_path):
+    """CREATE TABLE … PARTITIONED BY (days(d), bucket(4, k)) parses to
+    the hidden-partition transform tuples; identity columns mix in."""
+    p = str(tmp_path / "ct")
+    spype_spark.sql(spark, f"""
+        CREATE TABLE '{p}' PARTITIONED BY (days(d), bucket(4, k)) AS
+        SELECT id AS k, date_add(date'2024-01-01', CAST(id % 3 AS INT)) AS d
+        FROM range(30)
+    """)
+    m = lake._m_load(p, 0)
+    kinds = {(t["transform"], t["source"]) for t in m["transforms"]}
+    assert kinds == {("days", "d"), ("bucket", "k")}
+    # hidden columns never reach a reader
+    assert set(lake.read_table(spark, p).columns) == {"k", "d"}
+    # identity + transform mix
+    p2 = str(tmp_path / "ct2")
+    spype_spark.sql(spark, f"""
+        CREATE TABLE '{p2}' PARTITIONED BY (s, truncate(10, k)) AS
+        SELECT id AS k, CAST(id % 2 AS STRING) AS s FROM range(20)
+    """)
+    m2 = lake._m_load(p2, 0)
+    assert m2["partition_by"][0] == "s"
+    assert m2["transforms"][0]["transform"] == "truncate"
+    with pytest.raises(ValueError, match="unparseable PARTITIONED BY"):
+        spype_spark.sql(
+            spark,
+            f"CREATE TABLE '{tmp_path / 'bad'}' PARTITIONED BY (year(d)) "
+            f"AS SELECT 1 AS d",
+        )
+
+
+def test_sql_catalog_reads_and_txn_as_of(spark, tmp_path):
+    """Bare catalog names in FROM/JOIN resolve through Catalog.read;
+    TXN AS OF pins cross-table time travel; non-catalog names stay
+    Spark's (temp views win only when absent from the catalog)."""
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "rcat2"))
+    spype_spark.sql(
+        spark,
+        "CREATE TABLE t AS SELECT id AS k, id * 10 AS v FROM range(10)",
+        catalog=cat,
+    )
+    first = cat.latest_txn()
+    spype_spark.sql(spark, "INSERT INTO t VALUES (100, 1000)", catalog=cat)
+    assert spype_spark.sql(
+        spark, "SELECT count(*) AS n FROM t", catalog=cat
+    ).collect()[0].n == 11
+    assert spype_spark.sql(
+        spark, f"SELECT count(*) AS n FROM t TXN AS OF {first}", catalog=cat
+    ).collect()[0].n == 10
+    # user alias is preserved; original name re-attached when absent
+    assert spype_spark.sql(
+        spark, "SELECT x.k FROM t AS x WHERE x.k = 3", catalog=cat
+    ).collect()[0].k == 3
+    assert spype_spark.sql(
+        spark, "SELECT t.k FROM t WHERE t.k = 3", catalog=cat
+    ).collect()[0].k == 3
+    # a name NOT in the catalog still resolves as a Spark temp view
+    spark.createDataFrame([(1,)], "z long").createOrReplaceTempView(
+        "sqltext_plain_view"
+    )
+    assert spype_spark.sql(
+        spark, "SELECT count(*) AS n FROM sqltext_plain_view", catalog=cat
+    ).collect()[0].n == 1
+    spark.catalog.dropTempView("sqltext_plain_view")
+
+
+def test_sql_merge_using_time_travel_subquery(spark, tmp_path):
+    """MERGE's USING subquery resolves lakehouse refs too — merging a
+    table with its own VERSION AS OF 0 snapshot restores mutated rows
+    (the SQL spelling of an audit-revert)."""
+    p = str(tmp_path / "mtt")
+    spype_spark.sql(spark, f"""
+        CREATE TABLE '{p}' AS SELECT id AS k, id * 1.0 AS v FROM range(10)
+    """)
+    spype_spark.sql(spark, f"UPDATE '{p}' SET v = -1.0 WHERE k >= 5")
+    spype_spark.sql(spark, f"""
+        MERGE INTO '{p}' AS t USING (
+            SELECT k, v FROM '{p}' VERSION AS OF 0 WHERE k >= 5
+        ) AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+    """)
+    got = {(r.k, r.v) for r in lake.read_table(spark, p).collect()}
+    assert got == {(k, float(k)) for k in range(10)}
