@@ -361,6 +361,91 @@ class Catalog:
             except ConcurrentWriteError:
                 continue  # lost the slot — re-point and retry
 
+    # -- catalog-grain change feed ---------------------------------------
+    def changes(
+        self,
+        spark: SparkSession,
+        keys_by_table: dict[str, list[str]],
+        txn_from: int | None = None,
+        txn_to: int | None = None,
+    ) -> dict[str, DataFrame]:
+        """CATALOG-GRAIN change data feed: per-table change sets for
+        every transaction in ``(txn_from, txn_to]`` — the cross-table
+        analogue of :func:`lakehouse.changes`, checkpointable by TXN
+        id. A pipeline consuming N tables gets all of their changes
+        with ONE cursor, at transaction granularity: for each record
+        in the window and each table whose version moved, the
+        version-pair :func:`lakehouse.table_diff` rows are stamped
+        with the version that introduced them and the transaction
+        that committed them. Returns ``{table: DataFrame(keys…, op,
+        version, txn)}`` — only tables that changed in the window AND
+        appear in ``keys_by_table`` (a consumer names the tables it
+        follows; others are skipped). A table CREATED inside the
+        window emits its creation snapshot as ``insert`` rows; a
+        RESTORE record emits the diff against the rolled-back state
+        (the jump diff, sound in either direction). ``txn_from=None``
+        starts before the first record (full history);
+        ``txn_to=None`` ends at the head. Cost is O(changed keys) per
+        window — snapshot diffs over manifest reads, never a log scan
+        of data."""
+        ts = self.txns()
+        if not ts:
+            raise FileNotFoundError(f"no transactions under {self.root}")
+        hi = ts[-1] if txn_to is None else txn_to
+        window = [
+            t for t in ts if (txn_from is None or t > txn_from) and t <= hi
+        ]
+        out: dict[str, DataFrame] = {}
+        for t in window:
+            rec = self._record(t)
+            before = (
+                self.state(rec["base"]) if rec.get("base") is not None else {}
+            )
+            after = rec["tables"]
+            for name in sorted(set(before) | set(after)):
+                old_v, new_v = before.get(name), after.get(name)
+                if old_v == new_v or name not in keys_by_table:
+                    continue
+                keys = keys_by_table[name]
+                path = self.table_path(name)
+                if old_v is None:
+                    step = (
+                        lake.read_table(spark, path, version=new_v)
+                        .select(*keys)
+                        .withColumn("op", F.lit("insert"))
+                    )
+                elif new_v is None:  # defensive: no drop verb today
+                    step = (
+                        lake.read_table(spark, path, version=old_v)
+                        .select(*keys)
+                        .withColumn("op", F.lit("delete"))
+                    )
+                else:
+                    step = lake.table_diff(spark, path, old_v, new_v, keys)
+                step = step.withColumn(
+                    "version", F.lit(new_v if new_v is not None else old_v)
+                    .cast("long")
+                ).withColumn("txn", F.lit(t).cast("long"))
+                out[name] = (
+                    step
+                    if name not in out
+                    else out[name].unionByName(step)
+                )
+        return out
+
+    def read_changes_stream(
+        self,
+        spark: SparkSession,
+        keys_by_table: dict[str, list[str]],
+        checkpoint_dir: str,
+        from_txn: int | None = None,
+    ) -> "CatalogChangesStream":
+        """Open (or resume) an incremental catalog-grain CDF consumer
+        — see :class:`CatalogChangesStream`."""
+        return CatalogChangesStream(
+            spark, self, keys_by_table, checkpoint_dir, from_txn
+        )
+
     # -- catalog-level branches (multi-table write-audit-publish) --------
     @property
     def _branch_dir(self) -> str:
@@ -1541,3 +1626,88 @@ class Transaction:
         if not self._closed:
             self.commit()
         return False
+
+
+class CatalogChangesStream:
+    """Incremental consumption of the CATALOG-GRAIN change feed — the
+    cross-table analogue of :class:`lakehouse.ChangesStream`: each
+    :meth:`drain` emits exactly the per-table feeds for the
+    transactions committed since the last drain and durably
+    checkpoints the consumed txn id, so a restarted consumer resumes
+    where it left off and every transaction is delivered exactly once
+    across restarts. The consumer state is ONE integer for N tables —
+    which is the point: a pipeline following fact + rollup (+ …)
+    cannot see a transaction's fact changes without its rollup
+    changes, because the cursor moves per TRANSACTION, never per
+    table.
+
+    ``from_txn=None`` starts at the current head (only new
+    transactions); pass an explicit txn id to replay from there
+    (``-1`` = full history). Offset commit/callback semantics are
+    identical to :class:`lakehouse.ChangesStream` (at-least-once with
+    ``process``, whose argument here is the ``{table: DataFrame}``
+    dict; exactly-once when the callback lands in an idempotent
+    sink)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        keys_by_table: dict[str, list[str]],
+        checkpoint_dir: str,
+        from_txn: int | None = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.keys_by_table = dict(keys_by_table)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self._offset_path = os.path.join(checkpoint_dir, "offset.json")
+        if not os.path.exists(self._offset_path):
+            start = (
+                catalog.latest_txn() if from_txn is None else from_txn
+            )
+            if start is None:
+                start = -1
+            self._commit_offset(start)
+
+    def consumed_txn(self) -> int:
+        with open(self._offset_path) as f:
+            return json.load(f)["txn"]
+
+    def _commit_offset(self, t: int) -> None:
+        tmp = self._offset_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"txn": t, "catalog": self.catalog.root}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._offset_path)
+
+    def drain(self, process=None) -> dict[str, DataFrame] | None:
+        """One microbatch: ``{table: feed}`` for every transaction
+        committed since the checkpoint, or ``None`` when caught up.
+        Without ``process`` the feeds are localCheckpoint-materialized
+        before the offset commits, so they survive later mutations."""
+        last = self.consumed_txn()
+        head = self.catalog.latest_txn()
+        if head is None or head <= last:
+            return None
+        ts = self.catalog.txns()
+        if last != -1 and last not in ts:
+            raise FileNotFoundError(
+                f"checkpointed txn {last} of {self.catalog.root} was "
+                f"vacuumed; the stream cannot resume without a gap — "
+                f"restart from an explicit from_txn"
+            )
+        feeds = self.catalog.changes(
+            self.spark,
+            self.keys_by_table,
+            txn_from=(None if last == -1 else last),
+            txn_to=head,
+        )
+        if process is not None:
+            process(feeds)
+            self._commit_offset(head)
+            return feeds
+        feeds = {k: v.localCheckpoint() for k, v in feeds.items()}
+        self._commit_offset(head)
+        return feeds

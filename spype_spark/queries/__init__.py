@@ -66,7 +66,7 @@ _DRIVER_PRIORITY = [
     # Group A - round-11 additions, zero history by construction
     # (uncommented here as each contract lands in the registry):
     "q_lake_sql_read",
-    # "q_lake_catalog_cdf",
+    "q_lake_catalog_cdf",
     # "q_lake_scan_slab_pruned",
     # "q_text_zipf",
     # Group B - last driver-green r6 (30):

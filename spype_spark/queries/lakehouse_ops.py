@@ -2240,3 +2240,134 @@ def q_lake_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_catalog_cdf",
+    oracle="""
+    WITH fact0 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey < 4000
+    ),
+    ins AS (
+      SELECT o_orderkey + 100000 AS o_orderkey, o_custkey, o_totalprice
+      FROM fact0 WHERE o_orderkey % 5 = 0
+    ),
+    fact1 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM fact0
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT 'fact' AS tbl, o_orderkey AS k, 'insert' AS op,
+           CAST(0 AS BIGINT) AS version, CAST(0 AS BIGINT) AS txn
+    FROM fact0
+    UNION ALL
+    SELECT 'rollup', o_custkey, 'insert', 0, 1
+    FROM (SELECT DISTINCT o_custkey FROM fact0)
+    UNION ALL
+    SELECT 'fact', o_orderkey, 'update', 1, 2
+    FROM fact0 WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'fact', o_orderkey, 'insert', 1, 2 FROM ins
+    UNION ALL
+    SELECT 'rollup', o_custkey, 'update', 1, 2
+    FROM (SELECT DISTINCT o_custkey FROM ins)
+    UNION ALL
+    SELECT 'fact', o_orderkey, 'delete', 2, 3
+    FROM fact1 WHERE o_custkey % 10 = 0
+    """,
+)
+def q_lake_catalog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG-GRAIN CHANGE FEED (:meth:`Catalog.changes` /
+    :class:`CatalogChangesStream`, round-11): a pipeline following a
+    fact table AND its derived rollup consumes both tables' changes
+    with ONE txn cursor. Sequence: txn0 create fact, txn1 derive
+    rollup, txn2 merge fact + refresh rollup IN ONE TRANSACTION
+    (value-identical rollup rows must emit nothing), txn3 delete from
+    fact. Consumed through the checkpointed stream with a RESTART
+    between txn1 and txn2 (new instance, same checkpoint dir) —
+    exactly-once across the restart is asserted in-contract. The
+    oracle replays every diff relationally: insert/update/delete
+    attribution per key per transaction must land exactly on the
+    algebra."""
+    from spype_spark.catalog import Catalog
+
+    tmp = _scratch("spype_lake_ccdf_")
+    try:
+        cat = Catalog(f"{tmp}/cat")
+        fact0 = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 4000)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        )
+        with cat.transaction(spark) as t:
+            t.write(fact0.repartition(4), "fact")
+        with cat.transaction(spark) as t:
+            t.write(
+                cat.read(spark, "fact")
+                .groupBy("o_custkey")
+                .agg(F.count("*").alias("cnt")),
+                "rollup",
+            )
+        keys = {"fact": ["o_orderkey"], "rollup": ["o_custkey"]}
+        ckpt = f"{tmp}/ckpt"
+        s1 = cat.read_changes_stream(spark, keys, ckpt, from_txn=-1)
+        f1 = s1.drain()
+        if set(f1) != {"fact", "rollup"} or s1.drain() is not None:
+            raise AssertionError("first drain must cover txns 0-1 exactly")
+        # txn2: ONE transaction touches both tables
+        src = fact0.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        ).unionByName(
+            fact0.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(100000)
+            )
+        )
+        with cat.transaction(spark) as t:
+            t.merge_upsert("fact", src, keys=["o_orderkey"])
+            t.merge_upsert(
+                "rollup",
+                cat.read(spark, "fact")
+                .unionByName(src.join(
+                    cat.read(spark, "fact"), "o_orderkey", "left_anti"
+                ))
+                .groupBy("o_custkey")
+                .agg(F.count("*").alias("cnt")),
+                keys=["o_custkey"],
+            )
+        # txn3: delete from fact only
+        with cat.transaction(spark) as t:
+            t.delete_where("fact", F.col("o_custkey") % 10 == 0)
+        # RESTART: a new consumer instance on the same checkpoint must
+        # resume after txn1 — stale txns reappearing would double-apply
+        s2 = cat.read_changes_stream(spark, keys, ckpt)
+        f2 = s2.drain()
+        stale = [
+            t
+            for df in f2.values()
+            for t in [r.txn for r in df.select("txn").distinct().collect()]
+            if t <= 1
+        ]
+        if stale or s2.drain() is not None:
+            raise AssertionError(f"resume leaked txns {stale}")
+        parts = []
+        for feeds in (f1, f2):
+            for tbl, df in feeds.items():
+                kcol = keys[tbl][0]
+                parts.append(
+                    df.select(
+                        F.lit(tbl).alias("tbl"),
+                        F.col(kcol).alias("k"),
+                        "op",
+                        "version",
+                        "txn",
+                    )
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1157,3 +1157,100 @@ def test_txn_partition_spec_evolution(spark, tmp_path):
     assert len(hit_new) < len(new)
     assert cat.read(spark, "t").count() == 80
     assert cat.read(spark, "t").columns == ["k", "ts", "u"]
+
+
+def test_catalog_changes_cross_table_feed(spark, tmp_path):
+    """Catalog-grain CDF: one txn cursor covers N tables; creation
+    emits inserts; a two-table txn emits both tables' diffs stamped
+    with the SAME txn id; value-identical upserts emit nothing."""
+    cat = Catalog(str(tmp_path / "ccdf"))
+    fact0 = spark.createDataFrame(
+        [(k, k % 3, float(k)) for k in range(12)], "k long, c long, v double"
+    )
+    with cat.transaction(spark) as t:
+        t.write(fact0, "fact")
+    with cat.transaction(spark) as t:
+        t.write(
+            fact0.groupBy("c").agg(F.count("*").alias("cnt")), "rollup"
+        )
+    # txn 2: touch BOTH tables — update two fact rows (+ one identical
+    # no-op upsert) and refresh the rollup (counts unchanged → empty)
+    with cat.transaction(spark) as t:
+        t.merge_upsert(
+            "fact",
+            spark.createDataFrame(
+                [(0, 0, 999.0), (100, 1, 100.0), (5, 2, 5.0)],
+                "k long, c long, v double",
+            ),
+            keys=["k"],
+        )
+        t.merge_upsert(
+            "rollup",
+            spark.createDataFrame([(0, 4), (1, 5)], "c long, cnt long"),
+            keys=["c"],
+        )
+    feeds = cat.changes(
+        spark, {"fact": ["k"], "rollup": ["c"]}, txn_from=None
+    )
+    fact_rows = {
+        (r.k, r.op, r.version, r.txn) for r in feeds["fact"].collect()
+    }
+    assert {(k, "insert", 0, 0) for k in range(12)} <= fact_rows
+    assert (0, "update", 1, 2) in fact_rows
+    assert (100, "insert", 1, 2) in fact_rows
+    assert all(not (r[0] == 5 and r[3] == 2) for r in fact_rows), \
+        "value-identical upsert must not appear in the feed"
+    roll_rows = {
+        (r.c, r.op, r.version, r.txn) for r in feeds["rollup"].collect()
+    }
+    assert {(0, "insert", 0, 1), (1, "insert", 0, 1),
+            (2, "insert", 0, 1)} <= roll_rows
+    # rollup counts: c=0 had 4, c=1 had 4→5 changed
+    assert (1, "update", 1, 2) in roll_rows
+    assert (0, "update", 1, 2) not in roll_rows
+    # windowing: (1, 2] sees only txn 2
+    w = cat.changes(spark, {"fact": ["k"], "rollup": ["c"]}, txn_from=1)
+    assert {r.txn for r in w["fact"].collect()} == {2}
+    # tables the consumer doesn't follow are skipped
+    only = cat.changes(spark, {"rollup": ["c"]}, txn_from=None)
+    assert set(only) == {"rollup"}
+
+
+def test_catalog_changes_stream_resume_across_restart(spark, tmp_path):
+    """CatalogChangesStream checkpoints ONE txn id for all tables;
+    a restarted consumer (new instance, same checkpoint dir) resumes
+    exactly after the consumed head — every txn delivered once."""
+    cat = Catalog(str(tmp_path / "cstr"))
+    ckpt = str(tmp_path / "ckpt")
+    with cat.transaction(spark) as t:
+        t.write(
+            spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"),
+            "a",
+        )
+    s1 = cat.read_changes_stream(
+        spark, {"a": ["k"], "b": ["k"]}, ckpt, from_txn=-1
+    )
+    f1 = s1.drain()
+    assert {(r.k, r.op, r.txn) for r in f1["a"].collect()} == {
+        (1, "insert", 0), (2, "insert", 0)
+    }
+    assert s1.drain() is None, "caught up"
+    with cat.transaction(spark) as t:
+        t.write(spark.createDataFrame([(9, 9.0)], "k long, v double"), "b")
+        t.delete_where("a", F.col("k") == 2)
+    # restart: NEW instance on the same checkpoint
+    s2 = cat.read_changes_stream(spark, {"a": ["k"], "b": ["k"]}, ckpt)
+    f2 = s2.drain()
+    assert {(r.k, r.op, r.txn) for r in f2["a"].collect()} == {
+        (2, "delete", 1)
+    }
+    assert {(r.k, r.op, r.txn) for r in f2["b"].collect()} == {
+        (9, "insert", 1)
+    }
+    assert s2.drain() is None
+    # restore: the jump-diff re-inserts the deleted key
+    cat.restore(0)
+    f3 = s2.drain()
+    assert {(r.k, r.op) for r in f3["a"].collect()} == {(2, "insert")}
+    assert "b" not in f3 or f3["b"].count() == 0 or \
+        {(r.k, r.op) for r in f3["b"].collect()} == {(9, "delete")}
