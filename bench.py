@@ -70,6 +70,23 @@ def _lake_merge_kernel(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _ivf_ann_kernel(spark, sf_dir):
+    """IVF ANN production kernel (VERDICT r10 task 7): centroid
+    assignment + per-cell tiled GEMM re-rank + global top-k over the
+    embeddings table. Benches :func:`spype_spark.ann.ivf_ann` directly
+    — the contract key's oracle replays the full cell enumeration and
+    would time the audit, not the kernel (same reasoning as the
+    minhash row). ``n_cells=None`` is the pinned-occupancy scale path;
+    nprobe=4, k=10 are production-shaped."""
+    from spype_spark.ann import ivf_ann
+    from spype_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).repartition(32)
+    return ivf_ann(e, n_cells=None, nprobe=4, k=10)
+
+
 _SCAN_TABLE_CACHE: dict[str, str] = {}
 
 
@@ -144,6 +161,11 @@ BENCH_QUERIES = {
     # per-query): the manifest READ path — scan planning (predicate →
     # transform/stats file pruning, driver-side) + the pruned read:
     "q_lake_scan": _lake_scan_kernel,
+    # round-11 row (totals NOT comparable to BENCH_r10; compare
+    # per-query): the production-shaped ANN kernel — IVF assignment +
+    # per-cell GEMM re-rank (the 6-kernel ANN family previously had no
+    # wall-clock regression row):
+    "q_sim_ivf_ann": _ivf_ann_kernel,
 }
 
 

@@ -81,14 +81,24 @@ def _events_stream(
     return normalize_events_ts(raw, target="timestamp")
 
 
-def _run_available_now(sdf: DataFrame, output_mode: str, name: str) -> DataFrame:
+def _run_available_now(
+    sdf: DataFrame,
+    output_mode: str,
+    name: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drain a finite stream to an in-memory sink, return its result."""
-    df, _ = _run_available_now_with_watermark(sdf, output_mode, name)
+    df, _ = _run_available_now_with_watermark(
+        sdf, output_mode, name, state_partitions=state_partitions
+    )
     return df
 
 
 def _run_available_now_with_watermark(
-    sdf: DataFrame, output_mode: str, name: str
+    sdf: DataFrame,
+    output_mode: str,
+    name: str,
+    state_partitions: int | None = None,
 ):
     """Drain a finite stream and ALSO return the final event-time
     watermark the query observed (a tz-naive UTC ``datetime``, or None
@@ -112,26 +122,43 @@ def _run_available_now_with_watermark(
             "the terminal no-data micro-batch is what flushes final "
             "outer-join / append-mode rows under Trigger.AvailableNow"
         )
-    with tempfile.TemporaryDirectory(
-        prefix="spype_ckpt_", dir=_scratch_root()
-    ) as ckpt:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        wm = None
-        prog = q.lastProgress
-        if prog:
-            wm_str = (prog.get("eventTime") or {}).get("watermark")
-            # The epoch sentinel means "no watermark ever advanced".
-            if wm_str and not wm_str.startswith("1970-01-01T00:00:00"):
-                wm = _parse_progress_ts(wm_str)
-        return spark.table(name).localCheckpoint(eager=True), wm
+    # A stateful query materializes ONE state-store instance per
+    # shuffle partition per stateful operator (a stream-stream join
+    # keeps FOUR stores per partition), each paying per-micro-batch
+    # checkpoint commits — so the drain cost of a small fixture is
+    # dominated by store count, not data (measured 15.0 s → 3.1 s for
+    # the stream-stream join at sf0.01 going 32 → 8 partitions).
+    # ``state_partitions`` pins the query's state partitioning at
+    # start (frozen into the checkpoint, as Spark does); production
+    # sizing picks it from throughput per state store, not from the
+    # session's batch shuffle width. Conf is restored after the drain.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        with tempfile.TemporaryDirectory(
+            prefix="spype_ckpt_", dir=_scratch_root()
+        ) as ckpt:
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            wm = None
+            prog = q.lastProgress
+            if prog:
+                wm_str = (prog.get("eventTime") or {}).get("watermark")
+                # The epoch sentinel means "no watermark ever advanced".
+                if wm_str and not wm_str.startswith("1970-01-01T00:00:00"):
+                    wm = _parse_progress_ts(wm_str)
+            return spark.table(name).localCheckpoint(eager=True), wm
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 def _parse_progress_ts(s: str):
@@ -285,7 +312,9 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("p_id", "c_id", "p_user")
-    return _run_available_now(joined, "append", "spype_stream_stream_join")
+    return _run_available_now(
+        joined, "append", "spype_stream_stream_join", state_partitions=8
+    )
 
 
 def run_stream_foreach_batch_sink(
@@ -697,7 +726,7 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str):
         "left_outer",
     ).select("p_id", "c_id", "p_user", "p_ts")
     return _run_available_now_with_watermark(
-        joined, "append", "spype_stream_left_join"
+        joined, "append", "spype_stream_left_join", state_partitions=8
     )
 
 
