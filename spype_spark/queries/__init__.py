@@ -67,7 +67,7 @@ _DRIVER_PRIORITY = [
     # (uncommented here as each contract lands in the registry):
     "q_lake_sql_read",
     "q_lake_catalog_cdf",
-    # "q_lake_scan_slab_pruned",
+    "q_lake_scan_slab_pruned",
     # "q_text_zipf",
     # Group B - last driver-green r6 (30):
     "q_sim_ivf_ann",

@@ -2371,3 +2371,72 @@ def q_lake_catalog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_scan_slab_pruned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           o_orderkey % 12 AS p
+    FROM orders
+    WHERE o_orderkey % 12 IN (3, 7) AND o_totalprice >= 1000.0
+    """,
+)
+def q_lake_scan_slab_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLAB-SUMMARY PLANNING PRUNING (round-11, the Iceberg
+    manifest-list idea): a manifest table big enough to spill entries
+    to part slabs is scanned with a partition filter + stats residual,
+    and the contract ASSERTS the planner refuted non-matching slabs
+    from pointer summaries alone (`_m_scan_entries` returns strictly
+    fewer entries than a full decode, and every surviving entry
+    belongs to a requested partition — slabs are partition-pure).
+    The oracle replays the scan relationally: slab pruning must be a
+    pure planning optimization with zero row-level effect.
+    """
+    tmp = _scratch("spype_lake_slab_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        df = (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                (F.col("o_orderkey") % 12).alias("p"),
+            )
+        )
+        lake.write_table(df.repartition(6), path, partition_by="p")
+        m = lake._m_load(path, 0)
+        if "parts" not in m or not m.get("part_summaries"):
+            raise AssertionError(
+                "fixture must exceed the inline threshold and carry "
+                "slab summaries"
+            )
+        pruned = lake._m_scan_entries(
+            path, m, {"p": [3, 7]}, None, None, None, None
+        )
+        full = lake._m_entries(path, m)
+        if not pruned or len(pruned) >= len(full):
+            raise AssertionError(
+                f"slab pruning did not refute any slab "
+                f"({len(pruned)}/{len(full)} entries survived)"
+            )
+        stray = [
+            e["path"]
+            for e in pruned
+            if lake._norm_part_val(e["partition"]["p"])
+            not in {lake._norm_part_val("3"), lake._norm_part_val("7")}
+        ]
+        if stray:
+            raise AssertionError(f"non-matching slabs decoded: {stray[:3]}")
+        return (
+            lake.scan_table(
+                spark,
+                path,
+                partitions={"p": [3, 7]},
+                where=("ge", "o_totalprice", 1000.0),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
