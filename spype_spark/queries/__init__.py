@@ -68,7 +68,7 @@ _DRIVER_PRIORITY = [
     "q_lake_sql_read",
     "q_lake_catalog_cdf",
     "q_lake_scan_slab_pruned",
-    # "q_text_zipf",
+    "q_text_zipf",
     # Group B - last driver-green r6 (30):
     "q_sim_ivf_ann",
     "q_sim_lsh_ann",

@@ -855,3 +855,71 @@ def q_dataset_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.max("n_chars"))
         ).alias("pack_eff"),
     )
+
+
+@query(
+    "q_text_zipf",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM counts),
+    top AS (SELECT word, freq FROM counts ORDER BY freq DESC, word LIMIT 200),
+    ranked AS (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank,
+             CAST(SUM(freq) OVER (ORDER BY freq DESC, word
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM top
+    )
+    SELECT rank, word, freq,
+           CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+    FROM ranked CROSS JOIN tot
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS VOCABULARY / ZIPF STATISTICS (tokenizer-training prep):
+    the top-200 words by corpus frequency with rank, corpus share, and
+    cumulative coverage — the curve that tells you how much of a
+    corpus a vocabulary of size k captures.
+
+    Scale shape: ONE shuffle (groupBy word); the global top-k is
+    TakeOrderedAndProject (per-partition heaps, never a global sort),
+    and the rank/cumulative window runs over the 200 survivors only —
+    the vocabulary-wide global-sort trap (the ntile antipattern) is
+    deliberately avoided. The total-token count rides in as a 1-row
+    broadcast. Shares are single IEEE divisions of exact bigint
+    counts, so DuckDB reproduces them bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = counts.agg(F.sum("freq").alias("total"))
+    top = counts.orderBy(F.desc("freq"), "word").limit(200)
+    w = Window.orderBy(F.desc("freq"), "word")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum",
+            F.sum("freq").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "word",
+            "freq",
+            (F.col("freq").cast("double") / F.col("total").cast("double"))
+            .alias("share"),
+            (F.col("cum").cast("double") / F.col("total").cast("double"))
+            .alias("cum_share"),
+        )
+    )
