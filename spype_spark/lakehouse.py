@@ -1161,7 +1161,15 @@ def _slab_maybe(s: dict, partitions, ranges, nulls, maybe, since) -> bool:
 
 
 def _m_scan_entries(
-    path: str, m: dict, partitions, ranges, nulls, maybe, since
+    path: str,
+    m: dict,
+    partitions,
+    ranges,
+    nulls,
+    maybe,
+    since,
+    spark: "SparkSession | None" = None,
+    where=None,
 ) -> list[dict]:
     """Entry load for :func:`scan_table` with SLAB-GRANULAR pruning:
     part slabs whose pointer summary (:func:`_m_slab_summary`) refutes
@@ -1171,18 +1179,39 @@ def _m_scan_entries(
     ~ms of driver time at 10⁵-10⁶ files when a scan touches one
     partition. Strictly a superset of the per-entry pruning that
     follows (summaries are envelopes), so results are identical to
-    decoding everything. Manifests written before summaries existed
-    (no ``part_summaries``) decode every slab, as before."""
+    decoding everything. Hidden-partition tables prune slab-wise too:
+    summaries record the hidden transform columns like any partition
+    column (single-valued per slab), so the SAME
+    :func:`_transform_prune_entries` translation runs once over
+    one pseudo-entry per slab (needs ``spark`` for the transform
+    probes and the raw ``where`` spec). Manifests written before
+    summaries existed (no ``part_summaries``) decode every slab, as
+    before."""
     if "files" in m:
         return m["files"]
     summaries = m.get("part_summaries") or {}
-    out: list[dict] = []
+    keep: list[str] = []
+    pseudos: list[dict] = []
     for name in m["parts"]:
         s = summaries.get(name)
-        if s is not None and not _slab_maybe(
-            s, partitions, ranges, nulls, maybe, since
-        ):
+        if s is None:
+            keep.append(name)
             continue
+        if not _slab_maybe(s, partitions, ranges, nulls, maybe, since):
+            continue
+        keep.append(name)
+        pseudos.append({"__slab": name, "partition": s.get("partition") or {}})
+    tf = m.get("transforms")
+    if tf and spark is not None and pseudos:
+        surv = {
+            p["__slab"]
+            for p in _transform_prune_entries(
+                spark, pseudos, tf, partitions, ranges, where
+            )
+        }
+        keep = [n for n in keep if n not in summaries or n in surv]
+    out: list[dict] = []
+    for name in keep:
         with open(os.path.join(path, "_manifests", name)) as f:
             out.extend(json.load(f))
     return out
@@ -2619,7 +2648,8 @@ def scan_table(
     )
     # slab-granular pruning first: refuted part slabs are never opened
     entries = _m_scan_entries(
-        path, m, partitions, ranges, nulls, maybe, since
+        path, m, partitions, ranges, nulls, maybe, since,
+        spark=spark, where=where,
     )
     for c, vals in (partitions or {}).items():
         vlist = vals if isinstance(vals, (list, tuple, set)) else [vals]

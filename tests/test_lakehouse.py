@@ -1288,6 +1288,49 @@ def test_slab_summary_pruning_skips_decode(spark, tmp_path, monkeypatch):
     assert {r.k for r in got.collect()} == set(range(800, 820))
 
 
+def test_slab_pruning_hidden_partition_transforms(spark, tmp_path, monkeypatch):
+    """Hidden-partition scans prune slab-wise too: a predicate on the
+    transform SOURCE column refutes whole slabs through the recorded
+    hidden values in the pointer summaries — only matching slabs are
+    decoded."""
+    import builtins
+    import os
+
+    monkeypatch.setattr(lake, "_PART_INLINE_MAX", 4)
+    path = str(tmp_path / "slabtf")
+    df = spark.createDataFrame(
+        [(k, k * 3) for k in range(600)], "k long, v long"
+    )
+    lake.write_table(
+        df.repartition(2, "k"), path, partition_by=[("truncate", 100, "k")]
+    )
+    m = lake._m_load(path, 0)
+    assert len(m["parts"]) == 6
+    for s in m["part_summaries"].values():
+        assert "_p_trunc100_k" in s["partition"]
+
+    opened = []
+    real_open = builtins.open
+
+    def counting_open(fp, *a, **kw):
+        if isinstance(fp, str) and os.path.basename(fp).startswith("part-"):
+            opened.append(os.path.basename(fp))
+        return real_open(fp, *a, **kw)
+
+    monkeypatch.setattr(lake, "open", counting_open, raising=False)
+    got = lake.scan_table(spark, path, ranges={"k": (120, 180)})
+    assert len(opened) == 1, f"expected 1 slab decoded, opened {opened}"
+    monkeypatch.delattr(lake, "open", raising=False)
+    assert {r.k for r in got.collect()} == set(range(120, 181))
+    # eq through the where spec prunes through bucket-unsafe OR-free path
+    opened.clear()
+    monkeypatch.setattr(lake, "open", counting_open, raising=False)
+    got = lake.scan_table(spark, path, where=("eq", "k", 555))
+    assert len(opened) == 1
+    monkeypatch.delattr(lake, "open", raising=False)
+    assert [r.v for r in got.collect()] == [1665]
+
+
 def test_slab_pruning_differential_soundness(spark, tmp_path, monkeypatch):
     """Differential property: for randomized predicate specs, the
     slab-pruned scan equals read_table().filter(residual) row-for-row —
