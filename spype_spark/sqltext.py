@@ -288,6 +288,12 @@ _READ_NAME_RE = re.compile(
     re.IGNORECASE,
 )
 
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+" + _TREF.format("tgt") + r"\s*$",
+    re.IGNORECASE,
+)
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+" + _TREF.format("tgt")
     + r"\s+(?P<body>(?:SELECT|WITH|VALUES|TABLE)\b.*)$",
@@ -527,6 +533,18 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
             else None
         )
         return lake.vacuum(ref, keep_last=keep, grace_seconds=grace)
+    m = _DESCRIBE_RE.match(stmt)
+    if m:
+        ref = _tref(m, "tgt", catalog)
+        if m.group("tgt_path") is not None:
+            return lake.history(spark, ref)
+        return lake.history(spark, catalog.table_path(ref))
+    m = _SHOW_TABLES_RE.match(stmt)
+    if m and catalog is not None:
+        rows = sorted(catalog.state().items())
+        return spark.createDataFrame(
+            rows or [], "name string, version int"
+        )
     m = _INSERT_RE.match(stmt)
     if m:
         df = spark.sql(_resolve_reads(spark, m.group("body"), catalog))

@@ -330,3 +330,24 @@ def test_sql_merge_using_time_travel_subquery(spark, tmp_path):
     """)
     got = {(r.k, r.v) for r in lake.read_table(spark, p).collect()}
     assert got == {(k, float(k)) for k in range(10)}
+
+
+def test_sql_describe_history_and_show_tables(spark, tmp_path):
+    from spype_spark.catalog import Catalog
+
+    p = str(tmp_path / "dh")
+    spype_spark.sql(spark, f"CREATE TABLE '{p}' AS SELECT id AS k FROM range(5)")
+    spype_spark.sql(spark, f"INSERT INTO '{p}' VALUES (9)")
+    h = spype_spark.sql(spark, f"DESCRIBE HISTORY '{p}'")
+    assert {r.version for r in h.collect()} == {0, 1}
+    cat = Catalog(str(tmp_path / "shcat"))
+    spype_spark.sql(
+        spark, "CREATE TABLE t1 AS SELECT 1 AS x", catalog=cat
+    )
+    spype_spark.sql(
+        spark, "CREATE TABLE t2 AS SELECT 2 AS x", catalog=cat
+    )
+    rows = spype_spark.sql(spark, "SHOW TABLES", catalog=cat).collect()
+    assert {(r.name, r.version) for r in rows} == {("t1", 0), ("t2", 0)}
+    hc = spype_spark.sql(spark, "DESCRIBE HISTORY t1", catalog=cat)
+    assert [r.version for r in hc.collect()] == [0]
