@@ -363,6 +363,13 @@ def _has_user_alias(m: re.Match) -> bool:
     return am is not None and am.group(1).upper() not in _NOT_ALIAS
 
 
+def _inside_string(stmt: str, pos: int) -> bool:
+    """Is ``pos`` inside a single-quoted SQL string literal? Counting
+    quotes before it works for the '' escape too (each doubled quote
+    flips the parity twice)."""
+    return stmt.count("'", 0, pos) % 2 == 1
+
+
 def _resolve_reads(spark: SparkSession, stmt: str, catalog) -> str:
     """Rewrite lakehouse table refs inside a SELECT-shaped statement to
     generated temp views backed by the Python read surface —
@@ -375,6 +382,8 @@ def _resolve_reads(spark: SparkSession, stmt: str, catalog) -> str:
     import datetime as _dt
 
     def _path_ref(m: re.Match) -> str:
+        if _inside_string(m.string, m.start()):
+            return m.group(0)  # 'FROM' text inside a string literal
         ver = int(m.group("ver")) if m.group("ver") is not None else None
         ts = None
         if m.group("ts") is not None:
@@ -394,7 +403,9 @@ def _resolve_reads(spark: SparkSession, stmt: str, catalog) -> str:
     names = set(catalog.state())
 
     def _name_ref(m: re.Match) -> str:
-        if m.group("name") not in names:
+        if m.group("name") not in names or _inside_string(
+            m.string, m.start()
+        ):
             return m.group(0)  # not a catalog table — Spark's problem
         txn = int(m.group("txn")) if m.group("txn") is not None else None
         df = catalog.read(spark, m.group("name"), txn=txn)

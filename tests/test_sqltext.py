@@ -351,3 +351,22 @@ def test_sql_describe_history_and_show_tables(spark, tmp_path):
     assert {(r.name, r.version) for r in rows} == {("t1", 0), ("t2", 0)}
     hc = spype_spark.sql(spark, "DESCRIBE HISTORY t1", catalog=cat)
     assert [r.version for r in hc.collect()] == [0]
+
+
+def test_sql_read_refs_ignore_string_literals(spark, tmp_path):
+    """'FROM x' text INSIDE a string literal must not be rewritten —
+    the ref resolver checks quote parity before touching a match."""
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "qcat"))
+    spype_spark.sql(
+        spark, "CREATE TABLE t AS SELECT id AS k FROM range(3)", catalog=cat
+    )
+    r = spype_spark.sql(
+        spark,
+        "SELECT k, 'copied FROM t yesterday' AS note FROM t WHERE k = 1",
+        catalog=cat,
+    ).collect()
+    assert r == [(1, "copied FROM t yesterday")] or (
+        r[0].k == 1 and r[0].note == "copied FROM t yesterday"
+    )
