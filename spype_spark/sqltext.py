@@ -162,7 +162,7 @@ def _parse_merge(spark: SparkSession, stmt: str, catalog=None):
         # the USING subquery may itself reference lakehouse tables
         # ('path' VERSION AS OF n / catalog names) — resolve them the
         # same way a SELECT statement would
-        spark.sql(_resolve_reads(spark, m.group("subq"), catalog))
+        _sql_resolved(spark, m.group("subq"), catalog)
         if m.group("subq") is not None
         else spark.table(m.group("view"))
     )
@@ -370,7 +370,22 @@ def _inside_string(stmt: str, pos: int) -> bool:
     return stmt.count("'", 0, pos) % 2 == 1
 
 
-def _resolve_reads(spark: SparkSession, stmt: str, catalog) -> str:
+def _sql_resolved(spark: SparkSession, stmt: str, catalog) -> DataFrame:
+    """``spark.sql`` over a statement with lakehouse refs resolved —
+    and the per-statement temp views dropped again immediately: Spark
+    analyzes the query eagerly, so the returned frame's plan holds the
+    resolved relations and the views are pure parser plumbing (leaving
+    them registered would leak one catalog entry per statement)."""
+    views: list[str] = []
+    df = spark.sql(_resolve_reads(spark, stmt, catalog, views))
+    for v in views:
+        spark.catalog.dropTempView(v)
+    return df
+
+
+def _resolve_reads(
+    spark: SparkSession, stmt: str, catalog, views: list[str] | None = None
+) -> str:
     """Rewrite lakehouse table refs inside a SELECT-shaped statement to
     generated temp views backed by the Python read surface —
     ``'<path>' [VERSION AS OF n | TIMESTAMP AS OF 'ts']`` through
@@ -378,8 +393,14 @@ def _resolve_reads(spark: SparkSession, stmt: str, catalog) -> str:
     catalog-state names ``name [TXN AS OF n]`` through
     :meth:`Catalog.read` — then hand the rewritten text to Spark's own
     parser. Views are per-statement throwaways; Spark resolves them at
-    analysis time, so they never collide across statements."""
+    analysis time, so they never collide across statements. Created
+    view names are appended to ``views`` (if given) so the caller can
+    drop them after analysis (:func:`_sql_resolved`)."""
     import datetime as _dt
+
+    def _track(view: str) -> None:
+        if views is not None:
+            views.append(view)
 
     def _path_ref(m: re.Match) -> str:
         if _inside_string(m.string, m.start()):
@@ -395,6 +416,7 @@ def _resolve_reads(spark: SparkSession, stmt: str, catalog) -> str:
         _VIEW_SEQ[0] += 1
         view = f"__spype_sql_{_VIEW_SEQ[0]}"
         df.createOrReplaceTempView(view)
+        _track(view)
         return f"{m.group('kw')} {view}"
 
     stmt = _READ_REF_RE.sub(_path_ref, stmt)
@@ -412,6 +434,7 @@ def _resolve_reads(spark: SparkSession, stmt: str, catalog) -> str:
         _VIEW_SEQ[0] += 1
         view = f"__spype_sql_{_VIEW_SEQ[0]}"
         df.createOrReplaceTempView(view)
+        _track(view)
         if _has_user_alias(m):
             return f"{m.group('kw')} {view}"  # their alias follows
         # keep the original name addressable (t.col refs in the query)
@@ -558,7 +581,7 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
         )
     m = _INSERT_RE.match(stmt)
     if m:
-        df = spark.sql(_resolve_reads(spark, m.group("body"), catalog))
+        df = _sql_resolved(spark, m.group("body"), catalog)
         ref = _tref(m, "tgt", catalog)
         tgt = (
             lake.read_table(spark, ref)
@@ -585,7 +608,7 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
             return txn.append(df, ref)
     m = _CREATE_RE.match(stmt)
     if m:
-        df = spark.sql(_resolve_reads(spark, m.group("body"), catalog))
+        df = _sql_resolved(spark, m.group("body"), catalog)
         pby = (
             _parse_partition_spec(m.group("pspec"))
             if m.group("pspec") is not None
@@ -597,6 +620,6 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
         with catalog.transaction(spark) as txn:
             return txn.write(df, ref, partition_by=pby)
     if re.match(r"^\s*(SELECT|WITH)\b", stmt, re.IGNORECASE):
-        return spark.sql(_resolve_reads(spark, stmt, catalog))
+        return _sql_resolved(spark, stmt, catalog)
     # not a maintenance/read statement — Spark's own SQL surface
     return spark.sql(stmt)
