@@ -2347,6 +2347,8 @@ def q_lake_catalog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale = [
             t
             for df in f2.values()
+            # metadata-sized collect: distinct txn ids in one drain
+            # window, bounded by the record count, never by data
             for t in [r.txn for r in df.select("txn").distinct().collect()]
             if t <= 1
         ]
