@@ -173,3 +173,47 @@ def test_length_buckets_map_only_no_window(spark, sf001):
     assert "Window" not in plan
     assert "rangepartitioning" not in plan.lower()
     assert "HashAggregate" in plan
+
+
+def test_zipf_topk_is_take_ordered_no_global_sort(spark, sf001):
+    """The vocabulary top-k must be TakeOrderedAndProject (per-partition
+    heaps) — a global Sort before the limit would serialize the whole
+    vocabulary through one partition at corpus scale."""
+    df = REGISTRY["q_text_zipf"].fn(spark, sf001)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_slab_pruned_scan_reads_only_matching_files(spark, sf001):
+    """The slab-pruned contract's returned frame must read only the
+    requested partitions' files — slab pruning cuts the file list
+    BEFORE Spark plans the scan, so inputFiles is the pruned set."""
+    df = REGISTRY["q_lake_scan_slab_pruned"].fn(spark, sf001)
+    # contract returns a localCheckpoint; re-derive the fixture check
+    # from the engine primitives instead (cheap, sf0.001)
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spype_spark import lakehouse as lake
+
+    tmp = tempfile.mkdtemp(prefix="plans_slab_")
+    try:
+        path = os.path.join(tmp, "t")
+        d = spark.createDataFrame(
+            [(k, k % 10) for k in range(1000)], "k long, p long"
+        )
+        lake.write_table(d.repartition(8), path, partition_by="p")
+        got = lake.scan_table(spark, path, partitions={"p": 4})
+        files = set(got.inputFiles())
+        assert files, "scan must read something"
+        assert all("__pv_p=4" in f for f in files), (
+            "slab/entry pruning must cut the file list to the "
+            "requested partition before Spark sees it"
+        )
+        assert {r.k % 10 for r in got.collect()} == {4}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert df.count() > 0
