@@ -301,6 +301,34 @@ def test_catalog_random_txn_sequences_match_model(spark, txns):
                     for r in cat.read(spark, name, txn=tid).collect()
                 }
                 assert got == snap[name], f"txn {tid} {name}: txns={txns}"
+        # catalog-grain CDF replay: the feed reconstructs every txn's
+        # key set exactly — inserts only of absent keys, deletes/
+        # updates only of present ones, cumulative key set per txn ==
+        # the committed snapshot's keys (pins changes() against the
+        # same model the reads are pinned against)
+        feeds = cat.changes(
+            spark, {"a": ["k"], "b": ["k"]}, txn_from=None
+        )
+        by_txn: dict = {"a": {}, "b": {}}
+        for name in ("a", "b"):
+            if name in feeds:
+                for r in feeds[name].collect():
+                    by_txn[name].setdefault(r.txn, []).append((r.k, r.op))
+        keys: dict = {"a": set(), "b": set()}
+        for tid, snap in enumerate(committed):
+            for name in ("a", "b"):
+                for k, op in by_txn[name].get(tid, []):
+                    if op == "insert":
+                        assert k not in keys[name], (tid, name, k, txns)
+                        keys[name].add(k)
+                    elif op == "delete":
+                        assert k in keys[name], (tid, name, k, txns)
+                        keys[name].remove(k)
+                    else:
+                        assert k in keys[name], (tid, name, k, txns)
+                assert keys[name] == set(snap[name]), (
+                    f"CDF replay diverged at txn {tid} {name}: txns={txns}"
+                )
     finally:
         _sh.rmtree(root, ignore_errors=True)
 
