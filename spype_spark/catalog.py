@@ -242,9 +242,13 @@ class Catalog:
         ranges: dict | None = None,
         nulls: dict | None = None,
         where=None,
+        since: int | None = None,
     ) -> DataFrame:
         """Manifest-pruned read (see :func:`lakehouse.scan_table`)
-        resolved through the log."""
+        resolved through the log. ``since`` is the incremental
+        append-scan knob, expressed in TABLE versions (as recorded in
+        the txn log's state maps — a consumer checkpoints
+        ``state(txn)[name]`` and passes it back here)."""
         st = self.state(txn)
         if name not in st:
             raise FileNotFoundError(f"no table {name!r} in catalog state")
@@ -256,6 +260,7 @@ class Catalog:
             ranges=ranges,
             nulls=nulls,
             where=where,
+            since=since,
         )
 
     def history(self, spark: SparkSession) -> DataFrame:

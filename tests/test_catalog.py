@@ -1282,3 +1282,17 @@ def test_catalog_changes_stream_resume_across_restart(spark, tmp_path):
     assert {(r.k, r.op) for r in f3["a"].collect()} == {(2, "insert")}
     assert "b" not in f3 or f3["b"].count() == 0 or \
         {(r.k, r.op) for r in f3["b"].collect()} == {(9, "delete")}
+
+
+def test_catalog_scan_since_incremental(spark, tmp_path):
+    """Catalog.scan(since=) reads exactly the files appended after a
+    consumer's checkpointed table version — the append fast path."""
+    cat = Catalog(str(tmp_path / "since_cat"))
+    with cat.transaction(spark) as t:
+        t.write(_df(spark, [(k, k) for k in range(10)]), "t")
+    v0 = cat.state()["t"]
+    with cat.transaction(spark) as t:
+        t.append(_df(spark, [(k, 0) for k in range(100, 105)]), "t")
+    got = {r.k for r in cat.scan(spark, "t", since=v0).collect()}
+    assert got == set(range(100, 105))
+    assert cat.scan(spark, "t", since=cat.state()["t"]).count() == 0
