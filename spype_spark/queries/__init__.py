@@ -118,7 +118,10 @@ _DRIVER_PRIORITY = [
     "q_lake_update",
     "q_stream_txn_sink",
     # ---- end of the 50-slot window ----
-    # Round-12 queue: oldest r7-evidence keys first, then registry order.
+    # Round-12 queue: the round-11 contract that didn't fit the window
+    # (4 new + the 46 mandated stale keys fill it exactly), then the
+    # oldest r7-evidence keys, then registry order.
+    "q_dataset_interleave",
     "q_stream_stream_left_join",
     "q_join_asof_nearest",
     "q_dedup_ngram_jaccard",

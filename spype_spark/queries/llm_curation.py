@@ -923,3 +923,57 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_share"),
         )
     )
+
+
+@query(
+    "q_dataset_interleave",
+    oracle="""
+    WITH idx AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR))
+             ) AS idx,
+             CASE WHEN source = 'src0' THEN 1
+                  WHEN source = 'src1' THEN 2
+                  ELSE 4 END AS stride
+      FROM documents
+    )
+    SELECT source, doc_id, idx, idx * stride AS pos_key
+    FROM idx
+    """,
+)
+def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC WEIGHTED SOURCE INTERLEAVE (stride scheduling,
+    the training-curriculum ordering op): each source's documents are
+    deterministically shuffled within the source (md5 order), then
+    assigned an all-integer position key ``idx * stride`` where
+    stride ∝ 1/weight (weights src0:4, src1:2, rest:1 → strides
+    1/2/4 over their LCM). Reading the dataset ordered by
+    ``(pos_key, source, idx)`` yields an interleave whose every
+    prefix holds the sources in weight proportion — without any
+    global shuffle or RNG state: the order is a pure function of
+    (doc_id, source), so it is resumable mid-epoch and identical
+    across cluster sizes.
+
+    Execution shape: ONE shuffle (the per-source window's hash
+    partitioning); the position key is map-side integer arithmetic.
+    The global sort is deliberately NOT materialized here — at 100 TB
+    ordering is the write's job (sortWithinPartitions by pos_key per
+    output shard); emitting the key keeps this operator shuffle-
+    minimal. All-integer keys → bit-exact oracle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    win = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string"))
+    )
+    stride = (
+        F.when(F.col("source") == "src0", F.lit(1))
+        .when(F.col("source") == "src1", F.lit(2))
+        .otherwise(F.lit(4))
+    )
+    return d.select(
+        "source",
+        "doc_id",
+        F.row_number().over(win).cast("long").alias("idx"),
+        (F.row_number().over(win).cast("long") * stride).alias("pos_key"),
+    )
