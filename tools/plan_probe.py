@@ -45,6 +45,14 @@ def build(spark, name: str, n_part: int, files_per: int, summaries: bool):
     seed_file = next(
         os.path.join(seed, n) for n in os.listdir(seed) if n.endswith(".parquet")
     )
+    # a single inode caps at ~65k hardlinks — rotate physical copies
+    n_seeds = max(1, (n_part * files_per) // 30_000 + 1)
+    seed_files = [seed_file]
+    for i in range(1, n_seeds):
+        sf = f"{seed_file}.copy{i}"
+        if not os.path.exists(sf):
+            shutil.copyfile(seed_file, sf)
+        seed_files.append(sf)
     schema_json = json.loads(
         spark.createDataFrame([], "k long, v long, p long").schema.json()
     )
@@ -57,7 +65,8 @@ def build(spark, name: str, n_part: int, files_per: int, summaries: bool):
         step = SPAN // files_per
         for j in range(files_per):
             fn = f"part-{j:05d}.parquet"
-            os.link(seed_file, os.path.join(d, fn))
+            os.link(seed_files[(p * files_per + j) % n_seeds],
+                    os.path.join(d, fn))
             lo = base + j * step
             entries.append(
                 {
