@@ -401,11 +401,24 @@ class Catalog:
             t for t in ts if (txn_from is None or t > txn_from) and t <= hi
         ]
         out: dict[str, DataFrame] = {}
+        retained = set(ts)
         for t in window:
             rec = self._record(t)
-            before = (
-                self.state(rec["base"]) if rec.get("base") is not None else {}
-            )
+            base = rec.get("base")
+            if base is not None and base not in retained:
+                # the record's base predates the retained log (vacuum
+                # dropped it) — same descriptive cannot-resume error as
+                # CatalogChangesStream.drain, not a raw FileNotFoundError
+                # from _record (ADVICE r11); full-history replay
+                # (txn_from=None / from_txn=-1) lands here too.
+                raise FileNotFoundError(
+                    f"txn {t} of {self.root} references base record "
+                    f"{base}, which was vacuumed; the change window "
+                    f"cannot be replayed without a gap — restart from "
+                    f"an explicit txn at or after the retained log "
+                    f"floor ({ts[0]})"
+                )
+            before = self.state(base) if base is not None else {}
             after = rec["tables"]
             for name in sorted(set(before) | set(after)):
                 old_v, new_v = before.get(name), after.get(name)

@@ -40,7 +40,9 @@ Example::
 
 from __future__ import annotations
 
+import itertools as _itertools
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -343,7 +345,17 @@ def _parse_partition_spec(pspec: str):
     return out
 
 
-_VIEW_SEQ = [0]  # process-local generated-view counter
+# Generated-view names must be collision-proof: ``itertools.count`` is
+# a single atomic bytecode step in CPython (no read-modify-write race
+# between concurrent sql() calls on one SparkSession), and the uuid
+# suffix keeps names unique even across interpreter forks that might
+# share a session (ADVICE r11: a raced counter + createOrReplaceTempView
+# silently clobbers the other statement's view before analysis).
+_VIEW_SEQ = _itertools.count(1)
+
+
+def _fresh_view() -> str:
+    return f"__spype_sql_{next(_VIEW_SEQ)}_{uuid.uuid4().hex[:8]}"
 
 # words that may follow a table ref and are NOT a user alias — used to
 # decide whether a rewritten bare-name ref needs `AS <original name>`
@@ -364,10 +376,81 @@ def _has_user_alias(m: re.Match) -> bool:
 
 
 def _inside_string(stmt: str, pos: int) -> bool:
-    """Is ``pos`` inside a single-quoted SQL string literal? Counting
-    quotes before it works for the '' escape too (each doubled quote
-    flips the parity twice)."""
-    return stmt.count("'", 0, pos) % 2 == 1
+    """Is ``pos`` inside a single-quoted SQL string literal? A real
+    scan, not quote-parity counting: Spark's default string literals
+    escape a quote BOTH as ``''`` and as ``\\'`` (ADVICE r11 — a raw
+    count flips parity on ``'see \\' FROM t'`` and rewrites the FROM
+    inside the literal while skipping real refs after it)."""
+    inside = False
+    i = 0
+    while i < pos:
+        ch = stmt[i]
+        if inside:
+            if ch == "\\":
+                i += 2  # backslash escape consumes the next char
+                continue
+            if ch == "'":
+                if i + 1 < len(stmt) and stmt[i + 1] == "'":
+                    i += 2  # '' escape — still inside
+                    continue
+                inside = False
+        elif ch == "'":
+            inside = True
+        i += 1
+    return inside
+
+
+# a CTE (or WINDOW-clause) definition header: ``<name> AS (``. In SQL
+# text an identifier directly followed by ``AS (`` occurs only in these
+# definition positions — never in FROM/JOIN refs (``t AS x(a, b)`` puts
+# the paren after the ALIAS, not after AS) — so collecting them is a
+# sound CTE-name census without a full parser.
+_CTE_DEF_RE = re.compile(r"\b([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+
+
+def _cte_spans(stmt: str) -> dict[str, list[tuple[int, int]]]:
+    """For each ``WITH <name> AS (…)`` definition in the statement
+    (top-level and nested), the (start, end) span of its own body.
+
+    SQL scoping says a CTE SHADOWS a same-named catalog table
+    everywhere it is in scope (Spark/Delta behavior) — EXCEPT inside
+    its own non-recursive definition body, where the name still means
+    the outer relation. The bare-name catalog rewrite therefore skips
+    a CTE name outside these spans and rewrites it inside them
+    (ADVICE r11: the rewriter used to silently prefer the catalog
+    table everywhere — wrong results with no error)."""
+    spans: dict[str, list[tuple[int, int]]] = {}
+    n = len(stmt)
+    for m in _CTE_DEF_RE.finditer(stmt):
+        if _inside_string(stmt, m.start()):
+            continue
+        open_i = m.end() - 1  # the '(' the regex anchored on
+        depth, i = 0, open_i
+        while i < n:
+            ch = stmt[i]
+            if ch == "'":  # skip the whole literal (both escapes)
+                i += 1
+                while i < n:
+                    if stmt[i] == "\\":
+                        i += 2
+                        continue
+                    if stmt[i] == "'":
+                        if i + 1 < n and stmt[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    spans.setdefault(m.group(1), []).append(
+                        (open_i + 1, i)
+                    )
+                    break
+            i += 1
+    return spans
 
 
 def _sql_resolved(spark: SparkSession, stmt: str, catalog) -> DataFrame:
@@ -413,8 +496,7 @@ def _resolve_reads(
                 t = t.replace(tzinfo=_dt.timezone.utc)
             ts = t.timestamp()
         df = lake.read_table(spark, m.group("path"), version=ver, timestamp=ts)
-        _VIEW_SEQ[0] += 1
-        view = f"__spype_sql_{_VIEW_SEQ[0]}"
+        view = _fresh_view()
         df.createOrReplaceTempView(view)
         _track(view)
         return f"{m.group('kw')} {view}"
@@ -423,16 +505,23 @@ def _resolve_reads(
     if catalog is None:
         return stmt
     names = set(catalog.state())
+    # computed on the post-path-rewrite text so spans line up with the
+    # match positions _name_ref sees
+    cte = _cte_spans(stmt)
 
     def _name_ref(m: re.Match) -> str:
-        if m.group("name") not in names or _inside_string(
-            m.string, m.start()
-        ):
+        name = m.group("name")
+        if name not in names or _inside_string(m.string, m.start()):
             return m.group(0)  # not a catalog table — Spark's problem
+        if name in cte and not any(
+            s <= m.start() < e for s, e in cte[name]
+        ):
+            # a CTE shadows the same-named catalog table everywhere
+            # except inside its own definition body
+            return m.group(0)
         txn = int(m.group("txn")) if m.group("txn") is not None else None
         df = catalog.read(spark, m.group("name"), txn=txn)
-        _VIEW_SEQ[0] += 1
-        view = f"__spype_sql_{_VIEW_SEQ[0]}"
+        view = _fresh_view()
         df.createOrReplaceTempView(view)
         _track(view)
         if _has_user_alias(m):

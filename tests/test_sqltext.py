@@ -370,3 +370,99 @@ def test_sql_read_refs_ignore_string_literals(spark, tmp_path):
     assert r == [(1, "copied FROM t yesterday")] or (
         r[0].k == 1 and r[0].note == "copied FROM t yesterday"
     )
+
+
+def test_sql_cte_shadows_catalog_table(spark, tmp_path):
+    """A CTE that shares a name with a catalog table SHADOWS it (SQL
+    scoping; ADVICE r11) — except inside its own definition body,
+    where the name still means the catalog table."""
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "ctecat"))
+    spype_spark.sql(
+        spark, "CREATE TABLE t AS SELECT id AS k FROM range(10)", catalog=cat
+    )
+    # inner FROM t = the 10-row catalog table; outer FROM t = the CTE
+    n = spype_spark.sql(
+        spark,
+        "WITH t AS (SELECT k FROM t WHERE k < 3) SELECT count(*) AS n FROM t",
+        catalog=cat,
+    ).collect()[0].n
+    assert n == 3
+    # a DIFFERENTLY-named CTE referencing the catalog table still works,
+    # and a later CTE sees the earlier CTE, not the catalog table
+    spype_spark.sql(
+        spark, "CREATE TABLE u AS SELECT id AS k FROM range(7)", catalog=cat
+    )
+    n2 = spype_spark.sql(
+        spark,
+        "WITH u AS (SELECT k FROM u WHERE k < 5), "
+        "w AS (SELECT k FROM u WHERE k < 2) "
+        "SELECT count(*) AS n FROM w",
+        catalog=cat,
+    ).collect()[0].n
+    assert n2 == 2
+
+
+def test_sql_string_escapes_dont_break_ref_parity(spark, tmp_path):
+    """Backslash-escaped quotes inside literals (ADVICE r11) must not
+    flip the in-string parity: 'FROM t' inside such a literal stays
+    text, and a REAL ref after the literal is still resolved."""
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "esccat"))
+    spype_spark.sql(
+        spark, "CREATE TABLE t AS SELECT id AS k FROM range(4)", catalog=cat
+    )
+    r = spype_spark.sql(
+        spark,
+        r"SELECT k, 'see \' FROM t' AS note FROM t WHERE k = 2",
+        catalog=cat,
+    ).collect()
+    assert len(r) == 1 and r[0].k == 2
+    assert r[0].note == "see ' FROM t"
+    # the '' escape keeps working too
+    r2 = spype_spark.sql(
+        spark,
+        "SELECT k, 'it''s FROM t' AS note FROM t WHERE k = 3",
+        catalog=cat,
+    ).collect()
+    assert len(r2) == 1 and r2[0].k == 3 and r2[0].note == "it's FROM t"
+
+
+def test_sql_view_names_are_collision_proof():
+    """Generated temp-view names carry an atomic counter AND a uuid
+    suffix (ADVICE r11: a raced plain counter could mint duplicate
+    names and clobber a concurrent statement's view)."""
+    a, b = sqltext._fresh_view(), sqltext._fresh_view()
+    assert a != b and a.startswith("__spype_sql_") and len(a.split("_")[-1]) == 8
+
+
+def test_catalog_changes_after_vacuum_raises_descriptive(spark, tmp_path):
+    """Full-history replay over a vacuumed log floor raises the same
+    descriptive cannot-resume error as the stream guard, not a raw
+    FileNotFoundError from a missing record file (ADVICE r11)."""
+    import pytest as _pytest
+
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "vaccat"))
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    with cat.transaction(spark) as txn:
+        txn.write(df, "t")
+    for i in range(3):
+        with cat.transaction(spark) as txn:
+            txn.append(spark.createDataFrame([(i + 2, 1)], "k long, v long"), "t")
+    cat.vacuum(keep_last=2, grace_seconds=0.0)
+    with _pytest.raises(FileNotFoundError, match="cannot be replayed"):
+        cat.changes(spark, {"t": ["k"]})  # txn_from=None = full history
+    # the surviving window still replays fine
+    ts = cat.txns()
+    feeds = cat.changes(spark, {"t": ["k"]}, txn_from=ts[0])
+    assert feeds["t"].count() > 0
+    # and the stream's full-history path (-1) gets the same error
+    stream = cat.read_changes_stream(
+        spark, {"t": ["k"]}, str(tmp_path / "vchk"), from_txn=-1
+    )
+    with _pytest.raises(FileNotFoundError, match="cannot be replayed"):
+        stream.drain()
