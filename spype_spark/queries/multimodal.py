@@ -27,15 +27,17 @@ from pyspark.sql import functions as F
 from spype_spark.registry import query
 from spype_spark.tables import load_table
 
-from spype_spark.codecs import decode_bmp, decode_wav
+from spype_spark.codecs import decode_bmp, decode_png, decode_wav
 
-#: Real decoders, keyed by mime type. BMP (uncompressed 24-bpp) and
-#: WAV (integer PCM) ship in-repo as dependency-free parsers
-#: (:mod:`spype_spark.codecs`); anything else (JPEG/PNG/MP4…) needs a
+#: Real decoders, keyed by mime type. BMP (uncompressed 24-bpp), WAV
+#: (integer PCM), and PNG (8-bit RGB/RGBA, zlib inflate + all five
+#: scanline filters) ship in-repo as dependency-free parsers
+#: (:mod:`spype_spark.codecs`); anything else (JPEG/MP4…) needs a
 #: codec library this container lacks and hits the seam below.
 REAL_DECODERS: dict[str, object] = {
     "image/bmp": decode_bmp,
     "audio/wav": decode_wav,
+    "image/png": decode_png,
 }
 
 
@@ -200,6 +202,98 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "doc_id long, n_frames long, brightness double, "
         "first_frame_sum long, bmp_h long, px_micro_mean long",
+    )
+
+
+@query(
+    "q_multimodal_png",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, strlen(text) AS len,
+             GREATEST(1, CAST(ceil(strlen(text) / 48.0) AS BIGINT)) AS h,
+             COALESCE(list_sum(list_transform(
+                 range(1, strlen(text) + 1),
+                 i -> ascii(substring(text, i, 1)))), 0) AS byte_sum
+      FROM documents
+    )
+    SELECT doc_id,
+           h AS png_h,
+           CAST(floor(byte_sum * 10000.0 / (h * 48) + 0.5) AS BIGINT)
+             AS px_micro_mean,
+           CAST(COALESCE(list_sum(list_transform(
+                    range(1, least(len, 48) + 1),
+                    i -> ascii(substring(text, i, 1)))), 0) AS BIGINT)
+             AS first_row_sum
+    FROM t
+    """,
+)
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode through the REAL in-repo parser — zlib IDAT inflate
+    plus ALL FIVE scanline filters exercised per image.
+
+    Each payload's bytes are wrapped into a genuine 8-bit RGB PNG
+    (16 px wide → 48-byte rows, zero-filled to the last row) with the
+    per-row filter CYCLING 0→4 (:func:`spype_spark.codecs.encode_png`
+    ``filters="cycle"``), then decoded back through
+    :data:`REAL_DECODERS`'s PNG parser (chunk CRC validation, inflate,
+    None/Sub/Up/Average/Paeth unfilter) inside one Arrow
+    ``mapInPandas`` pass. Features: decoded height, the scaled-integer
+    pixel mean floor(sum·1e4/(h·48) + 0.5), and the FIRST-ROW byte sum
+    — which proves the unfilter chain reconstructed row content and
+    order, not just totals (a filter bug scrambles rows; zero-fill is
+    additive identity, so DuckDB recomputes every feature exactly on
+    the ASCII corpus). The contract raises in-flight if the decoded
+    geometry, channel count, or pixel bytes disagree with the encode
+    input — a codec regression fails the driver gate, not just a unit
+    test. Closes the ROADMAP codec-seam limitation for the web's
+    dominant lossless format with zero new dependencies (stdlib zlib).
+    """
+    import math
+
+    import pandas as pd
+
+    from spype_spark.codecs import encode_png
+
+    d = load_table(spark, sf_dir, "documents").repartition(32)
+    m = with_payload(d)
+    # driver-resolved, closure-captured: codecs ships by value
+    dec_png = REAL_DECODERS["image/png"]
+
+    def decode(batches):
+        for pdf in batches:
+            png_h, px_micro, row0 = [], [], []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                h = max(1, -(-len(b) // 48))
+                px = b + b"\x00" * (h * 48 - len(b))
+                img = dec_png(encode_png(px, 16, h, filters="cycle"))
+                if (
+                    img["width"] != 16
+                    or img["height"] != h
+                    or img["channels"] != 3
+                    or img["pixels"] != px
+                ):
+                    raise AssertionError(
+                        f"PNG round-trip broke: {img['width']}x"
+                        f"{img['height']}x{img['channels']} for 16x{h}x3"
+                    )
+                png_h.append(h)
+                px_micro.append(
+                    int(math.floor(sum(img["pixels"]) * 10000.0 / (h * 48) + 0.5))
+                )
+                row0.append(sum(img["pixels"][:48]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "png_h": png_h,
+                    "px_micro_mean": px_micro,
+                    "first_row_sum": row0,
+                }
+            )
+
+    return m.select("doc_id", "payload").mapInPandas(
+        decode,
+        "doc_id long, png_h long, px_micro_mean long, first_row_sum long",
     )
 
 

@@ -151,3 +151,104 @@ def test_real_decoders_registered():
     assert _decode_real("image/bmp", payload)["pixels"] == expect
     with pytest.raises(NotImplementedError):
         _decode_real("image/jpeg", b"\xff\xd8\xff")
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+from spype_spark.codecs import decode_png, encode_png  # noqa: E402
+
+
+def _gradient_pixels(width: int, height: int, channels: int) -> bytes:
+    return bytes(
+        (x * 7 + y * 13 + c * 31) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(channels)
+    )
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+@pytest.mark.parametrize("filters", ["none", 1, 2, 3, 4, "cycle"])
+def test_png_round_trip_all_filters(channels, filters):
+    """Every scanline filter (and the cycle fixture mode) round-trips
+    byte-exactly for RGB and RGBA."""
+    px = _gradient_pixels(5, 7, channels)
+    img = decode_png(encode_png(px, 5, 7, channels=channels, filters=filters))
+    assert (img["width"], img["height"], img["channels"]) == (5, 7, channels)
+    assert img["pixels"] == px
+
+
+def test_png_hand_built_with_ancillary_and_split_idat():
+    """A parser-shaped file: ancillary tEXt chunk between IHDR and the
+    IDATs, and the deflate stream SPLIT across two IDAT chunks — both
+    legal per spec and emitted by real encoders."""
+    import struct as _s
+    import zlib as _z
+
+    from spype_spark.codecs import _png_chunk
+
+    px = _gradient_pixels(4, 3, 3)
+    raw = b"".join(
+        b"\x00" + px[y * 12 : (y + 1) * 12] for y in range(3)
+    )
+    z = _z.compress(raw, 6)
+    ihdr = _s.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"Comment\x00hand built")
+        + _png_chunk(b"IDAT", z[: len(z) // 2])
+        + _png_chunk(b"IDAT", z[len(z) // 2 :])
+        + _png_chunk(b"IEND", b"")
+    )
+    img = decode_png(payload)
+    assert img["pixels"] == px and img["width"] == 4 and img["height"] == 3
+
+
+def test_png_rejects_malformed():
+    px = _gradient_pixels(4, 4, 3)
+    good = encode_png(px, 4, 4, filters="cycle")
+    # bad signature
+    with pytest.raises(ValueError):
+        decode_png(b"\x88" + good[1:])
+    # CRC flip in IHDR
+    bad = bytearray(good)
+    bad[29] ^= 0xFF  # inside IHDR's CRC field
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # 16-bit depth out of profile
+    bad = bytearray(good)
+    bad[24] = 16
+    import struct as _s
+    import zlib as _z
+    bad[29:33] = _s.pack(">I", _z.crc32(b"IHDR" + bytes(bad[16:29])) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(bytes(bad))
+    # grayscale (color type 0) out of profile
+    bad = bytearray(good)
+    bad[25] = 0
+    bad[29:33] = _s.pack(">I", _z.crc32(b"IHDR" + bytes(bad[16:29])) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="RGB"):
+        decode_png(bytes(bad))
+    # truncated: IEND missing
+    with pytest.raises(ValueError, match="IHDR/IEND"):
+        decode_png(good[:-12])
+    # corrupt deflate stream inside a CRC-valid IDAT
+    from spype_spark.codecs import _png_chunk
+    sig_ihdr = good[: 8 + 25]
+    with pytest.raises(ValueError, match="IDAT|scanline"):
+        decode_png(sig_ihdr + _png_chunk(b"IDAT", b"junk") + _png_chunk(b"IEND", b""))
+    # scanline byte count mismatch (valid zlib, wrong length)
+    short = _z.compress(b"\x00" + bytes(11), 6)  # one 4px RGB row missing a byte
+    with pytest.raises(ValueError, match="scanline"):
+        decode_png(sig_ihdr + _png_chunk(b"IDAT", short) + _png_chunk(b"IEND", b""))
+
+
+def test_png_registered_in_real_decoders():
+    from spype_spark.queries.multimodal import REAL_DECODERS, _decode_real
+
+    assert REAL_DECODERS["image/png"] is decode_png
+    px = _gradient_pixels(2, 2, 3)
+    assert _decode_real("image/png", encode_png(px, 2, 2))["pixels"] == px
