@@ -2442,3 +2442,73 @@ def q_lake_scan_slab_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delta_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'v1' AS snap
+    FROM orders WHERE o_orderkey % 4 < 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'head' AS snap
+    FROM orders
+    """,
+)
+def q_lake_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interop read of a Delta Lake transaction log — pure Python, no
+    jars (:mod:`spype_spark.delta_interop`).
+
+    The contract fabricates a SPEC-SHAPED Delta table from ``orders``
+    (Hive-partitioned by ``o_orderstatus``): v0 writes keys with
+    ``o_orderkey % 4 < 2``, v1 appends ``% 4 = 2``, a classic
+    single-file parquet checkpoint + ``_last_checkpoint`` lands at v1,
+    v2 appends ``% 4 = 3`` — then the PRE-CHECKPOINT JSON commits are
+    deleted (metadata cleanup, exactly what real Delta retention
+    does). The read back therefore MUST replay the parquet checkpoint
+    (the JSONs are gone — a reader that ignores it fails loudly
+    in-contract) plus the post-checkpoint commit, resolve Hive-style
+    partition directories against each add's ``partitionValues``, and
+    time-travel to v1. Result: the v1 snapshot ∪ the head snapshot,
+    tagged — the oracle replays both relationally from ``orders``
+    (modulo predicates, corpus-safe at every sf).
+    """
+    import os
+
+    from spype_spark import delta_interop as dl
+
+    tmp = _scratch("spype_delta_read_")
+    try:
+        path = f"{tmp}/orders_delta"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        dl.write_delta(
+            spark,
+            o.filter(F.col("o_orderkey") % 4 < 2),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        dl.write_delta(
+            spark, o.filter(F.col("o_orderkey") % 4 == 2), path, mode="append"
+        )
+        if dl.checkpoint_delta(spark, path) != 1:
+            raise AssertionError("checkpoint did not land at version 1")
+        dl.write_delta(
+            spark, o.filter(F.col("o_orderkey") % 4 == 3), path, mode="append"
+        )
+        # metadata cleanup: v0/v1 JSON commits gone — the checkpoint is
+        # now the ONLY source for the pre-v2 state
+        os.unlink(dl._commit_path(path, 0))
+        os.unlink(dl._commit_path(path, 1))
+        v1 = dl.read_delta(spark, path, version=1).withColumn(
+            "snap", F.lit("v1")
+        )
+        head = dl.read_delta(spark, path).withColumn("snap", F.lit("head"))
+        return (
+            v1.unionByName(head)
+            .select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+                "snap",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

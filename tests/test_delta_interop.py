@@ -1,0 +1,158 @@
+"""Delta Lake log interop (spype_spark/delta_interop.py): the reader
+must replay spec-shaped JSON commits + parquet checkpoints, honor
+partitionValues as authoritative, time-travel by version, and FAIL
+LOUDLY on protocol features it cannot honor."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spype_spark import delta_interop as dl
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") % 3).cast("int").alias("p"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_delta_round_trip_unpartitioned(spark, tmp_path):
+    p = str(tmp_path / "t")
+    v = dl.write_delta(spark, _df(spark, 0, 10), p)
+    assert v == 0
+    got = dl.read_delta(spark, p)
+    assert got.schema.simpleString() == "struct<k:bigint,v:bigint,p:int>"
+    assert _rows(got) == _rows(_df(spark, 0, 10))
+
+
+def test_delta_append_overwrite_time_travel(spark, tmp_path):
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 5), p)
+    dl.write_delta(spark, _df(spark, 5, 8), p, mode="append")
+    assert _rows(dl.read_delta(spark, p)) == _rows(_df(spark, 0, 8))
+    assert _rows(dl.read_delta(spark, p, version=0)) == _rows(_df(spark, 0, 5))
+    v = dl.write_delta(spark, _df(spark, 100, 103), p, mode="overwrite")
+    assert v == 2
+    assert _rows(dl.read_delta(spark, p)) == _rows(_df(spark, 100, 103))
+    assert _rows(dl.read_delta(spark, p, version=1)) == _rows(_df(spark, 0, 8))
+    h = dl.delta_history(spark, p).collect()
+    assert [(r.version, r.n_added > 0, r.n_removed > 0) for r in h] == [
+        (0, True, False),
+        (1, True, False),
+        (2, True, True),
+    ]
+
+
+def test_delta_partitioned_hive_layout(spark, tmp_path):
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 12), p, partition_by=["p"])
+    # the writer produced Hive-style dirs; the reader must take the
+    # single-scan path and still type the partition column per schema
+    got = dl.read_delta(spark, p)
+    assert dict(got.dtypes)["p"] == "int"
+    assert _rows(got.select("k", "v", "p")) == _rows(
+        _df(spark, 0, 12).select("k", "v", "p")
+    )
+    # partition pruning works on the discovered column
+    assert got.filter(F.col("p") == 1).count() == 4
+
+
+def test_delta_partition_values_are_authoritative(spark, tmp_path):
+    """An add whose path DISAGREES with its partitionValues must read
+    the partitionValues (spec), via the group-scan fallback."""
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 6), p, partition_by=["p"])
+    # rewrite commit 0: point every add's partitionValues at p=7
+    cpath = dl._commit_path(p, 0)
+    actions = [json.loads(x) for x in open(cpath) if x.strip()]
+    for a in actions:
+        if "add" in a:
+            a["add"]["partitionValues"] = {"p": "7"}
+    with open(cpath, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    got = dl.read_delta(spark, p)
+    assert {r.p for r in got.select("p").distinct().collect()} == {7}
+    assert got.count() == 6
+    assert dict(got.dtypes)["p"] == "int"
+
+
+def test_delta_checkpoint_and_log_cleanup(spark, tmp_path):
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 4), p)
+    dl.write_delta(spark, _df(spark, 4, 6), p, mode="append")
+    v = dl.checkpoint_delta(spark, p)
+    assert v == 1
+    assert json.load(open(os.path.join(p, "_delta_log", "_last_checkpoint")))[
+        "version"
+    ] == 1
+    dl.write_delta(spark, _df(spark, 6, 7), p, mode="append")
+    # simulate metadata cleanup: drop the pre-checkpoint JSON commits
+    os.unlink(dl._commit_path(p, 0))
+    os.unlink(dl._commit_path(p, 1))
+    assert _rows(dl.read_delta(spark, p)) == _rows(_df(spark, 0, 7))
+    # time travel to the checkpointed version works WITHOUT the JSONs
+    assert _rows(dl.read_delta(spark, p, version=1)) == _rows(_df(spark, 0, 6))
+    # …but behind the checkpoint the history is gone — loud error
+    with pytest.raises(FileNotFoundError, match="missing commit"):
+        dl.read_delta(spark, p, version=0)
+
+
+def test_delta_remove_action_honored(spark, tmp_path):
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 8).repartition(2), p)
+    meta, adds, _ = dl._replay(spark, p, None)
+    assert len(adds) == 2
+    drop = sorted(a["path"] for a in adds)[0]
+    with open(dl._commit_path(p, 1), "w") as f:
+        f.write(json.dumps({"remove": {"path": drop, "dataChange": True}}) + "\n")
+    kept = dl.read_delta(spark, p)
+    assert 0 < kept.count() < 8
+    _, adds1, _ = dl._replay(spark, p, None)
+    assert sorted(a["path"] for a in adds1) == sorted(
+        a["path"] for a in adds if a["path"] != drop
+    )
+
+
+def test_delta_protocol_gate(spark, tmp_path):
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 3), p)
+    with open(dl._commit_path(p, 1), "w") as f:
+        f.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="minReaderVersion 2"):
+        dl.read_delta(spark, p)
+    with open(dl._commit_path(p, 1), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="deletionVectors"):
+        dl.read_delta(spark, p)
+    # version 0 predates the protocol bump and still reads
+    assert dl.read_delta(spark, p, version=0).count() == 3
+
+
+def test_delta_not_a_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="not a Delta table"):
+        dl.read_delta(spark, str(tmp_path / "nope"))
