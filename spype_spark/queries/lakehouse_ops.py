@@ -2512,3 +2512,84 @@ def q_lake_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_sql_ddl",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_custkey AS BIGINT) AS cust,
+           o_totalprice AS price,
+           o_orderstatus
+    FROM orders
+    """,
+)
+def q_lake_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-facade DDL parity: a rename → type-widen → partition-spec
+    evolution → branch write-audit-publish sequence driven ENTIRELY by
+    SQL text (:mod:`spype_spark.sqltext`), replayed relationally.
+
+    Statements exercised: ``CREATE TABLE … PARTITIONED BY`` (identity
+    spec), ``ALTER TABLE RENAME COLUMN`` (column-mapping metadata
+    commit), ``ALTER TABLE ALTER COLUMN … TYPE`` (int→bigint widening,
+    zero rewrite), ``ALTER TABLE SET PARTITION SPEC (bucket(4, …))``
+    (spec evolution — old identity spec retires, asserted in-contract
+    on the manifest), ``INSERT INTO`` under the NEW spec, ``CREATE
+    BRANCH … AS OF VERSION`` + ``INSERT INTO '<branch root>'`` +
+    ``PUBLISH BRANCH`` (single-table WAP squash). Because every DDL
+    here is metadata-only, the final content is exactly the three
+    modulo slices of ``orders`` re-unioned — the oracle reads the
+    WHOLE table with the renamed/widened columns, so a DDL that
+    touched data, lost a slice, or mis-mapped a column breaks the
+    hash.
+    """
+    tmp = _scratch("spype_sql_ddl_")
+    try:
+        import spype_spark
+
+        path = f"{tmp}/orders_ddl"
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        ).createOrReplaceTempView("ddl_orders")
+        spype_spark.sql(spark, f"""
+            CREATE TABLE '{path}' PARTITIONED BY (o_orderstatus) AS
+            SELECT o_orderkey, CAST(o_custkey AS INT) AS cust,
+                   o_totalprice, o_orderstatus
+            FROM ddl_orders WHERE o_orderkey % 3 = 0
+        """)
+        spype_spark.sql(
+            spark, f"ALTER TABLE '{path}' RENAME COLUMN o_totalprice TO price"
+        )
+        spype_spark.sql(spark, f"ALTER TABLE '{path}' ALTER COLUMN cust TYPE bigint")
+        spype_spark.sql(
+            spark, f"ALTER TABLE '{path}' SET PARTITION SPEC (bucket(4, o_orderkey))"
+        )
+        m = lake._m_load(path, lake.latest_version(path))
+        active = [
+            t["transform"] for t in m.get("transforms") or []
+            if not t.get("retired")
+        ]
+        if active != ["bucket"]:
+            raise AssertionError(f"spec evolution not active: {active}")
+        cols = lake.read_table(spark, path).columns
+        if cols != ["o_orderkey", "cust", "price", "o_orderstatus"]:
+            raise AssertionError(f"unexpected post-DDL column order: {cols}")
+        spype_spark.sql(spark, f"""
+            INSERT INTO '{path}'
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM ddl_orders WHERE o_orderkey % 3 = 1
+        """)
+        head = lake.latest_version(path)
+        broot = spype_spark.sql(
+            spark, f"ALTER TABLE '{path}' CREATE BRANCH wap AS OF VERSION {head}"
+        )
+        spype_spark.sql(spark, f"""
+            INSERT INTO '{broot}'
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM ddl_orders WHERE o_orderkey % 3 = 2
+        """)
+        spype_spark.sql(spark, f"ALTER TABLE '{path}' PUBLISH BRANCH wap")
+        spark.catalog.dropTempView("ddl_orders")
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

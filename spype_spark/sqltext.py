@@ -266,6 +266,133 @@ _VACUUM_RE = re.compile(
 )
 
 # ---------------------------------------------------------------------------
+# ALTER TABLE DDL + branch statements — statement dispatch onto the
+# existing metadata-only verbs (rename_columns / drop_columns /
+# widen_types / set_partition_spec / create_branch / publish_branch).
+# ---------------------------------------------------------------------------
+
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+" + _TREF.format("tgt")
+    + r"\s+RENAME\s+COLUMN\s+(?P<renames>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+" + _TREF.format("tgt")
+    + r"\s+DROP\s+COLUMNS?\s*"
+    r"(?:\((?P<cols_p>[^)]*)\)|(?P<cols>\w+(?:\s*,\s*\w+)*))\s*$",
+    re.IGNORECASE,
+)
+_ALTER_WIDEN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+" + _TREF.format("tgt")
+    + r"\s+ALTER\s+COLUMN\s+(?P<col>\w+)\s+TYPE\s+(?P<typ>\w+)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_SPEC_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+" + _TREF.format("tgt")
+    + r"\s+SET\s+PARTITION\s+SPEC\s*\((?P<pspec>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_BRANCH_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+" + _TREF.format("tgt")
+    + r"\s+(?P<verb>CREATE|PUBLISH|DROP)\s+BRANCH\s+"
+    r"(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(?P<ver>\d+))?\s*$",
+    re.IGNORECASE,
+)
+_CATALOG_BRANCH_RE = re.compile(
+    r"^\s*(?P<verb>CREATE|PUBLISH|DROP)\s+CATALOG\s+BRANCH\s+"
+    r"(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+TXN\s+AS\s+OF\s+(?P<txn>\d+))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _sql_alter(spark: SparkSession, stmt: str, catalog):
+    """Dispatch the ALTER TABLE / branch statements. Returns the verb's
+    native return (new version / branch root / None), or the sentinel
+    ``_NO_MATCH`` when ``stmt`` is not one of them."""
+    m = _ALTER_RENAME_RE.match(stmt)
+    if m:
+        renames = {}
+        for part in _split_top(m.group("renames")):
+            rm = re.match(r"^\s*(\w+)\s+TO\s+(\w+)\s*$", part, re.IGNORECASE)
+            if not rm:
+                raise ValueError(
+                    f"unparseable RENAME COLUMN item {part!r} "
+                    f"(want: old TO new[, old2 TO new2 …])"
+                )
+            renames[rm.group(1)] = rm.group(2)
+        ref = _tref(m, "tgt", catalog)
+        if m.group("tgt_path") is not None:
+            return lake.rename_columns(spark, ref, renames)
+        with catalog.transaction(spark) as txn:
+            return txn.rename_columns(ref, renames)
+    m = _ALTER_DROP_RE.match(stmt)
+    if m:
+        cols = _split_top(m.group("cols_p") or m.group("cols"))
+        ref = _tref(m, "tgt", catalog)
+        if m.group("tgt_path") is not None:
+            return lake.drop_columns(spark, ref, cols)
+        with catalog.transaction(spark) as txn:
+            return txn.drop_columns(ref, cols)
+    m = _ALTER_WIDEN_RE.match(stmt)
+    if m:
+        ref = _tref(m, "tgt", catalog)
+        if m.group("tgt_path") is None:
+            raise ValueError(
+                "ALTER COLUMN … TYPE on a catalog table has no staged "
+                "verb yet (widen_types is path-level); quote the "
+                "table's path"
+            )
+        return lake.widen_types(
+            spark, ref, {m.group("col"): m.group("typ").lower()}
+        )
+    m = _ALTER_SPEC_RE.match(stmt)
+    if m:
+        pby = _parse_partition_spec(m.group("pspec"))
+        ref = _tref(m, "tgt", catalog)
+        if m.group("tgt_path") is not None:
+            return lake.set_partition_spec(spark, ref, pby)
+        with catalog.transaction(spark) as txn:
+            return txn.set_partition_spec(ref, pby)
+    m = _ALTER_BRANCH_RE.match(stmt)
+    if m:
+        ref = _tref(m, "tgt", catalog)
+        if m.group("tgt_path") is None:
+            raise ValueError(
+                "branching ONE catalog table behind the record log "
+                "would corrupt snapshot isolation; use CREATE/PUBLISH/"
+                "DROP CATALOG BRANCH (the catalog-level WAP unit) or "
+                "quote a path-addressed table"
+            )
+        verb = m.group("verb").upper()
+        if verb == "CREATE":
+            at = int(m.group("ver")) if m.group("ver") is not None else None
+            return lake.create_branch(ref, m.group("name"), at_version=at)
+        if m.group("ver") is not None:
+            raise ValueError("AS OF VERSION only applies to CREATE BRANCH")
+        if verb == "PUBLISH":
+            return lake.publish_branch(ref, m.group("name"))
+        return lake.drop_branch(ref, m.group("name"))
+    m = _CATALOG_BRANCH_RE.match(stmt)
+    if m:
+        if catalog is None:
+            raise ValueError("CATALOG BRANCH statements need catalog=")
+        verb = m.group("verb").upper()
+        if verb == "CREATE":
+            txn = int(m.group("txn")) if m.group("txn") is not None else None
+            return catalog.create_branch(m.group("name"), txn=txn)
+        if m.group("txn") is not None:
+            raise ValueError("TXN AS OF only applies to CREATE CATALOG BRANCH")
+        if verb == "PUBLISH":
+            return catalog.publish_branch(spark, m.group("name"))
+        return catalog.drop_branch(m.group("name"))
+    return _NO_MATCH
+
+
+_NO_MATCH = object()
+
+# ---------------------------------------------------------------------------
 # Read side: SELECT passthrough with lakehouse table refs, INSERT INTO,
 # CREATE TABLE … [PARTITIONED BY (…)] AS SELECT.
 # ---------------------------------------------------------------------------
@@ -552,6 +679,16 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
     :func:`lakehouse.write_table` / ``txn.write`` with identity
     columns and Iceberg-style hidden-partition transforms.
 
+    DDL side: ``ALTER TABLE t RENAME COLUMN a TO b[, …]`` / ``DROP
+    COLUMN(S) …`` / ``ALTER COLUMN c TYPE t`` (type widening, path
+    tables) / ``SET PARTITION SPEC (days(ts), bucket(8, k), …)`` —
+    all metadata-only commits on the existing verbs — plus branch
+    statements: ``ALTER TABLE '<path>' CREATE BRANCH b [AS OF VERSION
+    n] | PUBLISH BRANCH b | DROP BRANCH b`` (single-table WAP) and
+    ``CREATE CATALOG BRANCH b [TXN AS OF n]`` / ``PUBLISH CATALOG
+    BRANCH b`` / ``DROP CATALOG BRANCH b`` (multi-table WAP through
+    ``catalog=``).
+
     Everything else is ``spark.sql(stmt)`` verbatim (returns its
     DataFrame). Maintenance statements return the new table version
     (or the verb's native return)."""
@@ -656,6 +793,9 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
             else None
         )
         return lake.vacuum(ref, keep_last=keep, grace_seconds=grace)
+    alt = _sql_alter(spark, stmt, catalog)
+    if alt is not _NO_MATCH:
+        return alt
     m = _DESCRIBE_RE.match(stmt)
     if m:
         ref = _tref(m, "tgt", catalog)

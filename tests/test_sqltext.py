@@ -466,3 +466,117 @@ def test_catalog_changes_after_vacuum_raises_descriptive(spark, tmp_path):
     )
     with _pytest.raises(FileNotFoundError, match="cannot be replayed"):
         stream.drain()
+
+
+def test_sql_alter_rename_drop_match_python_kernels(spark, tmp_path):
+    """ALTER TABLE RENAME COLUMN / DROP COLUMN(S) ≡ the metadata-only
+    Python verbs, for path tables and catalog tables."""
+    p_sql, p_py = _mk(spark, tmp_path, "ar_s"), _mk(spark, tmp_path, "ar_p")
+    spype_spark.sql(
+        spark, f"ALTER TABLE '{p_sql}' RENAME COLUMN v TO price, s TO status"
+    )
+    lake.rename_columns(spark, p_py, {"v": "price", "s": "status"})
+    assert (
+        lake.read_table(spark, p_sql).columns
+        == lake.read_table(spark, p_py).columns
+        == ["k", "status", "price"]
+    )
+    assert _rows(spark, p_sql) == _rows(spark, p_py)
+    spype_spark.sql(spark, f"ALTER TABLE '{p_sql}' DROP COLUMN status")
+    lake.drop_columns(spark, p_py, ["status"])
+    assert (
+        lake.read_table(spark, p_sql).columns
+        == lake.read_table(spark, p_py).columns
+        == ["k", "price"]
+    )
+    # catalog-table form runs through a transaction
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "ddlcat"))
+    spype_spark.sql(
+        spark, "CREATE TABLE t AS SELECT id AS k, id * 2 AS twice, "
+        "id * 3 AS thrice FROM range(5)", catalog=cat,
+    )
+    spype_spark.sql(spark, "ALTER TABLE t RENAME COLUMN twice TO dbl", catalog=cat)
+    spype_spark.sql(spark, "ALTER TABLE t DROP COLUMNS (thrice)", catalog=cat)
+    got = spype_spark.sql(spark, "SELECT * FROM t", catalog=cat)
+    assert got.columns == ["k", "dbl"] and got.count() == 5
+
+
+def test_sql_alter_widen_and_partition_spec(spark, tmp_path):
+    """ALTER COLUMN … TYPE (widening) and SET PARTITION SPEC are
+    metadata-only commits driven from SQL text."""
+    p = str(tmp_path / "aw")
+    spype_spark.sql(spark, f"""
+        CREATE TABLE '{p}' AS
+        SELECT CAST(id AS INT) AS k, CAST(id * 10 AS FLOAT) AS v FROM range(20)
+    """)
+    v = spype_spark.sql(spark, f"ALTER TABLE '{p}' ALTER COLUMN k TYPE bigint")
+    assert v == 1
+    assert dict(lake.read_table(spark, p).dtypes)["k"] == "bigint"
+    v = spype_spark.sql(
+        spark, f"ALTER TABLE '{p}' SET PARTITION SPEC (bucket(4, k))"
+    )
+    assert v == 2
+    m = lake._m_load(p, 2)
+    assert [t["transform"] for t in m["transforms"] if not t.get("retired")] == [
+        "bucket"
+    ]
+    # widen on a catalog table has no staged verb — loud, not silent
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wcat"))
+    spype_spark.sql(spark, "CREATE TABLE t AS SELECT 1 AS x", catalog=cat)
+    with pytest.raises(ValueError, match="widen_types"):
+        spype_spark.sql(spark, "ALTER TABLE t ALTER COLUMN x TYPE bigint",
+                        catalog=cat)
+
+
+def test_sql_branch_statements_single_table_wap(spark, tmp_path):
+    """CREATE/PUBLISH/DROP BRANCH statements drive the lake-level WAP
+    verbs: stage rows on the branch, audit invisibly, publish."""
+    p = _mk(spark, tmp_path, "br")
+    broot = spype_spark.sql(
+        spark, f"ALTER TABLE '{p}' CREATE BRANCH wap AS OF VERSION 0"
+    )
+    assert broot == lake.branch_path(p, "wap")
+    spype_spark.sql(spark, f"INSERT INTO '{broot}' VALUES (9, 'z', 90.0)")
+    # audit: branch sees the row, the table does not
+    assert lake.read_table(spark, broot).count() == 5
+    assert lake.read_table(spark, p).count() == 4
+    spype_spark.sql(spark, f"ALTER TABLE '{p}' PUBLISH BRANCH wap")
+    assert lake.read_table(spark, p).count() == 5
+    spype_spark.sql(spark, f"ALTER TABLE '{p}' DROP BRANCH wap")
+    assert "wap" not in lake.list_branches(p)
+    with pytest.raises(ValueError, match="CREATE BRANCH"):
+        spype_spark.sql(
+            spark, f"ALTER TABLE '{p}' PUBLISH BRANCH wap AS OF VERSION 1"
+        )
+
+
+def test_sql_catalog_branch_statements(spark, tmp_path):
+    """CREATE/PUBLISH/DROP CATALOG BRANCH drive the catalog-level WAP
+    unit; a bare-name ALTER TABLE … BRANCH is rejected loudly."""
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "cbcat"))
+    spype_spark.sql(
+        spark, "CREATE TABLE t AS SELECT id AS k FROM range(4)", catalog=cat
+    )
+    with pytest.raises(ValueError, match="CATALOG BRANCH"):
+        spype_spark.sql(spark, "ALTER TABLE t CREATE BRANCH b", catalog=cat)
+    rec = spype_spark.sql(spark, "CREATE CATALOG BRANCH audit", catalog=cat)
+    assert rec["fork_txn"] == cat.latest_txn()
+    with cat.transaction(spark, branch="audit") as txn:
+        txn.append(spark.createDataFrame([(99,)], "k long"), "t")
+    # invisible pre-publish
+    assert spype_spark.sql(
+        spark, "SELECT count(*) AS n FROM t", catalog=cat
+    ).collect()[0].n == 4
+    spype_spark.sql(spark, "PUBLISH CATALOG BRANCH audit", catalog=cat)
+    assert spype_spark.sql(
+        spark, "SELECT count(*) AS n FROM t", catalog=cat
+    ).collect()[0].n == 5
+    spype_spark.sql(spark, "CREATE CATALOG BRANCH tmp", catalog=cat)
+    spype_spark.sql(spark, "DROP CATALOG BRANCH tmp", catalog=cat)
+    assert "tmp" not in cat.branches()
