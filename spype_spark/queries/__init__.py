@@ -52,76 +52,20 @@ from spype_spark.queries import lakehouse_ops  # noqa: F401
 #      as evidence), with the round-1 rows-only keys last.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # ---- round-11 window (first 50 keys = the driver's evidence budget).
-    # Per VERDICT.md r10 task 1: fill the window with (a) round-11 NEW
-    # contracts (zero history — inserted at the top as they land),
-    # (b) the 30 keys whose last driver green is r6 (four rounds old:
-    # ANN family, minhash/simhash/semdedup, kmeans, the window-function
-    # family, q_tpch_q15, events anomaly, paragraph dedup, unigram
-    # logprob, stratified sample, skew join, cogroup, agg collect/
-    # listagg/minmax_by/percentile/stats, union_all, stream-stream/
-    # enrich/session-true), (c) the 16 r8-stale q_lake_* keys whose
-    # engine (lakehouse.py +572, catalog.py +596 lines) churned under
-    # them in r10. Queue: r7-evidence keys, then registry order.
-    # Group A - round-11 additions, zero history by construction
-    # (uncommented here as each contract lands in the registry):
-    "q_lake_sql_read",
-    "q_lake_catalog_cdf",
-    "q_lake_scan_slab_pruned",
-    "q_text_zipf",
-    # Group B - last driver-green r6 (30):
-    "q_sim_ivf_ann",
-    "q_sim_lsh_ann",
-    "q_sim_nndescent",
-    "q_pq_encode",
-    "q_cluster_kmeans",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_semdedup",
-    "q_window_rank",
-    "q_window_analytic",
-    "q_window_frame_rows",
-    "q_window_frame_range",
-    "q_window_ntile",
-    "q_window_nth",
-    "q_tpch_q15",
-    "q_events_anomaly",
-    "q_text_paragraph_dedup",
-    "q_text_unigram_logprob",
-    "q_sample_stratified",
-    "q_join_skew_salted",
-    "q_udf_cogroup",
-    "q_agg_collect",
-    "q_agg_listagg",
-    "q_agg_minmax_by",
-    "q_agg_percentile",
-    "q_agg_stats",
-    "q_set_union_all",
-    "q_stream_stream_join",
-    "q_stream_enrich_static",
-    "q_stream_session_true",
-    # Group C - last driver-green r8 lake keys over r10 engine churn (16):
-    "q_lake_merge_upsert",
-    "q_lake_time_travel",
-    "q_lake_delete",
-    "q_lake_compact",
-    "q_lake_schema_evolution",
-    "q_lake_partitioned_cow",
-    "q_lake_vacuum",
-    "q_lake_delete_range",
-    "q_lake_diff",
-    "q_lake_history",
-    "q_lake_scan_pruned",
-    "q_lake_txn",
-    "q_lake_parts_cow",
-    "q_lake_delete_mor",
-    "q_lake_update",
-    "q_stream_txn_sink",
-    # ---- end of the 50-slot window ----
-    # Round-12 queue: the round-11 contract that didn't fit the window
-    # (4 new + the 46 mandated stale keys fill it exactly), then the
-    # oldest r7-evidence keys, then registry order.
+    # ---- round-12 window (first 50 keys = the driver's evidence
+    # budget). Per VERDICT.md r11 task 1: q_dataset_interleave FIRST
+    # (the only key with zero driver history), then the round-12 NEW
+    # contracts (zero history by construction), then 46 of the 50 keys
+    # whose last driver green is r7 (five rounds old), starting
+    # q_stream_stream_left_join per the staged r12 queue. The 4 r7
+    # keys that don't fit (q_tpch_q20/q21/q9, q_udaf_grouped) plus the
+    # oldest r8 key (q_sim_cosine_tiled) head the r13 queue below.
     "q_dataset_interleave",
+    # round-12 additions:
+    "q_multimodal_png",
+    "q_lake_delta_read",
+    "q_lake_sql_ddl",
+    # last driver-green r7 (46 of 50):
     "q_stream_stream_left_join",
     "q_join_asof_nearest",
     "q_dedup_ngram_jaccard",
@@ -140,6 +84,41 @@ _DRIVER_PRIORITY = [
     "q_text_stats",
     "q_text_langfilter",
     "q_sim_ivfpq_ann",
+    "q_array_funcs",
+    "q_array_setops",
+    "q_basket_pairs",
+    "q_bitwise_funcs",
+    "q_cast_types",
+    "q_cond_funcs",
+    "q_dataset_split",
+    "q_date_funcs",
+    "q_dedup_exact",
+    "q_explode_posexplode",
+    "q_hash_funcs",
+    "q_math_funcs",
+    "q_path_ngrams",
+    "q_regexp_extract_all",
+    "q_regress_grouped",
+    "q_scd2_history",
+    "q_set_except",
+    "q_set_intersect",
+    "q_set_union_byname",
+    "q_set_union_distinct",
+    "q_sort_multi",
+    "q_str_funcs",
+    "q_str_funcs2",
+    "q_topk_global",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q2",
+    # ---- end of the 50-slot window ----
+    # Round-13 queue: the r7 keys that didn't fit, the oldest
+    # r8-evidence key, then registry order.
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q9",
+    "q_udaf_grouped",
     "q_sim_cosine_tiled",
 ]
 
