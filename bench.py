@@ -87,6 +87,45 @@ def _ivf_ann_kernel(spark, sf_dir):
     return ivf_ann(e, n_cells=None, nprobe=4, k=10)
 
 
+def _sql_merge_kernel(spark, sf_dir):
+    """The SQL-facade twin of :func:`_lake_merge_kernel`: IDENTICAL
+    work (write orders as a manifest table, merge a ~1/3 update set,
+    read back) with ONLY the merge step driven through
+    ``sqltext.sql("MERGE INTO …")``. The row's value is its DELTA vs
+    the q_lake_merge row — statement parsing, clause scanning, alias
+    rewriting, and view resolution are the facade's only extra work,
+    so a parse-path regression (e.g. an accidentally-quadratic regex)
+    shows here while q_lake_merge stays flat (VERDICT r11 task 9)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spype_spark import lakehouse as lake
+    from spype_spark import sqltext
+    from spype_spark.queries.sources_sinks import _scratch
+    from spype_spark.tables import load_table
+
+    tmp = _scratch("bench_sql_merge_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        lake.write_table(orders, path)
+        upd = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        upd.createOrReplaceTempView("bench_sql_merge_upd")
+        sqltext.sql(spark, f"""
+            MERGE INTO '{path}' AS t USING bench_sql_merge_upd AS s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        spark.catalog.dropTempView("bench_sql_merge_upd")
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _SCAN_TABLE_CACHE: dict[str, str] = {}
 
 
@@ -166,6 +205,11 @@ BENCH_QUERIES = {
     # per-cell GEMM re-rank (the 6-kernel ANN family previously had no
     # wall-clock regression row):
     "q_sim_ivf_ann": _ivf_ann_kernel,
+    # round-12 row (totals NOT comparable to BENCH_r11; compare
+    # per-query): the SQL-facade merge — q_lake_merge's exact kernel
+    # with the merge step driven through sqltext.sql; its delta vs
+    # q_lake_merge isolates statement-planning overhead:
+    "q_lake_sql_merge": _sql_merge_kernel,
 }
 
 

@@ -402,6 +402,12 @@ class Catalog:
         ]
         out: dict[str, DataFrame] = {}
         retained = set(ts)
+        # base-state reuse: walking a window in txn order, a record's
+        # base is almost always the record just processed (contention
+        # is the exception) — re-reading it from disk would double the
+        # walk's JSON reads (measured 2x: tools/catalog_cdf_probe.py)
+        prev_txn: int | None = None
+        prev_tables: dict | None = None
         for t in window:
             rec = self._record(t)
             base = rec.get("base")
@@ -418,8 +424,14 @@ class Catalog:
                     f"an explicit txn at or after the retained log "
                     f"floor ({ts[0]})"
                 )
-            before = self.state(base) if base is not None else {}
+            if base is None:
+                before = {}
+            elif base == prev_txn:
+                before = prev_tables
+            else:
+                before = self.state(base)
             after = rec["tables"]
+            prev_txn, prev_tables = t, after
             for name in sorted(set(before) | set(after)):
                 old_v, new_v = before.get(name), after.get(name)
                 if old_v == new_v or name not in keys_by_table:
