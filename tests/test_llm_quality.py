@@ -557,3 +557,90 @@ def test_char_entropy_bounds_and_extremes(spark):
         assert abs(out[1] - math.log(4)) < 1e-5
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Clustered-corpus recall floors (VERDICT r11 task 8; ROADMAP
+# known-limitation since r3). The corpus embeddings are near-uniform —
+# the HARD regime for cell/bucket methods (neighbors spread across
+# cells; uniform floors above sit at 0.45-0.65). Real embedding
+# corpora cluster, and on clustered data the same kernels must recover
+# near-exact neighbors: vectors drawn around 16 unit centers
+# (deterministic RandomState(7) mixture, 500×64 like the corpus) give
+# measured recall@3 of 0.931 (IVF), 0.975 (NN-descent), 0.809 (LSH)
+# vs 0.518/0.68/0.688 uniform — the floors below pin that climb.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    C, n, d = 16, 500, 64
+    centers = rng.normal(size=(C, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        v = centers[i % C] + 0.18 * rng.normal(size=d)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def clustered_exact(spark, clustered_emb):
+    from spype_spark.ann import cosine_topk_tiled
+
+    return {
+        (r.src_id, r.nbr_id)
+        for r in cosine_topk_tiled(clustered_emb, k=3).collect()
+        if r.rank <= 3
+    }
+
+
+def test_ivf_recall_climbs_on_clustered_corpus(spark, clustered_emb,
+                                               clustered_exact):
+    """With vec_ids round-robin over clusters, the 16 seed centroids
+    land one per cluster and IVF cells ≈ true clusters — recall must
+    sit near 1, far above the uniform-corpus floor (0.45)."""
+    from spype_spark.ann import ivf_ann
+
+    got = {
+        (r.src_id, r.nbr_id)
+        for r in ivf_ann(clustered_emb, n_cells=16, nprobe=4, k=3).collect()
+    }
+    recall = len(got & clustered_exact) / len(clustered_exact)
+    assert recall >= 0.88, f"clustered IVF recall collapsed: {recall:.3f}"
+
+
+def test_nndescent_recall_climbs_on_clustered_corpus(spark, clustered_emb,
+                                                     clustered_exact):
+    """One NN-descent round over the IVF seed graph on clustered data
+    must push recall near exact (measured 0.975) — neighbors-of-
+    neighbors is exactly the regime cluster structure rewards."""
+    from spype_spark.ann import ivf_ann, nn_descent_refine
+
+    seed = ivf_ann(clustered_emb, n_cells=16, nprobe=4, k=3)
+    got = {
+        (r.src_id, r.nbr_id)
+        for r in nn_descent_refine(
+            clustered_emb, seed, k=3, n_rounds=1
+        ).collect()
+    }
+    recall = len(got & clustered_exact) / len(clustered_exact)
+    assert recall >= 0.93, f"clustered NN-descent recall collapsed: {recall:.3f}"
+
+
+def test_lsh_recall_climbs_on_clustered_corpus(spark, clustered_emb,
+                                               clustered_exact):
+    """Hyperplane LSH on clustered data: same-cluster vectors agree on
+    most hyperplane signs, so banded buckets capture them (measured
+    0.809 vs 0.688 uniform)."""
+    from spype_spark.queries.llm import lsh_ann_topk
+
+    e = clustered_emb.selectExpr("vec_id", "embedding AS emb")
+    got = {(r.src_id, r.nbr_id) for r in lsh_ann_topk(e, k=3).collect()}
+    recall = len(got & clustered_exact) / len(clustered_exact)
+    assert recall >= 0.72, f"clustered LSH recall collapsed: {recall:.3f}"
