@@ -509,3 +509,74 @@ def test_txn_sink_crash_after_commit_before_checkpoint(spark, sf_dir, tmp_path):
     assert cat.latest_txn() == 3, "one record per batch, none for the replay"
     assert cat.applied_version(app) == 3
     shutil.rmtree(split_dir, ignore_errors=True)
+
+
+def test_dedup_within_watermark_state_evicted_under_churn(spark, sf_dir):
+    """The dedup-state twin of the churn test above (VERDICT r11 task
+    7; the 110-batch processingTime profile lives in
+    tools/stream_churn_probe.py → SCALE.md round-12):
+    ``dropDuplicatesWithinWatermark`` must EVICT keys once the
+    watermark passes them — peak state rows a small fraction of total
+    input — while emitting every (unique) row exactly once. Files
+    arrive time-ordered (range partition + pinned mtimes, same
+    technique as above) so no row is ever late-dropped and the assert
+    is deterministic."""
+    import os
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from spype_spark.streaming.jobs import _scratch_root
+    from spype_spark.tables import load_table
+
+    n_files = 12
+    staging = tempfile.mkdtemp(prefix="spype_dchurn_", dir=_scratch_root())
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    total = ev.count()
+    ev.repartitionByRange(n_files, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(staging)
+    t0 = _time.time() - 600
+    for i, fname in enumerate(
+        sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    ):
+        os.utime(os.path.join(staging, fname), (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    peak_state = 0
+    with tempfile.TemporaryDirectory(
+        prefix="spype_ckpt_", dir=_scratch_root()
+    ) as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("spype_dchurn_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        for p in q.recentProgress:
+            for so in p.get("stateOperators") or []:
+                if so.get("numRowsTotal") is not None:
+                    peak_state = max(peak_state, so["numRowsTotal"])
+        q.stop()
+    got = spark.table("spype_dchurn_out").count()
+    assert got == total, f"dedup dropped rows: {got}/{total}"
+    # eviction bound: without watermark eviction state would hold all
+    # `total` keys at the end; time-ordered arrival keeps only the
+    # trailing 30-minute horizon live per batch
+    assert 0 < peak_state < total * 0.5, (
+        f"state not evicted: peak {peak_state} of {total} keys"
+    )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
