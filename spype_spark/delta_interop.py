@@ -59,6 +59,7 @@ from pyspark.sql.types import StructType
 __all__ = [
     "read_delta",
     "delta_history",
+    "import_delta",
     "write_delta",
     "checkpoint_delta",
 ]
@@ -263,6 +264,68 @@ def read_delta(
         part = part.select(*[f.name for f in schema.fields])
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def import_delta(
+    spark: SparkSession,
+    delta_path: str,
+    table_path: str,
+    version: int | None = None,
+    materialize: bool | None = None,
+) -> int:
+    """MIGRATE a Delta table into the native manifest format — the
+    switch-over path for a user with existing lakehouse data. Returns
+    the new manifest table's version (0).
+
+    Unpartitioned tables import BY REFERENCE: one manifest commit
+    whose entries name the Delta data files ABSOLUTELY (the same
+    cross-root convention branch forks use — `_m_repath`), with footer
+    stats recomputed per file so stats/null/slab pruning work
+    immediately; ZERO data copied, and the Delta log is left
+    untouched, so both engines keep reading their own metadata over
+    the same immutable files. The importing table's vacuum can never
+    reclaim the foreign files: the GC refcounts by absolute path but
+    only sweeps candidates under its own root.
+
+    Partitioned tables MATERIALIZE (``materialize=True``; forced when
+    partition columns exist): the two formats disagree about file
+    content — Delta EXCLUDES partition columns from data files
+    (values live in each add's ``partitionValues``), while the
+    manifest read contract expects every schema column in-file
+    (absent columns read as NULL, the schema-evolution rule) — so a
+    by-reference import would silently null the partition columns.
+    Instead the snapshot is read once through :func:`read_delta` and
+    rewritten via ``write_table(partition_by=<same identity
+    columns>)``, preserving partition-level COW for future mutations.
+    """
+    from spype_spark import lakehouse as lake
+
+    meta, adds, _v = _replay(spark, delta_path, version)
+    pcols = list(meta.get("partitionColumns") or [])
+    if pcols or materialize:
+        df = read_delta(spark, delta_path, version)
+        lake.write_table(df, table_path, partition_by=pcols or None)
+        return 0
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    entries = []
+    for a in adds:
+        ap = os.path.abspath(
+            os.path.join(delta_path, urllib.parse.unquote(a["path"]))
+        )
+        if not os.path.exists(ap):
+            raise FileNotFoundError(
+                f"Delta add action names a missing data file: {ap}"
+            )
+        entries.append(
+            {"path": ap, "partition": {}, "seq": 0, **lake._m_file_stats(ap)}
+        )
+    entries.sort(key=lambda e: e["path"])
+    os.makedirs(table_path, exist_ok=True)
+    manifest = lake._m_manifest(
+        table_path, 0, None, schema.jsonValue(), None, entries
+    )
+    lake._m_publish(table_path, 0, manifest)
+    return 0
 
 
 def delta_history(spark: SparkSession, path: str) -> DataFrame:

@@ -57,15 +57,16 @@ _DRIVER_PRIORITY = [
     # (the only key with zero driver history), then the round-12 NEW
     # contracts (zero history by construction), then 46 of the 50 keys
     # whose last driver green is r7 (five rounds old), starting
-    # q_stream_stream_left_join per the staged r12 queue. The 4 r7
-    # keys that don't fit (q_tpch_q20/q21/q9, q_udaf_grouped) plus the
-    # oldest r8 key (q_sim_cosine_tiled) head the r13 queue below.
+    # q_stream_stream_left_join per the staged r12 queue. The 5 r7
+    # keys that don't fit (q_tpch_q2/q20/q21/q9, q_udaf_grouped) plus
+    # the oldest r8 key (q_sim_cosine_tiled) head the r13 queue below.
     "q_dataset_interleave",
     # round-12 additions:
     "q_multimodal_png",
     "q_lake_delta_read",
     "q_lake_sql_ddl",
-    # last driver-green r7 (46 of 50):
+    "q_lake_delta_import",
+    # last driver-green r7 (45 of 50):
     "q_stream_stream_left_join",
     "q_join_asof_nearest",
     "q_dedup_ngram_jaccard",
@@ -111,8 +112,8 @@ _DRIVER_PRIORITY = [
     "q_tpch_q11",
     "q_tpch_q12",
     "q_tpch_q16",
-    "q_tpch_q2",
     # ---- end of the 50-slot window ----
+    "q_tpch_q2",
     # Round-13 queue: the r7 keys that didn't fit, the oldest
     # r8-evidence key, then registry order.
     "q_tpch_q20",

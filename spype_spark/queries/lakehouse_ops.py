@@ -2593,3 +2593,48 @@ def q_lake_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delta_import",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 7 <> 3
+    """,
+)
+def q_lake_delta_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY migration from Delta into the native manifest format
+    (:func:`spype_spark.delta_interop.import_delta`) — then a NATIVE
+    mutation over the foreign files.
+
+    A two-commit Delta table is built from ``orders`` (modulo slices,
+    corpus-safe), imported BY REFERENCE — the manifest's entries name
+    the Delta data files absolutely with footer stats recomputed, and
+    an in-contract assert proves NO data file was copied under the
+    native root — then a native ``delete_where`` runs on the imported
+    table: copy-on-write rewrites only the touched files into the
+    native table's own data dir while untouched FOREIGN files carry by
+    reference. The oracle replays the end state relationally from
+    ``orders``, so a wrong import (missed file, wrong schema, stats
+    misread) or a COW that corrupted the carry breaks the hash.
+    """
+    import glob
+
+    from spype_spark import delta_interop as dl
+
+    tmp = _scratch("spype_delta_imp_")
+    try:
+        dpath, tpath = f"{tmp}/orders_delta", f"{tmp}/orders_native"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        dl.write_delta(spark, o.filter(F.col("o_orderkey") % 3 < 2), dpath)
+        dl.write_delta(
+            spark, o.filter(F.col("o_orderkey") % 3 == 2), dpath,
+            mode="append",
+        )
+        dl.import_delta(spark, dpath, tpath)
+        if glob.glob(f"{tpath}/data/**/*.parquet", recursive=True):
+            raise AssertionError("by-reference import copied data files")
+        lake.delete_where(spark, tpath, F.col("o_orderkey") % 7 == 3)
+        return lake.read_table(spark, tpath).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -156,3 +156,64 @@ def test_delta_protocol_gate(spark, tmp_path):
 def test_delta_not_a_table(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="not a Delta table"):
         dl.read_delta(spark, str(tmp_path / "nope"))
+
+
+def test_import_delta_by_reference(spark, tmp_path):
+    """Unpartitioned import: zero data copy — manifest entries name the
+    Delta files absolutely; reads, scans (stats pruning live), and a
+    subsequent native MERGE all work; vacuum never touches the foreign
+    files."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from spype_spark import lakehouse as lake
+
+    dpath, tpath = str(tmp_path / "delta"), str(tmp_path / "native")
+    dl.write_delta(spark, _df(spark, 0, 50).repartition(4), dpath)
+    dl.write_delta(spark, _df(spark, 50, 60), dpath, mode="append")
+    assert dl.import_delta(spark, dpath, tpath) == 0
+    # zero data files under the native root
+    assert glob.glob(os.path.join(tpath, "data", "**", "*.parquet"),
+                     recursive=True) == []
+    got = lake.read_table(spark, tpath)
+    assert _rows(got) == _rows(_df(spark, 0, 60))
+    # footer stats imported -> manifest range pruning works
+    pruned = lake.scan_table(spark, tpath, where=("between", "k", 55, 59))
+    assert pruned.count() == 5
+    m = lake._m_load(tpath, 0)
+    entries = lake._m_entries(tpath, m)
+    kept = [
+        e for e in entries
+        if lake._pred_maybe(e, ("between", "k", 55, 59), None)
+    ]
+    assert 0 < len(kept) < len(entries)
+    # a native mutation COWs into the table's own dir, carrying foreign
+    # entries by reference
+    lake.merge_upsert(
+        spark, tpath,
+        spark.createDataFrame([(0, 999, 0)], "k long, v long, p int"),
+        keys=["k"],
+    )
+    assert lake.read_table(spark, tpath).filter(F.col("k") == 0).collect()[0].v == 999
+    # the Delta table still reads its own (unchanged) snapshot
+    assert _rows(dl.read_delta(spark, dpath)) == _rows(_df(spark, 0, 60))
+    # vacuum the native table: the foreign Delta files must survive
+    lake.vacuum(tpath, keep_last=1, grace_seconds=0.0)
+    assert _rows(dl.read_delta(spark, dpath)) == _rows(_df(spark, 0, 60))
+
+
+def test_import_delta_partitioned_materializes(spark, tmp_path):
+    """Partitioned import rewrites once (formats disagree on in-file
+    partition columns) and preserves identity partitioning for COW."""
+    from spype_spark import lakehouse as lake
+
+    dpath, tpath = str(tmp_path / "deltap"), str(tmp_path / "nativep")
+    dl.write_delta(spark, _df(spark, 0, 30), dpath, partition_by=["p"])
+    dl.import_delta(spark, dpath, tpath)
+    got = lake.read_table(spark, tpath)
+    assert _rows(got.select("k", "v", "p")) == _rows(
+        _df(spark, 0, 30).select("k", "v", "p")
+    )
+    m = lake._m_load(tpath, 0)
+    assert m.get("partition_by") == ["p"]
