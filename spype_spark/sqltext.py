@@ -406,6 +406,14 @@ _READ_REF_RE = re.compile(
     r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?",
     re.IGNORECASE,
 )
+# a FOREIGN Delta table in FROM/JOIN position: DELTA '<path>' — read
+# through delta_interop.read_delta (a Delta user's first query against
+# this engine is a SELECT over their existing table)
+_READ_DELTA_RE = re.compile(
+    r"(?P<kw>\b(?:FROM|JOIN)\b)\s+DELTA\s+'(?P<path>[^']+)'"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?",
+    re.IGNORECASE,
+)
 # a bare identifier in FROM/JOIN position with optional TXN AS OF —
 # resolved through catalog= when the name is in the catalog state
 # (names that aren't stay untouched for Spark's own resolver: temp
@@ -628,6 +636,21 @@ def _resolve_reads(
         _track(view)
         return f"{m.group('kw')} {view}"
 
+    def _delta_ref(m: re.Match) -> str:
+        if _inside_string(m.string, m.start()):
+            return m.group(0)
+        from spype_spark import delta_interop
+
+        ver = int(m.group("ver")) if m.group("ver") is not None else None
+        df = delta_interop.read_delta(spark, m.group("path"), version=ver)
+        view = _fresh_view()
+        df.createOrReplaceTempView(view)
+        _track(view)
+        return f"{m.group('kw')} {view}"
+
+    # DELTA refs first: the plain-path regex would otherwise match the
+    # quoted path and mis-route it to the native reader
+    stmt = _READ_DELTA_RE.sub(_delta_ref, stmt)
     stmt = _READ_REF_RE.sub(_path_ref, stmt)
     if catalog is None:
         return stmt
@@ -669,7 +692,9 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
     Read/DDL side: ``SELECT``/``WITH`` statements pass through Spark's
     own parser with lakehouse table refs resolved first —
     ``FROM '<path>' [VERSION AS OF n | TIMESTAMP AS OF 'ts']`` via
-    :func:`lakehouse.read_table` and bare catalog-state names
+    :func:`lakehouse.read_table`, ``FROM DELTA '<path>' [VERSION AS
+    OF n]`` (a FOREIGN Delta table) via
+    :func:`delta_interop.read_delta`, and bare catalog-state names
     ``[TXN AS OF n]`` via :meth:`Catalog.read` (see
     :func:`_resolve_reads`). ``INSERT INTO t <select|values>`` appends
     through :func:`lakehouse.append_table` / ``txn.append`` (VALUES

@@ -580,3 +580,42 @@ def test_sql_catalog_branch_statements(spark, tmp_path):
     spype_spark.sql(spark, "CREATE CATALOG BRANCH tmp", catalog=cat)
     spype_spark.sql(spark, "DROP CATALOG BRANCH tmp", catalog=cat)
     assert "tmp" not in cat.branches()
+
+
+def test_sql_from_delta_foreign_table(spark, tmp_path):
+    """FROM DELTA '<path>' reads a foreign Delta table through
+    delta_interop.read_delta — with VERSION AS OF time travel — and
+    joins against native refs in the same statement."""
+    from pyspark.sql import functions as F
+
+    from spype_spark import delta_interop as dl
+
+    dpath = str(tmp_path / "fdelta")
+    df = spark.range(0, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    dl.write_delta(spark, df, dpath)
+    dl.write_delta(
+        spark,
+        spark.range(8, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        dpath,
+        mode="append",
+    )
+    assert spype_spark.sql(
+        spark, f"SELECT count(*) AS n FROM DELTA '{dpath}'"
+    ).collect()[0].n == 12
+    assert spype_spark.sql(
+        spark, f"SELECT count(*) AS n FROM DELTA '{dpath}' VERSION AS OF 0"
+    ).collect()[0].n == 8
+    # joins a native lakehouse path ref in the same statement
+    npath = str(tmp_path / "nat")
+    spype_spark.sql(
+        spark, f"CREATE TABLE '{npath}' AS SELECT id AS k FROM range(6)"
+    )
+    r = spype_spark.sql(spark, f"""
+        SELECT count(*) AS n
+        FROM DELTA '{dpath}' d JOIN '{npath}' t ON d.k = t.k
+    """).collect()[0].n
+    assert r == 6
