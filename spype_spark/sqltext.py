@@ -305,6 +305,13 @@ _CATALOG_BRANCH_RE = re.compile(
     r"(?:\s+TXN\s+AS\s+OF\s+(?P<txn>\d+))?\s*$",
     re.IGNORECASE,
 )
+_IMPORT_DELTA_RE = re.compile(
+    r"^\s*IMPORT\s+DELTA\s+'(?P<src>[^']+)'"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?"
+    r"\s+INTO\s+'(?P<dst>[^']+)'"
+    r"(?:\s+(?P<mat>MATERIALIZED))?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _sql_alter(spark: SparkSession, stmt: str, catalog):
@@ -374,6 +381,17 @@ def _sql_alter(spark: SparkSession, stmt: str, catalog):
         if verb == "PUBLISH":
             return lake.publish_branch(ref, m.group("name"))
         return lake.drop_branch(ref, m.group("name"))
+    m = _IMPORT_DELTA_RE.match(stmt)
+    if m:
+        from spype_spark import delta_interop
+
+        return delta_interop.import_delta(
+            spark,
+            m.group("src"),
+            m.group("dst"),
+            version=int(m.group("ver")) if m.group("ver") is not None else None,
+            materialize=bool(m.group("mat")),
+        )
     m = _CATALOG_BRANCH_RE.match(stmt)
     if m:
         if catalog is None:
@@ -703,6 +721,11 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
     bucket(8, k), …)] AS SELECT …`` creates via
     :func:`lakehouse.write_table` / ``txn.write`` with identity
     columns and Iceberg-style hidden-partition transforms.
+
+    Migration: ``IMPORT DELTA '<src>' [VERSION AS OF n] INTO '<dst>'
+    [MATERIALIZED]`` → :func:`delta_interop.import_delta` (zero-copy
+    by-reference for unpartitioned tables; partitioned or MATERIALIZED
+    imports rewrite once).
 
     DDL side: ``ALTER TABLE t RENAME COLUMN a TO b[, …]`` / ``DROP
     COLUMN(S) …`` / ``ALTER COLUMN c TYPE t`` (type widening, path

@@ -619,3 +619,28 @@ def test_sql_from_delta_foreign_table(spark, tmp_path):
         FROM DELTA '{dpath}' d JOIN '{npath}' t ON d.k = t.k
     """).collect()[0].n
     assert r == 6
+
+
+def test_sql_import_delta_statement(spark, tmp_path):
+    """IMPORT DELTA '<src>' [VERSION AS OF n] INTO '<dst>'
+    [MATERIALIZED] drives delta_interop.import_delta from SQL text;
+    the imported table is immediately addressable by native refs."""
+    from pyspark.sql import functions as F
+
+    from spype_spark import delta_interop as dl
+
+    dpath = str(tmp_path / "idelta")
+    npath = str(tmp_path / "inative")
+    dl.write_delta(
+        spark,
+        spark.range(0, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        dpath,
+    )
+    assert spype_spark.sql(
+        spark, f"IMPORT DELTA '{dpath}' INTO '{npath}'"
+    ) == 0
+    assert spype_spark.sql(
+        spark, f"SELECT count(*) AS n FROM '{npath}'"
+    ).collect()[0].n == 9
