@@ -217,3 +217,24 @@ def test_slab_pruned_scan_reads_only_matching_files(spark, sf001):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     assert df.count() > 0
+
+
+def test_delta_hive_read_is_single_scan(spark, tmp_path):
+    """A partitioned Delta read on the Hive-consistent path must plan
+    as ONE parquet FileScan with partition discovery (partition filter
+    prunes directories) — not a union of per-partition scans."""
+    from pyspark.sql import functions as F
+
+    from spype_spark import delta_interop as dl
+
+    p = str(tmp_path / "dplan")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("p")
+    )
+    dl.write_delta(spark, df, p, partition_by=["p"])
+    got = dl.read_delta(spark, p).filter(F.col("p") == 2)
+    plan = plan_of(got)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "p" in pf  # the partition filter prunes directories
