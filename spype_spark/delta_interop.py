@@ -60,6 +60,7 @@ __all__ = [
     "read_delta",
     "delta_history",
     "import_delta",
+    "export_delta",
     "write_delta",
     "checkpoint_delta",
 ]
@@ -326,6 +327,130 @@ def import_delta(
     )
     lake._m_publish(table_path, 0, manifest)
     return 0
+
+
+def export_delta(
+    spark: SparkSession, table_path: str, delta_path: str | None = None
+) -> int:
+    """Mirror a native manifest table's CURRENT snapshot as a Delta
+    commit — the reverse of :func:`import_delta`, so any Delta reader
+    can consume this engine's tables. Zero data copied: the commit's
+    add actions name the manifest's existing parquet files (relative
+    when they sit under the Delta root, absolute URIs otherwise — both
+    legal per spec). ``delta_path`` defaults to the TABLE ROOT itself,
+    making the table dual-format in place (``_delta_log`` next to
+    ``_manifests`` over the same immutable files). Re-export after
+    native commits appends a snapshot-replace Delta commit (remove-all
+    + add-all — overwrite semantics, a correct incremental mirror).
+    Returns the Delta version written. The mirror is a SNAPSHOT: the
+    native table's vacuum does not consult the Delta log, so after
+    native rewrites, re-export BEFORE vacuuming if Delta readers are
+    live (the same contract as any external snapshot consumer).
+
+    Out of profile (loud errors, never a silently-wrong export):
+    partitioned tables (the formats disagree on in-file partition
+    columns — Delta data files must NOT contain them, this engine's
+    do), pending equality/positional deletes (compact first; a plain
+    file list cannot express them), and column-mapping renames/drops
+    (logical names would diverge from the files' physical names,
+    which Delta expresses only through reader feature
+    ``columnMapping``)."""
+    from spype_spark import lakehouse as lake
+
+    v = lake.latest_version(table_path)
+    m = lake._m_load(table_path, v)
+    if m.get("partition_by"):
+        raise ValueError(
+            "export_delta: partitioned tables are out of profile — "
+            "this engine stores partition columns IN the data files, "
+            "Delta's spec excludes them; rewrite unpartitioned first"
+        )
+    if m.get("deletes") or m.get("pos_deletes"):
+        raise ValueError(
+            "export_delta: pending merge-on-read deletes cannot be "
+            "expressed as a plain Delta file list — compact first"
+        )
+    fields = (m.get("schema") or {}).get("fields", [])
+    if m.get("retired") or any(
+        f.get("metadata", {}).get("spype_physical") not in (None, f["name"])
+        for f in fields
+    ):
+        raise ValueError(
+            "export_delta: column-mapping renames/drops would need the "
+            "columnMapping reader feature — export before renaming, or "
+            "rewrite the table"
+        )
+    root = table_path if delta_path is None else delta_path
+    entries = lake._m_entries(table_path, m)
+    now_ms = int(os.path.getmtime(table_path) * 1000)
+    adds = []
+    for e in entries:
+        ap = (
+            e["path"]
+            if os.path.isabs(e["path"])
+            else os.path.abspath(os.path.join(table_path, e["path"]))
+        )
+        rp = os.path.relpath(ap, os.path.abspath(root))
+        loc = ap if rp.startswith("..") else rp.replace(os.sep, "/")
+        adds.append(
+            {
+                "path": urllib.parse.quote(loc, safe="/="),
+                "partitionValues": {},
+                "size": int(e.get("bytes") or os.path.getsize(ap)),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+        )
+    versions = _commit_versions(root) if os.path.isdir(_log_dir(root)) else []
+    dv = (versions[-1] + 1) if versions else 0
+    actions: list[dict] = []
+    if dv == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(m["schema"]),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    else:
+        _meta, prev_adds, _pv = _replay(spark, root, None)
+        actions.extend(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+            for a in prev_adds
+        )
+    actions.extend({"add": a} for a in adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SPYPE EXPORT",
+                "operationParameters": {"tableVersion": v},
+            }
+        }
+    )
+    os.makedirs(_log_dir(root), exist_ok=True)
+    tmp = _commit_path(root, dv) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _commit_path(root, dv))
+    return dv
 
 
 def delta_history(spark: SparkSession, path: str) -> DataFrame:

@@ -217,3 +217,56 @@ def test_import_delta_partitioned_materializes(spark, tmp_path):
     )
     m = lake._m_load(tpath, 0)
     assert m.get("partition_by") == ["p"]
+
+
+def test_export_delta_dual_format_in_place(spark, tmp_path):
+    """export_delta mirrors a native table as a Delta log IN PLACE:
+    zero copies, read_delta == read_table; a native append + re-export
+    appends a snapshot-replace commit and Delta time travel sees the
+    pre-append snapshot."""
+    from pyspark.sql import functions as F
+
+    from spype_spark import lakehouse as lake
+
+    tpath = str(tmp_path / "dual")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    lake.write_table(df, tpath)
+    assert dl.export_delta(spark, tpath) == 0
+    assert os.path.isdir(os.path.join(tpath, "_delta_log"))
+    assert _rows(dl.read_delta(spark, tpath)) == _rows(
+        lake.read_table(spark, tpath)
+    )
+    # native append, then re-export: snapshot-replace commit
+    lake.append_table(
+        spark, tpath,
+        spark.range(20, 25).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ),
+    )
+    assert dl.export_delta(spark, tpath) == 1
+    assert dl.read_delta(spark, tpath).count() == 25
+    assert dl.read_delta(spark, tpath, version=0).count() == 20
+    assert _rows(dl.read_delta(spark, tpath)) == _rows(
+        lake.read_table(spark, tpath)
+    )
+
+
+def test_export_delta_out_of_profile_is_loud(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spype_spark import lakehouse as lake
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("p")
+    )
+    pt = str(tmp_path / "part")
+    lake.write_table(df, pt, partition_by=["p"])
+    with pytest.raises(ValueError, match="partitioned"):
+        dl.export_delta(spark, pt)
+    rt = str(tmp_path / "renamed")
+    lake.write_table(df, rt)
+    lake.rename_columns(spark, rt, {"p": "q"})
+    with pytest.raises(ValueError, match="columnMapping"):
+        dl.export_delta(spark, rt)
