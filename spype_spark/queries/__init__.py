@@ -113,6 +113,7 @@ _DRIVER_PRIORITY = [
     "q_tpch_q12",
     "q_tpch_q16",
     # ---- end of the 50-slot window ----
+    "q_lake_delta_export",
     "q_tpch_q2",
     # Round-13 queue: the r7 keys that didn't fit, the oldest
     # r8-evidence key, then registry order.

@@ -2638,3 +2638,66 @@ def q_lake_delta_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, tpath).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delta_export",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'head' AS snap
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'v0' AS snap
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def q_lake_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUAL-FORMAT export: a native manifest table mirrored as a Delta
+    log IN PLACE (:func:`spype_spark.delta_interop.export_delta`) —
+    the reverse direction of q_lake_delta_import, so a Delta reader
+    can consume this engine's tables over the same immutable files.
+
+    Sequence: native write (orders with even keys) → export (Delta
+    v0) → native APPEND (odd keys) → re-export (Delta v1, a
+    snapshot-replace commit: remove-all + add-all). The result reads
+    the exported log through the Delta replay path twice — head and
+    VERSION AS OF 0 — proving both the mirror's fidelity (head ==
+    native content, hash-exact) and that re-export preserves Delta
+    time travel over the earlier snapshot. Zero data copied
+    (asserted: the Delta adds reference the manifest's own files).
+    """
+    from spype_spark import delta_interop as dl
+
+    tmp = _scratch("spype_delta_exp_")
+    try:
+        path = f"{tmp}/orders_dual"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        lake.write_table(o.filter(F.col("o_orderkey") % 2 == 0), path)
+        if dl.export_delta(spark, path) != 0:
+            raise AssertionError("first export should land Delta v0")
+        lake.append_table(spark, path, o.filter(F.col("o_orderkey") % 2 == 1))
+        if dl.export_delta(spark, path) != 1:
+            raise AssertionError("re-export should land Delta v1")
+        # zero-copy assert: every Delta add resolves to a file the
+        # manifest already owns (no new parquet written by the export)
+        _meta, adds, _v = dl._replay(spark, path, None)
+        import os as _os
+        import urllib.parse as _up
+
+        m = lake._m_load(path, lake.latest_version(path))
+        own = {
+            _os.path.abspath(_os.path.join(path, e["path"]))
+            for e in lake._m_entries(path, m)
+        }
+        for a in adds:
+            ap = _os.path.abspath(
+                _os.path.join(path, _up.unquote(a["path"]))
+            )
+            if ap not in own:
+                raise AssertionError(f"export copied/invented a file: {ap}")
+        head = dl.read_delta(spark, path).withColumn("snap", F.lit("head"))
+        v0 = dl.read_delta(spark, path, version=0).withColumn(
+            "snap", F.lit("v0")
+        )
+        return head.unionByName(v0).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
