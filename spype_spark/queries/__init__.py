@@ -52,87 +52,94 @@ from spype_spark.queries import lakehouse_ops  # noqa: F401
 #      as evidence), with the round-1 rows-only keys last.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # ---- round-12 window (first 50 keys = the driver's evidence
-    # budget). Per VERDICT.md r11 task 1: q_dataset_interleave FIRST
-    # (the only key with zero driver history), then the round-12 NEW
-    # contracts (zero history by construction), then 46 of the 50 keys
-    # whose last driver green is r7 (five rounds old), starting
-    # q_stream_stream_left_join per the staged r12 queue. The 5 r7
-    # keys that don't fit (q_tpch_q2/q20/q21/q9, q_udaf_grouped) plus
-    # the oldest r8 key (q_sim_cosine_tiled) head the r13 queue below.
-    "q_dataset_interleave",
-    # round-12 additions:
-    "q_multimodal_png",
-    "q_lake_delta_read",
-    "q_lake_sql_ddl",
-    "q_lake_delta_import",
-    # last driver-green r7 (45 of 50):
-    "q_stream_stream_left_join",
-    "q_join_asof_nearest",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_components",
-    "q_dedup_cluster_keep",
-    "q_dedup_embed_cosine",
-    "q_dedup_pipeline",
-    "q_fingerprint",
-    "q_fuzzy_match",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokencount",
-    "q_text_mode",
-    "q_text_tfidf",
-    "q_text_tokens",
-    "q_text_stats",
-    "q_text_langfilter",
-    "q_sim_ivfpq_ann",
-    "q_array_funcs",
-    "q_array_setops",
-    "q_basket_pairs",
-    "q_bitwise_funcs",
-    "q_cast_types",
-    "q_cond_funcs",
-    "q_dataset_split",
-    "q_date_funcs",
-    "q_dedup_exact",
-    "q_explode_posexplode",
-    "q_hash_funcs",
-    "q_math_funcs",
-    "q_path_ngrams",
-    "q_regexp_extract_all",
-    "q_regress_grouped",
-    "q_scd2_history",
-    "q_set_except",
-    "q_set_intersect",
-    "q_set_union_byname",
-    "q_set_union_distinct",
-    "q_sort_multi",
-    "q_str_funcs",
-    "q_str_funcs2",
-    "q_topk_global",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q16",
-    # ---- end of the 50-slot window ----
+    # ---- round-13 window (first 50 keys = the driver's evidence
+    # budget). Per VERDICT.md r12 task 1: q_lake_delta_export FIRST
+    # (the ONLY key with zero driver history — it landed after the r12
+    # window froze), then any round-13 NEW contracts (zero history by
+    # construction, inserted here as they land), then the 5 keys whose
+    # last driver green is r7 (q_tpch_q2/q20/q21/q9, q_udaf_grouped),
+    # then the 34 r8-stale keys starting q_agg_approx_distinct
+    # (q_sim_cosine_tiled is the oldest, named in the r12 queue), then
+    # fill from the 50 r9-stale keys in table order.
     "q_lake_delta_export",
+    # round-13 additions (zero driver history):
+    "q_lake_delta_export_part",
+    "q_multimodal_jpeg",
+    "q_lake_iceberg_read",
+    # last driver-green r7 (all 5):
     "q_tpch_q2",
-    # Round-13 queue: the r7 keys that didn't fit, the oldest
-    # r8-evidence key, then registry order.
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q9",
     "q_udaf_grouped",
+    # last driver-green r8 (all 34; cosine_tiled first = oldest):
     "q_sim_cosine_tiled",
+    "q_agg_approx_distinct",
+    "q_agg_approx_percentile",
+    "q_agg_grouping_id",
+    "q_dataset_cap_per_source",
+    "q_dataset_mix_weighted",
+    "q_dataset_pack",
+    "q_join_bucketed",
+    "q_multimodal_audio",
+    "q_multimodal_decode",
+    "q_multimodal_framesample",
+    "q_null_handling",
+    "q_pipe_chain",
+    "q_pipe_fan_merge",
+    "q_pipe_iff",
+    "q_profile_stats",
+    "q_recursive_cte",
+    "q_sink_parquet_roundtrip",
+    "q_sink_partitioned_write",
+    "q_sketch_hll",
+    "q_skew_salted_agg",
+    "q_subquery_correlated",
+    "q_subquery_in",
+    "q_subquery_lateral",
+    "q_subquery_scalar",
+    "q_text_decontaminate",
+    "q_text_pii_redact",
+    "q_text_repetition",
+    "q_tpch_q13",
+    "q_tpch_q17",
+    "q_udf_pandas",
+    "q_udf_python",
+    "q_udtf_explode",
+    "q_window_percentiles",
+    # r9-stale fill (table order); with the 3 r13 additions above the
+    # window cuts off partway through — the rest heads the r14 queue.
+    "q_agg_histogram",
+    "q_join_3way",
+    "q_join_asof",
+    "q_join_bloom",
+    "q_join_interval_overlap",
+    "q_join_null_safe",
+    # ---- ~end of the 50-slot window (exact cut depends on how many
+    # r13 additions land; keys below are the r14 queue head) ----
+    "q_lake_append_scan",
+    "q_lake_branch_wap",
+    "q_lake_cdf",
+    "q_lake_clone",
+    "q_lake_delete_dv",
+    "q_lake_delete_predicate",
 ]
+
+
+# Round-13 contracts planned but not yet landed: tolerated as absent so
+# the window can be staged ahead of the code. Any OTHER unknown key in
+# _DRIVER_PRIORITY is still a hard error (typo guard).
+_PENDING = {"q_lake_delta_export_part", "q_multimodal_jpeg", "q_lake_iceberg_read"}
 
 
 def _apply_driver_priority() -> None:
     """Reorder REGISTRY in place: priority keys first, then everything
     else (the round-1-green keys) in original registration order."""
-    missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
+    missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY and k not in _PENDING]
     if missing:
         raise RuntimeError(f"_DRIVER_PRIORITY names unknown keys: {missing}")
     seen = set(_DRIVER_PRIORITY)
-    ordered = {k: REGISTRY[k] for k in _DRIVER_PRIORITY}
+    ordered = {k: REGISTRY[k] for k in _DRIVER_PRIORITY if k in REGISTRY}
     ordered.update({k: v for k, v in REGISTRY.items() if k not in seen})
     REGISTRY.clear()
     REGISTRY.update(ordered)
