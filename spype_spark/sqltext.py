@@ -561,48 +561,76 @@ def _inside_string(stmt: str, pos: int) -> bool:
 _CTE_DEF_RE = re.compile(r"\b([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
 
 
+def _paren_pairs(stmt: str) -> dict[int, int]:
+    """Index of matching parens (open position → close position),
+    skipping string literals (both ``''`` and ``\\'`` escapes)."""
+    pairs: dict[int, int] = {}
+    stack: list[int] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch == "'":  # skip the whole literal
+            i += 1
+            while i < n:
+                if stmt[i] == "\\":
+                    i += 2
+                    continue
+                if stmt[i] == "'":
+                    if i + 1 < n and stmt[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            stack.append(i)
+        elif ch == ")":
+            if stack:
+                pairs[stack.pop()] = i
+        i += 1
+    return pairs
+
+
 def _cte_spans(stmt: str) -> dict[str, list[tuple[int, int]]]:
     """For each ``WITH <name> AS (…)`` definition in the statement
-    (top-level and nested), the (start, end) span of its own body.
+    (top-level and nested), the (start, end) span where the name is
+    SHADOWED — i.e. where a same-named bare ref means the CTE, not the
+    catalog table, so the rewriter must leave it alone.
 
-    SQL scoping says a CTE SHADOWS a same-named catalog table
-    everywhere it is in scope (Spark/Delta behavior) — EXCEPT inside
-    its own non-recursive definition body, where the name still means
-    the outer relation. The bare-name catalog rewrite therefore skips
-    a CTE name outside these spans and rewrites it inside them
-    (ADVICE r11: the rewriter used to silently prefer the catalog
-    table everywhere — wrong results with no error)."""
+    SQL scoping (Spark/Delta behavior): a CTE shadows a same-named
+    catalog table from the end of its own definition body to the end
+    of its ENCLOSING query block — the parenthesized subquery whose
+    WITH list defines it, or the whole statement for a top-level WITH.
+    It does NOT shadow inside its own non-recursive body (the name
+    still means the outer relation there), before its definition
+    (no forward references), or OUTSIDE the enclosing subquery
+    (ADVICE r12: a CTE defined inside a nested subquery used to
+    shadow the whole statement, so an outer-query ref to the
+    same-named catalog table was skipped and failed Spark analysis
+    with TABLE_OR_VIEW_NOT_FOUND)."""
     spans: dict[str, list[tuple[int, int]]] = {}
     n = len(stmt)
+    pairs = _paren_pairs(stmt)
+    # sorted open positions let us find the innermost enclosing block
+    # of each definition with a linear scan per match
+    opens = sorted(pairs)
     for m in _CTE_DEF_RE.finditer(stmt):
         if _inside_string(stmt, m.start()):
             continue
         open_i = m.end() - 1  # the '(' the regex anchored on
-        depth, i = 0, open_i
-        while i < n:
-            ch = stmt[i]
-            if ch == "'":  # skip the whole literal (both escapes)
-                i += 1
-                while i < n:
-                    if stmt[i] == "\\":
-                        i += 2
-                        continue
-                    if stmt[i] == "'":
-                        if i + 1 < n and stmt[i + 1] == "'":
-                            i += 2
-                            continue
-                        break
-                    i += 1
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    spans.setdefault(m.group(1), []).append(
-                        (open_i + 1, i)
-                    )
-                    break
-            i += 1
+        body_end = pairs.get(open_i, n)
+        # innermost paren pair strictly containing the definition name
+        # (not the body paren itself) = the enclosing query block;
+        # containing pairs are nested, so the smallest close wins
+        block_end = n
+        for o in opens:
+            if o >= m.start():
+                break
+            c = pairs[o]
+            if c > m.start():
+                block_end = min(block_end, c)
+        # shadow runs from just past the body's ')' to the block end
+        if body_end < block_end:
+            spans.setdefault(m.group(1), []).append((body_end + 1, block_end))
     return spans
 
 
@@ -681,11 +709,9 @@ def _resolve_reads(
         name = m.group("name")
         if name not in names or _inside_string(m.string, m.start()):
             return m.group(0)  # not a catalog table — Spark's problem
-        if name in cte and not any(
-            s <= m.start() < e for s, e in cte[name]
-        ):
-            # a CTE shadows the same-named catalog table everywhere
-            # except inside its own definition body
+        if any(s <= m.start() < e for s, e in cte.get(name, ())):
+            # shadowed by a CTE here (after its definition, inside its
+            # enclosing query block) — leave the ref for Spark
             return m.group(0)
         txn = int(m.group("txn")) if m.group("txn") is not None else None
         df = catalog.read(spark, m.group("name"), txn=txn)

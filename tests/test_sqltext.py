@@ -404,6 +404,35 @@ def test_sql_cte_shadows_catalog_table(spark, tmp_path):
     assert n2 == 2
 
 
+def test_sql_nested_cte_shadow_is_scoped_to_its_subquery(spark, tmp_path):
+    """A CTE defined INSIDE a nested subquery shadows only within that
+    subquery (ADVICE r12): an outer-query ref to the same-named
+    catalog table must still be rewritten — previously it was skipped
+    and failed analysis with TABLE_OR_VIEW_NOT_FOUND."""
+    from spype_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "nestcat"))
+    spype_spark.sql(
+        spark, "CREATE TABLE t AS SELECT id AS k FROM range(10)", catalog=cat
+    )
+    # the subquery's CTE t = 3 rows; the OUTER FROM t = the 10-row
+    # catalog table; the join key domain proves both resolved right
+    n = spype_spark.sql(
+        spark,
+        "SELECT count(*) AS n FROM ("
+        "WITH t AS (SELECT k FROM t WHERE k < 3) SELECT k FROM t"
+        ") s JOIN t ON s.k = t.k",
+        catalog=cat,
+    ).collect()[0].n
+    assert n == 3
+    # shadow still applies INSIDE the subquery after the definition,
+    # and the outer table is intact afterwards
+    total = spype_spark.sql(
+        spark, "SELECT count(*) AS n FROM t", catalog=cat
+    ).collect()[0].n
+    assert total == 10
+
+
 def test_sql_string_escapes_dont_break_ref_parity(spark, tmp_path):
     """Backslash-escaped quotes inside literals (ADVICE r11) must not
     flip the in-string parity: 'FROM t' inside such a literal stays
