@@ -127,11 +127,15 @@ def _check_protocol(protocol: dict | None) -> None:
         raise ValueError("Delta protocol 3 without readerFeatures is malformed")
 
 
-def _replay(
+def _replay_state(
     spark: SparkSession, path: str, version: int | None
-) -> tuple[dict, list[dict], int]:
-    """Replay the log up to ``version`` (default: head). Returns
-    (metaData, live add actions, resolved version)."""
+) -> dict:
+    """Replay the log up to ``version`` (default: head). Returns the
+    full table state a checkpoint must carry: ``meta`` (metaData
+    action), ``adds`` (live add actions), ``tombstones`` (remove
+    actions for files removed and not re-added — other engines need
+    them for vacuum safety), ``txns`` (latest setTransaction version
+    per appId — streaming-writer idempotency state), ``version``."""
     versions = _commit_versions(path)
     ckpt = _last_checkpoint(path)
     head = versions[-1] if versions else (ckpt["version"] if ckpt else None)
@@ -141,6 +145,8 @@ def _replay(
     meta: dict | None = None
     protocol: dict | None = None
     live: dict[str, dict] = {}  # add.path -> add action
+    tombstones: dict[str, dict] = {}  # remove.path -> remove action
+    txns: dict[str, int] = {}  # appId -> latest version
     start = 0
     if ckpt is not None and ckpt["version"] <= v:
         cv = int(ckpt["version"])
@@ -157,12 +163,18 @@ def _replay(
             ]
         )
         cp = spark.read.parquet(*files)
+        cols = set(cp.columns)
         # metadata-sized collect: one checkpoint row per live file /
-        # metadata action — the same cost class as manifest planning
+        # tombstone / metadata action — the same cost class as
+        # manifest planning
         for row in cp.collect():
             d = row.asDict(recursive=True)
             if d.get("add"):
                 live[d["add"]["path"]] = d["add"]
+            elif d.get("remove"):
+                tombstones[d["remove"]["path"]] = d["remove"]
+            elif "txn" in cols and d.get("txn") and d["txn"].get("appId"):
+                txns[d["txn"]["appId"]] = int(d["txn"].get("version") or 0)
             elif d.get("metaData") and d["metaData"].get("schemaString"):
                 meta = d["metaData"]
             elif d.get("protocol") and d["protocol"].get("minReaderVersion"):
@@ -182,21 +194,74 @@ def _replay(
                     continue
                 action = json.loads(line)
                 if "add" in action:
-                    live[action["add"]["path"]] = action["add"]
+                    p = action["add"]["path"]
+                    live[p] = action["add"]
+                    tombstones.pop(p, None)  # re-added: no longer a tombstone
                 elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
+                    p = action["remove"]["path"]
+                    live.pop(p, None)
+                    tombstones[p] = action["remove"]
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "protocol" in action:
                     protocol = action["protocol"]
-                # commitInfo / txn / cdc: ignored on the read path
+                elif "txn" in action and action["txn"].get("appId"):
+                    txns[action["txn"]["appId"]] = int(
+                        action["txn"].get("version") or 0
+                    )
+                # commitInfo / cdc: ignored on the read path
     _check_protocol(protocol)
     if meta is None:
         raise ValueError(f"Delta log of {path} has no metaData action")
     fmt = (meta.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
         raise ValueError(f"unsupported Delta data format {fmt!r}")
-    return meta, list(live.values()), v
+    return {
+        "meta": meta,
+        "adds": list(live.values()),
+        "tombstones": list(tombstones.values()),
+        "txns": txns,
+        "version": v,
+    }
+
+
+def _replay(
+    spark: SparkSession, path: str, version: int | None
+) -> tuple[dict, list[dict], int]:
+    """Replay the log up to ``version`` (default: head). Returns
+    (metaData, live add actions, resolved version)."""
+    st = _replay_state(spark, path, version)
+    return st["meta"], st["adds"], st["version"]
+
+
+def _publish_commit(root: str, version: int, actions: list[dict]) -> None:
+    """Put-if-absent publish of one Delta commit file: write + fsync a
+    temp file, then ``os.link`` it to ``N.json`` — the same conditional
+    -PUT discipline as the native manifest's ``_m_publish``. Delta
+    requires mutual exclusion on commit N (PROTOCOL.md: the log is an
+    ordered atomic register); a plain rename would silently clobber a
+    concurrent writer's commit (ADVICE r12). EEXIST surfaces as the
+    engine's standard :class:`lakehouse.ConcurrentWriteError` so
+    callers share one retry discipline."""
+    from spype_spark.lakehouse import ConcurrentWriteError
+
+    os.makedirs(_log_dir(root), exist_ok=True)
+    final = _commit_path(root, version)
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        os.unlink(tmp)
+        raise ConcurrentWriteError(
+            f"Delta version {version} of {root} was committed "
+            f"concurrently; re-read and retry"
+        ) from exc
+    os.unlink(tmp)
 
 
 def _hive_prefix(pcols: list[str], pvals: dict) -> str:
@@ -286,7 +351,14 @@ def import_delta(
     untouched, so both engines keep reading their own metadata over
     the same immutable files. The importing table's vacuum can never
     reclaim the foreign files: the GC refcounts by absolute path but
-    only sweeps candidates under its own root.
+    only sweeps candidates under its own root. The CONVERSE does not
+    hold (ADVICE r12): the foreign engine's own VACUUM knows nothing
+    about this manifest, so Delta-side deletes/overwrites followed by
+    a Delta VACUUM reclaim files the imported table still references —
+    later native reads fail on the missing files. A zero-copy import
+    is therefore only safe while the source Delta log is frozen (or
+    its retention outlives the import); when the source stays live,
+    pass ``materialize=True`` to copy once and sever the dependency.
 
     Partitioned tables MATERIALIZE (``materialize=True``; forced when
     partition columns exist): the two formats disagree about file
@@ -329,8 +401,42 @@ def import_delta(
     return 0
 
 
+#: Arrow physical types strictly NARROWER than each Spark logical type
+#: in the engine's widening set (`lakehouse._WIDEN_OK`): a widened
+#: table's carried files keep these physical types, which pre-Spark-4 /
+#: pre-typeWidening Delta readers cannot up-cast.
+_NARROWER_THAN: dict[str, frozenset[str]] = {
+    # keys are Spark schema-JSON type names (StructType.jsonValue)
+    "short": frozenset({"int8"}),
+    "integer": frozenset({"int8", "int16"}),
+    "long": frozenset({"int8", "int16", "int32"}),
+    "double": frozenset({"halffloat", "float", "int8", "int16", "int32"}),
+}
+
+
+def _narrow_file_cols(schema_fields: list[dict], file_path: str) -> list[str]:
+    """Columns whose physical type in ``file_path``'s footer is
+    narrower than the logical schema type (the type-widening residue).
+    One footer metadata read — no data pages touched."""
+    import pyarrow.parquet as pq
+
+    arrow = pq.read_schema(file_path)
+    out = []
+    for f in schema_fields:
+        narrow = _NARROWER_THAN.get(f.get("type"))
+        if not narrow:
+            continue
+        idx = arrow.get_field_index(f["name"])
+        if idx >= 0 and str(arrow.field(idx).type) in narrow:
+            out.append(f["name"])
+    return out
+
+
 def export_delta(
-    spark: SparkSession, table_path: str, delta_path: str | None = None
+    spark: SparkSession,
+    table_path: str,
+    delta_path: str | None = None,
+    allow_narrow_files: bool = False,
 ) -> int:
     """Mirror a native manifest table's CURRENT snapshot as a Delta
     commit — the reverse of :func:`import_delta`, so any Delta reader
@@ -341,29 +447,55 @@ def export_delta(
     making the table dual-format in place (``_delta_log`` next to
     ``_manifests`` over the same immutable files). Re-export after
     native commits appends a snapshot-replace Delta commit (remove-all
-    + add-all — overwrite semantics, a correct incremental mirror).
-    Returns the Delta version written. The mirror is a SNAPSHOT: the
-    native table's vacuum does not consult the Delta log, so after
-    native rewrites, re-export BEFORE vacuuming if Delta readers are
-    live (the same contract as any external snapshot consumer).
+    + add-all — overwrite semantics); when the manifest schema or
+    partition spec evolved since the previous export, the commit also
+    carries a fresh ``metaData`` action (same table id) so Delta
+    readers see added columns and widened types instead of the stale
+    v0 schema (ADVICE r12). Returns the Delta version written. The
+    mirror is a SNAPSHOT: the native table's vacuum does not consult
+    the Delta log, so after native rewrites, re-export BEFORE
+    vacuuming if Delta readers are live (the same contract as any
+    external snapshot consumer).
+
+    Partitioned tables (identity partitioning) export with each add's
+    ``partitionValues`` taken from its manifest entry — the
+    authoritative channel Delta readers resolve partition columns
+    from. This engine also keeps identity-partition columns IN the
+    data files (the Iceberg model); for Delta readers that redundant
+    in-file copy is inert — they request only non-partition columns
+    from the file, so column pruning skips it — but it is an export
+    -profile note, since mainstream Delta WRITERS omit the columns
+    from data files.
+
+    Type-widening residue: a :func:`lakehouse.widen_types` commit is
+    metadata-only, so carried files keep their NARROW physical types
+    (int32 under a bigint schema). Spark 4+ up-casts at scan time, but
+    older Delta readers fail the conversion — so the export sweeps one
+    parquet footer per data directory (a metadata-class read, same
+    cost family as import's stats recompute) and raises when narrow
+    files sit under a widened schema. Pass ``allow_narrow_files=True``
+    to export anyway for a reader population known to up-cast.
 
     Out of profile (loud errors, never a silently-wrong export):
-    partitioned tables (the formats disagree on in-file partition
-    columns — Delta data files must NOT contain them, this engine's
-    do), pending equality/positional deletes (compact first; a plain
-    file list cannot express them), and column-mapping renames/drops
-    (logical names would diverge from the files' physical names,
-    which Delta expresses only through reader feature
+    hidden-partition transforms (bucket/days/hours/truncate — Delta
+    has no transform spec; its generated columns cannot reproduce the
+    engine's hash), pending equality/positional deletes (compact
+    first; a plain file list cannot express them), and column-mapping
+    renames/drops (logical names would diverge from the files'
+    physical names, which Delta expresses only through reader feature
     ``columnMapping``)."""
     from spype_spark import lakehouse as lake
 
     v = lake.latest_version(table_path)
     m = lake._m_load(table_path, v)
-    if m.get("partition_by"):
+    if any(
+        t.get("transform") not in (None, "identity")
+        for t in m.get("transforms") or []
+    ):
         raise ValueError(
-            "export_delta: partitioned tables are out of profile — "
-            "this engine stores partition columns IN the data files, "
-            "Delta's spec excludes them; rewrite unpartitioned first"
+            "export_delta: hidden-partition transforms (bucket/days/"
+            "hours/truncate) have no Delta equivalent — rewrite with "
+            "identity partitioning first"
         )
     if m.get("deletes") or m.get("pos_deletes"):
         raise ValueError(
@@ -380,26 +512,53 @@ def export_delta(
             "columnMapping reader feature — export before renaming, or "
             "rewrite the table"
         )
+    pcols = list(m.get("partition_by") or [])
     root = table_path if delta_path is None else delta_path
     entries = lake._m_entries(table_path, m)
     now_ms = int(os.path.getmtime(table_path) * 1000)
     adds = []
+    narrow_seen_dirs: set[str] = set()
+    narrow_cols: set[str] = set()
     for e in entries:
         ap = (
             e["path"]
             if os.path.isabs(e["path"])
             else os.path.abspath(os.path.join(table_path, e["path"]))
         )
+        # one footer probe per data directory: files in one dir come
+        # from one write job and share a physical schema, so this is
+        # O(commits), not O(files)
+        d = os.path.dirname(ap)
+        if d not in narrow_seen_dirs:
+            narrow_seen_dirs.add(d)
+            narrow_cols.update(_narrow_file_cols(fields, ap))
         rp = os.path.relpath(ap, os.path.abspath(root))
         loc = ap if rp.startswith("..") else rp.replace(os.sep, "/")
+        pv = {}
+        for c in pcols:
+            raw = (e.get("partition") or {}).get(c)
+            pv[c] = (
+                None
+                if raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
+                else urllib.parse.unquote(str(raw))
+            )
         adds.append(
             {
                 "path": urllib.parse.quote(loc, safe="/="),
-                "partitionValues": {},
+                "partitionValues": pv,
                 "size": int(e.get("bytes") or os.path.getsize(ap)),
                 "modificationTime": now_ms,
                 "dataChange": True,
             }
+        )
+    if narrow_cols and not allow_narrow_files:
+        raise ValueError(
+            f"export_delta: column(s) {sorted(narrow_cols)} were widened "
+            f"after their data files were written — the files' narrow "
+            f"physical types fail on Delta readers without type-widening "
+            f"support. Compact/rewrite the table, or pass "
+            f"allow_narrow_files=True for readers known to up-cast "
+            f"(Spark 4+)."
         )
     versions = _commit_versions(root) if os.path.isdir(_log_dir(root)) else []
     dv = (versions[-1] + 1) if versions else 0
@@ -414,14 +573,29 @@ def export_delta(
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": json.dumps(m["schema"]),
-                    "partitionColumns": [],
+                    "partitionColumns": pcols,
                     "configuration": {},
                     "createdTime": now_ms,
                 }
             }
         )
     else:
-        _meta, prev_adds, _pv = _replay(spark, root, None)
+        prev = _replay_state(spark, root, None)
+        prev_meta = prev["meta"]
+        prev_schema = json.loads(prev_meta["schemaString"])
+        prev_pcols = list(prev_meta.get("partitionColumns") or [])
+        if prev_schema != m["schema"] or prev_pcols != pcols:
+            # schema/spec evolved since the last export: Delta readers
+            # must see the new logical schema, under the SAME table id
+            actions.append(
+                {
+                    "metaData": {
+                        **prev_meta,
+                        "schemaString": json.dumps(m["schema"]),
+                        "partitionColumns": pcols,
+                    }
+                }
+            )
         actions.extend(
             {
                 "remove": {
@@ -430,7 +604,7 @@ def export_delta(
                     "dataChange": True,
                 }
             }
-            for a in prev_adds
+            for a in prev["adds"]
         )
     actions.extend({"add": a} for a in adds)
     actions.append(
@@ -442,14 +616,7 @@ def export_delta(
             }
         }
     )
-    os.makedirs(_log_dir(root), exist_ok=True)
-    tmp = _commit_path(root, dv) + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _commit_path(root, dv))
+    _publish_commit(root, dv, actions)
     return dv
 
 
@@ -600,14 +767,7 @@ def write_delta(
             }
         }
     )
-    os.makedirs(_log_dir(path), exist_ok=True)
-    tmp = _commit_path(path, version) + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _commit_path(path, version))
+    _publish_commit(path, version, actions)
     return version
 
 
@@ -629,8 +789,18 @@ _CKPT_SCHEMA = (
 def checkpoint_delta(spark: SparkSession, path: str) -> int:
     """Compact the current snapshot into a classic single-file parquet
     checkpoint + ``_last_checkpoint`` pointer (the form every Delta
-    reader must support). Returns the checkpointed version."""
-    meta, adds, v = _replay(spark, path, None)
+    reader must support). Returns the checkpointed version.
+
+    Beyond the live file list the checkpoint carries the OTHER state
+    the spec requires (ADVICE r12 — dropping it breaks foreign engines
+    replaying from the checkpoint after JSON cleanup): ``txn`` rows
+    (latest setTransaction per appId — streaming-writer idempotency)
+    and ``remove`` tombstones (vacuum safety). Tombstones are carried
+    un-expired — this writer does not apply
+    ``deletedFileRetentionDuration``, so a checkpoint never silently
+    ages one out; extra tombstones are harmless to readers."""
+    st = _replay_state(spark, path, None)
+    meta, adds, v = st["meta"], st["adds"], st["version"]
     rows = [
         (
             None,
@@ -651,6 +821,8 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
         ),
         (None, None, None, None, (1, 2)),
     ]
+    for app_id, txv in sorted(st["txns"].items()):
+        rows.append(((app_id, int(txv)), None, None, None, None))
     for a in adds:
         rows.append(
             (
@@ -663,6 +835,20 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
                     bool(a.get("dataChange", True)),
                 ),
                 None,
+                None,
+                None,
+            )
+        )
+    for r in st["tombstones"]:
+        rows.append(
+            (
+                None,
+                None,
+                (
+                    r["path"],
+                    int(r.get("deletionTimestamp") or 0),
+                    bool(r.get("dataChange", True)),
+                ),
                 None,
                 None,
             )

@@ -2701,3 +2701,61 @@ def q_lake_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         return head.unionByName(v0).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delta_export_part",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'head' AS snap
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_orderstatus <> 'P'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'v0' AS snap
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def q_lake_delta_export_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED dual-format export (VERDICT r12 task 2): a
+    partition-COW native table mirrored as a Delta log in place, each
+    add carrying its ``partitionValues`` from the manifest entry — the
+    authoritative channel Delta readers resolve partition columns
+    from (:func:`spype_spark.delta_interop.export_delta`).
+
+    Sequence: native write of even-key orders PARTITIONED BY
+    o_orderstatus → export (Delta v0, in-contract assert that every
+    add carries a non-empty partitionValues and that metaData lists
+    the partition column) → native partition-level DELETE of the 'P'
+    partition → re-export (Delta v1, snapshot-replace). The result
+    reads the log through the Delta replay path at head and VERSION AS
+    OF 0: a dropped partitionValues map, a wrong Hive decode, or a
+    re-export that missed the partition drop all break the hash.
+    Zero data copied — the adds reference the manifest's own files.
+    """
+    from spype_spark import delta_interop as dl
+
+    tmp = _scratch("spype_delta_exp_part_")
+    try:
+        path = f"{tmp}/orders_part_dual"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        lake.write_table(
+            o.filter(F.col("o_orderkey") % 2 == 0),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        if dl.export_delta(spark, path) != 0:
+            raise AssertionError("first export should land Delta v0")
+        meta, adds, _v = dl._replay(spark, path, None)
+        if list(meta.get("partitionColumns") or []) != ["o_orderstatus"]:
+            raise AssertionError("metaData must list the partition column")
+        for a in adds:
+            if not (a.get("partitionValues") or {}).get("o_orderstatus"):
+                raise AssertionError(f"add without partitionValues: {a}")
+        lake.delete_where(spark, path, F.col("o_orderstatus") == "P")
+        if dl.export_delta(spark, path) != 1:
+            raise AssertionError("re-export should land Delta v1")
+        head = dl.read_delta(spark, path).withColumn("snap", F.lit("head"))
+        v0 = dl.read_delta(spark, path, version=0).withColumn(
+            "snap", F.lit("v0")
+        )
+        return head.unionByName(v0).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -261,12 +261,156 @@ def test_export_delta_out_of_profile_is_loud(spark, tmp_path):
     df = spark.range(0, 10).select(
         F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("p")
     )
-    pt = str(tmp_path / "part")
-    lake.write_table(df, pt, partition_by=["p"])
-    with pytest.raises(ValueError, match="partitioned"):
-        dl.export_delta(spark, pt)
+    # hidden-partition transforms have no Delta equivalent
+    bt = str(tmp_path / "bucketed")
+    lake.write_table(df, bt, partition_by=[("bucket", 4, "k")])
+    with pytest.raises(ValueError, match="transform"):
+        dl.export_delta(spark, bt)
     rt = str(tmp_path / "renamed")
     lake.write_table(df, rt)
     lake.rename_columns(spark, rt, {"p": "q"})
     with pytest.raises(ValueError, match="columnMapping"):
         dl.export_delta(spark, rt)
+
+
+def test_export_delta_partitioned_round_trip(spark, tmp_path):
+    """A partitioned native table exports with partitionValues taken
+    from the manifest entries; read_delta resolves partition columns
+    from them (the authoritative channel) and matches the native
+    read. A partition-COW delete + re-export keeps the mirror true."""
+    from pyspark.sql import functions as F
+
+    from spype_spark import lakehouse as lake
+
+    tpath = str(tmp_path / "pdual")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") * 7).alias("v"),
+    )
+    lake.write_table(df, tpath, partition_by=["p"])
+    assert dl.export_delta(spark, tpath) == 0
+    meta, adds, _ = dl._replay(spark, tpath, None)
+    assert meta["partitionColumns"] == ["p"]
+    assert all(a["partitionValues"].get("p") in {"0", "1", "2"} for a in adds)
+    assert _rows(dl.read_delta(spark, tpath)) == _rows(
+        lake.read_table(spark, tpath)
+    )
+    # partition-level COW mutation, then re-export: mirror follows
+    lake.delete_where(spark, tpath, F.col("p") == 1)
+    assert dl.export_delta(spark, tpath) == 1
+    assert _rows(dl.read_delta(spark, tpath)) == _rows(
+        lake.read_table(spark, tpath)
+    )
+    assert dl.read_delta(spark, tpath, version=0).count() == 30
+
+
+def test_export_delta_reemits_metadata_on_schema_evolution(spark, tmp_path):
+    """Re-export after additive schema evolution must carry a fresh
+    metaData action (same table id) — without it Delta readers keep
+    the stale v0 schema and silently drop the new column (ADVICE
+    r12)."""
+    from pyspark.sql import functions as F
+
+    from spype_spark import lakehouse as lake
+
+    tpath = str(tmp_path / "evolve")
+    lake.write_table(
+        spark.range(0, 8).select(F.col("id").alias("k")), tpath
+    )
+    assert dl.export_delta(spark, tpath) == 0
+    meta0, _, _ = dl._replay(spark, tpath, None)
+    # additive evolution: merge a frame carrying an extra column
+    lake.merge_upsert(
+        spark, tpath,
+        spark.range(8, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+        ),
+        keys=["k"], evolve_schema=True,
+    )
+    assert dl.export_delta(spark, tpath) == 1
+    meta1, _, _ = dl._replay(spark, tpath, None)
+    assert meta1["id"] == meta0["id"], "table id must be preserved"
+    names = [f["name"] for f in json.loads(meta1["schemaString"])["fields"]]
+    assert "extra" in names, "evolved column missing from Delta schema"
+    got = dl.read_delta(spark, tpath)
+    assert "extra" in got.columns
+    assert got.count() == 12
+
+
+def test_export_delta_widened_narrow_files_guarded(spark, tmp_path):
+    """widen_types is metadata-only, so carried files keep the narrow
+    physical type — the export must refuse (older Delta readers fail
+    the int32→bigint conversion) unless explicitly allowed."""
+    from pyspark.sql import functions as F
+
+    from spype_spark import lakehouse as lake
+
+    tpath = str(tmp_path / "widen")
+    lake.write_table(
+        spark.range(0, 6).select(F.col("id").cast("int").alias("k")), tpath
+    )
+    lake.widen_types(spark, tpath, {"k": "bigint"})
+    with pytest.raises(ValueError, match="widened"):
+        dl.export_delta(spark, tpath)
+    v = dl.export_delta(spark, tpath, allow_narrow_files=True)
+    assert v == 0
+    got = dl.read_delta(spark, tpath)
+    assert got.schema["k"].dataType.simpleString() == "bigint"
+    assert got.count() == 6
+
+
+def test_checkpoint_carries_txn_and_tombstones(spark, tmp_path):
+    """A checkpoint must carry setTransaction state and remove
+    tombstones (ADVICE r12) — engines replaying from it after JSON
+    cleanup lose streaming idempotency and vacuum safety otherwise."""
+    from pyspark.sql import functions as F
+
+    dpath = str(tmp_path / "txnckpt")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    dl.write_delta(spark, df, dpath)
+    # hand-append a commit with a txn action + a remove (overwrite)
+    meta, adds, v = dl._replay(spark, dpath, None)
+    actions = [
+        {"txn": {"appId": "stream-7", "version": 42}},
+        {
+            "remove": {
+                "path": adds[0]["path"],
+                "deletionTimestamp": 1000,
+                "dataChange": True,
+            }
+        },
+    ]
+    dl._publish_commit(dpath, v + 1, actions)
+    cv = dl.checkpoint_delta(spark, dpath)
+    assert cv == v + 1
+    # delete every JSON commit: state must come back from the
+    # checkpoint alone
+    for f in os.listdir(os.path.join(dpath, "_delta_log")):
+        if f.endswith(".json") and len(f) == 25:
+            os.unlink(os.path.join(dpath, "_delta_log", f))
+    st = dl._replay_state(spark, dpath, None)
+    assert st["txns"] == {"stream-7": 42}
+    assert [t["path"] for t in st["tombstones"]] == [adds[0]["path"]]
+    assert len(st["adds"]) == len(adds) - 1
+
+
+def test_delta_commit_publish_is_put_if_absent(spark, tmp_path):
+    """Two writers racing to the same commit version: exactly one
+    wins; the loser gets ConcurrentWriteError and the winner's commit
+    file is untouched (Delta requires put-if-absent on N.json)."""
+    from pyspark.sql import functions as F
+
+    from spype_spark.lakehouse import ConcurrentWriteError
+
+    dpath = str(tmp_path / "race")
+    dl.write_delta(
+        spark, spark.range(0, 4).select(F.col("id").alias("k")), dpath
+    )
+    winner = [{"commitInfo": {"timestamp": 1, "operation": "A"}}]
+    loser = [{"commitInfo": {"timestamp": 2, "operation": "B"}}]
+    dl._publish_commit(dpath, 1, winner)
+    with pytest.raises(ConcurrentWriteError):
+        dl._publish_commit(dpath, 1, loser)
+    with open(os.path.join(dpath, "_delta_log", f"{1:020d}.json")) as f:
+        assert json.loads(f.readline())["commitInfo"]["operation"] == "A"
