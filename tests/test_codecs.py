@@ -149,8 +149,10 @@ def test_real_decoders_registered():
     assert REAL_DECODERS["audio/wav"] is decode_wav
     payload, expect = _hand_built_bmp_2x2()
     assert _decode_real("image/bmp", payload)["pixels"] == expect
+    # the remaining codec seam: video containers (JPEG graduated to a
+    # real decoder in round 13, PNG in round 12)
     with pytest.raises(NotImplementedError):
-        _decode_real("image/jpeg", b"\xff\xd8\xff")
+        _decode_real("video/mp4", b"\x00\x00\x00\x18ftypmp42")
 
 
 # ---------------------------------------------------------------------------
@@ -252,3 +254,110 @@ def test_png_registered_in_real_decoders():
     assert REAL_DECODERS["image/png"] is decode_png
     px = _gradient_pixels(2, 2, 3)
     assert _decode_real("image/png", encode_png(px, 2, 2))["pixels"] == px
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, round 13)
+# ---------------------------------------------------------------------------
+
+from spype_spark.codecs import decode_jpeg, encode_jpeg  # noqa: E402
+
+
+def _const_block_grey(block_vals, blocks_w, blocks_h):
+    w, h = blocks_w * 8, blocks_h * 8
+    px = bytearray(w * h)
+    for bi in range(blocks_h):
+        for bj in range(blocks_w):
+            v = block_vals[bi * blocks_w + bj]
+            for r in range(8):
+                for c in range(8):
+                    px[(bi * 8 + r) * w + bj * 8 + c] = v
+    return bytes(px), w, h
+
+
+def test_jpeg_constant_blocks_round_trip_exact():
+    """Quality 100 gives all-ones quantization tables, and an 8×8
+    block of one value is DC-only — the whole huffman/marker/DCT
+    chain must round-trip BIT-EXACTLY (the contract's oracle leans on
+    this)."""
+    px, w, h = _const_block_grey([0, 255, 128, 7, 200, 64, 33, 91, 130], 3, 3)
+    img = decode_jpeg(encode_jpeg(px, w, h, channels=1, quality=100))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 1)
+    assert img["pixels"] == px
+
+
+def test_jpeg_gradient_bounded_error():
+    px = bytes((x * 3 + y * 5) % 256 for y in range(40) for x in range(32))
+    img = decode_jpeg(encode_jpeg(px, 32, 40, channels=1, quality=90))
+    assert img["width"] == 32 and img["height"] == 40
+    err = max(abs(a - b) for a, b in zip(px, img["pixels"]))
+    assert err <= 32, f"q90 max error {err}"
+
+
+def test_jpeg_rgb_444_and_420():
+    # smooth ramp: both subsamplings must reconstruct within a loose
+    # bound (420 averages chroma 2x2)
+    w, h = 24, 16
+    rgb = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in ((x * 10) % 256, (y * 14) % 256, ((x + y) * 6) % 256)
+    )
+    for sub, tol in (("444", 24), ("420", 48)):
+        img = decode_jpeg(
+            encode_jpeg(rgb, w, h, channels=3, quality=95, subsampling=sub)
+        )
+        assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+        err = max(abs(a - b) for a, b in zip(rgb, img["pixels"]))
+        assert err <= tol, f"{sub} max error {err}"
+
+
+def test_jpeg_restart_markers():
+    px, w, h = _const_block_grey(list(range(0, 240, 10)), 6, 4)
+    data = encode_jpeg(px, w, h, channels=1, quality=100, restart_interval=3)
+    assert b"\xff\xdd" in data  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    img = decode_jpeg(data)
+    assert img["pixels"] == px
+    # a dropped restart marker is a loud error, not silent corruption
+    i = data.find(b"\xff\xd0")
+    if i < 0:
+        i = next(
+            data.find(bytes([0xFF, 0xD0 + k]))
+            for k in range(8)
+            if data.find(bytes([0xFF, 0xD0 + k])) >= 0
+        )
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:i] + data[i + 2 :])
+
+
+def test_jpeg_odd_dimensions_mcu_padding():
+    px = bytes((x + y) % 256 for y in range(13) for x in range(11))
+    img = decode_jpeg(encode_jpeg(px, 11, 13, channels=1, quality=85))
+    assert (img["width"], img["height"]) == (11, 13)
+    assert len(img["pixels"]) == 11 * 13
+
+
+def test_jpeg_out_of_profile_is_loud():
+    px, w, h = _const_block_grey([50], 1, 1)
+    data = bytearray(encode_jpeg(px, w, h, channels=1, quality=100))
+    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    i = data.find(b"\xff\xc0")
+    assert i >= 0
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n")
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(px, w, h, quality=100)[:40])  # truncated
+
+
+def test_jpeg_registered_in_real_decoders():
+    from spype_spark.queries.multimodal import REAL_DECODERS, _decode_real
+
+    assert REAL_DECODERS["image/jpeg"] is decode_jpeg
+    px, w, h = _const_block_grey([9, 99, 199, 249], 2, 2)
+    got = _decode_real("image/jpeg", encode_jpeg(px, w, h, quality=100))
+    assert got["pixels"] == px

@@ -30,10 +30,11 @@ def test_decode_is_deterministic_and_byte_accurate(spark, sf_dir):
 
 
 def test_real_codec_seam_raises_not_implemented():
-    # PNG graduated to a REAL in-repo decoder in round 12; JPEG still
-    # needs a codec library this container lacks — it IS the seam now
+    # PNG graduated to a REAL in-repo decoder in round 12, JPEG in
+    # round 13; video containers still need a codec library this
+    # container lacks — they ARE the seam now
     with pytest.raises(NotImplementedError, match="no codec"):
-        _decode_real("image/jpeg", b"\xff\xd8\xff")
+        _decode_real("video/mp4", b"\x00\x00\x00\x18ftypmp42")
 
 
 def test_payload_md5_matches_sql_oracle_row(spark, sf_dir):
