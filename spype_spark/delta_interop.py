@@ -277,13 +277,234 @@ def _hive_prefix(pcols: list[str], pvals: dict) -> str:
     return "/".join(segs) + "/"
 
 
+#: Past this many estimated log actions, read_delta switches from
+#: driver-side replay to DataFrame state reconstruction (checkpoint ∪
+#: tail commits, last-writer-wins by path via ONE window) — the Delta
+#: OSS design for large logs. Below it, driver replay is faster (no
+#: Spark job for a handful of JSON lines).
+_SPARK_REPLAY_THRESHOLD = 50_000
+
+#: Spark schema for one commit-log action line (the subset state
+#: reconstruction needs; explicit so JSON inference can't drift —
+#: inference would type partitionValues as a struct, not a map).
+_ACTION_JSON_SCHEMA = (
+    "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
+    "modificationTime:bigint,dataChange:boolean>, "
+    "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+)
+
+
+def _estimate_actions(path: str, versions: list[int], ckpt: dict | None) -> int:
+    """Cheap upper-bound estimate of log actions: checkpoint row count
+    (recorded in ``_last_checkpoint``) + tail JSON bytes / 120 (a
+    conservative bytes-per-action floor). Pure stat() metadata."""
+    n = int(ckpt.get("size", 0)) if ckpt else 0
+    start = int(ckpt["version"]) + 1 if ckpt else 0
+    for t in versions:
+        if t >= start:
+            try:
+                n += os.path.getsize(_commit_path_by_version(path, t)) // 120
+            except OSError:
+                pass
+    return n
+
+
+def _commit_path_by_version(path: str, version: int) -> str:
+    return _commit_path(path, version)
+
+
+def delta_state_df(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table's LIVE FILE STATE as a DataFrame — no driver-side
+    action parsing (VERDICT r12 task 3 / SCALE.md r12: the driver
+    -replay file list is comfortable to ~10⁵ files; past that, state
+    reconstruction must BE a distributed computation, Delta OSS's own
+    Snapshot design).
+
+    Plan shape: checkpoint parquet scan ∪ tail-commit JSON scan (each
+    line one action, explicit schema, commit version extracted from
+    the file name) → ONE window over path ordered by (version DESC,
+    is_add DESC) → keep rank-1 add rows. Last-writer-wins per path;
+    within one commit an add beats a tombstone (the self-overwrite
+    pattern). Returns columns ``path`` (as written in the log),
+    ``partitionValues``, ``size``, ``version``. O(actions) work
+    distributed across executors; nothing driver-side but the file
+    LISTING (a directory page, not the actions)."""
+    from pyspark.sql.window import Window
+
+    versions = _commit_versions(path)
+    ckpt = _last_checkpoint(path)
+    head = versions[-1] if versions else (ckpt["version"] if ckpt else None)
+    if head is None:
+        raise FileNotFoundError(f"empty Delta log under {path}")
+    v = head if version is None else int(version)
+    parts = []
+    start = 0
+    if ckpt is not None and ckpt["version"] <= v:
+        cv = int(ckpt["version"])
+        nparts = ckpt.get("parts")
+        files = (
+            [_checkpoint_path(path, cv)]
+            if not nparts
+            else [
+                os.path.join(
+                    _log_dir(path),
+                    f"{cv:020d}.checkpoint.{i + 1:010d}.{nparts:010d}.parquet",
+                )
+                for i in range(int(nparts))
+            ]
+        )
+        cp = spark.read.parquet(*files)
+        sel = [
+            F.col("add").alias("add"),
+            (F.col("remove") if "remove" in cp.columns else F.lit(None).cast(
+                "struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+            )).alias("remove"),
+        ]
+        parts.append(
+            cp.select(*sel)
+            .where(F.col("add").isNotNull() | F.col("remove").isNotNull())
+            .withColumn("version", F.lit(cv).cast("bigint"))
+        )
+        start = cv + 1
+    missing = [t for t in range(start, v + 1) if t not in set(versions)]
+    if missing:
+        raise FileNotFoundError(
+            f"Delta log of {path} is missing commit(s) {missing} "
+            f"between checkpoint and version {v}"
+        )
+    tail = [_commit_path(path, t) for t in range(start, v + 1)]
+    if tail:
+        j = (
+            spark.read.schema(_ACTION_JSON_SCHEMA)
+            .json(tail)
+            .withColumn(
+                "version",
+                F.regexp_extract(
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                    r"^(\d{20})\.json",
+                    1,
+                ).cast("bigint"),
+            )
+            .where(F.col("add").isNotNull() | F.col("remove").isNotNull())
+        )
+        parts.append(j)
+    if not parts:
+        raise FileNotFoundError(f"empty Delta log under {path}")
+    acts = parts[0]
+    for p in parts[1:]:
+        acts = acts.unionByName(p)
+    acts = acts.select(
+        F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+        F.col("add").isNotNull().alias("is_add"),
+        "add",
+        "version",
+    )
+    w = Window.partitionBy("path").orderBy(
+        F.col("version").desc(), F.col("is_add").desc()
+    )
+    return (
+        acts.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & F.col("is_add"))
+        .select(
+            "path",
+            F.col("add.partitionValues").alias("partitionValues"),
+            F.col("add.size").alias("size"),
+            "version",
+        )
+    )
+
+
+def _meta_protocol(spark: SparkSession, path: str, version: int | None) -> dict:
+    """Latest metaData action at/under ``version`` WITHOUT replaying
+    the whole log driver-side: walk tail commits backwards (string
+    -scanning lines for the rare metaData/protocol actions), fall back
+    to the checkpoint's metaData row. The protocol gate applies
+    exactly as in full replay."""
+    versions = _commit_versions(path)
+    ckpt = _last_checkpoint(path)
+    head = versions[-1] if versions else (ckpt["version"] if ckpt else None)
+    if head is None:
+        raise FileNotFoundError(f"empty Delta log under {path}")
+    v = head if version is None else int(version)
+    start = int(ckpt["version"]) + 1 if ckpt and ckpt["version"] <= v else 0
+    meta = protocol = None
+    for t in range(v, start - 1, -1):
+        if t not in set(versions):
+            continue
+        with open(_commit_path(path, t)) as f:
+            for line in f:
+                if meta is None and '"metaData"' in line:
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        meta = a["metaData"]
+                if protocol is None and '"protocol"' in line:
+                    a = json.loads(line)
+                    if "protocol" in a:
+                        protocol = a["protocol"]
+        if meta is not None and protocol is not None:
+            break
+    if (meta is None or protocol is None) and ckpt and ckpt["version"] <= v:
+        cp = spark.read.parquet(_checkpoint_path(path, int(ckpt["version"])))
+        # metadata-sized collect: at most one metaData + one protocol row
+        for row in (
+            cp.where(
+                F.col("metaData.schemaString").isNotNull()
+                | F.col("protocol.minReaderVersion").isNotNull()
+            ).collect()
+        ):
+            d = row.asDict(recursive=True)
+            if meta is None and d.get("metaData", {}) and d["metaData"].get(
+                "schemaString"
+            ):
+                meta = d["metaData"]
+            if protocol is None and d.get("protocol", {}) and d[
+                "protocol"
+            ].get("minReaderVersion"):
+                protocol = d["protocol"]
+    _check_protocol(protocol)
+    if meta is None:
+        raise ValueError(f"Delta log of {path} has no metaData action")
+    return meta
+
+
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read a Delta Lake table (optionally at a historical version)
     without delta jars — see the module docstring for the protocol
-    profile. Returns a DataFrame with the table's metaData schema."""
+    profile. Returns a DataFrame with the table's metaData schema.
+
+    Log-size adaptivity: small logs replay driver-side (cheap, no
+    Spark job); past ~``_SPARK_REPLAY_THRESHOLD`` estimated actions
+    the live-file state is reconstructed AS a DataFrame
+    (:func:`delta_state_df` — checkpoint ∪ tail commits, one window)
+    and only the FINAL live list returns to the driver, which is the
+    floor any Spark scan needs (FileSourceScanExec enumerates its
+    input files on the driver — Delta OSS shares this property)."""
+    versions = _commit_versions(path)
+    ckpt = _last_checkpoint(path)
+    if _estimate_actions(path, versions, ckpt) > _SPARK_REPLAY_THRESHOLD:
+        meta = _meta_protocol(spark, path, version)
+        state = delta_state_df(spark, path, version)
+        # metadata-sized collect: the live-file list (post window
+        # dedup), the same quantity every Spark scan plan enumerates
+        adds = [
+            {"path": r["path"], "partitionValues": r["partitionValues"]}
+            for r in state.select("path", "partitionValues").collect()
+        ]
+        return _scan_adds(spark, path, meta, adds)
     meta, adds, _v = _replay(spark, path, version)
+    return _scan_adds(spark, path, meta, adds)
+
+
+def _scan_adds(
+    spark: SparkSession, path: str, meta: dict, adds: list[dict]
+) -> DataFrame:
+    """One declarative scan over a resolved live-file list: Hive
+    basePath discovery when every path matches its partitionValues,
+    per-partition-group literal-column scans otherwise."""
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
     if not adds:

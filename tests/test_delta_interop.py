@@ -414,3 +414,56 @@ def test_delta_commit_publish_is_put_if_absent(spark, tmp_path):
         dl._publish_commit(dpath, 1, loser)
     with open(os.path.join(dpath, "_delta_log", f"{1:020d}.json")) as f:
         assert json.loads(f.readline())["commitInfo"]["operation"] == "A"
+
+
+def test_delta_state_df_matches_driver_replay(spark, tmp_path):
+    """DataFrame state reconstruction (checkpoint ∪ tail, one window)
+    must agree with driver replay on a log exercising removes,
+    re-adds, a checkpoint, and post-checkpoint commits."""
+    p = str(tmp_path / "state")
+    dl.write_delta(spark, _df(spark, 0, 20).repartition(3), p)
+    dl.write_delta(spark, _df(spark, 20, 30), p, mode="append")
+    # remove one file, then checkpoint, then more commits
+    _, adds0, _ = dl._replay(spark, p, None)
+    victim = sorted(a["path"] for a in adds0)[0]
+    dl._publish_commit(
+        p, 2,
+        [{"remove": {"path": victim, "deletionTimestamp": 5, "dataChange": True}}],
+    )
+    dl.checkpoint_delta(spark, p)
+    dl.write_delta(spark, _df(spark, 30, 35), p, mode="append")
+    # re-add the removed path (self-overwrite pattern: add wins)
+    dl._publish_commit(
+        p, 4,
+        [{"add": {"path": victim, "partitionValues": {}, "size": 1,
+                  "modificationTime": 9, "dataChange": True}}],
+    )
+    _, adds, v = dl._replay(spark, p, None)
+    got = {
+        r["path"]: r["version"]
+        for r in dl.delta_state_df(spark, p).collect()
+    }
+    assert set(got) == {a["path"] for a in adds}
+    assert got[victim] == 4
+    # version pinning matches too
+    _, adds_v2, _ = dl._replay(spark, p, 2)
+    got_v2 = {r["path"] for r in dl.delta_state_df(spark, p, 2).collect()}
+    assert got_v2 == {a["path"] for a in adds_v2}
+
+
+def test_read_delta_spark_replay_path_equivalent(spark, tmp_path, monkeypatch):
+    """Forcing the DataFrame reconstruction path (threshold 0) returns
+    the same rows and schema as driver replay — including partitioned
+    tables through the group-scan assembly."""
+    p = str(tmp_path / "big")
+    dl.write_delta(spark, _df(spark, 0, 24), p, partition_by=["p"])
+    dl.write_delta(spark, _df(spark, 24, 30), p, mode="append")
+    expect = _rows(dl.read_delta(spark, p))
+    schema = dl.read_delta(spark, p).schema
+    monkeypatch.setattr(dl, "_SPARK_REPLAY_THRESHOLD", 0)
+    got = dl.read_delta(spark, p)
+    assert got.schema == schema
+    assert _rows(got) == expect
+    assert _rows(dl.read_delta(spark, p, version=0)) == _rows(
+        _df(spark, 0, 24)
+    )
