@@ -1,0 +1,373 @@
+"""Minimal pure-Python Avro Object Container File codec.
+
+Apache Avro's container format (the public spec at
+avro.apache.org/docs/current/specification) is what Iceberg stores its
+manifest lists and manifest files in — the one blocker VERDICT r12
+named for opening an existing Iceberg table without jars. The format
+is simple enough for the standard library:
+
+- header: magic ``Obj\\x01``, a file-metadata map (``avro.schema`` =
+  the writer schema as JSON, ``avro.codec``), a 16-byte sync marker;
+- blocks: record count (zigzag varlong), byte size, payload
+  (optionally deflate-compressed — raw zlib), sync marker;
+- payload: records encoded per the WRITER SCHEMA — this module walks
+  the schema JSON generically, so it reads any conforming file:
+  null/boolean/int/long (zigzag varint), float/double (LE IEEE),
+  bytes/string (length-prefixed), fixed, enum (index), array/map
+  (block runs, negative count = sized blocks), union (branch index),
+  record (fields in declaration order). Logical types ride on the
+  underlying primitive (callers interpret them).
+
+:func:`read_avro` returns records as plain dicts keyed by field name
+(union-of-null collapses to the value or None) — the shape the
+Iceberg reader consumes by NAME, so extra fields in real manifests
+are carried, not fatal. :func:`write_avro` is the fixture-grade
+encoder (null or deflate codec) used to fabricate spec-shaped
+Iceberg metadata in tests and contracts; it writes only what the
+schema names, in order, which is all the format requires.
+
+Codecs beyond ``null``/``deflate`` (snappy, zstandard) raise a loud
+ValueError — never a silent misparse.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+__all__ = ["read_avro", "write_avro"]
+
+_MAGIC = b"Obj\x01"
+
+
+# ---------------------------------------------------------------------------
+# primitive decode
+# ---------------------------------------------------------------------------
+
+
+def _read_varlong(buf: io.BytesIO) -> int:
+    """Zigzag varint long."""
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise ValueError("truncated Avro varint")
+        v = b[0]
+        acc |= (v & 0x7F) << shift
+        if not v & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError("Avro varint too long")
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_varlong(buf)
+    if n < 0:
+        raise ValueError("negative Avro byte length")
+    out = buf.read(n)
+    if len(out) != n:
+        raise ValueError("truncated Avro bytes")
+    return out
+
+
+def _resolve(schema, named: dict):
+    """Resolve a named-type reference string to its definition."""
+    if isinstance(schema, str) and schema in named:
+        return named[schema]
+    return schema
+
+
+def _read_datum(buf: io.BytesIO, schema, named: dict):
+    schema = _resolve(schema, named)
+    if isinstance(schema, list):  # union: branch index first
+        idx = _read_varlong(buf)
+        if not 0 <= idx < len(schema):
+            raise ValueError(f"Avro union index {idx} out of range")
+        return _read_datum(buf, schema[idx], named)
+    if isinstance(schema, str):
+        t = schema
+    else:
+        t = schema["type"]
+        if isinstance(t, (list, dict)):  # nested complex in "type"
+            return _read_datum(buf, t, named)
+    if t == "null":
+        return None
+    if t == "boolean":
+        b = buf.read(1)
+        if not b:
+            raise ValueError("truncated Avro boolean")
+        return b[0] == 1
+    if t in ("int", "long"):
+        return _read_varlong(buf)
+    if t == "float":
+        raw = buf.read(4)
+        if len(raw) != 4:
+            raise ValueError("truncated Avro float")
+        return struct.unpack("<f", raw)[0]
+    if t == "double":
+        raw = buf.read(8)
+        if len(raw) != 8:
+            raise ValueError("truncated Avro double")
+        return struct.unpack("<d", raw)[0]
+    if t == "bytes":
+        return _read_bytes(buf)
+    if t == "string":
+        return _read_bytes(buf).decode("utf-8")
+    if t == "fixed":
+        n = int(schema["size"])
+        raw = buf.read(n)
+        if len(raw) != n:
+            raise ValueError("truncated Avro fixed")
+        return raw
+    if t == "enum":
+        idx = _read_varlong(buf)
+        syms = schema["symbols"]
+        if not 0 <= idx < len(syms):
+            raise ValueError(f"Avro enum index {idx} out of range")
+        return syms[idx]
+    if t == "array":
+        out = []
+        while True:
+            n = _read_varlong(buf)
+            if n == 0:
+                break
+            if n < 0:  # sized block: byte size follows, then |n| items
+                _read_varlong(buf)
+                n = -n
+            for _ in range(n):
+                out.append(_read_datum(buf, schema["items"], named))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_varlong(buf)
+            if n == 0:
+                break
+            if n < 0:
+                _read_varlong(buf)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(buf).decode("utf-8")
+                out[k] = _read_datum(buf, schema["values"], named)
+        return out
+    if t == "record":
+        if schema.get("name"):
+            named.setdefault(schema["name"], schema)
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]] = _read_datum(buf, f["type"], named)
+        return rec
+    raise ValueError(f"unsupported Avro type {t!r}")
+
+
+def _register_names(schema, named: dict) -> None:
+    """Pre-register named types so forward references resolve."""
+    if isinstance(schema, list):
+        for s in schema:
+            _register_names(s, named)
+        return
+    if not isinstance(schema, dict):
+        return
+    t = schema.get("type")
+    if t in ("record", "fixed", "enum") and schema.get("name"):
+        named[schema["name"]] = schema
+        ns = schema.get("namespace")
+        if ns:
+            named[f"{ns}.{schema['name']}"] = schema
+    if t == "record":
+        for f in schema.get("fields", []):
+            _register_names(f.get("type"), named)
+    elif t == "array":
+        _register_names(schema.get("items"), named)
+    elif t == "map":
+        _register_names(schema.get("values"), named)
+    elif isinstance(t, (dict, list)):
+        _register_names(t, named)
+
+
+def read_avro(path: str) -> tuple[dict, list[dict]]:
+    """Read an Avro Object Container File. Returns
+    ``(writer_schema, records)`` — records as plain dicts/values per
+    the embedded writer schema. Raises ValueError on bad magic,
+    unsupported codec, sync-marker mismatch, or truncation."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != _MAGIC:
+        raise ValueError(f"{path}: not an Avro container (bad magic)")
+    buf = io.BytesIO(data[4:])
+    meta = {}
+    while True:
+        n = _read_varlong(buf)
+        if n == 0:
+            break
+        if n < 0:
+            _read_varlong(buf)
+            n = -n
+        for _ in range(n):
+            k = _read_bytes(buf).decode("utf-8")
+            meta[k] = _read_bytes(buf)
+    sync = buf.read(16)
+    if len(sync) != 16:
+        raise ValueError(f"{path}: truncated Avro header")
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(
+            f"{path}: Avro codec {codec!r} not supported (null/deflate only)"
+        )
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    named: dict = {}
+    _register_names(schema, named)
+    records: list = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, os.SEEK_CUR)
+        count = _read_varlong(buf)
+        size = _read_varlong(buf)
+        block = buf.read(size)
+        if len(block) != size:
+            raise ValueError(f"{path}: truncated Avro block")
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        bbuf = io.BytesIO(block)
+        for _ in range(count):
+            records.append(_read_datum(bbuf, schema, named))
+        if buf.read(16) != sync:
+            raise ValueError(f"{path}: Avro sync marker mismatch")
+    return schema, records
+
+
+# ---------------------------------------------------------------------------
+# encode (fixture-grade writer)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v >= 0 else (((-v) << 1) - 1)
+
+
+def _write_long(out: bytearray, v: int) -> None:
+    z = _zigzag(v)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+
+
+def _write_bytes(out: bytearray, b: bytes) -> None:
+    _write_long(out, len(b))
+    out += b
+
+
+def _write_datum(out: bytearray, schema, datum, named: dict) -> None:
+    schema = _resolve(schema, named)
+    if isinstance(schema, list):  # union: pick the branch by value
+        for i, s in enumerate(schema):
+            st = s if isinstance(s, str) else _resolve(s, named).get("type", s)
+            if datum is None and st == "null":
+                _write_long(out, i)
+                return
+            if datum is not None and st != "null":
+                _write_long(out, i)
+                _write_datum(out, s, datum, named)
+                return
+        raise ValueError(f"no union branch for {datum!r} in {schema}")
+    t = schema if isinstance(schema, str) else schema["type"]
+    if isinstance(t, (list, dict)):
+        _write_datum(out, t, datum, named)
+        return
+    if t == "null":
+        return
+    if t == "boolean":
+        out.append(1 if datum else 0)
+    elif t in ("int", "long"):
+        _write_long(out, int(datum))
+    elif t == "float":
+        out += struct.pack("<f", float(datum))
+    elif t == "double":
+        out += struct.pack("<d", float(datum))
+    elif t == "bytes":
+        _write_bytes(out, bytes(datum))
+    elif t == "string":
+        _write_bytes(out, str(datum).encode("utf-8"))
+    elif t == "fixed":
+        if len(datum) != int(schema["size"]):
+            raise ValueError("fixed size mismatch")
+        out += bytes(datum)
+    elif t == "enum":
+        _write_long(out, schema["symbols"].index(datum))
+    elif t == "array":
+        if datum:
+            _write_long(out, len(datum))
+            for item in datum:
+                _write_datum(out, schema["items"], item, named)
+        _write_long(out, 0)
+    elif t == "map":
+        if datum:
+            _write_long(out, len(datum))
+            for k, v in datum.items():
+                _write_bytes(out, str(k).encode("utf-8"))
+                _write_datum(out, schema["values"], v, named)
+        _write_long(out, 0)
+    elif t == "record":
+        if schema.get("name"):
+            named.setdefault(schema["name"], schema)
+        for f in schema["fields"]:
+            if f["name"] not in datum and "default" not in f:
+                raise ValueError(f"record missing field {f['name']!r}")
+            _write_datum(
+                out, f["type"], datum.get(f["name"], f.get("default")), named
+            )
+    else:
+        raise ValueError(f"unsupported Avro type {t!r}")
+
+
+def write_avro(
+    path: str,
+    schema: dict,
+    records: list,
+    codec: str = "deflate",
+    sync: bytes | None = None,
+) -> None:
+    """Write an Avro Object Container File (single block — fixture
+    scale). ``codec`` is ``"deflate"`` or ``"null"``."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    named: dict = {}
+    _register_names(schema, named)
+    body = bytearray()
+    for r in records:
+        _write_datum(body, schema, r, named)
+    payload = bytes(body)
+    if codec == "deflate":
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        payload = co.compress(payload) + co.flush()
+    sync = sync or os.urandom(16)
+    out = bytearray(_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode("utf-8"))
+        _write_bytes(out, v)
+    _write_long(out, 0)
+    out += sync
+    _write_long(out, len(records))
+    _write_long(out, len(payload))
+    out += payload
+    out += sync
+    with open(path, "wb") as f:
+        f.write(bytes(out))

@@ -2759,3 +2759,70 @@ def q_lake_delta_export_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         return head.unionByName(v0).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_iceberg_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 's1' AS snap
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'head' AS snap
+    FROM orders
+    """,
+)
+def q_lake_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interop read of an Apache Iceberg table — pure Python, no jars
+    (:mod:`spype_spark.iceberg_interop`, VERDICT r12 task 5: the Avro
+    blocker is closed by :mod:`spype_spark.avro_io`).
+
+    The contract fabricates a SPEC-SHAPED Iceberg layout from
+    ``orders`` (identity-partitioned by ``o_orderstatus``): snapshot 1
+    writes keys ``% 3 = 0``, snapshot 2 appends the rest — REAL Avro
+    manifest + manifest-list container files (deflate codec, spec
+    field names), v2 ``metadata.json`` with the snapshot chain, and a
+    ``version-hint.text`` pointer. The read back walks exactly the
+    chain a real Iceberg reader walks — version hint → metadata JSON
+    → manifest-list Avro → manifest Avro → live parquet files — with
+    snapshot time travel to s1. Identity-partition columns come from
+    the data files themselves (the Iceberg storage model; the fixture
+    writer keeps them in-file via shadow partition dirs). Result: the
+    s1 snapshot ∪ the head snapshot, tagged — the oracle replays both
+    relationally from ``orders``. A broken Avro varint, a dropped
+    manifest carry, or a snapshot-chain bug breaks the hash.
+    """
+    from spype_spark import iceberg_interop as ice
+
+    tmp = _scratch("spype_iceberg_read_")
+    try:
+        path = f"{tmp}/orders_iceberg"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        s1 = ice.write_iceberg(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == 0),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        s2 = ice.write_iceberg(
+            spark, o.filter(F.col("o_orderkey") % 3 != 0), path, mode="append"
+        )
+        hist = {
+            r["snapshot_id"]: r["parent_id"]
+            for r in ice.iceberg_snapshots(spark, path).collect()
+        }
+        if hist.get(s2) != s1:
+            raise AssertionError("snapshot chain broken: s2 must parent s1")
+        v1 = ice.read_iceberg(spark, path, snapshot_id=s1).withColumn(
+            "snap", F.lit("s1")
+        )
+        head = ice.read_iceberg(spark, path).withColumn("snap", F.lit("head"))
+        return (
+            v1.unionByName(head)
+            .select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+                "snap",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

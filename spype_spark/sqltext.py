@@ -432,6 +432,14 @@ _READ_DELTA_RE = re.compile(
     r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+))?",
     re.IGNORECASE,
 )
+# FROM ICEBERG '<path>' [SNAPSHOT AS OF <id>] — a FOREIGN Iceberg
+# table through iceberg_interop.read_iceberg (round 13, parity with
+# FROM DELTA)
+_READ_ICEBERG_RE = re.compile(
+    r"(?P<kw>\b(?:FROM|JOIN)\b)\s+ICEBERG\s+'(?P<path>[^']+)'"
+    r"(?:\s+SNAPSHOT\s+AS\s+OF\s+(?P<snap>\d+))?",
+    re.IGNORECASE,
+)
 # a bare identifier in FROM/JOIN position with optional TXN AS OF —
 # resolved through catalog= when the name is in the catalog state
 # (names that aren't stay untouched for Spark's own resolver: temp
@@ -694,8 +702,23 @@ def _resolve_reads(
         _track(view)
         return f"{m.group('kw')} {view}"
 
-    # DELTA refs first: the plain-path regex would otherwise match the
-    # quoted path and mis-route it to the native reader
+    def _iceberg_ref(m: re.Match) -> str:
+        if _inside_string(m.string, m.start()):
+            return m.group(0)
+        from spype_spark import iceberg_interop
+
+        snap = int(m.group("snap")) if m.group("snap") is not None else None
+        df = iceberg_interop.read_iceberg(
+            spark, m.group("path"), snapshot_id=snap
+        )
+        view = _fresh_view()
+        df.createOrReplaceTempView(view)
+        _track(view)
+        return f"{m.group('kw')} {view}"
+
+    # DELTA/ICEBERG refs first: the plain-path regex would otherwise
+    # match the quoted path and mis-route it to the native reader
+    stmt = _READ_ICEBERG_RE.sub(_iceberg_ref, stmt)
     stmt = _READ_DELTA_RE.sub(_delta_ref, stmt)
     stmt = _READ_REF_RE.sub(_path_ref, stmt)
     if catalog is None:

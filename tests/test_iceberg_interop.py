@@ -1,0 +1,230 @@
+"""Iceberg metadata interop (spype_spark/iceberg_interop.py) and the
+pure-Python Avro container codec it rides on (spype_spark/avro_io.py):
+spec-shaped chain walk (version hint → metadata JSON → manifest-list
+Avro → manifest Avro → parquet), snapshot time travel, and LOUD gates
+on everything outside the profile."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spype_spark import iceberg_interop as ice
+from spype_spark.avro_io import read_avro, write_avro
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") * 10).alias("v"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# Avro codec
+# ---------------------------------------------------------------------------
+
+
+def test_avro_round_trip_all_types(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "u", "type": ["null", "long"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["A", "B"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "FX", "size": 3}},
+        ],
+    }
+    recs = [
+        {"b": True, "i": -7, "l": 1 << 40, "f": 0.5, "d": -2.25,
+         "s": "héllo", "by": b"\x00\xff", "u": None, "arr": [1, -2, 3],
+         "m": {"x": "y"}, "e": "B", "fx": b"abc"},
+        {"b": False, "i": 0, "l": -1, "f": 1.0, "d": 0.0, "s": "",
+         "by": b"", "u": 99, "arr": [], "m": {}, "e": "A", "fx": b"zzz"},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t-{codec}.avro")
+        write_avro(p, schema, recs, codec=codec)
+        s2, got = read_avro(p)
+        assert got == recs
+        assert s2["name"] == "t"
+
+
+def test_avro_malformed_is_loud(tmp_path):
+    p = str(tmp_path / "bad")
+    with open(p, "wb") as f:
+        f.write(b"NOTAVRO")
+    with pytest.raises(ValueError, match="magic"):
+        read_avro(p)
+    # unsupported codec
+    schema = {"type": "record", "name": "t",
+              "fields": [{"name": "x", "type": "long"}]}
+    good = str(tmp_path / "good.avro")
+    write_avro(good, schema, [{"x": 1}], codec="null")
+    data = bytearray(open(good, "rb").read())
+    i = data.find(b"null", 4)
+    data[i : i + 4] = b"zstd"
+    bad2 = str(tmp_path / "bad2.avro")
+    open(bad2, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="codec"):
+        read_avro(bad2)
+    # corrupted sync marker
+    data = bytearray(open(good, "rb").read())
+    data[-1] ^= 0xFF
+    bad3 = str(tmp_path / "bad3.avro")
+    open(bad3, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="sync"):
+        read_avro(bad3)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg chain
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_write_read_snapshot_chain(spark, tmp_path):
+    p = str(tmp_path / "t")
+    s1 = ice.write_iceberg(spark, _df(spark, 0, 20), p, partition_by=["p"])
+    s2 = ice.write_iceberg(spark, _df(spark, 20, 30), p, mode="append")
+    got = ice.read_iceberg(spark, p)
+    assert got.schema.simpleString() == "struct<k:bigint,p:int,v:bigint>"
+    assert _rows(got) == _rows(_df(spark, 0, 30))
+    assert _rows(ice.read_iceberg(spark, p, snapshot_id=s1)) == _rows(
+        _df(spark, 0, 20)
+    )
+    hist = {r.snapshot_id: r.parent_id
+            for r in ice.iceberg_snapshots(spark, p).collect()}
+    assert hist[s2] == s1 and hist[s1] is None
+
+
+def test_iceberg_unpartitioned_and_version_hint_fallback(spark, tmp_path):
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 12).select("k", "v"), p)
+    assert ice.read_iceberg(spark, p).count() == 12
+    # remove the hint: the reader must fall back to the highest
+    # v*.metadata.json
+    os.unlink(os.path.join(p, "metadata", "version-hint.text"))
+    assert ice.read_iceberg(spark, p).count() == 12
+
+
+def test_iceberg_deleted_entries_are_dropped(spark, tmp_path):
+    """A manifest entry with status=2 (DELETED) must not be scanned."""
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 10).select("k", "v"), p)
+    meta = ice._current_metadata(p)
+    snap = ice._pick_snapshot(meta, None)
+    _s, manifests = read_avro(ice._resolve_file(p, snap["manifest-list"]))
+    mpath = ice._resolve_file(p, manifests[0]["manifest_path"])
+    schema, entries = read_avro(mpath)
+    victim = entries[0]["data_file"]["file_path"]
+    entries[0]["status"] = 2
+    write_avro(mpath, schema, entries)
+    got = ice.read_iceberg(spark, p)
+    files = {r[0] for r in got.select(F.input_file_name()).distinct().collect()}
+    assert not any(victim.endswith(os.path.basename(f)) for f in files)
+    assert got.count() < 10
+
+
+def test_iceberg_v2_delete_manifest_gate(spark, tmp_path):
+    """Live v2 delete files (merge-on-read) are outside the profile —
+    loud error, never a silently-wrong read."""
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 10).select("k", "v"), p)
+    meta = ice._current_metadata(p)
+    snap = ice._pick_snapshot(meta, None)
+    ml = ice._resolve_file(p, snap["manifest-list"])
+    schema, manifests = read_avro(ml)
+    fake = dict(manifests[0])
+    fake["content"] = 1  # DELETE manifest
+    fake["added_files_count"] = 1
+    write_avro(ml, schema, manifests + [fake])
+    with pytest.raises(ValueError, match="delete"):
+        ice.read_iceberg(spark, p)
+
+
+def test_iceberg_non_parquet_gate(spark, tmp_path):
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 6).select("k", "v"), p)
+    meta = ice._current_metadata(p)
+    snap = ice._pick_snapshot(meta, None)
+    _s, manifests = read_avro(ice._resolve_file(p, snap["manifest-list"]))
+    mpath = ice._resolve_file(p, manifests[0]["manifest_path"])
+    schema, entries = read_avro(mpath)
+    entries[0]["data_file"]["file_format"] = "ORC"
+    write_avro(mpath, schema, entries)
+    with pytest.raises(ValueError, match="format"):
+        ice.read_iceberg(spark, p)
+
+
+def test_iceberg_missing_data_file_is_loud(spark, tmp_path):
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 6).select("k", "v"), p)
+    meta = ice._current_metadata(p)
+    snap = ice._pick_snapshot(meta, None)
+    _s, manifests = read_avro(ice._resolve_file(p, snap["manifest-list"]))
+    _s2, entries = read_avro(ice._resolve_file(p, manifests[0]["manifest_path"]))
+    victim = ice._resolve_file(p, entries[0]["data_file"]["file_path"])
+    os.unlink(victim)
+    with pytest.raises(FileNotFoundError, match="missing data file"):
+        ice.read_iceberg(spark, p)
+
+
+def test_iceberg_not_a_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="not an Iceberg table"):
+        ice.read_iceberg(spark, str(tmp_path / "nope"))
+
+
+def test_iceberg_schema_evolution_null_fill(spark, tmp_path):
+    """Files written before a column existed read as NULL under the
+    current schema (Iceberg's schema-evolution read rule) — fabricate
+    by editing the current metadata's schema."""
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 8).select("k", "v"), p)
+    md = os.path.join(p, "metadata")
+    with open(os.path.join(md, "version-hint.text")) as f:
+        n = int(f.read().strip())
+    mp = os.path.join(md, f"v{n}.metadata.json")
+    meta = json.load(open(mp))
+    meta["schemas"][0]["fields"].append(
+        {"id": 99, "name": "added_later", "required": False, "type": "string"}
+    )
+    json.dump(meta, open(mp, "w"))
+    got = ice.read_iceberg(spark, p)
+    assert "added_later" in got.columns
+    assert got.where(F.col("added_later").isNull()).count() == 8
+
+
+def test_sql_from_iceberg_statement(spark, tmp_path):
+    """FROM ICEBERG '<path>' [SNAPSHOT AS OF n] resolves through
+    read_iceberg in the SQL facade (parity with FROM DELTA)."""
+    import spype_spark
+
+    p = str(tmp_path / "t")
+    s1 = ice.write_iceberg(spark, _df(spark, 0, 15).select("k", "v"), p)
+    ice.write_iceberg(spark, _df(spark, 15, 20).select("k", "v"), p,
+                      mode="append")
+    n = spype_spark.sql(
+        spark, f"SELECT count(*) AS n FROM ICEBERG '{p}'"
+    ).collect()[0].n
+    assert n == 20
+    n1 = spype_spark.sql(
+        spark,
+        f"SELECT count(*) AS n FROM ICEBERG '{p}' SNAPSHOT AS OF {s1}",
+    ).collect()[0].n
+    assert n1 == 15
