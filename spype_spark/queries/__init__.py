@@ -126,10 +126,10 @@ _DRIVER_PRIORITY = [
 ]
 
 
-# Round-13 contracts planned but not yet landed: tolerated as absent so
-# the window can be staged ahead of the code. Any OTHER unknown key in
-# _DRIVER_PRIORITY is still a hard error (typo guard).
-_PENDING = {"q_lake_delta_export_part", "q_multimodal_jpeg", "q_lake_iceberg_read"}
+# Contracts staged in the window ahead of their code landing: tolerated
+# as absent. Empty now — all three r13 additions are registered — so
+# every key in _DRIVER_PRIORITY is hard-checked again (typo guard).
+_PENDING: set[str] = set()
 
 
 def _apply_driver_priority() -> None:
