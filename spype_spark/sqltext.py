@@ -761,7 +761,9 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
     ``FROM '<path>' [VERSION AS OF n | TIMESTAMP AS OF 'ts']`` via
     :func:`lakehouse.read_table`, ``FROM DELTA '<path>' [VERSION AS
     OF n]`` (a FOREIGN Delta table) via
-    :func:`delta_interop.read_delta`, and bare catalog-state names
+    :func:`delta_interop.read_delta`, ``FROM ICEBERG '<path>'
+    [SNAPSHOT AS OF id]`` (a FOREIGN Iceberg table) via
+    :func:`iceberg_interop.read_iceberg`, and bare catalog-state names
     ``[TXN AS OF n]`` via :meth:`Catalog.read` (see
     :func:`_resolve_reads`). ``INSERT INTO t <select|values>`` appends
     through :func:`lakehouse.append_table` / ``txn.append`` (VALUES

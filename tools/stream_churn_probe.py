@@ -43,7 +43,26 @@ from spype_spark.streaming.jobs import (  # noqa: E402
 )
 
 
-def drive(spark, sf_dir: str, n_files: int, profile: str) -> dict:
+def drive(spark, sf_dir: str, n_files: int, profile: str,
+          provider: str = "hdfs") -> dict:
+    """``provider`` picks the state store: "hdfs" (default
+    HDFSBackedStateStoreProvider) or "rocksdb" (RocksDB + changelog
+    checkpointing — VERDICT r12 task 6: the r12 probe attributed the
+    dedup profile's addBatch creep to HDFS-store delta-chain
+    maintenance and named this config as the 10^6-batch path)."""
+    if provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     staging = tempfile.mkdtemp(prefix="spype_churn_stage_", dir=_scratch_root())
     landing = tempfile.mkdtemp(prefix="spype_churn_land_", dir=_scratch_root())
     name = f"spype_churn_{profile}"
@@ -96,6 +115,9 @@ def drive(spark, sf_dir: str, n_files: int, profile: str) -> dict:
                                 "trigger_ms": p["durationMs"][
                                     "triggerExecution"
                                 ],
+                                "addbatch_ms": p["durationMs"].get(
+                                    "addBatch"
+                                ),
                                 "state_rows": so.get("numRowsTotal"),
                                 "state_mem": so.get("memoryUsedBytes"),
                             }
@@ -103,13 +125,17 @@ def drive(spark, sf_dir: str, n_files: int, profile: str) -> dict:
             finally:
                 q.stop()
         trig = [p["trigger_ms"] for p in progress]
+        ab = [p["addbatch_ms"] for p in progress if p["addbatch_ms"] is not None]
         srows = [p["state_rows"] for p in progress if p["state_rows"] is not None]
         res = {
             "profile": profile,
+            "provider": provider,
             "batches": len(progress),
             "rows_total": sum(p["rows_in"] for p in progress),
             "trigger_ms_first20_med": statistics.median(trig[:20]),
             "trigger_ms_last20_med": statistics.median(trig[-20:]),
+            "addbatch_ms_first20_med": statistics.median(ab[:20]) if ab else None,
+            "addbatch_ms_last20_med": statistics.median(ab[-20:]) if ab else None,
             "state_rows_b10": srows[min(9, len(srows) - 1)],
             "state_rows_mid": srows[len(srows) // 2],
             "state_rows_final": srows[-1],
@@ -136,10 +162,12 @@ def drive(spark, sf_dir: str, n_files: int, profile: str) -> dict:
 def main() -> int:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 110
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    providers = sys.argv[3].split(",") if len(sys.argv) > 3 else ["hdfs"]
     spark = get_spark("spype-churn-probe")
-    for profile in ("agg", "dedup"):
-        res = drive(spark, sf_dir, n_files, profile)
-        print(json.dumps(res))
+    for provider in providers:
+        for profile in ("agg", "dedup"):
+            res = drive(spark, sf_dir, n_files, profile, provider=provider)
+            print(json.dumps(res))
     return 0
 
 
