@@ -50,7 +50,12 @@ from pyspark.sql.types import StructType
 
 from spype_spark.avro_io import read_avro, write_avro
 
-__all__ = ["read_iceberg", "iceberg_snapshots", "write_iceberg"]
+__all__ = [
+    "read_iceberg",
+    "iceberg_snapshots",
+    "import_iceberg",
+    "write_iceberg",
+]
 
 #: Iceberg primitive type -> Spark schema-JSON type name.
 _ICE_TO_SPARK = {
@@ -241,6 +246,91 @@ def read_iceberg(
             f"Iceberg manifest names missing data file(s): {missing[:3]}"
         )
     return spark.read.schema(schema).parquet(*files)
+
+
+def import_iceberg(
+    spark: SparkSession,
+    iceberg_path: str,
+    table_path: str,
+    snapshot_id: int | None = None,
+    materialize: bool = False,
+) -> int:
+    """MIGRATE an Iceberg table into the native manifest format — the
+    switch-over path for a user with existing Iceberg data. Returns
+    the new manifest table's version (0).
+
+    Unlike Delta (:func:`spype_spark.delta_interop.import_delta`,
+    where partitioned tables must materialize because Delta excludes
+    partition columns from data files), Iceberg's storage model
+    matches this engine's own — identity-partition columns live IN
+    the data files — so BY-REFERENCE import works for any identity
+    -partitioned table: one manifest commit whose entries name the
+    Iceberg data files absolutely, footer stats recomputed per file
+    (stats/null/slab pruning live immediately), ZERO data copied.
+    The imported table starts unpartitioned at the native layer
+    (partition-level COW resumes after the first native rewrite or
+    with ``materialize=True`` + the identity spec); file-level stats
+    pruning covers the same scan-skipping in the meantime.
+
+    ``materialize=True`` reads the snapshot once and rewrites via
+    ``write_table(partition_by=<identity sources>)``. The zero-copy
+    caveat is the same as Delta's: a foreign-side snapshot expiry /
+    orphan-file cleanup can reclaim files this manifest references —
+    safe only while the source table is frozen."""
+    from spype_spark import lakehouse as lake
+
+    meta = _current_metadata(iceberg_path)
+    schema = _ice_schema_to_spark(meta)
+    snap = _pick_snapshot(meta, snapshot_id)
+    spec = next(
+        (
+            s
+            for s in meta.get("partition-specs") or []
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    id_to_name = {}
+
+    def walk(fields):
+        for f in fields:
+            id_to_name[f["id"]] = f["name"]
+
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        walk(next(s for s in meta["schemas"] if s.get("schema-id") == sid)["fields"])
+    else:
+        walk(meta["schema"]["fields"])
+    pcols = []
+    for f in spec.get("fields") or []:
+        if f.get("transform") != "identity":
+            raise ValueError(
+                f"import_iceberg: partition transform {f.get('transform')!r} "
+                f"has no native equivalent — pass materialize=True to "
+                f"rewrite once under an explicit native spec"
+            )
+        pcols.append(id_to_name.get(f.get("source-id"), f["name"]))
+    if materialize:
+        df = read_iceberg(spark, iceberg_path, snapshot_id)
+        lake.write_table(df, table_path, partition_by=pcols or None)
+        return 0
+    files = _live_files(iceberg_path, snap)
+    entries = []
+    for fp in sorted(files):
+        ap = os.path.abspath(fp)
+        if not os.path.exists(ap):
+            raise FileNotFoundError(
+                f"Iceberg manifest names a missing data file: {ap}"
+            )
+        entries.append(
+            {"path": ap, "partition": {}, "seq": 0, **lake._m_file_stats(ap)}
+        )
+    os.makedirs(table_path, exist_ok=True)
+    manifest = lake._m_manifest(
+        table_path, 0, None, schema.jsonValue(), None, entries
+    )
+    lake._m_publish(table_path, 0, manifest)
+    return 0
 
 
 def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:

@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "q_lake_delta_export_part",
     "q_multimodal_jpeg",
     "q_lake_iceberg_read",
+    "q_lake_iceberg_import",
     # last driver-green r7 (all 5):
     "q_tpch_q2",
     "q_tpch_q20",

@@ -2826,3 +2826,54 @@ def q_lake_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_iceberg_import",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 5 <> 2
+    """,
+)
+def q_lake_iceberg_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY migration from Iceberg into the native manifest
+    format (:func:`spype_spark.iceberg_interop.import_iceberg`) —
+    then a NATIVE mutation over the foreign files.
+
+    A two-snapshot Iceberg table is built from ``orders`` (modulo
+    slices, IDENTITY-partitioned by o_orderstatus — unlike Delta,
+    Iceberg keeps identity-partition columns IN the data files, the
+    same storage model as this engine, so BY-REFERENCE import works
+    even for partitioned tables where Delta must materialize). The
+    import names the Iceberg data files absolutely with footer stats
+    recomputed; an in-contract assert proves NO data file was copied
+    under the native root — then a native ``delete_where`` runs:
+    copy-on-write rewrites only touched files into the native data
+    dir while untouched FOREIGN files carry by reference. The oracle
+    replays the end state relationally from ``orders``.
+    """
+    import glob
+
+    from spype_spark import iceberg_interop as ice
+
+    tmp = _scratch("spype_iceberg_imp_")
+    try:
+        ipath, tpath = f"{tmp}/orders_ice", f"{tmp}/orders_native"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        ice.write_iceberg(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 < 2),
+            ipath,
+            partition_by=["o_orderstatus"],
+        )
+        ice.write_iceberg(
+            spark, o.filter(F.col("o_orderkey") % 3 == 2), ipath,
+            mode="append",
+        )
+        ice.import_iceberg(spark, ipath, tpath)
+        if glob.glob(f"{tpath}/data/**/*.parquet", recursive=True):
+            raise AssertionError("by-reference import copied data files")
+        lake.delete_where(spark, tpath, F.col("o_orderkey") % 5 == 2)
+        return lake.read_table(spark, tpath).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -228,3 +228,60 @@ def test_sql_from_iceberg_statement(spark, tmp_path):
         f"SELECT count(*) AS n FROM ICEBERG '{p}' SNAPSHOT AS OF {s1}",
     ).collect()[0].n
     assert n1 == 15
+
+
+def test_import_iceberg_by_reference(spark, tmp_path):
+    """Partitioned Iceberg tables import by reference (the identity
+    model keeps partition columns in-file): zero copies, stats
+    pruning live, a native MERGE COWs into the native dir while
+    foreign files carry."""
+    import glob
+
+    from spype_spark import lakehouse as lake
+
+    ipath, tpath = str(tmp_path / "ice"), str(tmp_path / "native")
+    ice.write_iceberg(spark, _df(spark, 0, 40), ipath, partition_by=["p"])
+    ice.write_iceberg(spark, _df(spark, 40, 50), ipath, mode="append")
+    assert ice.import_iceberg(spark, ipath, tpath) == 0
+    assert glob.glob(os.path.join(tpath, "data", "**", "*.parquet"),
+                     recursive=True) == []
+    got = lake.read_table(spark, tpath)
+    assert _rows(got) == _rows(_df(spark, 0, 50))
+    # footer stats imported -> range pruning works
+    pruned = lake.scan_table(spark, tpath, where=("between", "k", 45, 49))
+    assert pruned.count() == 5
+    # native mutation: COW into native dir, carry foreign files
+    lake.merge_upsert(
+        spark, tpath,
+        spark.createDataFrame([(0, 0, 999)], "k long, p int, v long"),
+        keys=["k"],
+    )
+    assert lake.read_table(spark, tpath).where(
+        F.col("k") == 0
+    ).collect()[0].v == 999
+    assert glob.glob(os.path.join(tpath, "data", "**", "*.parquet"),
+                     recursive=True) != []
+
+
+def test_import_iceberg_materialize_and_transform_gate(spark, tmp_path):
+    from spype_spark import lakehouse as lake
+
+    ipath = str(tmp_path / "ice2")
+    ice.write_iceberg(spark, _df(spark, 0, 12), ipath, partition_by=["p"])
+    tpath = str(tmp_path / "mat")
+    ice.import_iceberg(spark, ipath, tpath, materialize=True)
+    got = lake.read_table(spark, tpath)
+    assert _rows(got) == _rows(_df(spark, 0, 12))
+    assert lake.table_meta(tpath).get("partition_by") == ["p"]
+    # a non-identity transform in the default spec gates by-reference
+    import json as _json
+
+    md = os.path.join(ipath, "metadata")
+    with open(os.path.join(md, "version-hint.text")) as f:
+        n = int(f.read().strip())
+    mp = os.path.join(md, f"v{n}.metadata.json")
+    meta = _json.load(open(mp))
+    meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+    _json.dump(meta, open(mp, "w"))
+    with pytest.raises(ValueError, match="transform"):
+        ice.import_iceberg(spark, ipath, str(tmp_path / "x"))
