@@ -469,18 +469,41 @@ def _meta_protocol(spark: SparkSession, path: str, version: int | None) -> dict:
     return meta
 
 
+def _match_pv(pv: dict, partition_filter: dict) -> bool:
+    """Does an add's partitionValues map satisfy a {col: value-or-list}
+    filter? Values compare as the spec's STRING encoding."""
+    for c, want in partition_filter.items():
+        got = (pv or {}).get(c)
+        if isinstance(want, (list, tuple, set, frozenset)):
+            if got not in {None if w is None else str(w) for w in want}:
+                return False
+        elif got != (None if want is None else str(want)):
+            return False
+    return True
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Read a Delta Lake table (optionally at a historical version)
     without delta jars — see the module docstring for the protocol
     profile. Returns a DataFrame with the table's metaData schema.
 
+    ``partition_filter`` ({col: value or list-of-values}, compared in
+    the spec's string encoding) prunes at the partitionValues level
+    BEFORE any file is opened or listed into the scan — the
+    partition-pruning a 100 TB interop read needs, applied to the log
+    metadata rather than left to directory discovery.
+
     Log-size adaptivity: small logs replay driver-side (cheap, no
     Spark job); past ~``_SPARK_REPLAY_THRESHOLD`` estimated actions
     the live-file state is reconstructed AS a DataFrame
-    (:func:`delta_state_df` — checkpoint ∪ tail commits, one window)
-    and only the FINAL live list returns to the driver, which is the
+    (:func:`delta_state_df` — checkpoint ∪ tail commits, one window),
+    the partition filter applies DISTRIBUTED on that DataFrame, and
+    only the SURVIVING live list returns to the driver, which is the
     floor any Spark scan needs (FileSourceScanExec enumerates its
     input files on the driver — Delta OSS shares this property)."""
     versions = _commit_versions(path)
@@ -488,14 +511,28 @@ def read_delta(
     if _estimate_actions(path, versions, ckpt) > _SPARK_REPLAY_THRESHOLD:
         meta = _meta_protocol(spark, path, version)
         state = delta_state_df(spark, path, version)
+        if partition_filter:
+            for c, want in partition_filter.items():
+                vals = want if isinstance(want, (list, tuple, set)) else [want]
+                state = state.where(
+                    F.element_at(F.col("partitionValues"), c).isin(
+                        [None if v is None else str(v) for v in vals]
+                    )
+                )
         # metadata-sized collect: the live-file list (post window
-        # dedup), the same quantity every Spark scan plan enumerates
+        # dedup + partition pruning), the same quantity every Spark
+        # scan plan enumerates
         adds = [
             {"path": r["path"], "partitionValues": r["partitionValues"]}
             for r in state.select("path", "partitionValues").collect()
         ]
         return _scan_adds(spark, path, meta, adds)
     meta, adds, _v = _replay(spark, path, version)
+    if partition_filter:
+        adds = [
+            a for a in adds
+            if _match_pv(a.get("partitionValues"), partition_filter)
+        ]
     return _scan_adds(spark, path, meta, adds)
 
 

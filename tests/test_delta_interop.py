@@ -467,3 +467,26 @@ def test_read_delta_spark_replay_path_equivalent(spark, tmp_path, monkeypatch):
     assert _rows(dl.read_delta(spark, p, version=0)) == _rows(
         _df(spark, 0, 24)
     )
+
+
+def test_read_delta_partition_filter_prunes_before_scan(spark, tmp_path, monkeypatch):
+    """partition_filter prunes at the partitionValues level: only
+    matching files reach the scan (asserted via input_file_name), on
+    BOTH the driver-replay and the DataFrame-reconstruction paths."""
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 30), p, partition_by=["p"])
+    meta, adds, _ = dl._replay(spark, p, None)
+    want = {a["path"] for a in adds if a["partitionValues"].get("p") == "1"}
+    assert 0 < len(want) < len(adds)
+    for thr in (10**9, 0):  # driver path, then forced DF path
+        monkeypatch.setattr(dl, "_SPARK_REPLAY_THRESHOLD", thr)
+        got = dl.read_delta(spark, p, partition_filter={"p": 1})
+        assert {r.p for r in got.select("p").distinct().collect()} == {1}
+        files = {
+            os.path.basename(r[0])
+            for r in got.select(F.input_file_name()).distinct().collect()
+        }
+        assert files == {os.path.basename(w) for w in want}
+    # list-valued filter
+    got2 = dl.read_delta(spark, p, partition_filter={"p": [0, 2]})
+    assert {r.p for r in got2.select("p").distinct().collect()} == {0, 2}

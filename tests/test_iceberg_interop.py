@@ -285,3 +285,20 @@ def test_import_iceberg_materialize_and_transform_gate(spark, tmp_path):
     _json.dump(meta, open(mp, "w"))
     with pytest.raises(ValueError, match="transform"):
         ice.import_iceberg(spark, ipath, str(tmp_path / "x"))
+
+
+def test_read_iceberg_partition_filter_prunes_manifest_entries(spark, tmp_path):
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 30), p, partition_by=["p"])
+    got = ice.read_iceberg(spark, p, partition_filter={"p": 1})
+    assert {r.p for r in got.select("p").distinct().collect()} == {1}
+    all_files = {
+        r[0] for r in ice.read_iceberg(spark, p)
+        .select(F.input_file_name()).distinct().collect()
+    }
+    pruned_files = {
+        r[0] for r in got.select(F.input_file_name()).distinct().collect()
+    }
+    assert 0 < len(pruned_files) < len(all_files)
+    got2 = ice.read_iceberg(spark, p, partition_filter={"p": [0, 2]})
+    assert {r.p for r in got2.select("p").distinct().collect()} == {0, 2}
