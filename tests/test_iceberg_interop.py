@@ -302,3 +302,53 @@ def test_read_iceberg_partition_filter_prunes_manifest_entries(spark, tmp_path):
     assert 0 < len(pruned_files) < len(all_files)
     got2 = ice.read_iceberg(spark, p, partition_filter={"p": [0, 2]})
     assert {r.p for r in got2.select("p").distinct().collect()} == {0, 2}
+
+
+# ---------------------------------------------------------------------------
+# Avro property fuzz (hypothesis): random records round-trip exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_FUZZ_SCHEMA = {
+    "type": "record",
+    "name": "fuzz",
+    "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "i", "type": "int"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "u", "type": ["null", "string"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+_rec = st.fixed_dictionaries(
+    {
+        "l": st.integers(min_value=-(1 << 62), max_value=(1 << 62) - 1),
+        "i": st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1),
+        "d": st.floats(allow_nan=False, width=64),
+        "s": st.text(max_size=40),
+        "u": st.one_of(st.none(), st.text(max_size=10)),
+        "arr": st.lists(
+            st.integers(min_value=-(1 << 62), max_value=(1 << 62) - 1),
+            max_size=8,
+        ),
+        "m": st.dictionaries(st.text(min_size=1, max_size=8),
+                             st.integers(-(1 << 40), 1 << 40), max_size=5),
+    }
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(recs=st.lists(_rec, max_size=12), codec=st.sampled_from(["null", "deflate"]))
+def test_avro_property_round_trip(tmp_path_factory, recs, codec):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "f.avro")
+        write_avro(p, _FUZZ_SCHEMA, recs, codec=codec)
+        _s, got = read_avro(p)
+        assert got == recs
