@@ -447,13 +447,12 @@ def _meta_protocol(spark: SparkSession, path: str, version: int | None) -> dict:
             break
     if (meta is None or protocol is None) and ckpt and ckpt["version"] <= v:
         cp = spark.read.parquet(_checkpoint_path(path, int(ckpt["version"])))
+        hits = cp.where(
+            F.col("metaData.schemaString").isNotNull()
+            | F.col("protocol.minReaderVersion").isNotNull()
+        )
         # metadata-sized collect: at most one metaData + one protocol row
-        for row in (
-            cp.where(
-                F.col("metaData.schemaString").isNotNull()
-                | F.col("protocol.minReaderVersion").isNotNull()
-            ).collect()
-        ):
+        for row in hits.collect():
             d = row.asDict(recursive=True)
             if meta is None and d.get("metaData", {}) and d["metaData"].get(
                 "schemaString"
@@ -519,12 +518,14 @@ def read_delta(
                         [None if v is None else str(v) for v in vals]
                     )
                 )
+        live = state.select("path", "partitionValues")
         # metadata-sized collect: the live-file list (post window
         # dedup + partition pruning), the same quantity every Spark
         # scan plan enumerates
+        rows = live.collect()
         adds = [
             {"path": r["path"], "partitionValues": r["partitionValues"]}
-            for r in state.select("path", "partitionValues").collect()
+            for r in rows
         ]
         return _scan_adds(spark, path, meta, adds)
     meta, adds, _v = _replay(spark, path, version)

@@ -2806,10 +2806,9 @@ def q_lake_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2 = ice.write_iceberg(
             spark, o.filter(F.col("o_orderkey") % 3 != 0), path, mode="append"
         )
-        hist = {
-            r["snapshot_id"]: r["parent_id"]
-            for r in ice.iceberg_snapshots(spark, path).collect()
-        }
+        # metadata-sized collect: one row per snapshot (two here)
+        snap_rows = ice.iceberg_snapshots(spark, path).collect()
+        hist = {r["snapshot_id"]: r["parent_id"] for r in snap_rows}
         if hist.get(s2) != s1:
             raise AssertionError("snapshot chain broken: s2 must parent s1")
         v1 = ice.read_iceberg(spark, path, snapshot_id=s1).withColumn(
