@@ -54,6 +54,7 @@ __all__ = [
     "read_iceberg",
     "iceberg_snapshots",
     "import_iceberg",
+    "export_iceberg",
     "write_iceberg",
 ]
 
@@ -365,6 +366,125 @@ def import_iceberg(
     return 0
 
 
+def export_iceberg(
+    spark: SparkSession, table_path: str, iceberg_path: str | None = None
+) -> int:
+    """Mirror a native manifest table's CURRENT snapshot as an Iceberg
+    snapshot — the reverse of :func:`import_iceberg`, completing the
+    interop matrix (Delta ⇄ native, Iceberg ⇄ native). Zero data
+    copied: the manifest entries become Iceberg ``data_file`` records
+    naming the existing parquet files by absolute URI, with record
+    counts and byte sizes carried from the native manifest (no footer
+    re-reads). ``iceberg_path`` defaults to the TABLE ROOT itself,
+    making the table dual-format in place (``metadata/`` next to
+    ``_manifests`` over the same immutable files). Identity-partition
+    tables export with their typed partition records — the storage
+    models agree (partition columns live in the data files), so
+    partitioned export is fully in profile, unlike Delta's.
+
+    Re-export after native commits publishes an OVERWRITE snapshot
+    (one fresh manifest, no carry) chained to the previous export —
+    Iceberg time travel to earlier exports keeps working through
+    their own manifest lists. Type-widened tables need no narrow
+    -file gate here: Iceberg's spec REQUIRES readers to up-cast
+    promoted primitives (int→long, float→double), exactly the
+    engine's own widening set. Returns the snapshot id.
+
+    Out of profile (loud errors): hidden-partition transforms (the
+    native bucket/truncate hashes are not Iceberg's), pending
+    merge-on-read deletes (compact first), and column-mapping
+    renames/drops (this writer is name-based; Iceberg expresses
+    renames through field-id mapping it would have to fabricate
+    retroactively)."""
+    from spype_spark import lakehouse as lake
+
+    v = lake.latest_version(table_path)
+    m = lake._m_load(table_path, v)
+    if any(
+        t.get("transform") not in (None, "identity")
+        for t in m.get("transforms") or []
+    ):
+        raise ValueError(
+            "export_iceberg: hidden-partition transforms (bucket/days/"
+            "hours/truncate) are not exportable — the hash/binning "
+            "functions differ; rewrite with identity partitioning first"
+        )
+    if m.get("deletes") or m.get("pos_deletes"):
+        raise ValueError(
+            "export_iceberg: pending merge-on-read deletes cannot be "
+            "expressed as a plain file list — compact first"
+        )
+    fields = (m.get("schema") or {}).get("fields", [])
+    if m.get("retired") or any(
+        f.get("metadata", {}).get("spype_physical") not in (None, f["name"])
+        for f in fields
+    ):
+        raise ValueError(
+            "export_iceberg: column-mapping renames/drops would need "
+            "fabricated field-id history — export before renaming, or "
+            "rewrite the table"
+        )
+    root = table_path if iceberg_path is None else iceberg_path
+    pcols = list(m.get("partition_by") or [])
+    type_by_name = {f["name"]: f.get("type") for f in fields}
+    pfields = []
+    for c in pcols:
+        t = type_by_name.get(c)
+        avro_t = {"integer": "int", "long": "long", "string": "string"}.get(t)
+        if avro_t is None:
+            raise ValueError(
+                f"export_iceberg: partition column type {t!r} unsupported"
+            )
+        pfields.append({"name": c, "avro": avro_t, "spark": t})
+    entries = []
+    snap_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    for e in lake._m_entries(table_path, m):
+        ap = (
+            e["path"]
+            if os.path.isabs(e["path"])
+            else os.path.abspath(os.path.join(table_path, e["path"]))
+        )
+        pvals = {}
+        for p in pfields:
+            import urllib.parse as _up
+
+            raw = (e.get("partition") or {}).get(p["name"])
+            if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                pvals[p["name"]] = None
+            elif p["avro"] in ("int", "long"):
+                pvals[p["name"]] = int(_up.unquote(str(raw)))
+            else:
+                pvals[p["name"]] = _up.unquote(str(raw))
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": "file://" + ap,
+                    "file_format": "PARQUET",
+                    "partition": pvals,
+                    "record_count": int(e.get("rows") or 0),
+                    "file_size_in_bytes": int(
+                        e.get("bytes") or os.path.getsize(ap)
+                    ),
+                },
+            }
+        )
+    md = _meta_dir(root)
+    exists = os.path.isdir(md) and any(
+        n.endswith(".metadata.json") for n in os.listdir(md)
+    )
+    prev = _current_metadata(root) if exists else None
+    schema = StructType.fromJson(m["schema"])
+    return _publish_snapshot(
+        root, prev, snap_id, entries, pfields, schema.fields, pcols,
+        int(os.path.getmtime(table_path) * 1000),
+        operation="overwrite" if prev is not None else "append",
+        carry_prev=False,
+    )
+
+
 def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
     """One row per snapshot: id, parent, timestamp, operation — the
     DESCRIBE HISTORY analogue for a foreign Iceberg table."""
@@ -535,11 +655,51 @@ def write_iceberg(
                     },
                 }
             )
+    return _publish_snapshot(
+        path, prev, snap_id, entries, pfields, df.schema.fields, pcols,
+        now_ms, operation="append", carry_prev=True,
+    )
+
+
+
+
+def _spark_field_to_ice(f, field_ids):
+    st = f.dataType.jsonValue()
+    if not isinstance(st, str) or st not in _SPARK_TO_ICE:
+        m = re.match(r"^decimal\((\d+),(\d+)\)$", str(st))
+        if m:
+            ice_t = f"decimal({m.group(1)}, {m.group(2)})"
+        else:
+            raise ValueError(f"iceberg writer: column type {st} unsupported")
+    else:
+        ice_t = _SPARK_TO_ICE[st]
+    return {
+        "id": field_ids[f.name], "name": f.name,
+        "required": False, "type": ice_t,
+    }
+
+
+def _publish_snapshot(
+    path: str,
+    prev: dict | None,
+    snap_id: int,
+    entries: list[dict],
+    pfields: list[dict],
+    spark_fields,
+    pcols: list[str],
+    now_ms: int,
+    operation: str,
+    carry_prev: bool,
+) -> int:
+    """Shared snapshot publish: one Avro manifest, a manifest list
+    (optionally carrying the parent snapshot's manifests — append vs
+    overwrite semantics), a new ``metadata.json`` version, and the
+    ``version-hint.text`` pointer. Returns ``snap_id``."""
+    md = _meta_dir(path)
     os.makedirs(md, exist_ok=True)
     man_name = f"{uuid.uuid4().hex}-m0.avro"
     man_path = os.path.join(md, man_name)
     write_avro(man_path, _manifest_entry_schema(pfields), entries)
-    # --- manifest list: new manifest + carried previous ones ---------------
     manifests = [
         {
             "manifest_path": "file://" + os.path.abspath(man_path),
@@ -565,37 +725,22 @@ def write_iceberg(
         parent_id = parent["snapshot-id"]
         seq = int(prev.get("last-sequence-number", 0)) + 1
         version = _current_version(md) + 1
-        _s, prev_manifests = read_avro(_resolve_file(path, parent["manifest-list"]))
-        manifests.extend(prev_manifests)
+        if carry_prev:
+            _s, prev_manifests = read_avro(
+                _resolve_file(path, parent["manifest-list"])
+            )
+            manifests.extend(prev_manifests)
     ml_name = f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
     ml_path = os.path.join(md, ml_name)
     write_avro(ml_path, _MANIFEST_LIST_SCHEMA, manifests)
-    # --- table metadata ------------------------------------------------------
-    ice_fields = []
-    for f in df.schema.fields:
-        st = f.dataType.jsonValue()
-        if not isinstance(st, str) or st not in _SPARK_TO_ICE:
-            m = re.match(r"^decimal\((\d+),(\d+)\)$", str(st))
-            if m:
-                ice_t = f"decimal({m.group(1)}, {m.group(2)})"
-            else:
-                raise ValueError(f"fixture writer: column type {st} unsupported")
-        else:
-            ice_t = _SPARK_TO_ICE[st]
-        ice_fields.append(
-            {
-                "id": field_ids[f.name],
-                "name": f.name,
-                "required": False,
-                "type": ice_t,
-            }
-        )
+    field_ids = {f.name: i + 1 for i, f in enumerate(spark_fields)}
+    ice_fields = [_spark_field_to_ice(f, field_ids) for f in spark_fields]
     snapshot = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": "file://" + os.path.abspath(ml_path),
-        "summary": {"operation": "append"},
+        "summary": {"operation": operation},
     }
     if parent_id is not None:
         snapshot["parent-snapshot-id"] = parent_id

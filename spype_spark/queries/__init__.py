@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "q_multimodal_jpeg",
     "q_lake_iceberg_read",
     "q_lake_iceberg_import",
+    "q_lake_iceberg_export",
     # last driver-green r7 (all 5):
     "q_tpch_q2",
     "q_tpch_q20",

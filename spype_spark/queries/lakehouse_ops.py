@@ -2876,3 +2876,72 @@ def q_lake_iceberg_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, tpath).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_iceberg_export",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'head' AS snap
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 's1' AS snap
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def q_lake_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUAL-FORMAT Iceberg export: a PARTITIONED native manifest table
+    mirrored as Iceberg metadata IN PLACE
+    (:func:`spype_spark.iceberg_interop.export_iceberg`) — completing
+    the interop matrix (Delta ⇄ native both directions since r12/r13;
+    Iceberg → native landed as q_lake_iceberg_import; this is the
+    fourth direction). Because both storage models keep identity
+    -partition columns IN the data files, partitioned export is fully
+    in profile — the shape Delta's export must carry via
+    partitionValues works here with typed partition records.
+
+    Sequence: native write (even keys, partitioned by o_orderstatus)
+    → export (Iceberg snapshot s1) → native APPEND (odd keys) →
+    re-export (s2, an OVERWRITE snapshot chained to s1). The result
+    reads the exported metadata through the Iceberg replay path twice
+    — head and SNAPSHOT AS OF s1 — proving mirror fidelity and that
+    re-export preserves snapshot time travel. Zero data copied
+    (asserted: every Iceberg data_file resolves to a manifest-owned
+    file).
+    """
+    import os as _os
+
+    from spype_spark import iceberg_interop as ice
+
+    tmp = _scratch("spype_iceberg_exp_")
+    try:
+        path = f"{tmp}/orders_dual"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        lake.write_table(
+            o.filter(F.col("o_orderkey") % 2 == 0),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        s1 = ice.export_iceberg(spark, path)
+        lake.append_table(spark, path, o.filter(F.col("o_orderkey") % 2 == 1))
+        s2 = ice.export_iceberg(spark, path)
+        # zero-copy assert: every exported data_file is a file the
+        # native manifest already owns
+        meta = ice._current_metadata(path)
+        snap = ice._pick_snapshot(meta, None)
+        m = lake._m_load(path, lake.latest_version(path))
+        own = {
+            _os.path.abspath(_os.path.join(path, e["path"]))
+            for e in lake._m_entries(path, m)
+        }
+        for fp in ice._live_files(path, snap):
+            if _os.path.abspath(fp) not in own:
+                raise AssertionError(f"export copied/invented a file: {fp}")
+        if s1 == s2:
+            raise AssertionError("re-export must mint a new snapshot id")
+        head = ice.read_iceberg(spark, path).withColumn("snap", F.lit("head"))
+        v1 = ice.read_iceberg(spark, path, snapshot_id=s1).withColumn(
+            "snap", F.lit("s1")
+        )
+        return head.unionByName(v1).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

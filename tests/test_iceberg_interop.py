@@ -352,3 +352,46 @@ def test_avro_property_round_trip(tmp_path_factory, recs, codec):
         write_avro(p, _FUZZ_SCHEMA, recs, codec=codec)
         _s, got = read_avro(p)
         assert got == recs
+
+
+def test_export_iceberg_dual_format_and_gates(spark, tmp_path):
+    """export_iceberg mirrors a native table in place: zero copies,
+    read_iceberg == read_table, re-export = overwrite snapshot with
+    time travel to the earlier export; transform/rename gates loud."""
+    from spype_spark import lakehouse as lake
+
+    tpath = str(tmp_path / "dual")
+    df = _df(spark, 0, 24)
+    lake.write_table(df.filter("k < 16"), tpath, partition_by=["p"])
+    s1 = ice.export_iceberg(spark, tpath)
+    assert _rows(ice.read_iceberg(spark, tpath)) == _rows(
+        lake.read_table(spark, tpath)
+    )
+    lake.append_table(spark, tpath, df.filter("k >= 16"))
+    s2 = ice.export_iceberg(spark, tpath)
+    assert s2 != s1
+    assert _rows(ice.read_iceberg(spark, tpath)) == _rows(
+        lake.read_table(spark, tpath)
+    )
+    assert ice.read_iceberg(spark, tpath, snapshot_id=s1).count() == 16
+    # widened table exports WITHOUT a gate — Iceberg readers must
+    # up-cast promoted primitives per spec
+    wt = str(tmp_path / "widen")
+    lake.write_table(
+        spark.range(0, 6).select(F.col("id").cast("int").alias("k")), wt
+    )
+    lake.widen_types(spark, wt, {"k": "bigint"})
+    ice.export_iceberg(spark, wt)
+    got = ice.read_iceberg(spark, wt)
+    assert got.schema["k"].dataType.simpleString() == "bigint"
+    assert got.count() == 6
+    # gates
+    bt = str(tmp_path / "bucketed")
+    lake.write_table(df, bt, partition_by=[("bucket", 4, "k")])
+    with pytest.raises(ValueError, match="transform"):
+        ice.export_iceberg(spark, bt)
+    rt = str(tmp_path / "renamed")
+    lake.write_table(df, rt)
+    lake.rename_columns(spark, rt, {"v": "w"})
+    with pytest.raises(ValueError, match="field-id"):
+        ice.export_iceberg(spark, rt)
