@@ -63,13 +63,16 @@ __all__ = [
     "export_delta",
     "write_delta",
     "checkpoint_delta",
+    "delta_rename_column",
 ]
 
 _LOG_DIR = "_delta_log"
-#: Reader features this implementation supports (none beyond base
-#: protocol 1 — deletion vectors / column mapping / v2 checkpoints are
-#: out of profile and must FAIL the read, not corrupt it).
-_SUPPORTED_READER_FEATURES: frozenset[str] = frozenset()
+#: Reader features this implementation supports. ``columnMapping``
+#: graduated round 13 (name mode — physical parquet names resolved
+#: back to logical schema names; id mode stays a loud gate). Features
+#: beyond these (deletion vectors, v2 checkpoints, …) must FAIL the
+#: read, not corrupt it.
+_SUPPORTED_READER_FEATURES: frozenset[str] = frozenset({"columnMapping"})
 
 
 def _log_dir(path: str) -> str:
@@ -113,10 +116,12 @@ def _check_protocol(protocol: dict | None) -> None:
     reader = int(protocol.get("minReaderVersion", 1))
     feats = set(protocol.get("readerFeatures") or [])
     unsupported = feats - _SUPPORTED_READER_FEATURES
-    if reader > 1 and reader != 3:
+    # reader v2 == column mapping (pre-table-features encoding) — in
+    # profile since r13; v3 == table features, gated per feature below
+    if reader > 1 and reader not in (2, 3):
         raise ValueError(
             f"Delta minReaderVersion {reader} is not supported by this "
-            f"reader (base protocol 1 only)"
+            f"reader"
         )
     if reader == 3 and unsupported:
         raise ValueError(
@@ -511,6 +516,10 @@ def read_delta(
         meta = _meta_protocol(spark, path, version)
         state = delta_state_df(spark, path, version)
         if partition_filter:
+            _m, _pj, l2p = _mapping_info(meta)
+            partition_filter = {
+                l2p.get(c, c): w for c, w in partition_filter.items()
+            }
             for c, want in partition_filter.items():
                 vals = want if isinstance(want, (list, tuple, set)) else [want]
                 state = state.where(
@@ -530,6 +539,10 @@ def read_delta(
         return _scan_adds(spark, path, meta, adds)
     meta, adds, _v = _replay(spark, path, version)
     if partition_filter:
+        _m, _pj, l2p = _mapping_info(meta)
+        partition_filter = {
+            l2p.get(c, c): w for c, w in partition_filter.items()
+        }
         adds = [
             a for a in adds
             if _match_pv(a.get("partitionValues"), partition_filter)
@@ -537,31 +550,114 @@ def read_delta(
     return _scan_adds(spark, path, meta, adds)
 
 
+def _physical_json(node):
+    """Schema-JSON node with every field renamed to its
+    ``delta.columnMapping.physicalName`` (recursively — nested struct /
+    array / map element fields carry their own mapping metadata), and
+    the mapping metadata stripped (the physical files don't have it)."""
+    if isinstance(node, dict) and node.get("type") == "struct":
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": (f.get("metadata") or {}).get(
+                        "delta.columnMapping.physicalName", f["name"]
+                    ),
+                    "type": _physical_json(f["type"]),
+                    "nullable": f.get("nullable", True),
+                    "metadata": {},
+                }
+                for f in node["fields"]
+            ],
+        }
+    if isinstance(node, dict) and node.get("type") == "array":
+        return {**node, "elementType": _physical_json(node["elementType"])}
+    if isinstance(node, dict) and node.get("type") == "map":
+        return {**node, "valueType": _physical_json(node["valueType"])}
+    return node
+
+
+def _mapping_info(meta: dict) -> tuple[str, dict | None, dict]:
+    """(mode, physical schema JSON or None, logical->physical name map
+    for TOP-LEVEL columns). ``id`` mode is a loud gate — matching
+    parquet field ids without reading every footer into the plan is a
+    different profile; ``name`` mode covers what ALTER TABLE RENAME
+    produces."""
+    conf = meta.get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode in ("none", ""):
+        return "none", None, {}
+    if mode != "name":
+        raise ValueError(
+            f"Delta column mapping mode {mode!r} is not supported "
+            f"(name mode only)"
+        )
+    sj = json.loads(meta["schemaString"])
+    pj = _physical_json(sj)
+    l2p = {
+        lf["name"]: pf["name"] for lf, pf in zip(sj["fields"], pj["fields"])
+    }
+    return mode, pj, l2p
+
+
 def _scan_adds(
     spark: SparkSession, path: str, meta: dict, adds: list[dict]
 ) -> DataFrame:
     """One declarative scan over a resolved live-file list: Hive
     basePath discovery when every path matches its partitionValues,
-    per-partition-group literal-column scans otherwise."""
+    per-partition-group literal-column scans otherwise. Under column
+    mapping (name mode) the files are scanned with the PHYSICAL
+    schema, then one projection casts each column back to its logical
+    name/shape (struct casts rename nested fields positionally) —
+    partitionValues keys and directory names are physical per spec."""
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    pcols = list(meta.get("partitionColumns") or [])
+    mode, pj, l2p = _mapping_info(meta)
+    read_schema = StructType.fromJson(pj) if mode == "name" else schema
     if not adds:
         return spark.createDataFrame([], schema)
+    # partitionColumns are logical names; under mapping the log's
+    # partitionValues / directory layout use the physical names
+    # (tolerate either keying — both appear in the wild)
+    pcols_log = list(meta.get("partitionColumns") or [])
+    phys_names = {f.name for f in read_schema.fields}
+    pcols = [
+        c if c in phys_names else l2p.get(c, c) for c in pcols_log
+    ]
+
+    def pv_of(a: dict) -> dict:
+        pv = a.get("partitionValues") or {}
+        if mode != "name":
+            return pv
+        out = {}
+        for lc, pc in zip(pcols_log, pcols):
+            out[pc] = pv[pc] if pc in pv else pv.get(lc)
+        return out
+
+    def to_logical(df: DataFrame) -> DataFrame:
+        if mode != "name":
+            return df
+        return df.select(
+            *[
+                F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                for lf, pf in zip(schema.fields, read_schema.fields)
+            ]
+        )
+
     rel_paths = [urllib.parse.unquote(a["path"]) for a in adds]
     abs_paths = [os.path.join(path, p) for p in rel_paths]
     if not pcols:
-        return spark.read.schema(schema).parquet(*abs_paths)
+        return to_logical(spark.read.schema(read_schema).parquet(*abs_paths))
     # partitioned: partitionValues are authoritative. One scan with
     # Hive-style discovery when the layout matches them exactly …
     hive_ok = all(
         urllib.parse.unquote(a["path"]).startswith(
-            _hive_prefix(pcols, a.get("partitionValues") or {})
+            _hive_prefix(pcols, pv_of(a))
         )
         for a in adds
     )
     if hive_ok:
-        return (
-            spark.read.schema(schema)
+        return to_logical(
+            spark.read.schema(read_schema)
             .option("basePath", path)
             .parquet(*abs_paths)
         )
@@ -570,25 +666,25 @@ def _scan_adds(
     # quantity). Data columns keep their file schema; partition
     # columns are cast from the spec's string encoding.
     data_schema = StructType(
-        [f for f in schema.fields if f.name not in set(pcols)]
+        [f for f in read_schema.fields if f.name not in set(pcols)]
     )
     by_group: dict[tuple, list[str]] = {}
     for a, ap in zip(adds, abs_paths):
-        pv = a.get("partitionValues") or {}
+        pv = pv_of(a)
         key = tuple(pv.get(c) for c in pcols)
         by_group.setdefault(key, []).append(ap)
     out = None
     for key, files in sorted(by_group.items(), key=lambda kv: str(kv[0])):
         part = spark.read.schema(data_schema).parquet(*files)
         for c, val in zip(pcols, key):
-            typ = schema[c].dataType
+            typ = read_schema[c].dataType
             part = part.withColumn(
                 c,
                 F.lit(val).cast(typ) if val is not None else F.lit(None).cast(typ),
             )
-        part = part.select(*[f.name for f in schema.fields])
+        part = part.select(*[f.name for f in read_schema.fields])
         out = part if out is None else out.unionByName(part)
-    return out
+    return to_logical(out)
 
 
 def import_delta(
@@ -634,7 +730,10 @@ def import_delta(
 
     meta, adds, _v = _replay(spark, delta_path, version)
     pcols = list(meta.get("partitionColumns") or [])
-    if pcols or materialize:
+    mode, _pj, _l2p = _mapping_info(meta)
+    if pcols or materialize or mode == "name":
+        # column-mapped sources must materialize too: their files carry
+        # PHYSICAL names a by-reference manifest read would null out
         df = read_delta(spark, delta_path, version)
         lake.write_table(df, table_path, partition_by=pcols or None)
         return 0
@@ -964,6 +1063,26 @@ def write_delta(
                 f"partition_by {pcols} != existing table's {prev_pcols}"
             )
         pcols = prev_pcols
+        cm_mode, pj, l2p = _mapping_info(meta_prev)
+        if cm_mode == "name":
+            # post-rename appends must write PHYSICAL column names into
+            # the files and the partition directories — the reader maps
+            # them back to logical, same as any mainstream Delta writer
+            log = StructType.fromJson(json.loads(meta_prev["schemaString"]))
+            phys = StructType.fromJson(pj)
+            missing = [f.name for f in log.fields if f.name not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"append under column mapping expects the LOGICAL "
+                    f"schema; missing columns {missing}"
+                )
+            df = df.select(
+                *[
+                    F.col(lf.name).cast(pf.dataType).alias(pf.name)
+                    for lf, pf in zip(log.fields, phys.fields)
+                ]
+            )
+            pcols = [l2p.get(c, c) for c in pcols]
     # stage through a temp dir so the files THIS commit adds are known
     # exactly, then hard-move them into the table root
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
@@ -1030,6 +1149,79 @@ def write_delta(
     return version
 
 
+def delta_rename_column(
+    spark: SparkSession, path: str, renames: dict[str, str]
+) -> int:
+    """RENAME columns of a Delta table via column mapping (name mode)
+    — the metadata-only operation mainstream writers perform for
+    ``ALTER TABLE … RENAME COLUMN``: no data file is touched; every
+    field gets ``delta.columnMapping.physicalName`` pinned to its
+    CURRENT name (so existing files stay readable) plus a stable
+    ``delta.columnMapping.id``, the logical names change in the
+    schemaString/partitionColumns, and the protocol upgrades to
+    reader 3 / writer 7 with the ``columnMapping`` feature. Returns
+    the committed version. Renaming a PARTITION column works — the
+    log's partitionValues keys stay physical, per spec."""
+    versions = _commit_versions(path)
+    if not versions and _last_checkpoint(path) is None:
+        raise FileNotFoundError(f"empty Delta log under {path}")
+    meta, _adds, v = _replay(spark, path, None)
+    sj = json.loads(meta["schemaString"])
+    names = {f["name"] for f in sj["fields"]}
+    unknown = [c for c in renames if c not in names]
+    if unknown:
+        raise ValueError(f"rename of unknown column(s) {unknown}")
+    clashes = [
+        n for n in renames.values()
+        if n in (names - set(renames)) or list(renames.values()).count(n) > 1
+    ]
+    if clashes:
+        raise ValueError(f"rename target(s) already exist: {sorted(set(clashes))}")
+    fields = []
+    for i, f in enumerate(sj["fields"], start=1):
+        md = dict(f.get("metadata") or {})
+        md.setdefault("delta.columnMapping.physicalName", f["name"])
+        md.setdefault("delta.columnMapping.id", i)
+        fields.append(
+            {**f, "name": renames.get(f["name"], f["name"]), "metadata": md}
+        )
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+    new_meta = {
+        **meta,
+        "schemaString": json.dumps({"type": "struct", "fields": fields}),
+        "partitionColumns": [
+            renames.get(c, c) for c in meta.get("partitionColumns") or []
+        ],
+        "configuration": conf,
+    }
+    now_ms = int(os.path.getmtime(_log_dir(path)) * 1000)
+    _publish_commit(
+        path,
+        v + 1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": ["columnMapping"],
+                }
+            },
+            {"metaData": new_meta},
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "RENAME COLUMN",
+                    "operationParameters": {"renames": json.dumps(renames)},
+                }
+            },
+        ],
+    )
+    return v + 1
+
+
 #: The classic checkpoint schema subset this writer emits (single-file
 #: form). Struct fields mirror the action shapes above.
 _CKPT_SCHEMA = (
@@ -1060,6 +1252,15 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     ages one out; extra tombstones are harmless to readers."""
     st = _replay_state(spark, path, None)
     meta, adds, v = st["meta"], st["adds"], st["version"]
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) not in ("none", ""):
+        raise ValueError(
+            "checkpoint_delta: this writer's checkpoint schema carries "
+            "base protocol (1,2) — checkpointing a column-mapped table "
+            "would drop the columnMapping feature flag; keep the JSON "
+            "log for such tables"
+        )
     rows = [
         (
             None,

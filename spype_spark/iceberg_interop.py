@@ -22,10 +22,18 @@ directly and absent columns read as NULL (Iceberg's own
 schema-evolution read rule for files written before a column was
 added).
 
-Profile gates (loud ValueError, never silently-wrong data): v2
-delete manifests with live delete files (merge-on-read), non-parquet
-data files, Avro codecs beyond null/deflate, and unsupported nested
-schema types. Snapshot time travel via ``snapshot_id=``.
+v2 MERGE-ON-READ deletes are IN profile (graduated round 13): DELETE
+manifests (content=1) contribute position-delete files (``file_path``
++ ``pos`` parquet rows, applied to data files whose data sequence
+number is ≤ the delete file's) and equality-delete files
+(``equality_ids`` columns, applied STRICTLY to older sequence
+numbers) — both replayed Spark-side as anti-joins against the data
+scan's ``_metadata.file_path`` / ``_metadata.row_index`` columns, so
+delete application is distributed, never a driver loop. Remaining
+profile gates (loud ValueError, never silently-wrong data):
+non-parquet data/delete files, Avro codecs beyond null/deflate, and
+unsupported nested schema types. Snapshot time travel via
+``snapshot_id=``.
 
 The module also carries a fixture-grade but SPEC-SHAPED writer
 (:func:`write_iceberg`) so contracts and tests can fabricate
@@ -46,16 +54,20 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from spype_spark.avro_io import read_avro, write_avro
 
 __all__ = [
     "read_iceberg",
+    "position_scan",
     "iceberg_snapshots",
     "import_iceberg",
     "export_iceberg",
     "write_iceberg",
+    "write_iceberg_pos_deletes",
+    "write_iceberg_eq_deletes",
 ]
 
 #: Iceberg primitive type -> Spark schema-JSON type name.
@@ -201,12 +213,21 @@ def _pv_match(part: dict, partition_filter: dict) -> bool:
     return True
 
 
-def _live_files(
+def _snapshot_files(
     path: str, snap: dict, partition_filter: dict | None = None
-) -> list[str]:
-    """Walk manifest list -> manifests -> live data-file paths,
-    pruning entries whose partition record fails ``partition_filter``
-    BEFORE any data file is listed into the scan."""
+) -> dict:
+    """Walk manifest list -> manifests -> live file entries, split by
+    content kind, with resolved SEQUENCE NUMBERS (entry-level when
+    present, else inherited from the manifest-list record — the spec's
+    inheritance rule for ADDED entries). Data entries whose partition
+    record fails ``partition_filter`` are pruned BEFORE any file is
+    listed into the scan; delete files are never partition-pruned
+    (they may apply across the filtered partitions — an anti-join
+    against absent rows is a no-op, pruning one that applies is
+    corruption).
+
+    Returns ``{"data": [(abs_path, seq)], "pos": [(abs_path, seq)],
+    "eq": [(abs_path, seq, [equality field ids])]}``."""
     if "manifest-list" in snap:
         ml_path = _resolve_file(path, snap["manifest-list"])
         _s, manifests = read_avro(ml_path)
@@ -214,37 +235,203 @@ def _live_files(
         manifests = [{"manifest_path": p, "content": 0} for p in snap["manifests"]]
     else:
         raise ValueError("snapshot has neither manifest-list nor manifests")
-    files: list[str] = []
+    out: dict = {"data": [], "pos": [], "eq": []}
     for m in manifests:
-        content = int(m.get("content") or 0)
-        if content == 1:
-            n_live = int(m.get("added_files_count") or 0) + int(
-                m.get("existing_files_count") or 0
-            )
-            if n_live > 0:
-                raise ValueError(
-                    "Iceberg v2 DELETE manifests with live delete files "
-                    "are outside this reader's profile (merge-on-read) — "
-                    "compact/rewrite the table to copy-on-write first"
-                )
-            continue
+        man_seq = int(m.get("sequence_number") or 0)
+        man_content = int(m.get("content") or 0)
         _es, entries = read_avro(_resolve_file(path, m["manifest_path"]))
         for e in entries:
             if int(e.get("status") or 0) == 2:  # DELETED
                 continue
+            seq = (
+                int(e["sequence_number"])
+                if e.get("sequence_number") is not None
+                else man_seq
+            )
             df_ = e.get("data_file") or {}
-            if partition_filter and not _pv_match(
-                df_.get("partition"), partition_filter
-            ):
-                continue
             fmt = str(df_.get("file_format") or "").upper()
             if fmt != "PARQUET":
                 raise ValueError(
-                    f"Iceberg data file format {fmt!r} not supported "
+                    f"Iceberg file format {fmt!r} not supported "
                     f"(parquet only)"
                 )
-            files.append(_resolve_file(path, df_["file_path"]))
-    return files
+            fp = _resolve_file(path, df_["file_path"])
+            content = int(df_.get("content") or 0)
+            if content not in (0, 1, 2):
+                raise ValueError(
+                    f"Iceberg data_file content kind {content} not supported"
+                )
+            # spec: data manifests (content=0) hold only data files,
+            # delete manifests (content=1) only delete files — a
+            # mismatch is a malformed log, and silently treating a
+            # delete manifest's entries as data would DUPLICATE rows
+            if (man_content == 0) != (content == 0):
+                raise ValueError(
+                    f"malformed Iceberg metadata: manifest content "
+                    f"{man_content} lists a data_file with content "
+                    f"{content} ({fp})"
+                )
+            if content == 0:
+                if partition_filter and not _pv_match(
+                    df_.get("partition"), partition_filter
+                ):
+                    continue
+                out["data"].append((fp, seq))
+            elif content == 1:
+                out["pos"].append((fp, seq))
+            elif content == 2:
+                ids = [int(i) for i in (df_.get("equality_ids") or [])]
+                if not ids:
+                    raise ValueError(
+                        f"equality-delete file {fp} has no equality_ids"
+                    )
+                out["eq"].append((fp, seq, ids))
+            else:
+                raise ValueError(
+                    f"Iceberg data_file content kind {content} not supported"
+                )
+    return out
+
+
+def _live_files(
+    path: str, snap: dict, partition_filter: dict | None = None
+) -> list[str]:
+    """Live DATA-file paths only (zero-copy import/export asserts use
+    this). Raises when merge-on-read deletes are pending — a plain
+    file list cannot express them."""
+    info = _snapshot_files(path, snap, partition_filter)
+    if info["pos"] or info["eq"]:
+        raise ValueError(
+            "snapshot has pending merge-on-read delete files — a plain "
+            "file list cannot express it (read_iceberg applies them; "
+            "compact or materialize for by-reference uses)"
+        )
+    return [fp for fp, _seq in info["data"]]
+
+
+#: Strips the file-URI scheme so `_metadata.file_path` values,
+#: manifest paths, and position-delete `file_path` columns compare in
+#: one canonical form (``file:///p`` and ``file:/p`` both -> ``/p``).
+_URI_SCHEME_RE = r"^file:(//)?"
+
+
+def _current_fields(meta: dict) -> list[dict]:
+    """The current schema's field dicts (id/name/type/required)."""
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        schema = next(
+            (s for s in meta["schemas"] if s.get("schema-id") == sid), None
+        )
+        if schema is None:
+            raise ValueError(f"current-schema-id {sid} not in schemas list")
+        return schema["fields"]
+    return meta["schema"]["fields"]
+
+
+def _read_with_deletes(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None,
+    partition_filter: dict | None,
+    keep_meta: bool,
+) -> DataFrame:
+    """Shared core of :func:`read_iceberg` / :func:`position_scan`:
+    one declarative parquet scan over the live data files, then v2
+    merge-on-read deletes applied as DISTRIBUTED anti-joins keyed by
+    the scan's own ``_metadata`` columns — no row ever visits the
+    driver. Sequence-number semantics per spec: an equality delete
+    hides rows of data files with STRICTLY SMALLER data sequence
+    numbers (rows appended after the delete survive, even when they
+    match); a position delete applies to data files with seq ≤ its
+    own. ``keep_meta`` keeps Iceberg's ``_file``/``_pos`` metadata
+    columns in the result."""
+    meta = _current_metadata(path)
+    fv = int(meta.get("format-version", 1))
+    if fv not in (1, 2):
+        raise ValueError(f"Iceberg format-version {fv} not supported")
+    schema = _ice_schema_to_spark(meta)
+    snap = _pick_snapshot(meta, snapshot_id)
+    info = _snapshot_files(path, snap, partition_filter)
+    data_cols = [f.name for f in schema.fields]
+    if not info["data"]:
+        df = spark.createDataFrame([], schema)
+        if keep_meta:
+            df = df.select(
+                "*",
+                F.lit(None).cast("string").alias("_file"),
+                F.lit(None).cast("long").alias("_pos"),
+            )
+        return df
+    missing = [fp for fp, _s in info["data"] if not os.path.exists(fp)]
+    if missing:
+        raise FileNotFoundError(
+            f"Iceberg manifest names missing data file(s): {missing[:3]}"
+        )
+    df = spark.read.schema(schema).parquet(*[fp for fp, _s in info["data"]])
+    need_meta = keep_meta or info["pos"] or info["eq"]
+    if not need_meta:
+        return df
+    df = df.select(
+        "*",
+        F.regexp_replace(F.col("_metadata.file_path"), _URI_SCHEME_RE, "")
+        .alias("__ice_file"),
+        F.col("_metadata.row_index").alias("__ice_pos"),
+    )
+    if info["pos"] or info["eq"]:
+        # file -> data sequence number: metadata-sized (one row per
+        # live file, the same list the scan plan enumerates), joined
+        # broadcast so every data row carries its seq JVM-side.
+        seqdf = spark.createDataFrame(
+            [(os.path.abspath(fp), int(s)) for fp, s in info["data"]],
+            "__ice_file string, __ice_seq long",
+        )
+        df = df.join(F.broadcast(seqdf), "__ice_file", "left")
+        id2name = {int(f["id"]): f["name"] for f in _current_fields(meta)}
+        # equality deletes, grouped by (seq, id-set): one anti-join per
+        # group (delete-file count is a metadata quantity)
+        eq_groups: dict[tuple, list[str]] = {}
+        for fp, dseq, ids in info["eq"]:
+            eq_groups.setdefault((int(dseq), tuple(sorted(ids))), []).append(fp)
+        for (dseq, ids), files in sorted(eq_groups.items()):
+            try:
+                cols = [id2name[i] for i in ids]
+            except KeyError as exc:
+                raise ValueError(
+                    f"equality_ids {list(ids)} name a field id missing "
+                    f"from the current schema"
+                ) from exc
+            dels = spark.read.parquet(*files).select(*cols)
+            cond = df["__ice_seq"] < F.lit(dseq)
+            for c in cols:
+                cond = cond & df[c].eqNullSafe(dels[c])
+            df = df.join(dels, cond, "left_anti")
+        if info["pos"]:
+            by_seq: dict[int, list[str]] = {}
+            for fp, dseq in info["pos"]:
+                by_seq.setdefault(int(dseq), []).append(fp)
+            pos = None
+            for dseq, files in sorted(by_seq.items()):
+                p = spark.read.parquet(*files).select(
+                    F.regexp_replace(
+                        F.col("file_path"), _URI_SCHEME_RE, ""
+                    ).alias("__del_file"),
+                    F.col("pos").cast("long").alias("__del_pos"),
+                    F.lit(dseq).alias("__del_seq"),
+                )
+                pos = p if pos is None else pos.unionByName(p)
+            cond = (
+                (df["__ice_file"] == pos["__del_file"])
+                & (df["__ice_pos"] == pos["__del_pos"])
+                & (df["__ice_seq"] <= pos["__del_seq"])
+            )
+            df = df.join(pos, cond, "left_anti")
+    if keep_meta:
+        return df.select(
+            *data_cols,
+            F.col("__ice_file").alias("_file"),
+            F.col("__ice_pos").alias("_pos"),
+        )
+    return df.select(*data_cols)
 
 
 def read_iceberg(
@@ -258,27 +445,29 @@ def read_iceberg(
     Python, data read as ONE declarative Spark parquet scan with the
     table's current schema (absent columns NULL per Iceberg's
     schema-evolution rule; identity-partition columns come from the
-    files themselves, the Iceberg storage model).
+    files themselves, the Iceberg storage model). v2 merge-on-read
+    position/equality deletes are applied as distributed anti-joins
+    (see :func:`_read_with_deletes` for the sequence-number rules).
 
     ``partition_filter`` ({col: value or list}) prunes manifest
     entries by their typed partition record before any data file is
     opened — manifest-level partition pruning, the quantity a 100 TB
     interop read plans by."""
-    meta = _current_metadata(path)
-    fv = int(meta.get("format-version", 1))
-    if fv not in (1, 2):
-        raise ValueError(f"Iceberg format-version {fv} not supported")
-    schema = _ice_schema_to_spark(meta)
-    snap = _pick_snapshot(meta, snapshot_id)
-    files = _live_files(path, snap, partition_filter)
-    if not files:
-        return spark.createDataFrame([], schema)
-    missing = [f for f in files if not os.path.exists(f)]
-    if missing:
-        raise FileNotFoundError(
-            f"Iceberg manifest names missing data file(s): {missing[:3]}"
-        )
-    return spark.read.schema(schema).parquet(*files)
+    return _read_with_deletes(
+        spark, path, snapshot_id, partition_filter, keep_meta=False
+    )
+
+
+def position_scan(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The table's live rows PLUS Iceberg's ``_file`` / ``_pos``
+    metadata columns (file URI path-part and 0-based row position) —
+    what an engine scans to COMPUTE position deletes: filter this by
+    the delete predicate, select ``_file AS file_path, _pos AS pos``,
+    and hand it to :func:`write_iceberg_pos_deletes`. Existing deletes
+    are already applied, so re-deleting a hidden row is impossible."""
+    return _read_with_deletes(spark, path, snapshot_id, None, keep_meta=True)
 
 
 def import_iceberg(
@@ -542,6 +731,11 @@ def _manifest_entry_schema(pfields: list[dict]) -> dict:
                         },
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "equality_ids",
+                            "type": ["null", {"type": "array", "items": "int"}],
+                            "default": None,
+                        },
                     ],
                 },
             },
@@ -557,6 +751,7 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long", "default": 0},
         {"name": "added_snapshot_id", "type": "long"},
         {"name": "added_files_count", "type": "int"},
         {"name": "existing_files_count", "type": "int"},
@@ -583,7 +778,6 @@ def write_iceberg(
     or ``"append"`` (append reuses the previous snapshot's manifests
     — Iceberg's incremental-commit shape). Returns the snapshot id."""
     import pyarrow.parquet as pq
-    from pyspark.sql import functions as F
 
     if mode not in ("error", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
@@ -663,6 +857,124 @@ def write_iceberg(
 
 
 
+def _spec_pcols(meta: dict) -> list[str]:
+    spec = next(
+        (
+            s
+            for s in meta.get("partition-specs") or []
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    return [f["name"] for f in spec.get("fields") or []]
+
+
+def _publish_delete_files(
+    spark: SparkSession,
+    path: str,
+    write_df: DataFrame,
+    content: int,
+    equality_ids: list[int] | None,
+) -> int:
+    """Shared delete-snapshot publish for the two delete writers: one
+    parquet write under ``data/deletes-*``, one DELETE manifest
+    (content=1) whose entries carry ``data_file.content`` 1 or 2, one
+    manifest list carrying every previous manifest (deletes ADD state,
+    never replace it), stamped with the new sequence number."""
+    import pyarrow.parquet as pq
+
+    prev = _current_metadata(path)
+    ddir = os.path.join(path, "data", f"deletes-{uuid.uuid4().hex}")
+    write_df.write.parquet(ddir)
+    snap_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    entries = []
+    for root, _dirs, files in os.walk(ddir):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "content": content,
+                        "file_path": "file://" + os.path.abspath(fp),
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": pq.ParquetFile(fp).metadata.num_rows,
+                        "file_size_in_bytes": os.path.getsize(fp),
+                        "equality_ids": equality_ids,
+                    },
+                }
+            )
+    return _publish_snapshot(
+        path,
+        prev,
+        snap_id,
+        entries,
+        [],
+        _ice_schema_to_spark(prev).fields,
+        _spec_pcols(prev),
+        int(time.time() * 1000),
+        operation="delete",
+        carry_prev=True,
+        manifest_content=1,
+    )
+
+
+def write_iceberg_pos_deletes(
+    spark: SparkSession, deletes: DataFrame, path: str
+) -> int:
+    """Publish a POSITION-DELETE snapshot (v2 merge-on-read):
+    ``deletes`` must have columns ``file_path`` (the data file's URI
+    as manifests name it — :func:`position_scan`'s ``_file`` column
+    is accepted too) and ``pos`` (0-based row position). The rows are
+    written as one parquet delete file set + a DELETE manifest; no
+    data file is rewritten — that is the entire point of
+    merge-on-read. Applies (at read) to data files whose sequence
+    number is ≤ this commit's. Fixture-grade like
+    :func:`write_iceberg`: field ids are the writer's own 1..n
+    numbering. Returns the snapshot id."""
+    out = deletes.select(
+        F.concat(
+            F.lit("file://"),
+            F.regexp_replace(F.col("file_path").cast("string"),
+                             _URI_SCHEME_RE, ""),
+        ).alias("file_path"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+    return _publish_delete_files(spark, path, out, content=1,
+                                 equality_ids=None)
+
+
+def write_iceberg_eq_deletes(
+    spark: SparkSession,
+    deletes: DataFrame,
+    path: str,
+    equality_cols: list[str],
+) -> int:
+    """Publish an EQUALITY-DELETE snapshot (v2 merge-on-read): a row
+    in the table is hidden when its ``equality_cols`` values match any
+    ``deletes`` row (null matches null) AND its data file's sequence
+    number is STRICTLY SMALLER than this commit's — rows appended
+    later survive even when they match, the property that makes
+    equality deletes safe under concurrent appends. Returns the
+    snapshot id."""
+    prev = _current_metadata(path)
+    name2id = {f["name"]: int(f["id"]) for f in _current_fields(prev)}
+    missing = [c for c in equality_cols if c not in name2id]
+    if missing:
+        raise ValueError(
+            f"equality_cols {missing} not in the table schema"
+        )
+    ids = [name2id[c] for c in equality_cols]
+    return _publish_delete_files(
+        spark, path, deletes.select(*equality_cols), content=2,
+        equality_ids=ids,
+    )
+
+
 def _spark_field_to_ice(f, field_ids):
     st = f.dataType.jsonValue()
     if not isinstance(st, str) or st not in _SPARK_TO_ICE:
@@ -690,13 +1002,31 @@ def _publish_snapshot(
     now_ms: int,
     operation: str,
     carry_prev: bool,
+    manifest_content: int = 0,
 ) -> int:
-    """Shared snapshot publish: one Avro manifest, a manifest list
-    (optionally carrying the parent snapshot's manifests — append vs
-    overwrite semantics), a new ``metadata.json`` version, and the
-    ``version-hint.text`` pointer. Returns ``snap_id``."""
+    """Shared snapshot publish: one Avro manifest (``manifest_content``
+    0 = data, 1 = deletes), a manifest list (optionally carrying the
+    parent snapshot's manifests — append vs overwrite semantics), a
+    new ``metadata.json`` version, and the ``version-hint.text``
+    pointer. The new manifest-list record is stamped with this
+    commit's SEQUENCE NUMBER, which entries inherit (the spec's
+    inheritance rule) — the quantity merge-on-read delete application
+    orders by. Returns ``snap_id``."""
     md = _meta_dir(path)
     os.makedirs(md, exist_ok=True)
+    parent_id = None
+    seq = 1
+    version = 1
+    prev_manifests: list = []
+    if prev is not None:
+        parent = _pick_snapshot(prev, None)
+        parent_id = parent["snapshot-id"]
+        seq = int(prev.get("last-sequence-number", 0)) + 1
+        version = _current_version(md) + 1
+        if carry_prev:
+            _s, prev_manifests = read_avro(
+                _resolve_file(path, parent["manifest-list"])
+            )
     man_name = f"{uuid.uuid4().hex}-m0.avro"
     man_path = os.path.join(md, man_name)
     write_avro(man_path, _manifest_entry_schema(pfields), entries)
@@ -705,7 +1035,8 @@ def _publish_snapshot(
             "manifest_path": "file://" + os.path.abspath(man_path),
             "manifest_length": os.path.getsize(man_path),
             "partition_spec_id": 0,
-            "content": 0,
+            "content": manifest_content,
+            "sequence_number": seq,
             "added_snapshot_id": snap_id,
             "added_files_count": len(entries),
             "existing_files_count": 0,
@@ -717,19 +1048,7 @@ def _publish_snapshot(
             "deleted_rows_count": 0,
         }
     ]
-    parent_id = None
-    seq = 1
-    version = 1
-    if prev is not None:
-        parent = _pick_snapshot(prev, None)
-        parent_id = parent["snapshot-id"]
-        seq = int(prev.get("last-sequence-number", 0)) + 1
-        version = _current_version(md) + 1
-        if carry_prev:
-            _s, prev_manifests = read_avro(
-                _resolve_file(path, parent["manifest-list"])
-            )
-            manifests.extend(prev_manifests)
+    manifests.extend(prev_manifests)
     ml_name = f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
     ml_path = os.path.join(md, ml_name)
     write_avro(ml_path, _MANIFEST_LIST_SCHEMA, manifests)

@@ -68,6 +68,8 @@ _DRIVER_PRIORITY = [
     "q_lake_iceberg_read",
     "q_lake_iceberg_import",
     "q_lake_iceberg_export",
+    "q_lake_iceberg_mor",
+    "q_lake_delta_colmap",
     # last driver-green r7 (all 5):
     "q_tpch_q2",
     "q_tpch_q20",

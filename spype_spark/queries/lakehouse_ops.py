@@ -2945,3 +2945,170 @@ def q_lake_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         return head.unionByName(v1).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_iceberg_mor",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 's2' AS snap
+    FROM orders
+    WHERE o_orderkey % 3 <> 2 AND o_orderkey % 11 <> 5
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'head' AS snap
+    FROM orders
+    WHERE NOT (o_orderkey % 3 <> 2 AND o_orderkey % 11 = 5)
+      AND o_orderkey % 7 <> 3
+    """,
+)
+def q_lake_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ deletes, graduated from the r12 gate
+    (:mod:`spype_spark.iceberg_interop`): position AND equality delete
+    files applied at read time as distributed anti-joins against the
+    scan's ``_metadata.file_path`` / ``row_index`` columns — no data
+    file rewritten, no row through the driver.
+
+    Snapshot sequence (each bumps the table's sequence number):
+      s1  write keys ``% 3 <> 2`` (partitioned by o_orderstatus);
+      s2  EQUALITY delete on ``o_orderkey`` values ``% 11 = 5`` —
+          applies STRICTLY to older files, so…
+      s3  …the append of keys ``% 3 = 2`` (some of which match the
+          s2 delete values) must SURVIVE it — the spec's
+          sequence-number rule, the part a naive implementation gets
+          wrong;
+      s4  POSITION delete of live rows ``% 7 = 3`` (computed via
+          :func:`position_scan`'s ``_file``/``_pos`` metadata
+          columns), which applies to files with seq ≤ its own — both
+          s1 and s3 files.
+
+    Result: the head state ∪ time travel to s2 (the eq delete over s1
+    data only), tagged — both replayed relationally by the oracle. An
+    in-contract assert proves NO data file was rewritten (pure MoR).
+    """
+    from spype_spark import iceberg_interop as ice
+
+    tmp = _scratch("spype_iceberg_mor_")
+    try:
+        path = f"{tmp}/orders_mor"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        ice.write_iceberg(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 != 2),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        files_before = set(_parquet_files_under(f"{path}/data"))
+        s2 = ice.write_iceberg_eq_deletes(
+            spark,
+            o.filter(F.col("o_orderkey") % 11 == 5).select("o_orderkey"),
+            path,
+            ["o_orderkey"],
+        )
+        ice.write_iceberg(
+            spark, o.filter(F.col("o_orderkey") % 3 == 2), path, mode="append"
+        )
+        ps = ice.position_scan(spark, path)
+        ice.write_iceberg_pos_deletes(
+            spark,
+            ps.filter(F.col("o_orderkey") % 7 == 3).select(
+                F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
+            ),
+            path,
+        )
+        # merge-on-read assert: every pre-delete data file still on disk
+        if not files_before <= set(_parquet_files_under(f"{path}/data")):
+            raise AssertionError("MoR delete rewrote a data file")
+        at_s2 = ice.read_iceberg(spark, path, snapshot_id=s2).withColumn(
+            "snap", F.lit("s2")
+        )
+        head = ice.read_iceberg(spark, path).withColumn("snap", F.lit("head"))
+        return at_s2.unionByName(head).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _parquet_files_under(root: str) -> list[str]:
+    import glob
+
+    return glob.glob(f"{root}/**/*.parquet", recursive=True)
+
+
+@query(
+    "q_lake_delta_colmap",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS price,
+           o_orderstatus AS status, 'head' AS snap
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice AS price,
+           o_orderstatus AS status, 'v0' AS snap
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice AS price,
+           o_orderstatus AS status, 'pf' AS snap
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_lake_delta_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN MAPPING (name mode), graduated from the r12 gate
+    (:mod:`spype_spark.delta_interop`): ``ALTER TABLE RENAME COLUMN``
+    as mainstream writers perform it — a metadata-only commit pinning
+    each field's ``delta.columnMapping.physicalName`` to its current
+    name, upgrading the protocol to reader 3 + ``columnMapping``. The
+    reader scans files by their PHYSICAL names and projects back to
+    the logical schema (struct casts rename positionally).
+
+    Sequence: write evens (partitioned by o_orderstatus) → RENAME
+    o_totalprice→price AND the PARTITION column o_orderstatus→status
+    (partitionValues keys stay physical per spec) → append odds with
+    the new logical schema (the writer maps them back to physical
+    file names/dirs). Result: head ∪ version-0 time travel (pre-rename
+    names, aliased) ∪ a partition_filter read by the LOGICAL name —
+    all replayed relationally by the oracle. An in-contract assert
+    proves the rename touched no data file.
+    """
+    from spype_spark import delta_interop as di
+
+    tmp = _scratch("spype_delta_cmap_")
+    try:
+        path = f"{tmp}/orders_cmap"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        di.write_delta(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 0),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        files_before = set(_parquet_files_under(path))
+        di.delta_rename_column(
+            spark, path, {"o_totalprice": "price", "o_orderstatus": "status"}
+        )
+        if set(_parquet_files_under(path)) != files_before:
+            raise AssertionError("rename must be metadata-only")
+        di.write_delta(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderstatus").alias("status"),
+            ),
+            path,
+            mode="append",
+        )
+        head = di.read_delta(spark, path).withColumn("snap", F.lit("head"))
+        v0 = (
+            di.read_delta(spark, path, version=0)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderstatus").alias("status"),
+            )
+            .withColumn("snap", F.lit("v0"))
+        )
+        pf = di.read_delta(
+            spark, path, partition_filter={"status": "F"}
+        ).withColumn("snap", F.lit("pf"))
+        return head.unionByName(v0).unionByName(pf).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

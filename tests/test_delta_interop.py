@@ -125,6 +125,8 @@ def test_delta_remove_action_honored(spark, tmp_path):
 def test_delta_protocol_gate(spark, tmp_path):
     p = str(tmp_path / "t")
     dl.write_delta(spark, _df(spark, 0, 3), p)
+    # minReaderVersion 2 (column mapping era) is IN profile since r13:
+    # a v2 table without mapping metadata reads as plain parquet
     with open(dl._commit_path(p, 1), "w") as f:
         f.write(
             json.dumps(
@@ -132,7 +134,15 @@ def test_delta_protocol_gate(spark, tmp_path):
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="minReaderVersion 2"):
+    assert dl.read_delta(spark, p).count() == 3
+    with open(dl._commit_path(p, 1), "w") as f:
+        f.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 4, "minWriterVersion": 7}}
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="minReaderVersion 4"):
         dl.read_delta(spark, p)
     with open(dl._commit_path(p, 1), "w") as f:
         f.write(
@@ -490,3 +500,114 @@ def test_read_delta_partition_filter_prunes_before_scan(spark, tmp_path, monkeyp
     # list-valued filter
     got2 = dl.read_delta(spark, p, partition_filter={"p": [0, 2]})
     assert {r.p for r in got2.select("p").distinct().collect()} == {0, 2}
+
+
+# ---------------------------------------------------------------------------
+# column mapping (name mode) — graduated r13
+# ---------------------------------------------------------------------------
+
+
+def test_delta_column_mapping_rename_read_append(spark, tmp_path):
+    """delta_rename_column is metadata-only; the reader maps physical
+    file names back to logical, appends write physical names, and
+    partition filters accept the LOGICAL name."""
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 20), p, partition_by=["p"])
+    files = {
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(p)
+        for n in ns
+        if n.endswith(".parquet")
+    }
+    dl.delta_rename_column(spark, p, {"v": "value", "p": "part"})
+    files2 = {
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(p)
+        for n in ns
+        if n.endswith(".parquet")
+    }
+    assert files == files2  # metadata-only
+    got = dl.read_delta(spark, p)
+    assert got.columns == ["k", "value", "part"]
+    assert _rows(got.select("k", "value")) == [(k, k * 10) for k in range(20)]
+    # append with the new logical schema: files get PHYSICAL names
+    dl.write_delta(
+        spark,
+        _df(spark, 20, 25).select(
+            "k", F.col("v").alias("value"), F.col("p").alias("part")
+        ),
+        p,
+        mode="append",
+    )
+    assert dl.read_delta(spark, p).count() == 25
+    newfile = sorted(
+        {
+            os.path.join(r, n)
+            for r, _d, ns in os.walk(p)
+            for n in ns
+            if n.endswith(".parquet")
+        }
+        - files2
+    )[0]
+    import pyarrow.parquet as pq
+
+    assert set(pq.read_schema(newfile).names) == {"k", "v"}  # physical
+    # logical-name partition filter prunes to the right rows
+    pf = dl.read_delta(spark, p, partition_filter={"part": 1})
+    assert sorted(r["k"] for r in pf.collect()) == [
+        k for k in range(25) if k % 3 == 1
+    ]
+    # pre-rename time travel keeps the old names
+    assert set(dl.read_delta(spark, p, version=0).columns) == {"k", "v", "p"}
+
+
+def test_delta_column_mapping_id_mode_gate(spark, tmp_path):
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 4), p)
+    meta, _a, v = dl._replay(spark, p, None)
+    new_meta = {
+        **meta,
+        "configuration": {"delta.columnMapping.mode": "id"},
+    }
+    dl._publish_commit(
+        p,
+        v + 1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                }
+            },
+            {"metaData": new_meta},
+        ],
+    )
+    with pytest.raises(ValueError, match="id"):
+        dl.read_delta(spark, p)
+
+
+def test_delta_column_mapping_gates_checkpoint_and_import(spark, tmp_path):
+    from spype_spark import lakehouse as lake
+
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 12), p)
+    dl.delta_rename_column(spark, p, {"v": "value"})
+    with pytest.raises(ValueError, match="column-mapped"):
+        dl.checkpoint_delta(spark, p)
+    # by-reference import would null physical-named columns: forced
+    # materialize keeps it correct
+    nt = str(tmp_path / "native")
+    dl.import_delta(spark, p, nt)
+    got = lake.read_table(spark, nt)
+    assert got.columns == ["k", "value", "p"]
+    assert got.count() == 12
+
+
+def test_delta_rename_column_validation(spark, tmp_path):
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 3), p)
+    with pytest.raises(ValueError, match="unknown"):
+        dl.delta_rename_column(spark, p, {"nope": "x"})
+    with pytest.raises(ValueError, match="already exist"):
+        dl.delta_rename_column(spark, p, {"v": "k"})

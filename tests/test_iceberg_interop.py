@@ -141,9 +141,81 @@ def test_iceberg_deleted_entries_are_dropped(spark, tmp_path):
     assert got.count() < 10
 
 
-def test_iceberg_v2_delete_manifest_gate(spark, tmp_path):
-    """Live v2 delete files (merge-on-read) are outside the profile —
-    loud error, never a silently-wrong read."""
+def test_iceberg_mor_position_deletes(spark, tmp_path):
+    """v2 merge-on-read position deletes (graduated r13): rows named
+    by (file_path, pos) vanish from the read WITHOUT any data file
+    being rewritten; they apply to files with seq ≤ the delete's."""
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 60), p, partition_by=["p"])
+    before = {fn for fn in _data_files(p)}
+    ps = ice.position_scan(spark, p)
+    dels = ps.filter("k % 5 = 1").select(
+        F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
+    )
+    ice.write_iceberg_pos_deletes(spark, dels, p)
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, p).collect())
+    assert got == [k for k in range(60) if k % 5 != 1]
+    # merge-on-read: every pre-delete data file still present untouched
+    assert before <= {fn for fn in _data_files(p)}
+    # a LATER append is NOT hit by the earlier position delete
+    ice.write_iceberg(spark, _df(spark, 100, 103), p, mode="append")
+    got2 = sorted(r["k"] for r in ice.read_iceberg(spark, p).collect())
+    assert got2 == [k for k in range(60) if k % 5 != 1] + [100, 101, 102]
+
+
+def test_iceberg_mor_equality_deletes_strict_sequence(spark, tmp_path):
+    """Equality deletes hide matching rows of STRICTLY OLDER data
+    files only — rows appended after the delete survive even when
+    they match (the spec's sequence-number rule)."""
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 20), p)
+    dels = spark.createDataFrame([(4,), (7,), (104,)], "k long")
+    s2 = ice.write_iceberg_eq_deletes(spark, dels, p, ["k"])
+    # re-append k=4 AFTER the delete: the new row must survive
+    ice.write_iceberg(spark, _df(spark, 4, 5), p, mode="append")
+    ice.write_iceberg(spark, _df(spark, 104, 106), p, mode="append")
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, p).collect())
+    assert got == sorted(
+        [k for k in range(20) if k not in (4, 7)] + [4, 104, 105]
+    )
+    # time travel to the delete snapshot: only the old data, filtered
+    at2 = sorted(r["k"] for r in ice.read_iceberg(spark, p, snapshot_id=s2).collect())
+    assert at2 == [k for k in range(20) if k not in (4, 7)]
+
+
+def test_iceberg_mor_combined_and_import_gate(spark, tmp_path):
+    """Position + equality deletes compose; by-reference import of a
+    table with pending deletes is loud (a plain file list cannot
+    express them), while materialize applies them."""
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 40), p)
+    ice.write_iceberg_eq_deletes(
+        spark, spark.createDataFrame([(6,), (8,)], "k long"), p, ["k"]
+    )
+    ps = ice.position_scan(spark, p)
+    ice.write_iceberg_pos_deletes(
+        spark,
+        ps.filter("k % 10 = 3").select(
+            F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
+        ),
+        p,
+    )
+    exp = [k for k in range(40) if k not in (6, 8) and k % 10 != 3]
+    assert sorted(r["k"] for r in ice.read_iceberg(spark, p).collect()) == exp
+    with pytest.raises(ValueError, match="merge-on-read"):
+        ice.import_iceberg(spark, p, str(tmp_path / "native"))
+    ice.import_iceberg(spark, p, str(tmp_path / "native2"), materialize=True)
+    from spype_spark import lakehouse as lake
+
+    assert sorted(
+        r["k"] for r in lake.read_table(spark, str(tmp_path / "native2")).collect()
+    ) == exp
+
+
+def test_iceberg_malformed_manifest_content_mismatch_is_loud(spark, tmp_path):
+    """A manifest-list record claiming content=1 (deletes) over
+    entries whose data_file is content=0 (data) is malformed — loud
+    error, never silently duplicated rows."""
     p = str(tmp_path / "t")
     ice.write_iceberg(spark, _df(spark, 0, 10).select("k", "v"), p)
     meta = ice._current_metadata(p)
@@ -151,11 +223,33 @@ def test_iceberg_v2_delete_manifest_gate(spark, tmp_path):
     ml = ice._resolve_file(p, snap["manifest-list"])
     schema, manifests = read_avro(ml)
     fake = dict(manifests[0])
-    fake["content"] = 1  # DELETE manifest
+    fake["content"] = 1  # DELETE manifest over data entries
     fake["added_files_count"] = 1
     write_avro(ml, schema, manifests + [fake])
-    with pytest.raises(ValueError, match="delete"):
+    with pytest.raises(ValueError, match="malformed"):
         ice.read_iceberg(spark, p)
+
+
+def test_iceberg_unknown_content_kind_gate(spark, tmp_path):
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 6).select("k", "v"), p)
+    meta = ice._current_metadata(p)
+    snap = ice._pick_snapshot(meta, None)
+    ml = ice._resolve_file(p, snap["manifest-list"])
+    _s, manifests = read_avro(ml)
+    mf = ice._resolve_file(p, manifests[0]["manifest_path"])
+    schema, entries = read_avro(mf)
+    entries[0]["data_file"]["content"] = 3
+    write_avro(mf, schema, entries)
+    with pytest.raises(ValueError, match="content kind"):
+        ice.read_iceberg(spark, p)
+
+
+def _data_files(p):
+    for root, _dirs, files in os.walk(os.path.join(p, "data")):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                yield os.path.join(root, fn)
 
 
 def test_iceberg_non_parquet_gate(spark, tmp_path):
