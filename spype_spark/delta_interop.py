@@ -49,8 +49,10 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import struct
 import urllib.parse
 import uuid
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,15 +66,57 @@ __all__ = [
     "write_delta",
     "checkpoint_delta",
     "delta_rename_column",
+    "delta_delete_rows",
 ]
 
 _LOG_DIR = "_delta_log"
 #: Reader features this implementation supports. ``columnMapping``
-#: graduated round 13 (name mode — physical parquet names resolved
-#: back to logical schema names; id mode stays a loud gate). Features
-#: beyond these (deletion vectors, v2 checkpoints, …) must FAIL the
-#: read, not corrupt it.
-_SUPPORTED_READER_FEATURES: frozenset[str] = frozenset({"columnMapping"})
+#: (name mode — physical parquet names resolved back to logical
+#: schema names; id mode stays a loud gate) and ``deletionVectors``
+#: (roaring-bitmap row tombstones applied as a distributed anti-join)
+#: both graduated round 13. Features beyond these (v2 checkpoints, …)
+#: must FAIL the read, not corrupt it.
+_SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
+    {"columnMapping", "deletionVectors"}
+)
+
+#: Z85 alphabet (ZeroMQ spec 32/Z85) — Delta encodes deletion-vector
+#: file UUIDs and inline bitmaps with it. NOT python's b85 variant.
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+
+_URI_RE = r"^file:(//)?"
+
+
+def _z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError("z85 encodes 4-byte groups")
+    out = []
+    for i in range(0, len(data), 4):
+        acc = int.from_bytes(data[i:i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            acc, r = divmod(acc, 85)
+            chunk.append(_Z85_CHARS[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("z85 decodes 5-char groups")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        acc = 0
+        for c in text[i:i + 5]:
+            if c not in _Z85_INDEX:
+                raise ValueError(f"invalid z85 character {c!r}")
+            acc = acc * 85 + _Z85_INDEX[c]
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
 
 
 def _log_dir(path: str) -> str:
@@ -289,12 +333,19 @@ def _hive_prefix(pcols: list[str], pvals: dict) -> str:
 #: Spark job for a handful of JSON lines).
 _SPARK_REPLAY_THRESHOLD = 50_000
 
+#: deletionVector descriptor shape (PROTOCOL.md).
+_DV_STRUCT = (
+    "struct<storageType:string,pathOrInlineDv:string,offset:int,"
+    "sizeInBytes:int,cardinality:bigint>"
+)
+
 #: Spark schema for one commit-log action line (the subset state
 #: reconstruction needs; explicit so JSON inference can't drift —
 #: inference would type partitionValues as a struct, not a map).
 _ACTION_JSON_SCHEMA = (
     "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
-    "modificationTime:bigint,dataChange:boolean>, "
+    "modificationTime:bigint,dataChange:boolean,"
+    "deletionVector:" + _DV_STRUCT + ">, "
     "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
 )
 
@@ -333,9 +384,9 @@ def delta_state_df(
     is_add DESC) → keep rank-1 add rows. Last-writer-wins per path;
     within one commit an add beats a tombstone (the self-overwrite
     pattern). Returns columns ``path`` (as written in the log),
-    ``partitionValues``, ``size``, ``version``. O(actions) work
-    distributed across executors; nothing driver-side but the file
-    LISTING (a directory page, not the actions)."""
+    ``partitionValues``, ``size``, ``deletionVector``, ``version``.
+    O(actions) work distributed across executors; nothing driver-side
+    but the file LISTING (a directory page, not the actions)."""
     from pyspark.sql.window import Window
 
     versions = _commit_versions(path)
@@ -361,16 +412,31 @@ def delta_state_df(
             ]
         )
         cp = spark.read.parquet(*files)
-        sel = [
-            F.col("add").alias("add"),
-            (F.col("remove") if "remove" in cp.columns else F.lit(None).cast(
-                "struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
-            )).alias("remove"),
-        ]
+        add_fields = {
+            f.name for f in cp.schema["add"].dataType.fields
+        } if "add" in cp.columns else set()
+        rm = (
+            F.col("remove.path")
+            if "remove" in cp.columns
+            else F.lit(None).cast("string")
+        )
+        dv = (
+            F.col("add.deletionVector").cast(_DV_STRUCT)
+            if "deletionVector" in add_fields
+            else F.lit(None).cast(_DV_STRUCT)
+        )
         parts.append(
-            cp.select(*sel)
-            .where(F.col("add").isNotNull() | F.col("remove").isNotNull())
-            .withColumn("version", F.lit(cv).cast("bigint"))
+            cp.where(
+                F.col("add").isNotNull()
+                | (rm.isNotNull() if "remove" in cp.columns else F.lit(False))
+            ).select(
+                F.coalesce(F.col("add.path"), rm).alias("path"),
+                F.col("add").isNotNull().alias("is_add"),
+                F.col("add.partitionValues").alias("partitionValues"),
+                F.col("add.size").alias("size"),
+                dv.alias("deletionVector"),
+                F.lit(cv).cast("bigint").alias("version"),
+            )
         )
         start = cv + 1
     missing = [t for t in range(start, v + 1) if t not in set(versions)]
@@ -393,6 +459,16 @@ def delta_state_df(
                 ).cast("bigint"),
             )
             .where(F.col("add").isNotNull() | F.col("remove").isNotNull())
+            .select(
+                F.coalesce(F.col("add.path"), F.col("remove.path")).alias(
+                    "path"
+                ),
+                F.col("add").isNotNull().alias("is_add"),
+                F.col("add.partitionValues").alias("partitionValues"),
+                F.col("add.size").alias("size"),
+                F.col("add.deletionVector").alias("deletionVector"),
+                "version",
+            )
         )
         parts.append(j)
     if not parts:
@@ -400,24 +476,13 @@ def delta_state_df(
     acts = parts[0]
     for p in parts[1:]:
         acts = acts.unionByName(p)
-    acts = acts.select(
-        F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
-        F.col("add").isNotNull().alias("is_add"),
-        "add",
-        "version",
-    )
     w = Window.partitionBy("path").orderBy(
         F.col("version").desc(), F.col("is_add").desc()
     )
     return (
         acts.withColumn("rn", F.row_number().over(w))
         .where((F.col("rn") == 1) & F.col("is_add"))
-        .select(
-            "path",
-            F.col("add.partitionValues").alias("partitionValues"),
-            F.col("add.size").alias("size"),
-            "version",
-        )
+        .select("path", "partitionValues", "size", "deletionVector", "version")
     )
 
 
@@ -527,13 +592,21 @@ def read_delta(
                         [None if v is None else str(v) for v in vals]
                     )
                 )
-        live = state.select("path", "partitionValues")
+        live = state.select("path", "partitionValues", "deletionVector")
         # metadata-sized collect: the live-file list (post window
         # dedup + partition pruning), the same quantity every Spark
         # scan plan enumerates
         rows = live.collect()
         adds = [
-            {"path": r["path"], "partitionValues": r["partitionValues"]}
+            {
+                "path": r["path"],
+                "partitionValues": r["partitionValues"],
+                "deletionVector": (
+                    r["deletionVector"].asDict()
+                    if r["deletionVector"] is not None
+                    else None
+                ),
+            }
             for r in rows
         ]
         return _scan_adds(spark, path, meta, adds)
@@ -600,8 +673,134 @@ def _mapping_info(meta: dict) -> tuple[str, dict | None, dict]:
     return mode, pj, l2p
 
 
+# ---------------------------------------------------------------------------
+# deletion vectors (PROTOCOL.md "Deletion Vectors") — graduated r13
+# ---------------------------------------------------------------------------
+
+
+def _load_dv_bytes(table_path: str, dvd: dict) -> bytes:
+    """The raw RoaringBitmapArray payload of one deletion-vector
+    descriptor. Storage types per spec: ``i`` inline (z85 of the
+    payload), ``u`` relative (optional random prefix + z85-encoded
+    16-byte UUID naming ``deletion_vector_<uuid>.bin`` under the table
+    root), ``p`` absolute path. File-stored DVs are framed as
+    [1-byte format version = 1] then per-DV [int32 BE dataSize]
+    [payload][int32 BE CRC-32 of payload] — ``offset`` points at the
+    dataSize field; size and checksum are both verified loudly."""
+    st = dvd.get("storageType")
+    size = int(dvd.get("sizeInBytes") or 0)
+    if st == "i":
+        payload = _z85_decode(dvd["pathOrInlineDv"])
+        if size and len(payload) != size:
+            raise ValueError(
+                f"inline deletion vector size {len(payload)} != "
+                f"sizeInBytes {size}"
+            )
+        return payload
+    if st == "u":
+        enc = dvd["pathOrInlineDv"]
+        prefix, uid_part = enc[:-20], enc[-20:]
+        u = uuid.UUID(bytes=_z85_decode(uid_part))
+        fp = os.path.join(table_path, prefix, f"deletion_vector_{u}.bin")
+    elif st == "p":
+        fp = dvd["pathOrInlineDv"]
+    else:
+        raise ValueError(f"deletion vector storageType {st!r} not supported")
+    with open(fp, "rb") as f:
+        head = f.read(1)
+        if head != b"\x01":
+            raise ValueError(
+                f"deletion vector file {fp} has format version "
+                f"{head!r} (expected 1)"
+            )
+        f.seek(int(dvd.get("offset") or 1))
+        (dsize,) = struct.unpack(">i", f.read(4))
+        if size and dsize != size:
+            raise ValueError(
+                f"deletion vector at {fp}:{dvd.get('offset')} has size "
+                f"{dsize} != descriptor sizeInBytes {size}"
+            )
+        payload = f.read(dsize)
+        if len(payload) != dsize:
+            raise ValueError(f"truncated deletion vector in {fp}")
+        (crc,) = struct.unpack(">i", f.read(4))
+        if (crc & 0xFFFFFFFF) != zlib.crc32(payload):
+            raise ValueError(f"deletion vector CRC mismatch in {fp}")
+    return payload
+
+
+def _write_dv_file(table_path: str, payload: bytes, cardinality: int) -> dict:
+    """Write one deletion vector as its own ``u``-storage file and
+    return the add-action descriptor."""
+    u = uuid.uuid4()
+    fp = os.path.join(table_path, f"deletion_vector_{u}.bin")
+    crc = zlib.crc32(payload)
+    with open(fp, "wb") as f:
+        f.write(b"\x01")
+        f.write(struct.pack(">i", len(payload)))
+        f.write(payload)
+        f.write(struct.pack(">i", crc - (1 << 32) * (crc >> 31)))
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": _z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(payload),
+        "cardinality": int(cardinality),
+    }
+
+
+def _dv_positions_df(
+    spark: SparkSession, table_path: str, dv_adds: list[tuple[str, dict]]
+) -> DataFrame:
+    """(file, deleted position) rows for every live add carrying a
+    deletion vector. The BYTES are loaded driver-side (compressed
+    bitmaps — a metadata-class quantity, same family as the add list)
+    but DECODED on executors via mapInPandas, so the exploded position
+    count — O(deleted rows), the scale hazard — never visits the
+    driver."""
+    import pandas as pd
+
+    # captured by the closure (NOT imported inside it): roaring is
+    # registered for by-value pickling, so cloudpickle ships the
+    # decode code to executors that cannot import spype_spark
+    from spype_spark.roaring import deserialize_array64
+
+    rows = [
+        (fp, bytearray(_load_dv_bytes(table_path, dvd)),
+         int(dvd.get("cardinality") or -1))
+        for fp, dvd in dv_adds
+    ]
+    src = spark.createDataFrame(
+        rows, "__del_file string, __dv binary, __card long"
+    )
+
+    def explode_dv(batches):
+        for pdf in batches:
+            for fp, blob, card in zip(
+                pdf["__del_file"], pdf["__dv"], pdf["__card"]
+            ):
+                pos = deserialize_array64(bytes(blob))
+                if card >= 0 and len(pos) != card:
+                    raise ValueError(
+                        f"deletion vector for {fp} decodes to {len(pos)} "
+                        f"positions != cardinality {card}"
+                    )
+                yield pd.DataFrame(
+                    {
+                        "__del_file": [fp] * len(pos),
+                        "__del_pos": pd.array(pos, dtype="int64"),
+                    }
+                )
+
+    return src.mapInPandas(explode_dv, "__del_file string, __del_pos long")
+
+
 def _scan_adds(
-    spark: SparkSession, path: str, meta: dict, adds: list[dict]
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    adds: list[dict],
+    keep_pos: bool = False,
 ) -> DataFrame:
     """One declarative scan over a resolved live-file list: Hive
     basePath discovery when every path matches its partitionValues,
@@ -609,12 +808,69 @@ def _scan_adds(
     mapping (name mode) the files are scanned with the PHYSICAL
     schema, then one projection casts each column back to its logical
     name/shape (struct casts rename nested fields positionally) —
-    partitionValues keys and directory names are physical per spec."""
+    partitionValues keys and directory names are physical per spec.
+    Adds carrying a ``deletionVector`` have their tombstoned rows
+    removed by ONE distributed anti-join keyed on the scan's own
+    ``_metadata`` (file, row position) — bitmaps decode on executors,
+    never in a driver loop. ``keep_pos`` appends ``_file``/``_pos``
+    metadata columns (what a DV writer filters to compute deletes)."""
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mode, pj, l2p = _mapping_info(meta)
     read_schema = StructType.fromJson(pj) if mode == "name" else schema
     if not adds:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        if keep_pos:
+            out = out.select(
+                "*",
+                F.lit(None).cast("string").alias("_file"),
+                F.lit(None).cast("long").alias("_pos"),
+            )
+        return out
+    dv_adds = [
+        (
+            os.path.abspath(
+                os.path.join(path, urllib.parse.unquote(a["path"]))
+            ),
+            a["deletionVector"],
+        )
+        for a in adds
+        if a.get("deletionVector")
+    ]
+    need_pos = keep_pos or bool(dv_adds)
+
+    def attach_pos(df: DataFrame) -> DataFrame:
+        if not need_pos:
+            return df
+        return df.select(
+            "*",
+            F.regexp_replace(F.col("_metadata.file_path"), _URI_RE, "")
+            .alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+
+    def finish(df: DataFrame) -> DataFrame:
+        if dv_adds:
+            dels = _dv_positions_df(spark, path, dv_adds)
+            cond = (df["__dv_file"] == dels["__del_file"]) & (
+                df["__dv_pos"] == dels["__del_pos"]
+            )
+            df = df.join(dels, cond, "left_anti")
+        if mode == "name":
+            sel = [
+                F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                for lf, pf in zip(schema.fields, read_schema.fields)
+            ]
+        elif need_pos:
+            sel = [F.col(f.name) for f in read_schema.fields]
+        else:
+            return df
+        if keep_pos:
+            sel += [
+                F.col("__dv_file").alias("_file"),
+                F.col("__dv_pos").alias("_pos"),
+            ]
+        return df.select(*sel)
+
     # partitionColumns are logical names; under mapping the log's
     # partitionValues / directory layout use the physical names
     # (tolerate either keying — both appear in the wild)
@@ -633,20 +889,12 @@ def _scan_adds(
             out[pc] = pv[pc] if pc in pv else pv.get(lc)
         return out
 
-    def to_logical(df: DataFrame) -> DataFrame:
-        if mode != "name":
-            return df
-        return df.select(
-            *[
-                F.col(pf.name).cast(lf.dataType).alias(lf.name)
-                for lf, pf in zip(schema.fields, read_schema.fields)
-            ]
-        )
-
     rel_paths = [urllib.parse.unquote(a["path"]) for a in adds]
     abs_paths = [os.path.join(path, p) for p in rel_paths]
     if not pcols:
-        return to_logical(spark.read.schema(read_schema).parquet(*abs_paths))
+        return finish(
+            attach_pos(spark.read.schema(read_schema).parquet(*abs_paths))
+        )
     # partitioned: partitionValues are authoritative. One scan with
     # Hive-style discovery when the layout matches them exactly …
     hive_ok = all(
@@ -656,10 +904,12 @@ def _scan_adds(
         for a in adds
     )
     if hive_ok:
-        return to_logical(
-            spark.read.schema(read_schema)
-            .option("basePath", path)
-            .parquet(*abs_paths)
+        return finish(
+            attach_pos(
+                spark.read.schema(read_schema)
+                .option("basePath", path)
+                .parquet(*abs_paths)
+            )
         )
     # … else per-partition-group scans with literal columns (correct
     # for ANY layout; group count = touched partitions, a metadata
@@ -674,17 +924,20 @@ def _scan_adds(
         key = tuple(pv.get(c) for c in pcols)
         by_group.setdefault(key, []).append(ap)
     out = None
+    keep_cols = [f.name for f in read_schema.fields] + (
+        ["__dv_file", "__dv_pos"] if need_pos else []
+    )
     for key, files in sorted(by_group.items(), key=lambda kv: str(kv[0])):
-        part = spark.read.schema(data_schema).parquet(*files)
+        part = attach_pos(spark.read.schema(data_schema).parquet(*files))
         for c, val in zip(pcols, key):
             typ = read_schema[c].dataType
             part = part.withColumn(
                 c,
                 F.lit(val).cast(typ) if val is not None else F.lit(None).cast(typ),
             )
-        part = part.select(*[f.name for f in read_schema.fields])
+        part = part.select(*keep_cols)
         out = part if out is None else out.unionByName(part)
-    return to_logical(out)
+    return finish(out)
 
 
 def import_delta(
@@ -731,9 +984,12 @@ def import_delta(
     meta, adds, _v = _replay(spark, delta_path, version)
     pcols = list(meta.get("partitionColumns") or [])
     mode, _pj, _l2p = _mapping_info(meta)
-    if pcols or materialize or mode == "name":
+    has_dv = any(a.get("deletionVector") for a in adds)
+    if pcols or materialize or mode == "name" or has_dv:
         # column-mapped sources must materialize too: their files carry
-        # PHYSICAL names a by-reference manifest read would null out
+        # PHYSICAL names a by-reference manifest read would null out;
+        # deletion-vectored sources likewise — a plain file reference
+        # would RESURRECT the tombstoned rows
         df = read_delta(spark, delta_path, version)
         lake.write_table(df, table_path, partition_by=pcols or None)
         return 0
@@ -1149,6 +1405,92 @@ def write_delta(
     return version
 
 
+def delta_delete_rows(spark: SparkSession, path: str, condition) -> int:
+    """DELETE rows from a Delta table with DELETION VECTORS — the
+    merge-on-read form mainstream writers use for small deletes: no
+    data file is rewritten; each touched file's add action is
+    re-committed with a ``deletionVector`` descriptor (storageType
+    ``u``: a z85-uuid-named ``deletion_vector_*.bin`` holding the
+    magic-prefixed RoaringBitmapArray of deleted row positions), the
+    previous file version removed in the same commit, and the
+    protocol upgraded to reader 3 + ``deletionVectors``. Re-deleting
+    from an already-vectored file MERGES the positions (the spec's
+    single-DV-per-file invariant). Returns the committed version.
+
+    Fixture-grade like :func:`write_delta`: the matched (file,
+    position) pairs are collected driver-side — bounded by the
+    delete's own row count, fine at contract scale; a production
+    writer would stream them per file."""
+    meta, adds, v = _replay(spark, path, None)
+    if _mapping_info(meta)[0] != "none":
+        raise ValueError(
+            "delta_delete_rows on a column-mapped table is outside the "
+            "fixture writer's profile"
+        )
+    scan = _scan_adds(spark, path, meta, adds, keep_pos=True)
+    hits = scan.filter(condition).select("_file", "_pos")
+    by_file: dict[str, list[int]] = {}
+    # fixture-grade collect: one row per deleted position
+    for r in hits.collect():
+        by_file.setdefault(r["_file"], []).append(int(r["_pos"]))
+    add_by_norm = {
+        os.path.abspath(
+            os.path.join(path, urllib.parse.unquote(a["path"]))
+        ): a
+        for a in adds
+    }
+    from spype_spark import roaring
+
+    now_ms = int(os.path.getmtime(_log_dir(path)) * 1000)
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    ]
+    for f_norm in sorted(by_file):
+        a = add_by_norm[f_norm]
+        old = a.get("deletionVector")
+        pos = set(by_file[f_norm])
+        if old:
+            pos |= set(roaring.deserialize_array64(_load_dv_bytes(path, old)))
+        payload = roaring.serialize_array64(sorted(pos))
+        dvd = _write_dv_file(path, payload, cardinality=len(pos))
+        remove = {
+            "path": a["path"],
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+        }
+        if old:
+            remove["deletionVector"] = old
+        actions.append({"remove": remove})
+        actions.append(
+            {
+                "add": {
+                    **a,
+                    "deletionVector": dvd,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"mode": "deletionVectors"},
+            }
+        }
+    )
+    _publish_commit(path, v + 1, actions)
+    return v + 1
+
+
 def delta_rename_column(
     spark: SparkSession, path: str, renames: dict[str, str]
 ) -> int:
@@ -1260,6 +1602,12 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
             "base protocol (1,2) — checkpointing a column-mapped table "
             "would drop the columnMapping feature flag; keep the JSON "
             "log for such tables"
+        )
+    if any(a.get("deletionVector") for a in adds):
+        raise ValueError(
+            "checkpoint_delta: this writer's checkpoint schema has no "
+            "deletionVector column — checkpointing would RESURRECT "
+            "vectored-away rows; keep the JSON log for such tables"
         )
     rows = [
         (

@@ -3112,3 +3112,53 @@ def q_lake_delta_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return head.unionByName(v0).unionByName(pf).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delta_dv",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'v1' AS snap
+    FROM orders WHERE o_orderkey % 7 <> 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'head' AS snap
+    FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey % 5 <> 1
+    """,
+)
+def q_lake_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION VECTORS, graduated from the r12 gate
+    (:mod:`spype_spark.delta_interop` + the pure-Python roaring codec
+    in :mod:`spype_spark.roaring`): merge-on-read row deletes — each
+    touched file's add action re-committed with a ``deletionVector``
+    descriptor (``u`` storage: a z85-uuid-named ``.bin`` framing the
+    magic-prefixed RoaringBitmapArray with big-endian size + CRC-32),
+    applied at read as ONE distributed anti-join on the scan's
+    ``_metadata`` (file, row position); bitmaps decode on EXECUTORS.
+
+    Sequence over a partitioned orders table: DV-delete keys
+    ``% 7 = 3`` (v1) → DV-delete keys ``% 5 = 1`` (v2 — the second
+    delete must MERGE positions into files already carrying a vector,
+    the spec's one-DV-per-file invariant). Result: time travel to v1
+    ∪ head — the oracle replays both; an in-contract assert proves NO
+    data file was rewritten (pure merge-on-read).
+    """
+    import glob
+
+    from spype_spark import delta_interop as di
+
+    tmp = _scratch("spype_delta_dv_")
+    try:
+        path = f"{tmp}/orders_dv"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        di.write_delta(spark, o, path, partition_by=["o_orderstatus"])
+        files0 = set(glob.glob(f"{path}/**/*.parquet", recursive=True))
+        v1 = di.delta_delete_rows(spark, path, F.col("o_orderkey") % 7 == 3)
+        di.delta_delete_rows(spark, path, F.col("o_orderkey") % 5 == 1)
+        if set(glob.glob(f"{path}/**/*.parquet", recursive=True)) != files0:
+            raise AssertionError("deletion-vector delete rewrote a data file")
+        at_v1 = di.read_delta(spark, path, version=v1).withColumn(
+            "snap", F.lit("v1")
+        )
+        head = di.read_delta(spark, path).withColumn("snap", F.lit("head"))
+        return at_v1.unionByName(head).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -151,13 +151,13 @@ def test_delta_protocol_gate(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors"],
+                        "readerFeatures": ["v2Checkpoint"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="deletionVectors"):
+    with pytest.raises(ValueError, match="v2Checkpoint"):
         dl.read_delta(spark, p)
     # version 0 predates the protocol bump and still reads
     assert dl.read_delta(spark, p, version=0).count() == 3
@@ -611,3 +611,124 @@ def test_delta_rename_column_validation(spark, tmp_path):
         dl.delta_rename_column(spark, p, {"nope": "x"})
     with pytest.raises(ValueError, match="already exist"):
         dl.delta_rename_column(spark, p, {"v": "k"})
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors — graduated r13
+# ---------------------------------------------------------------------------
+
+
+def test_z85_spec_vector():
+    """The ZeroMQ Z85 reference vector (spec 32): 0x86 0x4F 0xD2 0x6F
+    0xB5 0x59 0xF7 0x5B encodes to 'HelloWorld'."""
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert dl._z85_encode(raw) == "HelloWorld"
+    assert dl._z85_decode("HelloWorld") == raw
+
+
+def test_delta_dv_delete_read_merge(spark, tmp_path):
+    """delta_delete_rows writes deletion vectors (no data file
+    rewritten); a second delete on the same files MERGES positions;
+    reads, time travel, and partition filters all honor the DVs."""
+    import glob
+
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 60), p, partition_by=["p"])
+    files0 = set(glob.glob(f"{p}/**/*.parquet", recursive=True))
+    v1 = dl.delta_delete_rows(spark, p, F.col("k") % 7 == 3)
+    assert set(glob.glob(f"{p}/**/*.parquet", recursive=True)) == files0
+    assert sorted(r["k"] for r in dl.read_delta(spark, p).collect()) == [
+        k for k in range(60) if k % 7 != 3
+    ]
+    dl.delta_delete_rows(spark, p, F.col("k") % 5 == 1)
+    exp = [k for k in range(60) if k % 7 != 3 and k % 5 != 1]
+    assert sorted(r["k"] for r in dl.read_delta(spark, p).collect()) == exp
+    assert dl.read_delta(spark, p, version=0).count() == 60
+    assert sorted(
+        r["k"] for r in dl.read_delta(spark, p, version=v1).collect()
+    ) == [k for k in range(60) if k % 7 != 3]
+    pf = dl.read_delta(spark, p, partition_filter={"p": 1})
+    assert sorted(r["k"] for r in pf.collect()) == [
+        k for k in exp if k % 3 == 1
+    ]
+
+
+def test_delta_dv_state_df_path_equivalent(spark, tmp_path, monkeypatch):
+    """The large-log DataFrame state reconstruction carries the
+    deletionVector descriptors — both replay paths agree."""
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 30), p)
+    dl.delta_delete_rows(spark, p, F.col("k") % 4 == 2)
+    exp = [k for k in range(30) if k % 4 != 2]
+    for thr in (10**9, 0):
+        monkeypatch.setattr(dl, "_SPARK_REPLAY_THRESHOLD", thr)
+        assert sorted(
+            r["k"] for r in dl.read_delta(spark, p).collect()
+        ) == exp
+
+
+def test_delta_dv_inline_storage_and_crc_gate(spark, tmp_path):
+    """Inline ('i') DVs decode from z85; a corrupted DV file fails the
+    CRC check loudly instead of mis-deleting."""
+    from spype_spark import roaring
+
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 10).coalesce(1), p)
+    meta, adds, v = dl._replay(spark, p, None)
+    assert len(adds) == 1
+    payload = roaring.serialize_array64([0, 3, 4])
+    inline = {
+        "storageType": "i",
+        "pathOrInlineDv": dl._z85_encode(
+            payload + b"\x00" * ((4 - len(payload) % 4) % 4)
+        ),
+        "sizeInBytes": 0,  # unknown — decoder tolerates 0
+        "cardinality": 3,
+    }
+    add = {**adds[0], "deletionVector": inline, "dataChange": True}
+    dl._publish_commit(
+        p,
+        v + 1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                }
+            },
+            {"remove": {"path": adds[0]["path"], "dataChange": True}},
+            {"add": add},
+        ],
+    )
+    got = sorted(r["k"] for r in dl.read_delta(spark, p).collect())
+    assert got == [k for k in range(10) if k not in (0, 3, 4)]
+    # corrupt the on-disk DV of a real delete -> loud CRC error
+    p2 = str(tmp_path / "t2")
+    dl.write_delta(spark, _df(spark, 0, 10).coalesce(1), p2)
+    dl.delta_delete_rows(spark, p2, F.col("k") == 5)
+    (dvf,) = [
+        os.path.join(p2, n)
+        for n in os.listdir(p2)
+        if n.startswith("deletion_vector_")
+    ]
+    blob = bytearray(open(dvf, "rb").read())
+    blob[7] ^= 0xFF
+    open(dvf, "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="CRC|cardinality|roaring|magic"):
+        dl.read_delta(spark, p2).collect()
+
+
+def test_delta_dv_gates_checkpoint_and_import(spark, tmp_path):
+    from spype_spark import lakehouse as lake
+
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 20), p)
+    dl.delta_delete_rows(spark, p, F.col("k") < 5)
+    with pytest.raises(ValueError, match="deletionVector"):
+        dl.checkpoint_delta(spark, p)
+    nt = str(tmp_path / "native")
+    dl.import_delta(spark, p, nt)  # forced materialize
+    assert sorted(
+        r["k"] for r in lake.read_table(spark, nt).collect()
+    ) == list(range(5, 20))
