@@ -68,6 +68,7 @@ __all__ = [
     "write_iceberg",
     "write_iceberg_pos_deletes",
     "write_iceberg_eq_deletes",
+    "rename_iceberg_columns",
 ]
 
 #: Iceberg primitive type -> Spark schema-JSON type name.
@@ -328,6 +329,44 @@ def _current_fields(meta: dict) -> list[dict]:
     return meta["schema"]["fields"]
 
 
+def _parquet_field_ids(fp: str) -> dict[int, str]:
+    """Top-level parquet field-id -> physical column name map from one
+    footer (PyArrow exposes Iceberg/Spark-written ids as
+    ``PARQUET:field_id`` field metadata). Fields without an id are
+    omitted — they resolve by name, the spec's fallback."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, str] = {}
+    for f in pq.read_schema(fp):
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            out[int(fid)] = f.name
+    return out
+
+
+def _group_files_by_projection(
+    files: list[str], fields: list[dict]
+) -> dict[tuple, list[str]]:
+    """Group data files by their (logical <- physical) top-level name
+    projection, resolved BY FIELD ID per the Iceberg spec (a column
+    renamed after a file was written keeps its id, so the file's old
+    physical name must still feed the new logical column — name-based
+    matching would silently NULL it). One footer metadata read per
+    file, driver-side: O(files) planning like the manifest walk
+    itself; a 10⁶-file table would distribute the footer sweep, noted
+    in SCALE.md. Files without ids (or with matching names) fall into
+    the identity group, which skips reprojection entirely."""
+    groups: dict[tuple, list[str]] = {}
+    for fp in files:
+        id2phys = _parquet_field_ids(fp)
+        proj = tuple(
+            (f["name"], id2phys.get(int(f["id"]), f["name"]))
+            for f in fields
+        )
+        groups.setdefault(proj, []).append(fp)
+    return groups
+
+
 def _read_with_deletes(
     spark: SparkSession,
     path: str,
@@ -367,16 +406,41 @@ def _read_with_deletes(
         raise FileNotFoundError(
             f"Iceberg manifest names missing data file(s): {missing[:3]}"
         )
-    df = spark.read.schema(schema).parquet(*[fp for fp, _s in info["data"]])
     need_meta = keep_meta or info["pos"] or info["eq"]
+    # FIELD-ID projection (spec column resolution): files written
+    # before a rename keep the old physical name under the same id —
+    # they scan with their physical schema and alias to the current
+    # logical names; unrenamed files take the identity fast path.
+    from pyspark.sql.types import StructField
+
+    groups = _group_files_by_projection(
+        [fp for fp, _s in info["data"]], _current_fields(meta)
+    )
+    df = None
+    for proj, fps in sorted(groups.items()):
+        identity = all(ln == pn for ln, pn in proj)
+        rs = (
+            schema
+            if identity
+            else StructType(
+                [
+                    StructField(pn, schema[ln].dataType, True)
+                    for ln, pn in proj
+                ]
+            )
+        )
+        sel = [F.col(pn).alias(ln) for ln, pn in proj]
+        if need_meta:
+            sel += [
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), _URI_SCHEME_RE, ""
+                ).alias("__ice_file"),
+                F.col("_metadata.row_index").alias("__ice_pos"),
+            ]
+        part = spark.read.schema(rs).parquet(*fps).select(*sel)
+        df = part if df is None else df.unionByName(part)
     if not need_meta:
         return df
-    df = df.select(
-        "*",
-        F.regexp_replace(F.col("_metadata.file_path"), _URI_SCHEME_RE, "")
-        .alias("__ice_file"),
-        F.col("_metadata.row_index").alias("__ice_pos"),
-    )
     if info["pos"] or info["eq"]:
         # file -> data sequence number: metadata-sized (one row per
         # live file, the same list the scan plan enumerates), joined
@@ -400,7 +464,19 @@ def _read_with_deletes(
                     f"equality_ids {list(ids)} name a field id missing "
                     f"from the current schema"
                 ) from exc
-            dels = spark.read.parquet(*files).select(*cols)
+            # delete files written before a rename carry the OLD
+            # column names — resolve by field id per file, same as
+            # the data scan
+            dels = None
+            for fpath in files:
+                id2phys = _parquet_field_ids(fpath)
+                d = spark.read.parquet(fpath).select(
+                    *[
+                        F.col(id2phys.get(i, id2name[i])).alias(id2name[i])
+                        for i in ids
+                    ]
+                )
+                dels = d if dels is None else dels.unionByName(d)
             cond = df["__ice_seq"] < F.lit(dseq)
             for c in cols:
                 cond = cond & df[c].eqNullSafe(dels[c])
@@ -799,6 +875,11 @@ def write_iceberg(
     uid = uuid.uuid4().hex
     datadir = os.path.join(path, "data", uid)
     w = df
+    # stamp Iceberg field ids into the parquet footers (Spark writes
+    # `parquet.field.id` metadata as PARQUET:field_id) — what the
+    # read path resolves renamed columns by
+    for i, f in enumerate(df.schema.fields, start=1):
+        w = w.withMetadata(f.name, {"parquet.field.id": i})
     for c in pcols:
         w = w.withColumn(_SHADOW + c, F.col(c))
     if pcols:
@@ -944,6 +1025,9 @@ def write_iceberg_pos_deletes(
         ).alias("file_path"),
         F.col("pos").cast("long").alias("pos"),
     )
+    # the spec's reserved field ids for position-delete columns
+    out = out.withMetadata("file_path", {"parquet.field.id": 2147483546})
+    out = out.withMetadata("pos", {"parquet.field.id": 2147483545})
     return _publish_delete_files(spark, path, out, content=1,
                                  equality_ids=None)
 
@@ -969,10 +1053,88 @@ def write_iceberg_eq_deletes(
             f"equality_cols {missing} not in the table schema"
         )
     ids = [name2id[c] for c in equality_cols]
+    out = deletes.select(*equality_cols)
+    for c in equality_cols:
+        out = out.withMetadata(c, {"parquet.field.id": name2id[c]})
     return _publish_delete_files(
-        spark, path, deletes.select(*equality_cols), content=2,
-        equality_ids=ids,
+        spark, path, out, content=2, equality_ids=ids,
     )
+
+
+def rename_iceberg_columns(
+    spark: SparkSession, path: str, renames: dict[str, str]
+) -> int:
+    """RENAME columns of an Iceberg table the way the spec models it —
+    a METADATA-ONLY schema evolution: the field keeps its ID, only the
+    logical name changes, and a new ``metadata.json`` version is
+    published (no snapshot, no data file touched). Files written
+    before the rename keep the old physical name; the read path
+    resolves them BY FIELD ID (:func:`_group_files_by_projection`), so
+    both file generations feed the new logical column. Returns the new
+    metadata version.
+
+    Renaming a partition SOURCE column is gated loudly: existing Avro
+    manifests key their typed partition records by the old name, and
+    this fixture writer does not rewrite manifests."""
+    meta = _current_metadata(path)
+    fields = _current_fields(meta)
+    names = {f["name"] for f in fields}
+    unknown = [c for c in renames if c not in names]
+    if unknown:
+        raise ValueError(f"rename of unknown column(s) {unknown}")
+    clashes = [
+        n for n in renames.values()
+        if n in (names - set(renames)) or list(renames.values()).count(n) > 1
+    ]
+    if clashes:
+        raise ValueError(
+            f"rename target(s) already exist: {sorted(set(clashes))}"
+        )
+    pcols = set(_spec_pcols(meta))
+    id_by_name = {f["name"]: int(f["id"]) for f in fields}
+    spec = next(
+        (
+            s
+            for s in meta.get("partition-specs") or []
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    src_ids = {int(f.get("source-id") or -1) for f in spec.get("fields") or []}
+    hit = [c for c in renames if id_by_name[c] in src_ids or c in pcols]
+    if hit:
+        raise ValueError(
+            f"renaming partition source column(s) {hit} would orphan "
+            f"the manifests' partition records — rewrite the table "
+            f"instead"
+        )
+    new_fields = [
+        {**f, "name": renames.get(f["name"], f["name"])} for f in fields
+    ]
+    old_schemas = meta.get("schemas") or [
+        {"schema-id": 0, "type": "struct", "fields": fields}
+    ]
+    new_sid = max(s.get("schema-id", 0) for s in old_schemas) + 1
+    md = _meta_dir(path)
+    version = _current_version(md) + 1
+    new_meta = {
+        **meta,
+        "schemas": old_schemas
+        + [{"schema-id": new_sid, "type": "struct", "fields": new_fields}],
+        "current-schema-id": new_sid,
+        "last-updated-ms": int(time.time() * 1000),
+    }
+    mpath = os.path.join(md, f"v{version}.metadata.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(new_meta, f)
+    os.replace(mpath + ".tmp", mpath)
+    with open(os.path.join(md, "version-hint.text.tmp"), "w") as f:
+        f.write(str(version))
+    os.replace(
+        os.path.join(md, "version-hint.text.tmp"),
+        os.path.join(md, "version-hint.text"),
+    )
+    return version
 
 
 def _spark_field_to_ice(f, field_ids):

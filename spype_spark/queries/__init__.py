@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "q_lake_iceberg_mor",
     "q_lake_delta_colmap",
     "q_lake_delta_dv",
+    "q_lake_iceberg_rename",
     # last driver-green r7 (all 5):
     "q_tpch_q2",
     "q_tpch_q20",

@@ -3162,3 +3162,79 @@ def q_lake_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         return at_v1.unionByName(head).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_iceberg_rename",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS price, o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 2 = 1 OR o_orderkey % 11 <> 5
+    """,
+)
+def q_lake_iceberg_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FIELD-ID column resolution under RENAME — the spec's
+    schema-evolution rule the r12 reader was scoped as missing
+    (ROADMAP: name-based matching would silently NULL a renamed
+    column's old files). ``rename_iceberg_columns`` publishes a
+    metadata-only schema version (same field id, new name); the read
+    path groups data files by their footer field-id projection and
+    aliases old physical names onto the current logical column —
+    both file generations feed `price` (files written before the
+    rename carry physical `o_totalprice`, an in-contract assert
+    proves the two projection groups really differ).
+
+    Sequence: write evens (partitioned by o_orderstatus, field ids in
+    footers) → EQUALITY-delete keys ``% 11 = 5`` (the delete file
+    carries the PRE-rename column name and resolves by id too) →
+    rename o_totalprice→price → append odds under the new name →
+    read. The oracle replays relationally: all orders minus the
+    equality-deleted keys, with o_totalprice aliased.
+    """
+    from spype_spark import iceberg_interop as ice
+
+    tmp = _scratch("spype_iceberg_ren_")
+    try:
+        path = f"{tmp}/orders_ren"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        ice.write_iceberg(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 0),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        ice.write_iceberg_eq_deletes(
+            spark,
+            o.filter(F.col("o_orderkey") % 11 == 5).select("o_orderkey"),
+            path,
+            ["o_orderkey"],
+        )
+        ice.rename_iceberg_columns(spark, path, {"o_totalprice": "price"})
+        ice.write_iceberg(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("o_totalprice").alias("price"),
+                "o_orderstatus",
+            ),
+            path,
+            mode="append",
+        )
+        meta = ice._current_metadata(path)
+        snap = ice._pick_snapshot(meta, None)
+        info = ice._snapshot_files(path, snap)
+        groups = ice._group_files_by_projection(
+            [fp for fp, _s in info["data"]], ice._current_fields(meta)
+        )
+        if len(groups) != 2:
+            raise AssertionError(
+                f"expected two projection generations, got {len(groups)}"
+            )
+        # the eq delete removed the EVEN %11==5 keys (their files
+        # predate it); odd matches were appended after the delete and
+        # survive by the strict-sequence rule — the oracle's
+        # (odd OR %11<>5) predicate replays exactly that
+        return ice.read_iceberg(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

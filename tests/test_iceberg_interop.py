@@ -489,3 +489,58 @@ def test_export_iceberg_dual_format_and_gates(spark, tmp_path):
     lake.rename_columns(spark, rt, {"v": "w"})
     with pytest.raises(ValueError, match="field-id"):
         ice.export_iceberg(spark, rt)
+
+
+# ---------------------------------------------------------------------------
+# field-id projection / rename — r13
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_rename_resolves_by_field_id(spark, tmp_path):
+    """Files written before a rename keep the old physical name under
+    the same field id; the read path must feed them into the NEW
+    logical column (name-based matching would NULL them)."""
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 20), p, partition_by=["p"])
+    ice.rename_iceberg_columns(spark, p, {"v": "value"})
+    got = ice.read_iceberg(spark, p)
+    assert got.columns == ["k", "p", "value"]
+    assert sorted((r["k"], r["value"]) for r in got.collect()) == [
+        (k, k * 10) for k in range(20)
+    ]
+    # append under the new name -> two projection generations coexist
+    ice.write_iceberg(
+        spark,
+        _df(spark, 20, 25).select("k", "p", F.col("v").alias("value")),
+        p,
+        mode="append",
+    )
+    got2 = ice.read_iceberg(spark, p)
+    assert sorted((r["k"], r["value"]) for r in got2.collect()) == [
+        (k, k * 10) for k in range(25)
+    ]
+    meta = ice._current_metadata(p)
+    info = ice._snapshot_files(p, ice._pick_snapshot(meta, None))
+    groups = ice._group_files_by_projection(
+        [fp for fp, _s in info["data"]], ice._current_fields(meta)
+    )
+    assert len(groups) == 2  # old-name and new-name footers
+
+
+def test_iceberg_rename_gates_and_eq_delete_rename(spark, tmp_path):
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 30), p, partition_by=["p"])
+    ice.write_iceberg_eq_deletes(
+        spark, spark.createDataFrame([(3,), (8,)], "k long"), p, ["k"]
+    )
+    # renaming the EQ-DELETE column: the delete file carries the old
+    # name and must still resolve by its field id
+    ice.rename_iceberg_columns(spark, p, {"k": "key"})
+    got = sorted(r["key"] for r in ice.read_iceberg(spark, p).collect())
+    assert got == [k for k in range(30) if k not in (3, 8)]
+    with pytest.raises(ValueError, match="unknown"):
+        ice.rename_iceberg_columns(spark, p, {"nope": "x"})
+    with pytest.raises(ValueError, match="already exist"):
+        ice.rename_iceberg_columns(spark, p, {"v": "key"})
+    with pytest.raises(ValueError, match="partition source"):
+        ice.rename_iceberg_columns(spark, p, {"p": "bucket"})
