@@ -608,11 +608,22 @@ def import_iceberg(
                 f"rewrite once under an explicit native spec"
             )
         pcols.append(id_to_name.get(f.get("source-id"), f["name"]))
-    if materialize:
+    info = _snapshot_files(iceberg_path, snap)
+    groups = _group_files_by_projection(
+        [fp for fp, _s in info["data"]], _current_fields(meta)
+    )
+    renamed = any(
+        any(ln != pn for ln, pn in proj) for proj in groups
+    )
+    if materialize or info["pos"] or info["eq"] or renamed:
+        # pending merge-on-read deletes and post-rename physical names
+        # cannot ride a plain file reference (a by-reference manifest
+        # would resurrect deleted rows / NULL the renamed columns) —
+        # read once through the full Iceberg semantics and rewrite
         df = read_iceberg(spark, iceberg_path, snapshot_id)
         lake.write_table(df, table_path, partition_by=pcols or None)
         return 0
-    files = _live_files(iceberg_path, snap)
+    files = [fp for fp, _s in info["data"]]
     entries = []
     for fp in sorted(files):
         ap = os.path.abspath(fp)

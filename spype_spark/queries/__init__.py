@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "q_lake_delta_colmap",
     "q_lake_delta_dv",
     "q_lake_iceberg_rename",
+    "q_lake_sql_foreign",
     # last driver-green r7 (all 5):
     "q_tpch_q2",
     "q_tpch_q20",

@@ -3238,3 +3238,75 @@ def q_lake_iceberg_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ice.read_iceberg(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_sql_foreign",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS price,
+           o_orderstatus, 'delta' AS src
+    FROM orders WHERE o_orderkey % 7 <> 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice AS price,
+           o_orderstatus, 'ice' AS src
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def q_lake_sql_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN-format maintenance through the SQL facade (round 13) —
+    the statements a Delta/Iceberg user runs against their existing
+    tables before migrating:
+
+    - ``DELETE FROM DELTA '<p>' WHERE o_orderkey % 7 = 3`` — a
+      deletion-vector delete (merge-on-read, zero files rewritten);
+    - ``ALTER DELTA '<p>' RENAME COLUMN o_totalprice TO price`` —
+      column mapping (name mode), old physical names still readable;
+    - ``SELECT … FROM DELTA '<p>'`` reads the vectored, renamed table;
+    - ``ALTER ICEBERG '<p>' RENAME COLUMN …`` (field-id evolution)
+      then ``IMPORT ICEBERG '<p>' INTO '<native>'`` — the import
+      AUTO-materializes here: a by-reference manifest would read the
+      files by NAME and null the renamed column, so renamed (or
+      delete-carrying) sources rewrite once through the full Iceberg
+      read semantics, the same policy Delta's import applies to
+      column-mapped / vectored tables.
+
+    Every verb goes through :func:`spype_spark.sql` — parse, dispatch,
+    and kernel in one pass; the oracle replays both end states
+    relationally.
+    """
+    import spype_spark
+    from spype_spark import delta_interop as di
+    from spype_spark import iceberg_interop as ice
+
+    tmp = _scratch("spype_sql_foreign_")
+    try:
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        dpath = f"{tmp}/orders_delta"
+        di.write_delta(spark, o, dpath)
+        spype_spark.sql(
+            spark, f"DELETE FROM DELTA '{dpath}' WHERE o_orderkey % 7 = 3"
+        )
+        spype_spark.sql(
+            spark,
+            f"ALTER DELTA '{dpath}' RENAME COLUMN o_totalprice TO price",
+        )
+        d = spype_spark.sql(
+            spark,
+            f"SELECT o_orderkey, o_custkey, price, o_orderstatus, "
+            f"'delta' AS src FROM DELTA '{dpath}'",
+        )
+        ipath, npath = f"{tmp}/orders_ice", f"{tmp}/orders_native"
+        ice.write_iceberg(spark, o.filter(F.col("o_orderkey") % 2 == 0), ipath)
+        spype_spark.sql(
+            spark,
+            f"ALTER ICEBERG '{ipath}' RENAME COLUMN o_totalprice TO price",
+        )
+        spype_spark.sql(spark, f"IMPORT ICEBERG '{ipath}' INTO '{npath}'")
+        n = spype_spark.sql(
+            spark,
+            f"SELECT o_orderkey, o_custkey, price, o_orderstatus, "
+            f"'ice' AS src FROM '{npath}'",
+        )
+        return d.unionByName(n).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -312,6 +312,86 @@ _IMPORT_DELTA_RE = re.compile(
     r"(?:\s+(?P<mat>MATERIALIZED))?\s*$",
     re.IGNORECASE,
 )
+_IMPORT_ICEBERG_RE = re.compile(
+    r"^\s*IMPORT\s+ICEBERG\s+'(?P<src>[^']+)'"
+    r"(?:\s+SNAPSHOT\s+AS\s+OF\s+(?P<snap>\d+))?"
+    r"\s+INTO\s+'(?P<dst>[^']+)'"
+    r"(?:\s+(?P<mat>MATERIALIZED))?\s*$",
+    re.IGNORECASE,
+)
+# FOREIGN-table maintenance verbs (round 13): checked BEFORE the
+# native _DELETE_RE — `DELETE FROM DELTA '<p>'` would otherwise parse
+# as a delete of a catalog table literally named DELTA.
+_DELETE_DELTA_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+DELTA\s+'(?P<path>[^']+)'"
+    r"\s+WHERE\s+(?P<where>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_FOREIGN_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+(?P<fmt>DELTA|ICEBERG)\s+'(?P<path>[^']+)'"
+    r"\s+RENAME\s+COLUMN\s+(?P<renames>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_renames(txt: str) -> dict:
+    renames = {}
+    for part in _split_top(txt):
+        rm = re.match(r"^\s*(\w+)\s+TO\s+(\w+)\s*$", part, re.IGNORECASE)
+        if not rm:
+            raise ValueError(
+                f"unparseable RENAME COLUMN item {part!r} "
+                f"(want: old TO new[, old2 TO new2 …])"
+            )
+        renames[rm.group(1)] = rm.group(2)
+    return renames
+
+
+def _sql_foreign(spark: SparkSession, stmt: str):
+    """Maintenance verbs against FOREIGN table formats (round 13) —
+    the statements a Delta/Iceberg user runs before (or instead of)
+    migrating: ``DELETE FROM DELTA '<path>' WHERE …`` (deletion
+    vectors — merge-on-read, no data file rewritten), ``ALTER DELTA
+    '<path>' RENAME COLUMN a TO b[, …]`` (column mapping, name mode),
+    ``ALTER ICEBERG '<path>' RENAME COLUMN …`` (field-id schema
+    evolution), ``IMPORT ICEBERG '<src>' [SNAPSHOT AS OF id] INTO
+    '<dst>' [MATERIALIZED]``. Returns ``_NO_MATCH`` when ``stmt`` is
+    none of them."""
+    m = _DELETE_DELTA_RE.match(stmt)
+    if m:
+        from spype_spark import delta_interop
+
+        return delta_interop.delta_delete_rows(
+            spark, m.group("path"), F.expr(m.group("where"))
+        )
+    m = _ALTER_FOREIGN_RENAME_RE.match(stmt)
+    if m:
+        renames = _parse_renames(m.group("renames"))
+        if m.group("fmt").upper() == "DELTA":
+            from spype_spark import delta_interop
+
+            return delta_interop.delta_rename_column(
+                spark, m.group("path"), renames
+            )
+        from spype_spark import iceberg_interop
+
+        return iceberg_interop.rename_iceberg_columns(
+            spark, m.group("path"), renames
+        )
+    m = _IMPORT_ICEBERG_RE.match(stmt)
+    if m:
+        from spype_spark import iceberg_interop
+
+        return iceberg_interop.import_iceberg(
+            spark,
+            m.group("src"),
+            m.group("dst"),
+            snapshot_id=(
+                int(m.group("snap")) if m.group("snap") is not None else None
+            ),
+            materialize=bool(m.group("mat")),
+        )
+    return _NO_MATCH
 
 
 def _sql_alter(spark: SparkSession, stmt: str, catalog):
@@ -320,15 +400,7 @@ def _sql_alter(spark: SparkSession, stmt: str, catalog):
     ``_NO_MATCH`` when ``stmt`` is not one of them."""
     m = _ALTER_RENAME_RE.match(stmt)
     if m:
-        renames = {}
-        for part in _split_top(m.group("renames")):
-            rm = re.match(r"^\s*(\w+)\s+TO\s+(\w+)\s*$", part, re.IGNORECASE)
-            if not rm:
-                raise ValueError(
-                    f"unparseable RENAME COLUMN item {part!r} "
-                    f"(want: old TO new[, old2 TO new2 …])"
-                )
-            renames[rm.group(1)] = rm.group(2)
+        renames = _parse_renames(m.group("renames"))
         ref = _tref(m, "tgt", catalog)
         if m.group("tgt_path") is not None:
             return lake.rename_columns(spark, ref, renames)
@@ -788,9 +860,18 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
     BRANCH b`` / ``DROP CATALOG BRANCH b`` (multi-table WAP through
     ``catalog=``).
 
+    FOREIGN-format maintenance (round 13, :func:`_sql_foreign`):
+    ``DELETE FROM DELTA '<path>' WHERE …`` (deletion vectors), ``ALTER
+    DELTA|ICEBERG '<path>' RENAME COLUMN a TO b[, …]`` (column mapping
+    / field-id schema evolution), ``IMPORT ICEBERG '<src>' [SNAPSHOT
+    AS OF id] INTO '<dst>' [MATERIALIZED]``.
+
     Everything else is ``spark.sql(stmt)`` verbatim (returns its
     DataFrame). Maintenance statements return the new table version
     (or the verb's native return)."""
+    fr = _sql_foreign(spark, stmt)
+    if fr is not _NO_MATCH:
+        return fr
     m = _MERGE_RE.match(stmt)
     if m:
         m, source, keys, kw = _parse_merge(spark, stmt, catalog)

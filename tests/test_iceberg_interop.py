@@ -202,14 +202,21 @@ def test_iceberg_mor_combined_and_import_gate(spark, tmp_path):
     )
     exp = [k for k in range(40) if k not in (6, 8) and k % 10 != 3]
     assert sorted(r["k"] for r in ice.read_iceberg(spark, p).collect()) == exp
-    with pytest.raises(ValueError, match="merge-on-read"):
-        ice.import_iceberg(spark, p, str(tmp_path / "native"))
-    ice.import_iceberg(spark, p, str(tmp_path / "native2"), materialize=True)
+    # a by-reference import would resurrect the deleted rows — the
+    # import AUTO-materializes instead (same policy as Delta's)
+    import glob
+
     from spype_spark import lakehouse as lake
 
+    nt = str(tmp_path / "native")
+    ice.import_iceberg(spark, p, nt)
+    assert glob.glob(f"{nt}/data/**/*.parquet", recursive=True) != []
     assert sorted(
-        r["k"] for r in lake.read_table(spark, str(tmp_path / "native2")).collect()
+        r["k"] for r in lake.read_table(spark, nt).collect()
     ) == exp
+    # export still refuses: a plain file list cannot express deletes
+    with pytest.raises(ValueError, match="merge-on-read"):
+        ice._live_files(p, ice._pick_snapshot(ice._current_metadata(p), None))
 
 
 def test_iceberg_malformed_manifest_content_mismatch_is_loud(spark, tmp_path):

@@ -673,3 +673,52 @@ def test_sql_import_delta_statement(spark, tmp_path):
     assert spype_spark.sql(
         spark, f"SELECT count(*) AS n FROM '{npath}'"
     ).collect()[0].n == 9
+
+
+def test_sql_foreign_maintenance_verbs(spark, tmp_path):
+    """Round-13 foreign-format statements: DELETE FROM DELTA (deletion
+    vectors), ALTER DELTA/ICEBERG RENAME COLUMN, IMPORT ICEBERG."""
+    import spype_spark
+    from spype_spark import delta_interop as dl
+    from spype_spark import iceberg_interop as ice
+
+    base = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # DELETE FROM DELTA — merge-on-read, no data file rewritten
+    dpath = str(tmp_path / "d")
+    dl.write_delta(spark, base, dpath)
+    v = spype_spark.sql(
+        spark, f"DELETE FROM DELTA '{dpath}' WHERE k % 3 = 1"
+    )
+    assert v == 1
+    got = spype_spark.sql(
+        spark, f"SELECT count(*) AS n FROM DELTA '{dpath}'"
+    ).collect()[0].n
+    assert got == 20
+    # ALTER DELTA RENAME COLUMN — column mapping, old files readable
+    spype_spark.sql(spark, f"ALTER DELTA '{dpath}' RENAME COLUMN v TO value")
+    r = spype_spark.sql(
+        spark, f"SELECT sum(value) AS s FROM DELTA '{dpath}'"
+    ).collect()[0].s
+    assert r == sum(2 * k for k in range(30) if k % 3 != 1)
+    # ALTER ICEBERG RENAME COLUMN — field-id resolution
+    ipath = str(tmp_path / "i")
+    ice.write_iceberg(spark, base, ipath)
+    spype_spark.sql(spark, f"ALTER ICEBERG '{ipath}' RENAME COLUMN v TO val")
+    r2 = spype_spark.sql(
+        spark, f"SELECT sum(val) AS s FROM ICEBERG '{ipath}'"
+    ).collect()[0].s
+    assert r2 == sum(2 * k for k in range(30))
+    # IMPORT ICEBERG INTO native
+    npath = str(tmp_path / "n")
+    assert spype_spark.sql(
+        spark, f"IMPORT ICEBERG '{ipath}' INTO '{npath}'"
+    ) == 0
+    assert spype_spark.sql(
+        spark, f"SELECT count(*) AS n FROM '{npath}'"
+    ).collect()[0].n == 30
+    # a catalog table literally named delta-ish must NOT be shadowed:
+    # DELETE FROM DELTA requires the quoted-path form
+    with pytest.raises(Exception):
+        spype_spark.sql(spark, "DELETE FROM DELTA missing_quotes WHERE 1=1")
