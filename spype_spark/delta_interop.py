@@ -65,6 +65,7 @@ __all__ = [
     "export_delta",
     "write_delta",
     "checkpoint_delta",
+    "checkpoint_delta_v2",
     "delta_rename_column",
     "delta_delete_rows",
 ]
@@ -77,7 +78,7 @@ _LOG_DIR = "_delta_log"
 #: both graduated round 13. Features beyond these (v2 checkpoints, …)
 #: must FAIL the read, not corrupt it.
 _SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
-    {"columnMapping", "deletionVectors"}
+    {"columnMapping", "deletionVectors", "v2Checkpoint"}
 )
 
 #: Z85 alphabet (ZeroMQ spec 32/Z85) — Delta encodes deletion-vector
@@ -176,15 +177,101 @@ def _check_protocol(protocol: dict | None) -> None:
         raise ValueError("Delta protocol 3 without readerFeatures is malformed")
 
 
+def _resolve_checkpoint(path: str, cv: int, ckpt: dict) -> dict:
+    """Locate the checkpoint at version ``cv``: classic (single-file
+    or multi-part ``N.checkpoint[.i.of].parquet``) or a V2 checkpoint
+    (uuid-named ``N.checkpoint.<uuid>.{json,parquet}`` top-level whose
+    file actions live in ``_sidecars/`` parquet — the table-features
+    form). Returns ``{"kind": "classic", "files": […]}`` or
+    ``{"kind": "v2", "top": path, "format": "json"|"parquet"}``."""
+    import re as _re
+
+    parts = ckpt.get("parts")
+    classic = (
+        [_checkpoint_path(path, cv)]
+        if not parts
+        else [
+            os.path.join(
+                _log_dir(path),
+                f"{cv:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
+            )
+            for i in range(int(parts))
+        ]
+    )
+    if all(os.path.exists(f) for f in classic):
+        return {"kind": "classic", "files": classic}
+    d = _log_dir(path)
+    pat = _re.compile(
+        rf"^{cv:020d}\.checkpoint\.[A-Za-z0-9-]+\.(json|parquet)$"
+    )
+    hits = sorted(n for n in os.listdir(d) if pat.match(n))
+    if not hits:
+        raise FileNotFoundError(
+            f"_last_checkpoint names version {cv} of {path} but no "
+            f"classic or v2 checkpoint file exists"
+        )
+    top = hits[-1]
+    return {
+        "kind": "v2",
+        "top": os.path.join(d, top),
+        "format": top.rsplit(".", 1)[1],
+    }
+
+
+def _v2_checkpoint_actions(
+    spark: SparkSession, path: str, ck: dict, include_sidecars: bool = True
+) -> list:
+    """Action dicts of a V2 checkpoint: the top-level's own actions
+    (checkpointMetadata / protocol / metaData / txn, plus any INLINE
+    file actions) with sidecar references expanded — each sidecar is
+    a parquet of add/remove rows under ``_delta_log/_sidecars/``.
+    ``include_sidecars=False`` skips the file-action expansion (for
+    metadata-only callers)."""
+    actions: list[dict] = []
+    if ck["format"] == "json":
+        with open(ck["top"]) as f:
+            raw = [json.loads(line) for line in f if line.strip()]
+    else:
+        raw = []
+        # metadata-sized collect: one row per non-file action + one
+        # per sidecar reference
+        for row in spark.read.parquet(ck["top"]).collect():
+            d = row.asDict(recursive=True)
+            raw.append({k: val for k, val in d.items() if val is not None})
+    sidecars: list[str] = []
+    for a in raw:
+        if a.get("sidecar"):
+            sp = a["sidecar"]["path"]
+            sidecars.append(
+                sp
+                if os.path.isabs(sp)
+                else os.path.join(_log_dir(path), "_sidecars", sp)
+            )
+        elif a:
+            actions.append(a)
+    if sidecars and include_sidecars:
+        sc = spark.read.parquet(*sidecars)
+        # metadata-sized collect: one sidecar row per live file or
+        # tombstone — the classic-checkpoint cost class
+        for row in sc.collect():
+            d = row.asDict(recursive=True)
+            if d.get("add"):
+                actions.append({"add": d["add"]})
+            elif d.get("remove"):
+                actions.append({"remove": d["remove"]})
+    return actions
+
+
 def _replay_state(
     spark: SparkSession, path: str, version: int | None
 ) -> dict:
     """Replay the log up to ``version`` (default: head). Returns the
     full table state a checkpoint must carry: ``meta`` (metaData
-    action), ``adds`` (live add actions), ``tombstones`` (remove
-    actions for files removed and not re-added — other engines need
-    them for vacuum safety), ``txns`` (latest setTransaction version
-    per appId — streaming-writer idempotency state), ``version``."""
+    action), ``protocol``, ``adds`` (live add actions), ``tombstones``
+    (remove actions for files removed and not re-added — other engines
+    need them for vacuum safety), ``txns`` (latest setTransaction
+    version per appId — streaming-writer idempotency state),
+    ``version``."""
     versions = _commit_versions(path)
     ckpt = _last_checkpoint(path)
     head = versions[-1] if versions else (ckpt["version"] if ckpt else None)
@@ -199,25 +286,18 @@ def _replay_state(
     start = 0
     if ckpt is not None and ckpt["version"] <= v:
         cv = int(ckpt["version"])
-        parts = ckpt.get("parts")
-        files = (
-            [_checkpoint_path(path, cv)]
-            if not parts
-            else [
-                os.path.join(
-                    _log_dir(path),
-                    f"{cv:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
-                )
-                for i in range(int(parts))
-            ]
-        )
-        cp = spark.read.parquet(*files)
-        cols = set(cp.columns)
-        # metadata-sized collect: one checkpoint row per live file /
-        # tombstone / metadata action — the same cost class as
-        # manifest planning
-        for row in cp.collect():
-            d = row.asDict(recursive=True)
+        ck = _resolve_checkpoint(path, cv, ckpt)
+        if ck["kind"] == "classic":
+            cp = spark.read.parquet(*ck["files"])
+            cols = set(cp.columns)
+            # metadata-sized collect: one checkpoint row per live file
+            # / tombstone / metadata action — the same cost class as
+            # manifest planning
+            rows = [row.asDict(recursive=True) for row in cp.collect()]
+        else:
+            rows = _v2_checkpoint_actions(spark, path, ck)
+            cols = {"txn"}
+        for d in rows:
             if d.get("add"):
                 live[d["add"]["path"]] = d["add"]
             elif d.get("remove"):
@@ -228,6 +308,7 @@ def _replay_state(
                 meta = d["metaData"]
             elif d.get("protocol") and d["protocol"].get("minReaderVersion"):
                 protocol = d["protocol"]
+            # checkpointMetadata: carries only the version, ignored
         start = cv + 1
     missing = [t for t in range(start, v + 1) if t not in set(versions)]
     if missing:
@@ -267,6 +348,7 @@ def _replay_state(
         raise ValueError(f"unsupported Delta data format {fmt!r}")
     return {
         "meta": meta,
+        "protocol": protocol,
         "adds": list(live.values()),
         "tombstones": list(tombstones.values()),
         "txns": txns,
@@ -399,34 +481,23 @@ def delta_state_df(
     start = 0
     if ckpt is not None and ckpt["version"] <= v:
         cv = int(ckpt["version"])
-        nparts = ckpt.get("parts")
-        files = (
-            [_checkpoint_path(path, cv)]
-            if not nparts
-            else [
-                os.path.join(
-                    _log_dir(path),
-                    f"{cv:020d}.checkpoint.{i + 1:010d}.{nparts:010d}.parquet",
-                )
-                for i in range(int(nparts))
-            ]
-        )
-        cp = spark.read.parquet(*files)
-        add_fields = {
-            f.name for f in cp.schema["add"].dataType.fields
-        } if "add" in cp.columns else set()
-        rm = (
-            F.col("remove.path")
-            if "remove" in cp.columns
-            else F.lit(None).cast("string")
-        )
-        dv = (
-            F.col("add.deletionVector").cast(_DV_STRUCT)
-            if "deletionVector" in add_fields
-            else F.lit(None).cast(_DV_STRUCT)
-        )
-        parts.append(
-            cp.where(
+        ck = _resolve_checkpoint(path, cv, ckpt)
+
+        def _norm_cp(cp: DataFrame) -> DataFrame:
+            add_fields = {
+                f.name for f in cp.schema["add"].dataType.fields
+            } if "add" in cp.columns else set()
+            rm = (
+                F.col("remove.path")
+                if "remove" in cp.columns
+                else F.lit(None).cast("string")
+            )
+            dv = (
+                F.col("add.deletionVector").cast(_DV_STRUCT)
+                if "deletionVector" in add_fields
+                else F.lit(None).cast(_DV_STRUCT)
+            )
+            return cp.where(
                 F.col("add").isNotNull()
                 | (rm.isNotNull() if "remove" in cp.columns else F.lit(False))
             ).select(
@@ -437,7 +508,56 @@ def delta_state_df(
                 dv.alias("deletionVector"),
                 F.lit(cv).cast("bigint").alias("version"),
             )
-        )
+
+        if ck["kind"] == "classic":
+            parts.append(_norm_cp(spark.read.parquet(*ck["files"])))
+        else:
+            # v2: the top-level is metadata-sized (non-file actions +
+            # sidecar refs, parsed driver-side); the sidecar parquet —
+            # the O(files) quantity — stays a distributed scan
+            sidecars: list[str] = []
+            inline: list[dict] = []
+            if ck["format"] == "json":
+                with open(ck["top"]) as f:
+                    raw = [json.loads(line) for line in f if line.strip()]
+            else:
+                raw = [
+                    {k: val for k, val in row.asDict(recursive=True).items()
+                     if val is not None}
+                    for row in spark.read.parquet(ck["top"]).collect()
+                ]
+            for a in raw:
+                if a.get("sidecar"):
+                    sp = a["sidecar"]["path"]
+                    sidecars.append(
+                        sp
+                        if os.path.isabs(sp)
+                        else os.path.join(_log_dir(path), "_sidecars", sp)
+                    )
+                elif a.get("add") or a.get("remove"):
+                    inline.append(a)
+            if sidecars:
+                parts.append(_norm_cp(spark.read.parquet(*sidecars)))
+            if inline:
+                rows = [
+                    (
+                        (a.get("add") or a.get("remove"))["path"],
+                        bool(a.get("add")),
+                        (a.get("add") or {}).get("partitionValues"),
+                        (a.get("add") or {}).get("size"),
+                        (a.get("add") or {}).get("deletionVector"),
+                        cv,
+                    )
+                    for a in inline
+                ]
+                parts.append(
+                    spark.createDataFrame(
+                        rows,
+                        "path string, is_add boolean, "
+                        "partitionValues map<string,string>, size bigint, "
+                        "deletionVector " + _DV_STRUCT + ", version bigint",
+                    )
+                )
         start = cv + 1
     missing = [t for t in range(start, v + 1) if t not in set(versions)]
     if missing:
@@ -516,14 +636,28 @@ def _meta_protocol(spark: SparkSession, path: str, version: int | None) -> dict:
         if meta is not None and protocol is not None:
             break
     if (meta is None or protocol is None) and ckpt and ckpt["version"] <= v:
-        cp = spark.read.parquet(_checkpoint_path(path, int(ckpt["version"])))
-        hits = cp.where(
-            F.col("metaData.schemaString").isNotNull()
-            | F.col("protocol.minReaderVersion").isNotNull()
-        )
-        # metadata-sized collect: at most one metaData + one protocol row
-        for row in hits.collect():
-            d = row.asDict(recursive=True)
+        cv = int(ckpt["version"])
+        ck = _resolve_checkpoint(path, cv, ckpt)
+        if ck["kind"] == "classic":
+            cp = spark.read.parquet(*ck["files"])
+            hits = cp.where(
+                F.col("metaData.schemaString").isNotNull()
+                | F.col("protocol.minReaderVersion").isNotNull()
+            )
+            # metadata-sized collect: at most one metaData + one
+            # protocol row
+            rows = [row.asDict(recursive=True) for row in hits.collect()]
+        else:
+            # v2 tops carry metaData/protocol inline — sidecars hold
+            # only file actions, never scanned here
+            rows = [
+                a
+                for a in _v2_checkpoint_actions(
+                    spark, path, ck, include_sidecars=False
+                )
+                if a.get("metaData") or a.get("protocol")
+            ]
+        for d in rows:
             if meta is None and d.get("metaData", {}) and d["metaData"].get(
                 "schemaString"
             ):
@@ -1564,6 +1698,162 @@ def delta_rename_column(
     return v + 1
 
 
+#: Sidecar file-action schema for V2 checkpoints — unlike the classic
+#: schema it CARRIES deletionVector, which is why v2 is the checkpoint
+#: form vectored tables must use.
+_SIDECAR_SCHEMA = (
+    "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
+    "modificationTime:bigint,dataChange:boolean,"
+    "deletionVector:" + _DV_STRUCT + ">, "
+    "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+)
+
+
+def _implied_features(protocol: dict | None) -> set[str]:
+    """Reader features the table already requires, normalizing the
+    legacy encodings (reader 2 implies columnMapping)."""
+    if protocol is None:
+        return set()
+    reader = int(protocol.get("minReaderVersion", 1))
+    feats = set(protocol.get("readerFeatures") or [])
+    if reader == 2:
+        feats.add("columnMapping")
+    return feats
+
+
+def checkpoint_delta_v2(spark: SparkSession, path: str) -> int:
+    """Compact the current snapshot into a V2 CHECKPOINT — the
+    table-features form every modern Delta reader must support: a
+    uuid-named top-level JSON (``N.checkpoint.<uuid>.json``) holding
+    checkpointMetadata / protocol / metaData / txn actions plus
+    SIDECAR references, with the O(files) add/remove state in one
+    parquet sidecar under ``_delta_log/_sidecars/``. Unlike the
+    classic writer, the sidecar schema carries ``deletionVector`` and
+    the protocol action carries the table's reader features — so
+    column-mapped and vectored tables CAN checkpoint through this
+    path (the classic writer's loud gates point here). The table's
+    protocol is first upgraded (one commit) to declare
+    ``v2Checkpoint`` alongside its existing features, as the spec
+    requires before a v2 checkpoint may be written. Returns the
+    checkpointed version."""
+    st = _replay_state(spark, path, None)
+    feats = _implied_features(st["protocol"])
+    if any(a.get("deletionVector") for a in st["adds"]):
+        feats.add("deletionVectors")
+    if (st["meta"].get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) not in ("none", ""):
+        feats.add("columnMapping")
+    now_ms = int(os.path.getmtime(_log_dir(path)) * 1000)
+    v = st["version"] + 1
+    _publish_commit(
+        path,
+        v,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(feats | {"v2Checkpoint"}),
+                    "writerFeatures": sorted(feats | {"v2Checkpoint"}),
+                }
+            },
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "UPGRADE PROTOCOL",
+                    "operationParameters": {},
+                }
+            },
+        ],
+    )
+    rows = []
+    for a in st["adds"]:
+        dv = a.get("deletionVector")
+        rows.append(
+            (
+                (
+                    a["path"],
+                    a.get("partitionValues") or {},
+                    int(a.get("size", 0)),
+                    int(a.get("modificationTime", 0)),
+                    bool(a.get("dataChange", True)),
+                    (
+                        dv["storageType"],
+                        dv["pathOrInlineDv"],
+                        dv.get("offset"),
+                        int(dv.get("sizeInBytes") or 0),
+                        int(dv.get("cardinality") or 0),
+                    )
+                    if dv
+                    else None,
+                ),
+                None,
+            )
+        )
+    for r in st["tombstones"]:
+        rows.append(
+            (
+                None,
+                (
+                    r["path"],
+                    int(r.get("deletionTimestamp") or 0),
+                    bool(r.get("dataChange", True)),
+                ),
+            )
+        )
+    scdir = os.path.join(_log_dir(path), "_sidecars")
+    os.makedirs(scdir, exist_ok=True)
+    stage = os.path.join(path, f".sidecar-{uuid.uuid4().hex}")
+    spark.createDataFrame(rows, _SIDECAR_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = [n for n in os.listdir(stage) if n.endswith(".parquet")]
+    if len(part) != 1:
+        raise RuntimeError(f"expected one sidecar part file, got {part}")
+    sc_name = f"{uuid.uuid4().hex}.parquet"
+    os.replace(os.path.join(stage, part[0]), os.path.join(scdir, sc_name))
+    shutil.rmtree(stage, ignore_errors=True)
+    top = [
+        {"checkpointMetadata": {"version": v}},
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(feats | {"v2Checkpoint"}),
+                "writerFeatures": sorted(feats | {"v2Checkpoint"}),
+            }
+        },
+        {"metaData": st["meta"]},
+    ]
+    for app_id, txv in sorted(st["txns"].items()):
+        top.append({"txn": {"appId": app_id, "version": int(txv)}})
+    top.append(
+        {
+            "sidecar": {
+                "path": sc_name,
+                "sizeInBytes": os.path.getsize(os.path.join(scdir, sc_name)),
+                "modificationTime": now_ms,
+            }
+        }
+    )
+    top_path = os.path.join(
+        _log_dir(path), f"{v:020d}.checkpoint.{uuid.uuid4()}.json"
+    )
+    with open(top_path + ".tmp", "w") as f:
+        for a in top:
+            f.write(json.dumps(a) + "\n")
+    os.replace(top_path + ".tmp", top_path)
+    lc = os.path.join(_log_dir(path), "_last_checkpoint")
+    tmp = lc + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"version": v, "size": len(rows) + len(top)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, lc)
+    return v
+
+
 #: The classic checkpoint schema subset this writer emits (single-file
 #: form). Struct fields mirror the action shapes above.
 _CKPT_SCHEMA = (
@@ -1598,16 +1888,16 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
         "delta.columnMapping.mode", "none"
     ) not in ("none", ""):
         raise ValueError(
-            "checkpoint_delta: this writer's checkpoint schema carries "
+            "checkpoint_delta: the classic checkpoint schema carries "
             "base protocol (1,2) — checkpointing a column-mapped table "
-            "would drop the columnMapping feature flag; keep the JSON "
-            "log for such tables"
+            "would drop the columnMapping feature flag; use "
+            "checkpoint_delta_v2"
         )
     if any(a.get("deletionVector") for a in adds):
         raise ValueError(
-            "checkpoint_delta: this writer's checkpoint schema has no "
+            "checkpoint_delta: the classic checkpoint schema has no "
             "deletionVector column — checkpointing would RESURRECT "
-            "vectored-away rows; keep the JSON log for such tables"
+            "vectored-away rows; use checkpoint_delta_v2"
         )
     rows = [
         (

@@ -3310,3 +3310,63 @@ def q_lake_sql_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
         return d.unionByName(n).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delta_v2ckpt",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'ckpt' AS snap
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 <> 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'head' AS snap
+    FROM orders
+    WHERE (o_orderkey % 2 = 0 AND o_orderkey % 7 <> 3)
+       OR o_orderkey % 2 = 1
+    """,
+)
+def q_lake_delta_v2ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta V2 CHECKPOINTS, graduating the last reader-feature gate
+    (:func:`delta_interop.checkpoint_delta_v2`): a uuid-named JSON
+    top-level (checkpointMetadata / protocol-with-features / metaData
+    / txn / sidecar actions) + one parquet SIDECAR under
+    ``_delta_log/_sidecars/`` carrying the O(files) add/remove state —
+    including ``deletionVector`` descriptors, which the classic
+    checkpoint schema cannot express (its writer gates vectored
+    tables to this one).
+
+    Sequence: write orders (partitioned) → DV-delete keys ``% 7 = 3``
+    → v2 checkpoint → DELETE THE PRE-CHECKPOINT JSON COMMITS (the
+    metadata-cleanup scenario every checkpoint exists for — replay
+    MUST come from the v2 chain) → append odd keys → read the
+    checkpointed version ∪ head. The oracle replays both; time travel
+    to the checkpoint version exercises exactly-at-checkpoint replay,
+    and the head read proves tail commits stack on the sidecar state.
+    """
+    import os as _os
+
+    from spype_spark import delta_interop as di
+
+    tmp = _scratch("spype_delta_v2c_")
+    try:
+        path = f"{tmp}/orders_v2c"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        di.write_delta(
+            spark,
+            o.filter(F.col("o_orderkey") % 2 == 0),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        di.delta_delete_rows(spark, path, F.col("o_orderkey") % 7 == 3)
+        v = di.checkpoint_delta_v2(spark, path)
+        for t in range(0, v):
+            _os.unlink(di._commit_path(path, t))
+        di.write_delta(
+            spark, o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append"
+        )
+        at_ckpt = di.read_delta(spark, path, version=v).withColumn(
+            "snap", F.lit("ckpt")
+        )
+        head = di.read_delta(spark, path).withColumn("snap", F.lit("head"))
+        return at_ckpt.unionByName(head).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -151,13 +151,13 @@ def test_delta_protocol_gate(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["v2Checkpoint"],
+                        "readerFeatures": ["typeWidening"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="typeWidening"):
         dl.read_delta(spark, p)
     # version 0 predates the protocol bump and still reads
     assert dl.read_delta(spark, p, version=0).count() == 3
@@ -732,3 +732,70 @@ def test_delta_dv_gates_checkpoint_and_import(spark, tmp_path):
     assert sorted(
         r["k"] for r in lake.read_table(spark, nt).collect()
     ) == list(range(5, 20))
+
+
+# ---------------------------------------------------------------------------
+# v2 checkpoints — graduated r13
+# ---------------------------------------------------------------------------
+
+
+def test_delta_v2_checkpoint_round_trip(spark, tmp_path):
+    """checkpoint_delta_v2 writes the table-features checkpoint form
+    (uuid-named JSON top + parquet sidecar); replay works with the
+    pre-checkpoint JSON commits deleted, deletion vectors carried."""
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 40), p, partition_by=["p"])
+    dl.delta_delete_rows(spark, p, F.col("k") % 5 == 2)
+    v = dl.checkpoint_delta_v2(spark, p)
+    exp = [k for k in range(40) if k % 5 != 2]
+    for t in range(0, v):
+        os.unlink(dl._commit_path(p, t))
+    assert sorted(r["k"] for r in dl.read_delta(spark, p).collect()) == exp
+    # appends after the checkpoint replay on top
+    dl.write_delta(spark, _df(spark, 100, 103), p, mode="append")
+    assert sorted(r["k"] for r in dl.read_delta(spark, p).collect()) == (
+        exp + [100, 101, 102]
+    )
+    # the DataFrame state-reconstruction path reads v2 sidecars too
+    import pytest as _pytest  # noqa: F401
+
+    orig = dl._SPARK_REPLAY_THRESHOLD
+    try:
+        dl._SPARK_REPLAY_THRESHOLD = 0
+        assert sorted(
+            r["k"] for r in dl.read_delta(spark, p).collect()
+        ) == exp + [100, 101, 102]
+    finally:
+        dl._SPARK_REPLAY_THRESHOLD = orig
+
+
+def test_delta_v2_checkpoint_colmap_and_classic_gate(spark, tmp_path):
+    """Column-mapped tables cannot classic-checkpoint (loud gate names
+    the v2 writer) but v2-checkpoint cleanly — the protocol action in
+    the checkpoint carries the feature flags."""
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 15), p)
+    dl.delta_rename_column(spark, p, {"v": "value"})
+    with pytest.raises(ValueError, match="checkpoint_delta_v2"):
+        dl.checkpoint_delta(spark, p)
+    v = dl.checkpoint_delta_v2(spark, p)
+    for t in range(0, v):
+        os.unlink(dl._commit_path(p, t))
+    got = dl.read_delta(spark, p)
+    assert got.columns == ["k", "value", "p"]
+    assert got.count() == 15
+    # time travel exactly to the checkpoint version
+    assert dl.read_delta(spark, p, version=v).count() == 15
+
+
+def test_delta_v2_checkpoint_txn_carried(spark, tmp_path):
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 5), p)
+    with open(dl._commit_path(p, 1), "w") as f:
+        f.write(json.dumps({"txn": {"appId": "job-1", "version": 42}}) + "\n")
+    v = dl.checkpoint_delta_v2(spark, p)
+    for t in range(0, v):
+        os.unlink(dl._commit_path(p, t))
+    st = dl._replay_state(spark, p, None)
+    assert st["txns"] == {"job-1": 42}
+    assert st["protocol"]["readerFeatures"] == ["v2Checkpoint"]
