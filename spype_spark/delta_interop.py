@@ -786,18 +786,18 @@ def _physical_json(node):
 
 def _mapping_info(meta: dict) -> tuple[str, dict | None, dict]:
     """(mode, physical schema JSON or None, logical->physical name map
-    for TOP-LEVEL columns). ``id`` mode is a loud gate — matching
-    parquet field ids without reading every footer into the plan is a
-    different profile; ``name`` mode covers what ALTER TABLE RENAME
-    produces."""
+    for TOP-LEVEL columns). ``name`` mode covers what ALTER TABLE
+    RENAME produces; ``id`` mode (files matched by parquet field id —
+    the Iceberg-compatible form) is resolved per data file in
+    :func:`_scan_adds` via footer walks, with the physicalName map as
+    the spec's fallback for files without ids."""
     conf = meta.get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode", "none")
     if mode in ("none", ""):
         return "none", None, {}
-    if mode != "name":
+    if mode not in ("name", "id"):
         raise ValueError(
-            f"Delta column mapping mode {mode!r} is not supported "
-            f"(name mode only)"
+            f"Delta column mapping mode {mode!r} is not supported"
         )
     sj = json.loads(meta["schemaString"])
     pj = _physical_json(sj)
@@ -1005,6 +1005,79 @@ def _scan_adds(
             ]
         return df.select(*sel)
 
+    if mode == "id":
+        # id mode (the Iceberg-compatible form): every data file's
+        # columns are matched by PARQUET FIELD ID from its footer —
+        # one footer metadata read per file, the same sweep the
+        # Iceberg reader does — with the metadata physicalName as the
+        # spec's fallback for id-less files. Files group by their
+        # resolved projection; each group scans with its own physical
+        # names and aliases onto the logical schema.
+        if meta.get("partitionColumns"):
+            raise ValueError(
+                "id-mode column mapping with partition columns is "
+                "outside this reader's profile (unpartitioned only)"
+            )
+        from pyspark.sql.types import StructField
+
+        from spype_spark.iceberg_interop import _parquet_field_ids
+
+        sj = json.loads(meta["schemaString"])
+        trip = []
+        for f in sj["fields"]:
+            md = f.get("metadata") or {}
+            trip.append(
+                (
+                    f["name"],
+                    md.get("delta.columnMapping.id"),
+                    md.get("delta.columnMapping.physicalName", f["name"]),
+                )
+            )
+        abs_paths = [
+            os.path.join(path, urllib.parse.unquote(a["path"])) for a in adds
+        ]
+        groups: dict[tuple, list[str]] = {}
+        for ap in abs_paths:
+            fid2name = _parquet_field_ids(ap)
+            proj = tuple(
+                (
+                    ln,
+                    fid2name.get(int(i))
+                    if i is not None and int(i) in fid2name
+                    else pn,
+                )
+                for ln, i, pn in trip
+            )
+            groups.setdefault(proj, []).append(ap)
+        df = None
+        for proj, fps in sorted(groups.items()):
+            rs = StructType(
+                [StructField(fc, schema[ln].dataType, True) for ln, fc in proj]
+            )
+            sel = [F.col(fc).alias(ln) for ln, fc in proj]
+            if need_pos:
+                sel += [
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), _URI_RE, ""
+                    ).alias("__dv_file"),
+                    F.col("_metadata.row_index").alias("__dv_pos"),
+                ]
+            part = spark.read.schema(rs).parquet(*fps).select(*sel)
+            df = part if df is None else df.unionByName(part)
+        if dv_adds:
+            dels = _dv_positions_df(spark, path, dv_adds)
+            cond = (df["__dv_file"] == dels["__del_file"]) & (
+                df["__dv_pos"] == dels["__del_pos"]
+            )
+            df = df.join(dels, cond, "left_anti")
+        sel = [F.col(f.name) for f in schema.fields]
+        if keep_pos:
+            sel += [
+                F.col("__dv_file").alias("_file"),
+                F.col("__dv_pos").alias("_pos"),
+            ]
+        return df.select(*sel)
+
     # partitionColumns are logical names; under mapping the log's
     # partitionValues / directory layout use the physical names
     # (tolerate either keying — both appear in the wild)
@@ -1119,7 +1192,7 @@ def import_delta(
     pcols = list(meta.get("partitionColumns") or [])
     mode, _pj, _l2p = _mapping_info(meta)
     has_dv = any(a.get("deletionVector") for a in adds)
-    if pcols or materialize or mode == "name" or has_dv:
+    if pcols or materialize or mode != "none" or has_dv:
         # column-mapped sources must materialize too: their files carry
         # PHYSICAL names a by-reference manifest read would null out;
         # deletion-vectored sources likewise — a plain file reference
@@ -1426,13 +1499,51 @@ def write_delta(
     path: str,
     mode: str = "error",
     partition_by: list[str] | None = None,
+    column_mapping: str | None = None,
 ) -> int:
     """Write ``df`` as a Delta-layout commit: Spark writes the part
     files (Hive-style partition dirs under ``partition_by``), then one
     JSON commit publishes protocol/metaData (version 0) and the
-    add (+ remove, for overwrite) actions. Returns the new version."""
+    add (+ remove, for overwrite) actions. Returns the new version.
+
+    ``column_mapping="id"`` (create only, unpartitioned) builds the
+    Iceberg-compatible id-mode table: every field gets a stable
+    ``delta.columnMapping.id`` and a random ``physicalName``; the data
+    files are written under the PHYSICAL names with real parquet
+    field ids stamped into the footers — what the id-mode read path
+    matches by."""
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if column_mapping not in (None, "id"):
+        raise ValueError(f"unsupported column_mapping {column_mapping!r}")
+    cm_fields: list[dict] | None = None
+    if column_mapping == "id":
+        if partition_by:
+            raise ValueError(
+                "id-mode column mapping with partition columns is "
+                "outside the fixture writer's profile"
+            )
+        if mode != "error":
+            raise ValueError("column_mapping applies to table CREATE only")
+        cm_fields = []
+        w0 = df
+        sj = json.loads(df.schema.json())
+        for i, f in enumerate(sj["fields"], start=1):
+            phys = f"col-{uuid.uuid4().hex[:12]}"
+            cm_fields.append(
+                {
+                    **f,
+                    "metadata": {
+                        **(f.get("metadata") or {}),
+                        "delta.columnMapping.id": i,
+                        "delta.columnMapping.physicalName": phys,
+                    },
+                }
+            )
+            w0 = w0.withColumnRenamed(f["name"], phys).withMetadata(
+                phys, {"parquet.field.id": i}
+            )
+        df = w0
     versions = _commit_versions(path) if os.path.isdir(_log_dir(path)) else []
     ckpt = _last_checkpoint(path) if os.path.isdir(_log_dir(path)) else None
     exists = bool(versions) or ckpt is not None
@@ -1473,6 +1584,11 @@ def write_delta(
                 ]
             )
             pcols = [l2p.get(c, c) for c in pcols]
+        elif cm_mode == "id":
+            raise ValueError(
+                "append to an id-mode column-mapped table is outside "
+                "the fixture writer's profile"
+            )
     # stage through a temp dir so the files THIS commit adds are known
     # exactly, then hard-move them into the table root
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
@@ -1499,17 +1615,38 @@ def write_delta(
     shutil.rmtree(stage, ignore_errors=True)
     actions: list[dict] = []
     if version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
+        if cm_fields is not None:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["columnMapping"],
+                        "writerFeatures": ["columnMapping"],
+                    }
+                }
+            )
+            schema_string = json.dumps(
+                {"type": "struct", "fields": cm_fields}
+            )
+            configuration = {
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": str(len(cm_fields)),
+            }
+        else:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            schema_string = df.schema.json()
+            configuration = {}
         actions.append(
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": schema_string,
                     "partitionColumns": pcols,
-                    "configuration": {},
+                    "configuration": configuration,
                     "createdTime": now_ms,
                 }
             }
@@ -1662,8 +1799,11 @@ def delta_rename_column(
             {**f, "name": renames.get(f["name"], f["name"]), "metadata": md}
         )
     conf = dict(meta.get("configuration") or {})
-    conf["delta.columnMapping.mode"] = "name"
-    conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+    # an already-mapped table keeps its mode (renaming an id-mode
+    # table is metadata-only too — the ids don't move)
+    if conf.get("delta.columnMapping.mode", "none") in ("none", ""):
+        conf["delta.columnMapping.mode"] = "name"
+    conf.setdefault("delta.columnMapping.maxColumnId", str(len(fields)))
     new_meta = {
         **meta,
         "schemaString": json.dumps({"type": "struct", "fields": fields}),

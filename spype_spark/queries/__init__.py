@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     "q_lake_iceberg_rename",
     "q_lake_sql_foreign",
     "q_lake_delta_v2ckpt",
+    "q_lake_delta_idmap",
     # last driver-green r7 (all 5):
     "q_tpch_q2",
     "q_tpch_q20",

@@ -3370,3 +3370,71 @@ def q_lake_delta_v2ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
         return at_ckpt.unionByName(head).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delta_idmap",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    """,
+)
+def q_lake_delta_idmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ID-MODE column mapping (the Iceberg-compatible form, the
+    last Delta mapping gate graduated): file columns are matched by
+    PARQUET FIELD ID from each footer, not by name — the same footer
+    sweep the Iceberg reader runs.
+
+    The contract creates an id-mode table from the EVEN orders keys
+    (random physical column names, real field ids in the footers),
+    then fabricates a FOREIGN data file from the odd keys whose
+    physical names are entirely different but whose field ids match —
+    the shape an Iceberg-to-Delta converter produces — and commits it
+    as a plain add. The read must assemble ALL orders under the
+    logical names; a name-based reader would NULL every column of one
+    file generation or the other. The oracle is the whole table.
+    """
+    import os as _os
+
+    from spype_spark import delta_interop as di
+
+    tmp = _scratch("spype_delta_idm_")
+    try:
+        path = f"{tmp}/orders_idm"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        di.write_delta(
+            spark, o.filter(F.col("o_orderkey") % 2 == 0), path,
+            column_mapping="id",
+        )
+        foreign = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            F.col("o_orderkey").alias("fa"),
+            F.col("o_custkey").alias("fb"),
+            F.col("o_totalprice").alias("fc"),
+            F.col("o_orderstatus").alias("fd"),
+        )
+        for i, c in enumerate(["fa", "fb", "fc", "fd"], start=1):
+            foreign = foreign.withMetadata(c, {"parquet.field.id": i})
+        stage = f"{tmp}/stage"
+        foreign.coalesce(1).write.parquet(stage)
+        part = [n for n in _os.listdir(stage) if n.endswith(".parquet")][0]
+        _os.replace(
+            _os.path.join(stage, part), _os.path.join(path, "foreign.parquet")
+        )
+        di._publish_commit(
+            path,
+            1,
+            [
+                {
+                    "add": {
+                        "path": "foreign.parquet",
+                        "partitionValues": {},
+                        "size": _os.path.getsize(f"{path}/foreign.parquet"),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            ],
+        )
+        return di.read_delta(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -561,7 +561,10 @@ def test_delta_column_mapping_rename_read_append(spark, tmp_path):
     assert set(dl.read_delta(spark, p, version=0).columns) == {"k", "v", "p"}
 
 
-def test_delta_column_mapping_id_mode_gate(spark, tmp_path):
+def test_delta_column_mapping_id_mode_fallback(spark, tmp_path):
+    """id mode over files/schema WITHOUT ids falls back to the
+    physicalName (here: the field name itself) — the spec's fallback,
+    formerly a loud gate (graduated r13)."""
     p = str(tmp_path / "t")
     dl.write_delta(spark, _df(spark, 0, 4), p)
     meta, _a, v = dl._replay(spark, p, None)
@@ -583,8 +586,9 @@ def test_delta_column_mapping_id_mode_gate(spark, tmp_path):
             {"metaData": new_meta},
         ],
     )
-    with pytest.raises(ValueError, match="id"):
-        dl.read_delta(spark, p)
+    got = dl.read_delta(spark, p)
+    assert got.columns == ["k", "v", "p"]
+    assert got.count() == 4
 
 
 def test_delta_column_mapping_gates_checkpoint_and_import(spark, tmp_path):
@@ -799,3 +803,67 @@ def test_delta_v2_checkpoint_txn_carried(spark, tmp_path):
     st = dl._replay_state(spark, p, None)
     assert st["txns"] == {"job-1": 42}
     assert st["protocol"]["readerFeatures"] == ["v2Checkpoint"]
+
+
+def test_delta_id_mode_column_mapping(spark, tmp_path):
+    """id-mode tables (the Iceberg-compatible form) match file columns
+    by PARQUET FIELD ID: a foreign file with entirely different
+    physical names but the right ids reads correctly; physicalName is
+    the fallback; renames keep id mode."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    dl.write_delta(spark, base, p, column_mapping="id")
+    got = dl.read_delta(spark, p)
+    assert got.columns == ["k", "v"]
+    assert sorted((r["k"], r["v"]) for r in got.collect()) == [
+        (k, 3 * k) for k in range(20)
+    ]
+    # data files carry random physical names, never the logical ones
+    names = set(pq.read_schema(glob.glob(f"{p}/*.parquet")[0]).names)
+    assert not names & {"k", "v"}
+    # foreign file: different physical names, same field ids
+    fdf = (
+        spark.range(100, 103)
+        .select(F.col("id").alias("wa"), (F.col("id") * 3).alias("wb"))
+        .withMetadata("wa", {"parquet.field.id": 1})
+        .withMetadata("wb", {"parquet.field.id": 2})
+    )
+    stage = str(tmp_path / "stage")
+    fdf.coalesce(1).write.parquet(stage)
+    part = [n for n in os.listdir(stage) if n.endswith(".parquet")][0]
+    os.replace(os.path.join(stage, part), os.path.join(p, "foreign.parquet"))
+    dl._publish_commit(
+        p,
+        1,
+        [
+            {
+                "add": {
+                    "path": "foreign.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(p, "foreign.parquet")),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        ],
+    )
+    got2 = sorted((r["k"], r["v"]) for r in dl.read_delta(spark, p).collect())
+    assert got2 == [(k, 3 * k) for k in list(range(20)) + [100, 101, 102]]
+    # rename keeps id mode; append is gated
+    dl.delta_rename_column(spark, p, {"v": "value"})
+    meta, _a, _v = dl._replay(spark, p, None)
+    assert meta["configuration"]["delta.columnMapping.mode"] == "id"
+    assert dl.read_delta(spark, p).columns == ["k", "value"]
+    with pytest.raises(ValueError, match="id-mode"):
+        dl.write_delta(spark, base, p, mode="append")
+    with pytest.raises(ValueError, match="profile"):
+        dl.write_delta(
+            spark, base, str(tmp_path / "t2"), partition_by=["v"],
+            column_mapping="id",
+        )
