@@ -521,10 +521,14 @@ def delta_state_df(
                 with open(ck["top"]) as f:
                     raw = [json.loads(line) for line in f if line.strip()]
             else:
+                # metadata-sized collect: a v2 TOP holds only non-file
+                # actions + sidecar references (file actions live in
+                # the sidecars, scanned distributed below)
+                top_rows = spark.read.parquet(ck["top"]).collect()
                 raw = [
                     {k: val for k, val in row.asDict(recursive=True).items()
                      if val is not None}
-                    for row in spark.read.parquet(ck["top"]).collect()
+                    for row in top_rows
                 ]
             for a in raw:
                 if a.get("sidecar"):
@@ -1701,7 +1705,9 @@ def delta_delete_rows(spark: SparkSession, path: str, condition) -> int:
     scan = _scan_adds(spark, path, meta, adds, keep_pos=True)
     hits = scan.filter(condition).select("_file", "_pos")
     by_file: dict[str, list[int]] = {}
-    # fixture-grade collect: one row per deleted position
+    # metadata-sized collect: bounded by the DELETE's own matched-row
+    # count (the quantity the commit must serialize into vectors),
+    # never the table — a production writer would stream per file
     for r in hits.collect():
         by_file.setdefault(r["_file"], []).append(int(r["_pos"]))
     add_by_norm = {

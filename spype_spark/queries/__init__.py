@@ -55,12 +55,12 @@ _DRIVER_PRIORITY = [
     # ---- round-13 window (first 50 keys = the driver's evidence
     # budget). Per VERDICT.md r12 task 1: q_lake_delta_export FIRST
     # (the ONLY key with zero driver history — it landed after the r12
-    # window froze), then any round-13 NEW contracts (zero history by
-    # construction, inserted here as they land), then the 5 keys whose
-    # last driver green is r7 (q_tpch_q2/q20/q21/q9, q_udaf_grouped),
-    # then the 34 r8-stale keys starting q_agg_approx_distinct
-    # (q_sim_cosine_tiled is the oldest, named in the r12 queue), then
-    # fill from the 50 r9-stale keys in table order.
+    # window froze), then the TWELVE round-13 NEW contracts (zero
+    # history by construction), then the 5 keys whose last driver
+    # green is r7 (q_tpch_q2/q20/q21/q9, q_udaf_grouped), then the 34
+    # r8-stale keys starting q_sim_cosine_tiled (the oldest). With 13
+    # zero-history keys ahead of them, the window cuts off inside the
+    # r8 block — the overflow heads the r14 queue.
     "q_lake_delta_export",
     # round-13 additions (zero driver history):
     "q_lake_delta_export_part",
@@ -136,8 +136,8 @@ _DRIVER_PRIORITY = [
 
 
 # Contracts staged in the window ahead of their code landing: tolerated
-# as absent. Empty now — all three r13 additions are registered — so
-# every key in _DRIVER_PRIORITY is hard-checked again (typo guard).
+# as absent. Empty now — every r13 addition is registered — so every
+# key in _DRIVER_PRIORITY is hard-checked again (typo guard).
 _PENDING: set[str] = set()
 
 
