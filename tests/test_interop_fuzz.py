@@ -1,0 +1,119 @@
+"""Model-based fuzz of the round-13 interop surfaces: random operation
+sequences against a plain-Python model of the expected table state.
+
+The differential contracts pin ONE composition each; these drive many
+(seeded, reproducible) — the class of bug they exist to catch is
+interaction state: a deletion vector merged wrong on the second
+delete of the same file, an equality delete leaking onto rows
+appended later, a v2 checkpoint mid-sequence dropping tombstoned
+positions, a rename breaking a delete written under the old name."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from spype_spark import delta_interop as dl
+from spype_spark import iceberg_interop as ice
+
+
+def _mk(spark, keys):
+    return spark.createDataFrame(
+        [(int(k), int(k) * 3, str(k % 4)) for k in sorted(keys)],
+        "k long, v long, s string",
+    )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_delta_dv_sequences_match_model(spark, tmp_path, seed):
+    """write → {append | dv-delete | overwrite | v2-checkpoint}* —
+    the read must equal a dict-model replay at every step."""
+    rng = random.Random(1000 + seed)
+    p = str(tmp_path / f"t{seed}")
+    nxt = 100
+    live = set(range(0, 30))
+    dl.write_delta(spark, _mk(spark, live), p)
+    for step in range(6):
+        op = rng.choice(["append", "delete", "delete", "ckpt"])
+        if op == "append":
+            new = set(range(nxt, nxt + rng.randint(3, 10)))
+            nxt += 20
+            dl.write_delta(spark, _mk(spark, new), p, mode="append")
+            live |= new
+        elif op == "delete":
+            mod = rng.choice([3, 5, 7])
+            res = rng.randrange(mod)
+            dl.delta_delete_rows(spark, p, F.col("k") % mod == res)
+            live = {k for k in live if k % mod != res}
+        elif op == "ckpt":
+            v = dl.checkpoint_delta_v2(spark, p)
+            assert v >= 1
+        got = sorted(r["k"] for r in dl.read_delta(spark, p).collect())
+        assert got == sorted(live), f"seed={seed} step={step} op={op}"
+    # rename is terminal here (the fixture writer gates DV deletes and
+    # appends on mapped tables) — the vectored state must survive it
+    dl.delta_rename_column(spark, p, {"v": "value"})
+    got = dl.read_delta(spark, p)
+    assert set(got.columns) == {"k", "value", "s"}
+    assert sorted(r["k"] for r in got.collect()) == sorted(live)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_iceberg_mor_sequences_match_model(spark, tmp_path, seed):
+    """write → {append | eq-delete | pos-delete | rename}* with the
+    spec's sequence-number semantics modeled exactly: an equality
+    delete hides only rows whose snapshot PRECEDES it; a position
+    delete hides the concrete live rows it named when written."""
+    rng = random.Random(2000 + seed)
+    p = str(tmp_path / f"t{seed}")
+    nxt = 100
+    # model: key -> insertion generation (monotonic op counter)
+    gen = {k: 0 for k in range(0, 25)}
+    ice.write_iceberg(spark, _mk(spark, gen), p)
+    opno = 0
+    renamed = False
+    for step in range(6):
+        opno += 1
+        pool = (
+            ["eq", "eq", "pos"]  # the fixture writer gates appends
+            if renamed           # after a rename; deletes still work
+            else ["append", "eq", "eq", "pos", "rename"]
+        )
+        op = rng.choice(pool)
+        if op == "append" and not renamed:
+            new = list(range(nxt, nxt + rng.randint(3, 8)))
+            nxt += 20
+            ice.write_iceberg(spark, _mk(spark, new), p, mode="append")
+            for k in new:
+                gen[k] = opno
+        elif op == "eq":
+            mod = rng.choice([3, 5, 7])
+            res = rng.randrange(mod)
+            vals = [(int(k),) for k in range(0, nxt) if k % mod == res]
+            kcol = "key" if renamed else "k"
+            ice.write_iceberg_eq_deletes(
+                spark, spark.createDataFrame(vals, f"{kcol} long"), p, [kcol]
+            )
+            # strictly-older rule: only rows inserted BEFORE this op
+            gen = {
+                k: g
+                for k, g in gen.items()
+                if not (k % mod == res and g < opno)
+            }
+        elif op == "pos":
+            mod = rng.choice([4, 6])
+            res = rng.randrange(mod)
+            kcol = "key" if renamed else "k"
+            ps = ice.position_scan(spark, p)
+            dels = ps.filter(F.col(kcol) % mod == res).select(
+                F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
+            )
+            ice.write_iceberg_pos_deletes(spark, dels, p)
+            # position deletes name live rows concretely
+            gen = {k: g for k, g in gen.items() if k % mod != res}
+        elif op == "rename" and not renamed:
+            ice.rename_iceberg_columns(spark, p, {"k": "key"})
+            renamed = True
+        kcol = "key" if renamed else "k"
+        got = sorted(r[kcol] for r in ice.read_iceberg(spark, p).collect())
+        assert got == sorted(gen), f"seed={seed} step={step} op={op}"
