@@ -69,6 +69,8 @@ __all__ = [
     "write_iceberg_pos_deletes",
     "write_iceberg_eq_deletes",
     "rename_iceberg_columns",
+    "set_iceberg_name_mapping",
+    "add_iceberg_data_files",
 ]
 
 #: Iceberg primitive type -> Spark schema-JSON type name.
@@ -329,23 +331,53 @@ def _current_fields(meta: dict) -> list[dict]:
     return meta["schema"]["fields"]
 
 
-def _parquet_field_ids(fp: str) -> dict[int, str]:
-    """Top-level parquet field-id -> physical column name map from one
-    footer (PyArrow exposes Iceberg/Spark-written ids as
-    ``PARQUET:field_id`` field metadata). Fields without an id are
-    omitted — they resolve by name, the spec's fallback."""
+def _parquet_footer_info(fp: str) -> tuple[dict[int, str], list[str]]:
+    """(field-id -> column name, all top-level column names) from one
+    parquet footer (PyArrow exposes Iceberg/Spark-written ids as
+    ``PARQUET:field_id`` field metadata)."""
     import pyarrow.parquet as pq
 
-    out: dict[int, str] = {}
+    ids: dict[int, str] = {}
+    names: list[str] = []
     for f in pq.read_schema(fp):
+        names.append(f.name)
         fid = (f.metadata or {}).get(b"PARQUET:field_id")
         if fid is not None:
-            out[int(fid)] = f.name
+            ids[int(fid)] = f.name
+    return ids, names
+
+
+def _parquet_field_ids(fp: str) -> dict[int, str]:
+    """Top-level parquet field-id -> physical column name map from one
+    footer. Fields without an id are omitted — they resolve by name
+    (or name-mapping), the spec's fallback."""
+    return _parquet_footer_info(fp)[0]
+
+
+def _name_mapping(meta: dict) -> dict[int, list[str]]:
+    """The table's ``schema.name-mapping.default`` property (the
+    spec's projection rule for data files written WITHOUT field ids —
+    Hive/Spark-migrated files): field id -> candidate column names."""
+    raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if not raw:
+        return {}
+    out: dict[int, list[str]] = {}
+    try:
+        for entry in json.loads(raw):
+            fid = entry.get("field-id")
+            names = entry.get("names") or []
+            if fid is not None and names:
+                out[int(fid)] = [str(n) for n in names]
+    except (ValueError, TypeError, AttributeError) as exc:
+        raise ValueError(
+            "malformed schema.name-mapping.default property"
+        ) from exc
     return out
 
 
 def _group_files_by_projection(
-    files: list[str], fields: list[dict]
+    files: list[str], fields: list[dict],
+    name_mapping: dict[int, list[str]] | None = None,
 ) -> dict[tuple, list[str]]:
     """Group data files by their (logical <- physical) top-level name
     projection, resolved BY FIELD ID per the Iceberg spec (a column
@@ -356,14 +388,26 @@ def _group_files_by_projection(
     itself; a 10⁶-file table would distribute the footer sweep, noted
     in SCALE.md. Files without ids (or with matching names) fall into
     the identity group, which skips reprojection entirely."""
+    nm = name_mapping or {}
     groups: dict[tuple, list[str]] = {}
     for fp in files:
-        id2phys = _parquet_field_ids(fp)
-        proj = tuple(
-            (f["name"], id2phys.get(int(f["id"]), f["name"]))
-            for f in fields
-        )
-        groups.setdefault(proj, []).append(fp)
+        id2phys, file_names = _parquet_footer_info(fp)
+        present = set(file_names)
+        proj = []
+        for f in fields:
+            fid = int(f["id"])
+            if fid in id2phys:
+                phys = id2phys[fid]
+            else:
+                # id-less file: name-mapping candidates first (the
+                # spec's rule for migrated files), else the logical
+                # name itself (absent columns read NULL either way)
+                phys = next(
+                    (n for n in nm.get(fid, []) if n in present),
+                    f["name"],
+                )
+            proj.append((f["name"], phys))
+        groups.setdefault(tuple(proj), []).append(fp)
     return groups
 
 
@@ -414,7 +458,8 @@ def _read_with_deletes(
     from pyspark.sql.types import StructField
 
     groups = _group_files_by_projection(
-        [fp for fp, _s in info["data"]], _current_fields(meta)
+        [fp for fp, _s in info["data"]], _current_fields(meta),
+        _name_mapping(meta),
     )
     df = None
     for proj, fps in sorted(groups.items()):
@@ -610,7 +655,8 @@ def import_iceberg(
         pcols.append(id_to_name.get(f.get("source-id"), f["name"]))
     info = _snapshot_files(iceberg_path, snap)
     groups = _group_files_by_projection(
-        [fp for fp, _s in info["data"]], _current_fields(meta)
+        [fp for fp, _s in info["data"]], _current_fields(meta),
+        _name_mapping(meta),
     )
     renamed = any(
         any(ln != pn for ln, pn in proj) for proj in groups
@@ -949,6 +995,99 @@ def write_iceberg(
 
 
 
+def set_iceberg_name_mapping(
+    spark: SparkSession, path: str,
+    extra_names: dict[str, list[str]] | None = None,
+) -> int:
+    """Publish a ``schema.name-mapping.default`` table property — the
+    spec's projection rule for data files WITHOUT field ids (files
+    migrated from Hive/plain-parquet): each current field maps its id
+    to its current name plus ``extra_names[logical]`` (its historical
+    names). Metadata-only; returns the new metadata version."""
+    meta = _current_metadata(path)
+    fields = _current_fields(meta)
+    extra = extra_names or {}
+    unknown = [c for c in extra if c not in {f["name"] for f in fields}]
+    if unknown:
+        raise ValueError(f"extra_names for unknown column(s) {unknown}")
+    mapping = [
+        {
+            "field-id": int(f["id"]),
+            "names": [f["name"]] + [
+                n for n in extra.get(f["name"], []) if n != f["name"]
+            ],
+        }
+        for f in fields
+    ]
+    md = _meta_dir(path)
+    version = _current_version(md) + 1
+    new_meta = {
+        **meta,
+        "properties": {
+            **(meta.get("properties") or {}),
+            "schema.name-mapping.default": json.dumps(mapping),
+        },
+        "last-updated-ms": int(time.time() * 1000),
+    }
+    mpath = os.path.join(md, f"v{version}.metadata.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(new_meta, f)
+    os.replace(mpath + ".tmp", mpath)
+    with open(os.path.join(md, "version-hint.text.tmp"), "w") as f:
+        f.write(str(version))
+    os.replace(
+        os.path.join(md, "version-hint.text.tmp"),
+        os.path.join(md, "version-hint.text"),
+    )
+    return version
+
+
+def add_iceberg_data_files(
+    spark: SparkSession, path: str, files: list[str]
+) -> int:
+    """Append EXISTING parquet files (e.g. Hive-migrated, id-less
+    ones) to an Iceberg table as a new snapshot — the spec's
+    add_files/migrate shape: one manifest naming them absolutely,
+    record counts from their footers, no data copied. Column
+    resolution at read time goes through field ids when present, else
+    ``schema.name-mapping.default``. Returns the snapshot id."""
+    import pyarrow.parquet as pq
+
+    prev = _current_metadata(path)
+    snap_id = int(uuid.uuid4().int % (1 << 62)) + 1
+    entries = []
+    for fp in files:
+        ap = os.path.abspath(fp)
+        if not os.path.exists(ap):
+            raise FileNotFoundError(ap)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": "file://" + ap,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": pq.ParquetFile(ap).metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(ap),
+                },
+            }
+        )
+    return _publish_snapshot(
+        path,
+        prev,
+        snap_id,
+        entries,
+        [],
+        _ice_schema_to_spark(prev).fields,
+        _spec_pcols(prev),
+        int(time.time() * 1000),
+        operation="append",
+        carry_prev=True,
+    )
+
+
 def _spec_pcols(meta: dict) -> list[str]:
     spec = next(
         (
@@ -1264,7 +1403,8 @@ def _publish_snapshot(
         ],
         "default-spec-id": 0,
         "last-partition-id": 1000 + len(pcols),
-        "properties": {},
+        # table properties carry across snapshots (name-mapping etc.)
+        "properties": (prev or {}).get("properties") or {},
         "current-snapshot-id": snap_id,
         "snapshots": snaps + [snapshot],
         "snapshot-log": [],

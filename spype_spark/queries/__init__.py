@@ -75,6 +75,7 @@ _DRIVER_PRIORITY = [
     "q_lake_sql_foreign",
     "q_lake_delta_v2ckpt",
     "q_lake_delta_idmap",
+    "q_lake_iceberg_namemap",
     # last driver-green r7 (all 5):
     "q_tpch_q2",
     "q_tpch_q20",

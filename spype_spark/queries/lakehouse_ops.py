@@ -3438,3 +3438,57 @@ def q_lake_delta_idmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return di.read_delta(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_iceberg_namemap",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS price, o_orderstatus
+    FROM orders
+    """,
+)
+def q_lake_iceberg_namemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg NAME MAPPING (``schema.name-mapping.default``) — the
+    spec's projection rule for data files written WITHOUT field ids,
+    i.e. the Hive/plain-parquet MIGRATION shape (closing the last
+    Iceberg column-resolution gate):
+
+    evens are written natively (footer ids) → rename
+    o_totalprice→price → a name-mapping maps price's field id to its
+    historical name → the odds arrive as an ID-LESS parquet file
+    carrying the ORIGINAL column names, registered zero-copy via
+    ``add_iceberg_data_files`` (the migrate/add_files shape). The
+    read must assemble all orders: the id-carrying generation
+    resolves by footer id, the migrated one by name-mapping — without
+    the mapping its `price` column would be silently NULL. The oracle
+    is the whole table with the alias.
+    """
+    import os as _os
+
+    from spype_spark import iceberg_interop as ice
+
+    tmp = _scratch("spype_iceberg_nm_")
+    try:
+        path = f"{tmp}/orders_nm"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        ice.write_iceberg(spark, o.filter(F.col("o_orderkey") % 2 == 0), path)
+        ice.rename_iceberg_columns(spark, path, {"o_totalprice": "price"})
+        ice.set_iceberg_name_mapping(spark, path, {"price": ["o_totalprice"]})
+        hive_dir = f"{tmp}/hive_files"
+        o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(
+            hive_dir
+        )
+        files = [
+            _os.path.join(hive_dir, n)
+            for n in _os.listdir(hive_dir)
+            if n.endswith(".parquet")
+        ]
+        ice.add_iceberg_data_files(spark, path, files)
+        got = ice.read_iceberg(spark, path)
+        # the migrated generation must NOT have nulled out the renamed
+        # column — that is the failure mode name mapping exists for
+        if got.filter(F.col("price").isNull()).limit(1).count() > 0:
+            raise AssertionError("name mapping failed: NULL price rows")
+        return got.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

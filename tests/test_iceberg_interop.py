@@ -551,3 +551,46 @@ def test_iceberg_rename_gates_and_eq_delete_rename(spark, tmp_path):
         ice.rename_iceberg_columns(spark, p, {"v": "key"})
     with pytest.raises(ValueError, match="partition source"):
         ice.rename_iceberg_columns(spark, p, {"p": "bucket"})
+
+
+def test_iceberg_name_mapping_for_idless_files(spark, tmp_path):
+    """schema.name-mapping.default resolves ID-LESS (migrated) files:
+    after a rename, a plain-parquet file carrying the OLD column name
+    feeds the NEW logical column; without the mapping it reads NULL."""
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 10).select("k", "v"), p)
+    ice.rename_iceberg_columns(spark, p, {"v": "value"})
+    hive = spark.range(100, 104).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    hd = str(tmp_path / "hive")
+    hive.coalesce(1).write.parquet(hd)
+    files = [
+        os.path.join(hd, n) for n in os.listdir(hd) if n.endswith(".parquet")
+    ]
+    # WITHOUT the mapping: the id-less file's old-named column is NULL
+    ice.add_iceberg_data_files(spark, p, files)
+    nulls = (
+        ice.read_iceberg(spark, p)
+        .filter(F.col("value").isNull())
+        .count()
+    )
+    assert nulls == 4
+    # WITH the mapping: resolved
+    ice.set_iceberg_name_mapping(spark, p, {"value": ["v"]})
+    got = sorted(
+        (r["k"], r["value"]) for r in ice.read_iceberg(spark, p).collect()
+    )
+    assert got == [(k, 10 * k) for k in list(range(10)) + [100, 101, 102, 103]]
+    # properties survive later snapshots
+    ice.write_iceberg(
+        spark,
+        _df(spark, 200, 202).select("k", F.col("v").alias("value")),
+        p,
+        mode="append",
+    )
+    assert "schema.name-mapping.default" in (
+        ice._current_metadata(p).get("properties") or {}
+    )
+    with pytest.raises(ValueError, match="unknown"):
+        ice.set_iceberg_name_mapping(spark, p, {"nope": ["x"]})
