@@ -1890,6 +1890,8 @@ def checkpoint_delta_v2(spark: SparkSession, path: str) -> int:
         "delta.columnMapping.mode", "none"
     ) not in ("none", ""):
         feats.add("columnMapping")
+    # writer features the table already declared survive the upgrade
+    wfeats = set((st["protocol"] or {}).get("writerFeatures") or [])
     now_ms = int(os.path.getmtime(_log_dir(path)) * 1000)
     v = st["version"] + 1
     _publish_commit(
@@ -1901,7 +1903,9 @@ def checkpoint_delta_v2(spark: SparkSession, path: str) -> int:
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
                     "readerFeatures": sorted(feats | {"v2Checkpoint"}),
-                    "writerFeatures": sorted(feats | {"v2Checkpoint"}),
+                    "writerFeatures": sorted(
+                        wfeats | feats | {"v2Checkpoint"}
+                    ),
                 }
             },
             {
@@ -1967,7 +1971,7 @@ def checkpoint_delta_v2(spark: SparkSession, path: str) -> int:
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
                 "readerFeatures": sorted(feats | {"v2Checkpoint"}),
-                "writerFeatures": sorted(feats | {"v2Checkpoint"}),
+                "writerFeatures": sorted(wfeats | feats | {"v2Checkpoint"}),
             }
         },
         {"metaData": st["meta"]},
