@@ -212,6 +212,41 @@ def _delta_read_kernel(spark, sf_dir):
     return dl.read_delta(spark, path)
 
 
+_DV_TABLE_CACHE: dict[str, str] = {}
+
+
+def _dv_read_kernel(spark, sf_dir):
+    """Deletion-vector READ path (round 13): the fixture (built once,
+    outside every timed run) is the orders table with TWO stacked DV
+    deletes (~10 % + ~14 % of rows, the second merging vectors into
+    already-vectored files). The timed part is what a foreign
+    vectored-table reader pays per query: log replay, DV byte load,
+    executor-side roaring decode, ONE anti-join on the scan's
+    (_metadata.file_path, row_index), scan, collect. Its delta vs
+    q_lake_delta_read isolates the merge-on-read surcharge the same
+    way q_lake_sql_merge isolates parsing vs q_lake_merge."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spype_spark import delta_interop as dl
+    from spype_spark.queries.sources_sinks import _scratch
+    from spype_spark.tables import load_table
+
+    path = _DV_TABLE_CACHE.get(sf_dir)
+    if path is None:
+        tmp = _scratch("bench_delta_dv_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        path = f"{tmp}/orders_dv"
+        orders = load_table(spark, sf_dir, "orders")
+        dl.write_delta(spark, orders, path)
+        dl.delta_delete_rows(spark, path, F.col("o_orderkey") % 10 == 3)
+        dl.delta_delete_rows(spark, path, F.col("o_orderkey") % 7 == 2)
+        _DV_TABLE_CACHE[sf_dir] = path
+    return dl.read_delta(spark, path)
+
+
 #: BASELINE.md rows → registry keys (strings) or direct callables of
 #: (spark, sf_dir). q_events_hourly_agg is the tumbling hourly
 #: aggregate (same shape as the baseline's user×type×hour query).
@@ -260,6 +295,10 @@ BENCH_QUERIES = {
     # per-query): the Delta-interop read path — checkpoint + tail
     # replay + live-list assembly + scan (previously untracked):
     "q_lake_delta_read": _delta_read_kernel,
+    # round-13 row (late addition, same round): the deletion-vector
+    # read path — its delta vs q_lake_delta_read is the merge-on-read
+    # surcharge (DV decode + one anti-join):
+    "q_lake_delta_dv": _dv_read_kernel,
 }
 
 
