@@ -887,15 +887,25 @@ def _write_dv_file(table_path: str, payload: bytes, cardinality: int) -> dict:
     }
 
 
+#: Below this TOTAL declared cardinality, deletion vectors decode on
+#: the driver (a createDataFrame of the positions) — the ~50 ms of
+#: decode beats the Python-worker spin-up of a mapInPandas stage by
+#: ~10×. Above it (or when any descriptor omits cardinality), decode
+#: moves to executors so the exploded position count never visits the
+#: driver. The same adaptive shape as _SPARK_REPLAY_THRESHOLD.
+_DV_DRIVER_DECODE_THRESHOLD = 200_000
+
+
 def _dv_positions_df(
     spark: SparkSession, table_path: str, dv_adds: list[tuple[str, dict]]
 ) -> DataFrame:
     """(file, deleted position) rows for every live add carrying a
     deletion vector. The BYTES are loaded driver-side (compressed
-    bitmaps — a metadata-class quantity, same family as the add list)
-    but DECODED on executors via mapInPandas, so the exploded position
-    count — O(deleted rows), the scale hazard — never visits the
-    driver."""
+    bitmaps — a metadata-class quantity, same family as the add list);
+    DECODE is adaptive: small totals (declared cardinality, a free
+    metadata read) inline on the driver, large ones explode on
+    executors via mapInPandas so the O(deleted rows) quantity never
+    visits the driver."""
     import pandas as pd
 
     # captured by the closure (NOT imported inside it): roaring is
@@ -903,6 +913,20 @@ def _dv_positions_df(
     # decode code to executors that cannot import spype_spark
     from spype_spark.roaring import deserialize_array64
 
+    cards = [int(dvd.get("cardinality") or -1) for _fp, dvd in dv_adds]
+    if all(c >= 0 for c in cards) and sum(cards) <= _DV_DRIVER_DECODE_THRESHOLD:
+        rows = []
+        for (fp, dvd), card in zip(dv_adds, cards):
+            pos = deserialize_array64(_load_dv_bytes(table_path, dvd))
+            if len(pos) != card:
+                raise ValueError(
+                    f"deletion vector for {fp} decodes to {len(pos)} "
+                    f"positions != cardinality {card}"
+                )
+            rows.extend((fp, int(p)) for p in pos)
+        return spark.createDataFrame(
+            rows, "__del_file string, __del_pos long"
+        )
     rows = [
         (fp, bytearray(_load_dv_bytes(table_path, dvd)),
          int(dvd.get("cardinality") or -1))

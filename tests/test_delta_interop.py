@@ -867,3 +867,20 @@ def test_delta_id_mode_column_mapping(spark, tmp_path):
             spark, base, str(tmp_path / "t2"), partition_by=["v"],
             column_mapping="id",
         )
+
+
+def test_delta_dv_decode_paths_equivalent(spark, tmp_path, monkeypatch):
+    """The adaptive DV decode (driver inline below the cardinality
+    threshold, mapInPandas above) returns identical state on both
+    paths — and the executor path stays exercised regardless of how
+    small the fixtures are."""
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 40), p, partition_by=["p"])
+    dl.delta_delete_rows(spark, p, F.col("k") % 3 == 1)
+    dl.delta_delete_rows(spark, p, F.col("k") % 7 == 0)
+    exp = [k for k in range(40) if k % 3 != 1 and k % 7 != 0]
+    for thr in (10**9, 0):  # driver path, then forced executor path
+        monkeypatch.setattr(dl, "_DV_DRIVER_DECODE_THRESHOLD", thr)
+        assert sorted(
+            r["k"] for r in dl.read_delta(spark, p).collect()
+        ) == exp
