@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import struct
 import urllib.parse
@@ -218,16 +219,15 @@ def _resolve_checkpoint(path: str, cv: int, ckpt: dict) -> dict:
     }
 
 
-def _v2_checkpoint_actions(
-    spark: SparkSession, path: str, ck: dict, include_sidecars: bool = True
-) -> list:
-    """Action dicts of a V2 checkpoint: the top-level's own actions
-    (checkpointMetadata / protocol / metaData / txn, plus any INLINE
-    file actions) with sidecar references expanded — each sidecar is
-    a parquet of add/remove rows under ``_delta_log/_sidecars/``.
-    ``include_sidecars=False`` skips the file-action expansion (for
-    metadata-only callers)."""
-    actions: list[dict] = []
+def _v2_top_parse(
+    spark: SparkSession, path: str, ck: dict
+) -> tuple[list[dict], list[str]]:
+    """Parse a V2 checkpoint TOP-LEVEL (json or parquet): returns
+    (its own action dicts — checkpointMetadata / protocol / metaData /
+    txn / inline file actions —, resolved sidecar file paths). Spec
+    sidecar paths are relative to ``_delta_log/_sidecars/`` or
+    absolute — absolute includes the URI form (``file:///…``), which
+    ``os.path.isabs`` alone would misjoin."""
     if ck["format"] == "json":
         with open(ck["top"]) as f:
             raw = [json.loads(line) for line in f if line.strip()]
@@ -238,10 +238,11 @@ def _v2_checkpoint_actions(
         for row in spark.read.parquet(ck["top"]).collect():
             d = row.asDict(recursive=True)
             raw.append({k: val for k, val in d.items() if val is not None})
+    actions: list[dict] = []
     sidecars: list[str] = []
     for a in raw:
         if a.get("sidecar"):
-            sp = a["sidecar"]["path"]
+            sp = re.sub(_URI_RE, "", a["sidecar"]["path"])
             sidecars.append(
                 sp
                 if os.path.isabs(sp)
@@ -249,6 +250,17 @@ def _v2_checkpoint_actions(
             )
         elif a:
             actions.append(a)
+    return actions, sidecars
+
+
+def _v2_checkpoint_actions(
+    spark: SparkSession, path: str, ck: dict, include_sidecars: bool = True
+) -> list:
+    """Action dicts of a V2 checkpoint: the top-level's own actions
+    with sidecar references expanded — each sidecar is a parquet of
+    add/remove rows. ``include_sidecars=False`` skips the file-action
+    expansion (for metadata-only callers)."""
+    actions, sidecars = _v2_top_parse(spark, path, ck)
     if sidecars and include_sidecars:
         sc = spark.read.parquet(*sidecars)
         # metadata-sized collect: one sidecar row per live file or
@@ -513,33 +525,13 @@ def delta_state_df(
             parts.append(_norm_cp(spark.read.parquet(*ck["files"])))
         else:
             # v2: the top-level is metadata-sized (non-file actions +
-            # sidecar refs, parsed driver-side); the sidecar parquet —
-            # the O(files) quantity — stays a distributed scan
-            sidecars: list[str] = []
-            inline: list[dict] = []
-            if ck["format"] == "json":
-                with open(ck["top"]) as f:
-                    raw = [json.loads(line) for line in f if line.strip()]
-            else:
-                # metadata-sized collect: a v2 TOP holds only non-file
-                # actions + sidecar references (file actions live in
-                # the sidecars, scanned distributed below)
-                top_rows = spark.read.parquet(ck["top"]).collect()
-                raw = [
-                    {k: val for k, val in row.asDict(recursive=True).items()
-                     if val is not None}
-                    for row in top_rows
-                ]
-            for a in raw:
-                if a.get("sidecar"):
-                    sp = a["sidecar"]["path"]
-                    sidecars.append(
-                        sp
-                        if os.path.isabs(sp)
-                        else os.path.join(_log_dir(path), "_sidecars", sp)
-                    )
-                elif a.get("add") or a.get("remove"):
-                    inline.append(a)
+            # sidecar refs, parsed driver-side by the shared helper);
+            # the sidecar parquet — the O(files) quantity — stays a
+            # distributed scan
+            top_actions, sidecars = _v2_top_parse(spark, path, ck)
+            inline = [
+                a for a in top_actions if a.get("add") or a.get("remove")
+            ]
             if sidecars:
                 parts.append(_norm_cp(spark.read.parquet(*sidecars)))
             if inline:
@@ -720,15 +712,21 @@ def read_delta(
         state = delta_state_df(spark, path, version)
         if partition_filter:
             _m, _pj, l2p = _mapping_info(meta)
-            partition_filter = {
-                l2p.get(c, c): w for c, w in partition_filter.items()
-            }
             for c, want in partition_filter.items():
                 vals = want if isinstance(want, (list, tuple, set)) else [want]
-                state = state.where(
-                    F.element_at(F.col("partitionValues"), c).isin(
-                        [None if v is None else str(v) for v in vals]
+                pc = l2p.get(c, c)
+                col = F.element_at(F.col("partitionValues"), pc)
+                if pc != c:
+                    # mapped tables key partitionValues physically per
+                    # spec, but logically-keyed logs appear in the
+                    # wild (same tolerance as _scan_adds.pv_of) —
+                    # checking only one keying silently prunes the
+                    # other kind of table to empty
+                    col = F.coalesce(
+                        col, F.element_at(F.col("partitionValues"), c)
                     )
+                state = state.where(
+                    col.isin([None if v is None else str(v) for v in vals])
                 )
         live = state.select("path", "partitionValues", "deletionVector")
         # metadata-sized collect: the live-file list (post window
@@ -751,13 +749,20 @@ def read_delta(
     meta, adds, _v = _replay(spark, path, version)
     if partition_filter:
         _m, _pj, l2p = _mapping_info(meta)
-        partition_filter = {
-            l2p.get(c, c): w for c, w in partition_filter.items()
-        }
-        adds = [
-            a for a in adds
-            if _match_pv(a.get("partitionValues"), partition_filter)
-        ]
+        # each filter key matches under EITHER its physical or its
+        # logical keying (same tolerance as _scan_adds.pv_of: spec
+        # says physical under mapping, but logically-keyed logs exist)
+        norm_filter = {l2p.get(c, c): w for c, w in partition_filter.items()}
+
+        def _pv_normed(a: dict) -> dict:
+            pv = dict(a.get("partitionValues") or {})
+            for lc, w in partition_filter.items():
+                pc = l2p.get(lc, lc)
+                if pc != lc and pc not in pv and lc in pv:
+                    pv[pc] = pv[lc]
+            return pv
+
+        adds = [a for a in adds if _match_pv(_pv_normed(a), norm_filter)]
     return _scan_adds(spark, path, meta, adds)
 
 
@@ -913,7 +918,13 @@ def _dv_positions_df(
     # decode code to executors that cannot import spype_spark
     from spype_spark.roaring import deserialize_array64
 
-    cards = [int(dvd.get("cardinality") or -1) for _fp, dvd in dv_adds]
+    # NOTE: cardinality 0 is legal (an empty vector) and must not be
+    # conflated with "missing" — `or -1` would force such batches onto
+    # the executor path and skip their consistency check
+    cards = [
+        int(dvd["cardinality"]) if dvd.get("cardinality") is not None else -1
+        for _fp, dvd in dv_adds
+    ]
     if all(c >= 0 for c in cards) and sum(cards) <= _DV_DRIVER_DECODE_THRESHOLD:
         rows = []
         for (fp, dvd), card in zip(dv_adds, cards):
@@ -929,7 +940,8 @@ def _dv_positions_df(
         )
     rows = [
         (fp, bytearray(_load_dv_bytes(table_path, dvd)),
-         int(dvd.get("cardinality") or -1))
+         int(dvd["cardinality"]) if dvd.get("cardinality") is not None
+         else -1)
         for fp, dvd in dv_adds
     ]
     src = spark.createDataFrame(
@@ -1720,7 +1732,8 @@ def delta_delete_rows(spark: SparkSession, path: str, condition) -> int:
     position) pairs are collected driver-side — bounded by the
     delete's own row count, fine at contract scale; a production
     writer would stream them per file."""
-    meta, adds, v = _replay(spark, path, None)
+    st = _replay_state(spark, path, None)
+    meta, adds, v = st["meta"], st["adds"], st["version"]
     if _mapping_info(meta)[0] != "none":
         raise ValueError(
             "delta_delete_rows on a column-mapped table is outside the "
@@ -1744,14 +1757,7 @@ def delta_delete_rows(spark: SparkSession, path: str, condition) -> int:
 
     now_ms = int(os.path.getmtime(_log_dir(path)) * 1000)
     actions: list[dict] = [
-        {
-            "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
-            }
-        }
+        {"protocol": _feature_protocol(st["protocol"], {"deletionVectors"})}
     ]
     for f_norm in sorted(by_file):
         a = add_by_norm[f_norm]
@@ -1808,7 +1814,8 @@ def delta_rename_column(
     versions = _commit_versions(path)
     if not versions and _last_checkpoint(path) is None:
         raise FileNotFoundError(f"empty Delta log under {path}")
-    meta, _adds, v = _replay(spark, path, None)
+    st = _replay_state(spark, path, None)
+    meta, v = st["meta"], st["version"]
     sj = json.loads(meta["schemaString"])
     names = {f["name"] for f in sj["fields"]}
     unknown = [c for c in renames if c not in names]
@@ -1848,12 +1855,9 @@ def delta_rename_column(
         v + 1,
         [
             {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": ["columnMapping"],
-                    "writerFeatures": ["columnMapping"],
-                }
+                "protocol": _feature_protocol(
+                    st["protocol"], {"columnMapping"}
+                )
             },
             {"metaData": new_meta},
             {
@@ -1891,6 +1895,23 @@ def _implied_features(protocol: dict | None) -> set[str]:
     return feats
 
 
+def _feature_protocol(protocol: dict | None, add: set[str]) -> dict:
+    """A table-features protocol action that ADDS ``add`` while
+    preserving everything the table already declared — a writer that
+    overwrites the feature lists with only its own feature produces a
+    malformed table (e.g. live deletionVector adds with no
+    deletionVectors flag, which a conforming reader would then
+    resurrect)."""
+    feats = _implied_features(protocol) | add
+    wfeats = set((protocol or {}).get("writerFeatures") or []) | feats
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(feats),
+        "writerFeatures": sorted(wfeats),
+    }
+
+
 def checkpoint_delta_v2(spark: SparkSession, path: str) -> int:
     """Compact the current snapshot into a V2 CHECKPOINT — the
     table-features form every modern Delta reader must support: a
@@ -1914,24 +1935,14 @@ def checkpoint_delta_v2(spark: SparkSession, path: str) -> int:
         "delta.columnMapping.mode", "none"
     ) not in ("none", ""):
         feats.add("columnMapping")
-    # writer features the table already declared survive the upgrade
-    wfeats = set((st["protocol"] or {}).get("writerFeatures") or [])
+    proto = _feature_protocol(st["protocol"], feats | {"v2Checkpoint"})
     now_ms = int(os.path.getmtime(_log_dir(path)) * 1000)
     v = st["version"] + 1
     _publish_commit(
         path,
         v,
         [
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": sorted(feats | {"v2Checkpoint"}),
-                    "writerFeatures": sorted(
-                        wfeats | feats | {"v2Checkpoint"}
-                    ),
-                }
-            },
+            {"protocol": proto},
             {
                 "commitInfo": {
                     "timestamp": now_ms,
@@ -1990,14 +2001,7 @@ def checkpoint_delta_v2(spark: SparkSession, path: str) -> int:
     shutil.rmtree(stage, ignore_errors=True)
     top = [
         {"checkpointMetadata": {"version": v}},
-        {
-            "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": sorted(feats | {"v2Checkpoint"}),
-                "writerFeatures": sorted(wfeats | feats | {"v2Checkpoint"}),
-            }
-        },
+        {"protocol": proto},
         {"metaData": st["meta"]},
     ]
     for app_id, txv in sorted(st["txns"].items()):

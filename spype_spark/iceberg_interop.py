@@ -934,9 +934,18 @@ def write_iceberg(
     w = df
     # stamp Iceberg field ids into the parquet footers (Spark writes
     # `parquet.field.id` metadata as PARQUET:field_id) — what the
-    # read path resolves renamed columns by
+    # read path resolves renamed columns by. Appends use the TABLE's
+    # ids (by name), not positional ones: a foreign table's ids may
+    # be non-contiguous after drops
+    tbl_ids = (
+        {f["name"]: int(f["id"]) for f in _current_fields(prev)}
+        if prev is not None
+        else {}
+    )
     for i, f in enumerate(df.schema.fields, start=1):
-        w = w.withMetadata(f.name, {"parquet.field.id": i})
+        w = w.withMetadata(
+            f.name, {"parquet.field.id": tbl_ids.get(f.name, i)}
+        )
     for c in pcols:
         w = w.withColumn(_SHADOW + c, F.col(c))
     if pcols:
@@ -1364,8 +1373,34 @@ def _publish_snapshot(
     ml_name = f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
     ml_path = os.path.join(md, ml_name)
     write_avro(ml_path, _MANIFEST_LIST_SCHEMA, manifests)
-    field_ids = {f.name: i + 1 for i, f in enumerate(spark_fields)}
-    ice_fields = [_spark_field_to_ice(f, field_ids) for f in spark_fields]
+    if prev is not None:
+        # an EXISTING table's schema history and field ids are
+        # authoritative — re-deriving ids positionally would renumber
+        # a foreign table with non-contiguous ids (post-drop gaps) and
+        # silently mis-project its files' footer ids
+        prev_fields = _current_fields(prev)
+        if {f.name for f in spark_fields} != {f["name"] for f in prev_fields}:
+            raise ValueError(
+                "snapshot publish with a schema differing from the "
+                "table's current schema is not supported (no silent "
+                "schema evolution)"
+            )
+        field_ids = {f["name"]: int(f["id"]) for f in prev_fields}
+        schemas = prev.get("schemas") or [
+            {"schema-id": 0, "type": "struct", "fields": prev_fields}
+        ]
+        current_sid = prev.get("current-schema-id", 0)
+        last_col = int(
+            prev.get("last-column-id", max(field_ids.values()))
+        )
+    else:
+        field_ids = {f.name: i + 1 for i, f in enumerate(spark_fields)}
+        ice_fields = [
+            _spark_field_to_ice(f, field_ids) for f in spark_fields
+        ]
+        schemas = [{"schema-id": 0, "type": "struct", "fields": ice_fields}]
+        current_sid = 0
+        last_col = max(field_ids.values())
     snapshot = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
@@ -1382,11 +1417,9 @@ def _publish_snapshot(
         "location": os.path.abspath(path),
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": max(field_ids.values()),
-        "schemas": [
-            {"schema-id": 0, "type": "struct", "fields": ice_fields}
-        ],
-        "current-schema-id": 0,
+        "last-column-id": last_col,
+        "schemas": schemas,
+        "current-schema-id": current_sid,
         "partition-specs": [
             {
                 "spec-id": 0,

@@ -106,9 +106,10 @@ def serialize_bitmap32(values) -> bytes:
 
 def deserialize_bitmap32(buf: bytes, base: int = 0) -> list[int]:
     """Decode one portable 32-bit bitmap starting at ``base``; returns
-    (sorted values, bytes consumed) — callers slicing a concatenated
-    stream (the 64-bit array layout) need the length."""
-    vals, consumed = _deserialize_bitmap32(buf, base)
+    the sorted values. (Stream-slicing callers that need the consumed
+    byte count — the 64-bit array layout — use the private
+    ``_deserialize_bitmap32``, which also returns it.)"""
+    vals, _consumed = _deserialize_bitmap32(buf, base)
     return vals
 
 

@@ -884,3 +884,75 @@ def test_delta_dv_decode_paths_equivalent(spark, tmp_path, monkeypatch):
         assert sorted(
             r["k"] for r in dl.read_delta(spark, p).collect()
         ) == exp
+
+
+def test_delta_protocol_features_accumulate(spark, tmp_path):
+    """A rename AFTER a DV delete must keep the deletionVectors
+    feature in the protocol (review r13): overwriting the feature
+    lists would leave live vectored adds behind a protocol that no
+    longer declares them — a malformed table."""
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 20), p)
+    dl.delta_delete_rows(spark, p, F.col("k") % 4 == 1)
+    dl.delta_rename_column(spark, p, {"v": "value"})
+    st = dl._replay_state(spark, p, None)
+    feats = set(st["protocol"]["readerFeatures"])
+    assert {"deletionVectors", "columnMapping"} <= feats
+    got = dl.read_delta(spark, p)
+    assert got.columns == ["k", "value", "p"]
+    assert sorted(r["k"] for r in got.collect()) == [
+        k for k in range(20) if k % 4 != 1
+    ]
+
+
+def test_delta_v2_sidecar_absolute_uri(spark, tmp_path):
+    """Sidecar actions may name their file by absolute URI
+    (file:///…) — os.path.isabs alone misjoins that form."""
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 12), p)
+    v = dl.checkpoint_delta_v2(spark, p)
+    d = dl._log_dir(p)
+    (top,) = [n for n in os.listdir(d) if ".checkpoint." in n]
+    lines = [json.loads(x) for x in open(os.path.join(d, top))]
+    for a in lines:
+        if a.get("sidecar"):
+            a["sidecar"]["path"] = "file://" + os.path.join(
+                d, "_sidecars", a["sidecar"]["path"]
+            )
+    with open(os.path.join(d, top), "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+    for t in range(0, v):
+        os.unlink(dl._commit_path(p, t))
+    assert dl.read_delta(spark, p).count() == 12
+
+
+def test_delta_partition_filter_logically_keyed_mapped_log(spark, tmp_path):
+    """A column-mapped table whose adds key partitionValues by the
+    LOGICAL name (the in-the-wild tolerance pv_of exists for) must
+    still honor partition_filter instead of pruning to empty."""
+    p = str(tmp_path / "t")
+    dl.write_delta(spark, _df(spark, 0, 12), p, partition_by=["p"])
+    dl.delta_rename_column(spark, p, {"p": "part"})
+    # the log's partitionValues are keyed "p" (physical); read with
+    # the logical name works (baseline)…
+    assert sorted(
+        r["k"]
+        for r in dl.read_delta(spark, p, partition_filter={"part": 1}).collect()
+    ) == [k for k in range(12) if k % 3 == 1]
+    # …and a log keyed LOGICALLY (rewrite the adds) must match too
+    for t in dl._commit_versions(p):
+        cpath = dl._commit_path(p, t)
+        actions = [json.loads(x) for x in open(cpath) if x.strip()]
+        for a in actions:
+            if "add" in a and "p" in (a["add"].get("partitionValues") or {}):
+                a["add"]["partitionValues"] = {
+                    "part": a["add"]["partitionValues"]["p"]
+                }
+        with open(cpath, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    got = dl.read_delta(spark, p, partition_filter={"part": 1})
+    assert sorted(r["k"] for r in got.collect()) == [
+        k for k in range(12) if k % 3 == 1
+    ]

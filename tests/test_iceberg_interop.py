@@ -594,3 +594,51 @@ def test_iceberg_name_mapping_for_idless_files(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="unknown"):
         ice.set_iceberg_name_mapping(spark, p, {"nope": ["x"]})
+
+
+def test_iceberg_foreign_field_ids_survive_publishes(spark, tmp_path):
+    """A table with NON-CONTIGUOUS field ids (post-drop gaps, the
+    foreign-table shape) must keep them across delete/append
+    publishes — positional renumbering would mis-project footers
+    (review r13)."""
+    p = str(tmp_path / "t")
+    ice.write_iceberg(spark, _df(spark, 0, 15).select("k", "v"), p)
+    # simulate a foreign history: remap ids 1,2 -> 1,7 in the current
+    # schema (footers keep id 2 for v — map it via name-mapping)
+    meta = ice._current_metadata(p)
+    md = ice._meta_dir(p)
+    for s in meta["schemas"]:
+        for f in s["fields"]:
+            if f["name"] == "v":
+                f["id"] = 7
+    meta["last-column-id"] = 7
+    meta["properties"] = {
+        "schema.name-mapping.default": json.dumps(
+            [{"field-id": 1, "names": ["k"]}, {"field-id": 7, "names": ["v"]}]
+        )
+    }
+    ver = ice._current_version(md) + 1
+    with open(os.path.join(md, f"v{ver}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write(str(ver))
+    # a delete publish must NOT renumber 7 back to 2
+    ice.write_iceberg_eq_deletes(
+        spark, spark.createDataFrame([(3,)], "k long"), p, ["k"]
+    )
+    ids = {f["name"]: f["id"] for f in ice._current_fields(
+        ice._current_metadata(p)
+    )}
+    assert ids == {"k": 1, "v": 7}
+    # an append stamps the TABLE's ids into the new footers
+    ice.write_iceberg(
+        spark, _df(spark, 100, 103).select("k", "v"), p, mode="append"
+    )
+    ids2 = {f["name"]: f["id"] for f in ice._current_fields(
+        ice._current_metadata(p)
+    )}
+    assert ids2 == {"k": 1, "v": 7}
+    got = sorted((r["k"], r["v"]) for r in ice.read_iceberg(spark, p).collect())
+    assert got == [
+        (k, 10 * k) for k in list(range(15)) + [100, 101, 102] if k != 3
+    ]
