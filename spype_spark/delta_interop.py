@@ -1293,6 +1293,80 @@ def _narrow_file_cols(schema_fields: list[dict], file_path: str) -> list[str]:
     return out
 
 
+def _mor_deleted_positions(
+    spark: SparkSession, table_path: str, m: dict, entries: list[dict]
+) -> dict[str, list[int]]:
+    """``{commit-relative fname: sorted row positions}`` suppressed by
+    the manifest's pending merge-on-read deletes, honoring the
+    SEQUENCE rule (a delete only touches entries from OLDER commits) —
+    the exact per-file row sets a Delta deletion vector must encode.
+
+    Equality deletes semi-join the position-aware scan per sequence
+    group (the mirror image of ``lakehouse._m_apply_deletes``'s
+    anti-join); positional sidecars already carry (fname, pos) and
+    only need the per-file sequence filter. The result is collected
+    driver-side: bounded by the pending deletes' own matched-row count
+    — the quantity the export commit must serialize into vectors
+    either way (same bound and argument as ``delta_delete_rows``)."""
+    from spype_spark import lakehouse as lake
+
+    dels = m.get("deletes", [])
+    pdels = m.get("pos_deletes", [])
+    parts: list[DataFrame] = []
+    groups: dict[int, list[str]] = {}
+    for e in entries:
+        groups.setdefault(int(e.get("seq", 0)), []).append(e["path"])
+    for s, paths in sorted(groups.items()):
+        eq_here = [d for d in dels if d["seq"] > s]
+        if not eq_here:
+            continue
+        df = lake._m_open_files(
+            spark, table_path, paths, m["schema"], with_pos=True
+        )
+        for d in eq_here:
+            kdf = spark.read.parquet(
+                os.path.join(table_path, d["path"])
+            ).select(*d["keys"])
+            parts.append(
+                df.join(F.broadcast(kdf), d["keys"], "left_semi").select(
+                    F.col("__fname").alias("fname"),
+                    F.col("__pos").alias("pos"),
+                )
+            )
+    if pdels:
+        fseq = spark.createDataFrame(
+            [
+                (e["path"].split("data/", 1)[-1], int(e.get("seq", 0)))
+                for e in entries
+            ],
+            "fname string, fseq long",
+        )
+        pv: DataFrame | None = None
+        for d in pdels:
+            one = (
+                spark.read.parquet(os.path.join(table_path, d["path"]))
+                .select("fname", "pos")
+                .withColumn("dseq", F.lit(int(d["seq"])))
+            )
+            pv = one if pv is None else pv.unionByName(one)
+        parts.append(
+            pv.join(F.broadcast(fseq), "fname")
+            .filter(F.col("dseq") > F.col("fseq"))
+            .select("fname", "pos")
+        )
+    out: dict[str, list[int]] = {}
+    if not parts:
+        return out
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    # metadata-sized collect: bounded by the pending deletes' matched
+    # row count — the exact payload the commit serializes into DVs
+    for r in allp.dropDuplicates(["fname", "pos"]).collect():
+        out.setdefault(r["fname"], []).append(int(r["pos"]))
+    return {k: sorted(v) for k, v in out.items()}
+
+
 def export_delta(
     spark: SparkSession,
     table_path: str,
@@ -1337,14 +1411,34 @@ def export_delta(
     files sit under a widened schema. Pass ``allow_narrow_files=True``
     to export anyway for a reader population known to up-cast.
 
+    Merge-on-read residue exports as DELETION VECTORS (graduated this
+    round from the old "compact first" gate): pending equality and
+    positional deletes are converted into one roaring deletion vector
+    per touched data file — the Delta-native expression of exactly the
+    same rows-suppressed-without-rewrite state — and the commit's
+    protocol declares reader feature ``deletionVectors``. Readers
+    without DV support then fail LOUDLY on the protocol gate (the
+    spec's behavior), never resurrect deleted rows. The conversion is
+    O(pending deleted rows): eq-delete keys semi-join the table scan
+    per sequence group, positional sidecars remap directly — both are
+    the quantity the commit must serialize anyway.
+
+    Column-mapping renames likewise export as ``columnMapping`` NAME
+    mode (graduated): each logical field carries
+    ``delta.columnMapping.physicalName`` = the manifest's frozen
+    physical name, so Delta readers project the files' physical
+    columns back to the renamed logical schema. Dropped columns need
+    nothing (absent from the logical schema; their in-file residue is
+    pruned by every reader).
+
     Out of profile (loud errors, never a silently-wrong export):
     hidden-partition transforms (bucket/days/hours/truncate — Delta
     has no transform spec; its generated columns cannot reproduce the
-    engine's hash), pending equality/positional deletes (compact
-    first; a plain file list cannot express them), and column-mapping
-    renames/drops (logical names would diverge from the files'
-    physical names, which Delta expresses only through reader feature
-    ``columnMapping``)."""
+    engine's hash), PARTITIONED column-mapped tables (partitionValues
+    keys flip to physical names under mapping — unexercised by the
+    native engine, whose partition sources cannot be renamed), and
+    pending deletes over by-reference imported files (their absolute
+    paths carry no commit-relative row anchor)."""
     from spype_spark import lakehouse as lake
 
     v = lake.latest_version(table_path)
@@ -1358,28 +1452,37 @@ def export_delta(
             "hours/truncate) have no Delta equivalent — rewrite with "
             "identity partitioning first"
         )
-    if m.get("deletes") or m.get("pos_deletes"):
-        raise ValueError(
-            "export_delta: pending merge-on-read deletes cannot be "
-            "expressed as a plain Delta file list — compact first"
-        )
     fields = (m.get("schema") or {}).get("fields", [])
-    if m.get("retired") or any(
-        f.get("metadata", {}).get("spype_physical") not in (None, f["name"])
+    cmap = {
+        f["name"]: f.get("metadata", {}).get("spype_physical") or f["name"]
         for f in fields
-    ):
-        raise ValueError(
-            "export_delta: column-mapping renames/drops would need the "
-            "columnMapping reader feature — export before renaming, or "
-            "rewrite the table"
-        )
+    }
+    mapped = any(p != l for l, p in cmap.items())
     pcols = list(m.get("partition_by") or [])
+    if mapped and pcols:
+        raise ValueError(
+            "export_delta: partitioned column-mapped tables are out of "
+            "profile (partitionValues keys flip to physical names under "
+            "mapping) — export before renaming, or rewrite the table"
+        )
     root = table_path if delta_path is None else delta_path
     entries = lake._m_entries(table_path, m)
+    dv_positions: dict[str, list[int]] = {}
+    if m.get("deletes") or m.get("pos_deletes"):
+        if any(os.path.isabs(e["path"]) for e in entries):
+            raise ValueError(
+                "export_delta: pending merge-on-read deletes over "
+                "by-reference imported files have no commit-relative "
+                "row anchor — compact first"
+            )
+        dv_positions = _mor_deleted_positions(spark, table_path, m, entries)
     now_ms = int(os.path.getmtime(table_path) * 1000)
     adds = []
     narrow_seen_dirs: set[str] = set()
     narrow_cols: set[str] = set()
+    # footer sweeps probe the files' PHYSICAL column names (they equal
+    # the logical names except under renames)
+    phys_fields = [{**f, "name": cmap.get(f["name"], f["name"])} for f in fields]
     for e in entries:
         ap = (
             e["path"]
@@ -1392,7 +1495,7 @@ def export_delta(
         d = os.path.dirname(ap)
         if d not in narrow_seen_dirs:
             narrow_seen_dirs.add(d)
-            narrow_cols.update(_narrow_file_cols(fields, ap))
+            narrow_cols.update(_narrow_file_cols(phys_fields, ap))
         rp = os.path.relpath(ap, os.path.abspath(root))
         loc = ap if rp.startswith("..") else rp.replace(os.sep, "/")
         pv = {}
@@ -1403,15 +1506,23 @@ def export_delta(
                 if raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
                 else urllib.parse.unquote(str(raw))
             )
-        adds.append(
-            {
-                "path": urllib.parse.quote(loc, safe="/="),
-                "partitionValues": pv,
-                "size": int(e.get("bytes") or os.path.getsize(ap)),
-                "modificationTime": now_ms,
-                "dataChange": True,
-            }
-        )
+        add = {
+            "path": urllib.parse.quote(loc, safe="/="),
+            "partitionValues": pv,
+            "size": int(e.get("bytes") or os.path.getsize(ap)),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if dv_positions:
+            fname = e["path"].split("data/", 1)[-1]
+            pos = dv_positions.pop(fname, None)
+            if pos:
+                from spype_spark import roaring
+
+                add["deletionVector"] = _write_dv_file(
+                    root, roaring.serialize_array64(pos), cardinality=len(pos)
+                )
+        adds.append(add)
     if narrow_cols and not allow_narrow_files:
         raise ValueError(
             f"export_delta: column(s) {sorted(narrow_cols)} were widened "
@@ -1421,21 +1532,59 @@ def export_delta(
             f"allow_narrow_files=True for readers known to up-cast "
             f"(Spark 4+)."
         )
+    if dv_positions:
+        raise ValueError(
+            "export_delta: pending delete positions reference files "
+            f"absent from the manifest: {sorted(dv_positions)}"
+        )
+    feats: set[str] = set()
+    if any(a.get("deletionVector") for a in adds):
+        feats.add("deletionVectors")
+    config: dict[str, str] = {}
+    schema_out = m["schema"]
+    if mapped:
+        feats.add("columnMapping")
+        config = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(len(fields)),
+        }
+        schema_out = {
+            **m["schema"],
+            "fields": [
+                {
+                    **f,
+                    "metadata": {
+                        **{
+                            k: val
+                            for k, val in (f.get("metadata") or {}).items()
+                            if k != "spype_physical"
+                        },
+                        "delta.columnMapping.id": i,
+                        "delta.columnMapping.physicalName": cmap[f["name"]],
+                    },
+                }
+                for i, f in enumerate(fields, start=1)
+            ],
+        }
     versions = _commit_versions(root) if os.path.isdir(_log_dir(root)) else []
     dv = (versions[-1] + 1) if versions else 0
     actions: list[dict] = []
     if dv == 0:
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            {
+                "protocol": _feature_protocol(None, feats)
+                if feats
+                else {"minReaderVersion": 1, "minWriterVersion": 2}
+            }
         )
         actions.append(
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": json.dumps(m["schema"]),
+                    "schemaString": json.dumps(schema_out),
                     "partitionColumns": pcols,
-                    "configuration": {},
+                    "configuration": config,
                     "createdTime": now_ms,
                 }
             }
@@ -1445,28 +1594,43 @@ def export_delta(
         prev_meta = prev["meta"]
         prev_schema = json.loads(prev_meta["schemaString"])
         prev_pcols = list(prev_meta.get("partitionColumns") or [])
-        if prev_schema != m["schema"] or prev_pcols != pcols:
+        prev_conf = prev_meta.get("configuration") or {}
+        if feats - _implied_features(prev["protocol"]):
+            # the mirror gained a table feature (first MoR residue or
+            # first rename since the last export): upgrade in-commit,
+            # preserving everything the log already declared
+            actions.append(
+                {"protocol": _feature_protocol(prev["protocol"], feats)}
+            )
+        if (
+            prev_schema != schema_out
+            or prev_pcols != pcols
+            or (
+                mapped
+                and prev_conf.get("delta.columnMapping.mode") != "name"
+            )
+        ):
             # schema/spec evolved since the last export: Delta readers
             # must see the new logical schema, under the SAME table id
             actions.append(
                 {
                     "metaData": {
                         **prev_meta,
-                        "schemaString": json.dumps(m["schema"]),
+                        "schemaString": json.dumps(schema_out),
                         "partitionColumns": pcols,
+                        "configuration": {**prev_conf, **config},
                     }
                 }
             )
-        actions.extend(
-            {
-                "remove": {
-                    "path": a["path"],
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
+        for a in prev["adds"]:
+            remove = {
+                "path": a["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
             }
-            for a in prev["adds"]
-        )
+            if a.get("deletionVector"):
+                remove["deletionVector"] = a["deletionVector"]
+            actions.append({"remove": remove})
     actions.extend({"add": a} for a in adds)
     actions.append(
         {

@@ -3492,3 +3492,111 @@ def q_lake_iceberg_namemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return got.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delta_export_mor",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+      AND o_orderkey % 10 <> 0
+      AND NOT (o_totalprice > 150000)
+    """,
+)
+def q_lake_delta_export_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ dual-format export (graduates the r12 "compact
+    first" gate): a native table carrying BOTH pending delete kinds —
+    an equality delete (:func:`lakehouse.delete_keys`, keys divisible
+    by 10) and a positional deletion vector
+    (:func:`lakehouse.delete_where_dv`, price > 150 000) — mirrored as
+    a Delta log in place. ``export_delta`` converts the pending
+    merge-on-read state into Delta DELETION VECTORS: one roaring
+    bitmap per touched data file, protocol upgraded to reader feature
+    ``deletionVectors``, zero data files rewritten or copied. The
+    result reads the mirror back through the Delta replay path
+    (DV anti-join applied), proving a foreign DV-capable reader sees
+    exactly the native table's live rows. In-contract asserts: the
+    export emitted at least one deletionVector descriptor, and every
+    add references a file the manifest already owns (zero-copy)."""
+    import os as _os
+    import urllib.parse as _up
+
+    from spype_spark import delta_interop as dl
+
+    tmp = _scratch("spype_delta_exp_mor_")
+    try:
+        path = f"{tmp}/orders_mor"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        lake.write_table(o.filter(F.col("o_orderkey") % 2 == 0), path)
+        lake.delete_keys(
+            spark,
+            path,
+            o.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey"),
+        )
+        lake.delete_where_dv(spark, path, F.col("o_totalprice") > 150000)
+        if dl.export_delta(spark, path) != 0:
+            raise AssertionError("first export should land Delta v0")
+        _meta, adds, _v = dl._replay(spark, path, None)
+        if not any(a.get("deletionVector") for a in adds):
+            raise AssertionError("MoR export emitted no deletion vectors")
+        m = lake._m_load(path, lake.latest_version(path))
+        own = {
+            _os.path.abspath(_os.path.join(path, e["path"]))
+            for e in lake._m_entries(path, m)
+        }
+        for a in adds:
+            ap = _os.path.abspath(_os.path.join(path, _up.unquote(a["path"])))
+            if ap not in own:
+                raise AssertionError(f"export copied/invented a file: {ap}")
+        return dl.read_delta(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delta_export_colmap",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS price, o_orderstatus
+    FROM orders
+    """,
+)
+def q_lake_delta_export_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPED dual-format export (graduates the r12 "export
+    before renaming" gate): a native table renamed after its first
+    write (``o_totalprice`` → ``price``, files keep the frozen
+    physical name) then appended to (post-rename files also write the
+    physical name) exports as Delta columnMapping NAME mode — each
+    logical field carries ``delta.columnMapping.physicalName``, the
+    metaData configuration declares the mode, and the protocol the
+    ``columnMapping`` reader feature. Reading the mirror back through
+    the Delta name-mode scan projects the files' physical columns onto
+    the renamed logical schema — full content parity with the corpus
+    table under the new name. In-contract asserts: mapping mode
+    emitted, reader feature declared."""
+    from spype_spark import delta_interop as dl
+
+    tmp = _scratch("spype_delta_exp_cm_")
+    try:
+        path = f"{tmp}/orders_cm"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        lake.write_table(o.filter(F.col("o_orderkey") % 2 == 0), path)
+        lake.rename_columns(spark, path, {"o_totalprice": "price"})
+        lake.append_table(
+            spark,
+            path,
+            o.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+                "o_totalprice", "price"
+            ),
+        )
+        if dl.export_delta(spark, path) != 0:
+            raise AssertionError("first export should land Delta v0")
+        st = dl._replay_state(spark, path, None)
+        conf = st["meta"].get("configuration") or {}
+        if conf.get("delta.columnMapping.mode") != "name":
+            raise AssertionError("export did not declare columnMapping")
+        if "columnMapping" not in (st["protocol"].get("readerFeatures") or []):
+            raise AssertionError("protocol lacks the columnMapping feature")
+        return dl.read_delta(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -276,11 +276,107 @@ def test_export_delta_out_of_profile_is_loud(spark, tmp_path):
     lake.write_table(df, bt, partition_by=[("bucket", 4, "k")])
     with pytest.raises(ValueError, match="transform"):
         dl.export_delta(spark, bt)
-    rt = str(tmp_path / "renamed")
-    lake.write_table(df, rt)
-    lake.rename_columns(spark, rt, {"p": "q"})
-    with pytest.raises(ValueError, match="columnMapping"):
+    # renames now export as columnMapping name mode — but a PARTITIONED
+    # mapped table stays gated (partitionValues keys flip physical)
+    rt = str(tmp_path / "renamed_part")
+    lake.write_table(df, rt, partition_by=["p"])
+    lake.rename_columns(spark, rt, {"k": "key"})
+    with pytest.raises(ValueError, match="partitioned column-mapped"):
         dl.export_delta(spark, rt)
+    # pending deletes over by-reference imported files have no fname anchor
+    src = str(tmp_path / "dsrc")
+    dl.write_delta(spark, df, src)
+    imp = str(tmp_path / "imported")
+    dl.import_delta(spark, src, imp)
+    lake.delete_keys(
+        spark, imp, spark.range(0, 3).select(F.col("id").alias("k"))
+    )
+    with pytest.raises(ValueError, match="by-reference"):
+        dl.export_delta(spark, imp, delta_path=str(tmp_path / "out"))
+
+
+def test_export_delta_mor_deletes_round_trip(spark, tmp_path):
+    """Pending equality + positional merge-on-read deletes export as
+    Delta deletion vectors: protocol gains deletionVectors, touched
+    files carry roaring DVs, and the replay scan returns exactly the
+    native live rows — including after an append + re-export."""
+    from pyspark.sql import functions as F
+
+    from spype_spark import lakehouse as lake
+
+    tpath = str(tmp_path / "mor")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    lake.write_table(df, tpath)
+    lake.delete_keys(
+        spark, tpath, spark.range(0, 100, 10).select(F.col("id").alias("k"))
+    )
+    lake.delete_where_dv(spark, tpath, F.col("v") > 240)
+    assert dl.export_delta(spark, tpath) == 0
+    _meta, adds, _ = dl._replay(spark, tpath, None)
+    assert any(a.get("deletionVector") for a in adds)
+    st = dl._replay_state(spark, tpath, None)
+    assert "deletionVectors" in (st["protocol"].get("readerFeatures") or [])
+    assert _rows(dl.read_delta(spark, tpath)) == _rows(
+        lake.read_table(spark, tpath)
+    )
+    # append lands files NEWER than the deletes (sequence rule: they
+    # must stay un-vectored), re-export keeps the mirror true
+    lake.append_table(
+        spark,
+        tpath,
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ),
+    )
+    assert dl.export_delta(spark, tpath) == 1
+    assert _rows(dl.read_delta(spark, tpath)) == _rows(
+        lake.read_table(spark, tpath)
+    )
+    assert _rows(dl.read_delta(spark, tpath, version=0)) != _rows(
+        dl.read_delta(spark, tpath)
+    )
+
+
+def test_export_delta_column_mapping_round_trip(spark, tmp_path):
+    """A renamed (then dropped-from) unpartitioned table exports as
+    columnMapping name mode and reads back with the logical schema."""
+    from pyspark.sql import functions as F
+
+    from spype_spark import lakehouse as lake
+
+    tpath = str(tmp_path / "cm")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 5).alias("w"),
+    )
+    lake.write_table(df, tpath)
+    lake.rename_columns(spark, tpath, {"v": "value"})
+    lake.append_table(
+        spark,
+        tpath,
+        spark.range(50, 60).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("value"),
+            (F.col("id") % 5).alias("w"),
+        ),
+    )
+    assert dl.export_delta(spark, tpath) == 0
+    got = dl.read_delta(spark, tpath)
+    assert got.columns == ["k", "value", "w"]
+    assert _rows(got) == _rows(lake.read_table(spark, tpath))
+    st = dl._replay_state(spark, tpath, None)
+    conf = st["meta"]["configuration"]
+    assert conf["delta.columnMapping.mode"] == "name"
+    assert "columnMapping" in st["protocol"]["readerFeatures"]
+    # schema evolution across exports: a drop re-emits metaData
+    lake.drop_columns(spark, tpath, ["w"])
+    assert dl.export_delta(spark, tpath) == 1
+    got2 = dl.read_delta(spark, tpath)
+    assert got2.columns == ["k", "value"]
+    assert _rows(got2) == _rows(lake.read_table(spark, tpath))
 
 
 def test_export_delta_partitioned_round_trip(spark, tmp_path):
