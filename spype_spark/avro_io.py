@@ -38,7 +38,7 @@ import os
 import struct
 import zlib
 
-__all__ = ["read_avro", "write_avro"]
+__all__ = ["read_avro", "read_avro_bytes", "read_avro_schema", "write_avro"]
 
 _MAGIC = b"Obj\x01"
 
@@ -198,6 +198,42 @@ def read_avro(path: str) -> tuple[dict, list[dict]]:
     unsupported codec, sync-marker mismatch, or truncation."""
     with open(path, "rb") as f:
         data = f.read()
+    return read_avro_bytes(data, source=path)
+
+
+def read_avro_schema(path: str) -> dict:
+    """Parse ONLY the header of an Avro container file and return the
+    embedded writer schema — a true metadata-class read (no data block
+    is decoded or even loaded), used by the distributed table scan to
+    derive its Spark schema from one file regardless of file size."""
+    with open(path, "rb") as f:
+        if f.read(4) != _MAGIC:
+            raise ValueError(f"{path}: not an Avro container (bad magic)")
+        meta = {}
+        while True:
+            n = _read_varlong(f)
+            if n == 0:
+                break
+            if n < 0:
+                _read_varlong(f)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(f).decode("utf-8")
+                meta[k] = _read_bytes(f)
+    if "avro.schema" not in meta:
+        raise ValueError(f"{path}: Avro header lacks avro.schema")
+    return json.loads(meta["avro.schema"].decode("utf-8"))
+
+
+def read_avro_bytes(
+    data: bytes, source: str = "<bytes>"
+) -> tuple[dict, list[dict]]:
+    """Decode an Avro Object Container File from in-memory bytes —
+    the executor-side entry point for distributed Avro scans (the
+    bytes arrive per-file via Spark's binaryFile source, so no
+    executor ever needs filesystem access to the container).
+    ``source`` names the origin in error messages."""
+    path = source
     if data[:4] != _MAGIC:
         raise ValueError(f"{path}: not an Avro container (bad magic)")
     buf = io.BytesIO(data[4:])
@@ -371,3 +407,20 @@ def write_avro(
     out += sync
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+# executor Python workers cannot import spype_spark when the caller
+# put it on sys.path at runtime — how the external harness runs.
+# By-value pickling ships this module's decode code with any closure
+# that captures it (the distributed Avro scan in avro_table.py); the
+# module is stdlib-only, so the payload is self-contained. Same
+# convention as codecs.py / roaring.py.
+def _register_for_executor_shipping() -> None:
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+_register_for_executor_shipping()

@@ -281,3 +281,52 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", morton2("za", "zb").alias("zcode"))
     )
+
+
+@query(
+    "q_sink_avro_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           CAST(o_orderdate AS TIMESTAMP) AS o_ts,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_d
+    FROM orders
+    """,
+)
+def q_sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container sink → distributed source → full-content round
+    trip, with NO spark-avro jar: the pure-Python container codec
+    (:mod:`spype_spark.avro_io`) rides a ``mapInPandas`` seam in both
+    directions (:mod:`spype_spark.avro_table`). The sink encodes one
+    container file per Spark partition ON the executors; the source is
+    one ``binaryFile`` scan (files = unit of parallelism, the same
+    granularity spark-avro uses) decoded executor-side into Arrow
+    batches, schema derived from ONE file's header (a true
+    metadata-only read). Exercises long/double/string plus BOTH
+    temporal logical types — ``local-timestamp-micros``
+    (timestamp_ntz) and ``date`` (int days). The oracle replays the
+    same projection from the source table, so a hash match proves
+    every value survived the Avro encode/decode cycle exactly."""
+    from spype_spark import avro_table as at
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("o_ts"),
+        F.col("o_orderdate").cast("date").alias("o_d"),
+    )
+    tmp = _scratch("spype_avro_")
+    try:
+        path = f"{tmp}/orders_avro"
+        manifest = at.write_avro_table(o.repartition(4), path)
+        if sum(m["rows"] for m in manifest) != o.count():
+            raise AssertionError("avro sink manifest row count mismatch")
+        back = at.read_avro_table(spark, path)
+        # the date column round-trips as Avro logical `date`; the
+        # drivers' comparators hash strings, so format after the trip
+        return back.withColumn(
+            "o_d", F.date_format("o_d", "yyyy-MM-dd")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
