@@ -1962,6 +1962,330 @@ def delta_delete_rows(spark: SparkSession, path: str, condition) -> int:
     return v + 1
 
 
+def delta_update_rows(
+    spark: SparkSession, path: str, condition, assignments: dict
+) -> int:
+    """UPDATE rows of a Delta table WITH Change Data Feed output —
+    the commit rewrites the table copy-on-write (fixture-grade: the
+    whole file set; a production writer touches only matched files)
+    and emits spec-shaped ``cdc`` actions naming ``_change_data/``
+    parquet files that hold the ``update_preimage`` /
+    ``update_postimage`` rows. That is the channel Delta's CDF
+    readers (and :func:`delta_changes`) treat as AUTHORITATIVE for
+    the commit — without it, a rewrite commit's add/remove diff
+    cannot distinguish updated rows from carried ones. The protocol's
+    minWriterVersion rises to 4 (the changeDataFeed legacy writer
+    floor); readers are unaffected. ``assignments`` maps column name
+    to a Column expression evaluated on matched rows. NULL-evaluating
+    conditions leave rows untouched (SQL UPDATE semantics)."""
+    st = _replay_state(spark, path, None)
+    meta, adds, v = st["meta"], st["adds"], st["version"]
+    if _mapping_info(meta)[0] != "none" or (
+        meta.get("partitionColumns") or []
+    ):
+        raise ValueError(
+            "delta_update_rows on a column-mapped or partitioned table "
+            "is outside the fixture writer's profile"
+        )
+    scan = _scan_adds(spark, path, meta, adds)
+    hit = F.coalesce(condition, F.lit(False))
+    pre = scan.filter(hit)
+    post = pre.withColumns(assignments)
+    if post.columns != scan.columns:
+        raise ValueError("assignments must not add or reorder columns")
+    final = scan.filter(~hit).unionByName(post)
+    # stage data files exactly like write_delta, plus the CDC files
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    final.write.mode("overwrite").parquet(stage)
+    new_adds = []
+    now_ms = int(os.path.getmtime(stage) * 1000)
+    for rel in _list_part_files(stage):
+        src = os.path.join(stage, rel)
+        dst = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+        new_adds.append(
+            {
+                "path": urllib.parse.quote(rel, safe="/="),
+                "partitionValues": {},
+                "size": os.path.getsize(dst),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    cdc_df = pre.withColumn(
+        "_change_type", F.lit("update_preimage")
+    ).unionByName(post.withColumn("_change_type", F.lit("update_postimage")))
+    cstage = os.path.join(path, f".cstage-{uuid.uuid4().hex}")
+    cdc_df.write.mode("overwrite").parquet(cstage)
+    cdir = os.path.join(path, "_change_data")
+    os.makedirs(cdir, exist_ok=True)
+    cdc_actions = []
+    for rel in _list_part_files(cstage):
+        dst_rel = f"_change_data/cdc-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(cstage, rel), os.path.join(path, dst_rel))
+        cdc_actions.append(
+            {
+                "path": dst_rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(path, dst_rel)),
+                "dataChange": False,
+            }
+        )
+    shutil.rmtree(cstage, ignore_errors=True)
+    proto = dict(st["protocol"] or {"minReaderVersion": 1})
+    actions: list[dict] = []
+    if int(proto.get("minWriterVersion", 2)) < 4 and "writerFeatures" not in (
+        proto or {}
+    ):
+        actions.append(
+            {"protocol": {**proto, "minWriterVersion": 4}}
+        )
+    for a in adds:
+        rm = {"path": a["path"], "deletionTimestamp": now_ms,
+              "dataChange": True}
+        if a.get("deletionVector"):
+            rm["deletionVector"] = a["deletionVector"]
+        actions.append({"remove": rm})
+    actions.extend({"add": a} for a in new_adds)
+    actions.extend({"cdc": c} for c in cdc_actions)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
+                "operationParameters": {},
+            }
+        }
+    )
+    _publish_commit(path, v + 1, actions)
+    return v + 1
+
+
+def delta_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED over a foreign Delta log — the interop twin of
+    the native ``Catalog.changes``: one row per changed row per commit
+    in ``[starting_version, ending_version]``, with ``_change_type``
+    (``insert`` / ``delete`` / ``update_preimage`` /
+    ``update_postimage``) and ``_commit_version`` appended to the
+    table schema. This is what a CDC-consuming pipeline tails to keep
+    a downstream store in sync without rescanning the table.
+
+    Per commit, the change set comes from (in priority order):
+
+    1. **``cdc`` actions** (present when the writer emitted Change
+       Data Feed, e.g. :func:`delta_update_rows` or any mainstream
+       writer with ``delta.enableChangeDataFeed``): the named
+       ``_change_data`` files are AUTHORITATIVE — they carry
+       ``_change_type`` in-file and are scanned directly.
+    2. **File-diff reconstruction** for commits without cdc: pure
+       adds read as ``insert``; pure removes read as ``delete`` (the
+       file's live rows at removal time — its tracked deletion vector
+       applied); a remove+re-add of the SAME path with a grown
+       deletion vector (the ``delta_delete_rows`` shape) reads only
+       the NEWLY tombstoned positions as ``delete`` (a shrunk vector
+       reads restored positions as ``insert``). Bitmap deltas decode
+       driver-side — bounded by the vectors' own cardinality, the
+       quantity the commit serialized.
+    3. A commit that rewrites files (removes one path, adds another)
+       WITHOUT cdc actions is undecidable row-wise and raises loudly
+       — the same contract mainstream CDF readers enforce (enable CDF
+       before reading changes), never a silent wrong feed.
+
+    Compaction commits (``dataChange: false``) emit nothing but still
+    advance the tracked file state, exactly per spec. The window must
+    lie within the retained JSON commits (a checkpoint-truncated
+    prefix raises)."""
+    from spype_spark import roaring
+
+    versions_all = _commit_versions(path)
+    if ending_version is None:
+        ending_version = versions_all[-1] if versions_all else 0
+    avail = set(versions_all)
+    window = list(range(starting_version, ending_version + 1))
+    missing = [v for v in window if v not in avail]
+    if missing:
+        raise ValueError(
+            f"delta_changes: commits {missing} not retained as JSON "
+            f"(checkpoint-truncated) — change window unavailable"
+        )
+    st_end = _replay_state(spark, path, ending_version)
+    meta = st_end["meta"]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    out_schema = StructType.fromJson(
+        json.loads(meta["schemaString"])
+    ).add("_change_type", "string").add("_commit_version", "long")
+    cols = [f.name for f in schema.fields]
+    parsed: list[tuple[int, list[dict], list[dict], list[dict]]] = []
+    for v in window:
+        adds_v: list[dict] = []
+        rms_v: list[dict] = []
+        cdc_v: list[dict] = []
+        with open(_commit_path(path, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    adds_v.append(action["add"])
+                elif "remove" in action:
+                    rms_v.append(action["remove"])
+                elif "cdc" in action:
+                    cdc_v.append(action["cdc"])
+        parsed.append((v, adds_v, rms_v, cdc_v))
+    # file state entering the window (add action per live path) — only
+    # reconstructed when some diff actually references a PRE-window
+    # file, so a window of pure appends works even when the commits
+    # before it were checkpoint-truncated
+    state: dict[str, dict] = {}
+    if starting_version > 0:
+        known: set[str] = set()
+        need_state = False
+        for _v, adds_v, rms_v, cdc_v in parsed:
+            if not cdc_v and any(
+                r["path"] not in known
+                for r in rms_v
+                if r.get("dataChange", True)
+            ):
+                need_state = True
+                break
+            known.update(a["path"] for a in adds_v)
+        if need_state:
+            _m0, adds0, _v0 = _replay(spark, path, starting_version - 1)
+            state = {a["path"]: a for a in adds0}
+    frames: list[DataFrame] = []
+
+    def tag(df: DataFrame, kind: str, v: int) -> DataFrame:
+        return df.select(
+            *cols,
+            F.lit(kind).alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+        )
+
+    for v, adds_v, rms_v, cdc_v in parsed:
+        if cdc_v:
+            cfiles = [
+                os.path.join(path, urllib.parse.unquote(c["path"]))
+                for c in cdc_v
+            ]
+            cdc_schema = StructType.fromJson(
+                json.loads(meta["schemaString"])
+            ).add("_change_type", "string")
+            frames.append(
+                spark.read.schema(cdc_schema)
+                .parquet(*cfiles)
+                .select(
+                    *cols,
+                    "_change_type",
+                    F.lit(v).cast("long").alias("_commit_version"),
+                )
+            )
+        else:
+            da = [a for a in adds_v if a.get("dataChange", True)]
+            dr = [r for r in rms_v if r.get("dataChange", True)]
+            add_paths = {a["path"] for a in da}
+            rm_paths = {r["path"] for r in dr}
+            pure_adds = [a for a in da if a["path"] not in rm_paths]
+            pure_rms = [r for r in dr if r["path"] not in add_paths]
+            if pure_adds and pure_rms:
+                raise ValueError(
+                    f"delta_changes: commit {v} rewrites files without "
+                    f"cdc actions — the row-level change set is "
+                    f"undecidable; enable Change Data Feed on the writer"
+                )
+            if pure_adds:
+                frames.append(
+                    tag(_scan_adds(spark, path, meta, pure_adds),
+                        "insert", v)
+                )
+            if pure_rms:
+                ghost = []
+                for r in pure_rms:
+                    prev = state.get(r["path"])
+                    if prev is None:
+                        raise ValueError(
+                            f"delta_changes: commit {v} removes "
+                            f"{r['path']} which is not in the tracked "
+                            f"state — window must start at table birth "
+                            f"or a replayable version"
+                        )
+                    ghost.append(prev)
+                frames.append(
+                    tag(_scan_adds(spark, path, meta, ghost), "delete", v)
+                )
+            for a in da:
+                if a["path"] not in rm_paths:
+                    continue
+                prev = state.get(a["path"]) or {}
+                old_dvd = prev.get("deletionVector")
+                new_dvd = a.get("deletionVector")
+                if new_dvd is None and old_dvd is None:
+                    raise ValueError(
+                        f"delta_changes: commit {v} re-adds "
+                        f"{a['path']} unchanged and un-vectored — "
+                        f"row-level change set undecidable without cdc"
+                    )
+                # metadata-sized decode: bounded by the two vectors'
+                # cardinality (what the commit serialized)
+                old_pos = set(
+                    roaring.deserialize_array64(
+                        _load_dv_bytes(path, old_dvd)
+                    )
+                    if old_dvd
+                    else []
+                )
+                new_pos = set(
+                    roaring.deserialize_array64(
+                        _load_dv_bytes(path, new_dvd)
+                    )
+                    if new_dvd
+                    else []
+                )
+                for kind, delta in (
+                    ("delete", sorted(new_pos - old_pos)),
+                    ("insert", sorted(old_pos - new_pos)),
+                ):
+                    if not delta:
+                        continue
+                    bare = {
+                        k: val
+                        for k, val in a.items()
+                        if k != "deletionVector"
+                    }
+                    full = _scan_adds(
+                        spark, path, meta, [bare], keep_pos=True
+                    )
+                    pos_df = spark.createDataFrame(
+                        [(int(p),) for p in delta], "_pos long"
+                    )
+                    frames.append(
+                        tag(
+                            full.join(
+                                F.broadcast(pos_df), ["_pos"], "inner"
+                            ),
+                            kind,
+                            v,
+                        )
+                    )
+        for r in rms_v:
+            state.pop(r["path"], None)
+        for a in adds_v:
+            state[a["path"]] = a
+    if not frames:
+        return spark.createDataFrame([], out_schema)
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def delta_rename_column(
     spark: SparkSession, path: str, renames: dict[str, str]
 ) -> int:

@@ -3600,3 +3600,71 @@ def q_lake_delta_export_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dl.read_delta(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_delta_changes",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    od AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    live2 AS (
+      SELECT * FROM ev WHERE NOT (o_totalprice > 150000)
+      UNION ALL SELECT * FROM od
+    ),
+    m AS (SELECT * FROM live2 WHERE o_orderstatus = 'F')
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'insert' AS _change_type, 0 AS _commit_version FROM ev
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'delete', 1 FROM ev WHERE o_totalprice > 150000
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'insert', 2 FROM od
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'update_preimage', 3 FROM m
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice + 10.0, o_orderstatus,
+           'update_postimage', 3 FROM m
+    """,
+)
+def q_lake_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over a foreign Delta log
+    (:func:`delta_interop.delta_changes`) — the interop twin of the
+    native catalog CDF: a CDC consumer tails row-level changes from a
+    Delta table without rescanning it. The fixture log exercises every
+    decode path: v0 create (file-diff `insert`), v1 deletion-vector
+    delete (`delete` from the DV position DELTA — only newly
+    tombstoned rows), v2 append (`insert`), v3 UPDATE with spec-shaped
+    ``cdc`` actions (:func:`delta_interop.delta_update_rows` — the
+    authoritative `_change_data` channel with
+    ``update_preimage``/``update_postimage`` rows). Rewrite commits
+    without cdc raise loudly (the same contract mainstream CDF readers
+    enforce) — never a silently-wrong feed. The oracle replays all
+    four change sets relationally from the corpus table."""
+    from spype_spark import delta_interop as dl
+
+    tmp = _scratch("spype_delta_cdf_")
+    try:
+        path = f"{tmp}/orders_cdf"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        ev = o.filter(F.col("o_orderkey") % 2 == 0)
+        od = o.filter(F.col("o_orderkey") % 2 == 1)
+        dl.write_delta(spark, ev, path)
+        dl.delta_delete_rows(spark, path, F.col("o_totalprice") > 150000)
+        dl.write_delta(spark, od, path, mode="append")
+        dl.delta_update_rows(
+            spark,
+            path,
+            F.col("o_orderstatus") == "F",
+            {"o_totalprice": F.col("o_totalprice") + 10.0},
+        )
+        return dl.delta_changes(spark, path, 0).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1052,3 +1052,86 @@ def test_delta_partition_filter_logically_keyed_mapped_log(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == [
         k for k in range(12) if k % 3 == 1
     ]
+
+
+def test_delta_changes_full_window(spark, tmp_path):
+    """CDF decode paths: create (insert), DV delete (position delta),
+    append (insert), cdc update (pre/post images); head state stays
+    consistent with the feed."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "cdf")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dl.write_delta(spark, df, p)
+    dl.delta_delete_rows(spark, p, F.col("k") < 5)
+    dl.write_delta(
+        spark,
+        spark.range(40, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        p,
+        mode="append",
+    )
+    dl.delta_update_rows(
+        spark, p, F.col("k") % 10 == 0, {"v": F.col("v") + 1}
+    )
+    ch = dl.delta_changes(spark, p, 0)
+    counts = {
+        (r["_commit_version"], r["_change_type"]): r["count"]
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .count()
+        .collect()
+    }
+    assert counts[(0, "insert")] == 40
+    assert counts[(1, "delete")] == 5
+    assert counts[(2, "insert")] == 10
+    # live keys at v2 divisible by 10: 10,20,30,40  (0 was deleted)
+    assert counts[(3, "update_preimage")] == 4
+    assert counts[(3, "update_postimage")] == 4
+    post = {
+        r["k"]: r["v"]
+        for r in ch.filter("_change_type = 'update_postimage'").collect()
+    }
+    assert post == {10: 21, 20: 41, 30: 61, 40: 81}
+    # a second DV delete produces ONLY the newly tombstoned rows
+    dl.delta_delete_rows(spark, p, F.col("k") < 8)
+    ch4 = dl.delta_changes(spark, p, 4, 4)
+    assert sorted(r["k"] for r in ch4.collect()) == [5, 6, 7]
+    assert set(r["_change_type"] for r in ch4.collect()) == {"delete"}
+
+
+def test_delta_changes_gates_are_loud(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "g")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    dl.write_delta(spark, df, p)
+    # overwrite = remove+add different paths, no cdc => undecidable
+    dl.write_delta(
+        spark,
+        spark.range(5, 15).select(F.col("id").alias("k")),
+        p,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="without\\s+cdc|undecidable"):
+        dl.delta_changes(spark, p, 0).collect()
+    # but a window past the rewrite works
+    assert dl.delta_changes(spark, p, 2, 1).count() == 0  # empty window
+    # checkpoint-truncated prefix raises
+    p2 = str(tmp_path / "t")
+    dl.write_delta(spark, spark.range(3).select(F.col("id").alias("k")), p2)
+    dl.write_delta(
+        spark,
+        spark.range(3, 6).select(F.col("id").alias("k")),
+        p2,
+        mode="append",
+    )
+    dl.checkpoint_delta(spark, p2)
+    os.remove(dl._commit_path(p2, 0))
+    with pytest.raises(ValueError, match="not retained"):
+        dl.delta_changes(spark, p2, 0)
+    # a window starting after the truncation still reconstructs state
+    ch = dl.delta_changes(spark, p2, 1, 1)
+    assert sorted(r["k"] for r in ch.collect()) == [3, 4, 5]
