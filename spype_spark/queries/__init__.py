@@ -55,10 +55,11 @@ _DRIVER_PRIORITY = [
     # ---- round-13 window (first 50 keys = the driver's evidence
     # budget). Per VERDICT.md r12 task 1: q_lake_delta_export FIRST
     # (the ONLY key with zero driver history — it landed after the r12
-    # window froze), then the TWELVE round-13 NEW contracts (zero
-    # history by construction), then the 5 keys whose last driver
-    # green is r7 (q_tpch_q2/q20/q21/q9, q_udaf_grouped), then the 34
-    # r8-stale keys starting q_sim_cosine_tiled (the oldest). With 13
+    # window froze), then the SEVENTEEN round-13 NEW contracts (zero
+    # history by construction; the last four landed in the round-13
+    # continuation session), then the 5 keys whose last driver green
+    # is r7 (q_tpch_q2/q20/q21/q9, q_udaf_grouped), then the 34
+    # r8-stale keys starting q_sim_cosine_tiled (the oldest). With 18
     # zero-history keys ahead of them, the window cuts off inside the
     # r8 block — the overflow heads the r14 queue.
     "q_lake_delta_export",
@@ -76,6 +77,11 @@ _DRIVER_PRIORITY = [
     "q_lake_delta_v2ckpt",
     "q_lake_delta_idmap",
     "q_lake_iceberg_namemap",
+    # round-13 continuation additions (zero driver history):
+    "q_lake_delta_export_mor",
+    "q_lake_delta_export_colmap",
+    "q_sink_avro_roundtrip",
+    "q_lake_delta_changes",
     # last driver-green r7 (all 5):
     "q_tpch_q2",
     "q_tpch_q20",
