@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     "q_lake_delta_export_colmap",
     "q_sink_avro_roundtrip",
     "q_lake_delta_changes",
+    "q_lake_iceberg_changes",
     # last driver-green r7 (all 5):
     "q_tpch_q2",
     "q_tpch_q20",

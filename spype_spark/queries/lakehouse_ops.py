@@ -3668,3 +3668,82 @@ def q_lake_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dl.delta_changes(spark, path, 0).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_iceberg_changes",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    od AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    all_o AS (SELECT * FROM ev UNION ALL SELECT * FROM od),
+    live2 AS (SELECT * FROM all_o WHERE NOT (o_totalprice > 150000))
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'insert' AS _change_type, 0 AS _snap_ord FROM ev
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'insert', 1 FROM od
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'delete', 2 FROM all_o WHERE o_totalprice > 150000
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'delete', 3 FROM live2 WHERE o_orderkey % 10 = 0
+    """,
+)
+def q_lake_iceberg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL READ over an Iceberg snapshot chain
+    (:func:`iceberg_interop.iceberg_changes`) — the Iceberg twin of
+    q_lake_delta_changes: a CDC consumer tails per-snapshot row-level
+    changes. The fixture chain exercises every decidable layer: two
+    append snapshots (file-diff `insert`), a POSITION-delete snapshot
+    and an EQUALITY-delete snapshot (both read via the `(_file,_pos)`
+    anti-join between consecutive position scans, so the verified
+    sequence-number machinery decides exactly which rows became
+    hidden). Rewrite snapshots without row lineage raise loudly;
+    `replace` (compaction) snapshots emit nothing by spec. Snapshot
+    ids are content-random longs, so the contract maps them to chain
+    ordinals for the relational oracle."""
+    from spype_spark import iceberg_interop as ice
+
+    tmp = _scratch("spype_ice_cdc_")
+    try:
+        path = f"{tmp}/orders_cdc"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        ev = o.filter(F.col("o_orderkey") % 2 == 0)
+        od = o.filter(F.col("o_orderkey") % 2 == 1)
+        s0 = ice.write_iceberg(spark, ev, path)
+        s1 = ice.write_iceberg(spark, od, path, mode="append")
+        hits = (
+            ice.position_scan(spark, path)
+            .filter(F.col("o_totalprice") > 150000)
+            .select(
+                F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
+            )
+        )
+        s2 = ice.write_iceberg_pos_deletes(spark, hits, path)
+        s3 = ice.write_iceberg_eq_deletes(
+            spark,
+            o.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey"),
+            path,
+            ["o_orderkey"],
+        )
+        ch = ice.iceberg_changes(spark, path)
+        ord_col = (
+            F.when(F.col("_snapshot_id") == s0, 0)
+            .when(F.col("_snapshot_id") == s1, 1)
+            .when(F.col("_snapshot_id") == s2, 2)
+            .when(F.col("_snapshot_id") == s3, 3)
+        )
+        return (
+            ch.withColumn("_snap_ord", ord_col.cast("int"))
+            .drop("_snapshot_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

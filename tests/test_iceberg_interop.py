@@ -642,3 +642,64 @@ def test_iceberg_foreign_field_ids_survive_publishes(spark, tmp_path):
     assert got == [
         (k, 10 * k) for k in list(range(15)) + [100, 101, 102] if k != 3
     ]
+
+
+def test_iceberg_changes_full_chain(spark, tmp_path):
+    """Incremental read: appends as inserts, pos/eq delete snapshots
+    as row-level deletes via the position-scan anti-join."""
+    from spype_spark.iceberg_interop import (
+        iceberg_changes,
+        position_scan,
+        write_iceberg,
+        write_iceberg_eq_deletes,
+        write_iceberg_pos_deletes,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    s0 = write_iceberg(spark, df, p)
+    s1 = write_iceberg(
+        spark,
+        spark.range(30, 40).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        p,
+        mode="append",
+    )
+    hits = (
+        position_scan(spark, p)
+        .filter(F.col("k") < 5)
+        .select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+    )
+    s2 = write_iceberg_pos_deletes(spark, hits, p)
+    s3 = write_iceberg_eq_deletes(
+        spark,
+        spark.range(0, 40, 10).select(F.col("id").alias("k")),
+        p,
+        ["k"],
+    )
+    ch = iceberg_changes(spark, p)
+    got = {
+        (r["_snapshot_id"], r["_change_type"]): r["count"]
+        for r in ch.groupBy("_snapshot_id", "_change_type").count().collect()
+    }
+    assert got[(s0, "insert")] == 30
+    assert got[(s1, "insert")] == 10
+    assert got[(s2, "delete")] == 5
+    # eq delete of {0,10,20,30}: 0 already pos-deleted -> 3 rows
+    assert got[(s3, "delete")] == 3
+    d3 = sorted(
+        r["k"] for r in ch.filter(F.col("_snapshot_id") == s3).collect()
+    )
+    assert d3 == [10, 20, 30]
+    # exclusive-from window
+    ch2 = iceberg_changes(spark, p, from_snapshot_id=s1)
+    assert set(
+        r["_snapshot_id"]
+        for r in ch2.select("_snapshot_id").distinct().collect()
+    ) == {s2, s3}
+    # unknown snapshot id is loud
+    with pytest.raises(ValueError, match="not in snapshot chain"):
+        iceberg_changes(spark, p, from_snapshot_id=123)
