@@ -512,6 +512,29 @@ _READ_ICEBERG_RE = re.compile(
     r"(?:\s+SNAPSHOT\s+AS\s+OF\s+(?P<snap>\d+))?",
     re.IGNORECASE,
 )
+# FROM DELTA CHANGES '<path>' [FROM VERSION a] [TO VERSION b] — the
+# Change Data Feed of a foreign Delta log (delta_interop.delta_changes)
+_READ_DELTA_CHANGES_RE = re.compile(
+    r"(?P<kw>\b(?:FROM|JOIN)\b)\s+DELTA\s+CHANGES\s+'(?P<path>[^']+)'"
+    r"(?:\s+FROM\s+VERSION\s+(?P<fromv>\d+))?"
+    r"(?:\s+TO\s+VERSION\s+(?P<tov>\d+))?",
+    re.IGNORECASE,
+)
+# FROM ICEBERG CHANGES '<path>' [FROM SNAPSHOT a] [TO SNAPSHOT b] —
+# incremental read over a snapshot chain (iceberg_changes; FROM is
+# exclusive per Iceberg's own incremental-scan convention)
+_READ_ICEBERG_CHANGES_RE = re.compile(
+    r"(?P<kw>\b(?:FROM|JOIN)\b)\s+ICEBERG\s+CHANGES\s+'(?P<path>[^']+)'"
+    r"(?:\s+FROM\s+SNAPSHOT\s+(?P<froms>\d+))?"
+    r"(?:\s+TO\s+SNAPSHOT\s+(?P<tos>\d+))?",
+    re.IGNORECASE,
+)
+# FROM AVRO '<dir>' — a directory of Avro container files through the
+# distributed jar-free source (avro_table.read_avro_table)
+_READ_AVRO_RE = re.compile(
+    r"(?P<kw>\b(?:FROM|JOIN)\b)\s+AVRO\s+'(?P<path>[^']+)'",
+    re.IGNORECASE,
+)
 # a bare identifier in FROM/JOIN position with optional TXN AS OF —
 # resolved through catalog= when the name is in the catalog state
 # (names that aren't stay untouched for Spark's own resolver: temp
@@ -788,8 +811,64 @@ def _resolve_reads(
         _track(view)
         return f"{m.group('kw')} {view}"
 
+    def _delta_changes_ref(m: re.Match) -> str:
+        if _inside_string(m.string, m.start()):
+            return m.group(0)
+        from spype_spark import delta_interop
+
+        df = delta_interop.delta_changes(
+            spark,
+            m.group("path"),
+            starting_version=(
+                int(m.group("fromv")) if m.group("fromv") is not None else 0
+            ),
+            ending_version=(
+                int(m.group("tov")) if m.group("tov") is not None else None
+            ),
+        )
+        view = _fresh_view()
+        df.createOrReplaceTempView(view)
+        _track(view)
+        return f"{m.group('kw')} {view}"
+
+    def _iceberg_changes_ref(m: re.Match) -> str:
+        if _inside_string(m.string, m.start()):
+            return m.group(0)
+        from spype_spark import iceberg_interop
+
+        df = iceberg_interop.iceberg_changes(
+            spark,
+            m.group("path"),
+            from_snapshot_id=(
+                int(m.group("froms")) if m.group("froms") is not None else None
+            ),
+            to_snapshot_id=(
+                int(m.group("tos")) if m.group("tos") is not None else None
+            ),
+        )
+        view = _fresh_view()
+        df.createOrReplaceTempView(view)
+        _track(view)
+        return f"{m.group('kw')} {view}"
+
+    def _avro_ref(m: re.Match) -> str:
+        if _inside_string(m.string, m.start()):
+            return m.group(0)
+        from spype_spark import avro_table
+
+        df = avro_table.read_avro_table(spark, m.group("path"))
+        view = _fresh_view()
+        df.createOrReplaceTempView(view)
+        _track(view)
+        return f"{m.group('kw')} {view}"
+
     # DELTA/ICEBERG refs first: the plain-path regex would otherwise
     # match the quoted path and mis-route it to the native reader
+    # (and the CHANGES forms before the plain foreign forms — their
+    # keyword precedes the quote the plain regexes anchor on)
+    stmt = _READ_ICEBERG_CHANGES_RE.sub(_iceberg_changes_ref, stmt)
+    stmt = _READ_DELTA_CHANGES_RE.sub(_delta_changes_ref, stmt)
+    stmt = _READ_AVRO_RE.sub(_avro_ref, stmt)
     stmt = _READ_ICEBERG_RE.sub(_iceberg_ref, stmt)
     stmt = _READ_DELTA_RE.sub(_delta_ref, stmt)
     stmt = _READ_REF_RE.sub(_path_ref, stmt)
@@ -835,7 +914,12 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
     OF n]`` (a FOREIGN Delta table) via
     :func:`delta_interop.read_delta`, ``FROM ICEBERG '<path>'
     [SNAPSHOT AS OF id]`` (a FOREIGN Iceberg table) via
-    :func:`iceberg_interop.read_iceberg`, and bare catalog-state names
+    :func:`iceberg_interop.read_iceberg`, ``FROM DELTA CHANGES
+    '<path>' [FROM VERSION a] [TO VERSION b]`` via
+    :func:`delta_interop.delta_changes`, ``FROM ICEBERG CHANGES
+    '<path>' [FROM SNAPSHOT a] [TO SNAPSHOT b]`` via
+    :func:`iceberg_interop.iceberg_changes`, ``FROM AVRO '<dir>'``
+    via :func:`avro_table.read_avro_table`, and bare catalog-state names
     ``[TXN AS OF n]`` via :meth:`Catalog.read` (see
     :func:`_resolve_reads`). ``INSERT INTO t <select|values>`` appends
     through :func:`lakehouse.append_table` / ``txn.append`` (VALUES

@@ -722,3 +722,62 @@ def test_sql_foreign_maintenance_verbs(spark, tmp_path):
     # DELETE FROM DELTA requires the quoted-path form
     with pytest.raises(Exception):
         spype_spark.sql(spark, "DELETE FROM DELTA missing_quotes WHERE 1=1")
+
+
+def test_sql_from_changes_and_avro(spark, tmp_path):
+    """Round-13 continuation statements: FROM DELTA CHANGES (CDF over
+    a foreign log), FROM ICEBERG CHANGES (incremental snapshot read),
+    FROM AVRO (jar-free container directory scan)."""
+    from pyspark.sql import functions as F
+
+    from spype_spark import avro_table as at
+    from spype_spark import delta_interop as dl
+    from spype_spark import iceberg_interop as ice
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    # Delta CDF
+    dpath = str(tmp_path / "d")
+    dl.write_delta(spark, df, dpath)
+    dl.delta_delete_rows(spark, dpath, F.col("k") < 3)
+    got = spype_spark.sql(
+        spark,
+        f"SELECT _change_type, count(*) AS n FROM DELTA CHANGES "
+        f"'{dpath}' GROUP BY _change_type ORDER BY _change_type",
+    ).collect()
+    assert [(r._change_type, r.n) for r in got] == [
+        ("delete", 3),
+        ("insert", 10),
+    ]
+    got = spype_spark.sql(
+        spark,
+        f"SELECT count(*) AS n FROM DELTA CHANGES '{dpath}' "
+        f"FROM VERSION 1 TO VERSION 1",
+    ).collect()
+    assert got[0].n == 3
+    # Iceberg incremental
+    ipath = str(tmp_path / "i")
+    s0 = ice.write_iceberg(spark, df, ipath)
+    ice.write_iceberg(
+        spark,
+        spark.range(10, 14).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        ipath,
+        mode="append",
+    )
+    got = spype_spark.sql(
+        spark,
+        f"SELECT count(*) AS n FROM ICEBERG CHANGES '{ipath}' "
+        f"FROM SNAPSHOT {s0}",
+    ).collect()
+    assert got[0].n == 4
+    # Avro directory
+    apath = str(tmp_path / "a")
+    at.write_avro_table(df, apath)
+    got = spype_spark.sql(
+        spark,
+        f"SELECT count(*) AS n, sum(v) AS s FROM AVRO '{apath}'",
+    ).collect()
+    assert (got[0].n, got[0].s) == (10, 450)
