@@ -261,13 +261,9 @@ def write_avro_table(
             write_avro(fp, schema, rows, codec=codec)
             yield pd.DataFrame({"path": [fp], "rows": [len(rows)]})
 
+    enc = df.mapInPandas(encode, schema="path string, rows long")
     # metadata-sized collect: one manifest row per partition
-    manifest = [
-        r.asDict()
-        for r in df.mapInPandas(
-            encode, schema="path string, rows long"
-        ).collect()
-    ]
+    manifest = [r.asDict() for r in enc.collect()]
     if not manifest:
         fp = os.path.join(directory, f"part-{uuid.uuid4().hex}.avro")
         write_avro(fp, schema, [], codec=codec)
