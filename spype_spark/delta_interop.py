@@ -71,152 +71,23 @@ __all__ = [
     "delta_delete_rows",
 ]
 
-_LOG_DIR = "_delta_log"
-#: Reader features this implementation supports. ``columnMapping``
-#: (name mode — physical parquet names resolved back to logical
-#: schema names; id mode stays a loud gate) and ``deletionVectors``
-#: (roaring-bitmap row tombstones applied as a distributed anti-join)
-#: both graduated round 13. Features beyond these (v2 checkpoints, …)
-#: must FAIL the read, not corrupt it.
-_SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
-    {"columnMapping", "deletionVectors", "v2Checkpoint"}
+from spype_spark.delta_log import (  # noqa: F401  (historical aliases)
+    LOG_DIR as _LOG_DIR,
+    SUPPORTED_READER_FEATURES as _SUPPORTED_READER_FEATURES,
+    URI_RE as _URI_RE,
+    check_protocol as _check_protocol,
+    checkpoint_path as _checkpoint_path,
+    commit_path as _commit_path,
+    commit_versions as _commit_versions,
+    last_checkpoint as _last_checkpoint,
+    load_dv_bytes as _load_dv_bytes,
+    log_dir as _log_dir,
+    mapping_info as _mapping_info,
+    physical_json as _physical_json,
+    resolve_checkpoint as _resolve_checkpoint,
+    z85_decode as _z85_decode,
+    z85_encode as _z85_encode,
 )
-
-#: Z85 alphabet (ZeroMQ spec 32/Z85) — Delta encodes deletion-vector
-#: file UUIDs and inline bitmaps with it. NOT python's b85 variant.
-_Z85_CHARS = (
-    "0123456789abcdefghijklmnopqrstuvwxyz"
-    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
-)
-_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
-
-_URI_RE = r"^file:(//)?"
-
-
-def _z85_encode(data: bytes) -> str:
-    if len(data) % 4:
-        raise ValueError("z85 encodes 4-byte groups")
-    out = []
-    for i in range(0, len(data), 4):
-        acc = int.from_bytes(data[i:i + 4], "big")
-        chunk = []
-        for _ in range(5):
-            acc, r = divmod(acc, 85)
-            chunk.append(_Z85_CHARS[r])
-        out.extend(reversed(chunk))
-    return "".join(out)
-
-
-def _z85_decode(text: str) -> bytes:
-    if len(text) % 5:
-        raise ValueError("z85 decodes 5-char groups")
-    out = bytearray()
-    for i in range(0, len(text), 5):
-        acc = 0
-        for c in text[i:i + 5]:
-            if c not in _Z85_INDEX:
-                raise ValueError(f"invalid z85 character {c!r}")
-            acc = acc * 85 + _Z85_INDEX[c]
-        out += acc.to_bytes(4, "big")
-    return bytes(out)
-
-
-def _log_dir(path: str) -> str:
-    return os.path.join(path, _LOG_DIR)
-
-
-def _commit_path(path: str, version: int) -> str:
-    return os.path.join(_log_dir(path), f"{version:020d}.json")
-
-
-def _checkpoint_path(path: str, version: int) -> str:
-    return os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
-
-
-def _commit_versions(path: str) -> list[int]:
-    """Sorted versions that have a JSON commit file present."""
-    d = _log_dir(path)
-    if not os.path.isdir(d):
-        raise FileNotFoundError(f"{path} has no {_LOG_DIR} — not a Delta table")
-    out = []
-    for n in os.listdir(d):
-        if n.endswith(".json") and len(n) == 25:
-            try:
-                out.append(int(n[:20]))
-            except ValueError:
-                continue
-    return sorted(out)
-
-
-def _last_checkpoint(path: str) -> dict | None:
-    p = os.path.join(_log_dir(path), "_last_checkpoint")
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
-
-
-def _check_protocol(protocol: dict | None) -> None:
-    if protocol is None:
-        return
-    reader = int(protocol.get("minReaderVersion", 1))
-    feats = set(protocol.get("readerFeatures") or [])
-    unsupported = feats - _SUPPORTED_READER_FEATURES
-    # reader v2 == column mapping (pre-table-features encoding) — in
-    # profile since r13; v3 == table features, gated per feature below
-    if reader > 1 and reader not in (2, 3):
-        raise ValueError(
-            f"Delta minReaderVersion {reader} is not supported by this "
-            f"reader"
-        )
-    if reader == 3 and unsupported:
-        raise ValueError(
-            f"Delta reader features {sorted(unsupported)} are not "
-            f"supported by this reader"
-        )
-    if reader == 3 and not feats:
-        raise ValueError("Delta protocol 3 without readerFeatures is malformed")
-
-
-def _resolve_checkpoint(path: str, cv: int, ckpt: dict) -> dict:
-    """Locate the checkpoint at version ``cv``: classic (single-file
-    or multi-part ``N.checkpoint[.i.of].parquet``) or a V2 checkpoint
-    (uuid-named ``N.checkpoint.<uuid>.{json,parquet}`` top-level whose
-    file actions live in ``_sidecars/`` parquet — the table-features
-    form). Returns ``{"kind": "classic", "files": […]}`` or
-    ``{"kind": "v2", "top": path, "format": "json"|"parquet"}``."""
-    import re as _re
-
-    parts = ckpt.get("parts")
-    classic = (
-        [_checkpoint_path(path, cv)]
-        if not parts
-        else [
-            os.path.join(
-                _log_dir(path),
-                f"{cv:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
-            )
-            for i in range(int(parts))
-        ]
-    )
-    if all(os.path.exists(f) for f in classic):
-        return {"kind": "classic", "files": classic}
-    d = _log_dir(path)
-    pat = _re.compile(
-        rf"^{cv:020d}\.checkpoint\.[A-Za-z0-9-]+\.(json|parquet)$"
-    )
-    hits = sorted(n for n in os.listdir(d) if pat.match(n))
-    if not hits:
-        raise FileNotFoundError(
-            f"_last_checkpoint names version {cv} of {path} but no "
-            f"classic or v2 checkpoint file exists"
-        )
-    top = hits[-1]
-    return {
-        "kind": "v2",
-        "top": os.path.join(d, top),
-        "format": top.rsplit(".", 1)[1],
-    }
 
 
 def _v2_top_parse(
@@ -766,110 +637,10 @@ def read_delta(
     return _scan_adds(spark, path, meta, adds)
 
 
-def _physical_json(node):
-    """Schema-JSON node with every field renamed to its
-    ``delta.columnMapping.physicalName`` (recursively — nested struct /
-    array / map element fields carry their own mapping metadata), and
-    the mapping metadata stripped (the physical files don't have it)."""
-    if isinstance(node, dict) and node.get("type") == "struct":
-        return {
-            "type": "struct",
-            "fields": [
-                {
-                    "name": (f.get("metadata") or {}).get(
-                        "delta.columnMapping.physicalName", f["name"]
-                    ),
-                    "type": _physical_json(f["type"]),
-                    "nullable": f.get("nullable", True),
-                    "metadata": {},
-                }
-                for f in node["fields"]
-            ],
-        }
-    if isinstance(node, dict) and node.get("type") == "array":
-        return {**node, "elementType": _physical_json(node["elementType"])}
-    if isinstance(node, dict) and node.get("type") == "map":
-        return {**node, "valueType": _physical_json(node["valueType"])}
-    return node
-
-
-def _mapping_info(meta: dict) -> tuple[str, dict | None, dict]:
-    """(mode, physical schema JSON or None, logical->physical name map
-    for TOP-LEVEL columns). ``name`` mode covers what ALTER TABLE
-    RENAME produces; ``id`` mode (files matched by parquet field id —
-    the Iceberg-compatible form) is resolved per data file in
-    :func:`_scan_adds` via footer walks, with the physicalName map as
-    the spec's fallback for files without ids."""
-    conf = meta.get("configuration") or {}
-    mode = conf.get("delta.columnMapping.mode", "none")
-    if mode in ("none", ""):
-        return "none", None, {}
-    if mode not in ("name", "id"):
-        raise ValueError(
-            f"Delta column mapping mode {mode!r} is not supported"
-        )
-    sj = json.loads(meta["schemaString"])
-    pj = _physical_json(sj)
-    l2p = {
-        lf["name"]: pf["name"] for lf, pf in zip(sj["fields"], pj["fields"])
-    }
-    return mode, pj, l2p
-
 
 # ---------------------------------------------------------------------------
 # deletion vectors (PROTOCOL.md "Deletion Vectors") — graduated r13
 # ---------------------------------------------------------------------------
-
-
-def _load_dv_bytes(table_path: str, dvd: dict) -> bytes:
-    """The raw RoaringBitmapArray payload of one deletion-vector
-    descriptor. Storage types per spec: ``i`` inline (z85 of the
-    payload), ``u`` relative (optional random prefix + z85-encoded
-    16-byte UUID naming ``deletion_vector_<uuid>.bin`` under the table
-    root), ``p`` absolute path. File-stored DVs are framed as
-    [1-byte format version = 1] then per-DV [int32 BE dataSize]
-    [payload][int32 BE CRC-32 of payload] — ``offset`` points at the
-    dataSize field; size and checksum are both verified loudly."""
-    st = dvd.get("storageType")
-    size = int(dvd.get("sizeInBytes") or 0)
-    if st == "i":
-        payload = _z85_decode(dvd["pathOrInlineDv"])
-        if size and len(payload) != size:
-            raise ValueError(
-                f"inline deletion vector size {len(payload)} != "
-                f"sizeInBytes {size}"
-            )
-        return payload
-    if st == "u":
-        enc = dvd["pathOrInlineDv"]
-        prefix, uid_part = enc[:-20], enc[-20:]
-        u = uuid.UUID(bytes=_z85_decode(uid_part))
-        fp = os.path.join(table_path, prefix, f"deletion_vector_{u}.bin")
-    elif st == "p":
-        fp = dvd["pathOrInlineDv"]
-    else:
-        raise ValueError(f"deletion vector storageType {st!r} not supported")
-    with open(fp, "rb") as f:
-        head = f.read(1)
-        if head != b"\x01":
-            raise ValueError(
-                f"deletion vector file {fp} has format version "
-                f"{head!r} (expected 1)"
-            )
-        f.seek(int(dvd.get("offset") or 1))
-        (dsize,) = struct.unpack(">i", f.read(4))
-        if size and dsize != size:
-            raise ValueError(
-                f"deletion vector at {fp}:{dvd.get('offset')} has size "
-                f"{dsize} != descriptor sizeInBytes {size}"
-            )
-        payload = f.read(dsize)
-        if len(payload) != dsize:
-            raise ValueError(f"truncated deletion vector in {fp}")
-        (crc,) = struct.unpack(">i", f.read(4))
-        if (crc & 0xFFFFFFFF) != zlib.crc32(payload):
-            raise ValueError(f"deletion vector CRC mismatch in {fp}")
-    return payload
 
 
 def _write_dv_file(table_path: str, payload: bytes, cardinality: int) -> dict:
