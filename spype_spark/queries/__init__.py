@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = [
     "q_sink_avro_roundtrip",
     "q_lake_delta_changes",
     "q_lake_iceberg_changes",
+    "q_stream_delta_cdc",
     # last driver-green r7 (all 5):
     "q_tpch_q2",
     "q_tpch_q20",

@@ -3747,3 +3747,108 @@ def q_lake_iceberg_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_stream_delta_cdc",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    od AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    live2 AS (
+      SELECT * FROM ev WHERE NOT (o_totalprice > 150000)
+      UNION ALL SELECT * FROM od
+    ),
+    m AS (SELECT * FROM live2 WHERE o_orderstatus = 'F')
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'insert' AS _change_type, 0 AS _commit_version FROM ev
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'delete', 1 FROM ev WHERE o_totalprice > 150000
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'insert', 2 FROM od
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'update_preimage', 3 FROM m
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice + 10.0, o_orderstatus,
+           'update_postimage', 3 FROM m
+    """,
+)
+def q_stream_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING over a foreign Delta change feed — the
+    Spark 4 Python DataSource (:mod:`spype_spark.cdf_source`,
+    ``format("delta_cdf")``) driving the same v0-v3 mutation fixture
+    as ``q_lake_delta_changes`` through a REAL
+    ``readStream → writeStream`` pipeline. Offsets are Delta commit
+    versions held in Spark's checkpoint: the first
+    Trigger.AvailableNow drain (opened after v0 create + v1
+    deletion-vector delete) delivers exactly versions 0-1 to a
+    parquet sink; the table then mutates on (v2 append, v3 cdc
+    UPDATE) and a SECOND drain against the SAME checkpoint resumes
+    from the committed offset, delivering exactly 2-3 — asserted
+    in-contract, with a third drain proving a caught-up consumer adds
+    nothing. Exactly-once CDC tailing with restart, no jars, no
+    source-side state; the oracle replays all four change sets
+    relationally (identical to the batch twin — the streaming path
+    must add or lose NOTHING)."""
+    from spype_spark import delta_interop as dl
+    from spype_spark.cdf_source import register_delta_cdf
+
+    register_delta_cdf(spark)
+    tmp = _scratch("spype_stream_dcdc_")
+    try:
+        path = f"{tmp}/orders_cdf"
+        sink = f"{tmp}/sink"
+        ckpt = f"{tmp}/ckpt"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        ev = o.filter(F.col("o_orderkey") % 2 == 0)
+        od = o.filter(F.col("o_orderkey") % 2 == 1)
+
+        def drain() -> None:
+            q = (
+                spark.readStream.format("delta_cdf")
+                .option("path", path)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        dl.write_delta(spark, ev, path)
+        dl.delta_delete_rows(spark, path, F.col("o_totalprice") > 150000)
+        drain()
+        phase1 = spark.read.parquet(sink)
+        if phase1.filter(F.col("_commit_version") > 1).count() != 0:
+            raise AssertionError("first drain must stop at version 1")
+        n1 = phase1.count()
+        dl.write_delta(spark, od, path, mode="append")
+        dl.delta_update_rows(
+            spark,
+            path,
+            F.col("o_orderstatus") == "F",
+            {"o_totalprice": F.col("o_totalprice") + 10.0},
+        )
+        drain()
+        out = spark.read.parquet(sink).localCheckpoint(eager=True)
+        if out.filter(F.col("_commit_version") <= 1).count() != n1:
+            raise AssertionError(
+                "resumed drain must not re-emit consumed versions"
+            )
+        drain()  # caught up — a third drain adds nothing
+        if spark.read.parquet(sink).count() != out.count():
+            raise AssertionError("caught-up drain must emit nothing")
+        return out.select(
+            *_BASE_COLS, "_change_type", "_commit_version"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
