@@ -417,6 +417,7 @@ def _read_with_deletes(
     snapshot_id: int | None,
     partition_filter: dict | None,
     keep_meta: bool,
+    file_subset: set[str] | None = None,
 ) -> DataFrame:
     """Shared core of :func:`read_iceberg` / :func:`position_scan`:
     one declarative parquet scan over the live data files, then v2
@@ -427,7 +428,10 @@ def _read_with_deletes(
     numbers (rows appended after the delete survive, even when they
     match); a position delete applies to data files with seq ≤ its
     own. ``keep_meta`` keeps Iceberg's ``_file``/``_pos`` metadata
-    columns in the result."""
+    columns in the result. ``file_subset`` restricts the scan to the
+    named data files BEFORE listing (scheme-insensitive) — the
+    targeted-read path incremental consumers use; delete files are
+    never subset (an anti-join against absent rows is a no-op)."""
     meta = _current_metadata(path)
     fv = int(meta.get("format-version", 1))
     if fv not in (1, 2):
@@ -435,6 +439,16 @@ def _read_with_deletes(
     schema = _ice_schema_to_spark(meta)
     snap = _pick_snapshot(meta, snapshot_id)
     info = _snapshot_files(path, snap, partition_filter)
+    if file_subset is not None:
+        norm = {
+            os.path.abspath(re.sub(_URI_SCHEME_RE, "", p))
+            for p in file_subset
+        }
+        info["data"] = [
+            (fp, s)
+            for fp, s in info["data"]
+            if os.path.abspath(re.sub(_URI_SCHEME_RE, "", fp)) in norm
+        ]
     data_cols = [f.name for f in schema.fields]
     if not info["data"]:
         df = spark.createDataFrame([], schema)
@@ -580,15 +594,23 @@ def read_iceberg(
 
 
 def position_scan(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    file_subset: set[str] | None = None,
 ) -> DataFrame:
     """The table's live rows PLUS Iceberg's ``_file`` / ``_pos``
     metadata columns (file URI path-part and 0-based row position) —
     what an engine scans to COMPUTE position deletes: filter this by
     the delete predicate, select ``_file AS file_path, _pos AS pos``,
     and hand it to :func:`write_iceberg_pos_deletes`. Existing deletes
-    are already applied, so re-deleting a hidden row is impossible."""
-    return _read_with_deletes(spark, path, snapshot_id, None, keep_meta=True)
+    are already applied, so re-deleting a hidden row is impossible.
+    ``file_subset`` restricts the scan to the named data files before
+    listing — the incremental reader's targeted form."""
+    return _read_with_deletes(
+        spark, path, snapshot_id, None, keep_meta=True,
+        file_subset=file_subset,
+    )
 
 
 def iceberg_changes(
@@ -627,10 +649,15 @@ def iceberg_changes(
     adds and removes data files under any other operation is a
     rewrite whose row-level changes are undecidable from file diffs —
     loud error, never a silently-wrong feed (same contract as the
-    Delta side). Cost note: each pair diff replans the two snapshots'
-    scans; a production reader would target only the files referenced
-    by the new delete manifests — the fixture-scale form favors
-    reusing the verified sequence-rule machinery."""
+    Delta side). Cost: every layer scans a TARGETED file subset (the
+    ``file_subset`` path of :func:`position_scan`): inserts read only
+    the added files, deletes only the removed ones, and the row-level
+    anti-join only the common files a CHANGED delete file can reach —
+    position deletes name their target data files (one tiny scan over
+    the changed delete files collects the distinct references),
+    equality deletes reach exactly the files with strictly smaller
+    data sequence numbers. Per-pair cost is O(affected files), not
+    O(live data)."""
     meta = _current_metadata(path)
     snaps = list(meta.get("snapshots") or [])
     if not snaps:
@@ -697,9 +724,9 @@ def iceberg_changes(
         if added:
             frames.append(
                 tag(
-                    position_scan(spark, path, sid)
-                    .filter(F.col("_file").isin(sorted(added)))
-                    .select(*cols),
+                    position_scan(
+                        spark, path, sid, file_subset=added
+                    ).select(*cols),
                     "insert",
                     sid,
                 )
@@ -707,25 +734,54 @@ def iceberg_changes(
         if removed:
             frames.append(
                 tag(
-                    position_scan(spark, path, prev_id)
-                    .filter(F.col("_file").isin(sorted(removed)))
-                    .select(*cols),
+                    position_scan(
+                        spark, path, prev_id, file_subset=removed
+                    ).select(*cols),
                     "delete",
                     sid,
                 )
             )
-        dels_changed = set(map(tuple, prev_info["pos"])) != set(
-            map(tuple, cur_info["pos"])
-        ) or {(fp, s, tuple(e)) for fp, s, e in prev_info["eq"]} != {
-            (fp, s, tuple(e)) for fp, s, e in cur_info["eq"]
-        }
-        common = sorted(prev_files & cur_files)
-        if dels_changed and common:
-            prev_scan = position_scan(spark, path, prev_id).filter(
-                F.col("_file").isin(common)
+        # TARGETED row-level diff: the anti-join only needs the common
+        # files a CHANGED delete file can affect — position deletes
+        # name their target data files explicitly; equality deletes
+        # reach exactly the files with strictly smaller data sequence
+        # numbers. Everything else is row-identical between the two
+        # snapshots by construction, so the pair diff is O(affected
+        # files), not O(live data).
+        prev_pos = set(map(tuple, prev_info["pos"]))
+        cur_pos = set(map(tuple, cur_info["pos"]))
+        prev_eq = {(fp, s, tuple(e)) for fp, s, e in prev_info["eq"]}
+        cur_eq = {(fp, s, tuple(e)) for fp, s, e in cur_info["eq"]}
+        pos_delta = prev_pos ^ cur_pos
+        eq_delta = prev_eq ^ cur_eq
+        common = prev_files & cur_files
+        targeted: set[str] = set()
+        if (pos_delta or eq_delta) and common:
+            if pos_delta:
+                refs = (
+                    spark.read.parquet(
+                        *sorted({fp for fp, _s in pos_delta})
+                    )
+                    .select("file_path")
+                    .distinct()
+                    # metadata-sized collect: one row per distinct
+                    # data file the changed delete files reference
+                    .collect()
+                )
+                targeted |= {_norm(r["file_path"]) for r in refs}
+            if eq_delta:
+                max_eq = max(s for _fp, s, _ids in eq_delta)
+                seq_of = {_norm(fp): s for fp, s in cur_info["data"]}
+                targeted |= {
+                    f for f in common if seq_of.get(f, 0) < max_eq
+                }
+            targeted &= common
+        if targeted:
+            prev_scan = position_scan(
+                spark, path, prev_id, file_subset=targeted
             )
-            cur_scan = position_scan(spark, path, sid).filter(
-                F.col("_file").isin(common)
+            cur_scan = position_scan(
+                spark, path, sid, file_subset=targeted
             )
             frames.append(
                 tag(

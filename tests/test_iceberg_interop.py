@@ -703,3 +703,85 @@ def test_iceberg_changes_full_chain(spark, tmp_path):
     # unknown snapshot id is loud
     with pytest.raises(ValueError, match="not in snapshot chain"):
         iceberg_changes(spark, p, from_snapshot_id=123)
+
+
+def test_iceberg_changes_targeted_file_subset(spark, tmp_path):
+    """The row-level diff layer must scan ONLY the data files the
+    changed delete files can affect: a pos-delete referencing one of
+    two data files plans a window read that never lists the other
+    file (file_subset targeting, not post-hoc row filtering)."""
+    from spype_spark.iceberg_interop import (
+        iceberg_changes,
+        position_scan,
+        write_iceberg,
+        write_iceberg_pos_deletes,
+    )
+
+    p = str(tmp_path / "t")
+    df1 = spark.range(0, 20).coalesce(1).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df2 = spark.range(20, 40).coalesce(1).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_iceberg(spark, df1, p)
+    s1 = write_iceberg(spark, df2, p, mode="append")
+    # delete rows living only in the FIRST file (k < 5)
+    hits = (
+        position_scan(spark, p)
+        .filter(F.col("k") < 5)
+        .select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+    )
+    write_iceberg_pos_deletes(spark, hits, p)
+    touched = {r["file_path"] for r in hits.collect()}
+    assert len(touched) == 1
+    ch = iceberg_changes(spark, p, from_snapshot_id=s1)
+    rows = sorted(r["k"] for r in ch.collect())
+    assert rows == [0, 1, 2, 3, 4]
+    data_inputs = {
+        f for f in ch.inputFiles()
+        if "/data/" in f or f.rsplit("/", 1)[-1].startswith("part-")
+    }
+    # the untouched second data file must not be listed in the plan
+    import re as _re
+
+    norm = {_re.sub(r"^file:(//)?", "", f) for f in data_inputs}
+    assert any(t in n for t in touched for n in norm)
+    second_file_rows = {r["_file"] for r in (
+        position_scan(spark, p).filter(F.col("k") >= 20)
+        .select("_file").distinct().collect()
+    )}
+    assert all(
+        not any(sf in n for n in norm) for sf in second_file_rows
+    ), f"untargeted file leaked into the incremental plan: {norm}"
+
+
+def test_position_scan_file_subset_restricts_listing(spark, tmp_path):
+    """position_scan(file_subset=…) lists exactly the named files."""
+    from spype_spark.iceberg_interop import position_scan, write_iceberg
+
+    p = str(tmp_path / "t")
+    write_iceberg(
+        spark,
+        spark.range(0, 10).coalesce(1).select(F.col("id").alias("k")),
+        p,
+    )
+    write_iceberg(
+        spark,
+        spark.range(10, 20).coalesce(1).select(F.col("id").alias("k")),
+        p,
+        mode="append",
+    )
+    files = {
+        r["_file"]
+        for r in position_scan(spark, p).select("_file").distinct().collect()
+    }
+    assert len(files) == 2
+    one = sorted(files)[0]
+    sub = position_scan(spark, p, file_subset={one})
+    assert sorted(r["k"] for r in sub.collect()) == (
+        list(range(0, 10))
+        if "00000" in one or sub.agg(F.min("k")).first()[0] == 0
+        else list(range(10, 20))
+    )
+    assert {f.replace("file://", "").replace("file:", "") for f in sub.inputFiles()} == {one}
