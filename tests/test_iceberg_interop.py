@@ -778,10 +778,12 @@ def test_position_scan_file_subset_restricts_listing(spark, tmp_path):
     }
     assert len(files) == 2
     one = sorted(files)[0]
-    sub = position_scan(spark, p, file_subset={one})
-    assert sorted(r["k"] for r in sub.collect()) == (
-        list(range(0, 10))
-        if "00000" in one or sub.agg(F.min("k")).first()[0] == 0
-        else list(range(10, 20))
+    expect = sorted(
+        r["k"] for r in spark.read.parquet(one).collect()
     )
-    assert {f.replace("file://", "").replace("file:", "") for f in sub.inputFiles()} == {one}
+    sub = position_scan(spark, p, file_subset={one})
+    assert sorted(r["k"] for r in sub.collect()) == expect
+    assert {
+        f.replace("file://", "").replace("file:", "")
+        for f in sub.inputFiles()
+    } == {one}
