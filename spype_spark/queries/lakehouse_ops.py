@@ -3852,3 +3852,115 @@ def q_stream_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_stream_iceberg_cdc",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    od AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    all_o AS (SELECT * FROM ev UNION ALL SELECT * FROM od),
+    live2 AS (SELECT * FROM all_o WHERE NOT (o_totalprice > 150000))
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'insert' AS _change_type, 0 AS _snap_ord FROM ev
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'insert', 1 FROM od
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'delete', 2 FROM all_o WHERE o_totalprice > 150000
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'delete', 3 FROM live2 WHERE o_orderkey % 10 = 0
+    """,
+)
+def q_stream_iceberg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING over an Iceberg snapshot chain — the
+    Iceberg twin of q_stream_delta_cdc: the Spark 4 Python DataSource
+    (:mod:`spype_spark.iceberg_cdc`, ``format("iceberg_cdc")``)
+    drives the q_lake_iceberg_changes fixture chain through a real
+    ``readStream → writeStream`` pipeline. Offsets are snapshot-chain
+    ordinals PINNED to their snapshot ids in Spark's checkpoint
+    (expired/rewritten history fails loudly, never re-windows): the
+    first Trigger.AvailableNow drain delivers the two append
+    snapshots to a parquet sink; the table then gains a POSITION
+    -delete and an EQUALITY-delete snapshot and a second drain
+    resumes from the committed ordinal, delivering exactly the two
+    row-level delete sets (per-file mask diffs computed from the
+    delete state the planner attached — no joins, no full rescans); a
+    caught-up third drain adds nothing. The oracle replays all four
+    change sets relationally, identical to the batch twin."""
+    from spype_spark import iceberg_interop as ice
+    from spype_spark.iceberg_cdc import register_iceberg_cdc
+
+    register_iceberg_cdc(spark)
+    tmp = _scratch("spype_stream_icdc_")
+    try:
+        path = f"{tmp}/orders_cdc"
+        sink = f"{tmp}/sink"
+        ckpt = f"{tmp}/ckpt"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        ev = o.filter(F.col("o_orderkey") % 2 == 0)
+        od = o.filter(F.col("o_orderkey") % 2 == 1)
+
+        def drain() -> None:
+            q = (
+                spark.readStream.format("iceberg_cdc")
+                .option("path", path)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        s0 = ice.write_iceberg(spark, ev, path)
+        s1 = ice.write_iceberg(spark, od, path, mode="append")
+        drain()
+        n1 = spark.read.parquet(sink).count()
+        hits = (
+            ice.position_scan(spark, path)
+            .filter(F.col("o_totalprice") > 150000)
+            .select(
+                F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
+            )
+        )
+        s2 = ice.write_iceberg_pos_deletes(spark, hits, path)
+        s3 = ice.write_iceberg_eq_deletes(
+            spark,
+            o.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey"),
+            path,
+            ["o_orderkey"],
+        )
+        drain()
+        out = spark.read.parquet(sink).localCheckpoint(eager=True)
+        if out.filter(
+            F.col("_snapshot_id").isin(s0, s1)
+        ).count() != n1:
+            raise AssertionError(
+                "resumed drain must not re-emit consumed snapshots"
+            )
+        drain()  # caught up — a third drain adds nothing
+        if spark.read.parquet(sink).count() != out.count():
+            raise AssertionError("caught-up drain must emit nothing")
+        ord_col = (
+            F.when(F.col("_snapshot_id") == s0, 0)
+            .when(F.col("_snapshot_id") == s1, 1)
+            .when(F.col("_snapshot_id") == s2, 2)
+            .when(F.col("_snapshot_id") == s3, 3)
+        )
+        return (
+            out.withColumn("_snap_ord", ord_col.cast("int"))
+            .drop("_snapshot_id")
+            .select(*_BASE_COLS, "_change_type", "_snap_ord")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
