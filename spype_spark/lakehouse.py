@@ -87,6 +87,23 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spype_spark.manifest_log import (  # noqa: F401  (historical aliases)
+    _MANIFEST_RE,
+    _PHYS_KEY,
+    _PART_INLINE_MAX,
+    _SLAB_MAX_GROUPS,
+    ConcurrentWriteError,
+    col_map as _col_map,
+    m_entries as _m_entries,
+    m_file_stats as _m_file_stats,
+    m_load as _m_load,
+    m_path as _m_path,
+    m_publish as _m_publish,
+    m_versions as _m_versions,
+    phys as _phys,
+    usable_stat_pair as _usable_stat_pair,
+)
+
 _VERSION_RE = re.compile(r"^v=(\d+)$")
 
 # Retention grace window for the path-refcount GC (see _m_gc_files):
@@ -95,12 +112,6 @@ _VERSION_RE = re.compile(r"^v=(\d+)$")
 # bounds any realistic commit's write duration in this repo's usage;
 # real deployments tune it the way Delta tunes its retention period.
 DEFAULT_GC_GRACE_SECONDS = 600.0
-
-
-class ConcurrentWriteError(RuntimeError):
-    """A concurrent writer committed the version this mutation was
-    based on. The table is uncorrupted; re-read and retry the whole
-    mutation (optimistic concurrency, as in Delta/Iceberg commits)."""
 
 
 class ConstraintViolation(ValueError):
@@ -708,28 +719,6 @@ def _leaf_partition_rels(snap: str, pcols: list[str]) -> set[str]:
     return rels
 
 
-def _usable_stat_pair(lo, hi) -> bool:
-    """True when a footer (min, max) pair is sound prune material:
-    finite numerics (exact in parquet footers), or a str pair. String
-    stats are safe even when the writer truncated them — the parquet
-    spec requires truncated min to stay a valid LOWER bound (prefix
-    truncation only decreases) and truncated max a valid UPPER bound
-    (truncate-then-increment), so the recorded interval always contains
-    the true one, and pruning needs containment, not exactness. Python
-    str comparison (code points) matches Spark's UTF8 binary string
-    ordering, so driver-side interval tests agree with ``between()``.
-    bool is excluded — an int subclass but not key material; bytes are
-    excluded (binary columns are payloads, not keys)."""
-    import math
-
-    if all(isinstance(v, str) for v in (lo, hi)):
-        return True
-    return all(
-        isinstance(v, (int, float)) and not isinstance(v, bool)
-        for v in (lo, hi)
-    ) and all(math.isfinite(float(v)) for v in (lo, hi))
-
-
 def _file_key_interval(fpath: str, key: str):
     """(min, max) of ``key`` across a parquet file's row groups, read
     from the FOOTER statistics only (a metadata-sized driver read, the
@@ -869,7 +858,6 @@ def _cow_plan(
 # Manifest protocol (default): object-store-portable commits.
 # ---------------------------------------------------------------------------
 
-_MANIFEST_RE = re.compile(r"^v=(\d+)\.json$")
 #: Shadow-column prefix for the partitioned write: partition columns
 #: are DUPLICATED under this prefix and the writer partitions by the
 #: shadows, so the real columns stay in the file content (Iceberg's
@@ -880,35 +868,6 @@ _SHADOW = "__pv_"
 
 def _is_manifest_table(path: str) -> bool:
     return os.path.isdir(os.path.join(path, "_manifests"))
-
-
-def _m_path(path: str, version: int) -> str:
-    return os.path.join(path, "_manifests", f"v={version}.json")
-
-
-def _m_versions(path: str) -> list[int]:
-    mdir = os.path.join(path, "_manifests")
-    if not os.path.isdir(mdir):
-        return []
-    out = []
-    for n in os.listdir(mdir):
-        m = _MANIFEST_RE.match(n)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
-
-
-def _m_load(path: str, version: int) -> dict:
-    p = _m_path(path, version)
-    if not os.path.exists(p):
-        raise FileNotFoundError(f"version {version} not committed under {path}")
-    with open(p) as f:
-        return json.load(f)
-
-
-_PART_INLINE_MAX = 64
-# max manifest part slabs per data-commit uuid (see _m_write_parts)
-_SLAB_MAX_GROUPS = 64
 
 
 def _m_part_key(entry: dict) -> str:
@@ -1085,18 +1044,6 @@ def _m_write_parts(
     return names, summaries
 
 
-def _m_entries(path: str, m: dict) -> list[dict]:
-    """Resolve a manifest's file entries — inline ``files`` for small
-    tables, concatenated part slabs otherwise."""
-    if "files" in m:
-        return m["files"]
-    out: list[dict] = []
-    for name in m["parts"]:
-        with open(os.path.join(path, "_manifests", name)) as f:
-            out.extend(json.load(f))
-    return out
-
-
 def _slab_maybe(s: dict, partitions, ranges, nulls, maybe, since) -> bool:
     """Three-valued slab refutation from a :func:`_m_slab_summary`:
     False = NO entry in the slab can survive the scan's pruning knobs
@@ -1234,17 +1181,6 @@ def _m_scan_entries(
 # COW-planning, and conflict-footprint algebra above needs no mapping
 # awareness at all.
 
-_PHYS_KEY = "spype_physical"
-
-
-def _phys(f: dict) -> str:
-    """Physical (in-file) column name of one schema-JSON field."""
-    return (f.get("metadata") or {}).get(_PHYS_KEY, f["name"])
-
-
-def _col_map(schema_json: dict) -> dict[str, str]:
-    """``{logical name: physical name}`` for a manifest schema."""
-    return {f["name"]: _phys(f) for f in schema_json["fields"]}
 
 
 def _assign_physical(
@@ -1435,91 +1371,6 @@ def _m_manifest(
         man["parts"] = names
         man["part_summaries"] = summaries
     return man
-
-
-def _m_publish(path: str, version: int, manifest: dict) -> None:
-    """Put-if-absent publish of a complete manifest: write + fsync a
-    temp file, then ``os.link`` it to ``v=N.json`` — atomic, and EEXIST
-    means a concurrent writer won this version. On an object store this
-    whole function is one conditional PUT of the manifest object; there
-    is deliberately NO directory rename anywhere in the protocol, so a
-    non-atomic rename primitive cannot half-publish a version — the
-    manifest either exists (complete by construction) or doesn't."""
-    mdir = os.path.join(path, "_manifests")
-    os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, _m_path(path, version))
-    except FileExistsError as exc:
-        os.unlink(tmp)
-        raise ConcurrentWriteError(
-            f"version {version} of {path} was committed concurrently "
-            f"(base version is stale); re-read and retry"
-        ) from exc
-    os.unlink(tmp)
-
-
-def _m_file_stats(fpath: str) -> dict:
-    """Manifest entry metadata for one data file: row count + per-column
-    [min, max] from the parquet footer — finite numerics and strings
-    (see :func:`_usable_stat_pair` for why possibly-truncated string
-    stats are still sound bounds; bools/bytes are not key material).
-    A driver-side metadata read at commit time; at cluster scale the
-    same numbers come back with the executor write results (as
-    Iceberg's writers report them), identical content."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(fpath).metadata
-    stats: dict[str, list] = {}
-    nulls: dict[str, int] = {}
-    for i in range(md.num_columns):
-        name = md.schema.column(i).name
-        if "." in name:
-            continue  # nested leaf — not a top-level prune key
-        lo = hi = None
-        ok = True
-        nc = 0
-        nc_ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(i).statistics
-            if st is None:
-                ok = nc_ok = False
-                break
-            if st.has_null_count:
-                nc += st.null_count
-            else:
-                nc_ok = False
-            if not st.has_min_max:
-                ok = False
-                continue
-            mn, mx = st.min, st.max
-            if not _usable_stat_pair(mn, mx) or (
-                lo is not None and type(mn) is not type(lo)
-            ):
-                ok = False
-                continue
-            lo = mn if lo is None else min(lo, mn)
-            hi = mx if hi is None else max(hi, mx)
-        if ok and lo is not None:
-            stats[name] = [lo, hi]
-        if nc_ok:
-            # exact per-file null count (footers record it even for
-            # all-null columns, where min/max is absent) — the material
-            # for IS [NOT] NULL file pruning in scan_table
-            nulls[name] = nc
-    return {
-        "rows": md.num_rows,
-        # on-disk size, the bin-packing material for selective
-        # OPTIMIZE (entries written before this key existed fall back
-        # to a stat() at planning time)
-        "bytes": os.path.getsize(fpath),
-        "stats": stats,
-        "nulls": nulls,
-    }
 
 
 def _m_write_files(
