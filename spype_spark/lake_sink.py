@@ -1,0 +1,371 @@
+"""The native lakehouse as a Spark *sink* format — the Spark 4 Python
+DataSource WRITER API over :mod:`spype_spark.manifest_log`.
+
+``df.write.format("spype_lake")`` and — the flagship —
+``df.writeStream.format("spype_lake")`` append into an existing
+manifest table (:func:`spype_spark.lakehouse.write_table` creates it)
+with the SAME commit protocol every engine verb uses: executors write
+immutable parquet files (invisible until referenced), the driver-side
+``commit()`` assembles one manifest carrying every base entry BY
+REFERENCE plus the new entries, and publishes it put-if-absent. Cost
+per microbatch is O(new rows) regardless of table size — the
+minute-cadence landing-job property ``append_table`` documents, now
+reachable from any Structured Streaming pipeline with zero glue code
+(no foreachBatch, no driver round-trip of data).
+
+**Exactly-once** follows Delta's transactional-sink design: each
+streaming commit stamps ``txns[appId] = batchId`` into the manifest
+(``appId`` defaults to the query's checkpoint location). When Spark
+replays a batch after a failure (its checkpoint says the batch may
+not have committed), ``commit()`` sees ``txns[appId] >= batchId`` in
+the base manifest, deletes the replay's freshly written files
+(orphans — the earlier attempt's files are the referenced ones), and
+returns without publishing: at-least-once delivery from the engine
+becomes exactly-once in the table. Concurrent writers (another
+stream, a MERGE, a compaction) are handled by the protocol itself:
+losing the put-if-absent race re-reads the new head and re-publishes
+on top — an append composes with ANY concurrent commit because it
+only adds entries.
+
+Execution model: ``write()`` runs on executors over Arrow record
+batches (`DataSourceStreamArrowWriter` — the vectorized channel),
+one parquet file per task per partition value, footer stats computed
+task-side exactly as the engine's own writers record them (the
+Iceberg writer-report model — the driver never touches data).
+``commit()``/``abort()`` run in the data-source worker, which cannot
+import ``spype_spark`` — hence :mod:`manifest_log`'s by-value
+registration.
+
+Profile (loud gates, never silent corruption): the table must exist;
+append only (``mode("overwrite")`` refused); schema must equal the
+table's (names AND types — use MERGE ``evolve_schema`` to widen);
+tables with hidden-partition transforms, CHECK constraints, renamed
+columns (physical≠logical), or retired names refuse the fast path —
+those verbs need engine logic the sink deliberately does not fork.
+Identity partition columns ARE supported: tasks split each batch by
+partition value (nulls gated) and entries carry the value for
+manifest-level pruning, with the column kept in-file like every
+engine write.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+from spype_spark import manifest_log as mlog
+
+FORMAT_NAME = "spype_lake"
+
+#: bounded optimistic-retry budget for the put-if-absent publish race
+_COMMIT_RETRIES = 20
+
+
+def register_lake_sink(spark) -> None:
+    """Register the ``spype_lake`` sink format on a live session."""
+    spark.dataSource.register(LakeSinkDataSource)
+
+
+class _LakeWriteMessage(WriterCommitMessage):
+    def __init__(self, entries: list[dict], files: list[str]):
+        self.entries = entries  # manifest entries (relative paths)
+        self.files = files  # absolute paths, for abort/duplicate cleanup
+
+
+def _pv_str(v) -> str:
+    """Partition value in the engine's directory-string form (what
+    ``write_table``'s Hive-style shadow dirs produce)."""
+    if v is None:
+        raise ValueError(
+            "spype_lake sink: NULL partition values are outside the "
+            "sink profile — filter or default them upstream"
+        )
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return str(v)
+
+
+def _write_task(iterator, path: str, pcols: list[str]) -> _LakeWriteMessage:
+    """Executor side: drain the task's record batches, split by
+    partition value when the table is partitioned, write one parquet
+    file per group under a fresh task-uuid dir, and return the
+    manifest entries (footer stats included — writer-reported, the
+    driver never reads data)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = [b for b in iterator if b.num_rows]
+    if not batches:
+        return _LakeWriteMessage([], [])
+    tbl = pa.Table.from_batches(batches)
+    datadir = os.path.join(path, "data", f"stream-{uuid.uuid4().hex}")
+    os.makedirs(datadir, exist_ok=True)
+    groups: list[tuple[dict, pa.Table]] = []
+    if pcols:
+        combos = tbl.group_by(pcols).aggregate([]).to_pylist()
+        for combo in combos:
+            mask = None
+            for c in pcols:
+                if combo[c] is None:
+                    raise ValueError(
+                        "spype_lake sink: NULL partition values are "
+                        "outside the sink profile"
+                    )
+                eq = pa.compute.equal(tbl.column(c), pa.scalar(combo[c]))
+                eq = pa.compute.fill_null(eq, False)
+                mask = eq if mask is None else pa.compute.and_(mask, eq)
+            groups.append(
+                ({c: _pv_str(combo[c]) for c in pcols}, tbl.filter(mask))
+            )
+    else:
+        groups.append(({}, tbl))
+    entries, files = [], []
+    for i, (part, sub) in enumerate(groups):
+        fp = os.path.join(datadir, f"part-{i:05d}.parquet")
+        pq.write_table(sub, fp)
+        entries.append(
+            {
+                "path": os.path.relpath(fp, path).replace(os.sep, "/"),
+                "partition": part,
+                **mlog.m_file_stats(fp),
+            }
+        )
+        files.append(fp)
+    return _LakeWriteMessage(entries, files)
+
+
+def _check_table_profile(m: dict, schema) -> list[str]:
+    """Gate the base manifest against the sink profile and the
+    declared write schema; returns the table's partition columns."""
+    if m.get("transforms"):
+        raise ValueError(
+            "spype_lake sink: table has hidden-partition transforms — "
+            "append through lakehouse.append_table, which derives them"
+        )
+    if m.get("constraints"):
+        raise ValueError(
+            "spype_lake sink: table has CHECK constraints — append "
+            "through lakehouse.append_table, which enforces them"
+        )
+    if m.get("retired"):
+        raise ValueError(
+            "spype_lake sink: table has retired physical columns "
+            "(post-DROP) — outside the sink profile"
+        )
+    fields = m["schema"]["fields"]
+    for f in fields:
+        if mlog.phys(f) != f["name"]:
+            raise ValueError(
+                "spype_lake sink: table has renamed columns "
+                "(physical != logical) — outside the sink profile"
+            )
+    from pyspark.sql.types import StructType
+
+    table_st = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {**f, "metadata": {}} for f in fields
+            ],
+        }
+    )
+    declared = {f.name: f.dataType.simpleString() for f in schema.fields}
+    expected = {
+        n: table_st[n].dataType.simpleString()
+        for n in table_st.fieldNames()
+    }
+    if declared != expected:
+        raise ValueError(
+            f"spype_lake sink: stream schema {declared} != table "
+            f"schema {expected}; use merge_upsert(evolve_schema=True) "
+            f"to widen the table first"
+        )
+    return m.get("partition_by") or []
+
+
+def _commit_append(
+    path: str,
+    messages,
+    app_id: str | None,
+    batch_id: int | None,
+) -> None:
+    """Driver-side commit: one manifest on top of the current head,
+    base entries carried by reference, optimistic retry on the
+    put-if-absent race, idempotent on (app_id, batch_id) replay."""
+    new_entries = [
+        e for msg in messages if msg is not None for e in msg.entries
+    ]
+    new_files = [
+        f for msg in messages if msg is not None for f in msg.files
+    ]
+
+    def drop_new_files() -> None:
+        for f in new_files:
+            try:
+                os.unlink(f)
+                os.rmdir(os.path.dirname(f))
+            except OSError:
+                pass
+
+    for _attempt in range(_COMMIT_RETRIES):
+        base = max(mlog.m_versions(path))
+        m = mlog.m_load(path, base)
+        txns = dict(m.get("txns") or {})
+        if (
+            app_id is not None
+            and batch_id is not None
+            and int(txns.get(app_id, -1)) >= batch_id
+        ):
+            # replayed microbatch: the earlier attempt's commit is the
+            # referenced one; this replay's files are orphans
+            drop_new_files()
+            return
+        version = base + 1
+        for e in new_entries:
+            e["seq"] = version
+        man = {
+            "version": version,
+            "base": base,
+            "schema": m["schema"],
+            "partition_by": m.get("partition_by"),
+        }
+        for k in ("deletes", "pos_deletes"):
+            if m.get(k):
+                man[k] = m[k]
+        if app_id is not None and batch_id is not None:
+            txns[app_id] = batch_id
+        if txns:
+            man["txns"] = txns
+        man["files"] = mlog.m_entries(path, m) + new_entries
+        # stale-base guard (same as the engine's _m_commit): retention
+        # collecting our base mid-commit surfaces as retry, not as a
+        # manifest with dangling carried references
+        if not os.path.exists(mlog.m_path(path, base)):
+            continue
+        try:
+            mlog.m_publish(path, version, man)
+            return
+        except mlog.ConcurrentWriteError:
+            continue  # lost the race — rebase on the new head
+    drop_new_files()
+    raise mlog.ConcurrentWriteError(
+        f"spype_lake sink: lost the publish race on {path} "
+        f"{_COMMIT_RETRIES} times — a writer storm; back off and retry"
+    )
+
+
+class _LakeStreamWriter(DataSourceStreamArrowWriter):
+    def __init__(self, path: str, pcols: list[str], app_id: str):
+        self.path = path
+        self.pcols = pcols
+        self.app_id = app_id
+
+    def write(self, iterator):
+        return _write_task(iterator, self.path, self.pcols)
+
+    def commit(self, messages, batchId):
+        _commit_append(self.path, messages, self.app_id, int(batchId))
+
+    def abort(self, messages, batchId):
+        for msg in messages:
+            if msg is None:
+                continue
+            for f in msg.files:
+                try:
+                    os.unlink(f)
+                    os.rmdir(os.path.dirname(f))
+                except OSError:
+                    pass
+
+
+class _LakeBatchWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, pcols: list[str]):
+        self.path = path
+        self.pcols = pcols
+
+    def write(self, iterator):
+        return _write_task(iterator, self.path, self.pcols)
+
+    def commit(self, messages):
+        _commit_append(self.path, messages, None, None)
+
+    def abort(self, messages):
+        for msg in messages:
+            if msg is None:
+                continue
+            for f in msg.files:
+                try:
+                    os.unlink(f)
+                    os.rmdir(os.path.dirname(f))
+                except OSError:
+                    pass
+
+
+class LakeSinkDataSource(DataSource):
+    """``format("spype_lake")`` — batch + streaming APPEND sink into
+    an existing native manifest table. Options: ``path`` (table root,
+    required), ``txnAppId`` (streaming idempotence key; defaults to
+    the query's checkpoint location)."""
+
+    @classmethod
+    def name(cls):
+        return FORMAT_NAME
+
+    def _prep(self, schema):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "spype_lake requires .option('path', <table root>) or "
+                ".save(<table root>)"
+            )
+        versions = mlog.m_versions(path)
+        if not versions:
+            raise ValueError(
+                f"spype_lake sink: {path} is not an existing manifest "
+                f"table — create it with lakehouse.write_table first"
+            )
+        m = mlog.m_load(path, max(versions))
+        pcols = _check_table_profile(m, schema)
+        return path, pcols
+
+    def writer(self, schema, overwrite):
+        if overwrite:
+            raise ValueError(
+                "spype_lake sink is APPEND-only — use "
+                "lakehouse.write_table to replace a table"
+            )
+        path, pcols = self._prep(schema)
+        return _LakeBatchWriter(path, pcols)
+
+    def streamWriter(self, schema, overwrite):
+        if overwrite:
+            raise ValueError("spype_lake streaming sink is APPEND-only")
+        path, pcols = self._prep(schema)
+        app_id = (
+            self.options.get("txnappid")
+            or self.options.get("checkpointlocation")
+            or f"spype-lake-{uuid.uuid4().hex}"
+        )
+        return _LakeStreamWriter(path, pcols, str(app_id))
+
+
+# Ship the classes and this module's code inside the pickle — the
+# data-source workers cannot import spype_spark.
+try:  # pragma: no cover
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass

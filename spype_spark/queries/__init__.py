@@ -85,6 +85,7 @@ _DRIVER_PRIORITY = [
     "q_lake_iceberg_changes",
     "q_stream_delta_cdc",
     "q_stream_iceberg_cdc",
+    "q_stream_lake_sink",
     # last driver-green r7 (all 5):
     "q_tpch_q2",
     "q_tpch_q20",

@@ -3964,3 +3964,80 @@ def q_stream_iceberg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_stream_lake_sink",
+    oracle="""
+    WITH p01 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    ),
+    kept AS (SELECT * FROM p01 WHERE NOT (o_totalprice > 200000)),
+    p2 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 2
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM p2
+    """,
+)
+def q_stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING INTO the native lakehouse — the write-side
+    twin of q_stream_delta_cdc: ``writeStream.format("spype_lake")``
+    (:mod:`spype_spark.lake_sink`, the Spark 4 Python DataSource
+    WRITER API) appends microbatches into a manifest table with the
+    engine's own commit protocol. Executors write immutable files and
+    report footer stats in the commit messages (the Iceberg
+    writer-report model); the driver-side ``commit()`` carries every
+    base entry by reference and publishes put-if-absent, stamping
+    ``txns[appId]=batchId`` for exactly-once replay. The contract
+    interleaves a real engine mutation between two drains — stream
+    append (orders ⅓ slice), engine DELETE (totalprice > 200k), a
+    RESUMED stream append (another ⅓ slice) — proving the sink
+    composes with concurrent verbs by rebasing, and a caught-up drain
+    adds nothing. The oracle replays the same append/delete/append
+    relationally."""
+    from spype_spark.lake_sink import register_lake_sink
+
+    register_lake_sink(spark)
+    tmp = _scratch("spype_stream_lsink_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        src = f"{tmp}/src"
+        ckpt = f"{tmp}/ckpt"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        lake.write_table(o.filter(F.col("o_orderkey") % 3 == 0), path)
+        o.filter(F.col("o_orderkey") % 3 == 1).write.parquet(src)
+        schema_ddl = (
+            "o_orderkey bigint, o_custkey bigint, "
+            "o_totalprice double, o_orderstatus string"
+        )
+
+        def drain() -> None:
+            q = (
+                spark.readStream.schema(schema_ddl)
+                .parquet(src)
+                .writeStream.format("spype_lake")
+                .option("path", path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        n1 = lake.read_table(spark, path).count()
+        lake.delete_where(spark, path, F.col("o_totalprice") > 200000)
+        o.filter(F.col("o_orderkey") % 3 == 2).write.mode(
+            "append"
+        ).parquet(src)
+        drain()
+        out = lake.read_table(spark, path).localCheckpoint(eager=True)
+        drain()  # caught up — nothing new lands
+        if lake.read_table(spark, path).count() != out.count():
+            raise AssertionError("caught-up drain must append nothing")
+        if n1 == 0 or out.count() <= n1 // 2:
+            raise AssertionError("stream appends did not land")
+        return out.select(*_BASE_COLS)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

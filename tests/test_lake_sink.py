@@ -1,0 +1,236 @@
+"""Tests for the ``spype_lake`` sink format
+(:mod:`spype_spark.lake_sink`) — batch + Structured Streaming APPEND
+into native manifest tables through the Python DataSource writer API,
+with exactly-once microbatch commits."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spype_spark import lakehouse as lake
+from spype_spark import manifest_log as mlog
+from spype_spark.lake_sink import (
+    _commit_append,
+    _LakeStreamWriter,
+    _LakeWriteMessage,
+    register_lake_sink,
+)
+
+
+@pytest.fixture()
+def reg(spark):
+    register_lake_sink(spark)
+    return spark
+
+
+def _mk(reg, p, n=20, pcols=None):
+    df = reg.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    lake.write_table(df, p, partition_by=pcols)
+    return df
+
+
+def test_batch_append_matches_engine_append(reg, tmp_path):
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    _mk(reg, p1)
+    _mk(reg, p2)
+    more = reg.range(20, 35).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    more.write.format("spype_lake").mode("append").option("path", p1).save()
+    lake.append_table(reg, p2, more)
+    a = sorted(tuple(r) for r in lake.read_table(reg, p1).collect())
+    b = sorted(tuple(r) for r in lake.read_table(reg, p2).collect())
+    assert a == b and len(a) == 35
+
+
+def test_stream_append_and_exactly_once_drains(reg, tmp_path):
+    p = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    _mk(reg, p)
+    reg.range(20, 30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    ).write.parquet(src)
+
+    def drain():
+        q = (
+            reg.readStream.schema("k bigint, g bigint")
+            .parquet(src)
+            .writeStream.format("spype_lake")
+            .option("path", p)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sorted(
+        r["k"] for r in lake.read_table(reg, p).collect()
+    ) == list(range(30))
+    drain()  # no new source files — no duplicates
+    assert lake.read_table(reg, p).count() == 30
+    reg.range(30, 33).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    ).write.mode("append").parquet(src)
+    drain()
+    assert lake.read_table(reg, p).count() == 33
+
+
+def test_replayed_batch_commit_is_idempotent(reg, tmp_path):
+    """A commit() replay for an already-committed batchId must drop
+    the replay's files and publish nothing — the Delta txn design."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=5)
+
+    def msg(tag):
+        d = os.path.join(p, "data", f"stream-test{tag}")
+        os.makedirs(d)
+        fp = os.path.join(d, "part-00000.parquet")
+        pq.write_table(
+            pa.table({"k": [100 + tag], "g": [0]}), fp
+        )
+        e = {
+            "path": os.path.relpath(fp, p).replace(os.sep, "/"),
+            "partition": {},
+            **mlog.m_file_stats(fp),
+        }
+        return _LakeWriteMessage([e], [fp]), fp
+
+    m1, f1 = msg(1)
+    _commit_append(p, [m1], "appA", 7)
+    v1 = max(mlog.m_versions(p))
+    m2, f2 = msg(2)
+    _commit_append(p, [m2], "appA", 7)  # replay of batch 7
+    assert max(mlog.m_versions(p)) == v1, "replay must not publish"
+    assert not os.path.exists(f2), "replay's orphan file must be dropped"
+    assert os.path.exists(f1)
+    # a LATER batch from the same app commits normally
+    m3, _f3 = msg(3)
+    _commit_append(p, [m3], "appA", 8)
+    assert max(mlog.m_versions(p)) == v1 + 1
+    man = mlog.m_load(p, v1 + 1)
+    assert man["txns"] == {"appA": 8}
+
+
+def test_partitioned_append_records_partition_values(reg, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(reg, p, pcols=["g"])
+    more = reg.range(20, 32).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    more.write.format("spype_lake").mode("append").option("path", p).save()
+    assert sorted(
+        r["k"] for r in lake.read_table(reg, p).collect()
+    ) == list(range(32))
+    m = mlog.m_load(p, max(mlog.m_versions(p)))
+    new = [e for e in mlog.m_entries(p, m) if e["seq"] == m["version"]]
+    assert new and all(e["partition"].get("g") in {"0", "1", "2"} for e in new)
+    # partition pruning over the sink-written entries
+    only1 = lake.scan_table(reg, p, partitions={"g": 1})
+    assert sorted(r["k"] for r in only1.collect()) == [
+        k for k in range(32) if k % 3 == 1
+    ]
+
+
+def test_sink_composes_with_engine_mutations(reg, tmp_path):
+    """Sink appends interleaved with an engine DELETE: every commit
+    lands on the latest head, nothing lost."""
+    p = str(tmp_path / "t")
+    _mk(reg, p)
+    reg.range(20, 25).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    ).write.format("spype_lake").mode("append").option("path", p).save()
+    lake.delete_where(reg, p, F.col("k") < 3)
+    reg.range(25, 28).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    ).write.format("spype_lake").mode("append").option("path", p).save()
+    assert sorted(
+        r["k"] for r in lake.read_table(reg, p).collect()
+    ) == list(range(3, 28))
+
+
+def test_profile_gates(reg, tmp_path):
+    p = str(tmp_path / "t")
+    df = _mk(reg, p, n=5)
+    # overwrite refused
+    with pytest.raises(Exception, match="APPEND-only"):
+        df.write.format("spype_lake").mode("overwrite").option(
+            "path", p
+        ).save()
+    # nonexistent table refused
+    with pytest.raises(Exception, match="not an existing manifest table"):
+        df.write.format("spype_lake").mode("append").option(
+            "path", str(tmp_path / "nope")
+        ).save()
+    # schema mismatch refused
+    bad = reg.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(Exception, match="stream schema"):
+        bad.write.format("spype_lake").mode("append").option(
+            "path", p
+        ).save()
+    # renamed (physical != logical) table refused
+    p2 = str(tmp_path / "ren")
+    _mk(reg, p2, n=5)
+    lake.rename_columns(reg, p2, {"k": "kk"})
+    out = reg.range(3).select(
+        F.col("id").alias("kk"), (F.col("id") % 3).alias("g")
+    )
+    with pytest.raises(Exception, match="renamed columns"):
+        out.write.format("spype_lake").mode("append").option(
+            "path", p2
+        ).save()
+
+
+def test_stale_base_rebases_on_concurrent_commit(reg, tmp_path):
+    """A sink commit racing an engine commit rebases onto the new head
+    (optimistic retry), never clobbers and never loses entries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=5)
+    d = os.path.join(p, "data", "stream-race")
+    os.makedirs(d)
+    fp = os.path.join(d, "part-00000.parquet")
+    pq.write_table(pa.table({"k": [500], "g": [1]}), fp)
+    e = {
+        "path": os.path.relpath(fp, p).replace(os.sep, "/"),
+        "partition": {},
+        **mlog.m_file_stats(fp),
+    }
+    # engine commit lands FIRST (the sink's base goes stale)
+    lake.append_table(
+        reg,
+        p,
+        reg.range(90, 92).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ),
+    )
+    _commit_append(p, [_LakeWriteMessage([e], [fp])], "appR", 0)
+    got = sorted(r["k"] for r in lake.read_table(reg, p).collect())
+    assert got == [0, 1, 2, 3, 4, 90, 91, 500]
+
+
+def test_abort_removes_written_files(reg, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=3)
+    d = os.path.join(p, "data", "stream-abort")
+    os.makedirs(d)
+    fp = os.path.join(d, "part-00000.parquet")
+    pq.write_table(pa.table({"k": [1], "g": [1]}), fp)
+    w = _LakeStreamWriter(p, [], "app")
+    w.abort([_LakeWriteMessage([], [fp])], 3)
+    assert not os.path.exists(fp) and not os.path.exists(d)
+    assert lake.read_table(reg, p).count() == 3
