@@ -430,6 +430,10 @@ class _DeltaCDFBatchReader(DataSourceReader):
         return plan_changes(self.path, self.start, end, meta)
 
     def read(self, partition):
+        # an empty partitions() list surfaces here as a single None
+        # partition (the API's empty-input convention)
+        if partition is None:
+            return
         yield from _read_change_file(partition, self.schema)
 
 
@@ -486,6 +490,10 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
         return plan_changes(self.path, lo + 1, hi, meta)
 
     def read(self, partition):
+        # an empty partitions() list surfaces here as a single None
+        # partition (the API's empty-input convention)
+        if partition is None:
+            return
         yield from _read_change_file(partition, self.schema)
 
     def commit(self, end):

@@ -401,6 +401,10 @@ class _IceCDCBatchReader(DataSourceReader):
         return plan_iceberg_changes(self.path, meta, start, end)
 
     def read(self, partition):
+        # an empty partitions() list surfaces here as a single None
+        # partition (the API's empty-input convention)
+        if partition is None:
+            return
         yield from _read_ice_change_file(partition, self.schema)
 
 
@@ -470,6 +474,10 @@ class _IceCDCStreamReader(DataSourceStreamReader):
         return plan_iceberg_changes(self.path, meta, lo + 1, hi)
 
     def read(self, partition):
+        # an empty partitions() list surfaces here as a single None
+        # partition (the API's empty-input convention)
+        if partition is None:
+            return
         yield from _read_ice_change_file(partition, self.schema)
 
     def commit(self, end):

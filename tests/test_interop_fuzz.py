@@ -117,3 +117,140 @@ def test_iceberg_mor_sequences_match_model(spark, tmp_path, seed):
         kcol = "key" if renamed else "k"
         got = sorted(r[kcol] for r in ice.read_iceberg(spark, p).collect())
         assert got == sorted(gen), f"seed={seed} step={step} op={op}"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_delta_cdf_format_matches_batch_function(spark, tmp_path, seed):
+    """Random mutation sequences: the Python DataSource change feed
+    (format('delta_cdf'), planned without Spark and read through the
+    Arrow channel) must equal delta_changes row-for-row over the full
+    window AND over a random sub-window — the interaction class this
+    catches is planner drift: a DV delta attributed to the wrong
+    commit, lazily-reconstructed pre-window state missing a re-add,
+    cdc files mixed into file-diff commits."""
+    from spype_spark.cdf_source import register_delta_cdf
+
+    register_delta_cdf(spark)
+    rng = random.Random(3000 + seed)
+    p = str(tmp_path / f"t{seed}")
+    nxt = 100
+    dl.write_delta(spark, _mk(spark, set(range(0, 25))), p)
+    head = 0
+    for _step in range(5):
+        op = rng.choice(["append", "delete", "update"])
+        if op == "append":
+            new = set(range(nxt, nxt + rng.randint(3, 8)))
+            nxt += 20
+            dl.write_delta(spark, _mk(spark, new), p, mode="append")
+        elif op == "delete":
+            mod = rng.choice([3, 5, 7])
+            dl.delta_delete_rows(
+                spark, p, F.col("k") % mod == rng.randrange(mod)
+            )
+        else:
+            dl.delta_update_rows(
+                spark,
+                p,
+                F.col("s") == str(rng.randrange(4)),
+                {"v": F.col("v") + 1000},
+            )
+        head += 1
+    ref = sorted(
+        tuple(r) for r in dl.delta_changes(spark, p, 0).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.format("delta_cdf")
+        .option("path", p)
+        .load()
+        .collect()
+    )
+    assert got == ref, f"seed={seed} full window"
+    lo = rng.randint(1, head)
+    hi = rng.randint(lo, head)
+    ref_w = sorted(
+        tuple(r) for r in dl.delta_changes(spark, p, lo, hi).collect()
+    )
+    got_w = sorted(
+        tuple(r)
+        for r in spark.read.format("delta_cdf")
+        .option("path", p)
+        .option("startingVersion", lo)
+        .option("endingVersion", hi)
+        .load()
+        .collect()
+    )
+    assert got_w == ref_w, f"seed={seed} window {lo}-{hi}"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_iceberg_cdc_format_matches_batch_function(spark, tmp_path, seed):
+    """Random snapshot chains (appends, pos-deletes, eq-deletes): the
+    per-file-mask Python DataSource feed must equal the join-based
+    iceberg_changes on the full window and a random sub-window —
+    catches sequence-rule drift between the two implementations (a
+    pos delete applied at the wrong seq bound, an eq delete leaking
+    onto later appends, mask diffs on untargeted files)."""
+    from spype_spark.iceberg_cdc import register_iceberg_cdc
+
+    register_iceberg_cdc(spark)
+    rng = random.Random(4000 + seed)
+    p = str(tmp_path / f"t{seed}")
+    nxt = 100
+    sids = [ice.write_iceberg(spark, _mk(spark, set(range(0, 25))), p)]
+    for _step in range(4):
+        op = rng.choice(["append", "pos", "eq"])
+        if op == "append":
+            new = set(range(nxt, nxt + rng.randint(3, 8)))
+            nxt += 20
+            sids.append(
+                ice.write_iceberg(spark, _mk(spark, new), p, mode="append")
+            )
+        elif op == "pos":
+            mod = rng.choice([3, 5])
+            hits = (
+                ice.position_scan(spark, p)
+                .filter(F.col("k") % mod == rng.randrange(mod))
+                .select(
+                    F.col("_file").alias("file_path"),
+                    F.col("_pos").alias("pos"),
+                )
+            )
+            if hits.count() == 0:
+                continue
+            sids.append(ice.write_iceberg_pos_deletes(spark, hits, p))
+        else:
+            mod = rng.choice([4, 7])
+            keys = spark.createDataFrame(
+                [(int(k),) for k in range(0, nxt, mod)], "k long"
+            )
+            sids.append(ice.write_iceberg_eq_deletes(spark, keys, p, ["k"]))
+    ref = sorted(
+        tuple(r) for r in ice.iceberg_changes(spark, p).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.format("iceberg_cdc")
+        .option("path", p)
+        .load()
+        .collect()
+    )
+    assert got == ref, f"seed={seed} full chain"
+    lo = rng.randrange(len(sids))
+    hi = rng.randrange(lo, len(sids))
+    ref_w = sorted(
+        tuple(r)
+        for r in ice.iceberg_changes(
+            spark, p, from_snapshot_id=sids[lo], to_snapshot_id=sids[hi]
+        ).collect()
+    )
+    got_w = sorted(
+        tuple(r)
+        for r in spark.read.format("iceberg_cdc")
+        .option("path", p)
+        .option("fromSnapshotId", sids[lo])
+        .option("toSnapshotId", sids[hi])
+        .load()
+        .collect()
+    )
+    assert got_w == ref_w, f"seed={seed} window {lo}-{hi}"
