@@ -328,15 +328,57 @@ class LakeSinkDataSource(DataSource):
                 "spype_lake requires .option('path', <table root>) or "
                 ".save(<table root>)"
             )
-        versions = mlog.m_versions(path)
+        try:
+            versions = mlog.m_versions(path)
+        except FileNotFoundError:
+            versions = []
         if not versions:
-            raise ValueError(
-                f"spype_lake sink: {path} is not an existing manifest "
-                f"table — create it with lakehouse.write_table first"
-            )
+            if str(
+                self.options.get("createtableifabsent", "")
+            ).lower() != "true":
+                raise ValueError(
+                    f"spype_lake sink: {path} is not an existing "
+                    f"manifest table — create it with "
+                    f"lakehouse.write_table, or pass "
+                    f".option('createTableIfAbsent', 'true')"
+                )
+            return path, self._create_v0(path, schema)
         m = mlog.m_load(path, max(versions))
         pcols = _check_table_profile(m, schema)
         return path, pcols
+
+    def _create_v0(self, path: str, schema) -> list[str]:
+        """First-write table creation (the Delta-sink convention): one
+        EMPTY v0 manifest from the declared schema, published
+        put-if-absent so racing creators fail loudly. Identity
+        partition columns come from ``partitionedBy`` (comma list)."""
+        import json as _json
+
+        raw = self.options.get("partitionedby") or ""
+        pcols = [c.strip() for c in str(raw).split(",") if c.strip()]
+        names = {f.name for f in schema.fields}
+        bad = [c for c in pcols if c not in names]
+        if bad:
+            raise ValueError(
+                f"spype_lake sink: partitionedBy columns {bad} not in "
+                f"the stream schema"
+            )
+        schema_json = _json.loads(schema.json())
+        for f in schema_json["fields"]:
+            f["metadata"] = {}
+        os.makedirs(path, exist_ok=True)
+        mlog.m_publish(
+            path,
+            0,
+            {
+                "version": 0,
+                "base": None,
+                "schema": schema_json,
+                "partition_by": pcols or None,
+                "files": [],
+            },
+        )
+        return pcols
 
     def writer(self, schema, overwrite):
         if overwrite:

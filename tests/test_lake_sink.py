@@ -234,3 +234,58 @@ def test_abort_removes_written_files(reg, tmp_path):
     w.abort([_LakeWriteMessage([], [fp])], 3)
     assert not os.path.exists(fp) and not os.path.exists(d)
     assert lake.read_table(reg, p).count() == 3
+
+
+def test_create_table_if_absent(reg, tmp_path):
+    """First-write creation (the Delta-sink convention): an absent
+    path + createTableIfAbsent publishes an empty v0 from the declared
+    schema (partitionedBy honored), then appends normally; without the
+    option an absent path stays a loud error."""
+    p = str(tmp_path / "fresh")
+    df = reg.range(12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    (
+        df.write.format("spype_lake")
+        .mode("append")
+        .option("path", p)
+        .option("createTableIfAbsent", "true")
+        .option("partitionedBy", "g")
+        .save()
+    )
+    assert mlog.m_versions(p) == [0, 1]
+    assert sorted(r["k"] for r in lake.read_table(reg, p).collect()) == list(
+        range(12)
+    )
+    m = mlog.m_load(p, 1)
+    assert m["partition_by"] == ["g"]
+    assert all(
+        e["partition"].get("g") in {"0", "1", "2"}
+        for e in mlog.m_entries(p, m)
+    )
+    # engine verbs compose with a sink-created table
+    lake.delete_where(reg, p, F.col("k") < 4)
+    assert lake.read_table(reg, p).count() == 8
+    # streaming creation too
+    p2 = str(tmp_path / "fresh2")
+    src = str(tmp_path / "src2")
+    df.write.parquet(src)
+    q = (
+        reg.readStream.schema("k bigint, g bigint")
+        .parquet(src)
+        .writeStream.format("spype_lake")
+        .option("path", p2)
+        .option("createTableIfAbsent", "true")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert lake.read_table(reg, p2).count() == 12
+    # bad partition column is loud
+    with pytest.raises(Exception, match="not in the stream schema"):
+        df.write.format("spype_lake").mode("append").option(
+            "path", str(tmp_path / "fresh3")
+        ).option("createTableIfAbsent", "true").option(
+            "partitionedBy", "nope"
+        ).save()
