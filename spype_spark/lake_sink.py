@@ -58,6 +58,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
+    InputPartition,
     WriterCommitMessage,
 )
 
@@ -311,6 +313,121 @@ class _LakeBatchWriter(DataSourceArrowWriter):
                     pass
 
 
+# ---------------------------------------------------------------------------
+# streaming SOURCE — append-tail over the manifest log (the Delta
+# streaming-source model: new files per version, change commits gated)
+# ---------------------------------------------------------------------------
+
+
+class _LakeFilePartition(InputPartition):
+    def __init__(self, file: str, rename: dict):
+        self.file = file
+        self.rename = rename  # physical -> logical
+
+
+class _LakeStreamSourceReader(DataSourceStreamReader):
+    """Offsets are manifest versions: ``{"version": N}`` = versions
+    ≤ N consumed. Each microbatch emits the rows of the files a
+    version ADDED (entries stamped ``seq == version``). A version
+    that also REMOVED entries, or changed the merge-on-read delete
+    state, is a CHANGE commit (MERGE/DELETE/compaction rewrite):
+    its carried-forward rewrites would duplicate already-delivered
+    rows, so it FAILS the stream loudly — or is skipped wholesale
+    under ``skipChangeCommits`` (Delta's own option semantics)."""
+
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.path = options["path"]
+        self.skip_changes = (
+            str(options.get("skipchangecommits", "")).lower() == "true"
+        )
+        #: -1 = deliver the whole table from birth; N = start after N
+        self.start = int(options.get("startingversion", -1))
+
+    def initialOffset(self):
+        return {"version": self.start}
+
+    def latestOffset(self):
+        return {"version": max(mlog.m_versions(self.path))}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[_LakeFilePartition] = []
+        for v in range(lo + 1, hi + 1):
+            m = mlog.m_load(self.path, v)
+            entries = mlog.m_entries(self.path, m)
+            rename = {
+                mlog.phys(f): f["name"] for f in m["schema"]["fields"]
+            }
+            new = [e for e in entries if int(e.get("seq", 0)) == v]
+            changed = False
+            if v > 0:
+                try:
+                    prev = mlog.m_load(self.path, v - 1)
+                except FileNotFoundError:
+                    prev = None  # vacuumed history before the offset
+                if prev is not None:
+                    prev_entries = mlog.m_entries(self.path, prev)
+                    removed = {e["path"] for e in prev_entries} - {
+                        e["path"] for e in entries
+                    }
+                    dels_changed = (
+                        prev.get("deletes") != m.get("deletes")
+                        or prev.get("pos_deletes") != m.get("pos_deletes")
+                    )
+                    changed = bool(removed) or dels_changed
+            if changed:
+                if self.skip_changes:
+                    continue
+                raise ValueError(
+                    f"spype_lake source: version {v} of {self.path} is "
+                    f"a CHANGE commit (rewrites or delete-state) — an "
+                    f"append-tail stream would duplicate or miss rows; "
+                    f"pass .option('skipChangeCommits','true') to skip "
+                    f"such commits, or consume the CDF instead"
+                )
+            for e in new:
+                parts.append(
+                    _LakeFilePartition(
+                        os.path.join(self.path, e["path"]), rename
+                    )
+                )
+        return parts
+
+    def read(self, partition):
+        if partition is None:
+            return
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        tbl = pq.read_table(partition.file)
+        tbl = tbl.rename_columns(
+            [partition.rename.get(c, c) for c in tbl.column_names]
+        )
+        n = tbl.num_rows
+        if n == 0:
+            return
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                col = tbl.column(field.name)
+            else:
+                col = pa.nulls(n, type=field.type)
+            if col.type != field.type:
+                col = pc.cast(col, field.type, safe=False)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols.append(col)
+        yield from pa.Table.from_arrays(cols, schema=target).to_batches()
+
+    def commit(self, end):
+        pass
+
+
 class LakeSinkDataSource(DataSource):
     """``format("spype_lake")`` — batch + streaming APPEND sink into
     an existing native manifest table. Options: ``path`` (table root,
@@ -320,6 +437,42 @@ class LakeSinkDataSource(DataSource):
     @classmethod
     def name(cls):
         return FORMAT_NAME
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "spype_lake requires .option('path', <table root>)"
+            )
+        m = mlog.m_load(path, max(mlog.m_versions(path)))
+        return StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {**f, "metadata": {}} for f in m["schema"]["fields"]
+                ],
+            }
+        )
+
+    def reader(self, schema):
+        raise ValueError(
+            "spype_lake batch reads go through the JVM scan path — use "
+            "lakehouse.read_table / scan_table (predicate and partition "
+            "pruning, WholeStageCodegen); the Python format exists for "
+            "the STREAMING halves, where no JVM alternative exists"
+        )
+
+    def streamReader(self, schema):
+        opts = {k.lower(): v for k, v in self.options.items()}
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "spype_lake requires .option('path', <table root>)"
+            )
+        opts["path"] = path
+        return _LakeStreamSourceReader(schema, opts)
 
     def _prep(self, schema):
         path = self.options.get("path")

@@ -4041,3 +4041,65 @@ def q_stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.select(*_BASE_COLS)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_stream_lake_source",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+)
+def q_stream_lake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native lakehouse as a STREAMING SOURCE —
+    ``readStream.format("spype_lake")`` (:mod:`spype_spark.lake_sink`,
+    the read half of the format): offsets are manifest versions, each
+    microbatch delivers exactly the files a version APPENDED (entries
+    stamped ``seq == version``), and change commits (MERGE/DELETE
+    rewrites) fail the append-tail loudly — or are skipped wholesale
+    under ``skipChangeCommits``, Delta's own option semantics — so
+    duplicated or vanished rows are impossible by construction. The
+    contract drains a table (orders ⅓ slice), engine-appends a second
+    slice, and a RESUMED drain against the same checkpoint delivers
+    exactly the new files; a caught-up drain adds nothing. Closing the
+    loop with q_stream_lake_sink, the native format now has BOTH
+    Structured Streaming halves with zero glue code."""
+    from spype_spark.lake_sink import register_lake_sink
+
+    register_lake_sink(spark)
+    tmp = _scratch("spype_stream_lsrc_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        sink = f"{tmp}/sink"
+        ckpt = f"{tmp}/ckpt"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        lake.write_table(o.filter(F.col("o_orderkey") % 3 == 0), path)
+
+        def drain() -> None:
+            q = (
+                spark.readStream.format("spype_lake")
+                .option("path", path)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        n1 = spark.read.parquet(sink).count()
+        lake.append_table(
+            spark, path, o.filter(F.col("o_orderkey") % 3 == 1)
+        )
+        drain()
+        out = spark.read.parquet(sink).localCheckpoint(eager=True)
+        if n1 == 0 or out.count() <= n1:
+            raise AssertionError("resumed drain did not deliver appends")
+        drain()  # caught up
+        if spark.read.parquet(sink).count() != out.count():
+            raise AssertionError("caught-up drain must deliver nothing")
+        return out.select(*_BASE_COLS)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

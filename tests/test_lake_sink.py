@@ -289,3 +289,103 @@ def test_create_table_if_absent(reg, tmp_path):
         ).option("createTableIfAbsent", "true").option(
             "partitionedBy", "nope"
         ).save()
+
+
+def test_stream_source_tails_appends_exactly_once(reg, tmp_path):
+    """format('spype_lake') as a streaming SOURCE: each drain delivers
+    exactly the files new versions appended; restart resumes from the
+    checkpointed version."""
+    p = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _mk(reg, p, n=30)
+
+    def drain():
+        q = (
+            reg.readStream.format("spype_lake")
+            .option("path", p)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert reg.read.parquet(out).count() == 30
+    lake.append_table(
+        reg,
+        p,
+        reg.range(30, 45).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ),
+    )
+    drain()
+    assert sorted(r["k"] for r in reg.read.parquet(out).collect()) == list(
+        range(45)
+    )
+    drain()  # caught up
+    assert reg.read.parquet(out).count() == 45
+
+
+def test_stream_source_change_commit_gate_and_skip(reg, tmp_path):
+    """A MERGE/DELETE version fails the append-tail stream loudly;
+    skipChangeCommits skips it wholesale and keeps tailing appends
+    (Delta's option semantics)."""
+    p = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _mk(reg, p, n=20)
+    lake.delete_where(reg, p, F.col("k") < 5)
+
+    q = (
+        reg.readStream.format("spype_lake")
+        .option("path", p)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="CHANGE commit"):
+        q.awaitTermination()
+    out2 = str(tmp_path / "out2")
+    ck2 = str(tmp_path / "ck2")
+
+    def drain_skip():
+        q = (
+            reg.readStream.format("spype_lake")
+            .option("path", p)
+            .option("skipChangeCommits", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out2)
+            .option("checkpointLocation", ck2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain_skip()
+    # v0's 20 appended rows delivered; the delete commit skipped
+    assert reg.read.parquet(out2).count() == 20
+    lake.append_table(
+        reg,
+        p,
+        reg.range(20, 26).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ),
+    )
+    drain_skip()
+    got = sorted(r["k"] for r in reg.read.parquet(out2).collect())
+    assert got == list(range(26))
+
+
+def test_batch_read_points_to_jvm_path(reg, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=3)
+    with pytest.raises(Exception, match="JVM scan path"):
+        reg.read.format("spype_lake").option("path", p).load().collect()
