@@ -4103,3 +4103,84 @@ def q_stream_lake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.select(*_BASE_COLS)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_stream_delta_replicate",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    od AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    live2 AS (
+      SELECT * FROM ev WHERE NOT (o_totalprice > 150000)
+      UNION ALL SELECT * FROM od
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 10.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM live2
+    """,
+)
+def q_stream_delta_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS Delta→native replication
+    (:func:`spype_spark.replicate.replicate_delta_to_lake`) — the
+    migration pipeline composed from the engine's own pieces:
+    ``readStream.format("delta_cdf")`` tails the foreign change feed,
+    ``foreachBatch`` applies each source commit IN ORDER via
+    merge-on-read ``delete_keys`` (O(deleted keys)) and
+    ``merge_upsert`` (partition-COW). The contract mirrors the
+    q_lake_delta_changes fixture in TWO phases with a restart between
+    (v0 create + v1 DV delete, then v2 append + v3 cdc UPDATE),
+    asserting after each drain that the native table equals
+    ``read_delta`` of the source at head — and that a caught-up drain
+    publishes NO new native version. The oracle replays the final
+    state relationally."""
+    from spype_spark import delta_interop as di
+    from spype_spark.replicate import replicate_delta_to_lake
+
+    tmp = _scratch("spype_repl_")
+    try:
+        src = f"{tmp}/orders_delta"
+        dst = f"{tmp}/orders_native"
+        ck = f"{tmp}/ck"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        ev = o.filter(F.col("o_orderkey") % 2 == 0)
+        od = o.filter(F.col("o_orderkey") % 2 == 1)
+
+        def mirror() -> None:
+            q = replicate_delta_to_lake(
+                spark, src, dst, ck, keys=["o_orderkey"]
+            )
+            q.awaitTermination()
+
+        di.write_delta(spark, ev, src)
+        di.delta_delete_rows(spark, src, F.col("o_totalprice") > 150000)
+        mirror()
+        a = lake.read_table(spark, dst)
+        if a.count() != di.read_delta(spark, src).count():
+            raise AssertionError("phase-1 mirror diverged")
+        di.write_delta(spark, od, src, mode="append")
+        di.delta_update_rows(
+            spark,
+            src,
+            F.col("o_orderstatus") == "F",
+            {"o_totalprice": F.col("o_totalprice") + 10.0},
+        )
+        mirror()
+        v = lake.latest_version(dst)
+        mirror()  # caught up — no new native version
+        if lake.latest_version(dst) != v:
+            raise AssertionError("caught-up mirror must publish nothing")
+        return (
+            lake.read_table(spark, dst)
+            .select(*_BASE_COLS)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

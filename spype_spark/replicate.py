@@ -1,0 +1,113 @@
+"""Continuous CDC replication: a foreign Delta table mirrored into a
+native manifest table by ONE Structured Streaming pipeline.
+
+This is the migration story a reference user asks for first: "keep my
+Delta table and this engine's table in sync while I switch". The
+pieces already exist — :mod:`spype_spark.cdf_source` tails the Delta
+change feed as a stream, the lakehouse verbs apply changes — and this
+module is the ~zero-glue composition:
+
+    q = replicate_delta_to_lake(
+        spark, delta_path, lake_path, checkpoint, keys=["o_orderkey"])
+    q.awaitTermination()
+
+Mechanics: ``readStream.format("delta_cdf")`` delivers per-commit
+change rows; ``foreachBatch`` applies them IN COMMIT ORDER —
+``delete`` rows become a merge-on-read :func:`lakehouse.delete_keys`
+(O(deleted keys), no rewrite), ``insert``/``update_postimage`` rows
+become one :func:`lakehouse.merge_upsert` per source commit
+(``update_preimage`` rows are the CDC before-image, informational for
+an upsert-by-key application). The first commit bootstraps the native
+table via :func:`lakehouse.write_table`.
+
+Consistency: offsets live in Spark's checkpoint, so restarts resume
+from the last fully applied microbatch; within the at-least-once
+replay window of ``foreachBatch``, re-applying a commit is IDEMPOTENT
+by construction — an upsert of the same rows and a key-delete of
+already-deleted keys both land the table in the same state — which is
+exactly how Delta's own ``foreachBatch``-based CDC application
+achieves effective exactly-once. Cost per poll is O(changed rows) at
+the source plus O(touched partitions) for the merge — table size
+never enters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from spype_spark import lakehouse as lake
+from spype_spark.cdf_source import register_delta_cdf
+
+_CDF_META = ("_change_type", "_commit_version")
+
+
+def apply_cdf_batch(
+    spark: SparkSession, batch_df, lake_path: str, keys: list[str]
+) -> None:
+    """Apply one microbatch of change rows to the native table, one
+    source commit at a time (commit order is the correctness
+    boundary: a delete and a re-insert of the same key in different
+    commits must land in sequence)."""
+    batch_df = batch_df.localCheckpoint(eager=True)
+    # metadata-sized collect: one row per source commit in this batch
+    versions = [
+        r["_commit_version"]
+        for r in batch_df.select("_commit_version")
+        .distinct()
+        .orderBy("_commit_version")
+        .collect()
+    ]
+    for v in versions:
+        ch = batch_df.filter(F.col("_commit_version") == v)
+        upserts = ch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop(*_CDF_META)
+        deletes = (
+            ch.filter(F.col("_change_type") == "delete")
+            .select(*keys)
+            .distinct()
+        )
+        exists = True
+        try:
+            lake.latest_version(lake_path)
+        except Exception:
+            exists = False
+        if not exists:
+            lake.write_table(upserts, lake_path)
+            continue
+        if deletes.limit(1).count():
+            lake.delete_keys(spark, lake_path, deletes)
+        if upserts.limit(1).count():
+            lake.merge_upsert(spark, lake_path, upserts, keys=keys)
+
+
+def replicate_delta_to_lake(
+    spark: SparkSession,
+    delta_path: str,
+    lake_path: str,
+    checkpoint: str,
+    keys: list[str],
+    available_now: bool = True,
+):
+    """Start the replication stream; returns the StreamingQuery. With
+    ``available_now`` (default) the query drains everything committed
+    so far and stops — run it on a schedule or with
+    ``available_now=False`` for a continuous mirror."""
+    register_delta_cdf(spark)
+    stream = (
+        spark.readStream.format("delta_cdf")
+        .option("path", delta_path)
+        .load()
+    )
+
+    def _apply(bdf, _bid: int) -> None:
+        apply_cdf_batch(spark, bdf, lake_path, keys)
+
+    w = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

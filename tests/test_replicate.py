@@ -1,0 +1,102 @@
+"""Tests for the Delta→native continuous replication pipeline
+(:mod:`spype_spark.replicate`): the mirrored native table must equal
+``read_delta`` of the source at every drain point, across restarts
+and every change-decode class."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spype_spark import delta_interop as dl
+from spype_spark import lakehouse as lake
+from spype_spark.replicate import replicate_delta_to_lake
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mirror(spark, src, dst, ck):
+    q = replicate_delta_to_lake(spark, src, dst, ck, keys=["k"])
+    q.awaitTermination()
+
+
+def test_replication_tracks_all_change_classes(spark, tmp_path):
+    src, dst, ck = (
+        str(tmp_path / "delta"),
+        str(tmp_path / "native"),
+        str(tmp_path / "ck"),
+    )
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    dl.write_delta(spark, df, src)
+    dl.delta_delete_rows(spark, src, F.col("k") >= 35)  # DV delete
+    _mirror(spark, src, dst, ck)
+    assert _rows(lake.read_table(spark, dst)) == _rows(
+        dl.read_delta(spark, src)
+    )
+    # cdc UPDATE + append of NEW keys, then a resumed mirror
+    dl.delta_update_rows(spark, src, F.col("g") == 2, {"v": F.col("v") + 9.0})
+    dl.write_delta(
+        spark,
+        spark.range(100, 110).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") * 1.5).alias("v"),
+        ),
+        src,
+        mode="append",
+    )
+    _mirror(spark, src, dst, ck)
+    assert _rows(lake.read_table(spark, dst)) == _rows(
+        dl.read_delta(spark, src)
+    )
+    # caught-up mirror changes nothing and publishes no version
+    v = lake.latest_version(dst)
+    _mirror(spark, src, dst, ck)
+    assert lake.latest_version(dst) == v
+
+
+def test_replication_batch_reapply_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying the SAME change
+    batch must leave the table unchanged (upsert + key-delete
+    idempotence — the effective-exactly-once argument)."""
+    from spype_spark.replicate import apply_cdf_batch
+
+    src, dst = str(tmp_path / "delta"), str(tmp_path / "native")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    dl.write_delta(spark, df, src)
+    dl.delta_delete_rows(spark, src, F.col("k") >= 15)
+    batch = dl.delta_changes(spark, src, 0)
+    apply_cdf_batch(spark, batch, dst, keys=["k"])
+    first = _rows(lake.read_table(spark, dst))
+    apply_cdf_batch(spark, batch, dst, keys=["k"])  # replay
+    assert _rows(lake.read_table(spark, dst)) == first
+    assert first == _rows(dl.read_delta(spark, src))
+
+
+def test_replication_requires_keyed_source(spark, tmp_path):
+    """Appending duplicate keys at the source breaks the keyed-CDC
+    premise: the mirror (upsert semantics) keeps ONE row per key —
+    assert the documented divergence is exactly that, not silent
+    corruption of other rows."""
+    src, dst, ck = (
+        str(tmp_path / "delta"),
+        str(tmp_path / "native"),
+        str(tmp_path / "ck"),
+    )
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    dl.write_delta(spark, df, src)
+    dl.write_delta(spark, df.limit(3), src, mode="append")  # dup keys
+    _mirror(spark, src, dst, ck)
+    got = lake.read_table(spark, dst)
+    assert got.count() == 10  # one row per key
+    assert got.select("k").distinct().count() == 10
