@@ -88,6 +88,7 @@ _DRIVER_PRIORITY = [
     "q_stream_lake_sink",
     "q_stream_lake_source",
     "q_stream_delta_replicate",
+    "q_stream_iceberg_replicate",
     # last driver-green r7 (all 5):
     "q_tpch_q2",
     "q_tpch_q20",

@@ -4184,3 +4184,87 @@ def q_stream_delta_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_stream_iceberg_replicate",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    od AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    all_o AS (SELECT * FROM ev UNION ALL SELECT * FROM od),
+    live2 AS (SELECT * FROM all_o WHERE NOT (o_totalprice > 150000))
+    SELECT * FROM live2 WHERE o_orderkey % 10 <> 0
+    """,
+)
+def q_stream_iceberg_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS Iceberg→native replication
+    (:func:`spype_spark.replicate.replicate_iceberg_to_lake`) — the
+    Iceberg twin of q_stream_delta_replicate:
+    ``readStream.format("iceberg_cdc")`` tails per-snapshot row-level
+    changes, ``foreachBatch`` applies them in SNAPSHOT-CHAIN order
+    (ids are content-random longs, so ordering comes from the
+    metadata chain, a per-batch metadata-sized read) via merge-on-read
+    ``delete_keys`` + ``merge_upsert``. Two phases with a restart:
+    (s0 ev insert, s1 od append), then (s2 POSITION delete of
+    totalprice > 150k, s3 EQUALITY delete of every 10th key); after
+    each drain the native table must equal ``read_iceberg`` at head,
+    and a caught-up drain publishes no native version."""
+    from spype_spark import iceberg_interop as ice
+    from spype_spark.replicate import replicate_iceberg_to_lake
+
+    tmp = _scratch("spype_repl_ice_")
+    try:
+        src = f"{tmp}/orders_ice"
+        dst = f"{tmp}/orders_native"
+        ck = f"{tmp}/ck"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        ev = o.filter(F.col("o_orderkey") % 2 == 0)
+        od = o.filter(F.col("o_orderkey") % 2 == 1)
+
+        def mirror() -> None:
+            q = replicate_iceberg_to_lake(
+                spark, src, dst, ck, keys=["o_orderkey"]
+            )
+            q.awaitTermination()
+
+        ice.write_iceberg(spark, ev, src)
+        ice.write_iceberg(spark, od, src, mode="append")
+        mirror()
+        if (
+            lake.read_table(spark, dst).count()
+            != ice.read_iceberg(spark, src).count()
+        ):
+            raise AssertionError("phase-1 mirror diverged")
+        hits = (
+            ice.position_scan(spark, src)
+            .filter(F.col("o_totalprice") > 150000)
+            .select(
+                F.col("_file").alias("file_path"),
+                F.col("_pos").alias("pos"),
+            )
+        )
+        ice.write_iceberg_pos_deletes(spark, hits, src)
+        ice.write_iceberg_eq_deletes(
+            spark,
+            o.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey"),
+            src,
+            ["o_orderkey"],
+        )
+        mirror()
+        v = lake.latest_version(dst)
+        mirror()  # caught up
+        if lake.latest_version(dst) != v:
+            raise AssertionError("caught-up mirror must publish nothing")
+        return (
+            lake.read_table(spark, dst)
+            .select(*_BASE_COLS)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -111,3 +111,83 @@ def replicate_delta_to_lake(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def apply_iceberg_batch(
+    spark: SparkSession, batch_df, lake_path: str, keys: list[str],
+    chain: list[int],
+) -> None:
+    """Apply one microbatch of Iceberg change rows in SNAPSHOT-CHAIN
+    order. Snapshot ids are content-random longs, so ordering comes
+    from the table's own chain (``chain`` = ids in commit order, a
+    metadata-sized read the caller does once per batch)."""
+    batch_df = batch_df.localCheckpoint(eager=True)
+    # metadata-sized collect: one row per source snapshot in the batch
+    present = {
+        r["_snapshot_id"]
+        for r in batch_df.select("_snapshot_id").distinct().collect()
+    }
+    for sid in [s for s in chain if s in present]:
+        ch = batch_df.filter(F.col("_snapshot_id") == sid)
+        upserts = ch.filter(F.col("_change_type") == "insert").drop(
+            "_change_type", "_snapshot_id"
+        )
+        deletes = (
+            ch.filter(F.col("_change_type") == "delete")
+            .select(*keys)
+            .distinct()
+        )
+        exists = True
+        try:
+            lake.latest_version(lake_path)
+        except Exception:
+            exists = False
+        if not exists:
+            lake.write_table(upserts, lake_path)
+            continue
+        if deletes.limit(1).count():
+            lake.delete_keys(spark, lake_path, deletes)
+        if upserts.limit(1).count():
+            lake.merge_upsert(spark, lake_path, upserts, keys=keys)
+
+
+def replicate_iceberg_to_lake(
+    spark: SparkSession,
+    iceberg_path: str,
+    lake_path: str,
+    checkpoint: str,
+    keys: list[str],
+    available_now: bool = True,
+):
+    """The Iceberg twin of :func:`replicate_delta_to_lake`:
+    ``readStream.format("iceberg_cdc")`` tails per-snapshot row-level
+    changes (per-file mask diffs, ordinal offsets) and ``foreachBatch``
+    applies them in chain order. Same idempotence argument; same
+    O(changed rows) per poll."""
+    from spype_spark.iceberg_cdc import register_iceberg_cdc
+
+    register_iceberg_cdc(spark)
+    stream = (
+        spark.readStream.format("iceberg_cdc")
+        .option("path", iceberg_path)
+        .load()
+    )
+
+    def _apply(bdf, _bid: int) -> None:
+        from spype_spark import iceberg_log as ilog
+
+        chain = [
+            int(s["snapshot-id"])
+            for s in (
+                ilog.current_metadata(iceberg_path).get("snapshots") or []
+            )
+        ]
+        apply_iceberg_batch(spark, bdf, lake_path, keys, chain)
+
+    w = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

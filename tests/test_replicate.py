@@ -100,3 +100,52 @@ def test_replication_requires_keyed_source(spark, tmp_path):
     got = lake.read_table(spark, dst)
     assert got.count() == 10  # one row per key
     assert got.select("k").distinct().count() == 10
+
+
+def test_iceberg_replication_tracks_chain(spark, tmp_path):
+    from spype_spark import iceberg_interop as ice
+    from spype_spark.replicate import replicate_iceberg_to_lake
+
+    src, dst, ck = (
+        str(tmp_path / "ice"),
+        str(tmp_path / "native"),
+        str(tmp_path / "ck"),
+    )
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    ice.write_iceberg(spark, df, src)
+    hits = (
+        ice.position_scan(spark, src)
+        .filter(F.col("k") < 5)
+        .select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+    )
+    ice.write_iceberg_pos_deletes(spark, hits, src)
+
+    def mirror():
+        q = replicate_iceberg_to_lake(spark, src, dst, ck, keys=["k"])
+        q.awaitTermination()
+
+    mirror()
+    assert _rows(lake.read_table(spark, dst)) == _rows(
+        ice.read_iceberg(spark, src)
+    )
+    ice.write_iceberg(
+        spark,
+        spark.range(100, 108).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        ),
+        src,
+        mode="append",
+    )
+    ice.write_iceberg_eq_deletes(
+        spark, spark.range(0, 30, 10).select(F.col("id").alias("k")),
+        src, ["k"],
+    )
+    mirror()
+    assert _rows(lake.read_table(spark, dst)) == _rows(
+        ice.read_iceberg(spark, src)
+    )
+    v = lake.latest_version(dst)
+    mirror()
+    assert lake.latest_version(dst) == v
