@@ -54,14 +54,16 @@ from spype_spark.queries import lakehouse_ops  # noqa: F401
 _DRIVER_PRIORITY = [
     # ---- round-13 window (first 50 keys = the driver's evidence
     # budget). Per VERDICT.md r12 task 1: q_lake_delta_export FIRST
-    # (the ONLY key with zero driver history — it landed after the r12
-    # window froze), then the SEVENTEEN round-13 NEW contracts (zero
-    # history by construction; the last four landed in the round-13
-    # continuation session), then the 5 keys whose last driver green
-    # is r7 (q_tpch_q2/q20/q21/q9, q_udaf_grouped), then the 34
-    # r8-stale keys starting q_sim_cosine_tiled (the oldest). With 18
-    # zero-history keys ahead of them, the window cuts off inside the
-    # r8 block — the overflow heads the r14 queue.
+    # (zero driver history — it landed after the r12 window froze),
+    # then every round-13 NEW contract in landing order (zero history
+    # by construction; the final six are the second-continuation
+    # Python-DataSource family — streaming CDC over both foreign
+    # formats, both native streaming halves, both replication
+    # pipelines), then the 5 keys whose last driver green is r7
+    # (q_tpch_q2/q20/q21/q9, q_udaf_grouped), then the r8-stale keys
+    # starting q_sim_cosine_tiled (the oldest). With 25 zero-history
+    # keys ahead of them, the window cuts off inside the r8 block —
+    # the overflow heads the r14 queue.
     "q_lake_delta_export",
     # round-13 additions (zero driver history):
     "q_lake_delta_export_part",

@@ -332,6 +332,17 @@ _ALTER_FOREIGN_RENAME_RE = re.compile(
     r"\s+RENAME\s+COLUMN\s+(?P<renames>.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# REPLICATE <fmt> '<src>' INTO '<dst>' KEYS (k[, …]) [CHECKPOINT '<dir>']
+# — one statement = one incremental sync of the foreign table's change
+# feed into a native table; repeated invocations resume from the
+# (default: beside-the-table) streaming checkpoint.
+_REPLICATE_RE = re.compile(
+    r"^\s*REPLICATE\s+(?P<fmt>DELTA|ICEBERG)\s+'(?P<src>[^']+)'"
+    r"\s+INTO\s+'(?P<dst>[^']+)'"
+    r"\s+KEYS\s*\((?P<keys>[^)]+)\)"
+    r"(?:\s+CHECKPOINT\s+'(?P<ck>[^']+)')?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _parse_renames(txt: str) -> dict:
@@ -391,6 +402,29 @@ def _sql_foreign(spark: SparkSession, stmt: str):
             ),
             materialize=bool(m.group("mat")),
         )
+    m = _REPLICATE_RE.match(stmt)
+    if m:
+        import os as _os
+
+        from spype_spark import lakehouse as _lake
+        from spype_spark import replicate as _repl
+
+        keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
+        if not keys:
+            raise ValueError("REPLICATE needs at least one KEYS column")
+        dst = m.group("dst")
+        ck = m.group("ck") or _os.path.join(
+            _os.path.dirname(_os.path.abspath(dst)) or ".",
+            f"_replication_ckpt_{_os.path.basename(_os.path.abspath(dst))}",
+        )
+        fn = (
+            _repl.replicate_delta_to_lake
+            if m.group("fmt").upper() == "DELTA"
+            else _repl.replicate_iceberg_to_lake
+        )
+        q = fn(spark, m.group("src"), dst, ck, keys)
+        q.awaitTermination()
+        return _lake.latest_version(dst)
     return _NO_MATCH
 
 

@@ -149,3 +149,41 @@ def test_iceberg_replication_tracks_chain(spark, tmp_path):
     v = lake.latest_version(dst)
     mirror()
     assert lake.latest_version(dst) == v
+
+
+def test_sql_replicate_statement(spark, tmp_path):
+    """`REPLICATE DELTA '<src>' INTO '<dst>' KEYS (k)` — the facade
+    statement runs one incremental sync and returns the native
+    version; a repeated statement resumes from the same checkpoint."""
+    from spype_spark import sqltext
+
+    src = str(tmp_path / "delta")
+    dst = str(tmp_path / "native")
+    df = spark.range(15).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    dl.write_delta(spark, df, src)
+    v = sqltext.sql(spark, f"REPLICATE DELTA '{src}' INTO '{dst}' KEYS (k)")
+    assert v == lake.latest_version(dst)
+    assert _rows(lake.read_table(spark, dst)) == _rows(
+        dl.read_delta(spark, src)
+    )
+    dl.delta_delete_rows(spark, src, F.col("k") >= 10)
+    sqltext.sql(spark, f"REPLICATE DELTA '{src}' INTO '{dst}' KEYS (k)")
+    assert _rows(lake.read_table(spark, dst)) == _rows(
+        dl.read_delta(spark, src)
+    )
+    # explicit checkpoint form + iceberg flavor parse
+    from spype_spark import iceberg_interop as ice
+
+    isrc = str(tmp_path / "ice")
+    idst = str(tmp_path / "inative")
+    ice.write_iceberg(spark, df, isrc)
+    sqltext.sql(
+        spark,
+        f"REPLICATE ICEBERG '{isrc}' INTO '{idst}' KEYS (k) "
+        f"CHECKPOINT '{tmp_path / 'ick'}'",
+    )
+    assert _rows(lake.read_table(spark, idst)) == _rows(
+        ice.read_iceberg(spark, isrc)
+    )
