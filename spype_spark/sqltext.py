@@ -966,7 +966,11 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
     Migration: ``IMPORT DELTA '<src>' [VERSION AS OF n] INTO '<dst>'
     [MATERIALIZED]`` → :func:`delta_interop.import_delta` (zero-copy
     by-reference for unpartitioned tables; partitioned or MATERIALIZED
-    imports rewrite once).
+    imports rewrite once). ``REPLICATE DELTA|ICEBERG '<src>' INTO
+    '<dst>' KEYS (k[, …]) [CHECKPOINT '<dir>']`` → one incremental
+    streaming sync of the foreign change feed into a native table
+    (:mod:`spype_spark.replicate`); repeat the statement to sync again
+    — the checkpoint (default: beside the target) carries the offset.
 
     DDL side: ``ALTER TABLE t RENAME COLUMN a TO b[, …]`` / ``DROP
     COLUMN(S) …`` / ``ALTER COLUMN c TYPE t`` (type widening, path

@@ -238,3 +238,34 @@ def test_delta_hive_read_is_single_scan(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "p" in pf  # the partition filter prunes directories
+
+
+def test_cdf_format_parallelism_is_per_change_file(spark, tmp_path):
+    """The Python DataSource change feed plans ONE task per change
+    file — the parallelism property PLANS.md's reading note names —
+    and the plan is a PythonDataSource BatchScan (no codegen span to
+    widen; the Arrow channel is the execution model)."""
+    from pyspark.sql import functions as F
+
+    from spype_spark import delta_interop as dl
+    from spype_spark.cdf_source import plan_changes, register_delta_cdf
+
+    register_delta_cdf(spark)
+    p = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    # 3 commits, multiple files each (no coalesce)
+    dl.write_delta(spark, df, p)
+    dl.write_delta(spark, df.filter(F.col("k") < 20), p, mode="append")
+    dl.delta_delete_rows(spark, p, F.col("k") >= 90)
+    got = spark.read.format("delta_cdf").option("path", p).load()
+    from spype_spark.delta_log import replay_state_py
+
+    meta = replay_state_py(p)["meta"]
+    planned = plan_changes(p, 0, 2, meta)
+    assert len(planned) > 1
+    assert got.rdd.getNumPartitions() == len(planned)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan" in plan and "delta_cdf" in plan
+    assert "WholeStageCodegen" not in plan.split("BatchScan")[-1]
