@@ -254,3 +254,58 @@ def test_iceberg_cdc_format_matches_batch_function(spark, tmp_path, seed):
         .collect()
     )
     assert got_w == ref_w, f"seed={seed} window {lo}-{hi}"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_lake_sink_interleaved_with_engine_verbs(spark, tmp_path, seed):
+    """Random interleavings of format('spype_lake') appends with
+    engine MERGE/DELETE/append verbs against a dict model — the
+    interaction class: a sink commit basing on a pre-verb manifest
+    (must rebase), carried delete state crossing a sink append, txns
+    keys surviving engine commits."""
+    from spype_spark import lakehouse as lake
+    from spype_spark.lake_sink import register_lake_sink
+
+    register_lake_sink(spark)
+    rng = random.Random(5000 + seed)
+    p = str(tmp_path / f"t{seed}")
+
+    def mkdf(keys, bump=0):
+        return spark.createDataFrame(
+            [(int(k), int(k) * 3 + bump) for k in sorted(keys)],
+            "k long, v long",
+        )
+
+    model = {k: k * 3 for k in range(20)}
+    lake.write_table(mkdf(model), p)
+    nxt = 100
+    for step in range(6):
+        op = rng.choice(["sink", "sink", "engine_append", "delete", "merge"])
+        if op == "sink":
+            new = set(range(nxt, nxt + rng.randint(2, 6)))
+            nxt += 10
+            mkdf(new).write.format("spype_lake").mode("append").option(
+                "path", p
+            ).save()
+            model.update({k: k * 3 for k in new})
+        elif op == "engine_append":
+            new = set(range(nxt, nxt + rng.randint(2, 6)))
+            nxt += 10
+            lake.append_table(spark, p, mkdf(new))
+            model.update({k: k * 3 for k in new})
+        elif op == "delete":
+            mod = rng.choice([3, 5, 7])
+            res = rng.randrange(mod)
+            lake.delete_where(spark, p, F.col("k") % mod == res)
+            model = {k: v for k, v in model.items() if k % mod != res}
+        else:
+            hit = sorted(model)[: rng.randint(1, 5)]
+            lake.merge_upsert(
+                spark, p, mkdf(hit, bump=step + 1), keys=["k"]
+            )
+            model.update({k: k * 3 + step + 1 for k in hit})
+        got = {
+            r["k"]: r["v"]
+            for r in lake.read_table(spark, p).collect()
+        }
+        assert got == model, f"seed={seed} step={step} op={op}"
