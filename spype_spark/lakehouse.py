@@ -89,6 +89,10 @@ from pyspark.sql import functions as F
 
 from spype_spark.manifest_log import (  # noqa: F401  (historical aliases)
     _MANIFEST_RE,
+    m_manifest as _m_manifest,
+    m_part_key as _m_part_key,
+    m_slab_summary as _m_slab_summary,
+    m_write_parts as _m_write_parts,
     _PHYS_KEY,
     _PART_INLINE_MAX,
     _SLAB_MAX_GROUPS,
@@ -870,180 +874,6 @@ def _is_manifest_table(path: str) -> bool:
     return os.path.isdir(os.path.join(path, "_manifests"))
 
 
-def _m_part_key(entry: dict) -> str:
-    """Grouping key for manifest parts: the entry's data-commit uuid
-    directory + its partition tuple. Both components are IMMUTABLE for
-    the life of the entry (files never move; partition values are in
-    the path), so a group's membership only changes when a mutation
-    actually rewrites one of its files — which is exactly when its
-    part must be rewritten anyway."""
-    seg = entry["path"].split("/")
-    # the commit-uuid dir follows the LAST "data" path segment; handles
-    # both root-relative ("data/<uid>/...") and absolute entry paths
-    # (branch manifests reference parent data by absolute path)
-    uid = seg[0]
-    for i in range(len(seg) - 2, -1, -1):
-        if seg[i] == "data":
-            uid = seg[i + 1]
-            break
-    part = ",".join(f"{k}={v}" for k, v in sorted(entry["partition"].items()))
-    return f"{uid}|{part}"
-
-
-def _m_slab_summary(group: list[dict]) -> dict:
-    """Slab-level pruning summary — a sound over-approximation of one
-    part slab's entries, computed once at write time so scan planning
-    can refute WHOLE SLABS from the manifest pointer list without
-    JSON-decoding their entries (the Iceberg manifest-list partition
-    summaries, re-derived for this protocol). Soundness contract: the
-    summary, viewed as a pseudo manifest entry, must evaluate "maybe"
-    under :func:`_pred_compile` whenever ANY member entry would — so
-    every field is either an envelope/sum over all members or omitted:
-
-    - ``partition``: only columns whose recorded value is IDENTICAL
-      across every member (always true for natural partition-grouped
-      slabs; rebucketed slabs drop mixed columns → unprunable, kept).
-    - ``stats``: per-column [min, max] envelope, only when every
-      member records comparable stats on the column.
-    - ``nulls`` / ``rows``: SUMS — sound for both null-leaf directions
-      (sum > 0 iff any member may hold a NULL; sum < total rows iff
-      any member may hold a non-NULL) and for the all-NULL refutation.
-    - ``seq``: [min, max] commit-sequence envelope for ``since=``.
-    """
-    first = group[0]
-    part = dict(first.get("partition") or {})
-    for e in group[1:]:
-        ep = e.get("partition") or {}
-        for c in list(part):
-            if ep.get(c) != part[c] or part[c] is None:
-                del part[c]
-    stats: dict[str, list] = {}
-    for c, st in (first.get("stats") or {}).items():
-        lo, hi = st
-        ok = lo is not None and hi is not None
-        for e in group[1:]:
-            est = e.get("stats", {}).get(c)
-            if est is None or est[0] is None or est[1] is None:
-                ok = False
-                break
-            try:
-                lo = min(lo, est[0])
-                hi = max(hi, est[1])
-            except TypeError:
-                ok = False
-                break
-        if ok:
-            stats[c] = [lo, hi]
-    rows = 0
-    rows_ok = True
-    for e in group:
-        r = e.get("rows")
-        if r is None:
-            rows_ok = False
-            break
-        rows += r
-    nulls: dict[str, int] = {}
-    for c in (first.get("nulls") or {}):
-        tot = 0
-        ok = True
-        for e in group:
-            nc = e.get("nulls", {}).get(c)
-            if nc is None:
-                ok = False
-                break
-            tot += nc
-        if ok:
-            nulls[c] = tot
-    seqs = [e.get("seq", 0) for e in group]
-    out: dict = {"seq": [min(seqs), max(seqs)]}
-    if part:
-        out["partition"] = part
-    if stats:
-        out["stats"] = stats
-    if nulls:
-        out["nulls"] = nulls
-    if rows_ok:
-        out["rows"] = rows
-    return out
-
-
-def _m_write_parts(
-    path: str, entries: list[dict]
-) -> tuple[list[str], dict[str, dict]]:
-    """Write manifest PART files — content-addressed slabs of entries,
-    grouped by :func:`_m_part_key` — and return ``(filenames,
-    {filename: slab summary})`` (see :func:`_m_slab_summary`; the
-    summaries ride in the manifest pointer object so planning can
-    prune slabs before opening them).
-
-    This is the Iceberg manifest-list idea expressed with the same
-    single primitive as everything else: a part's name is the sha1 of
-    its canonical JSON, published write-if-absent, so a commit whose
-    carry-over leaves a group untouched reproduces the IDENTICAL part
-    file name and writes NOTHING for it (EEXIST = free dedup). Commit
-    metadata cost is therefore O(changed groups + 1 manifest), not
-    O(total files) — at 10⁶ files across 10³ partitions a MERGE
-    touching one partition writes one slab and one pointer list, while
-    an inline file list would rewrite hundreds of MB of JSON per
-    commit."""
-    mdir = os.path.join(path, "_manifests")
-    os.makedirs(mdir, exist_ok=True)
-    groups: dict[str, list[dict]] = {}
-    for e in entries:
-        groups.setdefault(_m_part_key(e), []).append(e)
-    # Cap the metadata-file count: a commit spanning thousands of
-    # partitions would otherwise emit one slab PER PARTITION and every
-    # scan's planning would pay O(partitions) file opens (measured:
-    # ~0.1 ms/entry at 3k one-entry slabs). Commits whose group count
-    # exceeds _SLAB_MAX_GROUPS rebucket by sha(partition) — stable per
-    # entry, so untouched buckets of a carried commit still reproduce
-    # identical slab names (content-address dedup); a rewrite touching
-    # one partition rewrites one bucket (~1/_SLAB_MAX_GROUPS of that
-    # commit's entries) instead of one partition-slab — the bounded
-    # trade for bounded planning fan-in.
-    by_uid: dict[str, int] = {}
-    for key in groups:
-        uid = key.split("|", 1)[0]
-        by_uid[uid] = by_uid.get(uid, 0) + 1
-    over = {u for u, n in by_uid.items() if n > _SLAB_MAX_GROUPS}
-    if over:
-        rebucketed: dict[str, list[dict]] = {}
-        for key, es in groups.items():
-            uid, part = key.split("|", 1)
-            if uid in over:
-                b = (
-                    int(hashlib.sha1(part.encode()).hexdigest()[:8], 16)
-                    % _SLAB_MAX_GROUPS
-                )
-                rebucketed.setdefault(f"{uid}|b{b}", []).extend(es)
-            else:
-                rebucketed.setdefault(key, []).extend(es)
-        groups = rebucketed
-    names = []
-    summaries: dict[str, dict] = {}
-    for _key, group in sorted(groups.items()):
-        group = sorted(group, key=lambda e: e["path"])
-        payload = json.dumps(group, sort_keys=True)
-        name = f"part-{hashlib.sha1(payload.encode()).hexdigest()}.json"
-        final = os.path.join(mdir, name)
-        if not os.path.exists(final):
-            tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
-            with open(tmp, "w") as f:
-                f.write(payload)
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                os.link(tmp, final)
-            except FileExistsError:
-                pass  # concurrent writer produced the same content
-            os.unlink(tmp)
-        names.append(name)
-        # pure function of slab content — identical for a carried slab,
-        # so content-address dedup across commits stays exact
-        summaries[name] = _m_slab_summary(group)
-    return names, summaries
-
-
 def _slab_maybe(s: dict, partitions, ranges, nulls, maybe, since) -> bool:
     """Three-valued slab refutation from a :func:`_m_slab_summary`:
     False = NO entry in the slab can survive the scan's pruning knobs
@@ -1325,52 +1155,6 @@ def _m_open_files(
     if with_pos:
         keep += [F.col("__fname"), F.col("__pos")]
     return df.select(*keep)
-
-
-def _m_manifest(
-    path: str,
-    version: int,
-    base: int | None,
-    schema_json: dict | None,
-    pcols: list[str] | None,
-    entries: list[dict],
-    deletes: list[dict] | None = None,
-    retired: list[str] | None = None,
-    constraints: dict | None = None,
-    transforms: list[dict] | None = None,
-    pos_deletes: list[dict] | None = None,
-) -> dict:
-    """Assemble a manifest payload: entries inline while the table is
-    small (≤ ``_PART_INLINE_MAX`` files — keeps tiny tables one
-    object), content-addressed part slabs beyond. Part files are
-    unreferenced until the manifest naming them lands, so writing them
-    here needs no atomicity (the standard invisibility argument).
-    ``deletes`` (cumulative equality-delete files, see
-    :func:`delete_keys`) ride inline — they are few by construction
-    (compaction clears them)."""
-    man = {
-        "version": version,
-        "base": base,
-        "schema": schema_json,
-        "partition_by": pcols,
-    }
-    if deletes:
-        man["deletes"] = deletes
-    if retired:
-        man["retired"] = sorted(set(retired))
-    if constraints:
-        man["constraints"] = constraints
-    if transforms:
-        man["transforms"] = transforms
-    if pos_deletes:
-        man["pos_deletes"] = pos_deletes
-    if len(entries) <= _PART_INLINE_MAX:
-        man["files"] = entries
-    else:
-        names, summaries = _m_write_parts(path, entries)
-        man["parts"] = names
-        man["part_summaries"] = summaries
-    return man
 
 
 def _m_write_files(

@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from spype_spark import lakehouse as lake
+from spype_spark import manifest_log as mlog
 
 
 @pytest.fixture()
@@ -1146,7 +1147,7 @@ def test_manifest_parts_content_addressed_carry(spark, tmp_path, monkeypatch):
     the slabs."""
     import os
 
-    monkeypatch.setattr(lake, "_PART_INLINE_MAX", 4)
+    monkeypatch.setattr(mlog, "_PART_INLINE_MAX", 4)
     path = str(tmp_path / "parts")
     df = spark.createDataFrame(
         [(k, k * 10, k % 4) for k in range(400)], "k long, v long, p long"
@@ -1195,7 +1196,7 @@ def test_manifest_parts_in_catalog_txn(spark, tmp_path, monkeypatch):
     idempotent replay and conflict paths are layout-independent."""
     from spype_spark.catalog import Catalog
 
-    monkeypatch.setattr(lake, "_PART_INLINE_MAX", 4)
+    monkeypatch.setattr(mlog, "_PART_INLINE_MAX", 4)
     cat = Catalog(str(tmp_path / "pc"))
     df = spark.createDataFrame(
         [(k, k * 10, k % 3) for k in range(300)], "k long, v long, p long"
@@ -1225,7 +1226,7 @@ def test_slab_summary_pruning_skips_decode(spark, tmp_path, monkeypatch):
     import builtins
     import os
 
-    monkeypatch.setattr(lake, "_PART_INLINE_MAX", 4)
+    monkeypatch.setattr(mlog, "_PART_INLINE_MAX", 4)
     path = str(tmp_path / "slabsum")
     # p = k // 100: partition value and k-range per slab are correlated,
     # so BOTH the partition knob and the stats envelope can refute slabs
@@ -1296,7 +1297,7 @@ def test_slab_pruning_hidden_partition_transforms(spark, tmp_path, monkeypatch):
     import builtins
     import os
 
-    monkeypatch.setattr(lake, "_PART_INLINE_MAX", 4)
+    monkeypatch.setattr(mlog, "_PART_INLINE_MAX", 4)
     path = str(tmp_path / "slabtf")
     df = spark.createDataFrame(
         [(k, k * 3) for k in range(600)], "k long, v long"
@@ -1337,7 +1338,7 @@ def test_slab_pruning_differential_soundness(spark, tmp_path, monkeypatch):
     slab refutation is sound (never drops a slab holding a match)."""
     import random
 
-    monkeypatch.setattr(lake, "_PART_INLINE_MAX", 4)
+    monkeypatch.setattr(mlog, "_PART_INLINE_MAX", 4)
     path = str(tmp_path / "slabdiff")
     rng = random.Random(11)
     rows = [
