@@ -336,7 +336,6 @@ def _read_change_file(part: _ChangeFilePartition, schema):
     partition columns fill as constants from the add's
     ``partitionValues``."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -380,30 +379,22 @@ def _read_change_file(part: _ChangeFilePartition, schema):
     if n == 0:
         return
 
-    def const(value, typ):
-        return pa.repeat(pa.scalar(value, type=typ), n)
+    from spype_spark.arrow_shape import shape_batches
 
-    cols = []
-    for field in target:
-        if field.name == CHANGE_TYPE_COL:
+    def resolve(name):
+        if name == CHANGE_TYPE_COL:
             if part.kind == "cdc":
-                col = tbl.column(CHANGE_TYPE_COL)
-            else:
-                col = const(part.kind, field.type)
-        elif field.name == COMMIT_VERSION_COL:
-            col = const(part.version, field.type)
-        elif field.name in tbl.column_names:
-            col = tbl.column(field.name)
-        elif field.name in part.pvals:
-            col = const(part.pvals[field.name], field.type)
-        else:
-            col = pa.nulls(n, type=field.type)
-        if col.type != field.type:
-            col = pc.cast(col, field.type, safe=False)
-        cols.append(
-            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        )
-    yield from pa.Table.from_arrays(cols, schema=target).to_batches()
+                return ("col", tbl.column(CHANGE_TYPE_COL))
+            return ("const", part.kind)
+        if name == COMMIT_VERSION_COL:
+            return ("const", part.version)
+        if name in tbl.column_names:
+            return ("col", tbl.column(name))
+        if name in part.pvals:
+            return ("const", part.pvals[name])
+        return None
+
+    yield from shape_batches(target, n, resolve)
 
 
 # ---------------------------------------------------------------------------

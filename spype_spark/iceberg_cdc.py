@@ -270,7 +270,6 @@ def _read_ice_change_file(part: _IceChangePartition, schema):
     appended."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -322,29 +321,24 @@ def _read_ice_change_file(part: _IceChangePartition, schema):
             m &= ~hit
         return m
 
+    from spype_spark.arrow_shape import shape_batches
+
     def emit(mask, kind):
         idx = np.flatnonzero(mask)
         if idx.size == 0:
             return
         sel = tbl.take(pa.array(idx, type=pa.int64()))
-        cols = []
-        for field in target:
-            if field.name == CHANGE_TYPE_COL:
-                col = pa.repeat(pa.scalar(kind, type=field.type), idx.size)
-            elif field.name == SNAPSHOT_ID_COL:
-                col = pa.repeat(
-                    pa.scalar(part.snapshot_id, type=field.type), idx.size
-                )
-            elif phys_of.get(field.name) in sel.column_names:
-                col = sel.column(phys_of[field.name])
-            else:
-                col = pa.nulls(idx.size, type=field.type)
-            if col.type != field.type:
-                col = pc.cast(col, field.type, safe=False)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            cols.append(col)
-        yield from pa.Table.from_arrays(cols, schema=target).to_batches()
+
+        def resolve(name):
+            if name == CHANGE_TYPE_COL:
+                return ("const", kind)
+            if name == SNAPSHOT_ID_COL:
+                return ("const", part.snapshot_id)
+            if phys_of.get(name) in sel.column_names:
+                return ("col", sel.column(phys_of[name]))
+            return None
+
+        yield from shape_batches(target, idx.size, resolve)
 
     if part.kind == "insert":
         yield from emit(mask_of(part.pos_after, part.eq_after), "insert")

@@ -146,6 +146,25 @@ def _write_task(iterator, path: str, pcols: list[str]) -> _LakeWriteMessage:
     return _LakeWriteMessage(entries, files)
 
 
+def _gate_head_profile(m: dict, path: str) -> None:
+    """Commit-time profile re-check against the (possibly rebased)
+    head: engine DDL landing mid-stream must fail the NEXT commit
+    loudly, never be silently dropped from the published manifest."""
+    bad = [
+        k
+        for k in ("transforms", "constraints", "retired")
+        if m.get(k)
+    ]
+    if any(mlog.phys(f) != f["name"] for f in m["schema"]["fields"]):
+        bad.append("renamed columns")
+    if bad:
+        raise ValueError(
+            f"spype_lake sink: the head manifest of {path} now carries "
+            f"{bad} (engine DDL landed mid-stream) — outside the sink "
+            f"profile; restart ingestion through lakehouse.append_table"
+        )
+
+
 def _check_table_profile(m: dict, schema) -> list[str]:
     """Gate the base manifest against the sink profile and the
     declared write schema; returns the table's partition columns."""
@@ -202,8 +221,19 @@ def _commit_append(
     batch_id: int | None,
 ) -> None:
     """Driver-side commit: one manifest on top of the current head,
-    base entries carried by reference, optimistic retry on the
-    put-if-absent race, idempotent on (app_id, batch_id) replay."""
+    base entries carried by reference (slab structure preserved —
+    the engine's own :func:`manifest_log.m_manifest` assembly, so a
+    microbatch into a slab-structured table rewrites only the slabs
+    its entries land in, O(new rows) not O(table files)), optimistic
+    retry on the put-if-absent race, idempotent on
+    (app_id, batch_id) replay. An empty microbatch publishes NOTHING
+    (processing-time triggers with no data must not churn versions).
+
+    The profile gates re-check against EVERY rebased head: an engine
+    DDL landing mid-stream (transforms, constraints, renames, DROP
+    retirement) changes what an append must know — the sink refuses
+    loudly rather than publishing a manifest that silently drops or
+    violates those invariants."""
     new_entries = [
         e for msg in messages if msg is not None for e in msg.entries
     ]
@@ -219,9 +249,13 @@ def _commit_append(
             except OSError:
                 pass
 
+    if not new_entries:
+        drop_new_files()
+        return
     for _attempt in range(_COMMIT_RETRIES):
         base = max(mlog.m_versions(path))
         m = mlog.m_load(path, base)
+        _gate_head_profile(m, path)
         txns = dict(m.get("txns") or {})
         if (
             app_id is not None
@@ -235,20 +269,20 @@ def _commit_append(
         version = base + 1
         for e in new_entries:
             e["seq"] = version
-        man = {
-            "version": version,
-            "base": base,
-            "schema": m["schema"],
-            "partition_by": m.get("partition_by"),
-        }
-        for k in ("deletes", "pos_deletes"):
-            if m.get(k):
-                man[k] = m[k]
+        man = mlog.m_manifest(
+            path,
+            version,
+            base,
+            m["schema"],
+            m.get("partition_by"),
+            mlog.m_entries(path, m) + new_entries,
+            deletes=m.get("deletes"),
+            pos_deletes=m.get("pos_deletes"),
+        )
         if app_id is not None and batch_id is not None:
             txns[app_id] = batch_id
         if txns:
             man["txns"] = txns
-        man["files"] = mlog.m_entries(path, m) + new_entries
         # stale-base guard (same as the engine's _m_commit): retention
         # collecting our base mid-commit surfaces as retry, not as a
         # manifest with dangling carried references
@@ -365,17 +399,25 @@ class _LakeStreamSourceReader(DataSourceStreamReader):
                 try:
                     prev = mlog.m_load(self.path, v - 1)
                 except FileNotFoundError:
-                    prev = None  # vacuumed history before the offset
-                if prev is not None:
-                    prev_entries = mlog.m_entries(self.path, prev)
-                    removed = {e["path"] for e in prev_entries} - {
-                        e["path"] for e in entries
-                    }
-                    dels_changed = (
-                        prev.get("deletes") != m.get("deletes")
-                        or prev.get("pos_deletes") != m.get("pos_deletes")
+                    # vacuumed predecessor: append-only CANNOT be
+                    # proven — a rewrite's re-added files carry seq==v
+                    # and would re-deliver already-delivered rows.
+                    # Loud, never a silent duplicate feed.
+                    raise ValueError(
+                        f"spype_lake source: version {v - 1} of "
+                        f"{self.path} was vacuumed — cannot prove "
+                        f"version {v} is append-only; restart the "
+                        f"stream from a retained version"
                     )
-                    changed = bool(removed) or dels_changed
+                prev_entries = mlog.m_entries(self.path, prev)
+                removed = {e["path"] for e in prev_entries} - {
+                    e["path"] for e in entries
+                }
+                dels_changed = (
+                    prev.get("deletes") != m.get("deletes")
+                    or prev.get("pos_deletes") != m.get("pos_deletes")
+                )
+                changed = bool(removed) or dels_changed
             if changed:
                 if self.skip_changes:
                     continue
@@ -397,11 +439,11 @@ class _LakeStreamSourceReader(DataSourceStreamReader):
     def read(self, partition):
         if partition is None:
             return
-        import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import to_arrow_schema
+
+        from spype_spark.arrow_shape import shape_batches
 
         target = to_arrow_schema(self.schema)
         tbl = pq.read_table(partition.file)
@@ -411,18 +453,13 @@ class _LakeStreamSourceReader(DataSourceStreamReader):
         n = tbl.num_rows
         if n == 0:
             return
-        cols = []
-        for field in target:
-            if field.name in tbl.column_names:
-                col = tbl.column(field.name)
-            else:
-                col = pa.nulls(n, type=field.type)
-            if col.type != field.type:
-                col = pc.cast(col, field.type, safe=False)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            cols.append(col)
-        yield from pa.Table.from_arrays(cols, schema=target).to_batches()
+
+        def resolve(name):
+            if name in tbl.column_names:
+                return ("col", tbl.column(name))
+            return None
+
+        yield from shape_batches(target, n, resolve)
 
     def commit(self, end):
         pass
@@ -520,6 +557,13 @@ class LakeSinkDataSource(DataSource):
         for f in schema_json["fields"]:
             f["metadata"] = {}
         os.makedirs(path, exist_ok=True)
+        # _table.json FIRST (what every engine verb reads partition_by
+        # and protocol from — write_table's own create order); then
+        # the empty v0 manifest, put-if-absent so racing creators fail
+        with open(os.path.join(path, "_table.json"), "w") as f:
+            _json.dump(
+                {"partition_by": pcols or None, "protocol": "manifest"}, f
+            )
         mlog.m_publish(
             path,
             0,

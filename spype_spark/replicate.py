@@ -68,6 +68,22 @@ def apply_cdf_batch(
             .select(*keys)
             .distinct()
         )
+        # KEY-CHANGING updates: a preimage whose key tuple has no
+        # postimage means the UPDATE moved the row to a new key — the
+        # old key must be deleted or the mirror keeps a ghost row
+        stale = (
+            ch.filter(F.col("_change_type") == "update_preimage")
+            .select(*keys)
+            .join(
+                ch.filter(
+                    F.col("_change_type") == "update_postimage"
+                ).select(*keys),
+                keys,
+                "left_anti",
+            )
+            .distinct()
+        )
+        deletes = deletes.unionByName(stale).distinct()
         exists = True
         try:
             lake.latest_version(lake_path)
@@ -127,6 +143,14 @@ def apply_iceberg_batch(
         r["_snapshot_id"]
         for r in batch_df.select("_snapshot_id").distinct().collect()
     }
+    orphans = present - set(chain)
+    if orphans:
+        raise ValueError(
+            f"iceberg replication: snapshot(s) {sorted(orphans)} in the "
+            f"change batch are no longer in the metadata chain "
+            f"(expired/rewritten mid-apply) — ordering is undecidable; "
+            f"restart the mirror from a retained snapshot"
+        )
     for sid in [s for s in chain if s in present]:
         ch = batch_df.filter(F.col("_snapshot_id") == sid)
         upserts = ch.filter(F.col("_change_type") == "insert").drop(

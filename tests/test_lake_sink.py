@@ -389,3 +389,104 @@ def test_batch_read_points_to_jvm_path(reg, tmp_path):
     _mk(reg, p, n=3)
     with pytest.raises(Exception, match="JVM scan path"):
         reg.read.format("spype_lake").option("path", p).load().collect()
+
+
+def test_commit_gates_mid_stream_ddl(reg, tmp_path):
+    """Engine DDL landing between sink commits must fail the NEXT
+    commit loudly — never publish a manifest that silently drops
+    retired/constraints/transforms/mapping state (review r13)."""
+    p = str(tmp_path / "t")
+    df = _mk(reg, p)
+    more = reg.range(20, 23).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    more.write.format("spype_lake").mode("append").option("path", p).save()
+    lake.rename_columns(reg, p, {"k": "kk"})
+    bad = reg.range(3).select(
+        F.col("id").alias("kk"), (F.col("id") % 3).alias("g")
+    )
+    with pytest.raises(Exception, match="renamed"):
+        bad.write.format("spype_lake").mode("append").option(
+            "path", p
+        ).save()
+
+
+def test_empty_batch_publishes_nothing(reg, tmp_path):
+    p = str(tmp_path / "t")
+    df = _mk(reg, p, n=5)
+    v = lake.latest_version(p)
+    df.limit(0).write.format("spype_lake").mode("append").option(
+        "path", p
+    ).save()
+    assert lake.latest_version(p) == v
+
+
+def test_sink_preserves_slab_structure(reg, tmp_path):
+    """Appending into a slab-structured manifest must keep the parts
+    layout (content-addressed slabs + summaries), not degrade it to an
+    inline O(table-files) list per microbatch (review r13). The
+    commit runs in the data-source worker, so the table must be
+    GENUINELY past _PART_INLINE_MAX files — 70 identity partitions."""
+    p = str(tmp_path / "t")
+    df = reg.range(280).select(
+        F.col("id").alias("k"), (F.col("id") % 70).alias("g")
+    )
+    lake.write_table(df.coalesce(1), p, partition_by=["g"])
+    m0 = mlog.m_load(p, 0)
+    assert "parts" in m0 and "files" not in m0
+    reg.range(280, 287).select(
+        F.col("id").alias("k"), (F.col("id") % 70).alias("g")
+    ).write.format("spype_lake").mode("append").option("path", p).save()
+    m1 = mlog.m_load(p, 1)
+    assert "parts" in m1 and "files" not in m1, "slab layout degraded"
+    assert sorted(
+        r["k"] for r in lake.read_table(reg, p).collect()
+    ) == list(range(287))
+
+
+def test_source_vacuumed_prev_is_loud(reg, tmp_path):
+    """A retained version whose PREDECESSOR manifest was vacuumed
+    cannot be proven append-only — the source must refuse, never
+    silently re-deliver a rewrite's carried rows (review r13)."""
+    import os as _os
+
+    from spype_spark.lake_sink import _LakeStreamSourceReader
+
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=6)
+    lake.append_table(
+        reg,
+        p,
+        reg.range(6, 9).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ),
+    )
+    lake.append_table(
+        reg,
+        p,
+        reg.range(9, 12).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ),
+    )
+    _os.remove(mlog.m_path(p, 1))
+    rdr = _LakeStreamSourceReader(
+        reg.read.parquet(
+            _os.path.join(p, mlog.m_entries(p, mlog.m_load(p, 0))[0]["path"])
+        ).schema,
+        {"path": p},
+    )
+    with pytest.raises(ValueError, match="vacuumed"):
+        rdr.partitions({"version": 1}, {"version": 2})
+
+
+def test_auto_created_table_has_table_meta(reg, tmp_path):
+    """Sink-created tables must write _table.json so engine verbs see
+    partition_by (review r13: without it, MERGE/DELETE lose
+    partition-level COW on sink-created tables)."""
+    p = str(tmp_path / "fresh")
+    reg.range(9).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    ).write.format("spype_lake").mode("append").option("path", p).option(
+        "createTableIfAbsent", "true"
+    ).option("partitionedBy", "g").save()
+    assert lake.table_meta(p)["partition_by"] == ["g"]

@@ -187,3 +187,45 @@ def test_sql_replicate_statement(spark, tmp_path):
     assert _rows(lake.read_table(spark, idst)) == _rows(
         ice.read_iceberg(spark, isrc)
     )
+
+
+def test_key_changing_update_deletes_old_key(spark, tmp_path):
+    """A source UPDATE that changes a KEY column emits a preimage
+    whose key has no postimage — the mirror must delete the old key,
+    not keep a ghost row (review r13)."""
+    from spype_spark.replicate import apply_cdf_batch
+
+    src, dst = str(tmp_path / "delta"), str(tmp_path / "native")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    dl.write_delta(spark, df, src)
+    # key-changing update: k -> k + 100 for k < 3
+    dl.delta_update_rows(
+        spark, src, F.col("k") < 3, {"k": F.col("k") + 100}
+    )
+    apply_cdf_batch(spark, dl.delta_changes(spark, src, 0), dst, keys=["k"])
+    assert _rows(lake.read_table(spark, dst)) == _rows(
+        dl.read_delta(spark, src)
+    )
+    got_keys = sorted(
+        r["k"] for r in lake.read_table(spark, dst).collect()
+    )
+    assert got_keys == [3, 4, 5, 6, 7, 8, 9, 100, 101, 102]
+
+
+def test_iceberg_orphan_snapshot_is_loud(spark, tmp_path):
+    """Change rows whose snapshot vanished from the metadata chain
+    between read and apply must raise — ordering is undecidable
+    (review r13)."""
+    from spype_spark import iceberg_interop as ice
+    from spype_spark.replicate import apply_iceberg_batch
+
+    src, dst = str(tmp_path / "ice"), str(tmp_path / "native")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    s0 = ice.write_iceberg(spark, df, src)
+    batch = ice.iceberg_changes(spark, src)
+    with pytest.raises(ValueError, match="no longer in the metadata chain"):
+        apply_iceberg_batch(spark, batch, dst, ["k"], chain=[s0 + 1])
