@@ -103,12 +103,57 @@ def probe_cdf_tail(spark, commit_counts: list[int]) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_ice_tail(spark, snap_counts: list[int]) -> None:
+    print("== iceberg_cdc source: one-snapshot incremental drain vs chain length")
+    from spype_spark import iceberg_interop as ice
+    from spype_spark.iceberg_cdc import register_iceberg_cdc
+
+    register_iceberg_cdc(spark)
+    for n_snaps in snap_counts:
+        tmp = _scratch("probe_icecdc_")
+        try:
+            p = f"{tmp}/t"
+            df = spark.range(2_000).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+            )
+            ice.write_iceberg(spark, df, p)
+            for _ in range(n_snaps - 1):
+                ice.write_iceberg(spark, df.limit(200), p, mode="append")
+            sink, ck = f"{tmp}/sink", f"{tmp}/ck"
+
+            def drain():
+                q = (
+                    spark.readStream.format("iceberg_cdc")
+                    .option("path", p)
+                    .load()
+                    .writeStream.format("parquet")
+                    .option("path", sink)
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+            drain()
+            ice.write_iceberg(spark, df.limit(300), p, mode="append")
+            t0 = time.perf_counter()
+            drain()
+            dt = time.perf_counter() - t0
+            print(
+                f"  chain_snaps={n_snaps:>5}  "
+                f"incremental_drain={dt*1000:8.0f} ms"
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("stream-interop-probe")
     register_lake_sink(spark)
     register_delta_cdf(spark)
     probe_sink(spark, [10_000, 100_000, 1_000_000])
     probe_cdf_tail(spark, [5, 50, 200])
+    probe_ice_tail(spark, [5, 30, 100])
 
 
 if __name__ == "__main__":
