@@ -50,13 +50,11 @@ def apply_cdf_batch(
     boundary: a delete and a re-insert of the same key in different
     commits must land in sequence)."""
     batch_df = batch_df.localCheckpoint(eager=True)
+    vdf = batch_df.select("_commit_version").distinct()
     # metadata-sized collect: one row per source commit in this batch
     versions = [
         r["_commit_version"]
-        for r in batch_df.select("_commit_version")
-        .distinct()
-        .orderBy("_commit_version")
-        .collect()
+        for r in vdf.orderBy("_commit_version").collect()
     ]
     for v in versions:
         ch = batch_df.filter(F.col("_commit_version") == v)
