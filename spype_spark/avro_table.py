@@ -28,9 +28,13 @@ executors need no installed package):
 Type profile (loud errors outside it): boolean, int, bigint, float,
 double, string, binary, date (Avro logical ``date`` on int days) and
 timestamp (``timestamp-micros`` on long), plus nullability via
-union-with-null. Nested arrays/structs/maps are out of profile for
-the TABLE layer (the underlying codec reads them; a relational sink
-has no canonical flattening).
+union-with-null — and, recursively, NESTED types: Avro ``record`` ↔
+Spark struct, ``array`` ↔ array, ``map`` (string keys, the only kind
+Avro has) ↔ map, with per-level nullability via union-with-null and
+logical types at any depth. Still loudly out of profile: RECURSIVE
+named-type references (Spark's type system is strictly tree-shaped —
+no engine maps those to a relational column), non-nullable multi-type
+unions, enum/fixed, and codecs beyond null/deflate.
 """
 
 from __future__ import annotations

@@ -55,6 +55,7 @@ from pyspark.sql.datasource import (
 
 from spype_spark import delta_log as dlog
 from spype_spark.roaring import deserialize_array64
+from spype_spark.arrow_shape import shape_batches
 
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
@@ -378,8 +379,6 @@ def _read_change_file(part: _ChangeFilePartition, schema):
     n = tbl.num_rows
     if n == 0:
         return
-
-    from spype_spark.arrow_shape import shape_batches
 
     def resolve(name):
         if name == CHANGE_TYPE_COL:

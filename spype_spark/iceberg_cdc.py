@@ -53,6 +53,7 @@ from pyspark.sql.datasource import (
 )
 
 from spype_spark import iceberg_log as ilog
+from spype_spark.arrow_shape import shape_batches
 
 CHANGE_TYPE_COL = "_change_type"
 SNAPSHOT_ID_COL = "_snapshot_id"
@@ -320,8 +321,6 @@ def _read_ice_change_file(part: _IceChangePartition, schema):
             )
             m &= ~hit
         return m
-
-    from spype_spark.arrow_shape import shape_batches
 
     def emit(mask, kind):
         idx = np.flatnonzero(mask)

@@ -36,6 +36,19 @@ Iceberg writer-report model — the driver never touches data).
 import ``spype_spark`` — hence :mod:`manifest_log`'s by-value
 registration.
 
+The format also carries the native CHANGE DATA FEED
+(``.option("readChangeFeed", "true")``, Delta's own option surface) as
+both a streaming source (manifest-version offsets in Spark's
+checkpoint — exactly-once restart with zero source-side state) and a
+batch window reader. Change sets derive from the manifest chain alone:
+per-file ``insert`` partitions for appends, per-file mask diffs for
+merge-on-read deletes (the commit's new DV/equality sidecars applied
+against the prior state, sequence rule intact), and a key-diff of
+exactly the touched files for rewrite commits — bounded by the MERGE's
+own write amplification, never the table size. Rewrite commits need
+``.option("keys", "k1,k2")`` (unique per row, as in ``table_diff``);
+without it they fail loudly.
+
 Profile (loud gates, never silent corruption): the table must exist;
 append only (``mode("overwrite")`` refused); schema must equal the
 table's (names AND types — use MERGE ``evolve_schema`` to widen);
@@ -57,6 +70,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
@@ -64,6 +78,7 @@ from pyspark.sql.datasource import (
 )
 
 from spype_spark import manifest_log as mlog
+from spype_spark.arrow_shape import shape_batches
 
 FORMAT_NAME = "spype_lake"
 
@@ -443,8 +458,6 @@ class _LakeStreamSourceReader(DataSourceStreamReader):
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        from spype_spark.arrow_shape import shape_batches
-
         target = to_arrow_schema(self.schema)
         tbl = pq.read_table(partition.file)
         tbl = tbl.rename_columns(
@@ -465,6 +478,492 @@ class _LakeStreamSourceReader(DataSourceStreamReader):
         pass
 
 
+# ---------------------------------------------------------------------------
+# CHANGE DATA FEED — ``.option("readChangeFeed", "true")`` (Delta's own
+# option surface) over the manifest chain: row-level changes per
+# version, decidable from the manifests alone for append and
+# merge-on-read delete commits, and from a bounded key-diff of the
+# TOUCHED files for rewrite commits (MERGE / compaction).
+# ---------------------------------------------------------------------------
+
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+
+
+def _cdf_recs(path: str, m: dict) -> list[dict]:
+    """Delete-state descriptors of one manifest: absolute sidecar
+    path + kind (``eq`` equality-delete keys / ``pos`` positional DV)
+    + the commit seq the sequence rule filters by."""
+    recs = []
+    for d in m.get("deletes") or []:
+        recs.append(
+            {
+                "path": os.path.join(path, d["path"]),
+                "kind": "eq",
+                "keys": list(d["keys"]),
+                "seq": int(d["seq"]),
+            }
+        )
+    for d in m.get("pos_deletes") or []:
+        recs.append(
+            {
+                "path": os.path.join(path, d["path"]),
+                "kind": "pos",
+                "seq": int(d["seq"]),
+            }
+        )
+    return recs
+
+
+def _rel_fname(entry_path: str) -> str:
+    """Commit-relative file name (everything after the last ``data/``
+    segment) — the row-identity key positional DVs anchor to."""
+    seg = entry_path.split("/")
+    for i in range(len(seg) - 2, -1, -1):
+        if seg[i] == "data":
+            return "/".join(seg[i + 1 :])
+    return entry_path
+
+
+class _LakeCDFPartition(InputPartition):
+    """One unit of change-feed work. ``kind``:
+
+    - ``insert``: one NEW data file — every row is an insert (a commit's
+      fresh files cannot be delete-targeted by the sequence rule).
+    - ``mask``: one KEPT data file whose live-mask shrank (a
+      merge-on-read delete commit) — emit the rows live under
+      ``base_recs`` but dead under ``base_recs + new_recs`` as deletes.
+    - ``diff``: one REWRITE commit (MERGE/compaction) — key-diff the
+      live rows of the removed files (under the prev delete state)
+      against the live rows of the added files (under the new state);
+      bounded by the commit's own write amplification, never the table.
+    """
+
+    def __init__(
+        self,
+        kind: str,
+        version: int,
+        rename: dict,
+        file: str | None = None,
+        rel: str | None = None,
+        base_recs: list[dict] | None = None,
+        new_recs: list[dict] | None = None,
+        old_files: list[tuple] | None = None,
+        new_files: list[tuple] | None = None,
+        keys: list[str] | None = None,
+    ):
+        self.kind = kind
+        self.version = version
+        self.rename = rename  # physical -> logical (this version's map)
+        self.file = file
+        self.rel = rel
+        self.base_recs = base_recs or []
+        self.new_recs = new_recs or []
+        self.old_files = old_files or []  # (abs path, rel fname, recs)
+        self.new_files = new_files or []
+        self.keys = keys or []
+
+
+def _plan_cdf_step(
+    path: str, v: int, keys: list[str] | None
+) -> list[_LakeCDFPartition]:
+    """Classify one version step v-1 → v into change-feed partitions —
+    pure manifest metadata, runs in the data-source worker."""
+    cur = mlog.m_load(path, v)
+    if v == 0:
+        prev_entries: list[dict] = []
+        prev_recs: list[dict] = []
+    else:
+        try:
+            prev = mlog.m_load(path, v - 1)
+        except FileNotFoundError:
+            raise ValueError(
+                f"spype_lake CDF: version {v - 1} of {path} was "
+                f"vacuumed — the change set of version {v} cannot be "
+                f"derived; restart the stream from a retained version"
+            ) from None
+        prev_entries = mlog.m_entries(path, prev)
+        prev_recs = _cdf_recs(path, prev)
+    cur_entries = mlog.m_entries(path, cur)
+    cur_recs = _cdf_recs(path, cur)
+    rename = {mlog.phys(f): f["name"] for f in cur["schema"]["fields"]}
+    prev_by = {e["path"]: e for e in prev_entries}
+    cur_by = {e["path"]: e for e in cur_entries}
+    added = [e for p, e in cur_by.items() if p not in prev_by]
+    removed = [e for p, e in prev_by.items() if p not in cur_by]
+    kept = [e for p, e in cur_by.items() if p in prev_by]
+
+    def appl(recs: list[dict], e: dict) -> list[dict]:
+        s = int(e.get("seq", 0))
+        return [r for r in recs if r["seq"] > s]
+
+    def rec_ids(recs: list[dict]) -> set[str]:
+        return {r["path"] for r in recs}
+
+    affected = [
+        e
+        for e in kept
+        if rec_ids(appl(prev_recs, e)) != rec_ids(appl(cur_recs, e))
+    ]
+    # resurrection guard: a kept file LOSING an applicable delete
+    # record without being rewritten would bring rows back to life —
+    # no engine verb does this (compaction materializes deletes into
+    # rewritten files), so it joins the key-diff path, never a mask
+    shrink_only = all(
+        rec_ids(appl(prev_recs, e)) <= rec_ids(appl(cur_recs, e))
+        for e in affected
+    )
+
+    def abs_of(e: dict) -> str:
+        p = e["path"]
+        return p if os.path.isabs(p) else os.path.join(path, p)
+
+    parts: list[_LakeCDFPartition] = []
+    if removed or (affected and not shrink_only):
+        if not keys:
+            raise ValueError(
+                f"spype_lake CDF: version {v} of {path} is a REWRITE "
+                f"commit (files replaced) — row-level changes need the "
+                f"key columns; pass .option('keys', '<k1,k2,...>') "
+                f"(keys must be unique per row, as in table_diff)"
+            )
+        old_side = [
+            (abs_of(e), _rel_fname(e["path"]), appl(prev_recs, e))
+            for e in removed + affected
+        ]
+        new_side = [
+            (abs_of(e), _rel_fname(e["path"]), appl(cur_recs, e))
+            for e in added + affected
+        ]
+        parts.append(
+            _LakeCDFPartition(
+                "diff",
+                v,
+                rename,
+                old_files=old_side,
+                new_files=new_side,
+                keys=keys,
+            )
+        )
+        return parts
+    for e in added:
+        parts.append(
+            _LakeCDFPartition(
+                "insert", v, rename, file=abs_of(e), rel=_rel_fname(e["path"])
+            )
+        )
+    for e in affected:
+        base = appl(prev_recs, e)
+        base_ids = rec_ids(base)
+        new = [r for r in appl(cur_recs, e) if r["path"] not in base_ids]
+        parts.append(
+            _LakeCDFPartition(
+                "mask",
+                v,
+                rename,
+                file=abs_of(e),
+                rel=_rel_fname(e["path"]),
+                base_recs=base,
+                new_recs=new,
+            )
+        )
+    return parts
+
+
+def _dead_mask(tbl, rel: str, recs: list[dict]):
+    """Boolean numpy mask of ``tbl``'s rows killed by the delete
+    records ``recs`` (logical column names already applied). DV
+    sidecars match on the commit-relative fname; equality sidecars
+    match on distinct key tuples (NULL keys never match — SQL
+    anti-join semantics, which the Arrow hash join shares)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dead = np.zeros(tbl.num_rows, dtype=bool)
+    idx = pa.array(range(tbl.num_rows), type=pa.int64())
+    for r in recs:
+        if r["kind"] == "pos":
+            t = pq.read_table(r["path"], columns=["fname", "pos"])
+            import pyarrow.compute as pc
+
+            hits = t.filter(pc.equal(t.column("fname"), rel))
+            pos = np.asarray(hits.column("pos"), dtype=np.int64)
+            dead[pos[pos < tbl.num_rows]] = True
+        else:
+            kt = pq.read_table(r["path"], columns=r["keys"])
+            kt = kt.group_by(r["keys"]).aggregate([])
+            sub = tbl.select(r["keys"]).append_column("__idx", idx)
+            j = sub.join(kt, keys=r["keys"], join_type="inner")
+            if j.num_rows:
+                dead[np.asarray(j.column("__idx"), dtype=np.int64)] = True
+    return dead
+
+
+def _shaped_live(
+    file: str, rel: str, recs: list[dict], rename: dict, data_schema
+):
+    """One data file as a pyarrow Table shaped to ``data_schema``
+    (logical names, declared types, NULL-filled absences) with its
+    delete state applied — the normalized unit both CDF sides diff."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(file)
+    tbl = tbl.rename_columns(
+        [rename.get(c, c) for c in tbl.column_names]
+    )
+    if recs:
+        tbl = tbl.filter(pa.array(~_dead_mask(tbl, rel, recs)))
+    n = tbl.num_rows
+    if n == 0:
+        return pa.Table.from_batches([], schema=data_schema)
+
+    def resolve(name):
+        if name in tbl.column_names:
+            return ("col", tbl.column(name))
+        return None
+
+    return pa.Table.from_batches(
+        list(shape_batches(data_schema, n, resolve)), schema=data_schema
+    )
+
+
+def _col_changed(a, b):
+    """Element-wise "values differ" (NULL == NULL) for two columns."""
+    import pyarrow.compute as pc
+
+    eq = pc.coalesce(
+        pc.equal(a, b), pc.and_(pc.is_null(a), pc.is_null(b))
+    )
+    return pc.invert(eq)
+
+
+def _read_cdf_partition(part: _LakeCDFPartition, schema):
+    """Executor side: yield Arrow batches of (table columns,
+    ``_change_type``, ``_commit_version``) for one CDF partition."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    data_names = [
+        f.name
+        for f in schema.fields
+        if f.name not in (CHANGE_TYPE_COL, COMMIT_VERSION_COL)
+    ]
+    data_schema = pa.schema(
+        [target.field(n) for n in data_names]
+    )
+
+    def emit(tbl, change_type: str, suffix: str = ""):
+        n = tbl.num_rows
+        if n == 0:
+            return
+
+        def resolve(name):
+            if name == CHANGE_TYPE_COL:
+                return ("const", change_type)
+            if name == COMMIT_VERSION_COL:
+                return ("const", part.version)
+            if name + suffix in tbl.column_names:
+                return ("col", tbl.column(name + suffix))
+            if name in tbl.column_names:
+                return ("col", tbl.column(name))
+            return None
+
+        yield from shape_batches(target, n, resolve)
+
+    if part.kind == "insert":
+        live = _shaped_live(
+            part.file, part.rel, [], part.rename, data_schema
+        )
+        yield from emit(live, "insert")
+        return
+    if part.kind == "mask":
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(part.file)
+        tbl = tbl.rename_columns(
+            [part.rename.get(c, c) for c in tbl.column_names]
+        )
+        base_dead = _dead_mask(tbl, part.rel, part.base_recs)
+        new_dead = _dead_mask(tbl, part.rel, part.new_recs)
+        newly = np.logical_and(new_dead, np.logical_not(base_dead))
+        dead_rows = tbl.filter(pa.array(newly))
+        n = dead_rows.num_rows
+        if n == 0:
+            return
+
+        def resolve(name):
+            if name in dead_rows.column_names:
+                return ("col", dead_rows.column(name))
+            return None
+
+        shaped = pa.Table.from_batches(
+            list(shape_batches(data_schema, n, resolve)),
+            schema=data_schema,
+        )
+        yield from emit(shaped, "delete")
+        return
+
+    # kind == "diff": bounded key-diff of the touched files
+    def side(files):
+        tabs = [
+            _shaped_live(f, rel, recs, part.rename, data_schema)
+            for f, rel, recs in files
+        ]
+        tabs = [t for t in tabs if t.num_rows]
+        if not tabs:
+            return pa.Table.from_batches([], schema=data_schema)
+        return pa.concat_tables(tabs)
+
+    old = side(part.old_files)
+    new = side(part.new_files)
+    keys = part.keys
+    bad = [k for k in keys if k not in data_names]
+    if bad:
+        raise ValueError(
+            f"spype_lake CDF: key columns {bad} are not table columns"
+        )
+    if old.num_rows == 0:
+        yield from emit(new, "insert")
+        return
+    if new.num_rows == 0:
+        yield from emit(old, "delete")
+        return
+    value_cols = [c for c in data_names if c not in keys]
+    o = old.append_column("__po", pa.repeat(True, old.num_rows))
+    nw = new.append_column("__pn", pa.repeat(True, new.num_rows))
+    j = o.join(
+        nw,
+        keys=keys,
+        join_type="full outer",
+        left_suffix="__o",
+        right_suffix="__n",
+    )
+    only_new = j.filter(pc.is_null(j.column("__po")))
+    yield from emit(only_new, "insert", suffix="__n")
+    only_old = j.filter(pc.is_null(j.column("__pn")))
+    yield from emit(only_old, "delete", suffix="__o")
+    both = j.filter(
+        pc.and_(
+            pc.is_valid(j.column("__po")), pc.is_valid(j.column("__pn"))
+        )
+    )
+    if both.num_rows:
+        changed = None
+        for c in value_cols:
+            d = _col_changed(
+                both.column(f"{c}__o"), both.column(f"{c}__n")
+            )
+            changed = d if changed is None else pc.or_(changed, d)
+        if changed is None:
+            return  # keys-only table: matched rows are identical
+        upd = both.filter(changed)
+        yield from emit(upd, "update_preimage", suffix="__o")
+        yield from emit(upd, "update_postimage", suffix="__n")
+
+
+def _cdf_plan_range(
+    path: str, lo: int, hi: int, keys: list[str] | None
+) -> list[_LakeCDFPartition]:
+    parts: list[_LakeCDFPartition] = []
+    avail = set(mlog.m_versions(path))
+    for v in range(lo, hi + 1):
+        if v not in avail:
+            raise ValueError(
+                f"spype_lake CDF: version {v} of {path} is not "
+                f"committed/retained — change window unavailable"
+            )
+        parts.extend(_plan_cdf_step(path, v, keys))
+    return parts
+
+
+def _cdf_keys_opt(options: dict) -> list[str] | None:
+    raw = options.get("keys")
+    if not raw:
+        return None
+    return [c.strip() for c in str(raw).split(",") if c.strip()]
+
+
+class _LakeCDFStreamReader(DataSourceStreamReader):
+    """Streaming CDF: offsets are manifest versions (``{"version": N}``
+    = versions ≤ N consumed), held in Spark's checkpoint — restart
+    resumes exactly-once with no source-side state, exactly the
+    ``delta_cdf`` contract. ``maxVersionsPerTrigger`` rate-limits
+    admission (a hint, never a correctness boundary)."""
+
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.path = options["path"]
+        self.keys = _cdf_keys_opt(options)
+        self.start = int(options.get("startingversion", 0))
+        self.max_versions = (
+            int(options["maxversionspertrigger"])
+            if "maxversionspertrigger" in options
+            else None
+        )
+        self._pos: int | None = None
+
+    def initialOffset(self):
+        self._pos = self.start - 1
+        return {"version": self.start - 1}
+
+    def latestOffset(self):
+        head = max(mlog.m_versions(self.path))
+        if self.max_versions is not None and self._pos is not None:
+            head = min(head, self._pos + self.max_versions)
+        self._pos = head
+        return {"version": head}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["version"]), int(end["version"])
+        if self._pos is None or self._pos < hi:
+            self._pos = hi
+        if hi <= lo:
+            return []
+        return _cdf_plan_range(self.path, lo + 1, hi, self.keys)
+
+    def read(self, partition):
+        if partition is None:
+            return
+        yield from _read_cdf_partition(partition, self.schema)
+
+    def commit(self, end):
+        pass
+
+
+class _LakeCDFBatchReader(DataSourceReader):
+    """Batch CDF window ``[startingVersion, endingVersion]`` — the
+    same plan/read units as the stream, one frame."""
+
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.path = options["path"]
+        self.keys = _cdf_keys_opt(options)
+        self.start = int(options.get("startingversion", 0))
+        self.end = (
+            int(options["endingversion"])
+            if "endingversion" in options
+            else None
+        )
+
+    def partitions(self):
+        end = self.end
+        if end is None:
+            end = max(mlog.m_versions(self.path))
+        return _cdf_plan_range(self.path, self.start, end, self.keys)
+
+    def read(self, partition):
+        if partition is None:
+            return
+        yield from _read_cdf_partition(partition, self.schema)
+
+
 class LakeSinkDataSource(DataSource):
     """``format("spype_lake")`` — batch + streaming APPEND sink into
     an existing native manifest table. Options: ``path`` (table root,
@@ -475,6 +974,10 @@ class LakeSinkDataSource(DataSource):
     def name(cls):
         return FORMAT_NAME
 
+    def _cdf(self) -> bool:
+        opts = {k.lower(): v for k, v in self.options.items()}
+        return str(opts.get("readchangefeed", "")).lower() == "true"
+
     def schema(self):
         from pyspark.sql.types import StructType
 
@@ -484,7 +987,7 @@ class LakeSinkDataSource(DataSource):
                 "spype_lake requires .option('path', <table root>)"
             )
         m = mlog.m_load(path, max(mlog.m_versions(path)))
-        return StructType.fromJson(
+        st = StructType.fromJson(
             {
                 "type": "struct",
                 "fields": [
@@ -492,13 +995,23 @@ class LakeSinkDataSource(DataSource):
                 ],
             }
         )
+        if self._cdf():
+            st.add(CHANGE_TYPE_COL, "string", False)
+            st.add(COMMIT_VERSION_COL, "long", False)
+        return st
 
     def reader(self, schema):
+        if self._cdf():
+            opts = {k.lower(): v for k, v in self.options.items()}
+            opts["path"] = self.options["path"]
+            return _LakeCDFBatchReader(schema, opts)
         raise ValueError(
             "spype_lake batch reads go through the JVM scan path — use "
             "lakehouse.read_table / scan_table (predicate and partition "
             "pruning, WholeStageCodegen); the Python format exists for "
-            "the STREAMING halves, where no JVM alternative exists"
+            "the STREAMING halves, where no JVM alternative exists "
+            "(pass .option('readChangeFeed','true') for the batch CDF "
+            "window, which has no JVM twin)"
         )
 
     def streamReader(self, schema):
@@ -509,6 +1022,8 @@ class LakeSinkDataSource(DataSource):
                 "spype_lake requires .option('path', <table root>)"
             )
         opts["path"] = path
+        if self._cdf():
+            return _LakeCDFStreamReader(schema, opts)
         return _LakeStreamSourceReader(schema, opts)
 
     def _prep(self, schema):

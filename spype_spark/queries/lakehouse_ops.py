@@ -4106,6 +4106,118 @@ def q_stream_lake_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_lake_cdf",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    od AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    live2 AS (
+      SELECT * FROM ev WHERE NOT (o_totalprice > 150000)
+      UNION ALL SELECT * FROM od
+    ),
+    m AS (SELECT * FROM live2 WHERE o_orderstatus = 'F')
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'insert' AS _change_type, 0 AS _commit_version FROM ev
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'delete', 1 FROM ev WHERE o_totalprice > 150000
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'insert', 2 FROM od
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'update_preimage', 3 FROM m
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice + 10.0, o_orderstatus,
+           'update_postimage', 3 FROM m
+    """,
+)
+def q_stream_lake_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE change feed as a Spark format —
+    ``readStream.format("spype_lake").option("readChangeFeed","true")``
+    (:mod:`spype_spark.lake_sink`, Delta's own option surface): the
+    native lake gains the same format-level CDC the foreign formats
+    got (``delta_cdf`` / ``iceberg_cdc``), so any Spark pipeline tails
+    native MERGE/DELETE commits with NO custom consumer class. Offsets
+    are manifest versions in Spark's checkpoint; change sets derive
+    from the manifest chain alone — per-file ``insert`` partitions for
+    appends, per-file mask diffs for merge-on-read deletes (the new
+    DV/equality sidecars against the prior state), and a KEY-DIFF of
+    exactly the touched files for rewrite commits (MERGE rewrites only
+    possibly-matching files, so the diff is bounded by the commit's
+    own write amplification, never the table). The fixture mirrors
+    q_stream_delta_cdc exactly — v0 create + v1 DV delete, drain; v2
+    append + v3 MERGE update, resumed drain; caught-up no-op drain —
+    and shares its relational oracle (the native feed must add or
+    lose NOTHING vs the foreign twin)."""
+    from spype_spark.lake_sink import register_lake_sink
+
+    register_lake_sink(spark)
+    tmp = _scratch("spype_stream_lcdf_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        sink = f"{tmp}/sink"
+        ckpt = f"{tmp}/ckpt"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        ev = o.filter(F.col("o_orderkey") % 2 == 0)
+        od = o.filter(F.col("o_orderkey") % 2 == 1)
+
+        def drain() -> None:
+            q = (
+                spark.readStream.format("spype_lake")
+                .option("path", path)
+                .option("readChangeFeed", "true")
+                .option("keys", "o_orderkey")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        lake.write_table(ev, path)
+        lake.delete_where_dv(
+            spark, path, F.col("o_totalprice") > 150000
+        )
+        drain()
+        phase1 = spark.read.parquet(sink)
+        if phase1.filter(F.col("_commit_version") > 1).count() != 0:
+            raise AssertionError("first drain must stop at version 1")
+        n1 = phase1.count()
+        lake.append_table(spark, path, od)
+        live2 = lake.read_table(spark, path)
+        lake.merge_upsert(
+            spark,
+            path,
+            live2.filter(F.col("o_orderstatus") == "F").withColumn(
+                "o_totalprice", F.col("o_totalprice") + 10.0
+            ),
+            ["o_orderkey"],
+        )
+        drain()
+        out = spark.read.parquet(sink).localCheckpoint(eager=True)
+        if out.filter(F.col("_commit_version") <= 1).count() != n1:
+            raise AssertionError(
+                "resumed drain must not re-emit consumed versions"
+            )
+        drain()  # caught up — a third drain adds nothing
+        if spark.read.parquet(sink).count() != out.count():
+            raise AssertionError("caught-up drain must emit nothing")
+        return out.select(
+            *_BASE_COLS, "_change_type", "_commit_version"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "q_stream_delta_replicate",
     oracle="""
     WITH ev AS (

@@ -490,3 +490,217 @@ def test_auto_created_table_has_table_meta(reg, tmp_path):
         "createTableIfAbsent", "true"
     ).option("partitionedBy", "g").save()
     assert lake.table_meta(p)["partition_by"] == ["g"]
+
+
+# ---------------------------------------------------------------------------
+# CHANGE DATA FEED — .option("readChangeFeed", "true") over the
+# manifest chain (round 14)
+# ---------------------------------------------------------------------------
+
+
+def _cdf_read(reg, p, keys="k", start=0, end=None):
+    r = (
+        reg.read.format("spype_lake")
+        .option("path", p)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(start))
+    )
+    if keys:
+        r = r.option("keys", keys)
+    if end is not None:
+        r = r.option("endingVersion", str(end))
+    return r.load()
+
+
+def _feed(reg, p, **kw):
+    return sorted(
+        tuple(r)
+        for r in _cdf_read(reg, p, **kw)
+        .select("k", "g", "_change_type", "_commit_version")
+        .collect()
+    )
+
+
+def test_cdf_append_and_eq_delete(reg, tmp_path):
+    """Appends emit per-file inserts; a merge-on-read equality delete
+    emits exactly the newly-dead rows (no rescan of live ones)."""
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=6)  # v0: k 0..5
+    lake.append_table(
+        reg,
+        p,
+        reg.range(6, 9).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        ),
+    )  # v1
+    lake.delete_keys(
+        reg, p, reg.createDataFrame([(1,), (7,)], "k long")
+    )  # v2
+    got = _feed(reg, p, keys=None)  # decidable without keys
+    exp = sorted(
+        [(k, k % 3, "insert", 0) for k in range(6)]
+        + [(k, k % 3, "insert", 1) for k in range(6, 9)]
+        + [(1, 1, "delete", 2), (7, 1, "delete", 2)]
+    )
+    assert got == exp
+
+
+def test_cdf_dv_delete_and_reinsert_sequence_rule(reg, tmp_path):
+    """A positional DV delete emits only newly-dead rows; a LATER
+    append re-inserting a deleted key is a plain insert (the old
+    tombstone must not swallow or re-emit it)."""
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=6)  # v0
+    lake.delete_where_dv(reg, p, F.col("k") >= 4)  # v1: kills 4,5
+    lake.append_table(
+        reg,
+        p,
+        reg.createDataFrame([(4, 99)], "k long, g long"),
+    )  # v2: re-insert k=4
+    got = _feed(reg, p, keys=None)
+    exp = sorted(
+        [(k, k % 3, "insert", 0) for k in range(6)]
+        + [(4, 1, "delete", 1), (5, 2, "delete", 1)]
+        + [(4, 99, "insert", 2)]
+    )
+    assert got == exp
+    # and the live table agrees with the feed's net effect
+    assert sorted(
+        tuple(r) for r in lake.read_table(reg, p).collect()
+    ) == sorted([(0, 0), (1, 1), (2, 2), (3, 0), (4, 99)])
+
+
+def test_cdf_merge_rewrite_key_diff(reg, tmp_path):
+    """A MERGE rewrite emits update pre/post images for changed rows,
+    inserts for new keys, and NOTHING for rows the rewrite carried
+    unchanged — the bounded key-diff of the touched files."""
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=4)  # v0: (k, k%3)
+    upd = reg.createDataFrame([(1, 77), (9, 9)], "k long, g long")
+    lake.merge_upsert(reg, p, upd, ["k"])  # v1
+    got = _feed(reg, p, start=1)
+    assert got == sorted(
+        [
+            (1, 1, "update_preimage", 1),
+            (1, 77, "update_postimage", 1),
+            (9, 9, "insert", 1),
+        ]
+    )
+
+
+def test_cdf_compaction_emits_nothing(reg, tmp_path):
+    """Compaction rewrites files without changing rows — the key-diff
+    cancels exactly, so the feed stays silent."""
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=6)
+    lake.delete_keys(reg, p, reg.createDataFrame([(2,)], "k long"))
+    v = lake.compact(reg, p)
+    got = _cdf_read(reg, p, start=v, end=v)
+    assert got.count() == 0
+
+
+def test_cdf_rewrite_without_keys_is_loud(reg, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=4)
+    lake.merge_upsert(
+        reg, p, reg.createDataFrame([(1, 77)], "k long, g long"), ["k"]
+    )
+    with pytest.raises(Exception, match="keys"):
+        _cdf_read(reg, p, keys=None).count()
+
+
+def test_cdf_delete_of_absent_key_emits_nothing(reg, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=4)
+    v = lake.delete_keys(
+        reg, p, reg.createDataFrame([(123,)], "k long")
+    )
+    assert _cdf_read(reg, p, start=v, end=v).count() == 0
+
+
+def test_cdf_stream_exactly_once_resume(reg, tmp_path):
+    """Streaming CDF resumes from Spark's checkpointed version offset:
+    drain → mutate → resumed drain delivers exactly the new commits,
+    and a caught-up drain adds nothing."""
+    p = str(tmp_path / "t")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    _mk(reg, p, n=6)
+
+    def drain():
+        q = (
+            reg.readStream.format("spype_lake")
+            .option("path", p)
+            .option("readChangeFeed", "true")
+            .option("keys", "k")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = reg.read.parquet(sink).count()
+    assert n1 == 6
+    lake.delete_keys(reg, p, reg.createDataFrame([(0,)], "k long"))
+    lake.merge_upsert(
+        reg, p, reg.createDataFrame([(1, 88)], "k long, g long"), ["k"]
+    )
+    drain()
+    out = reg.read.parquet(sink)
+    assert out.filter(F.col("_commit_version") == 0).count() == n1
+    got = sorted(
+        tuple(r)
+        for r in out.filter(F.col("_commit_version") > 0)
+        .select("k", "g", "_change_type", "_commit_version")
+        .collect()
+    )
+    assert got == sorted(
+        [
+            (0, 0, "delete", 1),
+            (1, 1, "update_preimage", 2),
+            (1, 88, "update_postimage", 2),
+        ]
+    )
+    drain()
+    assert reg.read.parquet(sink).count() == out.count()
+
+
+def test_cdf_vacuumed_prev_is_loud(reg, tmp_path):
+    import os as _os
+
+    from spype_spark.lake_sink import _cdf_plan_range
+
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=4)
+    lake.append_table(
+        reg,
+        p,
+        reg.createDataFrame([(9, 9)], "k long, g long"),
+    )
+    lake.append_table(
+        reg,
+        p,
+        reg.createDataFrame([(10, 1)], "k long, g long"),
+    )
+    _os.remove(mlog.m_path(p, 1))
+    with pytest.raises(ValueError, match="vacuumed"):
+        _cdf_plan_range(p, 2, 2, ["k"])
+
+
+def test_cdf_parallelism_is_per_file(reg, tmp_path):
+    """Append commits plan ONE partition per added file — the feed
+    scan scales with files, not commits."""
+    from spype_spark.lake_sink import _cdf_plan_range
+
+    p = str(tmp_path / "t")
+    df = reg.range(40).repartition(4).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    lake.write_table(df, p)
+    parts = _cdf_plan_range(p, 0, 0, None)
+    assert len(parts) >= 4
+    assert all(pt.kind == "insert" for pt in parts)
