@@ -70,49 +70,241 @@ _AVRO_TO_SPARK = {
 }
 
 
+def _avro_type_of(dt, name: str):
+    """Avro type for one Spark DataType — recursive: struct → record
+    (path-named, so nested record names are unique), array → array,
+    map (string keys — the only kind Avro has) → map; inner
+    nullability becomes union-with-null at each level."""
+    tn = dt.typeName()
+    base = _SPARK_TO_AVRO.get(tn)
+    if base is not None:
+        return base
+    if tn == "struct":
+        fields = []
+        for f in dt.fields:
+            ft = _avro_type_of(f.dataType, f"{name}_{f.name}")
+            fields.append(
+                {
+                    "name": f.name,
+                    "type": ["null", ft] if f.nullable else ft,
+                }
+            )
+        return {"type": "record", "name": f"{name}_rec", "fields": fields}
+    if tn == "array":
+        it = _avro_type_of(dt.elementType, f"{name}_item")
+        return {
+            "type": "array",
+            "items": ["null", it] if dt.containsNull else it,
+        }
+    if tn == "map":
+        if dt.keyType.typeName() != "string":
+            raise ValueError(
+                f"write_avro_table: map column {name!r} has non-string "
+                f"keys — Avro maps are string-keyed only"
+            )
+        vt = _avro_type_of(dt.valueType, f"{name}_val")
+        return {
+            "type": "map",
+            "values": ["null", vt] if dt.valueContainsNull else vt,
+        }
+    raise ValueError(
+        f"write_avro_table: column {name!r} type {tn!r} is "
+        f"outside the relational Avro profile"
+    )
+
+
 def _avro_schema_of(df: DataFrame, name: str = "row") -> dict:
-    """Avro record schema for a DataFrame's (flat) schema."""
+    """Avro record schema for a DataFrame's schema (nested allowed)."""
     fields = []
     for f in df.schema.fields:
-        tn = f.dataType.typeName()
-        base = _SPARK_TO_AVRO.get(tn)
-        if base is None:
-            raise ValueError(
-                f"write_avro_table: column {f.name!r} type {tn!r} is "
-                f"outside the flat-relational Avro profile"
-            )
+        ft = _avro_type_of(f.dataType, f.name)
         fields.append(
-            {"name": f.name, "type": ["null", base] if f.nullable else base}
+            {"name": f.name, "type": ["null", ft] if f.nullable else ft}
         )
     return {"type": "record", "name": name, "fields": fields}
 
 
-def _spark_field_of(avro_field: dict) -> tuple[str, str]:
-    """(name, spark DDL type) for one Avro record field."""
-    t = avro_field["type"]
-    if isinstance(t, list):  # union: strip the null branch
+def _strip_null(t, name: str):
+    """(branch type, nullable) of a possibly union-with-null type."""
+    if isinstance(t, list):
         branches = [b for b in t if b != "null"]
         if len(branches) != 1:
             raise ValueError(
-                f"read_avro_table: field {avro_field['name']!r} union "
-                f"{t!r} is not a simple nullable type"
+                f"read_avro_table: field {name!r} union {t!r} is not a "
+                f"simple nullable type"
             )
-        t = branches[0]
+        return branches[0], True
+    return t, False
+
+
+def _spark_type_of(t, named: dict, seen: tuple, name: str):
+    """Spark DataType for one (null-stripped) Avro type — recursive
+    over record/array/map; named-type references resolve through
+    ``named``; a reference back into an ancestor record (recursive
+    schema) is a loud gate — Spark's type system is tree-shaped."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, str) and t in named:
+        if t in seen:
+            raise ValueError(
+                f"read_avro_table: field {name!r} references the "
+                f"recursive record {t!r} — recursive Avro schemas have "
+                f"no relational (tree-shaped) Spark type"
+            )
+        t = named[t]
     if isinstance(t, dict):
         lt = t.get("logicalType")
         if lt == "date":
-            return avro_field["name"], "date"
+            return T.DateType()
         if lt in ("timestamp-micros", "timestamp-millis"):
-            return avro_field["name"], "timestamp"
+            return T.TimestampType()
         if lt == "local-timestamp-micros":
-            return avro_field["name"], "timestamp_ntz"
-        t = t.get("type")
-    if not isinstance(t, str) or t not in _AVRO_TO_SPARK:
+            return T.TimestampNTZType()
+        tt = t.get("type")
+        if tt == "record":
+            rec_name = t.get("name")
+            inner_seen = seen + ((rec_name,) if rec_name else ())
+            fields = []
+            for f in t["fields"]:
+                bt, nullable = _strip_null(f["type"], f["name"])
+                fields.append(
+                    T.StructField(
+                        f["name"],
+                        _spark_type_of(bt, named, inner_seen, f["name"]),
+                        nullable,
+                    )
+                )
+            return T.StructType(fields)
+        if tt == "array":
+            bt, nullable = _strip_null(t["items"], name)
+            return T.ArrayType(
+                _spark_type_of(bt, named, seen, name), nullable
+            )
+        if tt == "map":
+            bt, nullable = _strip_null(t["values"], name)
+            return T.MapType(
+                T.StringType(),
+                _spark_type_of(bt, named, seen, name),
+                nullable,
+            )
+        if isinstance(tt, str) and tt in _AVRO_TO_SPARK:
+            return T._parse_datatype_string(_AVRO_TO_SPARK[tt])
         raise ValueError(
-            f"read_avro_table: field {avro_field['name']!r} type {t!r} "
-            f"is outside the flat-relational Avro profile"
+            f"read_avro_table: field {name!r} type {tt!r} is outside "
+            f"the relational Avro profile"
         )
-    return avro_field["name"], _AVRO_TO_SPARK[t]
+    if isinstance(t, str) and t in _AVRO_TO_SPARK:
+        from pyspark.sql.types import _parse_datatype_string
+
+        return _parse_datatype_string(_AVRO_TO_SPARK[t])
+    raise ValueError(
+        f"read_avro_table: field {name!r} type {t!r} is outside the "
+        f"relational Avro profile"
+    )
+
+
+def _is_nested(t) -> bool:
+    """True when a (null-stripped) Avro type is record/array/map —
+    the columns routed through the recursive value converters."""
+    return isinstance(t, dict) and t.get("type") in (
+        "record",
+        "array",
+        "map",
+    )
+
+
+def _dec_value(v, t, named: dict):
+    """One Avro datum → the Spark-facing Python value, recursively:
+    logical ints → date/datetime at any depth, records → dicts,
+    arrays → lists, maps → dicts; unions strip to the value branch."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(t, list):
+        t = next((b for b in t if b != "null"), "null")
+    if isinstance(t, str) and t in named:
+        t = named[t]
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt == "date":
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                microseconds=int(v)
+            )
+        if lt == "timestamp-millis":
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                milliseconds=int(v)
+            )
+        tt = t.get("type")
+        if tt == "record":
+            return {
+                f["name"]: _dec_value(v.get(f["name"]), f["type"], named)
+                for f in t["fields"]
+            }
+        if tt == "array":
+            return [_dec_value(x, t["items"], named) for x in v]
+        if tt == "map":
+            return {
+                k: _dec_value(x, t["values"], named) for k, x in v.items()
+            }
+    return v
+
+
+def _enc_value(v, t, named: dict):
+    """One Spark-facing Python value (as ``mapInPandas`` hands it:
+    dicts for structs AND maps, numpy arrays for arrays, numpy
+    scalars for numerics) → the Avro datum for ``write_avro``."""
+    import pandas as pd
+
+    if isinstance(t, list):
+        t = next((b for b in t if b != "null"), "null")
+    if isinstance(t, str) and t in named:
+        t = named[t]
+    if v is None:
+        return None
+    if not isinstance(v, (dict, list, tuple, bytes, str)) and not hasattr(
+        v, "__len__"
+    ):
+        try:
+            if pd.isna(v):
+                return None
+        except (TypeError, ValueError):
+            pass
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt == "date":
+            return (pd.Timestamp(v) - pd.Timestamp("1970-01-01")).days
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            return int(pd.Timestamp(v).value // 1_000)
+        if lt == "timestamp-millis":
+            return int(pd.Timestamp(v).value // 1_000_000)
+        tt = t.get("type")
+        if tt == "record":
+            return {
+                f["name"]: _enc_value(v.get(f["name"]), f["type"], named)
+                for f in t["fields"]
+            }
+        if tt == "array":
+            return [_enc_value(x, t["items"], named) for x in v]
+        if tt == "map":
+            items = v.items() if isinstance(v, dict) else v
+            return {
+                str(k): _enc_value(x, t["values"], named) for k, x in items
+            }
+        t = tt
+    if t == "boolean":
+        return bool(v)
+    if t in ("int", "long"):
+        return int(v)
+    if t in ("float", "double"):
+        return float(v)
+    if t == "bytes":
+        return bytes(v)
+    if t == "string":
+        return str(v)
+    raise ValueError(f"write_avro_table: cannot encode {v!r} as {t!r}")
 
 
 def _logical_types(schema: dict) -> dict[str, str]:
@@ -139,7 +331,13 @@ def read_avro_table(spark: SparkSession, directory: str) -> DataFrame:
     silently coercing."""
     import pandas as pd
 
-    from spype_spark.avro_io import read_avro_bytes, read_avro_schema
+    from pyspark.sql import types as T
+
+    from spype_spark.avro_io import (
+        _register_names,
+        read_avro_bytes,
+        read_avro_schema,
+    )
 
     first = None
     for n in sorted(os.listdir(directory)):
@@ -154,11 +352,32 @@ def read_avro_table(spark: SparkSession, directory: str) -> DataFrame:
             f"read_avro_table: top-level Avro type "
             f"{schema.get('type')!r} is not a record"
         )
-    ddl = ", ".join(
-        f"`{n}` {t}" for n, t in (_spark_field_of(f) for f in schema["fields"])
-    )
+    named: dict = {}
+    _register_names(schema, named)
+    top = schema.get("name")
+    sfields = []
+    for f in schema["fields"]:
+        bt, nullable = _strip_null(f["type"], f["name"])
+        sfields.append(
+            T.StructField(
+                f["name"],
+                _spark_type_of(
+                    bt, named, (top,) if top else (), f["name"]
+                ),
+                nullable,
+            )
+        )
+    spark_schema = T.StructType(sfields)
     names = [f["name"] for f in schema["fields"]]
     logicals = _logical_types(schema)
+    ftypes = {f["name"]: f["type"] for f in schema["fields"]}
+    nested = {
+        n: _is_nested(named.get(t, t) if isinstance(t, str) else t)
+        for n, t in (
+            (f["name"], _strip_null(f["type"], f["name"])[0])
+            for f in schema["fields"]
+        )
+    }
     canonical = sorted(
         (f["name"], str(f["type"])) for f in schema["fields"]
     )
@@ -181,7 +400,12 @@ def read_avro_table(spark: SparkSession, directory: str) -> DataFrame:
                 for n in names:
                     vals = [r.get(n) for r in recs]
                     lt = logicals.get(n)
-                    if lt == "date":
+                    if nested[n]:
+                        cols[n] = pd.Series(
+                            [_dec_value(v, ftypes[n], named) for v in vals],
+                            dtype="object",
+                        )
+                    elif lt == "date":
                         cols[n] = pd.to_datetime(
                             pd.Series(vals, dtype="float64"), unit="D"
                         ).dt.date
@@ -206,7 +430,7 @@ def read_avro_table(spark: SparkSession, directory: str) -> DataFrame:
         .load(directory)
         .select("path", "content")
     )
-    return files.mapInPandas(decode, schema=ddl)
+    return files.mapInPandas(decode, schema=spark_schema)
 
 
 def write_avro_table(
@@ -220,11 +444,17 @@ def write_avro_table(
     containers to confuse downstream globs); an all-empty frame still
     creates the directory with one empty container so the directory
     round-trips."""
-    from spype_spark.avro_io import write_avro
+    from spype_spark.avro_io import _register_names, write_avro
 
     schema = _avro_schema_of(df)
+    named: dict = {}
+    _register_names(schema, named)
     logicals = _logical_types(schema)
     names = [f["name"] for f in schema["fields"]]
+    ftypes = {f["name"]: f["type"] for f in schema["fields"]}
+    nested = {
+        n: _is_nested(_strip_null(ftypes[n], n)[0]) for n in names
+    }
     os.makedirs(directory, exist_ok=True)
 
     def encode(batches):
@@ -236,6 +466,16 @@ def write_avro_table(
                 out = {}
                 for n in names:
                     v = rec.get(n)
+                    if nested[n]:
+                        # NaN marks a NULL container (pandas has no
+                        # None for struct/array/map cells)
+                        if v is None or (
+                            isinstance(v, float) and pd.isna(v)
+                        ):
+                            out[n] = None
+                        else:
+                            out[n] = _enc_value(v, ftypes[n], named)
+                        continue
                     if v is None or (isinstance(v, float) and pd.isna(v)):
                         out[n] = None
                     elif pd.isna(v) if not isinstance(v, (bytes, str)) else False:
@@ -273,3 +513,18 @@ def write_avro_table(
         write_avro(fp, schema, [], codec=codec)
         manifest = [{"path": fp, "rows": 0}]
     return manifest
+
+
+# The decode/encode closures reference this module's recursive value
+# converters as GLOBALS — by-value registration ships them inside the
+# pickled closure so executors never import spype_spark (the
+# avro_io/arrow_shape convention; pyspark itself is importable in
+# every worker).
+try:  # pragma: no cover
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass

@@ -330,3 +330,59 @@ def q_sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_sink_avro_nested",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS ck, o_orderstatus AS st,
+           o_totalprice AS p0, o_totalprice * 2 AS p1,
+           o_orderpriority AS pri
+    FROM orders
+    """,
+)
+def q_sink_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED Avro round trip (round 14 — graduating the r13 flat
+    profile): a struct column (Avro ``record``), an array column
+    (``array``), and a string-keyed map (``map``) encode through
+    :func:`avro_table.write_avro_table` and decode back through the
+    distributed ``binaryFile → mapInPandas`` scan, the Spark schema
+    derived recursively from the container's writer schema. The
+    result flattens the containers back to scalars so the oracle can
+    replay them relationally — a hash match proves every nested value
+    (struct field, array element, map entry) survived the
+    encode/decode cycle exactly. Recursive named-type schemas and
+    non-string map keys remain loud gates (no tree-shaped Spark
+    type / no Avro key type)."""
+    from spype_spark import avro_table as at
+
+    o = load_table(spark, sf_dir, "orders")
+    df = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderstatus").alias("st"),
+        ).alias("cust"),
+        F.array(
+            F.col("o_totalprice"), F.col("o_totalprice") * 2
+        ).alias("prices"),
+        F.create_map(F.lit("pri"), F.col("o_orderpriority")).alias(
+            "meta"
+        ),
+    )
+    tmp = _scratch("spype_avro_nested_")
+    try:
+        path = f"{tmp}/orders_nested"
+        at.write_avro_table(df.repartition(4), path)
+        back = at.read_avro_table(spark, path)
+        return back.select(
+            "o_orderkey",
+            F.col("cust.ck").alias("ck"),
+            F.col("cust.st").alias("st"),
+            F.col("prices")[0].alias("p0"),
+            F.col("prices")[1].alias("p1"),
+            F.col("meta")["pri"].alias("pri"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

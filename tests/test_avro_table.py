@@ -65,11 +65,109 @@ def test_avro_table_empty_frame_round_trips(spark, tmp_path):
 
 
 def test_avro_table_out_of_profile_is_loud(spark, tmp_path):
-    nested = spark.range(3).select(F.array(F.col("id")).alias("a"))
+    # decimals are outside the relational Avro profile (no
+    # bytes-decimal mapping implemented); nested types graduated r14
+    dec = spark.range(3).select(
+        F.col("id").cast("decimal(10,2)").alias("d")
+    )
     with pytest.raises(ValueError, match="profile"):
-        at.write_avro_table(nested, str(tmp_path / "n"))
+        at.write_avro_table(dec, str(tmp_path / "n"))
     with pytest.raises(ValueError, match="no .avro files"):
         at.read_avro_table(spark, str(tmp_path))
+
+
+def test_avro_table_nested_round_trip(spark, tmp_path):
+    """record/array/map round-trip exactly, including a logical type
+    (timestamp) INSIDE a struct inside an array."""
+    d = str(tmp_path / "nested")
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.struct(
+            (F.col("id") * 2).alias("a"),
+            F.concat(F.lit("s"), F.col("id")).alias("b"),
+        ).alias("rec"),
+        F.array(F.col("id") * 1.5, F.col("id") * 2.5).alias("arr"),
+        F.create_map(
+            F.lit("x"), F.col("id"), F.lit("y"), F.col("id") + 1
+        ).alias("m"),
+        F.array(
+            F.struct(
+                F.timestamp_seconds(F.col("id") * 1000)
+                .cast("timestamp_ntz")
+                .alias("ts")
+            )
+        ).alias("evs"),
+    )
+    at.write_avro_table(df.repartition(3), d)
+    back = at.read_avro_table(spark, d)
+    flat = lambda x: x.select(  # noqa: E731
+        "k",
+        "rec.a",
+        "rec.b",
+        F.col("arr")[0],
+        F.col("arr")[1],
+        F.col("m")["x"],
+        F.col("m")["y"],
+        F.col("evs")[0]["ts"],
+    )
+    a = sorted(str(r) for r in flat(df).collect())
+    b = sorted(str(r) for r in flat(back).collect())
+    assert a == b and len(a) == 20
+
+
+def test_avro_table_nested_nulls(spark, tmp_path):
+    """NULL containers and NULL leaves inside containers survive."""
+    d = str(tmp_path / "nn")
+    df = spark.range(6).select(
+        F.col("id").alias("k"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.struct(
+                F.col("id").alias("a"),
+                F.when(F.col("id") % 4 == 0, F.lit("hit")).alias("s"),
+            ),
+        ).alias("rec"),
+        F.when(
+            F.col("id") % 3 == 0, F.array(F.col("id"), F.lit(None))
+        ).alias("arr"),
+    )
+    at.write_avro_table(df.coalesce(1), d)
+    back = at.read_avro_table(spark, d)
+    a = sorted(str(r) for r in df.collect())
+    b = sorted(str(r) for r in back.collect())
+    assert a == b
+
+
+def test_avro_table_recursive_schema_is_loud(spark, tmp_path):
+    """A recursive named-type reference has no tree-shaped Spark type
+    — the reader must refuse, never loop or mis-map."""
+    from spype_spark.avro_io import write_avro
+
+    d = tmp_path / "rec"
+    d.mkdir()
+    schema = {
+        "type": "record",
+        "name": "node",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "node"]},
+        ],
+    }
+    write_avro(
+        str(d / "a.avro"),
+        schema,
+        [{"v": 1, "next": {"v": 2, "next": None}}],
+    )
+    with pytest.raises(ValueError, match="recursive"):
+        at.read_avro_table(spark, str(d))
+
+
+def test_avro_table_non_string_map_keys_are_loud(spark, tmp_path):
+    df = spark.range(3).select(
+        F.create_map(F.col("id"), F.col("id")).alias("m")
+    )
+    with pytest.raises(ValueError, match="string-keyed"):
+        at.write_avro_table(df, str(tmp_path / "m"))
 
 
 def test_avro_table_mixed_schema_directory_is_loud(spark, tmp_path):
