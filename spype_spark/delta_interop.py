@@ -822,13 +822,12 @@ def _scan_adds(
         # one footer metadata read per file, the same sweep the
         # Iceberg reader does — with the metadata physicalName as the
         # spec's fallback for id-less files. Files group by their
-        # resolved projection; each group scans with its own physical
-        # names and aliases onto the logical schema.
-        if meta.get("partitionColumns"):
-            raise ValueError(
-                "id-mode column mapping with partition columns is "
-                "outside this reader's profile (unpartitioned only)"
-            )
+        # resolved projection (plus partition tuple on partitioned
+        # tables — partition columns are EXCLUDED from the files by
+        # every mainstream writer and attached as literals from the
+        # authoritative partitionValues, graduated r14); each group
+        # scans with its own physical names and aliases onto the
+        # logical schema.
         from pyspark.sql.types import StructField
 
         from spype_spark.iceberg_interop import _parquet_field_ids
@@ -844,11 +843,22 @@ def _scan_adds(
                     md.get("delta.columnMapping.physicalName", f["name"]),
                 )
             )
+        l2p_trip = {ln: pn for ln, _i, pn in trip}
+        p2l_trip = {pn: ln for ln, _i, pn in trip}
+        # tolerate either keying in partitionColumns (logical is what
+        # Delta-Spark writes; physical appears in the wild)
+        pcols_log = [
+            p2l_trip.get(c, c)
+            for c in (meta.get("partitionColumns") or [])
+        ]
+        data_trip = [
+            (ln, i, pn) for ln, i, pn in trip if ln not in pcols_log
+        ]
         abs_paths = [
             os.path.join(path, urllib.parse.unquote(a["path"])) for a in adds
         ]
         groups: dict[tuple, list[str]] = {}
-        for ap in abs_paths:
+        for a, ap in zip(adds, abs_paths):
             fid2name = _parquet_field_ids(ap)
             proj = tuple(
                 (
@@ -857,11 +867,18 @@ def _scan_adds(
                     if i is not None and int(i) in fid2name
                     else pn,
                 )
-                for ln, i, pn in trip
+                for ln, i, pn in data_trip
             )
-            groups.setdefault(proj, []).append(ap)
+            pv = a.get("partitionValues") or {}
+            pvt = tuple(
+                pv.get(l2p_trip.get(c, c), pv.get(c)) for c in pcols_log
+            )
+            groups.setdefault((proj, pvt), []).append(ap)
+        order = [f.name for f in schema.fields]
         df = None
-        for proj, fps in sorted(groups.items()):
+        for (proj, pvt), fps in sorted(
+            groups.items(), key=lambda kv: str(kv[0])
+        ):
             rs = StructType(
                 [StructField(fc, schema[ln].dataType, True) for ln, fc in proj]
             )
@@ -874,6 +891,19 @@ def _scan_adds(
                     F.col("_metadata.row_index").alias("__dv_pos"),
                 ]
             part = spark.read.schema(rs).parquet(*fps).select(*sel)
+            for c, val in zip(pcols_log, pvt):
+                typ = schema[c].dataType
+                part = part.withColumn(
+                    c,
+                    F.lit(val).cast(typ)
+                    if val is not None
+                    and val != "__HIVE_DEFAULT_PARTITION__"
+                    else F.lit(None).cast(typ),
+                )
+            keep = order + (
+                ["__dv_file", "__dv_pos"] if need_pos else []
+            )
+            part = part.select(*keep)
             df = part if df is None else df.unionByName(part)
         if dv_adds:
             dels = _dv_positions_df(spark, path, dv_adds)
@@ -1202,14 +1232,19 @@ def export_delta(
     nothing (absent from the logical schema; their in-file residue is
     pruned by every reader).
 
+    Partitioned column-mapped tables (graduated round 14) follow the
+    spec's writer requirement: each add's ``partitionValues`` are
+    keyed by the PHYSICAL partition-column name (the manifest's frozen
+    name — also what the files and Hive-layout directories carry,
+    renames being metadata-only), while metaData ``partitionColumns``
+    stay logical, the keying Delta-Spark itself produces.
+
     Out of profile (loud errors, never a silently-wrong export):
     hidden-partition transforms (bucket/days/hours/truncate — Delta
     has no transform spec; its generated columns cannot reproduce the
-    engine's hash), PARTITIONED column-mapped tables (partitionValues
-    keys flip to physical names under mapping — unexercised by the
-    native engine, whose partition sources cannot be renamed), and
-    pending deletes over by-reference imported files (their absolute
-    paths carry no commit-relative row anchor)."""
+    engine's hash), and pending deletes over by-reference imported
+    files (their absolute paths carry no commit-relative row
+    anchor)."""
     from spype_spark import lakehouse as lake
 
     v = lake.latest_version(table_path)
@@ -1230,12 +1265,6 @@ def export_delta(
     }
     mapped = any(p != l for l, p in cmap.items())
     pcols = list(m.get("partition_by") or [])
-    if mapped and pcols:
-        raise ValueError(
-            "export_delta: partitioned column-mapped tables are out of "
-            "profile (partitionValues keys flip to physical names under "
-            "mapping) — export before renaming, or rewrite the table"
-        )
     root = table_path if delta_path is None else delta_path
     entries = lake._m_entries(table_path, m)
     dv_positions: dict[str, list[int]] = {}
@@ -1272,7 +1301,13 @@ def export_delta(
         pv = {}
         for c in pcols:
             raw = (e.get("partition") or {}).get(c)
-            pv[c] = (
+            # spec writer requirement under column mapping: the add's
+            # partitionValues are keyed by PHYSICAL column names (the
+            # manifest's frozen names — also the names in the files
+            # and the Hive-layout directories, since renames are
+            # metadata-only); partitionColumns in metaData stay
+            # logical, the keying Delta-Spark itself produces
+            pv[cmap.get(c, c)] = (
                 None
                 if raw is None or raw == "__HIVE_DEFAULT_PARTITION__"
                 else urllib.parse.unquote(str(raw))
@@ -1492,19 +1527,17 @@ def write_delta(
     if column_mapping not in (None, "id"):
         raise ValueError(f"unsupported column_mapping {column_mapping!r}")
     cm_fields: list[dict] | None = None
+    pcols_meta = list(partition_by or [])
     if column_mapping == "id":
-        if partition_by:
-            raise ValueError(
-                "id-mode column mapping with partition columns is "
-                "outside the fixture writer's profile"
-            )
         if mode != "error":
             raise ValueError("column_mapping applies to table CREATE only")
         cm_fields = []
         w0 = df
         sj = json.loads(df.schema.json())
+        cm_l2p: dict[str, str] = {}
         for i, f in enumerate(sj["fields"], start=1):
             phys = f"col-{uuid.uuid4().hex[:12]}"
+            cm_l2p[f["name"]] = phys
             cm_fields.append(
                 {
                     **f,
@@ -1519,6 +1552,14 @@ def write_delta(
                 phys, {"parquet.field.id": i}
             )
         df = w0
+        # partitioned id-mode (graduated r14): files and Hive dirs use
+        # the physical names, partitionValues key physical (spec
+        # writer requirement); metaData partitionColumns stay logical
+        if partition_by:
+            bad = [c for c in partition_by if c not in cm_l2p]
+            if bad:
+                raise ValueError(f"partition_by columns {bad} not in df")
+            partition_by = [cm_l2p[c] for c in partition_by]
     versions = _commit_versions(path) if os.path.isdir(_log_dir(path)) else []
     ckpt = _last_checkpoint(path) if os.path.isdir(_log_dir(path)) else None
     exists = bool(versions) or ckpt is not None
@@ -1560,10 +1601,40 @@ def write_delta(
             )
             pcols = [l2p.get(c, c) for c in pcols]
         elif cm_mode == "id":
-            raise ValueError(
-                "append to an id-mode column-mapped table is outside "
-                "the fixture writer's profile"
+            # id-mode append (graduated r14): write under the PHYSICAL
+            # names with the table's stable field ids stamped into the
+            # parquet footers — exactly what the id-mode read matches
+            # by, so a foreign-shaped id file and a native append read
+            # back in one scan
+            sj_prev = json.loads(meta_prev["schemaString"])
+            log = StructType.fromJson(sj_prev)
+            phys = StructType.fromJson(pj)
+            missing = [
+                f.name for f in log.fields if f.name not in df.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"append under column mapping expects the LOGICAL "
+                    f"schema; missing columns {missing}"
+                )
+            w0 = df.select(
+                *[
+                    F.col(lf.name).cast(pf.dataType).alias(pf.name)
+                    for lf, pf in zip(log.fields, phys.fields)
+                ]
             )
+            for f, pf in zip(sj_prev["fields"], phys.fields):
+                cid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+                if cid is None:
+                    raise ValueError(
+                        f"id-mode append: field {f['name']!r} lacks "
+                        f"delta.columnMapping.id"
+                    )
+                w0 = w0.withMetadata(
+                    pf.name, {"parquet.field.id": int(cid)}
+                )
+            df = w0
+            pcols = [l2p.get(c, c) for c in pcols]
     # stage through a temp dir so the files THIS commit adds are known
     # exactly, then hard-move them into the table root
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
@@ -1620,7 +1691,7 @@ def write_delta(
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_string,
-                    "partitionColumns": pcols,
+                    "partitionColumns": pcols_meta,
                     "configuration": configuration,
                     "createdTime": now_ms,
                 }

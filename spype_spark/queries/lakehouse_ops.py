@@ -3387,12 +3387,16 @@ def q_lake_delta_idmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The contract creates an id-mode table from the EVEN orders keys
     (random physical column names, real field ids in the footers),
-    then fabricates a FOREIGN data file from the odd keys whose
+    fabricates a FOREIGN data file from one odd quarter whose
     physical names are entirely different but whose field ids match —
-    the shape an Iceberg-to-Delta converter produces — and commits it
-    as a plain add. The read must assemble ALL orders under the
-    logical names; a name-based reader would NULL every column of one
-    file generation or the other. The oracle is the whole table.
+    the shape an Iceberg-to-Delta converter produces — commits it as
+    a plain add, then NATIVE-APPENDS the remaining quarter through
+    ``write_delta(mode="append")`` (graduated r14: the append writes
+    under the table's physical names with its stable field ids
+    stamped into the new footers). The read must assemble ALL orders
+    under the logical names from all THREE file generations in one
+    scan; a name-based reader would NULL every column of at least one
+    generation. The oracle is the whole table.
     """
     import os as _os
 
@@ -3406,7 +3410,7 @@ def q_lake_delta_idmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, o.filter(F.col("o_orderkey") % 2 == 0), path,
             column_mapping="id",
         )
-        foreign = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        foreign = o.filter(F.col("o_orderkey") % 4 == 1).select(
             F.col("o_orderkey").alias("fa"),
             F.col("o_custkey").alias("fb"),
             F.col("o_totalprice").alias("fc"),
@@ -3434,6 +3438,12 @@ def q_lake_delta_idmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 }
             ],
+        )
+        di.write_delta(
+            spark,
+            o.filter(F.col("o_orderkey") % 4 == 3),
+            path,
+            mode="append",
         )
         return di.read_delta(spark, path).localCheckpoint()
     finally:
@@ -3557,37 +3567,48 @@ def q_lake_delta_export_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_lake_delta_export_colmap",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice AS price, o_orderstatus
+    SELECT o_orderkey, o_custkey, o_totalprice AS price,
+           o_orderstatus AS status
     FROM orders
     """,
 )
 def q_lake_delta_export_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COLUMN-MAPPED dual-format export (graduates the r12 "export
-    before renaming" gate): a native table renamed after its first
-    write (``o_totalprice`` → ``price``, files keep the frozen
-    physical name) then appended to (post-rename files also write the
-    physical name) exports as Delta columnMapping NAME mode — each
-    logical field carries ``delta.columnMapping.physicalName``, the
-    metaData configuration declares the mode, and the protocol the
-    ``columnMapping`` reader feature. Reading the mirror back through
-    the Delta name-mode scan projects the files' physical columns onto
-    the renamed logical schema — full content parity with the corpus
-    table under the new name. In-contract asserts: mapping mode
-    emitted, reader feature declared."""
+    """PARTITIONED + COLUMN-MAPPED dual-format export (round 14 —
+    graduating the last export combo gate): a native table PARTITIONED
+    by ``o_orderstatus`` is renamed after its first write — BOTH the
+    partition column (→ ``status``) and a data column
+    (``o_totalprice`` → ``price``; files and Hive-layout directories
+    keep the frozen physical names) — then appended to, and exports as
+    Delta columnMapping NAME mode. Per the spec's writer requirement,
+    each add's ``partitionValues`` are keyed by the PHYSICAL partition
+    name while metaData ``partitionColumns`` stay logical (the keying
+    Delta-Spark itself produces) — asserted in-contract on the raw
+    actions. Reading the mirror back goes through ``read_delta``'s
+    name-mode group scan, including a LOGICAL-name
+    ``partition_filter`` that must prune at the partitionValues level
+    and agree with the engine's own partition-pruned count."""
     from spype_spark import delta_interop as dl
 
     tmp = _scratch("spype_delta_exp_cm_")
     try:
         path = f"{tmp}/orders_cm"
         o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
-        lake.write_table(o.filter(F.col("o_orderkey") % 2 == 0), path)
-        lake.rename_columns(spark, path, {"o_totalprice": "price"})
+        lake.write_table(
+            o.filter(F.col("o_orderkey") % 2 == 0),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+        lake.rename_columns(
+            spark,
+            path,
+            {"o_totalprice": "price", "o_orderstatus": "status"},
+        )
         lake.append_table(
             spark,
             path,
-            o.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
-                "o_totalprice", "price"
-            ),
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .withColumnRenamed("o_totalprice", "price")
+            .withColumnRenamed("o_orderstatus", "status"),
         )
         if dl.export_delta(spark, path) != 0:
             raise AssertionError("first export should land Delta v0")
@@ -3597,6 +3618,25 @@ def q_lake_delta_export_colmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("export did not declare columnMapping")
         if "columnMapping" not in (st["protocol"].get("readerFeatures") or []):
             raise AssertionError("protocol lacks the columnMapping feature")
+        if list(st["meta"].get("partitionColumns") or []) != ["status"]:
+            raise AssertionError("partitionColumns must stay logical")
+        for a in st["adds"]:
+            if set(a.get("partitionValues") or {}) != {"o_orderstatus"}:
+                raise AssertionError(
+                    "partitionValues must be keyed by the physical "
+                    "partition name under column mapping"
+                )
+        filtered = dl.read_delta(
+            spark, path, partition_filter={"status": "F"}
+        )
+        native_f = lake.read_table(spark, path).filter(
+            F.col("status") == "F"
+        )
+        if filtered.count() != native_f.count():
+            raise AssertionError(
+                "logical-name partition_filter read diverges from the "
+                "engine's own partition-pruned count"
+            )
         return dl.read_delta(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

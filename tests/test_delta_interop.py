@@ -276,13 +276,25 @@ def test_export_delta_out_of_profile_is_loud(spark, tmp_path):
     lake.write_table(df, bt, partition_by=[("bucket", 4, "k")])
     with pytest.raises(ValueError, match="transform"):
         dl.export_delta(spark, bt)
-    # renames now export as columnMapping name mode — but a PARTITIONED
-    # mapped table stays gated (partitionValues keys flip physical)
+    # partitioned + mapped graduated r14: partitionValues keyed by the
+    # PHYSICAL partition name, partitionColumns stay logical, and the
+    # mapped read (incl. a logical-name partition filter) round-trips
     rt = str(tmp_path / "renamed_part")
     lake.write_table(df, rt, partition_by=["p"])
-    lake.rename_columns(spark, rt, {"k": "key"})
-    with pytest.raises(ValueError, match="partitioned column-mapped"):
-        dl.export_delta(spark, rt)
+    lake.rename_columns(spark, rt, {"k": "key", "p": "part"})
+    assert dl.export_delta(spark, rt) == 0
+    st = dl._replay_state(spark, rt, None)
+    assert list(st["meta"]["partitionColumns"]) == ["part"]
+    assert all(
+        set(a["partitionValues"]) == {"p"} for a in st["adds"]
+    )
+    assert _rows(dl.read_delta(spark, rt)) == _rows(
+        lake.read_table(spark, rt)
+    )
+    assert (
+        dl.read_delta(spark, rt, partition_filter={"part": "1"}).count()
+        == 5
+    )
     # pending deletes over by-reference imported files have no fname anchor
     src = str(tmp_path / "dsrc")
     dl.write_delta(spark, df, src)
@@ -951,18 +963,73 @@ def test_delta_id_mode_column_mapping(spark, tmp_path):
     )
     got2 = sorted((r["k"], r["v"]) for r in dl.read_delta(spark, p).collect())
     assert got2 == [(k, 3 * k) for k in list(range(20)) + [100, 101, 102]]
-    # rename keeps id mode; append is gated
+    # rename keeps id mode; append takes the LOGICAL schema (r14)
     dl.delta_rename_column(spark, p, {"v": "value"})
     meta, _a, _v = dl._replay(spark, p, None)
     assert meta["configuration"]["delta.columnMapping.mode"] == "id"
     assert dl.read_delta(spark, p).columns == ["k", "value"]
-    with pytest.raises(ValueError, match="id-mode"):
+    with pytest.raises(ValueError, match="missing columns"):
         dl.write_delta(spark, base, p, mode="append")
-    with pytest.raises(ValueError, match="profile"):
-        dl.write_delta(
-            spark, base, str(tmp_path / "t2"), partition_by=["v"],
-            column_mapping="id",
+    dl.write_delta(
+        spark, base.withColumnRenamed("v", "value"), p, mode="append"
+    )
+    got3 = sorted(
+        (r["k"], r["value"]) for r in dl.read_delta(spark, p).collect()
+    )
+    assert got3 == sorted(
+        [(k, 3 * k) for k in list(range(20)) + [100, 101, 102]]
+        + [(k, 3 * k) for k in range(20)]
+    )
+    # the appended files carry the table's stable field ids
+    newest = max(
+        glob.glob(f"{p}/*.parquet"), key=os.path.getmtime
+    )
+    ids = {
+        f.metadata.get(b"PARQUET:field_id")
+        for f in pq.read_schema(newest)
+    }
+    assert ids == {b"1", b"2"}
+
+
+def test_delta_id_mode_partitioned(spark, tmp_path):
+    """Partitioned id-mode (graduated r14): files/Hive dirs/
+    partitionValues use physical names, metaData partitionColumns
+    stay logical, reads attach partition columns from the
+    authoritative partitionValues, and partition_filter takes the
+    LOGICAL name."""
+    p = str(tmp_path / "t")
+    df = spark.range(0, 24).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("g"),
+    )
+    dl.write_delta(
+        spark, df, p, column_mapping="id", partition_by=["g"]
+    )
+    dl.write_delta(
+        spark,
+        spark.range(24, 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("int").alias("g"),
+        ),
+        p,
+        mode="append",
+    )
+    got = dl.read_delta(spark, p)
+    assert sorted((r["k"], r["g"]) for r in got.collect()) == [
+        (k, k % 3) for k in range(30)
+    ]
+    meta, adds, _v = dl._replay(spark, p, None)
+    assert list(meta["partitionColumns"]) == ["g"]
+    phys_g = {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
         )
+        for f in json.loads(meta["schemaString"])["fields"]
+    }["g"]
+    assert all(set(a["partitionValues"]) == {phys_g} for a in adds)
+    assert (
+        dl.read_delta(spark, p, partition_filter={"g": "1"}).count() == 10
+    )
 
 
 def test_delta_dv_decode_paths_equivalent(spark, tmp_path, monkeypatch):
