@@ -344,6 +344,30 @@ def m_write_parts(
             else:
                 rebucketed.setdefault(key, []).extend(es)
         groups = rebucketed
+    # Roll-up across commits (round 14): a long run of SMALL commits —
+    # a minute-cadence streaming sink or landing job — would otherwise
+    # accumulate one slab PER COMMIT forever, and every scan's planning
+    # would pay O(commits) slab opens. When the group count crosses the
+    # planning cap, groups smaller than the inline threshold merge into
+    # ≤ _SLAB_MAX_GROUPS roll-up buckets keyed by sha(group key) —
+    # stable per key, so an untouched bucket reproduces the identical
+    # content-addressed slab and writes NOTHING; a new commit's entries
+    # land in one bucket, rewriting one slab of ~(small entries /
+    # _SLAB_MAX_GROUPS). Large groups (compaction output, backfills)
+    # keep their own partition-pure slabs and summaries.
+    if len(groups) > _SLAB_MAX_GROUPS:
+        small = [
+            k for k, g in groups.items() if len(g) < _PART_INLINE_MAX
+        ]
+        if len(small) > 1:
+            rolled: dict[str, list[dict]] = {}
+            for k in small:
+                b = (
+                    int(hashlib.sha1(k.encode()).hexdigest()[:8], 16)
+                    % _SLAB_MAX_GROUPS
+                )
+                rolled.setdefault(f"roll|b{b}", []).extend(groups.pop(k))
+            groups.update(rolled)
     names = []
     summaries: dict[str, dict] = {}
     for _key, group in sorted(groups.items()):
