@@ -52,72 +52,22 @@ from spype_spark.queries import lakehouse_ops  # noqa: F401
 #      as evidence), with the round-1 rows-only keys last.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # ---- round-13 window (first 50 keys = the driver's evidence
-    # budget). Per VERDICT.md r12 task 1: q_lake_delta_export FIRST
-    # (zero driver history — it landed after the r12 window froze),
-    # then every round-13 NEW contract in landing order (zero history
-    # by construction; the final six are the second-continuation
-    # Python-DataSource family — streaming CDC over both foreign
-    # formats, both native streaming halves, both replication
-    # pipelines), then the 5 keys whose last driver green is r7
-    # (q_tpch_q2/q20/q21/q9, q_udaf_grouped), then the r8-stale keys
-    # starting q_sim_cosine_tiled (the oldest). With 25 zero-history
-    # keys ahead of them, the window cuts off inside the r8 block —
-    # the overflow heads the r14 queue.
-    "q_lake_delta_export",
-    # round-13 additions (zero driver history):
-    "q_lake_delta_export_part",
-    "q_multimodal_jpeg",
-    "q_lake_iceberg_read",
-    "q_lake_iceberg_import",
-    "q_lake_iceberg_export",
-    "q_lake_iceberg_mor",
-    "q_lake_delta_colmap",
-    "q_lake_delta_dv",
-    "q_lake_iceberg_rename",
-    "q_lake_sql_foreign",
-    "q_lake_delta_v2ckpt",
-    "q_lake_delta_idmap",
-    "q_lake_iceberg_namemap",
-    # round-13 continuation additions (zero driver history):
-    "q_lake_delta_export_mor",
+    # ---- round-14 window (first 50 keys = the driver's evidence
+    # budget). Per VERDICT.md r13 task 1: 4 zero/stale-history keys
+    # first (2 NEW this round — q_stream_lake_cdf, q_sink_avro_nested
+    # — and 2 whose CONTRACTS were extended this round and need
+    # re-verification: q_lake_delta_export_colmap now partitioned+
+    # mapped, q_lake_delta_idmap now covers id-mode append), then
+    # ALL 14 r8-stale keys (the oldest evidence anywhere), then the
+    # r9 queue — q_lake_delete_dv / q_lake_branch_wap / the tpch
+    # block first per the verdict, then table order. The window
+    # cuts off after q_layout_zorder; the 18 keys below it head
+    # the r15 queue. Post-r14 staleness floor: nothing older than
+    # r9.
+    "q_stream_lake_cdf",
+    "q_sink_avro_nested",
     "q_lake_delta_export_colmap",
-    "q_sink_avro_roundtrip",
-    "q_lake_delta_changes",
-    "q_lake_iceberg_changes",
-    "q_stream_delta_cdc",
-    "q_stream_iceberg_cdc",
-    "q_stream_lake_sink",
-    "q_stream_lake_source",
-    "q_stream_delta_replicate",
-    "q_stream_iceberg_replicate",
-    # last driver-green r7 (all 5):
-    "q_tpch_q2",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q9",
-    "q_udaf_grouped",
-    # last driver-green r8 (all 34; cosine_tiled first = oldest):
-    "q_sim_cosine_tiled",
-    "q_agg_approx_distinct",
-    "q_agg_approx_percentile",
-    "q_agg_grouping_id",
-    "q_dataset_cap_per_source",
-    "q_dataset_mix_weighted",
-    "q_dataset_pack",
-    "q_join_bucketed",
-    "q_multimodal_audio",
-    "q_multimodal_decode",
-    "q_multimodal_framesample",
-    "q_null_handling",
-    "q_pipe_chain",
-    "q_pipe_fan_merge",
-    "q_pipe_iff",
-    "q_profile_stats",
-    "q_recursive_cte",
-    "q_sink_parquet_roundtrip",
-    "q_sink_partitioned_write",
-    "q_sketch_hll",
+    "q_lake_delta_idmap",
     "q_skew_salted_agg",
     "q_subquery_correlated",
     "q_subquery_in",
@@ -132,22 +82,57 @@ _DRIVER_PRIORITY = [
     "q_udf_python",
     "q_udtf_explode",
     "q_window_percentiles",
-    # r9-stale fill (table order); with the 3 r13 additions above the
-    # window cuts off partway through — the rest heads the r14 queue.
+    "q_lake_delete_dv",
+    "q_lake_branch_wap",
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
     "q_agg_histogram",
     "q_join_3way",
     "q_join_asof",
     "q_join_bloom",
     "q_join_interval_overlap",
     "q_join_null_safe",
-    # ---- ~end of the 50-slot window (exact cut depends on how many
-    # r13 additions land; keys below are the r14 queue head) ----
     "q_lake_append_scan",
-    "q_lake_branch_wap",
     "q_lake_cdf",
     "q_lake_clone",
-    "q_lake_delete_dv",
     "q_lake_delete_predicate",
+    "q_lake_hidden_partition",
+    "q_lake_merge_full",
+    "q_lake_rename",
+    "q_lake_restore",
+    "q_lake_scan_nulls",
+    "q_lake_scan_predicate",
+    "q_lake_widen",
+    "q_lake_zorder",
+    "q_layout_zorder",
+    # ---- end of the 50-slot window; r15 queue head (r9-stale) ----
+    "q_multimodal_meta",
+    "q_pipe_validate",
+    "q_pivot",
+    "q_pricing_summary",
+    "q_quality_audit",
+    "q_sample_seeded",
+    "q_sink_csv_roundtrip",
+    "q_sink_json_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_sketch_cms",
+    "q_sketch_hll_intersect",
+    "q_sketch_hll_union",
+    "q_source_binaryfile",
+    "q_source_json_props",
+    "q_stream_cdf",
+    "q_text_entropy",
+    "q_text_slice_windows",
+    "q_unpivot",
 ]
 
 

@@ -229,3 +229,142 @@ def test_iceberg_orphan_snapshot_is_loud(spark, tmp_path):
     batch = ice.iceberg_changes(spark, src)
     with pytest.raises(ValueError, match="no longer in the metadata chain"):
         apply_iceberg_batch(spark, batch, dst, ["k"], chain=[s0 + 1])
+
+
+# ---------------------------------------------------------------------------
+# Model-based replication fuzz (round 14): random mutation chains
+# through BOTH pipelines vs a plain dict model — the interaction class
+# the two pinned contracts cannot cover (delete/re-insert sequencing,
+# key-changing updates mid-chain, restarts between arbitrary commits).
+# ---------------------------------------------------------------------------
+
+import random  # noqa: E402
+
+
+def _kv_df(spark, model: dict):
+    rows = [(int(k), int(v)) for k, v in sorted(model.items())]
+    return spark.createDataFrame(rows, "k long, v long")
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzz_delta_replication_chain(spark, tmp_path, seed):
+    """create → {append | dv-delete | cdc-update | key-move}* with a
+    REPLICATION DRAIN at random points (restart = resumed checkpoint):
+    after the final drain the native mirror must equal both the dict
+    model and read_delta at head."""
+    rng = random.Random(7000 + seed)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    model = {k: k * 3 for k in range(20)}
+    dl.write_delta(spark, _kv_df(spark, model), src)
+    nxt = 100
+    n_ops = 3
+    drain_after = {rng.randrange(n_ops)}
+    for step in range(n_ops):
+        op = rng.choice(["append", "dvdel", "update", "keymove"])
+        mod, res = rng.choice([3, 5, 7]), rng.randrange(3)
+        hit = [k for k in model if k % mod == res]
+        if op == "append" or not hit:
+            new = {k: k * 3 for k in range(nxt, nxt + rng.randint(2, 6))}
+            nxt += 50
+            dl.write_delta(spark, _kv_df(spark, new), src, mode="append")
+            model.update(new)
+        elif op == "dvdel":
+            dl.delta_delete_rows(
+                spark, src, F.col("k") % mod == res
+            )
+            for k in hit:
+                del model[k]
+        elif op == "update":
+            dl.delta_update_rows(
+                spark,
+                src,
+                F.col("k") % mod == res,
+                {"v": F.col("v") + 1000},
+            )
+            for k in hit:
+                model[k] += 1000
+        else:  # key-move: UPDATE that changes the key tuple
+            dl.delta_update_rows(
+                spark,
+                src,
+                F.col("k") % mod == res,
+                {"k": F.col("k") + 100000},
+            )
+            for k in hit:
+                model[k + 100000] = model.pop(k)
+        if step in drain_after:
+            _mirror(spark, src, dst, ck)
+    _mirror(spark, src, dst, ck)
+    got = sorted((r["k"], r["v"]) for r in lake.read_table(spark, dst).collect())
+    assert got == sorted(model.items()), f"seed={seed} mirror != model"
+    ref = sorted(
+        (r["k"], r["v"]) for r in dl.read_delta(spark, src).collect()
+    )
+    assert got == ref, f"seed={seed} mirror != source head"
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzz_iceberg_replication_chain(spark, tmp_path, seed):
+    """The Iceberg twin: {append | pos-delete | eq-delete}* snapshots
+    with a drain at a random point; eq-deletes sample live AND absent
+    keys (absent must be a no-op), pos-deletes come from the verified
+    position scan. Mirror must equal the model and the source head."""
+    from spype_spark import iceberg_interop as ice
+    from spype_spark.replicate import replicate_iceberg_to_lake
+
+    rng = random.Random(8000 + seed)
+    src = str(tmp_path / "isrc")
+    dst = str(tmp_path / "idst")
+    ck = str(tmp_path / "ick")
+    model = {k: k * 3 for k in range(20)}
+    ice.write_iceberg(spark, _kv_df(spark, model), src)
+    nxt = 100
+    n_ops = 3
+    drain_after = {rng.randrange(n_ops)}
+
+    def drain():
+        q = replicate_iceberg_to_lake(spark, src, dst, ck, keys=["k"])
+        q.awaitTermination()
+
+    for step in range(n_ops):
+        op = rng.choice(["append", "posdel", "eqdel"])
+        mod, res = rng.choice([3, 5, 7]), rng.randrange(3)
+        hit = [k for k in model if k % mod == res]
+        if op == "append" or not hit:
+            new = {k: k * 3 for k in range(nxt, nxt + rng.randint(2, 6))}
+            nxt += 50
+            ice.write_iceberg(
+                spark, _kv_df(spark, new), src, mode="append"
+            )
+            model.update(new)
+        elif op == "posdel":
+            hits = (
+                ice.position_scan(spark, src)
+                .filter(F.col("k") % mod == res)
+                .select(
+                    F.col("_file").alias("file_path"),
+                    F.col("_pos").alias("pos"),
+                )
+            )
+            ice.write_iceberg_pos_deletes(spark, hits, src)
+            for k in hit:
+                del model[k]
+        else:  # eq-delete on sampled live + one absent key
+            sample = rng.sample(hit, k=min(len(hit), 4))
+            keys_df = spark.createDataFrame(
+                [(int(k),) for k in sample] + [(999999,)], "k long"
+            )
+            ice.write_iceberg_eq_deletes(spark, keys_df, src, ["k"])
+            for k in sample:
+                del model[k]
+        if step in drain_after:
+            drain()
+    drain()
+    got = sorted((r["k"], r["v"]) for r in lake.read_table(spark, dst).collect())
+    assert got == sorted(model.items()), f"seed={seed} mirror != model"
+    ref = sorted(
+        (r["k"], r["v"]) for r in ice.read_iceberg(spark, src).collect()
+    )
+    assert got == ref, f"seed={seed} mirror != source head"
