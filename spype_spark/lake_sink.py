@@ -731,13 +731,21 @@ def _shaped_live(
 
 
 def _col_changed(a, b):
-    """Element-wise "values differ" (NULL == NULL) for two columns."""
+    """Element-wise "values differ" (NULL == NULL) for two columns.
+    Vectorized for every type Arrow's ``equal`` kernel covers; nested
+    types (map/struct) fall back to a python compare — rare in diff
+    keys' value columns, and bounded by the commit's touched rows."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    eq = pc.coalesce(
-        pc.equal(a, b), pc.and_(pc.is_null(a), pc.is_null(b))
-    )
-    return pc.invert(eq)
+    try:
+        eq = pc.coalesce(
+            pc.equal(a, b), pc.and_(pc.is_null(a), pc.is_null(b))
+        )
+        return pc.invert(eq)
+    except pa.ArrowNotImplementedError:
+        av, bv = a.to_pylist(), b.to_pylist()
+        return pa.array([x != y for x, y in zip(av, bv)], type=pa.bool_())
 
 
 def _read_cdf_partition(part: _LakeCDFPartition, schema):
