@@ -4420,3 +4420,87 @@ def q_stream_iceberg_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_stream_lake_replicate",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    od AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    live2 AS (
+      SELECT * FROM ev WHERE NOT (o_totalprice > 150000)
+      UNION ALL SELECT * FROM od
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 10.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM live2
+    """,
+)
+def q_stream_lake_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE→NATIVE replication
+    (:func:`spype_spark.replicate.replicate_lake_to_lake`, round 14) —
+    the standby/DR mirror composed from the round's native change-feed
+    format: ``readStream.format("spype_lake")`` with
+    ``readChangeFeed`` emits the Delta-CDF column shape, so the SAME
+    ``apply_cdf_batch`` (ordered per-commit key-deletes + merge
+    upserts, key-changing updates handled via stale preimages) drives
+    the mirror. Fixture mirrors q_stream_delta_replicate exactly on a
+    NATIVE source — v0 create + v1 DV delete, drain; v2 append + v3
+    MERGE update, resumed drain; caught-up drain publishes NO native
+    version — and shares its relational oracle, so the native
+    replication path must add or lose nothing vs the foreign twin."""
+    from spype_spark.replicate import replicate_lake_to_lake
+
+    tmp = _scratch("spype_repl_lake_")
+    try:
+        src = f"{tmp}/orders_src"
+        dst = f"{tmp}/orders_dst"
+        ck = f"{tmp}/ck"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        ev = o.filter(F.col("o_orderkey") % 2 == 0)
+        od = o.filter(F.col("o_orderkey") % 2 == 1)
+
+        def mirror() -> None:
+            q = replicate_lake_to_lake(
+                spark, src, dst, ck, keys=["o_orderkey"]
+            )
+            q.awaitTermination()
+
+        lake.write_table(ev, src)
+        lake.delete_where_dv(spark, src, F.col("o_totalprice") > 150000)
+        mirror()
+        if (
+            lake.read_table(spark, dst).count()
+            != lake.read_table(spark, src).count()
+        ):
+            raise AssertionError("phase-1 mirror diverged")
+        lake.append_table(spark, src, od)
+        live2 = lake.read_table(spark, src)
+        lake.merge_upsert(
+            spark,
+            src,
+            live2.filter(F.col("o_orderstatus") == "F").withColumn(
+                "o_totalprice", F.col("o_totalprice") + 10.0
+            ),
+            ["o_orderkey"],
+        )
+        mirror()
+        v = lake.latest_version(dst)
+        mirror()  # caught up — no new native version
+        if lake.latest_version(dst) != v:
+            raise AssertionError("caught-up mirror must publish nothing")
+        return (
+            lake.read_table(spark, dst)
+            .select(*_BASE_COLS)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -127,6 +127,46 @@ def replicate_delta_to_lake(
     return w.start()
 
 
+def replicate_lake_to_lake(
+    spark: SparkSession,
+    src_path: str,
+    lake_path: str,
+    checkpoint: str,
+    keys: list[str],
+    available_now: bool = True,
+):
+    """NATIVE→NATIVE replication (round 14) — the same zero-glue
+    composition over the native change-feed format:
+    ``readStream.format("spype_lake").option("readChangeFeed","true")``
+    emits exactly the Delta-CDF column shape (table columns +
+    ``_change_type`` + ``_commit_version``), so the Delta apply
+    function is reused verbatim. The standby/DR mirror story: a table
+    on one storage root tailed into another with O(changed rows) per
+    poll, restart-safe through Spark's checkpoint, idempotent by
+    upsert/key-delete construction."""
+    from spype_spark.lake_sink import register_lake_sink
+
+    register_lake_sink(spark)
+    stream = (
+        spark.readStream.format("spype_lake")
+        .option("path", src_path)
+        .option("readChangeFeed", "true")
+        .option("keys", ",".join(keys))
+        .load()
+    )
+
+    def _apply(bdf, _bid: int) -> None:
+        apply_cdf_batch(spark, bdf, lake_path, keys)
+
+    w = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def apply_iceberg_batch(
     spark: SparkSession, batch_df, lake_path: str, keys: list[str],
     chain: list[int],

@@ -368,3 +368,45 @@ def test_fuzz_iceberg_replication_chain(spark, tmp_path, seed):
         (r["k"], r["v"]) for r in ice.read_iceberg(spark, src).collect()
     )
     assert got == ref, f"seed={seed} mirror != source head"
+
+
+def test_lake_to_lake_replication(spark, tmp_path):
+    """Native→native mirror over the r14 change-feed format: the same
+    apply path handles appends, MoR deletes, MERGE updates, and a
+    KEY-CHANGING update, with a restart between phases."""
+    from spype_spark.replicate import replicate_lake_to_lake
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    df = spark.createDataFrame(
+        [(k, k * 3) for k in range(20)], "k long, v long"
+    )
+    lake.write_table(df, src)
+    lake.delete_where_dv(spark, src, F.col("k") % 5 == 0)
+
+    def mirror():
+        q = replicate_lake_to_lake(spark, src, dst, ck, keys=["k"])
+        q.awaitTermination()
+
+    mirror()
+    assert sorted(r["k"] for r in lake.read_table(spark, dst).collect()) == [
+        k for k in range(20) if k % 5 != 0
+    ]
+    # key-changing MERGE: k=1 moves to k=101 (old key must vanish)
+    lake.merge_upsert(
+        spark,
+        src,
+        spark.createDataFrame([(101, 3)], "k long, v long").unionByName(
+            lake.read_table(spark, src).filter(F.col("k") != 1)
+        ),
+        ["k"],
+    )
+    lake.delete_keys(spark, src, spark.createDataFrame([(1,)], "k long"))
+    mirror()
+    got = sorted((r["k"], r["v"]) for r in lake.read_table(spark, dst).collect())
+    ref = sorted((r["k"], r["v"]) for r in lake.read_table(spark, src).collect())
+    assert got == ref
+    v = lake.latest_version(dst)
+    mirror()
+    assert lake.latest_version(dst) == v, "caught-up mirror published"
