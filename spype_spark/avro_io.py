@@ -26,8 +26,15 @@ encoder (null or deflate codec) used to fabricate spec-shaped
 Iceberg metadata in tests and contracts; it writes only what the
 schema names, in order, which is all the format requires.
 
-Codecs beyond ``null``/``deflate`` (snappy, zstandard) raise a loud
-ValueError — never a silent misparse.
+Codecs: ``null``, ``deflate`` (raw zlib), and — graduated round 14 —
+``snappy`` via a pure-stdlib decoder of the raw Snappy block format
+(varint uncompressed length, then literal/copy-1/copy-2/copy-4 tags),
+with the Avro container's 4-byte big-endian CRC32 suffix verified per
+block. The writer's snappy support emits LITERAL-ONLY blocks — valid
+Snappy by construction (every decoder accepts it), zero compression,
+fixture-grade like the rest of the encoder. Anything else
+(zstandard, bzip2, xz) raises a loud ValueError — never a silent
+misparse.
 """
 
 from __future__ import annotations
@@ -74,6 +81,112 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
     if len(out) != n:
         raise ValueError("truncated Avro bytes")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Snappy raw-block codec (pure stdlib) — the wild's default Avro codec
+# ---------------------------------------------------------------------------
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Decompress one raw Snappy block (the format snappy-java and
+    python-snappy produce for Avro): little-endian varint uncompressed
+    length, then a tag stream — literal (tag&3 == 0, length in the tag
+    or 1-4 trailing bytes), copy-1/2/4 (back-references with 1/2/4
+    offset bytes). Pure Python: fine for metadata- and contract-scale
+    blocks; the executor-side cost class is the same as the deflate
+    path's zlib call (C speed there, Python here — documented)."""
+    pos = 0
+    n = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("snappy: truncated length varint")
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy: length varint too long")
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = (tag >> 2) + 1
+            if ln > 60:
+                nb = ln - 60
+                if pos + nb > len(data):
+                    raise ValueError("snappy: truncated literal length")
+                ln = int.from_bytes(data[pos : pos + nb], "little") + 1
+                pos += nb
+            if pos + ln > len(data):
+                raise ValueError("snappy: truncated literal")
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy with 1-byte offset
+            ln = ((tag >> 2) & 0x7) + 4
+            if pos >= len(data):
+                raise ValueError("snappy: truncated copy-1")
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy with 2-byte offset
+            ln = (tag >> 2) + 1
+            if pos + 2 > len(data):
+                raise ValueError("snappy: truncated copy-2")
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy with 4-byte offset
+            ln = (tag >> 2) + 1
+            if pos + 4 > len(data):
+                raise ValueError("snappy: truncated copy-4")
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: copy offset out of range")
+        # overlapping copies are the RLE idiom: copy byte-at-a-time
+        # when the run overlaps itself
+        start = len(out) - off
+        if off >= ln:
+            out += out[start : start + ln]
+        else:
+            for i in range(ln):
+                out.append(out[start + i])
+    if len(out) != n:
+        raise ValueError(
+            f"snappy: decompressed {len(out)} bytes, header said {n}"
+        )
+    return bytes(out)
+
+
+def snappy_compress_literal(data: bytes) -> bytes:
+    """Encode ``data`` as one VALID Snappy block using literal tags
+    only (no back-references — zero compression, universal
+    compatibility): the fixture-writer twin of the full decoder."""
+    out = bytearray()
+    n = len(data)
+    while True:  # varint length
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            break
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + 65536]
+        ln = len(chunk) - 1
+        if ln < 60:
+            out.append(ln << 2)
+        else:
+            out.append(62 << 2)  # 3-byte length form covers 2^24
+            out += ln.to_bytes(3, "little")
+        out += chunk
+        pos += len(chunk)
+    return bytes(out)
 
 
 def _resolve(schema, named: dict):
@@ -252,9 +365,10 @@ def read_avro_bytes(
     if len(sync) != 16:
         raise ValueError(f"{path}: truncated Avro header")
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(
-            f"{path}: Avro codec {codec!r} not supported (null/deflate only)"
+            f"{path}: Avro codec {codec!r} not supported "
+            f"(null/deflate/snappy only)"
         )
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     named: dict = {}
@@ -272,6 +386,18 @@ def read_avro_bytes(
             raise ValueError(f"{path}: truncated Avro block")
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            if len(block) < 4:
+                raise ValueError(f"{path}: snappy block lacks CRC32")
+            payload, crc = block[:-4], block[-4:]
+            block = snappy_decompress(payload)
+            if zlib.crc32(block) & 0xFFFFFFFF != int.from_bytes(
+                crc, "big"
+            ):
+                raise ValueError(
+                    f"{path}: snappy block CRC32 mismatch — corrupt "
+                    f"container"
+                )
         bbuf = io.BytesIO(block)
         for _ in range(count):
             records.append(_read_datum(bbuf, schema, named))
@@ -377,8 +503,9 @@ def write_avro(
     sync: bytes | None = None,
 ) -> None:
     """Write an Avro Object Container File (single block — fixture
-    scale). ``codec`` is ``"deflate"`` or ``"null"``."""
-    if codec not in ("null", "deflate"):
+    scale). ``codec`` is ``"deflate"``, ``"null"``, or ``"snappy"``
+    (literal-only blocks + the spec's big-endian CRC32 suffix)."""
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported codec {codec!r}")
     named: dict = {}
     _register_names(schema, named)
@@ -389,6 +516,9 @@ def write_avro(
     if codec == "deflate":
         co = zlib.compressobj(6, zlib.DEFLATED, -15)
         payload = co.compress(payload) + co.flush()
+    elif codec == "snappy":
+        crc = (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        payload = snappy_compress_literal(payload) + crc
     sync = sync or os.urandom(16)
     out = bytearray(_MAGIC)
     meta = {
