@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "q_stream_lake_cdf",
     "q_sink_avro_nested",
     "q_stream_lake_replicate",
+    "q_lake_sql_cdf",
     "q_lake_delta_export_colmap",
     "q_lake_delta_idmap",
     "q_skew_salted_agg",
@@ -113,8 +114,8 @@ _DRIVER_PRIORITY = [
     "q_lake_scan_nulls",
     "q_lake_scan_predicate",
     "q_lake_widen",
-    "q_lake_zorder",
     # ---- end of the 50-slot window; r15 queue head (r9-stale) ----
+    "q_lake_zorder",
     "q_layout_zorder",
     "q_multimodal_meta",
     "q_pipe_validate",

@@ -4504,3 +4504,72 @@ def q_stream_lake_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_sql_cdf",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    od AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    live2 AS (
+      SELECT * FROM ev WHERE NOT (o_totalprice > 150000)
+      UNION ALL SELECT * FROM od
+    ),
+    m AS (SELECT * FROM live2 WHERE o_orderstatus = 'F')
+    SELECT o_orderkey, 'delete' AS _change_type,
+           1 AS _commit_version FROM ev WHERE o_totalprice > 150000
+    UNION ALL
+    SELECT o_orderkey, 'insert', 2 FROM od
+    UNION ALL
+    SELECT o_orderkey, 'update_preimage', 3 FROM m
+    UNION ALL
+    SELECT o_orderkey, 'update_postimage', 3 FROM m
+    """,
+)
+def q_lake_sql_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE change feed through the SQL facade (round 14) —
+    ``SELECT … FROM LAKE CHANGES '<path>' KEYS (o_orderkey) FROM
+    VERSION 1``: the batch window of the ``spype_lake`` readChangeFeed
+    format addressed in one SQL clause, completing the facade's CDC
+    symmetry (``DELTA CHANGES`` / ``ICEBERG CHANGES`` landed r13).
+    The fixture is q_stream_lake_cdf's v0-v3 chain; the query windows
+    from version 1 (the v0 bulk inserts excluded by the FROM VERSION
+    clause — proving the window option routes through the SQL form)
+    and projects keys + change metadata. The oracle replays the three
+    windowed change sets relationally."""
+    import spype_spark as root
+
+    tmp = _scratch("spype_sql_lcdf_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        ev = o.filter(F.col("o_orderkey") % 2 == 0)
+        od = o.filter(F.col("o_orderkey") % 2 == 1)
+        lake.write_table(ev, path)
+        lake.delete_where_dv(
+            spark, path, F.col("o_totalprice") > 150000
+        )
+        lake.append_table(spark, path, od)
+        live2 = lake.read_table(spark, path)
+        lake.merge_upsert(
+            spark,
+            path,
+            live2.filter(F.col("o_orderstatus") == "F").withColumn(
+                "o_totalprice", F.col("o_totalprice") + 10.0
+            ),
+            ["o_orderkey"],
+        )
+        return root.sql(
+            spark,
+            f"SELECT o_orderkey, _change_type, _commit_version "
+            f"FROM LAKE CHANGES '{path}' KEYS (o_orderkey) "
+            f"FROM VERSION 1",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

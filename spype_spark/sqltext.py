@@ -563,6 +563,17 @@ _READ_ICEBERG_CHANGES_RE = re.compile(
     r"(?:\s+TO\s+SNAPSHOT\s+(?P<tos>\d+))?",
     re.IGNORECASE,
 )
+# FROM LAKE CHANGES '<path>' [KEYS (k1, k2)] [FROM VERSION a]
+# [TO VERSION b] — the NATIVE change feed (round 14): the batch window
+# of the spype_lake readChangeFeed format; KEYS names the diff keys
+# rewrite commits need (omitted = append/MoR-delete-only history)
+_READ_LAKE_CHANGES_RE = re.compile(
+    r"(?P<kw>\b(?:FROM|JOIN)\b)\s+LAKE\s+CHANGES\s+'(?P<path>[^']+)'"
+    r"(?:\s+KEYS\s*\((?P<keys>[^)]+)\))?"
+    r"(?:\s+FROM\s+VERSION\s+(?P<fromv>\d+))?"
+    r"(?:\s+TO\s+VERSION\s+(?P<tov>\d+))?",
+    re.IGNORECASE,
+)
 # FROM AVRO '<dir>' — a directory of Avro container files through the
 # distributed jar-free source (avro_table.read_avro_table)
 _READ_AVRO_RE = re.compile(
@@ -865,6 +876,33 @@ def _resolve_reads(
         _track(view)
         return f"{m.group('kw')} {view}"
 
+    def _lake_changes_ref(m: re.Match) -> str:
+        if _inside_string(m.string, m.start()):
+            return m.group(0)
+        from spype_spark.lake_sink import register_lake_sink
+
+        register_lake_sink(spark)
+        r = (
+            spark.read.format("spype_lake")
+            .option("path", m.group("path"))
+            .option("readChangeFeed", "true")
+            .option(
+                "startingVersion",
+                m.group("fromv") if m.group("fromv") is not None else "0",
+            )
+        )
+        if m.group("keys"):
+            cols = ",".join(
+                c.strip() for c in m.group("keys").split(",") if c.strip()
+            )
+            r = r.option("keys", cols)
+        if m.group("tov") is not None:
+            r = r.option("endingVersion", m.group("tov"))
+        view = _fresh_view()
+        r.load().createOrReplaceTempView(view)
+        _track(view)
+        return f"{m.group('kw')} {view}"
+
     def _iceberg_changes_ref(m: re.Match) -> str:
         if _inside_string(m.string, m.start()):
             return m.group(0)
@@ -900,6 +938,7 @@ def _resolve_reads(
     # match the quoted path and mis-route it to the native reader
     # (and the CHANGES forms before the plain foreign forms — their
     # keyword precedes the quote the plain regexes anchor on)
+    stmt = _READ_LAKE_CHANGES_RE.sub(_lake_changes_ref, stmt)
     stmt = _READ_ICEBERG_CHANGES_RE.sub(_iceberg_changes_ref, stmt)
     stmt = _READ_DELTA_CHANGES_RE.sub(_delta_changes_ref, stmt)
     stmt = _READ_AVRO_RE.sub(_avro_ref, stmt)
