@@ -1740,11 +1740,10 @@ def delta_delete_rows(spark: SparkSession, path: str, condition) -> int:
     writer would stream them per file."""
     st = _replay_state(spark, path, None)
     meta, adds, v = st["meta"], st["adds"], st["version"]
-    if _mapping_info(meta)[0] != "none":
-        raise ValueError(
-            "delta_delete_rows on a column-mapped table is outside the "
-            "fixture writer's profile"
-        )
+    # column-mapped tables graduated r14: the predicate evaluates on
+    # the LOGICAL schema the scan already projects (name or id mode),
+    # and the vectors anchor to (file path, row index) — column names
+    # never enter the DV itself
     scan = _scan_adds(spark, path, meta, adds, keep_pos=True)
     hits = scan.filter(condition).select("_file", "_pos")
     by_file: dict[str, list[int]] = {}
@@ -1822,13 +1821,17 @@ def delta_update_rows(
     conditions leave rows untouched (SQL UPDATE semantics)."""
     st = _replay_state(spark, path, None)
     meta, adds, v = st["meta"], st["adds"], st["version"]
-    if _mapping_info(meta)[0] != "none" or (
-        meta.get("partitionColumns") or []
-    ):
+    if _mapping_info(meta)[0] != "none":
         raise ValueError(
-            "delta_update_rows on a column-mapped or partitioned table "
-            "is outside the fixture writer's profile"
+            "delta_update_rows on a column-mapped table is outside the "
+            "fixture writer's profile (delta_delete_rows and appends "
+            "are mapped-capable; rewrite-with-cdc under mapping is not)"
         )
+    # partitioned tables graduated r14: the rewrite restores the
+    # Hive layout and each add's partitionValues; cdc files keep the
+    # partition columns IN-FILE (readers resolve file columns first,
+    # partitionValues as fallback — both our readers and the spec's)
+    pcols = list(meta.get("partitionColumns") or [])
     scan = _scan_adds(spark, path, meta, adds)
     hit = F.coalesce(condition, F.lit(False))
     pre = scan.filter(hit)
@@ -1838,7 +1841,10 @@ def delta_update_rows(
     final = scan.filter(~hit).unionByName(post)
     # stage data files exactly like write_delta, plus the CDC files
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    final.write.mode("overwrite").parquet(stage)
+    w = final.write.mode("overwrite")
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(stage)
     new_adds = []
     now_ms = int(os.path.getmtime(stage) * 1000)
     for rel in _list_part_files(stage):
@@ -1849,7 +1855,7 @@ def delta_update_rows(
         new_adds.append(
             {
                 "path": urllib.parse.quote(rel, safe="/="),
-                "partitionValues": {},
+                "partitionValues": _pvals_from_rel(rel, pcols),
                 "size": os.path.getsize(dst),
                 "modificationTime": now_ms,
                 "dataChange": True,

@@ -1202,3 +1202,70 @@ def test_delta_changes_gates_are_loud(spark, tmp_path):
     # a window starting after the truncation still reconstructs state
     ch = dl.delta_changes(spark, p2, 1, 1)
     assert sorted(r["k"] for r in ch.collect()) == [3, 4, 5]
+
+
+def test_delta_dv_delete_on_mapped_tables(spark, tmp_path):
+    """DV deletes graduated for column-mapped tables (r14): the
+    predicate evaluates on the LOGICAL schema (name mode: post-rename
+    name; id mode: logical names over footer-id-resolved files) and
+    the vectors anchor to (file, position) — column names never enter
+    the DV. Second delete merges positions (single-DV invariant)."""
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    # name mode
+    p1 = str(tmp_path / "nm")
+    dl.write_delta(spark, df, p1)
+    dl.delta_rename_column(spark, p1, {"v": "value"})
+    dl.delta_delete_rows(spark, p1, F.col("value") % 9 == 0)
+    assert sorted(r["k"] for r in dl.read_delta(spark, p1).collect()) == [
+        k for k in range(30) if (k * 3) % 9 != 0
+    ]
+    # id mode, partitioned, with a DV merge on the second delete
+    p2 = str(tmp_path / "idm")
+    dl.write_delta(
+        spark,
+        df.withColumn("g", (F.col("k") % 3).cast("int")),
+        p2,
+        column_mapping="id",
+        partition_by=["g"],
+    )
+    dl.delta_delete_rows(spark, p2, F.col("k") % 5 == 0)
+    dl.delta_delete_rows(spark, p2, F.col("k") % 7 == 0)
+    assert sorted(r["k"] for r in dl.read_delta(spark, p2).collect()) == [
+        k for k in range(30) if k % 5 != 0 and k % 7 != 0
+    ]
+
+
+def test_delta_update_rows_partitioned(spark, tmp_path):
+    """Partitioned UPDATE graduated (r14): the rewrite restores the
+    Hive layout + per-add partitionValues, the cdc actions stay
+    authoritative for the change feed, and partition filters keep
+    working after the rewrite."""
+    p = str(tmp_path / "t")
+    df = spark.range(30).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+        (F.col("id") % 3).cast("int").alias("g"),
+    )
+    dl.write_delta(spark, df, p, partition_by=["g"])
+    dl.delta_update_rows(
+        spark, p, F.col("k") % 4 == 0, {"v": F.col("v") + 1000}
+    )
+    got = sorted(
+        (r["k"], r["v"], r["g"]) for r in dl.read_delta(spark, p).collect()
+    )
+    assert got == sorted(
+        (k, k * 3 + (1000 if k % 4 == 0 else 0), k % 3) for k in range(30)
+    )
+    ch = sorted(
+        (r["k"], r["_change_type"])
+        for r in dl.delta_changes(spark, p, starting_version=1).collect()
+    )
+    assert ch == sorted(
+        [(k, "update_preimage") for k in range(30) if k % 4 == 0]
+        + [(k, "update_postimage") for k in range(30) if k % 4 == 0]
+    )
+    assert (
+        dl.read_delta(spark, p, partition_filter={"g": "1"}).count() == 10
+    )
