@@ -50,12 +50,27 @@ def test_delta_dv_sequences_match_model(spark, tmp_path, seed):
             assert v >= 1
         got = sorted(r["k"] for r in dl.read_delta(spark, p).collect())
         assert got == sorted(live), f"seed={seed} step={step} op={op}"
-    # rename is terminal here (the fixture writer gates DV deletes and
-    # appends on mapped tables) — the vectored state must survive it
+    # rename mid-chain: the vectored state must survive it, and (r14)
+    # appends and DV deletes stay in-profile on the mapped table
     dl.delta_rename_column(spark, p, {"v": "value"})
     got = dl.read_delta(spark, p)
     assert set(got.columns) == {"k", "value", "s"}
     assert sorted(r["k"] for r in got.collect()) == sorted(live)
+    new = set(range(nxt, nxt + rng.randint(3, 8)))
+    dl.write_delta(
+        spark,
+        _mk(spark, new).withColumnRenamed("v", "value"),
+        p,
+        mode="append",
+    )
+    live |= new
+    mod = rng.choice([2, 3])
+    dl.delta_delete_rows(spark, p, F.col("value") % (3 * mod) == 0)
+    live = {k for k in live if (k * 3) % (3 * mod) != 0}
+    got = dl.read_delta(spark, p)
+    assert sorted(r["k"] for r in got.collect()) == sorted(live), (
+        f"seed={seed} post-rename mutations diverged"
+    )
 
 
 @pytest.mark.parametrize("seed", range(4))
