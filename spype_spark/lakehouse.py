@@ -1898,6 +1898,37 @@ def _m_merge_plan(
                     links, rewrite_entries = split
                     carry = carry + links
             tgt = _m_apply_deletes(spark, path, rewrite_entries, m)
+    elif (
+        not pcols
+        and not evolve_schema
+        and len(keys) == 1
+        and (
+            clauses is None
+            or clauses["when_not_matched_by_source"] is None
+        )
+    ):
+        # UNPARTITIONED stats pruning (round 14): files whose recorded
+        # [min, max] on the single merge key cannot intersect the
+        # update set's key range provably hold no matched row — carry
+        # them by entry reference instead of rewriting the whole
+        # table. On a range-clustered (or z-ordered) layout a
+        # key-local MERGE rewrites only the covering files, the same
+        # O(touched) cost class the partitioned path gets from its
+        # partition tuples; hash-distributed layouts degrade
+        # gracefully to the full rewrite (every file's range
+        # intersects). evolve_schema forces the full rewrite (carried
+        # files would lack the new columns) and a NOT MATCHED BY
+        # SOURCE clause must see every target row — both keep the old
+        # path.
+        row = updates.agg(
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+        ).first()
+        split = _m_stats_split(
+            _m_entries(path, m), keys[0], row["lo"], row["hi"]
+        )
+        if split is not None and split[0]:
+            carry, rewrite_entries = split
+            tgt = _m_apply_deletes(spark, path, rewrite_entries, m)
     if clauses is not None:
         merged = _merged_frame_full(tgt, updates, keys, **clauses)
     else:

@@ -3724,3 +3724,43 @@ def test_append_never_narrows_schema_nullability(spark, tmp_path):
     )
     after = lake._m_load(path, lake.latest_version(path))["schema"]
     assert after == before, "schema must be stable under literal appends"
+
+
+def test_merge_stats_pruning_unpartitioned(spark, tmp_path):
+    """Round 14: an UNPARTITIONED merge carries files whose manifest
+    [min, max] on the single merge key cannot intersect the update
+    set's key range — a key-local MERGE into a range-clustered layout
+    rewrites only the covering files, not the table."""
+    path = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    lake.write_table(df.repartitionByRange(8, "k"), path)
+    m0 = lake._m_load(path, 0)
+    n_files0 = len(lake._m_entries(path, m0))
+    assert n_files0 >= 8
+    upd = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v")
+    )
+    lake.merge_upsert(spark, path, upd, ["k"])
+    m1 = lake._m_load(path, 1)
+    carried = [
+        e for e in lake._m_entries(path, m1) if e.get("seq", 0) == 0
+    ]
+    assert len(carried) >= n_files0 - 2, (
+        f"expected most files carried, got {len(carried)}/{n_files0}"
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in lake.read_table(spark, path).collect()
+    )
+    assert got == sorted(
+        (k, -1 if k < 100 else k * 10) for k in range(4000)
+    )
+    # an update INSERTING new keys outside every file range still lands
+    lake.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(99999, 5)], "k long, v long"),
+        ["k"],
+    )
+    assert lake.read_table(spark, path).count() == 4001
