@@ -31,10 +31,12 @@ timestamp (``timestamp-micros`` on long), plus nullability via
 union-with-null — and, recursively, NESTED types: Avro ``record`` ↔
 Spark struct, ``array`` ↔ array, ``map`` (string keys, the only kind
 Avro has) ↔ map, with per-level nullability via union-with-null and
-logical types at any depth. Still loudly out of profile: RECURSIVE
-named-type references (Spark's type system is strictly tree-shaped —
-no engine maps those to a relational column), non-nullable multi-type
-unions, enum/fixed, and codecs beyond null/deflate.
+logical types at any depth. Codecs: null, deflate, and snappy
+(pure-stdlib raw-block decoder with per-block CRC32; literal-only
+writer — see :mod:`spype_spark.avro_io`). Still loudly out of
+profile: RECURSIVE named-type references (Spark's type system is
+strictly tree-shaped — no engine maps those to a relational column),
+non-nullable multi-type unions, enum/fixed, and zstd/bzip2 codecs.
 """
 
 from __future__ import annotations

@@ -1516,12 +1516,13 @@ def write_delta(
     JSON commit publishes protocol/metaData (version 0) and the
     add (+ remove, for overwrite) actions. Returns the new version.
 
-    ``column_mapping="id"`` (create only, unpartitioned) builds the
-    Iceberg-compatible id-mode table: every field gets a stable
+    ``column_mapping="id"`` (create only; partitioned allowed — r14)
+    builds the Iceberg-compatible id-mode table: every field gets a stable
     ``delta.columnMapping.id`` and a random ``physicalName``; the data
     files are written under the PHYSICAL names with real parquet
     field ids stamped into the footers — what the id-mode read path
-    matches by."""
+    matches by. Appends to mapped tables (name AND id mode, r14) take
+    the LOGICAL schema and restore the physical names/field ids."""
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     if column_mapping not in (None, "id"):

@@ -515,14 +515,17 @@ def _cdf_recs(path: str, m: dict) -> list[dict]:
     return recs
 
 
-def _rel_fname(entry_path: str) -> str:
-    """Commit-relative file name (everything after the last ``data/``
-    segment) — the row-identity key positional DVs anchor to."""
-    seg = entry_path.split("/")
-    for i in range(len(seg) - 2, -1, -1):
-        if seg[i] == "data":
-            return "/".join(seg[i + 1 :])
-    return entry_path
+def _rel_fname(abs_path: str) -> str:
+    """Commit-relative file name — the row-identity key positional
+    DVs anchor to. MUST reproduce the engine's own convention
+    (``regexp_extract(file_path, '/data/(.*)$', 1)`` in
+    ``lakehouse._m_open_files``): everything after the FIRST
+    ``/data/`` of the file's absolute path, so a table whose ROOT
+    itself contains a ``/data/`` segment still matches its recorded
+    DV fnames (review r14)."""
+    if "/data/" in abs_path:
+        return abs_path.split("/data/", 1)[1]
+    return abs_path
 
 
 class _LakeCDFPartition(InputPartition):
@@ -565,10 +568,14 @@ class _LakeCDFPartition(InputPartition):
 
 
 def _plan_cdf_step(
-    path: str, v: int, keys: list[str] | None
+    path: str, v: int, keys: list[str] | None, rename: dict
 ) -> list[_LakeCDFPartition]:
     """Classify one version step v-1 → v into change-feed partitions —
-    pure manifest metadata, runs in the data-source worker."""
+    pure manifest metadata, runs in the data-source worker. ``rename``
+    is the physical→logical map of the WINDOW-HEAD schema (physical
+    names are frozen, so it covers files written under any earlier
+    logical name — pre-rename change rows surface under the declared
+    schema's CURRENT names, never NULL-filled; review r14)."""
     cur = mlog.m_load(path, v)
     if v == 0:
         prev_entries: list[dict] = []
@@ -586,7 +593,6 @@ def _plan_cdf_step(
         prev_recs = _cdf_recs(path, prev)
     cur_entries = mlog.m_entries(path, cur)
     cur_recs = _cdf_recs(path, cur)
-    rename = {mlog.phys(f): f["name"] for f in cur["schema"]["fields"]}
     prev_by = {e["path"]: e for e in prev_entries}
     cur_by = {e["path"]: e for e in cur_entries}
     added = [e for p, e in cur_by.items() if p not in prev_by]
@@ -628,11 +634,11 @@ def _plan_cdf_step(
                 f"(keys must be unique per row, as in table_diff)"
             )
         old_side = [
-            (abs_of(e), _rel_fname(e["path"]), appl(prev_recs, e))
+            (abs_of(e), _rel_fname(abs_of(e)), appl(prev_recs, e))
             for e in removed + affected
         ]
         new_side = [
-            (abs_of(e), _rel_fname(e["path"]), appl(cur_recs, e))
+            (abs_of(e), _rel_fname(abs_of(e)), appl(cur_recs, e))
             for e in added + affected
         ]
         parts.append(
@@ -647,9 +653,18 @@ def _plan_cdf_step(
         )
         return parts
     for e in added:
+        # normal appends stamp seq == v, so no record can target them
+        # — but a CLONE/BRANCH/RESTORE v0 carries entries with OLDER
+        # seqs alongside repathed delete records: apply them, or the
+        # feed would resurrect deleted rows as inserts (review r14)
         parts.append(
             _LakeCDFPartition(
-                "insert", v, rename, file=abs_of(e), rel=_rel_fname(e["path"])
+                "insert",
+                v,
+                rename,
+                file=abs_of(e),
+                rel=_rel_fname(abs_of(e)),
+                base_recs=appl(cur_recs, e),
             )
         )
     for e in affected:
@@ -662,7 +677,7 @@ def _plan_cdf_step(
                 v,
                 rename,
                 file=abs_of(e),
-                rel=_rel_fname(e["path"]),
+                rel=_rel_fname(abs_of(e)),
                 base_recs=base,
                 new_recs=new,
             )
@@ -742,6 +757,10 @@ def _col_changed(a, b):
         eq = pc.coalesce(
             pc.equal(a, b), pc.and_(pc.is_null(a), pc.is_null(b))
         )
+        if pa.types.is_floating(a.type):
+            # IEEE equal(NaN, NaN) is false, but a rewrite carrying a
+            # NaN unchanged is NOT an update — rescue it (review r14)
+            eq = pc.or_(eq, pc.and_(pc.is_nan(a), pc.is_nan(b)))
         return pc.invert(eq)
     except pa.ArrowNotImplementedError:
         av, bv = a.to_pylist(), b.to_pylist()
@@ -786,7 +805,7 @@ def _read_cdf_partition(part: _LakeCDFPartition, schema):
 
     if part.kind == "insert":
         live = _shaped_live(
-            part.file, part.rel, [], part.rename, data_schema
+            part.file, part.rel, part.base_recs, part.rename, data_schema
         )
         yield from emit(live, "insert")
         return
@@ -876,8 +895,40 @@ def _read_cdf_partition(part: _LakeCDFPartition, schema):
         yield from emit(upd, "update_postimage", suffix="__n")
 
 
+def _cdf_head_rename(path: str, declared=None) -> dict:
+    """physical→logical map of the CURRENT head schema — frozen
+    physical names cover every file generation. With ``declared``
+    (the query's resolved schema), a declared data column absent from
+    the head's logical names means the table was renamed/dropped
+    since the stream's checkpoint pinned its schema: fail LOUDLY
+    (Delta's own streaming behavior on schema change), never
+    NULL-fill a live column."""
+    mh = mlog.m_load(path, max(mlog.m_versions(path)))
+    rename = {mlog.phys(f): f["name"] for f in mh["schema"]["fields"]}
+    if declared is not None:
+        names = set(rename.values())
+        missing = [
+            f.name
+            for f in declared.fields
+            if f.name not in names
+            and f.name not in (CHANGE_TYPE_COL, COMMIT_VERSION_COL)
+        ]
+        if missing:
+            raise ValueError(
+                f"spype_lake CDF: column(s) {missing} of the stream's "
+                f"checkpointed schema no longer exist under {path} "
+                f"(renamed or dropped mid-stream) — restart the query "
+                f"to pick up the new schema"
+            )
+    return rename
+
+
 def _cdf_plan_range(
-    path: str, lo: int, hi: int, keys: list[str] | None
+    path: str,
+    lo: int,
+    hi: int,
+    keys: list[str] | None,
+    rename: dict,
 ) -> list[_LakeCDFPartition]:
     parts: list[_LakeCDFPartition] = []
     avail = set(mlog.m_versions(path))
@@ -887,7 +938,7 @@ def _cdf_plan_range(
                 f"spype_lake CDF: version {v} of {path} is not "
                 f"committed/retained — change window unavailable"
             )
-        parts.extend(_plan_cdf_step(path, v, keys))
+        parts.extend(_plan_cdf_step(path, v, keys, rename))
     return parts
 
 
@@ -934,7 +985,8 @@ class _LakeCDFStreamReader(DataSourceStreamReader):
             self._pos = hi
         if hi <= lo:
             return []
-        return _cdf_plan_range(self.path, lo + 1, hi, self.keys)
+        rename = _cdf_head_rename(self.path, declared=self.schema)
+        return _cdf_plan_range(self.path, lo + 1, hi, self.keys, rename)
 
     def read(self, partition):
         if partition is None:
@@ -964,7 +1016,8 @@ class _LakeCDFBatchReader(DataSourceReader):
         end = self.end
         if end is None:
             end = max(mlog.m_versions(self.path))
-        return _cdf_plan_range(self.path, self.start, end, self.keys)
+        rename = _cdf_head_rename(self.path)
+        return _cdf_plan_range(self.path, self.start, end, self.keys, rename)
 
     def read(self, partition):
         if partition is None:

@@ -688,7 +688,7 @@ def test_cdf_vacuumed_prev_is_loud(reg, tmp_path):
     )
     _os.remove(mlog.m_path(p, 1))
     with pytest.raises(ValueError, match="vacuumed"):
-        _cdf_plan_range(p, 2, 2, ["k"])
+        _cdf_plan_range(p, 2, 2, ["k"], {})
 
 
 def test_cdf_parallelism_is_per_file(reg, tmp_path):
@@ -701,6 +701,91 @@ def test_cdf_parallelism_is_per_file(reg, tmp_path):
         F.col("id").alias("k"), (F.col("id") % 3).alias("g")
     )
     lake.write_table(df, p)
-    parts = _cdf_plan_range(p, 0, 0, None)
+    parts = _cdf_plan_range(p, 0, 0, None, {})
     assert len(parts) >= 4
     assert all(pt.kind == "insert" for pt in parts)
+
+
+def test_cdf_rename_uses_head_schema(reg, tmp_path):
+    """Change rows from versions BEFORE a rename must surface under
+    the head's logical names (physical names are frozen), never
+    NULL-filled (review r14)."""
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=6)  # v0: columns k, g
+    lake.rename_columns(reg, p, {"g": "grp"})  # v1: metadata-only
+    lake.append_table(
+        reg,
+        p,
+        reg.createDataFrame([(9, 9)], "k long, grp long"),
+    )  # v2
+    got = sorted(
+        tuple(r)
+        for r in _cdf_read(reg, p, keys=None)
+        .select("k", "grp", "_change_type", "_commit_version")
+        .collect()
+    )
+    exp = sorted(
+        [(k, k % 3, "insert", 0) for k in range(6)] + [(9, 9, "insert", 2)]
+    )
+    assert got == exp, "pre-rename change rows must carry real values"
+
+
+def test_cdf_clone_v0_applies_carried_deletes(reg, tmp_path):
+    """A clone's v0 carries entries with OLD seqs plus repathed delete
+    records — the feed must NOT resurrect deleted rows as inserts
+    (review r14)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _mk(reg, src, n=10)
+    lake.delete_where_dv(reg, src, F.col("k") >= 7)
+    lake.clone_table(src, dst)
+    got = sorted(
+        (r["k"], r["_change_type"])
+        for r in _cdf_read(reg, dst, keys=None).collect()
+    )
+    assert got == [(k, "insert") for k in range(7)], (
+        "clone CDF must emit only LIVE rows at v0"
+    )
+
+
+def test_cdf_stream_schema_drift_is_loud(reg, tmp_path):
+    """A rename landing mid-stream invalidates the checkpointed query
+    schema — the next drain must fail loudly, never NULL-fill."""
+    from spype_spark.lake_sink import _LakeCDFStreamReader
+
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=4)
+    old_schema = (
+        reg.read.format("spype_lake")
+        .option("path", p)
+        .option("readChangeFeed", "true")
+        .load()
+        .schema
+    )
+    lake.rename_columns(reg, p, {"g": "grp"})
+    rdr = _LakeCDFStreamReader(old_schema, {"path": p})
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        rdr.partitions({"version": -1}, {"version": 1})
+
+
+def test_cdf_nan_rows_are_not_updates(reg, tmp_path):
+    """A rewrite carrying a NaN double unchanged must not emit a
+    phantom update pair (IEEE NaN != NaN; review r14)."""
+    p = str(tmp_path / "t")
+    df = reg.createDataFrame(
+        [(0, 1.5), (1, float("nan")), (2, 2.5)], "k long, x double"
+    )
+    lake.write_table(df, p)
+    lake.merge_upsert(
+        reg,
+        p,
+        reg.createDataFrame([(0, 9.9)], "k long, x double"),
+        ["k"],
+    )
+    got = sorted(
+        (r["k"], r["_change_type"])
+        for r in _cdf_read(reg, p, keys="k", start=1).collect()
+    )
+    assert got == sorted(
+        [(0, "update_preimage"), (0, "update_postimage")]
+    ), f"NaN row must not appear in the feed, got {got}"
