@@ -931,6 +931,7 @@ class Transaction:
                         constraints=constraints,
                         transforms=transforms,
                         pos_deletes=pos_deletes,
+                        op={"name": "TXN_COMMIT", "dataChange": True},
                     ),
                 )
             except ConcurrentWriteError:
@@ -1082,6 +1083,7 @@ class Transaction:
                         constraints=my_m.get("constraints"),
                         transforms=my_m.get("transforms"),
                         pos_deletes=my_m.get("pos_deletes"),
+                        op={"name": "TXN_REBASE", "dataChange": True},
                     ),
                 )
             except ConcurrentWriteError:

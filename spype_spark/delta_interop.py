@@ -1057,7 +1057,8 @@ def import_delta(
     entries.sort(key=lambda e: e["path"])
     os.makedirs(table_path, exist_ok=True)
     manifest = lake._m_manifest(
-        table_path, 0, None, schema.jsonValue(), None, entries
+        table_path, 0, None, schema.jsonValue(), None, entries,
+        op={"name": "IMPORT_DELTA", "dataChange": True},
     )
     lake._m_publish(table_path, 0, manifest)
     return 0
@@ -1829,9 +1830,12 @@ def delta_update_rows(
             "are mapped-capable; rewrite-with-cdc under mapping is not)"
         )
     # partitioned tables graduated r14: the rewrite restores the
-    # Hive layout and each add's partitionValues; cdc files keep the
-    # partition columns IN-FILE (readers resolve file columns first,
-    # partitionValues as fallback — both our readers and the spec's)
+    # Hive layout and each add's partitionValues; cdc files are staged
+    # partitionBy(*pcols) with each cdc action's partitionValues keyed
+    # from its staged directory — mainstream Delta CDF readers fill
+    # partition columns for cdc files FROM the action's
+    # partitionValues, so leaving them {} surfaced NULL partition
+    # columns in foreign readers' change rows (advice r15)
     pcols = list(meta.get("partitionColumns") or [])
     scan = _scan_adds(spark, path, meta, adds)
     hit = F.coalesce(condition, F.lit(False))
@@ -1867,7 +1871,10 @@ def delta_update_rows(
         "_change_type", F.lit("update_preimage")
     ).unionByName(post.withColumn("_change_type", F.lit("update_postimage")))
     cstage = os.path.join(path, f".cstage-{uuid.uuid4().hex}")
-    cdc_df.write.mode("overwrite").parquet(cstage)
+    cw = cdc_df.write.mode("overwrite")
+    if pcols:
+        cw = cw.partitionBy(*pcols)
+    cw.parquet(cstage)
     cdir = os.path.join(path, "_change_data")
     os.makedirs(cdir, exist_ok=True)
     cdc_actions = []
@@ -1877,7 +1884,7 @@ def delta_update_rows(
         cdc_actions.append(
             {
                 "path": dst_rel,
-                "partitionValues": {},
+                "partitionValues": _pvals_from_rel(rel, pcols),
                 "size": os.path.getsize(os.path.join(path, dst_rel)),
                 "dataChange": False,
             }
@@ -2020,22 +2027,42 @@ def delta_changes(
 
     for v, adds_v, rms_v, cdc_v in parsed:
         if cdc_v:
-            cfiles = [
-                os.path.join(path, urllib.parse.unquote(c["path"]))
-                for c in cdc_v
-            ]
             cdc_schema = StructType.fromJson(
                 json.loads(meta["schemaString"])
             ).add("_change_type", "string")
-            frames.append(
-                spark.read.schema(cdc_schema)
-                .parquet(*cfiles)
-                .select(
-                    *cols,
-                    "_change_type",
-                    F.lit(v).cast("long").alias("_commit_version"),
+            # partition columns live in the cdc action's
+            # partitionValues (mainstream Delta CDF layout); legacy
+            # fixtures carried them in-file — file columns first,
+            # partitionValues as fallback (advice r15)
+            pcols_c = list(meta.get("partitionColumns") or [])
+            cgroups: dict[tuple, list[str]] = {}
+            for c in cdc_v:
+                pv = c.get("partitionValues") or {}
+                key = tuple(pv.get(pc) for pc in pcols_c)
+                cgroups.setdefault(key, []).append(
+                    os.path.join(path, urllib.parse.unquote(c["path"]))
                 )
-            )
+            for pvt, cfiles in sorted(
+                cgroups.items(), key=lambda kv: str(kv[0])
+            ):
+                cf = spark.read.schema(cdc_schema).parquet(*cfiles)
+                for pc, val in zip(pcols_c, pvt):
+                    typ = cdc_schema[pc].dataType
+                    cf = cf.withColumn(
+                        pc,
+                        F.coalesce(
+                            F.col(pc), F.lit(val).cast(typ)
+                        )
+                        if val is not None
+                        else F.col(pc),
+                    )
+                frames.append(
+                    cf.select(
+                        *cols,
+                        "_change_type",
+                        F.lit(v).cast("long").alias("_commit_version"),
+                    )
+                )
         else:
             da = [a for a in adds_v if a.get("dataChange", True)]
             dr = [r for r in rms_v if r.get("dataChange", True)]

@@ -648,7 +648,8 @@ def import_iceberg(
         )
     os.makedirs(table_path, exist_ok=True)
     manifest = lake._m_manifest(
-        table_path, 0, None, schema.jsonValue(), None, entries
+        table_path, 0, None, schema.jsonValue(), None, entries,
+        op={"name": "IMPORT_ICEBERG", "dataChange": True},
     )
     lake._m_publish(table_path, 0, manifest)
     return 0

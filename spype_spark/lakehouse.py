@@ -653,7 +653,8 @@ def write_table(
             json.dump(meta, f)
     if protocol == "manifest":
         return _m_commit(
-            df, path, 0, pcols, [], base=None, transforms=transforms or None
+            df, path, 0, pcols, [], base=None, transforms=transforms or None,
+            op={"name": "WRITE", "dataChange": True},
         )
     return _commit_snapshot(df, path, 0, partition_by=pcols)
 
@@ -1215,16 +1216,20 @@ def _m_commit(
     constraints: dict | None = None,
     transforms: list[dict] | None = None,
     pos_deletes: list[dict] | None = None,
+    op: dict | None = None,
 ) -> int:
     """Commit one manifest version: write ``df``'s rows as new files
     (``df=None`` → carry-only commit), assemble carried + new entries,
     publish put-if-absent. New entries are stamped with ``seq`` = this
     version (the ordering equality-deletes apply by); carried entries
     keep theirs. ``deletes`` is the FULL cumulative equality-delete
-    list to record (omit/empty → none). On a lost race or a vacuumed
-    base the new data dir is removed and
-    :class:`ConcurrentWriteError` raised — the table is untouched
-    either way."""
+    list to record (omit/empty → none). ``op`` stamps the commit's
+    operation name + dataChange flag into the manifest (see
+    :func:`manifest_log.m_manifest`) — ``dataChange=False`` commits
+    (compaction, z-order) are skipped by the change feed at PLAN
+    time. On a lost race or a vacuumed base the new data dir is
+    removed and :class:`ConcurrentWriteError` raised — the table is
+    untouched either way."""
     base_schema = None
     if base is not None:
         # the base manifest carries the column mapping new files must
@@ -1279,6 +1284,7 @@ def _m_commit(
         constraints=constraints,
         transforms=transforms,
         pos_deletes=pos_deletes,
+        op=op,
     )
     # Stale-base guard: if retention collected our base manifest while
     # we were writing, the carried entries may reference files the GC
@@ -1819,7 +1825,8 @@ def _m_merge_upsert(
         spark, path, base, updates, keys, evolve_schema, match_condition
     )
     return _m_commit(
-        merged, path, base + 1, pcols, carry, base=base, deletes=dels
+        merged, path, base + 1, pcols, carry, base=base, deletes=dels,
+        op={"name": "MERGE", "dataChange": True},
     )
 
 
@@ -1942,7 +1949,8 @@ def _m_delete_where(spark: SparkSession, path: str, cond) -> int:
     base = latest_version(path)
     rew, carry, pcols, dels = _m_delete_plan(spark, path, base, cond)
     return _m_commit(
-        rew, path, base + 1, pcols, carry, base=base, deletes=dels
+        rew, path, base + 1, pcols, carry, base=base, deletes=dels,
+        op={"name": "DELETE", "dataChange": True},
     )
 
 
@@ -1978,7 +1986,8 @@ def _m_delete_range(
     base = latest_version(path)
     rew, carry, pcols, dels = _m_range_plan(spark, path, base, col, lo, hi)
     return _m_commit(
-        rew, path, base + 1, pcols, carry, base=base, deletes=dels
+        rew, path, base + 1, pcols, carry, base=base, deletes=dels,
+        op={"name": "DELETE", "dataChange": True},
     )
 
 
@@ -2483,6 +2492,7 @@ def widen_types(spark: SparkSession, path: str, types: dict) -> int:
         base=base,
         schema_json=schema_json,
         deletes=m.get("deletes", []),
+        op={"name": "WIDEN_TYPES", "dataChange": False},
     )
 
 
@@ -2529,6 +2539,7 @@ def set_partition_spec(spark: SparkSession, path: str, partition_by) -> int:
         schema_json=schema_json,
         deletes=m.get("deletes", []),
         transforms=new_tf or [],
+        op={"name": "SET_PARTITION_SPEC", "dataChange": False},
     )
 
 
@@ -2670,6 +2681,7 @@ def rename_columns(spark: SparkSession, path: str, renames: dict) -> int:
         retired=retired,
         constraints=cons if cons is not None else {},
         transforms=new_tf,
+        op={"name": "RENAME_COLUMNS", "dataChange": False},
     )
 
 
@@ -2770,6 +2782,7 @@ def drop_columns(spark: SparkSession, path: str, cols) -> int:
         schema_json=schema_json,
         retired=retired,
         constraints=cons if cons is not None else {},
+        op={"name": "DROP_COLUMNS", "dataChange": False},
     )
 
 
@@ -2896,6 +2909,7 @@ def add_constraint(
         schema_json=m["schema"],
         deletes=m.get("deletes", []),
         constraints=cons,
+        op={"name": "ADD_CONSTRAINT", "dataChange": False},
     )
 
 
@@ -2918,6 +2932,7 @@ def drop_constraint(spark: SparkSession, path: str, name: str) -> int:
         schema_json=m["schema"],
         deletes=m.get("deletes", []),
         constraints=cons,
+        op={"name": "DROP_CONSTRAINT", "dataChange": False},
     )
 
 
@@ -3233,7 +3248,8 @@ def merge(
             spark, path, base, source, keys, clauses=clauses
         )
         return _m_commit(
-            merged, path, base + 1, pcols, carry, base=base, deletes=dels
+            merged, path, base + 1, pcols, carry, base=base, deletes=dels,
+            op={"name": "MERGE", "dataChange": True},
         )
     tgt = read_table(spark, path, version=base)
     merged = _merged_frame_full(tgt, source, keys, **clauses)
@@ -3439,6 +3455,7 @@ def append_table(spark: SparkSession, path: str, df: DataFrame) -> int:
             _m_entries(path, m),
             base=base,
             deletes=m.get("deletes", []),
+            op={"name": "APPEND", "dataChange": True},
         )
     tgt = read_table(spark, path, version=base)
     pcols = table_meta(path).get("partition_by")
@@ -3482,6 +3499,7 @@ def delete_predicate(spark: SparkSession, path: str, pred) -> int:
     return _m_commit(
         rew, path, base + 1, pcols, carry, base=base,
         deletes=m.get("deletes", []),
+        op={"name": "DELETE", "dataChange": True},
     )
 
 
@@ -3525,7 +3543,8 @@ def update_where(
             spark, path, base, cond, assignments
         )
         return _m_commit(
-            rew, path, base + 1, pcols, carry, base=base, deletes=dels
+            rew, path, base + 1, pcols, carry, base=base, deletes=dels,
+            op={"name": "UPDATE", "dataChange": True},
         )
     base = latest_version(path)
     tgt = read_table(spark, path, version=base)
@@ -3647,6 +3666,7 @@ def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame) -> int:
         base=base,
         schema_json=m["schema"],
         deletes=deletes,
+        op={"name": "DELETE", "dataChange": True},
     )
 
 
@@ -3690,6 +3710,7 @@ def delete_where_dv(spark: SparkSession, path: str, cond) -> int:
             schema_json=m.get("schema"),
             deletes=m.get("deletes", []),
             pos_deletes=pos_deletes,
+            op={"name": "DELETE", "dataChange": True},
         )
     except ConcurrentWriteError:
         shutil.rmtree(ddir, ignore_errors=True)
@@ -3883,6 +3904,10 @@ def compact(
         return _m_commit(
             out, path, base + 1, m.get("partition_by"), [], base=base,
             pos_deletes=[],
+            op={
+                "name": "ZORDER" if zorder_code is not None else "COMPACT",
+                "dataChange": False,
+            },
         )
     return _write_next(
         out, path, base=base, partition_by=table_meta(path).get("partition_by")
@@ -3976,6 +4001,7 @@ def _compact_small(
         carry,
         base=base,
         deletes=m.get("deletes", []),
+        op={"name": "OPTIMIZE", "dataChange": False},
     )
 
 
@@ -4049,6 +4075,7 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
         constraints=m.get("constraints") or {},
         transforms=m.get("transforms") or [],
         pos_deletes=m.get("pos_deletes") or [],
+        op={"name": "RESTORE", "dataChange": True},
     )
 
 
@@ -4434,6 +4461,7 @@ def create_branch(
         constraints=m.get("constraints"),
         transforms=m.get("transforms"),
         pos_deletes=_m_repath_pos(m, path, broot) or None,
+        op={"name": "CREATE_BRANCH", "dataChange": True},
     )
     manifest["fork"] = fork
     _m_publish(broot, 0, manifest)
@@ -4515,6 +4543,7 @@ def publish_branch(path: str, name: str) -> int:
                 constraints=bm.get("constraints"),
                 transforms=bm.get("transforms"),
                 pos_deletes=_m_repath_pos(bm, broot, path) or None,
+                op={"name": "PUBLISH_BRANCH", "dataChange": True},
             )
             try:
                 _m_publish(path, fork + 1, manifest)
@@ -4621,6 +4650,7 @@ def _publish_rebase(
         retired=bm.get("retired"),
         constraints=bm.get("constraints"),
         transforms=bm.get("transforms"),
+        op={"name": "PUBLISH_BRANCH", "dataChange": True},
     )
     try:
         _m_publish(path, head + 1, manifest)
@@ -4704,6 +4734,7 @@ def clone_table(path: str, dst: str) -> int:
         constraints=m.get("constraints"),
         transforms=m.get("transforms"),
         pos_deletes=_m_repath_pos(m, src, dst) or None,
+        op={"name": "CLONE", "dataChange": True},
     )
     manifest["cloned_from"] = {"path": src, "version": head}
     os.makedirs(dst, exist_ok=True)

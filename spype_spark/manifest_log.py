@@ -405,6 +405,7 @@ def m_manifest(
     constraints: dict | None = None,
     transforms: list[dict] | None = None,
     pos_deletes: list[dict] | None = None,
+    op: dict | None = None,
 ) -> dict:
     """Assemble a manifest payload: entries inline while the table is
     small (≤ ``_PART_INLINE_MAX`` files — keeps tiny tables one
@@ -413,13 +414,25 @@ def m_manifest(
     here needs no atomicity (the standard invisibility argument).
     ``deletes`` (cumulative equality-delete files, see
     :func:`delete_keys`) ride inline — they are few by construction
-    (compaction clears them)."""
+    (compaction clears them). ``op`` is the commit's operation stamp
+    ``{"name": <verb>, "dataChange": bool}`` (Delta's commitInfo
+    operation + the add-action dataChange flag collapsed to one
+    commit-level field): ``dataChange=False`` marks a pure LAYOUT
+    rewrite (compaction, z-order) whose live row set is provably
+    unchanged — change-feed planners skip such commits at PLAN time
+    without reading a data file. Absent = assume data changed
+    (pre-r15 manifests)."""
     man = {
         "version": version,
         "base": base,
         "schema": schema_json,
         "partition_by": pcols,
     }
+    if op:
+        man["op"] = {
+            "name": str(op.get("name", "UNKNOWN")),
+            "dataChange": bool(op.get("dataChange", True)),
+        }
     if deletes:
         man["deletes"] = deletes
     if retired:

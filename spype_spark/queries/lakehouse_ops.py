@@ -4084,6 +4084,110 @@ def q_stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_lake_upsert_native",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b1 AS (
+      SELECT o_orderkey, o_custkey,
+             o_totalprice + 1000000 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    s1 AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b1)
+      UNION ALL SELECT * FROM b1
+    ),
+    s2 AS (SELECT * FROM s1 WHERE NOT (o_custkey % 10 = 7)),
+    b2 AS (
+      SELECT o_orderkey, o_custkey,
+             o_totalprice + 2000000 AS o_totalprice,
+             'V' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT * FROM s2
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+    UNION ALL SELECT * FROM b2
+    """,
+)
+def q_stream_lake_upsert_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE streaming UPSERT — ``writeStream.format("spype_lake")
+    .option("mergeKeys", "o_orderkey")`` (VERDICT-r14 item 3): each
+    microbatch's distinct keys become one equality-delete record
+    published UNDER THE SAME manifest commit as the batch's files
+    (:func:`lake_sink._commit_append`), so a CDC-shaped stream
+    upserts with NO ``foreachBatch`` glue and NO table rewrite —
+    O(batch) merge-on-read cost per commit, ``txns[appId]``
+    exactly-once, the Delta-parity sink surface. The contract drains
+    an upsert batch over a seeded table (even keys, price +1M,
+    status 'U' — replacing the seed's even rows and inserting the
+    rest), interleaves an engine DELETE (custkey % 10 = 7) to prove
+    rebase composes, drains a second upsert (%5 keys, +2M, 'V' —
+    last-writer-wins over batch 1 and resurrecting deleted keys),
+    and checks a caught-up drain publishes nothing. The oracle
+    replays the same upsert/delete/upsert algebra relationally."""
+    from spype_spark.lake_sink import register_lake_sink
+
+    register_lake_sink(spark)
+    tmp = _scratch("spype_stream_lupsert_")
+    try:
+        path = f"{tmp}/orders_tbl"
+        src = f"{tmp}/src"
+        ckpt = f"{tmp}/ckpt"
+        o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
+        lake.write_table(o.filter(F.col("o_orderkey") % 3 == 0), path)
+        o.filter(F.col("o_orderkey") % 2 == 0).withColumns(
+            {
+                "o_totalprice": F.col("o_totalprice") + 1000000,
+                "o_orderstatus": F.lit("U"),
+            }
+        ).write.parquet(src)
+        schema_ddl = (
+            "o_orderkey bigint, o_custkey bigint, "
+            "o_totalprice double, o_orderstatus string"
+        )
+
+        def drain() -> None:
+            q = (
+                spark.readStream.schema(schema_ddl)
+                .parquet(src)
+                .writeStream.format("spype_lake")
+                .option("path", path)
+                .option("mergeKeys", "o_orderkey")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        lake.delete_where(spark, path, F.col("o_custkey") % 10 == 7)
+        o.filter(F.col("o_orderkey") % 5 == 0).withColumns(
+            {
+                "o_totalprice": F.col("o_totalprice") + 2000000,
+                "o_orderstatus": F.lit("V"),
+            }
+        ).write.mode("append").parquet(src)
+        drain()
+        v = lake.latest_version(path)
+        drain()  # caught up — no new commit may land
+        if lake.latest_version(path) != v:
+            raise AssertionError("caught-up drain must publish nothing")
+        return (
+            lake.read_table(spark, path)
+            .select(*_BASE_COLS)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "q_stream_lake_source",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

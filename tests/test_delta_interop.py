@@ -1259,13 +1259,28 @@ def test_delta_update_rows_partitioned(spark, tmp_path):
         (k, k * 3 + (1000 if k % 4 == 0 else 0), k % 3) for k in range(30)
     )
     ch = sorted(
-        (r["k"], r["_change_type"])
+        (r["k"], r["g"], r["_change_type"])
         for r in dl.delta_changes(spark, p, starting_version=1).collect()
     )
     assert ch == sorted(
-        [(k, "update_preimage") for k in range(30) if k % 4 == 0]
-        + [(k, "update_postimage") for k in range(30) if k % 4 == 0]
-    )
+        [(k, k % 3, "update_preimage") for k in range(30) if k % 4 == 0]
+        + [(k, k % 3, "update_postimage") for k in range(30) if k % 4 == 0]
+    ), "change rows must carry real partition values, never NULL"
     assert (
         dl.read_delta(spark, p, partition_filter={"g": "1"}).count() == 10
     )
+    # raw-action check: mainstream Delta CDF readers fill partition
+    # columns for cdc files FROM the action's partitionValues — the
+    # writer must key them, not leave {} (advice r15)
+    with open(
+        os.path.join(p, "_delta_log", "00000000000000000001.json")
+    ) as fh:
+        cdc_acts = [
+            json.loads(ln)["cdc"] for ln in fh if '"cdc"' in ln
+        ]
+    assert cdc_acts, "UPDATE commit must carry cdc actions"
+    assert all(
+        set(c["partitionValues"]) == {"g"}
+        and c["partitionValues"]["g"] in {"0", "1", "2"}
+        for c in cdc_acts
+    ), f"cdc partitionValues must be keyed: {cdc_acts}"

@@ -82,6 +82,97 @@ def test_stream_append_and_exactly_once_drains(reg, tmp_path):
     assert lake.read_table(reg, p).count() == 33
 
 
+def test_stream_upsert_mergekeys(reg, tmp_path):
+    """.option('mergeKeys', 'k'): each microbatch commits delete-keys
+    + append under ONE manifest version — existing keys are replaced,
+    new keys insert, untouched rows survive; a replayed drain is a
+    no-op (exactly-once on txns[appId])."""
+    p = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    _mk(reg, p, n=6)  # k 0..5, g = k % 3
+    reg.createDataFrame(
+        [(1, 100), (4, 400), (9, 900)], "k long, g long"
+    ).write.parquet(src)
+
+    def drain():
+        q = (
+            reg.readStream.schema("k bigint, g bigint")
+            .parquet(src)
+            .writeStream.format("spype_lake")
+            .option("path", p)
+            .option("mergeKeys", "k")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    exp = sorted(
+        [(k, k % 3) for k in (0, 2, 3, 5)] + [(1, 100), (4, 400), (9, 900)]
+    )
+    assert sorted(
+        tuple(r) for r in lake.read_table(reg, p).collect()
+    ) == exp
+    v1 = lake.latest_version(p)
+    assert mlog.m_load(p, v1)["op"]["name"] == "STREAMING_UPSERT"
+    drain()  # no new source files — no new commit
+    assert lake.latest_version(p) == v1
+    # a second batch re-upserting an upserted key wins again
+    reg.createDataFrame(
+        [(9, 999), (0, 7)], "k long, g long"
+    ).write.mode("append").parquet(src)
+    drain()
+    exp2 = sorted(
+        [(2, 2), (3, 0), (5, 2), (1, 100), (4, 400), (9, 999), (0, 7)]
+    )
+    assert sorted(
+        tuple(r) for r in lake.read_table(reg, p).collect()
+    ) == exp2
+    # and the engine's own verbs compose on top (compact materializes)
+    lake.compact(reg, p)
+    assert sorted(
+        tuple(r) for r in lake.read_table(reg, p).collect()
+    ) == exp2
+
+
+def test_batch_upsert_mergekeys_and_duplicate_batch_is_loud(reg, tmp_path):
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=4)
+    up = reg.createDataFrame([(1, 77), (9, 9)], "k long, g long")
+    (
+        up.write.format("spype_lake")
+        .mode("append")
+        .option("path", p)
+        .option("mergeKeys", "k")
+        .save()
+    )
+    assert sorted(
+        tuple(r) for r in lake.read_table(reg, p).collect()
+    ) == sorted([(0, 0), (1, 77), (2, 2), (3, 0), (9, 9)])
+    dup = reg.createDataFrame(
+        [(5, 1), (5, 2)], "k long, g long"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="duplicate"):
+        (
+            dup.write.format("spype_lake")
+            .mode("append")
+            .option("path", p)
+            .option("mergeKeys", "k")
+            .save()
+        )
+    # bad key column is rejected before any write
+    with pytest.raises(Exception, match="mergeKeys"):
+        (
+            up.write.format("spype_lake")
+            .mode("append")
+            .option("path", p)
+            .option("mergeKeys", "nope")
+            .save()
+        )
+
+
 def test_replayed_batch_commit_is_idempotent(reg, tmp_path):
     """A commit() replay for an already-committed batchId must drop
     the replay's files and publish nothing — the Delta txn design."""
@@ -789,3 +880,158 @@ def test_cdf_nan_rows_are_not_updates(reg, tmp_path):
     assert got == sorted(
         [(0, "update_preimage"), (0, "update_postimage")]
     ), f"NaN row must not appear in the feed, got {got}"
+
+
+def test_cdf_eq_delete_before_rename_resolves_keys(reg, tmp_path):
+    """A historical window crossing an eq-delete recorded BEFORE a
+    later rename (legal: compaction clears pending deletes first)
+    must resolve the record's delete-time key names through the
+    frozen physical names to the head schema (advice r15)."""
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=6)  # v0: columns k, g
+    lake.delete_keys(
+        reg, p, reg.createDataFrame([(1,), (4,)], "k long")
+    )  # v1: eq-delete keyed on the OLD name "k"
+    lake.compact(reg, p)  # v2: clears the pending delete
+    lake.rename_columns(reg, p, {"k": "kk"})  # v3: metadata-only
+    got = sorted(
+        (r["kk"], r["_change_type"], r["_commit_version"])
+        for r in _cdf_read(reg, p, keys="kk").collect()
+    )
+    exp = sorted(
+        [(k, "insert", 0) for k in range(6)]
+        + [(1, "delete", 1), (4, "delete", 1)]
+    )
+    assert got == exp, f"historical eq-delete under rename: {got}"
+
+
+def test_cdf_compaction_skipped_at_plan_time(reg, tmp_path):
+    """A dataChange=false commit (COMPACT/ZORDER/OPTIMIZE stamp) plans
+    to ZERO partitions — no keys demanded, no data file opened — where
+    pre-r15 it paid a full key-diff read to emit zero rows."""
+    from spype_spark.lake_sink import _plan_cdf_step
+
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=6)
+    lake.delete_keys(reg, p, reg.createDataFrame([(2,)], "k long"))
+    v = lake.compact(reg, p)
+    assert mlog.m_load(p, v)["op"] == {
+        "name": "COMPACT",
+        "dataChange": False,
+    }
+    # planner-side: no partitions, EVEN WITHOUT keys (the pre-r15
+    # path raised here), and no data file read is reachable
+    assert _plan_cdf_step(p, v, None, {}) == []
+    # end-to-end: the feed over the whole history stays correct
+    got = _feed(reg, p, keys="k")
+    assert got == sorted(
+        [(k, k % 3, "insert", 0) for k in range(6)]
+        + [(2, 2, "delete", 1)]
+    )
+
+
+def test_cdf_rewrite_diff_buckets_match_single_task(reg, tmp_path):
+    """Forcing diffBucketBytes=1 splits a MERGE rewrite's key-diff
+    into multiple hash-bucket partitions whose union equals the
+    single-task change set exactly."""
+    from spype_spark.lake_sink import _cdf_head_rename, _plan_cdf_step
+
+    p = str(tmp_path / "t")
+    df = reg.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    lake.write_table(df, p)
+    upd = reg.createDataFrame(
+        [(k, 1000 + k) for k in range(0, 200, 3)]
+        + [(900 + i, i) for i in range(5)],
+        "k long, g long",
+    )
+    lake.merge_upsert(reg, p, upd, ["k"])  # v1 rewrite
+    rename = _cdf_head_rename(p)
+    parts = _plan_cdf_step(p, 1, ["k"], rename, bucket_bytes=1)
+    assert len(parts) > 1, "tiny bucket target must split the diff"
+    assert {pt.kind for pt in parts} == {"diff"}
+    assert {(pt.bucket, pt.nbuckets) for pt in parts} == {
+        (b, len(parts)) for b in range(len(parts))
+    }
+
+    def rows(bucket_bytes):
+        return sorted(
+            tuple(r)
+            for r in (
+                reg.read.format("spype_lake")
+                .option("path", p)
+                .option("readChangeFeed", "true")
+                .option("keys", "k")
+                .option("startingVersion", 1)
+                .option("diffBucketBytes", bucket_bytes)
+                .load()
+                .select("k", "g", "_change_type", "_commit_version")
+                .collect()
+            )
+        )
+
+    single = rows(1 << 40)
+    bucketed = rows(1)
+    assert single == bucketed
+    exp = sorted(
+        [(k, k % 7, "update_preimage", 1) for k in range(0, 200, 3)]
+        + [(k, 1000 + k, "update_postimage", 1) for k in range(0, 200, 3)]
+        + [(900 + i, i, "insert", 1) for i in range(5)]
+    )
+    assert single == exp
+
+
+def test_cdf_pure_remove_commit_needs_no_keys(reg, tmp_path):
+    """A commit that only DROPS whole files (nothing added, no kept
+    file touched) is fully derivable without keys — the old side's
+    live rows are the deletes (advice r15)."""
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=6, pcols=["g"])  # one file per g partition
+    lake.delete_where(reg, p, F.col("g") == 1)  # drops partition g=1
+    got = _feed(reg, p, keys=None)
+    exp = sorted(
+        [(k, k % 3, "insert", 0) for k in range(6)]
+        + [(1, 1, "delete", 1), (4, 1, "delete", 1)]
+    )
+    assert got == exp, f"pure-remove without keys: {got}"
+
+
+def test_cdf_null_float_transitions_and_both_null(reg, tmp_path):
+    """NULL float cells must not poison the diff: is_nan(NULL) is
+    null and Arrow's non-Kleene and_/or_ propagate it, which silently
+    dropped NULL->value updates and suppressed rows whose OTHER column
+    changed alongside a both-NULL float (advice r15)."""
+    p = str(tmp_path / "t")
+    df = reg.createDataFrame(
+        [
+            (0, None, 1),  # NULL -> 3.0: must emit an update pair
+            (1, None, 1),  # x stays NULL, g changes: must still emit
+            (2, 2.5, 1),  # untouched: silent
+            (3, None, 1),  # carried unchanged (both NULL): silent
+        ],
+        "k long, x double, g long",
+    )
+    lake.write_table(df, p)
+    upd = reg.createDataFrame(
+        [(0, 3.0, 1), (1, None, 9), (3, None, 1)],
+        "k long, x double, g long",
+    )
+    lake.merge_upsert(reg, p, upd, ["k"])
+    key = lambda t: (t[0], t[3], t[2])
+    got = sorted(
+        (
+            (r["k"], r["x"], r["g"], r["_change_type"])
+            for r in _cdf_read(reg, p, keys="k", start=1).collect()
+        ),
+        key=key,
+    )
+    assert got == sorted(
+        [
+            (0, None, 1, "update_preimage"),
+            (0, 3.0, 1, "update_postimage"),
+            (1, None, 1, "update_preimage"),
+            (1, None, 9, "update_postimage"),
+        ],
+        key=key,
+    ), f"NULL-float diff wrong: {got}"
