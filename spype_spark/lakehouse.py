@@ -1464,6 +1464,56 @@ def _m_stats_split(
     return carry, rewrite
 
 
+def _m_stats_split_keys(
+    entries: list[dict], ranges: dict
+) -> tuple[list[dict], list[dict]] | None:
+    """COMPOUND-KEY file pruning from manifest stats (r15): a merge
+    match equates ALL key columns, so a file provably holds no
+    matched row when ANY key's recorded [min, max] misses the update
+    set's range for that key — the conjunction of per-key range
+    refutations. ``ranges`` maps key → (lo, hi) of the update set;
+    keys with NULL bounds or non-comparable stats (string footer
+    truncation) simply cannot refute, they never force a rewrite on
+    their own. None when no key has usable bounds."""
+    usable = {
+        k: (lo, hi)
+        for k, (lo, hi) in ranges.items()
+        if lo is not None and hi is not None
+    }
+    if not usable:
+        return None
+    carry: list[dict] = []
+    rewrite: list[dict] = []
+    for e in entries:
+        stats = e.get("stats") or {}
+        refuted = False
+        for k, (lo, hi) in usable.items():
+            st = stats.get(k)
+            try:
+                if st is not None and (st[1] < lo or st[0] > hi):
+                    refuted = True
+                    break
+            except TypeError:
+                continue  # incomparable stats on this key: no verdict
+        (carry if refuted else rewrite).append(e)
+    return carry, rewrite
+
+
+def _m_update_key_ranges(updates: DataFrame, keys: list[str]) -> dict:
+    """One aggregation: the update set's [min, max] per merge key —
+    the metadata-sized driver row compound-key pruning refutes files
+    against."""
+    aggs = []
+    for i, k in enumerate(keys):
+        aggs.append(F.min(F.col(k)).alias(f"__lo_{i}"))
+        aggs.append(F.max(F.col(k)).alias(f"__hi_{i}"))
+    row = updates.agg(*aggs).first()
+    return {
+        k: (row[f"__lo_{i}"], row[f"__hi_{i}"])
+        for i, k in enumerate(keys)
+    }
+
+
 # --- predicate algebra over manifest stats ---------------------------------
 #
 # A tiny explicit predicate spec — nested tuples — that BOTH sides can
@@ -1894,44 +1944,43 @@ def _m_merge_plan(
         if plan is not None:
             carry, touched_entries = plan
             rewrite_entries = touched_entries
-            if len(keys) == 1:
-                row = updates.agg(
-                    F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-                ).first()
-                split = _m_stats_split(
-                    touched_entries, keys[0], row["lo"], row["hi"]
-                )
-                if split is not None:
-                    links, rewrite_entries = split
-                    carry = carry + links
+            # file-level refinement INSIDE touched partitions:
+            # compound keys prune on the conjunction of per-key
+            # ranges (ANY key's range refuting a file refutes the
+            # match — r15, was single-key only)
+            split = _m_stats_split_keys(
+                touched_entries, _m_update_key_ranges(updates, keys)
+            )
+            if split is not None:
+                links, rewrite_entries = split
+                carry = carry + links
             tgt = _m_apply_deletes(spark, path, rewrite_entries, m)
     elif (
         not pcols
         and not evolve_schema
-        and len(keys) == 1
         and (
             clauses is None
             or clauses["when_not_matched_by_source"] is None
         )
     ):
-        # UNPARTITIONED stats pruning (round 14): files whose recorded
-        # [min, max] on the single merge key cannot intersect the
-        # update set's key range provably hold no matched row — carry
-        # them by entry reference instead of rewriting the whole
-        # table. On a range-clustered (or z-ordered) layout a
-        # key-local MERGE rewrites only the covering files, the same
-        # O(touched) cost class the partitioned path gets from its
-        # partition tuples; hash-distributed layouts degrade
-        # gracefully to the full rewrite (every file's range
-        # intersects). evolve_schema forces the full rewrite (carried
+        # UNPARTITIONED stats pruning (round 14; compound keys r15):
+        # files whose recorded [min, max] on ANY merge key cannot
+        # intersect the update set's range for that key provably hold
+        # no matched row (a match equates ALL keys) — carry them by
+        # entry reference instead of rewriting the whole table. On a
+        # range-clustered (or z-ordered) layout a key-local MERGE
+        # rewrites only the covering files, the same O(touched) cost
+        # class the partitioned path gets from its partition tuples;
+        # hash-distributed layouts degrade gracefully to the full
+        # rewrite (every file's range intersects). Conditional
+        # WHEN MATCHED merges prune identically — the condition only
+        # narrows which matched rows update, never widens the matched
+        # file set. evolve_schema forces the full rewrite (carried
         # files would lack the new columns) and a NOT MATCHED BY
         # SOURCE clause must see every target row — both keep the old
         # path.
-        row = updates.agg(
-            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-        ).first()
-        split = _m_stats_split(
-            _m_entries(path, m), keys[0], row["lo"], row["hi"]
+        split = _m_stats_split_keys(
+            _m_entries(path, m), _m_update_key_ranges(updates, keys)
         )
         if split is not None and split[0]:
             carry, rewrite_entries = split

@@ -4560,7 +4560,12 @@ def q_stream_lake_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     NATIVE source — v0 create + v1 DV delete, drain; v2 append + v3
     MERGE update, resumed drain; caught-up drain publishes NO native
     version — and shares its relational oracle, so the native
-    replication path must add or lose nothing vs the foreign twin."""
+    replication path must add or lose nothing vs the foreign twin.
+    The SECOND and THIRD syncs drive the round-15 SQL facade form —
+    ``REPLICATE LAKE '<src>' INTO '<dst>' KEYS (…) CHECKPOINT '<ck>'``
+    (sqltext) — proving the one-line statement resumes the SAME
+    checkpointed stream the API started (facade symmetry with
+    REPLICATE DELTA|ICEBERG, VERDICT-r14 item 4)."""
     from spype_spark.replicate import replicate_lake_to_lake
 
     tmp = _scratch("spype_repl_lake_")
@@ -4571,12 +4576,23 @@ def q_stream_lake_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         o = load_table(spark, sf_dir, "orders").select(*_BASE_COLS)
         ev = o.filter(F.col("o_orderkey") % 2 == 0)
         od = o.filter(F.col("o_orderkey") % 2 == 1)
+        first = [True]
 
         def mirror() -> None:
-            q = replicate_lake_to_lake(
-                spark, src, dst, ck, keys=["o_orderkey"]
+            if first[0]:
+                first[0] = False
+                q = replicate_lake_to_lake(
+                    spark, src, dst, ck, keys=["o_orderkey"]
+                )
+                q.awaitTermination()
+                return
+            import spype_spark
+
+            spype_spark.sql(
+                spark,
+                f"REPLICATE LAKE '{src}' INTO '{dst}' "
+                f"KEYS (o_orderkey) CHECKPOINT '{ck}'",
             )
-            q.awaitTermination()
 
         lake.write_table(ev, src)
         lake.delete_where_dv(spark, src, F.col("o_totalprice") > 150000)

@@ -333,11 +333,13 @@ _ALTER_FOREIGN_RENAME_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 # REPLICATE <fmt> '<src>' INTO '<dst>' KEYS (k[, …]) [CHECKPOINT '<dir>']
-# — one statement = one incremental sync of the foreign table's change
+# — one statement = one incremental sync of the source table's change
 # feed into a native table; repeated invocations resume from the
-# (default: beside-the-table) streaming checkpoint.
+# (default: beside-the-table) streaming checkpoint. LAKE (r15) is the
+# native→native mirror — the facade's format symmetry with the
+# foreign CDC sources.
 _REPLICATE_RE = re.compile(
-    r"^\s*REPLICATE\s+(?P<fmt>DELTA|ICEBERG)\s+'(?P<src>[^']+)'"
+    r"^\s*REPLICATE\s+(?P<fmt>DELTA|ICEBERG|LAKE)\s+'(?P<src>[^']+)'"
     r"\s+INTO\s+'(?P<dst>[^']+)'"
     r"\s+KEYS\s*\((?P<keys>[^)]+)\)"
     r"(?:\s+CHECKPOINT\s+'(?P<ck>[^']+)')?\s*$",
@@ -417,11 +419,11 @@ def _sql_foreign(spark: SparkSession, stmt: str):
             _os.path.dirname(_os.path.abspath(dst)) or ".",
             f"_replication_ckpt_{_os.path.basename(_os.path.abspath(dst))}",
         )
-        fn = (
-            _repl.replicate_delta_to_lake
-            if m.group("fmt").upper() == "DELTA"
-            else _repl.replicate_iceberg_to_lake
-        )
+        fn = {
+            "DELTA": _repl.replicate_delta_to_lake,
+            "ICEBERG": _repl.replicate_iceberg_to_lake,
+            "LAKE": _repl.replicate_lake_to_lake,
+        }[m.group("fmt").upper()]
         q = fn(spark, m.group("src"), dst, ck, keys)
         q.awaitTermination()
         return _lake.latest_version(dst)
@@ -1005,11 +1007,12 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
     Migration: ``IMPORT DELTA '<src>' [VERSION AS OF n] INTO '<dst>'
     [MATERIALIZED]`` → :func:`delta_interop.import_delta` (zero-copy
     by-reference for unpartitioned tables; partitioned or MATERIALIZED
-    imports rewrite once). ``REPLICATE DELTA|ICEBERG '<src>' INTO
+    imports rewrite once). ``REPLICATE DELTA|ICEBERG|LAKE '<src>' INTO
     '<dst>' KEYS (k[, …]) [CHECKPOINT '<dir>']`` → one incremental
-    streaming sync of the foreign change feed into a native table
-    (:mod:`spype_spark.replicate`); repeat the statement to sync again
-    — the checkpoint (default: beside the target) carries the offset.
+    streaming sync of the source change feed into a native table
+    (:mod:`spype_spark.replicate`; ``LAKE`` is the native→native
+    mirror, r15); repeat the statement to sync again — the checkpoint
+    (default: beside the target) carries the offset.
 
     DDL side: ``ALTER TABLE t RENAME COLUMN a TO b[, …]`` / ``DROP
     COLUMN(S) …`` / ``ALTER COLUMN c TYPE t`` (type widening, path

@@ -209,6 +209,100 @@ def test_avro_snappy_codec_round_trip(spark, tmp_path):
     )
 
 
+def test_snappy_real_compressor_roundtrip_and_shrinks():
+    """r15: snappy_compress emits real back-references — every input
+    round-trips through the stdlib decoder, and repetitive payloads
+    shrink well below the literal-only baseline."""
+    import random
+
+    from spype_spark.avro_io import (
+        snappy_compress,
+        snappy_compress_literal,
+        snappy_decompress,
+    )
+
+    rng = random.Random(42)
+    cases = [
+        b"",
+        b"a",
+        b"abc",
+        b"abcd" * 4000,  # pure RLE-ish repetition
+        bytes(range(256)) * 300,  # long-period repetition
+        bytes(rng.randrange(256) for _ in range(70000)),  # incompressible
+        (b"the quick brown fox jumps over the lazy dog. " * 2000),
+        bytes(rng.randrange(4) for _ in range(50000)),  # low entropy
+        b"\x00" * 100000,  # degenerate run
+    ]
+    # seeded structured fuzz: random repeats of random chunks
+    for _ in range(20):
+        chunks = [
+            bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
+            for _ in range(rng.randrange(1, 12))
+        ]
+        cases.append(
+            b"".join(
+                chunks[rng.randrange(len(chunks))] for _ in range(400)
+            )
+        )
+    for data in cases:
+        comp = snappy_compress(data)
+        assert snappy_decompress(comp) == data, (
+            f"roundtrip failed at len={len(data)}"
+        )
+    rep = b"abcd" * 4000
+    assert len(snappy_compress(rep)) < len(rep) // 20, (
+        "repetitive input must compress >20x"
+    )
+    assert len(snappy_compress(rep)) < len(
+        snappy_compress_literal(rep)
+    ), "real compressor must beat the literal baseline"
+    # incompressible input stays near 1.0x (skip heuristic, no blowup)
+    rnd = cases[5]
+    assert len(snappy_compress(rnd)) < len(rnd) * 1.05
+    # cross-check against an independent reference when available
+    try:
+        import snappy as _pysnappy  # pragma: no cover
+    except ImportError:
+        _pysnappy = None
+    if _pysnappy is not None:  # pragma: no cover
+        for data in cases:
+            assert _pysnappy.decompress(snappy_compress(data)) == data
+
+
+def test_avro_snappy_export_shrinks_on_disk(spark, tmp_path):
+    """An exported snappy container with repetitive rows is now
+    measurably smaller than the same rows under codec='null' (the r14
+    literal-only writer produced 1.0x blocks + per-block overhead)."""
+    import glob
+    import os
+
+    from spype_spark.avro_io import write_avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    rows = [
+        {"k": i, "s": "constant-padding-string-" * 8} for i in range(2000)
+    ]
+    d = tmp_path / "sz"
+    d.mkdir()
+    write_avro(str(d / "null.avro"), schema, rows, codec="null")
+    write_avro(str(d / "snap.avro"), schema, rows, codec="snappy")
+    n0 = os.path.getsize(glob.glob(str(d / "null.avro"))[0])
+    n1 = os.path.getsize(glob.glob(str(d / "snap.avro"))[0])
+    assert n1 < n0 // 5, f"snappy file {n1} vs null {n0}: must shrink >5x"
+    # and it reads back identically through the container reader
+    from spype_spark.avro_io import read_avro
+
+    _, back = read_avro(str(d / "snap.avro"))
+    assert back == rows
+
+
 def test_avro_snappy_crc_gate_is_loud(spark, tmp_path):
     import glob
 

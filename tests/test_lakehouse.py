@@ -3764,3 +3764,77 @@ def test_merge_stats_pruning_unpartitioned(spark, tmp_path):
         ["k"],
     )
     assert lake.read_table(spark, path).count() == 4001
+
+
+def test_merge_stats_pruning_compound_keys(spark, tmp_path):
+    """Round 15: COMPOUND-key merges prune on the conjunction of
+    per-key ranges — a file is carried when ANY merge key's [min,max]
+    misses the update set's range for that key (a match equates all
+    keys). Clustered on the leading key, a 2-key merge keyed in a
+    narrow leading range rewrites only the covering files."""
+    path = str(tmp_path / "t2")
+    df = spark.range(4000).select(
+        F.col("id").alias("k1"),
+        (F.col("id") % 13).alias("k2"),
+        (F.col("id") * 10).alias("v"),
+    )
+    lake.write_table(df.repartitionByRange(8, "k1"), path)
+    n0 = len(lake._m_entries(path, lake._m_load(path, 0)))
+    assert n0 >= 8
+    upd = spark.range(100).select(
+        F.col("id").alias("k1"),
+        (F.col("id") % 13).alias("k2"),
+        F.lit(-1).alias("v"),
+    )
+    lake.merge_upsert(spark, path, upd, ["k1", "k2"])
+    carried = [
+        e
+        for e in lake._m_entries(path, lake._m_load(path, 1))
+        if e.get("seq", 0) == 0
+    ]
+    assert len(carried) >= n0 - 2, (
+        f"2-key merge must carry non-covering files: {len(carried)}/{n0}"
+    )
+    got = sorted(
+        (r["k1"], r["k2"], r["v"])
+        for r in lake.read_table(spark, path).collect()
+    )
+    assert got == sorted(
+        (k, k % 13, -1 if k < 100 else k * 10) for k in range(4000)
+    )
+
+
+def test_merge_stats_pruning_conditional_matched(spark, tmp_path):
+    """Round 15: a CONDITIONAL WHEN MATCHED merge prunes identically —
+    the condition narrows which matched rows update, never widens the
+    matched file set — and the answer equals the unpruned semantics."""
+    path = str(tmp_path / "tc")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("flag"),
+        (F.col("id") * 10).alias("v"),
+    )
+    lake.write_table(df.repartitionByRange(8, "k"), path)
+    n0 = len(lake._m_entries(path, lake._m_load(path, 0)))
+    upd = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("flag"),
+        F.lit(-1).alias("v"),
+    )
+    lake.merge_upsert(
+        spark, path, upd, ["k"],
+        match_condition=lambda u, t: t["flag"] == 1,
+    )
+    carried = [
+        e
+        for e in lake._m_entries(path, lake._m_load(path, 1))
+        if e.get("seq", 0) == 0
+    ]
+    assert len(carried) >= n0 - 2, (
+        f"conditional merge must still prune: {len(carried)}/{n0}"
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in lake.read_table(spark, path).collect()
+    )
+    assert got == sorted(
+        (k, -1 if (k < 50 and k % 2 == 1) else k * 10)
+        for k in range(2000)
+    )
