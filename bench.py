@@ -291,6 +291,58 @@ def _cdf_read_kernel(spark, sf_dir):
     return spark.read.format("delta_cdf").option("path", path).load()
 
 
+_NCDF_TABLE_CACHE: dict[str, str] = {}
+
+
+def _native_cdf_kernel(spark, sf_dir):
+    """NATIVE change-feed batch window (round-15 row: the r14 reader
+    had no bench twin): the fixture is the orders table as a native
+    manifest chain with one merge-on-read DV delete (mask-class
+    change set) and one MERGE rewrite (key-diff class) — the same two
+    decode classes as q_lake_cdf_read's foreign fixture, so the
+    pair's delta isolates native-manifest planning vs Delta-log
+    planning on the same Python DataSource channel. Timed: full
+    window plan (manifest walk, no-Spark worker) + per-partition
+    Arrow reads (insert files, DV masks, hash-bucketed key-diff) +
+    collect."""
+    import atexit
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spype_spark import lakehouse as lake
+    from spype_spark.lake_sink import register_lake_sink
+    from spype_spark.queries.sources_sinks import _scratch
+    from spype_spark.tables import load_table
+
+    register_lake_sink(spark)
+    path = _NCDF_TABLE_CACHE.get(sf_dir)
+    if path is None:
+        tmp = _scratch("bench_lake_cdf_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        path = f"{tmp}/orders_cdf"
+        orders = load_table(spark, sf_dir, "orders")
+        lake.write_table(orders, path)
+        lake.delete_where_dv(spark, path, F.col("o_orderkey") % 10 == 3)
+        live = lake.read_table(spark, path)
+        lake.merge_upsert(
+            spark,
+            path,
+            live.filter(F.col("o_orderstatus") == "F").withColumn(
+                "o_totalprice", F.col("o_totalprice") + 10.0
+            ),
+            ["o_orderkey"],
+        )
+        _NCDF_TABLE_CACHE[sf_dir] = path
+    return (
+        spark.read.format("spype_lake")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("keys", "o_orderkey")
+        .load()
+    )
+
+
 #: BASELINE.md rows → registry keys (strings) or direct callables of
 #: (spark, sf_dir). q_events_hourly_agg is the tumbling hourly
 #: aggregate (same shape as the baseline's user×type×hour query).
@@ -348,6 +400,11 @@ BENCH_QUERIES = {
     # on the Arrow-batch Python channel; tracks the overhead the
     # streaming CDC contracts ride on:
     "q_lake_cdf_read": _cdf_read_kernel,
+    # round-15 row (totals NOT comparable to BENCH_r14; compare
+    # per-query): the NATIVE change-feed batch window — same two
+    # change-decode classes as q_lake_cdf_read on the native manifest
+    # chain; the pair isolates manifest-vs-Delta-log planning cost:
+    "q_lake_cdf_native": _native_cdf_kernel,
 }
 
 

@@ -41,6 +41,7 @@ non-nullable multi-type unions, enum/fixed, and zstd/bzip2 codecs.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -321,16 +322,43 @@ def _logical_types(schema: dict) -> dict[str, str]:
     return out
 
 
+def _avro_promotes(w, r) -> bool:
+    """Writer→reader primitive promotion per the Avro spec's schema
+    resolution table (int→long→float→double chains, string↔bytes)."""
+    if not (isinstance(w, str) and isinstance(r, str)):
+        return False
+    return (w, r) in {
+        ("int", "long"),
+        ("int", "float"),
+        ("int", "double"),
+        ("long", "float"),
+        ("long", "double"),
+        ("float", "double"),
+        ("string", "bytes"),
+        ("bytes", "string"),
+    }
+
+
 def read_avro_table(spark: SparkSession, directory: str) -> DataFrame:
     """Read a directory of Avro container files as a DataFrame.
 
     The Spark schema comes from ONE file's embedded writer schema
-    (driver-side header read — metadata-class); the data path is a
-    single declarative plan: ``binaryFile`` scan → ``mapInPandas``
-    decode on executors. Files are the unit of parallelism (the same
-    granularity spark-avro uses for container inputs). Mixed-schema
-    directories fail loudly on the first mismatching file rather than
-    silently coercing."""
+    (driver-side header read — metadata-class; the first file in name
+    order is the READER schema, the Avro convention where the caller
+    owns the read-side contract); the data path is a single
+    declarative plan: ``binaryFile`` scan → ``mapInPandas`` decode on
+    executors. Files are the unit of parallelism (the same
+    granularity spark-avro uses for container inputs).
+
+    Mixed-schema directories resolve per the Avro spec (r15 —
+    standard reader-schema resolution, was a loud gate): a writer
+    field absent from the reader is skipped; a reader field absent
+    from the writer fills from its ``default`` (or null when its
+    type is union-with-null); matching fields accept the spec's
+    primitive promotions (int→long→float→double, string↔bytes).
+    A field that can resolve NO way (absent + no default + not
+    nullable, or structurally incompatible types) still fails loudly
+    — never a silent coercion."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -383,8 +411,38 @@ def read_avro_table(spark: SparkSession, directory: str) -> DataFrame:
     canonical = sorted(
         (f["name"], str(f["type"])) for f in schema["fields"]
     )
+    reader_fields = {f["name"]: f for f in schema["fields"]}
+
+    def resolve_plan(sch, source):
+        """Reader-vs-writer field plan for one file: name → ("take",)
+        to read the record's value, or ("const", v) for the reader
+        default. Raises loudly on unresolvable fields."""
+        wf = {f["name"]: f for f in sch["fields"]}
+        plan = {}
+        for n, rf in reader_fields.items():
+            if n in wf:
+                wt, _ = _strip_null(wf[n]["type"], n)
+                rt, _ = _strip_null(rf["type"], n)
+                if str(wt) != str(rt) and not _avro_promotes(wt, rt):
+                    raise ValueError(
+                        f"read_avro_table: {source} field {n!r} writer "
+                        f"type {wt!r} does not resolve to reader type "
+                        f"{rt!r} (Avro promotion table)"
+                    )
+                plan[n] = ("take",)
+            elif "default" in rf:
+                plan[n] = ("const", rf["default"])
+            elif _strip_null(rf["type"], n)[1]:  # union-with-null
+                plan[n] = ("const", None)
+            else:
+                raise ValueError(
+                    f"read_avro_table: {source} lacks field {n!r} and "
+                    f"the reader schema has no default for it"
+                )
+        return plan
 
     def decode(batches):
+        plans: dict[str, dict] = {}
         for pdf in batches:
             for _, row in pdf.iterrows():
                 sch, recs = read_avro_bytes(
@@ -393,14 +451,21 @@ def read_avro_table(spark: SparkSession, directory: str) -> DataFrame:
                 got = sorted(
                     (f["name"], str(f["type"])) for f in sch["fields"]
                 )
-                if got != canonical:
-                    raise ValueError(
-                        f"read_avro_table: {row['path']} writer schema "
-                        f"differs from {first}"
-                    )
+                if got == canonical:
+                    plan = None  # identical schema: plain take-all
+                else:
+                    key = json.dumps(got)
+                    plan = plans.get(key)
+                    if plan is None:
+                        plan = plans[key] = resolve_plan(
+                            sch, row["path"]
+                        )
                 cols = {}
                 for n in names:
-                    vals = [r.get(n) for r in recs]
+                    if plan is not None and plan[n][0] == "const":
+                        vals = [plan[n][1]] * len(recs)
+                    else:
+                        vals = [r.get(n) for r in recs]
                     lt = logicals.get(n)
                     if nested[n]:
                         cols[n] = pd.Series(

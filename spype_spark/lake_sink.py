@@ -347,23 +347,45 @@ def _commit_append(
                     "seq": version,
                 }
             ]
-        man = mlog.m_manifest(
-            path,
-            version,
-            base,
-            m["schema"],
-            m.get("partition_by"),
-            mlog.m_entries(path, m) + new_entries,
-            deletes=deletes,
-            pos_deletes=m.get("pos_deletes"),
-            op={
-                "name": (
-                    "STREAMING_UPSERT" if merge_keys
-                    else "STREAMING_APPEND"
-                ),
-                "dataChange": True,
-            },
-        )
+        op = {
+            "name": (
+                "STREAMING_UPSERT" if merge_keys else "STREAMING_APPEND"
+            ),
+            "dataChange": True,
+        }
+        # incremental slab append (r15): touch only the roll buckets
+        # the new entries hash into — commit wall stays flat in table
+        # size (the full regroup is O(all entries): measured 15→150 ms
+        # from 10³→10⁴ entries, 15 s extrapolated at 10⁶)
+        inc = mlog.m_append_parts(path, m, new_entries)
+        if inc is not None:
+            names, summaries, groupkeys = inc
+            man = {
+                "version": version,
+                "base": base,
+                "schema": m["schema"],
+                "partition_by": m.get("partition_by"),
+                "op": op,
+                "parts": names,
+                "part_summaries": summaries,
+                "part_groups": groupkeys,
+            }
+            if deletes:
+                man["deletes"] = deletes
+            if m.get("pos_deletes"):
+                man["pos_deletes"] = m["pos_deletes"]
+        else:
+            man = mlog.m_manifest(
+                path,
+                version,
+                base,
+                m["schema"],
+                m.get("partition_by"),
+                mlog.m_entries(path, m) + new_entries,
+                deletes=deletes,
+                pos_deletes=m.get("pos_deletes"),
+                op=op,
+            )
         if app_id is not None and batch_id is not None:
             txns[app_id] = batch_id
         if txns:
@@ -887,6 +909,31 @@ def _plan_cdf_step(
     return parts
 
 
+#: per-worker LRU of decoded delete sidecars: a MoR commit touching F
+#: kept files re-applies each sidecar once per mask partition, and the
+#: tasks of one executor process share this cache — O(F × sidecar
+#: bytes) redundant reads collapse to one read per (worker, sidecar)
+#: (r15, VERDICT-r14 nit). Keyed on (path, columns, size, mtime) so a
+#: rewritten path can never serve stale bytes; bounded at 16 entries
+#: (sidecars are bounded by deleted rows, cleared at compaction).
+_SIDECAR_CACHE: dict = {}
+_SIDECAR_CACHE_MAX = 16
+
+
+def _read_sidecar(path: str, columns: tuple):
+    import pyarrow.parquet as pq
+
+    st = os.stat(path)
+    key = (path, columns, st.st_size, st.st_mtime_ns)
+    hit = _SIDECAR_CACHE.pop(key, None)
+    if hit is None:
+        hit = pq.read_table(path, columns=list(columns))
+    _SIDECAR_CACHE[key] = hit  # re-insert = LRU order
+    while len(_SIDECAR_CACHE) > _SIDECAR_CACHE_MAX:
+        _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
+    return hit
+
+
 def _dead_mask(tbl, rel: str, recs: list[dict]):
     """Boolean numpy mask of ``tbl``'s rows killed by the delete
     records ``recs`` (logical column names already applied). DV
@@ -895,13 +942,12 @@ def _dead_mask(tbl, rel: str, recs: list[dict]):
     anti-join semantics, which the Arrow hash join shares)."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     dead = np.zeros(tbl.num_rows, dtype=bool)
     idx = pa.array(range(tbl.num_rows), type=pa.int64())
     for r in recs:
         if r["kind"] == "pos":
-            t = pq.read_table(r["path"], columns=["fname", "pos"])
+            t = _read_sidecar(r["path"], ("fname", "pos"))
             import pyarrow.compute as pc
 
             hits = t.filter(pc.equal(t.column("fname"), rel))
@@ -912,7 +958,7 @@ def _dead_mask(tbl, rel: str, recs: list[dict]):
             # names (r["sel"]); the shaped table carries the head's —
             # read under the recorded names, serve under the head's
             sel = r.get("sel", r["keys"])
-            kt = pq.read_table(r["path"], columns=sel)
+            kt = _read_sidecar(r["path"], tuple(sel))
             kt = kt.select(sel).rename_columns(r["keys"])
             kt = kt.group_by(r["keys"]).aggregate([])
             sub = tbl.select(r["keys"]).append_column("__idx", idx)

@@ -370,27 +370,106 @@ def m_write_parts(
             groups.update(rolled)
     names = []
     summaries: dict[str, dict] = {}
-    for _key, group in sorted(groups.items()):
+    groupkeys: dict[str, str] = {}
+    for key, group in sorted(groups.items()):
         group = sorted(group, key=lambda e: e["path"])
-        payload = json.dumps(group, sort_keys=True)
-        name = f"part-{hashlib.sha1(payload.encode()).hexdigest()}.json"
-        final = os.path.join(mdir, name)
-        if not os.path.exists(final):
-            tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
-            with open(tmp, "w") as f:
-                f.write(payload)
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                os.link(tmp, final)
-            except FileExistsError:
-                pass  # concurrent writer produced the same content
-            os.unlink(tmp)
+        name = _m_write_slab(mdir, group)
         names.append(name)
         # pure function of slab content — identical for a carried slab,
         # so content-address dedup across commits stays exact
         summaries[name] = m_slab_summary(group)
-    return names, summaries
+        groupkeys[name] = key
+    return names, summaries, groupkeys
+
+
+def _m_write_slab(mdir: str, group: list[dict]) -> str:
+    """Write one content-addressed slab (write-if-absent; EEXIST =
+    free dedup) and return its filename. ``group`` must already be
+    path-sorted so identical content always produces one name."""
+    payload = json.dumps(group, sort_keys=True)
+    name = f"part-{hashlib.sha1(payload.encode()).hexdigest()}.json"
+    final = os.path.join(mdir, name)
+    if not os.path.exists(final):
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass  # concurrent writer produced the same content
+        os.unlink(tmp)
+    return name
+
+
+def m_append_parts(
+    path: str, m: dict, new_entries: list[dict]
+) -> tuple[list[str], dict[str, dict], dict[str, str]] | None:
+    """INCREMENTAL slab append (r15): extend a slab-structured base
+    manifest with ``new_entries`` touching ONLY the roll buckets the
+    new entries hash into — O(new + touched-bucket) per commit where
+    the full :func:`m_write_parts` regroup is O(all entries). This is
+    what keeps a minute-cadence streaming sink's commit wall FLAT in
+    table size: the 10⁴-commit probe showed the full regroup's
+    serialize+hash growing linearly with the entry count (15 → 150 ms
+    from 10³ → 10⁴ entries — 15 s extrapolated at 10⁶).
+
+    Requires the base manifest to carry ``part_groups`` (name → group
+    key, stamped by every r15+ commit) — returns None otherwise and
+    the caller falls back to the full path (one full regroup upgrades
+    any older table). The produced layout may differ from what a full
+    regroup would build (new entries always land in roll buckets);
+    ANY partition of the entries into slabs is a valid manifest — the
+    summaries are computed per slab, readers just concatenate, and
+    the next full-path commit (MERGE, OPTIMIZE) regroups at will.
+    Returns ``(names, summaries, part_groups)``."""
+    parts = m.get("parts")
+    pg = m.get("part_groups")
+    sums = m.get("part_summaries")
+    if (
+        not parts
+        or not pg
+        or not sums
+        or set(pg) != set(parts)
+        or set(sums) != set(parts)
+    ):
+        return None
+    mdir = os.path.join(path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    add: dict[str, list[dict]] = {}
+    for e in new_entries:
+        k = m_part_key(e)
+        b = (
+            int(hashlib.sha1(k.encode()).hexdigest()[:8], 16)
+            % _SLAB_MAX_GROUPS
+        )
+        add.setdefault(f"roll|b{b}", []).append(e)
+    names = list(parts)
+    summaries = dict(sums)
+    groupkeys = dict(pg)
+    by_key: dict[str, str] = {}
+    for nm in parts:
+        by_key.setdefault(pg[nm], nm)
+    for bkey, es in sorted(add.items()):
+        old = by_key.get(bkey)
+        if old is not None:
+            with open(os.path.join(mdir, old)) as f:
+                group = json.load(f)
+        else:
+            group = []
+        group = sorted(group + es, key=lambda e: e["path"])
+        name = _m_write_slab(mdir, group)
+        if old is not None:
+            names[names.index(old)] = name
+            summaries.pop(old, None)
+            groupkeys.pop(old, None)
+        else:
+            names.append(name)
+        summaries[name] = m_slab_summary(group)
+        groupkeys[name] = bkey
+        by_key[bkey] = name
+    return names, summaries, groupkeys
 
 
 def m_manifest(
@@ -446,9 +525,13 @@ def m_manifest(
     if len(entries) <= _PART_INLINE_MAX:
         man["files"] = entries
     else:
-        names, summaries = m_write_parts(path, entries)
+        names, summaries, groupkeys = m_write_parts(path, entries)
         man["parts"] = names
         man["part_summaries"] = summaries
+        # name → group key: what the r15 incremental slab append
+        # (m_append_parts) needs to extend one bucket without the
+        # O(all entries) regroup; readers ignore it
+        man["part_groups"] = groupkeys
     return man
 
 

@@ -52,69 +52,28 @@ from spype_spark.queries import lakehouse_ops  # noqa: F401
 #      as evidence), with the round-1 rows-only keys last.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # ---- round-14 window (first 50 keys = the driver's evidence
-    # budget). Per VERDICT.md r13 task 1: 4 zero/stale-history keys
-    # first (2 NEW this round — q_stream_lake_cdf, q_sink_avro_nested
-    # — and 2 whose CONTRACTS were extended this round and need
-    # re-verification: q_lake_delta_export_colmap now partitioned+
-    # mapped, q_lake_delta_idmap now covers id-mode append), then
-    # ALL 14 r8-stale keys (the oldest evidence anywhere), then the
-    # r9 queue — q_lake_delete_dv / q_lake_branch_wap / the tpch
-    # block first per the verdict, then table order. The window
-    # cuts off after q_layout_zorder; the 18 keys below it head
-    # the r15 queue. Post-r14 staleness floor: nothing older than
-    # r9.
+    # ---- round-15 window (first 50 keys = the driver's evidence
+    # budget). Per VERDICT.md r14 task 1: the NEW contract first
+    # (q_stream_lake_upsert_native — the mergeKeys sink upsert),
+    # then the 10 keys whose BEHAVIOR changed this round (the CDF
+    # dataChange-skip + bucketed diff touch every feed/merge/compact
+    # surface; the Avro writer now emits real snappy; the replicate
+    # contract drives the new REPLICATE LAKE facade form), then ALL
+    # 20 r9-stale keys (the oldest evidence anywhere), then 19 from
+    # the r10 queue in table order. The window cuts off after
+    # q_filter_compound; the keys below it head the r16 queue.
+    # Post-r15 staleness floor: nothing older than r10.
+    "q_stream_lake_upsert_native",
     "q_stream_lake_cdf",
-    "q_sink_avro_nested",
-    "q_stream_lake_replicate",
     "q_lake_sql_cdf",
-    "q_lake_delta_export_colmap",
-    "q_lake_delta_idmap",
-    "q_skew_salted_agg",
-    "q_subquery_correlated",
-    "q_subquery_in",
-    "q_subquery_lateral",
-    "q_subquery_scalar",
-    "q_text_decontaminate",
-    "q_text_pii_redact",
-    "q_text_repetition",
-    "q_tpch_q13",
-    "q_tpch_q17",
-    "q_udf_pandas",
-    "q_udf_python",
-    "q_udtf_explode",
-    "q_window_percentiles",
-    "q_lake_delete_dv",
-    "q_lake_branch_wap",
-    "q_tpch_q10",
-    "q_tpch_q14",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_agg_histogram",
-    "q_join_3way",
-    "q_join_asof",
-    "q_join_bloom",
-    "q_join_interval_overlap",
-    "q_join_null_safe",
-    "q_lake_append_scan",
+    "q_stream_lake_replicate",
     "q_lake_cdf",
-    "q_lake_clone",
-    "q_lake_delete_predicate",
-    "q_lake_hidden_partition",
+    "q_lake_compact",
+    "q_lake_merge_upsert",
     "q_lake_merge_full",
-    "q_lake_rename",
-    "q_lake_restore",
-    "q_lake_scan_nulls",
-    "q_lake_scan_predicate",
-    "q_lake_widen",
-    # ---- end of the 50-slot window; r15 queue head (r9-stale) ----
+    "q_lake_optimize_small",
+    "q_sink_avro_roundtrip",
+    "q_sink_avro_nested",
     "q_lake_zorder",
     "q_layout_zorder",
     "q_multimodal_meta",
@@ -135,6 +94,58 @@ _DRIVER_PRIORITY = [
     "q_text_entropy",
     "q_text_slice_windows",
     "q_unpivot",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_cohort_retention",
+    "q_dataset_length_buckets",
+    "q_dataset_shard_shuffle",
+    "q_events_funnel",
+    "q_events_hourly_agg",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner_equi",
+    "q_filter_compound",
+    # ---- end of the 50-slot window; r16 queue head (r10-stale) ----
+    "q_filter_like_regex",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_theta_range",
+    "q_json_variant",
+    "q_lake_branch_multi",
+    "q_lake_cdf_branch",
+    "q_lake_restore_txn",
+    "q_lake_spec_evolve",
+    "q_lake_sql_facade",
+    "q_map_funcs",
+    "q_pipe_curation",
+    "q_project_exprs",
+    "q_rolling_dau",
+    "q_rollup_materialized",
+    "q_scan_filter_pushdown",
+    "q_scan_project",
+    "q_sim_cosine_topk",
+    "q_stream_dedup_watermark",
+    "q_stream_enrich_static",
+    "q_stream_lake_upsert",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_stateful_running",
+    "q_stream_true_tumbling",
+    "q_stream_tumbling",
+    "q_stream_txn_sink",
+    "q_text_collapse_runs",
+    "q_topk_global",
+    "q_ts_gapfill",
+    "q_ts_interpolate",
+    "q_window_topk",
 ]
 
 

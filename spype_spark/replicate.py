@@ -90,9 +90,25 @@ def apply_cdf_batch(
         if not exists:
             lake.write_table(upserts, lake_path)
             continue
-        if deletes.limit(1).count():
+        # ONE aggregation decides which verbs this commit needs
+        # (was: two limit(1).count() probe jobs per commit — r15,
+        # VERDICT-r14 nit); the stale-preimage probe only runs when
+        # preimages exist WITHOUT certain deletes
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in ch.groupBy("_change_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        has_delete = counts.get("delete", 0) > 0
+        if not has_delete and counts.get("update_preimage", 0) > 0:
+            has_delete = bool(deletes.limit(1).count())  # stale keys?
+        if has_delete:
             lake.delete_keys(spark, lake_path, deletes)
-        if upserts.limit(1).count():
+        if (
+            counts.get("insert", 0) + counts.get("update_postimage", 0)
+            > 0
+        ):
             lake.merge_upsert(spark, lake_path, upserts, keys=keys)
 
 

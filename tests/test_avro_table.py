@@ -170,14 +170,72 @@ def test_avro_table_non_string_map_keys_are_loud(spark, tmp_path):
         at.write_avro_table(df, str(tmp_path / "m"))
 
 
-def test_avro_table_mixed_schema_directory_is_loud(spark, tmp_path):
+def test_avro_table_unresolvable_schema_directory_is_loud(spark, tmp_path):
+    """Disjoint non-nullable fields with no defaults cannot resolve
+    under the Avro rules (r15): still a loud error, never coercion."""
     d = str(tmp_path / "mix")
     a = spark.range(5).select(F.col("id").alias("k"))
     b = spark.range(5).select(F.col("id").alias("other"))
     at.write_avro_table(a.coalesce(1), d)
     at.write_avro_table(b.coalesce(1), d)
-    with pytest.raises(Exception, match="writer schema differs"):
+    with pytest.raises(Exception, match="lacks field|does not resolve"):
         at.read_avro_table(spark, d).collect()
+
+
+def test_avro_table_reader_schema_resolution(spark, tmp_path):
+    """r15: mixed-schema directories resolve per the Avro spec —
+    writer-only fields skip, reader-only fields fill from default /
+    null, int→long promotes; incompatible types stay loud."""
+    from spype_spark.avro_io import write_avro
+
+    d = tmp_path / "evo"
+    d.mkdir()
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "long", "default": 7},
+        ],
+    }
+    older = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "int"},  # promotes to long
+            {"name": "extra", "type": "double"},  # reader skips it
+        ],
+    }
+    write_avro(
+        str(d / "a.avro"),
+        reader,
+        [{"k": 1, "s": "x", "d": 10}, {"k": 2, "s": None, "d": 20}],
+    )
+    write_avro(
+        str(d / "b.avro"),
+        older,
+        [{"k": 3, "extra": 1.5}, {"k": 4, "extra": 2.5}],
+    )
+    got = sorted(
+        (r["k"], r["s"], r["d"])
+        for r in at.read_avro_table(spark, str(d)).collect()
+    )
+    assert got == [
+        (1, "x", 10),
+        (2, None, 20),
+        (3, None, 7),  # s null-fills, d takes its reader default
+        (4, None, 7),
+    ], f"schema resolution wrong: {got}"
+    # incompatible promotion (writer double -> reader long) is loud
+    bad = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "double"}],
+    }
+    write_avro(str(d / "c.avro"), bad, [{"k": 9.5}])
+    with pytest.raises(Exception, match="does not resolve"):
+        at.read_avro_table(spark, str(d)).collect()
 
 
 def test_avro_snappy_codec_round_trip(spark, tmp_path):

@@ -137,6 +137,59 @@ def test_stream_upsert_mergekeys(reg, tmp_path):
     ) == exp2
 
 
+def test_mergekeys_fuzz_matches_merge_upsert(reg, tmp_path):
+    """Seeded fuzz: a chain of random mergeKeys batch writes must
+    leave the SAME table as the engine's merge_upsert applied to a
+    twin — and the CDF over an upsert commit emits delete+insert for
+    replaced keys (the merge-on-read change shape)."""
+    import random
+
+    rng = random.Random(1507)
+    p1 = str(tmp_path / "sink")
+    p2 = str(tmp_path / "model")
+    base = [(k, k * 10) for k in range(30)]
+    for p in (p1, p2):
+        lake.write_table(
+            reg.createDataFrame(base, "k long, g long"), p
+        )
+    for step in range(6):
+        nb = rng.randrange(1, 8)
+        ks = rng.sample(range(50), nb)
+        batch = [(k, 1000 * (step + 1) + k) for k in ks]
+        bdf = reg.createDataFrame(batch, "k long, g long")
+        (
+            bdf.write.format("spype_lake")
+            .mode("append")
+            .option("path", p1)
+            .option("mergeKeys", "k")
+            .save()
+        )
+        lake.merge_upsert(reg, p2, bdf, ["k"])
+    a = sorted(tuple(r) for r in lake.read_table(reg, p1).collect())
+    b = sorted(tuple(r) for r in lake.read_table(reg, p2).collect())
+    assert a == b, f"sink-upsert chain diverged from merge_upsert: {a[:5]}"
+    # CDF of one upsert commit: replaced keys emit delete (old row,
+    # mask partition) + insert (new row); fresh keys insert only
+    up = reg.createDataFrame([(0, -1), (999, -2)], "k long, g long")
+    (
+        up.write.format("spype_lake")
+        .mode("append")
+        .option("path", p1)
+        .option("mergeKeys", "k")
+        .save()
+    )
+    v = lake.latest_version(p1)
+    assert mlog.m_load(p1, v)["op"]["name"] == "STREAMING_UPSERT"
+    ch = sorted(
+        (r["k"], r["g"], r["_change_type"])
+        for r in _cdf_read(reg, p1, keys=None, start=v, end=v).collect()
+    )
+    old_g = dict(a)[0]
+    assert ch == sorted(
+        [(0, old_g, "delete"), (0, -1, "insert"), (999, -2, "insert")]
+    ), f"upsert CDF shape wrong: {ch}"
+
+
 def test_batch_upsert_mergekeys_and_duplicate_batch_is_loud(reg, tmp_path):
     p = str(tmp_path / "t")
     _mk(reg, p, n=4)

@@ -187,6 +187,25 @@ def test_sql_replicate_statement(spark, tmp_path):
     assert _rows(lake.read_table(spark, idst)) == _rows(
         ice.read_iceberg(spark, isrc)
     )
+    # LAKE flavor (r15): native -> native mirror through the facade
+    lsrc = str(tmp_path / "lsrc")
+    ldst = str(tmp_path / "ldst")
+    lake.write_table(df, lsrc)
+    lake.delete_where_dv(spark, lsrc, F.col("k") >= 12)
+    sqltext.sql(spark, f"REPLICATE LAKE '{lsrc}' INTO '{ldst}' KEYS (k)")
+    assert _rows(lake.read_table(spark, ldst)) == _rows(
+        lake.read_table(spark, lsrc)
+    )
+    lake.merge_upsert(
+        spark,
+        lsrc,
+        spark.createDataFrame([(1, -1.0), (50, 5.0)], "k long, v double"),
+        ["k"],
+    )
+    sqltext.sql(spark, f"REPLICATE LAKE '{lsrc}' INTO '{ldst}' KEYS (k)")
+    assert _rows(lake.read_table(spark, ldst)) == _rows(
+        lake.read_table(spark, lsrc)
+    )
 
 
 def test_key_changing_update_deletes_old_key(spark, tmp_path):
