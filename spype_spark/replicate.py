@@ -93,9 +93,10 @@ def apply_cdf_batch(
         # ONE aggregation decides which verbs this commit needs
         # (was: two limit(1).count() probe jobs per commit — r15,
         # VERDICT-r14 nit); the stale-preimage probe only runs when
-        # preimages exist WITHOUT certain deletes
+        # preimages exist WITHOUT certain deletes.
         counts = {
             r["_change_type"]: r["n"]
+            # metadata-sized collect: one row per _change_type (≤ 4)
             for r in ch.groupBy("_change_type")
             .agg(F.count("*").alias("n"))
             .collect()

@@ -82,6 +82,64 @@ def test_stream_append_and_exactly_once_drains(reg, tmp_path):
     assert lake.read_table(reg, p).count() == 33
 
 
+def test_incremental_slab_append_interleaves_with_engine_verbs(
+    reg, tmp_path
+):
+    """r15: past the inline threshold the sink commit extends ONLY
+    the roll buckets its entries hash into (m_append_parts) instead
+    of regrouping the table. The incremental chain must (a) keep
+    part_groups/part_summaries consistent, (b) read back exactly,
+    (c) survive an interleaved ENGINE verb (full-path regroup) and
+    keep appending incrementally on top of its layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    df = reg.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    # 70 files crosses _PART_INLINE_MAX (64): v0 is slab-structured
+    lake.write_table(df.repartition(70), p)
+    m0 = mlog.m_load(p, 0)
+    assert "parts" in m0 and set(m0["part_groups"]) == set(m0["parts"])
+
+    def sink_append(i):
+        d = os.path.join(p, "data", f"stream-inc{i}")
+        os.makedirs(d)
+        fp = os.path.join(d, "part-00000.parquet")
+        pq.write_table(pa.table({"k": [1000 + i], "g": [0]}), fp)
+        e = {
+            "path": os.path.relpath(fp, p).replace(os.sep, "/"),
+            "partition": {},
+            **mlog.m_file_stats(fp),
+        }
+        _commit_append(p, [_LakeWriteMessage([e], [fp])], "inc-app", i)
+
+    for i in range(5):
+        sink_append(i)
+    m = mlog.m_load(p, lake.latest_version(p))
+    assert set(m["part_groups"]) == set(m["parts"]) == set(
+        m["part_summaries"]
+    )
+    # engine verb in the middle: full-path regroup on merge
+    lake.merge_upsert(
+        reg, p, reg.createDataFrame([(1000, 77)], "k long, g long"), ["k"]
+    )
+    for i in range(5, 8):
+        sink_append(i)
+    got = sorted(r["k"] for r in lake.read_table(reg, p).collect())
+    exp = sorted(
+        list(range(200)) + [1000 + i for i in range(8)]
+    )
+    assert got == exp
+    assert (
+        lake.read_table(reg, p)
+        .filter(F.col("k") == 1000)
+        .collect()[0]["g"]
+        == 77
+    )
+
+
 def test_stream_upsert_mergekeys(reg, tmp_path):
     """.option('mergeKeys', 'k'): each microbatch commits delete-keys
     + append under ONE manifest version — existing keys are replaced,
