@@ -4351,9 +4351,24 @@ def q_stream_lake_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 "resumed drain must not re-emit consumed versions"
             )
-        drain()  # caught up — a third drain adds nothing
+        # r15: a COMPACTION lands before the final drain — its
+        # dataChange=false stamp makes the planner emit NOTHING for
+        # v4 (no data file opened, no keys needed), yet the stream
+        # must still advance past it: the drain consumes the new
+        # version and adds zero rows (Delta's own CDF semantics for
+        # pure layout commits)
+        from spype_spark.lake_sink import _plan_cdf_step
+
+        v4 = lake.compact(spark, path)
+        if _plan_cdf_step(path, v4, None, {}) != []:
+            raise AssertionError(
+                "compaction must plan to ZERO CDF partitions"
+            )
+        drain()  # consumes the compaction commit — emits nothing
         if spark.read.parquet(sink).count() != out.count():
-            raise AssertionError("caught-up drain must emit nothing")
+            raise AssertionError(
+                "compaction commit must add no change rows"
+            )
         return out.select(
             *_BASE_COLS, "_change_type", "_commit_version"
         )

@@ -389,6 +389,93 @@ def test_fuzz_iceberg_replication_chain(spark, tmp_path, seed):
     assert got == ref, f"seed={seed} mirror != source head"
 
 
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_lake_replication_chain(spark, tmp_path, seed):
+    """Native→native fuzz (r15): random chains of {append | DV-delete
+    | eq-delete | MERGE-update | key-move | COMPACT} with a drain at a
+    random point. COMPACT commits are dataChange=false — the r15 CDF
+    planner must SKIP them at plan time mid-stream (zero change rows,
+    no keys demanded) while everything around them still mirrors
+    exactly; the final state must equal both the dict model and the
+    source head."""
+    from spype_spark.lake_sink import register_lake_sink
+    from spype_spark.replicate import replicate_lake_to_lake
+
+    register_lake_sink(spark)
+    rng = random.Random(1500 + seed)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    model = {k: k * 3 for k in range(20)}
+    lake.write_table(_kv_df(spark, model), src)
+    nxt = 100
+    n_ops = 4
+    drain_after = {rng.randrange(n_ops)}
+
+    def drain():
+        q = replicate_lake_to_lake(spark, src, dst, ck, keys=["k"])
+        q.awaitTermination()
+
+    for step in range(n_ops):
+        op = rng.choice(
+            ["append", "dvdel", "eqdel", "update", "keymove", "compact"]
+        )
+        mod, res = rng.choice([3, 5, 7]), rng.randrange(3)
+        hit = [k for k in model if k % mod == res]
+        if op == "append" or (not hit and op != "compact"):
+            new = {k: k * 3 for k in range(nxt, nxt + rng.randint(2, 6))}
+            nxt += 50
+            lake.append_table(spark, src, _kv_df(spark, new))
+            model.update(new)
+        elif op == "dvdel":
+            lake.delete_where_dv(spark, src, F.col("k") % mod == res)
+            for k in hit:
+                del model[k]
+        elif op == "eqdel":
+            keys = rng.sample(hit, min(len(hit), 3)) + [999999]
+            lake.delete_keys(
+                spark,
+                src,
+                spark.createDataFrame([(k,) for k in keys], "k long"),
+            )
+            for k in keys:
+                model.pop(k, None)
+        elif op == "update":
+            upd = {k: model[k] + 1000 for k in hit}
+            lake.merge_upsert(spark, src, _kv_df(spark, upd), ["k"])
+            model.update(upd)
+        elif op == "keymove":
+            merged = dict(model)
+            for k in hit:
+                merged[k + 100000] = merged.pop(k)
+            # key move = delete the old keys + upsert the new ones
+            lake.delete_keys(
+                spark,
+                src,
+                spark.createDataFrame([(k,) for k in hit], "k long"),
+            )
+            lake.merge_upsert(
+                spark,
+                src,
+                _kv_df(spark, {k + 100000: model[k] for k in hit}),
+                ["k"],
+            )
+            model = merged
+        else:  # compact: dataChange=false — the feed must skip it
+            lake.compact(spark, src)
+        if step in drain_after:
+            drain()
+    drain()
+    got = sorted(
+        (r["k"], r["v"]) for r in lake.read_table(spark, dst).collect()
+    )
+    assert got == sorted(model.items()), f"seed={seed} mirror != model"
+    ref = sorted(
+        (r["k"], r["v"]) for r in lake.read_table(spark, src).collect()
+    )
+    assert got == ref, f"seed={seed} mirror != source head"
+
+
 def test_lake_to_lake_replication(spark, tmp_path):
     """Native→native mirror over the r14 change-feed format: the same
     apply path handles appends, MoR deletes, MERGE updates, and a
