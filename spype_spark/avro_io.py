@@ -463,10 +463,14 @@ def read_avro_bytes(
     if len(sync) != 16:
         raise ValueError(f"{path}: truncated Avro header")
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
+        # zstandard is the ONE genuinely gated codec: no library in
+        # this environment and the format (FSE/Huffman) is not a
+        # reasonable pure-stdlib reimplementation — loud, never a
+        # silent misparse
         raise ValueError(
             f"{path}: Avro codec {codec!r} not supported "
-            f"(null/deflate/snappy only)"
+            f"(null/deflate/snappy/bzip2/xz)"
         )
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     named: dict = {}
@@ -484,6 +488,14 @@ def read_avro_bytes(
             raise ValueError(f"{path}: truncated Avro block")
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "bzip2":  # r15: stdlib bz2, spec codec "bzip2"
+            import bz2
+
+            block = bz2.decompress(block)
+        elif codec == "xz":  # r15: stdlib lzma, spec codec "xz"
+            import lzma
+
+            block = lzma.decompress(block)
         elif codec == "snappy":
             if len(block) < 4:
                 raise ValueError(f"{path}: snappy block lacks CRC32")
@@ -601,9 +613,10 @@ def write_avro(
     sync: bytes | None = None,
 ) -> None:
     """Write an Avro Object Container File (single block — fixture
-    scale). ``codec`` is ``"deflate"``, ``"null"``, or ``"snappy"``
-    (literal-only blocks + the spec's big-endian CRC32 suffix)."""
-    if codec not in ("null", "deflate", "snappy"):
+    scale). ``codec`` is ``"deflate"``, ``"null"``, ``"snappy"``
+    (real back-reference compression + the spec's big-endian CRC32
+    suffix), ``"bzip2"``, or ``"xz"`` (stdlib bz2/lzma, r15)."""
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
         raise ValueError(f"unsupported codec {codec!r}")
     named: dict = {}
     _register_names(schema, named)
@@ -617,6 +630,14 @@ def write_avro(
     elif codec == "snappy":
         crc = (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
         payload = snappy_compress(payload) + crc
+    elif codec == "bzip2":
+        import bz2
+
+        payload = bz2.compress(payload)
+    elif codec == "xz":
+        import lzma
+
+        payload = lzma.compress(payload)
     sync = sync or os.urandom(16)
     out = bytearray(_MAGIC)
     meta = {

@@ -32,11 +32,13 @@ union-with-null — and, recursively, NESTED types: Avro ``record`` ↔
 Spark struct, ``array`` ↔ array, ``map`` (string keys, the only kind
 Avro has) ↔ map, with per-level nullability via union-with-null and
 logical types at any depth. Codecs: null, deflate, and snappy
-(pure-stdlib raw-block decoder with per-block CRC32; literal-only
-writer — see :mod:`spype_spark.avro_io`). Still loudly out of
-profile: RECURSIVE named-type references (Spark's type system is
-strictly tree-shaped — no engine maps those to a relational column),
-non-nullable multi-type unions, enum/fixed, and zstd/bzip2 codecs.
+(pure-stdlib raw-block decoder with per-block CRC32; r15: a REAL
+greedy back-reference compressor on the write side, plus bzip2/xz
+via stdlib bz2/lzma — see :mod:`spype_spark.avro_io`). Still loudly
+out of profile: RECURSIVE named-type references (Spark's type system
+is strictly tree-shaped — no engine maps those to a relational
+column), non-nullable multi-type unions, enum/fixed, and the
+zstandard codec (the one format with no stdlib decoder).
 """
 
 from __future__ import annotations

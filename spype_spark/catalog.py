@@ -833,6 +833,7 @@ class Transaction:
         constraints_override: dict | None = None,
         transforms=_INHERIT,
         pos_deletes=_INHERIT,
+        op: dict | None = None,
     ) -> int:
         """Publish a staged manifest at the next free version slot.
         A slot collision (concurrent stager, or a slot orphaned by a
@@ -931,7 +932,10 @@ class Transaction:
                         constraints=constraints,
                         transforms=transforms,
                         pos_deletes=pos_deletes,
-                        op={"name": "TXN_COMMIT", "dataChange": True},
+                        # staged OPTIMIZE passes dataChange=false so
+                        # the change feed skips it at plan time (r15);
+                        # every data-mutating verb stays True
+                        op=op or {"name": "TXN_COMMIT", "dataChange": True},
                     ),
                 )
             except ConcurrentWriteError:
@@ -1340,6 +1344,7 @@ class Transaction:
                 carry,
                 base,
                 deletes=m.get("deletes", []),
+                op={"name": "OPTIMIZE", "dataChange": False},
             )
             self._staged[name] = v
             return v
@@ -1352,7 +1357,11 @@ class Transaction:
         # positional DVs reset: _m_read materialized them into the
         # rewrite, and nothing is carried for them to apply to
         v = self._stage(
-            out, path, m.get("partition_by"), [], base, pos_deletes=None
+            out, path, m.get("partition_by"), [], base, pos_deletes=None,
+            op={
+                "name": "ZORDER" if zorder_code is not None else "COMPACT",
+                "dataChange": False,
+            },
         )
         self._staged[name] = v
         return v

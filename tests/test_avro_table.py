@@ -361,6 +361,42 @@ def test_avro_snappy_export_shrinks_on_disk(spark, tmp_path):
     assert back == rows
 
 
+def test_avro_bzip2_and_xz_codecs_roundtrip(spark, tmp_path):
+    """r15: bzip2 and xz Avro codecs via stdlib bz2/lzma — container
+    write → read round-trips at both the raw and the table layer;
+    zstandard stays the one loud codec gate."""
+    from spype_spark.avro_io import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    rows = [{"k": i, "s": f"v{i}" if i % 3 else None} for i in range(500)]
+    for codec in ("bzip2", "xz"):
+        fp = str(tmp_path / f"c_{codec}.avro")
+        write_avro(fp, schema, rows, codec=codec)
+        _, back = read_avro(fp)
+        assert back == rows, codec
+    d = str(tmp_path / "tbl")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    at.write_avro_table(df.coalesce(1), d, codec="xz")
+    back = at.read_avro_table(spark, d)
+    assert sorted(str(r) for r in back.collect()) == sorted(
+        str(r) for r in df.collect()
+    )
+    with pytest.raises(ValueError, match="zstandard|unsupported"):
+        write_avro(
+            str(tmp_path / "z.avro"), schema, rows, codec="zstandard"
+        )
+
+
 def test_avro_snappy_crc_gate_is_loud(spark, tmp_path):
     import glob
 

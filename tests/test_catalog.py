@@ -528,6 +528,16 @@ def test_txn_compact_through_catalog(spark, tmp_path):
     got = {(r.k, r.v) for r in cat.read(spark, "t").collect()}
     assert got == {(k, k * 10) for k in range(400)}
     assert len(lake._m_load(p, cat.state(0)["t"])["files"]) == 8
+    # r15: the staged compaction stamps dataChange=false, so the
+    # native change feed plans ZERO partitions for its version
+    from spype_spark.lake_sink import _plan_cdf_step
+
+    vc = cat.state()["t"]
+    assert lake._m_load(p, vc)["op"] == {
+        "name": "COMPACT",
+        "dataChange": False,
+    }
+    assert _plan_cdf_step(p, vc, None, {}) == []
 
 
 def test_txn_append_and_delete_predicate(spark, tmp_path):

@@ -195,6 +195,38 @@ def test_stream_upsert_mergekeys(reg, tmp_path):
     ) == exp2
 
 
+def test_mergekeys_partitioned_cross_partition_replace(reg, tmp_path):
+    """mergeKeys on a PARTITIONED table: the equality-delete record is
+    GLOBAL, so an upsert that moves a key's row to a different
+    partition still kills the old row (no partition-local ghost)."""
+    p = str(tmp_path / "t")
+    _mk(reg, p, n=9, pcols=["g"])  # g = k % 3 partitions
+    up = reg.createDataFrame(
+        [(1, 2), (4, 0), (100, 1)], "k long, g long"
+    )  # k=1 moves g 1->2, k=4 moves g 1->0, k=100 inserts
+    (
+        up.write.format("spype_lake")
+        .mode("append")
+        .option("path", p)
+        .option("mergeKeys", "k")
+        .save()
+    )
+    got = sorted(tuple(r) for r in lake.read_table(reg, p).collect())
+    exp = sorted(
+        [(k, k % 3) for k in range(9) if k not in (1, 4)]
+        + [(1, 2), (4, 0), (100, 1)]
+    )
+    assert got == exp, f"cross-partition upsert wrong: {got}"
+    # partition pruning still correct post-upsert (old g=1 rows dead)
+    g1 = sorted(
+        r["k"]
+        for r in lake.read_table(reg, p)
+        .filter(F.col("g") == 1)
+        .collect()
+    )
+    assert g1 == [7, 100]
+
+
 def test_mergekeys_fuzz_matches_merge_upsert(reg, tmp_path):
     """Seeded fuzz: a chain of random mergeKeys batch writes must
     leave the SAME table as the engine's merge_upsert applied to a
