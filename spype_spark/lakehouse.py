@@ -4230,9 +4230,25 @@ def vacuum(
 
 
 def history(spark: SparkSession, path: str) -> DataFrame:
-    """Table history as a DataFrame: (version, n_files)."""
-    rows = [(v, len(data_files(path, v))) for v in versions(path)]
-    return spark.createDataFrame(rows, "version int, n_files int")
+    """Table history as a DataFrame: (version, n_files, op) — ``op``
+    is the commit's operation stamp (r15; Delta's DESCRIBE HISTORY
+    operation column): WRITE / APPEND / MERGE / DELETE / UPDATE /
+    COMPACT / … , NULL for pre-r15 commits and posix snapshots."""
+    ops: dict[int, str | None] = {}
+    for v in versions(path):
+        op = None
+        if _is_manifest_table(path):
+            try:
+                op = (_m_load(path, v).get("op") or {}).get("name")
+            except FileNotFoundError:
+                op = None
+        ops[v] = op
+    rows = [
+        (v, len(data_files(path, v)), ops[v]) for v in versions(path)
+    ]
+    return spark.createDataFrame(
+        rows, "version int, n_files int, op string"
+    )
 
 
 def changes(

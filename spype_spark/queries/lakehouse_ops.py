@@ -179,24 +179,27 @@ def q_lake_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
          del AS (SELECT COUNT(*) AS n FROM orders
                  WHERE o_orderkey < 4000 AND o_orderstatus = 'F')
     SELECT CAST(0 AS INT) AS version,
-           (SELECT COUNT(*) FROM orders WHERE o_orderkey < 8000) AS n_rows
-    UNION ALL SELECT 1, (SELECT n FROM v1)
-    UNION ALL SELECT 2, (SELECT n FROM v1) - (SELECT n FROM del)
-    UNION ALL SELECT 3, (SELECT n FROM v1) - (SELECT n FROM del)
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey < 8000) AS n_rows,
+           'WRITE' AS op
+    UNION ALL SELECT 1, (SELECT n FROM v1), 'MERGE'
+    UNION ALL SELECT 2, (SELECT n FROM v1) - (SELECT n FROM del), 'DELETE'
+    UNION ALL SELECT 3, (SELECT n FROM v1) - (SELECT n FROM del), 'COMPACT'
     """,
 )
 def q_lake_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Version history: create → merge → delete → compact leaves
     exactly versions 0..3, each time-travel-readable at its own row
-    count.
+    count, each stamped with its OPERATION name (r15 — Delta's
+    DESCRIBE HISTORY operation column, from the manifest ``op``
+    field; the oracle pins the exact verb sequence).
 
-    The driver-checkable surface is (version, row count): v0 = base,
-    v1 = merged, v2 = post-delete ('F' rows survive the merge only
-    under key 4000 — the rest were overwritten to 'U'), v3 = compacted
-    (content-invisible). The file-count metadata (lake.history) stays
-    asserted in tests/test_lakehouse.py — file layout is
-    parallelism-dependent, so it is test evidence, not oracle
-    evidence.
+    The driver-checkable surface is (version, row count, op): v0 =
+    base WRITE, v1 = MERGE, v2 = post-DELETE ('F' rows survive the
+    merge only under key 4000 — the rest were overwritten to 'U'),
+    v3 = COMPACT (content-invisible, dataChange=false). The
+    file-count metadata (lake.history) stays asserted in
+    tests/test_lakehouse.py — file layout is parallelism-dependent,
+    so it is test evidence, not oracle evidence.
     """
     tmp = _scratch("spype_lake_hist_")
     try:
@@ -207,11 +210,18 @@ def q_lake_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lake.delete_where(spark, path, F.col("o_orderstatus") == "F")
         lake.compact(spark, path, target_files=1)
+        hist = {
+            r["version"]: r["op"]
+            # metadata-sized collect: one row per committed version
+            for r in lake.history(spark, path).collect()
+        }
         rows = [
-            (v, lake.read_table(spark, path, version=v).count())
+            (v, lake.read_table(spark, path, version=v).count(), hist[v])
             for v in lake.versions(path)
         ]
-        return spark.createDataFrame(rows, "version int, n_rows long")
+        return spark.createDataFrame(
+            rows, "version int, n_rows long, op string"
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
