@@ -34,11 +34,18 @@ Avro has) ↔ map, with per-level nullability via union-with-null and
 logical types at any depth. Codecs: null, deflate, and snappy
 (pure-stdlib raw-block decoder with per-block CRC32; r15: a REAL
 greedy back-reference compressor on the write side, plus bzip2/xz
-via stdlib bz2/lzma — see :mod:`spype_spark.avro_io`). Still loudly
+via stdlib bz2/lzma — see :mod:`spype_spark.avro_io`). r15 also
+closes three former gates, mapping them the way spark-avro does:
+``enum`` ↔ string (symbols validated on write via a ``field_types``
+schema override — Spark has no enum type, so the override is how a
+writer opts in, mirroring spark-avro's ``avroSchema`` option),
+``fixed`` ↔ binary (size validated on write), and the ``decimal``
+logical type on bytes/fixed ↔ Spark DecimalType (big-endian
+two's-complement unscaled integer per the Avro spec). Still loudly
 out of profile: RECURSIVE named-type references (Spark's type system
 is strictly tree-shaped — no engine maps those to a relational
-column), non-nullable multi-type unions, enum/fixed, and the
-zstandard codec (the one format with no stdlib decoder).
+column), non-nullable multi-type unions, and the zstandard codec
+(the one format with no stdlib decoder).
 """
 
 from __future__ import annotations
@@ -84,6 +91,13 @@ def _avro_type_of(dt, name: str):
     base = _SPARK_TO_AVRO.get(tn)
     if base is not None:
         return base
+    if tn == "decimal":
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     if tn == "struct":
         fields = []
         for f in dt.fields:
@@ -166,6 +180,14 @@ def _spark_type_of(t, named: dict, seen: tuple, name: str):
         if lt == "local-timestamp-micros":
             return T.TimestampNTZType()
         tt = t.get("type")
+        if lt == "decimal" and tt in ("bytes", "fixed"):
+            return T.DecimalType(
+                int(t.get("precision", 38)), int(t.get("scale", 0))
+            )
+        if tt == "enum":
+            return T.StringType()
+        if tt == "fixed":
+            return T.BinaryType()
         if tt == "record":
             rec_name = t.get("name")
             inner_seen = seen + ((rec_name,) if rec_name else ())
@@ -218,6 +240,34 @@ def _is_nested(t) -> bool:
     )
 
 
+def _dec_decimal(v, scale: int):
+    """Avro decimal bytes (big-endian two's-complement unscaled int,
+    per the spec) → decimal.Decimal at the declared scale."""
+    import decimal as _decimal
+
+    return _decimal.Decimal(
+        int.from_bytes(bytes(v), "big", signed=True)
+    ).scaleb(-scale)
+
+
+def _enc_decimal(v, scale: int) -> bytes:
+    """decimal.Decimal (or numeric) → Avro decimal bytes: the unscaled
+    integer at the field's scale, big-endian two's complement, minimal
+    width. Values needing MORE scale than declared fail loudly — the
+    spec forbids silent rounding."""
+    import decimal as _decimal
+
+    d = v if isinstance(v, _decimal.Decimal) else _decimal.Decimal(str(v))
+    q = d.scaleb(scale)
+    unscaled = int(q)
+    if q != unscaled:
+        raise ValueError(
+            f"write_avro_table: decimal {d} does not fit scale {scale}"
+        )
+    width = max(1, (unscaled.bit_length() + 8) // 8)
+    return unscaled.to_bytes(width, "big", signed=True)
+
+
 def _dec_value(v, t, named: dict):
     """One Avro datum → the Spark-facing Python value, recursively:
     logical ints → date/datetime at any depth, records → dicts,
@@ -242,6 +292,8 @@ def _dec_value(v, t, named: dict):
             return _dt.datetime(1970, 1, 1) + _dt.timedelta(
                 milliseconds=int(v)
             )
+        if lt == "decimal":
+            return _dec_decimal(v, int(t.get("scale", 0)))
         tt = t.get("type")
         if tt == "record":
             return {
@@ -285,6 +337,8 @@ def _enc_value(v, t, named: dict):
             return int(pd.Timestamp(v).value // 1_000)
         if lt == "timestamp-millis":
             return int(pd.Timestamp(v).value // 1_000_000)
+        if lt == "decimal":
+            return _enc_decimal(v, int(t.get("scale", 0)))
         tt = t.get("type")
         if tt == "record":
             return {
@@ -298,6 +352,10 @@ def _enc_value(v, t, named: dict):
             return {
                 str(k): _enc_value(x, t["values"], named) for k, x in items
             }
+        if tt == "enum":
+            return str(v)
+        if tt == "fixed":
+            return bytes(v)
         t = tt
     if t == "boolean":
         return bool(v)
@@ -403,6 +461,11 @@ def read_avro_table(spark: SparkSession, directory: str) -> DataFrame:
     names = [f["name"] for f in schema["fields"]]
     logicals = _logical_types(schema)
     ftypes = {f["name"]: f["type"] for f in schema["fields"]}
+    dec_scales = {
+        n: int(_strip_null(ftypes[n], n)[0].get("scale", 0))
+        for n, lt in logicals.items()
+        if lt == "decimal"
+    }
     nested = {
         n: _is_nested(named.get(t, t) if isinstance(t, str) else t)
         for n, t in (
@@ -474,6 +537,15 @@ def read_avro_table(spark: SparkSession, directory: str) -> DataFrame:
                             [_dec_value(v, ftypes[n], named) for v in vals],
                             dtype="object",
                         )
+                    elif lt == "decimal":
+                        sc = dec_scales[n]
+                        cols[n] = pd.Series(
+                            [
+                                None if v is None else _dec_decimal(v, sc)
+                                for v in vals
+                            ],
+                            dtype="object",
+                        )
                     elif lt == "date":
                         cols[n] = pd.to_datetime(
                             pd.Series(vals, dtype="float64"), unit="D"
@@ -503,7 +575,10 @@ def read_avro_table(spark: SparkSession, directory: str) -> DataFrame:
 
 
 def write_avro_table(
-    df: DataFrame, directory: str, codec: str = "deflate"
+    df: DataFrame,
+    directory: str,
+    codec: str = "deflate",
+    field_types: dict | None = None,
 ) -> list[dict]:
     """Write a DataFrame as a directory of Avro container files — one
     file per Spark partition, encoded and written ON the executors
@@ -512,10 +587,42 @@ def write_avro_table(
     visits the driver. Empty partitions write nothing (no empty
     containers to confuse downstream globs); an all-empty frame still
     creates the directory with one empty container so the directory
-    round-trips."""
+    round-trips.
+
+    ``field_types`` maps column name → Avro type dict, overriding the
+    derived type for columns Spark cannot express natively — the same
+    opt-in spark-avro provides via its ``avroSchema`` option. An
+    ``enum`` override requires a string column (symbols validated per
+    datum by the codec — out-of-vocabulary fails loudly); a ``fixed``
+    override requires a binary column (size validated per datum)."""
     from spype_spark.avro_io import _register_names, write_avro
 
     schema = _avro_schema_of(df)
+    if field_types:
+        _OK = {"enum": ("string",), "fixed": ("binary",)}
+        by_name = {f["name"]: f for f in schema["fields"]}
+        spark_tn = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        for col, avro_t in field_types.items():
+            f = by_name.get(col)
+            if f is None:
+                raise ValueError(
+                    f"write_avro_table: field_types names unknown "
+                    f"column {col!r}"
+                )
+            tt = avro_t.get("type") if isinstance(avro_t, dict) else avro_t
+            allowed = _OK.get(tt)
+            if allowed is None or spark_tn[col] not in allowed:
+                raise ValueError(
+                    f"write_avro_table: field_types[{col!r}] = {tt!r} "
+                    f"needs a {'/'.join(allowed) if allowed else '?'} "
+                    f"column, got {spark_tn[col]!r} (only enum←string "
+                    f"and fixed←binary overrides are supported)"
+                )
+            f["type"] = (
+                ["null", avro_t]
+                if isinstance(f["type"], list)
+                else avro_t
+            )
     named: dict = {}
     _register_names(schema, named)
     logicals = _logical_types(schema)
@@ -523,6 +630,11 @@ def write_avro_table(
     ftypes = {f["name"]: f["type"] for f in schema["fields"]}
     nested = {
         n: _is_nested(_strip_null(ftypes[n], n)[0]) for n in names
+    }
+    w_scales = {
+        n: int(_strip_null(ftypes[n], n)[0].get("scale", 0))
+        for n, lt in logicals.items()
+        if lt == "decimal"
     }
     os.makedirs(directory, exist_ok=True)
 
@@ -549,6 +661,8 @@ def write_avro_table(
                         out[n] = None
                     elif pd.isna(v) if not isinstance(v, (bytes, str)) else False:
                         out[n] = None
+                    elif logicals.get(n) == "decimal":
+                        out[n] = _enc_decimal(v, w_scales[n])
                     elif logicals.get(n) == "date":
                         out[n] = (
                             pd.Timestamp(v) - pd.Timestamp("1970-01-01")

@@ -386,3 +386,61 @@ def q_sink_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_sink_avro_typed",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_s,
+           o_orderstatus AS st,
+           md5(CAST(o_orderkey AS VARCHAR)) AS dg_hex
+    FROM orders
+    """,
+)
+def q_sink_avro_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed Avro round trip (round 15 — closing the last three type
+    gates the way spark-avro maps them): Spark ``decimal(12,2)`` ↔
+    the Avro ``decimal`` logical type on bytes (big-endian
+    two's-complement unscaled int per the spec), a string column ↔
+    ``enum`` and a 16-byte binary ↔ ``fixed`` via the
+    ``field_types`` schema override (spark-avro's ``avroSchema``
+    opt-in shape — Spark has no enum/fixed types, so the writer must
+    ask; symbols and size are validated per datum, loud on
+    violation). The result casts the decimal to string and hexes the
+    fixed bytes so the oracle replays the identical values from the
+    source table — a hash match proves the unscaled-int encoding,
+    the symbol-index encoding, and the fixed payload all survived
+    the container cycle exactly."""
+    from spype_spark import avro_table as at
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.col("o_orderstatus").alias("st"),
+        F.unhex(F.md5(F.col("o_orderkey").cast("string"))).alias("dg"),
+    )
+    tmp = _scratch("spype_avro_typed_")
+    try:
+        path = f"{tmp}/orders_typed"
+        at.write_avro_table(
+            o.repartition(4),
+            path,
+            field_types={
+                "st": {
+                    "type": "enum",
+                    "name": "order_status",
+                    "symbols": ["F", "O", "P"],
+                },
+                "dg": {"type": "fixed", "name": "md5_16", "size": 16},
+            },
+        )
+        back = at.read_avro_table(spark, path)
+        return back.select(
+            "o_orderkey",
+            F.col("price").cast("string").alias("price_s"),
+            "st",
+            F.lower(F.hex("dg")).alias("dg_hex"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -65,13 +65,13 @@ def test_avro_table_empty_frame_round_trips(spark, tmp_path):
 
 
 def test_avro_table_out_of_profile_is_loud(spark, tmp_path):
-    # decimals are outside the relational Avro profile (no
-    # bytes-decimal mapping implemented); nested types graduated r14
-    dec = spark.range(3).select(
-        F.col("id").cast("decimal(10,2)").alias("d")
+    # day-time intervals have no Avro mapping (decimals graduated
+    # r15 to the spec's bytes-decimal logical type; nested types r14)
+    iv = spark.range(3).select(
+        F.make_dt_interval(F.lit(0), F.col("id").cast("int")).alias("iv")
     )
     with pytest.raises(ValueError, match="profile"):
-        at.write_avro_table(dec, str(tmp_path / "n"))
+        at.write_avro_table(iv, str(tmp_path / "n"))
     with pytest.raises(ValueError, match="no .avro files"):
         at.read_avro_table(spark, str(tmp_path))
 
@@ -419,3 +419,151 @@ def test_avro_snappy_crc_gate_is_loud(spark, tmp_path):
     open(fp, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="CRC32|snappy|sync"):
         read_avro(fp)
+
+
+def test_avro_decimal_round_trip(spark, tmp_path):
+    """DecimalType ↔ the Avro decimal logical type on bytes (spec:
+    big-endian two's-complement unscaled int at the field's scale) —
+    positive, negative, zero, and NULL, flat AND nested."""
+    import decimal
+
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("d", T.DecimalType(12, 2), True),
+            T.StructField(
+                "s",
+                T.StructType(
+                    [T.StructField("inner", T.DecimalType(8, 3), True)]
+                ),
+                True,
+            ),
+            T.StructField("a", T.ArrayType(T.DecimalType(6, 1), True), True),
+        ]
+    )
+    D = decimal.Decimal
+    rows = [
+        (1, D("12345.67"), (D("1.234"),), [D("9.5"), None]),
+        (2, D("-0.01"), (None,), None),
+        (3, None, None, [D("-99999.9")]),
+        (4, D("0.00"), (D("-7.001"),), []),
+    ]
+    d = str(tmp_path / "dec")
+    at.write_avro_table(spark.createDataFrame(rows, sch), d)
+    back = at.read_avro_table(spark, d)
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        "bigint",
+        "decimal(12,2)",
+        "struct<inner:decimal(8,3)>",
+        "array<decimal(6,1)>",
+    ]
+    got = sorted(back.collect(), key=lambda r: r.k)
+    assert [(r.k, r.d, r.s, r.a) for r in got] == [
+        (1, D("12345.67"), type(got[0].s)(inner=D("1.234")), [D("9.5"), None]),
+        (2, D("-0.01"), type(got[0].s)(inner=None), None),
+        (3, None, None, [D("-99999.9")]),
+        (4, D("0.00"), type(got[0].s)(inner=D("-7.001")), []),
+    ]
+
+
+def test_avro_enum_fixed_round_trip(spark, tmp_path):
+    """enum ↔ string and fixed ↔ binary via the field_types override
+    (the spark-avro avroSchema opt-in shape): symbols survive the
+    index encoding, fixed bytes survive verbatim, NULLs survive the
+    union-with-null wrapper."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(7).select(
+        F.col("id").alias("k"),
+        F.when(
+            F.col("id") % 3 != 2,
+            F.element_at(
+                F.array(F.lit("RED"), F.lit("GREEN")),
+                (F.col("id") % 2 + 1).cast("int"),
+            ),
+        ).alias("color"),
+        F.unhex(F.md5(F.col("id").cast("string"))).alias("dg"),
+    )
+    d = str(tmp_path / "ef")
+    at.write_avro_table(
+        df,
+        d,
+        field_types={
+            "color": {
+                "type": "enum",
+                "name": "color_e",
+                "symbols": ["RED", "GREEN"],
+            },
+            "dg": {"type": "fixed", "name": "md5_16", "size": 16},
+        },
+    )
+    # the writer schema on disk really says enum/fixed
+    import json as _json
+
+    from spype_spark.avro_io import read_avro_schema
+
+    import glob as _glob
+
+    wsch = read_avro_schema(sorted(_glob.glob(d + "/*.avro"))[0])
+    kinds = {
+        f["name"]: (
+            f["type"][1] if isinstance(f["type"], list) else f["type"]
+        )
+        for f in wsch["fields"]
+    }
+    assert kinds["color"]["type"] == "enum"
+    assert kinds["color"]["symbols"] == ["RED", "GREEN"]
+    assert kinds["dg"]["type"] == "fixed" and kinds["dg"]["size"] == 16
+    back = at.read_avro_table(spark, d)
+    assert dict(back.dtypes)["color"] == "string"
+    assert dict(back.dtypes)["dg"] == "binary"
+    exp = {r.k: (r.color, bytes(r.dg)) for r in df.collect()}
+    got = {r.k: (r.color, bytes(r.dg)) for r in back.collect()}
+    assert got == exp
+
+
+def test_avro_enum_fixed_gates_are_loud(spark, tmp_path):
+    """Out-of-vocabulary enum values, wrong-size fixed bytes, a
+    field_types override on a type-mismatched or unknown column, and
+    a decimal that overflows its declared scale all fail loudly."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import PythonException
+
+    loud = (ValueError, Py4JJavaError, PythonException, Exception)
+
+    oov = spark.createDataFrame([("BLUE",)], "c string")
+    with pytest.raises(loud, match="BLUE|union|enum"):
+        at.write_avro_table(
+            oov,
+            str(tmp_path / "a"),
+            field_types={
+                "c": {"type": "enum", "name": "e", "symbols": ["RED"]}
+            },
+        )
+    short = spark.createDataFrame([(b"abc",)], "b binary")
+    with pytest.raises(loud, match="fixed size mismatch"):
+        at.write_avro_table(
+            short,
+            str(tmp_path / "b"),
+            field_types={"b": {"type": "fixed", "name": "f", "size": 16}},
+        )
+    s = spark.createDataFrame([("x",)], "c string")
+    with pytest.raises(ValueError, match="needs a binary"):
+        at.write_avro_table(
+            s,
+            str(tmp_path / "c"),
+            field_types={"c": {"type": "fixed", "name": "f", "size": 4}},
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        at.write_avro_table(
+            s,
+            str(tmp_path / "d"),
+            field_types={"zz": {"type": "enum", "name": "e", "symbols": ["A"]}},
+        )
+    from spype_spark.avro_table import _enc_decimal
+
+    with pytest.raises(ValueError, match="does not fit scale"):
+        _enc_decimal("1.234", 2)
