@@ -834,6 +834,7 @@ class Transaction:
         transforms=_INHERIT,
         pos_deletes=_INHERIT,
         op: dict | None = None,
+        bloom_keys_override: list[str] | None = None,
     ) -> int:
         """Publish a staged manifest at the next free version slot.
         A slot collision (concurrent stager, or a slot orphaned by a
@@ -858,6 +859,7 @@ class Transaction:
         one (full REPLACE, compaction) pass an explicit value."""
         datadir, entries = (None, [])
         base_schema, retired, constraints = None, [], None
+        bloom_keys = None
         if base is not None:
             try:
                 bm = lake._m_load(path, base)
@@ -869,6 +871,7 @@ class Transaction:
             base_schema = bm.get("schema")
             retired = bm.get("retired", [])
             constraints = bm.get("constraints")
+            bloom_keys = bm.get("bloom_keys")
             if transforms is Transaction._INHERIT:
                 transforms = bm.get("transforms")
             if pos_deletes is Transaction._INHERIT:
@@ -881,6 +884,8 @@ class Transaction:
             retired = retired_override
         if constraints_override is not None:
             constraints = constraints_override or None
+        if bloom_keys_override is not None:
+            bloom_keys = bloom_keys_override or None
         if df is not None:
             # same write seam as lake._m_commit: CHECK constraints
             # enforced on the staged rows, then the base's column
@@ -895,6 +900,13 @@ class Transaction:
                 df, pcols, base_schema, retired
             )
             datadir, entries = lake._m_write_files(pdf, path, ppcols)
+            if bloom_keys:
+                # same Bloom stamp seam as lake._m_commit: probe the
+                # new files under their PHYSICAL names, localize after
+                cmap = {l: p for p, l in inv.items()}
+                lake._m_attach_blooms(
+                    path, entries, [cmap.get(c, c) for c in bloom_keys]
+                )
             lake._m_localize_entries(entries, inv)
         elif schema_json is None:
             schema_json = base_schema
@@ -936,6 +948,7 @@ class Transaction:
                         # the change feed skips it at plan time (r15);
                         # every data-mutating verb stays True
                         op=op or {"name": "TXN_COMMIT", "dataChange": True},
+                        bloom_keys=bloom_keys,
                     ),
                 )
             except ConcurrentWriteError:
@@ -1105,15 +1118,21 @@ class Transaction:
         if self._closed:
             raise RuntimeError("transaction already committed or aborted")
 
-    def write(self, df: DataFrame, name: str, partition_by=None) -> int:
+    def write(
+        self, df: DataFrame, name: str, partition_by=None, bloom_keys=None
+    ) -> int:
         """CREATE (or, within the catalog, REPLACE) ``name`` with
         ``df``'s rows — a full new manifest, no carry. ``partition_by``
         accepts the same identity-column / transform-tuple mix as
         :func:`spype_spark.lakehouse.write_table` (hidden
-        partitioning). A REPLACE resets the table's transforms to the
+        partitioning); ``bloom_keys`` opts into per-file Bloom filters
+        exactly as there (a REPLACE resets the opt-in to the new
+        list). A REPLACE resets the table's transforms to the
         NEW spec and clears positional deletion vectors (nothing
         carried can need them)."""
         self._check_open()
+        if isinstance(bloom_keys, str):
+            bloom_keys = [bloom_keys]
         path = self.cat.table_path(name)
         pcols, tfs = lake._norm_partition_spec(partition_by)
         lake._stamp_transforms(df, tfs)
@@ -1128,6 +1147,7 @@ class Transaction:
         v = self._stage(
             df, path, pcols, [], base,
             transforms=tfs or None, pos_deletes=None,
+            bloom_keys_override=list(bloom_keys) if bloom_keys else [],
         )
         self._staged[name] = v
         return v
@@ -1389,7 +1409,7 @@ class Transaction:
         m = lake._m_load(path, base)
         pcols = m.get("partition_by")
         entries = lake._m_entries(path, m)
-        maybe = lake._pred_compile(pred, pcols)
+        maybe = lake._pred_compile(pred, pcols, root=path)
         carry = [e for e in entries if not maybe(e)]
         rewrite = [e for e in entries if maybe(e)]
         keep = ~F.coalesce(lake._pred_column(pred), F.lit(False))
@@ -1458,14 +1478,15 @@ class Transaction:
             {**t, "source": renames.get(t["source"], t["source"])}
             for t in tf
         ]
-        schema_json, pcols, entries, retired, cons = lake._rename_plan(
-            path, m, renames
+        schema_json, pcols, entries, retired, cons, bkeys = (
+            lake._rename_plan(path, m, renames)
         )
         v = self._stage(
             None, path, pcols, entries, base,
             schema_json=schema_json, retired_override=retired,
             constraints_override=cons if cons is not None else {},
             transforms=new_tf or None,
+            bloom_keys_override=bkeys,
         )
         self._staged[name] = v
         return v
@@ -1515,13 +1536,14 @@ class Transaction:
                 "(transform source or hidden column); repartition the "
                 "table to drop them"
             )
-        schema_json, pcols, entries, retired, cons = lake._drop_plan(
-            path, m, cols
+        schema_json, pcols, entries, retired, cons, bkeys = (
+            lake._drop_plan(path, m, cols)
         )
         v = self._stage(
             None, path, pcols, entries, base,
             schema_json=schema_json, retired_override=retired,
             constraints_override=cons if cons is not None else {},
+            bloom_keys_override=bkeys if bkeys is not None else [],
         )
         self._staged[name] = v
         return v

@@ -76,6 +76,7 @@ and O(touched files).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os
@@ -106,6 +107,11 @@ from spype_spark.manifest_log import (  # noqa: F401  (historical aliases)
     m_versions as _m_versions,
     phys as _phys,
     usable_stat_pair as _usable_stat_pair,
+)
+from spype_spark.bloom import (
+    bloom_all_miss as _bloom_all_miss,
+    bloom_build as _bloom_build,
+    bloom_might_contain as _bloom_might_contain,
 )
 
 _VERSION_RE = re.compile(r"^v=(\d+)$")
@@ -610,7 +616,11 @@ def _stamp_transforms(df: DataFrame, transforms: list[dict]) -> None:
 
 
 def write_table(
-    df: DataFrame, path: str, partition_by=None, protocol: str = "manifest"
+    df: DataFrame,
+    path: str,
+    partition_by=None,
+    protocol: str = "manifest",
+    bloom_keys=None,
 ) -> int:
     """Create a table at ``path`` as version 0 (errors if it exists).
 
@@ -632,9 +642,38 @@ def write_table(
     partition tuples; a null partition value falls back to a
     full-snapshot rewrite rather than guessing Hive's default-partition
     encoding.
+
+    ``bloom_keys`` (manifest protocol only; a column name or list)
+    opts the table into per-file BLOOM FILTERS on those columns — the
+    prune material for hash-shaped keys whose [min, max] never
+    refutes anything (see :mod:`spype_spark.bloom`). Every commit
+    that writes data files stamps each new entry's filter; MERGE and
+    the predicate planners consult them the same three-valued way as
+    min/max stats (miss = proof of absence). String and integral
+    columns only — float equality is not a join discipline.
     """
     if protocol not in ("manifest", "posix"):
         raise ValueError(f"unknown protocol {protocol!r}")
+    if isinstance(bloom_keys, str):
+        bloom_keys = [bloom_keys]
+    if bloom_keys:
+        if protocol != "manifest":
+            raise ValueError(
+                "bloom_keys need manifest metadata; posix tables "
+                "carry no per-file entries"
+            )
+        by_name = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        bad = [
+            c
+            for c in bloom_keys
+            if by_name.get(c)
+            not in ("string", "integer", "long", "short", "byte")
+        ]
+        if bad:
+            raise ValueError(
+                f"bloom_keys {sorted(bad)} are missing or not "
+                f"string/integral columns (Bloom key material)"
+            )
     pcols, transforms = _norm_partition_spec(partition_by)
     if transforms and protocol != "manifest":
         raise ValueError(
@@ -655,6 +694,7 @@ def write_table(
         return _m_commit(
             df, path, 0, pcols, [], base=None, transforms=transforms or None,
             op={"name": "WRITE", "dataChange": True},
+            bloom_keys=list(bloom_keys) if bloom_keys else None,
         )
     return _commit_snapshot(df, path, 0, partition_by=pcols)
 
@@ -1086,14 +1126,97 @@ def _m_prepare_write(
     return pdf, ppcols, schema_json, inv
 
 
+def _m_attach_blooms(
+    path: str, entries: list[dict], phys_keys: list[str]
+) -> None:
+    """Stamp each freshly written entry with per-key Bloom filters
+    (see :mod:`spype_spark.bloom`), in place. Reads ONLY the key
+    columns of only the NEW files — O(new data × key width) at commit
+    time, the same cost class as Delta's Bloom index build; at
+    cluster scale the executors report these with the write results
+    (the Iceberg writer-stats model), identical content. Partition
+    columns travel as directory names, not file columns — a bloom key
+    that is also a partition column is skipped (partition pruning
+    already decides it exactly)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    from spype_spark.bloom import BLOOM_INLINE_MAX_BITS
+
+    for e in entries:
+        fp = os.path.join(path, e["path"])
+        pf = pq.ParquetFile(fp)
+        have = set(pf.schema_arrow.names)
+        want = [k for k in phys_keys if k in have]
+        if not want:
+            continue
+        tab = pf.read(columns=want)
+        blooms = {}
+        for k in want:
+            bf = _bloom_build(tab.column(k).to_pylist())
+            if bf is None:
+                continue
+            if bf["m"] > BLOOM_INLINE_MAX_BITS:
+                # big filter → SIDECAR next to its data file (the
+                # Delta-Bloom-index/DV convention: non-parquet bytes
+                # die with their commit dir at GC time); the entry
+                # keeps only the parameters + the table-relative ref
+                stem = os.path.basename(fp).rsplit(".parquet", 1)[0]
+                side = os.path.join(
+                    os.path.dirname(fp), f"{stem}.{k}.bloom"
+                )
+                with open(side, "wb") as f:
+                    f.write(base64.b64decode(bf.pop("b")))
+                bf["ref"] = os.path.relpath(side, path).replace(
+                    os.sep, "/"
+                )
+            blooms[k] = bf
+        if blooms:
+            e["bloom"] = blooms
+
+
+@functools.lru_cache(maxsize=256)
+def _bloom_sidecar_bits(abs_path: str) -> bytes:
+    """Sidecar bitset bytes, LRU-cached by absolute path — sidecars
+    are immutable once written (new commits write new files), so the
+    cache can never serve stale bits."""
+    with open(abs_path, "rb") as f:
+        return f.read()
+
+
+def _bloom_bits_for(bf: dict, root: str | None) -> bytes | None:
+    """Resolve a filter's bitset: inline ``b`` decodes directly; a
+    sidecar ``ref`` reads through the LRU (absolute refs are the
+    shallow-clone cross-root share, exactly as entry paths). None =
+    unresolvable here (no root, or the sidecar vanished) — the probe
+    helpers then return no verdict, never a refutation."""
+    if "b" in bf:
+        import base64
+
+        return base64.b64decode(bf["b"])
+    ref = bf.get("ref")
+    if ref is None:
+        return None
+    ap = ref if os.path.isabs(ref) else (
+        os.path.join(root, ref) if root else None
+    )
+    if ap is None:
+        return None
+    try:
+        return _bloom_sidecar_bits(os.path.abspath(ap))
+    except OSError:
+        return None
+
+
 def _m_localize_entries(entries: list[dict], inv: dict[str, str]) -> None:
-    """Rekey freshly written entries' partition/stats/nulls dicts from
-    physical to logical column names, in place — the invariant that
-    keeps every metadata consumer mapping-free."""
+    """Rekey freshly written entries' partition/stats/nulls/bloom
+    dicts from physical to logical column names, in place — the
+    invariant that keeps every metadata consumer mapping-free."""
     if all(p == l for p, l in inv.items()):
         return
     for e in entries:
-        for k in ("partition", "stats", "nulls"):
+        for k in ("partition", "stats", "nulls", "bloom"):
             if k in e:
                 e[k] = {inv.get(c, c): v for c, v in e[k].items()}
 
@@ -1217,6 +1340,7 @@ def _m_commit(
     transforms: list[dict] | None = None,
     pos_deletes: list[dict] | None = None,
     op: dict | None = None,
+    bloom_keys: list[str] | None = None,
 ) -> int:
     """Commit one manifest version: write ``df``'s rows as new files
     (``df=None`` → carry-only commit), assemble carried + new entries,
@@ -1256,6 +1380,11 @@ def _m_commit(
             # them), while carried files still need theirs; compact
             # and restore override explicitly
             pos_deletes = bm.get("pos_deletes")
+        if bloom_keys is None:
+            # the Bloom opt-in is a table-lifetime property: flow it
+            # forward like constraints so every mutation's new files
+            # get stamped (rename/drop pass the rekeyed list)
+            bloom_keys = bm.get("bloom_keys")
     datadir, entries = (None, [])
     if df is not None:
         _enforce_constraints(df, constraints)
@@ -1269,6 +1398,14 @@ def _m_commit(
             df, pcols, base_schema, retired or []
         )
         datadir, entries = _m_write_files(pdf, path, ppcols)
+        if bloom_keys:
+            # entries are keyed PHYSICALLY until localization below —
+            # probe the files under the physical names, then the
+            # rekey renames the bloom dict with stats/nulls
+            cmap = {l: p for p, l in inv.items()}
+            _m_attach_blooms(
+                path, entries, [cmap.get(c, c) for c in bloom_keys]
+            )
         _m_localize_entries(entries, inv)
         for e in entries:
             e["seq"] = version
@@ -1285,6 +1422,7 @@ def _m_commit(
         transforms=transforms,
         pos_deletes=pos_deletes,
         op=op,
+        bloom_keys=bloom_keys,
     )
     # Stale-base guard: if retention collected our base manifest while
     # we were writing, the carried entries may reference files the GC
@@ -1499,6 +1637,67 @@ def _m_stats_split_keys(
     return carry, rewrite
 
 
+# Above this many distinct update-set values per key, the merge
+# planner stops probing Blooms: the collect would no longer be
+# metadata-sized, and a batch that large is a bulk rewrite, not a
+# point update (the same cliff as IN_SUBQUERY_MAX_KEYS for DPP).
+BLOOM_PROBE_MAX_KEYS = 10_000
+
+
+def _m_bloom_probe_values(
+    updates: DataFrame, keys: list[str], bloom_cols
+) -> dict:
+    """Distinct update-set values for each merge key the table keeps
+    Bloom filters on — the probe material for :func:`_m_bloom_split`.
+    A key whose distinct count exceeds :data:`BLOOM_PROBE_MAX_KEYS`
+    is silently skipped (its collect would be data-sized); returns {}
+    when nothing is probeable, and the caller skips the pass."""
+    out = {}
+    for k in keys:
+        if not bloom_cols or k not in bloom_cols:
+            continue
+        rows = (
+            updates.select(k)
+            .distinct()
+            # metadata-sized collect: distinct update-batch keys,
+            # hard bounded by BLOOM_PROBE_MAX_KEYS (the cap IS the
+            # contract — a bigger batch is a bulk rewrite, pass skips)
+            .limit(BLOOM_PROBE_MAX_KEYS + 1)
+            .collect()
+        )
+        if len(rows) > BLOOM_PROBE_MAX_KEYS:
+            continue
+        out[k] = [r[0] for r in rows]
+    return out
+
+
+def _m_bloom_split(
+    entries: list[dict], values_by_col: dict, root: str | None = None
+) -> tuple[list[dict], list[dict]]:
+    """Bloom file refutation for a MERGE (see :mod:`spype_spark.bloom`):
+    a file provably holds no matched row when, for ANY merge key with
+    a recorded filter, NONE of the update set's values for that key
+    might be in the file (a match equates all keys; Bloom misses are
+    proofs of absence). This is the prune that works where
+    :func:`_m_stats_split_keys` cannot — hash-shaped keys whose
+    per-file [min, max] all span the keyspace. Entries without a
+    filter on any probed key conservatively rewrite."""
+    carry: list[dict] = []
+    rewrite: list[dict] = []
+    for e in entries:
+        blooms = e.get("bloom") or {}
+        refuted = False
+        for k, vals in values_by_col.items():
+            bf = blooms.get(k)
+            if bf is not None and _bloom_all_miss(
+                bf, vals, _bloom_bits_for(bf, root)
+            ):
+                refuted = True
+                break
+        (carry if refuted else rewrite).append(e)
+    return carry, rewrite
+
+
 def _m_update_key_ranges(updates: DataFrame, keys: list[str]) -> dict:
     """One aggregation: the update set's [min, max] per merge key —
     the metadata-sized driver row compound-key pruning refutes files
@@ -1660,7 +1859,7 @@ def _enforce_constraints(df: DataFrame, constraints: dict | None) -> None:
     )
 
 
-def _pred_compile(pred, pcols: list[str] | None):
+def _pred_compile(pred, pcols: list[str] | None, root: str | None = None):
     """Compile a predicate spec ONCE into a closure over entries —
     semantics identical to :func:`_pred_maybe` (which delegates here),
     but the tuple walk, partition-value canonicalization, and leaf
@@ -1672,7 +1871,7 @@ def _pred_compile(pred, pcols: list[str] | None):
     groups)."""
     op = pred[0]
     if op in ("and", "or"):
-        subs = [_pred_compile(p, pcols) for p in pred[1:]]
+        subs = [_pred_compile(p, pcols, root) for p in pred[1:]]
         if op == "and":
             return lambda e: all(s(e) for s in subs)
         return lambda e: any(s(e) for s in subs)
@@ -1720,6 +1919,14 @@ def _pred_compile(pred, pcols: list[str] | None):
                 if rec in part_svals:
                     return True
                 return _norm_part_val(rec) in part_norms
+        if op in ("eq", "in"):
+            # Bloom refutation for equality leaves — identical rule
+            # to _pred_maybe_uncompiled (differential-tested)
+            bf = e.get("bloom", {}).get(col)
+            if bf is not None:
+                vals = pred[2] if op == "in" else [pred[2]]
+                if _bloom_all_miss(bf, vals, _bloom_bits_for(bf, root)):
+                    return False
         st = e.get("stats", {}).get(col)
         if st is None:
             return True
@@ -1748,27 +1955,32 @@ def _pred_compile(pred, pcols: list[str] | None):
     return _leaf
 
 
-def _pred_maybe(entry: dict, pred, pcols: list[str] | None) -> bool:
+def _pred_maybe(
+    entry: dict, pred, pcols: list[str] | None, root: str | None = None
+) -> bool:
     """Three-valued predicate evaluation against ONE manifest entry's
     metadata: False = the file provably holds no matching row (prune
     it), True = it may (keep it). Sound by construction: every leaf
     returns True unless the recorded metadata REFUTES it. One-shot
     convenience over :func:`_pred_compile` — loops over many entries
-    should compile once."""
-    return _pred_compile(pred, pcols)(entry)
+    should compile once. ``root`` resolves sidecar-backed Bloom
+    filters (without it they give no verdict)."""
+    return _pred_compile(pred, pcols, root)(entry)
 
 
-def _pred_maybe_uncompiled(entry: dict, pred, pcols) -> bool:
+def _pred_maybe_uncompiled(entry: dict, pred, pcols, root=None) -> bool:
     """Reference implementation retained for the differential test
     (tests/test_lakehouse.py::test_pred_compile_matches_reference)."""
     op = pred[0]
     if op == "and":
         return all(
-            _pred_maybe_uncompiled(entry, p, pcols) for p in pred[1:]
+            _pred_maybe_uncompiled(entry, p, pcols, root)
+            for p in pred[1:]
         )
     if op == "or":
         return any(
-            _pred_maybe_uncompiled(entry, p, pcols) for p in pred[1:]
+            _pred_maybe_uncompiled(entry, p, pcols, root)
+            for p in pred[1:]
         )
     col = pred[1]
     nulls = entry.get("nulls", {})
@@ -1800,6 +2012,19 @@ def _pred_maybe_uncompiled(entry: dict, pred, pcols) -> bool:
             # discipline as the COW planners)
             recn = _norm_part_val(rec)
             return any(_norm_part_val(s) == recn for s in svals)
+    # Bloom refutation for equality leaves (see spype_spark.bloom):
+    # a membership MISS is a proof of absence — the prune material
+    # for hash-shaped keys whose [min, max] spans the keyspace. A
+    # hit falls through to the range test (both must keep the file).
+    if op in ("eq", "in"):
+        bf = entry.get("bloom", {}).get(col)
+        if bf is not None:
+            vals = pred[2] if op == "in" else [pred[2]]
+            # NULL literals never MATCH an equality, so the verdict
+            # rests on the non-null values alone (bloom_all_miss
+            # skips NULLs and demands at least one real probe)
+            if _bloom_all_miss(bf, vals, _bloom_bits_for(bf, root)):
+                return False
     st = entry.get("stats", {}).get(col)
     if st is None:
         return True
@@ -1954,6 +2179,16 @@ def _m_merge_plan(
             if split is not None:
                 links, rewrite_entries = split
                 carry = carry + links
+            # Bloom refinement on whatever ranges couldn't refute —
+            # the live prune for hash-shaped keys (r15)
+            bvals = _m_bloom_probe_values(
+                updates, keys, m.get("bloom_keys")
+            )
+            if bvals:
+                links, rewrite_entries = _m_bloom_split(
+                    rewrite_entries, bvals, root=path
+                )
+                carry = carry + links
             tgt = _m_apply_deletes(spark, path, rewrite_entries, m)
     elif (
         not pcols
@@ -1979,11 +2214,25 @@ def _m_merge_plan(
         # files would lack the new columns) and a NOT MATCHED BY
         # SOURCE clause must see every target row — both keep the old
         # path.
+        entries_all = _m_entries(path, m)
         split = _m_stats_split_keys(
-            _m_entries(path, m), _m_update_key_ranges(updates, keys)
+            entries_all, _m_update_key_ranges(updates, keys)
         )
-        if split is not None and split[0]:
-            carry, rewrite_entries = split
+        carry0, rewrite_entries = (
+            split if split is not None else ([], entries_all)
+        )
+        # Bloom refinement (r15): runs even when ranges refuted
+        # NOTHING — on a hash-distributed key layout every file's
+        # [min, max] intersects and stats pruning is structurally
+        # blind; the per-file filters are the only possible prune
+        bvals = _m_bloom_probe_values(updates, keys, m.get("bloom_keys"))
+        if bvals:
+            links, rewrite_entries = _m_bloom_split(
+                rewrite_entries, bvals, root=path
+            )
+            carry0 = carry0 + links
+        if carry0:
+            carry = carry0
             tgt = _m_apply_deletes(spark, path, rewrite_entries, m)
     if clauses is not None:
         merged = _merged_frame_full(tgt, updates, keys, **clauses)
@@ -2366,7 +2615,7 @@ def scan_table(
         return _residual(read_table(spark, path, version=v))
     m = _m_load(path, v)
     maybe = (
-        _pred_compile(where, m.get("partition_by"))
+        _pred_compile(where, m.get("partition_by"), root=path)
         if where is not None
         else None
     )
@@ -2716,7 +2965,7 @@ def rename_columns(spark: SparkSession, path: str, renames: dict) -> int:
     new_tf = [
         {**t, "source": renames.get(t["source"], t["source"])} for t in tf
     ]
-    schema_json, new_pcols, entries, retired, cons = _rename_plan(
+    schema_json, new_pcols, entries, retired, cons, bkeys = _rename_plan(
         path, m, renames
     )
     return _m_commit(
@@ -2731,6 +2980,7 @@ def rename_columns(spark: SparkSession, path: str, renames: dict) -> int:
         constraints=cons if cons is not None else {},
         transforms=new_tf,
         op={"name": "RENAME_COLUMNS", "dataChange": False},
+        bloom_keys=bkeys,
     )
 
 
@@ -2740,7 +2990,7 @@ def _rename_plan(
     """Plan a column rename against manifest ``m`` — the shared engine
     behind :func:`rename_columns` and the catalog transaction's staged
     rename. Returns ``(schema_json, partition_by, rekeyed_entries,
-    retired, rekeyed_constraints)``."""
+    retired, rekeyed_constraints, rekeyed_bloom_keys)``."""
     _no_pending_deletes(m, "rename_columns")
     names = [f["name"] for f in m["schema"]["fields"]]
     unknown = [c for c in renames if c not in names]
@@ -2771,7 +3021,7 @@ def _rename_plan(
             **e,
             **{
                 k: {renames.get(c, c): v for c, v in e[k].items()}
-                for k in ("partition", "stats", "nulls")
+                for k in ("partition", "stats", "nulls", "bloom")
                 if k in e
             },
         }
@@ -2780,12 +3030,16 @@ def _rename_plan(
     cons = m.get("constraints")
     if cons:
         cons = {n: _pred_rename(s, renames) for n, s in cons.items()}
+    bkeys = m.get("bloom_keys")
+    if bkeys:
+        bkeys = [renames.get(c, c) for c in bkeys]
     return (
         {**m["schema"], "fields": new_fields},
         new_pcols,
         entries,
         m.get("retired", []),
         cons,
+        bkeys,
     )
 
 
@@ -2820,7 +3074,9 @@ def drop_columns(spark: SparkSession, path: str, cols) -> int:
             "(transform source or hidden column); repartition the "
             "table to drop them"
         )
-    schema_json, pcols, entries, retired, cons = _drop_plan(path, m, cols)
+    schema_json, pcols, entries, retired, cons, bkeys = _drop_plan(
+        path, m, cols
+    )
     return _m_commit(
         None,
         path,
@@ -2832,6 +3088,7 @@ def drop_columns(spark: SparkSession, path: str, cols) -> int:
         retired=retired,
         constraints=cons if cons is not None else {},
         op={"name": "DROP_COLUMNS", "dataChange": False},
+        bloom_keys=bkeys if bkeys is not None else [],
     )
 
 
@@ -2841,8 +3098,9 @@ def _drop_plan(
     """Plan a column drop against manifest ``m`` — shared by
     :func:`drop_columns` and the catalog transaction's staged drop.
     Returns ``(schema_json, partition_by, stripped_entries, retired,
-    constraints)``. Dropping a column a CHECK constraint references is
-    rejected (drop the constraint first)."""
+    constraints, bloom_keys)`` — dropped columns leave the Bloom
+    opt-in list too. Dropping a column a CHECK constraint references
+    is rejected (drop the constraint first)."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     _no_pending_deletes(m, "drop_columns")
     for cname, spec in (m.get("constraints") or {}).items():
@@ -2874,12 +3132,15 @@ def _drop_plan(
             **e,
             **{
                 k: {c: v for c, v in e[k].items() if c not in dropped}
-                for k in ("stats", "nulls")
+                for k in ("stats", "nulls", "bloom")
                 if k in e
             },
         }
         for e in _m_entries(path, m)
     ]
+    bkeys = m.get("bloom_keys")
+    if bkeys:
+        bkeys = [c for c in bkeys if c not in dropped]
     return (
         {
             **m["schema"],
@@ -2889,6 +3150,7 @@ def _drop_plan(
         entries,
         retired,
         m.get("constraints"),
+        bkeys,
     )
 
 
@@ -3540,7 +3802,7 @@ def delete_predicate(spark: SparkSession, path: str, pred) -> int:
     m = _m_load(path, base)
     pcols = m.get("partition_by")
     entries = _m_entries(path, m)
-    maybe = _pred_compile(pred, pcols)
+    maybe = _pred_compile(pred, pcols, root=path)
     carry = [e for e in entries if not maybe(e)]
     rewrite = [e for e in entries if maybe(e)]
     keep = ~F.coalesce(cond, F.lit(False))
@@ -4466,11 +4728,26 @@ def _m_repath_manifest(m: dict, src_root: str, dst_root: str) -> tuple[
     list[dict], list[dict]
 ]:
     """(entries, deletes) of manifest ``m`` with every file path
-    re-expressed for ``dst_root`` (stats/partition/seq preserved)."""
-    entries = [
-        {**e, "path": _m_repath(e["path"], src_root, dst_root)}
-        for e in _m_entries(src_root, m)
-    ]
+    re-expressed for ``dst_root`` (stats/partition/seq preserved);
+    sidecar-backed Bloom refs repath with their data files."""
+
+    def _re(e: dict) -> dict:
+        out = {**e, "path": _m_repath(e["path"], src_root, dst_root)}
+        if "bloom" in e:
+            out["bloom"] = {
+                c: (
+                    {
+                        **bf,
+                        "ref": _m_repath(bf["ref"], src_root, dst_root),
+                    }
+                    if "ref" in bf
+                    else bf
+                )
+                for c, bf in e["bloom"].items()
+            }
+        return out
+
+    entries = [_re(e) for e in _m_entries(src_root, m)]
     dels = [
         {**d, "path": _m_repath(d["path"], src_root, dst_root)}
         for d in m.get("deletes", [])

@@ -485,6 +485,7 @@ def m_manifest(
     transforms: list[dict] | None = None,
     pos_deletes: list[dict] | None = None,
     op: dict | None = None,
+    bloom_keys: list[str] | None = None,
 ) -> dict:
     """Assemble a manifest payload: entries inline while the table is
     small (≤ ``_PART_INLINE_MAX`` files — keeps tiny tables one
@@ -522,6 +523,11 @@ def m_manifest(
         man["transforms"] = transforms
     if pos_deletes:
         man["pos_deletes"] = pos_deletes
+    if bloom_keys:
+        # table-lifetime Bloom opt-in (see spype_spark.bloom): the
+        # columns whose per-file filters every data-writing commit
+        # stamps into its new entries
+        man["bloom_keys"] = list(bloom_keys)
     if len(entries) <= _PART_INLINE_MAX:
         man["files"] = entries
     else:

@@ -4718,3 +4718,112 @@ def q_lake_sql_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_bloom_prune",
+    oracle="""
+    WITH base AS (
+      SELECT md5(CAST(o_orderkey AS VARCHAR)) AS k,
+             o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey < 8000
+    ),
+    upd AS (
+      SELECT md5(CAST(o_orderkey AS VARCHAR)) AS k,
+             o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+      FROM orders WHERE o_orderkey < 4
+    ),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b ANTI JOIN upd u ON b.k = u.k
+    )
+    SELECT k, o_orderkey, o_totalprice FROM merged
+    WHERE k <> md5('1')
+    """,
+)
+def q_lake_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM FILTER pruning on a hash-shaped key (r15 — the
+    prune [min, max] stats are structurally blind to: every file of an
+    md5-keyed table spans the whole keyspace, so range refutation
+    carries nothing and a point MERGE/DELETE would rewrite the entire
+    unpartitioned table). The table opts in with
+    ``write_table(bloom_keys="k")``; each data file's manifest entry
+    then carries a small deterministic filter over its key values
+    (double-hashed md5, ~10 bits/value — Delta's Bloom index /
+    Parquet's column Bloom re-expressed at the manifest layer this
+    engine keeps ALL its prune metadata in), and the planners treat a
+    membership MISS as a proof of absence — exactly as sound as the
+    min/max path, because Bloom filters have no false negatives.
+
+    The contract asserts the PHYSICAL claims mid-flight (an 8-row
+    MERGE against 8 files must carry ≥4 entries untouched; a DELETE
+    of an absent key must read back ZERO data files) and returns the
+    final table for the oracle to replay relationally — merge applied,
+    one real key deleted — proving pruning never changed an answer."""
+    import hashlib
+
+    tmp = _scratch("spype_lake_bloom_")
+    try:
+        path = f"{tmp}/orders_hash"
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 8000)
+            .select(
+                F.md5(F.col("o_orderkey").cast("string")).alias("k"),
+                "o_orderkey",
+                "o_totalprice",
+            )
+            .repartition(8, F.col("k"))
+        )
+        lake.write_table(base, path, bloom_keys="k")
+        ups = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 4)
+            .select(
+                F.md5(F.col("o_orderkey").cast("string")).alias("k"),
+                "o_orderkey",
+                (F.col("o_totalprice") + F.lit(1000.0)).alias(
+                    "o_totalprice"
+                ),
+            )
+        )
+        v1 = lake.merge_upsert(spark, path, ups, keys=["k"])
+        ents = lake._m_entries(path, lake._m_load(path, v1))
+        carried = [e for e in ents if e["seq"] != v1]
+        # ≤3 update keys live in ≤3 of the 8 hash-bucketed files, so
+        # Bloom refutation must carry ≥5 (fpp could cost at most a
+        # hair — the bound leaves it no room on 8 files)
+        if len(carried) < 5:
+            raise AssertionError(
+                f"bloom MERGE pruning carried only {len(carried)} of 8 "
+                f"hash-keyed files — range-blind layout should carry "
+                f"most of them"
+            )
+        # absent key: every file's filter refutes — zero data read-back
+        v2 = lake.delete_predicate(spark, path, ("eq", "k", "f" * 32))
+        ghost = [
+            e
+            for e in lake._m_entries(path, lake._m_load(path, v2))
+            if e["seq"] == v2 and e.get("rows")
+        ]
+        if ghost:
+            raise AssertionError(
+                f"absent-key DELETE read back {len(ghost)} data files "
+                f"despite Bloom refutation"
+            )
+        # present key: only its covering file rewrites
+        k1 = hashlib.md5(b"1").hexdigest()
+        v3 = lake.delete_predicate(spark, path, ("eq", "k", k1))
+        carried3 = [
+            e
+            for e in lake._m_entries(path, lake._m_load(path, v3))
+            if e["seq"] != v3
+        ]
+        if len(carried3) < 4:
+            raise AssertionError(
+                f"point DELETE carried only {len(carried3)} entries"
+            )
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
