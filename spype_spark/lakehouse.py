@@ -4801,6 +4801,7 @@ def create_branch(
         deletes=dels or None,
         retired=m.get("retired"),
         constraints=m.get("constraints"),
+        bloom_keys=m.get("bloom_keys"),
         transforms=m.get("transforms"),
         pos_deletes=_m_repath_pos(m, path, broot) or None,
         op={"name": "CREATE_BRANCH", "dataChange": True},
@@ -4883,6 +4884,7 @@ def publish_branch(path: str, name: str) -> int:
                 deletes=dels or None,
                 retired=bm.get("retired"),
                 constraints=bm.get("constraints"),
+                bloom_keys=bm.get("bloom_keys"),
                 transforms=bm.get("transforms"),
                 pos_deletes=_m_repath_pos(bm, broot, path) or None,
                 op={"name": "PUBLISH_BRANCH", "dataChange": True},
@@ -4991,6 +4993,7 @@ def _publish_rebase(
         entries,
         retired=bm.get("retired"),
         constraints=bm.get("constraints"),
+        bloom_keys=bm.get("bloom_keys"),
         transforms=bm.get("transforms"),
         op={"name": "PUBLISH_BRANCH", "dataChange": True},
     )
@@ -5074,6 +5077,7 @@ def clone_table(path: str, dst: str) -> int:
         deletes=dels or None,
         retired=m.get("retired"),
         constraints=m.get("constraints"),
+        bloom_keys=m.get("bloom_keys"),
         transforms=m.get("transforms"),
         pos_deletes=_m_repath_pos(m, src, dst) or None,
         op={"name": "CLONE", "dataChange": True},

@@ -384,3 +384,48 @@ def test_bloom_sidecar_form(spark, tmp_path):
     ]
     assert new2 == []
     assert lake.read_table(spark, c).count() == 30_000
+
+
+def test_bloom_optin_survives_every_verb(spark, tmp_path):
+    """The opt-in is a table-lifetime property: compaction restamps
+    the packed files, restore / branch / publish / clone keep the
+    manifest-level list (the four direct m_manifest sites)."""
+    import os
+
+    p = str(tmp_path / "t")
+    df = (
+        spark.range(1000)
+        .select(
+            F.md5(F.col("id").cast("string")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        .repartition(4, F.col("k"))
+    )
+    lake.write_table(df, p, bloom_keys="k")
+    v = lake.compact(spark, p)
+    m = lake._m_load(p, v)
+    assert m["bloom_keys"] == ["k"]
+    assert all(
+        "bloom" in e for e in lake._m_entries(p, m) if e.get("rows")
+    )
+    assert lake._m_load(p, lake.restore_table(spark, p, 0))[
+        "bloom_keys"
+    ] == ["k"]
+    br = lake.create_branch(p, "dev")
+    assert lake._m_load(br, lake.latest_version(br))["bloom_keys"] == [
+        "k"
+    ]
+    c = str(tmp_path / "c")
+    lake.clone_table(p, c)
+    assert lake._m_load(c, 0)["bloom_keys"] == ["k"]
+    # a mutation on the branch still stamps (inherit through commit)
+    ups = spark.createDataFrame([("zz", 1)], "k string, v long")
+    bv = lake.merge_upsert(spark, br, ups, keys=["k"])
+    bm = lake._m_load(br, bv)
+    assert bm["bloom_keys"] == ["k"]
+    assert all(
+        "bloom" in e
+        for e in lake._m_entries(br, bm)
+        if e["seq"] == bv and e.get("rows")
+    )
+    assert os  # keep the import honest under linters
