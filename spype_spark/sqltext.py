@@ -610,6 +610,7 @@ _CREATE_RE = re.compile(
     # nested parens (bucket(8, k)) stay inside the spec
     r"^\s*CREATE\s+TABLE\s+" + _TREF.format("tgt")
     + r"(?:\s+PARTITIONED\s+BY\s*\((?P<pspec>.*?)\))?"
+    r"(?:\s+BLOOM\s+KEYS\s*\((?P<bspec>[^)]*)\))?"
     r"\s+AS\s+(?P<body>(?:SELECT|WITH|TABLE)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1000,9 +1001,11 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
     through :func:`lakehouse.append_table` / ``txn.append`` (VALUES
     rows are cast positionally to the table schema, SQL insert
     semantics). ``CREATE TABLE t [PARTITIONED BY (days(ts),
-    bucket(8, k), …)] AS SELECT …`` creates via
+    bucket(8, k), …)] [BLOOM KEYS (k, …)] AS SELECT …`` creates via
     :func:`lakehouse.write_table` / ``txn.write`` with identity
-    columns and Iceberg-style hidden-partition transforms.
+    columns, Iceberg-style hidden-partition transforms, and the
+    per-file Bloom-filter opt-in for hash-shaped keys
+    (:mod:`spype_spark.bloom`).
 
     Migration: ``IMPORT DELTA '<src>' [VERSION AS OF n] INTO '<dst>'
     [MATERIALIZED]`` → :func:`delta_interop.import_delta` (zero-copy
@@ -1187,11 +1190,19 @@ def sql(spark: SparkSession, stmt: str, catalog=None):
             if m.group("pspec") is not None
             else None
         )
+        bkeys = None
+        if m.group("bspec") is not None:
+            bkeys = [c.strip() for c in m.group("bspec").split(",") if c.strip()]
+            bad = [c for c in bkeys if not re.match(r"^\w+$", c)]
+            if bad:
+                raise ValueError(f"unparseable BLOOM KEYS item(s) {bad}")
         ref = _tref(m, "tgt", catalog)
         if m.group("tgt_path") is not None:
-            return lake.write_table(df, ref, partition_by=pby)
+            return lake.write_table(
+                df, ref, partition_by=pby, bloom_keys=bkeys
+            )
         with catalog.transaction(spark) as txn:
-            return txn.write(df, ref, partition_by=pby)
+            return txn.write(df, ref, partition_by=pby, bloom_keys=bkeys)
     if re.match(r"^\s*(SELECT|WITH)\b", stmt, re.IGNORECASE):
         return _sql_resolved(spark, stmt, catalog)
     # not a maintenance/read statement — Spark's own SQL surface

@@ -781,3 +781,38 @@ def test_sql_from_changes_and_avro(spark, tmp_path):
         f"SELECT count(*) AS n, sum(v) AS s FROM AVRO '{apath}'",
     ).collect()
     assert (got[0].n, got[0].s) == (10, 450)
+
+
+def test_sql_create_bloom_keys(spark, tmp_path):
+    """CREATE TABLE … BLOOM KEYS (k) opts the table into per-file
+    Bloom filters through the SQL facade — path tables and catalog
+    tables both; the clause composes with PARTITIONED BY; malformed
+    items stay loud."""
+    import pytest as _pt
+
+    p = str(tmp_path / "bt")
+    spype_spark.sql(spark, f"""
+        CREATE TABLE '{p}' BLOOM KEYS (k) AS
+        SELECT md5(CAST(id AS STRING)) AS k, id AS v FROM range(300)
+    """)
+    m = lake._m_load(p, 0)
+    assert m["bloom_keys"] == ["k"]
+    assert all(
+        "bloom" in e for e in lake._m_entries(p, m) if e.get("rows")
+    )
+    # composes with PARTITIONED BY
+    p2 = str(tmp_path / "bt2")
+    spype_spark.sql(spark, f"""
+        CREATE TABLE '{p2}' PARTITIONED BY (s) BLOOM KEYS (k) AS
+        SELECT md5(CAST(id AS STRING)) AS k,
+               CAST(id % 2 AS STRING) AS s, id AS v
+        FROM range(100)
+    """)
+    m2 = lake._m_load(p2, 0)
+    assert m2["bloom_keys"] == ["k"] and m2["partition_by"] == ["s"]
+    with _pt.raises(ValueError, match="BLOOM KEYS"):
+        spype_spark.sql(
+            spark,
+            f"CREATE TABLE '{str(tmp_path / 'bad')}' "
+            f"BLOOM KEYS (a b) AS SELECT 1 AS x",
+        )
