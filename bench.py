@@ -343,6 +343,70 @@ def _native_cdf_kernel(spark, sf_dir):
     )
 
 
+_BLOOM_TABLE_CACHE: dict = {}
+
+
+def _bloom_prune_kernel(spark, sf_dir):
+    """Bloom point-mutation row (round-15 continuation: the per-file
+    Bloom filters had no wall-clock row): the fixture is orders keyed
+    by md5(o_orderkey) in 32 hash-bucketed files with
+    ``bloom_keys`` — the layout where range stats prune NOTHING — and
+    each timed run pays one 8-key point MERGE (Bloom carries the
+    ~75% of files the keys miss), one absent-key DELETE (a pure
+    metadata commit: every filter refutes, zero data files read), and
+    a count-class read-back. The fixture is cached across runs
+    (point-mutation cost is the claim — it must stay flat as the
+    version chain grows); the mutation keys rotate per run so the
+    merge never degenerates to a no-op rewrite of already-hot files
+    only."""
+    import atexit
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spype_spark import lakehouse as lake
+    from spype_spark.queries.sources_sinks import _scratch
+    from spype_spark.tables import load_table
+
+    path = _BLOOM_TABLE_CACHE.get(sf_dir)
+    if path is None:
+        tmp = _scratch("bench_lake_bloom_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        path = f"{tmp}/orders_hash"
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.md5(F.col("o_orderkey").cast("string")).alias("k"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        lake.write_table(
+            orders.repartition(32, F.col("k")), path, bloom_keys="k"
+        )
+        _BLOOM_TABLE_CACHE[sf_dir] = path
+        _BLOOM_TABLE_CACHE[(sf_dir, "run")] = 0
+    run = _BLOOM_TABLE_CACHE[(sf_dir, "run")] = (
+        _BLOOM_TABLE_CACHE.get((sf_dir, "run"), 0) + 1
+    )
+    keys = [
+        hashlib.md5(str(1 + 7 * (run * 8 + i)).encode()).hexdigest()
+        for i in range(8)
+    ]
+    ups = spark.createDataFrame(
+        [(k, -1, -1.0) for k in keys],
+        "k string, o_orderkey long, o_totalprice double",
+    )
+    lake.merge_upsert(spark, path, ups, keys=["k"])
+    lake.delete_predicate(spark, path, ("eq", "k", "f" * 32))
+    return (
+        lake.read_table(spark, path)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_totalprice").alias("s"),
+        )
+        .localCheckpoint()
+    )
+
+
 #: BASELINE.md rows → registry keys (strings) or direct callables of
 #: (spark, sf_dir). q_events_hourly_agg is the tumbling hourly
 #: aggregate (same shape as the baseline's user×type×hour query).
@@ -405,6 +469,11 @@ BENCH_QUERIES = {
     # change-decode classes as q_lake_cdf_read on the native manifest
     # chain; the pair isolates manifest-vs-Delta-log planning cost:
     "q_lake_cdf_native": _native_cdf_kernel,
+    # round-15 continuation row (totals NOT comparable to earlier
+    # BENCH snapshots; compare per-query): Bloom point-mutation cost
+    # on a hash-keyed table — 8-key MERGE + absent-key DELETE +
+    # count read; the layout range stats cannot prune at all:
+    "q_lake_bloom": _bloom_prune_kernel,
 }
 
 

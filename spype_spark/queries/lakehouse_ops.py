@@ -4827,3 +4827,90 @@ def q_lake_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lake.read_table(spark, path).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_lake_bloom_sql",
+    oracle="""
+    WITH base AS (
+      SELECT md5(CAST(o_orderkey AS VARCHAR)) AS k,
+             o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey < 8000
+    ),
+    upd AS (
+      SELECT md5(CAST(o_orderkey AS VARCHAR)) AS k,
+             o_orderkey, o_totalprice + 500.0 AS o_totalprice
+      FROM orders WHERE o_orderkey < 4
+    )
+    SELECT COALESCE(u.k, b.k) AS k,
+           COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+    FROM base b FULL JOIN upd u ON b.k = u.k
+    """,
+)
+def q_lake_bloom_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom opt-in driven END-TO-END through the SQL facade
+    (r15 — the statement-layer twin of ``q_lake_bloom_prune``, the
+    same pairing discipline as q_lake_merge_upsert/q_lake_sql_merge):
+    ``CREATE TABLE … BLOOM KEYS (k) AS SELECT`` parses the clause
+    into ``write_table(bloom_keys=…)``, and a facade ``MERGE INTO``
+    on a ≤3-key update set is planned through the SAME
+    bloom-refutation path as the API verb — asserted mid-flight by
+    counting carried manifest entries (≥5 of the 8 hash-bucketed
+    files MUST survive untouched; range stats alone carry zero on an
+    md5-keyed layout). The oracle replays the merged state
+    relationally."""
+    from spype_spark.sqltext import sql as lake_sql
+
+    tmp = _scratch("spype_lake_bloomsql_")
+    try:
+        path = f"{tmp}/orders_hash"
+        (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 8000)
+            .select(
+                F.md5(F.col("o_orderkey").cast("string")).alias("k"),
+                "o_orderkey",
+                "o_totalprice",
+            )
+            .repartition(8, F.col("k"))
+            .createOrReplaceTempView("bloom_sql_base")
+        )
+        lake_sql(
+            spark,
+            f"CREATE TABLE '{path}' BLOOM KEYS (k) AS "
+            f"SELECT * FROM bloom_sql_base",
+        )
+        (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") < 4)
+            .select(
+                F.md5(F.col("o_orderkey").cast("string")).alias("k"),
+                "o_orderkey",
+                (F.col("o_totalprice") + F.lit(500.0)).alias(
+                    "o_totalprice"
+                ),
+            )
+            .createOrReplaceTempView("bloom_sql_upd")
+        )
+        lake_sql(
+            spark,
+            f"""
+            MERGE INTO '{path}' AS t
+            USING bloom_sql_upd AS s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+        v = lake.latest_version(path)
+        ents = lake._m_entries(path, lake._m_load(path, v))
+        carried = [e for e in ents if e["seq"] != v]
+        if len(carried) < 5:
+            raise AssertionError(
+                f"facade MERGE carried only {len(carried)} of 8 files "
+                f"— the BLOOM KEYS clause did not reach the planner"
+            )
+        return lake.read_table(spark, path).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
