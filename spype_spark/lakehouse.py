@@ -1127,7 +1127,10 @@ def _m_prepare_write(
 
 
 def _m_attach_blooms(
-    path: str, entries: list[dict], phys_keys: list[str]
+    path: str,
+    entries: list[dict],
+    phys_keys: list[str],
+    inline_only: bool = False,
 ) -> None:
     """Stamp each freshly written entry with per-key Bloom filters
     (see :mod:`spype_spark.bloom`), in place. Reads ONLY the key
@@ -1157,7 +1160,7 @@ def _m_attach_blooms(
             bf = _bloom_build(tab.column(k).to_pylist())
             if bf is None:
                 continue
-            if bf["m"] > BLOOM_INLINE_MAX_BITS:
+            if bf["m"] > BLOOM_INLINE_MAX_BITS and not inline_only:
                 # big filter → SIDECAR next to its data file (the
                 # Delta-Bloom-index/DV convention: non-parquet bytes
                 # die with their commit dir at GC time); the entry
@@ -3251,6 +3254,98 @@ def table_constraints(path: str) -> dict:
     """The table's CHECK constraints, ``{name: predicate spec}``."""
     return dict(
         _m_load(path, latest_version(path)).get("constraints") or {}
+    )
+
+
+def set_bloom_keys(spark: SparkSession, path: str, keys) -> int:
+    """ALTER TABLE ... SET BLOOM KEYS: (re)index an EXISTING table
+    with per-file Bloom filters (see :mod:`spype_spark.bloom`) — the
+    backfill Delta's Bloom index supports and a create-time-only
+    opt-in wouldn't. One commit: every CURRENT entry is stamped with
+    a filter over its values of ``keys`` (reading only the key
+    columns of the live files — O(live data × key width), the same
+    cost class as building any secondary index; at cluster scale the
+    read fans out with the files), ``bloom_keys`` is recorded so
+    every FUTURE data-writing commit keeps stamping, and the change
+    feed skips the commit at plan time (``dataChange=False`` — the
+    live row set is untouched). ``keys=[]`` DROPS the index: filters
+    leave the entries and the opt-in clears. Entries referencing
+    files outside this table's root (shallow-clone shares) keep
+    their filters INLINE rather than writing sidecars into a foreign
+    table's directories. Returns the new version."""
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+    if not _is_manifest_table(path):
+        raise ValueError(
+            f"{path} is not a manifest-protocol table (Bloom filters "
+            "live in manifest entries)"
+        )
+    base = latest_version(path)
+    m = _m_load(path, base)
+    fields = {f["name"]: f for f in m["schema"]["fields"]}
+    pcols = m.get("partition_by") or []
+    _OKT = ("string", "long", "integer", "short", "byte")
+    for c in keys:
+        f = fields.get(c)
+        if f is None or (
+            f["type"] if isinstance(f["type"], str) else None
+        ) not in _OKT:
+            raise ValueError(
+                f"bloom key {c!r} is missing or not a string/integral "
+                f"column (Bloom key material)"
+            )
+        if c in pcols:
+            raise ValueError(
+                f"bloom key {c!r} is a partition column — partition "
+                f"pruning already decides it exactly"
+            )
+    entries = [dict(e) for e in _m_entries(path, m)]
+    for e in entries:
+        e.pop("bloom", None)
+    if keys:
+        phys = {c: _phys(fields[c]) for c in keys}
+        inv = {p: l for l, p in phys.items()}
+        local = [
+            e
+            for e in entries
+            if e.get("rows") and not os.path.isabs(e["path"])
+        ]
+        foreign = [
+            e
+            for e in entries
+            if e.get("rows") and os.path.isabs(e["path"])
+        ]
+        _m_attach_blooms(path, local, [phys[c] for c in keys])
+        _m_attach_blooms(
+            path, foreign, [phys[c] for c in keys], inline_only=True
+        )
+        for e in entries:
+            if "bloom" in e:
+                e["bloom"] = {
+                    inv.get(c, c): bf for c, bf in e["bloom"].items()
+                }
+    return _m_commit(
+        None,
+        path,
+        base + 1,
+        m.get("partition_by"),
+        entries,
+        base=base,
+        schema_json=m["schema"],
+        deletes=m.get("deletes", []),
+        op={
+            "name": "SET_BLOOM_KEYS" if keys else "DROP_BLOOM_KEYS",
+            "dataChange": False,
+        },
+        bloom_keys=keys,
+    )
+
+
+def table_bloom_keys(path: str) -> list[str]:
+    """The table's Bloom-indexed columns (empty when not opted in)."""
+    return list(
+        _m_load(path, latest_version(path)).get("bloom_keys") or []
     )
 
 

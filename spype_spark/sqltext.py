@@ -287,6 +287,12 @@ _ALTER_WIDEN_RE = re.compile(
     + r"\s+ALTER\s+COLUMN\s+(?P<col>\w+)\s+TYPE\s+(?P<typ>\w+)\s*$",
     re.IGNORECASE,
 )
+_ALTER_BLOOM_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+" + _TREF.format("tgt")
+    + r"\s+(?:SET\s+BLOOM\s+KEYS\s*\((?P<bspec>[^)]*)\)"
+    r"|(?P<drop>DROP\s+BLOOM\s+KEYS))\s*$",
+    re.IGNORECASE,
+)
 _ALTER_SPEC_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+" + _TREF.format("tgt")
     + r"\s+SET\s+PARTITION\s+SPEC\s*\((?P<pspec>.*)\)\s*$",
@@ -450,6 +456,23 @@ def _sql_alter(spark: SparkSession, stmt: str, catalog):
             return lake.drop_columns(spark, ref, cols)
         with catalog.transaction(spark) as txn:
             return txn.drop_columns(ref, cols)
+    m = _ALTER_BLOOM_RE.match(stmt)
+    if m:
+        ref = _tref(m, "tgt", catalog)
+        if m.group("tgt_path") is None:
+            raise ValueError(
+                "SET/DROP BLOOM KEYS applies to path tables "
+                "('/path'); catalog tables opt in at CREATE"
+            )
+        if m.group("drop"):
+            return lake.set_bloom_keys(spark, ref, [])
+        bkeys = [
+            c.strip() for c in m.group("bspec").split(",") if c.strip()
+        ]
+        bad = [c for c in bkeys if not re.match(r"^\w+$", c)]
+        if bad:
+            raise ValueError(f"unparseable BLOOM KEYS item(s) {bad}")
+        return lake.set_bloom_keys(spark, ref, bkeys)
     m = _ALTER_WIDEN_RE.match(stmt)
     if m:
         ref = _tref(m, "tgt", catalog)

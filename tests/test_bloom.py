@@ -429,3 +429,99 @@ def test_bloom_optin_survives_every_verb(spark, tmp_path):
         if e["seq"] == bv and e.get("rows")
     )
     assert os  # keep the import honest under linters
+
+
+def test_set_bloom_keys_backfill_and_drop(spark, tmp_path):
+    """ALTER-style backfill: a table created WITHOUT the opt-in gains
+    filters over its existing files in one dataChange=False commit
+    (the change feed must skip it); DROP clears both the opt-in and
+    the entry filters; validation rejects partition columns, missing
+    columns, and non-key-material types."""
+    p = str(tmp_path / "t")
+    df = (
+        spark.range(1500)
+        .select(
+            F.md5(F.col("id").cast("string")).alias("k"),
+            (F.col("id") % 2).cast("string").alias("s"),
+            F.col("id").alias("v"),
+        )
+        .repartition(4, F.col("k"))
+    )
+    lake.write_table(df, p, partition_by=["s"])
+    assert lake.table_bloom_keys(p) == []
+    v = lake.set_bloom_keys(spark, p, "k")
+    assert lake.table_bloom_keys(p) == ["k"]
+    m = lake._m_load(p, v)
+    assert m["op"] == {"name": "SET_BLOOM_KEYS", "dataChange": False}
+    assert all(
+        "bloom" in e for e in lake._m_entries(p, m) if e.get("rows")
+    )
+    # future commits keep stamping
+    ups = spark.createDataFrame(
+        [(_md5(1), "1", -1)], "k string, s string, v long"
+    )
+    v2 = lake.merge_upsert(spark, p, ups, keys=["k"])
+    m2 = lake._m_load(p, v2)
+    assert all(
+        "bloom" in e
+        for e in lake._m_entries(p, m2)
+        if e["seq"] == v2 and e.get("rows")
+    )
+    # validation gates
+    with pytest.raises(ValueError, match="partition column"):
+        lake.set_bloom_keys(spark, p, "s")
+    with pytest.raises(ValueError, match="Bloom key material"):
+        lake.set_bloom_keys(spark, p, "zz")
+    # drop clears
+    v3 = lake.set_bloom_keys(spark, p, [])
+    assert lake.table_bloom_keys(p) == []
+    m3 = lake._m_load(p, v3)
+    assert all("bloom" not in e for e in lake._m_entries(p, m3))
+    assert m3["op"]["name"] == "DROP_BLOOM_KEYS"
+    # contents: the one merged update landed, nothing else moved
+    got = {r.k: r.v for r in lake.read_table(spark, p).collect()}
+    assert len(got) == 1500 and got[_md5(1)] == -1
+
+
+def test_set_bloom_keys_after_rename(spark, tmp_path):
+    """Backfill resolves the LOGICAL name through the frozen physical
+    mapping — indexing a renamed column reads the right file bytes."""
+    p = str(tmp_path / "t")
+    df = spark.range(800).select(
+        F.md5(F.col("id").cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    ).repartition(3, F.col("k"))
+    lake.write_table(df, p)
+    lake.rename_columns(spark, p, {"k": "key"})
+    v = lake.set_bloom_keys(spark, p, "key")
+    m = lake._m_load(p, v)
+    assert m["bloom_keys"] == ["key"]
+    ents = [e for e in lake._m_entries(p, m) if e.get("rows")]
+    assert all("key" in e["bloom"] for e in ents)
+    # and it refutes: absent-key delete reads nothing
+    v2 = lake.delete_predicate(spark, p, ("eq", "key", "f" * 32))
+    ghosts = [
+        e
+        for e in lake._m_entries(p, lake._m_load(p, v2))
+        if e["seq"] == v2 and e.get("rows")
+    ]
+    assert ghosts == []
+
+
+def test_sql_alter_bloom_keys(spark, tmp_path):
+    """ALTER TABLE '<p>' SET BLOOM KEYS (k) / DROP BLOOM KEYS through
+    the statement facade."""
+    from spype_spark.sqltext import sql as lake_sql
+
+    p = str(tmp_path / "t")
+    df = spark.range(500).select(
+        F.md5(F.col("id").cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    lake.write_table(df, p)
+    lake_sql(spark, f"ALTER TABLE '{p}' SET BLOOM KEYS (k)")
+    assert lake.table_bloom_keys(p) == ["k"]
+    lake_sql(spark, f"ALTER TABLE '{p}' DROP BLOOM KEYS")
+    assert lake.table_bloom_keys(p) == []
+    with pytest.raises(ValueError, match="unparseable BLOOM KEYS"):
+        lake_sql(spark, f"ALTER TABLE '{p}' SET BLOOM KEYS (a b)")
