@@ -196,3 +196,16 @@ def bloom_all_miss(bf: dict, values, bits: bytes | None = None) -> bool:
         if all(bits[i >> 3] & (1 << (i & 7)) for i in idxs):
             return False  # one possible hit: the file may hold a match
     return seen
+
+
+# Ship this module's code inside pickled closures — the Python
+# DataSource workers (lake_sink) cannot import spype_spark (the
+# manifest_log/arrow_shape convention).
+try:  # pragma: no cover
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass

@@ -79,6 +79,10 @@ from pyspark.sql.datasource import (
 
 from spype_spark import manifest_log as mlog
 from spype_spark.arrow_shape import shape_batches
+from spype_spark.bloom import (
+    BLOOM_INLINE_MAX_BITS as _BLOOM_INLINE_MAX_BITS,
+    bloom_build as _bloom_build,
+)
 
 FORMAT_NAME = "spype_lake"
 
@@ -112,12 +116,22 @@ def _pv_str(v) -> str:
     return str(v)
 
 
-def _write_task(iterator, path: str, pcols: list[str]) -> _LakeWriteMessage:
+def _write_task(
+    iterator, path: str, pcols: list[str], bloom_keys: list[str] = ()
+) -> _LakeWriteMessage:
     """Executor side: drain the task's record batches, split by
     partition value when the table is partitioned, write one parquet
     file per group under a fresh task-uuid dir, and return the
     manifest entries (footer stats included — writer-reported, the
-    driver never reads data)."""
+    driver never reads data). ``bloom_keys`` (tables opted into
+    per-file Bloom filters, spype_spark.bloom) are stamped HERE, from
+    the in-memory Arrow columns — the zero-extra-read model the
+    engine-side driver stamp only approximates. The bloom helpers are
+    MODULE-level globals (never function-local imports): they ship by
+    value inside the pickled closure, the convention every worker-side
+    path in this module follows."""
+    import base64 as _b64
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -150,13 +164,30 @@ def _write_task(iterator, path: str, pcols: list[str]) -> _LakeWriteMessage:
     for i, (part, sub) in enumerate(groups):
         fp = os.path.join(datadir, f"part-{i:05d}.parquet")
         pq.write_table(sub, fp)
-        entries.append(
-            {
-                "path": os.path.relpath(fp, path).replace(os.sep, "/"),
-                "partition": part,
-                **mlog.m_file_stats(fp),
-            }
-        )
+        entry = {
+            "path": os.path.relpath(fp, path).replace(os.sep, "/"),
+            "partition": part,
+            **mlog.m_file_stats(fp),
+        }
+        blooms = {}
+        for k in bloom_keys or ():
+            if k not in sub.schema.names or not sub.num_rows:
+                continue
+            bf = _bloom_build(sub.column(k).to_pylist())
+            if bf is None:
+                continue
+            if bf["m"] > _BLOOM_INLINE_MAX_BITS:
+                side = os.path.join(datadir, f"part-{i:05d}.{k}.bloom")
+                with open(side, "wb") as bfh:
+                    bfh.write(_b64.b64decode(bf.pop("b")))
+                bf["ref"] = os.path.relpath(side, path).replace(
+                    os.sep, "/"
+                )
+                files.append(side)
+            blooms[k] = bf
+        if blooms:
+            entry["bloom"] = blooms
+        entries.append(entry)
         files.append(fp)
     return _LakeWriteMessage(entries, files)
 
@@ -370,6 +401,8 @@ def _commit_append(
                 "part_summaries": summaries,
                 "part_groups": groupkeys,
             }
+            if m.get("bloom_keys"):
+                man["bloom_keys"] = m["bloom_keys"]
             if deletes:
                 man["deletes"] = deletes
             if m.get("pos_deletes"):
@@ -385,6 +418,7 @@ def _commit_append(
                 deletes=deletes,
                 pos_deletes=m.get("pos_deletes"),
                 op=op,
+                bloom_keys=m.get("bloom_keys"),
             )
         if app_id is not None and batch_id is not None:
             txns[app_id] = batch_id
@@ -414,14 +448,18 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
         pcols: list[str],
         app_id: str,
         merge_keys: list[str] | None = None,
+        bloom_keys: list[str] | None = None,
     ):
         self.path = path
         self.pcols = pcols
         self.app_id = app_id
         self.merge_keys = merge_keys
+        self.bloom_keys = bloom_keys or []
 
     def write(self, iterator):
-        return _write_task(iterator, self.path, self.pcols)
+        return _write_task(
+            iterator, self.path, self.pcols, self.bloom_keys
+        )
 
     def commit(self, messages, batchId):
         _commit_append(
@@ -447,13 +485,17 @@ class _LakeBatchWriter(DataSourceArrowWriter):
         path: str,
         pcols: list[str],
         merge_keys: list[str] | None = None,
+        bloom_keys: list[str] | None = None,
     ):
         self.path = path
         self.pcols = pcols
         self.merge_keys = merge_keys
+        self.bloom_keys = bloom_keys or []
 
     def write(self, iterator):
-        return _write_task(iterator, self.path, self.pcols)
+        return _write_task(
+            iterator, self.path, self.pcols, self.bloom_keys
+        )
 
     def commit(self, messages):
         _commit_append(
@@ -1404,10 +1446,11 @@ class LakeSinkDataSource(DataSource):
                     f"lakehouse.write_table, or pass "
                     f".option('createTableIfAbsent', 'true')"
                 )
-            return path, self._create_v0(path, schema)
+            pcols, bkeys = self._create_v0(path, schema)
+            return path, pcols, bkeys
         m = mlog.m_load(path, max(versions))
         pcols = _check_table_profile(m, schema)
-        return path, pcols
+        return path, pcols, list(m.get("bloom_keys") or [])
 
     def _create_v0(self, path: str, schema) -> list[str]:
         """First-write table creation (the Delta-sink convention): one
@@ -1425,6 +1468,20 @@ class LakeSinkDataSource(DataSource):
                 f"spype_lake sink: partitionedBy columns {bad} not in "
                 f"the stream schema"
             )
+        braw = self.options.get("bloomkeys") or ""
+        bkeys = [c.strip() for c in str(braw).split(",") if c.strip()]
+        tn = {f.name: f.dataType.typeName() for f in schema.fields}
+        badb = [
+            c
+            for c in bkeys
+            if tn.get(c) not in ("string", "long", "integer", "short", "byte")
+            or c in pcols
+        ]
+        if badb:
+            raise ValueError(
+                f"spype_lake sink: bloomKeys columns {badb} are "
+                f"missing, non-string/integral, or partition columns"
+            )
         schema_json = _json.loads(schema.json())
         for f in schema_json["fields"]:
             f["metadata"] = {}
@@ -1436,18 +1493,17 @@ class LakeSinkDataSource(DataSource):
             _json.dump(
                 {"partition_by": pcols or None, "protocol": "manifest"}, f
             )
-        mlog.m_publish(
-            path,
-            0,
-            {
-                "version": 0,
-                "base": None,
-                "schema": schema_json,
-                "partition_by": pcols or None,
-                "files": [],
-            },
-        )
-        return pcols
+        v0 = {
+            "version": 0,
+            "base": None,
+            "schema": schema_json,
+            "partition_by": pcols or None,
+            "files": [],
+        }
+        if bkeys:
+            v0["bloom_keys"] = bkeys
+        mlog.m_publish(path, 0, v0)
+        return pcols, bkeys
 
     def _merge_keys(self, schema) -> list[str] | None:
         """Parse + validate ``.option("mergeKeys", "k1,k2")`` — the
@@ -1472,20 +1528,22 @@ class LakeSinkDataSource(DataSource):
                 "spype_lake sink is APPEND-only — use "
                 "lakehouse.write_table to replace a table"
             )
-        path, pcols = self._prep(schema)
-        return _LakeBatchWriter(path, pcols, self._merge_keys(schema))
+        path, pcols, bkeys = self._prep(schema)
+        return _LakeBatchWriter(
+            path, pcols, self._merge_keys(schema), bkeys
+        )
 
     def streamWriter(self, schema, overwrite):
         if overwrite:
             raise ValueError("spype_lake streaming sink is APPEND-only")
-        path, pcols = self._prep(schema)
+        path, pcols, bkeys = self._prep(schema)
         app_id = (
             self.options.get("txnappid")
             or self.options.get("checkpointlocation")
             or f"spype-lake-{uuid.uuid4().hex}"
         )
         return _LakeStreamWriter(
-            path, pcols, str(app_id), self._merge_keys(schema)
+            path, pcols, str(app_id), self._merge_keys(schema), bkeys
         )
 
 

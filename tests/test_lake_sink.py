@@ -1178,3 +1178,102 @@ def test_cdf_null_float_transitions_and_both_null(reg, tmp_path):
         ],
         key=key,
     ), f"NULL-float diff wrong: {got}"
+
+
+def test_sink_stamps_bloom_filters(reg, tmp_path):
+    """A bloom-opted table fed through the sink gets its filters from
+    the EXECUTOR write tasks (in-memory Arrow columns — zero extra
+    reads), inline or sidecar by size; the manifest keeps the opt-in;
+    an absent-key delete afterwards reads back zero data files. The
+    createTableIfAbsent path honors .option('bloomKeys', …) with the
+    same validation as write_table."""
+    p = str(tmp_path / "t")
+    df = reg.range(30_000).select(
+        F.md5(F.col("id").cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    ).repartition(4, F.col("k"))
+    lake.write_table(df.limit(0), p, bloom_keys="k")
+    df.write.format("spype_lake").option("path", p).mode(
+        "append"
+    ).save()
+    m = lake._m_load(p, lake.latest_version(p))
+    assert m["bloom_keys"] == ["k"]
+    ents = [e for e in lake._m_entries(p, m) if e.get("rows")]
+    assert ents and all("bloom" in e for e in ents)
+    # 4 files × ~7.5k values → sidecar form; sidecars live next to
+    # their data files
+    assert any("ref" in e["bloom"]["k"] for e in ents)
+    for e in ents:
+        bf = e["bloom"]["k"]
+        if "ref" in bf:
+            assert os.path.exists(os.path.join(p, bf["ref"]))
+    v2 = lake.delete_predicate(reg, p, ("eq", "k", "f" * 32))
+    ghosts = [
+        e
+        for e in lake._m_entries(p, lake._m_load(p, v2))
+        if e["seq"] == v2 and e.get("rows")
+    ]
+    assert ghosts == []
+    # create-on-first-write with the option
+    p2 = str(tmp_path / "t2")
+    df.write.format("spype_lake").option("path", p2).option(
+        "createTableIfAbsent", "true"
+    ).option("bloomKeys", "k").mode("append").save()
+    m2 = lake._m_load(p2, lake.latest_version(p2))
+    assert m2["bloom_keys"] == ["k"]
+    assert all(
+        "bloom" in e
+        for e in lake._m_entries(p2, m2)
+        if e.get("rows")
+    )
+    assert lake.read_table(reg, p2).count() == 30_000
+    # option validation is loud
+    p3 = str(tmp_path / "t3")
+    with pytest.raises(Exception, match="bloomKeys"):
+        reg.range(5).select(
+            F.col("id").cast("double").alias("d")
+        ).write.format("spype_lake").option("path", p3).option(
+            "createTableIfAbsent", "true"
+        ).option("bloomKeys", "d").mode("append").save()
+
+
+def test_sink_streaming_stamps_bloom_filters(reg, tmp_path):
+    """The STREAMING half: microbatch commits through the sink stamp
+    filters and keep the opt-in across batches."""
+    import shutil
+    import tempfile
+
+    p = str(tmp_path / "t")
+    lake.write_table(
+        reg.range(0).select(
+            F.md5(F.col("id").cast("string")).alias("k"),
+            F.col("id").alias("v"),
+        ),
+        p,
+        bloom_keys="k",
+    )
+    src = tempfile.mkdtemp(prefix="sink_bloom_src_")
+    ckpt = tempfile.mkdtemp(prefix="sink_bloom_ck_")
+    try:
+        reg.range(500).select(
+            F.md5(F.col("id").cast("string")).alias("k"),
+            F.col("id").alias("v"),
+        ).write.parquet(src, mode="overwrite")
+        q = (
+            reg.readStream.schema("k string, v long")
+            .parquet(src)
+            .writeStream.format("spype_lake")
+            .option("path", p)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        m = lake._m_load(p, lake.latest_version(p))
+        assert m["bloom_keys"] == ["k"]
+        ents = [e for e in lake._m_entries(p, m) if e.get("rows")]
+        assert ents and all("bloom" in e for e in ents)
+        assert lake.read_table(reg, p).count() == 500
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
