@@ -392,12 +392,14 @@ def test_fuzz_iceberg_replication_chain(spark, tmp_path, seed):
 @pytest.mark.parametrize("seed", range(15))
 def test_fuzz_lake_replication_chain(spark, tmp_path, seed):
     """Native→native fuzz (r15): random chains of {append | DV-delete
-    | eq-delete | MERGE-update | key-move | COMPACT} with a drain at a
-    random point. COMPACT commits are dataChange=false — the r15 CDF
-    planner must SKIP them at plan time mid-stream (zero change rows,
-    no keys demanded) while everything around them still mirrors
-    exactly; the final state must equal both the dict model and the
-    source head."""
+    | eq-delete | MERGE-update | key-move | COMPACT | SET/DROP BLOOM
+    KEYS} with a drain at a random point. COMPACT and the bloom
+    (re)index commits are dataChange=false — the r15 CDF planner must
+    SKIP them at plan time mid-stream (zero change rows, no keys
+    demanded) while everything around them still mirrors exactly; the
+    final state must equal both the dict model and the source head.
+    Bloom entries riding the manifests must never disturb the
+    replication apply."""
     from spype_spark.lake_sink import register_lake_sink
     from spype_spark.replicate import replicate_lake_to_lake
 
@@ -418,11 +420,21 @@ def test_fuzz_lake_replication_chain(spark, tmp_path, seed):
 
     for step in range(n_ops):
         op = rng.choice(
-            ["append", "dvdel", "eqdel", "update", "keymove", "compact"]
+            [
+                "append",
+                "dvdel",
+                "eqdel",
+                "update",
+                "keymove",
+                "compact",
+                "bloom",
+            ]
         )
         mod, res = rng.choice([3, 5, 7]), rng.randrange(3)
         hit = [k for k in model if k % mod == res]
-        if op == "append" or (not hit and op != "compact"):
+        if op == "append" or (
+            not hit and op not in ("compact", "bloom")
+        ):
             new = {k: k * 3 for k in range(nxt, nxt + rng.randint(2, 6))}
             nxt += 50
             lake.append_table(spark, src, _kv_df(spark, new))
@@ -461,6 +473,14 @@ def test_fuzz_lake_replication_chain(spark, tmp_path, seed):
                 ["k"],
             )
             model = merged
+        elif op == "bloom":
+            # (re)index or drop: dataChange=false either way — the
+            # feed must skip the commit AND the stamped entries must
+            # ride every later commit without disturbing the apply
+            if lake.table_bloom_keys(src):
+                lake.set_bloom_keys(spark, src, [])
+            else:
+                lake.set_bloom_keys(spark, src, "k")
         else:  # compact: dataChange=false — the feed must skip it
             lake.compact(spark, src)
         if step in drain_after:
