@@ -136,15 +136,35 @@ def bloom_build(values) -> dict | None:
             f"got classes {sorted(str(t) for t in tcs)}"
         )
     m = _size_bits(len(vals))
-    bits = bytearray(m // 8)
-    for v in vals:
-        for idx in _indices(v, m):
-            bits[idx >> 3] |= 1 << (idx & 7)
+    # Vectorized build (r15 opt), byte-identical to the per-value loop:
+    # md5 per distinct value (the only per-value Python step), then the
+    # 7 probe indices and the bit sets in numpy. uint64 wraparound is
+    # harmless — m is a power of two, so (x mod 2^64) mod m == x mod m.
+    import numpy as np
+    tc = tcs.pop()
+    if tc == "s":
+        digs = [hashlib.md5(v.encode("utf-8")).digest() for v in vals]
+    else:
+        digs = [
+            hashlib.md5(str(int(v)).encode("ascii")).digest()
+            for v in vals
+        ]
+    arr = np.frombuffer(b"".join(digs), dtype=">u8").reshape(-1, 2)
+    h1 = np.ascontiguousarray(arr[:, 0])
+    h2 = np.ascontiguousarray(arr[:, 1]) | np.uint64(1)
+    ks = np.arange(_K, dtype=np.uint64)
+    idx = (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(m)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    np.bitwise_or.at(
+        bits,
+        (idx >> np.uint64(3)).ravel().astype(np.int64),
+        (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)).ravel(),
+    )
     return {
         "m": m,
         "k": _K,
-        "t": tcs.pop(),
-        "b": base64.b64encode(bytes(bits)).decode("ascii"),
+        "t": tc,
+        "b": base64.b64encode(bits.tobytes()).decode("ascii"),
     }
 
 

@@ -1142,18 +1142,19 @@ def _m_attach_blooms(
     that is also a partition column is skipped (partition pruning
     already decides it exactly)."""
     import base64
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
     from spype_spark.bloom import BLOOM_INLINE_MAX_BITS
 
-    for e in entries:
+    def _one(e: dict) -> None:
         fp = os.path.join(path, e["path"])
         pf = pq.ParquetFile(fp)
         have = set(pf.schema_arrow.names)
         want = [k for k in phys_keys if k in have]
         if not want:
-            continue
+            return
         tab = pf.read(columns=want)
         blooms = {}
         for k in want:
@@ -1177,6 +1178,18 @@ def _m_attach_blooms(
             blooms[k] = bf
         if blooms:
             e["bloom"] = blooms
+
+    # per-file work is independent; the parquet column reads release
+    # the GIL, so a small thread pool overlaps I/O with the hashing
+    # (r15 opt — the loop was serial driver time per new file)
+    if len(entries) > 1:
+        with ThreadPoolExecutor(
+            max_workers=min(8, len(entries))
+        ) as pool:
+            list(pool.map(_one, entries))
+    else:
+        for e in entries:
+            _one(e)
 
 
 @functools.lru_cache(maxsize=256)
@@ -1306,7 +1319,7 @@ def _m_write_files(
         w.write.partitionBy(*[_SHADOW + c for c in pcols]).parquet(datadir)
     else:
         w.write.parquet(datadir)
-    entries = []
+    found: list[tuple[str, dict]] = []
     for root, _dirs, files in os.walk(datadir):
         for fn in files:
             if not fn.endswith(".parquet"):
@@ -1318,13 +1331,26 @@ def _m_write_files(
                     if seg.startswith(_SHADOW) and "=" in seg:
                         k, v = seg.split("=", 1)
                         part[k[len(_SHADOW):]] = v
-            entries.append(
-                {
-                    "path": os.path.relpath(fp, path).replace(os.sep, "/"),
-                    "partition": part,
-                    **_m_file_stats(fp),
-                }
-            )
+            found.append((fp, part))
+    # footer-stat reads are independent metadata I/O (pyarrow releases
+    # the GIL) — overlap them instead of one driver round-trip per
+    # file (r15 opt); at cluster scale the same numbers come back
+    # with executor write results, as before
+    if len(found) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(found))) as pool:
+            stats = list(pool.map(lambda t: _m_file_stats(t[0]), found))
+    else:
+        stats = [_m_file_stats(fp) for fp, _ in found]
+    entries = [
+        {
+            "path": os.path.relpath(fp, path).replace(os.sep, "/"),
+            "partition": part,
+            **st,
+        }
+        for (fp, part), st in zip(found, stats)
+    ]
     entries.sort(key=lambda e: e["path"])
     return datadir, entries
 
@@ -1389,6 +1415,10 @@ def _m_commit(
             # get stamped (rename/drop pass the rekeyed list)
             bloom_keys = bm.get("bloom_keys")
     datadir, entries = (None, [])
+    if df is None and schema_json is None:
+        # carry-only commit (e.g. a DELETE every file refuted): the
+        # snapshot schema is unchanged — inherit the base's
+        schema_json = base_schema
     if df is not None:
         _enforce_constraints(df, constraints)
         if transforms:
@@ -1714,6 +1744,30 @@ def _m_update_key_ranges(updates: DataFrame, keys: list[str]) -> dict:
         k: (row[f"__lo_{i}"], row[f"__hi_{i}"])
         for i, k in enumerate(keys)
     }
+
+
+def _m_merge_prune_material(
+    updates: DataFrame, keys: list[str], bloom_cols
+) -> tuple[dict, dict]:
+    """The merge planner's prune inputs — per-key [min, max] ranges
+    AND Bloom probe value sets — from as few Spark jobs as possible
+    (r15 opt: previously one agg job for ranges plus one collect per
+    Bloom key). A key whose distinct values were collected for the
+    Bloom probe derives its range from that collect in Python (UTF-8
+    byte order equals code-point order, so Python min/max on str
+    agrees with Spark's binary string ordering; Bloom material is
+    string/integral only); the range aggregation job then runs only
+    for the remaining keys — zero extra jobs for an all-Bloom-keyed
+    merge."""
+    bvals = _m_bloom_probe_values(updates, keys, bloom_cols)
+    ranges: dict = {}
+    uncovered = [k for k in keys if k not in bvals]
+    if uncovered:
+        ranges.update(_m_update_key_ranges(updates, uncovered))
+    for k, vals in bvals.items():
+        nn = [v for v in vals if v is not None]
+        ranges[k] = (min(nn), max(nn)) if nn else (None, None)
+    return ranges, bvals
 
 
 # --- predicate algebra over manifest stats ---------------------------------
@@ -2126,7 +2180,11 @@ def _m_merge_plan(
     ``(merged_df, carry_entries, pcols)`` for the caller to commit."""
     m = _m_load(path, base)
     pcols = m.get("partition_by")
-    tgt = _m_read(spark, path, base)
+    # tgt is built LAZILY (r15 opt): the pruned paths below replace it
+    # with the rewrite-entry subset, so constructing the full-table
+    # DataFrame up front paid one multi-file open (a driver listing
+    # RPC, or a listing job past the discovery threshold) for nothing
+    tgt: DataFrame | None = None
     carry: list[dict] | None = None
     tf = m.get("transforms")
     if tf:
@@ -2158,6 +2216,7 @@ def _m_merge_plan(
         # metadata-sized collect: distinct partition values of the
         # update set ∪ partitions holding matched keys (an update may
         # move a row across partitions — both sides rewrite)
+        tgt = _m_read(spark, path, base)
         touched = {
             tuple(r) for r in updates.select(*pcols).distinct().collect()
         } | {
@@ -2175,18 +2234,17 @@ def _m_merge_plan(
             # file-level refinement INSIDE touched partitions:
             # compound keys prune on the conjunction of per-key
             # ranges (ANY key's range refuting a file refutes the
-            # match — r15, was single-key only)
-            split = _m_stats_split_keys(
-                touched_entries, _m_update_key_ranges(updates, keys)
+            # match — r15, was single-key only); ranges and Bloom
+            # probe values come from one fused job set (r15 opt)
+            ranges, bvals = _m_merge_prune_material(
+                updates, keys, m.get("bloom_keys")
             )
+            split = _m_stats_split_keys(touched_entries, ranges)
             if split is not None:
                 links, rewrite_entries = split
                 carry = carry + links
             # Bloom refinement on whatever ranges couldn't refute —
             # the live prune for hash-shaped keys (r15)
-            bvals = _m_bloom_probe_values(
-                updates, keys, m.get("bloom_keys")
-            )
             if bvals:
                 links, rewrite_entries = _m_bloom_split(
                     rewrite_entries, bvals, root=path
@@ -2218,9 +2276,10 @@ def _m_merge_plan(
         # SOURCE clause must see every target row — both keep the old
         # path.
         entries_all = _m_entries(path, m)
-        split = _m_stats_split_keys(
-            entries_all, _m_update_key_ranges(updates, keys)
+        ranges, bvals = _m_merge_prune_material(
+            updates, keys, m.get("bloom_keys")
         )
+        split = _m_stats_split_keys(entries_all, ranges)
         carry0, rewrite_entries = (
             split if split is not None else ([], entries_all)
         )
@@ -2228,7 +2287,6 @@ def _m_merge_plan(
         # NOTHING — on a hash-distributed key layout every file's
         # [min, max] intersects and stats pruning is structurally
         # blind; the per-file filters are the only possible prune
-        bvals = _m_bloom_probe_values(updates, keys, m.get("bloom_keys"))
         if bvals:
             links, rewrite_entries = _m_bloom_split(
                 rewrite_entries, bvals, root=path
@@ -2237,6 +2295,8 @@ def _m_merge_plan(
         if carry0:
             carry = carry0
             tgt = _m_apply_deletes(spark, path, rewrite_entries, m)
+    if tgt is None:
+        tgt = _m_read(spark, path, base)
     if clauses is not None:
         merged = _merged_frame_full(tgt, updates, keys, **clauses)
     else:
@@ -2274,6 +2334,10 @@ def _m_delete_plan(
         plan = _m_cow_entries(_m_entries(path, m), pcols, touched)
         if plan is not None:
             carry, touched_entries = plan
+            if not touched_entries:
+                # no partition holds a deleted row: carry-only commit,
+                # no write job (r15 opt)
+                return None, carry, pcols, m.get("deletes", [])
             rew = _m_apply_deletes(
                 spark, path, touched_entries, m
             ).filter(keep)
@@ -2305,6 +2369,10 @@ def _m_range_plan(
     if split is None:
         return _m_delete_plan(spark, path, base, between)
     carry, rewrite_entries = split
+    if not rewrite_entries:
+        # every file's range refutes the interval: carry-only commit,
+        # no write job (r15 opt)
+        return None, carry, pcols, m.get("deletes", [])
     keep = ~F.coalesce(between, F.lit(False))
     rew = _m_apply_deletes(spark, path, rewrite_entries, m).filter(
         keep
@@ -3900,8 +3968,14 @@ def delete_predicate(spark: SparkSession, path: str, pred) -> int:
     maybe = _pred_compile(pred, pcols, root=path)
     carry = [e for e in entries if not maybe(e)]
     rewrite = [e for e in entries if maybe(e)]
-    keep = ~F.coalesce(cond, F.lit(False))
-    rew = _m_apply_deletes(spark, path, rewrite, m).filter(keep)
+    # every file refuted → a provable no-op on the data: commit the
+    # carried entries WITHOUT a write job (r15 opt — the empty-frame
+    # write was a full Spark job + task files for zero rows)
+    if not rewrite:
+        rew = None
+    else:
+        keep = ~F.coalesce(cond, F.lit(False))
+        rew = _m_apply_deletes(spark, path, rewrite, m).filter(keep)
     return _m_commit(
         rew, path, base + 1, pcols, carry, base=base,
         deletes=m.get("deletes", []),

@@ -36,6 +36,16 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     # Arrow for pandas_udf / applyInPandas paths.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Manifest-protocol reads open EXPLICIT file lists (the manifest
+    # already knows every path and size) — Spark's default threshold
+    # (32) launches a distributed listing JOB past 32 paths, whose
+    # fixed scheduling latency dwarfs a driver-side stat of a bounded
+    # path list on any filesystem (measured r15: 48-file open 734 ms →
+    # 319 ms). A genuinely huge file list still distributes past the
+    # raised threshold; override with SPYPE_LIST_PARALLEL_THRESHOLD.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": os.environ.get(
+        "SPYPE_LIST_PARALLEL_THRESHOLD", "1024"
+    ),
 }
 
 
