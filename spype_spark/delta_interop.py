@@ -697,7 +697,11 @@ def _dv_positions_df(
         for _fp, dvd in dv_adds
     ]
     if all(c >= 0 for c in cards) and sum(cards) <= _DV_DRIVER_DECODE_THRESHOLD:
-        rows = []
+        import numpy as np
+
+        files: list[str] = []
+        counts: list[int] = []
+        arrs = []
         for (fp, dvd), card in zip(dv_adds, cards):
             pos = deserialize_array64(_load_dv_bytes(table_path, dvd))
             if len(pos) != card:
@@ -705,9 +709,26 @@ def _dv_positions_df(
                     f"deletion vector for {fp} decodes to {len(pos)} "
                     f"positions != cardinality {card}"
                 )
-            rows.extend((fp, int(p)) for p in pos)
+            files.append(fp)
+            counts.append(len(pos))
+            arrs.append(np.asarray(pos, dtype=np.int64))
+        # hand the positions over as ONE Arrow-backed pandas frame: the
+        # per-tuple pickle of createDataFrame(list) costs ~10× more
+        # than the decode itself at the threshold cardinality (r15 opt)
+        pdf = pd.DataFrame(
+            {
+                "__del_file": np.repeat(
+                    np.asarray(files, dtype=object), counts
+                ),
+                "__del_pos": (
+                    np.concatenate(arrs)
+                    if arrs
+                    else np.empty(0, dtype=np.int64)
+                ),
+            }
+        )
         return spark.createDataFrame(
-            rows, "__del_file string, __del_pos long"
+            pdf, "__del_file string, __del_pos long"
         )
     rows = [
         (fp, bytearray(_load_dv_bytes(table_path, dvd)),

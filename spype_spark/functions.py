@@ -233,6 +233,11 @@ def ngram_jaccard_pairs(
             F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
         )
         .distinct()
+        # three consumers (per-doc sizes + both join sides) would each
+        # re-run the explode+distinct without a cut point (r15 opt);
+        # the distinct shingle table IS the inverted index — the
+        # natural materialization at any scale
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

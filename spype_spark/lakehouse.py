@@ -2213,10 +2213,10 @@ def _m_merge_plan(
             raise ValueError(
                 f"updates must carry partition column(s) {missing}"
             )
+        tgt = _m_read(spark, path, base)
         # metadata-sized collect: distinct partition values of the
         # update set ∪ partitions holding matched keys (an update may
         # move a row across partitions — both sides rewrite)
-        tgt = _m_read(spark, path, base)
         touched = {
             tuple(r) for r in updates.select(*pcols).distinct().collect()
         } | {

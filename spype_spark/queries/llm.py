@@ -141,7 +141,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file input → repartition so the shingle explode parallelizes
     d = load_table(spark, sf_dir, "documents").repartition(32)
     cand = minhash_candidates(d, n_hashes=16).select("doc_a", "doc_b")
-    high = ngram_jaccard_pairs(d, min_jaccard=0.5).select("doc_a", "doc_b")
+    # the exact-Jaccard reference feeds both the anti-join and the
+    # inventory aggregate: checkpoint so the posting-list join runs
+    # once (r15 opt; high-pair list is audit-sized)
+    high = (
+        ngram_jaccard_pairs(d, min_jaccard=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     missing = high.join(cand, ["doc_a", "doc_b"], "left_anti")
     stats = high.agg(
         F.count(F.lit(1)).alias("n_high_pairs"),
@@ -400,22 +407,47 @@ def lsh_ann_topk(e: DataFrame, k: int = 3) -> DataFrame:
     with n — and recall amplifies with bands instead of degrading with
     a single wide code.
     """
-    eb = lsh_band_signatures(e, lsh_planes_per_band(e.count()))
-    a = eb.select(
-        F.col("vec_id").alias("src_id"), F.col("emb").alias("emb_a"),
-        "band", "bucket",
+    # Signatures once, WITHOUT the embedding payload (r15 opt, guide
+    # §2.3/§8): the band self-join used to carry both 64-double
+    # embeddings through the exchange and compute the exact dot for
+    # every band collision BEFORE the pair distinct — a pair colliding
+    # in c bands paid the interpreted higher-order dot c times, and
+    # every candidate row was ~1 KB instead of 24 bytes. Now the join
+    # moves (id, band, bucket) only, pairs dedup FIRST, and the exact
+    # re-rank attaches embeddings to each UNIQUE pair once (broadcast
+    # at this fixture; a shuffle join on vec_id at cluster scale —
+    # either way O(unique pairs), not O(band collisions)). The
+    # signature table is checkpointed so its 48 hyperplane dots per
+    # vector evaluate once, not once per join side (same cut-point
+    # rationale as minhash_candidates). Results are identical: the
+    # pair set is unchanged and dot is a function of the pair.
+    sig = (
+        lsh_band_signatures(e, lsh_planes_per_band(e.count()))
+        .select("vec_id", "band", "bucket")
+        .localCheckpoint(eager=False)
     )
-    b = eb.select(
-        F.col("vec_id").alias("nbr_id"), F.col("emb").alias("emb_b"),
-        "band", "bucket",
+    pairs = (
+        sig.select(F.col("vec_id").alias("src_id"), "band", "bucket")
+        .join(
+            sig.select(F.col("vec_id").alias("nbr_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id")
+        .distinct()
     )
     cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("src_id") != F.col("nbr_id"))
+        pairs.join(
+            e.select(F.col("vec_id").alias("src_id"), F.col("emb").alias("emb_a")),
+            "src_id",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("nbr_id"), F.col("emb").alias("emb_b")),
+            "nbr_id",
+        )
         .select(
             "src_id", "nbr_id", _dot_hof(F.col("emb_a"), F.col("emb_b")).alias("dot")
         )
-        .distinct()  # a pair may collide in several bands; dot is identical
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("dot"), F.asc("nbr_id"))
     return (

@@ -238,7 +238,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``selectivity_ok`` (candidate pairs ≤ 100·n_docs; a signature
     collapse that herds everything into few buckets flips it).
     """
-    cand = _simhash_candidates(spark, sf_dir)
+    # candidate pairs and exact-dup pairs each feed two audit branches
+    # (anti-join + count): checkpoint both so the kernel join and the
+    # text self-join run once, not twice (r15 opt; both frames are
+    # pair-list-sized, bounded by the selectivity gate)
+    cand = _simhash_candidates(spark, sf_dir).localCheckpoint(eager=False)
     doc = load_table(spark, sf_dir, "documents")
     a = doc.select(F.col("doc_id").alias("doc_a"), "text")
     b = doc.select(F.col("doc_id").alias("doc_b"), "text")
@@ -246,6 +250,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "text")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
     missing = dup.join(cand, ["doc_a", "doc_b"], "left_anti")
     dup_stats = dup.agg(
@@ -300,7 +305,15 @@ def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"b{j}") * (1 << (j - 16)) for j in range(16, n_bits)),
         start=F.lit(0),
     )
-    sig = sig.select("doc_id", lo.alias("band_lo"), hi.alias("band_hi"))
+    # Materialize the signature table once (r15 opt): it is consumed
+    # by the hot-bucket aggregate and BOTH self-join sides of each of
+    # the two bands — six plan copies of the token explode + 32-bit
+    # aggregation (42 parquet scans in the audit plan) without a cut
+    # point. n_docs × 3 small cols — the same signature-sized cut as
+    # minhash_candidates.
+    sig = sig.select(
+        "doc_id", lo.alias("band_lo"), hi.alias("band_hi")
+    ).localCheckpoint(eager=False)
     from spype_spark.queries.llm import filter_oversized_buckets
 
     pairs = None
