@@ -469,8 +469,9 @@ def pq_encode(
 
 
 def _ivf_ranked(e: DataFrame, n_cells: int) -> DataFrame:
-    """(vec_id, embedding, cell_id, cscore, crank): every vector scored
-    against every centroid, ranked per vector.
+    """(vec_id, cell_id, cscore, crank): every vector scored against
+    every centroid, ranked per vector (metadata-only — consumers join
+    the embedding back by vec_id where a tile needs the payload).
 
     Centroids are the ``n_cells`` lowest vec_ids (deterministic
     seed-set; production k-means has identical plumbing) — a tiny
@@ -492,13 +493,18 @@ def _ivf_ranked(e: DataFrame, n_cells: int) -> DataFrame:
         )
         .select("cell_id", "cent_emb")
     )
+    # Rank on metadata only (r15 opt, guide §2.3/§8): the dot table is
+    # n·n_cells rows, and it used to CARRY the 64-double embedding
+    # through the per-vector rank window — n_cells copies of every
+    # payload through one exchange, for a decision that needs only
+    # (vec_id, cell_id, cscore). Consumers re-attach the embedding by
+    # vec_id where a tile actually needs it.
     scores = e.select(
-        "vec_id", F.col("embedding").alias("emb"), "embedding"
+        "vec_id", F.col("embedding").alias("emb")
     ).join(
         F.broadcast(cents)
     ).select(
         "vec_id",
-        "embedding",
         "cell_id",
         _dot_hof(F.col("emb"), F.col("cent_emb")).alias("cscore"),
     )
@@ -572,8 +578,22 @@ def ivf_ann(
             ).alias(f"emb_{prefix}"),
         )
 
-    assigned = ranked.filter(F.col("crank") == 1).select(
-        "vec_id", "embedding", "cell_id"
+    # Probe decision table: n·nprobe slim rows covering BOTH consumers
+    # (the assignment is its crank==1 subset). Checkpointed (r15 opt)
+    # so the centroid-dot + rank computation runs once, not once per
+    # branch; embeddings are attached by vec_id join per pack — the
+    # payload crosses each pack's exchange once, never the rank window.
+    probe = (
+        ranked.filter(F.col("crank") <= max(nprobe, 1))
+        .select("vec_id", "cell_id", "crank")
+        .localCheckpoint(eager=False)
+    )
+    emb = e.select("vec_id", "embedding")
+    assigned = (
+        probe.filter(F.col("crank") == 1)
+        .select("vec_id", "cell_id")
+        .join(emb, "vec_id")
+        .select("vec_id", "embedding", "cell_id")
     )
     inv = _pack(assigned, "b")
 
@@ -581,9 +601,10 @@ def ivf_ann(
     # GEMM unit per cell, instead of re-shipping the cell tile once per
     # probe row (which would blow the search stage up to |probes|·|cell|)
     qtiles = _pack(
-        ranked.filter(F.col("crank") <= nprobe).select(
-            "vec_id", "embedding", "cell_id"
-        ),
+        probe.filter(F.col("crank") <= nprobe)
+        .select("vec_id", "cell_id")
+        .join(emb, "vec_id")
+        .select("vec_id", "embedding", "cell_id"),
         "a",
     )
     search_units = qtiles.join(inv, "cell_id").repartition(n_cells, "cell_id")
@@ -674,8 +695,16 @@ def ivf_pq_ann(
 
     codes = pq_codes(e, n_subspaces, n_codes, dim)
 
+    # same probe-table discipline as ivf_ann (r15 opt): slim decision
+    # rows checkpointed once, payloads (codes / embeddings) attached by
+    # vec_id join per consumer
+    probe = (
+        ranked.filter(F.col("crank") <= max(nprobe, 1))
+        .select("vec_id", "cell_id", "crank")
+        .localCheckpoint(eager=False)
+    )
     inv = (
-        ranked.filter(F.col("crank") == 1)
+        probe.filter(F.col("crank") == 1)
         .select("vec_id", "cell_id")
         .join(codes, "vec_id")
         .groupBy("cell_id")
@@ -693,7 +722,9 @@ def ivf_pq_ann(
         )
     )
     qtiles = (
-        ranked.filter(F.col("crank") <= nprobe)
+        probe.filter(F.col("crank") <= nprobe)
+        .select("vec_id", "cell_id")
+        .join(e.select("vec_id", "embedding"), "vec_id")
         .select("vec_id", "embedding", "cell_id")
         .groupBy("cell_id")
         .agg(

@@ -605,6 +605,163 @@ def _write_datum(out: bytearray, schema, datum, named: dict) -> None:
         raise ValueError(f"unsupported Avro type {t!r}")
 
 
+def _compile_writer(schema, named: dict, memo: dict | None = None):
+    """Schema-compiled datum encoder: returns ``f(out, datum)`` that
+    writes byte-identical output to :func:`_write_datum`.
+
+    The interpreted walker re-resolves the schema node, re-matches the
+    union branch and re-dispatches on the type string for EVERY datum —
+    ~19 dict/isinstance dispatches per row at the nested contract
+    fixtures (profiled: 2.85 M ``_write_datum`` calls for 150 k rows,
+    55 % of the write). Compiling once per schema moves all of that to
+    closure-construction time; per datum only the value work remains
+    (zigzag varints, utf-8 encodes, struct packs). Error semantics are
+    the walker's: same messages for missing union branch / fixed size
+    mismatch / missing record field, and ``enum`` still raises through
+    ``list.index`` on out-of-vocabulary symbols. ``memo`` carries
+    named-type trampolines so references compile once (and recursive
+    references terminate — though the writers above gate those loudly).
+    """
+    if memo is None:
+        memo = {}
+    if isinstance(schema, str) and schema in named:
+        if schema in memo:
+            return memo[schema]
+        return _compile_writer(named[schema], named, memo)
+    sch = _resolve(schema, named)
+    if isinstance(sch, list):  # union: same branch choice as the walker
+        null_i = None
+        nn_i = None
+        nn_enc = None
+        for i, s in enumerate(sch):
+            st = s if isinstance(s, str) else _resolve(s, named).get("type", s)
+            if st == "null":
+                if null_i is None:
+                    null_i = i
+            elif nn_i is None:
+                nn_i = i
+                nn_enc = _compile_writer(s, named, memo)
+        usch = sch
+
+        def enc_union(out, d, _wl=_write_long):
+            if d is None:
+                if null_i is None:
+                    raise ValueError(f"no union branch for {d!r} in {usch}")
+                _wl(out, null_i)
+            else:
+                if nn_i is None:
+                    raise ValueError(f"no union branch for {d!r} in {usch}")
+                _wl(out, nn_i)
+                nn_enc(out, d)
+
+        return enc_union
+    t = sch if isinstance(sch, str) else sch["type"]
+    if isinstance(t, (list, dict)):
+        return _compile_writer(t, named, memo)
+    if t == "null":
+        return lambda out, d: None
+    if t == "boolean":
+        return lambda out, d: out.append(1 if d else 0)
+    if t in ("int", "long"):
+        def enc_long(out, d, _wl=_write_long):
+            _wl(out, int(d))
+
+        return enc_long
+    if t == "float":
+        def enc_float(out, d, _pk=struct.pack):
+            out += _pk("<f", float(d))
+
+        return enc_float
+    if t == "double":
+        def enc_double(out, d, _pk=struct.pack):
+            out += _pk("<d", float(d))
+
+        return enc_double
+    if t == "bytes":
+        def enc_bytes(out, d, _wl=_write_long):
+            b = bytes(d)
+            _wl(out, len(b))
+            out += b
+
+        return enc_bytes
+    if t == "string":
+        def enc_string(out, d, _wl=_write_long):
+            b = str(d).encode("utf-8")
+            _wl(out, len(b))
+            out += b
+
+        return enc_string
+    if t == "fixed":
+        size = int(sch["size"])
+
+        def enc_fixed(out, d):
+            if len(d) != size:
+                raise ValueError("fixed size mismatch")
+            out += bytes(d)
+
+        return enc_fixed
+    if t == "enum":
+        symbols = sch["symbols"]
+
+        def enc_enum(out, d, _wl=_write_long):
+            _wl(out, symbols.index(d))
+
+        return enc_enum
+    if t == "array":
+        ie = _compile_writer(sch["items"], named, memo)
+
+        def enc_array(out, d, _wl=_write_long):
+            if d:
+                _wl(out, len(d))
+                for item in d:
+                    ie(out, item)
+            _wl(out, 0)
+
+        return enc_array
+    if t == "map":
+        ve = _compile_writer(sch["values"], named, memo)
+
+        def enc_map(out, d, _wl=_write_long, _wb=_write_bytes):
+            if d:
+                _wl(out, len(d))
+                for k, v in d.items():
+                    _wb(out, str(k).encode("utf-8"))
+                    ve(out, v)
+            _wl(out, 0)
+
+        return enc_map
+    if t == "record":
+        name = sch.get("name")
+        if name:
+            named.setdefault(name, sch)
+            slot: list = []
+
+            def trampoline(out, d):
+                slot[0](out, d)
+
+            memo[name] = trampoline
+        fields = tuple(
+            (
+                f["name"],
+                "default" in f,
+                f.get("default"),
+                _compile_writer(f["type"], named, memo),
+            )
+            for f in sch["fields"]
+        )
+
+        def enc_record(out, d):
+            for fn, has_def, dflt, fe in fields:
+                if fn not in d and not has_def:
+                    raise ValueError(f"record missing field {fn!r}")
+                fe(out, d.get(fn, dflt))
+
+        if name:
+            slot.append(enc_record)
+        return enc_record
+    raise ValueError(f"unsupported Avro type {t!r}")
+
+
 def write_avro(
     path: str,
     schema: dict,
@@ -621,8 +778,9 @@ def write_avro(
     named: dict = {}
     _register_names(schema, named)
     body = bytearray()
+    enc = _compile_writer(schema, named)  # r15 opt: see _compile_writer
     for r in records:
-        _write_datum(body, schema, r, named)
+        enc(body, r)
     payload = bytes(body)
     if codec == "deflate":
         co = zlib.compressobj(6, zlib.DEFLATED, -15)

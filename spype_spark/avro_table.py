@@ -641,48 +641,52 @@ def write_avro_table(
     def encode(batches):
         import pandas as pd
 
+        def col_values(s: "pd.Series", n: str) -> list:
+            # Column-level conversion (r15 opt): the old per-row loop
+            # re-dispatched on the field's logical/nested class for
+            # every CELL (to_dict(records) + an isinstance chain per
+            # value). One dispatch per column + a vectorized isna mask
+            # gives identical values: s.isna() marks exactly the
+            # None/NaN/NaT cells the old chain nulled (bytes/str are
+            # never na), and .tolist() pre-coerces numpy scalars to the
+            # Python types the old bool/bytes/str/float/int arms
+            # produced.
+            if nested[n]:
+                # NaN marks a NULL container (pandas has no None for
+                # struct/array/map cells)
+                ft = ftypes[n]
+                return [
+                    None
+                    if v is None or (isinstance(v, float) and pd.isna(v))
+                    else _enc_value(v, ft, named)
+                    for v in s
+                ]
+            mask = s.isna().tolist()
+            vals = s.tolist()
+            lt = logicals.get(n)
+            if lt == "decimal":
+                sc = w_scales[n]
+                return [
+                    None if m else _enc_decimal(v, sc)
+                    for v, m in zip(vals, mask)
+                ]
+            if lt == "date":
+                epoch = pd.Timestamp("1970-01-01")
+                return [
+                    None if m else (pd.Timestamp(v) - epoch).days
+                    for v, m in zip(vals, mask)
+                ]
+            if lt in ("timestamp-micros", "local-timestamp-micros"):
+                return [
+                    None if m else int(pd.Timestamp(v).value // 1_000)
+                    for v, m in zip(vals, mask)
+                ]
+            return [None if m else v for v, m in zip(vals, mask)]
+
         rows: list[dict] = []
         for pdf in batches:
-            for rec in pdf.to_dict(orient="records"):
-                out = {}
-                for n in names:
-                    v = rec.get(n)
-                    if nested[n]:
-                        # NaN marks a NULL container (pandas has no
-                        # None for struct/array/map cells)
-                        if v is None or (
-                            isinstance(v, float) and pd.isna(v)
-                        ):
-                            out[n] = None
-                        else:
-                            out[n] = _enc_value(v, ftypes[n], named)
-                        continue
-                    if v is None or (isinstance(v, float) and pd.isna(v)):
-                        out[n] = None
-                    elif pd.isna(v) if not isinstance(v, (bytes, str)) else False:
-                        out[n] = None
-                    elif logicals.get(n) == "decimal":
-                        out[n] = _enc_decimal(v, w_scales[n])
-                    elif logicals.get(n) == "date":
-                        out[n] = (
-                            pd.Timestamp(v) - pd.Timestamp("1970-01-01")
-                        ).days
-                    elif logicals.get(n) in (
-                        "timestamp-micros",
-                        "local-timestamp-micros",
-                    ):
-                        out[n] = int(pd.Timestamp(v).value // 1_000)
-                    elif isinstance(v, (bool,)):
-                        out[n] = bool(v)
-                    elif isinstance(v, bytes):
-                        out[n] = v
-                    elif isinstance(v, str):
-                        out[n] = v
-                    elif isinstance(v, float):
-                        out[n] = float(v)
-                    else:
-                        out[n] = int(v)
-                rows.append(out)
+            cols = [col_values(pdf[n], n) for n in names]
+            rows.extend(dict(zip(names, tup)) for tup in zip(*cols))
         if rows:
             fp = os.path.join(directory, f"part-{uuid.uuid4().hex}.avro")
             write_avro(fp, schema, rows, codec=codec)

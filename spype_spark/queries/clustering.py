@@ -218,7 +218,13 @@ def kmeans_assign(
         "cell_id",
         "cent",
         F.sqrt(_dot_hof(F.col("cent"), F.col("cent"))).alias("nrm"),
-    )
+    # k rows. Cut the lineage (r15 opt): round 2 consumes n1 through
+    # TWO branches (cents + norms), each of which would otherwise
+    # embed the whole round-1 GEMM + centroid-update subtree — the
+    # final plan ran the round-1 assignment twice and the plan carried
+    # 3 MapInPandas GEMM passes for a 2-round Lloyd. With the cut the
+    # executed work is exactly one GEMM per round.
+    ).localCheckpoint(eager=False)
 
     # round 2: cosine against the updated (non-unit) centroids.
     a2 = centroid_assign(

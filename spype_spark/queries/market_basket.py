@@ -74,23 +74,43 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    bi = (
+    # ONE shuffle builds the whole transaction list (r15 opt): group
+    # the basket's items directly — collect_set dedups, so the old
+    # separate DISTINCT exchange disappears — and expand the ≤C(25,2)
+    # per-basket pairs IN-ROW with array HOFs instead of a basket-key
+    # self-join. The old shape re-ran scan+join+distinct in FOUR plan
+    # branches (n_baskets, supports, both self-join sides — 22
+    # Exchanges); now every consumer reads the checkpointed per-basket
+    # item arrays (n_orders rows, ≤25 items each). Pair multiset is
+    # identical: sorted distinct items, x<y pairs once per basket.
+    baskets = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("basket"))
+        .agg(F.sort_array(F.collect_set(F.col("p_brand"))).alias("items"))
+        .localCheckpoint(eager=False)
     )
-    nb = bi.agg(F.countDistinct("basket").cast("bigint").alias("n_baskets"))
-    supp = bi.groupBy("item").agg(F.count("*").cast("bigint").alias("c"))
-    a = bi.alias("a")
-    b = bi.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.basket") == F.col("b.basket"))
-            & (F.col("a.item") < F.col("b.item")),
+    nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    supp = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("items"), i + F.lit(2), F.size(F.col("items"))
+                ),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
         )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("pr"))
         .groupBy(
-            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+            F.col("pr.item_a").alias("item_a"),
+            F.col("pr.item_b").alias("item_b"),
         )
         .agg(F.count("*").cast("bigint").alias("support"))
     )

@@ -567,3 +567,83 @@ def test_avro_enum_fixed_gates_are_loud(spark, tmp_path):
 
     with pytest.raises(ValueError, match="does not fit scale"):
         _enc_decimal("1.234", 2)
+
+
+def test_compiled_writer_bytes_match_walker():
+    """The r15 schema-compiled encoder must produce byte-identical
+    output to the interpreted ``_write_datum`` walker on every type
+    class (unions, nesting, logical types, enum/fixed, defaults) —
+    the container write path switched to it for speed only."""
+    from spype_spark.avro_io import (
+        _compile_writer,
+        _register_names,
+        _write_datum,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "gnarly",
+        "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "flag", "type": "boolean"},
+            {"name": "ratio", "type": ["null", "double"]},
+            {"name": "f32", "type": "float"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "raw", "type": ["null", "bytes"]},
+            {"name": "st", "type": ["null", {
+                "type": "enum", "name": "st_e", "symbols": ["A", "B"]}]},
+            {"name": "dg", "type": ["null", {
+                "type": "fixed", "name": "dg_f", "size": 4}]},
+            {"name": "dec", "type": ["null", {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 12, "scale": 2}]},
+            {"name": "arr", "type": ["null", {
+                "type": "array", "items": ["null", "double"]}]},
+            {"name": "mp", "type": ["null", {
+                "type": "map", "values": ["null", "string"]}]},
+            {"name": "rec", "type": ["null", {
+                "type": "record", "name": "inner", "fields": [
+                    {"name": "a", "type": ["null", "long"]},
+                    {"name": "b", "type": "string",
+                     "default": "dflt"},
+                ]}]},
+        ],
+    }
+    rows = [
+        {"id": 1, "flag": True, "ratio": 2.5, "f32": 1.25, "name": "x",
+         "raw": b"\x00\x01", "st": "B", "dg": b"abcd",
+         "dec": b"\x04\xd2", "arr": [1.0, None, -3.5],
+         "mp": {"k1": "v1", "k2": None},
+         "rec": {"a": 7, "b": "bb"}},
+        {"id": None, "flag": False, "ratio": None, "f32": -0.0,
+         "name": None, "raw": None, "st": None, "dg": None, "dec": None,
+         "arr": [], "mp": {}, "rec": {"a": None}},  # rec.b via default
+        {"id": -(2**62), "flag": True, "ratio": float("inf"),
+         "f32": 3.0, "name": "émoji ✓", "raw": b"", "st": "A",
+         "dg": b"zzzz", "dec": b"\xff", "arr": None, "mp": None,
+         "rec": None},
+    ]
+    named_w: dict = {}
+    _register_names(schema, named_w)
+    walker = bytearray()
+    for r in rows:
+        _write_datum(walker, schema, r, named_w)
+    named_c: dict = {}
+    _register_names(schema, named_c)
+    enc = _compile_writer(schema, named_c)
+    compiled = bytearray()
+    for r in rows:
+        enc(compiled, r)
+    assert bytes(compiled) == bytes(walker)
+
+    # error parity: missing union branch, fixed size, missing field
+    import pytest as _pt
+
+    bad_fixed = dict(rows[0], dg=b"toolong!")
+    b1 = bytearray()
+    with _pt.raises(ValueError, match="fixed size mismatch"):
+        enc(b1, bad_fixed)
+    no_field = {k: v for k, v in rows[0].items() if k != "flag"}
+    b2 = bytearray()
+    with _pt.raises(ValueError, match="missing field 'flag'"):
+        enc(b2, no_field)
