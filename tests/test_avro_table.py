@@ -647,3 +647,84 @@ def test_compiled_writer_bytes_match_walker():
     b2 = bytearray()
     with _pt.raises(ValueError, match="missing field 'flag'"):
         enc(b2, no_field)
+
+
+def test_compiled_reader_values_match_walker():
+    """The r15 schema-compiled decoder must produce identical values
+    to the interpreted ``_read_datum`` walker — the container read
+    path switched to it for speed only. Round-trips the same gnarly
+    schema as the writer parity test and decodes the bytes both ways."""
+    import io as _io
+
+    from spype_spark.avro_io import (
+        _compile_reader,
+        _compile_writer,
+        _read_datum,
+        _register_names,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "gnarly2",
+        "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "flag", "type": "boolean"},
+            {"name": "ratio", "type": ["null", "double"]},
+            {"name": "f32", "type": "float"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "raw", "type": ["null", "bytes"]},
+            {"name": "st", "type": ["null", {
+                "type": "enum", "name": "st_e2", "symbols": ["A", "B"]}]},
+            {"name": "dg", "type": ["null", {
+                "type": "fixed", "name": "dg_f2", "size": 4}]},
+            {"name": "arr", "type": ["null", {
+                "type": "array", "items": ["null", "double"]}]},
+            {"name": "mp", "type": ["null", {
+                "type": "map", "values": ["null", "string"]}]},
+            {"name": "rec", "type": ["null", {
+                "type": "record", "name": "inner2", "fields": [
+                    {"name": "a", "type": ["null", "long"]},
+                ]}]},
+        ],
+    }
+    rows = [
+        {"id": 1, "flag": True, "ratio": 2.5, "f32": 1.25, "name": "x",
+         "raw": b"\x00\x01", "st": "B", "dg": b"abcd",
+         "arr": [1.0, None, -3.5], "mp": {"k1": "v1", "k2": None},
+         "rec": {"a": 7}},
+        {"id": None, "flag": False, "ratio": None, "f32": -0.5,
+         "name": "émoji ✓", "raw": None, "st": None, "dg": None,
+         "arr": [], "mp": {}, "rec": None},
+        {"id": -(2**62), "flag": True, "ratio": -0.0, "f32": 2.0,
+         "name": None, "raw": b"", "st": "A", "dg": b"zzzz",
+         "arr": None, "mp": None, "rec": {"a": None}},
+    ]
+    named: dict = {}
+    _register_names(schema, named)
+    body = bytearray()
+    enc = _compile_writer(schema, named)
+    for r in rows:
+        enc(body, r)
+    data = bytes(body)
+
+    named_r: dict = {}
+    _register_names(schema, named_r)
+    buf = _io.BytesIO(data)
+    walked = [_read_datum(buf, schema, named_r) for _ in rows]
+
+    named_c: dict = {}
+    _register_names(schema, named_c)
+    dec = _compile_reader(schema, named_c)
+    pos = 0
+    compiled = []
+    for _ in rows:
+        v, pos = dec(data, pos)
+        compiled.append(v)
+    assert compiled == walked
+    assert pos == len(data)  # identical byte consumption
+
+    # error parity: truncated input surfaces the walker's message
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="truncated Avro"):
+        dec(data[: len(data) // 2], pos=len(data) // 2 - 1)
