@@ -1860,7 +1860,12 @@ def delta_update_rows(
     pcols = list(meta.get("partitionColumns") or [])
     scan = _scan_adds(spark, path, meta, adds)
     hit = F.coalesce(condition, F.lit(False))
-    pre = scan.filter(hit)
+    # matched rows materialize ONCE (r15 opt): pre feeds the rewrite
+    # union AND both CDC branches — without the cut the data-file job
+    # and the CDC-file job re-scanned the table three times between
+    # them (rewrite scan + pre + post); now the table scans once per
+    # job and the pre/post branches read the checkpointed matched set
+    pre = scan.filter(hit).localCheckpoint(eager=False)
     post = pre.withColumns(assignments)
     if post.columns != scan.columns:
         raise ValueError("assignments must not add or reorder columns")
