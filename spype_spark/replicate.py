@@ -224,9 +224,19 @@ def apply_iceberg_batch(
         if not exists:
             lake.write_table(upserts, lake_path)
             continue
-        if deletes.limit(1).count():
+        # ONE aggregation decides which verbs this snapshot needs
+        # (was: two limit(1).count() probe jobs per snapshot — the
+        # apply_cdf_batch fix's Iceberg twin, r15)
+        counts = {
+            r["_change_type"]: r["n"]
+            # metadata-sized collect: one row per _change_type (≤ 2)
+            for r in ch.groupBy("_change_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if counts.get("delete", 0) > 0:
             lake.delete_keys(spark, lake_path, deletes)
-        if upserts.limit(1).count():
+        if counts.get("insert", 0) > 0:
             lake.merge_upsert(spark, lake_path, upserts, keys=keys)
 
 
