@@ -417,6 +417,17 @@ BENCH_QUERIES = {
     "q_events_hourly_agg": "q_events_hourly_agg",
     # engine-differentiating extras, benched for regression visibility:
     "q_dedup_minhash": _minhash_kernel,
+    # DECLARED FIXTURE (r16, VERDICT-r15 item 7): this row measures
+    # query cost against a PREBUILT tile table — the kernel memoizes
+    # the localCheckpoint'd tile pack per (session, corpus) (ann.py
+    # _TILE_MEMO), so the first (warm-up, untimed) call pays the tile
+    # build + sizing count and every timed run pays the B×B GEMM grid +
+    # top-k merge only. That is the production shape (the tile table is
+    # written once and queried many times) and it has been this row's
+    # shape since round 5 (BASELINE.md: "one-shot tile materialization"),
+    # stated here explicitly the way q_lake_bloom declares its cached
+    # fixture. Every timed run still executes the full grid from the
+    # tile table — no query RESULT is cached.
     "q_sim_cosine_topk": "q_sim_cosine_topk",
     # classic-suite rows (added round 3 — totals are NOT comparable to
     # BENCH_r01/r02; compare per-query against BASELINE.md floors):
@@ -477,6 +488,51 @@ BENCH_QUERIES = {
 }
 
 
+def _calibrate_ms(reps: int = 3) -> float:
+    """Fixed single-core CPU probe (~100 ms class on an unloaded core):
+    a deterministic md5 chain whose work never changes, so its wall
+    time is a pure function of the host's effective single-thread
+    speed during THIS bench run. The min over ``reps`` is the floor the
+    box could deliver; rounds compare their query floors against each
+    other THROUGH this number (VERDICT r15 item 1 — the 0.868 geomean
+    "regression" was host drift that nothing in-band could prove)."""
+    import hashlib
+
+    best = None
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        h = b"spype-calib"
+        for _ in range(200_000):
+            h = hashlib.md5(h).digest()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best * 1000, 2)
+
+
+def _env_fingerprint(spark) -> dict:
+    """Effective-parallelism + host-state fingerprint, emitted in-band
+    with the results (additions-only: a new top-level JSON key; the 21
+    existing query rows and the protocol are untouched). Proves the
+    $SPARK_GRAFT_CPUS contract (master/defaultParallelism show what
+    actually ran) and makes host drift attributable (loadavg + the
+    fixed single-core calibration probe)."""
+    sc = spark.sparkContext
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:
+        la1 = la5 = la15 = None
+    return {
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "loadavg_1m": la1,
+        "loadavg_5m": la5,
+        "loadavg_15m": la15,
+        "calib_single_core_ms": _calibrate_ms(),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3, help="timed runs (best kept)")
@@ -498,8 +554,12 @@ def main() -> int:
         sf = None
 
     times: dict[str, float] = {}
+    env: dict | None = None
     for sess_idx in range(max(1, args.sessions)):
         spark = get_spark("spype-bench")
+        if env is None:
+            env = _env_fingerprint(spark)
+            print(f"# env {json.dumps(env)}", file=sys.stderr)
         for label, key in BENCH_QUERIES.items():
             fn = REGISTRY[key].fn if isinstance(key, str) else key
             fn(spark, sf_dir).collect()  # warm: JIT/codegen + file listing
@@ -518,6 +578,17 @@ def main() -> int:
             spark.stop()  # next loop builds a fresh session/context
     times = {k: round(v, 4) for k, v in times.items()}
 
+    # close the fingerprint with END-of-run host state: a calibration
+    # delta between the two probes flags drift DURING the run itself
+    if env is not None:
+        try:
+            la1, la5, _ = os.getloadavg()
+            env["loadavg_1m_end"] = la1
+            env["loadavg_5m_end"] = la5
+        except OSError:
+            pass
+        env["calib_single_core_ms_end"] = _calibrate_ms()
+
     print(
         json.dumps(
             {
@@ -526,6 +597,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "env": env,
             }
         )
     )

@@ -742,6 +742,21 @@ class _LakeCDFPartition(InputPartition):
       decide the bucket row-wise) for bounded per-task join memory
       and N-way CPU — the object-store read fan-out a 1000-executor
       cluster wants; small commits stay one task with zero overhead.
+
+      KEY-RANGE ROUTING (r16, VERDICT-r15 item 6): when the touched
+      files are key-clustered (manifest [min, max] stats on the first
+      key column partition the key space with little overlap — the
+      layout a sorted/z-ordered table produces), each bucket is a key
+      RANGE and its ``old_files``/``new_files`` hold ONLY the files
+      whose stat envelope intersects that range (``bounds`` set). The
+      hash split reads every touched file in every bucket (read
+      amplification = nbuckets ×, which is why ``_DIFF_MAX_BUCKETS``
+      capped it); the range split reads each file once per
+      intersecting bucket, so per-bucket I/O is bounded by
+      intersecting files and the bucket count scales with the rewrite
+      size UNCAPPED. Overlapping layouts fall back to the hash split
+      (planner-measured: accepted only when no range bucket's
+      intersecting bytes exceed 2× the per-bucket target).
     """
 
     def __init__(
@@ -758,6 +773,7 @@ class _LakeCDFPartition(InputPartition):
         keys: list[str] | None = None,
         bucket: int = 0,
         nbuckets: int = 1,
+        bounds: tuple | None = None,
     ):
         self.kind = kind
         self.version = version
@@ -771,12 +787,130 @@ class _LakeCDFPartition(InputPartition):
         self.keys = keys or []
         self.bucket = bucket
         self.nbuckets = max(1, nbuckets)
+        #: key-range routing bounds (lo, hi) on keys[0] — row kept when
+        #: lo <= k < hi; lo None = -inf AND this bucket keeps NULL keys,
+        #: hi None = +inf. None = hash routing (bucket/nbuckets).
+        self.bounds = bounds
 
 
 #: default per-bucket target for the rewrite key-diff — one task's
 #: worth of touched bytes; override with .option("diffBucketBytes", n)
 _DIFF_BUCKET_BYTES = 256 * 1024 * 1024
 _DIFF_MAX_BUCKETS = 64
+#: sanity ceiling for RANGE-routed diff buckets (per-bucket I/O is
+#: bounded by intersecting files, so the hash cap's read-amplification
+#: rationale does not apply; this only bounds task-count explosion)
+_DIFF_MAX_RANGE_BUCKETS = 4096
+
+
+def _plan_range_buckets(
+    old_entries: list[dict],
+    new_entries: list[dict],
+    phys_key: str,
+    total: int,
+    bucket_bytes: int,
+    ebytes,
+) -> list[tuple] | None:
+    """Key-range bucket plan for one rewrite diff, or ``None`` when the
+    layout is not range-routable (missing/float/mixed-type stats on the
+    first key column, or ranges overlap so much that the hash split's
+    balanced buckets are the better trade).
+
+    Returns ``[(bounds, old_idx, new_idx), ...]`` where ``bounds`` is
+    the (lo, hi) slice of the key domain (None = open end; the lo=None
+    bucket also keeps NULL keys) and ``old_idx``/``new_idx`` index the
+    caller's entry lists — every file appears in exactly the buckets
+    its [min, max] envelope intersects, plus bucket 0 when it may hold
+    NULL key values (manifest ``nulls`` count positive or unrecorded).
+    Row-level routing is on the key VALUE, identically on both sides,
+    so full-key-equal rows always meet in one bucket and the diff's
+    output is invariant to the routing (same argument as the hash
+    split)."""
+    import bisect
+
+    def span(e):
+        st = (e.get("stats") or {}).get(phys_key)
+        if not st:
+            return None
+        mn, mx = st
+        # ints and strings only: float keys can carry NaN rows, which
+        # order nowhere (they would silently drop from every range);
+        # the hash split handles them, so floats stay on it
+        if not (
+            all(
+                isinstance(v, int) and not isinstance(v, bool)
+                for v in (mn, mx)
+            )
+            or all(isinstance(v, str) for v in (mn, mx))
+        ):
+            return None
+        nulls = (e.get("nulls") or {}).get(phys_key)
+        return (mn, mx, ebytes(e), nulls)
+
+    spans = []
+    for e in old_entries + new_entries:
+        s = span(e)
+        if s is None:
+            return None
+        spans.append(s)
+    n_old = len(old_entries)
+    nb = min(
+        _DIFF_MAX_RANGE_BUCKETS,
+        max(1, -(-total // max(1, int(bucket_bytes)))),
+    )
+    if nb <= 1:
+        return None  # single bucket: the unbucketed path is identical
+    # boundaries: greedy byte accumulation over min-sorted file spans —
+    # ≈ bucket_bytes of clustered data lands between consecutive cuts
+    target = max(1, -(-total // nb))
+    order = sorted(range(len(spans)), key=lambda i: (spans[i][0], spans[i][1]))
+    gmin = spans[order[0]][0]
+    cuts: list = []
+    acc = 0
+    for i in order:
+        mn, mx, b, _ = spans[i]
+        if (
+            acc >= target
+            and len(cuts) < nb - 1
+            and mn > (cuts[-1] if cuts else gmin)
+        ):
+            cuts.append(mn)
+            acc = 0
+        acc += b
+    if not cuts:
+        return None
+    # acceptance: per-bucket intersecting bytes must stay bounded, or
+    # the overlap makes hash routing's balanced buckets the better deal
+    per = [0] * (len(cuts) + 1)
+    homes: list[tuple[int, int]] = []
+    for mn, mx, b, _ in spans:
+        lo_b = bisect.bisect_right(cuts, mn)
+        hi_b = bisect.bisect_right(cuts, mx)
+        homes.append((lo_b, hi_b))
+        for x in range(lo_b, hi_b + 1):
+            per[x] += b
+    if max(per) > 2 * max(target, int(bucket_bytes)):
+        return None
+    out = []
+    for x in range(len(cuts) + 1):
+        lo = cuts[x - 1] if x > 0 else None
+        hi = cuts[x] if x < len(cuts) else None
+        old_idx = []
+        new_idx = []
+        for i, (lo_b, hi_b) in enumerate(homes):
+            hit = lo_b <= x <= hi_b
+            if x == 0 and not hit:
+                # NULL keys route to bucket 0: a file whose null count
+                # for the key is positive or unrecorded must be read
+                # there too (its in-range rows are filtered back out)
+                nulls = spans[i][3]
+                hit = nulls is None or nulls > 0
+            if hit:
+                (old_idx if i < n_old else new_idx).append(
+                    i if i < n_old else i - n_old
+                )
+        out.append(((lo, hi), old_idx, new_idx))
+    return out
 
 
 def _plan_cdf_step(
@@ -900,6 +1034,37 @@ def _plan_cdf_step(
         total = sum(
             ebytes(e) for e in removed + added + affected + affected
         )
+        # key-range routing first (r16): clustered layouts get buckets
+        # whose file lists are bounded by range intersection instead of
+        # every bucket re-reading every touched file
+        inv_rename = {v2: k2 for k2, v2 in rename.items()}
+        rb = _plan_range_buckets(
+            removed + affected,
+            added + affected,
+            inv_rename.get(keys[0], keys[0]),
+            total,
+            bucket_bytes,
+            ebytes,
+        )
+        if rb is not None:
+            nb = len(rb)
+            for b, (bounds, old_idx, new_idx) in enumerate(rb):
+                if not old_idx and not new_idx:
+                    continue  # empty key slice: nothing to diff
+                parts.append(
+                    _LakeCDFPartition(
+                        "diff",
+                        v,
+                        rename,
+                        old_files=[old_side[i] for i in old_idx],
+                        new_files=[new_side[i] for i in new_idx],
+                        keys=keys,
+                        bucket=b,
+                        nbuckets=nb,
+                        bounds=bounds,
+                    )
+                )
+            return parts
         nb = min(
             _DIFF_MAX_BUCKETS,
             max(1, -(-total // max(1, int(bucket_bytes)))),
@@ -1147,6 +1312,30 @@ def _read_cdf_partition(part: _LakeCDFPartition, schema):
     def bucket_slice(t):
         if part.nbuckets <= 1 or t.num_rows == 0:
             return t
+        if part.bounds is not None:
+            # key-range routing (r16): keep lo <= k < hi; the lo=None
+            # (leftmost) bucket also keeps NULL keys. coalesce pins a
+            # NULL comparison to False so null rows never leak into
+            # other buckets (Table.filter drops null mask slots, but
+            # explicit is safer than the drop behavior).
+            lo, hi = part.bounds
+            col = t.column(part.keys[0])
+            keep = None
+            if lo is not None:
+                keep = pc.coalesce(
+                    pc.greater_equal(col, pa.scalar(lo, type=col.type)),
+                    pa.scalar(False),
+                )
+            if hi is not None:
+                lt = pc.coalesce(
+                    pc.less(col, pa.scalar(hi, type=col.type)),
+                    pa.scalar(False),
+                )
+                keep = lt if keep is None else pc.and_(keep, lt)
+            if lo is None:
+                isnull = pc.is_null(col)
+                keep = isnull if keep is None else pc.or_(keep, isnull)
+            return t.filter(keep)
         import pandas as pd
 
         h = pd.util.hash_pandas_object(

@@ -410,29 +410,51 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         / exact.cast("double")
         <= 0.05
     )
-    # Three expand-free sub-aggregates joined on single rows, NOT one
-    # agg with mixed exact/approx distincts: multiple COUNT(DISTINCT)s
-    # in one aggregate plan through an Expand node that multiplies the
-    # scan per distinct branch (4x the rows before any aggregation —
-    # measured 4.4 s warm vs 1.3 s for this shape at sf0.1). Exact
-    # distincts reduce map-side to the key set; the HLL pass reads the
-    # scan once; at 100 TB the Expand variant is the difference between
-    # one scan and four.
-    supp_exact = (
-        li.select("l_suppkey").distinct()
-        .agg(F.count(F.lit(1)).alias("exact_supp"))
-    )
-    part_exact = (
-        li.select("l_partkey").distinct()
-        .agg(F.count(F.lit(1)).alias("exact_part"))
-    )
-    approx = li.agg(
-        F.approx_count_distinct("l_suppkey", rsd=0.015).alias("a_supp"),
-        F.approx_count_distinct("l_partkey", rsd=0.015).alias("a_part"),
+    # ONE scan (r16, VERDICT-r15 item 4): stack both key columns as
+    # (tag, k) rows via explode — NOT the planner's mixed-distinct
+    # Expand (4× the rows with no partial dedup, measured 4.4 s warm
+    # vs 1.3 s for the old 3-scan shape at sf0.1). The explode's 2×
+    # row stream collapses map-side: the partial HashAggregate on
+    # (tag, k) dedups before the exchange, so shuffle bytes are the
+    # distinct key sets, and the per-tag pass computes the exact count
+    # AND the HLL sketch together — approx_count_distinct over the
+    # deduped keys is IDENTICAL to over raw rows (HLL registers are
+    # duplicate-insensitive: max over hashed values). Measured at
+    # sf0.1: 3 scans/10 Exchanges → 1 scan/3 Exchanges, noop 0.76 s →
+    # 0.59 s, rows byte-identical. At 100 TB the old shape read the
+    # table three times; this reads it once.
+    stacked = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("tag"), F.col("l_suppkey").alias("k")
+                ),
+                F.struct(
+                    F.lit(1).alias("tag"), F.col("l_partkey").alias("k")
+                ),
+            )
+        ).alias("x")
+    ).select("x.tag", "x.k")
+    per_tag = (
+        stacked.groupBy("tag", "k")
+        .agg(F.lit(1))
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("exact"),
+            F.approx_count_distinct("k", rsd=0.015).alias("a"),
+        )
     )
     return (
-        supp_exact.crossJoin(part_exact)
-        .crossJoin(approx)
+        per_tag.agg(
+            F.max(F.when(F.col("tag") == 0, F.col("exact"))).alias(
+                "exact_supp"
+            ),
+            F.max(F.when(F.col("tag") == 0, F.col("a"))).alias("a_supp"),
+            F.max(F.when(F.col("tag") == 1, F.col("exact"))).alias(
+                "exact_part"
+            ),
+            F.max(F.when(F.col("tag") == 1, F.col("a"))).alias("a_part"),
+        )
         .select(
             "exact_supp",
             rel_ok(F.col("a_supp"), F.col("exact_supp")).alias("supp_ok"),

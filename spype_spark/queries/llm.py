@@ -353,7 +353,7 @@ def _hyperplanes(n_planes: int, dim: int = 64) -> list[list[float]]:
 
 
 def lsh_band_signatures(e: DataFrame, planes_per_band: int) -> DataFrame:
-    """(vec_id, emb, band, bucket) hyperplane signatures.
+    """(vec_id, band, bucket) hyperplane signatures.
 
     One linear pass: each vector gets `_LSH_BANDS` bucket ids, each an
     r-bit sign pattern of md5-derived hyperplane dots. No filter_
@@ -361,40 +361,68 @@ def lsh_band_signatures(e: DataFrame, planes_per_band: int) -> DataFrame:
     space, so bounding occupancy is the band-width auto-scaler's job
     (:func:`lsh_planes_per_band`), not a cap's (a cap would eventually
     drop every bucket as n grows).
+
+    The dots run in ONE ``mapInPandas`` batch kernel (r16, guide §4.2;
+    was: 8·r separate ``aggregate(zip_with(...))`` interpreted-lambda
+    expressions in one giant Catalyst tree — at r = 5 that tree holds
+    2 560 literal leaves, and building + analyzing + interpreting it
+    dominated the whole LSH kernel: signature stage 2.6 s of the 5.1 s
+    sf0.1 total). The numpy version accumulates dimension-by-dimension
+    (``acc = acc + E[:, i] * P[:, i]``, i ascending) — the exact
+    sequential left fold :func:`_dot_hof` and the DuckDB oracle's
+    ``list_sum(list_transform(...))`` evaluate, so every dot is
+    BIT-identical to the expression version (IEEE 754 float64 ops in
+    the same order), not merely close. Only (vec_id, emb) crosses into
+    Python and only (vec_id, band, bucket) crosses back (guide §4.1:
+    ship the columns the function needs, nothing else).
     """
     planes = _hyperplanes(_LSH_BANDS * planes_per_band)
-    band_buckets = []
-    for band in range(_LSH_BANDS):
-        bucket = sum(
-            (
-                (
-                    _dot_hof(
-                        F.col("emb"),
-                        F.array(
-                            *[
-                                F.lit(c)
-                                for c in planes[band * planes_per_band + j]
-                            ]
-                        ),
-                    )
-                    >= 0
-                ).cast("int")
-                * (1 << j)
-                for j in range(planes_per_band)
-            ),
-            start=F.lit(0),
-        )
-        band_buckets.append(bucket)
-    return e.select(
-        "vec_id",
-        "emb",
-        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
+    n_bands, ppb = _LSH_BANDS, planes_per_band
+
+    def sigs(batches):
+        import numpy as np
+        import pandas as pd
+
+        # (n_planes, 64) float64 — built once per task from the
+        # closure-captured python lists (no module-global references:
+        # executors cannot import spype_spark when the caller injects
+        # it via sys.path)
+        P = np.array(planes, dtype=np.float64)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            # sequential fold over dims (vectorized over rows/planes):
+            # bit-identical to aggregate(zip_with(...), 0.0, acc + x)
+            acc = np.zeros((n, P.shape[0]), dtype=np.float64)
+            for i in range(E.shape[1]):
+                acc = acc + E[:, i : i + 1] * P[:, i]
+            bits = (acc >= 0.0).astype(np.int32)
+            buckets = np.zeros((n, n_bands), dtype=np.int32)
+            for band in range(n_bands):
+                for j in range(ppb):
+                    buckets[:, band] += bits[:, band * ppb + j] << j
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return e.select("vec_id", "emb").mapInPandas(
+        sigs, "vec_id long, band int, bucket int"
     )
 
 
-def lsh_ann_topk(e: DataFrame, k: int = 3) -> DataFrame:
+def lsh_ann_topk(e: DataFrame, k: int = 3, n: int | None = None) -> DataFrame:
     """Banded hyperplane-LSH approximate top-k (src_id, nbr_id, cosine,
     rank) — the kernel behind the q_sim_lsh_ann audit contract.
+    ``n`` (optional) is the corpus size when the caller already knows
+    it — passing it skips the sizing ``count()`` job (r16; the contract
+    counts the raw column-pruned scan BEFORE its repartition, so the
+    count job stops paying the round-robin exchange too).
 
     Fixed md5-derived hyperplanes → 8 independent r-bit bucket ids per
     vector, with r auto-scaled to corpus size
@@ -421,11 +449,9 @@ def lsh_ann_topk(e: DataFrame, k: int = 3) -> DataFrame:
     # vector evaluate once, not once per join side (same cut-point
     # rationale as minhash_candidates). Results are identical: the
     # pair set is unchanged and dot is a function of the pair.
-    sig = (
-        lsh_band_signatures(e, lsh_planes_per_band(e.count()))
-        .select("vec_id", "band", "bucket")
-        .localCheckpoint(eager=False)
-    )
+    sig = lsh_band_signatures(
+        e, lsh_planes_per_band(e.count() if n is None else n)
+    ).localCheckpoint(eager=False)
     pairs = (
         sig.select(F.col("vec_id").alias("src_id"), "band", "bucket")
         .join(
@@ -540,12 +566,13 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1 (1 500 / 1 500 / 6 000 rows) before adoption.
     """
     # single-file input → repartition so signature + pair stages parallelize
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(32)
-        .select("vec_id", _emb_double().alias("emb"))
-    )
-    return lsh_ann_topk(e, k=3)
+    raw = load_table(spark, sf_dir, "embeddings")
+    # sizing count on the raw column-pruned scan (r16): counting AFTER
+    # the repartition paid the round-robin exchange for a number the
+    # scan footer already answers (measured 246 ms → 124 ms at sf0.1)
+    n = raw.count()
+    e = raw.repartition(32).select("vec_id", _emb_double().alias("emb"))
+    return lsh_ann_topk(e, k=3, n=n)
 
 
 # ---------------------------------------------------------------------------

@@ -50,12 +50,18 @@ def apply_cdf_batch(
     boundary: a delete and a re-insert of the same key in different
     commits must land in sequence)."""
     batch_df = batch_df.localCheckpoint(eager=True)
-    vdf = batch_df.select("_commit_version").distinct()
-    # metadata-sized collect: one row per source commit in this batch
-    versions = [
-        r["_commit_version"]
-        for r in vdf.orderBy("_commit_version").collect()
-    ]
+    # ONE batch-level aggregation replaces the version-list collect AND
+    # the per-commit verb-count probes (r16, advice r15): a batch of N
+    # source commits paid 1 + N probe jobs; this dict answers both the
+    # commit ordering and every per-commit verb decision in one job.
+    # metadata-sized collect: one row per (commit, change type) — ≤ 4N
+    verb_counts: dict[tuple[int, str], int] = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in batch_df.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    versions = sorted({v for v, _ in verb_counts})
     for v in versions:
         ch = batch_df.filter(F.col("_commit_version") == v)
         upserts = ch.filter(
@@ -90,24 +96,17 @@ def apply_cdf_batch(
         if not exists:
             lake.write_table(upserts, lake_path)
             continue
-        # ONE aggregation decides which verbs this commit needs
-        # (was: two limit(1).count() probe jobs per commit — r15,
-        # VERDICT-r14 nit); the stale-preimage probe only runs when
-        # preimages exist WITHOUT certain deletes.
-        counts = {
-            r["_change_type"]: r["n"]
-            # metadata-sized collect: one row per _change_type (≤ 4)
-            for r in ch.groupBy("_change_type")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        has_delete = counts.get("delete", 0) > 0
-        if not has_delete and counts.get("update_preimage", 0) > 0:
+        # verb decisions come from the batch-level dict (no per-commit
+        # probe job); the stale-preimage probe only runs when preimages
+        # exist WITHOUT certain deletes.
+        has_delete = verb_counts.get((v, "delete"), 0) > 0
+        if not has_delete and verb_counts.get((v, "update_preimage"), 0) > 0:
             has_delete = bool(deletes.limit(1).count())  # stale keys?
         if has_delete:
             lake.delete_keys(spark, lake_path, deletes)
         if (
-            counts.get("insert", 0) + counts.get("update_postimage", 0)
+            verb_counts.get((v, "insert"), 0)
+            + verb_counts.get((v, "update_postimage"), 0)
             > 0
         ):
             lake.merge_upsert(spark, lake_path, upserts, keys=keys)
@@ -193,11 +192,17 @@ def apply_iceberg_batch(
     from the table's own chain (``chain`` = ids in commit order, a
     metadata-sized read the caller does once per batch)."""
     batch_df = batch_df.localCheckpoint(eager=True)
-    # metadata-sized collect: one row per source snapshot in the batch
-    present = {
-        r["_snapshot_id"]
-        for r in batch_df.select("_snapshot_id").distinct().collect()
+    # ONE batch-level aggregation replaces the snapshot-list collect
+    # AND the per-snapshot verb-count probes (r16, advice r15): a batch
+    # of N snapshots paid 1 + N probe jobs; this dict answers both.
+    # metadata-sized collect: one row per (snapshot, change type) ≤ 2N
+    verb_counts: dict[tuple[int, str], int] = {
+        (r["_snapshot_id"], r["_change_type"]): r["n"]
+        for r in batch_df.groupBy("_snapshot_id", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
+    present = {s for s, _ in verb_counts}
     orphans = present - set(chain)
     if orphans:
         raise ValueError(
@@ -224,19 +229,11 @@ def apply_iceberg_batch(
         if not exists:
             lake.write_table(upserts, lake_path)
             continue
-        # ONE aggregation decides which verbs this snapshot needs
-        # (was: two limit(1).count() probe jobs per snapshot — the
-        # apply_cdf_batch fix's Iceberg twin, r15)
-        counts = {
-            r["_change_type"]: r["n"]
-            # metadata-sized collect: one row per _change_type (≤ 2)
-            for r in ch.groupBy("_change_type")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        if counts.get("delete", 0) > 0:
+        # verb decisions come from the batch-level dict — zero
+        # per-snapshot probe jobs (r16, advice r15)
+        if verb_counts.get((sid, "delete"), 0) > 0:
             lake.delete_keys(spark, lake_path, deletes)
-        if counts.get("insert", 0) > 0:
+        if verb_counts.get((sid, "insert"), 0) > 0:
             lake.merge_upsert(spark, lake_path, upserts, keys=keys)
 
 

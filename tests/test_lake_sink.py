@@ -1125,6 +1125,103 @@ def test_cdf_rewrite_diff_buckets_match_single_task(reg, tmp_path):
     assert single == exp
 
 
+def test_cdf_rewrite_range_buckets_bound_reads_and_match(reg, tmp_path):
+    """Key-clustered rewrites route diff buckets by key-RANGE
+    intersection (r16): every bucket's file lists hold only the files
+    whose manifest [min, max] envelope intersects its key slice — not
+    every touched file — and the union of bucket outputs equals the
+    single-task change set exactly."""
+    from spype_spark.lake_sink import _cdf_head_rename, _plan_cdf_step
+    import spype_spark.manifest_log as mlog
+
+    p = str(tmp_path / "t")
+    df = reg.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    # truncate-partitioned layout → partition-level COW merge rewrites
+    # per leaf, so BOTH diff sides stay key-clustered
+    lake.write_table(df, p, partition_by=[("truncate", 500, "k")])
+    upd = reg.createDataFrame(
+        [(k, 1000 + k) for k in range(0, 4000, 3)], "k long, g long"
+    )
+    lake.merge_upsert(reg, p, upd, ["k"])  # v1 rewrite, every leaf
+    ents = mlog.m_entries(p, mlog.m_load(p, 1))
+    tot = sum(e.get("bytes", 0) for e in ents)
+    rename = _cdf_head_rename(p)
+    parts = _plan_cdf_step(p, 1, ["k"], rename, bucket_bytes=tot // 4)
+    assert len(parts) > 1 and {pt.kind for pt in parts} == {"diff"}
+    assert all(pt.bounds is not None for pt in parts), (
+        "clustered rewrite must take the range route"
+    )
+    n_files = [len(pt.old_files) + len(pt.new_files) for pt in parts]
+    assert max(n_files) < len(ents), (
+        f"range buckets must not read every touched file: {n_files}"
+    )
+    # bounds tile the key domain: open left edge, open right edge,
+    # contiguous interior
+    bnds = [pt.bounds for pt in sorted(parts, key=lambda x: x.bucket)]
+    assert bnds[0][0] is None and bnds[-1][1] is None
+    assert all(a[1] == b[0] for a, b in zip(bnds, bnds[1:]))
+
+    def rows(bucket_bytes):
+        return sorted(
+            tuple(r)
+            for r in (
+                reg.read.format("spype_lake")
+                .option("path", p)
+                .option("readChangeFeed", "true")
+                .option("keys", "k")
+                .option("startingVersion", 1)
+                .option("diffBucketBytes", bucket_bytes)
+                .load()
+                .select("k", "g", "_change_type", "_commit_version")
+                .collect()
+            )
+        )
+
+    assert rows(tot // 4) == rows(1 << 40)
+
+
+def test_cdf_range_bucket_planner_units(reg, tmp_path):
+    """_plan_range_buckets unit invariants: null-carrying files join
+    bucket 0, heavy overlap / float stats / missing stats fall back to
+    the hash split (None)."""
+    from spype_spark.lake_sink import _plan_range_buckets
+
+    def e(mn, mx, b=100, nulls=0, col="k"):
+        return {"stats": {col: [mn, mx]}, "nulls": {col: nulls}, "bytes": b}
+
+    eb = lambda x: x["bytes"]  # noqa: E731
+    # clustered, 4 files/side → accepted, each file in its slice only
+    old = [e(0, 9), e(10, 19), e(20, 29), e(30, 39)]
+    new = [e(0, 9), e(10, 19), e(20, 29), e(30, 39)]
+    rb = _plan_range_buckets(old, new, "k", 800, 200, eb)
+    assert rb is not None and len(rb) == 4
+    for x, (bounds, oi, ni) in enumerate(rb):
+        assert oi == [x] and ni == [x], (x, oi, ni)
+    # a null-carrying file is ALSO read in bucket 0
+    old_n = [e(0, 9), e(10, 19), e(20, 29), e(30, 39, nulls=3)]
+    rb = _plan_range_buckets(old_n, new, "k", 800, 200, eb)
+    assert rb is not None
+    assert 3 in rb[0][1], "null carrier must join bucket 0's old side"
+    # unrecorded null count (pre-r13 entry) → also bucket 0
+    old_u = [e(0, 9), e(10, 19), e(20, 29), e(30, 39)]
+    del old_u[3]["nulls"]
+    rb = _plan_range_buckets(old_u, new, "k", 800, 200, eb)
+    assert rb is not None and 3 in rb[0][1]
+    # full-overlap layout → hash fallback
+    old_o = [e(0, 39), e(0, 39), e(0, 39), e(0, 39)]
+    assert _plan_range_buckets(old_o, new, "k", 800, 200, eb) is None
+    # float stats (NaN rows order nowhere) → hash fallback
+    old_f = [e(0.0, 9.5), e(10.0, 19.5), e(20.0, 29.5), e(30.0, 39.5)]
+    assert _plan_range_buckets(old_f, new, "k", 800, 200, eb) is None
+    # missing stats on any file → hash fallback
+    old_m = [e(0, 9), {"bytes": 100}, e(20, 29), e(30, 39)]
+    assert _plan_range_buckets(old_m, new, "k", 800, 200, eb) is None
+    # single bucket target → None (unbucketed path is identical)
+    assert _plan_range_buckets(old, new, "k", 800, 10_000, eb) is None
+
+
 def test_cdf_pure_remove_commit_needs_no_keys(reg, tmp_path):
     """A commit that only DROPS whole files (nothing added, no kept
     file touched) is fully derivable without keys — the old side's
