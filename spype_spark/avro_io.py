@@ -394,9 +394,22 @@ def _compile_reader(schema, named: dict, memo: dict | None = None):
     sch = _resolve(schema, named)
 
     def rd_varlong(data, pos):
+        # 1-2 byte fast path first (r16): zigzag varints ≤ 2 bytes
+        # cover |value| < 8192 — nearly every length, count, union
+        # discriminator and small int in real containers; the loop
+        # below is the exact general/error path (same messages)
+        n = len(data)
+        if pos < n:
+            v = data[pos]
+            if v < 0x80:
+                return (v >> 1) ^ -(v & 1), pos + 1
+            if pos + 1 < n:
+                v2 = data[pos + 1]
+                if v2 < 0x80:
+                    acc = (v & 0x7F) | (v2 << 7)
+                    return (acc >> 1) ^ -(acc & 1), pos + 2
         shift = 0
         acc = 0
-        n = len(data)
         while True:
             if pos >= n:
                 raise ValueError("truncated Avro varint")
@@ -422,6 +435,31 @@ def _compile_reader(schema, named: dict, memo: dict | None = None):
     if isinstance(sch, list):  # union: branch index first
         branches = tuple(_compile_reader(s, named, memo) for s in sch)
         nb = len(branches)
+
+        if nb == 2:
+            # the canonical nullable union (r16): its discriminator is
+            # ALWAYS one byte (zigzag 0 → 0x00, 1 → 0x02), so dispatch
+            # on the raw byte with no varint call; anything else (an
+            # invalid single-byte index, a multi-byte varint) falls to
+            # the general path, which raises the walker's exact errors
+            b0, b1 = branches
+
+            def dec_union2(data, pos):
+                if pos >= len(data):
+                    raise ValueError("truncated Avro varint")
+                v = data[pos]
+                if v == 0:
+                    return b0(data, pos + 1)
+                if v == 2:
+                    return b1(data, pos + 1)
+                idx, pos = rd_varlong(data, pos)
+                if not 0 <= idx < nb:
+                    raise ValueError(
+                        f"Avro union index {idx} out of range"
+                    )
+                return branches[idx](data, pos)
+
+            return dec_union2
 
         def dec_union(data, pos):
             idx, pos = rd_varlong(data, pos)
@@ -465,6 +503,20 @@ def _compile_reader(schema, named: dict, memo: dict | None = None):
         return rd_bytes
     if t == "string":
         def dec_string(data, pos):
+            # 1-byte length fast path (r16): strings < 64 bytes — the
+            # overwhelmingly common case — slice + decode directly;
+            # odd byte = negative zigzag length, same walker error
+            if pos < len(data):
+                v = data[pos]
+                if v < 0x80:
+                    if v & 1:
+                        raise ValueError("negative Avro byte length")
+                    ln = v >> 1
+                    end = pos + 1 + ln
+                    out = data[pos + 1 : end]
+                    if len(out) != ln:
+                        raise ValueError("truncated Avro bytes")
+                    return out.decode("utf-8"), end
             b, pos = rd_bytes(data, pos)
             return b.decode("utf-8"), pos
 
@@ -496,7 +548,14 @@ def _compile_reader(schema, named: dict, memo: dict | None = None):
         def dec_array(data, pos):
             out = []
             while True:
-                n, pos = rd_varlong(data, pos)
+                # 1-byte block-count fast path (r16): counts < 32 and
+                # the terminating 0 are single bytes
+                if pos < len(data) and data[pos] < 0x80:
+                    v = data[pos]
+                    n = (v >> 1) ^ -(v & 1)
+                    pos += 1
+                else:
+                    n, pos = rd_varlong(data, pos)
                 if n == 0:
                     break
                 if n < 0:  # sized block: byte size follows, |n| items
@@ -514,14 +573,35 @@ def _compile_reader(schema, named: dict, memo: dict | None = None):
         def dec_map(data, pos):
             out = {}
             while True:
-                n, pos = rd_varlong(data, pos)
+                # 1-byte block-count fast path (r16), as dec_array
+                if pos < len(data) and data[pos] < 0x80:
+                    v = data[pos]
+                    n = (v >> 1) ^ -(v & 1)
+                    pos += 1
+                else:
+                    n, pos = rd_varlong(data, pos)
                 if n == 0:
                     break
                 if n < 0:
                     _, pos = rd_varlong(data, pos)
                     n = -n
                 for _ in range(n):
-                    k, pos = rd_bytes(data, pos)
+                    # 1-byte key-length fast path (r16): map keys are
+                    # short strings; odd byte = negative length, the
+                    # general path raises the walker's error
+                    if pos < len(data):
+                        kv = data[pos]
+                        if kv < 0x80 and not kv & 1:
+                            ln = kv >> 1
+                            end = pos + 1 + ln
+                            k = data[pos + 1 : end]
+                            if len(k) != ln:
+                                raise ValueError("truncated Avro bytes")
+                            pos = end
+                        else:
+                            k, pos = rd_bytes(data, pos)
+                    else:
+                        k, pos = rd_bytes(data, pos)
                     v, pos = ve(data, pos)
                     out[k.decode("utf-8")] = v
             return out, pos
