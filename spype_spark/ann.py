@@ -161,9 +161,20 @@ def _memo_tiles(
 
 
 def _block_grid(
-    e: DataFrame, n_blocks: int | None, memo_key: str | None = None
+    e: DataFrame,
+    n_blocks: int | None,
+    memo_key: str | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """B×B grid of (tile_a, tile_b) pairs as a DataFrame cross join.
+
+    ``symmetric=True`` keeps only the upper-triangle tasks
+    (``bid_a <= bid_b``, B(B+1)/2 of B²): a cosine grid is symmetric —
+    task (A, B) computes the SAME dot matrix as task (B, A) transposed
+    — so kernels that emit both orientations from one GEMM (see
+    :func:`cosine_topk_tiled` / :func:`cosine_threshold_tiled`) cover
+    every pair with half the tasks, half the tile shuffle bytes and
+    half the Arrow tile transfers.
 
     Tiles are localCheckpoint-materialized ONCE before the self-join:
     without it, Catalyst recomputes the whole scan→explode→groupBy tile
@@ -191,7 +202,11 @@ def _block_grid(
         F.col("ids").alias("ids_b"),
         F.col("emb").alias("emb_b"),
     )
-    return a.crossJoin(b).repartition(n_blocks * n_blocks)
+    g = a.crossJoin(b)
+    if symmetric:
+        g = g.filter(F.col("bid_a") <= F.col("bid_b"))
+        return g.repartition(n_blocks * (n_blocks + 1) // 2)
+    return g.repartition(n_blocks * n_blocks)
 
 
 # NB: the unpack helper is deliberately NESTED inside each kernel
@@ -222,7 +237,9 @@ def cosine_topk_tiled(
     import numpy as np
     import pandas as pd
 
-    grid = _block_grid(_normalize(df, id_col, emb_col), n_blocks, memo_key)
+    grid = _block_grid(
+        _normalize(df, id_col, emb_col), n_blocks, memo_key, symmetric=True
+    )
 
     def gemm(batches):
         def _unpack(ids, emb, dim):
@@ -231,28 +248,36 @@ def cosine_topk_tiled(
             ia = np.asarray(ids, dtype=np.int64)
             return ia, np.asarray(emb, dtype=np.float64).reshape(len(ia), dim)
 
+        def _emit(src, nbrs, dots):
+            # fully vectorized per tile pair (ONE emitted frame, not
+            # one per source row): row-wise order by (dot desc,
+            # nbr_id asc), keep first k non-self columns
+            order = np.lexsort(
+                (np.broadcast_to(nbrs, dots.shape), -dots), axis=-1
+            )[:, : k + 1]
+            nbr = nbrs[order]
+            valid = nbr != src[:, None]
+            keep = valid & (np.cumsum(valid, axis=1) <= k)
+            return pd.DataFrame(
+                {
+                    "src_id": np.repeat(src, keep.sum(axis=1)),
+                    "nbr_id": nbr[keep],
+                    "dot": np.take_along_axis(dots, order, axis=1)[keep],
+                }
+            )
+
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 dim = len(row.emb_a) // len(row.ids_a)
                 ia, ma = _unpack(row.ids_a, row.emb_a, dim)
                 ib, mb = _unpack(row.ids_b, row.emb_b, dim)
                 dots = ma @ mb.T
-                # fully vectorized per tile pair (ONE emitted frame, not
-                # one per source row): row-wise order by (dot desc,
-                # nbr_id asc), keep first k non-self columns
-                order = np.lexsort(
-                    (np.broadcast_to(ib, dots.shape), -dots), axis=-1
-                )[:, : k + 1]
-                nbr = ib[order]
-                valid = nbr != ia[:, None]
-                keep = valid & (np.cumsum(valid, axis=1) <= k)
-                yield pd.DataFrame(
-                    {
-                        "src_id": np.repeat(ia, keep.sum(axis=1)),
-                        "nbr_id": nbr[keep],
-                        "dot": np.take_along_axis(dots, order, axis=1)[keep],
-                    }
-                )
+                yield _emit(ia, ib, dots)
+                if row.bid_a != row.bid_b:
+                    # symmetric grid (see _block_grid): this task also
+                    # covers what the pruned (B, A) task would have
+                    # emitted — the transpose, candidates for B's rows
+                    yield _emit(ib, ia, dots.T)
 
     cand = grid.mapInPandas(gemm, "src_id long, nbr_id long, dot double")
     w = Window.partitionBy("src_id").orderBy(F.desc("dot"), F.asc("nbr_id"))
@@ -280,7 +305,7 @@ def cosine_threshold_tiled(
     import numpy as np
     import pandas as pd
 
-    grid = _block_grid(_normalize(df, id_col, emb_col), n_blocks)
+    grid = _block_grid(_normalize(df, id_col, emb_col), n_blocks, symmetric=True)
 
     def gemm(batches):
         def _unpack(ids, emb, dim):
@@ -295,15 +320,28 @@ def cosine_threshold_tiled(
                 ia, ma = _unpack(row.ids_a, row.emb_a, dim)
                 ib, mb = _unpack(row.ids_b, row.emb_b, dim)
                 dots = ma @ mb.T
-                mask = (dots >= threshold) & (
-                    np.broadcast_to(ib, dots.shape) > ia[:, None]
-                )
-                ii, jj = np.nonzero(mask)
+                if row.bid_a == row.bid_b:
+                    # diagonal tile: orient in-matrix (ids disjoint
+                    # across tiles, so only here can src == nbr)
+                    mask = (dots >= threshold) & (
+                        np.broadcast_to(ib, dots.shape) > ia[:, None]
+                    )
+                    ii, jj = np.nonzero(mask)
+                    src, nbr = ia[ii], ib[jj]
+                else:
+                    # symmetric grid (see _block_grid): the one kept
+                    # task per tile pair emits EVERY qualifying pair,
+                    # oriented (min, max) — the pruned (B, A) task's
+                    # share is the same matrix read transposed
+                    ii, jj = np.nonzero(dots >= threshold)
+                    sa, nb = ia[ii], ib[jj]
+                    src = np.minimum(sa, nb)
+                    nbr = np.maximum(sa, nb)
                 if len(ii):
                     yield pd.DataFrame(
                         {
-                            "src_id": ia[ii],
-                            "nbr_id": ib[jj],
+                            "src_id": src,
+                            "nbr_id": nbr,
                             "cosine": np.round(dots[ii, jj], 6),
                         }
                     )
