@@ -54,12 +54,12 @@ def apply_cdf_batch(
     # the per-commit verb-count probes (r16, advice r15): a batch of N
     # source commits paid 1 + N probe jobs; this dict answers both the
     # commit ordering and every per-commit verb decision in one job.
+    probe = batch_df.groupBy("_commit_version", "_change_type").agg(
+        F.count("*").alias("n")
+    )
     # metadata-sized collect: one row per (commit, change type) — ≤ 4N
     verb_counts: dict[tuple[int, str], int] = {
-        (r["_commit_version"], r["_change_type"]): r["n"]
-        for r in batch_df.groupBy("_commit_version", "_change_type")
-        .agg(F.count("*").alias("n"))
-        .collect()
+        (r["_commit_version"], r["_change_type"]): r["n"] for r in probe.collect()
     }
     versions = sorted({v for v, _ in verb_counts})
     for v in versions:
@@ -195,12 +195,12 @@ def apply_iceberg_batch(
     # ONE batch-level aggregation replaces the snapshot-list collect
     # AND the per-snapshot verb-count probes (r16, advice r15): a batch
     # of N snapshots paid 1 + N probe jobs; this dict answers both.
+    probe = batch_df.groupBy("_snapshot_id", "_change_type").agg(
+        F.count("*").alias("n")
+    )
     # metadata-sized collect: one row per (snapshot, change type) ≤ 2N
     verb_counts: dict[tuple[int, str], int] = {
-        (r["_snapshot_id"], r["_change_type"]): r["n"]
-        for r in batch_df.groupBy("_snapshot_id", "_change_type")
-        .agg(F.count("*").alias("n"))
-        .collect()
+        (r["_snapshot_id"], r["_change_type"]): r["n"] for r in probe.collect()
     }
     present = {s for s, _ in verb_counts}
     orphans = present - set(chain)

@@ -235,6 +235,7 @@ _txn = st.tuples(
 )
 
 
+@pytest.mark.slow
 @settings(
     max_examples=6,
     deadline=None,
@@ -333,6 +334,7 @@ def test_catalog_random_txn_sequences_match_model(spark, txns):
         _sh.rmtree(root, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_catalog_two_process_txn_race(tmp_path):
     """TWO real writer processes (separate SparkSessions, separate
     JVMs) each run a MULTI-TABLE transaction against the same catalog,
@@ -734,6 +736,7 @@ def test_txn_disjoint_rebase_multi_step(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_catalog_two_process_disjoint_partition_merge(tmp_path):
     """TWO real writer processes MERGE into DISJOINT partitions of ONE
     table, barrier-synchronized so both commits race from the same base
@@ -844,6 +847,7 @@ _PARTS = ("a", "b", "c")
 _pset = st.sets(st.sampled_from(_PARTS), min_size=1, max_size=3)
 
 
+@pytest.mark.slow
 @settings(
     max_examples=8,
     deadline=None,

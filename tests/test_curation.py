@@ -1,5 +1,6 @@
 """Dataset-curation ops: properties beyond the DuckDB oracle."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from spype_spark.queries import REGISTRY
@@ -80,6 +81,7 @@ def test_decontaminate_flags_exact_eval_copies(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_collapse_runs_is_idempotent_and_shortens(spark, sf_dir):
     from spype_spark.queries import REGISTRY
 

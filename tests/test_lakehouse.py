@@ -279,6 +279,7 @@ _op = st.one_of(
 )
 
 
+@pytest.mark.slow
 @settings(
     max_examples=6,
     deadline=None,
@@ -442,6 +443,7 @@ def test_partitioned_compact_and_history(spark, tmp_path):
     assert files and all(f.startswith("p=") for f in files)
 
 
+@pytest.mark.slow
 @settings(
     max_examples=5,
     deadline=None,
@@ -940,6 +942,7 @@ def test_manifest_stale_base_vacuumed_mid_commit(spark, tmp_path):
     assert (2, 222, 2) in got and (1, 111, 1) not in got
 
 
+@pytest.mark.slow
 def test_manifest_two_process_merge_race(tmp_path):
     """TWO real writer processes (separate SparkSessions, separate
     JVMs) MERGE into the same manifest table concurrently, synchronized
@@ -1927,6 +1930,7 @@ def test_pred_compile_matches_reference(data):
             _pred_maybe_uncompiled(entry, pred, pcols)
 
 
+@pytest.mark.slow
 def test_branch_two_process_publish_race(tmp_path):
     """TWO real processes fork their own branches at v0, mutate, and
     PUBLISH simultaneously (file barrier inside the parent's publish):

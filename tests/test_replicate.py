@@ -265,6 +265,7 @@ def _kv_df(spark, model: dict):
     return spark.createDataFrame(rows, "k long, v long")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(25))
 def test_fuzz_delta_replication_chain(spark, tmp_path, seed):
     """create → {append | dv-delete | cdc-update | key-move}* with a
@@ -324,6 +325,7 @@ def test_fuzz_delta_replication_chain(spark, tmp_path, seed):
     assert got == ref, f"seed={seed} mirror != source head"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(25))
 def test_fuzz_iceberg_replication_chain(spark, tmp_path, seed):
     """The Iceberg twin: {append | pos-delete | eq-delete}* snapshots
@@ -389,6 +391,7 @@ def test_fuzz_iceberg_replication_chain(spark, tmp_path, seed):
     assert got == ref, f"seed={seed} mirror != source head"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(15))
 def test_fuzz_lake_replication_chain(spark, tmp_path, seed):
     """Native→native fuzz (r15): random chains of {append | DV-delete

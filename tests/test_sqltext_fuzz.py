@@ -185,6 +185,7 @@ def _run_sequence(spark, seed):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("chunk", range(_CHUNKS))
 def test_sql_statement_sequences_match_verbs(spark, chunk):
     per = -(-N_SEQ // _CHUNKS)
