@@ -138,8 +138,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression makes the bit false and the hash red. (The bench times
     the kernel itself, not this audit — bench.py binds the callable.)
     """
-    # single-file input → repartition so the shingle explode parallelizes
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    # both kernels spread a narrow (id, text) projection adaptively
+    # (functions.spread_small_scan) — an outer repartition(32) here
+    # would CAP a real-scale scan's parallelism at 32
+    d = load_table(spark, sf_dir, "documents")
     cand = minhash_candidates(d, n_hashes=16).select("doc_a", "doc_b")
     # the exact-Jaccard reference feeds both the anti-join and the
     # inventory aggregate: checkpoint so the posting-list join runs
@@ -571,7 +573,12 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the repartition paid the round-robin exchange for a number the
     # scan footer already answers (measured 246 ms → 124 ms at sf0.1)
     n = raw.count()
-    e = raw.repartition(32).select("vec_id", _emb_double().alias("emb"))
+    from spype_spark.functions import spread_small_scan
+
+    # scale-adaptive split (was repartition(32), which would CAP a
+    # real-scale scan at 32 partitions); no-op once the scan has
+    # >= defaultParallelism splits
+    e = spread_small_scan(raw).select("vec_id", _emb_double().alias("emb"))
     return lsh_ann_topk(e, k=3, n=n)
 
 

@@ -142,10 +142,14 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_shared above a threshold) get dropped or decontaminated
     upstream of q_dataset_split.
     """
+    from spype_spark.functions import spread_small_scan
+
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
-    ).distinct()
+    sh = (
+        spread_small_scan(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(word_shingles("text", 3)).alias("shingle"))
+        .distinct()
+    )
     ev = (
         sh.filter(F.col("doc_id") < _EVAL_MAX_ID)
         .select("shingle")

@@ -282,7 +282,13 @@ def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SimHash candidate-pair kernel behind the audit contract
     (also what the quality tests and any caller wanting the pairs
     consume)."""
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    from spype_spark.functions import spread_small_scan
+
+    # scale-adaptive split (was a hard-coded repartition(32)): no-op
+    # once the scan has >= defaultParallelism splits
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     ).withColumn("h", F.xxhash64("w"))

@@ -155,7 +155,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spype_spark.codecs import encode_bmp
 
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    from spype_spark.functions import spread_small_scan
+
+    # scale-adaptive split (was repartition(32); no-op at real scale)
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     m = with_payload(d)
     # Resolve the registered decoder ON THE DRIVER and capture it as a
     # closure local: spype_spark.codecs is registered for by-value
@@ -258,7 +261,10 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spype_spark.codecs import encode_png
 
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    from spype_spark.functions import spread_small_scan
+
+    # scale-adaptive split (was repartition(32); no-op at real scale)
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     m = with_payload(d)
     # driver-resolved, closure-captured: codecs ships by value
     dec_png = REAL_DECODERS["image/png"]
@@ -343,7 +349,10 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spype_spark.codecs import decode_jpeg, encode_jpeg
 
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    from spype_spark.functions import spread_small_scan
+
+    # scale-adaptive split (was repartition(32); no-op at real scale)
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     m = with_payload(d)
     dec_jpeg = REAL_DECODERS["image/jpeg"]
     assert dec_jpeg is decode_jpeg
@@ -516,7 +525,10 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    from spype_spark.functions import spread_small_scan
+
+    # scale-adaptive split (was repartition(32); no-op at real scale)
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     m = with_payload(d)
     n_bins = 16
 
@@ -603,7 +615,10 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spype_spark.codecs import encode_wav
 
-    d = load_table(spark, sf_dir, "documents").repartition(32)
+    from spype_spark.functions import spread_small_scan
+
+    # scale-adaptive split (was repartition(32); no-op at real scale)
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     m = with_payload(d)
     # driver-resolved, closure-captured: codecs ships by value
     dec_wav = REAL_DECODERS["audio/wav"]
